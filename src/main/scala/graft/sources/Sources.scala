@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Row-source constructors (SURVEY.md §2.1, S1-S5).
+  *
+  * A reference "row source" is an iterable of name→value mappings
+  * (sqltask/base/row_source.py:4-16); the Spark-native equivalent of the
+  * abstraction itself is the DataFrame, so constructors return DataFrames
+  * and registration is a temp view.
+  */
+object Sources {
+
+  /** CSV scan with the reference's semantics (sqltask/sources/csv.py:12-76):
+    * header row gives column names, every value stays a string (downstream
+    * casts are explicit, as in `map_all` funcs), malformed/ragged rows fail
+    * the read (the reference raises on arity mismatch, csv.py:68-71).
+    * Charset is caller-supplied; the reference auto-detects via chardet
+    * (utils/file.py:6-22) which has no Spark analog — UTF-8 default.
+    */
+  def csv(
+      spark: SparkSession,
+      path: String,
+      delimiter: String = ",",
+      encoding: String = "UTF-8"): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "false")
+      .option("delimiter", delimiter)
+      .option("encoding", encoding)
+      .option("mode", "FAILFAST")
+      .csv(path)
+
+  /** Parquet scan — the native columnar source for this engine. */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** In-memory rows from (columnNames, tuples) — reference `ListRowSource`
+    * (sqltask/sources/generic.py:30-42).
+    */
+  def fromRows(
+      spark: SparkSession,
+      columnNames: Seq[String],
+      rows: Seq[Seq[Any]]): DataFrame = {
+    require(rows.forall(_.length == columnNames.length),
+      "every row must have one value per column name")
+    val schema = StructType(columnNames.map(n => StructField(n, StringType)))
+    // Untyped rows: infer a per-column type from the first non-null value
+    // would be fragile; mirror the reference's dict semantics by requiring
+    // the caller to pass a schema when values aren't strings.
+    fromRows(spark, schema, rows)
+  }
+
+  /** In-memory rows with an explicit schema — reference `DictRowSource`
+    * (sqltask/sources/generic.py:7-17) with declared types.
+    */
+  def fromRows(
+      spark: SparkSession,
+      schema: StructType,
+      rows: Seq[Seq[Any]]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromSeq), 1), schema)
+
+  /** Parameterized SQL over registered temp views — reference
+    * `SqlRowSource` (sqltask/sources/sql.py:17-62). The reference shipped
+    * the SQL to an external database; here Catalyst executes it natively.
+    * Named `:param`-style binding maps to Spark's named-parameter SQL.
+    */
+  def sql(
+      spark: SparkSession,
+      sqlText: String,
+      params: Map[String, Any] = Map.empty): DataFrame =
+    if (params.isEmpty) spark.sql(sqlText) else spark.sql(sqlText, params)
+
+  /** Register a DataFrame under a name (reference `add_row_source`,
+    * sqltask/__init__.py:72-90) so [[sql]] queries can reference it.
+    */
+  def register(df: DataFrame, name: String): DataFrame = {
+    df.createOrReplaceTempView(name)
+    df
+  }
+}

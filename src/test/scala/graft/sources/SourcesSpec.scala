@@ -1,0 +1,32 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.types.StringType
+
+class SourcesSpec extends SparkSpec {
+
+  test("csv scan: header names, all values strings (sources/csv.py:12-76)") {
+    val df = Sources.csv(spark, fixture("customers.csv"))
+    assert(df.columns.toSeq == Seq("report_date", "name", "birthday"))
+    assert(df.schema.fields.forall(_.dataType == StringType))
+    assert(df.count() == 5)
+    // empty CSV cell -> null (the reference yields '' which is falsy; null
+    // is the Spark-idiomatic missing marker and what our DQ rules test)
+    assert(df.filter(df("birthday").isNull).count() == 1)
+  }
+
+  test("in-memory list source (sources/generic.py:30-42)") {
+    val df = Sources.fromRows(spark, Seq("a", "b"),
+      Seq(Seq("1", "x"), Seq("2", "y")))
+    assert(df.count() == 2 && df.columns.toSeq == Seq("a", "b"))
+  }
+
+  test("parameterized sql over registered views (sources/sql.py:17-62)") {
+    Sources.register(Sources.csv(spark, fixture("customers.csv")), "customers")
+    val df = Sources.sql(spark,
+      "SELECT name FROM customers WHERE report_date = :rd ORDER BY name",
+      Map("rd" -> "2019-06-30"))
+    assert(df.count() == 5)
+    assert(df.head().getString(0) == "John Connor")
+  }
+}
