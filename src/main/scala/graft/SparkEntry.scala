@@ -1,5 +1,6 @@
 package graft
 
+import graft.queries.{QueryDef, dsum, oSum, oSum2}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -13,48 +14,51 @@ import org.apache.spark.sql.functions._
   * aggregation is order-dependent, so any SUM/AVG over doubles casts to
   * exact DECIMAL first (sum is then associative/exact), and casts the final
   * scalar back to DOUBLE — both engines then produce bit-identical values.
-  * Every query ends in a deterministic total ORDER BY.
+  * Computed integer columns are cast to BIGINT on both sides (DuckDB's
+  * COUNT/year/length return BIGINT where Spark returns INT). Every query
+  * ends in a deterministic total ORDER BY.
   */
 object SparkEntry {
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.load(s, dir, name)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
-
-  /** One per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // §2.5 delegated-layer aggregation: TPC-H Q1-style hash aggregate with
-    // partial (map-side) + final agg; decimal-exact sums.
-    "q1_agg" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+  /** TPC-H Q1-style aggregate — also the flagship smoke query. */
+  private val q1: QueryDef = QueryDef("q1_agg",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sum_base_price"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
           sum(col("l_extendedprice").cast("decimal(12,2)") *
               (lit(1.0) - col("l_discount")).cast("decimal(12,2)"))
             .cast("double").as("sum_disc_price"),
-          (sum(col("l_quantity").cast("decimal(12,2)")).cast("double") /
-              count(lit(1))).as("avg_qty"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
-    })
-  )
+    },
+    Some(s"""SELECT l_returnflag, l_linestatus,
+            |  ${oSum("l_quantity")} AS sum_qty,
+            |  ${oSum("l_extendedprice")} AS sum_base_price,
+            |  ${oSum2("l_extendedprice", "1.0 - l_discount")} AS sum_disc_price,
+            |  ${oSum("l_quantity")} / COUNT(*) AS avg_qty,
+            |  COUNT(*) AS count_order
+            |FROM lineitem
+            |GROUP BY l_returnflag, l_linestatus
+            |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  /** The full operator catalog. */
+  val catalog: Seq[QueryDef] =
+    q1 +: (graft.queries.Relational.defs ++ graft.queries.Scalars.defs)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame =
+    q1.fn(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    catalog.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-        |  COUNT(*) AS count_order
-        |FROM lineitem
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
-  )
+  def oracleSql: Map[String, String] =
+    catalog.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

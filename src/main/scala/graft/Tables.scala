@@ -14,5 +14,15 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      // events.ts is TIMESTAMP(NANOS) which Spark's vectorized reader
+      // rejects; read nanos as long and convert to a microsecond timestamp
+      // (the data is µs-resolution, so truncation is lossless). DuckDB
+      // oracles cast with CAST(ts AS TIMESTAMP) for identical values.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.expr(
+            "timestamp_micros(ts DIV 1000)"))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
 }
