@@ -47,7 +47,9 @@ object SparkEntry {
 
   /** The full operator catalog. */
   val catalog: Seq[QueryDef] =
-    q1 +: (graft.queries.Relational.defs ++ graft.queries.Scalars.defs)
+    q1 +: (graft.queries.Relational.defs ++ graft.queries.Scalars.defs ++
+      graft.queries.CorpusOps.defs ++ graft.queries.CorpusOps.textDefs ++
+      graft.queries.EventOps.defs)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

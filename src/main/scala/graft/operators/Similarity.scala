@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths, per the standard ANN playbook:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    The query side is broadcast, so the candidate scan parallelizes
+  *    perfectly and never shuffles; per-group top-k via ranking window.
+  *  - [[lshNearDupPairs]]: sign-random-projection LSH — the scale path.
+  *    Documents reduce to a small bucket id; only same-bucket pairs are
+  *    compared, an equi-join that scales linearly in practice.
+  *
+  * Numeric policy: dot products run in double via `aggregate` in index
+  * order (same sequential order DuckDB's list functions use) and final
+  * similarities are rounded to 6 decimals on both engines, putting
+  * cross-engine float divergence (~1e-15) far below the comparison
+  * granularity.
+  */
+object Similarity {
+
+  private def darr(c: Column): Column = c.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(darr(a), darr(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** cosine = dot/(‖a‖·‖b‖), matching DuckDB's
+    * list_dot_product/sqrt(..)·sqrt(..) evaluation shape. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** ±1 sign vector (length dims) for hyperplane `p`, derived from md5 so
+    * the oracle can inline the identical literal list.
+    */
+  def planeSigns(p: Int, dims: Int): IndexedSeq[Double] =
+    (0 until dims).map(i =>
+      if ((TextOps.hash60Const(s"plane:$p:$i") & 1L) == 1L) 1.0 else -1.0)
+
+  /** Sign-random-projection bucket id over `planes` hyperplanes (bit p =
+    * sign of ⟨e, plane_p⟩). */
+  def lshBucket(e: Column, planes: Int, dims: Int): Column =
+    (0 until planes).map { p =>
+      val signs = array(planeSigns(p, dims).map(lit): _*)
+      when(dot(e, signs) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Exact cosine top-k: for each query vector, the k nearest candidates
+    * (excluding itself), ranked by rounded cosine with id tiebreak.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(embCol).as("q_emb"))
+    val c = candidates.select(col(idCol).as("neighbor_id"),
+      col(embCol).as("c_emb"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_emb"), col("c_emb")), 6).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Bucket id for LSH table `t`: `planesPerTable` sign bits from the
+    * plane family `t*planesPerTable .. t*planesPerTable+planesPerTable-1`.
+    */
+  def lshTableBucket(e: Column, t: Int, planesPerTable: Int, dims: Int): Column =
+    (0 until planesPerTable).map { j =>
+      val signs = array(planeSigns(t * planesPerTable + j, dims).map(lit): _*)
+      when(dot(e, signs) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Multi-table LSH near-dup pairs: candidates share a bucket in ANY of
+    * `tables` independent hash tables (the standard recall amplification:
+    * recall = 1−(1−p^m)^L), then exact (rounded) cosine ≥ threshold.
+    * Candidate generation is `tables` equi-joins — never a cross product.
+    */
+  def lshNearDupPairs(
+      df: DataFrame, threshold: Double, tables: Int, planesPerTable: Int,
+      dims: Int, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val b = df.select(col(idCol).as("id"), col(embCol).as("e"))
+    val bucketStructs = (0 until tables).map(t =>
+      struct(lit(t).as("t"),
+        lshTableBucket(col("e"), t, planesPerTable, dims).as("bk")))
+    val bucketed = b
+      .select(col("id"), col("e"), explode(array(bucketStructs: _*)).as("x"))
+      .select(col("id"), col("e"), col("x.t"), col("x.bk"))
+    bucketed.as("a").join(bucketed.as("b"), Seq("t", "bk"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("da"), col("b.id").as("db"))
+      .distinct()
+      .join(b.as("ea"), col("da") === col("ea.id"))
+      .join(b.as("eb"), col("db") === col("eb.id"))
+      .select(col("da"), col("db"),
+        round(cosine(col("ea.e"), col("eb.e")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-scale corpus pipelines
+  * (north-star extensions, BASELINE.json): tokenization, shingling,
+  * cross-engine-stable hashing, language-ID heuristics, quality scoring,
+  * fingerprinting.
+  *
+  * Everything is a Column expression (codegen'd, no UDFs) and every
+  * function is chosen to be bit-identically reproducible in ANSI SQL so
+  * the DuckDB oracle can replay it: hashing goes through md5 (identical
+  * across engines) instead of Spark's murmur3 `hash()`.
+  */
+object TextOps {
+
+  /** Lowercased whitespace tokens, empty strings dropped (split on a
+    * leading/trailing space yields '' in both Spark and DuckDB).
+    */
+  def words(text: Column): Column =
+    filter(split(lower(text), "\\s+"), w => length(w) > 0)
+
+  /** n-word shingles as space-joined strings; fewer than n words → empty. */
+  def shingles(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Deterministic 60-bit hash: first 15 hex chars of md5, as BIGINT.
+    * Oracle twin: CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT).
+    * (60 bits so XOR-derived hash families stay positive in BIGINT.)
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** JVM-side twin of [[hash60]] for deriving hash-family constants that
+    * get inlined as literals into both the Spark plan and the oracle SQL.
+    */
+  def hash60Const(s: String): Long =
+    java.lang.Long.parseLong(md5HexConst(s).substring(0, 15), 16)
+
+  def md5HexConst(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Count of tokens (with multiplicity) that appear in a marker set —
+    * the building block of the n-gram/stopword language-ID heuristic.
+    */
+  def markerHits(ws: Column, markers: Seq[String]): Column =
+    size(filter(ws, w => w.isInCollection(markers))).cast("bigint")
+
+  /** Deterministic whole-document fingerprint: md5 of the
+    * whitespace-normalized lowercase text, plus a 60-bit bucket of it.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", words(text)))
+}

@@ -1,0 +1,319 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline operator catalog (north-star extensions,
+  * BASELINE.json): deduplication (exact / exact-Jaccard / MinHash-LSH /
+  * SimHash), similarity search (brute-force + LSH), and text analysis
+  * (language-ID, quality scoring, token counting, fingerprinting) — each
+  * with a DuckDB oracle that replays the identical md5-derived hash
+  * families (constants inlined into both engines' plans).
+  */
+object CorpusOps {
+  private def t(name: String): QueryFn = (s, dir) => Tables.load(s, dir, name)
+
+  /** DuckDB 60-bit hash twin of [[TextOps.hash60]]. */
+  private def oH60(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** DuckDB CTEs producing the distinct 3-shingle set (doc_id, s). */
+  private val oShingles: String =
+    """w AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> len(x) > 0) AS ws FROM documents),
+      |idx AS (SELECT doc_id, ws,
+      |  unnest(generate_series(1, len(ws) - 2)) AS i
+      |  FROM w WHERE len(ws) >= 3),
+      |sh AS (SELECT DISTINCT doc_id,
+      |  ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM idx)""".stripMargin
+
+  private val K = 16; private val BANDS = 4; private val R = K / BANDS
+  private val mhC = Dedup.minhashConstants(K)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- exact dedup via hash-groupBy: representative + group size
+    QueryDef("q24_dedup_exact",
+      (s, dir) => Dedup.exactByKey(t("documents")(s, dir),
+          Seq("lang", "source"), "doc_id")
+        .orderBy(col("lang"), col("source")),
+      Some("""SELECT lang, source, min(doc_id) AS keep_id,
+             |  COUNT(*) AS n_rows
+             |FROM documents GROUP BY lang, source
+             |ORDER BY lang, source""".stripMargin)),
+
+    // ---- exact n-gram Jaccard near-dup pairs via inverted-index join
+    QueryDef("q25_jaccard_pairs",
+      (s, dir) => Dedup.jaccardPairs(t("documents")(s, dir),
+          "doc_id", "text", n = 3, threshold = 0.6)
+        .orderBy(col("da"), col("db")),
+      Some(s"""WITH $oShingles,
+              |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+              |p AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) AS inter
+              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT da, db, inter,
+              |  inter / (x.n + y.n - inter) AS jaccard
+              |FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+              |WHERE inter / (x.n + y.n - inter) >= 0.6
+              |ORDER BY da, db""".stripMargin)),
+
+    // ---- MinHash + LSH banding candidates with estimated similarity
+    QueryDef("q26_minhash_lsh",
+      (s, dir) => Dedup.minhashCandidates(t("documents")(s, dir),
+          "doc_id", "text", n = 3, k = K, bands = BANDS, minEst = 0.5)
+        .orderBy(col("da"), col("db")),
+      Some {
+        val mins = (0 until K)
+          .map(i => s"min(xor(h, ${mhC(i)})) AS m$i").mkString(", ")
+        val bandSel = (0 until BANDS).map { b =>
+          val cols = (0 until R).map(j => s"m${b * R + j}").mkString(", ")
+          s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS bv FROM sig"
+        }.mkString(" UNION ALL ")
+        val est = (0 until K)
+          .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH $oShingles,
+           |hs AS (SELECT doc_id, ${oH60("s")} AS h FROM sh),
+           |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+           |banded AS ($bandSel),
+           |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+           |SELECT da, db, ($est) / ${K.toDouble} AS est_sim
+           |FROM cand JOIN sig sa ON da = sa.doc_id
+           |  JOIN sig sb ON db = sb.doc_id
+           |WHERE ($est) / ${K.toDouble} >= 0.5
+           |ORDER BY da, db""".stripMargin
+      }),
+
+    // ---- SimHash near-dup pairs via 8-bit chunk banding
+    QueryDef("q27_simhash_pairs",
+      (s, dir) => Dedup.simhashPairs(t("documents")(s, dir),
+          "doc_id", "text", n = 3, maxHamming = 6)
+        .orderBy(col("da"), col("db")),
+      Some {
+        val sums = (0 until 32).map(b =>
+          s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+          .mkString(", ")
+        val simv = (0 until 32).map(b =>
+          s"CASE WHEN s$b >= 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END")
+          .mkString(" + ")
+        val chunkSel = (0 until 4).map(j =>
+          s"SELECT doc_id, simhash, $j AS j, (simhash >> ${8 * j}) & 255 AS c FROM sim")
+          .mkString(" UNION ALL ")
+        s"""WITH $oShingles,
+           |hs AS (SELECT doc_id, ${oH60("s")} AS h FROM sh),
+           |sums AS (SELECT doc_id, $sums FROM hs GROUP BY doc_id),
+           |sim AS (SELECT doc_id, $simv AS simhash FROM sums),
+           |ch AS ($chunkSel)
+           |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           |FROM ch a JOIN ch b ON a.j = b.j AND a.c = b.c
+           |  AND a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+           |ORDER BY da, db""".stripMargin
+      }),
+
+    // ---- brute-force cosine top-k (exact ANN baseline)
+    QueryDef("q28_cosine_topk",
+      (s, dir) => {
+        val emb = t("embeddings")(s, dir)
+        Similarity.bruteForceTopK(emb.filter(col("vec_id") < 8), emb, k = 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid,
+             |    CAST(embedding AS DOUBLE[]) AS qe
+             |  FROM embeddings WHERE vec_id < 8),
+             |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ce
+             |  FROM embeddings),
+             |sc AS (SELECT qid AS query_id, nid AS neighbor_id,
+             |    round(list_dot_product(qe, ce) /
+             |      (sqrt(list_dot_product(qe, qe)) *
+             |       sqrt(list_dot_product(ce, ce))), 6) AS sim
+             |  FROM q, c WHERE qid != nid),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY sim DESC, neighbor_id) AS rank FROM sc)
+             |SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- sign-random-projection multi-table LSH near-dup (ANN scale
+    // path; 6 tables × 4 planes amplifies recall to ≈1−(1−p⁴)⁶)
+    QueryDef("q29_lsh_neardup",
+      (s, dir) => Similarity.lshNearDupPairs(t("embeddings")(s, dir),
+          threshold = 0.4, tables = 6, planesPerTable = 4, dims = 64)
+        .orderBy(col("da"), col("db")),
+      Some {
+        def bucket(tb: Int) = (0 until 4).map { j =>
+          val signs = Similarity.planeSigns(tb * 4 + j, 64)
+            .map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")
+          s"CASE WHEN list_dot_product(e, [$signs]) >= 0 THEN ${1L << j} ELSE 0 END"
+        }.mkString(" + ")
+        val tablesSel = (0 until 6).map(tb =>
+          s"SELECT id, $tb AS t, ${bucket(tb)} AS bk FROM b")
+          .mkString(" UNION ALL ")
+        s"""WITH b AS (SELECT vec_id AS id,
+           |    CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           |bk AS ($tablesSel),
+           |cand AS (SELECT DISTINCT a.id AS da, b.id AS db
+           |  FROM bk a JOIN bk b ON a.t = b.t AND a.bk = b.bk
+           |    AND a.id < b.id)
+           |SELECT da, db,
+           |  round(list_dot_product(ea.e, eb.e) /
+           |    (sqrt(list_dot_product(ea.e, ea.e)) *
+           |     sqrt(list_dot_product(eb.e, eb.e))), 6) AS sim
+           |FROM cand JOIN b ea ON da = ea.id JOIN b eb ON db = eb.id
+           |WHERE round(list_dot_product(ea.e, eb.e) /
+           |    (sqrt(list_dot_product(ea.e, ea.e)) *
+           |     sqrt(list_dot_product(eb.e, eb.e))), 6) >= 0.4
+           |ORDER BY da, db""".stripMargin
+      })
+  )
+
+  // language-marker sets for the langid heuristic
+  private val enM = Seq("the", "of", "and", "a", "to", "in", "is")
+  private val esM = Seq("el", "la", "de", "los", "y", "en", "que")
+  private val deM = Seq("der", "die", "das", "und", "ist")
+  private def oMarkers(m: Seq[String]): String =
+    m.map(w => s"'$w'").mkString(", ")
+
+  val textDefs: Seq[QueryDef] = Seq(
+
+    // ---- language-ID heuristic: stopword-marker hit counts + argmax
+    QueryDef("q30_langid",
+      (s, dir) => {
+        val ws = TextOps.words(col("text"))
+        t("documents")(s, dir)
+          .select(col("doc_id"),
+            TextOps.markerHits(ws, enM).as("en_hits"),
+            TextOps.markerHits(ws, esM).as("es_hits"),
+            TextOps.markerHits(ws, deM).as("de_hits"))
+          .withColumn("predicted",
+            when(col("en_hits") >= col("es_hits") &&
+              col("en_hits") >= col("de_hits"), "en")
+              .when(col("es_hits") >= col("de_hits"), "es")
+              .otherwise("de"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id,
+              |  list_filter(string_split_regex(lower(text), '\\s+'),
+              |    x -> len(x) > 0) AS ws FROM documents),
+              |h AS (SELECT doc_id,
+              |  CAST(len(list_filter(ws, x -> list_contains([${oMarkers(enM)}], x))) AS BIGINT) AS en_hits,
+              |  CAST(len(list_filter(ws, x -> list_contains([${oMarkers(esM)}], x))) AS BIGINT) AS es_hits,
+              |  CAST(len(list_filter(ws, x -> list_contains([${oMarkers(deM)}], x))) AS BIGINT) AS de_hits
+              |  FROM w)
+              |SELECT doc_id, en_hits, es_hits, de_hits,
+              |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+              |       WHEN es_hits >= de_hits THEN 'es'
+              |       ELSE 'de' END AS predicted
+              |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // ---- quality scoring: length/punctuation/stopword ratios
+    QueryDef("q31_quality",
+      (s, dir) => {
+        val ws = TextOps.words(col("text"))
+        t("documents")(s, dir)
+          .select(col("doc_id"),
+            length(col("text")).cast("bigint").as("n_chars_m"),
+            size(ws).cast("bigint").as("n_words"),
+            aggregate(transform(ws, w => length(w)), lit(0),
+              (acc, x) => acc + x).cast("bigint").as("word_chars"),
+            length(regexp_replace(col("text"), "[^.,!?;:]", ""))
+              .cast("bigint").as("n_punct"),
+            TextOps.markerHits(ws, enM).as("stop_hits"))
+          .withColumn("avg_word_len",
+            col("word_chars") / col("n_words"))
+          .withColumn("punct_ratio", col("n_punct") / col("n_chars_m"))
+          .withColumn("stopword_ratio", col("stop_hits") / col("n_words"))
+          .withColumn("quality_score",
+            col("stopword_ratio") * 0.5 +
+              (lit(1.0) / (lit(1.0) + abs(col("avg_word_len") - 5.0))) * 0.5)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, text,
+              |  list_filter(string_split_regex(lower(text), '\\s+'),
+              |    x -> len(x) > 0) AS ws FROM documents),
+              |m AS (SELECT doc_id,
+              |  CAST(length(text) AS BIGINT) AS n_chars_m,
+              |  CAST(len(ws) AS BIGINT) AS n_words,
+              |  CAST(list_sum(list_transform(ws, x -> len(x))) AS BIGINT)
+              |    AS word_chars,
+              |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+              |    AS BIGINT) AS n_punct,
+              |  CAST(len(list_filter(ws,
+              |    x -> list_contains([${oMarkers(enM)}], x))) AS BIGINT)
+              |    AS stop_hits
+              |  FROM w)
+              |SELECT doc_id, n_chars_m, n_words, word_chars, n_punct,
+              |  stop_hits,
+              |  word_chars / n_words AS avg_word_len,
+              |  n_punct / n_chars_m AS punct_ratio,
+              |  stop_hits / n_words AS stopword_ratio,
+              |  (stop_hits / n_words) * 0.5 +
+              |    (1.0 / (1.0 + abs(word_chars / n_words - 5.0))) * 0.5
+              |    AS quality_score
+              |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ---- token counting: whitespace, regex (BPE-ish), chars/4 estimate
+    QueryDef("q32_token_count",
+      (s, dir) => {
+        val ws = TextOps.words(col("text"))
+        t("documents")(s, dir)
+          .select(col("doc_id"),
+            size(ws).cast("bigint").as("ws_tokens"),
+            size(expr(
+              "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+              .cast("bigint").as("regex_tokens"),
+            ceil(length(col("text")) / lit(4.0)).cast("bigint")
+              .as("bpe_estimate"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+             |    x -> len(x) > 0)) AS BIGINT) AS ws_tokens,
+             |  CAST(len(regexp_extract_all(text,
+             |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+             |    AS regex_tokens,
+             |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_estimate
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- document fingerprinting: md5 of normalized text + 60-bit bucket
+    QueryDef("q33_fingerprint",
+      (s, dir) => {
+        val norm = concat_ws(" ", TextOps.words(col("text")))
+        t("documents")(s, dir)
+          .select(col("doc_id"),
+            md5(norm).as("fp"),
+            (TextOps.hash60(norm) % 1024).as("bucket"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH n AS (SELECT doc_id,
+              |  array_to_string(list_filter(
+              |    string_split_regex(lower(text), '\\s+'),
+              |    x -> len(x) > 0), ' ') AS norm FROM documents)
+              |SELECT doc_id, md5(norm) AS fp,
+              |  ${oH60("norm")} % 1024 AS bucket
+              |FROM n ORDER BY doc_id""".stripMargin)),
+
+    // ---- multimodal plumbing smoke: opaque binary column + metadata
+    // (decode itself is stubbed in graft.multimodal; here the byte-level
+    // plumbing: utf-8 encode, octet length, bytes-per-char)
+    QueryDef("q34_binary_meta",
+      (s, dir) => t("documents")(s, dir)
+        .select(col("doc_id"),
+          expr("octet_length(encode(text, 'UTF-8'))").cast("bigint")
+            .as("n_bytes"),
+          length(col("text")).cast("bigint").as("n_chars_m"))
+        .withColumn("bytes_per_char", col("n_bytes") / col("n_chars_m"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  CAST(length(text) AS BIGINT) AS n_chars_m,
+             |  CAST(octet_length(encode(text)) AS DOUBLE) / length(text)
+             |    AS bytes_per_char
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}
