@@ -13,6 +13,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Rebalance a DataFrame whose scan under-parallelizes the cluster.
+    *
+    * Expensive per-row derivations (shingling, hashing, vector math)
+    * inherit the scan's partitioning; a small single-file input would run
+    * them on one core. This is a no-op whenever the plan already has at
+    * least `defaultParallelism` partitions — which any 100 TB multi-file
+    * scan does — so the extra shuffle only ever moves tiny inputs.
+    */
+  def rebalance(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is TIMESTAMP(NANOS) which Spark's vectorized reader

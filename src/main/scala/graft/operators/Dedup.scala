@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for large-scale corpus pipelines: exact
   * (hash-groupBy), exact n-gram Jaccard (inverted-index join), MinHash
@@ -15,6 +16,14 @@ import org.apache.spark.sql.functions._
   *    the classic LSH shuffle-join shape that scales linearly;
   *  - SimHash reduces to one 32-bit integer per document; candidate pairs
   *    come from equality on 8-bit chunks (any hamming-≤6 pair shares one);
+  *  - per-doc facts (shingle count, MinHash signature) are carried
+  *    *through* the explode/banding instead of re-joined afterwards, so
+  *    each operator is a single join + single aggregation;
+  *  - the shingle set is persisted (spillable MEMORY_AND_DISK): Spark's
+  *    CacheManager keys on the canonicalized plan, so every operator over
+  *    the same corpus shares one shingle computation — including the two
+  *    sides of each self-join. Pass `cache = false` when the corpus is too
+  *    large to spill profitably and recompute is preferred;
   *  - all hash families derive from md5 ([[TextOps.hash60]]) with
   *    XOR-mixed constants so the DuckDB oracle can replay them exactly.
   */
@@ -34,25 +43,44 @@ object Dedup {
     df.groupBy(keys.map(col): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_rows"))
 
-  /** Distinct (id, shingle) pairs — the inverted index input. */
-  def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-        explode(TextOps.shingles(TextOps.words(col(textCol)), n)).as("s"))
-      .distinct()
+  /** Distinct (doc_id, s) shingle pairs — the inverted-index input.
+    *
+    * Distinctness is established per-document with `array_distinct`
+    * *before* the explode (doc_id is unique, so per-doc distinct ≡ global
+    * distinct on (doc_id, s)) — no shuffle, where explode-then-distinct
+    * would shuffle every shingle. The input is rebalanced first so the
+    * shingling work spreads across the cluster even when the scan is a
+    * single small file, and the whole shingling expression lives *inside*
+    * the explode: a `Generate` cannot be pushed through the repartition,
+    * whereas a standalone array projection gets pushed below it by
+    * `ColumnPruning` and would then run in the (possibly single-task)
+    * scan stage.
+    */
+  def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int,
+      cache: Boolean = true): DataFrame = {
+    val sh = graft.Tables.rebalance(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(
+          TextOps.shingles(TextOps.words(col(textCol)), n))).as("s"))
+    if (cache) sh.persist(StorageLevel.MEMORY_AND_DISK) else sh
+  }
 
   /** Exact n-gram Jaccard similarity join: all pairs with J ≥ threshold.
     *
     * Only pairs sharing ≥1 shingle are generated (join on the shingle),
-    * then J = |∩| / (|A|+|B|−|∩|) exactly. At extreme scale add a
+    * then J = |∩| / (|A|+|B|−|∩|) exactly; the per-doc size side (one row
+    * per document) broadcasts. All three uses of the shingle set read the
+    * shared cache — one shingle computation total. At extreme scale add a
     * document-frequency cap on shingles (drop shingles appearing in more
-    * than `maxShingleDf` docs) — a standard stop-shingle optimization that
-    * bounds join skew; None keeps exact semantics.
+    * than `maxShingleDf` docs) — a standard stop-shingle optimization
+    * that bounds join skew; None keeps exact semantics.
     */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
-      maxShingleDf: Option[Int] = None): DataFrame = {
-    val sh0 = shingleSet(df, idCol, textCol, n)
+      maxShingleDf: Option[Int] = None,
+      cache: Boolean = true): DataFrame = {
+    val sh0 = shingleSet(df, idCol, textCol, n, cache)
     val sh = maxShingleDf match {
       case Some(cap) =>
         val keep = sh0.groupBy("s").agg(count(lit(1)).as("df"))
@@ -61,12 +89,11 @@ object Dedup {
       case None => sh0
     }
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
+    sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("inter"))
-    inter
       .join(sz.as("sa"), col("da") === col("sa.doc_id"))
       .join(sz.as("sb"), col("db") === col("sb.doc_id"))
       .select(col("da"), col("db"), col("inter"),
@@ -81,9 +108,9 @@ object Dedup {
     */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int): DataFrame = {
+      n: Int, k: Int, cache: Boolean = true): DataFrame = {
     val cs = minhashConstants(k)
-    val h = shingleSet(df, idCol, textCol, n)
+    val h = shingleSet(df, idCol, textCol, n, cache)
       .withColumn("h", TextOps.hash60(col("s")))
     val aggs = (0 until k).map(i =>
       min(col("h").bitwiseXOR(lit(cs(i)))).as(s"m$i"))
@@ -93,31 +120,36 @@ object Dedup {
   /** MinHash LSH candidate pairs: documents sharing ≥1 of `bands` bands
     * (r = k/bands rows per band), with the signature-estimated similarity
     * (fraction of equal min-hashes). `minEst` filters the candidates.
+    *
+    * The full signature rides through the banding explode as an array, so
+    * the estimate is computed directly on each candidate pair — no
+    * signature re-join after the band join.
     */
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int, bands: Int, minEst: Double): DataFrame = {
+      n: Int, k: Int, bands: Int, minEst: Double,
+      cache: Boolean = true): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val sig = minhashSignatures(df, idCol, textCol, n, k)
+    val sig = minhashSignatures(df, idCol, textCol, n, k, cache)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        concat_ws(",", (0 until r).map(j => col(s"m${b * r + j}")): _*)
-          .as("bv"))
+        concat_ws(",", (b * r until b * r + r).map(j =>
+          element_at(col("sig"), j + 1)): _*).as("bv"))
     }
     val banded = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
-      .select(col("doc_id"), col("x.band"), col("x.bv"))
-    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bv"))
+      .select(col("doc_id"), col("sig"),
+        explode(array(bandStructs: _*)).as("x"))
+      .select(col("doc_id"), col("sig"), col("x.band"), col("x.bv"))
+    val est = size(filter(
+      zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b))
+    banded.as("a").join(banded.as("b"), Seq("band", "bv"))
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.sig").as("sa"), col("b.sig").as("sb"))
       .distinct()
-    val est = (0 until k)
-      .map(i => when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand
-      .join(sig.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sig.as("sb"), col("db") === col("sb.doc_id"))
       .select(col("da"), col("db"), (est / lit(k.toDouble)).as("est_sim"))
       .filter(col("est_sim") >= minEst)
   }
@@ -125,8 +157,9 @@ object Dedup {
   /** 32-bit SimHash per document over the shingle set: bit b is the sign
     * of Σ_shingles (±1 by hash bit b). One integer per document.
     */
-  def simhash32(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val h = shingleSet(df, idCol, textCol, n)
+  def simhash32(df: DataFrame, idCol: String, textCol: String, n: Int,
+      cache: Boolean = true): DataFrame = {
+    val h = shingleSet(df, idCol, textCol, n, cache)
       .withColumn("h", TextOps.hash60(col("s")))
     val sums = (0 until 32).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
@@ -144,8 +177,8 @@ object Dedup {
     */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, maxHamming: Int): DataFrame = {
-    val sh = simhash32(df, idCol, textCol, n)
+      n: Int, maxHamming: Int, cache: Boolean = true): DataFrame = {
+    val sh = simhash32(df, idCol, textCol, n, cache)
     val chunks = (0 until 4).map(j => struct(lit(j).as("j"),
       shiftright(col("simhash"), 8 * j).bitwiseAND(lit(255L)).as("c")))
     val chunked = sh.select(col("doc_id"), col("simhash"),

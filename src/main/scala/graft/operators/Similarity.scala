@@ -55,13 +55,19 @@ object Similarity {
   def bruteForceTopK(
       queries: DataFrame, candidates: DataFrame, k: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    // Norms are computed once per vector, not once per (query, candidate)
+    // pair — sqrt(‖a‖²)·sqrt(‖b‖²) is the same float op either way, so
+    // results (and the oracle) are unchanged while the per-pair work drops
+    // to a single dot product.
     val q = queries.select(col(idCol).as("query_id"),
-      col(embCol).as("q_emb"))
-    val c = candidates.select(col(idCol).as("neighbor_id"),
-      col(embCol).as("c_emb"))
+      col(embCol).as("q_emb"), sqrt(norm2(col(embCol))).as("q_nrm"))
+    val c = graft.Tables.rebalance(
+      candidates.select(col(idCol).as("neighbor_id"),
+        col(embCol).as("c_emb"), sqrt(norm2(col(embCol))).as("c_nrm")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("q_emb"), col("c_emb")), 6).as("sim"))
+        round(dot(col("q_emb"), col("c_emb")) /
+          (col("q_nrm") * col("c_nrm")), 6).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
@@ -87,13 +93,22 @@ object Similarity {
       df: DataFrame, threshold: Double, tables: Int, planesPerTable: Int,
       dims: Int, idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
-    val b = df.select(col(idCol).as("id"), col(embCol).as("e"))
+    // Both the (id, e, nrm) frame and the bucket assignments are read
+    // multiple times by the self-join diamond below; persisting them (one
+    // small row per vector / per vector×table) means the `tables × planes`
+    // interpreted dot products against the hyperplanes run once, not once
+    // per plan branch.
+    val b = graft.Tables.rebalance(
+      df.select(col(idCol).as("id"), col(embCol).as("e")))
+      .withColumn("nrm", sqrt(norm2(col("e"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketStructs = (0 until tables).map(t =>
       struct(lit(t).as("t"),
         lshTableBucket(col("e"), t, planesPerTable, dims).as("bk")))
     val bucketed = b
-      .select(col("id"), col("e"), explode(array(bucketStructs: _*)).as("x"))
-      .select(col("id"), col("e"), col("x.t"), col("x.bk"))
+      .select(col("id"), explode(array(bucketStructs: _*)).as("x"))
+      .select(col("id"), col("x.t"), col("x.bk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bucketed.as("a").join(bucketed.as("b"), Seq("t", "bk"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("da"), col("b.id").as("db"))
@@ -101,7 +116,8 @@ object Similarity {
       .join(b.as("ea"), col("da") === col("ea.id"))
       .join(b.as("eb"), col("db") === col("eb.id"))
       .select(col("da"), col("db"),
-        round(cosine(col("ea.e"), col("eb.e")), 6).as("sim"))
+        round(dot(col("ea.e"), col("eb.e")) /
+          (col("ea.nrm") * col("eb.nrm")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }
