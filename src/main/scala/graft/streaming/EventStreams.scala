@@ -1,0 +1,189 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** One event of the `events` table (TESTDATA.md); `props` is carried as
+  * an opaque JSON string just like the batch side.
+  */
+case class Event(
+    event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** One closed (or timed-out) session emitted by the stateful
+  * sessionizer.
+  */
+case class Session(
+    user_id: Long, session_start: Timestamp, session_end: Timestamp,
+    n_events: Long, session_value: Double)
+
+/** Accumulating state for one user's open session. */
+case class OpenSession(
+    start: Timestamp, end: Timestamp, n: Long, total: Double)
+
+/** Structured Streaming operators over the `events` schema — the
+  * streaming twins of `graft.queries.EventOps` (q35–q37): identical
+  * epoch-aligned `window()` buckets and 30-minute-gap session semantics,
+  * expressed over `readStream` inputs with event-time watermarks.
+  *
+  * The reference is batch-only (SURVEY.md §1.1 "Not present in the
+  * reference ... streams"); this module is the north-star streaming
+  * extension, specified directly from Spark's semantics:
+  *  - aggregations run in watermark-bounded event-time windows, so state
+  *    is dropped once the watermark passes a window's end — bounded
+  *    memory at any scale;
+  *  - shuffle keys are (window, event_type) / user_id, so partitioning
+  *    matches the batch plans and skew behavior is identical;
+  *  - every transform takes a plain DataFrame/Dataset and works on BOTH
+  *    batch and streaming inputs (Spark's unified model) — the batch
+  *    catalog queries and these functions can share one definition, and
+  *    tests can cross-check streaming output against the batch oracle.
+  */
+object EventStreams {
+
+  /** In-memory / MemoryStream schema (µs timestamp). */
+  val eventSchema: StructType =
+    Encoders.product[Event].schema.add("props", "string")
+
+  /** On-disk schema of the events parquet: ts is TIMESTAMP(NANOS), which
+    * Spark's reader only accepts as a raw long
+    * (`spark.sql.legacy.parquet.nanosAsLong`).
+    */
+  val eventFileSchema: StructType = StructType(eventSchema.map(f =>
+    if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
+    else f))
+
+  /** File-based event stream over a DIRECTORY of parquet files (Spark's
+    * file source rejects a bare file path — stage single files into a
+    * directory first). One file per micro-batch by default;
+    * `maxFilesPerTrigger` bounds per-batch work for backfills. Nanosecond
+    * timestamps are read as longs and truncated (losslessly, µs data) to
+    * microsecond timestamps, mirroring `Tables.load`.
+    */
+  def readEvents(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventFileSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Tumbling event-time window aggregation (streaming twin of
+    * q35_tumbling_window). Append mode emits each (window, event_type)
+    * row exactly once, when the watermark passes the window end.
+    */
+  def tumblingAgg(events: DataFrame, windowDur: String,
+      watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding event-time window aggregation (streaming twin of
+    * q36_sliding_window): each event lands in windowDur/slide buckets.
+    */
+  def slidingAgg(events: DataFrame, windowDur: String, slide: String,
+      watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur, slide))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("bucket_start"), col("n"),
+        col("total_value"))
+
+  /** Declarative gap-based sessions via `session_window` — Spark merges
+    * overlapping per-event windows into sessions natively; state per key
+    * is bounded by the watermark.
+    */
+  def sessionAgg(events: DataFrame, gap: String,
+      watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value"))
+
+  /** Custom-state sessionizer via `flatMapGroupsWithState` — the escape
+    * hatch for session logic `session_window` can't express (here it
+    * reproduces q37's semantics: a session ends when the next event is
+    * MORE than `gapMinutes` after the previous one, and `session_end` is
+    * the last event's timestamp, not last+gap).
+    *
+    * Within a micro-batch, a user's events arrive unordered — they are
+    * sorted by (ts, event_id) before folding into the open-session state.
+    * Sessions closed by an in-batch gap are emitted immediately; the
+    * trailing open session is emitted when the event-time watermark
+    * passes its end by `gapMinutes` (state timeout), so per-key state is
+    * one small case class, never the event backlog.
+    */
+  def sessionizeStateful(events: Dataset[Event], gapMinutes: Int,
+      watermark: String): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def fold(userId: Long, it: Iterator[Event],
+        state: GroupState[OpenSession]): Iterator[Session] = {
+      def toSession(s: OpenSession) =
+        Session(userId, s.start, s.end, s.n, s.total)
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(toSession).iterator
+        state.remove()
+        out
+      } else {
+        val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var open = state.getOption
+        val closed = Seq.newBuilder[Session]
+        sorted.foreach { e =>
+          open = open match {
+            case Some(s) if e.ts.getTime <= s.end.getTime + gapMs =>
+              Some(OpenSession(s.start, e.ts, s.n + 1, s.total + e.value))
+            case Some(s) =>
+              closed += toSession(s)
+              Some(OpenSession(e.ts, e.ts, 1L, e.value))
+            case None =>
+              Some(OpenSession(e.ts, e.ts, 1L, e.value))
+          }
+        }
+        open.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end.getTime + gapMs)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fold)
+  }
+
+  /** Start a streaming query into an in-memory table (tests/debug). */
+  def startMemorySink(df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append): StreamingQuery =
+    df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+
+  /** Start an idempotent append to partitioned parquet: exactly-once via
+    * the checkpoint's file-sink log, partitioned so downstream reads
+    * prune by event date.
+    */
+  def startParquetSink(df: DataFrame, path: String,
+      checkpoint: String): StreamingQuery =
+    df.withColumn("event_date", to_date(col("bucket_start")))
+      .writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("event_date")
+      .outputMode(OutputMode.Append)
+      .start()
+}
