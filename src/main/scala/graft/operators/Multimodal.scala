@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) columns as opaque binary + typed
+  * metadata — the Spark-side plumbing for a training-data pipeline.
+  *
+  * Real decode/resize/transcode libraries are NOT available in this
+  * build environment, so the byte-interpreting kernels here are
+  * deterministic STUBS (clearly marked) — swap [[decodeStub]] /
+  * [[resizeStub]] for a real codec wired through the same signatures.
+  * Everything around them is production-shaped:
+  *  - media rows are (id, kind, payload: binary, meta: struct) — the
+  *    blob never passes through a string;
+  *  - per-blob work runs in [[extractFeatures]] via `mapPartitions`
+  *    (Spark's batch-iterator escape hatch, the JVM analog of
+  *    `mapInPandas`): one function call per partition, codec state
+  *    reused across the batch, fixed-size vector out;
+  *  - blob sizes are skewed in real corpora, so [[repartitionByBytes]]
+  *    rebalances by *payload bytes*, not row count — AQE only sees
+  *    shuffle sizes, not scan-side blob skew;
+  *  - [[sampleFrames]] is fully declarative (strided binary slices via
+  *    explode) so frame extraction stays inside Catalyst and is
+  *    oracle-checkable.
+  */
+object Multimodal {
+
+  /** Synthesize an opaque binary payload from text (UTF-8 bytes) — the
+    * stand-in for real media bytes in tests and catalog queries; both
+    * engines (Spark `encode`, DuckDB `encode`) produce identical blobs.
+    */
+  def syntheticPayload(textCol: Column): Column =
+    encode(textCol, "UTF-8")
+
+  /** Typed media metadata carried next to the blob. */
+  def mediaMeta(kind: Column, nBytes: Column): Column =
+    struct(kind.as("kind"), nBytes.cast("bigint").as("n_bytes"))
+
+  /** Strided fixed-size frame sampling over a binary column: frames of
+    * `frameBytes` at offsets 0, stride, 2·stride… (only complete
+    * frames). Declarative — `substring` on binary slices without
+    * decoding, `sequence`+`explode` generates the frame index — so
+    * Catalyst handles partitioning/codegen and cardinality is explicit.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
+      frameBytes: Int, stride: Int): DataFrame = {
+    val len = octet_length(col(payloadCol))
+    val nFrames = when(len >= frameBytes,
+      ((len - frameBytes) / stride).cast("long") + 1).otherwise(0L)
+    df.select(col(idCol), col(payloadCol), nFrames.as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .select(col(idCol), col(payloadCol), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_no"))
+      .withColumn("frame",
+        expr(s"substring($payloadCol, frame_no * $stride + 1, $frameBytes)"))
+      .select(col(idCol), col("n_frames"), col("frame_no"), col("frame"))
+  }
+
+  /** STUB codec: deterministic fixed-size feature vector from raw bytes
+    * (normalized 16-bin byte histogram + mean byte). A real
+    * implementation would decode the image/audio here; the signature,
+    * batching, and schema stay identical.
+    */
+  def decodeStub(bytes: Array[Byte], dims: Int): Array[Double] = {
+    val hist = new Array[Double](dims)
+    if (bytes.isEmpty) return hist
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      hist(b % dims) += 1d
+      sum += b
+      i += 1
+    }
+    i = 0
+    while (i < dims) { hist(i) /= bytes.length; i += 1 }
+    hist(0) = sum.toDouble / bytes.length / 255d // mean byte in slot 0
+    hist
+  }
+
+  /** Per-blob feature extraction via `mapPartitions` — the batch-shaped
+    * escape hatch: the codec is instantiated once per partition and
+    * streamed over the iterator, never per row, and the output is a
+    * fixed-size `array<float>` ready for [[Similarity]] operators.
+    */
+  def extractFeatures(df: DataFrame, idCol: String, payloadCol: String,
+      dims: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.Tables.rebalance(df.select(col(idCol), col(payloadCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition codec setup happens HERE (once per batch)
+        it.map { case (id, bytes) => (id, decodeStub(bytes, dims)) }
+      }
+      .toDF(idCol, "features")
+  }
+
+  /** STUB resize: byte-truncate/cycle-pad the payload to exactly
+    * `targetBytes` and restamp metadata — stands in for an image resize
+    * while exercising the binary-in/binary-out contract.
+    */
+  def resizeStub(df: DataFrame, idCol: String, payloadCol: String,
+      targetBytes: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol), col(payloadCol)).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val out = new Array[Byte](targetBytes)
+        if (bytes.nonEmpty) {
+          var i = 0
+          while (i < targetBytes) { out(i) = bytes(i % bytes.length); i += 1 }
+        }
+        (id, out)
+      })
+      .toDF(idCol, payloadCol)
+      .withColumn("meta",
+        mediaMeta(lit("resized"), octet_length(col(payloadCol))))
+  }
+
+  /** Rebalance so every partition carries ≈`targetBytes` of payload.
+    * Blob corpora are size-skewed (one 4K video next to thousands of
+    * icons); row-count partitioning leaves straggler partitions. Costs
+    * one lightweight pre-pass aggregation (sum of octet_length — column
+    * pruned to blob lengths, cheap even at 100 TB).
+    */
+  def repartitionByBytes(df: DataFrame, payloadCol: String,
+      targetBytes: Long): DataFrame = {
+    val total = df.agg(sum(octet_length(col(payloadCol)))).first() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val parts = math.max(1, math.min(
+      (total / math.max(1L, targetBytes)).toInt + 1, 1 << 16))
+    df.repartition(parts)
+  }
+}

@@ -314,6 +314,56 @@ object CorpusOps {
              |  CAST(length(text) AS BIGINT) AS n_chars_m,
              |  CAST(octet_length(encode(text)) AS DOUBLE) / length(text)
              |    AS bytes_per_char
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- multimodal: declarative strided frame sampling over an opaque
+    // binary payload (video → fixed-size frames without decoding);
+    // payload synthesized identically in both engines via utf-8 encode
+    QueryDef("q38_frame_sample",
+      (s, dir) => {
+        val media = t("documents")(s, dir)
+          .select(col("doc_id"),
+            graft.operators.Multimodal.syntheticPayload(col("text"))
+              .as("payload"))
+        graft.operators.Multimodal
+          .sampleFrames(media, "doc_id", "payload",
+            frameBytes = 32, stride = 64)
+          .select(col("doc_id"), col("n_frames"), col("frame_no"),
+            md5(col("frame")).as("frame_md5"))
+          .orderBy(col("doc_id"), col("frame_no"))
+      },
+      // DuckDB cannot slice/md5 BLOBs; the corpus is pure ASCII (verified
+      // octet_length(encode(text)) = length(text) for every row), so the
+      // oracle hashes character substrings — byte-identical input to
+      // Spark's md5 over the binary slices.
+      Some("""WITH f AS (SELECT doc_id, text,
+             |    CASE WHEN length(text) >= 32
+             |      THEN (length(text) - 32) // 64 + 1 ELSE 0 END
+             |      AS n_frames
+             |  FROM documents),
+             |x AS (SELECT doc_id, n_frames,
+             |    unnest(generate_series(0, n_frames - 1)) AS frame_no,
+             |    text
+             |  FROM f WHERE n_frames > 0)
+             |SELECT doc_id, n_frames, frame_no,
+             |  md5(substr(text, CAST(frame_no * 64 + 1 AS BIGINT), 32))
+             |    AS frame_md5
+             |FROM x ORDER BY doc_id, frame_no""".stripMargin)),
+
+    // ---- multimodal: per-blob feature extraction through mapPartitions
+    // (batch-shaped imperative kernel — deliberately NOT SQL-expressible,
+    // so no oracle: the driver records a rows-only check; the kernel
+    // itself is unit-tested for determinism and shape)
+    QueryDef("q39_blob_features",
+      (s, dir) => {
+        val media = t("documents")(s, dir)
+          .select(col("doc_id"),
+            graft.operators.Multimodal.syntheticPayload(col("text"))
+              .as("payload"))
+        graft.operators.Multimodal
+          .extractFeatures(media, "doc_id", "payload", dims = 16)
+          .orderBy(col("doc_id"))
+      },
+      None)
   )
 }

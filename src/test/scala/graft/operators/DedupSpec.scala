@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup-operator semantics on small hand-built corpora where expected
+  * pairs are computable by hand.
+  */
+class DedupSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+      (3L, "completely different words entirely here now"),
+      (4L, "the quick brown fox jumps over the lazy dog") // exact dup of 1
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactByKey keeps min-id representative with group counts") {
+    import spark.implicits._
+    val df = Seq((3L, "a"), (1L, "a"), (2L, "b")).toDF("id", "k")
+    val out = Dedup.exactByKey(df, Seq("k"), "id").orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq(("a", 1L, 2L), ("b", 2L, 1L)))
+  }
+
+  test("jaccardPairs finds near and exact dups above threshold only") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5,
+        cache = false)
+      .orderBy("da", "db").collect()
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // 9 words -> 7 3-shingles; docs 1/2 share 6 of 8 distinct -> J = 0.75
+    // docs 1/4 identical -> J = 1.0 (and 2/4 = 0.75); doc 3 matches none
+    assert(keys == Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+    val j14 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 4L).get
+    assert(j14.getAs[Double]("jaccard") == 1.0)
+    val j12 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+    assert(j12.getAs[Double]("jaccard") == 0.75)
+  }
+
+  test("minhash signature of identical docs is identical; est_sim = 1") {
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
+        n = 3, k = 16, bands = 4, minEst = 0.9, cache = false)
+      .collect()
+    val exact = cand.find(r => r.getLong(0) == 1L && r.getLong(1) == 4L)
+    assert(exact.isDefined && exact.get.getAs[Double]("est_sim") == 1.0)
+  }
+
+  test("simhash: identical docs at hamming 0; near-dups within budget") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3,
+        maxHamming = 10, cache = false)
+      .orderBy("da", "db").collect()
+    val h14 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 4L).get
+    assert(h14.getAs[Long]("hamming") == 0L)
+    // unrelated doc 3 never pairs with anything at hamming <= 10
+    assert(!pairs.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
+  }
+
+  test("shingleSet: per-doc distinct, correct count, no duplicates") {
+    val sh = Dedup.shingleSet(docs, "doc_id", "text", 3, cache = false)
+    val counts = sh.groupBy("doc_id").count().orderBy("doc_id").collect()
+    // "the quick brown fox jumps over the lazy dog": 7 shingles, all
+    // distinct
+    assert(counts.head.getLong(1) == 7L)
+    assert(sh.count() == sh.distinct().count())
+  }
+}

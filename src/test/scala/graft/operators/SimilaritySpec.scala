@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Similarity-search semantics: exact top-k correctness against a
+  * hand-computed answer, and LSH recall of planted near-duplicates.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private def vecs = {
+    import spark.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),  // near 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),  // orthogonal to 0
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)), // opposite of 0
+      (4L, Array(1.0f, 0.01f, 0.0f, 0.0f))  // nearest to 0
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK ranks by exact cosine, excludes self") {
+    val top = Similarity.bruteForceTopK(
+        vecs.filter(col("vec_id") === 0), vecs, k = 3)
+      .orderBy("rank").collect()
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(4L, 1L, 2L))
+    assert(top.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+    assert(top.head.getAs[Double]("sim") > 0.999)
+    assert(!top.exists(_.getAs[Long]("neighbor_id") == 0L)) // no self
+  }
+
+  test("cosine column matches hand-computed values") {
+    import spark.implicits._
+    val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    assert(math.abs(df.first().getDouble(0) - 24.0 / 25.0) < 1e-12)
+  }
+
+  test("lshNearDupPairs recalls an exact duplicate pair") {
+    import spark.implicits._
+    // 40 random-ish vectors plus one exact duplicate pair (100, 101)
+    val base = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d =>
+        math.sin(i * 31 + d * 7).toFloat))
+    }
+    val dup = Array.tabulate(8)(d => math.cos(d * 13).toFloat)
+    val df = (base :+ (100L, dup) :+ (101L, dup))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.lshNearDupPairs(df, threshold = 0.99,
+      tables = 6, planesPerTable = 4, dims = 8)
+    val found = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // identical vectors share every bucket in every table -> always found
+    assert(found.contains((100L, 101L)))
+    val sim = pairs.filter(col("da") === 100L).first().getAs[Double]("sim")
+    assert(sim == 1.0)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks: tokenization edge cases, shingling
+  * arity, cross-engine hash stability, fingerprint normalization.
+  */
+class TextOpsSpec extends SparkSpec {
+
+  private def one(text: String) = {
+    import spark.implicits._
+    Seq(Tuple1(text)).toDF("text")
+  }
+
+  test("words: lowercases, splits on any whitespace, drops empties") {
+    val ws = one("  Hello\tWorld\n\nFOO  ")
+      .select(TextOps.words(col("text")).as("w"))
+      .first().getAs[scala.collection.Seq[String]]("w")
+    assert(ws == Seq("hello", "world", "foo"))
+  }
+
+  test("shingles: n-1 fewer than words; short docs yield empty") {
+    val df = one("a b c d")
+    val sh = df.select(TextOps.shingles(TextOps.words(col("text")), 3)
+      .as("s")).first().getAs[scala.collection.Seq[String]]("s")
+    assert(sh == Seq("a b c", "b c d"))
+    val short = one("a b")
+      .select(TextOps.shingles(TextOps.words(col("text")), 3).as("s"))
+      .first().getAs[scala.collection.Seq[String]]("s")
+    assert(short.isEmpty)
+  }
+
+  test("hash60 column equals hash60Const for the same input") {
+    val h = one("abc").select(TextOps.hash60(col("text")).as("h"))
+      .first().getLong(0)
+    assert(h == TextOps.hash60Const("abc"))
+    assert(h > 0) // 60-bit: always positive
+  }
+
+  test("fingerprint is whitespace/case-normalized") {
+    val a = one("Hello   World").select(TextOps.fingerprint(col("text")))
+      .first().getString(0)
+    val b = one("hello world").select(TextOps.fingerprint(col("text")))
+      .first().getString(0)
+    val c = one("hello worlds").select(TextOps.fingerprint(col("text")))
+      .first().getString(0)
+    assert(a == b && a != c)
+  }
+
+  test("markerHits counts with multiplicity") {
+    val n = one("the cat the dog a")
+      .select(TextOps.markerHits(TextOps.words(col("text")),
+        Seq("the", "a")).as("n"))
+      .first().getLong(0)
+    assert(n == 3L)
+  }
+}
