@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL-surface registration for graft's native expressions.
+  *
+  * Two entry points:
+  *  - `spark.sql.extensions=graft.functions.GraftExtensions` at session
+  *    build time (the standard plugin path for a cluster deploy);
+  *  - [[GraftExtensions.register]] on a live session (tests, notebooks).
+  *
+  * After either, `SELECT shingle_set(text, 3)` works in plain SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.shingleSetDescriptor)
+}
+
+object GraftExtensions {
+
+  private def build(args: Seq[Expression]): Expression = args match {
+    case Seq(text, Literal(n: Int, _)) => Shingle.shingleSetExpr(text, n)
+    case _ => throw new IllegalArgumentException(
+      "shingle_set(text, n): n must be an integer literal")
+  }
+
+  val shingleSetDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingle_set"),
+    new ExpressionInfo(ShingleKernel.getClass.getName, "shingle_set"),
+    build)
+
+  /** Register on an existing session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      shingleSetDescriptor._1, shingleSetDescriptor._2,
+      shingleSetDescriptor._3)
+}

@@ -60,8 +60,8 @@ object Dedup {
       cache: Boolean = true): DataFrame = {
     val sh = graft.Tables.rebalance(df.select(col(idCol), col(textCol)))
       .select(col(idCol).as("doc_id"),
-        explode(array_distinct(
-          TextOps.shingles(TextOps.words(col(textCol)), n))).as("s"))
+        explode(graft.functions.Shingle.shingleSet(col(textCol), n))
+          .as("s"))
     if (cache) sh.persist(StorageLevel.MEMORY_AND_DISK) else sh
   }
 

@@ -23,9 +23,14 @@ object Similarity {
 
   private def darr(c: Column): Column = c.cast("array<double>")
 
+  /** Sequential dot product via the native fused kernel
+    * ([[graft.functions.VectorKernel]]) — same left-to-right summation
+    * as `aggregate(zip_with(...))` and DuckDB's `list_dot_product`, so
+    * results are bit-identical, at a fraction of the interpreted-HOF
+    * cost.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(darr(a), darr(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.Vector.dot(darr(a), darr(b))
 
   def norm2(a: Column): Column = dot(a, a)
 
