@@ -29,7 +29,7 @@ object VectorKernel {
   }
 }
 
-object Vector {
+object Vectors {
 
   def dotExpr(a: Expression, b: Expression): Expression =
     StaticInvoke(

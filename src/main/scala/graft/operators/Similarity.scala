@@ -30,7 +30,7 @@ object Similarity {
     * cost.
     */
   def dot(a: Column, b: Column): Column =
-    graft.functions.Vector.dot(darr(a), darr(b))
+    graft.functions.Vectors.dot(darr(a), darr(b))
 
   def norm2(a: Column): Column = dot(a, a)
 
@@ -88,6 +88,64 @@ object Similarity {
       val signs = array(planeSigns(t * planesPerTable + j, dims).map(lit): _*)
       when(dot(e, signs) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** IVF (inverted-file) ANN top-k — the classic coarse-quantizer scale
+    * path: candidates are assigned to their nearest of `nCentroids`
+    * cells once, queries probe only their `nprobe` best cells, and exact
+    * scoring runs inside probed cells only — search cost drops by
+    * ~nprobe/nCentroids versus brute force, trading bounded recall.
+    *
+    * Centroid seeds are the `nCentroids` lowest-id vectors. Production
+    * would place k-means‖ centroids here — selection affects recall,
+    * not the plumbing, and
+    * keeping it deterministic lets the DuckDB oracle replay the whole
+    * pipeline. All centroid joins broadcast; similarity is rounded to 6
+    * decimals *before* the argmax/rank windows so cell assignment and
+    * ranking are cross-engine deterministic (ties broken by id).
+    */
+  def ivfTopK(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      nCentroids: Int, nprobe: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cen = candidates.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("cen_id"), col(embCol).as("cen_e"),
+        sqrt(norm2(col(embCol))).as("cen_nrm"))
+    val c = graft.Tables.rebalance(
+      candidates.select(col(idCol).as("neighbor_id"),
+        col(embCol).as("c_emb"), sqrt(norm2(col(embCol))).as("c_nrm")))
+    val wAssign = Window.partitionBy("neighbor_id")
+      .orderBy(col("csim").desc, col("cen_id"))
+    val assigned = c.join(broadcast(cen), lit(true))
+      .select(col("neighbor_id"), col("c_emb"), col("c_nrm"), col("cen_id"),
+        round(dot(col("c_emb"), col("cen_e")) /
+          (col("c_nrm") * col("cen_nrm")), 6).as("csim"))
+      .withColumn("r", row_number().over(wAssign))
+      .filter(col("r") === 1)
+      .select(col("neighbor_id"), col("c_emb"), col("c_nrm"),
+        col("cen_id").as("cell"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(embCol).as("q_emb"), sqrt(norm2(col(embCol))).as("q_nrm"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("psim").desc, col("cen_id"))
+    val probes = q.join(broadcast(cen), lit(true))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cen_id"),
+        round(dot(col("q_emb"), col("cen_e")) /
+          (col("q_nrm") * col("cen_nrm")), 6).as("psim"))
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        col("cen_id").as("cell"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("q_emb"), col("c_emb")) /
+          (col("q_nrm") * col("c_nrm")), 6).as("sim"))
+      .withColumn("rank", row_number().over(wRank).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
 
   /** Multi-table LSH near-dup pairs: candidates share a bucket in ANY of
     * `tables` independent hash tables (the standard recall amplification:

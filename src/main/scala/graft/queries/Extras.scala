@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TopKAgg
+import graft.operators.{Similarity, Skew}
+import org.apache.spark.sql.functions._
+
+/** Round-1 additions: explicit skew mitigation, the typed-Aggregator
+  * UDAF surface, and IVF similarity search — each oracle-checked.
+  */
+object Extras {
+  private def t(name: String): QueryFn = (s, dir) => Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- salted skew join: row-identical to the plain equi-join (the
+    // oracle IS the unsalted join — proving the transform is semantics-
+    // preserving), while each hot o_custkey spreads over 8 salt buckets
+    QueryDef("q40_salted_join",
+      (s, dir) => {
+        val orders = t("orders")(s, dir)
+          .select(col("o_custkey"), col("o_totalprice"))
+        val cust = t("customer")(s, dir)
+          .select(col("c_custkey").as("o_custkey"), col("c_name"))
+        Skew.saltedEquiJoin(orders, cust, Seq("o_custkey"), factor = 8)
+          .groupBy(col("o_custkey"), col("c_name"))
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_custkey"))
+      },
+      Some(s"""SELECT o_custkey, c_name, COUNT(*) AS n_orders,
+              |  ${oSum("o_totalprice")} AS total
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |GROUP BY o_custkey, c_name
+              |ORDER BY o_custkey""".stripMargin)),
+
+    // ---- typed Aggregator (UDAF): exact bounded top-k sketch with
+    // partial+final merge, vs DuckDB's ordered list slice
+    QueryDef("q41_topk_agg",
+      (s, dir) => t("orders")(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(TopKAgg.smallest(5)(col("o_totalprice"))
+          .as("cheapest5"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+             |  (list(o_totalprice ORDER BY o_totalprice))[1:5]
+             |    AS cheapest5
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- IVF ANN: 8 lowest-id seeds as centroids, 2-cell probes,
+    // exact rounded-cosine scoring inside probed cells only
+    QueryDef("q42_ivf_topk",
+      (s, dir) => {
+        val emb = t("embeddings")(s, dir)
+        Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+            nCentroids = 8, nprobe = 2)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH cen AS (SELECT vec_id AS cen_id,
+             |    CAST(embedding AS DOUBLE[]) AS cene
+             |  FROM embeddings WHERE vec_id < 8),
+             |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ce
+             |  FROM embeddings),
+             |a0 AS (SELECT nid, ce, cen_id,
+             |    round(list_dot_product(ce, cene) /
+             |      (sqrt(list_dot_product(ce, ce)) *
+             |       sqrt(list_dot_product(cene, cene))), 6) AS csim
+             |  FROM c, cen),
+             |a1 AS (SELECT *, row_number() OVER (PARTITION BY nid
+             |    ORDER BY csim DESC, cen_id) AS r FROM a0),
+             |assigned AS (SELECT nid, ce, cen_id AS cell
+             |  FROM a1 WHERE r = 1),
+             |q AS (SELECT vec_id AS query_id,
+             |    CAST(embedding AS DOUBLE[]) AS qe
+             |  FROM embeddings WHERE vec_id < 10),
+             |p0 AS (SELECT query_id, qe, cen_id,
+             |    round(list_dot_product(qe, cene) /
+             |      (sqrt(list_dot_product(qe, qe)) *
+             |       sqrt(list_dot_product(cene, cene))), 6) AS psim
+             |  FROM q, cen),
+             |p1 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY psim DESC, cen_id) AS r FROM p0),
+             |probes AS (SELECT query_id, qe, cen_id AS cell
+             |  FROM p1 WHERE r <= 2),
+             |s AS (SELECT query_id, nid AS neighbor_id,
+             |    round(list_dot_product(qe, ce) /
+             |      (sqrt(list_dot_product(qe, qe)) *
+             |       sqrt(list_dot_product(ce, ce))), 6) AS sim
+             |  FROM probes JOIN assigned ON probes.cell = assigned.cell
+             |  WHERE query_id != nid),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+             |SELECT query_id, neighbor_id, sim,
+             |  CAST(rank AS BIGINT) AS rank
+             |FROM r WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin))
+  )
+}

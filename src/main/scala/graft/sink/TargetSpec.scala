@@ -99,7 +99,11 @@ final case class JdbcTarget(
     val batchVals = df.select(spec.batchColumns.map(df(_)): _*).distinct().collect()
     val conn = java.sql.DriverManager.getConnection(url, properties)
     try {
-      val where = spec.batchColumns.map(c => s"$c = ?").mkString(" AND ")
+      // Spark's JDBC writer quotes column identifiers (case-exact) but
+      // passes the table name through unquoted — mirror that exactly or
+      // case-folding databases (Derby, Postgres) won't resolve them.
+      def q(id: String) = "\"" + id + "\""
+      val where = spec.batchColumns.map(c => s"${q(c)} = ?").mkString(" AND ")
       val stmt = conn.prepareStatement(s"DELETE FROM ${spec.name} WHERE $where")
       batchVals.foreach { row =>
         spec.batchColumns.zipWithIndex.foreach { case (_, i) =>

@@ -1,0 +1,51 @@
+package graft.sink
+
+import graft.SparkSpec
+import graft.core.{ColumnDef, TableSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
+
+/** Live JDBC round-trip against embedded Derby: append, idempotent
+  * batch overwrite (DELETE WHERE batch + append), read-back.
+  */
+class JdbcTargetSpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+  private def props = {
+    val p = new java.util.Properties()
+    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    p
+  }
+
+  private val spec = TableSpec(
+    name = "sales",
+    columns = Seq(
+      ColumnDef("batch_id", IntegerType, nullable = false),
+      ColumnDef("item", StringType),
+      ColumnDef("amount", DoubleType)),
+    batchColumns = Seq("batch_id"))
+
+  test("append + idempotent batch overwrite + read-back") {
+    import spark.implicits._
+    val target = JdbcTarget(url, props)
+    val b1 = Seq((1, "a", 10.0), (1, "b", 20.0))
+      .toDF("batch_id", "item", "amount")
+    target.append(b1, spec) // creates the table
+    assert(target.read(spark, spec).count() == 2)
+
+    // re-running batch 1 with different content replaces exactly batch 1
+    val b1v2 = Seq((1, "a2", 11.0)).toDF("batch_id", "item", "amount")
+    target.overwriteBatch(b1v2, spec)
+    val after = target.read(spark, spec)
+    assert(after.count() == 1)
+    assert(after.first().getString(1) == "a2")
+
+    // a second batch coexists; overwriting batch 2 never touches batch 1
+    val b2 = Seq((2, "x", 5.0)).toDF("batch_id", "item", "amount")
+    target.overwriteBatch(b2, spec)
+    target.overwriteBatch(b2, spec) // idempotent: twice ≡ once
+    val all = target.read(spark, spec).orderBy("batch_id").collect()
+    assert(all.length == 2)
+    assert(all.map(_.getInt(0)).toSeq == Seq(1, 2))
+  }
+}
