@@ -167,6 +167,16 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout)(fold)
   }
 
+  /** Stream-static enrichment join: each micro-batch left-joins the
+    * (broadcast) dimension — the streaming twin of the lookup operator
+    * (SURVEY.md §2.2). The dimension is re-read per trigger for file
+    * sources, so slowly-changing dims pick up updates without restart;
+    * misses produce nulls, matching the batch lookup semantics.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    events.join(broadcast(dim), keys, "left")
+
   /** Start a streaming query into an in-memory table (tests/debug). */
   def startMemorySink(df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Append): StreamingQuery =

@@ -103,6 +103,24 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichWithDim: stream-static broadcast join, miss yields nulls") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[Event]
+    val enriched = EventStreams.enrichWithDim(in.toDF(), dim,
+      Seq("user_id"))
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 0, user = 1), ev(2, 1, user = 9))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").orderBy("event_id").collect()
+      assert(rows(0).getAs[String]("tier") == "gold")
+      assert(rows(1).isNullAt(rows(1).fieldIndex("tier"))) // miss -> null
+    } finally q.stop()
+  }
+
   test("streaming tumblingAgg over event files matches the batch q35 totals") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
