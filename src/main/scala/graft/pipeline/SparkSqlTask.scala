@@ -66,14 +66,38 @@ abstract class SparkSqlTask(
   protected def requireMinRows(df: DataFrame, min: Long, msg: String): Unit =
     if (df.limit(min.toInt).count() < min) throw new TooFewRowsException(msg)
 
+  private val observations = mutable.Map.empty[
+    String, (org.apache.spark.sql.Observation, Map[String, Any] => Unit)]
+
+  /** Register an output with observed metrics validated at zero extra
+    * cost: the metrics accumulate during the write action itself (no
+    * second scan, unlike [[requireMinRows]]). The check runs after the
+    * write — safe because batch overwrite is idempotent: a failed check
+    * aborts the task and the next run replaces the batch wholesale.
+    * This is the `observe()` half of the reference's validate() design
+    * (SURVEY.md Q4/P7).
+    */
+  def setOutputObserved(name: String, df: DataFrame,
+      metrics: Seq[org.apache.spark.sql.Column],
+      check: Map[String, Any] => Unit): Unit = {
+    require(tables.contains(name), s"unknown table $name")
+    val obs = org.apache.spark.sql.Observation(s"graft_$name")
+    outputs(name) = df.observe(obs, metrics.head, metrics.tail: _*)
+    observations(name) = (obs, check)
+  }
+
   /** migrate → transform → validate → write-all (reference execute,
-    * __init__.py:168-170 + execute_etl ordering 155-166). */
+    * __init__.py:168-170 + execute_etl ordering 155-166), then
+    * observed-metrics checks. */
   def execute(): Unit = {
     tables.values.foreach { case (spec, target) => target.migrate(spark, spec) }
     transform()
     validate()
     tables.foreach { case (name, (spec, target)) =>
       outputs.get(name).foreach(df => target.overwriteBatch(df, spec))
+      observations.get(name).foreach { case (obs, check) =>
+        check(obs.get)
+      }
     }
     postInsert()
   }

@@ -121,6 +121,46 @@ final case class JdbcTarget(
       .option("batchsize", batchSize.toString)
       .jdbc(url, spec.name, properties)
 
+  /** Live schema migration (reference migrate_schema,
+    * sqltask/base/table.py:94-144): diff the declared spec against the
+    * live table via JDBC metadata; add missing columns, drop redundant
+    * ones. No-op when the table doesn't exist yet (created by the first
+    * append) or already matches. Types for added columns come from the
+    * declared Spark type; new columns are added nullable (existing rows
+    * have no value for them — same constraint the reference handles via
+    * ADD COLUMN semantics).
+    */
+  override def migrate(spark: SparkSession, spec: TableSpec): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, properties)
+    try {
+      val meta = conn.getMetaData
+      // Spark's JDBC writer creates case-exact quoted column names; the
+      // unquoted table name is stored case-folded by the database.
+      val rs = meta.getColumns(null, null,
+        if (meta.storesUpperCaseIdentifiers) spec.name.toUpperCase
+        else spec.name, null)
+      val live = Iterator.continually(rs)
+        .takeWhile(_.next()).map(_.getString("COLUMN_NAME")).toSet
+      if (live.isEmpty) return // table not created yet
+      def q(id: String) = "\"" + id + "\""
+      val declared = spec.columns.map(_.name)
+      val stmt = conn.createStatement()
+      declared.filterNot(live.contains).foreach { c =>
+        val cd = spec.columns.find(_.name == c).get
+        val sqlType = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+          .getJDBCType(cd.dataType)
+          .map(_.databaseTypeDefinition)
+          .getOrElse(cd.dataType.sql)
+        stmt.executeUpdate(
+          s"ALTER TABLE ${spec.name} ADD COLUMN ${q(c)} $sqlType")
+      }
+      live.filterNot(declared.contains).foreach { c =>
+        stmt.executeUpdate(
+          s"ALTER TABLE ${spec.name} DROP COLUMN ${q(c)}")
+      }
+    } finally conn.close()
+  }
+
   override def read(spark: SparkSession, spec: TableSpec): DataFrame =
     spark.read.jdbc(url, spec.name, properties)
 }

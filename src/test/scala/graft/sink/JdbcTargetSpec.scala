@@ -48,4 +48,27 @@ class JdbcTargetSpec extends SparkSpec {
     assert(all.length == 2)
     assert(all.map(_.getInt(0)).toSeq == Seq(1, 2))
   }
+
+  test("migrate: live ALTER TABLE adds declared and drops redundant columns") {
+    import spark.implicits._
+    val target = JdbcTarget(url, props)
+    val v1 = TableSpec("mig", Seq(
+      ColumnDef("id", IntegerType, nullable = false),
+      ColumnDef("old_col", StringType)))
+    target.append(Seq((1, "x")).toDF("id", "old_col"), v1)
+
+    // evolve: drop old_col, add amount
+    val v2 = TableSpec("mig", Seq(
+      ColumnDef("id", IntegerType, nullable = false),
+      ColumnDef("amount", DoubleType)))
+    target.migrate(spark, v2)
+    val cols = target.read(spark, v2).columns.toSet
+    assert(cols == Set("id", "amount"))
+    // existing row survives with null in the new column
+    val row = target.read(spark, v2).first()
+    assert(row.getInt(0) == 1 && row.isNullAt(1))
+    // re-running the migration is a no-op
+    target.migrate(spark, v2)
+    assert(target.read(spark, v2).columns.toSet == Set("id", "amount"))
+  }
 }
