@@ -135,6 +135,20 @@ object Extras {
              |  e.err_ts, e.err_value
              |FROM clicks c ASOF LEFT JOIN errors e
              |  ON c.user_id = e.user_id AND c.ts >= e.err_ts
-             |ORDER BY c.event_id""".stripMargin))
+             |ORDER BY c.event_id""".stripMargin)),
+
+    // ---- exact percentiles (sort-based aggregate; the approximate
+    // twins — approx_percentile / HLL sketches — are covered in
+    // SketchSpec since their estimates are engine-specific)
+    QueryDef("q44_percentiles",
+      (s, dir) => t("lineitem")(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))")
+          .as("quartiles"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS quartiles
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin))
   )
 }
