@@ -34,8 +34,10 @@ object ShingleKernel {
 
   /** Distinct n-word shingles of the lowercased, whitespace-tokenized
     * text, in first-occurrence order. Returns an empty array for texts
-    * with fewer than n words — identical to the declarative twin in
-    * [[graft.operators.TextOps.shingles]].
+    * with fewer than n words — identical to the declarative twin
+    * `array_distinct(TextOps.shingles(TextOps.words(c), n))` (note the
+    * array_distinct: the kernel dedupes, bare `shingles` does not), as
+    * proven on the real corpus by ShingleSpec.
     */
   def shingleSet(text: UTF8String, n: Int): ArrayData = {
     val s = text.toLowerCase.toString

@@ -171,16 +171,32 @@ object Dedup {
     agg.select(col("doc_id"), sim.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤7
-    * guarantees a shared 8-bit chunk → candidates from 4 chunk-equality
-    * joins, never a cross product).
+  /** Bit-block layout for SimHash banding: `nBlocks` contiguous blocks
+    * covering `bits` bits as evenly as possible, as (shift, mask) pairs.
+    * By pigeonhole, two hashes with hamming ≤ nBlocks−1 must agree on at
+    * least one block — so guaranteeing hamming ≤ h needs h+1 blocks.
+    */
+  def simhashBlocks(bits: Int, nBlocks: Int): Seq[(Int, Long)] = {
+    val base = bits / nBlocks
+    val extra = bits % nBlocks
+    val sizes = Seq.fill(extra)(base + 1) ++ Seq.fill(nBlocks - extra)(base)
+    sizes.scanLeft(0)(_ + _).init.zip(sizes.map(s => (1L << s) - 1))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming.
+    * Candidates come from equality joins on maxHamming+1 bit-blocks
+    * (pigeonhole: any qualifying pair shares a block — see
+    * [[simhashBlocks]]) — never a cross product, and no false negatives
+    * within the hamming budget.
     */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, maxHamming: Int, cache: Boolean = true): DataFrame = {
     val sh = simhash32(df, idCol, textCol, n, cache)
-    val chunks = (0 until 4).map(j => struct(lit(j).as("j"),
-      shiftright(col("simhash"), 8 * j).bitwiseAND(lit(255L)).as("c")))
+    val chunks = simhashBlocks(32, maxHamming + 1).zipWithIndex.map {
+      case ((shift, mask), j) => struct(lit(j).as("j"),
+        shiftright(col("simhash"), shift).bitwiseAND(lit(mask)).as("c"))
+    }
     val chunked = sh.select(col("doc_id"), col("simhash"),
         explode(array(chunks: _*)).as("x"))
       .select(col("doc_id"), col("simhash"), col("x.j"), col("x.c"))

@@ -47,12 +47,10 @@ object Similarity {
       if ((TextOps.hash60Const(s"plane:$p:$i") & 1L) == 1L) 1.0 else -1.0)
 
   /** Sign-random-projection bucket id over `planes` hyperplanes (bit p =
-    * sign of ⟨e, plane_p⟩). */
+    * sign of ⟨e, plane_p⟩) — single-table convenience form of
+    * [[lshTableBucket]]. */
   def lshBucket(e: Column, planes: Int, dims: Int): Column =
-    (0 until planes).map { p =>
-      val signs = array(planeSigns(p, dims).map(lit): _*)
-      when(dot(e, signs) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    lshTableBucket(e, 0, planes, dims)
 
   /** Exact cosine top-k: for each query vector, the k nearest candidates
     * (excluding itself), ranked by rounded cosine with id tiebreak.
@@ -108,7 +106,8 @@ object Similarity {
       nCentroids: Int, nprobe: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cen = candidates.filter(col(idCol) < nCentroids)
+    // the nCentroids lowest-ID vectors, regardless of id density/offset
+    val cen = candidates.orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("cen_id"), col(embCol).as("cen_e"),
         sqrt(norm2(col(embCol))).as("cen_nrm"))
     val c = graft.Tables.rebalance(
@@ -155,23 +154,28 @@ object Similarity {
   def lshNearDupPairs(
       df: DataFrame, threshold: Double, tables: Int, planesPerTable: Int,
       dims: Int, idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding", cache: Boolean = true): DataFrame = {
     // Both the (id, e, nrm) frame and the bucket assignments are read
     // multiple times by the self-join diamond below; persisting them (one
     // small row per vector / per vector×table) means the `tables × planes`
-    // interpreted dot products against the hyperplanes run once, not once
-    // per plan branch.
-    val b = graft.Tables.rebalance(
+    // dot products against the hyperplanes run once, not once per plan
+    // branch. Cached entries live until session end (CacheManager keys
+    // on the canonical plan, so repeat calls reuse rather than pile up);
+    // pass cache=false in long-lived sessions that stream many distinct
+    // corpora through this operator.
+    def maybeCache(d: DataFrame): DataFrame =
+      if (cache)
+        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else d
+    val b = maybeCache(graft.Tables.rebalance(
       df.select(col(idCol).as("id"), col(embCol).as("e")))
-      .withColumn("nrm", sqrt(norm2(col("e"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("nrm", sqrt(norm2(col("e")))))
     val bucketStructs = (0 until tables).map(t =>
       struct(lit(t).as("t"),
         lshTableBucket(col("e"), t, planesPerTable, dims).as("bk")))
-    val bucketed = b
+    val bucketed = maybeCache(b
       .select(col("id"), explode(array(bucketStructs: _*)).as("x"))
-      .select(col("id"), col("x.t"), col("x.bk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"), col("x.t"), col("x.bk")))
     bucketed.as("a").join(bucketed.as("b"), Seq("t", "bk"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("da"), col("b.id").as("db"))

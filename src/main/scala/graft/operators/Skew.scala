@@ -24,10 +24,23 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Join types whose results are unchanged by replicating unmatched
+    * right rows: an exploded right row that matches nothing simply
+    * vanishes. Right/full-outer would emit `factor` null-padded copies
+    * of each unmatched right row, so they are rejected.
+    */
+  private val saltSafeJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti", "cross")
+
   def saltedEquiJoin(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       factor: Int, joinType: String = "inner"): DataFrame = {
     require(factor > 0, "salt factor must be positive")
+    require(saltSafeJoinTypes.contains(joinType.toLowerCase),
+      s"saltedEquiJoin is not semantics-preserving for '$joinType' " +
+        "(unmatched right rows would be duplicated per salt); " +
+        "flip the sides or use a plain join")
     val salted = left.withColumn("_salt",
       pmod(hash(left.columns.map(col): _*), lit(factor)))
     val replicated = right.withColumn("_salt",

@@ -101,9 +101,10 @@ object CorpusOps {
         val simv = (0 until 32).map(b =>
           s"CASE WHEN s$b >= 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END")
           .mkString(" + ")
-        val chunkSel = (0 until 4).map(j =>
-          s"SELECT doc_id, simhash, $j AS j, (simhash >> ${8 * j}) & 255 AS c FROM sim")
-          .mkString(" UNION ALL ")
+        val chunkSel = Dedup.simhashBlocks(32, 7).zipWithIndex.map {
+          case ((shift, mask), j) =>
+            s"SELECT doc_id, simhash, $j AS j, (simhash >> $shift) & $mask AS c FROM sim"
+        }.mkString(" UNION ALL ")
         s"""WITH $oShingles,
            |hs AS (SELECT doc_id, ${oH60("s")} AS h FROM sh),
            |sums AS (SELECT doc_id, $sums FROM hs GROUP BY doc_id),

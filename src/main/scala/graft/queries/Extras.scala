@@ -59,7 +59,7 @@ object Extras {
       },
       Some("""WITH cen AS (SELECT vec_id AS cen_id,
              |    CAST(embedding AS DOUBLE[]) AS cene
-             |  FROM embeddings WHERE vec_id < 8),
+             |  FROM embeddings ORDER BY vec_id LIMIT 8),
              |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ce
              |  FROM embeddings),
              |a0 AS (SELECT nid, ce, cen_id,

@@ -135,10 +135,20 @@ final case class JdbcTarget(
     try {
       val meta = conn.getMetaData
       // Spark's JDBC writer creates case-exact quoted column names; the
-      // unquoted table name is stored case-folded by the database.
-      val rs = meta.getColumns(null, null,
+      // unquoted table name is stored case-folded by the database. The
+      // name is also a JDBC *pattern* here: escape `_`/`%` so
+      // fact_customer doesn't also match factXcustomer, and pin the
+      // schema to the connection's current one so same-named tables in
+      // other schemas can't pollute the diff.
+      val esc = meta.getSearchStringEscape
+      val folded =
         if (meta.storesUpperCaseIdentifiers) spec.name.toUpperCase
-        else spec.name, null)
+        else spec.name
+      val pattern = folded
+        .replace(esc, esc + esc)
+        .replace("_", esc + "_")
+        .replace("%", esc + "%")
+      val rs = meta.getColumns(null, conn.getSchema, pattern, null)
       val live = Iterator.continually(rs)
         .takeWhile(_.next()).map(_.getString("COLUMN_NAME")).toSet
       if (live.isEmpty) return // table not created yet
