@@ -183,6 +183,56 @@ object Dedup {
     sizes.scanLeft(0)(_ + _).init.zip(sizes.map(s => (1L << s) - 1))
   }
 
+  /** Connected components over an undirected pair graph — the step that
+    * turns near-dup candidate PAIRS into duplicate CLUSTERS so a corpus
+    * can keep one representative per cluster (transitive closure:
+    * A≈B≈C is one cluster even if A,C were never paired directly).
+    *
+    * Iterative min-label propagation: every node starts labeled with
+    * itself; each round every node takes the min of its own label and
+    * its neighbors' labels, until a fixpoint. Converges in
+    * O(component diameter) rounds — near-dup clusters are shallow, so
+    * a handful of rounds in practice. Each round is one shuffle join +
+    * aggregation; labels are `localCheckpoint`ed per round to truncate
+    * the growing lineage (the standard pattern for iterative Spark
+    * algorithms). For planet-scale graphs swap in large-star/small-star;
+    * the contract (node → min reachable id) is unchanged.
+    *
+    * @param pairs DataFrame with two id columns (da, db), one row per
+    *              undirected edge
+    * @param nodes all node ids (singletons get their own cluster)
+    * @return (id, cluster) where cluster = min id in the component
+    */
+  def connectedComponents(pairs: DataFrame, nodes: DataFrame,
+      idCol: String, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+    var labels = nodes.select(col(idCol).as("id"))
+      .withColumn("cluster", col("id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbors = edges
+        .join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("id2")).agg(min(col("cluster")).as("nc"))
+      // the change flag rides the checkpointed round output, so the
+      // convergence check is a cheap scan of it, not another join
+      val next = labels.join(viaNeighbors,
+          labels("id") === viaNeighbors("id2"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nc"), col("cluster")))
+            .as("newc"),
+          col("cluster").as("oldc"))
+        .select(col("id"), col("newc").as("cluster"),
+          (col("newc") =!= col("oldc")).as("_changed"))
+        .localCheckpoint()
+      converged = next.filter(col("_changed")).isEmpty
+      labels = next.drop("_changed")
+      i += 1
+    }
+    labels
+  }
+
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming.
     * Candidates come from equality joins on maxHamming+1 bit-blocks
     * (pigeonhole: any qualifying pair shares a block — see

@@ -29,6 +29,9 @@ object CorpusOps {
       |sh AS (SELECT DISTINCT doc_id,
       |  ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM idx)""".stripMargin
 
+  /** Shared with Extras' q45 oracle (same shingle CTE prefix). */
+  private[queries] def oShinglesSql: String = oShingles
+
   private val K = 16; private val BANDS = 4; private val R = K / BANDS
   private val mhC = Dedup.minhashConstants(K)
 

@@ -149,6 +149,38 @@ object Extras {
       Some("""SELECT l_returnflag,
              |  quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS quartiles
              |FROM lineitem GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin))
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- duplicate clusters: Jaccard pairs -> connected components ->
+    // one representative per transitive duplicate cluster. Oracle walks
+    // the same graph with a recursive CTE (min reachable id).
+    QueryDef("q45_dedup_clusters",
+      (s, dir) => {
+        val docs = t("documents")(s, dir)
+        val pairs = graft.operators.Dedup.jaccardPairs(
+          docs, "doc_id", "text", n = 3, threshold = 0.6)
+        graft.operators.Dedup.connectedComponents(
+            pairs, docs.select(col("doc_id")), "doc_id")
+          .select(col("id").as("doc_id"), col("cluster"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE ${CorpusOps.oShinglesSql},
+              |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+              |p AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) AS inter
+              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs AS (SELECT da, db FROM p
+              |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+              |  WHERE inter / (x.n + y.n - inter) >= 0.6),
+              |edges AS (SELECT da AS src, db AS dst FROM pairs
+              |  UNION ALL SELECT db, da FROM pairs),
+              |walk AS (
+              |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+              |  UNION
+              |  SELECT e.dst AS id, w.lbl
+              |  FROM walk w JOIN edges e ON w.id = e.src
+              |  WHERE w.lbl < e.dst)
+              |SELECT id AS doc_id, min(lbl) AS cluster
+              |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin))
   )
 }

@@ -58,6 +58,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
   }
 
+  test("connectedComponents: transitive closure, singletons, chains") {
+    import spark.implicits._
+    // components: {1,2,3} via chain 1-2, 2-3; {7,9}; singleton {5}
+    val pairs = Seq((1L, 2L), (2L, 3L), (9L, 7L)).toDF("da", "db")
+    val nodes = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("doc_id")
+    val cc = Dedup.connectedComponents(pairs, nodes, "doc_id")
+      .orderBy("id").collect()
+    assert(cc.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (7L, 7L), (9L, 7L)))
+  }
+
+  test("connectedComponents: long chain converges (diameter > 1 round)") {
+    import spark.implicits._
+    val n = 20
+    val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("da", "db")
+    val nodes = (1 to n).map(_.toLong).toDF("doc_id")
+    val cc = Dedup.connectedComponents(pairs, nodes, "doc_id")
+    assert(cc.select("cluster").distinct().count() == 1)
+    assert(cc.filter(col("cluster") =!= 1L).count() == 0)
+  }
+
   test("shingleSet: per-doc distinct, correct count, no duplicates") {
     val sh = Dedup.shingleSet(docs, "doc_id", "text", 3, cache = false)
     val counts = sh.groupBy("doc_id").count().orderBy("doc_id").collect()
