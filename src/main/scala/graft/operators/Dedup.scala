@@ -205,8 +205,12 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame,
       idCol: String, maxIter: Int = 25): DataFrame = {
+    // materialize the edge list once — it feeds every round's join, and
+    // without this the (possibly expensive) pair-generation plan would
+    // re-execute per round
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
       .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+      .localCheckpoint()
     var labels = nodes.select(col(idCol).as("id"))
       .withColumn("cluster", col("id")).localCheckpoint()
     var converged = false

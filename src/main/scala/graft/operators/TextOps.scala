@@ -56,4 +56,23 @@ object TextOps {
     */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", words(text)))
+
+  /** Reproducible split assignment: hash the key into [0, 100) and cut
+    * by cumulative percentage. Unlike seeded Bernoulli sampling this is
+    * a pure function of the key — stable across runs, engines, and
+    * cluster sizes, which is what training-data lineage requires. Keys
+    * should be *cluster* ids when near-duplicate leakage between splits
+    * must be prevented.
+    *
+    * @param cuts (label, percent) in order; percents must sum to 100
+    */
+  def hashSplit(key: Column, cuts: Seq[(String, Int)]): Column = {
+    require(cuts.map(_._2).sum == 100, "split percents must sum to 100")
+    val bucket = pmod(hash60(key.cast("string")), lit(100L))
+    val bounds = cuts.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
+    cuts.zip(bounds).reverse.foldLeft(lit(null).cast("string")) {
+      case (acc, ((label, _), hi)) =>
+        when(bucket < hi, lit(label)).otherwise(acc)
+    }
+  }
 }

@@ -181,6 +181,54 @@ object Extras {
               |  FROM walk w JOIN edges e ON w.id = e.src
               |  WHERE w.lbl < e.dst)
               |SELECT id AS doc_id, min(lbl) AS cluster
-              |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin))
+              |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin)),
+
+    // ---- cluster-aware reproducible train/val/test split: hash the
+    // duplicate-CLUSTER id (not the doc id) into [0,100) and cut at
+    // 80/10/10, so near-duplicate docs always land in the same split —
+    // no train/test contamination. Pure function of the data: stable
+    // across runs, engines, and cluster sizes.
+    QueryDef("q46_split_assign",
+      (s, dir) => {
+        val docs = t("documents")(s, dir)
+        val pairs = graft.operators.Dedup.jaccardPairs(
+          docs, "doc_id", "text", n = 3, threshold = 0.6)
+        val clusters = graft.operators.Dedup.connectedComponents(
+          pairs, docs.select(col("doc_id")), "doc_id")
+        clusters
+          .withColumn("split", graft.operators.TextOps.hashSplit(
+            col("cluster"), Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("cluster")).as("n_clusters"))
+          .orderBy(col("split"))
+      },
+      Some(s"""WITH RECURSIVE ${CorpusOps.oShinglesSql},
+              |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+              |p AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) AS inter
+              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs AS (SELECT da, db FROM p
+              |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+              |  WHERE inter / (x.n + y.n - inter) >= 0.6),
+              |edges AS (SELECT da AS src, db AS dst FROM pairs
+              |  UNION ALL SELECT db, da FROM pairs),
+              |walk AS (
+              |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+              |  UNION
+              |  SELECT e.dst AS id, w.lbl
+              |  FROM walk w JOIN edges e ON w.id = e.src
+              |  WHERE w.lbl < e.dst),
+              |cl AS (SELECT id AS doc_id, min(lbl) AS cluster
+              |  FROM walk GROUP BY id),
+              |sp AS (SELECT doc_id, cluster,
+              |  CASE
+              |    WHEN CAST(concat('0x', substr(md5(CAST(cluster AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+              |    WHEN CAST(concat('0x', substr(md5(CAST(cluster AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+              |    ELSE 'test' END AS split
+              |  FROM cl)
+              |SELECT split, COUNT(*) AS n_docs,
+              |  COUNT(DISTINCT cluster) AS n_clusters
+              |FROM sp GROUP BY split ORDER BY split""".stripMargin))
   )
 }
