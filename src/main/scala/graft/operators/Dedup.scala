@@ -89,7 +89,7 @@ object Dedup {
       case None => sh0
     }
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    sh.as("a")
+    val out = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
@@ -100,6 +100,10 @@ object Dedup {
         (col("inter") / (col("sa.n") + col("sb.n") - col("inter")))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // the pair set is tiny (near-dups are rare by definition) and is
+    // consumed repeatedly downstream (clustering, curation) — persist it
+    // so CacheManager shares one pair computation across identical calls
+    if (cache) out.persist(StorageLevel.MEMORY_AND_DISK) else out
   }
 
   /** MinHash signatures: k 60-bit min-hashes over the shingle set, as
