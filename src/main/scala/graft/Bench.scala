@@ -23,9 +23,13 @@ object Bench {
 
     // Warm-up: touch every table's footer/schema and run the flagship
     // aggregate once so JIT + whole-stage-codegen compilation happen
-    // outside the timed region.
-    Tables.names.foreach(t => Tables.load(spark, sfDir, t).count())
-    SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    // outside the timed region. Best-effort: a missing table must not
+    // abort the benchmark (per-query failures are recorded below).
+    Tables.names.foreach(t =>
+      try Tables.load(spark, sfDir, t).count()
+      catch { case _: Throwable => () })
+    try SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    catch { case _: Throwable => () }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

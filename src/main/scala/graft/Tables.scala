@@ -22,8 +22,18 @@ object Tables {
     * scan does — so the extra shuffle only ever moves tiny inputs.
     */
   def rebalance(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    // If the plan already contains a shuffle, its output is
+    // spark.sql.shuffle.partitions-way parallel — nothing to fix, and
+    // consulting .rdd here would eagerly execute the upstream stages
+    // under AQE just to read a partition count.
+    val hasExchange = df.queryExecution.sparkPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    if (hasExchange) df
+    else {
+      // shuffle-free plan (scan + narrow ops): .rdd is cheap, no stages
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    }
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =

@@ -42,7 +42,9 @@ object AsOf {
       keys.map(col) ++ Seq(
         col(leftTs).as("_ts"), lit(1).as("_side"),
         lStruct.as("_lrow"), lit(null).cast(rType).as("_rrow")): _*)
-    val r2 = right.select(
+    // null right timestamps would sort first and leak into every
+    // no-match window (ASOF semantics: a null ts never matches)
+    val r2 = right.filter(col(rightTs).isNotNull).select(
       keys.map(col) ++ Seq(
         col(rightTs).as("_ts"), lit(0).as("_side"),
         lit(null).cast(lType).as("_lrow"), rStruct.as("_rrow")): _*)

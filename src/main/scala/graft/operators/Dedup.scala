@@ -147,14 +147,16 @@ object Dedup {
       .select(col("doc_id"), col("sig"),
         explode(array(bandStructs: _*)).as("x"))
       .select(col("doc_id"), col("sig"), col("x.band"), col("x.bv"))
+    // compute the estimate BEFORE the distinct: est is a function of
+    // (da, db), so deduping on (da, db, est_sim) is equivalent while the
+    // dedup shuffle carries 3 scalars instead of two k-element arrays
     val est = size(filter(
-      zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b))
+      zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), b => b))
     banded.as("a").join(banded.as("b"), Seq("band", "bv"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        col("a.sig").as("sa"), col("b.sig").as("sb"))
+        (est / lit(k.toDouble)).as("est_sim"))
       .distinct()
-      .select(col("da"), col("db"), (est / lit(k.toDouble)).as("est_sim"))
       .filter(col("est_sim") >= minEst)
   }
 
@@ -238,6 +240,11 @@ object Dedup {
       labels = next.drop("_changed")
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — a " +
+          "component has diameter > maxIter; raise maxIter (labels " +
+          "would silently split one real cluster into several)")
     labels
   }
 

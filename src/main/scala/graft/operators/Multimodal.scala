@@ -52,8 +52,8 @@ object Multimodal {
       .filter(col("n_frames") > 0)
       .select(col(idCol), col(payloadCol), col("n_frames"),
         explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_no"))
-      .withColumn("frame",
-        expr(s"substring($payloadCol, frame_no * $stride + 1, $frameBytes)"))
+      .withColumn("frame", col(payloadCol)
+        .substr(col("frame_no") * stride + 1, lit(frameBytes)))
       .select(col(idCol), col("n_frames"), col("frame_no"), col("frame"))
   }
 

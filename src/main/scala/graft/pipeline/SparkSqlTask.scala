@@ -48,6 +48,9 @@ abstract class SparkSqlTask(
   def setOutput(name: String, df: DataFrame): Unit = {
     require(tables.contains(name), s"unknown table $name")
     outputs(name) = df
+    // a replaced output no longer carries the observe node — a stale
+    // Observation would block forever waiting for a plan that never runs
+    observations.remove(name)
   }
   def getOutput(name: String): DataFrame = outputs(name)
 
@@ -81,6 +84,7 @@ abstract class SparkSqlTask(
       metrics: Seq[org.apache.spark.sql.Column],
       check: Map[String, Any] => Unit): Unit = {
     require(tables.contains(name), s"unknown table $name")
+    require(metrics.nonEmpty, "setOutputObserved needs at least one metric")
     val obs = org.apache.spark.sql.Observation(s"graft_$name")
     outputs(name) = df.observe(obs, metrics.head, metrics.tail: _*)
     observations(name) = (obs, check)

@@ -143,6 +143,7 @@ final case class JdbcTarget(
       val esc = meta.getSearchStringEscape
       val folded =
         if (meta.storesUpperCaseIdentifiers) spec.name.toUpperCase
+        else if (meta.storesLowerCaseIdentifiers) spec.name.toLowerCase
         else spec.name
       val pattern = folded
         .replace(esc, esc + esc)

@@ -82,7 +82,9 @@ object EventStreams {
       watermark: String): DataFrame =
     events.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDur), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double")
+          .as("total_value"))
       .select(col("window.start").as("bucket_start"), col("event_type"),
         col("n"), col("total_value"))
 
@@ -93,7 +95,9 @@ object EventStreams {
       watermark: String): DataFrame =
     events.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDur, slide))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double")
+          .as("total_value"))
       .select(col("window.start").as("bucket_start"), col("n"),
         col("total_value"))
 
@@ -106,7 +110,8 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value")).as("session_value"))
+        sum(col("value").cast("decimal(12,2)")).cast("double")
+          .as("session_value"))
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
@@ -143,19 +148,35 @@ object EventStreams {
         var open = state.getOption
         val closed = Seq.newBuilder[Session]
         sorted.foreach { e =>
+          val t = e.ts.getTime
           open = open match {
-            case Some(s) if e.ts.getTime <= s.end.getTime + gapMs =>
-              Some(OpenSession(s.start, e.ts, s.n + 1, s.total + e.value))
-            case Some(s) =>
+            // within gap of the open session on either side — late
+            // events (cross-batch, above watermark) may precede the
+            // session start, so the window extends in both directions
+            case Some(s) if t >= s.start.getTime - gapMs &&
+                t <= s.end.getTime + gapMs =>
+              Some(OpenSession(
+                if (t < s.start.getTime) e.ts else s.start,
+                if (t > s.end.getTime) e.ts else s.end,
+                s.n + 1, s.total + e.value))
+            case Some(s) if t > s.end.getTime + gapMs =>
               closed += toSession(s)
               Some(OpenSession(e.ts, e.ts, 1L, e.value))
+            case Some(s) => // very late: > gap BEFORE the open session —
+              // its own session, emitted immediately (already closed)
+              closed += Session(userId, e.ts, e.ts, 1L, e.value)
+              Some(s)
             case None =>
               Some(OpenSession(e.ts, e.ts, 1L, e.value))
           }
         }
         open.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.end.getTime + gapMs)
+          // the timeout must stay ahead of the current watermark (a
+          // late batch can leave end+gap behind it)
+          state.setTimeoutTimestamp(
+            math.max(s.end.getTime + gapMs,
+              state.getCurrentWatermarkMs() + 1))
         }
         closed.result().iterator
       }

@@ -81,6 +81,36 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStateful: cross-batch late event extends session backward") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val sessions =
+      EventStreams.sessionizeStateful(in.toDS(), 30, "60 minutes")
+    val q = sessions.writeStream.format("memory").queryName("late_sess")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 30)) // open session at minute 30
+      q.processAllAvailable()
+      // batch 2: a LATE event at minute 10 (within watermark, within
+      // gap of session start) must extend the session backward, not
+      // corrupt its end
+      in.addData(ev(2, 10, value = 2.0))
+      q.processAllAvailable()
+      in.addData(ev(9, 500, user = 99)) // advance watermark
+      q.processAllAvailable()
+      in.addData(ev(10, 501, user = 99)) // fire timeouts
+      q.processAllAvailable()
+      val rows = spark.table("late_sess").filter(col("user_id") === 1)
+        .collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Timestamp]("session_start") == ts(10))
+      assert(rows.head.getAs[Timestamp]("session_end") == ts(30))
+      assert(rows.head.getAs[Long]("n_events") == 2L)
+      assert(rows.head.getAs[Double]("session_value") == 3.0)
+    } finally q.stop()
+  }
+
   test("sessionAgg (session_window) matches gap semantics declaratively") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
