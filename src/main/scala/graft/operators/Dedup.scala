@@ -106,20 +106,30 @@ object Dedup {
     if (cache) out.persist(StorageLevel.MEMORY_AND_DISK) else out
   }
 
-  /** MinHash signatures: k 60-bit min-hashes over the shingle set, as
-    * columns m0..m{k−1}. One aggregation per document — constant output
-    * size regardless of document length.
+  /** MinHash signature as one array<long> column `sig` — a single
+    * [[graft.functions.MinHashAgg]] (TypedImperativeAggregate) instead
+    * of k separate min columns: same partial+final merge, one tight
+    * buffer update per shingle, far less generated code.
+    */
+  def minhashSignatureArray(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, cache: Boolean = true): DataFrame = {
+    val h = shingleSet(df, idCol, textCol, n, cache)
+      .withColumn("h", TextOps.hash60(col("s")))
+    h.groupBy("doc_id").agg(
+      graft.functions.SketchAggs.minhash(col("h"), minhashConstants(k))
+        .as("sig"))
+  }
+
+  /** MinHash signatures as columns m0..m{k−1} (column-per-hash view of
+    * [[minhashSignatureArray]]).
     */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int, cache: Boolean = true): DataFrame = {
-    val cs = minhashConstants(k)
-    val h = shingleSet(df, idCol, textCol, n, cache)
-      .withColumn("h", TextOps.hash60(col("s")))
-    val aggs = (0 until k).map(i =>
-      min(col("h").bitwiseXOR(lit(cs(i)))).as(s"m$i"))
-    h.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-  }
+      n: Int, k: Int, cache: Boolean = true): DataFrame =
+    minhashSignatureArray(df, idCol, textCol, n, k, cache)
+      .select(col("doc_id") +:
+        (0 until k).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
 
   /** MinHash LSH candidate pairs: documents sharing ≥1 of `bands` bands
     * (r = k/bands rows per band), with the signature-estimated similarity
@@ -135,9 +145,7 @@ object Dedup {
       cache: Boolean = true): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val sig = minhashSignatures(df, idCol, textCol, n, k, cache)
-      .select(col("doc_id"),
-        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    val sig = minhashSignatureArray(df, idCol, textCol, n, k, cache)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (b * r until b * r + r).map(j =>
@@ -167,14 +175,10 @@ object Dedup {
       cache: Boolean = true): DataFrame = {
     val h = shingleSet(df, idCol, textCol, n, cache)
       .withColumn("h", TextOps.hash60(col("s")))
-    val sums = (0 until 32).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"s$b"))
-    val agg = h.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-    val sim = (0 until 32)
-      .map(b => when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    agg.select(col("doc_id"), sim.as("simhash"))
+    // one TypedImperativeAggregate buffer per doc replaces 32 codegen'd
+    // sum columns (graft.functions.SimHashAgg) — identical result
+    h.groupBy("doc_id").agg(
+      graft.functions.SketchAggs.simhash(col("h")).as("simhash"))
   }
 
   /** Bit-block layout for SimHash banding: `nBlocks` contiguous blocks
