@@ -229,6 +229,64 @@ object Extras {
               |  FROM cl)
               |SELECT split, COUNT(*) AS n_docs,
               |  COUNT(DISTINCT cluster) AS n_clusters
-              |FROM sp GROUP BY split ORDER BY split""".stripMargin))
+              |FROM sp GROUP BY split ORDER BY split""".stripMargin)),
+
+    // ---- PIVOT: event counts per user by type -> one column per type
+    // (oracle = filtered aggregation, the portable spelling)
+    QueryDef("q47_pivot",
+      (s, dir) => t("events")(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+             |  COUNT(*) FILTER (event_type = 'click') AS click,
+             |  COUNT(*) FILTER (event_type = 'view') AS view,
+             |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+             |  COUNT(*) FILTER (event_type = 'error') AS error
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- correlated subqueries through the spark.sql entry path (the
+    // reference's SqlRowSource surface executed natively by Catalyst:
+    // EXISTS + a correlated scalar subquery in one statement)
+    QueryDef("q48_correlated_subquery",
+      (s, dir) => {
+        Seq("customer", "orders").foreach(n =>
+          t(n)(s, dir).createOrReplaceTempView(n))
+        s.sql("""
+          SELECT c_custkey, c_name,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 100000) AS n_big
+          FROM customer c
+          WHERE EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey)
+          ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  (SELECT COUNT(*) FROM orders o
+             |   WHERE o.o_custkey = c.c_custkey
+             |     AND o.o_totalprice > 100000) AS n_big
+             |FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- UNPIVOT (melt): wide per-part metrics -> long (metric, value)
+    QueryDef("q49_unpivot",
+      (s, dir) => t("part")(s, dir)
+        .select(col("p_partkey"),
+          col("p_retailprice").as("retailprice"),
+          col("p_size").cast("double").as("psize"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("retailprice"), col("psize")), "metric", "value")
+        .orderBy(col("p_partkey"), col("metric")),
+      Some("""SELECT p_partkey, metric, value FROM (
+             |  SELECT p_partkey, 'retailprice' AS metric,
+             |    p_retailprice AS value FROM part
+             |  UNION ALL
+             |  SELECT p_partkey, 'psize', CAST(p_size AS DOUBLE) FROM part)
+             |ORDER BY p_partkey, metric""".stripMargin))
   )
 }
