@@ -188,6 +188,32 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout)(fold)
   }
 
+  /** Stream-STREAM interval join: pair rows from two live streams whose
+    * event times fall within `within` of each other (right.ts in
+    * [left.ts − within, left.ts]). Both sides carry watermarks, so
+    * Spark bounds the join state: a buffered row is dropped once the
+    * other side's watermark passes its time bound — state is
+    * O(rate × (watermark + within)), never the full streams. The time
+    * condition is REQUIRED: an unbounded-state stream-stream join is
+    * exactly what a 100 TB/day pipeline cannot run.
+    *
+    * Columns are prefixed (l_/r_) because both sides share the event
+    * schema.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      key: String, within: String, watermark: String): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(key).as("l_key"), col("ts").as("l_ts"),
+        col("event_id").as("l_event_id"), col("value").as("l_value"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(key).as("r_key"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"), col("value").as("r_value"))
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $within") &&
+        col("r_ts") <= col("l_ts"))
+  }
+
   /** Stream-static enrichment join: each micro-batch left-joins the
     * (broadcast) dimension — the streaming twin of the lookup operator
     * (SURVEY.md §2.2). The dimension is re-read per trigger for file

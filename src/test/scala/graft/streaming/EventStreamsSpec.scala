@@ -133,6 +133,30 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin: stream-stream pairs within the time bound only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val errors = MemoryStream[Event]
+    val joined = EventStreams.intervalJoin(
+      clicks.toDF(), errors.toDF(), "user_id", "15 minutes", "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // click at minute 20; errors at 10 (within 15m), 2 (outside),
+      // 25 (future — rejected by r_ts <= l_ts)
+      clicks.addData(ev(1, 20))
+      errors.addData(ev(100, 10), ev(101, 2), ev(102, 25))
+      q.processAllAvailable()
+      clicks.addData(ev(9, 500, user = 99)) // advance watermarks
+      errors.addData(ev(900, 500, user = 99))
+      q.processAllAvailable()
+      val rows = spark.table("ssj").filter(col("l_event_id") === 1)
+        .collect()
+      assert(rows.map(_.getAs[Long]("r_event_id")).toSet == Set(100L))
+    } finally q.stop()
+  }
+
   test("enrichWithDim: stream-static broadcast join, miss yields nulls") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
