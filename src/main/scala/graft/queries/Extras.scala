@@ -287,6 +287,57 @@ object Extras {
              |    p_retailprice AS value FROM part
              |  UNION ALL
              |  SELECT p_partkey, 'psize', CAST(p_size AS DOUBLE) FROM part)
-             |ORDER BY p_partkey, metric""".stripMargin))
+             |ORDER BY p_partkey, metric""".stripMargin)),
+
+    // ---- the DQ side-table subsystem (the reference's signature
+    // feature) on real data: one declarative pass emits the issue rows —
+    // PK + 5 fixed DQ columns — for every violated rule; messages embed
+    // row values. Oracle = UNION ALL of the per-rule selects.
+    QueryDef("q50_dq_issues",
+      (s, dir) => {
+        import graft.core.{ColumnDef, TableSpec}
+        import graft.dq.{Category, DqRule, DqSplit, Priority}
+        import org.apache.spark.sql.types._
+        val spec = TableSpec("customer", Seq(
+          ColumnDef("c_custkey", LongType, nullable = false,
+            primaryKey = true),
+          ColumnDef("c_name", StringType),
+          ColumnDef("c_nationkey", IntegerType),
+          ColumnDef("c_acctbal", DoubleType),
+          ColumnDef("c_mktsegment", StringType)))
+        val rules = Seq(
+          DqRule("c_acctbal", col("c_acctbal") < 0,
+            graft.dq.Source.Source, Priority.Medium, Category.Incorrect,
+            concat(lit("negative balance: "),
+              col("c_acctbal").cast("decimal(12,2)").cast("string"))),
+          DqRule("c_acctbal", col("c_acctbal") > lit(9900.0),
+            graft.dq.Source.Source, Priority.Low, Category.Incorrect,
+            concat(lit("outlier balance: "),
+              col("c_acctbal").cast("decimal(12,2)").cast("string"))),
+          DqRule("c_mktsegment", col("c_mktsegment").isNull,
+            graft.dq.Source.Source, Priority.Mandatory, Category.Missing,
+            lit("missing segment")))
+        val (_, dq) = DqSplit(t("customer")(s, dir), spec, rules)
+        dq.orderBy(col("c_custkey"), col("column_name"), col("message"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT c_custkey, 'source' AS source,
+             |    'medium' AS priority, 'incorrect' AS category,
+             |    'c_acctbal' AS column_name,
+             |    concat('negative balance: ',
+             |      CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR))
+             |      AS message
+             |  FROM customer WHERE c_acctbal < 0
+             |  UNION ALL
+             |  SELECT c_custkey, 'source', 'low', 'incorrect',
+             |    'c_acctbal',
+             |    concat('outlier balance: ',
+             |      CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR))
+             |  FROM customer WHERE c_acctbal > 9900.0
+             |  UNION ALL
+             |  SELECT c_custkey, 'source', 'mandatory', 'missing',
+             |    'c_mktsegment', 'missing segment'
+             |  FROM customer WHERE c_mktsegment IS NULL)
+             |ORDER BY c_custkey, column_name, message""".stripMargin))
   )
 }
