@@ -4,67 +4,85 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{SaveMode, SparkSession}
 
-/** Small-file compaction for parquet directories.
+/** Small-file compaction for plain (non-partitioned, non-streaming)
+  * parquet leaf directories.
   *
   * Streaming sinks and fine-grained batch partitions accrete thousands
   * of tiny files; at scan time each costs a task + footer read, and
   * 100 TB tables die by a million 2 MB files. Compaction rewrites a
   * directory into ⌈bytes / targetBytes⌉ files.
   *
-  * The rewrite goes to a staging directory first and is swapped in with
-  * filesystem renames, so a crash mid-compact leaves either the old or
-  * the new layout, never a mix. On object stores or under concurrent
-  * writers use a table format's transactional rewrite instead — this is
-  * the plain-filesystem variant.
+  * Guard rails (each rejected with an error, never silently mangled):
+  *  - a `_spark_metadata` streaming-sink log — compacting under it
+  *    would orphan every pre-compact file from log-aware readers;
+  *  - a Hive-partitioned layout (subdirectories) — a flat rewrite would
+  *    fold partition columns into data and destroy pruning; compact
+  *    each leaf partition directory instead.
+  *
+  * Crash behavior on a plain filesystem: the rewrite goes to a staging
+  * directory and is swapped in with two renames. A crash between the
+  * renames leaves the data in `<dir>._precompact`; the next call
+  * restores it automatically before compacting. On object stores or
+  * under concurrent writers use a table format's transactional rewrite
+  * instead.
   */
 object Compact {
 
   /** @return (filesBefore, filesAfter) */
   def compact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val path = Paths.get(dir)
-    val parquetFiles: Seq[Path] = {
-      val s = Files.list(path)
+    val path = Paths.get(dir).toAbsolutePath.normalize
+    val staging = path.resolveSibling(path.getFileName.toString + "._compacting")
+    val backup = path.resolveSibling(path.getFileName.toString + "._precompact")
+
+    // self-heal a crash between the two swap renames
+    if (!Files.exists(path) && Files.exists(backup))
+      Files.move(backup, path, StandardCopyOption.ATOMIC_MOVE)
+    require(Files.isDirectory(path), s"$path is not a directory")
+    require(!Files.exists(backup),
+      s"stale $backup exists — a previous compaction did not finish " +
+        "cleanly; inspect and remove it first")
+
+    def ls(p: Path): List[Path] = {
+      val s = Files.list(p)
       try {
         import scala.jdk.CollectionConverters._
         s.iterator().asScala.toList
-          .filter(_.getFileName.toString.endsWith(".parquet"))
       } finally s.close()
     }
+    val entries = ls(path)
+    require(!entries.exists(_.getFileName.toString == "_spark_metadata"),
+      s"$path has a _spark_metadata streaming-sink log; compacting " +
+        "would orphan pre-compact files from log-aware readers")
+    require(!entries.exists(Files.isDirectory(_)),
+      s"$path contains subdirectories (partitioned layout?); compact " +
+        "each leaf partition directory instead")
+
+    val parquetFiles =
+      entries.filter(_.getFileName.toString.endsWith(".parquet"))
     val before = parquetFiles.size
     val totalBytes = parquetFiles.map(Files.size).sum
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
       .toInt
 
-    val staging = Paths.get(dir + "._compacting")
-    spark.read.parquet(dir)
+    if (Files.exists(staging)) ls(staging).foreach(Files.delete)
+    spark.read.parquet(path.toString)
       .repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)
 
-    val backup = Paths.get(dir + "._precompact")
     Files.move(path, backup, StandardCopyOption.ATOMIC_MOVE)
     Files.move(staging, path, StandardCopyOption.ATOMIC_MOVE)
-    // best-effort cleanup of the old data
+    // genuinely best-effort cleanup: the swap already succeeded, so a
+    // cleanup failure must not fail the compaction
     def rm(p: Path): Unit = {
-      if (Files.isDirectory(p)) {
-        val s = Files.list(p)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.toList.foreach(rm)
-        } finally s.close()
-      }
+      if (Files.isDirectory(p)) ls(p).foreach(rm)
       Files.deleteIfExists(p)
     }
-    rm(backup)
+    try rm(backup)
+    catch { case _: java.io.IOException => () }
 
-    val after = {
-      val s = Files.list(path)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.count(_.getFileName.toString
-          .endsWith(".parquet"))
-      } finally s.close()
-    }
+    val after = ls(path)
+      .count(_.getFileName.toString.endsWith(".parquet"))
     (before, after)
   }
 }

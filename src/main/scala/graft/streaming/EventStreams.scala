@@ -66,6 +66,9 @@ object EventStreams {
     */
   def readEvents(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 1): DataFrame = {
+    // NOTE: nanosAsLong is a session-wide flag (no per-reader option
+    // exists); after this call, other TIMESTAMP(NANOS) parquet reads in
+    // the session also see raw longs. Same trade-off as Tables.load.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(eventFileSchema)
@@ -83,8 +86,7 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDur), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(12,2)")).cast("double")
-          .as("total_value"))
+        graft.queries.dsum(col("value")).as("total_value"))
       .select(col("window.start").as("bucket_start"), col("event_type"),
         col("n"), col("total_value"))
 
@@ -96,8 +98,7 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDur, slide))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(12,2)")).cast("double")
-          .as("total_value"))
+        graft.queries.dsum(col("value")).as("total_value"))
       .select(col("window.start").as("bucket_start"), col("n"),
         col("total_value"))
 
@@ -110,8 +111,7 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(12,2)")).cast("double")
-          .as("session_value"))
+        graft.queries.dsum(col("value")).as("session_value"))
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
@@ -146,6 +146,7 @@ object EventStreams {
       } else {
         val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
         var open = state.getOption
+        var lateOpen: Option[OpenSession] = None
         val closed = Seq.newBuilder[Session]
         sorted.foreach { e =>
           val t = e.ts.getTime
@@ -162,14 +163,26 @@ object EventStreams {
             case Some(s) if t > s.end.getTime + gapMs =>
               closed += toSession(s)
               Some(OpenSession(e.ts, e.ts, 1L, e.value))
-            case Some(s) => // very late: > gap BEFORE the open session —
-              // its own session, emitted immediately (already closed)
-              closed += Session(userId, e.ts, e.ts, 1L, e.value)
+            case Some(s) => // very late: > gap BEFORE the open session.
+              // Merge with a pending late-session accumulator so
+              // mutually-within-gap late events form ONE session (as the
+              // batch twin q37 would), closed at end of batch.
+              lateOpen = lateOpen match {
+                case Some(l) if e.ts.getTime <= l.end.getTime + gapMs =>
+                  Some(OpenSession(l.start, e.ts, l.n + 1,
+                    l.total + e.value))
+                case Some(l) =>
+                  closed += toSession(l)
+                  Some(OpenSession(e.ts, e.ts, 1L, e.value))
+                case None =>
+                  Some(OpenSession(e.ts, e.ts, 1L, e.value))
+              }
               Some(s)
             case None =>
               Some(OpenSession(e.ts, e.ts, 1L, e.value))
           }
         }
+        lateOpen.foreach(l => closed += toSession(l))
         open.foreach { s =>
           state.update(s)
           // the timeout must stay ahead of the current watermark (a
@@ -235,8 +248,8 @@ object EventStreams {
     * prune by event date.
     */
   def startParquetSink(df: DataFrame, path: String,
-      checkpoint: String): StreamingQuery =
-    df.withColumn("event_date", to_date(col("bucket_start")))
+      checkpoint: String, tsCol: String = "bucket_start"): StreamingQuery =
+    df.withColumn("event_date", to_date(col(tsCol)))
       .writeStream.format("parquet")
       .option("path", path)
       .option("checkpointLocation", checkpoint)

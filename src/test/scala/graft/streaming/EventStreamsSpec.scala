@@ -111,6 +111,31 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStateful: mutually-close very-late events form ONE session") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val sessions =
+      EventStreams.sessionizeStateful(in.toDS(), 30, "600 minutes")
+    val q = sessions.writeStream.format("memory").queryName("vlate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 300)) // open session far ahead
+      q.processAllAvailable()
+      // two late events at minutes 5 and 8 — within gap of EACH OTHER,
+      // far before the open session: must merge into one session [5,8]
+      in.addData(ev(2, 5), ev(3, 8, value = 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("vlate").filter(col("user_id") === 1)
+        .collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Timestamp]("session_start") == ts(5))
+      assert(rows.head.getAs[Timestamp]("session_end") == ts(8))
+      assert(rows.head.getAs[Long]("n_events") == 2L)
+      assert(rows.head.getAs[Double]("session_value") == 3.0)
+    } finally q.stop()
+  }
+
   test("sessionAgg (session_window) matches gap semantics declaratively") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
