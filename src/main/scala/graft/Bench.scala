@@ -32,23 +32,34 @@ object Bench {
     catch { case _: Throwable => () }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOnce(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) =>
+          org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    // headline metric: first (cold) run per query — includes planning +
+    // codegen, comparable to a single-shot execution. The second run per
+    // query is reported separately as "steady" (plan compiled, caches
+    // warm): the per-query cost a long-lived session actually pays.
+    val cold = sorted.map { case (n, f) => n -> timeOnce(n, f) }
+    val steady = sorted.map { case (n, f) => n -> timeOnce(n, f) }
+    def js(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => s"\"$k\":\"$v\"" }
         .mkString(""","errors":{""", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    val total = cold.map(_._2).sum
+    val steadyTotal = steady.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"steady_total":$steadyTotal,"steady":${js(steady)}$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

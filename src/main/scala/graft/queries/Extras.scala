@@ -338,6 +338,22 @@ object Extras {
              |  SELECT c_custkey, 'source', 'mandatory', 'missing',
              |    'c_mktsegment', 'missing segment'
              |  FROM customer WHERE c_mktsegment IS NULL)
-             |ORDER BY c_custkey, column_name, message""".stripMargin))
+             |ORDER BY c_custkey, column_name, message""".stripMargin)),
+
+    // ---- generator/UDTF surface: explode tokens into rows, global
+    // top-50 word frequencies (ties broken by word)
+    QueryDef("q51_word_freq",
+      (s, dir) => t("documents")(s, dir)
+        .select(explode(graft.operators.TextOps.words(col("text")))
+          .as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(50),
+      Some("""WITH w AS (SELECT unnest(list_filter(
+             |    string_split_regex(lower(text), '\s+'),
+             |    x -> len(x) > 0)) AS word FROM documents)
+             |SELECT word, COUNT(*) AS n FROM w GROUP BY word
+             |ORDER BY n DESC, word LIMIT 50""".stripMargin))
   )
 }
