@@ -32,16 +32,20 @@ object Bench {
     catch { case _: Throwable => () }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // A failing query reports the sentinel -1 (not its time-to-exception)
+    // and is excluded from total/steady_total, so failures can't inflate
+    // or deflate the headline; the errors map carries the message.
     def timeOnce(name: String,
         fn: (org.apache.spark.sql.SparkSession, String) =>
           org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+          -1.0
       }
-      (System.nanoTime() - t0) / 1e9
     }
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     // headline metric: first (cold) run per query — includes planning +
@@ -57,8 +61,8 @@ object Bench {
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => s"\"$k\":\"$v\"" }
         .mkString(""","errors":{""", ",", "}")
-    val total = cold.map(_._2).sum
-    val steadyTotal = steady.map(_._2).sum
+    val total = cold.map(_._2).filter(_ >= 0).sum
+    val steadyTotal = steady.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"steady_total":$steadyTotal,"steady":${js(steady)}$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }

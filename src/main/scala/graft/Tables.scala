@@ -42,10 +42,22 @@ object Tables {
       // rejects; read nanos as long and convert to a microsecond timestamp
       // (the data is µs-resolution, so truncation is lossless). DuckDB
       // oracles cast with CAST(ts AS TIMESTAMP) for identical values.
+      // The flag is only consulted while the relation is resolved (it is
+      // captured into the relation's hadoop conf), so it can be restored
+      // immediately after `spark.read` — verified: count() succeeds with
+      // the flag back at false — leaving unrelated TIMESTAMP(NANOS)
+      // reads in the session untouched.
+      val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
+      try spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts",
           org.apache.spark.sql.functions.expr(
             "timestamp_micros(ts DIV 1000)"))
+      finally prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None =>
+          spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 }

@@ -73,7 +73,13 @@ object Dedup {
     * shared cache — one shingle computation total. At extreme scale add a
     * document-frequency cap on shingles (drop shingles appearing in more
     * than `maxShingleDf` docs) — a standard stop-shingle optimization
-    * that bounds join skew; None keeps exact semantics.
+    * that bounds join skew; None keeps exact semantics. With a cap, per-doc
+    * sizes stay EXACT (computed from the uncapped shingle sets) and only
+    * candidate generation / intersection counting is capped, so the
+    * reported `jaccard` is a LOWER BOUND on the true n-gram Jaccard:
+    * every returned pair truly has J ≥ its reported value, but pairs
+    * whose overlap lives mostly in stop-shingles may fall below
+    * `threshold` and be missed.
     */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -88,7 +94,10 @@ object Dedup {
         sh0.join(keep, "s")
       case None => sh0
     }
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // sizes from the UNCAPPED sets: denominators stay exact, so the
+    // capped variant under-reports J (lower bound) instead of reporting
+    // the Jaccard of filtered sets (which can over- or under-report)
+    val sz = sh0.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val out = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") &&
         col("a.doc_id") < col("b.doc_id"))

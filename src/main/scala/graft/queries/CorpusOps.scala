@@ -366,6 +366,12 @@ object CorpusOps {
               .as("payload"))
         graft.operators.Multimodal
           .extractFeatures(media, "doc_id", "payload", dims = 16)
+          // rows-only check, but the array must still be serialized to a
+          // scalar: the driver's pandas comparator sorts every output
+          // column and ndarray cells are unhashable
+          .select(col("doc_id"), array_join(transform(col("features"),
+            x => round(x.cast("double"), 6).cast("string")), ",")
+            .as("features"))
           .orderBy(col("doc_id"))
       },
       None)

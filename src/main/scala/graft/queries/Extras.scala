@@ -35,15 +35,21 @@ object Extras {
               |ORDER BY o_custkey""".stripMargin)),
 
     // ---- typed Aggregator (UDAF): exact bounded top-k sketch with
-    // partial+final merge, vs DuckDB's ordered list slice
+    // partial+final merge, vs DuckDB's ordered list slice. The array is
+    // serialized to a csv string on BOTH sides (fixed decimal(12,2)
+    // rendering) so the driver's scalar hash-compare applies.
     QueryDef("q41_topk_agg",
       (s, dir) => t("orders")(s, dir)
         .groupBy(col("o_orderpriority"))
-        .agg(TopKAgg.smallest(5)(col("o_totalprice"))
+        .agg(array_join(transform(
+            TopKAgg.smallest(5)(col("o_totalprice")),
+            x => x.cast("decimal(12,2)").cast("string")), ",")
           .as("cheapest5"))
         .orderBy(col("o_orderpriority")),
       Some("""SELECT o_orderpriority,
-             |  (list(o_totalprice ORDER BY o_totalprice))[1:5]
+             |  array_to_string(list_transform(
+             |    (list(o_totalprice ORDER BY o_totalprice))[1:5],
+             |    x -> CAST(CAST(x AS DECIMAL(12,2)) AS VARCHAR)), ',')
              |    AS cheapest5
              |FROM orders GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
@@ -143,11 +149,16 @@ object Extras {
     QueryDef("q44_percentiles",
       (s, dir) => t("lineitem")(s, dir)
         .groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))")
+        .agg(array_join(transform(
+            expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))"),
+            x => x.cast("decimal(12,2)").cast("string")), ",")
           .as("quartiles"))
         .orderBy(col("l_returnflag")),
       Some("""SELECT l_returnflag,
-             |  quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS quartiles
+             |  array_to_string(list_transform(
+             |    quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
+             |    x -> CAST(CAST(x AS DECIMAL(12,2)) AS VARCHAR)), ',')
+             |    AS quartiles
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 

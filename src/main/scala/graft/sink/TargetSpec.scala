@@ -81,7 +81,11 @@ final case class ParquetTarget(basePath: String) extends TargetSpec {
 final case class JdbcTarget(
     url: String,
     properties: java.util.Properties = new java.util.Properties(),
-    batchSize: Int = 10000) extends TargetSpec {
+    batchSize: Int = 10000,
+    // DROP COLUMN during migrate destroys data on a typo'd rename, so it
+    // is opt-in; the default logs and skips, keeping ADD COLUMN automatic
+    // (the reference's migrate_schema drops unconditionally).
+    allowColumnDrops: Boolean = false) extends TargetSpec {
   override val supportsPrimaryKeys = true
   override val supportsSchemas = true
 
@@ -166,8 +170,13 @@ final case class JdbcTarget(
           s"ALTER TABLE ${spec.name} ADD COLUMN ${q(c)} $sqlType")
       }
       live.filterNot(declared.contains).foreach { c =>
-        stmt.executeUpdate(
-          s"ALTER TABLE ${spec.name} DROP COLUMN ${q(c)}")
+        if (allowColumnDrops)
+          stmt.executeUpdate(
+            s"ALTER TABLE ${spec.name} DROP COLUMN ${q(c)}")
+        else
+          System.err.println(s"graft.migrate: ${spec.name}.$c exists in " +
+            "the database but not in the spec; NOT dropping (set " +
+            "allowColumnDrops=true to drop undeclared columns)")
       }
     } finally conn.close()
   }

@@ -66,15 +66,24 @@ object EventStreams {
     */
   def readEvents(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 1): DataFrame = {
-    // NOTE: nanosAsLong is a session-wide flag (no per-reader option
-    // exists); after this call, other TIMESTAMP(NANOS) parquet reads in
-    // the session also see raw longs. Same trade-off as Tables.load.
+    // nanosAsLong is a session-wide flag (no per-reader option exists),
+    // but it is only consulted at relation-resolution time, so set it
+    // just for the readStream call and restore — unrelated
+    // TIMESTAMP(NANOS) reads in the session are unaffected (same
+    // save/restore contract as Tables.load).
+    val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
+    try spark.readStream
       .schema(eventFileSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None =>
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
   }
 
   /** Tumbling event-time window aggregation (streaming twin of

@@ -61,14 +61,28 @@ class JdbcTargetSpec extends SparkSpec {
     val v2 = TableSpec("mig", Seq(
       ColumnDef("id", IntegerType, nullable = false),
       ColumnDef("amount", DoubleType)))
+    // default target: undeclared columns are PRESERVED (drop is opt-in,
+    // so a typo'd rename can't destroy data), adds still happen
     target.migrate(spark, v2)
-    val cols = target.read(spark, v2).columns.toSet
+    val safeConn = java.sql.DriverManager.getConnection(url, props)
+    val safeCols = try {
+      val rs = safeConn.getMetaData.getColumns(null, safeConn.getSchema,
+        "MIG", null)
+      Iterator.continually(rs).takeWhile(_.next())
+        .map(_.getString("COLUMN_NAME").toLowerCase).toSet
+    } finally safeConn.close()
+    assert(safeCols == Set("id", "old_col", "amount"))
+
+    // opt-in drops: spec-absent column is removed
+    val dropping = target.copy(allowColumnDrops = true)
+    dropping.migrate(spark, v2)
+    val cols = dropping.read(spark, v2).columns.toSet
     assert(cols == Set("id", "amount"))
     // existing row survives with null in the new column
-    val row = target.read(spark, v2).first()
+    val row = dropping.read(spark, v2).first()
     assert(row.getInt(0) == 1 && row.isNullAt(1))
     // re-running the migration is a no-op
-    target.migrate(spark, v2)
-    assert(target.read(spark, v2).columns.toSet == Set("id", "amount"))
+    dropping.migrate(spark, v2)
+    assert(dropping.read(spark, v2).columns.toSet == Set("id", "amount"))
   }
 }
