@@ -49,7 +49,8 @@ object SparkEntry {
   val catalog: Seq[QueryDef] =
     q1 +: (graft.queries.Relational.defs ++ graft.queries.Scalars.defs ++
       graft.queries.CorpusOps.defs ++ graft.queries.CorpusOps.textDefs ++
-      graft.queries.EventOps.defs ++ graft.queries.Extras.defs)
+      graft.queries.EventOps.defs ++ graft.queries.Extras.defs ++
+      graft.queries.Round2.defs)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

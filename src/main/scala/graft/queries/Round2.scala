@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Scd2, TextOps}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-2 additions: explicit GROUPING SETS (the one grouping surface
+  * q13/q14 didn't spell out), a first-class SCD2 dimension build, TF-IDF
+  * term scoring, and benchmark decontamination — each oracle-checked.
+  */
+object Round2 {
+  private def t(name: String): QueryFn = (s, dir) => Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- explicit GROUPING SETS via the Spark 4 Dataset API (rollup and
+    // cube are q13/q14; this is the arbitrary-sets form with grouping_id)
+    QueryDef("q52_grouping_sets",
+      (s, dir) => t("lineitem")(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"),
+          grouping_id().cast("bigint").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+              |  ${oSum("l_quantity")} AS qty,
+              |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+              |FROM lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- SCD2 build: compress the event log into validity windows per
+    // (user, value)-run — latest-writer-wins at equal timestamps, then
+    // one shuffle total (change-detect + lead share partitioning/order).
+    // The reference only CONSUMES such windows (fact_customer_task.py:
+    // 60-61); here building them is a first-class distributed operator.
+    QueryDef("q53_scd2_build",
+      (s, dir) => {
+        val ev = t("events")(s, dir)
+        val wTie = Window.partitionBy(col("user_id"), col("ts"))
+          .orderBy(col("event_id").desc)
+        val log = ev.withColumn("_r", row_number().over(wTie))
+          .filter(col("_r") === 1)
+          .select(col("user_id"), col("ts"), col("value"))
+        Scd2.build(log, Seq("user_id"), "ts", Seq("value"),
+            lit("9999-12-31 00:00:00").cast("timestamp"))
+          .select(col("user_id"), col("value"),
+            col("valid_from"), col("valid_to"))
+          .orderBy(col("user_id"), col("valid_from"))
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             |    value, event_id FROM events),
+             |d0 AS (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+             |    ORDER BY event_id DESC) AS r FROM ev),
+             |d AS (SELECT user_id, ts, value FROM d0 WHERE r = 1),
+             |c AS (SELECT *, CASE WHEN value IS NOT DISTINCT FROM
+             |      lag(value) OVER (PARTITION BY user_id ORDER BY ts)
+             |      THEN 0 ELSE 1 END AS chg,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+             |  FROM d),
+             |f AS (SELECT user_id, value, ts AS valid_from FROM c
+             |  WHERE chg = 1 OR rn = 1)
+             |SELECT user_id, value, valid_from,
+             |  coalesce(lead(valid_from) OVER (PARTITION BY user_id
+             |    ORDER BY valid_from),
+             |    TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+             |FROM f ORDER BY user_id, valid_from""".stripMargin)),
+
+    // ---- TF-IDF term scoring, top-5 terms per document. The idf is the
+    // LINEAR N/df variant scaled to exact integers ((tf·N·1e6) div df):
+    // floating ln() differs in last-ulp between libm implementations, and
+    // an integer score is bit-identical across engines by construction —
+    // ranking behavior (rare-term upweighting) is preserved.
+    QueryDef("q54_tfidf",
+      (s, dir) => {
+        val wdf = t("documents")(s, dir)
+          .select(col("doc_id"),
+            explode(TextOps.words(col("text"))).as("word"))
+        val tf = wdf.groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("tf"))
+        val dfq = tf.groupBy(col("word")).agg(count(lit(1)).as("dfq"))
+        val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+        tf.filter(col("doc_id") < 20)
+          .join(broadcast(dfq), "word")
+          .crossJoin(broadcast(n))
+          .withColumn("score", expr("(tf * n_docs * 1000000) div dfq"))
+          .withColumn("rank", row_number().over(Window
+            .partitionBy(col("doc_id"))
+            .orderBy(col("score").desc, col("word"))).cast("bigint"))
+          .filter(col("rank") <= 5)
+          .select(col("doc_id"), col("word"), col("score"), col("rank"))
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some("""WITH w AS (SELECT doc_id, unnest(list_filter(
+             |    string_split_regex(lower(text), '\s+'),
+             |    x -> len(x) > 0)) AS word FROM documents),
+             |tf AS (SELECT doc_id, word, COUNT(*) AS tf
+             |  FROM w GROUP BY 1, 2),
+             |dfq AS (SELECT word, COUNT(*) AS dfq FROM tf GROUP BY 1),
+             |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+             |sc AS (SELECT t.doc_id, t.word,
+             |    (t.tf * n.n_docs * 1000000) // d.dfq AS score
+             |  FROM tf t JOIN dfq d USING (word) CROSS JOIN n
+             |  WHERE t.doc_id < 20),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY score DESC, word) AS rank FROM sc)
+             |SELECT doc_id, word, score, CAST(rank AS BIGINT) AS rank
+             |FROM r WHERE rank <= 5
+             |ORDER BY doc_id, rank""".stripMargin)),
+
+    // ---- benchmark decontamination: flag training docs sharing any
+    // 8-word shingle with the held-out/benchmark set (doc_id % 7 = 0) —
+    // the standard n-gram-overlap eval-contamination check. Inverted-
+    // index join on the shingle: the benchmark side is tiny and
+    // broadcasts; no quadratic doc×doc comparison ever materializes.
+    QueryDef("q55_decontaminate",
+      (s, dir) => {
+        val sh = Dedup.shingleSet(t("documents")(s, dir),
+          "doc_id", "text", n = 8, cache = false)
+        val bench = sh.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id").as("bench_id"), col("s"))
+        val cand = sh.filter(col("doc_id") % 7 =!= 0)
+        cand.join(broadcast(bench), "s")
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("s")).as("n_shared"),
+            countDistinct(col("bench_id")).as("n_bench"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |  list_filter(string_split_regex(lower(text), '\s+'),
+             |    x -> len(x) > 0) AS ws FROM documents),
+             |idx AS (SELECT doc_id, ws,
+             |  unnest(generate_series(1, len(ws) - 7)) AS i
+             |  FROM w WHERE len(ws) >= 8),
+             |sh AS (SELECT DISTINCT doc_id,
+             |  ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+             |  ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
+             |  ws[i+6] || ' ' || ws[i+7] AS s FROM idx),
+             |bench AS (SELECT doc_id AS bench_id, s FROM sh
+             |  WHERE doc_id % 7 = 0),
+             |cand AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 <> 0)
+             |SELECT c.doc_id, COUNT(DISTINCT c.s) AS n_shared,
+             |  COUNT(DISTINCT b.bench_id) AS n_bench
+             |FROM cand c JOIN bench b ON c.s = b.s
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}

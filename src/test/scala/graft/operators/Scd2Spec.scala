@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SCD2 build: run-compression, validity chaining, null-safe attribute
+  * comparison, and the one-shuffle plan shape.
+  */
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def eot = lit("9999-12-31 00:00:00").cast("timestamp")
+
+  test("compresses runs into chained validity windows per key") {
+    val log = Seq(
+      (1L, 10L, "a"), (1L, 20L, "a"), (1L, 30L, "b"), (1L, 40L, "a"),
+      (2L, 10L, "x"))
+      .toDF("k", "ord", "v")
+    val out = Scd2.build(log, Seq("k"), "ord", Seq("v"), lit(999L))
+      .orderBy("k", "valid_from")
+      .as[(Long, Long, String, Long)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 10L, "a", 30L),   // run a: [10, 30)
+      (1L, 30L, "b", 40L),   // b: [30, 40)
+      (1L, 40L, "a", 999L),  // back to a: open-ended
+      (2L, 10L, "x", 999L)))
+    // windows chain exactly: valid_to == next valid_from within key
+  }
+
+  test("null attribute values compare null-safely (one run, not many)") {
+    val log = Seq((1L, 1L, null), (1L, 2L, null), (1L, 3L, "z"))
+      .toDF("k", "ord", "v")
+    val out = Scd2.build(log, Seq("k"), "ord", Seq("v"), lit(99L))
+      .orderBy("valid_from").select("valid_from", "v", "valid_to")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, null, 3L), (3L, "z", 99L)))
+  }
+
+  test("multi-attribute change detection: any attr change opens a window") {
+    val log = Seq((1L, 1L, "a", 10), (1L, 2L, "a", 20), (1L, 3L, "b", 20))
+      .toDF("k", "ord", "v", "w")
+    val out = Scd2.build(log, Seq("k"), "ord", Seq("v", "w"), lit(99L))
+    assert(out.count() == 3) // every row differs in v or w
+  }
+
+  test("plan has exactly one exchange (windows share partitioning+order)") {
+    val log = Seq((1L, 10L, "a")).toDF("k", "ord", "v")
+    val plan = Scd2.build(log, Seq("k"), "ord", Seq("v"), lit(0L))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 shuffle, plan:\n$plan")
+  }
+}
