@@ -170,12 +170,15 @@ object Similarity {
     val b = maybeCache(graft.Tables.rebalance(
       df.select(col(idCol).as("id"), col(embCol).as("e")))
       .withColumn("nrm", sqrt(norm2(col("e")))))
-    val bucketStructs = (0 until tables).map(t =>
-      struct(lit(t).as("t"),
-        lshTableBucket(col("e"), t, planesPerTable, dims).as("bk")))
+    // one native kernel call per row yields all table buckets at once
+    // (bit-identical to the per-table literal-array dot products, but the
+    // plan carries ~5 nodes instead of ~1,500 literals — see LshKernel)
     val bucketed = maybeCache(b
-      .select(col("id"), explode(array(bucketStructs: _*)).as("x"))
-      .select(col("id"), col("x.t"), col("x.bk")))
+      .select(col("id"), posexplode(
+        graft.functions.Lsh.buckets(darr(col("e")), tables,
+          planesPerTable, dims)))
+      .select(col("id"), col("pos").cast("int").as("t"),
+        col("col").as("bk")))
     bucketed.as("a").join(bucketed.as("b"), Seq("t", "bk"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("da"), col("b.id").as("db"))

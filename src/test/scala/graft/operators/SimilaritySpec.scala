@@ -55,4 +55,21 @@ class SimilaritySpec extends SparkSpec {
     val sim = pairs.filter(col("da") === 100L).first().getAs[Double]("sim")
     assert(sim == 1.0)
   }
+
+  test("LshKernel.buckets ≡ per-table literal-array lshTableBucket") {
+    import spark.implicits._
+    val df = (0L until 50L).map { i =>
+      (i, Array.tabulate(16)(d => math.sin(i * 17 + d * 3)))
+    }.toDF("id", "e")
+    val viaKernel = df.select(col("id"),
+        posexplode(graft.functions.Lsh.buckets(col("e"), 4, 5, 16)))
+      .select(col("id"), col("pos").as("t"), col("col").as("bk"))
+    val viaLiterals = df.select(col("id"), explode(array(
+        (0 until 4).map(t => struct(lit(t).as("t"),
+          Similarity.lshTableBucket(col("e"), t, 5, 16).as("bk"))): _*))
+        .as("x"))
+      .select(col("id"), col("x.t"), col("x.bk"))
+    assert(viaKernel.except(viaLiterals).count() == 0 &&
+      viaLiterals.except(viaKernel).count() == 0)
+  }
 }
