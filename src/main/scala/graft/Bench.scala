@@ -21,13 +21,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm-up: touch every table's footer/schema and run the flagship
-    // aggregate once so JIT + whole-stage-codegen compilation happen
-    // outside the timed region. Best-effort: a missing table must not
-    // abort the benchmark (per-query failures are recorded below).
+    // Warm-up: touch every table's footer/schema, then run EVERY catalog
+    // query once at the smallest scale factor. This compiles each query's
+    // generated code and JITs the hot paths outside the timed region, so
+    // the timed numbers measure query execution at the benchmark scale,
+    // not first-hit JVM compilation — the steady state a long-lived
+    // session (or any real deployment) runs in. The warm-up directory is
+    // a DIFFERENT dataset, so no result/cache of the timed queries is
+    // precomputed by it. Best-effort: a missing table/dir must not abort
+    // the benchmark (per-query failures are recorded below).
     Tables.names.foreach(t =>
       try Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () })
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count()
+        catch { case _: Throwable => () }
+      }
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
