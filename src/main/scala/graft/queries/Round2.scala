@@ -144,6 +144,56 @@ object Round2 {
              |SELECT c.doc_id, COUNT(DISTINCT c.s) AS n_shared,
              |  COUNT(DISTINCT b.bench_id) AS n_bench
              |FROM cand c JOIN bench b ON c.s = b.s
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- cohort retention: users grouped by first-activity day, distinct
+    // actives per whole-week offset — the standard event-pipeline cohort
+    // matrix. Week offsets via integer day arithmetic (identical in both
+    // engines; no engine-specific week-truncation semantics).
+    QueryDef("q56_cohort_retention",
+      (s, dir) => {
+        val ev = t("events")(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+        val cohort = ev.groupBy(col("user_id"))
+          .agg(min(col("d")).as("cohort_day"))
+        ev.join(cohort, "user_id")
+          .withColumn("week_k",
+            floor(datediff(col("d"), col("cohort_day")) / 7)
+              .cast("bigint"))
+          .groupBy(col("cohort_day"), col("week_k"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .orderBy(col("cohort_day"), col("week_k"))
+      },
+      Some("""WITH ev AS (SELECT user_id,
+             |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+             |cohort AS (SELECT user_id, min(d) AS cohort_day
+             |  FROM ev GROUP BY 1)
+             |SELECT c.cohort_day,
+             |  CAST(floor(date_diff('day', c.cohort_day, e.d) / 7)
+             |    AS BIGINT) AS week_k,
+             |  COUNT(DISTINCT e.user_id) AS n_active
+             |FROM ev e JOIN cohort c USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- deterministic hash sampling, stratified by source: the
+    // reproducible-sampling pattern (hash the stable id, take buckets
+    // < rate·100) — re-runnable on any engine with identical membership,
+    // unlike seeded RNG sampling. Reports per-stratum sampled counts.
+    QueryDef("q57_hash_sample",
+      (s, dir) => {
+        val docs = t("documents")(s, dir)
+        val bucket = conv(substring(md5(col("doc_id").cast("string")),
+          1, 15), 16, 10).cast("long") % 100
+        docs.withColumn("b", bucket)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_total"),
+            count(when(col("b") < 10, 1)).as("n_sampled"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, COUNT(*) AS n_total,
+             |  COUNT(*) FILTER (CAST(concat('0x', substr(
+             |    md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+             |    < 10) AS n_sampled
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
   )
 }
