@@ -252,6 +252,45 @@ object EventStreams {
     df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
 
+  /** Streaming exact dedup with watermark-bounded state: re-deliveries of
+    * the same key (e.g. an at-least-once source replaying `event_id`)
+    * inside the watermark horizon are dropped; state for a key is freed
+    * once the watermark passes its event time, so memory is
+    * O(rate × watermark), never the full stream — the streaming twin of
+    * `Dedup.exactByKey` and the precondition for exactly-once semantics
+    * over at-least-once transports.
+    */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Stream each micro-batch through a [[graft.sink.TargetSpec]] with
+    * batch-overwrite semantics: the epoch id is stamped into the spec's
+    * batch column, so a micro-batch REPLAYED after a failure deletes its
+    * own previous partial write and re-inserts — end-to-end idempotence
+    * on any target (parquet partition overwrite, JDBC delete+append),
+    * i.e. the reference's `truncate_rows` idempotency contract applied
+    * per streaming epoch. `foreachBatch` is the bridge: inside it the
+    * micro-batch is a plain DataFrame, so the whole batch sink/DQ stack
+    * applies unchanged.
+    */
+  def startTargetSink(df: DataFrame, target: graft.sink.TargetSpec,
+      spec: graft.core.TableSpec, epochCol: String,
+      checkpoint: String): StreamingQuery = {
+    require(spec.batchColumns.contains(epochCol),
+      s"epoch column $epochCol must be a declared batch column")
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        target.overwriteBatch(batch.withColumn(epochCol, lit(epochId)),
+          spec)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Start an idempotent append to partitioned parquet: exactly-once via
     * the checkpoint's file-sink log, partitioned so downstream reads
     * prune by event date.
