@@ -137,7 +137,11 @@ object Similarity {
         col("cen_id").as("cell"))
     val wRank = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
-    probes.join(assigned, Seq("cell"))
+    // same explosive-join guard as lshNearDupPairs: the probe⨝cell join's
+    // inputs are small but its output is ~|queries|·nprobe·(N/nCentroids);
+    // pin user-specified partitioning so AQE can't serialize the fan-out
+    val np = candidates.sparkSession.sparkContext.defaultParallelism
+    probes.join(assigned.repartition(np, col("cell")), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("q_emb"), col("c_emb")) /
@@ -173,12 +177,24 @@ object Similarity {
     // one native kernel call per row yields all table buckets at once
     // (bit-identical to the per-table literal-array dot products, but the
     // plan carries ~5 nodes instead of ~1,500 literals — see LshKernel)
+    //
+    // The explicit fixed-width repartition on the join key is load-bearing
+    // at scale: the bucket rows themselves are tiny, so AQE would coalesce
+    // the self-join's input shuffles down to one partition — and the join
+    // OUTPUT (quadratic in bucket size) then explodes inside a single
+    // task. AQE decides from map-output sizes and cannot see explosive
+    // join fan-out; pinning user-specified partitioning keeps the
+    // explosion parallel (measured: 30k vectors went from a stuck
+    // single-task stage to seconds). The join reuses this partitioning,
+    // so no extra exchange is introduced.
+    val np = df.sparkSession.sparkContext.defaultParallelism
     val bucketed = maybeCache(b
       .select(col("id"), posexplode(
         graft.functions.Lsh.buckets(darr(col("e")), tables,
           planesPerTable, dims)))
       .select(col("id"), col("pos").cast("int").as("t"),
-        col("col").as("bk")))
+        col("col").as("bk"))
+      .repartition(np, col("t"), col("bk")))
     bucketed.as("a").join(bucketed.as("b"), Seq("t", "bk"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("da"), col("b.id").as("db"))
