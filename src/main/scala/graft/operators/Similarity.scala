@@ -113,16 +113,22 @@ object Similarity {
     val c = graft.Tables.rebalance(
       candidates.select(col(idCol).as("neighbor_id"),
         col(embCol).as("c_emb"), sqrt(norm2(col(embCol))).as("c_nrm")))
-    val wAssign = Window.partitionBy("neighbor_id")
-      .orderBy(col("csim").desc, col("cen_id"))
+    // nearest-cell assignment as a map-side max_by aggregation, not a
+    // ranking window: the window formulation shuffles AND sorts one
+    // group per candidate (at 100k vectors that sort dominated the whole
+    // query); max_by keeps one (sim, cell, emb) buffer per candidate and
+    // combines partially before the exchange. Ordering (csim desc,
+    // cen_id asc) is preserved via the (csim, -cen_id) sort key.
     val assigned = c.join(broadcast(cen), lit(true))
       .select(col("neighbor_id"), col("c_emb"), col("c_nrm"), col("cen_id"),
         round(dot(col("c_emb"), col("cen_e")) /
           (col("c_nrm") * col("cen_nrm")), 6).as("csim"))
-      .withColumn("r", row_number().over(wAssign))
-      .filter(col("r") === 1)
-      .select(col("neighbor_id"), col("c_emb"), col("c_nrm"),
-        col("cen_id").as("cell"))
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(
+        struct(col("c_emb"), col("c_nrm"), col("cen_id")),
+        struct(col("csim"), (-col("cen_id")).as("nid"))).as("best"))
+      .select(col("neighbor_id"), col("best.c_emb").as("c_emb"),
+        col("best.c_nrm").as("c_nrm"), col("best.cen_id").as("cell"))
     val q = queries.select(col(idCol).as("query_id"),
       col(embCol).as("q_emb"), sqrt(norm2(col(embCol))).as("q_nrm"))
     val wProbe = Window.partitionBy("query_id")
