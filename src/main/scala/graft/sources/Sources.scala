@@ -36,6 +36,20 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** JSON-lines scan. Schema-first by default (`schema` supplied ⇒ no
+    * inference pass over the data — at 100 TB an inference scan doubles
+    * the read); FAILFAST like the CSV source so malformed rows abort
+    * rather than silently null out.
+    */
+  def json(
+      spark: SparkSession,
+      path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val r = spark.read.option("mode", "FAILFAST")
+    schema.fold(r)(r.schema).json(path)
+  }
+
   /** In-memory rows from (columnNames, tuples) — reference `ListRowSource`
     * (sqltask/sources/generic.py:30-42).
     */

@@ -21,6 +21,27 @@ class SourcesSpec extends SparkSpec {
     assert(df.count() == 2 && df.columns.toSeq == Seq("a", "b"))
   }
 
+  test("json-lines scan: schema-first skips inference, FAILFAST on garbage") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-json")
+    val f = dir.resolve("rows.json")
+    java.nio.file.Files.writeString(f,
+      """{"id": 1, "name": "a"}
+        |{"id": 2, "name": "b"}
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    val df = Sources.json(spark, f.toString, Some(schema))
+    assert(df.schema == schema && df.count() == 2)
+    // inference path agrees on this input
+    assert(Sources.json(spark, f.toString).count() == 2)
+    val bad = dir.resolve("bad.json")
+    java.nio.file.Files.writeString(bad, "{\"id\": oops\n")
+    intercept[org.apache.spark.SparkException] {
+      Sources.json(spark, bad.toString, Some(schema)).collect()
+    }
+  }
+
   test("parameterized sql over registered views (sources/sql.py:17-62)") {
     Sources.register(Sources.csv(spark, fixture("customers.csv")), "customers")
     val df = Sources.sql(spark,
