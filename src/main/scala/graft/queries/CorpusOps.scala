@@ -355,9 +355,12 @@ object CorpusOps {
              |FROM x ORDER BY doc_id, frame_no""".stripMargin)),
 
     // ---- multimodal: per-blob feature extraction through mapPartitions
-    // (batch-shaped imperative kernel — deliberately NOT SQL-expressible,
-    // so no oracle: the driver records a rows-only check; the kernel
-    // itself is unit-tested for determinism and shape)
+    // (batch-shaped imperative kernel). The kernel itself runs outside
+    // SQL, but its output IS oracle-checkable here because the stub codec
+    // is a byte histogram and the corpus payload is pure-ASCII text: the
+    // oracle replays it byte-for-byte with ascii()/modulo in DuckDB
+    // (division order matches the kernel exactly; fixed decimal(9,6)
+    // rendering, both engines round half-up for positives).
     QueryDef("q39_blob_features",
       (s, dir) => {
         val media = t("documents")(s, dir)
@@ -366,14 +369,33 @@ object CorpusOps {
               .as("payload"))
         graft.operators.Multimodal
           .extractFeatures(media, "doc_id", "payload", dims = 16)
-          // rows-only check, but the array must still be serialized to a
-          // scalar: the driver's pandas comparator sorts every output
-          // column and ndarray cells are unhashable
           .select(col("doc_id"), array_join(transform(col("features"),
-            x => round(x.cast("double"), 6).cast("string")), ",")
+            x => round(x.cast("double"), 6).cast("decimal(9,6)")
+              .cast("string")), ",")
             .as("features"))
           .orderBy(col("doc_id"))
       },
-      None)
+      Some("""WITH ch AS (SELECT doc_id, len(text) AS L,
+             |    ascii(substr(text, u.i, 1)) AS b
+             |  FROM documents, unnest(generate_series(1, len(text)))
+             |    AS u(i)),
+             |hist AS (SELECT doc_id, b % 16 AS bin, COUNT(*) AS c
+             |  FROM ch GROUP BY 1, 2),
+             |grid AS (SELECT d.doc_id, g.bin, coalesce(h.c, 0) AS c, d.L
+             |  FROM (SELECT doc_id, len(text) AS L FROM documents) d
+             |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bin) g
+             |  LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.bin = g.bin),
+             |mean AS (SELECT doc_id,
+             |    CAST(SUM(b) AS DOUBLE) / any_value(L) / 255 AS m
+             |  FROM ch GROUP BY doc_id),
+             |vals AS (SELECT g.doc_id, g.bin,
+             |    CASE WHEN g.bin = 0 THEN mean.m
+             |         ELSE CAST(g.c AS DOUBLE) / g.L END AS v
+             |  FROM grid g JOIN mean USING (doc_id))
+             |SELECT doc_id, array_to_string(list_transform(
+             |    list(v ORDER BY bin),
+             |    x -> CAST(CAST(round(x, 6) AS DECIMAL(9,6)) AS VARCHAR)),
+             |  ',') AS features
+             |FROM vals GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }
