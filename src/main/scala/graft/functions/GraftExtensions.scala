@@ -15,8 +15,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * After either, `SELECT shingle_set(text, 3)` works in plain SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.shingleSetDescriptor)
+    // declarative-HOF shingle pattern → fused native kernel (see
+    // ShingleRewriteRule): users writing stock Spark HOFs get the
+    // one-pass kernel without importing graft APIs
+    ext.injectOptimizerRule(_ => ShingleRewriteRule)
+  }
 }
 
 object GraftExtensions {
