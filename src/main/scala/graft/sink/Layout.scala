@@ -1,7 +1,7 @@
 package graft.sink
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
 
 /** Physical layout control for write-side data-skipping.
   *
@@ -25,4 +25,49 @@ object Layout {
     df.repartitionByRange(numFiles, clusterCols.map(col): _*)
       .sortWithinPartitions(clusterCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Morton (Z-order) interleave of two bucketized dimensions — bit i of
+    * `a` lands at output bit 2i+1, bit i of `b` at 2i.
+    */
+  def zValue(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      (shiftleft(shiftright(a, i).bitwiseAND(1), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(1), 2 * i))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Z-order-clustered write over TWO numeric columns: each column is
+    * min/max-bucketized to `bits` bits, the bucket ids are Morton-
+    * interleaved, and the table is range-partitioned + sorted on the
+    * z-value. Every file then covers a small RECTANGLE of the 2-D value
+    * space, so min/max skipping works on predicates over EITHER column —
+    * where [[writeRangeClustered]] on one column leaves the other
+    * unclustered (every file spans its full range). This is the
+    * clustered-table-format Z-ORDER BY, on vanilla parquet.
+    *
+    * Linear min/max bucketing keeps the z computation a pure per-row
+    * expression (one tiny min/max agg up front, broadcast as literals —
+    * no sampling job, no shuffle). Heavily skewed columns would want
+    * quantile boundaries instead; the interleave is unchanged.
+    */
+  def writeZOrdered(df: DataFrame, path: String,
+      colA: String, colB: String, numFiles: Int,
+      bits: Int = 12): Unit = {
+    val r = df.agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).first()
+    val (loA, hiA, loB, hiB) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    val nb = 1L << bits
+    def bucket(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else least(lit(nb - 1), greatest(lit(0L),
+        floor((c.cast("double") - lit(lo)) / lit(hi - lo) * nb)
+          .cast("long")))
+    val z = zValue(bucket(col(colA), loA, hiA),
+      bucket(col(colB), loB, hiB), bits)
+    df.withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

@@ -43,4 +43,25 @@ class SketchSpec extends SparkSpec {
       expr("approx_percentile(l_quantity, 0.5D, 1000)")).first().getDouble(0)
     assert(math.abs(approx - exact) <= 1.0, s"approx=$approx exact=$exact")
   }
+
+  test("count_min_sketch: mergeable heavy-hitter counts within eps·N") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    // sketch the two halves separately, merge driver-side — the
+    // map-side-combinable pattern for streaming/pipelined heavy hitters
+    def sketchOf(df: org.apache.spark.sql.DataFrame): CountMinSketch =
+      CountMinSketch.readFrom(df.agg(
+        expr("count_min_sketch(l_returnflag, 0.001D, 0.99D, 42)").as("s"))
+        .first().getAs[Array[Byte]](0))
+    val merged = sketchOf(li.filter(col("l_orderkey") % 2 === 0))
+    merged.mergeInPlace(sketchOf(li.filter(col("l_orderkey") % 2 =!= 0)))
+    val exact = li.groupBy(col("l_returnflag")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    exact.foreach { case (flag, c) =>
+      val est = merged.estimateCount(flag)
+      // CMS never under-counts; over-count bounded by eps·N w.h.p.
+      assert(est >= c && est <= c + (0.001 * n).toLong + 1,
+        s"flag=$flag est=$est exact=$c")
+    }
+  }
 }

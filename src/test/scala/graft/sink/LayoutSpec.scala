@@ -43,4 +43,41 @@ class LayoutSpec extends SparkSpec {
     val rr = fileRanges(s"$dir/random")
     assert(rr.forall { case (mn, mx) => mx - mn > 15000 })
   }
+
+  test("writeZOrdered bounds per-file extents on BOTH dimensions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 20k independent uniform (x, y) points
+    val df = (1 to 20000)
+      .map(_ => (rnd.nextInt(100000).toLong, rnd.nextInt(100000).toLong))
+      .toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+
+    def extents(path: String): Seq[(Double, Double)] =
+      new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSeq
+        .map { f =>
+          val r = spark.read.parquet(f.getPath).agg(
+            min(col("x")), max(col("x")), min(col("y")), max(col("y")))
+            .first()
+          ((r.getLong(1) - r.getLong(0)) / 100000.0,
+            (r.getLong(3) - r.getLong(2)) / 100000.0)
+        }
+
+    Layout.writeZOrdered(df, s"$dir/z", "x", "y", numFiles = 16)
+    val ze = extents(s"$dir/z")
+    assert(ze.size == 16)
+    assert(spark.read.parquet(s"$dir/z").count() == 20000)
+    val zAvg = ze.map { case (a, b) => (a + b) / 2 }.sum / ze.size
+    // every file covers a small 2-D rectangle: mean normalized extent
+    // far below the full domain on the AVERAGE of both dims
+    assert(zAvg < 0.4, s"z-order mean extent $zAvg")
+
+    // single-column range clustering: x extents are tiny but every file
+    // spans ~the whole y domain — no skipping on the second dimension
+    Layout.writeRangeClustered(df, s"$dir/x_only", Seq("x"), 16)
+    val xe = extents(s"$dir/x_only")
+    assert(xe.map(_._2).min > 0.9)
+    assert(zAvg < xe.map { case (a, b) => (a + b) / 2 }.sum / xe.size)
+  }
 }
