@@ -23,14 +23,13 @@ object LshKernel {
 
   /** Same derivation as `Similarity.planeSigns` / the inlined oracle
     * literals: sign = low bit of the first 60 bits of md5("plane:p:i").
+    * Delegates to the ONE hash implementation (TextOps.hash60Const) so
+    * kernel buckets, literal-plan buckets, and oracle literals cannot
+    * silently diverge.
     */
-  private def planeSign(p: Int, i: Int): Double = {
-    val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"plane:$p:$i".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    if ((java.lang.Long.parseLong(md5.substring(0, 15), 16) & 1L) == 1L) 1.0
+  private def planeSign(p: Int, i: Int): Double =
+    if ((graft.operators.TextOps.hash60Const(s"plane:$p:$i") & 1L) == 1L) 1.0
     else -1.0
-  }
 
   private val signCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()

@@ -62,7 +62,15 @@ object ShingleRewriteRule extends Rule[LogicalPlan] {
         t2 <- tokenizedText(ws2)
         t3 <- tokenizedText(ws3)
         if t1.semanticEquals(t2) && t1.semanticEquals(t3)
-      } yield Shingle.shingleSetExpr(t1, n)
+      } yield {
+        // the declarative CASE yields [] for NULL text (null-valued
+        // predicate falls through to the else branch) while StaticInvoke
+        // propagates null — preserve the original semantics explicitly
+        If(IsNull(t1),
+          Literal.create(ArrayData.toArrayData(Array.empty[Any]),
+            ArrayType(StringType, containsNull = false)),
+          Shingle.shingleSetExpr(t1, n))
+      }
     case _ => None
   }
 

@@ -91,8 +91,12 @@ object Multimodal {
     graft.Tables.rebalance(df.select(col(idCol), col(payloadCol)))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition codec setup happens HERE (once per batch)
-        it.map { case (id, bytes) => (id, decodeStub(bytes, dims)) }
+        // per-partition codec setup happens HERE (once per batch); a
+        // NULL payload decodes like an empty one (zero features), it
+        // must not kill the task
+        it.map { case (id, bytes) =>
+          (id, decodeStub(if (bytes == null) Array.empty else bytes, dims))
+        }
       }
       .toDF(idCol, "features")
   }

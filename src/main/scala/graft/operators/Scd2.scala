@@ -35,6 +35,12 @@ object Scd2 {
       ordCol: String,
       attrCols: Seq[String],
       endOfTime: Column): DataFrame = {
+    val reserved = Seq("valid_from", "valid_to", "_chg").filter(c =>
+      c != ordCol && df.columns.contains(c))
+    require(reserved.isEmpty,
+      s"Scd2.build reserves output columns ${reserved.mkString(", ")} — " +
+        "rename them in the input (e.g. when re-compressing an existing " +
+        "SCD2 snapshot, drop/rename its validity columns first)")
     val key = keyCols.map(col)
     val w = Window.partitionBy(key: _*).orderBy(col(ordCol))
     // a row opens a new validity window iff any tracked attribute differs

@@ -389,9 +389,10 @@ object CorpusOps {
              |    CAST(SUM(b) AS DOUBLE) / any_value(L) / 255 AS m
              |  FROM ch GROUP BY doc_id),
              |vals AS (SELECT g.doc_id, g.bin,
-             |    CASE WHEN g.bin = 0 THEN mean.m
+             |    CASE WHEN coalesce(g.L, 0) = 0 THEN 0.0
+             |         WHEN g.bin = 0 THEN coalesce(mean.m, 0.0)
              |         ELSE CAST(g.c AS DOUBLE) / g.L END AS v
-             |  FROM grid g JOIN mean USING (doc_id))
+             |  FROM grid g LEFT JOIN mean USING (doc_id))
              |SELECT doc_id, array_to_string(list_transform(
              |    list(v ORDER BY bin),
              |    x -> CAST(CAST(round(x, 6) AS DECIMAL(9,6)) AS VARCHAR)),

@@ -54,6 +54,12 @@ object Layout {
       bits: Int = 12): Unit = {
     val r = df.agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).first()
+    if (r.isNullAt(0) || r.isNullAt(2)) {
+      // empty input (or all-NULL cluster column): nothing to cluster —
+      // write as-is rather than NPE on the missing min/max
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
     val (loA, hiA, loB, hiB) =
       (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
     val nb = 1L << bits

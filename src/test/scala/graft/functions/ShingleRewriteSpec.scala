@@ -38,6 +38,23 @@ class ShingleRewriteSpec extends SparkSpec {
       viaKernel.collect().map(_.getSeq[String](0).toList).toSeq)
   }
 
+  test("NULL text still yields [] after the rewrite (CASE semantics kept)") {
+    assert(enabled)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rwn").toString
+    Seq(Some("a b c"), None).toDF("text")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val decl = df.select(array_distinct(
+      TextOps.shingles(TextOps.words(col("text")), 2)).as("s"))
+    assert(decl.queryExecution.optimizedPlan.toString.contains("shingleSet"))
+    val rows = decl.collect().map(r => Option(r.getSeq[String](0)))
+    // both rows present, null-text row is an EMPTY array, never null
+    assert(rows.length == 2 && rows.forall(_.isDefined))
+    assert(rows.map(_.get.toList).sortBy(_.length).toSeq ==
+      Seq(Nil, List("a b", "b c")))
+  }
+
   test("near-miss (different joiner) is NOT rewritten") {
     assert(enabled)
     val ws = TextOps.words(col("text"))
