@@ -80,6 +80,19 @@ class DedupSpec extends SparkSpec {
     assert(cc.filter(col("cluster") =!= 1L).count() == 0)
   }
 
+  test("connectedComponents: 300-chain converges in O(log d) rounds " +
+      "(pointer jumping — plain propagation would need 299)") {
+    import spark.implicits._
+    val n = 300
+    val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("da", "db")
+    val nodes = (1 to n).map(_.toLong).toDF("doc_id")
+    // maxIter 15 << diameter 299: only the path-halving jump gets there
+    val cc = Dedup.connectedComponents(pairs, nodes, "doc_id", maxIter = 15)
+    assert(cc.filter(col("cluster") =!= 1L).count() == 0)
+    assert(cc.count() == n)
+  }
+
   test("shingleSet: per-doc distinct, correct count, no duplicates") {
     val sh = Dedup.shingleSet(docs, "doc_id", "text", 3, cache = false)
     val counts = sh.groupBy("doc_id").count().orderBy("doc_id").collect()
