@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Plan-shape regression gate: the physical plans of representative
+  * catalog queries must keep their shuffle/broadcast/pushdown structure.
+  * A future edit that silently turns a broadcast join into a shuffle
+  * join, drops a filter below a scan, or adds an exchange fails HERE,
+  * not in a 100 TB deployment. Counts are from the pre-AQE physical
+  * plan (the static contract; AQE may only improve on it at runtime).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private case class Shape(hash: Int, bcast: Int, pushed: Int)
+
+  private def shape(q: String): Shape = {
+    val plan = SparkEntry.queries(q)(spark, sf)
+      .queryExecution.executedPlan.toString
+    Shape(
+      "Exchange hashpartitioning".r.findAllIn(plan).size,
+      "BroadcastExchange".r.findAllIn(plan).size,
+      "PushedFilters: \\[[^\\]]".r.findAllIn(plan).size)
+  }
+
+  test("q1_agg: one hash exchange (partial+final aggregate)") {
+    val s = shape("q1_agg")
+    assert(s.hash == 1 && s.bcast == 0, s)
+  }
+
+  test("q2_filter_project: zero shuffles, filter pushed to the scan") {
+    val s = shape("q2_filter_project")
+    assert(s.hash == 0 && s.pushed >= 1, s)
+  }
+
+  test("q3_lookup_enrich: lookup joins broadcast (no shuffled join sides)") {
+    val s = shape("q3_lookup_enrich")
+    // the first-win dedup window shuffles the (small) lookup side; the
+    // enrichment joins themselves must broadcast
+    assert(s.bcast == 2 && s.hash <= 2, s)
+  }
+
+  test("q4_join_inner_agg: both dims broadcast, one agg exchange") {
+    val s = shape("q4_join_inner_agg")
+    assert(s.bcast == 2 && s.hash == 1 && s.pushed >= 2, s)
+  }
+
+  test("q7_semi_join: broadcast semi join, zero hash exchanges") {
+    val s = shape("q7_semi_join")
+    assert(s.hash == 0 && s.bcast == 1, s)
+  }
+
+  test("q15_topk_per_group: single shuffle feeds the ranking window") {
+    val s = shape("q15_topk_per_group")
+    assert(s.hash == 1, s)
+  }
+
+  test("q53_scd2_build: two exchanges total (tiebreak + shared key window)") {
+    val s = shape("q53_scd2_build")
+    assert(s.hash == 2, s)
+  }
+
+  test("q57_hash_sample: one exchange (partial+final stratified counts)") {
+    val s = shape("q57_hash_sample")
+    assert(s.hash == 1 && s.bcast == 0, s)
+  }
+}
