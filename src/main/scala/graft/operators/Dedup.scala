@@ -268,9 +268,11 @@ object Dedup {
     }
     if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds — a " +
-          "component has diameter > maxIter; raise maxIter (labels " +
-          "would silently split one real cluster into several)")
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "with pointer jumping that implies a component of diameter " +
+          s"~2^$maxIter, so first suspect malformed edges (e.g. ids not " +
+          "in `nodes`); raise maxIter only if such a graph is expected " +
+          "(stopping early would silently split one real cluster)")
     labels
   }
 

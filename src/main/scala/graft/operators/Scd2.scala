@@ -35,8 +35,11 @@ object Scd2 {
       ordCol: String,
       attrCols: Seq[String],
       endOfTime: Column): DataFrame = {
-    val reserved = Seq("valid_from", "valid_to", "_chg").filter(c =>
-      c != ordCol && df.columns.contains(c))
+    // valid_from/valid_to may coincide with ordCol (the rename chain
+    // handles that); _chg is unconditionally reserved — as ordCol it
+    // would be clobbered by the change-flag column before the rename
+    val reserved = (Seq("valid_from", "valid_to").filter(_ != ordCol)
+      :+ "_chg").filter(df.columns.contains)
     require(reserved.isEmpty,
       s"Scd2.build reserves output columns ${reserved.mkString(", ")} — " +
         "rename them in the input (e.g. when re-compressing an existing " +

@@ -52,6 +52,12 @@ object Layout {
   def writeZOrdered(df: DataFrame, path: String,
       colA: String, colB: String, numFiles: Int,
       bits: Int = 12): Unit = {
+    require(!df.columns.contains("_z"),
+      "writeZOrdered reserves the working column _z — rename it in the " +
+        "input first (it would be silently overwritten and dropped)")
+    // 31 keeps the top interleaved bit at 61/60 — bit 31 of colA would
+    // land on the long's sign bit and invert the sort order
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
     val r = df.agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).first()
     if (r.isNullAt(0) || r.isNullAt(2)) {
