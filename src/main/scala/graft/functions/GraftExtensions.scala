@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ShingleRewriteRule): users writing stock Spark HOFs get the
     // one-pass kernel without importing graft APIs
     ext.injectOptimizerRule(_ => ShingleRewriteRule)
+    // whole-operator as-of join (custom LogicalPlan → custom SparkPlan)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

@@ -60,4 +60,37 @@ object AsOf {
       left.columns.map(c => col(s"_lrow.$c").as(c)) ++
         payload.map(p => col(s"_m.$p").as(p)): _*)
   }
+
+  /** Same as-of semantics through the whole-operator extension stack
+    * (custom LogicalPlan + Strategy + SparkPlan — see
+    * [[graft.plans.AsOfJoinPlan]]): hash-partition + sort per side, then
+    * a forward-only streaming merge per partition with O(1) state — no
+    * window buffering. Results are spec-asserted identical to [[join]].
+    * Output row order within partitions follows the left side's
+    * (key, ts) sort, not the left input order.
+    */
+  def joinNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies
+        .contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    // re-alias the right side so its attribute ids are fresh — a
+    // self-join (both sides from one source) would otherwise carry
+    // duplicate expression ids into the hand-built plan
+    val r2 = right.select(right.columns.map(c => col(c).as(c)): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = r2.queryExecution.analyzed
+    def attr(plan: LogicalPlan, n: String) =
+      plan.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not found in ${plan.output.map(_.name)}"))
+    org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
+      graft.plans.AsOfJoinPlan(lPlan, rPlan,
+        keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+        attr(lPlan, leftTs), attr(rPlan, rightTs),
+        payload.map(attr(rPlan, _))))
+  }
 }

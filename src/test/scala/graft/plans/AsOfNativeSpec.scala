@@ -1,0 +1,76 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.AsOf
+import org.apache.spark.sql.functions._
+
+/** The whole-operator as-of join (custom LogicalPlan → Strategy →
+  * SparkPlan) must produce exactly the composed operator's result set —
+  * which q43 already proves equal to DuckDB's native ASOF JOIN.
+  */
+class AsOfNativeSpec extends SparkSpec {
+
+  private def norm(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy(df.columns.map(col): _*).collect().map(_.toString).toSeq
+
+  test("native ≡ composed on the real event corpus (q43 shape)") {
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
+    val errors = ev.filter(col("event_type") === "error")
+      .withColumn("_r", row_number().over(w)).filter(col("_r") === 1)
+      .select(col("user_id"), col("ts").as("err_ts"),
+        col("value").as("err_value"))
+    val composed = AsOf.join(clicks, errors, Seq("user_id"),
+      "ts", "err_ts", Seq("err_ts", "err_value"))
+    val native = AsOf.joinNative(clicks, errors, Seq("user_id"),
+      "ts", "err_ts", Seq("err_ts", "err_value"))
+    assert(norm(native) == norm(composed))
+  }
+
+  test("nulls: right ts never matches; unmatched keys yield null payload") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 5L, "b"), (2L, 7L, "c"))
+      .toDF("k", "ts", "lv")
+    val right = Seq((1L, Some(6L), "r6"), (1L, None, "rnull"),
+      (3L, Some(1L), "other"))
+      .toDF("k", "rts", "rv")
+    val out = AsOf.joinNative(left, right, Seq("k"), "ts", "rts", Seq("rv"))
+      .orderBy("k", "ts").collect()
+    // k=1 ts=5: r6 is later, null-ts row never matches -> null
+    // k=1 ts=10: matches r6; k=2: no right rows -> null
+    assert(out.map(r => (r.getLong(0), r.getLong(1),
+      Option(r.getString(3)))).toSeq ==
+      Seq((1L, 5L, None), (1L, 10L, Some("r6")), (2L, 7L, None)))
+    // composed operator agrees on the same input
+    val composed = AsOf.join(left, right, Seq("k"), "ts", "rts", Seq("rv"))
+    assert(norm(AsOf.joinNative(left, right, Seq("k"), "ts", "rts",
+      Seq("rv"))) == norm(composed))
+  }
+
+  test("physical plan: AsOfJoinExec with one exchange+sort per side") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a")).toDF("k", "ts", "lv")
+    val right = Seq((1L, 6L, "r")).toDF("k", "rts", "rv")
+    val plan = AsOf.joinNative(left, right, Seq("k"), "ts", "rts",
+      Seq("rv")).queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan)
+    assert("Sort \\[".r.findAllIn(plan).size == 2, plan)
+  }
+
+  test("self-join (both sides from one source) gets fresh attribute ids") {
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val out = AsOf.joinNative(
+      ev.withColumnRenamed("value", "lval"),
+      ev.select(col("user_id"), col("ts").as("rts"),
+        col("value").as("rval")),
+      Seq("user_id"), "ts", "rts", Seq("rval"))
+    assert(out.count() == ev.count())
+    // every row matches itself-or-earlier, so no null payloads
+    assert(out.filter(col("rval").isNull).count() == 0)
+  }
+}
