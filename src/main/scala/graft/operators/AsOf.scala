@@ -72,21 +72,39 @@ object AsOf {
   def joinNative(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    require(keys.nonEmpty,
+      "joinNative requires at least one key (for a keyless global-" +
+        "timeline as-of join use AsOf.join, whose window may be global)")
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies
-        .contains(graft.plans.AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    // idempotent session-global registration: synchronized, and a no-op
+    // when the strategy is already present (e.g. injected via
+    // spark.sql.extensions=graft.functions.GraftExtensions)
+    AsOf.synchronized {
+      val present = spark.sessionState.planner.strategies
+        .contains(graft.plans.AsOfJoinStrategy) ||
+        spark.experimental.extraStrategies
+          .contains(graft.plans.AsOfJoinStrategy)
+      if (!present)
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    }
     // re-alias the right side so its attribute ids are fresh — a
     // self-join (both sides from one source) would otherwise carry
     // duplicate expression ids into the hand-built plan
     val r2 = right.select(right.columns.map(c => col(c).as(c)): _*)
     val lPlan = left.queryExecution.analyzed
     val rPlan = r2.queryExecution.analyzed
+    // resolve names with the session resolver (case-insensitive by
+    // default, matching col() resolution in the composed operator)
+    val resolver = spark.sessionState.analyzer.resolver
     def attr(plan: LogicalPlan, n: String) =
-      plan.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $n not found in ${plan.output.map(_.name)}"))
+      plan.output.filter(a => resolver(a.name, n)) match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(
+          s"column $n not found in ${plan.output.map(_.name)}")
+        case many => throw new IllegalArgumentException(
+          s"column $n is ambiguous: ${many.map(_.name)}")
+      }
     org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
       graft.plans.AsOfJoinPlan(lPlan, rPlan,
         keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),

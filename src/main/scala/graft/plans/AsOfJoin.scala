@@ -38,6 +38,19 @@ final case class AsOfJoinPlan(
     leftTs: Attribute,
     rightTs: Attribute,
     payload: Seq[Attribute]) extends BinaryNode {
+  // the hand-built plan bypasses analyzer type coercion (the composed
+  // operator gets it from unionByName), and HashPartitioning/orderings
+  // are type-specific — mismatched sides would silently mis-partition
+  // and mis-compare, so fail construction instead
+  require(leftKeys.nonEmpty, "as-of join requires at least one key")
+  leftKeys.zip(rightKeys).foreach { case (l, r) =>
+    require(l.dataType == r.dataType,
+      s"as-of key type mismatch: ${l.name}: ${l.dataType} vs " +
+        s"${r.name}: ${r.dataType} — cast the sides to a common type")
+  }
+  require(leftTs.dataType == rightTs.dataType,
+    s"as-of timestamp type mismatch: ${leftTs.dataType} vs " +
+      s"${rightTs.dataType} — cast the sides to a common type")
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -97,9 +110,12 @@ final case class AsOfJoinExec(
       val lTsProj = UnsafeProjection.create(Seq(ltsA), leftOut)
       val rTsProj = UnsafeProjection.create(Seq(rtsA), rightOut)
       val payloadProj = UnsafeProjection.create(payloadA, rightOut)
-      val resultProj = UnsafeProjection.create(
-        leftOut ++ payloadA.map(_.withNullability(true)),
-        leftOut ++ payloadA)
+      // bind against the NULLABLE payload attrs on the input side too:
+      // BoundReference takes nullability from the input schema, and a
+      // null-check-free projection would read the all-null nullPayload
+      // as 0/garbage for primitives on unmatched rows
+      val outAttrs = leftOut ++ payloadA.map(_.withNullability(true))
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(tsType))
       val nullPayload = new GenericInternalRow(payloadA.size)
@@ -118,16 +134,15 @@ final case class AsOfJoinExec(
         while (advance) {
           val rKey = rKeyProj(rNext)
           val cmp = keyOrd.compare(rKey, lKey)
+          // null-ness read off the projected single-field ts row — no
+          // per-row attribute lookups in the hot path
+          val rTs = rTsProj(rNext)
+          val rTsNull = rTs.isNullAt(0)
+          // consume while (key, ts) <= (lKey, lTs); a null right ts
+          // sorts first within its key and never matches (skipped below)
           if (cmp < 0 ||
-              (cmp == 0 && {
-                val rTs = rTsProj(rNext)
-                // null right ts never matches (sorts first; skip below)
-                !rNext.isNullAt(rightOut.indexOf(rtsA)) &&
-                  tsOrd.compare(rTs, lTs) <= 0
-              }) ||
-              (cmp <= 0 && rNext.isNullAt(rightOut.indexOf(rtsA)))) {
-            // consume: remember it only if its ts is real
-            if (!rNext.isNullAt(rightOut.indexOf(rtsA))) {
+              (cmp == 0 && (rTsNull || tsOrd.compare(rTs, lTs) <= 0))) {
+            if (!rTsNull) {
               lastKey = rKey.copy()
               lastPayload = payloadProj(rNext).copy()
             }

@@ -50,6 +50,37 @@ class AsOfNativeSpec extends SparkSpec {
       Seq("rv"))) == norm(composed))
   }
 
+  test("non-nullable payload: unmatched rows yield NULL, never 0/garbage") {
+    import spark.implicits._
+    // Seq.toDF makes pay a non-nullable LongType — the projection must
+    // still null-check when reading the all-null row for unmatched keys
+    val left = Seq((2L, 7L)).toDF("k", "ts")
+    val right = Seq((1L, 5L, 100L)).toDF("k", "rts", "pay")
+    val out = AsOf.joinNative(left, right, Seq("k"), "ts", "rts",
+      Seq("pay")).collect()
+    assert(out.length == 1 && out.head.isNullAt(2),
+      s"expected null payload, got ${out.head}")
+  }
+
+  test("mismatched key/ts types are rejected at construction") {
+    import spark.implicits._
+    val left = Seq((1, 7L)).toDF("k", "ts")          // k: int
+    val right = Seq((1L, 5L, "x")).toDF("k", "rts", "v") // k: long
+    val e = intercept[IllegalArgumentException] {
+      AsOf.joinNative(left, right, Seq("k"), "ts", "rts", Seq("v"))
+    }
+    assert(e.getMessage.contains("type mismatch"))
+  }
+
+  test("case-insensitive column resolution (session default)") {
+    import spark.implicits._
+    val left = Seq((1L, 7L)).toDF("User_ID", "ts")
+    val right = Seq((1L, 5L, "x")).toDF("user_id", "rts", "v")
+    val out = AsOf.joinNative(left, right, Seq("USER_ID"), "ts", "rts",
+      Seq("v")).collect()
+    assert(out.length == 1 && out.head.getString(2) == "x")
+  }
+
   test("physical plan: AsOfJoinExec with one exchange+sort per side") {
     import spark.implicits._
     val left = Seq((1L, 10L, "a")).toDF("k", "ts", "lv")
