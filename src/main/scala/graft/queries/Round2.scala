@@ -200,6 +200,47 @@ object Round2 {
              |  COUNT(*) FILTER (CAST(concat('0x', substr(
              |    md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
              |    < 10) AS n_sampled
-             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- the whole-operator as-of join (custom LogicalPlan → Strategy
+    // → SparkPlan, graft.plans.AsOfJoinExec) under the SAME oracle as
+    // the composed q43: DuckDB's native ASOF JOIN — the custom physical
+    // operator itself is hash-checked by the driver, not only
+    // spec-compared to the composed twin
+    QueryDef("q58_asof_native",
+      (s, dir) => {
+        val ev = t("events")(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("value"))
+        val errW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("ts"))
+          .orderBy(col("event_id").desc)
+        val errors = ev.filter(col("event_type") === "error")
+          .withColumn("_r", row_number().over(errW))
+          .filter(col("_r") === 1)
+          .select(col("user_id"), col("ts").as("err_ts"),
+            col("value").as("err_value"))
+        graft.operators.AsOf.joinNative(clicks, errors, Seq("user_id"),
+            "ts", "err_ts", Seq("err_ts", "err_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id,
+             |    CAST(ts AS TIMESTAMP) AS ts, value, event_type
+             |  FROM events),
+             |clicks AS (SELECT event_id, user_id, ts, value FROM ev
+             |  WHERE event_type = 'click'),
+             |err0 AS (SELECT user_id, ts, value, event_id FROM ev
+             |  WHERE event_type = 'error'),
+             |err1 AS (SELECT *, row_number() OVER (
+             |    PARTITION BY user_id, ts ORDER BY event_id DESC) AS r
+             |  FROM err0),
+             |errors AS (SELECT user_id, ts AS err_ts,
+             |    value AS err_value FROM err1 WHERE r = 1)
+             |SELECT c.event_id, c.user_id, c.ts, c.value,
+             |  e.err_ts, e.err_value
+             |FROM clicks c ASOF LEFT JOIN errors e
+             |  ON c.user_id = e.user_id AND c.ts >= e.err_ts
+             |ORDER BY c.event_id""".stripMargin))
   )
 }
