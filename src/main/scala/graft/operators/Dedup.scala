@@ -247,18 +247,27 @@ object Dedup {
       // (verified: a 300-node chain converges in 9 rounds, not 299).
       // Safe: a label is always an id inside the same component, so its
       // label is too — labels only ever decrease toward the true min.
-      val viaJump = labels.as("l1")
-        .join(labels.as("l2"), col("l1.cluster") === col("l2.id"))
-        .select(col("l1.id").as("id3"), col("l2.cluster").as("jc"))
+      // The jump join is deferred to round 2: shallow components (the
+      // common near-dup case, diameter 1-2) converge before paying the
+      // extra labels⨝labels shuffle; deep graphs still get O(log).
+      val viaJump =
+        if (i == 0) None
+        else Some(labels.as("l1")
+          .join(labels.as("l2"), col("l1.cluster") === col("l2.id"))
+          .select(col("l1.id").as("id3"), col("l2.cluster").as("jc")))
       // the change flag rides the checkpointed round output, so the
       // convergence check is a cheap scan of it, not another join
-      val next = labels.join(viaNeighbors,
-          labels("id") === viaNeighbors("id2"), "left")
-        .join(viaJump, labels("id") === col("id3"), "left")
+      val withNc = labels.join(viaNeighbors,
+        labels("id") === viaNeighbors("id2"), "left")
+      val next = viaJump.fold(withNc.select(col("id"),
+          least(col("cluster"), coalesce(col("nc"), col("cluster")))
+            .as("newc"),
+          col("cluster").as("oldc")))(vj => withNc
+        .join(vj, labels("id") === col("id3"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nc"), col("cluster")),
             coalesce(col("jc"), col("cluster"))).as("newc"),
-          col("cluster").as("oldc"))
+          col("cluster").as("oldc")))
         .select(col("id"), col("newc").as("cluster"),
           (col("newc") =!= col("oldc")).as("_changed"))
         .localCheckpoint()
