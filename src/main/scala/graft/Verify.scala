@@ -21,6 +21,10 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // drop per-query persisted intermediates (q54 tf, q55 shingles)
+        // so they don't occupy memory while later queries run
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

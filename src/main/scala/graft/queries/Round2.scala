@@ -44,8 +44,11 @@ object Round2 {
         val log = ev.withColumn("_r", row_number().over(wTie))
           .filter(col("_r") === 1)
           .select(col("user_id"), col("ts"), col("value"))
+        // open-end sentinel must stay inside int64 NANOSECOND range
+        // (max 2262-04-11): the driver's compare reads the parquet dump
+        // at ns precision, and 9999-12-31 silently wraps to 1816
         Scd2.build(log, Seq("user_id"), "ts", Seq("value"),
-            lit("9999-12-31 00:00:00").cast("timestamp"))
+            lit("2200-01-01 00:00:00").cast("timestamp"))
           .select(col("user_id"), col("value"),
             col("valid_from"), col("valid_to"))
           .orderBy(col("user_id"), col("valid_from"))
@@ -65,7 +68,7 @@ object Round2 {
              |SELECT user_id, value, valid_from,
              |  coalesce(lead(valid_from) OVER (PARTITION BY user_id
              |    ORDER BY valid_from),
-             |    TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+             |    TIMESTAMP '2200-01-01 00:00:00') AS valid_to
              |FROM f ORDER BY user_id, valid_from""".stripMargin)),
 
     // ---- TF-IDF term scoring, top-5 terms per document. The idf is the

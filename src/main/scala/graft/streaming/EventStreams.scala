@@ -70,7 +70,11 @@ object EventStreams {
     // but it is only consulted at relation-resolution time, so set it
     // just for the readStream call and restore — unrelated
     // TIMESTAMP(NANOS) reads in the session are unaffected (same
-    // save/restore contract as Tables.load).
+    // save/restore contract as Tables.load). Micro-batches resolved
+    // AFTER the restore still read fine because the user-supplied
+    // eventFileSchema (ts: long) governs the runtime scans — verified
+    // across 2 real file-source micro-batches by
+    // ReadEventsFileStreamSpec.
     val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try spark.readStream
@@ -261,8 +265,8 @@ object EventStreams {
     * over at-least-once transports.
     */
   def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
-      watermark: String): DataFrame =
-    events.withWatermark("ts", watermark)
+      watermark: String, tsCol: String = "ts"): DataFrame =
+    events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
   /** Stream each micro-batch through a [[graft.sink.TargetSpec]] with

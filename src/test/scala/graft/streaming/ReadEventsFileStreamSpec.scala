@@ -1,0 +1,51 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.SparkSpec
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Regression test for the file-source read path (ADVICE r2): a parquet
+  * file-stream source re-resolves its relation per micro-batch at query
+  * runtime, so the TIMESTAMP(NANOS) events file must stay readable AFTER
+  * `readEvents` returns and `spark.sql.legacy.parquet.nanosAsLong` has
+  * been restored. MemoryStream tests can't catch this — only a real
+  * file source across 2+ micro-batches does.
+  */
+class ReadEventsFileStreamSpec extends SparkSpec {
+
+  test("readEvents processes 2+ micro-batches of the NANOS parquet " +
+      "with the session flag restored") {
+    val src = Paths.get("/root/testdata/sf0.001/events.parquet")
+    assume(Files.exists(src), "driver testdata not present")
+    val dir = Files.createTempDirectory("graft-evstream")
+    // two copies -> two files -> maxFilesPerTrigger=1 gives 2 batches
+    Files.copy(src, dir.resolve("f1.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(src, dir.resolve("f2.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    val events =
+      EventStreams.readEvents(spark, dir.toString, maxFilesPerTrigger = 1)
+    // the flag must be restored by now; the batches below still succeed
+    assert(spark.conf
+      .getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty ||
+      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") != "true",
+      "readEvents should not leave the session flag set")
+
+    val q = events.writeStream.format("memory").queryName("ev_file")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val perFile =
+        graft.Tables.load(spark, "/root/testdata/sf0.001", "events").count()
+      assert(spark.table("ev_file").count() == 2 * perFile)
+      // both files really went through the micro-batch executor
+      val batches = q.recentProgress.map(_.batchId).distinct.length
+      assert(batches >= 2, s"expected >=2 micro-batches, saw $batches")
+      // event-time column came out as a usable timestamp, not a raw long
+      assert(spark.table("ev_file").schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType)
+    } finally q.stop()
+  }
+}
