@@ -85,8 +85,25 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
       maxShingleDf: Option[Int] = None,
-      cache: Boolean = true): DataFrame = {
-    val sh0 = shingleSet(df, idCol, textCol, n, cache)
+      cache: Boolean = true,
+      joinOnHash: Boolean = true): DataFrame = {
+    // joinOnHash: key the self-join and pair aggregation on the 8-byte
+    // 60-bit md5 hash of the shingle instead of the shingle STRING — a
+    // 3-5× cut in shuffle width on the hottest exchange (the n-gram
+    // string is 20-60 bytes) plus cheaper hashing/compare in the join
+    // itself. The hash is projected BEFORE the persist, so md5 runs
+    // once per (doc, shingle) row — not once per join side — and the
+    // cached frame is 8-byte keys, not strings. An md5-60bit collision
+    // (≈ p²/2^61 across p distinct shingles — negligible below ~10^8)
+    // inflates an intersection count deterministically; the DuckDB
+    // oracle replays the same hash family, so results stay engine-
+    // identical either way. joinOnHash=false keeps exact string keys.
+    val raw = shingleSet(df, idCol, textCol, n, cache = false)
+    val hashed =
+      if (joinOnHash) raw.select(col("doc_id"), TextOps.hash60(col("s")).as("s"))
+      else raw
+    val sh0 =
+      if (cache) hashed.persist(StorageLevel.MEMORY_AND_DISK) else hashed
     val sh = maxShingleDf match {
       case Some(cap) =>
         val keep = sh0.groupBy("s").agg(count(lit(1)).as("df"))
@@ -96,7 +113,8 @@ object Dedup {
     }
     // sizes from the UNCAPPED sets: denominators stay exact, so the
     // capped variant under-reports J (lower bound) instead of reporting
-    // the Jaccard of filtered sets (which can over- or under-report)
+    // the Jaccard of filtered sets (which can over- or under-report).
+    // (Projection preserves row counts, so hashed sizes ≡ string sizes.)
     val sz = sh0.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val out = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") &&

@@ -15,7 +15,7 @@ object CorpusOps {
   private def t(name: String): QueryFn = (s, dir) => Tables.load(s, dir, name)
 
   /** DuckDB 60-bit hash twin of [[TextOps.hash60]]. */
-  private def oH60(e: String): String =
+  private[queries] def oH60(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
   /** DuckDB CTEs producing the distinct 3-shingle set (doc_id, s). */
@@ -53,9 +53,10 @@ object CorpusOps {
           "doc_id", "text", n = 3, threshold = 0.6)
         .orderBy(col("da"), col("db")),
       Some(s"""WITH $oShingles,
+              |hs AS (SELECT doc_id, ${oH60("s")} AS h FROM sh),
               |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
               |p AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) AS inter
-              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
               |  GROUP BY 1, 2)
               |SELECT da, db, inter,
               |  inter / (x.n + y.n - inter) AS jaccard

@@ -176,9 +176,10 @@ object Extras {
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH RECURSIVE ${CorpusOps.oShinglesSql},
+              |hs AS (SELECT doc_id, ${CorpusOps.oH60("s")} AS h FROM sh),
               |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
               |p AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) AS inter
-              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
               |  GROUP BY 1, 2),
               |pairs AS (SELECT da, db FROM p
               |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
@@ -215,9 +216,10 @@ object Extras {
           .orderBy(col("split"))
       },
       Some(s"""WITH RECURSIVE ${CorpusOps.oShinglesSql},
+              |hs AS (SELECT doc_id, ${CorpusOps.oH60("s")} AS h FROM sh),
               |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
               |p AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) AS inter
-              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
               |  GROUP BY 1, 2),
               |pairs AS (SELECT da, db FROM p
               |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id

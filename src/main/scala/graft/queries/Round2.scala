@@ -124,16 +124,23 @@ object Round2 {
     // broadcasts; no quadratic doc×doc comparison ever materializes.
     QueryDef("q55_decontaminate",
       (s, dir) => {
-        // cache=true: the bench and candidate branches both read the
-        // shingle set — persisted, the corpus is shingled once, not twice
+        // The bench and candidate branches both read the shingle set —
+        // persisted, the corpus is shingled once, not twice. The
+        // join/count key is the 60-bit hash of the 8-gram (~60-byte
+        // string → 8-byte long): smaller broadcast table, cheaper
+        // probes; hashing happens BEFORE the persist so md5 runs once
+        // per row and the cached frame holds longs, not strings. The
+        // oracle replays the same hash family.
         val sh = Dedup.shingleSet(t("documents")(s, dir),
-          "doc_id", "text", n = 8, cache = true)
+            "doc_id", "text", n = 8, cache = false)
+          .select(col("doc_id"), graft.operators.TextOps.hash60(col("s")).as("h"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val bench = sh.filter(col("doc_id") % 7 === 0)
-          .select(col("doc_id").as("bench_id"), col("s"))
+          .select(col("doc_id").as("bench_id"), col("h"))
         val cand = sh.filter(col("doc_id") % 7 =!= 0)
-        cand.join(broadcast(bench), "s")
+        cand.join(broadcast(bench), "h")
           .groupBy(col("doc_id"))
-          .agg(countDistinct(col("s")).as("n_shared"),
+          .agg(countDistinct(col("h")).as("n_shared"),
             countDistinct(col("bench_id")).as("n_bench"))
           .orderBy(col("doc_id"))
       },
@@ -147,12 +154,14 @@ object Round2 {
              |  ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
              |  ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
              |  ws[i+6] || ' ' || ws[i+7] AS s FROM idx),
-             |bench AS (SELECT doc_id AS bench_id, s FROM sh
+             |hs AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1,
+             |  15)) AS BIGINT) AS h FROM sh),
+             |bench AS (SELECT doc_id AS bench_id, h FROM hs
              |  WHERE doc_id % 7 = 0),
-             |cand AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 <> 0)
-             |SELECT c.doc_id, COUNT(DISTINCT c.s) AS n_shared,
+             |cand AS (SELECT doc_id, h FROM hs WHERE doc_id % 7 <> 0)
+             |SELECT c.doc_id, COUNT(DISTINCT c.h) AS n_shared,
              |  COUNT(DISTINCT b.bench_id) AS n_bench
-             |FROM cand c JOIN bench b ON c.s = b.s
+             |FROM cand c JOIN bench b ON c.h = b.h
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- cohort retention: users grouped by first-activity day, distinct
