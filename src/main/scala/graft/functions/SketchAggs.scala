@@ -143,6 +143,107 @@ case class MinHashAgg(
     copy(inputAggBufferOffset = o)
 }
 
+/** Misra-Gries frequent-items summary over a long key column: a bounded
+  * map of at most `capacity` candidate keys whose undercount error is
+  * ≤ n/(capacity+1) for a stream of n items. Any key with true
+  * frequency > n/(capacity+1) is GUARANTEED to survive — the summary is
+  * a superset of the heavy hitters at any threshold above that bound,
+  * which is what makes the two-pass heavy-hitters pattern exact: sketch
+  * for candidates (one narrow aggregate, no shuffle of the key
+  * universe), then verify candidates with exact counts.
+  *
+  * The buffer holds up to 2·capacity entries and compresses by
+  * subtracting the (capacity+1)-th largest count (the amortized-O(1)
+  * batch variant); merge is map-sum + the same compression, which keeps
+  * the error bound additive across partitions (mergeable-summaries
+  * property), so partial aggregation works like any built-in.
+  *
+  * eval returns the candidate KEYS only (array<long>) — downstream
+  * re-counts them exactly, so the sketch's approximate counts never
+  * reach a result.
+  */
+case class MisraGriesAgg(
+    child: Expression,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.LongMap[Long]] {
+
+  require(capacity > 0, "capacity must be positive")
+
+  override def createAggregationBuffer(): scala.collection.mutable.LongMap[Long] =
+    scala.collection.mutable.LongMap.empty[Long]
+
+  /** Subtract the (capacity+1)-th largest count and drop ≤0 entries —
+    * bounds the map at `capacity` survivors. Returns a rebuilt map when
+    * compression ran, the input map otherwise.
+    */
+  private def compress(m: scala.collection.mutable.LongMap[Long])
+      : scala.collection.mutable.LongMap[Long] =
+    if (m.size <= capacity) m
+    else {
+      val counts = m.values.toArray
+      java.util.Arrays.sort(counts)
+      // counts ascending; (capacity+1)-th largest = index size-capacity-1
+      val sub = counts(counts.length - capacity - 1)
+      val kept = scala.collection.mutable.LongMap.empty[Long]
+      m.foreach { case (k, c) => if (c > sub) kept.update(k, c - sub) }
+      kept
+    }
+
+  override def update(buf: scala.collection.mutable.LongMap[Long],
+      input: InternalRow): scala.collection.mutable.LongMap[Long] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val k = v.asInstanceOf[Long]
+      buf.update(k, buf.getOrElse(k, 0L) + 1L)
+      if (buf.size > 2 * capacity) compress(buf) else buf
+    }
+  }
+
+  override def merge(a: scala.collection.mutable.LongMap[Long],
+      b: scala.collection.mutable.LongMap[Long])
+      : scala.collection.mutable.LongMap[Long] = {
+    b.foreach { case (k, c) => a.update(k, a.getOrElse(k, 0L) + c) }
+    compress(a)
+  }
+
+  override def eval(buf: scala.collection.mutable.LongMap[Long]): Any = {
+    val keys = compress(buf).keys.toArray
+    java.util.Arrays.sort(keys)
+    new GenericArrayData(keys)
+  }
+
+  override def serialize(buf: scala.collection.mutable.LongMap[Long])
+      : Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    buf.foreach { case (k, c) => bb.putLong(k); bb.putLong(c) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte])
+      : scala.collection.mutable.LongMap[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val m = scala.collection.mutable.LongMap.empty[Long]
+    var i = 0
+    while (i < n) { m.update(bb.getLong, bb.getLong); i += 1 }
+    m
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c.head)
+  override def withNewMutableAggBufferOffset(o: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = o)
+}
+
 object SketchAggs {
   /** SimHash of a long hash column (aggregate). */
   def simhash(h: Column): Column =
@@ -153,5 +254,14 @@ object SketchAggs {
   def minhash(h: Column, constants: Seq[Long]): Column =
     ColumnBridge.column(
       MinHashAgg(ColumnBridge.expression(h), constants)
+        .toAggregateExpression())
+
+  /** Misra-Gries frequent-items candidate keys of a long column
+    * (aggregate; array<long> of ≤ capacity candidates, a guaranteed
+    * superset of keys with frequency > n/(capacity+1)).
+    */
+  def misraGries(key: Column, capacity: Int): Column =
+    ColumnBridge.column(
+      MisraGriesAgg(ColumnBridge.expression(key), capacity)
         .toAggregateExpression())
 }

@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Freq, TextOps}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Round-3 additions: sketch-based frequency analysis. */
+object Round3 {
+  private def t(name: String): QueryFn = (s, dir) => Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- exact heavy hitters via Misra-Gries candidates + exact
+    // verification: vocabulary terms covering ≥0.1% of the corpus
+    // token stream. The sketch pass never shuffles the key universe
+    // (one ≤4096-entry summary per task, merged to one array); only
+    // rows of candidate words reach the exact count. The guarantee
+    // threshold n/4097 sits 4× below the 0.001·n cut, so the verified
+    // output equals the true heavy-hitter set — which is exactly what
+    // the plain-SQL oracle computes.
+    QueryDef("q59_heavy_hitters",
+      (s, dir) => {
+        // words feeds three branches (threshold, candidates, verify) —
+        // persist or the corpus is re-tokenized per branch (q54 note)
+        val words = t("documents")(s, dir)
+          .select(explode(TextOps.words(col("text"))).as("word"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val thr = words
+          .agg(ceil(count(lit(1)) * 0.001).cast("bigint").as("t"))
+        Freq.heavyHitterCounts(words, "word", capacity = 4096)
+          .crossJoin(broadcast(thr))
+          .filter(col("n_rows") >= col("t"))
+          .select(col("word"), col("n_rows").as("n"))
+          .orderBy(col("word"))
+      },
+      Some("""WITH w AS (SELECT unnest(list_filter(
+             |    string_split_regex(lower(text), '\s+'),
+             |    x -> len(x) > 0)) AS word FROM documents)
+             |SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+             |FROM w GROUP BY word
+             |HAVING COUNT(*) >=
+             |  (SELECT CAST(CEIL(COUNT(*) * 0.001) AS BIGINT) FROM w)
+             |ORDER BY word""".stripMargin)),
+
+    // ---- TPC-H Q3 shape (shipping-priority): the canonical
+    // dim-filter → fact-join → aggregate → top-k plan. The filtered
+    // customer segment broadcasts into orders (dim-side prune BEFORE
+    // the fact join), so the only wide shuffle is lineitem⨝orders on
+    // l_orderkey — the join order a 100 TB plan needs. Revenue uses
+    // exact decimal accumulation (dsum2) for cross-engine stability.
+    QueryDef("q60_tpch3",
+      (s, dir) => {
+        val cut = lit("1998-01-01").cast("timestamp")
+        val cust = t("customer")(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val ord = t("orders")(s, dir)
+          .filter(col("o_orderdate") < cut)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        t("lineitem")(s, dir)
+          .filter(col("l_shipdate") > cut)
+          .select(col("l_orderkey"), col("l_extendedprice"),
+            col("l_discount"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderdate"),
+            col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, o_orderdate,
+              |  ${oSum2("l_extendedprice", "1.0 - l_discount")} AS revenue
+              |FROM customer, orders, lineitem
+              |WHERE c_mktsegment = 'BUILDING'
+              |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              |  AND o_orderdate < TIMESTAMP '1998-01-01'
+              |  AND l_shipdate > TIMESTAMP '1998-01-01'
+              |GROUP BY l_orderkey, o_orderdate
+              |ORDER BY revenue DESC, o_orderdate, l_orderkey
+              |LIMIT 10""".stripMargin)),
+
+    // ---- TPC-H Q5 shape (local-supplier volume): six-table join with
+    // a cross-dimension equality (customer and supplier share the
+    // nation). All dimension chains (region→nation→supplier /
+    // →customer) broadcast; lineitem⨝orders is again the single wide
+    // shuffle. The s_nationkey = c_nationkey condition rides the
+    // supplier broadcast join — no extra exchange.
+    QueryDef("q61_tpch5",
+      (s, dir) => {
+        val asia = t("region")(s, dir).filter(col("r_name") === "ASIA")
+        val nat = t("nation")(s, dir)
+          .join(broadcast(asia),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val sup = t("supplier")(s, dir)
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+        val cust = t("customer")(s, dir).select(
+          col("c_custkey"), col("c_nationkey"))
+        val ord = t("orders")(s, dir)
+          .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        t("lineitem")(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"),
+            col("l_extendedprice"), col("l_discount"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some(s"""SELECT n_name,
+              |  ${oSum2("l_extendedprice", "1.0 - l_discount")} AS revenue
+              |FROM customer, orders, lineitem, supplier, nation, region
+              |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              |  AND r_name = 'ASIA'
+              |  AND o_orderdate >= TIMESTAMP '1998-01-01'
+              |  AND o_orderdate < TIMESTAMP '1999-01-01'
+              |GROUP BY n_name
+              |ORDER BY revenue DESC, n_name""".stripMargin))
+  )
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.SketchAggs
+import org.apache.spark.sql.functions._
+
+/** Misra-Gries heavy hitters: sketch superset guarantee, mergeability
+  * across many partitions, and exactness of the verified two-pass
+  * operator against brute-force groupBy.
+  */
+class FreqSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Zipf-ish stream: key k repeated ~N/k times, k = 1..80, shuffled
+    * deterministically across the frame.
+    */
+  private def zipf(n: Int): Seq[Long] = {
+    val s = (1 to 80).flatMap(k => Seq.fill(n / k)(k.toLong))
+    // deterministic shuffle so partitions see mixed key order
+    s.zipWithIndex.sortBy { case (v, i) => (i * 2654435761L) % s.length }
+      .map(_._1)
+  }
+
+  test("sketch candidates are a superset of true heavy hitters") {
+    val data = zipf(2000)
+    val df = data.toDF("k").repartition(16)
+    val cap = 32
+    val cand = df.agg(SketchAggs.misraGries(col("k"), cap).as("ks"))
+      .select(explode(col("ks")).as("k")).as[Long].collect().toSet
+    assert(cand.size <= cap)
+    val n = data.length
+    val truth = data.groupBy(identity).view.mapValues(_.size)
+    val bound = n / (cap + 1)
+    val mustSurvive = truth.filter(_._2 > bound).keySet
+    assert(mustSurvive.nonEmpty, "fixture must have heavy keys")
+    assert(mustSurvive.subsetOf(cand),
+      s"missing: ${mustSurvive -- cand}")
+  }
+
+  test("heavyHitterCounts filtered at a valid threshold is exact") {
+    val data = zipf(2000)
+    val df = data.toDF("k").repartition(16)
+    val n = data.length
+    val thr = n / 20 // 5% — far above n/(cap+1) with cap=64
+    val got = Freq.heavyHitterCounts(df, "k", capacity = 64)
+      .filter(col("n_rows") >= thr)
+      .as[(Long, Long)].collect().toMap
+    val want = data.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= thr).toMap
+    assert(got == want)
+  }
+
+  test("string keys verify on the original key, not the hash") {
+    val df = Seq.fill(50)("alpha").map(Tuple1(_))
+      .++(Seq.fill(30)(Tuple1("beta")))
+      .++((1 to 40).map(i => Tuple1(s"rare$i")))
+      .toDF("w").repartition(8)
+    val got = Freq.heavyHitterCounts(df, "w", capacity = 16)
+      .filter(col("n_rows") >= 30)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("alpha" -> 50L, "beta" -> 30L))
+  }
+
+  test("adversarial: uniform keys at tiny capacity stay exact above the bound") {
+    // 400 distinct keys, 5 copies each — nothing is heavy at T=6, and
+    // the operator must return EMPTY (candidates exist, none verify)
+    val df = (1 to 400).flatMap(k => Seq.fill(5)(k.toLong)).toDF("k")
+      .repartition(16)
+    val got = Freq.heavyHitterCounts(df, "k", capacity = 8)
+      .filter(col("n_rows") >= 6).count()
+    assert(got == 0L)
+  }
+}

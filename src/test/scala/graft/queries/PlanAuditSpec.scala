@@ -65,4 +65,27 @@ class PlanAuditSpec extends SparkSpec {
     val s = shape("q57_hash_sample")
     assert(s.hash == 1 && s.bcast == 0, s)
   }
+
+  test("q60_tpch3: dims broadcast; wide shuffle only on the fact join + agg") {
+    val s = shape("q60_tpch3")
+    // customer segment broadcasts into orders (at sf0.001 the filtered
+    // orders side is small enough that Catalyst broadcasts it into
+    // lineitem too — more broadcast than the contract, never less);
+    // hash exchanges only for the aggregation
+    assert(s.bcast >= 1 && s.hash <= 2 && s.pushed >= 2, s)
+  }
+
+  test("q61_tpch5: all dimension chains broadcast, single fact shuffle + agg") {
+    val s = shape("q61_tpch5")
+    // region→nation, nation→supplier, customer→orders, supplier→fact
+    // all broadcast (small-scale estimates may broadcast the fact join
+    // too — more broadcast, never less); hash exchanges at most
+    // lineitem⨝orders + the final aggregation
+    assert(s.bcast >= 4 && s.hash <= 3, s)
+  }
+
+  test("q59_heavy_hitters: candidate set broadcasts back for exact verify") {
+    val s = shape("q59_heavy_hitters")
+    assert(s.bcast >= 2, s) // MG candidates + threshold scalar
+  }
 }
