@@ -94,4 +94,80 @@ object Sources {
     df.createOrReplaceTempView(name)
     df
   }
+
+  /** Render a value as a SQL literal for remote-side interpolation.
+    * Strings escape embedded quotes; temporal values render as typed
+    * literals; null renders as NULL.
+    */
+  private def sqlLiteral(v: Any): String = v match {
+    case null => "NULL"
+    case None => "NULL"
+    case Some(x) => sqlLiteral(x)
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case d: java.sql.Date => s"DATE '$d'"
+    case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+    case d: java.time.LocalDate => s"DATE '$d'"
+    case b: Boolean => if (b) "TRUE" else "FALSE"
+    case n @ (_: Int | _: Long | _: Short | _: Byte | _: Double |
+        _: Float) => n.toString
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: BigDecimal => d.toString
+    case other => throw new IllegalArgumentException(
+      s"unsupported SQL parameter type: ${other.getClass.getName}")
+  }
+
+  /** The OTHER half of the reference's `SqlRowSource` (SURVEY.md §2.1
+    * S3): the query executes IN the remote database and Spark streams
+    * the result — the reference's actual runtime shape ("expensive data
+    * filtering and aggregation during data extraction", README.md:18-19),
+    * vs [[sql]] which runs the statement natively under Catalyst.
+    *
+    * `:name` parameters are rendered as SQL literals before pushdown
+    * (JDBC sources take a query string, not a bound statement; the
+    * reference's engine-side binding has no Spark analog). Values go
+    * through [[sqlLiteral]] — strings are quote-escaped, so a value
+    * cannot terminate the literal, but as with the reference this is
+    * config-authored SQL, not an untrusted-input surface.
+    *
+    * Scale path: `partitionOn = Some((column, lower, upper, n))` wraps
+    * the query as a derived table and issues n range-partitioned
+    * parallel reads — without it a JDBC read is ONE connection on one
+    * executor, the classic single-reader bottleneck. The bounds only
+    * steer the split points; rows outside them are still read (Spark's
+    * stride semantics), so the result is identical, just parallel.
+    */
+  def jdbc(
+      spark: SparkSession,
+      url: String,
+      query: String,
+      properties: java.util.Properties = new java.util.Properties,
+      params: Map[String, Any] = Map.empty,
+      partitionOn: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    val bound = params.foldLeft(query) { case (q, (name, value)) =>
+      // word-boundary so :report_date does not clobber :report_date_2
+      q.replaceAll(":" + java.util.regex.Pattern.quote(name) + "\\b",
+        java.util.regex.Matcher.quoteReplacement(sqlLiteral(value)))
+    }
+    val reader = spark.read.format("jdbc")
+      .option("url", url)
+    partitionOn match {
+      case None =>
+        reader.option("query", bound).options(propsMap(properties)).load()
+      case Some((col, lower, upper, n)) =>
+        // query + partitionColumn are mutually exclusive in the JDBC
+        // source; a derived-table dbtable carries the pushed query
+        reader.option("dbtable", s"($bound) graft_sub")
+          .option("partitionColumn", col)
+          .option("lowerBound", lower)
+          .option("upperBound", upper)
+          .option("numPartitions", n)
+          .options(propsMap(properties))
+          .load()
+    }
+  }
+
+  private def propsMap(p: java.util.Properties): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    p.stringPropertyNames().asScala.map(k => k -> p.getProperty(k)).toMap
+  }
 }

@@ -1,0 +1,69 @@
+package graft.sources
+
+import java.sql.DriverManager
+
+import graft.SparkSpec
+
+/** `Sources.jdbc` — the remote-pushdown half of the reference's
+  * SqlRowSource, against embedded Derby: query pushdown, `:name`
+  * parameter rendering, and the range-partitioned parallel read.
+  */
+class JdbcSourceSpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:graftsrc;create=true"
+  private val props = {
+    val p = new java.util.Properties
+    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    p
+  }
+
+  private lazy val seeded: Unit = {
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE src_events (id INT, category VARCHAR(16), val DOUBLE)")
+      val ins = conn.prepareStatement(
+        "INSERT INTO src_events VALUES (?, ?, ?)")
+      (1 to 100).foreach { i =>
+        ins.setInt(1, i)
+        ins.setString(2, if (i % 3 == 0) "it's-odd" else "plain")
+        ins.setDouble(3, i * 1.5)
+        ins.addBatch()
+      }
+      ins.executeBatch()
+    } finally conn.close()
+  }
+
+  test("query pushdown with :name params (incl. quote-bearing string)") {
+    seeded
+    val df = Sources.jdbc(spark, url,
+      "SELECT id, val FROM src_events WHERE category = :cat AND id <= :cutoff",
+      props, params = Map("cat" -> "it's-odd", "cutoff" -> 30))
+    val rows = df.collect().map(r => r.getInt(0)).sorted
+    assert(rows.toSeq == (3 to 30 by 3))
+  }
+
+  test("param substitution respects word boundaries") {
+    seeded
+    val df = Sources.jdbc(spark, url,
+      "SELECT COUNT(*) AS n FROM src_events WHERE id > :lo AND id <= :lo2",
+      props, params = Map("lo" -> 10, "lo2" -> 20))
+    // Derby COUNT(*) surfaces as INT through the JDBC dialect
+    assert(df.selectExpr("CAST(n AS BIGINT)").collect().head.getLong(0) == 10L)
+  }
+
+  test("range-partitioned read parallelizes without changing the result") {
+    seeded
+    val single = Sources.jdbc(spark, url,
+      "SELECT id, val FROM src_events", props)
+    val parallel = Sources.jdbc(spark, url,
+      "SELECT id, val FROM src_events", props,
+      partitionOn = Some(("id", 1L, 100L, 4)))
+    assert(parallel.rdd.getNumPartitions == 4)
+    // stride semantics: same rows, just split across 4 range reads
+    assert(parallel.exceptAll(single).isEmpty &&
+      single.exceptAll(parallel).isEmpty)
+    assert(parallel.count() == 100L)
+  }
+}
