@@ -171,6 +171,18 @@ case class MisraGriesAgg(
 
   require(capacity > 0, "capacity must be positive")
 
+  // reject non-long keys at analysis time: update() unboxes the child
+  // value as Long, which would otherwise surface as a mid-job
+  // ClassCastException in executor tasks
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"misra_gries requires a BIGINT key, got " +
+          child.dataType.catalogString)
+
   override def createAggregationBuffer(): scala.collection.mutable.LongMap[Long] =
     scala.collection.mutable.LongMap.empty[Long]
 

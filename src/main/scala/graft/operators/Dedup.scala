@@ -65,6 +65,20 @@ object Dedup {
     if (cache) sh.persist(StorageLevel.MEMORY_AND_DISK) else sh
   }
 
+  /** Distinct (doc_id, h) pairs where h = 60-bit md5 hash of the
+    * n-gram shingle — the 8-byte-key form of [[shingleSet]] for
+    * joins/aggregations that don't need the shingle STRING. The hash is
+    * projected BEFORE the persist, so md5 runs once per row and the
+    * cached frame holds longs (~4× narrower than the string form); the
+    * DuckDB-oracle twin is `hash60(s)` over the same shingle CTE.
+    */
+  def hashedShingleSet(df: DataFrame, idCol: String, textCol: String,
+      n: Int, cache: Boolean = true): DataFrame = {
+    val hashed = shingleSet(df, idCol, textCol, n, cache = false)
+      .select(col("doc_id"), TextOps.hash60(col("s")).as("h"))
+    if (cache) hashed.persist(StorageLevel.MEMORY_AND_DISK) else hashed
+  }
+
   /** Exact n-gram Jaccard similarity join: all pairs with J ≥ threshold.
     *
     * Only pairs sharing ≥1 shingle are generated (join on the shingle),
@@ -88,22 +102,19 @@ object Dedup {
       cache: Boolean = true,
       joinOnHash: Boolean = true): DataFrame = {
     // joinOnHash: key the self-join and pair aggregation on the 8-byte
-    // 60-bit md5 hash of the shingle instead of the shingle STRING — a
-    // 3-5× cut in shuffle width on the hottest exchange (the n-gram
-    // string is 20-60 bytes) plus cheaper hashing/compare in the join
-    // itself. The hash is projected BEFORE the persist, so md5 runs
-    // once per (doc, shingle) row — not once per join side — and the
-    // cached frame is 8-byte keys, not strings. An md5-60bit collision
-    // (≈ p²/2^61 across p distinct shingles — negligible below ~10^8)
-    // inflates an intersection count deterministically; the DuckDB
-    // oracle replays the same hash family, so results stay engine-
-    // identical either way. joinOnHash=false keeps exact string keys.
-    val raw = shingleSet(df, idCol, textCol, n, cache = false)
-    val hashed =
-      if (joinOnHash) raw.select(col("doc_id"), TextOps.hash60(col("s")).as("s"))
-      else raw
+    // 60-bit md5 hash via [[hashedShingleSet]] — a 3-5× cut in shuffle
+    // width on the hottest exchange (the n-gram string is 20-60 bytes)
+    // plus cheaper hashing/compare in the join itself. An md5-60bit
+    // collision (≈ p²/2^61 across p distinct shingles — negligible
+    // below ~10^8) inflates an intersection count deterministically;
+    // the DuckDB oracle replays the same hash family, so results stay
+    // engine-identical either way. joinOnHash=false keeps exact string
+    // keys.
     val sh0 =
-      if (cache) hashed.persist(StorageLevel.MEMORY_AND_DISK) else hashed
+      if (joinOnHash)
+        hashedShingleSet(df, idCol, textCol, n, cache)
+          .withColumnRenamed("h", "s")
+      else shingleSet(df, idCol, textCol, n, cache)
     val sh = maxShingleDf match {
       case Some(cap) =>
         val keep = sh0.groupBy("s").agg(count(lit(1)).as("df"))

@@ -42,6 +42,13 @@ object Freq {
   /** Exact counts for every Misra-Gries candidate key of `keyCol`
     * (columns: keyCol, `n_rows`). Filter the result at any threshold
     * > n/(capacity+1) for the exact heavy-hitter set at that threshold.
+    *
+    * NULL keys are excluded — the sketch cannot track null and the
+    * verification join would drop it silently, so the exclusion is
+    * explicit: `n` in the guarantee bound is the NON-NULL row count,
+    * and a (possibly heavy) null group never appears in the output.
+    * Count nulls separately (`df.filter(col.isNull).count()`) if a
+    * null frequency matters.
     */
   def heavyHitterCounts(df: DataFrame, keyCol: String,
       capacity: Int = 4096): DataFrame = {
@@ -52,7 +59,8 @@ object Freq {
     val hk =
       if (integral) col(keyCol).cast("long")
       else TextOps.hash60(col(keyCol).cast("string"))
-    val keyed = df.select(col(keyCol), hk.as("_hk"))
+    val keyed = df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol), hk.as("_hk"))
     val cand = keyed
       .agg(SketchAggs.misraGries(col("_hk"), capacity).as("ks"))
       .select(explode(col("ks")).as("_hk"))

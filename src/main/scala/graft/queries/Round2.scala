@@ -125,16 +125,12 @@ object Round2 {
     QueryDef("q55_decontaminate",
       (s, dir) => {
         // The bench and candidate branches both read the shingle set —
-        // persisted, the corpus is shingled once, not twice. The
-        // join/count key is the 60-bit hash of the 8-gram (~60-byte
-        // string → 8-byte long): smaller broadcast table, cheaper
-        // probes; hashing happens BEFORE the persist so md5 runs once
-        // per row and the cached frame holds longs, not strings. The
-        // oracle replays the same hash family.
-        val sh = Dedup.shingleSet(t("documents")(s, dir),
-            "doc_id", "text", n = 8, cache = false)
-          .select(col("doc_id"), graft.operators.TextOps.hash60(col("s")).as("h"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // persisted (inside hashedShingleSet), the corpus is shingled
+        // once, not twice, the join/count key is an 8-byte long
+        // (smaller broadcast table, cheaper probes), and the oracle
+        // replays the same hash family.
+        val sh = Dedup.hashedShingleSet(t("documents")(s, dir),
+          "doc_id", "text", n = 8, cache = true)
         val bench = sh.filter(col("doc_id") % 7 === 0)
           .select(col("doc_id").as("bench_id"), col("h"))
         val cand = sh.filter(col("doc_id") % 7 =!= 0)

@@ -108,8 +108,15 @@ object Sources {
     case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
     case d: java.time.LocalDate => s"DATE '$d'"
     case b: Boolean => if (b) "TRUE" else "FALSE"
-    case n @ (_: Int | _: Long | _: Short | _: Byte | _: Double |
-        _: Float) => n.toString
+    case d: Double =>
+      require(!d.isNaN && !d.isInfinite,
+        s"non-finite double has no SQL literal form: $d")
+      d.toString
+    case f: Float =>
+      require(!f.isNaN && !f.isInfinite,
+        s"non-finite float has no SQL literal form: $f")
+      f.toString
+    case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
     case d: java.math.BigDecimal => d.toPlainString
     case d: BigDecimal => d.toString
     case other => throw new IllegalArgumentException(
@@ -143,10 +150,22 @@ object Sources {
       properties: java.util.Properties = new java.util.Properties,
       params: Map[String, Any] = Map.empty,
       partitionOn: Option[(String, Long, Long, Int)] = None): DataFrame = {
-    val bound = params.foldLeft(query) { case (q, (name, value)) =>
-      // word-boundary so :report_date does not clobber :report_date_2
-      q.replaceAll(":" + java.util.regex.Pattern.quote(name) + "\\b",
-        java.util.regex.Matcher.quoteReplacement(sqlLiteral(value)))
+    // single pass over the ORIGINAL query: sequential per-param
+    // replacement would re-scan substituted literal VALUES and rewrite
+    // any ':name' they happen to contain
+    val bound = {
+      val m = java.util.regex.Pattern.compile(":(\\w+)").matcher(query)
+      val sb = new java.lang.StringBuilder
+      while (m.find()) {
+        val rep = params.get(m.group(1)) match {
+          case Some(v) => sqlLiteral(v)
+          case None => m.group(0) // unknown placeholder: leave verbatim
+        }
+        m.appendReplacement(sb,
+          java.util.regex.Matcher.quoteReplacement(rep))
+      }
+      m.appendTail(sb)
+      sb.toString
     }
     val reader = spark.read.format("jdbc")
       .option("url", url)

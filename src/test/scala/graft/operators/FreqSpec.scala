@@ -62,6 +62,23 @@ class FreqSpec extends SparkSpec {
     assert(got == Map("alpha" -> 50L, "beta" -> 30L))
   }
 
+  test("null keys are excluded explicitly, not dropped mid-pipeline") {
+    val df = (Seq.fill(40)(Some("hot")) ++ Seq.fill(60)(Option.empty[String]))
+      .toDF("w").repartition(4)
+    val got = Freq.heavyHitterCounts(df, "w", capacity = 8)
+      .as[(String, Long)].collect().toMap
+    // the heavy NULL group is excluded by contract; non-null keys exact
+    assert(got == Map("hot" -> 40L))
+  }
+
+  test("misraGries rejects non-long keys at analysis time") {
+    val df = Seq(1, 2, 3).toDF("k") // IntegerType
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(SketchAggs.misraGries(col("k"), 8)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("bigint"))
+  }
+
   test("adversarial: uniform keys at tiny capacity stay exact above the bound") {
     // 400 distinct keys, 5 copies each — nothing is heavy at T=6, and
     // the operator must return EMPTY (candidates exist, none verify)

@@ -53,6 +53,24 @@ class JdbcSourceSpec extends SparkSpec {
     assert(df.selectExpr("CAST(n AS BIGINT)").collect().head.getLong(0) == 10L)
   }
 
+  test("a substituted string value containing ':name' is not re-substituted") {
+    seeded
+    // category value contains the OTHER param's placeholder text; a
+    // sequential fold would rewrite it inside the pushed literal
+    val df = Sources.jdbc(spark, url,
+      "SELECT COUNT(*) AS n FROM src_events " +
+        "WHERE category = :cat OR id = :cutoff",
+      props, params = Map("cat" -> "due :cutoff review", "cutoff" -> 7))
+    assert(df.selectExpr("CAST(n AS BIGINT)").collect().head.getLong(0) == 1L)
+  }
+
+  test("non-finite double params are rejected before pushdown") {
+    intercept[IllegalArgumentException] {
+      Sources.jdbc(spark, url, "SELECT * FROM src_events WHERE val > :v",
+        props, params = Map("v" -> Double.NaN))
+    }
+  }
+
   test("range-partitioned read parallelizes without changing the result") {
     seeded
     val single = Sources.jdbc(spark, url,
