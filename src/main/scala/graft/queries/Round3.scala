@@ -127,6 +127,70 @@ object Round3 {
               |  AND o_orderdate >= TIMESTAMP '1998-01-01'
               |  AND o_orderdate < TIMESTAMP '1999-01-01'
               |GROUP BY n_name
-              |ORDER BY revenue DESC, n_name""".stripMargin))
+              |ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // ---- array-function battery (SURVEY §2.5 "string/date/math/array/
+    // map/JSON scalars"): size/slice/contains/distinct/sort over the
+    // tokenized word array, all scalar-rendered so the cross-engine
+    // compare is exact (array columns round-trip differently; strings
+    // and ints do not). DuckDB lists are 1-based inclusive like
+    // Spark's slice/element_at, so the twins line up index-for-index.
+    QueryDef("q62_array_funcs",
+      (s, dir) => {
+        val ws = TextOps.words(col("text"))
+        t("documents")(s, dir)
+          .select(col("doc_id"),
+            size(ws).cast("bigint").as("n_words"),
+            array_join(slice(ws, 1, 3), " ").as("first3"),
+            array_contains(ws, "the").as("has_the"),
+            size(array_distinct(ws)).cast("bigint").as("n_distinct"),
+            element_at(ws, -1).as("last_word"),
+            array_join(array_sort(array_distinct(slice(ws, 1, 5))), ",")
+              .as("sorted5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(text), '\s+'),
+             |    x -> len(x) > 0) AS ws FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(ws) AS BIGINT) AS n_words,
+             |  array_to_string(ws[1:3], ' ') AS first3,
+             |  list_contains(ws, 'the') AS has_the,
+             |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+             |  ws[-1] AS last_word,
+             |  array_to_string(list_sort(list_distinct(ws[1:5])), ',')
+             |    AS sorted5
+             |FROM w ORDER BY doc_id""".stripMargin)),
+
+    // ---- time-RANGE window frame: 7-day trailing activity per user at
+    // every event — the interval-bounded frame q16's ROWS frames can't
+    // express. The frame is ordered on epoch MICROseconds with
+    // inclusive [-7d, 0] bounds (second-truncated ordering admits
+    // events up to 1s outside the window — caught at sf0.1 where a
+    // boundary event sat 0.4s past 7 days); equal-timestamp peers are
+    // all included in both engines by RANGE semantics, so ties need no
+    // break. One shuffle on user_id.
+    QueryDef("q63_range_frame",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(unix_micros(col("ts")))
+          .rangeBetween(-7L * 86400 * 1000000, 0)
+        t("events")(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            count(lit(1)).over(w).as("n_7d"),
+            sum(col("value").cast("decimal(12,2)")).over(w)
+              .cast("double").as("val_7d"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             |  count(*) OVER w AS n_7d,
+             |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+             |    AS val_7d
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id
+             |  ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+             |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin))
   )
 }
