@@ -247,19 +247,64 @@ object Dedup {
     * `localCheckpoint`ed per round to truncate the growing lineage (the
     * standard pattern for iterative Spark algorithms).
     *
+    * Adaptive small-graph path: near-dup edge sets are normally MUCH
+    * smaller than the corpus (duplicates are the exception), so when
+    * the edge count is at most `smallGraphEdges` the component labels
+    * are computed with driver-side union-find (path compression +
+    * union-by-min) and broadcast back — one join, zero iterative
+    * rounds, and only the EDGES ever leave the cluster (the node set
+    * stays distributed). Above the threshold the distributed loop
+    * runs; the two paths produce identical labels (DedupSpec pins
+    * equality on a multi-shape graph).
+    *
     * @param pairs DataFrame with two id columns (da, db), one row per
-    *              undirected edge
+    *              undirected edge; ids must be integral (they are
+    *              compared as longs on both paths)
     * @param nodes all node ids (singletons get their own cluster)
+    * @param smallGraphEdges edge-count threshold for the union-find
+    *                        fast path (0 forces the distributed loop)
     * @return (id, cluster) where cluster = min id in the component
     */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame,
-      idCol: String, maxIter: Int = 25): DataFrame = {
-    // materialize the edge list once — it feeds every round's join, and
-    // without this the (possibly expensive) pair-generation plan would
-    // re-execute per round
+      idCol: String, maxIter: Int = 25,
+      smallGraphEdges: Long = 1000000L): DataFrame = {
+    // materialize the edge list once — it feeds every round's join (or
+    // the one-shot collect below), and without this the (possibly
+    // expensive) pair-generation plan would re-execute per round
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
       .union(pairs.select(col("db").as("src"), col("da").as("dst")))
       .localCheckpoint()
+
+    if (edges.count() <= smallGraphEdges) {
+      // union-find over the collected edges: find with path
+      // compression, union toward the smaller root id so the final
+      // root IS the component minimum (same contract as the loop)
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent.getOrElse(c, c); parent.update(c, r); c = nxt
+        }
+        r
+      }
+      edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().foreach { row =>
+          val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (a != b) {
+            if (a < b) parent.update(b, a) else parent.update(a, b)
+          }
+        }
+      val labelMap = parent.keys.map(k => (k, find(k))).toSeq
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val labels = labelMap.toDF("id_m", "cluster_m")
+      return nodes.select(col(idCol).cast("long").as("id"))
+        .join(broadcast(labels), col("id") === col("id_m"), "left")
+        .select(col("id"),
+          coalesce(col("cluster_m"), col("id")).as("cluster"))
+    }
     var labels = nodes.select(col(idCol).as("id"))
       .withColumn("cluster", col("id")).localCheckpoint()
     var converged = false

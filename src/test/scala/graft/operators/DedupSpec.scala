@@ -75,7 +75,9 @@ class DedupSpec extends SparkSpec {
     val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong))
       .toDF("da", "db")
     val nodes = (1 to n).map(_.toLong).toDF("doc_id")
-    val cc = Dedup.connectedComponents(pairs, nodes, "doc_id")
+    // force the distributed loop — this test is about its convergence
+    val cc = Dedup.connectedComponents(pairs, nodes, "doc_id",
+      smallGraphEdges = 0L)
     assert(cc.select("cluster").distinct().count() == 1)
     assert(cc.filter(col("cluster") =!= 1L).count() == 0)
   }
@@ -88,9 +90,36 @@ class DedupSpec extends SparkSpec {
       .toDF("da", "db")
     val nodes = (1 to n).map(_.toLong).toDF("doc_id")
     // maxIter 15 << diameter 299: only the path-halving jump gets there
-    val cc = Dedup.connectedComponents(pairs, nodes, "doc_id", maxIter = 15)
+    // (smallGraphEdges=0 forces the distributed loop under test)
+    val cc = Dedup.connectedComponents(pairs, nodes, "doc_id",
+      maxIter = 15, smallGraphEdges = 0L)
     assert(cc.filter(col("cluster") =!= 1L).count() == 0)
     assert(cc.count() == n)
+  }
+
+  test("connectedComponents: union-find fast path ≡ distributed loop") {
+    import spark.implicits._
+    // multi-shape graph: a chain, a triangle with a cross edge into the
+    // chain's tail, a 2-clique, singletons, and out-of-order ids
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L),       // chain
+      (20L, 21L), (21L, 22L), (22L, 20L),       // triangle
+      (13L, 22L),                               // bridges chain↔triangle
+      (31L, 30L),                               // 2-clique, reversed ids
+      (41L, 40L), (40L, 7L)).toDF("da", "db")
+    val nodes = (Seq(5L, 6L, 7L) ++ (10L to 13L) ++ (20L to 22L) ++
+      Seq(30L, 31L, 40L, 41L)).toDF("doc_id")
+    def run(threshold: Long) =
+      Dedup.connectedComponents(pairs, nodes, "doc_id",
+        smallGraphEdges = threshold)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq
+    val fast = run(1000000L)
+    val loop = run(0L)
+    assert(fast == loop)
+    // spot-check the bridged component collapsed to one min label
+    assert(fast.filter(p => Seq(10L, 13L, 20L, 22L).contains(p._1))
+      .map(_._2).distinct == Seq(10L))
   }
 
   test("shingleSet: per-doc distinct, correct count, no duplicates") {
