@@ -48,4 +48,50 @@ class ReadEventsFileStreamSpec extends SparkSpec {
         org.apache.spark.sql.types.TimestampType)
     } finally q.stop()
   }
+
+  test("streaming tumblingAgg over the real file EQUALS the batch q35 result") {
+    val src = Paths.get("/root/testdata/sf0.001/events.parquet")
+    assume(Files.exists(src), "driver testdata not present")
+    val dir = Files.createTempDirectory("graft-evparity")
+    Files.copy(src, dir.resolve("a_data.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    // sentinel second batch: ONE far-future event written as a raw
+    // int64 ts (readEvents' user schema reads ts as long either way).
+    // Processing it advances the watermark past every real window, so
+    // append mode emits them all; its own window stays open and is
+    // excluded below. Later modification time => second micro-batch.
+    val farFutureNs = 4102444800L * 1000000000L // 2100-01-01 in ns
+    val sentinel = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(-1L, farFutureNs, -1L, "sentinel", 0.0,
+          "{}")),
+      EventStreams.eventFileSchema)
+    val sentDir = Files.createTempDirectory("graft-evsent")
+    sentinel.coalesce(1).write.mode("overwrite")
+      .parquet(sentDir.toString)
+    val part = Files.list(sentDir).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Thread.sleep(1100) // distinct mtime second for FileStreamSource order
+    Files.copy(part, dir.resolve("z_sentinel.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    val events =
+      EventStreams.readEvents(spark, dir.toString, maxFilesPerTrigger = 1)
+    val agg = EventStreams.tumblingAgg(events, "1 hour", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("ev_parity")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ev_parity")
+        .filter(org.apache.spark.sql.functions.col("event_type") =!=
+          "sentinel")
+        .orderBy("bucket_start", "event_type")
+      val batch = graft.SparkEntry
+        .queries("q35_tumbling_window")(spark, "/root/testdata/sf0.001")
+      // exact row-for-row parity: the streaming twin computes the very
+      // frame the batch oracle hash-checks
+      assert(streamed.collect().toSeq == batch.collect().toSeq)
+    } finally q.stop()
+  }
 }
