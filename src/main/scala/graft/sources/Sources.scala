@@ -16,8 +16,9 @@ object Sources {
     * header row gives column names, every value stays a string (downstream
     * casts are explicit, as in `map_all` funcs), malformed/ragged rows fail
     * the read (the reference raises on arity mismatch, csv.py:68-71).
-    * Charset is caller-supplied; the reference auto-detects via chardet
-    * (utils/file.py:6-22) which has no Spark analog — UTF-8 default.
+    * Charset is caller-supplied (UTF-8 default); [[csvAutoDetect]]
+    * reproduces the reference's chardet-style auto-detection
+    * (utils/file.py:6-22).
     */
   def csv(
       spark: SparkSession,
@@ -31,6 +32,69 @@ object Sources {
       .option("encoding", encoding)
       .option("mode", "FAILFAST")
       .csv(path)
+
+  /** Charset auto-detection for [[csv]] — the reference detects with
+    * chardet before reading (sqltask/utils/file.py:6-22, sampling the
+    * file head). Minimal deterministic equivalent over the first
+    * `sampleBytes` of ONE file: BOM wins outright; else a strict UTF-8
+    * validity scan accepts UTF-8; else fall back to ISO-8859-1 — a
+    * single-byte charset where every byte sequence decodes (chardet's
+    * latin fallback role), and one of the charsets Spark's CSV reader
+    * accepts (windows-1252 is not). Driver-side and sampled, so safe to
+    * call on huge files; for a multi-file dataset detect on one
+    * representative member (mixed-encoding datasets need per-file
+    * handling upstream, same as the reference).
+    */
+  def detectEncoding(path: String, sampleBytes: Int = 65536): String = {
+    val in = new java.io.FileInputStream(path)
+    val buf =
+      try in.readNBytes(sampleBytes)
+      finally in.close()
+    if (buf.length >= 3 && buf(0) == 0xEF.toByte && buf(1) == 0xBB.toByte &&
+      buf(2) == 0xBF.toByte) "UTF-8"
+    else if (buf.length >= 2 && buf(0) == 0xFF.toByte &&
+      buf(1) == 0xFE.toByte) "UTF-16LE"
+    else if (buf.length >= 2 && buf(0) == 0xFE.toByte &&
+      buf(1) == 0xFF.toByte) "UTF-16BE"
+    else {
+      // strict UTF-8 validation of the sample (ignore a multi-byte
+      // sequence truncated by the sample boundary)
+      var i = 0
+      var utf8 = true
+      while (utf8 && i < buf.length) {
+        val b = buf(i) & 0xFF
+        val need =
+          if (b < 0x80) 0
+          else if (b >= 0xC2 && b <= 0xDF) 1
+          else if (b >= 0xE0 && b <= 0xEF) 2
+          else if (b >= 0xF0 && b <= 0xF4) 3
+          else -1
+        if (need < 0) utf8 = false
+        else if (i + need >= buf.length && need > 0) {
+          // a multi-byte sequence cut off at the SAMPLE boundary is
+          // fine; cut off at the true end-of-file it is invalid UTF-8
+          if (buf.length == sampleBytes) i = buf.length else utf8 = false
+        }
+        else {
+          var j = 1
+          while (utf8 && j <= need) {
+            val c = buf(i + j) & 0xFF
+            if (c < 0x80 || c > 0xBF) utf8 = false
+            j += 1
+          }
+          i += need + 1
+        }
+      }
+      if (utf8) "UTF-8" else "ISO-8859-1"
+    }
+  }
+
+  /** [[csv]] with the encoding auto-detected from the file head — the
+    * full CsvRowSource contract (S2) including chardet-style detection.
+    */
+  def csvAutoDetect(spark: SparkSession, path: String,
+      delimiter: String = ","): DataFrame =
+    csv(spark, path, delimiter, encoding = detectEncoding(path))
 
   /** Parquet scan — the native columnar source for this engine. */
   def parquet(spark: SparkSession, path: String): DataFrame =

@@ -15,6 +15,33 @@ class SourcesSpec extends SparkSpec {
     assert(df.filter(df("birthday").isNull).count() == 1)
   }
 
+  test("charset auto-detection: BOM, valid UTF-8, single-byte fallback") {
+    import java.nio.file.Files
+    def tmp(bytes: Array[Byte]): String = {
+      val f = Files.createTempFile("graft-enc", ".csv")
+      Files.write(f, bytes)
+      f.toString
+    }
+    // UTF-8 BOM
+    assert(Sources.detectEncoding(tmp(
+      Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++
+        "a,b\n1,2\n".getBytes("UTF-8"))) == "UTF-8")
+    // UTF-16LE BOM
+    assert(Sources.detectEncoding(tmp(
+      Array(0xFF, 0xFE).map(_.toByte) ++
+        "a,b\n".getBytes("UTF-16LE"))) == "UTF-16LE")
+    // BOM-less valid multi-byte UTF-8 (snowman)
+    assert(Sources.detectEncoding(tmp(
+      "name\n\u2603 fr\u00f8st\n".getBytes("UTF-8"))) == "UTF-8")
+    // latin-1 bytes (0xE9 = é) are invalid UTF-8 -> fallback
+    assert(Sources.detectEncoding(tmp(
+      "name\ncaf\u00e9\n".getBytes("ISO-8859-1"))) == "ISO-8859-1")
+    // end-to-end: csvAutoDetect round-trips the latin-1 value
+    val p = tmp("name\ncaf\u00e9\n".getBytes("ISO-8859-1"))
+    val df = Sources.csvAutoDetect(spark, p)
+    assert(df.collect().head.getString(0) == "caf\u00e9")
+  }
+
   test("in-memory list source (sources/generic.py:30-42)") {
     val df = Sources.fromRows(spark, Seq("a", "b"),
       Seq(Seq("1", "x"), Seq("2", "y")))
