@@ -258,27 +258,41 @@ object Dedup {
     * equality on a multi-shape graph).
     *
     * @param pairs DataFrame with two id columns (da, db), one row per
-    *              undirected edge; ids must be integral (they are
-    *              compared as longs on both paths)
-    * @param nodes all node ids (singletons get their own cluster)
-    * @param smallGraphEdges edge-count threshold for the union-find
-    *                        fast path (0 forces the distributed loop)
+    *              undirected edge; ids must be integral (both paths
+    *              cast them to long, so the output schema is
+    *              (id: bigint, cluster: bigint) regardless of path)
+    * @param nodes all node ids (singletons get their own cluster);
+    *              edges whose endpoints are not BOTH in `nodes` are
+    *              discarded before either path runs, so malformed
+    *              inputs cluster identically at any data volume
+    * @param smallGraphEdges undirected-edge-count threshold for the
+    *                        union-find fast path (0 forces the
+    *                        distributed loop)
     * @return (id, cluster) where cluster = min id in the component
     */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame,
       idCol: String, maxIter: Int = 25,
       smallGraphEdges: Long = 1000000L): DataFrame = {
-    // materialize the edge list once — it feeds every round's join (or
-    // the one-shot collect below), and without this the (possibly
-    // expensive) pair-generation plan would re-execute per round
-    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
-      .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+    val nodeIds = nodes.select(col(idCol).cast("long").as("id"))
+    // drop edges referencing unknown ids up front (cheap semi-joins on
+    // the small edge set) and materialize once — the pair-generation
+    // plan may be expensive and feeds every round's join (or the
+    // one-shot collect below)
+    val undirected = pairs
+      .select(col("da").cast("long").as("src"),
+        col("db").cast("long").as("dst"))
+      .join(nodeIds.withColumnRenamed("id", "src"), Seq("src"),
+        "left_semi")
+      .join(nodeIds.withColumnRenamed("id", "dst"), Seq("dst"),
+        "left_semi")
+      .select(col("src"), col("dst")) // using-joins reorder columns
       .localCheckpoint()
 
-    if (edges.count() <= smallGraphEdges) {
-      // union-find over the collected edges: find with path
-      // compression, union toward the smaller root id so the final
-      // root IS the component minimum (same contract as the loop)
+    if (undirected.count() <= smallGraphEdges) {
+      // union-find over the collected undirected edges (each edge once
+      // — symmetrization is only needed by the distributed join): find
+      // with path compression, union toward the smaller root id so the
+      // final root IS the component minimum (same contract as the loop)
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
@@ -289,23 +303,24 @@ object Dedup {
         }
         r
       }
-      edges.select(col("src").cast("long"), col("dst").cast("long"))
-        .collect().foreach { row =>
-          val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
-          if (a != b) {
-            if (a < b) parent.update(b, a) else parent.update(a, b)
-          }
+      undirected.collect().foreach { row =>
+        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (a != b) {
+          if (a < b) parent.update(b, a) else parent.update(a, b)
         }
+      }
       val labelMap = parent.keys.map(k => (k, find(k))).toSeq
       val spark = nodes.sparkSession
       import spark.implicits._
       val labels = labelMap.toDF("id_m", "cluster_m")
-      return nodes.select(col(idCol).cast("long").as("id"))
+      return nodeIds
         .join(broadcast(labels), col("id") === col("id_m"), "left")
         .select(col("id"),
           coalesce(col("cluster_m"), col("id")).as("cluster"))
     }
-    var labels = nodes.select(col(idCol).as("id"))
+    val edges = undirected
+      .union(undirected.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = nodeIds
       .withColumn("cluster", col("id")).localCheckpoint()
     var converged = false
     var i = 0

@@ -144,7 +144,9 @@ object Round3 {
             array_join(slice(ws, 1, 3), " ").as("first3"),
             array_contains(ws, "the").as("has_the"),
             size(array_distinct(ws)).cast("bigint").as("n_distinct"),
-            element_at(ws, -1).as("last_word"),
+            // guard the empty array: ANSI element_at(-1) throws on it,
+            // DuckDB ws[-1] yields NULL — when() reproduces the NULL
+            when(size(ws) > 0, element_at(ws, -1)).as("last_word"),
             array_join(array_sort(array_distinct(slice(ws, 1, 5))), ",")
               .as("sorted5"))
           .orderBy(col("doc_id"))

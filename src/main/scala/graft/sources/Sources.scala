@@ -46,7 +46,19 @@ object Sources {
     * handling upstream, same as the reference).
     */
   def detectEncoding(path: String, sampleBytes: Int = 65536): String = {
-    val in = new java.io.FileInputStream(path)
+    val f = new java.io.File(path)
+    // a dataset directory: detect on its first regular file (one
+    // representative member, as documented)
+    val target =
+      if (f.isDirectory)
+        f.listFiles().filter(_.isFile).sortBy(_.getName).headOption
+          .getOrElse(throw new IllegalArgumentException(
+            s"detectEncoding: no regular files in directory $path"))
+      else if (f.isFile) f
+      else throw new IllegalArgumentException(
+        s"detectEncoding needs a local file or directory, got: $path " +
+          "(globs/URIs are not supported — pass encoding explicitly)")
+    val in = new java.io.FileInputStream(target)
     val buf =
       try in.readNBytes(sampleBytes)
       finally in.close()
@@ -56,7 +68,14 @@ object Sources {
       buf(1) == 0xFE.toByte) "UTF-16LE"
     else if (buf.length >= 2 && buf(0) == 0xFE.toByte &&
       buf(1) == 0xFF.toByte) "UTF-16BE"
-    else {
+    else if (buf.count(_ == 0) * 5 >= buf.length && buf.length >= 4) {
+      // BOM-less UTF-16: NUL bytes are valid UTF-8, so a null-pattern
+      // check must run BEFORE the UTF-8 scan (chardet does the same).
+      // ASCII-heavy UTF-16LE has NULs at odd offsets, BE at even.
+      val oddNuls = buf.indices.count(i => i % 2 == 1 && buf(i) == 0)
+      val evenNuls = buf.indices.count(i => i % 2 == 0 && buf(i) == 0)
+      if (oddNuls >= evenNuls) "UTF-16LE" else "UTF-16BE"
+    } else {
       // strict UTF-8 validation of the sample (ignore a multi-byte
       // sequence truncated by the sample boundary)
       var i = 0
@@ -91,10 +110,23 @@ object Sources {
 
   /** [[csv]] with the encoding auto-detected from the file head — the
     * full CsvRowSource contract (S2) including chardet-style detection.
+    * UTF-16 files are read in multiLine mode: the default line-split
+    * happens on raw 0x0A bytes, which would shear the two-byte UTF-16
+    * code units (and strand the BOM) before decoding; multiLine decodes
+    * the stream with the charset first.
     */
   def csvAutoDetect(spark: SparkSession, path: String,
-      delimiter: String = ","): DataFrame =
-    csv(spark, path, delimiter, encoding = detectEncoding(path))
+      delimiter: String = ","): DataFrame = {
+    val enc = detectEncoding(path)
+    val base = spark.read
+      .option("header", "true")
+      .option("inferSchema", "false")
+      .option("delimiter", delimiter)
+      .option("encoding", enc)
+      .option("mode", "FAILFAST")
+    (if (enc.startsWith("UTF-16")) base.option("multiLine", "true")
+     else base).csv(path)
+  }
 
   /** Parquet scan — the native columnar source for this engine. */
   def parquet(spark: SparkSession, path: String): DataFrame =

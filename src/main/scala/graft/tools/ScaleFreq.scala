@@ -22,7 +22,8 @@ object ScaleFreq {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // 20% of rows land on 20 hot keys (~n/100 each); the rest are
+    // 20% of rows land on 4 hot keys (ids ≡ 0,1 mod 10 → residues
+    // {0,1,10,11} mod 20), each with n/20 rows (5%); the rest are
     // unique tail keys — ~0.8n distinct keys total. Deterministic.
     val data = spark.range(n).select(
       when(col("id") % 10 < 2, col("id") % 20)
@@ -30,7 +31,9 @@ object ScaleFreq {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     data.count() // materialize so both plans read the same cached input
 
-    val threshold = n / 200 // half the hot-key frequency; >> n/(cap+1)
+    // a tenth of the hot-key frequency (0.5% vs 5%), still 19× above
+    // the MG guarantee bound n/257 at capacity 256
+    val threshold = n / 200
 
     def time(label: String)(f: => Long): Unit = {
       val ts = (1 to 3).map { _ =>

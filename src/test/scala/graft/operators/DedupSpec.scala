@@ -122,6 +122,22 @@ class DedupSpec extends SparkSpec {
       .map(_._2).distinct == Seq(10L))
   }
 
+  test("connectedComponents: edges via unknown ids are inert on BOTH paths") {
+    import spark.implicits._
+    // 99 is not in nodes: (1,99),(99,2) must NOT bridge 1 and 2 —
+    // and identically so regardless of which path the edge count picks
+    val pairs = Seq((1L, 99L), (99L, 2L)).toDF("da", "db")
+    val nodes = Seq(1L, 2L).toDF("doc_id")
+    def run(threshold: Long) =
+      Dedup.connectedComponents(pairs, nodes, "doc_id",
+        smallGraphEdges = threshold)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq
+    val expected = Seq((1L, 1L), (2L, 2L))
+    assert(run(1000000L) == expected)
+    assert(run(0L) == expected)
+  }
+
   test("shingleSet: per-doc distinct, correct count, no duplicates") {
     val sh = Dedup.shingleSet(docs, "doc_id", "text", 3, cache = false)
     val counts = sh.groupBy("doc_id").count().orderBy("doc_id").collect()

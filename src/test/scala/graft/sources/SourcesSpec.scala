@@ -36,10 +36,22 @@ class SourcesSpec extends SparkSpec {
     // latin-1 bytes (0xE9 = é) are invalid UTF-8 -> fallback
     assert(Sources.detectEncoding(tmp(
       "name\ncaf\u00e9\n".getBytes("ISO-8859-1"))) == "ISO-8859-1")
+    // BOM-less ASCII-content UTF-16LE: NUL pattern, not the UTF-8 scan
+    assert(Sources.detectEncoding(tmp(
+      "a,b\n1,2\n".getBytes("UTF-16LE"))) == "UTF-16LE")
+    assert(Sources.detectEncoding(tmp(
+      "a,b\n1,2\n".getBytes("UTF-16BE"))) == "UTF-16BE")
     // end-to-end: csvAutoDetect round-trips the latin-1 value
     val p = tmp("name\ncaf\u00e9\n".getBytes("ISO-8859-1"))
     val df = Sources.csvAutoDetect(spark, p)
     assert(df.collect().head.getString(0) == "caf\u00e9")
+    // end-to-end: a UTF-16LE file WITH BOM parses into clean values
+    // (multiLine mode decodes before line-splitting)
+    val p16 = tmp(Array(0xFF, 0xFE).map(_.toByte) ++
+      "name,val\nalpha,1\nbeta,2\n".getBytes("UTF-16LE"))
+    val df16 = Sources.csvAutoDetect(spark, p16)
+    assert(df16.columns.toSeq == Seq("name", "val"))
+    assert(df16.collect().map(_.getString(0)).toSeq == Seq("alpha", "beta"))
   }
 
   test("in-memory list source (sources/generic.py:30-42)") {

@@ -69,8 +69,11 @@ class ReadEventsFileStreamSpec extends SparkSpec {
     val sentDir = Files.createTempDirectory("graft-evsent")
     sentinel.coalesce(1).write.mode("overwrite")
       .parquet(sentDir.toString)
-    val part = Files.list(sentDir).filter(_.toString.endsWith(".parquet"))
-      .findFirst().get()
+    val part = {
+      val ls = Files.list(sentDir)
+      try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally ls.close()
+    }
     Thread.sleep(1100) // distinct mtime second for FileStreamSource order
     Files.copy(part, dir.resolve("z_sentinel.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
