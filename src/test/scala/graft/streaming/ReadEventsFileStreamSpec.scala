@@ -50,34 +50,12 @@ class ReadEventsFileStreamSpec extends SparkSpec {
   }
 
   test("streaming tumblingAgg over the real file EQUALS the batch q35 result") {
-    val src = Paths.get("/root/testdata/sf0.001/events.parquet")
-    assume(Files.exists(src), "driver testdata not present")
-    val dir = Files.createTempDirectory("graft-evparity")
-    Files.copy(src, dir.resolve("a_data.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
     // sentinel second batch: ONE far-future event written as a raw
     // int64 ts (readEvents' user schema reads ts as long either way).
     // Processing it advances the watermark past every real window, so
     // append mode emits them all; its own window stays open and is
     // excluded below. Later modification time => second micro-batch.
-    val farFutureNs = 4102444800L * 1000000000L // 2100-01-01 in ns
-    val sentinel = spark.createDataFrame(
-      java.util.List.of(
-        org.apache.spark.sql.Row(-1L, farFutureNs, -1L, "sentinel", 0.0,
-          "{}")),
-      EventStreams.eventFileSchema)
-    val sentDir = Files.createTempDirectory("graft-evsent")
-    sentinel.coalesce(1).write.mode("overwrite")
-      .parquet(sentDir.toString)
-    val part = {
-      val ls = Files.list(sentDir)
-      try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
-      finally ls.close()
-    }
-    Thread.sleep(1100) // distinct mtime second for FileStreamSource order
-    Files.copy(part, dir.resolve("z_sentinel.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
-
+    val dir = stageWithSentinel()
     val events =
       EventStreams.readEvents(spark, dir.toString, maxFilesPerTrigger = 1)
     val agg = EventStreams.tumblingAgg(events, "1 hour", "10 minutes")
@@ -95,6 +73,96 @@ class ReadEventsFileStreamSpec extends SparkSpec {
       // exact row-for-row parity: the streaming twin computes the very
       // frame the batch oracle hash-checks
       assert(streamed.collect().toSeq == batch.collect().toSeq)
+    } finally q.stop()
+  }
+
+  /** Stage the real events file + a far-future sentinel as two ordered
+    * micro-batches (the sentinel advances the watermark past every real
+    * window/session so append mode emits them all).
+    */
+  private def stageWithSentinel(): java.nio.file.Path = {
+    val src = Paths.get("/root/testdata/sf0.001/events.parquet")
+    assume(Files.exists(src), "driver testdata not present")
+    val dir = Files.createTempDirectory("graft-evparity")
+    Files.copy(src, dir.resolve("a_data.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val farFutureNs = 4102444800L * 1000000000L // 2100-01-01 in ns
+    val sentinel = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(-1L, farFutureNs, -1L, "sentinel", 0.0,
+          "{}")),
+      EventStreams.eventFileSchema)
+    val sentDir = Files.createTempDirectory("graft-evsent")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
+    val part = {
+      val ls = Files.list(sentDir)
+      try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally ls.close()
+    }
+    Thread.sleep(1100)
+    Files.copy(part, dir.resolve("z_sentinel.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    dir
+  }
+
+  test("streaming slidingAgg over the real file EQUALS the batch q36 result") {
+    val dir = stageWithSentinel()
+    val events =
+      EventStreams.readEvents(spark, dir.toString, maxFilesPerTrigger = 1)
+    val agg = EventStreams.slidingAgg(events, "1 hour", "30 minutes",
+      "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("ev_parity36")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .start()
+    try {
+      q.processAllAvailable()
+      import org.apache.spark.sql.functions._
+      // drop the sentinel's two sliding buckets (year 2100)
+      val streamed = spark.table("ev_parity36")
+        .filter(year(col("bucket_start")) < 2100)
+        .orderBy("bucket_start")
+      val batch = graft.SparkEntry
+        .queries("q36_sliding_window")(spark, "/root/testdata/sf0.001")
+      assert(streamed.collect().toSeq == batch.collect().toSeq)
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer over the real file matches the batch q37 sessions") {
+    val dir = stageWithSentinel()
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val events =
+      EventStreams.readEvents(spark, dir.toString, maxFilesPerTrigger = 1)
+        .as[Event]
+    val sessions = EventStreams.sessionizeStateful(events, 30, "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("ev_parity37")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ev_parity37")
+        .filter(col("user_id") =!= -1L) // the sentinel's own session
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("session_value"))
+      val batch = graft.SparkEntry
+        .queries("q37_sessionize")(spark, "/root/testdata/sf0.001")
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"),
+          col("session_value").as("batch_value"))
+      // session_value: the stateful fold sums raw doubles in event
+      // order while the batch twin sums exact decimals — compare with
+      // tolerance; everything else must match exactly (full outer join
+      // finds sessions present on only one side)
+      val joined = streamed.join(batch,
+        Seq("user_id", "session_start", "session_end", "n_events"),
+        "full_outer")
+      assert(joined.filter(col("session_value").isNull ||
+        col("batch_value").isNull).count() == 0,
+        "session present on only one side")
+      val maxDiff = joined
+        .agg(max(abs(col("session_value") - col("batch_value"))))
+        .collect().head.getDouble(0)
+      assert(maxDiff < 1e-6, s"session_value diverged by $maxDiff")
     } finally q.stop()
   }
 }
