@@ -17,6 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.shingleSetDescriptor)
+    ext.injectFunction(GraftExtensions.shingleExplodeDescriptor)
     // declarative-HOF shingle pattern → fused native kernel (see
     // ShingleRewriteRule): users writing stock Spark HOFs get the
     // one-pass kernel without importing graft APIs
@@ -40,9 +41,29 @@ object GraftExtensions {
     new ExpressionInfo(ShingleKernel.getClass.getName, "shingle_set"),
     build)
 
+  private def buildExplode(args: Seq[Expression]): Expression =
+    args match {
+      case Seq(text, Literal(n: Int, _)) => ShingleExplode(text, n)
+      case _ => throw new IllegalArgumentException(
+        "shingle_explode(text, n): n must be an integer literal")
+    }
+
+  /** Table-generating form: `SELECT id, s FROM t LATERAL VIEW
+    * shingle_explode(text, 3) sh AS s`.
+    */
+  val shingleExplodeDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingle_explode"),
+    new ExpressionInfo(classOf[ShingleExplode].getName, "shingle_explode"),
+    buildExplode)
+
   /** Register on an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       shingleSetDescriptor._1, shingleSetDescriptor._2,
       shingleSetDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      shingleExplodeDescriptor._1, shingleExplodeDescriptor._2,
+      shingleExplodeDescriptor._3)
+  }
 }

@@ -40,6 +40,20 @@ object ShingleKernel {
     * proven on the real corpus by ShingleSpec.
     */
   def shingleSet(text: UTF8String, n: Int): ArrayData = {
+    val seen = distinctShingles(text, n)
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = UTF8String.fromString(it.next()); m += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** The kernel proper: the distinct shingle set in first-occurrence
+    * order, before any ArrayData packaging (the [[ShingleExplode]]
+    * generator emits rows straight off this set).
+    */
+  def distinctShingles(text: UTF8String,
+      n: Int): java.util.LinkedHashSet[String] = {
     val s = text.toLowerCase.toString
     // tokenize: one pass, no regex
     val words = new java.util.ArrayList[String]()
@@ -52,8 +66,9 @@ object ShingleKernel {
       if (i > start) words.add(s.substring(start, i))
     }
     val w = words.size
-    if (w < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String]((w - n + 1) * 2)
+    val seen = new java.util.LinkedHashSet[String](
+      math.max(4, (w - n + 1) * 2))
+    if (w < n) return seen
     val sb = new java.lang.StringBuilder(64)
     var j = 0
     while (j <= w - n) {
@@ -67,11 +82,7 @@ object ShingleKernel {
       seen.add(sb.toString)
       j += 1
     }
-    val out = new Array[Any](seen.size)
-    val it = seen.iterator()
-    var m = 0
-    while (it.hasNext) { out(m) = UTF8String.fromString(it.next()); m += 1 }
-    new GenericArrayData(out)
+    seen
   }
 }
 

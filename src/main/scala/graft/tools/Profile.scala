@@ -46,6 +46,12 @@ object Profile {
       graft.operators.Dedup.shingleSet(docs, "doc_id", "text", 3,
         cache = false).count()
     }
+    time("shingle3 via Generator (UDTF)") {
+      graft.Tables.rebalance(docs.select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          graft.functions.ShingleExplode.expand(col("text"), 3).as("s"))
+        .count()
+    }
     time("hashed shingle3 (no cache)") {
       graft.operators.Dedup.hashedShingleSet(docs, "doc_id", "text", 3,
         cache = false).count()
