@@ -193,6 +193,52 @@ object Round3 {
              |WINDOW w AS (PARTITION BY user_id
              |  ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
              |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---- incremental SCD2 maintenance: build the dimension from
+    // history (< Jan 24), then MERGE the delta (≥ Jan 24) — cost
+    // proportional to changed keys, not dimension size. The oracle is
+    // the FULL rebuild over the whole log (q53's SQL): the incremental
+    // path must be indistinguishable from rebuilding, which is the
+    // entire correctness contract of delta maintenance.
+    QueryDef("q64_scd2_merge",
+      (s, dir) => {
+        val cutoff = lit("2024-01-24 00:00:00").cast("timestamp")
+        val eot = lit("2200-01-01 00:00:00").cast("timestamp")
+        val ev = t("events")(s, dir)
+        val wTie = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("ts"))
+          .orderBy(col("event_id").desc)
+        val log = ev.withColumn("_r", row_number().over(wTie))
+          .filter(col("_r") === 1)
+          .select(col("user_id"), col("ts"), col("value"))
+        val existing = graft.operators.Scd2.build(
+          log.filter(col("ts") < cutoff),
+          Seq("user_id"), "ts", Seq("value"), eot)
+        graft.operators.Scd2.merge(existing,
+            log.filter(col("ts") >= cutoff),
+            Seq("user_id"), "ts", Seq("value"), eot)
+          .select(col("user_id"), col("value"),
+            col("valid_from"), col("valid_to"))
+          .orderBy(col("user_id"), col("valid_from"))
+      },
+      // full-rebuild oracle — identical to q53's
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             |    value, event_id FROM events),
+             |d0 AS (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+             |    ORDER BY event_id DESC) AS r FROM ev),
+             |d AS (SELECT user_id, ts, value FROM d0 WHERE r = 1),
+             |c AS (SELECT *, CASE WHEN value IS NOT DISTINCT FROM
+             |      lag(value) OVER (PARTITION BY user_id ORDER BY ts)
+             |      THEN 0 ELSE 1 END AS chg,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+             |  FROM d),
+             |f AS (SELECT user_id, value, ts AS valid_from FROM c
+             |  WHERE chg = 1 OR rn = 1)
+             |SELECT user_id, value, valid_from,
+             |  coalesce(lead(valid_from) OVER (PARTITION BY user_id
+             |    ORDER BY valid_from),
+             |    TIMESTAMP '2200-01-01 00:00:00') AS valid_to
+             |FROM f ORDER BY user_id, valid_from""".stripMargin))
   )
 }

@@ -50,4 +50,45 @@ class Scd2Spec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected 1 shuffle, plan:\n$plan")
   }
+
+  test("merge ≡ full rebuild: tail, mid-history, equal-value, new-key " +
+      "updates; untouched keys pass through") {
+    import spark.implicits._
+    def t(m: Long) = new java.sql.Timestamp(1704067200000L + m * 60000L)
+    // full log: key 1 changes A→B, key 2 stable, key 3 untouched
+    val hist = Seq(
+      (1L, t(0), "A"), (1L, t(10), "A"), (1L, t(20), "B"),
+      (2L, t(0), "X"), (2L, t(30), "X"),
+      (3L, t(5), "Z")).toDF("k", "ts", "v")
+    val ups = Seq(
+      (1L, t(30), "C"),   // tail append, new value
+      (1L, t(15), "A"),   // mid-history, equal value (no new window)
+      (1L, t(12), "B"),   // mid-history, NEW value (splits the A run)
+      (2L, t(40), "X"),   // tail, equal value (extends, no window)
+      (9L, t(7), "N")     // brand-new key
+    ).toDF("k", "ts", "v")
+    val eot = lit("2200-01-01 00:00:00").cast("timestamp")
+    val existing = Scd2.build(hist, Seq("k"), "ts", Seq("v"), eot)
+    val merged = Scd2.merge(existing, ups, Seq("k"), "ts", Seq("v"), eot)
+      .orderBy("k", "valid_from")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+        r.getAs[java.sql.Timestamp]("valid_from"),
+        r.getAs[java.sql.Timestamp]("valid_to"))).toSeq
+    val full = Scd2.build(hist.unionByName(ups), Seq("k"), "ts",
+        Seq("v"), eot)
+      .orderBy("k", "valid_from")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+        r.getAs[java.sql.Timestamp]("valid_from"),
+        r.getAs[java.sql.Timestamp]("valid_to"))).toSeq
+    assert(merged == full)
+    // key 3 (no updates) must be byte-identical to its existing row
+    val before = existing.filter(col("k") === 3L).collect().toSeq
+    val after = Scd2.merge(existing, ups, Seq("k"), "ts", Seq("v"), eot)
+      .filter(col("k") === 3L).collect().toSeq
+    assert(before == after)
+    // sanity on the interesting key: A [0,12) B [12,15)? no — the
+    // update (1,15,"A") equal to the PRE-split run value opens a new
+    // window after B; full-rebuild semantics decide, merge must agree
+    assert(merged.count(_._1 == 1L) == full.count(_._1 == 1L))
+  }
 }
