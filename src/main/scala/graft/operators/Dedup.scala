@@ -45,16 +45,16 @@ object Dedup {
 
   /** Distinct (doc_id, s) shingle pairs — the inverted-index input.
     *
-    * Distinctness is established per-document with `array_distinct`
-    * *before* the explode (doc_id is unique, so per-doc distinct ≡ global
-    * distinct on (doc_id, s)) — no shuffle, where explode-then-distinct
-    * would shuffle every shingle. The input is rebalanced first so the
-    * shingling work spreads across the cluster even when the scan is a
-    * single small file, and the whole shingling expression lives *inside*
-    * the explode: a `Generate` cannot be pushed through the repartition,
-    * whereas a standalone array projection gets pushed below it by
-    * `ColumnPruning` and would then run in the (possibly single-task)
-    * scan stage.
+    * Distinctness is established per-document inside the
+    * [[graft.functions.ShingleExplode]] Generator's kernel (doc_id is
+    * unique, so per-doc distinct ≡ global distinct on (doc_id, s)) — no
+    * shuffle, where explode-then-distinct would shuffle every shingle.
+    * The input is rebalanced first so the shingling work spreads across
+    * the cluster even when the scan is a single small file; the
+    * generator plans as a `Generate` node, which cannot be pushed
+    * through the repartition, so the shingling always runs in the
+    * post-rebalance (parallel) stage rather than the possibly
+    * single-task scan stage.
     */
   def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int,
       cache: Boolean = true): DataFrame = {

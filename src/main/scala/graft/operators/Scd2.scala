@@ -83,9 +83,19 @@ object Scd2 {
     * [[build]] over (affected windows ∪ updates) — delta-sized, not
     * dimension-sized.
     *
-    * Same preconditions as [[build]]: one row per (key, ord) across
-    * BOTH inputs (pre-dedupe colliding updates; an update at exactly an
-    * existing change point's timestamp collides).
+    * Preconditions, stricter than [[build]]'s: updates must not share
+    * an ord value with ANY row of the original log — including interior
+    * rows that run-compression removed from `existing` (an update at
+    * such a timestamp satisfies "one row per (key, ord) over what merge
+    * sees" yet makes the full-rebuild reference ill-defined, since the
+    * rebuild would hold two rows at that (key, ord)). With µs-precision
+    * event times collisions are theoretical; pre-dedupe (latest-wins)
+    * if the ord domain is coarse.
+    *
+    * `existing` is persisted internally: both the anti- and semi-join
+    * branches read it, and without the persist the (possibly expensive)
+    * dimension-producing plan would execute twice — exactly the
+    * dimension-sized cost this operator exists to avoid.
     */
   def merge(
       existing: DataFrame,
@@ -95,15 +105,25 @@ object Scd2 {
       attrCols: Seq[String],
       endOfTime: Column): DataFrame = {
     val logCols = keyCols.map(col) ++ (col(ordCol) +: attrCols.map(col))
+    val dim = existing
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val affected = updates.select(keyCols.map(col): _*).distinct()
-    val untouched = existing.join(broadcast(affected), keyCols, "left_anti")
-    val replayed = existing.join(broadcast(affected), keyCols, "left_semi")
-      .withColumnRenamed("valid_to", "_dropped_valid_to")
-      .withColumnRenamed("valid_from", ordCol)
-      .select(logCols: _*)
+    // null-safe key equality: build() groups null keys into one window
+    // partition, so merge must route a null-key update's history through
+    // the rebuild too — plain equality would strand the old window in
+    // `untouched` AND rebuild the update without its history
+    def keyCond(a: DataFrame, b: DataFrame) =
+      keyCols.map(k => a(k) <=> b(k)).reduce(_ && _)
+    val untouched =
+      dim.join(broadcast(affected), keyCond(dim, affected), "left_anti")
+    val replayed =
+      dim.join(broadcast(affected), keyCond(dim, affected), "left_semi")
+        .withColumnRenamed("valid_to", "_dropped_valid_to")
+        .withColumnRenamed("valid_from", ordCol)
+        .select(logCols: _*)
     val rebuilt = build(
       replayed.unionByName(updates.select(logCols: _*)),
       keyCols, ordCol, attrCols, endOfTime)
-    untouched.unionByName(rebuilt.select(untouched.columns.map(col): _*))
+    untouched.unionByName(rebuilt)
   }
 }

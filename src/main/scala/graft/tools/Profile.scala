@@ -42,9 +42,14 @@ object Profile {
     val docs = Tables.load(spark, sfDir, "documents")
     docs.count() // warm scan
 
-    time("shingle3 explode (no cache)") {
-      graft.operators.Dedup.shingleSet(docs, "doc_id", "text", 3,
-        cache = false).count()
+    // explicit explode(array) baseline — Dedup.shingleSet itself now
+    // uses the Generator, so it can no longer serve as the A-side
+    time("shingle3 explode(array) baseline") {
+      graft.Tables.rebalance(docs.select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          explode(graft.functions.Shingle.shingleSet(col("text"), 3))
+            .as("s"))
+        .count()
     }
     time("shingle3 via Generator (UDTF)") {
       graft.Tables.rebalance(docs.select(col("doc_id"), col("text")))

@@ -91,4 +91,27 @@ class Scd2Spec extends SparkSpec {
     // window after B; full-rebuild semantics decide, merge must agree
     assert(merged.count(_._1 == 1L) == full.count(_._1 == 1L))
   }
+
+  test("merge routes NULL-key history through the rebuild (null-safe joins)") {
+    import spark.implicits._
+    def t(m: Long) = new java.sql.Timestamp(1704067200000L + m * 60000L)
+    val hist = Seq((Option.empty[Long], t(0), "A"), (Some(2L), t(0), "X"))
+      .toDF("k", "ts", "v")
+    val ups = Seq((Option.empty[Long], t(5), "B")).toDF("k", "ts", "v")
+    val eot = lit("2200-01-01 00:00:00").cast("timestamp")
+    val existing = Scd2.build(hist, Seq("k"), "ts", Seq("v"), eot)
+    val merged = Scd2.merge(existing, ups, Seq("k"), "ts", Seq("v"), eot)
+    val full = Scd2.build(hist.unionByName(ups), Seq("k"), "ts",
+      Seq("v"), eot)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("k").asc_nulls_first, col("valid_from"))
+      .collect().map(r => (Option(r.get(r.fieldIndex("k"))),
+        r.getAs[String]("v"),
+        r.getAs[java.sql.Timestamp]("valid_from"),
+        r.getAs[java.sql.Timestamp]("valid_to"))).toSeq
+    // plain-equality joins would leave A[t0,eot) in untouched AND emit
+    // B[t5,eot) without its history — 3 null rows instead of 2
+    assert(canon(merged) == canon(full))
+    assert(canon(merged).count(_._1.isEmpty) == 2)
+  }
 }

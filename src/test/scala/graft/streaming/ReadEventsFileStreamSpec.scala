@@ -117,9 +117,12 @@ class ReadEventsFileStreamSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       import org.apache.spark.sql.functions._
-      // drop the sentinel's two sliding buckets (year 2100)
+      // drop any sentinel bucket robustly: its two sliding windows
+      // start 2099-12-31T23:30 and 2100-01-01T00:00 (today neither is
+      // emitted — the watermark stops before their ends — but a filter
+      // keyed to the real data era survives future watermark tweaks)
       val streamed = spark.table("ev_parity36")
-        .filter(year(col("bucket_start")) < 2100)
+        .filter(year(col("bucket_start")) < 2090)
         .orderBy("bucket_start")
       val batch = graft.SparkEntry
         .queries("q36_sliding_window")(spark, "/root/testdata/sf0.001")
