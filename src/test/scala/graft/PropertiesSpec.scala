@@ -66,4 +66,54 @@ class PropertiesSpec extends SparkSpec {
       assert(out.filter(col("rts2") > col("ts")).count() == 0)
     }
   }
+
+  test("property: MG candidates ⊇ keys above n/(capacity+1), any stream") {
+    import spark.implicits._
+    // skewed generator: small key range so heavy keys actually occur
+    val streamGen = Gen.nonEmptyListOf(Gen.frequency(
+      (5, Gen.choose(0L, 3L)),    // hot candidates
+      (3, Gen.choose(0L, 200L)))) // tail
+    for ((data, cap) <- samples(streamGen, 6).zip(Seq(2, 3, 4, 8, 16, 5))) {
+      val df = data.toDF("k").repartition(7)
+      val cand = df.agg(
+          graft.functions.SketchAggs.misraGries(col("k"), cap).as("ks"))
+        .select(explode(col("ks")).as("k")).as[Long].collect().toSet
+      val truth = data.groupBy(identity).view.mapValues(_.size)
+      val bound = data.length.toDouble / (cap + 1)
+      val mustSurvive = truth.filter(_._2 > bound).keySet
+      assert(mustSurvive.subsetOf(cand),
+        s"cap=$cap n=${data.length} missing=${mustSurvive -- cand}")
+      assert(cand.size <= cap)
+    }
+  }
+
+  test("property: Scd2.merge ≡ full rebuild for any log and cutoff") {
+    import spark.implicits._
+    // logs with FEW keys and COARSE times so runs/compression and
+    // key-collisions across the cutoff actually happen; ord values are
+    // made unique per (key, minute) upstream like build requires
+    val logGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(0L, 3L), Gen.choose(0, 30), Gen.oneOf("A", "B", "C")))
+    val eot = lit("2200-01-01 00:00:00").cast("timestamp")
+    for ((raw, cutMin) <- samples(logGen, 5).zip(Seq(5, 10, 15, 20, 25))) {
+      val log = raw.distinctBy(r => (r._1, r._2))
+        .map { case (k, m, v) =>
+          (k, new java.sql.Timestamp(1704067200000L + m * 60000L), v) }
+      val df = log.toDF("k", "ts", "v")
+      val cut = new java.sql.Timestamp(1704067200000L + cutMin * 60000L)
+      val hist = df.filter(col("ts") < lit(cut))
+      val delta = df.filter(col("ts") >= lit(cut))
+      val full = operators.Scd2.build(df, Seq("k"), "ts", Seq("v"), eot)
+        .orderBy("k", "valid_from")
+      val merged =
+        if (hist.isEmpty) operators.Scd2.build(delta, Seq("k"), "ts",
+          Seq("v"), eot).orderBy("k", "valid_from")
+        else operators.Scd2.merge(
+          operators.Scd2.build(hist, Seq("k"), "ts", Seq("v"), eot),
+          delta, Seq("k"), "ts", Seq("v"), eot).orderBy("k", "valid_from")
+      assert(merged.exceptAll(full).isEmpty &&
+        full.exceptAll(merged).isEmpty,
+        s"cut=$cutMin log=${log.take(20)}")
+    }
+  }
 }
