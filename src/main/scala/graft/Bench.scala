@@ -74,6 +74,9 @@ object Bench {
         // queries, and a steady re-run must re-compute rather than hit
         // the cold run's cache (identical analyzed plan ⇒ cache hit).
         // Outside the timer: per-query numbers measure the query only.
+        // (A forced System.gc() here was tried and measured WORSE —
+        // full STW collections between queries cost more than letting
+        // the collector pace itself.)
         try spark.catalog.clearCache() catch { case _: Throwable => () }
       }
     }
