@@ -239,6 +239,53 @@ object Round3 {
              |  coalesce(lead(valid_from) OVER (PARTITION BY user_id
              |    ORDER BY valid_from),
              |    TIMESTAMP '2200-01-01 00:00:00') AS valid_to
-             |FROM f ORDER BY user_id, valid_from""".stripMargin))
+             |FROM f ORDER BY user_id, valid_from""".stripMargin)),
+
+    // ---- the JDBC extraction path under the driver's oracle: nation
+    // flows parquet → JdbcTarget (idempotent batch overwrite into
+    // embedded Derby) → Sources.jdbc (parameterized query pushed down
+    // and EXECUTED BY Derby) → result. The oracle sees only the
+    // original parquet, so a round-trip corruption anywhere in the
+    // write/read stack breaks the hash. This is the reference's
+    // primary source/sink modality (SqlRowSource + engine-spec insert,
+    // SURVEY §2.1/§2.6) driver-gated end-to-end, not only spec'd.
+    QueryDef("q65_jdbc_roundtrip",
+      (s, dir) => {
+        val url = "jdbc:derby:memory:graftq65;create=true"
+        val props = new java.util.Properties
+        props.setProperty("driver",
+          "org.apache.derby.jdbc.EmbeddedDriver")
+        val spec = graft.core.TableSpec(
+          name = "nation_jdbc",
+          columns = Seq(
+            graft.core.ColumnDef("batch_id",
+              org.apache.spark.sql.types.IntegerType, nullable = false),
+            graft.core.ColumnDef("n_nationkey",
+              org.apache.spark.sql.types.LongType),
+            graft.core.ColumnDef("n_name",
+              org.apache.spark.sql.types.StringType),
+            graft.core.ColumnDef("n_regionkey",
+              org.apache.spark.sql.types.LongType)),
+          batchColumns = Seq("batch_id"))
+        val target = graft.sink.JdbcTarget(url, props)
+        // overwriteBatch: re-running (cold+steady bench, verify) is
+        // idempotent — batch 0 replaces itself
+        target.overwriteBatch(
+          t("nation")(s, dir).withColumn("batch_id", lit(0))
+            .select(col("batch_id"), col("n_nationkey"), col("n_name"),
+              col("n_regionkey")),
+          spec)
+        // Spark's JDBC writer quotes column identifiers case-exact, so
+        // the remote query must quote them too (unquoted names fold to
+        // upper case on Derby and fail to resolve)
+        graft.sources.Sources.jdbc(s, url,
+            """SELECT "n_nationkey", "n_name"
+              |FROM nation_jdbc WHERE "n_regionkey" <> :skip""".stripMargin,
+            props, params = Map("skip" -> 2L))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT n_nationkey, n_name FROM nation
+             |WHERE n_regionkey <> 2
+             |ORDER BY n_nationkey""".stripMargin))
   )
 }

@@ -103,6 +103,20 @@ final case class JdbcTarget(
     val batchVals = df.select(spec.batchColumns.map(df(_)): _*).distinct().collect()
     val conn = java.sql.DriverManager.getConnection(url, properties)
     try {
+      // first-ever overwriteBatch: nothing to delete — the append that
+      // follows creates the table (same contract as the reference's
+      // truncate-then-insert on a fresh target)
+      val meta = conn.getMetaData
+      val esc = meta.getSearchStringEscape
+      val folded =
+        if (meta.storesUpperCaseIdentifiers) spec.name.toUpperCase
+        else if (meta.storesLowerCaseIdentifiers) spec.name.toLowerCase
+        else spec.name
+      val pattern = folded.replace(esc, esc + esc)
+        .replace("_", esc + "_").replace("%", esc + "%")
+      val tables = meta.getTables(null, conn.getSchema, pattern, null)
+      val exists = try tables.next() finally tables.close()
+      if (!exists) return
       // Spark's JDBC writer quotes column identifiers (case-exact) but
       // passes the table name through unquoted — mirror that exactly or
       // case-folding databases (Derby, Postgres) won't resolve them.

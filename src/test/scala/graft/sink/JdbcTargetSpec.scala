@@ -25,6 +25,26 @@ class JdbcTargetSpec extends SparkSpec {
       ColumnDef("amount", DoubleType)),
     batchColumns = Seq("batch_id"))
 
+  test("overwriteBatch on a not-yet-created table creates it (first run)") {
+    import spark.implicits._
+    val fresh = TableSpec(
+      name = "fresh_ow",
+      columns = Seq(
+        ColumnDef("batch_id", IntegerType, nullable = false),
+        ColumnDef("item", StringType)),
+      batchColumns = Seq("batch_id"))
+    val target = JdbcTarget(url, props)
+    // no append first: the delete half must no-op, the append half
+    // must create — and a re-run must still replace exactly the batch
+    target.overwriteBatch(
+      Seq((1, "x"), (1, "y")).toDF("batch_id", "item"), fresh)
+    assert(target.read(spark, fresh).count() == 2)
+    target.overwriteBatch(
+      Seq((1, "z")).toDF("batch_id", "item"), fresh)
+    assert(target.read(spark, fresh).collect()
+      .map(_.getAs[String]("item")).toSeq == Seq("z"))
+  }
+
   test("append + idempotent batch overwrite + read-back") {
     import spark.implicits._
     val target = JdbcTarget(url, props)
