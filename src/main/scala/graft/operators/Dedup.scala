@@ -147,6 +147,104 @@ object Dedup {
     if (cache) out.persist(StorageLevel.MEMORY_AND_DISK) else out
   }
 
+  /** Exact n-gram Jaccard join with PPJoin-style candidate pruning
+    * (prefix + length + positional filtering; Xiao et al., WWW'08 —
+    * public algorithm, re-expressed declaratively). Same results as
+    * [[jaccardPairs]] — the filters admit every true pair, so this IS
+    * exact — but candidate generation is bounded far below the
+    * share-any-shingle join that [[jaccardPairs]] performs:
+    *
+    *  - **canonical order**: shingles are ranked within each document
+    *    by ascending global document frequency (rarest first, ties by
+    *    hash value) — one `groupBy(shingle)` + one window over doc_id;
+    *  - **prefix filter**: two documents with J ≥ t must share a
+    *    shingle within each other's first `|d| − ⌈t·|d|⌉ + 1` ranked
+    *    shingles, so ONLY those prefix rows enter the self-join. The
+    *    high-frequency shingles that dominate join fan-out (the reason
+    *    [[jaccardPairs]] needs a `maxShingleDf` escape hatch at scale)
+    *    are exactly the ones ranked OUT of the prefixes — the quadratic
+    *    blow-up disappears without giving up exactness;
+    *  - **length filter** (in the join condition): J ≥ t forces
+    *    `min(|A|,|B|) ≥ t·max(|A|,|B|)` — wildly different-sized docs
+    *    never materialize as candidate rows;
+    *  - **positional filter**: a match at prefix positions (pa, pb)
+    *    bounds the overlap by `1 + min(|A|−pa, |B|−pb)`, which must
+    *    reach `t/(1+t)·(|A|+|B|)` — late-prefix matches are pruned in
+    *    the join condition too. (Valid for the first shared prefix
+    *    shingle in canonical order; a true pair's first shared shingle
+    *    always passes, so pruning other occurrences never drops a pair.)
+    *
+    * Surviving candidates are verified exactly: intersection counted
+    * with the same join-multiplicity semantics as [[jaccardPairs]]
+    * (md5-60bit collisions, ≈p²/2^61, behave identically), then
+    * J = |∩| / (|A|+|B|−|∩|) ≥ t. All float comparisons in the pruning
+    * filters carry a 1e-9 slack toward KEEPING the candidate, so
+    * floating-point rounding can only admit an extra candidate (caught
+    * by verification), never drop a true pair.
+    *
+    * Scale story vs [[jaccardPairs]]: the inverted-index join's cost is
+    * Σ_shingle df(s)², which a handful of stop-shingles turns
+    * quadratic; the prefix join's cost is Σ_prefix-shingle df_p(s)²
+    * where prefixes hold each document's RAREST shingles. The two extra
+    * exchanges it pays (document-frequency aggregation + the ranking
+    * window) are linear in corpus size — the trade that wins at 100 TB.
+    */
+  def jaccardPairsPrefix(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double,
+      cache: Boolean = true): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val t = lit(threshold)
+    val eps = lit(1e-9)
+    val sh = hashedShingleSet(df, idCol, textCol, n, cache)
+      .withColumnRenamed("h", "s")
+    // canonical global order: ascending document frequency, ties by
+    // hash value — any total order works for correctness; rarest-first
+    // minimizes prefix-join fan-out (the point of the algorithm)
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("dfreq"))
+    val byDoc = Window.partitionBy("doc_id")
+    val ranked = sh.join(dfreq, "s")
+      .select(col("doc_id"), col("s"),
+        row_number().over(byDoc.orderBy(col("dfreq"), col("s"))).as("pos"),
+        count(lit(1)).over(byDoc).as("n"))
+    // prefix = first |d| − ⌈t·|d|⌉ + 1 ranked shingles (ceil slack
+    // shortens the ceiling, i.e. lengthens the prefix — the safe side)
+    val prefix = ranked
+      .filter(col("pos") <= col("n") - ceil(t * col("n") - eps) + 1)
+    val pfx = if (cache) prefix.persist(StorageLevel.MEMORY_AND_DISK)
+      else prefix
+    val overlapUb =
+      lit(1) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))
+    val cand = pfx.as("a")
+      .join(pfx.as("b"), col("a.s") === col("b.s") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        // length filter: min size ≥ t · max size
+        col("a.n") >= t * col("b.n") - eps &&
+        col("b.n") >= t * col("a.n") - eps &&
+        // positional filter: best-possible overlap from here must still
+        // reach the required α = t/(1+t)·(|A|+|B|) (cross-multiplied)
+        overlapUb * (lit(1.0) + t) >= t * (col("a.n") + col("b.n")) - eps)
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+    // exact verification over the full (cached) shingle sets; inner
+    // join reproduces jaccardPairs' count multiplicity exactly
+    val inter = cand
+      .join(sh.as("x"), col("da") === col("x.doc_id"))
+      .select(col("da"), col("db"), col("na"), col("nb"),
+        col("x.s").as("xs"))
+      .join(sh.as("y"),
+        col("db") === col("y.doc_id") && col("xs") === col("y.s"))
+      .groupBy(col("da"), col("db"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .select(col("da"), col("db"), col("inter"),
+        (col("inter") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** MinHash signature as one array<long> column `sig` — a single
     * [[graft.functions.MinHashAgg]] (TypedImperativeAggregate) instead
     * of k separate min columns: same partial+final merge, one tight

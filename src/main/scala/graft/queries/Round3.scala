@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Freq, TextOps}
+import graft.operators.{Dedup, Freq, TextOps}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -286,6 +286,31 @@ object Round3 {
       },
       Some("""SELECT n_nationkey, n_name FROM nation
              |WHERE n_regionkey <> 2
-             |ORDER BY n_nationkey""".stripMargin))
+             |ORDER BY n_nationkey""".stripMargin)),
+
+    // ---- PPJoin-pruned exact Jaccard: prefix + length + positional
+    // filtering bound candidate generation by each document's RAREST
+    // shingles instead of every shared shingle (q25's join cost is
+    // Σ df(s)² over ALL shingles — a few stop-shingles make it
+    // quadratic at corpus scale; the prefix join excludes exactly
+    // those). The pruning is lossless, so the oracle is the NAIVE
+    // all-pairs SQL — the driver hash-checks that the pruned plan is
+    // indistinguishable from the unpruned semantics.
+    QueryDef("q66_jaccard_prefix",
+      (s, dir) => Dedup.jaccardPairsPrefix(t("documents")(s, dir),
+          "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy(col("da"), col("db")),
+      Some(s"""WITH ${graft.queries.CorpusOps.oShinglesSql},
+              |hs AS (SELECT doc_id,
+              |  ${graft.queries.CorpusOps.oH60("s")} AS h FROM sh),
+              |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+              |p AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) AS inter
+              |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT da, db, inter,
+              |  inter / (x.n + y.n - inter) AS jaccard
+              |FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+              |WHERE inter / (x.n + y.n - inter) >= 0.5
+              |ORDER BY da, db""".stripMargin))
   )
 }
