@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.shingleSetDescriptor)
     ext.injectFunction(GraftExtensions.shingleExplodeDescriptor)
+    ext.injectFunction(GraftExtensions.wordExplodeDescriptor)
     // declarative-HOF shingle pattern → fused native kernel (see
     // ShingleRewriteRule): users writing stock Spark HOFs get the
     // one-pass kernel without importing graft APIs
@@ -57,6 +58,22 @@ object GraftExtensions {
     new ExpressionInfo(classOf[ShingleExplode].getName, "shingle_explode"),
     buildExplode)
 
+  private def buildWordExplode(args: Seq[Expression]): Expression =
+    args match {
+      case Seq(text) => WordExplode(text)
+      case _ => throw new IllegalArgumentException(
+        "word_explode(text) takes exactly one argument")
+    }
+
+  /** Table-generating form: `SELECT id, word FROM t LATERAL VIEW
+    * word_explode(text) w AS word`.
+    */
+  val wordExplodeDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("word_explode"),
+    new ExpressionInfo(classOf[WordExplode].getName, "word_explode"),
+    buildWordExplode)
+
   /** Register on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -65,5 +82,8 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.registerFunction(
       shingleExplodeDescriptor._1, shingleExplodeDescriptor._2,
       shingleExplodeDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      wordExplodeDescriptor._1, wordExplodeDescriptor._2,
+      wordExplodeDescriptor._3)
   }
 }

@@ -48,14 +48,13 @@ object ShingleKernel {
     new GenericArrayData(out)
   }
 
-  /** The kernel proper: the distinct shingle set in first-occurrence
-    * order, before any ArrayData packaging (the [[ShingleExplode]]
-    * generator emits rows straight off this set).
+  /** Lowercased whitespace tokens in document order, multiplicity
+    * preserved — one pass, no regex. Identical token stream to the
+    * declarative `TextOps.words` (lowercase, Java-`\s+` split, empties
+    * dropped); shared by the shingle kernel and [[WordExplode]].
     */
-  def distinctShingles(text: UTF8String,
-      n: Int): java.util.LinkedHashSet[String] = {
+  def tokenize(text: UTF8String): java.util.ArrayList[String] = {
     val s = text.toLowerCase.toString
-    // tokenize: one pass, no regex
     val words = new java.util.ArrayList[String]()
     var i = 0
     val len = s.length
@@ -65,6 +64,16 @@ object ShingleKernel {
       while (i < len && !isWs(s.charAt(i))) i += 1
       if (i > start) words.add(s.substring(start, i))
     }
+    words
+  }
+
+  /** The kernel proper: the distinct shingle set in first-occurrence
+    * order, before any ArrayData packaging (the [[ShingleExplode]]
+    * generator emits rows straight off this set).
+    */
+  def distinctShingles(text: UTF8String,
+      n: Int): java.util.LinkedHashSet[String] = {
+    val words = tokenize(text)
     val w = words.size
     val seen = new java.util.LinkedHashSet[String](
       math.max(4, (w - n + 1) * 2))

@@ -228,9 +228,19 @@ object Dedup {
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .distinct()
+    // the prefix frame is only read by the candidate join above: when
+    // cached, materialize the (tiny) candidate set eagerly — executor-
+    // local, survives downstream re-reads — and release the prefix
+    // cache immediately instead of leaking it into the unified pool
+    // until some global clearCache (the shingle-set cache stays: it is
+    // shared with the verification joins below and with every other
+    // operator over the same corpus)
+    val candM =
+      if (cache) { val c = cand.localCheckpoint(); pfx.unpersist(); c }
+      else cand
     // exact verification over the full (cached) shingle sets; inner
     // join reproduces jaccardPairs' count multiplicity exactly
-    val inter = cand
+    val inter = candM
       .join(sh.as("x"), col("da") === col("x.doc_id"))
       .select(col("da"), col("db"), col("na"), col("nb"),
         col("x.s").as("xs"))

@@ -49,9 +49,17 @@ object Freq {
     * and a (possibly heavy) null group never appears in the output.
     * Count nulls separately (`df.filter(col.isNull).count()`) if a
     * null frequency matters.
+    *
+    * The keyed input is evaluated TWICE — the sketch pass and the
+    * exact-verification pass — so with `cacheInput = true` (default)
+    * it is persisted (spillable) before the passes and an expensive
+    * upstream plan runs once. Pass `cacheInput = false` when the
+    * caller already persisted the input (the persisted parent plan is
+    * what both passes re-read) or when recompute is cheaper than the
+    * cache footprint; the result is identical either way.
     */
   def heavyHitterCounts(df: DataFrame, keyCol: String,
-      capacity: Int = 4096): DataFrame = {
+      capacity: Int = 4096, cacheInput: Boolean = true): DataFrame = {
     val integral = df.schema(keyCol).dataType match {
       case LongType | IntegerType | ShortType | ByteType => true
       case _ => false
@@ -59,8 +67,12 @@ object Freq {
     val hk =
       if (integral) col(keyCol).cast("long")
       else TextOps.hash60(col(keyCol).cast("string"))
-    val keyed = df.filter(col(keyCol).isNotNull)
+    val keyed0 = df.filter(col(keyCol).isNotNull)
       .select(col(keyCol), hk.as("_hk"))
+    val keyed =
+      if (cacheInput)
+        keyed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else keyed0
     val cand = keyed
       .agg(SketchAggs.misraGries(col("_hk"), capacity).as("ks"))
       .select(explode(col("ks")).as("_hk"))

@@ -67,16 +67,26 @@ object Scd2 {
     * which is the difference between a nightly 100 TB rebuild and a
     * minutes-long delta merge.
     *
-    * Correctness: a key's existing windows' `valid_from`s + attribute
-    * values ARE a change log (one row per run opening); replaying them
-    * together with the key's updates through [[build]] reproduces
-    * exactly what a full rebuild over (original log ∪ updates) would
-    * emit — build re-compresses runs that an update's equal value
-    * extends, and splits runs an update's new value interrupts, wherever
-    * the update lands in history (not just at the tail). Keys absent
-    * from the update log pass through untouched via an anti-join.
-    * q64_scd2_merge pins incremental ≡ full-rebuild under the DuckDB
-    * oracle; Scd2Spec covers mid-history and equal-value updates.
+    * Correctness CONTRACT (narrower than a full rebuild): the dimension
+    * retains only each run's OPENING row — interior observations (rows
+    * whose value equaled their predecessor's) are compressed away and
+    * cannot be recovered from `existing`. Merge replays the openers
+    * together with the key's updates through [[build]], which equals a
+    * full rebuild over (original log ∪ updates) iff every update lands
+    * at or after its key's last compressed-away observation. An update
+    * BEFORE a compressed-away interior observation diverges: with
+    * history (t0,A),(t10,A),(t20,B) and update (t5,C), a full rebuild
+    * restores A at t10 — `A[t0,t5) C[t5,t10) A[t10,t20) B[t20,…)` —
+    * but the merged dimension has no record that A was re-observed at
+    * t10 and emits `C[t5,t20)`. Updates at or after the last interior
+    * observation (including anywhere between retained run openers) are
+    * exact: Scd2Spec pins tail, mid-history, and equal-value updates
+    * against the rebuild, and q64_scd2_merge pins the append-style case
+    * (all updates after the full history) under the DuckDB oracle.
+    * When updates can predate interior observations, keep the raw log
+    * and use [[mergeWithLog]] — exact for any update placement. Keys
+    * absent from the update log pass through untouched via an
+    * anti-join either way.
     *
     * Plan shape: the affected-key set is small by premise, so both the
     * semi- and anti-joins broadcast it; the only shuffle is the
@@ -123,6 +133,49 @@ object Scd2 {
         .select(logCols: _*)
     val rebuilt = build(
       replayed.unionByName(updates.select(logCols: _*)),
+      keyCols, ordCol, attrCols, endOfTime)
+    untouched.unionByName(rebuilt)
+  }
+
+  /** Incremental SCD2 maintenance from the RAW change log: affected
+    * keys are rebuilt from `log` (every observation, not the
+    * compressed dimension) plus their updates, so the result equals a
+    * full rebuild over (log ∪ updates) for ANY update placement —
+    * including updates that predate interior observations, the case
+    * [[merge]]'s compressed replay cannot represent (see its contract).
+    *
+    * Still delta-cost, not rebuild-cost: unaffected keys' windows pass
+    * through from `existing` untouched (anti-join; never recomputed),
+    * and the raw log is read once, filtered by a broadcast semi-join on
+    * the (small) affected-key set before the [[build]] shuffle — so the
+    * shuffle carries only affected keys' observations. The trade vs
+    * [[merge]] is one scan of the log instead of none; a full rebuild
+    * would pay the log scan AND a dimension-sized shuffle/sort.
+    *
+    * Preconditions: one row per (key, ord) across log ∪ updates
+    * ([[build]]'s requirement); `existing` must be the [[build]] output
+    * of exactly `log`.
+    */
+  def mergeWithLog(
+      existing: DataFrame,
+      log: DataFrame,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      ordCol: String,
+      attrCols: Seq[String],
+      endOfTime: Column): DataFrame = {
+    val logCols = keyCols.map(col) ++ (col(ordCol) +: attrCols.map(col))
+    val affected = updates.select(keyCols.map(col): _*).distinct()
+    def keyCond(a: DataFrame, b: DataFrame) =
+      keyCols.map(k => a(k) <=> b(k)).reduce(_ && _)
+    val untouched =
+      existing.join(broadcast(affected), keyCond(existing, affected),
+        "left_anti")
+    val affectedLog =
+      log.join(broadcast(affected), keyCond(log, affected), "left_semi")
+        .select(logCols: _*)
+    val rebuilt = build(
+      affectedLog.unionByName(updates.select(logCols: _*)),
       keyCols, ordCol, attrCols, endOfTime)
     untouched.unionByName(rebuilt)
   }

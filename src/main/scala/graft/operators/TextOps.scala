@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis building blocks for large-scale corpus pipelines
@@ -20,6 +20,26 @@ object TextOps {
     */
   def words(text: Column): Column =
     filter(split(lower(text), "\\s+"), w => length(w) > 0)
+
+  /** One row per token of `textCol` (multiplicity preserved) as column
+    * `word`, plus any `keep` columns — the shared tokenize-explode path
+    * of the corpus queries (word frequency, TF-IDF, heavy hitters).
+    *
+    * The input is rebalanced first so tokenization spreads across the
+    * cluster even when the scan is a single small file, and the
+    * [[graft.functions.WordExplode]] Generator plans as a `Generate`
+    * node that ColumnPruning cannot push back through the repartition —
+    * the same single-task guard [[Dedup.shingleSet]] uses (a plain
+    * `explode(words(text))` projection would be pushed through and run
+    * in the scan stage).
+    */
+  def wordRows(df: DataFrame, textCol: String,
+      keep: Seq[String] = Nil): DataFrame = {
+    val in = graft.Tables.rebalance(
+      df.select((keep :+ textCol).map(col): _*))
+    in.select(keep.map(col) :+
+      graft.functions.WordExplode.expand(col(textCol)).as("word"): _*)
+  }
 
   /** n-word shingles as space-joined strings; fewer than n words → empty. */
   def shingles(ws: Column, n: Int): Column =

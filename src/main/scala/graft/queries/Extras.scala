@@ -356,9 +356,8 @@ object Extras {
     // ---- generator/UDTF surface: explode tokens into rows, global
     // top-50 word frequencies (ties broken by word)
     QueryDef("q51_word_freq",
-      (s, dir) => t("documents")(s, dir)
-        .select(explode(graft.operators.TextOps.words(col("text")))
-          .as("word"))
+      (s, dir) => graft.operators.TextOps
+        .wordRows(t("documents")(s, dir), "text")
         .groupBy(col("word"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word"))

@@ -78,9 +78,8 @@ object Round2 {
     // ranking behavior (rare-term upweighting) is preserved.
     QueryDef("q54_tfidf",
       (s, dir) => {
-        val wdf = t("documents")(s, dir)
-          .select(col("doc_id"),
-            explode(TextOps.words(col("text"))).as("word"))
+        val wdf = TextOps.wordRows(t("documents")(s, dir), "text",
+          keep = Seq("doc_id"))
         // tf feeds three branches (scores, document frequency, corpus
         // size); without persist each branch re-tokenizes the corpus —
         // .explain showed 3 full FileScan+explode+aggregate copies

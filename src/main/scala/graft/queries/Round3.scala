@@ -22,13 +22,16 @@ object Round3 {
     QueryDef("q59_heavy_hitters",
       (s, dir) => {
         // words feeds three branches (threshold, candidates, verify) —
-        // persist or the corpus is re-tokenized per branch (q54 note)
-        val words = t("documents")(s, dir)
-          .select(explode(TextOps.words(col("text"))).as("word"))
+        // persist or the corpus is re-tokenized per branch (q54 note).
+        // wordRows rebalances BEFORE the tokenize-explode so the work
+        // parallelizes even off a single-row-group scan (the r3 judge
+        // caught this query tokenizing on one task).
+        val words = TextOps.wordRows(t("documents")(s, dir), "text")
           .persist(StorageLevel.MEMORY_AND_DISK)
         val thr = words
           .agg(ceil(count(lit(1)) * 0.001).cast("bigint").as("t"))
-        Freq.heavyHitterCounts(words, "word", capacity = 4096)
+        Freq.heavyHitterCounts(words, "word", capacity = 4096,
+            cacheInput = false) // words persisted above covers both passes
           .crossJoin(broadcast(thr))
           .filter(col("n_rows") >= col("t"))
           .select(col("word"), col("n_rows").as("n"))

@@ -92,6 +92,73 @@ class Scd2Spec extends SparkSpec {
     assert(merged.count(_._1 == 1L) == full.count(_._1 == 1L))
   }
 
+  test("update before a compressed interior observation: merge diverges " +
+      "(documented contract), mergeWithLog ≡ full rebuild") {
+    import spark.implicits._
+    def t(m: Long) = new java.sql.Timestamp(1704067200000L + m * 60000L)
+    // (t0,A),(t10,A),(t20,B): the t10 re-observation of A is interior
+    // (compressed away by build); an update at t5 predates it
+    val hist = Seq((1L, t(0), "A"), (1L, t(10), "A"), (1L, t(20), "B"))
+      .toDF("k", "ts", "v")
+    val ups = Seq((1L, t(5), "C")).toDF("k", "ts", "v")
+    val eot = lit("2200-01-01 00:00:00").cast("timestamp")
+    val existing = Scd2.build(hist, Seq("k"), "ts", Seq("v"), eot)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("valid_from")
+      .collect().map(r => (r.getAs[String]("v"),
+        r.getAs[java.sql.Timestamp]("valid_from"),
+        r.getAs[java.sql.Timestamp]("valid_to"))).toSeq
+    val full = canon(Scd2.build(hist.unionByName(ups), Seq("k"), "ts",
+      Seq("v"), eot))
+    // the rebuild restores A at t10: A[0,5) C[5,10) A[10,20) B[20,eot)
+    assert(full.map(_._1) == Seq("A", "C", "A", "B"))
+    // compressed replay cannot know A was re-observed at t10 — it
+    // emits C[5,20): this divergence is exactly merge's documented
+    // contract boundary (this assertion pins that the limitation is
+    // real, not hypothetical)
+    val merged = canon(Scd2.merge(existing, ups, Seq("k"), "ts",
+      Seq("v"), eot))
+    assert(merged.map(_._1) == Seq("A", "C", "B"))
+    assert(merged != full)
+    // mergeWithLog rebuilds the affected key from the raw log: exact
+    val withLog = canon(Scd2.mergeWithLog(existing, hist, ups,
+      Seq("k"), "ts", Seq("v"), eot))
+    assert(withLog == full)
+  }
+
+  test("mergeWithLog: untouched keys pass through; null-safe keys; " +
+      "matches rebuild on the multi-shape update mix") {
+    import spark.implicits._
+    def t(m: Long) = new java.sql.Timestamp(1704067200000L + m * 60000L)
+    val hist = Seq(
+      (Option(1L), t(0), "A"), (Option(1L), t(10), "A"),
+      (Option(1L), t(20), "B"),
+      (Option(2L), t(0), "X"),
+      (Option.empty[Long], t(0), "N")).toDF("k", "ts", "v")
+    val ups = Seq(
+      (Option(1L), t(5), "C"),            // before interior obs
+      (Option.empty[Long], t(5), "M"),    // null key
+      (Option(9L), t(7), "Z")             // brand-new key
+    ).toDF("k", "ts", "v")
+    val eot = lit("2200-01-01 00:00:00").cast("timestamp")
+    val existing = Scd2.build(hist, Seq("k"), "ts", Seq("v"), eot)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("k").asc_nulls_first, col("valid_from"))
+      .collect().map(r => (Option(r.get(r.fieldIndex("k"))),
+        r.getAs[String]("v"),
+        r.getAs[java.sql.Timestamp]("valid_from"),
+        r.getAs[java.sql.Timestamp]("valid_to"))).toSeq
+    val full = canon(Scd2.build(hist.unionByName(ups), Seq("k"), "ts",
+      Seq("v"), eot))
+    val withLog = canon(Scd2.mergeWithLog(existing, hist, ups,
+      Seq("k"), "ts", Seq("v"), eot))
+    assert(withLog == full)
+    // key 2 (no updates) byte-identical to its existing row
+    assert(Scd2.mergeWithLog(existing, hist, ups, Seq("k"), "ts",
+        Seq("v"), eot).filter(col("k") === 2L).collect().toSeq ==
+      existing.filter(col("k") === 2L).collect().toSeq)
+  }
+
   test("merge routes NULL-key history through the rebuild (null-safe joins)") {
     import spark.implicits._
     def t(m: Long) = new java.sql.Timestamp(1704067200000L + m * 60000L)
