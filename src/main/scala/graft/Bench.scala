@@ -96,7 +96,14 @@ object Bench {
         .mkString(""","errors":{""", ",", "}")
     val total = cold.map(_._2).filter(_ >= 0).sum
     val steadyTotal = steady.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"steady_total":$steadyTotal,"steady":${js(steady)}$errJson,"sf":"$sfDir"}""")
+    // 1-minute system load average at end of run: contention evidence.
+    // The r3 bench artifact showed uniform 2.5-4x inflation across
+    // trivial queries that an idle re-run of the same commit didn't
+    // reproduce (PLANS.md round 4) — carrying the load factor in the
+    // artifact makes that diagnosis a read, not a re-measurement.
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"steady_total":$steadyTotal,"steady":${js(steady)}$errJson,"load_avg_end":$loadAvg,"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

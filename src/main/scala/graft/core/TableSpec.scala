@@ -16,7 +16,13 @@ final case class ColumnDef(
     comment: Option[String] = None,
     primaryKey: Boolean = false,
     dqInfo: Boolean = false,
-    maxLength: Option[Int] = None) {
+    maxLength: Option[Int] = None,
+    // server-side default for ADD COLUMN DDL (reference
+    // engine_specs/base.py:176-181: string defaults quoted, others
+    // rendered verbatim); not applied to Spark-side writes
+    default: Option[Any] = None,
+    // identity/autoincrement clause on ADD COLUMN (base.py:182-183)
+    autoIncrement: Boolean = false) {
 
   def toField: StructField = {
     val mb = new MetadataBuilder()

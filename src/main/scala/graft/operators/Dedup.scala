@@ -210,10 +210,15 @@ object Dedup {
         count(lit(1)).over(byDoc).as("n"))
     // prefix = first |d| − ⌈t·|d|⌉ + 1 ranked shingles (ceil slack
     // shortens the ceiling, i.e. lengthens the prefix — the safe side)
-    val prefix = ranked
+    // the prefix frame is NOT persisted: its only consumer is the
+    // self-join below, whose two sides are identical plans over the
+    // (cached) shingle set — an r4 A/B (tools/PfxAb) measured persist
+    // (1.92 s), eager-checkpoint-then-unpersist (2.07 s) and no-persist
+    // (2.05 s) within noise at sf0.1, and no-persist keeps the operator
+    // lazy and leaks nothing into the unified pool between global
+    // cache clears (ADVICE r3)
+    val pfx = ranked
       .filter(col("pos") <= col("n") - ceil(t * col("n") - eps) + 1)
-    val pfx = if (cache) prefix.persist(StorageLevel.MEMORY_AND_DISK)
-      else prefix
     val overlapUb =
       lit(1) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))
     val cand = pfx.as("a")
@@ -228,19 +233,9 @@ object Dedup {
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .distinct()
-    // the prefix frame is only read by the candidate join above: when
-    // cached, materialize the (tiny) candidate set eagerly — executor-
-    // local, survives downstream re-reads — and release the prefix
-    // cache immediately instead of leaking it into the unified pool
-    // until some global clearCache (the shingle-set cache stays: it is
-    // shared with the verification joins below and with every other
-    // operator over the same corpus)
-    val candM =
-      if (cache) { val c = cand.localCheckpoint(); pfx.unpersist(); c }
-      else cand
     // exact verification over the full (cached) shingle sets; inner
     // join reproduces jaccardPairs' count multiplicity exactly
-    val inter = candM
+    val inter = cand
       .join(sh.as("x"), col("da") === col("x.doc_id"))
       .select(col("da"), col("db"), col("na"), col("nb"),
         col("x.s").as("xs"))

@@ -85,7 +85,13 @@ final case class JdbcTarget(
     // DROP COLUMN during migrate destroys data on a typo'd rename, so it
     // is opt-in; the default logs and skips, keeping ADD COLUMN automatic
     // (the reference's migrate_schema drops unconditionally).
-    allowColumnDrops: Boolean = false) extends TargetSpec {
+    allowColumnDrops: Boolean = false,
+    // COMMENT ON TABLE/COLUMN DDL is dialect-specific (Derby has none),
+    // so comment sync is capability-gated exactly like the reference's
+    // supports_table_comments/supports_column_comments flags
+    // (engine_specs/base.py:54-57): false skips the DDL silently.
+    override val supportsTableComments: Boolean = false,
+    override val supportsColumnComments: Boolean = false) extends TargetSpec {
   override val supportsPrimaryKeys = true
   override val supportsSchemas = true
 
@@ -139,14 +145,68 @@ final case class JdbcTarget(
       .option("batchsize", batchSize.toString)
       .jdbc(url, spec.name, properties)
 
+  private def quoteId(id: String) = "\"" + id + "\""
+
+  /** SQL literal rendering for DDL clauses (reference
+    * engine_specs/base.py:176-181: string defaults quoted, others
+    * verbatim). Strings escape embedded quotes by DOUBLING them (ANSI)
+    * rather than the reference's backslash escape, which only MySQL-
+    * family dialects accept.
+    */
+  private[sink] def sqlLiteral(v: Any): String = v match {
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case b: Boolean => if (b) "TRUE" else "FALSE"
+    case other => String.valueOf(other)
+  }
+
+  /** ADD COLUMN DDL with the reference's clause set
+    * (engine_specs/base.py:159-193): DEFAULT, AUTOINCREMENT,
+    * NOT NULL, PRIMARY KEY (capability-gated), COMMENT
+    * (capability-gated). Divergence from the reference: nullable
+    * columns get NO explicit `NULL` keyword (bare NULL is not in
+    * several dialects' ADD COLUMN grammar, Derby included; omission
+    * means nullable everywhere).
+    */
+  private[sink] def addColumnDdl(tableName: String, cd: graft.core.ColumnDef): String = {
+    val sqlType = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+      .getJDBCType(cd.dataType)
+      .map(_.databaseTypeDefinition)
+      .getOrElse(cd.dataType.sql)
+    val sb = new StringBuilder(
+      s"ALTER TABLE $tableName ADD COLUMN ${quoteId(cd.name)} $sqlType")
+    cd.default.foreach(d => sb.append(s" DEFAULT ${sqlLiteral(d)}"))
+    if (cd.autoIncrement) sb.append(" AUTOINCREMENT")
+    if (!cd.nullable) sb.append(" NOT NULL")
+    if (supportsPrimaryKeys && cd.primaryKey) sb.append(" PRIMARY KEY")
+    if (supportsColumnComments)
+      cd.comment.foreach(c => sb.append(s" COMMENT ${sqlLiteral(c)}"))
+    sb.toString
+  }
+
+  /** COMMENT ON TABLE DDL (reference update_table_comment,
+    * engine_specs/base.py:213-227).
+    */
+  private[sink] def tableCommentDdl(tableName: String, comment: String) =
+    s"COMMENT ON TABLE $tableName IS ${sqlLiteral(comment)}"
+
+  /** COMMENT ON COLUMN DDL (reference update_column_comment,
+    * engine_specs/base.py:229-247).
+    */
+  private[sink] def columnCommentDdl(tableName: String, colName: String,
+      comment: String) =
+    s"COMMENT ON COLUMN $tableName.${quoteId(colName)} IS " +
+      sqlLiteral(comment)
+
   /** Live schema migration (reference migrate_schema,
     * sqltask/base/table.py:94-144): diff the declared spec against the
-    * live table via JDBC metadata; add missing columns, drop redundant
-    * ones. No-op when the table doesn't exist yet (created by the first
-    * append) or already matches. Types for added columns come from the
-    * declared Spark type; new columns are added nullable (existing rows
-    * have no value for them — same constraint the reference handles via
-    * ADD COLUMN semantics).
+    * live table via JDBC metadata; add missing columns (with DEFAULT/
+    * AUTOINCREMENT/NOT NULL/PK/COMMENT clauses per the declared
+    * [[graft.core.ColumnDef]] — reference add_column,
+    * engine_specs/base.py:159-193), drop redundant ones, and — when the
+    * dialect supports it — sync table and column comments that differ
+    * from the live REMARKS (reference table.py:105-131). No-op when the
+    * table doesn't exist yet (created by the first append) or already
+    * matches.
     */
   override def migrate(spark: SparkSession, spec: TableSpec): Unit = {
     val conn = java.sql.DriverManager.getConnection(url, properties)
@@ -168,25 +228,45 @@ final case class JdbcTarget(
         .replace("_", esc + "_")
         .replace("%", esc + "%")
       val rs = meta.getColumns(null, conn.getSchema, pattern, null)
+      // name → live comment (REMARKS; null/absent ⇒ None)
       val live = Iterator.continually(rs)
-        .takeWhile(_.next()).map(_.getString("COLUMN_NAME")).toSet
+        .takeWhile(_.next())
+        .map(r => r.getString("COLUMN_NAME") ->
+          Option(r.getString("REMARKS")).filter(_.nonEmpty))
+        .toMap
       if (live.isEmpty) return // table not created yet
-      def q(id: String) = "\"" + id + "\""
       val declared = spec.columns.map(_.name)
       val stmt = conn.createStatement()
       declared.filterNot(live.contains).foreach { c =>
         val cd = spec.columns.find(_.name == c).get
-        val sqlType = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
-          .getJDBCType(cd.dataType)
-          .map(_.databaseTypeDefinition)
-          .getOrElse(cd.dataType.sql)
-        stmt.executeUpdate(
-          s"ALTER TABLE ${spec.name} ADD COLUMN ${q(c)} $sqlType")
+        stmt.executeUpdate(addColumnDdl(spec.name, cd))
       }
-      live.filterNot(declared.contains).foreach { c =>
+      // comment sync for pre-existing columns (added columns carry
+      // theirs inline); only when declared, non-empty, and different
+      // from the live REMARKS — the reference's exact update condition
+      // (table.py:118-131)
+      if (supportsColumnComments)
+        spec.columns.filter(cd => live.contains(cd.name)).foreach { cd =>
+          cd.comment.filter(c => !live(cd.name).contains(c)).foreach {
+            c => stmt.executeUpdate(columnCommentDdl(spec.name, cd.name, c))
+          }
+        }
+      if (supportsTableComments)
+        spec.comment.foreach { c =>
+          val trs = meta.getTables(null, conn.getSchema, pattern, null)
+          val liveTableComment =
+            try {
+              if (trs.next()) Option(trs.getString("REMARKS"))
+                .filter(_.nonEmpty)
+              else None
+            } finally trs.close()
+          if (!liveTableComment.contains(c))
+            stmt.executeUpdate(tableCommentDdl(spec.name, c))
+        }
+      live.keysIterator.filterNot(declared.contains).foreach { c =>
         if (allowColumnDrops)
           stmt.executeUpdate(
-            s"ALTER TABLE ${spec.name} DROP COLUMN ${q(c)}")
+            s"ALTER TABLE ${spec.name} DROP COLUMN ${quoteId(c)}")
         else
           System.err.println(s"graft.migrate: ${spec.name}.$c exists in " +
             "the database but not in the spec; NOT dropping (set " +

@@ -232,6 +232,15 @@ object Sources {
     * cannot terminate the literal, but as with the reference this is
     * config-authored SQL, not an untrusted-input surface.
     *
+    * Binding is STRICT, and substitution skips non-parameter colons:
+    * `:name` inside a single-quoted string literal is left verbatim,
+    * `x::int`-style double-colon casts are never treated as parameters,
+    * and a placeholder with no binding — or a `params` entry matching
+    * no placeholder — throws here rather than deferring to an opaque
+    * remote SQL error (a typo'd param name would otherwise push `:nmae`
+    * to the database). Placeholders inside double-quoted IDENTIFIERS
+    * are still substituted — don't name columns `":x"`.
+    *
     * Scale path: `partitionOn = Some((column, lower, upper, n))` wraps
     * the query as a derived table and issues n range-partitioned
     * parallel reads — without it a JDBC read is ONE connection on one
@@ -248,19 +257,37 @@ object Sources {
       partitionOn: Option[(String, Long, Long, Int)] = None): DataFrame = {
     // single pass over the ORIGINAL query: sequential per-param
     // replacement would re-scan substituted literal VALUES and rewrite
-    // any ':name' they happen to contain
+    // any ':name' they happen to contain. The alternation consumes
+    // single-quoted string literals whole (with '' escapes) so a colon
+    // inside one is never a placeholder, and the (?<!:) lookbehind
+    // keeps '::type' casts intact even when a param shares the type's
+    // name.
     val bound = {
-      val m = java.util.regex.Pattern.compile(":(\\w+)").matcher(query)
+      val m = java.util.regex.Pattern
+        .compile("'(?:[^']|'')*'|(?<!:):(\\w+)").matcher(query)
       val sb = new java.lang.StringBuilder
+      val seen = scala.collection.mutable.Set.empty[String]
+      val unbound = scala.collection.mutable.LinkedHashSet.empty[String]
       while (m.find()) {
-        val rep = params.get(m.group(1)) match {
-          case Some(v) => sqlLiteral(v)
-          case None => m.group(0) // unknown placeholder: leave verbatim
-        }
+        val rep =
+          if (m.group(1) == null) m.group(0) // string literal: verbatim
+          else params.get(m.group(1)) match {
+            case Some(v) => seen += m.group(1); sqlLiteral(v)
+            case None => unbound += m.group(1); m.group(0)
+          }
         m.appendReplacement(sb,
           java.util.regex.Matcher.quoteReplacement(rep))
       }
       m.appendTail(sb)
+      if (unbound.nonEmpty) throw new IllegalArgumentException(
+        s"query references parameter(s) with no binding: " +
+          unbound.mkString(":", ", :", "") +
+          s" (bound: ${params.keys.toSeq.sorted.mkString(", ")})")
+      val unused = params.keySet -- seen
+      if (unused.nonEmpty) throw new IllegalArgumentException(
+        s"params bound but never referenced by the query: " +
+          unused.toSeq.sorted.mkString(", ") +
+          " (typo'd placeholder name?)")
       sb.toString
     }
     val reader = spark.read.format("jdbc")

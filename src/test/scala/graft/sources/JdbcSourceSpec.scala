@@ -64,6 +64,49 @@ class JdbcSourceSpec extends SparkSpec {
     assert(df.selectExpr("CAST(n AS BIGINT)").collect().head.getLong(0) == 1L)
   }
 
+  test("strict binding: unbound placeholder and unused param fail fast") {
+    seeded
+    // typo'd placeholder: the query says :cutofff, the binding :cutoff —
+    // without the check this pushes ':cutofff' to Derby as opaque SQL
+    val e1 = intercept[IllegalArgumentException] {
+      Sources.jdbc(spark, url,
+        "SELECT * FROM src_events WHERE id <= :cutofff",
+        props, params = Map("cutoff" -> 30))
+    }
+    assert(e1.getMessage.contains(":cutofff"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sources.jdbc(spark, url,
+        "SELECT * FROM src_events WHERE id <= :cutoff",
+        props, params = Map("cutoff" -> 30, "extra" -> 1))
+    }
+    assert(e2.getMessage.contains("extra"))
+  }
+
+  test("':name' inside a string literal and '::type' casts are not params") {
+    seeded
+    // ':cat' inside the quoted literal must survive verbatim (and not
+    // count as an unbound placeholder); the '::int'-ish double colon
+    // must not be parsed as parameter ':int' even though 'int' is bound
+    val df = Sources.jdbc(spark, url,
+      "SELECT COUNT(*) AS n FROM src_events " +
+        "WHERE category = 'due :cat review' OR id = CAST(:int AS INT)",
+      props, params = Map("int" -> 7))
+    assert(df.selectExpr("CAST(n AS BIGINT)").collect().head.getLong(0)
+      == 1L)
+    // a real double-colon cast passes through untouched even with a
+    // same-named param bound elsewhere in the query — Derby has no '::'
+    // so assert at the renderer level via the unbound check: ':int'
+    // after 'x:' is NOT flagged (it never parses as a placeholder)
+    val e = intercept[IllegalArgumentException] {
+      Sources.jdbc(spark, url,
+        "SELECT val::int AS v FROM src_events WHERE id = :id",
+        props, params = Map("id" -> 1, "int" -> 9))
+    }
+    // 'int' is reported UNUSED (:: cast not substituted), not unbound
+    assert(e.getMessage.contains("never referenced") &&
+      e.getMessage.contains("int"))
+  }
+
   test("non-finite double params are rejected before pushdown") {
     intercept[IllegalArgumentException] {
       Sources.jdbc(spark, url, "SELECT * FROM src_events WHERE val > :v",
