@@ -187,7 +187,18 @@ object Dedup {
     * quadratic; the prefix join's cost is Σ_prefix-shingle df_p(s)²
     * where prefixes hold each document's RAREST shingles. The two extra
     * exchanges it pays (document-frequency aggregation + the ranking
-    * window) are linear in corpus size — the trade that wins at 100 TB.
+    * window) are linear in corpus size.
+    *
+    * MEASURED regimes (tools/ScaleJaccard, PLANS.md round 4): on the
+    * boilerplate shape (hot shingles shared corpus-wide, true pairs
+    * only where docs genuinely overlap — the common large-corpus case)
+    * this operator crosses over BELOW 5k docs and is 10× faster by 20k
+    * while the uncapped join goes quadratic; the df-capped join keeps
+    * <0.2% of true pairs there. On dup-HEAVY corpora (most docs are
+    * near-dup family members) the candidate set ≈ the answer and the
+    * per-candidate verification joins dominate — prefer MinHash-LSH
+    * ([[minhashCandidates]]) or exact grouping there; no exact
+    * pairwise join is the right tool when duplicates are the rule.
     */
   def jaccardPairsPrefix(
       df: DataFrame, idCol: String, textCol: String,
