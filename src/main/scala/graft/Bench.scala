@@ -103,7 +103,24 @@ object Bench {
     // artifact makes that diagnosis a read, not a re-measurement.
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // Verbose artifact first (full precision, cold + steady maps) for
+    // humans reading the log...
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"steady_total":$steadyTotal,"steady":${js(steady)}$errJson,"load_avg_end":$loadAvg,"cpus":$cpus,"sf":"$sfDir"}""")
+    // ...then the driver-facing line LAST and COMPACT. The driver
+    // records only a ~2000-char tail of stdout: the verbose line above
+    // (~4.5 KB) always had its opening brace truncated away, so every
+    // BENCH_r{N}.json carried parsed:null. 3-decimal seconds (ms
+    // precision — below run-to-run noise) and cold-only per-query map
+    // keep this line well under the tail window.
+    def f3(v: Double): String = {
+      val s = "%.3f".format(v)
+      val t = s.reverse.dropWhile(_ == '0').reverse
+      if (t.endsWith(".")) t.dropRight(1) else t
+    }
+    def js3(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${js3(cold)},"steady_total":${f3(steadyTotal)}$errJson,"load_avg_end":${f3(loadAvg)},"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -51,15 +51,19 @@ object Freq {
     * null frequency matters.
     *
     * The keyed input is evaluated TWICE — the sketch pass and the
-    * exact-verification pass — so with `cacheInput = true` (default)
-    * it is persisted (spillable) before the passes and an expensive
-    * upstream plan runs once. Pass `cacheInput = false` when the
-    * caller already persisted the input (the persisted parent plan is
-    * what both passes re-read) or when recompute is cheaper than the
-    * cache footprint; the result is identical either way.
+    * exact-verification pass — so `cacheInput = true` persists it
+    * (spillable) before the passes and an expensive upstream plan runs
+    * once. The default is FALSE: the result is lazy, so this function
+    * has no release point for the block — a true default would leak
+    * one MEMORY_AND_DISK cache per call into the unified pool of a
+    * long-lived session until a global `clearCache()`. Opt in only
+    * when the upstream plan is expensive AND you own the session's
+    * cache lifecycle (release with `spark.catalog.clearCache()` or by
+    * persisting the input yourself and unpersisting after the action);
+    * the result is identical either way.
     */
   def heavyHitterCounts(df: DataFrame, keyCol: String,
-      capacity: Int = 4096, cacheInput: Boolean = true): DataFrame = {
+      capacity: Int = 4096, cacheInput: Boolean = false): DataFrame = {
     val integral = df.schema(keyCol).dataType match {
       case LongType | IntegerType | ShortType | ByteType => true
       case _ => false

@@ -32,6 +32,32 @@ trait TargetSpec {
   def read(spark: SparkSession, spec: TableSpec): DataFrame
 }
 
+/** Which column-comment DDL mechanism a JDBC dialect accepts. The two
+  * mechanisms are mutually exclusive in practice — MySQL-family dialects
+  * take an inline `COMMENT '...'` clause on ADD COLUMN and have no
+  * `COMMENT ON`, while Postgres/standard dialects take `COMMENT ON
+  * COLUMN` and reject the inline clause — so a single boolean flag
+  * cannot gate both without emitting invalid SQL for one of them (the
+  * reference resolves this per engine spec subclass,
+  * engine_specs/base.py:54-57 + overrides).
+  */
+sealed trait ColumnCommentStyle
+object ColumnCommentStyle {
+  /** No column-comment DDL at all (Derby, SQLite). */
+  case object Unsupported extends ColumnCommentStyle
+  /** Inline `COMMENT '...'` on ADD COLUMN (MySQL family). Comments on
+    * columns that already exist cannot be synced without a full column
+    * redefinition (`MODIFY COLUMN` with the complete type), which
+    * migrate deliberately does not attempt.
+    */
+  case object Inline extends ColumnCommentStyle
+  /** Standalone `COMMENT ON COLUMN t.c IS '...'` (Postgres, Snowflake,
+    * standard SQL) — used both for added columns and for syncing
+    * pre-existing ones.
+    */
+  case object CommentOn extends ColumnCommentStyle
+}
+
 /** Parquet directory target, partitioned by the batch columns.
   *
   * Batch overwrite = dynamic partition overwrite: only partitions present
@@ -86,14 +112,26 @@ final case class JdbcTarget(
     // is opt-in; the default logs and skips, keeping ADD COLUMN automatic
     // (the reference's migrate_schema drops unconditionally).
     allowColumnDrops: Boolean = false,
-    // COMMENT ON TABLE/COLUMN DDL is dialect-specific (Derby has none),
-    // so comment sync is capability-gated exactly like the reference's
-    // supports_table_comments/supports_column_comments flags
+    // COMMENT ON TABLE DDL is dialect-specific (Derby has none), so
+    // table-comment sync is capability-gated exactly like the
+    // reference's supports_table_comments flag
     // (engine_specs/base.py:54-57): false skips the DDL silently.
     override val supportsTableComments: Boolean = false,
-    override val supportsColumnComments: Boolean = false) extends TargetSpec {
+    // Column comments route through ONE of two mutually exclusive
+    // mechanisms (inline clause vs COMMENT ON) — see
+    // [[ColumnCommentStyle]]; Unsupported skips both silently.
+    columnCommentStyle: ColumnCommentStyle = ColumnCommentStyle.Unsupported,
+    // The reference renders a literal AUTOINCREMENT keyword
+    // (engine_specs/base.py:182-183), valid only on
+    // Snowflake/SQLite-family dialects; Derby/DB2 spell it
+    // "GENERATED ALWAYS AS IDENTITY", MySQL "AUTO_INCREMENT",
+    // Postgres "GENERATED ALWAYS AS IDENTITY". Per-dialect hook, like
+    // JdbcDialects.getJDBCType already is for the column type.
+    autoIncrementClause: String = "AUTOINCREMENT") extends TargetSpec {
   override val supportsPrimaryKeys = true
   override val supportsSchemas = true
+  override def supportsColumnComments: Boolean =
+    columnCommentStyle != ColumnCommentStyle.Unsupported
 
   override def overwriteBatch(df: DataFrame, spec: TableSpec): Unit = {
     deleteBatch(df, spec)
@@ -175,10 +213,10 @@ final case class JdbcTarget(
     val sb = new StringBuilder(
       s"ALTER TABLE $tableName ADD COLUMN ${quoteId(cd.name)} $sqlType")
     cd.default.foreach(d => sb.append(s" DEFAULT ${sqlLiteral(d)}"))
-    if (cd.autoIncrement) sb.append(" AUTOINCREMENT")
+    if (cd.autoIncrement) sb.append(" " + autoIncrementClause)
     if (!cd.nullable) sb.append(" NOT NULL")
     if (supportsPrimaryKeys && cd.primaryKey) sb.append(" PRIMARY KEY")
-    if (supportsColumnComments)
+    if (columnCommentStyle == ColumnCommentStyle.Inline)
       cd.comment.foreach(c => sb.append(s" COMMENT ${sqlLiteral(c)}"))
     sb.toString
   }
@@ -240,12 +278,19 @@ final case class JdbcTarget(
       declared.filterNot(live.contains).foreach { c =>
         val cd = spec.columns.find(_.name == c).get
         stmt.executeUpdate(addColumnDdl(spec.name, cd))
+        // Inline-style dialects carried the comment in the ADD COLUMN
+        // clause; CommentOn-style dialects take it as a second statement
+        if (columnCommentStyle == ColumnCommentStyle.CommentOn)
+          cd.comment.foreach(cm =>
+            stmt.executeUpdate(columnCommentDdl(spec.name, cd.name, cm)))
       }
-      // comment sync for pre-existing columns (added columns carry
-      // theirs inline); only when declared, non-empty, and different
-      // from the live REMARKS — the reference's exact update condition
-      // (table.py:118-131)
-      if (supportsColumnComments)
+      // comment sync for pre-existing columns; only when declared,
+      // non-empty, and different from the live REMARKS — the
+      // reference's exact update condition (table.py:118-131). Only the
+      // CommentOn mechanism can do this: inline-style dialects would
+      // need a full MODIFY COLUMN redefinition (see
+      // [[ColumnCommentStyle.Inline]]).
+      if (columnCommentStyle == ColumnCommentStyle.CommentOn)
         spec.columns.filter(cd => live.contains(cd.name)).foreach { cd =>
           cd.comment.filter(c => !live(cd.name).contains(c)).foreach {
             c => stmt.executeUpdate(columnCommentDdl(spec.name, cd.name, c))

@@ -255,41 +255,7 @@ object Sources {
       properties: java.util.Properties = new java.util.Properties,
       params: Map[String, Any] = Map.empty,
       partitionOn: Option[(String, Long, Long, Int)] = None): DataFrame = {
-    // single pass over the ORIGINAL query: sequential per-param
-    // replacement would re-scan substituted literal VALUES and rewrite
-    // any ':name' they happen to contain. The alternation consumes
-    // single-quoted string literals whole (with '' escapes) so a colon
-    // inside one is never a placeholder, and the (?<!:) lookbehind
-    // keeps '::type' casts intact even when a param shares the type's
-    // name.
-    val bound = {
-      val m = java.util.regex.Pattern
-        .compile("'(?:[^']|'')*'|(?<!:):(\\w+)").matcher(query)
-      val sb = new java.lang.StringBuilder
-      val seen = scala.collection.mutable.Set.empty[String]
-      val unbound = scala.collection.mutable.LinkedHashSet.empty[String]
-      while (m.find()) {
-        val rep =
-          if (m.group(1) == null) m.group(0) // string literal: verbatim
-          else params.get(m.group(1)) match {
-            case Some(v) => seen += m.group(1); sqlLiteral(v)
-            case None => unbound += m.group(1); m.group(0)
-          }
-        m.appendReplacement(sb,
-          java.util.regex.Matcher.quoteReplacement(rep))
-      }
-      m.appendTail(sb)
-      if (unbound.nonEmpty) throw new IllegalArgumentException(
-        s"query references parameter(s) with no binding: " +
-          unbound.mkString(":", ", :", "") +
-          s" (bound: ${params.keys.toSeq.sorted.mkString(", ")})")
-      val unused = params.keySet -- seen
-      if (unused.nonEmpty) throw new IllegalArgumentException(
-        s"params bound but never referenced by the query: " +
-          unused.toSeq.sorted.mkString(", ") +
-          " (typo'd placeholder name?)")
-      sb.toString
-    }
+    val bound = bindParams(query, params)
     val reader = spark.read.format("jdbc")
       .option("url", url)
     partitionOn match {
@@ -306,6 +272,52 @@ object Sources {
           .options(propsMap(properties))
           .load()
     }
+  }
+
+  /** Renders `:name` placeholders as SQL literals, strictly: an unbound
+    * placeholder or an unused `params` entry throws (a typo'd name
+    * would otherwise push `:nmae` to the database as opaque SQL).
+    *
+    * Single pass over the ORIGINAL query: sequential per-param
+    * replacement would re-scan substituted literal VALUES and rewrite
+    * any ':name' they happen to contain. The alternation consumes
+    * single-quoted string literals whole (with '' escapes), `--` line
+    * comments, and slash-star block comments, so a colon inside any of
+    * them is never a placeholder; the (?<!:) lookbehind keeps
+    * '::type' casts intact even when a param shares the type's name;
+    * and the placeholder must start with a letter/underscore (named
+    * params can't start with a digit), so an array slice like
+    * `arr[1:3]` is left verbatim rather than parsed as unbound `:3`.
+    */
+  private[sources] def bindParams(query: String,
+      params: Map[String, Any]): String = {
+    val m = java.util.regex.Pattern
+      .compile("'(?:[^']|'')*'|--[^\\r\\n]*|/\\*[\\s\\S]*?\\*/|" +
+        "(?<!:):([A-Za-z_]\\w*)").matcher(query)
+    val sb = new java.lang.StringBuilder
+    val seen = scala.collection.mutable.Set.empty[String]
+    val unbound = scala.collection.mutable.LinkedHashSet.empty[String]
+    while (m.find()) {
+      val rep =
+        if (m.group(1) == null) m.group(0) // literal/comment: verbatim
+        else params.get(m.group(1)) match {
+          case Some(v) => seen += m.group(1); sqlLiteral(v)
+          case None => unbound += m.group(1); m.group(0)
+        }
+      m.appendReplacement(sb,
+        java.util.regex.Matcher.quoteReplacement(rep))
+    }
+    m.appendTail(sb)
+    if (unbound.nonEmpty) throw new IllegalArgumentException(
+      s"query references parameter(s) with no binding: " +
+        unbound.mkString(":", ", :", "") +
+        s" (bound: ${params.keys.toSeq.sorted.mkString(", ")})")
+    val unused = params.keySet -- seen
+    if (unused.nonEmpty) throw new IllegalArgumentException(
+      s"params bound but never referenced by the query: " +
+        unused.toSeq.sorted.mkString(", ") +
+        " (typo'd placeholder name?)")
+    sb.toString
   }
 
   private def propsMap(p: java.util.Properties): Map[String, String] = {

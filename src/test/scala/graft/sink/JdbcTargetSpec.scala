@@ -141,21 +141,51 @@ class JdbcTargetSpec extends SparkSpec {
       ColumnDef("n", IntegerType, nullable = false, primaryKey = true,
         default = Some(0))) ==
       """ALTER TABLE t ADD COLUMN "n" INT DEFAULT 0 NOT NULL PRIMARY KEY""")
-    // autoincrement clause (reference base.py:182-183)
+    // autoincrement clause: the reference's literal AUTOINCREMENT is
+    // the default (base.py:182-183), routed through a per-dialect hook
     assert(plain.addColumnDdl("t",
       ColumnDef("seq", IntegerType, autoIncrement = true)) ==
       """ALTER TABLE t ADD COLUMN "seq" INT AUTOINCREMENT""")
-    // comment clause appears only when the dialect supports it
+    val derbyish = plain.copy(
+      autoIncrementClause = "GENERATED ALWAYS AS IDENTITY")
+    assert(derbyish.addColumnDdl("t",
+      ColumnDef("seq", IntegerType, autoIncrement = true)) ==
+      """ALTER TABLE t ADD COLUMN "seq" INT GENERATED ALWAYS AS IDENTITY""")
+    // inline comment clause appears only for the Inline mechanism —
+    // CommentOn dialects reject it on ADD COLUMN and take a separate
+    // COMMENT ON statement instead (emitted by migrate)
     val cd = ColumnDef("c", IntegerType, comment = Some("it's a count"))
     assert(!plain.addColumnDdl("t", cd).contains("COMMENT"))
-    val commenting = plain.copy(supportsColumnComments = true)
-    assert(commenting.addColumnDdl("t", cd) ==
+    assert(!plain.copy(columnCommentStyle = ColumnCommentStyle.CommentOn)
+      .addColumnDdl("t", cd).contains("COMMENT"))
+    val inline = plain.copy(columnCommentStyle = ColumnCommentStyle.Inline)
+    assert(inline.addColumnDdl("t", cd) ==
       """ALTER TABLE t ADD COLUMN "c" INT COMMENT 'it''s a count'""")
+  }
+
+  test("per-dialect autoincrement clause executes live on Derby") {
+    import spark.implicits._
+    val target = JdbcTarget(url, props,
+      autoIncrementClause = "GENERATED ALWAYS AS IDENTITY")
+    val v1 = TableSpec("migident", Seq(
+      ColumnDef("item", StringType)))
+    target.append(Seq("a", "b").toDF("item"), v1)
+    val v2 = TableSpec("migident", Seq(
+      ColumnDef("item", StringType),
+      ColumnDef("seq", IntegerType, autoIncrement = true)))
+    // Derby backfills identity values for existing rows on ADD COLUMN —
+    // with the default literal-AUTOINCREMENT clause this would be a
+    // syntax error, proving the hook is what made it executable
+    target.migrate(spark, v2)
+    val seqs = target.read(spark, v2).collect()
+      .map(_.getAs[Int]("seq")).sorted
+    assert(seqs.toSeq == Seq(1, 2))
   }
 
   test("comment sync DDL renders reference semantics; flags gate emission") {
     val target = JdbcTarget(url, props,
-      supportsTableComments = true, supportsColumnComments = true)
+      supportsTableComments = true,
+      columnCommentStyle = ColumnCommentStyle.CommentOn)
     assert(target.tableCommentDdl("sales", "daily's figures") ==
       "COMMENT ON TABLE sales IS 'daily''s figures'")
     assert(target.columnCommentDdl("sales", "amount", "EUR") ==
@@ -177,14 +207,30 @@ class JdbcTargetSpec extends SparkSpec {
     plain.migrate(spark, commented) // would throw if COMMENT ON emitted
     assert(plain.read(spark, commented).columns.toSet ==
       Set("id", "note"))
-    // with the flags ON, Derby rejects the emitted COMMENT ON — proving
-    // the flag is what held the DDL back (the capability gate is live,
-    // not dead code)
-    val target2 = JdbcTarget(url, props, supportsColumnComments = true)
+    // with CommentOn style ON, Derby rejects the emitted COMMENT ON —
+    // proving the flag is what held the DDL back (the capability gate
+    // is live, not dead code)
+    val target2 = JdbcTarget(url, props,
+      columnCommentStyle = ColumnCommentStyle.CommentOn)
     val e = intercept[java.sql.SQLException] {
       target2.migrate(spark, commented)
     }
     assert(e.getMessage.toUpperCase.contains("SYNTAX") ||
       e.getMessage.contains("COMMENT"))
+    // the two mechanisms are mutually exclusive: an Inline-style target
+    // syncing a spec whose comments are all on PRE-EXISTING columns
+    // must emit NO comment DDL at all (inline can only carry comments
+    // at ADD COLUMN time; COMMENT ON belongs to the other mechanism) —
+    // on Derby either statement would throw, so a clean pass proves
+    // neither was emitted
+    val inlineT = JdbcTarget(url, props,
+      columnCommentStyle = ColumnCommentStyle.Inline)
+    val preExisting = TableSpec("migcmt", Seq(
+      ColumnDef("id", IntegerType, nullable = false,
+        comment = Some("the key")),
+      ColumnDef("note", StringType, comment = Some("free text"))))
+    inlineT.migrate(spark, preExisting)
+    assert(inlineT.supportsColumnComments) // flag derives from style
+    assert(!JdbcTarget(url, props).supportsColumnComments)
   }
 }

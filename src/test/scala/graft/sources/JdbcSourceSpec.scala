@@ -107,6 +107,36 @@ class JdbcSourceSpec extends SparkSpec {
       e.getMessage.contains("int"))
   }
 
+  test("digit colons and comments are not placeholders (binder level)") {
+    // Postgres-style array slice: `:3` must not parse as an unbound
+    // placeholder (named params can't start with a digit) — this is
+    // valid SQL on the remote engine and ran fine before strict
+    // binding, so strictness must not reject it
+    assert(Sources.bindParams("SELECT arr[1:3] FROM t WHERE id = :id",
+      Map("id" -> 7)) == "SELECT arr[1:3] FROM t WHERE id = 7")
+    // ':name' inside a line comment or a block comment is not a
+    // placeholder: not substituted, not counted as unbound
+    assert(Sources.bindParams(
+      "SELECT a -- due :when\nFROM t WHERE id = :id",
+      Map("id" -> 1)) == "SELECT a -- due :when\nFROM t WHERE id = 1")
+    assert(Sources.bindParams(
+      "SELECT a /* :when\n spans :lines */ FROM t WHERE id = :id",
+      Map("id" -> 1)) ==
+      "SELECT a /* :when\n spans :lines */ FROM t WHERE id = 1")
+    // a bound param referenced ONLY from inside a comment is unused —
+    // strictness still catches the typo
+    val e = intercept[IllegalArgumentException] {
+      Sources.bindParams("SELECT a /* :id */ FROM t", Map("id" -> 1))
+    }
+    assert(e.getMessage.contains("never referenced"))
+    // '--' inside a string literal is NOT a comment opener: the
+    // literal alternative consumes it first and a placeholder after it
+    // still binds
+    assert(Sources.bindParams(
+      "SELECT '--not a comment' FROM t WHERE id = :id", Map("id" -> 2))
+      == "SELECT '--not a comment' FROM t WHERE id = 2")
+  }
+
   test("non-finite double params are rejected before pushdown") {
     intercept[IllegalArgumentException] {
       Sources.jdbc(spark, url, "SELECT * FROM src_events WHERE val > :v",
