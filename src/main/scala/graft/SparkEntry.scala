@@ -50,7 +50,8 @@ object SparkEntry {
     q1 +: (graft.queries.Relational.defs ++ graft.queries.Scalars.defs ++
       graft.queries.CorpusOps.defs ++ graft.queries.CorpusOps.textDefs ++
       graft.queries.EventOps.defs ++ graft.queries.Extras.defs ++
-      graft.queries.Round2.defs ++ graft.queries.Round3.defs)
+      graft.queries.Round2.defs ++ graft.queries.Round3.defs ++
+      graft.queries.Round5.defs)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,121 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Curation, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Round-5 additions: corpus-curation operators — repetition scoring,
+  * document-frequency pruning, config-driven stratified sampling — and
+  * int8 embedding quantization.
+  */
+object Round5 {
+  private def t(name: String): QueryFn = (s, dir) => Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Gopher-style repetition metrics, entirely map-side: every
+    // metric is a higher-order-function fold over the per-doc token
+    // array (the top-bigram count via sort + longest-equal-run fold),
+    // so the operator has NO shuffle and scales with the scan.
+    QueryDef("q67_repetition",
+      (s, dir) => Curation
+        .repetitionStats(t("documents")(s, dir), "text", "doc_id")
+        .orderBy(col("doc_id")),
+      Some("""WITH w AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(text), '\s+'),
+             |    x -> len(x) > 0) AS ws FROM documents),
+             |b AS (SELECT doc_id, unnest(list_transform(
+             |    generate_series(2, len(ws)),
+             |    i -> ws[i-1] || ' ' || ws[i])) AS bg FROM w),
+             |bc AS (SELECT doc_id, MAX(cnt) AS top_n FROM (
+             |    SELECT doc_id, bg, COUNT(*) AS cnt FROM b
+             |    GROUP BY doc_id, bg) GROUP BY doc_id)
+             |SELECT w.doc_id,
+             |  CAST(len(ws) AS BIGINT) AS n_words,
+             |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+             |  CAST(COALESCE(bc.top_n, 0) AS BIGINT) AS top_bigram_n
+             |FROM w LEFT JOIN bc ON w.doc_id = bc.doc_id
+             |ORDER BY w.doc_id""".stripMargin)),
+
+    // ---- document-frequency stopword pruning: words present in >50%
+    // of documents are boilerplate vocabulary; count each doc's kept
+    // vs removed tokens. The stop set reduces to a handful of rows and
+    // broadcasts back onto the token stream — the corpus side never
+    // shuffles (plan shape documented on Curation.dfPruneCounts).
+    QueryDef("q68_df_prune",
+      (s, dir) => Curation
+        .dfPruneCounts(t("documents")(s, dir), "text", "doc_id",
+          maxDfFrac = 0.5)
+        .orderBy(col("doc_id")),
+      Some("""WITH w AS (SELECT doc_id, unnest(list_filter(
+             |    string_split_regex(lower(text), '\s+'),
+             |    x -> len(x) > 0)) AS word FROM documents),
+             |d AS (SELECT word, COUNT(DISTINCT doc_id) AS df
+             |  FROM w GROUP BY word),
+             |s AS (SELECT word FROM d
+             |  WHERE df > (SELECT COUNT(*) FROM documents) * 0.5)
+             |SELECT doc_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |  CAST(COUNT(*) FILTER (word NOT IN (SELECT word FROM s))
+             |    AS BIGINT) AS n_kept,
+             |  CAST(COUNT(*) FILTER (word IN (SELECT word FROM s))
+             |    AS BIGINT) AS n_removed
+             |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- config-driven stratified sampling: per-language sampling
+    // percentages ride a broadcast rate table (config-in-data, so a
+    // 100 TB run feeds rates from a file, not a code change); the keep
+    // decision is the same deterministic md5 bucket the split/sample
+    // operators use. Audit view: totals and kept counts per stratum.
+    QueryDef("q69_stratified_sample",
+      (s, dir) => {
+        implicit val sp = s
+        Curation.stratifiedSample(t("documents")(s, dir),
+            strataCol = "lang", keyCol = "doc_id",
+            rates = Map("en" -> 10, "de" -> 25), defaultPct = 50)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_total"),
+            count(when(col("sample_keep"), 1)).as("n_sampled"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, COUNT(*) AS n_total,
+             |  COUNT(*) FILTER (
+             |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+             |      1, 15)) AS BIGINT) % 100 <
+             |    CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 25
+             |      ELSE 50 END) AS n_sampled
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- int8 scalar quantization of the embedding column: 4× index
+    // compression, map-side only. The codes are integer-exact across
+    // engines (non-negative scaled value ⇒ HALF_UP == half-away-from-
+    // zero), so the oracle checks the quantization itself — per-vector
+    // code sum and extrema. Reconstruction quality (recall@10 vs exact)
+    // is pinned by QuantizeSpec, which a SQL oracle can't express.
+    QueryDef("q70_int8_quantize",
+      (s, dir) => {
+        val q = Similarity.quantizeInt8(col("embedding"))
+        t("embeddings")(s, dir)
+          .select(col("vec_id"), q.getField("codes").as("codes"))
+          .select(col("vec_id"),
+            aggregate(col("codes"), lit(0L), (acc, c) => acc + c)
+              .as("code_sum"),
+            array_min(col("codes")).cast("bigint").as("code_min"),
+            array_max(col("codes")).cast("bigint").as("code_max"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    CAST(embedding AS DOUBLE[]) AS d FROM embeddings),
+             |p AS (SELECT vec_id, d, list_min(d) AS mn,
+             |    CASE WHEN list_max(d) > list_min(d)
+             |      THEN list_max(d) - list_min(d) ELSE 1 END AS sc
+             |  FROM e),
+             |c AS (SELECT vec_id, list_transform(d,
+             |    v -> CAST(round((v - mn) / sc * 255) AS INT) - 128)
+             |    AS codes FROM p)
+             |SELECT vec_id,
+             |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+             |  CAST(list_min(codes) AS BIGINT) AS code_min,
+             |  CAST(list_max(codes) AS BIGINT) AS code_max
+             |FROM c ORDER BY vec_id""".stripMargin)))
+}

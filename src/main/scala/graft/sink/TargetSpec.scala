@@ -133,6 +133,21 @@ final case class JdbcTarget(
   override def supportsColumnComments: Boolean =
     columnCommentStyle != ColumnCommentStyle.Unsupported
 
+  /** Database/schema this target's URL points at (reference
+    * EngineContext url-param extraction, sqltask/base/engine.py:23-24).
+    */
+  def urlParams: UrlParams = JdbcUrl.getUrlParams(url, supportsSchemas)
+
+  /** A copy of this target rebound to another database/schema, keeping
+    * connection properties, batch size, capability flags and dialect
+    * hooks — the reference's EngineContext.create_new
+    * (sqltask/base/engine.py:37-53): unspecified sides fall back to
+    * the current URL's values.
+    */
+  def withNamespace(database: Option[String] = None,
+      schema: Option[String] = None): JdbcTarget =
+    copy(url = JdbcUrl.modifyUrl(url, database, schema, supportsSchemas))
+
   override def overwriteBatch(df: DataFrame, spec: TableSpec): Unit = {
     deleteBatch(df, spec)
     append(df, spec)

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: hand-computed repetition metrics, df
+  * pruning semantics, stratified-sample rates, and the plan contracts
+  * (map-side-only repetition, broadcast stop set) the scaladocs claim.
+  */
+class CurationSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "a b a b a b"),       // bigrams: ab ba ab ba ab → top 3
+      (2L, "x y z"),             // all distinct, top bigram 1
+      (3L, "w"),                 // single word: no bigram
+      (4L, "a a a a")            // 'a a' ×3
+    ).toDF("doc_id", "text")
+  }
+
+  test("repetitionStats matches hand-computed metrics") {
+    val got = Curation.repetitionStats(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 6L, 2L, 3L),
+      (2L, 3L, 3L, 1L),
+      (3L, 1L, 1L, 0L),
+      (4L, 4L, 1L, 3L)))
+  }
+
+  test("repetitionStats plans with NO shuffle (map-side contract)") {
+    val plan = Curation.repetitionStats(docs, "text", "doc_id")
+      .queryExecution.executedPlan
+    assert(plan.collect { case e: ShuffleExchangeLike => e }.isEmpty)
+  }
+
+  test("dfPruneCounts removes only words above the df fraction") {
+    import spark.implicits._
+    // 'the' in 3/4 docs (df 0.75 > 0.5 → stop); 'cat' in 2/4 (kept)
+    val d = Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat ran"),
+      (3L, "the dog"),
+      (4L, "bird song")).toDF("doc_id", "text")
+    val got = Curation.dfPruneCounts(d, "text", "doc_id", 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 2L, 1L),
+      (2L, 3L, 2L, 1L),
+      (3L, 2L, 1L, 1L),
+      (4L, 2L, 2L, 0L)))
+  }
+
+  test("dfPruneCounts broadcasts the stop set (no corpus-side shuffle join)") {
+    import spark.implicits._
+    val d = (1L to 100L).map(i => (i, s"common w$i")).toDF("doc_id", "text")
+    val plan = Curation.dfPruneCounts(d, "text", "doc_id", 0.5)
+      .queryExecution.executedPlan
+    val bhj = plan.toString
+    assert(bhj.contains("BroadcastHashJoin") ||
+      bhj.contains("BroadcastExchange"))
+  }
+
+  test("stratifiedSample: rate 0 keeps none, 100 keeps all, default applies") {
+    import spark.implicits._
+    implicit val s = spark
+    val d = (1L to 200L).map(i =>
+      (i, if (i % 2 == 0) "en" else "xx")).toDF("doc_id", "lang")
+    val out = Curation.stratifiedSample(d, "lang", "doc_id",
+      rates = Map("en" -> 0), defaultPct = 100)
+    val kept = out.groupBy("lang")
+      .agg(count(when(col("sample_keep"), 1)).as("k"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(kept("en") == (0L, 100L))   // rate 0: none sampled
+    assert(kept("xx") == (100L, 100L)) // default 100: all sampled
+    // determinism: same inputs → identical keep decisions
+    val again = Curation.stratifiedSample(d, "lang", "doc_id",
+      rates = Map("en" -> 0), defaultPct = 100)
+    assert(out.filter(col("sample_keep")).exceptAll(
+      again.filter(col("sample_keep"))).isEmpty)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Int8 scalar quantization: the reconstruction-error bound that the
+  * scheme guarantees by construction, and the end-to-end quality
+  * measure (recall@10 of quantized search vs exact search) that the SQL
+  * oracle can't express.
+  */
+class QuantizeSpec extends SparkSpec {
+
+  private def emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("dequantize error is within half a quantization step per component") {
+    val q = Similarity.quantizeInt8(col("embedding"))
+    val err = emb.select(
+        col("embedding").cast("array<double>").as("v"),
+        Similarity.dequantizeInt8(q).as("vhat"),
+        q.getField("step").as("step"))
+      .select(aggregate(zip_with(col("v"), col("vhat"),
+          (a, b) => abs(a - b)), lit(0.0),
+          (acc, x) => greatest(acc, x)).as("max_err"),
+        col("step"))
+      .filter(col("max_err") > col("step") / 2 + lit(1e-9))
+    assert(err.count() == 0)
+  }
+
+  test("quantized top-10 cosine search recalls >=80% of exact neighbors") {
+    val k = 10
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val dq = emb.select(col("vec_id"),
+      Similarity.dequantizeInt8(
+        Similarity.quantizeInt8(col("embedding"))).as("embedding"))
+    val approx = Similarity.bruteForceTopK(
+        queries.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding")),
+        dq, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.intersect(approx).count().toDouble
+    val total = exact.count().toDouble
+    assert(total == 10 * k)
+    val recall = hits / total
+    assert(recall >= 0.8, s"recall@$k = $recall")
+  }
+}
