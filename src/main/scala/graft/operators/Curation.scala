@@ -63,6 +63,31 @@ object Curation {
       top.cast("bigint").as("top_bigram_n"))
   }
 
+  /** Per-document quality verdict composed from the [[repetitionStats]]
+    * signals — the shape of a production quality filter (Gopher/C4
+    * rules): each doc gets the FIRST matching rejection reason, in
+    * fixed precedence, or `kept`.
+    *
+    *  - `too_short`      — fewer than `minWords` tokens;
+    *  - `repetitive`     — the top bigram covers ≥ 1/`repMul` of the
+    *    doc's tokens (`top_bigram_n · repMul ≥ n_words`);
+    *  - `low_diversity`  — vocabulary under 1/`divMul` of tokens
+    *    (`n_distinct · divMul < n_words`).
+    *
+    * All comparisons are integer (multiplier form, no float ratios), so
+    * verdicts are bit-identical across engines. Inherits
+    * [[repetitionStats]]'s no-shuffle contract: the gate is a scan.
+    */
+  def qualityGate(df: DataFrame, textCol: String, idCol: String,
+      minWords: Int = 40, repMul: Int = 10, divMul: Int = 2): DataFrame =
+    repetitionStats(df, textCol, idCol).select(
+      col(idCol),
+      when(col("n_words") < minWords, "too_short")
+        .when(col("top_bigram_n") * repMul >= col("n_words"), "repetitive")
+        .when(col("n_distinct_words") * divMul < col("n_words"),
+          "low_diversity")
+        .otherwise("kept").as("reason"))
+
   /** Per-document token counts after document-frequency pruning: tokens
     * whose word appears in more than `maxDfFrac` of all documents are
     * "removed" (the df-based stopword rule used to strip boilerplate
@@ -75,6 +100,13 @@ object Curation {
     * back onto the token stream. The corpus-sized side never shuffles;
     * at 100 TB only the (vocabulary-sized) df aggregation exchanges
     * data, with partial aggregation upstream.
+    *
+    * The token stream is evaluated twice (df pass + count pass) — two
+    * linear scans, deliberately NOT persisted here: the result is lazy,
+    * so this function has no release point for a cache block (the leak
+    * class [[Freq.heavyHitterCounts]] documents). Callers who want the
+    * single-scan version should persist `docs` themselves and unpersist
+    * after the action.
     */
   def dfPruneCounts(docs: DataFrame, textCol: String, idCol: String,
       maxDfFrac: Double): DataFrame = {

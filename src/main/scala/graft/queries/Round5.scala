@@ -86,6 +86,39 @@ object Round5 {
              |      ELSE 50 END) AS n_sampled
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // ---- composed quality gate: the repetition signals feed a fixed-
+    // precedence keep/reject verdict (the production quality-filter
+    // shape), audited as counts per reason. Integer comparisons only,
+    // and the whole gate is a scan — no shuffle until the tiny audit
+    // aggregation.
+    QueryDef("q71_quality_gate",
+      (s, dir) => Curation
+        .qualityGate(t("documents")(s, dir), "text", "doc_id",
+          minWords = 40, repMul = 10, divMul = 2)
+        .groupBy(col("reason"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("reason")),
+      Some("""WITH w AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(text), '\s+'),
+             |    x -> len(x) > 0) AS ws FROM documents),
+             |b AS (SELECT doc_id, unnest(list_transform(
+             |    generate_series(2, len(ws)),
+             |    i -> ws[i-1] || ' ' || ws[i])) AS bg FROM w),
+             |bc AS (SELECT doc_id, MAX(cnt) AS top_n FROM (
+             |    SELECT doc_id, bg, COUNT(*) AS cnt FROM b
+             |    GROUP BY doc_id, bg) GROUP BY doc_id),
+             |m AS (SELECT w.doc_id, len(ws) AS n_words,
+             |    len(list_distinct(ws)) AS n_distinct,
+             |    COALESCE(bc.top_n, 0) AS top_n
+             |  FROM w LEFT JOIN bc ON w.doc_id = bc.doc_id),
+             |v AS (SELECT doc_id, CASE
+             |    WHEN n_words < 40 THEN 'too_short'
+             |    WHEN top_n * 10 >= n_words THEN 'repetitive'
+             |    WHEN n_distinct * 2 < n_words THEN 'low_diversity'
+             |    ELSE 'kept' END AS reason FROM m)
+             |SELECT reason, COUNT(*) AS n_docs FROM v
+             |GROUP BY reason ORDER BY reason""".stripMargin)),
+
     // ---- int8 scalar quantization of the embedding column: 4× index
     // compression, map-side only. The codes are integer-exact across
     // engines (non-negative scaled value ⇒ HALF_UP == half-away-from-

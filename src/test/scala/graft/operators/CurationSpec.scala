@@ -37,6 +37,24 @@ class CurationSpec extends SparkSpec {
     assert(plan.collect { case e: ShuffleExchangeLike => e }.isEmpty)
   }
 
+  test("qualityGate assigns the first matching reason in fixed precedence") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a a"),       // 4 < 5 words → too_short (wins over others)
+      (2L, "a b a b a b"),   // top bigram 3·2 ≥ 6 → repetitive (wins
+                             // over low_diversity: 2 distinct · 2 < 6)
+      (3L, "x x y z w"),     // nothing fires → kept
+      (4L, "p p q q p p")    // 2 distinct · 2 < 6 → low_diversity
+    ).toDF("doc_id", "text")
+    val got = Curation.qualityGate(d, "text", "doc_id",
+        minWords = 5, repMul = 2, divMul = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq(
+      (1L, "too_short"), (2L, "repetitive"),
+      (3L, "kept"), (4L, "low_diversity")))
+  }
+
   test("dfPruneCounts removes only words above the df fraction") {
     import spark.implicits._
     // 'the' in 3/4 docs (df 0.75 > 0.5 → stop); 'cat' in 2/4 (kept)
