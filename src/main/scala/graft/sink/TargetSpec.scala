@@ -127,7 +127,16 @@ final case class JdbcTarget(
     // "GENERATED ALWAYS AS IDENTITY", MySQL "AUTO_INCREMENT",
     // Postgres "GENERATED ALWAYS AS IDENTITY". Per-dialect hook, like
     // JdbcDialects.getJDBCType already is for the column type.
-    autoIncrementClause: String = "AUTOINCREMENT") extends TargetSpec {
+    autoIncrementClause: String = "AUTOINCREMENT",
+    // SQLite-family dialects have no ALTER TABLE ... DROP COLUMN: with
+    // this false (and allowColumnDrops on), migrate drops undeclared
+    // columns by the reference's SQLite workaround (engine_specs/
+    // sqlite.py:18-47): rename old table aside, CREATE the declared
+    // schema, INSERT..SELECT the declared columns, drop the old table.
+    supportsDropColumn: Boolean = true,
+    // RENAME TABLE syntax for the recreate path, %s-templated
+    // (old, new); Derby spells it "RENAME TABLE %s TO %s".
+    renameTableDdl: String = "ALTER TABLE %s RENAME TO %s") extends TargetSpec {
   override val supportsPrimaryKeys = true
   override val supportsSchemas = true
   override def supportsColumnComments: Boolean =
@@ -155,11 +164,17 @@ final case class JdbcTarget(
 
   /** DELETE FROM t WHERE batchCol = val AND ... (engine_specs/base.py:102-117).
     * Batch values are taken from the spec's batch columns in `df` (constant
-    * within a batch by construction).
+    * within a batch by construction). NO batch columns ⇒ the whole table
+    * is one batch: DELETE every row, exactly the reference's
+    * `empty_where_clause` path (base.py:110-115) — without it a re-run
+    * of `overwriteBatch` would append duplicates instead of replacing,
+    * breaking the idempotency contract.
     */
   private def deleteBatch(df: DataFrame, spec: TableSpec): Unit = {
-    if (spec.batchColumns.isEmpty) return
-    val batchVals = df.select(spec.batchColumns.map(df(_)): _*).distinct().collect()
+    // lazy: the whole-table path needs no batch values (and must not
+    // run a Spark job over a zero-column projection)
+    lazy val batchVals =
+      df.select(spec.batchColumns.map(df(_)): _*).distinct().collect()
     val conn = java.sql.DriverManager.getConnection(url, properties)
     try {
       // first-ever overwriteBatch: nothing to delete — the append that
@@ -180,15 +195,23 @@ final case class JdbcTarget(
       // passes the table name through unquoted — mirror that exactly or
       // case-folding databases (Derby, Postgres) won't resolve them.
       def q(id: String) = "\"" + id + "\""
-      val where = spec.batchColumns.map(c => s"${q(c)} = ?").mkString(" AND ")
-      val stmt = conn.prepareStatement(s"DELETE FROM ${spec.name} WHERE $where")
-      batchVals.foreach { row =>
-        spec.batchColumns.zipWithIndex.foreach { case (_, i) =>
-          stmt.setObject(i + 1, row.get(i))
+      if (spec.batchColumns.isEmpty) {
+        // whole-table batch: DELETE all rows even when the incoming df
+        // is empty (the reference truncates before inserting nothing)
+        conn.createStatement().executeUpdate(s"DELETE FROM ${spec.name}")
+      } else {
+        val where =
+          spec.batchColumns.map(c => s"${q(c)} = ?").mkString(" AND ")
+        val stmt =
+          conn.prepareStatement(s"DELETE FROM ${spec.name} WHERE $where")
+        batchVals.foreach { row =>
+          spec.batchColumns.zipWithIndex.foreach { case (_, i) =>
+            stmt.setObject(i + 1, row.get(i))
+          }
+          stmt.addBatch()
         }
-        stmt.addBatch()
+        stmt.executeBatch()
       }
-      stmt.executeBatch()
     } finally conn.close()
   }
 
@@ -220,13 +243,18 @@ final case class JdbcTarget(
     * several dialects' ADD COLUMN grammar, Derby included; omission
     * means nullable everywhere).
     */
-  private[sink] def addColumnDdl(tableName: String, cd: graft.core.ColumnDef): String = {
+  private[sink] def addColumnDdl(tableName: String, cd: graft.core.ColumnDef): String =
+    s"ALTER TABLE $tableName ADD COLUMN ${columnDdl(cd)}"
+
+  /** One column's DDL fragment — shared by ADD COLUMN and the
+    * recreate-path CREATE TABLE so both render identical clauses.
+    */
+  private def columnDdl(cd: graft.core.ColumnDef): String = {
     val sqlType = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
       .getJDBCType(cd.dataType)
       .map(_.databaseTypeDefinition)
       .getOrElse(cd.dataType.sql)
-    val sb = new StringBuilder(
-      s"ALTER TABLE $tableName ADD COLUMN ${quoteId(cd.name)} $sqlType")
+    val sb = new StringBuilder(s"${quoteId(cd.name)} $sqlType")
     cd.default.foreach(d => sb.append(s" DEFAULT ${sqlLiteral(d)}"))
     if (cd.autoIncrement) sb.append(" " + autoIncrementClause)
     if (!cd.nullable) sb.append(" NOT NULL")
@@ -235,6 +263,13 @@ final case class JdbcTarget(
       cd.comment.foreach(c => sb.append(s" COMMENT ${sqlLiteral(c)}"))
     sb.toString
   }
+
+  /** CREATE TABLE from the declared spec (recreate drop path only —
+    * normal table creation is Spark's JDBC writer on first append).
+    */
+  private[sink] def createTableDdl(spec: TableSpec): String =
+    spec.columns.map(columnDdl).mkString(
+      s"CREATE TABLE ${spec.name} (", ", ", ")")
 
   /** COMMENT ON TABLE DDL (reference update_table_comment,
     * engine_specs/base.py:213-227).
@@ -323,14 +358,26 @@ final case class JdbcTarget(
           if (!liveTableComment.contains(c))
             stmt.executeUpdate(tableCommentDdl(spec.name, c))
         }
-      live.keysIterator.filterNot(declared.contains).foreach { c =>
-        if (allowColumnDrops)
-          stmt.executeUpdate(
-            s"ALTER TABLE ${spec.name} DROP COLUMN ${quoteId(c)}")
-        else
+      val undeclared = live.keysIterator.filterNot(declared.contains).toSeq
+      if (undeclared.nonEmpty && !allowColumnDrops)
+        undeclared.foreach(c =>
           System.err.println(s"graft.migrate: ${spec.name}.$c exists in " +
             "the database but not in the spec; NOT dropping (set " +
-            "allowColumnDrops=true to drop undeclared columns)")
+            "allowColumnDrops=true to drop undeclared columns)"))
+      else if (undeclared.nonEmpty && supportsDropColumn)
+        undeclared.foreach(c => stmt.executeUpdate(
+          s"ALTER TABLE ${spec.name} DROP COLUMN ${quoteId(c)}"))
+      else if (undeclared.nonEmpty) {
+        // no DROP COLUMN in this dialect: the reference's SQLite
+        // workaround (sqlite.py:18-47), all undeclared columns at once —
+        // rename aside, recreate the declared schema, copy, drop old
+        val old = s"${spec.name}_old"
+        stmt.executeUpdate(renameTableDdl.format(spec.name, old))
+        stmt.executeUpdate(createTableDdl(spec))
+        val cols = spec.columns.map(cd => quoteId(cd.name)).mkString(", ")
+        stmt.executeUpdate(
+          s"INSERT INTO ${spec.name} ($cols) SELECT $cols FROM $old")
+        stmt.executeUpdate(s"DROP TABLE $old")
       }
     } finally conn.close()
   }

@@ -106,6 +106,59 @@ class JdbcTargetSpec extends SparkSpec {
     assert(dropping.read(spark, v2).columns.toSet == Set("id", "amount"))
   }
 
+  test("recreate drop path: rename -> create -> copy -> drop old (live)") {
+    import spark.implicits._
+    // Derby HAS drop column; forcing supportsDropColumn=false proves the
+    // SQLite-workaround path (reference engine_specs/sqlite.py:18-47)
+    // executes end to end on a real database
+    val target = JdbcTarget(url, props, allowColumnDrops = true,
+      supportsDropColumn = false,
+      renameTableDdl = "RENAME TABLE %s TO %s")
+    val v1 = TableSpec("migrec", Seq(
+      ColumnDef("id", IntegerType, nullable = false),
+      ColumnDef("keepme", StringType),
+      ColumnDef("dropme", DoubleType)))
+    target.append(Seq((1, "a", 1.5), (2, "b", 2.5))
+      .toDF("id", "keepme", "dropme"), v1)
+    val v2 = TableSpec("migrec", Seq(
+      ColumnDef("id", IntegerType, nullable = false),
+      ColumnDef("keepme", StringType)))
+    target.migrate(spark, v2)
+    val rows = target.read(spark, v2).orderBy("id").collect()
+    assert(target.read(spark, v2).columns.toSet == Set("id", "keepme"))
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b")))
+    // the renamed-aside table is gone
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val rs = conn.getMetaData.getTables(null, conn.getSchema,
+        "MIGREC%", null)
+      val names = Iterator.continually(rs).takeWhile(_.next())
+        .map(_.getString("TABLE_NAME")).toSet
+      assert(names == Set("MIGREC"))
+    } finally conn.close()
+    // re-run is a no-op
+    target.migrate(spark, v2)
+    assert(target.read(spark, v2).count() == 2)
+  }
+
+  test("overwriteBatch with NO batch columns truncates (whole-table batch)") {
+    import spark.implicits._
+    // reference truncate_rows with no batch params deletes ALL rows
+    // (empty_where_clause, engine_specs/base.py:110-115): a re-run must
+    // REPLACE the table, not append duplicates
+    val target = JdbcTarget(url, props)
+    val nospec = TableSpec("nobatch", Seq(ColumnDef("item", StringType)))
+    target.overwriteBatch(Seq("a", "b").toDF("item"), nospec)
+    assert(target.read(spark, nospec).count() == 2)
+    target.overwriteBatch(Seq("c").toDF("item"), nospec)
+    assert(target.read(spark, nospec).collect()
+      .map(_.getString(0)).toSeq == Seq("c"))
+    // empty batch: reference truncates then inserts nothing
+    target.overwriteBatch(Seq.empty[String].toDF("item"), nospec)
+    assert(target.read(spark, nospec).count() == 0)
+  }
+
   test("migrate ADD COLUMN carries DEFAULT: existing rows get the value") {
     import spark.implicits._
     val target = JdbcTarget(url, props)
