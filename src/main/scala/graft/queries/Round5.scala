@@ -150,5 +150,70 @@ object Round5 {
              |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
              |  CAST(list_min(codes) AS BIGINT) AS code_min,
              |  CAST(list_max(codes) AS BIGINT) AS code_max
-             |FROM c ORDER BY vec_id""".stripMargin)))
+             |FROM c ORDER BY vec_id""".stripMargin)),
+
+    // ---- SemDeDup semantic deduplication (Abbas et al. 2023): coarse
+    // k-cell clustering bounds the pairwise comparison to Σ|cell|²; a
+    // vector is redundant when a LOWER-id same-cell neighbor reaches
+    // the cosine threshold (lowest id survives as representative). The
+    // oracle replays centroid seeding, cell assignment and the
+    // within-cell verdict, so the full per-vector output hash-checks.
+    QueryDef("q72_semdedup",
+      (s, dir) => Similarity
+        .semDedup(t("embeddings")(s, dir), threshold = 0.4,
+          nCentroids = 16)
+        .orderBy(col("vec_id")),
+      Some("""WITH e AS (SELECT vec_id,
+             |    CAST(embedding AS DOUBLE[]) AS d FROM embeddings),
+             |cen AS (SELECT vec_id AS cen_id, d AS cene
+             |  FROM e ORDER BY vec_id LIMIT 16),
+             |a0 AS (SELECT e.vec_id AS id, e.d, cen_id,
+             |    round(list_dot_product(e.d, cene) /
+             |      (sqrt(list_dot_product(e.d, e.d)) *
+             |       sqrt(list_dot_product(cene, cene))), 6) AS csim
+             |  FROM e, cen),
+             |a1 AS (SELECT *, row_number() OVER (PARTITION BY id
+             |    ORDER BY csim DESC, cen_id) AS r FROM a0),
+             |a AS (SELECT id, d, cen_id AS cell FROM a1 WHERE r = 1),
+             |dups AS (SELECT DISTINCT y.id FROM a x JOIN a y
+             |  ON x.cell = y.cell AND x.id < y.id
+             |  WHERE round(list_dot_product(x.d, y.d) /
+             |    (sqrt(list_dot_product(x.d, x.d)) *
+             |     sqrt(list_dot_product(y.d, y.d))), 6) >= 0.4)
+             |SELECT a.id AS vec_id, a.cell,
+             |  (dups.id IS NOT NULL) AS semdup
+             |FROM a LEFT JOIN dups ON a.id = dups.id
+             |ORDER BY vec_id""".stripMargin)),
+
+    // ---- kNN auto-labeling: majority label among the 5 exact nearest
+    // labeled neighbors, ties to the smaller label. The labeled pool
+    // streams against broadcast queries (no candidate shuffle); the
+    // vote aggregates the tiny |queries|·k neighbor table.
+    QueryDef("q73_knn_classify",
+      (s, dir) => {
+        val emb = t("embeddings")(s, dir)
+        Similarity.knnClassify(emb.filter(col("vec_id") < 20), emb,
+            k = 5)
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid,
+             |    CAST(embedding AS DOUBLE[]) AS qe
+             |  FROM embeddings WHERE vec_id < 20),
+             |c AS (SELECT vec_id AS nid,
+             |    CAST(embedding AS DOUBLE[]) AS ce, label
+             |  FROM embeddings),
+             |sc AS (SELECT qid AS query_id, nid, label,
+             |    round(list_dot_product(qe, ce) /
+             |      (sqrt(list_dot_product(qe, qe)) *
+             |       sqrt(list_dot_product(ce, ce))), 6) AS sim
+             |  FROM q, c WHERE qid != nid),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY sim DESC, nid) AS rank FROM sc),
+             |v AS (SELECT query_id, label AS n_label,
+             |    COUNT(*) AS n_votes
+             |  FROM r WHERE rank <= 5 GROUP BY query_id, label),
+             |p AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY n_votes DESC, n_label) AS pr FROM v)
+             |SELECT query_id, n_label AS pred_label, n_votes
+             |FROM p WHERE pr = 1 ORDER BY query_id""".stripMargin)))
 }

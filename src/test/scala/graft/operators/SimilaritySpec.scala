@@ -72,4 +72,43 @@ class SimilaritySpec extends SparkSpec {
     assert(viaKernel.except(viaLiterals).count() == 0 &&
       viaLiterals.except(viaKernel).count() == 0)
   }
+
+  test("semDedup flags only the lower-id-witnessed near-duplicate") {
+    // 2 centroids = vecs 0 and 1; cells: {0: [0,4], 1: [1,2,3]}.
+    // cos(0,4) ≈ 0.99995 ≥ 0.99 ⇒ 4 is the redundant copy (0 survives
+    // as the lower-id representative); cell 1's pairs top out at ~0.11.
+    val out = Similarity.semDedup(vecs, threshold = 0.99, nCentroids = 2)
+      .orderBy("vec_id").collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == (0L to 4L))
+    val dups = out.filter(_.getAs[Boolean]("semdup"))
+      .map(_.getAs[Long]("vec_id")).toSeq
+    assert(dups == Seq(4L))
+    val cells = out.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    assert(cells(0L) == 0L && cells(4L) == 0L)
+    assert(cells(1L) == 1L && cells(2L) == 1L && cells(3L) == 1L)
+  }
+
+  test("knnClassify takes the majority label, ties to the smaller") {
+    import spark.implicits._
+    val labeled = vecs.join(
+      Seq((1L, 1), (2L, 2), (3L, 2), (4L, 1)).toDF("vec_id", "label"),
+      Seq("vec_id"))
+    // k=3 nearest to vec 0: 4 (0.99995), 1 (0.99388), 2 (0.0)
+    // ⇒ labels (1, 1, 2) ⇒ majority 1 with 2 votes
+    val maj = Similarity.knnClassify(
+        vecs.filter(col("vec_id") === 0), labeled, k = 3)
+      .first()
+    assert(maj.getAs[Int]("pred_label") == 1 &&
+      maj.getAs[Long]("n_votes") == 2L)
+    // k=2 with labels 4→2, 1→1 ⇒ 1-vote tie ⇒ smaller label wins
+    val relabeled = vecs.join(
+      Seq((1L, 1), (2L, 3), (3L, 3), (4L, 2)).toDF("vec_id", "label"),
+      Seq("vec_id"))
+    val tie = Similarity.knnClassify(
+        vecs.filter(col("vec_id") === 0), relabeled, k = 2)
+      .first()
+    assert(tie.getAs[Int]("pred_label") == 1 &&
+      tie.getAs[Long]("n_votes") == 1L)
+  }
 }
