@@ -147,4 +147,89 @@ object Curation {
       .withColumn("sample_keep", bucket < col("pct"))
       .drop("pct")
   }
+
+  /** Per-document corpus-unigram log-likelihood — the classic cheap
+    * LM-quality proxy (a KenLM stand-in): score each document by the
+    * mean log-probability of its tokens under the corpus's own unigram
+    * distribution. Gibberish / rare-token soup scores low; documents
+    * made of common vocabulary score high. Returns
+    * `(idCol, n_tokens, avg_logp)`.
+    *
+    * Plan shape: per-doc term frequencies reduce the token stream with
+    * a partial+final aggregation BEFORE any join (the tf table is
+    * vocabulary×docs sized, far smaller than the token stream); the
+    * unigram model itself is a second (vocabulary-sized) aggregation
+    * joined back by word. Nothing corpus-sized shuffles twice.
+    *
+    * Determinism: each word's log-prob is rounded to 6 decimals and
+    * cast to DECIMAL before the weighted per-doc sum, making the
+    * accumulation exact/associative (partition-order-proof) and
+    * cross-engine stable; only the final mean divides in double.
+    */
+  def unigramLogProb(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val words = TextOps.wordRows(docs, textCol, keep = Seq(idCol))
+    val tf = words.groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val counts = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    val logp = counts.crossJoin(broadcast(total))
+      .select(col("word"),
+        round(log(col("cnt") / col("n_total")), 6)
+          .cast("decimal(20,6)").as("logp"))
+    tf.join(logp, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("logp") * col("tf")).as("s"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("s").cast("double") / col("n_tokens"), 6)
+          .as("avg_logp"))
+  }
+
+  /** C4-style blocklist gate: count each document's tokens that appear
+    * in a term blocklist and reject documents exceeding `maxHits`.
+    * Returns `(idCol, n_hits, blocked)` — counts kept as a column so
+    * audits see both sides in one pass, like [[stratifiedSample]].
+    *
+    * Entirely map-side (an array filter against an inlined literal
+    * set); for blocklists too large to inline, join the term table
+    * broadcast against [[TextOps.wordRows]] instead — same verdict,
+    * one aggregation.
+    */
+  def blocklistGate(df: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], maxHits: Int = 0): DataFrame =
+    df.select(col(idCol),
+        TextOps.markerHits(TextOps.words(col(textCol)), terms)
+          .as("n_hits"))
+      .withColumn("blocked", col("n_hits") > maxHits)
+
+  /** Data-mixture planning: given target mixture `shares` (stratum →
+    * fraction of the training budget) and a total token `budget`,
+    * compute each stratum's available tokens, its token target, and
+    * the sampling rate `min(1, target/available)` that realizes the
+    * mixture — the audit table behind "how much of each language/source
+    * do we actually take". Strata missing from `shares` get share 0.
+    *
+    * One tiny aggregation (per-stratum token totals, partial+final over
+    * a map-side token count) joined to a broadcast config table; output
+    * is strata-sized. Feed the `rate` column (×100) into
+    * [[stratifiedSample]] to execute the plan.
+    */
+  def mixtureRates(docs: DataFrame, textCol: String, strataCol: String,
+      shares: Map[String, Double], budget: Long)
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val shareDf = shares.toSeq.toDF(strataCol, "share")
+    docs
+      .select(col(strataCol),
+        size(TextOps.words(col(textCol))).cast("bigint").as("n"))
+      .groupBy(col(strataCol))
+      .agg(sum(col("n")).as("total_tokens"))
+      .join(broadcast(shareDf), Seq(strataCol), "left")
+      .withColumn("share", coalesce(col("share"), lit(0.0)))
+      .select(col(strataCol), col("total_tokens"),
+        round(col("share") * budget).cast("bigint").as("target_tokens"),
+        round(least(lit(1.0),
+          col("share") * budget / col("total_tokens")), 6).as("rate"))
+  }
 }

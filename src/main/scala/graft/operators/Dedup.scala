@@ -294,10 +294,12 @@ object Dedup {
     * the estimate is computed directly on each candidate pair — no
     * signature re-join after the band join.
     */
-  def minhashCandidates(
+  /** Signature frame exploded into (doc_id, sig, band, bv) — the shared
+    * banding step of [[minhashCandidates]] and [[minhashCrossCandidates]].
+    */
+  private def bandedSignatures(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int, bands: Int, minEst: Double,
-      cache: Boolean = true): DataFrame = {
+      n: Int, k: Int, bands: Int, cache: Boolean): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val sig = minhashSignatureArray(df, idCol, textCol, n, k, cache)
@@ -306,10 +308,16 @@ object Dedup {
         concat_ws(",", (b * r until b * r + r).map(j =>
           element_at(col("sig"), j + 1)): _*).as("bv"))
     }
-    val banded = sig
-      .select(col("doc_id"), col("sig"),
+    sig.select(col("doc_id"), col("sig"),
         explode(array(bandStructs: _*)).as("x"))
       .select(col("doc_id"), col("sig"), col("x.band"), col("x.bv"))
+  }
+
+  def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int, minEst: Double,
+      cache: Boolean = true): DataFrame = {
+    val banded = bandedSignatures(df, idCol, textCol, n, k, bands, cache)
     // compute the estimate BEFORE the distinct: est is a function of
     // (da, db), so deduping on (da, db, est_sim) is equivalent while the
     // dedup shuffle carries 3 scalars instead of two k-element arrays
@@ -318,6 +326,41 @@ object Dedup {
     banded.as("a").join(banded.as("b"), Seq("band", "bv"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        (est / lit(k.toDouble)).as("est_sim"))
+      .distinct()
+      .filter(col("est_sim") >= minEst)
+  }
+
+  /** Incremental-ingestion near-dup check: MinHash-LSH candidates
+    * BETWEEN two corpora — each new-shard document against the existing
+    * corpus — with the signature-estimated similarity. Returns
+    * `(new_id, corpus_id, est_sim)`.
+    *
+    * This is the "does tonight's crawl shard duplicate the 100 TB
+    * corpus" shape: both sides band with the SAME hash family, and the
+    * band join replaces the corpus-wide self-join. The new shard is
+    * normally orders of magnitude smaller than the corpus, so its
+    * banded signatures broadcast (`broadcastNew`) and the corpus-side
+    * token stream never shuffles for the join at all — signature
+    * aggregation (partial+final over shingles) is the only corpus-wide
+    * exchange. Pass `broadcastNew = false` for shard sizes past the
+    * broadcast threshold; the join degrades to a plain shuffled
+    * equi-join on (band, bv), still never all-pairs.
+    */
+  def minhashCrossCandidates(
+      newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int, minEst: Double,
+      broadcastNew: Boolean = true,
+      cache: Boolean = true): DataFrame = {
+    val bn = bandedSignatures(newDocs, idCol, textCol, n, k, bands, cache)
+    val bc = bandedSignatures(corpus, idCol, textCol, n, k, bands, cache)
+    val left = if (broadcastNew) broadcast(bn) else bn
+    val est = size(filter(
+      zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), b => b))
+    left.as("a").join(bc.as("b"), Seq("band", "bv"))
+      .select(col("a.doc_id").as("new_id"),
+        col("b.doc_id").as("corpus_id"),
         (est / lit(k.toDouble)).as("est_sim"))
       .distinct()
       .filter(col("est_sim") >= minEst)

@@ -1,12 +1,14 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Curation, Similarity}
+import graft.operators.{Curation, Dedup, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Round-5 additions: corpus-curation operators — repetition scoring,
-  * document-frequency pruning, config-driven stratified sampling — and
-  * int8 embedding quantization.
+  * document-frequency pruning, config-driven stratified sampling,
+  * unigram-LM quality scoring, blocklist gating, mixture planning —
+  * plus int8 embedding quantization, SemDeDup, kNN auto-labeling, and
+  * cross-corpus incremental near-dup detection.
   */
 object Round5 {
   private def t(name: String): QueryFn = (s, dir) => Tables.load(s, dir, name)
@@ -215,5 +217,115 @@ object Round5 {
              |p AS (SELECT *, row_number() OVER (PARTITION BY query_id
              |    ORDER BY n_votes DESC, n_label) AS pr FROM v)
              |SELECT query_id, n_label AS pred_label, n_votes
-             |FROM p WHERE pr = 1 ORDER BY query_id""".stripMargin)))
+             |FROM p WHERE pr = 1 ORDER BY query_id""".stripMargin)),
+
+    // ---- unigram-LM quality proxy: mean corpus-unigram log-prob per
+    // document (KenLM stand-in). Per-word log-probs round to 6 decimals
+    // and ride DECIMAL through the weighted sum, so the per-doc
+    // accumulation is exact/associative and hash-stable cross-engine.
+    QueryDef("q74_unigram_logprob",
+      (s, dir) => Curation
+        .unigramLogProb(t("documents")(s, dir), "text", "doc_id")
+        .orderBy(col("doc_id")),
+      Some("""WITH w AS (SELECT doc_id, unnest(list_filter(
+             |    string_split_regex(lower(text), '\s+'),
+             |    x -> len(x) > 0)) AS word FROM documents),
+             |tf AS (SELECT doc_id, word, COUNT(*) AS tf
+             |  FROM w GROUP BY doc_id, word),
+             |c AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+             |n AS (SELECT SUM(cnt) AS n_total FROM c),
+             |lp AS (SELECT word, CAST(round(ln(cnt / n_total), 6)
+             |    AS DECIMAL(20,6)) AS logp FROM c, n),
+             |d AS (SELECT tf.doc_id, SUM(tf.tf) AS n_tokens,
+             |    SUM(lp.logp * tf.tf) AS s
+             |  FROM tf JOIN lp USING (word) GROUP BY tf.doc_id)
+             |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  round(CAST(s AS DOUBLE) / n_tokens, 6) AS avg_logp
+             |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // ---- C4-style blocklist gate: token hits against an inlined term
+    // blocklist, docs over the hit budget rejected. Map-side only.
+    QueryDef("q75_blocklist",
+      (s, dir) => Curation
+        .blocklistGate(t("documents")(s, dir), "text", "doc_id",
+          terms = Seq("slow", "dup"), maxHits = 3)
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CAST(len(list_filter(
+             |    string_split_regex(lower(text), '\s+'),
+             |    x -> list_contains(['slow', 'dup'], x)))
+             |    AS BIGINT) AS n_hits,
+             |  len(list_filter(
+             |    string_split_regex(lower(text), '\s+'),
+             |    x -> list_contains(['slow', 'dup'], x))) > 3 AS blocked
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- data-mixture planning: per-language token totals vs a target
+    // mixture and token budget → the sampling rate that realizes it.
+    QueryDef("q76_mixture_rates",
+      (s, dir) => {
+        implicit val sp = s
+        Curation.mixtureRates(t("documents")(s, dir), "text", "lang",
+            shares = Map("en" -> 0.4, "zh" -> 0.2, "de" -> 0.15,
+              "es" -> 0.15, "fr" -> 0.1),
+            budget = 50000L)
+          .orderBy(col("lang"))
+      },
+      Some("""WITH t AS (SELECT lang, SUM(len(list_filter(
+             |    string_split_regex(lower(text), '\s+'),
+             |    x -> len(x) > 0))) AS total_tokens
+             |  FROM documents GROUP BY lang),
+             |r AS (SELECT lang, total_tokens,
+             |    CAST(CASE lang WHEN 'en' THEN 0.4 WHEN 'zh' THEN 0.2
+             |      WHEN 'de' THEN 0.15 WHEN 'es' THEN 0.15
+             |      WHEN 'fr' THEN 0.1 ELSE 0.0 END AS DOUBLE) AS share
+             |  FROM t)
+             |SELECT lang, CAST(total_tokens AS BIGINT) AS total_tokens,
+             |  CAST(round(share * 50000) AS BIGINT) AS target_tokens,
+             |  round(least(CAST(1.0 AS DOUBLE),
+             |    share * 50000 / total_tokens), 6) AS rate
+             |FROM r ORDER BY lang""".stripMargin)),
+
+    // ---- incremental-ingestion near-dup: MinHash-LSH candidates
+    // BETWEEN a "new shard" (doc_id ≡ 0 mod 5) and the existing corpus,
+    // banded with the same hash family on both sides; the (small) new
+    // shard's banded signatures broadcast.
+    QueryDef("q77_cross_neardup",
+      (s, dir) => {
+        val docs = t("documents")(s, dir)
+        Dedup.minhashCrossCandidates(
+            docs.filter(col("doc_id") % 5 === 0),
+            docs.filter(col("doc_id") % 5 =!= 0),
+            "doc_id", "text", n = 3, k = 16, bands = 4, minEst = 0.5)
+          .orderBy(col("new_id"), col("corpus_id"))
+      },
+      Some {
+        val k = 16; val bands = 4; val r = k / bands
+        val mhC = Dedup.minhashConstants(k)
+        val mins = (0 until k)
+          .map(i => s"min(xor(h, ${mhC(i)})) AS m$i").mkString(", ")
+        val bandSel = (0 until bands).map { b =>
+          val cols = (0 until r).map(j => s"m${b * r + j}").mkString(", ")
+          s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS bv FROM sig"
+        }.mkString(" UNION ALL ")
+        val est = (0 until k)
+          .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH ${CorpusOps.oShinglesSql},
+           |hs AS (SELECT doc_id, ${CorpusOps.oH60("s")} AS h FROM sh),
+           |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+           |banded AS ($bandSel),
+           |cand AS (SELECT DISTINCT a.doc_id AS new_id,
+           |    b.doc_id AS corpus_id
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.bv = b.bv
+           |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0),
+           |e AS (SELECT new_id, corpus_id, ($est) / ${k.toDouble}
+           |    AS est_sim
+           |  FROM cand JOIN sig sa ON new_id = sa.doc_id
+           |    JOIN sig sb ON corpus_id = sb.doc_id)
+           |SELECT new_id, corpus_id, est_sim FROM e
+           |WHERE est_sim >= 0.5
+           |ORDER BY new_id, corpus_id""".stripMargin
+      }))
 }

@@ -103,4 +103,56 @@ class CurationSpec extends SparkSpec {
     assert(out.filter(col("sample_keep")).exceptAll(
       again.filter(col("sample_keep"))).isEmpty)
   }
+
+  test("unigramLogProb matches hand-computed corpus unigram scores") {
+    import spark.implicits._
+    // corpus: a×3, b×1, N=4 → logp(a)=round(ln .75)=-0.287682,
+    //                         logp(b)=round(ln .25)=-1.386294
+    val d = Seq((1L, "a a"), (2L, "a b")).toDF("doc_id", "text")
+    val got = Curation.unigramLogProb(d, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, -0.287682),
+      (2L, 2L, (-0.287682 + -1.386294) / 2)))
+  }
+
+  test("blocklistGate counts hits with multiplicity; boundary not blocked") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "good clean text"),
+      (2L, "bad worse bad"),
+      (3L, "bad ok")).toDF("doc_id", "text")
+    val got = Curation.blocklistGate(d, "text", "doc_id",
+        terms = Seq("bad"), maxHits = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, false),
+      (2L, 2L, true),
+      (3L, 1L, false)))  // == maxHits is within budget
+  }
+
+  test("mixtureRates: targets from shares, rate capped at 1, missing share 0") {
+    import spark.implicits._
+    implicit val s = spark
+    val d = Seq(
+      (1L, "en", "a b c d"),  // en: 4 tokens
+      (2L, "de", "x y")       // de: 2 tokens
+    ).toDF("doc_id", "lang", "text")
+    val got = Curation.mixtureRates(d, "text", "lang",
+        shares = Map("en" -> 0.5), budget = 4L)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // de has no share → target 0, rate 0; en: target 2 of 4 → rate 0.5
+    assert(got.toSeq == Seq(
+      ("de", 2L, 0L, 0.0),
+      ("en", 4L, 2L, 0.5)))
+    val capped = Curation.mixtureRates(d, "text", "lang",
+        shares = Map("en" -> 0.5), budget = 100L)
+      .filter(col("lang") === "en").first()
+    assert(capped.getAs[Long]("target_tokens") == 50L &&
+      capped.getAs[Double]("rate") == 1.0)  // min(1, 50/4)
+  }
 }

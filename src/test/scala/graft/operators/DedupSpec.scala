@@ -48,6 +48,26 @@ class DedupSpec extends SparkSpec {
     assert(exact.isDefined && exact.get.getAs[Double]("est_sim") == 1.0)
   }
 
+  test("minhashCrossCandidates pairs a new-shard dup against the corpus, " +
+    "broadcasting the new side") {
+    import spark.implicits._
+    val newShard = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // dup of 1
+      (101L, "nothing like anything in this corpus at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashCrossCandidates(newShard, docs,
+      "doc_id", "text", n = 3, k = 16, bands = 4, minEst = 0.9,
+      cache = false)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // doc 100 ≡ corpus docs 1 and 4 (identical text → est 1.0);
+    // 101 matches nothing; corpus-internal pairs (1,4) never emitted
+    assert(got == Set((100L, 1L, 1.0), (100L, 4L, 1.0)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"))
+  }
+
   test("simhash: identical docs at hamming 0; near-dups within budget") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3,
         maxHamming = 10, cache = false)
