@@ -43,7 +43,7 @@ object Bench {
       catch { case _: Throwable => false }
     if (new java.io.File(warmDir).isDirectory && distinctDirs) {
       SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count()
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
       // drop the warm-up dataset's persisted frames (shingle/tf/vector
@@ -55,6 +55,18 @@ object Bench {
     catch { case _: Throwable => () }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Evaluation action: write to the `noop` sink, NOT count(). count()
+    // lets the optimizer prune every column of the final projection, so
+    // map-side queries (text metrics, quantization, gates) would time an
+    // empty scan instead of their actual work — q71 exposed this: its
+    // tiny aggregation forced the projection and ran 50× its "map-side
+    // sibling" q67, whose count()-timed number was measuring nothing.
+    // The noop sink consumes every row with all output columns
+    // materialized and writes nowhere — the standard Spark benchmarking
+    // action. (Numbers before this change under-measured projection-only
+    // queries; PLANS.md carries the r5 before/after.)
+    def evaluate(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // A failing query reports the sentinel -1 (not its time-to-exception)
     // and is excluded from total/steady_total, so failures can't inflate
     // or deflate the headline; the errors map carries the message.
@@ -62,7 +74,7 @@ object Bench {
         fn: (org.apache.spark.sql.SparkSession, String) =>
           org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      try { evaluate(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
       catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)

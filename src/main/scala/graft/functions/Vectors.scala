@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
 
 /** Native dense-vector kernels.
   *
@@ -27,6 +27,42 @@ object VectorKernel {
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
     acc
   }
+
+  /** Int8 scalar-quantization codes: `round((v−mn)/scale·255) − 128`
+    * with min/max computed ONCE per vector — the declarative
+    * `transform(d, v => round((v − array_min(d)) / ...))` re-evaluates
+    * the min/max subtrees per ELEMENT (interpreted HOF lambdas see no
+    * subexpression elimination), turning a linear kernel quadratic.
+    * HALF_UP rounding matches Spark's `round` (and DuckDB's
+    * half-away-from-zero, the scaled value being non-negative), so
+    * codes are identical to the declarative twin's.
+    */
+  def int8Codes(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Int](n)
+    var mn = Double.PositiveInfinity
+    var mx = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val v = a.getDouble(i)
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      i += 1
+    }
+    val scale = if (mx > mn) mx - mn else 1.0
+    i = 0
+    while (i < n) {
+      val x = (a.getDouble(i) - mn) / scale * 255.0
+      // exact HALF_UP for non-negative x: frac = x − floor(x) is exact
+      // for x < 2^52, so no floor(x+0.5) double-rounding (which lifts
+      // e.g. 0.49999999999999994 to 1). Ties (frac == 0.5, only exactly
+      // representable .5s) round up — same as Spark round / DuckDB.
+      val f = math.floor(x)
+      out(i) = (if (x - f >= 0.5) f + 1.0 else f).toInt - 128
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
 }
 
 object Vectors {
@@ -45,4 +81,18 @@ object Vectors {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(
       dotExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def int8CodesExpr(a: Expression): Expression =
+    StaticInvoke(
+      VectorKernel.getClass,
+      ArrayType(IntegerType, containsNull = false),
+      "int8Codes",
+      Seq(a),
+      inputTypes = Seq(ArrayType(DoubleType)),
+      propagateNull = true,
+      returnNullable = false)
+
+  /** Native int8 quantization codes of an array<double> column. */
+  def int8Codes(a: Column): Column =
+    ColumnBridge.column(int8CodesExpr(ColumnBridge.expression(a)))
 }

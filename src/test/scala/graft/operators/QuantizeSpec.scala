@@ -13,6 +13,16 @@ class QuantizeSpec extends SparkSpec {
   private def emb = spark.read
     .parquet("/root/testdata/sf0.001/embeddings.parquet")
 
+  test("native int8Codes kernel ≡ declarative round-transform codes") {
+    val a = emb.select(col("vec_id"),
+      Similarity.quantizeInt8(col("embedding")).getField("codes")
+        .as("codes"))
+    val b = emb.select(col("vec_id"),
+      Similarity.quantizeInt8CodesDeclarative(col("embedding"))
+        .as("codes"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("dequantize error is within half a quantization step per component") {
     val q = Similarity.quantizeInt8(col("embedding"))
     val err = emb.select(
