@@ -249,4 +249,59 @@ object Curation {
         round(least(lit(1.0),
           col("share") * budget / col("total_tokens")), 6).as("rate"))
   }
+
+  /** RAG/context-window chunking: split each document into token chunks
+    * of `chunkSize` with `overlap` tokens shared between consecutive
+    * chunks (stride = chunkSize − overlap). Returns one row per chunk:
+    * `(idCol, chunk_id, n_tokens, chunk_text)`; the final chunk may be
+    * shorter. Documents with no tokens produce no rows.
+    *
+    * Map-side + explode only — chunk starts come from `sequence`, the
+    * slice/join are array ops on the per-doc token array, and the
+    * explode fans out ~len/stride rows per doc. No shuffle; scales with
+    * the scan like every per-doc transform here.
+    */
+  def chunkTokens(df: DataFrame, textCol: String, idCol: String,
+      chunkSize: Int, overlap: Int = 0): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val ws = TextOps.words(col(textCol))
+    val chunks = when(size(ws) > 0,
+      transform(sequence(lit(1), size(ws), lit(stride)),
+        start => concat_ws(" ", slice(ws, start, lit(chunkSize)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "chunk_text")))
+      .select(col(idCol), col("chunk_id").cast("bigint").as("chunk_id"),
+        size(TextOps.words(col("chunk_text"))).cast("bigint")
+          .as("n_tokens"),
+        col("chunk_text"))
+  }
+
+  /** Training sequence packing: assign documents, in deterministic
+    * `idCol` order WITHIN each stratum, to consecutive context-window
+    * bins of `window` tokens — each doc lands in the bin its running
+    * token offset starts in (the greedy concat-and-split packing used
+    * to build pretraining batches). Returns
+    * `(idCol, strataCol, n_tokens, bin)`.
+    *
+    * The running offset is a per-stratum window cumsum, so packing
+    * parallelizes across strata (languages/sources); a single global
+    * ordering would serialize the sort at 100 TB, which is why the
+    * stratum column is required, not optional. Within a stratum the
+    * sort is the one Spark range-partitions anyway.
+    */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+      strataCol: String, window: Long): DataFrame = {
+    require(window > 0, "window must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    df.select(col(idCol), col(strataCol),
+        size(TextOps.words(col(textCol))).cast("bigint").as("n_tokens"))
+      .withColumn("bin",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / window)
+          .cast("bigint"))
+  }
 }

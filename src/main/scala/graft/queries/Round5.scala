@@ -327,5 +327,47 @@ object Round5 {
            |SELECT new_id, corpus_id, est_sim FROM e
            |WHERE est_sim >= 0.5
            |ORDER BY new_id, corpus_id""".stripMargin
-      }))
+      }),
+
+    // ---- RAG/context-window chunking: 32-token chunks, 8-token
+    // overlap (stride 24). Map-side + explode; no shuffle.
+    QueryDef("q78_chunk_tokens",
+      (s, dir) => Curation
+        .chunkTokens(t("documents")(s, dir), "text", "doc_id",
+          chunkSize = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_id")),
+      Some("""WITH w AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(text), '\s+'),
+             |    x -> len(x) > 0) AS ws FROM documents),
+             |c AS (SELECT doc_id, ws,
+             |    unnest(generate_series(1, len(ws), 24)) AS start
+             |  FROM w WHERE len(ws) > 0)
+             |SELECT doc_id,
+             |  CAST((start - 1) // 24 AS BIGINT) AS chunk_id,
+             |  CAST(len(ws[start : least(start + 31, len(ws))])
+             |    AS BIGINT) AS n_tokens,
+             |  array_to_string(ws[start : least(start + 31, len(ws))],
+             |    ' ') AS chunk_text
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // ---- training sequence packing: greedy concat-and-split into
+    // 2048-token bins, per-language (packing parallelizes across
+    // strata; a global order would serialize the sort at scale).
+    QueryDef("q79_pack_sequences",
+      (s, dir) => Curation
+        .packSequences(t("documents")(s, dir), "text", "doc_id",
+          strataCol = "lang", window = 2048L)
+        .orderBy(col("doc_id")),
+      Some("""WITH tok AS (SELECT doc_id, lang,
+             |    CAST(len(list_filter(
+             |      string_split_regex(lower(text), '\s+'),
+             |      x -> len(x) > 0)) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT doc_id, lang, n_tokens,
+             |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+             |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND 1 PRECEDING), 0) AS cum FROM tok)
+             |SELECT doc_id, lang, n_tokens,
+             |  CAST(floor(cum / 2048) AS BIGINT) AS bin
+             |FROM c ORDER BY doc_id""".stripMargin)))
 }

@@ -167,4 +167,41 @@ class CurationSpec extends SparkSpec {
     assert(capped.getAs[Long]("target_tokens") == 50L &&
       capped.getAs[Double]("rate") == 1.0)  // min(1, 50/4)
   }
+
+  test("chunkTokens: overlapping windows, short tail, empty doc dropped") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f g"),  // 7 tokens, size 3 overlap 1 → stride 2
+      (2L, "x"),
+      (3L, " ")               // no tokens → no chunks
+    ).toDF("doc_id", "text")
+    val got = Curation.chunkTokens(d, "text", "doc_id",
+        chunkSize = 3, overlap = 1)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 3L, "a b c"),
+      (1L, 1L, 3L, "c d e"),
+      (1L, 2L, 3L, "e f g"),
+      (1L, 3L, 1L, "g"),      // tail chunk, shorter
+      (2L, 0L, 1L, "x")))
+  }
+
+  test("packSequences assigns bins by running offset within each stratum") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "en", "a b c"),     // en offsets: 0 → bin 0
+      (2L, "en", "d e f g"),   // offset 3   → bin 0
+      (3L, "en", "h i"),       // offset 7   → bin 1 (window 5)
+      (4L, "de", "x y z w v u")// de restarts at 0 → bin 0
+    ).toDF("doc_id", "lang", "text")
+    val got = Curation.packSequences(d, "text", "doc_id", "lang", 5L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "en", 3L, 0L),
+      (2L, "en", 4L, 0L),
+      (3L, "en", 2L, 1L),
+      (4L, "de", 6L, 0L)))
+  }
 }
