@@ -57,6 +57,27 @@ object CurationStatsKernel {
     new GenericArrayData(
       Array[Any](n.toLong, distinct.size.toLong, top))
   }
+
+  /** DEFLATE-compressed size of the UTF-8 text, level 6 (zlib default).
+    * The compression-ratio quality signal (low ratio ⇒ repetitive/
+    * boilerplate text; near-1 ⇒ high-entropy gibberish) used by
+    * Gopher-style corpus filters. Deterministic for a given JVM zlib;
+    * there is deliberately NO SQL oracle for it (DuckDB cannot replay
+    * java.util.zip), so the operator is spec-gated instead
+    * (CurationSpec: determinism, repetition monotonicity, bounds).
+    */
+  def deflateSize(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val d = new java.util.zip.Deflater(6, false)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
 }
 
 object CurationStats {
@@ -74,4 +95,18 @@ object CurationStats {
   /** Column API: `array(n_words, n_distinct_words, top_bigram_n)`. */
   def repStats(text: Column): Column =
     ColumnBridge.column(repStatsExpr(ColumnBridge.expression(text)))
+
+  def deflateSizeExpr(text: Expression): Expression =
+    StaticInvoke(
+      CurationStatsKernel.getClass,
+      LongType,
+      "deflateSize",
+      Seq(text),
+      inputTypes = Seq(StringType),
+      propagateNull = true,
+      returnNullable = false)
+
+  /** Column API: DEFLATE-compressed byte size of the text. */
+  def deflateSize(text: Column): Column =
+    ColumnBridge.column(deflateSizeExpr(ColumnBridge.expression(text)))
 }

@@ -278,6 +278,30 @@ object Curation {
         col("chunk_text"))
   }
 
+  /** Compression-ratio quality signal: DEFLATE-compressed size over raw
+    * UTF-8 size per document — the Gopher-family filter that catches
+    * BOTH failure modes the token metrics miss at their extremes
+    * (ratio ≪ typical: machine-generated repetition; ratio ≈ 1:
+    * high-entropy gibberish/binary-in-text). Returns
+    * `(idCol, n_bytes, n_deflate, ratio)` with ratio rounded to 4
+    * decimals; empty text ⇒ ratio null.
+    *
+    * Map-side only, native kernel (no UDF). No SQL oracle by design —
+    * DuckDB cannot replay java.util.zip — so the catalog entry is
+    * rows-only and the semantics are spec-gated (determinism,
+    * repetition monotonicity, bounds).
+    */
+  def compressionStats(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val raw = octet_length(col(textCol)).cast("bigint")
+    df.select(col(idCol), raw.as("n_bytes"),
+        graft.functions.CurationStats.deflateSize(col(textCol))
+          .as("n_deflate"))
+      .withColumn("ratio",
+        when(col("n_bytes") > 0,
+          round(col("n_deflate").cast("double") / col("n_bytes"), 4)))
+  }
+
   /** Training sequence packing: assign documents, in deterministic
     * `idCol` order WITHIN each stratum, to consecutive context-window
     * bins of `window` tokens — each doc lands in the bin its running

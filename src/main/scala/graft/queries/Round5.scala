@@ -369,5 +369,31 @@ object Round5 {
              |      AND 1 PRECEDING), 0) AS cum FROM tok)
              |SELECT doc_id, lang, n_tokens,
              |  CAST(floor(cum / 2048) AS BIGINT) AS bin
-             |FROM c ORDER BY doc_id""".stripMargin)))
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ---- JSONL ingest round-trip: documents → JSON-lines files →
+    // Sources.json (explicit schema, FAILFAST) → filtered projection.
+    // The oracle sees only the original parquet, so the whole
+    // write/read path is hash-gated, like q65 does for JDBC.
+    QueryDef("q80_jsonl_roundtrip",
+      (s, dir) => {
+        val docs = t("documents")(s, dir)
+        val out = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_q80_jsonl").getAbsolutePath
+        docs.write.mode("overwrite").json(out)
+        graft.sources.Sources.json(s, out, Some(docs.schema))
+          .filter(col("lang") === "en")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE lang = 'en' ORDER BY doc_id""".stripMargin)),
+
+    // ---- compression-ratio quality signal (rows-only: DuckDB cannot
+    // replay java.util.zip — semantics spec-gated in CurationSpec).
+    QueryDef("q81_compression_ratio",
+      (s, dir) => Curation
+        .compressionStats(t("documents")(s, dir), "text", "doc_id")
+        .orderBy(col("doc_id")),
+      None))
 }

@@ -187,6 +187,30 @@ class CurationSpec extends SparkSpec {
       (2L, 0L, 1L, "x")))
   }
 
+  test("compressionStats: deterministic, repetition compresses better, " +
+    "bounds hold, empty text null") {
+    import spark.implicits._
+    val rep = ("ab " * 200).trim           // highly repetitive
+    val mixed = (1 to 200).map(i => s"w${i * 7919 % 4093}").mkString(" ")
+    val d = Seq((1L, rep), (2L, mixed), (3L, "")).toDF("doc_id", "text")
+    val got = Curation.compressionStats(d, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    val ratios = got.map(r =>
+      r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(ratios(1L).get < ratios(2L).get)  // repetition ⇒ smaller
+    assert(ratios(1L).get > 0 && ratios(2L).get > 0)
+    assert(ratios(3L).isEmpty)               // empty text ⇒ null
+    // deflate never inflates past raw + small header at these sizes
+    got.filter(!_.isNullAt(3)).foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) + 16)
+    }
+    // determinism: identical second run, value-identical
+    val again = Curation.compressionStats(d, "text", "doc_id")
+    assert(Curation.compressionStats(d, "text", "doc_id")
+      .exceptAll(again).isEmpty)
+  }
+
   test("packSequences assigns bins by running offset within each stratum") {
     import spark.implicits._
     val d = Seq(
