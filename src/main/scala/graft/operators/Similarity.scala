@@ -87,6 +87,61 @@ object Similarity {
     transform(q.getField("codes"),
       c => q.getField("mn") + (c + 128).cast("double") * q.getField("step"))
 
+  /** Product-quantization codebook assignment (Jégou et al. 2011): each
+    * vector splits into `m` subvectors of `dims/m` components; each
+    * subvector maps to its nearest (rounded squared-L2, ties to the
+    * lowest id) of `nCentroids` per-subspace centroids. Returns one row
+    * per (vector, subspace): `(id, j, code)` where `code` is the
+    * centroid's source vector id.
+    *
+    * Centroid seeds are the subvectors of the `nCentroids` lowest-id
+    * vectors — the same deterministic k-means stand-in as [[ivfTopK]],
+    * letting the DuckDB oracle replay the full assignment. The centroid
+    * table is m·nCentroids rows and broadcasts; assignment is a
+    * broadcast join + per-(id, j) `min_by` partial aggregation — the
+    * corpus shuffles once, carrying dims-length subvectors, never
+    * pairwise data. PQ is the memory rung below [[quantizeInt8]]:
+    * m·log₂(nCentroids) bits per vector (here 8×4 bits vs int8's 64
+    * bytes) at the cost of centroid-table lookups.
+    */
+  def pqAssign(
+      df: DataFrame, dims: Int, m: Int, nCentroids: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(m > 0 && dims % m == 0, "m must divide dims")
+    val sub = dims / m
+    def subvectors(in: DataFrame, idAs: String, svAs: String) =
+      in.select(col(idCol).as(idAs), darr(col(embCol)).as("d"))
+        .select(col(idAs), explode(transform(
+          sequence(lit(0), lit(m - 1)),
+          j => struct(j.as("j"),
+            slice(col("d"), j * sub + 1, lit(sub)).as(svAs)))).as("x"))
+        .select(col(idAs), col("x.j").as("j"), col(s"x.$svAs").as(svAs))
+    val cen = subvectors(
+      df.orderBy(col(idCol)).limit(nCentroids), "cen_id", "cv")
+    val s = graft.Tables.rebalance(subvectors(df, "id", "sv"))
+    s.join(broadcast(cen), Seq("j"))
+      .select(col("id"), col("j"), col("cen_id"),
+        round(dot(col("sv"), col("sv")) - dot(col("sv"), col("cv")) * 2
+          + dot(col("cv"), col("cv")), 6).as("dist2"))
+      .groupBy(col("id"), col("j"))
+      .agg(min_by(col("cen_id"),
+        struct(col("dist2"), col("cen_id"))).as("code"))
+  }
+
+  /** [[pqAssign]] packed to one row per vector: `(idCol, codes)` with
+    * the m codes comma-joined in subspace order (a string so the
+    * driver's value hash is representation-stable across engines).
+    */
+  def pqCodes(
+      df: DataFrame, dims: Int, m: Int, nCentroids: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    pqAssign(df, dims, m, nCentroids, idCol, embCol)
+      .groupBy(col("id"))
+      .agg(concat_ws(",", transform(
+        array_sort(collect_list(struct(col("j"), col("code")))),
+        x => x.getField("code").cast("string"))).as("codes"))
+      .select(col("id").as(idCol), col("codes"))
+
   /** ±1 sign vector (length dims) for hyperplane `p`, derived from md5 so
     * the oracle can inline the identical literal list.
     */

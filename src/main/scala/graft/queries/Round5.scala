@@ -395,5 +395,33 @@ object Round5 {
       (s, dir) => Curation
         .compressionStats(t("documents")(s, dir), "text", "doc_id")
         .orderBy(col("doc_id")),
-      None))
+      None),
+
+    // ---- product quantization: 64 dims → 8 subspaces × 16 centroids
+    // (4 bits each — 4 bytes/vector vs int8's 64). Deterministic
+    // lowest-id seeding, so the oracle replays the full assignment.
+    QueryDef("q82_pq_codes",
+      (s, dir) => Similarity
+        .pqCodes(t("embeddings")(s, dir), dims = 64, m = 8,
+          nCentroids = 16)
+        .orderBy(col("vec_id")),
+      Some("""WITH e AS (SELECT vec_id,
+             |    CAST(embedding AS DOUBLE[]) AS d FROM embeddings),
+             |s AS (SELECT vec_id, t.j, d[t.j*8+1 : t.j*8+8] AS sv
+             |  FROM e, range(0, 8) t(j)),
+             |cen AS (SELECT j, s.vec_id AS cen_id, sv AS cv FROM s
+             |  WHERE s.vec_id IN (SELECT vec_id FROM e
+             |    ORDER BY vec_id LIMIT 16)),
+             |a0 AS (SELECT s.vec_id AS id, s.j, cen_id,
+             |    round(list_dot_product(sv, sv)
+             |      - 2 * list_dot_product(sv, cv)
+             |      + list_dot_product(cv, cv), 6) AS dist2
+             |  FROM s JOIN cen ON s.j = cen.j),
+             |a1 AS (SELECT *, row_number() OVER (PARTITION BY id, j
+             |    ORDER BY dist2, cen_id) AS r FROM a0),
+             |c AS (SELECT id, j, cen_id AS code FROM a1 WHERE r = 1)
+             |SELECT id AS vec_id,
+             |  string_agg(CAST(code AS VARCHAR), ',' ORDER BY j)
+             |    AS codes
+             |FROM c GROUP BY id ORDER BY vec_id""".stripMargin)))
 }

@@ -23,6 +23,25 @@ class QuantizeSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("pqAssign: seed vectors code to themselves; duplicates share codes") {
+    import spark.implicits._
+    // 8 seeds (ids 0-7) + a duplicate of seed 3 + an arbitrary vector
+    val vecs = ((0L until 8L).map { i =>
+      (i, Array.tabulate(16)(d => math.sin(i * 13 + d * 5).toFloat))
+    } :+ (20L, Array.tabulate(16)(d => math.sin(3 * 13 + d * 5).toFloat))
+      :+ (21L, Array.tabulate(16)(d => math.cos(d * 7).toFloat))
+    ).toDF("vec_id", "embedding")
+    val a = Similarity.pqAssign(vecs, dims = 16, m = 4, nCentroids = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // every seed's nearest centroid in every subspace is itself (dist 0)
+    for (i <- 0L until 8L; j <- 0 until 4)
+      assert(a.contains((i, j, i)), s"seed $i subspace $j")
+    // the duplicate of seed 3 gets seed 3's codes everywhere
+    for (j <- 0 until 4) assert(a.contains((20L, j, 3L)))
+    // arbitrary vectors get one code per subspace
+    assert(a.count(_._1 == 21L) == 4)
+  }
+
   test("dequantize error is within half a quantization step per component") {
     val q = Similarity.quantizeInt8(col("embedding"))
     val err = emb.select(
