@@ -89,6 +89,47 @@ object DqSplit {
   }
 }
 
+/** Column profiling — the audit pass that sizes DQ rules before writing
+  * them: per-column row/null/distinct counts and min/max (stringified,
+  * so one output schema covers every column type).
+  */
+object Profile {
+
+  /** One row per profiled column:
+    * `(col_name, n_rows, n_nulls, n_distinct, min_v, max_v)`.
+    *
+    * ONE aggregation over one scan — all columns' statistics compute
+    * together. The exact multi-column distinct counts make Catalyst
+    * plan an Expand (k× row multiplication before partial aggregation);
+    * that is the price of exactness — at 100 TB profile with
+    * `exact = false` to use `approx_count_distinct` (HLL, no Expand)
+    * unless the count feeds a correctness gate. min/max cast to string
+    * AFTER aggregating (numerics/dates compare natively, only the two
+    * extreme values stringify).
+    */
+  def profile(df: DataFrame, cols: Seq[String],
+      exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    def distinctOf(c: String): Column =
+      if (exact) count_distinct(col(c)) else approx_count_distinct(col(c))
+    val aggs = cols.flatMap { c =>
+      Seq(count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+        distinctOf(c).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val wide = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val entries = cols.map(c => struct(
+      lit(c).as("col_name"),
+      col("__rows").as("n_rows"),
+      col(s"${c}__nulls").as("n_nulls"),
+      col(s"${c}__distinct").as("n_distinct"),
+      col(s"${c}__min").as("min_v"),
+      col(s"${c}__max").as("max_v")))
+    wide.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+  }
+}
+
 /** Dev-mode schema validation as DQ rules (reference
   * `validate_column_value`, sqltask/engine_specs/base.py:249-282, gated on
   * SQLTASK_DEVELOPER_MODE): non-nullable ⇒ not null, declared max string

@@ -423,5 +423,20 @@ object Round5 {
              |SELECT id AS vec_id,
              |  string_agg(CAST(code AS VARCHAR), ',' ORDER BY j)
              |    AS codes
-             |FROM c GROUP BY id ORDER BY vec_id""".stripMargin)))
+             |FROM c GROUP BY id ORDER BY vec_id""".stripMargin)),
+
+    // ---- column profiling: all statistics in ONE aggregation/scan
+    // (exact distincts ⇒ Expand; approx variant documented for scale).
+    QueryDef("q83_profile",
+      (s, dir) => graft.dq.Profile
+        .profile(t("orders")(s, dir),
+          Seq("o_orderkey", "o_orderdate", "o_orderpriority"))
+        .orderBy(col("col_name")),
+      Some(Seq("o_orderkey", "o_orderdate", "o_orderpriority").map(c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  COUNT(*) FILTER ($c IS NULL) AS n_nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_v,
+           |  CAST(MAX($c) AS VARCHAR) AS max_v FROM orders""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))))
 }
