@@ -42,4 +42,38 @@ class CorpusCurationSpec extends SparkSpec {
       cache = false)
     assert(resid.count() == 0)
   }
+
+  test("curateForTraining: every gate held, packing contiguous per stratum") {
+    import graft.operators.Curation
+    val out = CorpusCuration.curateForTraining(docs).cache()
+    try {
+      val n = out.count()
+      assert(n > 0 && n < docs.count())
+      // blocklist + quality + ratio gates held on the survivors
+      val ids = out.select("doc_id")
+      assert(Curation.blocklistGate(docs, "text", "doc_id",
+          Seq("slow", "dup"), 3)
+        .filter(col("blocked")).join(ids, "doc_id").count() == 0)
+      assert(Curation.qualityGate(docs, "text", "doc_id", minWords = 20)
+        .filter(col("reason") =!= "kept")
+        .join(ids, "doc_id").count() == 0)
+      assert(out.filter(col("doc_id") =!= col("cluster")).count() == 0)
+      // packing: bins start at 0 and are contiguous within each stratum
+      val bins = out
+        .withColumn("_stratum",
+          concat_ws("/", col("split"), col("lang")))
+        .groupBy("_stratum")
+        .agg(min(col("bin")).as("mn"), max(col("bin")).as("mx"),
+          count_distinct(col("bin")).as("nd"))
+        .collect()
+      bins.foreach { r =>
+        assert(r.getAs[Long]("mn") == 0L)
+        assert(r.getAs[Long]("nd") == r.getAs[Long]("mx") + 1)
+      }
+      // sampling: no stratum without a share survives (defaultPct 0)
+      val langs = out.select("lang").distinct().collect()
+        .map(_.getString(0)).toSet
+      assert(langs.subsetOf(Set("en", "zh", "de", "es", "fr")))
+    } finally out.unpersist()
+  }
 }
