@@ -1,0 +1,86 @@
+package graft.tools
+
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale experiment: SemDeDup cell-bounded semantic dedup vs the exact
+  * all-pairs marking, as the vector count grows —
+  * `runMain graft.tools.ScaleSemDedup [sizes] [bruteCeiling]`.
+  *
+  * Synthetic corpus: 97 base directions (`id % 97`), each vector a
+  * deterministic small perturbation of its family's direction — dense
+  * near-dup families at cosine ≳ 0.99, cross-family similarity low.
+  * nCentroids follows the paper's k ≈ √N, so Σ|cell|² ≈ N^1.5: far
+  * below N² while cells keep whole families together.
+  *
+  * Reports, per size: wall time of each strategy (warm-min of 3, cache
+  * cleared outside timers) and — where the exact run is affordable —
+  * SemDeDup's recall of the exact dup set (cells can only MISS pairs
+  * that straddle a cell boundary; they never invent one).
+  */
+object ScaleSemDedup {
+  def main(args: Array[String]): Unit = {
+    val sizes = args.headOption.getOrElse("5000,10000,20000,50000")
+      .split(",").map(_.trim.toInt).toSeq
+    val bruteCeiling = args.lift(1).map(_.toInt).getOrElse(10000)
+    val cpus = Runtime.getRuntime.availableProcessors().toString
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dims = 64
+    val threshold = 0.95
+
+    def vecs(n: Int): DataFrame =
+      spark.range(n.toLong).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dims - 1)),
+          d => sin((col("id") % 97) * 13 + d * 5) +
+            sin(col("id") * 7919 + d * 3) * lit(0.05)).as("embedding"))
+
+    def bruteDups(df: DataFrame): DataFrame = {
+      val v = df.select(col("vec_id").as("id"),
+        col("embedding").as("e"),
+        sqrt(Similarity.norm2(col("embedding"))).as("nrm"))
+      v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
+        .filter(round(Similarity.dot(col("x.e"), col("y.e")) /
+          (col("x.nrm") * col("y.nrm")), 6) >= threshold)
+        .select(col("y.id").as("vec_id")).distinct()
+    }
+
+    val reps = 3
+    def timed(f: => Long): (Double, Long) = {
+      val rs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val n = f
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        (dt, n)
+      }
+      (rs.tail.map(_._1).min, rs.head._2)
+    }
+
+    sizes.foreach { n =>
+      val df = vecs(n).localCheckpoint() // materialize: time the ops, not the generator
+      val k = math.max(4, math.sqrt(n.toDouble).toInt)
+      val (tSem, nSem) = timed {
+        Similarity.semDedup(df, threshold, k)
+          .filter(col("semdup")).count()
+      }
+      if (n <= bruteCeiling) {
+        val (tBrute, nBrute) = timed(bruteDups(df).count())
+        val sem = Similarity.semDedup(df, threshold, k)
+          .filter(col("semdup")).select(col("vec_id"))
+        val hit = sem.join(bruteDups(df), Seq("vec_id")).count()
+        spark.catalog.clearCache()
+        println(f"[semdedup] n=$n%7d k=$k%4d  sem=$tSem%7.2fs ($nSem dups)  " +
+          f"brute=$tBrute%7.2fs ($nBrute dups)  recall=${hit.toDouble / nBrute}%.4f")
+      } else
+        println(f"[semdedup] n=$n%7d k=$k%4d  sem=$tSem%7.2fs ($nSem dups)  brute=skipped")
+    }
+    spark.stop()
+  }
+}
