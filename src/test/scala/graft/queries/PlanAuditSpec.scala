@@ -88,4 +88,55 @@ class PlanAuditSpec extends SparkSpec {
     val s = shape("q59_heavy_hitters")
     assert(s.bcast >= 2, s) // MG candidates + threshold scalar
   }
+
+  test("q67_repetition / q75_blocklist / q81_compression: zero shuffles " +
+    "(map-side scan contract)") {
+    Seq("q67_repetition", "q75_blocklist", "q81_compression_ratio")
+      .foreach { q =>
+        val s = shape(q)
+        assert(s.hash == 0 && s.bcast == 0, s"$q: $s")
+      }
+  }
+
+  test("q74_unigram_logprob: corpus-sized data crosses the wire once " +
+    "(tf partial agg), model joins broadcast") {
+    val s = shape("q74_unigram_logprob")
+    // exchanges: tf by (doc, word), vocab df by word, tf⨝logp re-key,
+    // final by doc — all on REDUCED frames; the raw token stream only
+    // feeds partial aggregates. Broadcasts: the 1-row total + pinned
+    // repartition don't broadcast, the logp join must.
+    assert(s.hash <= 4 && s.bcast >= 1, s)
+  }
+
+  test("q76_mixture_rates: one strata agg exchange, config broadcast") {
+    val s = shape("q76_mixture_rates")
+    assert(s.hash == 1 && s.bcast == 1, s)
+  }
+
+  test("q77_cross_neardup: the new shard's banded signatures broadcast") {
+    val s = shape("q77_cross_neardup")
+    assert(s.bcast >= 1, s)
+  }
+
+  test("q78_chunk_tokens / q79_pack_sequences: explode and per-stratum " +
+    "window stay at ≤1 exchange") {
+    val c = shape("q78_chunk_tokens")
+    assert(c.hash == 0 && c.bcast == 0, s"q78: $c")
+    val p = shape("q79_pack_sequences")
+    assert(p.hash == 1 && p.bcast == 0, s"q79: $p")
+  }
+
+  test("q72_semdedup: centroid joins broadcast; no shuffled join of the " +
+    "corpus against itself except the pinned cell repartition") {
+    val s = shape("q72_semdedup")
+    // broadcasts: centroid frame into assignment (reused), dup-verdict
+    // join stays on the pinned cell partitioning
+    assert(s.bcast >= 1, s)
+  }
+
+  test("q82_pq_codes: centroid table broadcasts, corpus shuffles only " +
+    "for the per-(id, j) min_by and the code pack") {
+    val s = shape("q82_pq_codes")
+    assert(s.bcast >= 1 && s.hash <= 3, s)
+  }
 }
