@@ -142,6 +142,58 @@ object Similarity {
         x => x.getField("code").cast("string"))).as("codes"))
       .select(col("id").as(idCol), col("codes"))
 
+  /** PQ asymmetric-distance top-k (ADC): each query's approximate
+    * squared L2 to candidate x is Σⱼ d²(qⱼ, centroid(codeⱼ(x))) — the
+    * codes never decompress. Returns
+    * `(query_id, neighbor_id, adist, rank)`, ranked ascending with id
+    * tiebreak; self-matches excluded.
+    *
+    * Scale shape: candidates carry only their m codes; the per-query
+    * distance TABLE (|queries|·m·nCentroids rows — the small side by
+    * construction) broadcasts onto the code stream, and the partial
+    * aggregation reduces to |queries|·|candidates| sums of m terms.
+    * Per-subspace distances round to 6 decimals and accumulate in
+    * DECIMAL, so the sum is associative (partition-order-proof) and
+    * SQL-replayable.
+    */
+  def pqTopK(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      dims: Int, m: Int, nCentroids: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(m > 0 && dims % m == 0, "m must divide dims")
+    val sub = dims / m
+    val assign = pqAssign(candidates, dims, m, nCentroids, idCol, embCol)
+    val cen = candidates.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cen_id"), darr(col(embCol)).as("cd"))
+      .select(col("cen_id"), explode(transform(
+        sequence(lit(0), lit(m - 1)),
+        j => struct(j.as("j"),
+          slice(col("cd"), j * sub + 1, lit(sub)).as("cv")))).as("x"))
+      .select(col("x.j").as("j"), col("cen_id"), col("x.cv").as("cv"))
+    val qsub = queries
+      .select(col(idCol).as("query_id"), darr(col(embCol)).as("qd"))
+      .select(col("query_id"), explode(transform(
+        sequence(lit(0), lit(m - 1)),
+        j => struct(j.as("j"),
+          slice(col("qd"), j * sub + 1, lit(sub)).as("qv")))).as("x"))
+      .select(col("query_id"), col("x.j").as("j"), col("x.qv").as("qv"))
+    val table = qsub.join(cen, Seq("j"))
+      .select(col("query_id"), col("j"), col("cen_id").as("code"),
+        round(dot(col("qv"), col("qv")) - dot(col("qv"), col("cv")) * 2
+          + dot(col("cv"), col("cv")), 6)
+          .cast("decimal(20,6)").as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    assign.join(broadcast(table), Seq("j", "code"))
+      .filter(col("query_id") =!= col("id"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("d2")).cast("double").as("adist"))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("adist"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
   /** ±1 sign vector (length dims) for hyperplane `p`, derived from md5 so
     * the oracle can inline the identical literal list.
     */

@@ -425,6 +425,51 @@ object Round5 {
              |    AS codes
              |FROM c GROUP BY id ORDER BY vec_id""".stripMargin)),
 
+    // ---- PQ asymmetric-distance search: the query-side distance
+    // table broadcasts onto the candidates' code stream; codes never
+    // decompress. Per-subspace distances round + DECIMAL-accumulate so
+    // the sums are associative and the oracle replays them exactly.
+    QueryDef("q84_pq_topk",
+      (s, dir) => {
+        val emb = t("embeddings")(s, dir)
+        Similarity.pqTopK(emb.filter(col("vec_id") < 20), emb, k = 5,
+            dims = 64, m = 8, nCentroids = 16)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    CAST(embedding AS DOUBLE[]) AS d FROM embeddings),
+             |s AS (SELECT vec_id, t.j, d[t.j*8+1 : t.j*8+8] AS sv
+             |  FROM e, range(0, 8) t(j)),
+             |cen AS (SELECT j, s.vec_id AS cen_id, sv AS cv FROM s
+             |  WHERE s.vec_id IN (SELECT vec_id FROM e
+             |    ORDER BY vec_id LIMIT 16)),
+             |a0 AS (SELECT s.vec_id AS id, s.j, cen_id,
+             |    round(list_dot_product(sv, sv)
+             |      - 2 * list_dot_product(sv, cv)
+             |      + list_dot_product(cv, cv), 6) AS dist2
+             |  FROM s JOIN cen ON s.j = cen.j),
+             |a1 AS (SELECT *, row_number() OVER (PARTITION BY id, j
+             |    ORDER BY dist2, cen_id) AS r FROM a0),
+             |c AS (SELECT id, j, cen_id AS code FROM a1 WHERE r = 1),
+             |qs AS (SELECT vec_id AS query_id, j, sv AS qv FROM s
+             |  WHERE vec_id < 20),
+             |tbl AS (SELECT query_id, qs.j, cen_id AS code,
+             |    CAST(round(list_dot_product(qv, qv)
+             |      - 2 * list_dot_product(qv, cv)
+             |      + list_dot_product(cv, cv), 6)
+             |      AS DECIMAL(20,6)) AS d2
+             |  FROM qs JOIN cen ON qs.j = cen.j),
+             |sums AS (SELECT query_id, c.id AS neighbor_id,
+             |    CAST(SUM(d2) AS DOUBLE) AS adist
+             |  FROM c JOIN tbl ON c.j = tbl.j AND c.code = tbl.code
+             |  WHERE query_id != c.id GROUP BY query_id, c.id),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY adist, neighbor_id) AS rank FROM sums)
+             |SELECT query_id, neighbor_id, adist,
+             |  CAST(rank AS BIGINT) AS rank
+             |FROM r WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
     // ---- column profiling: all statistics in ONE aggregation/scan
     // (exact distincts ⇒ Expand; approx variant documented for scale).
     QueryDef("q83_profile",
