@@ -129,8 +129,17 @@ object Bench {
       val t = s.reverse.dropWhile(_ == '0').reverse
       if (t.endsWith(".")) t.dropRight(1) else t
     }
+    // Compact keys: the unique qNN prefix. Full names grew the line to
+    // 2,118 chars at 84 queries — past the driver's ~2,000-char stdout
+    // tail, the exact truncation failure the compact line exists to
+    // avoid; prefixes keep it ~1.2 KB with headroom for more queries
+    // (full names remain in the verbose line above).
+    def short(k: String): String = {
+      val p = k.takeWhile(_ != '_')
+      if (p.nonEmpty) p else k
+    }
     def js3(rs: Seq[(String, Double)]) =
-      rs.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+      rs.map { case (k, v) => s"\"" + short(k) + "\":" + f3(v) }
         .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${js3(cold)},"steady_total":${f3(steadyTotal)}$errJson,"load_avg_end":${f3(loadAvg)},"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
