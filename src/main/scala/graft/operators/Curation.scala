@@ -278,6 +278,37 @@ object Curation {
         col("chunk_text"))
   }
 
+  /** Default PII patterns — deliberately restricted to the regex
+    * dialect subset Java and RE2 share (no backreferences, no
+    * lookaround), so oracles/other engines replay them verbatim.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}", "[IP]"),
+    ("\\d{3}-\\d{3}-\\d{4}", "[PHONE]"))
+
+  /** PII scrubbing: count pattern matches against the ORIGINAL text
+    * (per pattern, independently) and replace them in label order.
+    * Returns `(idCol, n_pii, scrubbed)`. Map-side only — regex scalar
+    * functions on the scan, no UDF.
+    *
+    * Patterns apply in sequence, so earlier labels win overlaps (the
+    * default order scrubs emails first, so `555-123-4567@x.org`
+    * becomes one [EMAIL] rather than an email husk around a [PHONE];
+    * note the email pattern requires an alphabetic TLD, so `a@1.2.3.4`
+    * is correctly an [IP] match, not an email).
+    */
+  def piiScrub(df: DataFrame, textCol: String, idCol: String,
+      patterns: Seq[(String, String)] = piiPatterns): DataFrame = {
+    val counts = patterns.map { case (p, _) =>
+      size(regexp_extract_all(col(textCol), lit(p), lit(0))).cast("bigint")
+    }.reduce(_ + _)
+    val scrubbed = patterns.foldLeft(col(textCol)) {
+      case (c, (p, label)) => regexp_replace(c, p, label)
+    }
+    df.select(col(idCol), counts.as("n_pii"), scrubbed.as("scrubbed"))
+  }
+
   /** Compression-ratio quality signal: DEFLATE-compressed size over raw
     * UTF-8 size per document — the Gopher-family filter that catches
     * BOTH failure modes the token metrics miss at their extremes

@@ -470,6 +470,40 @@ object Round5 {
              |FROM r WHERE rank <= 5
              |ORDER BY query_id, rank""".stripMargin)),
 
+    // ---- PII scrubbing: the corpus carries no PII, so the query
+    // synthesizes one email + IP + phone per row FROM data columns
+    // (deterministically) and the oracle replays count + redaction —
+    // a live cross-engine check of the shared Java∩RE2 regex subset.
+    QueryDef("q85_pii_scrub",
+      (s, dir) => {
+        val synth = t("documents")(s, dir).select(col("doc_id"),
+          concat(col("lang"), lit(" user"), col("doc_id"), lit("@"),
+            col("source"), lit(".com tel 555-123-4567 ip 10.0.0."),
+            (col("doc_id") % 256).cast("string"), lit(" "),
+            substring(col("text"), 1, 40)).as("text"))
+        Curation.piiScrub(synth, "text", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val Seq((email, _), (ip, _), (phone, _)) = Curation.piiPatterns
+        s"""WITH synth AS (SELECT doc_id,
+           |    concat(lang, ' user', doc_id, '@', source,
+           |      '.com tel 555-123-4567 ip 10.0.0.',
+           |      CAST(doc_id % 256 AS VARCHAR), ' ',
+           |      substr(text, 1, 40)) AS text
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '$email'))
+           |    + len(regexp_extract_all(text, '$ip'))
+           |    + len(regexp_extract_all(text, '$phone'))
+           |    AS BIGINT) AS n_pii,
+           |  regexp_replace(regexp_replace(regexp_replace(text,
+           |    '$email', '[EMAIL]', 'g'),
+           |    '$ip', '[IP]', 'g'),
+           |    '$phone', '[PHONE]', 'g') AS scrubbed
+           |FROM synth ORDER BY doc_id""".stripMargin
+      }),
+
     // ---- column profiling: all statistics in ONE aggregation/scan
     // (exact distincts ⇒ Expand; approx variant documented for scale).
     QueryDef("q83_profile",

@@ -211,6 +211,30 @@ class CurationSpec extends SparkSpec {
       .exceptAll(again).isEmpty)
   }
 
+  test("piiScrub: counts per pattern on the original text, email wins " +
+    "the overlap, clean text untouched") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail me at a.b+c@example.org or 555-123-4567"),
+      (2L, "host 192.168.0.1 backup 10.0.0.2"),
+      (3L, "from 555-123-4567@relay.org today"), // email ⊃ phone
+      (4L, "user@1.2.3.4 logged in"), // digit TLD: an IP, not an email
+      (5L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val got = Curation.piiScrub(d, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got(0) == ((1L, 2L, "mail me at [EMAIL] or [PHONE]")))
+    assert(got(1) == ((2L, 2L, "host [IP] backup [IP]")))
+    // n_pii counts BOTH the email and the phone inside it (independent
+    // per-pattern counts on the original); the scrub applies email
+    // first so no phone husk survives
+    assert(got(2) == ((3L, 2L, "from [EMAIL] today")))
+    // the email pattern requires an alphabetic TLD
+    assert(got(3) == ((4L, 1L, "user@[IP] logged in")))
+    assert(got(4) == ((5L, 0L, "nothing sensitive here")))
+  }
+
   test("packSequences assigns bins by running offset within each stratum") {
     import spark.implicits._
     val d = Seq(
