@@ -100,7 +100,9 @@ object CorpusCuration {
     val spark = docs.sparkSession
     implicit val sp: org.apache.spark.sql.SparkSession = spark
 
-    // 1-3: per-row verdict columns, all map-side, filtered in one pass
+    // 1-3: three map-side verdict scans unioned into one rejection set
+    // (each gate keeps its own operator form; a fused single-projection
+    // variant would save two scans at the cost of composability)
     val blocked = Curation.blocklistGate(docs, "text", "doc_id",
       blocklist, maxHits).filter(col("blocked")).select(col("doc_id"))
     val lowQuality = Curation.qualityGate(docs, "text", "doc_id",
@@ -131,23 +133,28 @@ object CorpusCuration {
       .join(clusters.withColumnRenamed("id", "doc_id"), "doc_id")
       .filter(col("doc_id") === col("cluster"))
 
-    // 6: mixture rates → deterministic sampler (config-in-data)
+    // 6: mixture rates → deterministic sampler (config-in-data).
+    // round(), not a bare int cast: rate·100 in IEEE double can land
+    // epsilon under the integer (0.29·100 = 28.999…96) and truncation
+    // would under-sample the stratum by a full point.
     val rates = Curation.mixtureRates(kept, "text", "lang",
         shares, tokenBudget)
-      .select(col("lang"), (col("rate") * 100).cast("int").as("pct"))
+      .select(col("lang"), round(col("rate") * 100).cast("int").as("pct"))
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     val sampled = Curation.stratifiedSample(kept, "lang", "doc_id",
       rates, defaultPct = 0).filter(col("sample_keep"))
       .drop("sample_keep")
 
-    // 7: cluster-keyed split, then per-(split, lang) sequence packing
+    // 7: cluster-keyed split, then per-(split, lang) sequence packing —
+    // packSequences retains its input columns, so the bins attach as a
+    // window over THIS frame (no self-join that would re-run the whole
+    // upstream pipeline a second time)
     val split = sampled.withColumn("split",
       TextOps.hashSplit(col("cluster"), cuts))
-    val packed = Curation.packSequences(
+    Curation.packSequences(
         split.withColumn("_stratum",
           concat_ws("/", col("split"), col("lang"))),
         "text", "doc_id", "_stratum", window)
-      .select(col("doc_id"), col("n_tokens"), col("bin"))
-    split.join(packed, Seq("doc_id"))
+      .drop("_stratum")
   }
 }

@@ -36,6 +36,11 @@ object VectorKernel {
     * HALF_UP rounding matches Spark's `round` (and DuckDB's
     * half-away-from-zero, the scaled value being non-negative), so
     * codes are identical to the declarative twin's.
+    *
+    * Non-finite components (NaN/±Inf — a corrupt upstream vector) fail
+    * loudly, matching the declarative twin, whose ANSI int cast throws
+    * CAST_OVERFLOW on the same input (verified): quantization must not
+    * silently fabricate a code for garbage.
     */
   def int8Codes(a: ArrayData): ArrayData = {
     val n = a.numElements()
@@ -45,6 +50,10 @@ object VectorKernel {
     var i = 0
     while (i < n) {
       val v = a.getDouble(i)
+      if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v))
+        throw new IllegalArgumentException(
+          s"int8Codes: non-finite component $v at index $i — " +
+            "quantization requires finite embeddings")
       if (v < mn) mn = v
       if (v > mx) mx = v
       i += 1

@@ -256,10 +256,16 @@ object Curation {
     * `(idCol, chunk_id, n_tokens, chunk_text)`; the final chunk may be
     * shorter. Documents with no tokens produce no rows.
     *
+    * Starts stop at `len − overlap`: a start past that would emit a
+    * chunk containing zero NEW tokens (fully covered by its
+    * predecessor) — pure duplicate content in the index. Every emitted
+    * chunk therefore carries at least one token no earlier chunk has.
+    *
     * Map-side + explode only — chunk starts come from `sequence`, the
     * slice/join are array ops on the per-doc token array, and the
-    * explode fans out ~len/stride rows per doc. No shuffle; scales with
-    * the scan like every per-doc transform here.
+    * explode fans out ~len/stride rows per doc; `n_tokens` is the slice
+    * length (no re-tokenization of the joined text). No shuffle; scales
+    * with the scan like every per-doc transform here.
     */
   def chunkTokens(df: DataFrame, textCol: String, idCol: String,
       chunkSize: Int, overlap: Int = 0): DataFrame = {
@@ -267,15 +273,20 @@ object Curation {
       "need 0 <= overlap < chunkSize")
     val stride = chunkSize - overlap
     val ws = TextOps.words(col(textCol))
+    val lastStart = greatest(size(ws) - overlap, lit(1))
     val chunks = when(size(ws) > 0,
-      transform(sequence(lit(1), size(ws), lit(stride)),
-        start => concat_ws(" ", slice(ws, start, lit(chunkSize)))))
-      .otherwise(array().cast("array<string>"))
-    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "chunk_text")))
+      transform(sequence(lit(1), lastStart, lit(stride)),
+        start => {
+          val piece = slice(ws, start, lit(chunkSize))
+          struct(size(piece).cast("bigint").as("n_tokens"),
+            concat_ws(" ", piece).as("chunk_text"))
+        }))
+      .otherwise(array().cast(
+        "array<struct<n_tokens:bigint,chunk_text:string>>"))
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "c")))
       .select(col(idCol), col("chunk_id").cast("bigint").as("chunk_id"),
-        size(TextOps.words(col("chunk_text"))).cast("bigint")
-          .as("n_tokens"),
-        col("chunk_text"))
+        col("c.n_tokens").as("n_tokens"),
+        col("c.chunk_text").as("chunk_text"))
   }
 
   /** Default PII patterns — deliberately restricted to the regex
@@ -337,8 +348,10 @@ object Curation {
     * `idCol` order WITHIN each stratum, to consecutive context-window
     * bins of `window` tokens — each doc lands in the bin its running
     * token offset starts in (the greedy concat-and-split packing used
-    * to build pretraining batches). Returns
-    * `(idCol, strataCol, n_tokens, bin)`.
+    * to build pretraining batches). Returns the input plus
+    * `n_tokens` and `bin` (columns retained so composed pipelines need
+    * no re-join against their own upstream — see
+    * `CorpusCuration.curateForTraining`).
     *
     * The running offset is a per-stratum window cumsum, so packing
     * parallelizes across strata (languages/sources); a single global
@@ -353,8 +366,8 @@ object Curation {
       .partitionBy(col(strataCol)).orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, -1)
-    df.select(col(idCol), col(strataCol),
-        size(TextOps.words(col(textCol))).cast("bigint").as("n_tokens"))
+    df.withColumn("n_tokens",
+        size(TextOps.words(col(textCol))).cast("bigint"))
       .withColumn("bin",
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / window)
           .cast("bigint"))

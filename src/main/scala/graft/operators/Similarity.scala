@@ -104,21 +104,32 @@ object Similarity {
     * m·log₂(nCentroids) bits per vector (here 8×4 bits vs int8's 64
     * bytes) at the cost of centroid-table lookups.
     */
-  def pqAssign(
-      df: DataFrame, dims: Int, m: Int, nCentroids: Int,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+  /** One row per (vector, subspace): `(idAs, j, svAs)` — the shared
+    * subvector explode of the PQ family. */
+  private def pqSubvectors(in: DataFrame, dims: Int, m: Int,
+      idCol: String, embCol: String,
+      idAs: String, svAs: String): DataFrame = {
     require(m > 0 && dims % m == 0, "m must divide dims")
     val sub = dims / m
-    def subvectors(in: DataFrame, idAs: String, svAs: String) =
-      in.select(col(idCol).as(idAs), darr(col(embCol)).as("d"))
-        .select(col(idAs), explode(transform(
-          sequence(lit(0), lit(m - 1)),
-          j => struct(j.as("j"),
-            slice(col("d"), j * sub + 1, lit(sub)).as(svAs)))).as("x"))
-        .select(col(idAs), col("x.j").as("j"), col(s"x.$svAs").as(svAs))
-    val cen = subvectors(
-      df.orderBy(col(idCol)).limit(nCentroids), "cen_id", "cv")
-    val s = graft.Tables.rebalance(subvectors(df, "id", "sv"))
+    in.select(col(idCol).as(idAs), darr(col(embCol)).as("d"))
+      .select(col(idAs), explode(transform(
+        sequence(lit(0), lit(m - 1)),
+        j => struct(j.as("j"),
+          slice(col("d"), j * sub + 1, lit(sub)).as(svAs)))).as("x"))
+      .select(col(idAs), col("x.j").as("j"), col(s"x.$svAs").as(svAs))
+  }
+
+  /** The deterministic per-subspace codebook `(j, cen_id, cv)`:
+    * subvectors of the `nCentroids` lowest-id vectors. */
+  private def pqCentroids(df: DataFrame, dims: Int, m: Int,
+      nCentroids: Int, idCol: String, embCol: String): DataFrame =
+    pqSubvectors(df.orderBy(col(idCol)).limit(nCentroids),
+      dims, m, idCol, embCol, "cen_id", "cv")
+
+  private def pqAssignWith(cen: DataFrame, df: DataFrame,
+      dims: Int, m: Int, idCol: String, embCol: String): DataFrame = {
+    val s = graft.Tables.rebalance(
+      pqSubvectors(df, dims, m, idCol, embCol, "id", "sv"))
     s.join(broadcast(cen), Seq("j"))
       .select(col("id"), col("j"), col("cen_id"),
         round(dot(col("sv"), col("sv")) - dot(col("sv"), col("cv")) * 2
@@ -127,6 +138,12 @@ object Similarity {
       .agg(min_by(col("cen_id"),
         struct(col("dist2"), col("cen_id"))).as("code"))
   }
+
+  def pqAssign(
+      df: DataFrame, dims: Int, m: Int, nCentroids: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    pqAssignWith(pqCentroids(df, dims, m, nCentroids, idCol, embCol),
+      df, dims, m, idCol, embCol)
 
   /** [[pqAssign]] packed to one row per vector: `(idCol, codes)` with
     * the m codes comma-joined in subspace order (a string so the
@@ -160,23 +177,10 @@ object Similarity {
       queries: DataFrame, candidates: DataFrame, k: Int,
       dims: Int, m: Int, nCentroids: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    require(m > 0 && dims % m == 0, "m must divide dims")
-    val sub = dims / m
-    val assign = pqAssign(candidates, dims, m, nCentroids, idCol, embCol)
-    val cen = candidates.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("cen_id"), darr(col(embCol)).as("cd"))
-      .select(col("cen_id"), explode(transform(
-        sequence(lit(0), lit(m - 1)),
-        j => struct(j.as("j"),
-          slice(col("cd"), j * sub + 1, lit(sub)).as("cv")))).as("x"))
-      .select(col("x.j").as("j"), col("cen_id"), col("x.cv").as("cv"))
-    val qsub = queries
-      .select(col(idCol).as("query_id"), darr(col(embCol)).as("qd"))
-      .select(col("query_id"), explode(transform(
-        sequence(lit(0), lit(m - 1)),
-        j => struct(j.as("j"),
-          slice(col("qd"), j * sub + 1, lit(sub)).as("qv")))).as("x"))
-      .select(col("query_id"), col("x.j").as("j"), col("x.qv").as("qv"))
+    val cen = pqCentroids(candidates, dims, m, nCentroids, idCol, embCol)
+    val assign = pqAssignWith(cen, candidates, dims, m, idCol, embCol)
+    val qsub = pqSubvectors(queries, dims, m, idCol, embCol,
+      "query_id", "qv")
     val table = qsub.join(cen, Seq("j"))
       .select(col("query_id"), col("j"), col("cen_id").as("code"),
         round(dot(col("qv"), col("qv")) - dot(col("qv"), col("cv")) * 2

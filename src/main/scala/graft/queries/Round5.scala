@@ -340,7 +340,8 @@ object Round5 {
              |    string_split_regex(lower(text), '\s+'),
              |    x -> len(x) > 0) AS ws FROM documents),
              |c AS (SELECT doc_id, ws,
-             |    unnest(generate_series(1, len(ws), 24)) AS start
+             |    unnest(generate_series(1, greatest(len(ws) - 8, 1),
+             |      24)) AS start
              |  FROM w WHERE len(ws) > 0)
              |SELECT doc_id,
              |  CAST((start - 1) // 24 AS BIGINT) AS chunk_id,
@@ -357,6 +358,7 @@ object Round5 {
       (s, dir) => Curation
         .packSequences(t("documents")(s, dir), "text", "doc_id",
           strataCol = "lang", window = 2048L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin"))
         .orderBy(col("doc_id")),
       Some("""WITH tok AS (SELECT doc_id, lang,
              |    CAST(len(list_filter(
@@ -378,8 +380,14 @@ object Round5 {
     QueryDef("q80_jsonl_roundtrip",
       (s, dir) => {
         val docs = t("documents")(s, dir)
-        val out = new java.io.File(
-          sys.props("java.io.tmpdir"), "graft_q80_jsonl").getAbsolutePath
+        // path keyed by sf dir + process: concurrent harness runs
+        // (Verify at one sf, Bench at another; parallel drivers) must
+        // not overwrite each other's files mid-read. Re-runs within
+        // one process stay idempotent via overwrite mode.
+        val tag = java.lang.Integer.toHexString(dir.hashCode) + "_" +
+          java.lang.ProcessHandle.current().pid()
+        val out = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_q80_jsonl_$tag").getAbsolutePath
         docs.write.mode("overwrite").json(out)
         graft.sources.Sources.json(s, out, Some(docs.schema))
           .filter(col("lang") === "en")

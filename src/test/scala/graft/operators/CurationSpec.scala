@@ -168,23 +168,29 @@ class CurationSpec extends SparkSpec {
       capped.getAs[Double]("rate") == 1.0)  // min(1, 50/4)
   }
 
-  test("chunkTokens: overlapping windows, short tail, empty doc dropped") {
+  test("chunkTokens: overlapping windows, no zero-new-token tail, " +
+    "short tail kept, empty doc dropped") {
     import spark.implicits._
     val d = Seq(
       (1L, "a b c d e f g"),  // 7 tokens, size 3 overlap 1 → stride 2
       (2L, "x"),
-      (3L, " ")               // no tokens → no chunks
+      (3L, " "),              // no tokens → no chunks
+      (4L, "p q r s")         // 4 tokens → tail chunk with 1 new token
     ).toDF("doc_id", "text")
     val got = Curation.chunkTokens(d, "text", "doc_id",
         chunkSize = 3, overlap = 1)
       .orderBy("doc_id", "chunk_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // starts stop at len − overlap: a start-7 chunk of doc 1 would be
+    // "g" alone — zero new tokens, fully inside "e f g" — and is NOT
+    // emitted; doc 4's tail "r s" IS (token s is new)
     assert(got.toSeq == Seq(
       (1L, 0L, 3L, "a b c"),
       (1L, 1L, 3L, "c d e"),
       (1L, 2L, 3L, "e f g"),
-      (1L, 3L, 1L, "g"),      // tail chunk, shorter
-      (2L, 0L, 1L, "x")))
+      (2L, 0L, 1L, "x"),
+      (4L, 0L, 3L, "p q r"),
+      (4L, 1L, 2L, "r s")))
   }
 
   test("compressionStats: deterministic, repetition compresses better, " +
@@ -244,6 +250,7 @@ class CurationSpec extends SparkSpec {
       (4L, "de", "x y z w v u")// de restarts at 0 → bin 0
     ).toDF("doc_id", "lang", "text")
     val got = Curation.packSequences(d, "text", "doc_id", "lang", 5L)
+      .select("doc_id", "lang", "n_tokens", "bin")
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == Seq(

@@ -13,6 +13,23 @@ class QuantizeSpec extends SparkSpec {
   private def emb = spark.read
     .parquet("/root/testdata/sf0.001/embeddings.parquet")
 
+  test("int8Codes rejects non-finite components like the declarative " +
+    "twin (ANSI cast) does") {
+    import spark.implicits._
+    val bad = Seq((1L, Array(0.5f, Float.NaN, 2.0f)))
+      .toDF("vec_id", "embedding")
+    // surfaces bare from driver-local evaluation or wrapped in
+    // SparkException from an executor — accept either carrier
+    val e = intercept[Exception] {
+      bad.select(Similarity.quantizeInt8(col("embedding"))
+        .getField("codes")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("non-finite")), e.toString)
+  }
+
   test("native int8Codes kernel ≡ declarative round-transform codes") {
     val a = emb.select(col("vec_id"),
       Similarity.quantizeInt8(col("embedding")).getField("codes")
