@@ -366,6 +366,56 @@ object Dedup {
       .filter(col("est_sim") >= minEst)
   }
 
+  /** Winnowed character-level fingerprints (Schleimer et al. 2003, the
+    * MOSS scheme): one row per distinct selected k-gram hash,
+    * `(doc_id, h)`. Text is normalized to lowercased space-joined
+    * tokens first, so formatting differences don't break substring
+    * identity. Any shared substring of ≥ w+k−1 normalized characters
+    * guarantees a shared fingerprint — the substring-level dedup
+    * primitive (a corpus-tractable stand-in for suffix-array exact
+    * substring dedup, Lee et al. 2022).
+    *
+    * Map-side: the native [[graft.functions.WinnowKernelImpl]] kernel
+    * runs on the (rebalanced) scan; density is ~2/(w+1) fingerprints
+    * per character.
+    */
+  def winnowedFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    val in = graft.Tables.rebalance(
+      df.select(col(idCol).as("doc_id"),
+        concat_ws(" ", TextOps.words(col(textCol))).as("t")))
+    in.select(col("doc_id"),
+      explode(graft.functions.Winnow.fingerprints(col("t"), k, w))
+        .as("h"))
+  }
+
+  /** Substring-overlap candidate pairs: documents sharing at least
+    * `minShared` winnowed fingerprints — `(da, db, shared)`. The join
+    * is the q25-shaped inverted index on 8-byte fingerprint keys, so
+    * cost follows Σ df(h)² over fingerprint posting lists;
+    * `maxFpDf` drops fingerprints seen in more than that many
+    * documents (boilerplate substrings — same lower-bound semantics,
+    * same escape hatch as [[jaccardPairs]]'s `maxShingleDf`).
+    */
+  def substringCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 25, w: Int = 10, minShared: Int = 2,
+      maxFpDf: Option[Int] = None): DataFrame = {
+    val fp0 = winnowedFingerprints(df, idCol, textCol, k, w)
+    val fp = maxFpDf match {
+      case Some(cap) =>
+        val hot = fp0.groupBy(col("h"))
+          .agg(count(lit(1)).as("df")).filter(col("df") > cap)
+          .select(col("h"))
+        fp0.join(broadcast(hot), Seq("h"), "left_anti")
+      case None => fp0
+    }
+    fp.as("a").join(fp.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** 32-bit SimHash per document over the shingle set: bit b is the sign
     * of Σ_shingles (±1 by hash bit b). One integer per document.
     */

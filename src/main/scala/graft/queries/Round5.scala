@@ -512,6 +512,38 @@ object Round5 {
            |FROM synth ORDER BY doc_id""".stripMargin
       }),
 
+    // ---- substring-level dedup candidates via winnowed fingerprints
+    // (Schleimer 2003 / MOSS; the tractable stand-in for suffix-array
+    // substring dedup): shared substrings of ≥ w+k−1 = 34 normalized
+    // chars guarantee a shared fingerprint; pairs need ≥2 shared.
+    QueryDef("q86_substring_pairs",
+      (s, dir) => graft.operators.Dedup
+        .substringCandidates(t("documents")(s, dir), "doc_id", "text",
+          k = 25, w = 10, minShared = 2)
+        .orderBy(col("da"), col("db")),
+      Some("""WITH nrm AS (SELECT doc_id, array_to_string(list_filter(
+             |    string_split_regex(lower(text), '\s+'),
+             |    x -> len(x) > 0), ' ') AS t FROM documents),
+             |g AS (SELECT doc_id, t FROM nrm WHERE len(t) >= 25),
+             |p0 AS (SELECT doc_id, t,
+             |    unnest(generate_series(1, len(t) - 24)) AS i FROM g),
+             |p AS (SELECT doc_id, i,
+             |    CAST(concat('0x', substr(md5(substr(t, i, 25)), 1, 15))
+             |      AS BIGINT) AS h
+             |  FROM p0),
+             |m AS (SELECT doc_id, i, MIN(h) OVER (PARTITION BY doc_id
+             |    ORDER BY i ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)
+             |      AS mh,
+             |    COUNT(*) OVER (PARTITION BY doc_id) AS np FROM p),
+             |f AS (SELECT DISTINCT doc_id, mh AS h FROM m
+             |  WHERE i <= greatest(np - 9, 1)),
+             |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+             |    COUNT(*) AS shared
+             |  FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT da, db, CAST(shared AS BIGINT) AS shared FROM pairs
+             |WHERE shared >= 2 ORDER BY da, db""".stripMargin)),
+
     // ---- column profiling: all statistics in ONE aggregation/scan
     // (exact distincts ⇒ Expand; approx variant documented for scale).
     QueryDef("q83_profile",

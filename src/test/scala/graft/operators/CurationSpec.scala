@@ -193,6 +193,30 @@ class CurationSpec extends SparkSpec {
       (4L, 1L, 2L, "r s")))
   }
 
+  test("chunkTokens reconstructs every document exactly (drop `overlap` " +
+    "tokens from each non-first chunk, concatenate)") {
+    import spark.implicits._
+    val d = (0L to 120L).map { i =>
+      (i, (0 until (i % 41).toInt).map(j => s"t${(i + j) % 13}")
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val (cs, ov) = (7, 3)
+    val rebuilt = Curation.chunkTokens(d, "text", "doc_id", cs, ov)
+      .withColumn("piece", when(col("chunk_id") === 0, col("chunk_text"))
+        .otherwise(concat_ws(" ",
+          slice(split(col("chunk_text"), " "), ov + 1, cs))))
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", array_sort(collect_list(
+        struct(col("chunk_id"), col("piece")))).getField("piece"))
+        .as("rebuilt"))
+    val orig = d.select(col("doc_id"),
+      concat_ws(" ", TextOps.words(col("text"))).as("orig"))
+      .filter(length(col("orig")) > 0)
+    val joined = orig.join(rebuilt, Seq("doc_id"), "full")
+    assert(joined.filter(col("orig").isNull || col("rebuilt").isNull ||
+      col("orig") =!= col("rebuilt")).count() == 0)
+  }
+
   test("compressionStats: deterministic, repetition compresses better, " +
     "bounds hold, empty text null") {
     import spark.implicits._

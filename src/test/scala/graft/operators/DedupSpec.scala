@@ -68,6 +68,29 @@ class DedupSpec extends SparkSpec {
       plan.contains("BroadcastExchange"))
   }
 
+  test("winnowing guarantee: a shared substring of w+k-1 chars always " +
+    "yields a shared fingerprint; disjoint docs never pair") {
+    import spark.implicits._
+    // shared run: 34+ normalized chars embedded at different offsets
+    val shared = "the quick brown fox jumps over me"  // 33 chars + pad
+    val d = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"unrelated prefix words here $shared and a tail"),
+      (3L, "totally different content with no overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.substringCandidates(d, "doc_id", "text",
+        k = 25, w = 10, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // maxFpDf cap drops boilerplate fingerprints shared by everything
+    val boiler = (1L to 20L).map(i => (i, s"$shared common to all $i"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.substringCandidates(boiler, "doc_id", "text",
+      k = 25, w = 10, minShared = 1, maxFpDf = Some(5))
+    assert(capped.count() == 0) // every fingerprint has df 20 > 5
+  }
+
   test("simhash: identical docs at hamming 0; near-dups within budget") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3,
         maxHamming = 10, cache = false)
