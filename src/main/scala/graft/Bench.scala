@@ -134,9 +134,14 @@ object Bench {
     // tail, the exact truncation failure the compact line exists to
     // avoid; prefixes keep it ~1.2 KB with headroom for more queries
     // (full names remain in the verbose line above).
+    // collision guard: duplicate JSON keys would silently drop a
+    // query's timing (json.loads keeps the last), so any prefix clash
+    // falls back to full names for the colliding entries
+    val prefixCounts = cold.map(_._1.takeWhile(_ != '_'))
+      .groupBy(identity).view.mapValues(_.size).toMap
     def short(k: String): String = {
       val p = k.takeWhile(_ != '_')
-      if (p.nonEmpty) p else k
+      if (p.nonEmpty && prefixCounts.getOrElse(p, 0) == 1) p else k
     }
     def js3(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => s"\"" + short(k) + "\":" + f3(v) }

@@ -21,9 +21,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * The hash is [[graft.operators.TextOps.hash60]]'s md5-based 60-bit
   * value over the k-character substring, so a SQL oracle replays the
   * whole scheme verbatim (`md5(substr(t, i, k))` + the same windowed
-  * MIN). Character semantics are UTF-16 code units, which coincide
-  * with the oracle's character positions for ASCII/BMP text — the
-  * operator normalizes to lowercased space-joined tokens upstream.
+  * MIN). Character positions are Unicode code points, matching the
+  * oracle's `substr` counting on any text, astral characters included.
   *
   * Fewer k-grams than a window (m < w) degrades to a single window
   * over all of them; texts shorter than k fingerprint to empty.
@@ -31,8 +30,14 @@ import org.apache.spark.unsafe.types.UTF8String
 object WinnowKernelImpl {
 
   def fingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
-    val t = text.toString
-    val n = t.length
+    // plan-time validation lives in Winnow.fingerprints; this double
+    // check costs nothing and keeps direct kernel callers safe
+    require(k > 0 && w > 0, s"winnowing needs k > 0 and w > 0 (k=$k w=$w)")
+    // code points, not UTF-16 units: the oracle's substr() counts
+    // characters, and one astral char would otherwise desynchronize
+    // every later k-gram (and split surrogate pairs before md5)
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length
     val np = n - k + 1
     if (np < 1) return new GenericArrayData(Array.empty[Any])
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -40,7 +45,8 @@ object WinnowKernelImpl {
     var i = 0
     while (i < np) {
       md.reset()
-      val d = md.digest(t.substring(i, i + k).getBytes("UTF-8"))
+      val d = md.digest(
+        new String(cps, i, k).getBytes("UTF-8"))
       // first 15 hex chars = 60 bits: (d0..d7 high) >>> 4 keeps 60
       var v = 0L
       var b = 0
@@ -48,7 +54,6 @@ object WinnowKernelImpl {
       h(i) = v >>> 4
       i += 1
     }
-    val windows = math.max(np - w + 1, 1)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     // monotonic deque of indices, increasing h; front = window min
     val deque = new java.util.ArrayDeque[Int]()
@@ -58,13 +63,11 @@ object WinnowKernelImpl {
         deque.pollLast()
       deque.addLast(i)
       val start = i - w + 1 // window [start, i]
-      if (!deque.isEmpty && deque.peekFirst() < start) deque.pollFirst()
-      if (start >= 0 || i == np - 1) {
-        // full windows once i ≥ w−1; the single degenerate window of a
-        // short text (np < w) emits at the last position
-        if (start >= 0 && start < windows) seen.add(h(deque.peekFirst()))
-        else if (np < w && i == np - 1) seen.add(h(deque.peekFirst()))
-      }
+      if (deque.peekFirst() < start) deque.pollFirst()
+      // full windows once start ≥ 0; a short text (np < w) emits its
+      // single all-spanning window at the last position
+      if (start >= 0 || (np < w && i == np - 1))
+        seen.add(h(deque.peekFirst()))
       i += 1
     }
     val out = new Array[Any](seen.size)
@@ -77,7 +80,9 @@ object WinnowKernelImpl {
 
 object Winnow {
 
-  def fingerprintsExpr(text: Expression, k: Int, w: Int): Expression =
+  def fingerprintsExpr(text: Expression, k: Int, w: Int): Expression = {
+    require(k > 0 && w > 0,
+      s"winnowing needs k > 0 and w > 0 (k=$k w=$w)")
     StaticInvoke(
       WinnowKernelImpl.getClass,
       ArrayType(LongType, containsNull = false),
@@ -86,6 +91,7 @@ object Winnow {
       inputTypes = Seq(StringType, IntegerType, IntegerType),
       propagateNull = true,
       returnNullable = false)
+  }
 
   /** Column API: distinct winnowed 60-bit fingerprints of the text. */
   def fingerprints(text: Column, k: Int, w: Int): Column =

@@ -311,11 +311,17 @@ object Curation {
     */
   def piiScrub(df: DataFrame, textCol: String, idCol: String,
       patterns: Seq[(String, String)] = piiPatterns): DataFrame = {
+    require(patterns.nonEmpty, "piiScrub needs at least one pattern")
     val counts = patterns.map { case (p, _) =>
       size(regexp_extract_all(col(textCol), lit(p), lit(0))).cast("bigint")
     }.reduce(_ + _)
     val scrubbed = patterns.foldLeft(col(textCol)) {
-      case (c, (p, label)) => regexp_replace(c, p, label)
+      case (c, (p, label)) =>
+        // quote the label: Java replacement strings treat $ and \ as
+        // group references ('[US$]' would throw Illegal group
+        // reference, and RE2 engines would read it differently)
+        regexp_replace(c, p,
+          java.util.regex.Matcher.quoteReplacement(label))
     }
     df.select(col(idCol), counts.as("n_pii"), scrubbed.as("scrubbed"))
   }

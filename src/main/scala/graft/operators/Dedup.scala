@@ -399,8 +399,15 @@ object Dedup {
     */
   def substringCandidates(df: DataFrame, idCol: String, textCol: String,
       k: Int = 25, w: Int = 10, minShared: Int = 2,
-      maxFpDf: Option[Int] = None): DataFrame = {
-    val fp0 = winnowedFingerprints(df, idCol, textCol, k, w)
+      maxFpDf: Option[Int] = None, cache: Boolean = true): DataFrame = {
+    // persist the fingerprint stream like every self-joining sibling
+    // here (module-header contract): the per-character md5 winnow is
+    // the most expensive kernel in the file and feeds up to three
+    // consumers (df cap + both join sides)
+    val fp1 = winnowedFingerprints(df, idCol, textCol, k, w)
+    val fp0 = if (cache)
+      fp1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else fp1
     val fp = maxFpDf match {
       case Some(cap) =>
         val hot = fp0.groupBy(col("h"))

@@ -13,6 +13,26 @@ import org.apache.spark.sql.functions._
 object Round5 {
   private def t(name: String): QueryFn = (s, dir) => Tables.load(s, dir, name)
 
+  /** Recursive-delete `dir` at JVM exit, registered once per path —
+    * q80's per-process JSONL scratch must not accumulate across
+    * bench/verify runs (the per-pid tag that isolates concurrent
+    * processes would otherwise leak a corpus copy per invocation).
+    * Deletion at exit, not after the query: the returned frame reads
+    * the files lazily, possibly multiple times (cold + steady).
+    */
+  private val scratchRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[queries] def registerScratchCleanup(dir: java.io.File): Unit =
+    if (scratchRegistered.add(dir.getAbsolutePath))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(dir)
+      }))
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Gopher-style repetition metrics, entirely map-side: every
@@ -386,8 +406,10 @@ object Round5 {
         // one process stay idempotent via overwrite mode.
         val tag = java.lang.Integer.toHexString(dir.hashCode) + "_" +
           java.lang.ProcessHandle.current().pid()
-        val out = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_q80_jsonl_$tag").getAbsolutePath
+        val outDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_q80_jsonl_$tag")
+        Round5.registerScratchCleanup(outDir)
+        val out = outDir.getAbsolutePath
         docs.write.mode("overwrite").json(out)
         graft.sources.Sources.json(s, out, Some(docs.schema))
           .filter(col("lang") === "en")
@@ -484,8 +506,12 @@ object Round5 {
     // a live cross-engine check of the shared Java∩RE2 regex subset.
     QueryDef("q85_pii_scrub",
       (s, dir) => {
+        // concat_ws, not concat: Spark concat NULLs out on any NULL
+        // argument while DuckDB concat skips NULLs — concat_ws matches
+        // DuckDB's skip semantics, keeping the hash gate honest even
+        // if a corpus row ever carries a NULL column
         val synth = t("documents")(s, dir).select(col("doc_id"),
-          concat(col("lang"), lit(" user"), col("doc_id"), lit("@"),
+          concat_ws("", col("lang"), lit(" user"), col("doc_id"), lit("@"),
             col("source"), lit(".com tel 555-123-4567 ip 10.0.0."),
             (col("doc_id") % 256).cast("string"), lit(" "),
             substring(col("text"), 1, 40)).as("text"))
