@@ -412,6 +412,67 @@ object Similarity {
         col("n_votes"))
   }
 
+  /** IVF-PQ composite ANN (the FAISS-style index architecture): coarse
+    * cells bound WHICH candidates are scored ([[assignCells]] — queries
+    * probe their `nprobe` nearest of `nCells` cells) and product
+    * quantization bounds HOW each is scored ([[pqTopK]]'s ADC — codes
+    * never decompress). Returns `(query_id, neighbor_id, adist, rank)`.
+    *
+    * Codebooks are global, not per-cell residual (the residual
+    * refinement changes constants, not the plan shape; deterministic
+    * seeding keeps the whole pipeline SQL-replayable). With
+    * `nprobe = nCells` this is exactly [[pqTopK]] — pinned by
+    * QuantizeSpec — so recall degrades only through cell pruning, by
+    * ~nprobe/nCells of the scored volume.
+    *
+    * Scale shape: both centroid tables broadcast; candidates carry
+    * (cell, m codes); the per-query distance table broadcasts; the
+    * probe join prunes the code stream BEFORE the distance sums, so
+    * the aggregation touches ~nprobe/nCells of the corpus.
+    */
+  def ivfPqTopK(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      nCells: Int, nprobe: Int, dims: Int, m: Int, nCentroids: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = seedCentroids(candidates, nCells, idCol, embCol)
+    val cand = assignCells(candidates, cells, idCol, embCol)
+      .select(col("id"), col("cell"))
+    val codebook = pqCentroids(candidates, dims, m, nCentroids,
+      idCol, embCol)
+    val codes = pqAssignWith(codebook, candidates, dims, m, idCol, embCol)
+      .join(cand, Seq("id"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(embCol).as("q_emb"), sqrt(norm2(col(embCol))).as("q_nrm"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("psim").desc, col("cen_id"))
+    val probes = q.join(broadcast(cells), lit(true))
+      .select(col("query_id"), col("cen_id"),
+        round(dot(col("q_emb"), col("cen_e")) /
+          (col("q_nrm") * col("cen_nrm")), 6).as("psim"))
+      .withColumn("_r", row_number().over(wProbe))
+      .filter(col("_r") <= nprobe)
+      .select(col("query_id"), col("cen_id").as("cell"))
+    val qsub = pqSubvectors(queries, dims, m, idCol, embCol,
+      "query_id", "qv")
+    val table = qsub.join(codebook, Seq("j"))
+      .select(col("query_id"), col("j"), col("cen_id").as("code"),
+        round(dot(col("qv"), col("qv")) - dot(col("qv"), col("cv")) * 2
+          + dot(col("cv"), col("cv")), 6)
+          .cast("decimal(20,6)").as("d2"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    codes
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .join(broadcast(table), Seq("query_id", "j", "code"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("d2")).cast("double").as("adist"))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("adist"))
+      .withColumn("rank", row_number().over(wRank).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
   /** Multi-table LSH near-dup pairs: candidates share a bucket in ANY of
     * `tables` independent hash tables (the standard recall amplification:
     * recall = 1−(1−p^m)^L), then exact (rounded) cosine ≥ threshold.

@@ -101,6 +101,33 @@ class QuantizeSpec extends SparkSpec {
     assert(recall >= 0.15, s"recall@10 = $recall")
   }
 
+  test("ivfPqTopK with nprobe == nCells is exactly pqTopK (pruning off); " +
+    "with nprobe < nCells it returns a subset-scored ranking") {
+    val q = emb.filter(col("vec_id") < 5)
+    val full = Similarity.ivfPqTopK(q, emb, k = 5, nCells = 8,
+        nprobe = 8, dims = 64, m = 8, nCentroids = 16)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val adc = Similarity.pqTopK(q, emb, k = 5, dims = 64, m = 8,
+        nCentroids = 16)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(full.toSeq == adc.toSeq)
+    // pruned probing still returns k rows per query, and every
+    // returned distance exists in the unpruned scoring
+    val pruned = Similarity.ivfPqTopK(q, emb, k = 5, nCells = 8,
+        nprobe = 2, dims = 64, m = 8, nCentroids = 16).collect()
+    assert(pruned.length == 25)
+    val fullDists = Similarity.pqTopK(q, emb, k = 1000, dims = 64,
+        m = 8, nCentroids = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    pruned.foreach { r =>
+      assert(fullDists.contains((r.getLong(0), r.getLong(1),
+        r.getDouble(2))))
+    }
+  }
+
   test("dequantize error is within half a quantization step per component") {
     val q = Similarity.quantizeInt8(col("embedding"))
     val err = emb.select(
