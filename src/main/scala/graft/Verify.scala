@@ -39,8 +39,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // q81's oracle reads the verify-dumped parquet for its one
+    // non-replayable column (raw DEFLATE size) — substitute the real
+    // outDir so the SQL is self-contained for the driver's DuckDB run.
+    val outAbs = new java.io.File(outDir).getCanonicalPath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__GRAFT_VERIFY_OUT__", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -246,8 +246,12 @@ object Curation {
       .withColumn("share", coalesce(col("share"), lit(0.0)))
       .select(col(strataCol), col("total_tokens"),
         round(col("share") * budget).cast("bigint").as("target_tokens"),
-        round(least(lit(1.0),
-          col("share") * budget / col("total_tokens")), 6).as("rate"))
+        // guard the division: an all-empty stratum (total_tokens = 0)
+        // would yield Infinity (or NaN at share 0) and least() would
+        // then report rate 1.0 for a stratum with nothing to sample
+        round(when(col("total_tokens") > 0,
+          least(lit(1.0), col("share") * budget / col("total_tokens")))
+          .otherwise(lit(0.0)), 6).as("rate"))
   }
 
   /** RAG/context-window chunking: split each document into token chunks
@@ -359,23 +363,96 @@ object Curation {
     * no re-join against their own upstream — see
     * `CorpusCuration.curateForTraining`).
     *
-    * The running offset is a per-stratum window cumsum, so packing
-    * parallelizes across strata (languages/sources); a single global
-    * ordering would serialize the sort at 100 TB, which is why the
-    * stratum column is required, not optional. Within a stratum the
-    * sort is the one Spark range-partitions anyway.
+    * The running offset is a DISTRIBUTED two-pass prefix sum, not a
+    * per-stratum window: a window partitioned by stratum puts an entire
+    * stratum in one task, so a 5-language corpus would pack with
+    * parallelism 5 no matter how many terabytes each language holds.
+    * Instead each stratum is cut into `blocks` id-contiguous blocks
+    * (boundaries = per-stratum approximate id quantiles, collected once
+    * — a strata-sized driver map, same class as the accepted rate-map
+    * collects), per-block token subtotals reduce to a tiny offsets
+    * table that broadcasts back, and the cumsum runs block-locally —
+    * parallelism is strata × blocks. The bin output is invariant to
+    * where the block boundaries land (offset + local prefix ≡ global
+    * prefix for ANY id-contiguous blocking), so results are hash-stable
+    * across runs even though quantiles are approximate.
+    *
+    * Cost: one extra (column-pruned: stratum + id only) scan for the
+    * boundary quantiles, and the tokenization is evaluated twice
+    * (subtotal pass + output pass) — two linear scans, deliberately not
+    * persisted here for the same release-point reason as
+    * [[dfPruneCounts]].
+    *
+    * Block boundaries need an id that casts to double (order-preserving
+    * for any numeric id); for non-numeric ids the cast nulls out and
+    * packing degrades to one block per stratum (the old serial
+    * behavior) — still correct, documented, never wrong.
     */
   def packSequences(df: DataFrame, textCol: String, idCol: String,
-      strataCol: String, window: Long): DataFrame = {
+      strataCol: String, window: Long, blocks: Int = 0): DataFrame = {
     require(window > 0, "window must be positive")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(strataCol)).orderBy(col(idCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, -1)
-    df.withColumn("n_tokens",
-        size(TextOps.words(col(textCol))).cast("bigint"))
-      .withColumn("bin",
-        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / window)
-          .cast("bigint"))
+    val wb = withPackBlocks(
+      df.withColumn("n_tokens",
+        size(TextOps.words(col(textCol))).cast("bigint")),
+      idCol, strataCol, blocks)
+    val uP = org.apache.spark.sql.expressions.Window.unboundedPreceding
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("_blk"))
+      .rowsBetween(uP, -1)
+    // tiny: strata × blocks rows; the offsets window sorts block counts,
+    // not documents
+    val offsets = wb
+      .groupBy(col(strataCol), col("_blk"))
+      .agg(sum(col("n_tokens")).as("_blk_tokens"))
+      .withColumn("_offset",
+        coalesce(sum(col("_blk_tokens")).over(wOff), lit(0L)))
+      .select(col(strataCol).as("_os"), col("_blk").as("_ob"),
+        col("_offset"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol), col("_blk")).orderBy(col(idCol))
+      .rowsBetween(uP, -1)
+    // null-safe on the stratum: a null-strata group must keep its rows
+    // (the window formulation kept them; an equi-join would drop them)
+    wb.join(broadcast(offsets),
+        col(strataCol) <=> col("_os") && col("_blk") === col("_ob"))
+      .withColumn("bin", floor(
+        (col("_offset") +
+          coalesce(sum(col("n_tokens")).over(wLocal), lit(0L))) / window)
+        .cast("bigint"))
+      .select(df.columns.map(col).toIndexedSeq :+
+        col("n_tokens") :+ col("bin"): _*)
+  }
+
+  /** Adds the `_blk` column [[packSequences]] partitions its prefix sum
+    * by: block b = number of this stratum's collected quantile
+    * boundaries strictly below the row's id. Monotone non-decreasing in
+    * id within a stratum (double cast is order-preserving), so
+    * block-local prefixes compose into the global per-stratum prefix.
+    * Package-private so the spec can assert a single-stratum corpus
+    * really fans out over >1 block.
+    */
+  private[graft] def withPackBlocks(df: DataFrame, idCol: String,
+      strataCol: String, blocks: Int): DataFrame = {
+    val spark = df.sparkSession
+    val nBlocks =
+      if (blocks > 0) blocks
+      else math.max(spark.sparkContext.defaultParallelism, 1)
+    val idn = col(idCol).cast("double")
+    if (nBlocks <= 1) return df.withColumn("_blk", lit(0))
+    val probs = (1 until nBlocks).map(_.toDouble / nBlocks)
+    // collected ONCE so the subtotal pass and the output pass see the
+    // exact same boundaries (percentile merge order is not guaranteed
+    // reproducible across plan branches); strata-sized, not data-sized
+    val agg = df.groupBy(col(strataCol))
+      .agg(percentile_approx(idn, array(probs.map(lit): _*), lit(10000))
+        .as("_bnds"))
+    val boundsDf = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(agg.collect(): _*), agg.schema))
+    df.join(boundsDf, Seq(strataCol), "left")
+      .withColumn("_blk", coalesce(
+        aggregate(col("_bnds"), lit(0),
+          (a, b) => a + when(idn > b, 1).otherwise(0)),
+        lit(0)))
+      .drop("_bnds")
   }
 }

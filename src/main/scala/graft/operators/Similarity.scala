@@ -247,16 +247,64 @@ object Similarity {
     }.reduce(_ + _)
 
   /** The `nCentroids` lowest-id vectors as coarse-quantizer seeds —
-    * `(cen_id, cen_e, cen_nrm)`. Production would place k-means‖
-    * centroids here; seed selection affects recall, not the plumbing,
-    * and the deterministic choice lets the DuckDB oracle replay the
-    * whole pipeline.
+    * `(cen_id, cen_e, cen_nrm)`. Seed selection affects recall, not
+    * the plumbing, and the deterministic choice lets the DuckDB oracle
+    * replay the whole pipeline; [[trainedCentroids]] is the
+    * k-means-refined production path (`trainIters` on the consumers).
     */
   def seedCentroids(candidates: DataFrame, nCentroids: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
     candidates.orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("cen_id"), col(embCol).as("cen_e"),
         sqrt(norm2(col(embCol))).as("cen_nrm"))
+
+  /** Spherical k-means refinement of [[seedCentroids]]: `iters` Lloyd
+    * iterations under the rounded-cosine metric ([[assignCells]] is the
+    * assignment step), each followed by a per-cell, per-dimension mean.
+    * Returns the same `(cen_id, cen_e, cen_nrm)` shape as
+    * [[seedCentroids]]; empty cells drop (standard Lloyd), so the
+    * result may hold fewer than `nCentroids` rows.
+    *
+    * This is the production recall path for [[ivfTopK]] / [[semDedup]]
+    * / [[ivfPqTopK]] (the r5 verdict's "trained centroids" gap): the
+    * catalog queries keep deterministic lowest-id seeds so the DuckDB
+    * oracle can replay every assignment, and training changes WHICH
+    * centroids the plan broadcasts — never the plan shape.
+    * tools/ScaleSemDedup measures the recall delta.
+    *
+    * Scale shape: each iteration is one broadcast-assign pass
+    * (map-side max_by, no shuffle of the corpus beyond the partial
+    * aggregation) plus a (nCentroids × dims)-sized mean aggregation of
+    * exploded components; the refreshed model COLLECTS to the driver —
+    * model-sized, like any k-means library — so the next iteration
+    * broadcasts literal centroids instead of growing a lineage chain.
+    * Per-dimension means round to 6 decimals each iteration, pinning
+    * run-to-run float drift below the assignment's own 6-decimal
+    * rounding. For very large corpora, train on a sample: recall needs
+    * representative centroids, not every row.
+    */
+  def trainedCentroids(df: DataFrame, nCentroids: Int, iters: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    val spark = df.sparkSession
+    var cen = seedCentroids(df, nCentroids, idCol, embCol)
+    for (_ <- 1 to iters) {
+      val means = assignCells(df, cen, idCol, embCol)
+        .select(col("cell"), posexplode(darr(col("e"))).as(Seq("p", "v")))
+        .groupBy(col("cell"), col("p"))
+        .agg(round(avg(col("v")), 6).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("p"), col("m")))),
+          x => x.getField("m")).as("cen_e"))
+        .select(col("cell").as("cen_id"), col("cen_e"))
+      cen = spark.createDataFrame(
+          java.util.Arrays.asList(means.collect(): _*), means.schema)
+        .select(col("cen_id"), col("cen_e"),
+          sqrt(norm2(col("cen_e"))).as("cen_nrm"))
+    }
+    cen
+  }
 
   /** Nearest-cell assignment against a (broadcast) centroid frame:
     * `(id, e, nrm, cell)` with cell = argmax rounded cosine, ties to the
@@ -302,9 +350,13 @@ object Similarity {
   def ivfTopK(
       queries: DataFrame, candidates: DataFrame, k: Int,
       nCentroids: Int, nprobe: Int,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      trainIters: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cen = seedCentroids(candidates, nCentroids, idCol, embCol)
+    val cen =
+      if (trainIters > 0)
+        trainedCentroids(candidates, nCentroids, trainIters, idCol, embCol)
+      else seedCentroids(candidates, nCentroids, idCol, embCol)
     val assigned = assignCells(candidates, cen, idCol, embCol)
       .select(col("id").as("neighbor_id"), col("e").as("c_emb"),
         col("nrm").as("c_nrm"), col("cell"))
@@ -356,14 +408,20 @@ object Similarity {
   def semDedup(
       df: DataFrame, threshold: Double, nCentroids: Int,
       idCol: String = "vec_id", embCol: String = "embedding",
-      cache: Boolean = true): DataFrame = {
-    val cen = seedCentroids(df, nCentroids, idCol, embCol)
+      cache: Boolean = true, trainIters: Int = 0): DataFrame = {
+    val cen =
+      if (trainIters > 0)
+        trainedCentroids(df, nCentroids, trainIters, idCol, embCol)
+      else seedCentroids(df, nCentroids, idCol, embCol)
     // the assignment frame feeds both self-join branches and the final
     // verdict join — persist so the centroid scoring runs once, not 3×.
-    // CacheManager keys on the canonical plan, so repeat calls share the
-    // entry rather than pile up; pass cache=false in long-lived sessions
-    // streaming many corpora through (callers then own persist/unpersist
-    // — the release-point discipline Freq.heavyHitterCounts documents).
+    // CacheManager keys on the canonical plan, so repeat calls over the
+    // SAME corpus share the entry — but distinct corpora each add one,
+    // so long-lived sessions streaming many corpora through should pass
+    // cache=false and own persist/unpersist themselves (the release-
+    // point discipline Freq.heavyHitterCounts documents). With the
+    // default, spark.catalog.clearCache() after consuming the result
+    // releases the entry (what Bench/Verify do between queries).
     val a0 = assignCells(df, cen, idCol, embCol)
     val a = if (cache)
       a0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -433,9 +491,13 @@ object Similarity {
   def ivfPqTopK(
       queries: DataFrame, candidates: DataFrame, k: Int,
       nCells: Int, nprobe: Int, dims: Int, m: Int, nCentroids: Int,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      trainIters: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cells = seedCentroids(candidates, nCells, idCol, embCol)
+    val cells =
+      if (trainIters > 0)
+        trainedCentroids(candidates, nCells, trainIters, idCol, embCol)
+      else seedCentroids(candidates, nCells, idCol, embCol)
     val cand = assignCells(candidates, cells, idCol, embCol)
       .select(col("id"), col("cell"))
     val codebook = pqCentroids(candidates, dims, m, nCentroids,

@@ -302,8 +302,9 @@ object Round5 {
              |  FROM t)
              |SELECT lang, CAST(total_tokens AS BIGINT) AS total_tokens,
              |  CAST(round(share * 50000) AS BIGINT) AS target_tokens,
-             |  round(least(CAST(1.0 AS DOUBLE),
-             |    share * 50000 / total_tokens), 6) AS rate
+             |  round(CASE WHEN total_tokens > 0 THEN
+             |    least(CAST(1.0 AS DOUBLE), share * 50000 / total_tokens)
+             |    ELSE 0.0 END, 6) AS rate
              |FROM r ORDER BY lang""".stripMargin)),
 
     // ---- incremental-ingestion near-dup: MinHash-LSH candidates
@@ -403,8 +404,14 @@ object Round5 {
         // path keyed by sf dir + process: concurrent harness runs
         // (Verify at one sf, Bench at another; parallel drivers) must
         // not overwrite each other's files mid-read. Re-runs within
-        // one process stay idempotent via overwrite mode.
-        val tag = java.lang.Integer.toHexString(dir.hashCode) + "_" +
+        // one process stay idempotent via overwrite mode. md5 of the
+        // canonical path, not String.hashCode: a 32-bit hash of two
+        // distinct dirs can collide and cross-clobber mid-read.
+        val dirKey = try new java.io.File(dir).getCanonicalPath
+          catch { case _: Throwable => dir }
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(dirKey.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16) + "_" +
           java.lang.ProcessHandle.current().pid()
         val outDir = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft_q80_jsonl_$tag")
@@ -419,13 +426,39 @@ object Round5 {
       Some("""SELECT doc_id, lang, n_chars FROM documents
              |WHERE lang = 'en' ORDER BY doc_id""".stripMargin)),
 
-    // ---- compression-ratio quality signal (rows-only: DuckDB cannot
-    // replay java.util.zip — semantics spec-gated in CurationSpec).
+    // ---- compression-ratio quality signal. DuckDB cannot replay
+    // java.util.zip, so the raw DEFLATE byte count is the ONE trusted
+    // column: the oracle reads it back from the verify-dumped parquet
+    // (Verify substitutes __GRAFT_VERIFY_OUT__ with its outDir) and
+    // recomputes everything derived — n_bytes from the source text,
+    // the ratio division/rounding, and the keep/reject verdict — so
+    // those are hash-gated cross-engine; only n_deflate itself rides
+    // through. (Semantics of the DEFLATE kernel stay spec-gated in
+    // CurationSpec: determinism, repetition monotonicity, bounds.)
     QueryDef("q81_compression_ratio",
       (s, dir) => Curation
         .compressionStats(t("documents")(s, dir), "text", "doc_id")
+        .withColumn("verdict",
+          when(col("n_bytes") === 0, "empty")
+            .when(col("ratio") <= 0.3, "repetitive")
+            .when(col("ratio") >= 0.9, "high_entropy")
+            .otherwise("ok"))
         .orderBy(col("doc_id")),
-      None),
+      Some("""WITH r AS (SELECT doc_id, n_deflate FROM read_parquet(
+             |    '__GRAFT_VERIFY_OUT__/q81_compression_ratio/*.parquet')),
+             |j AS (SELECT d.doc_id,
+             |    CAST(strlen(d.text) AS BIGINT) AS n_bytes, r.n_deflate
+             |  FROM documents d JOIN r ON d.doc_id = r.doc_id),
+             |x AS (SELECT doc_id, n_bytes, n_deflate,
+             |    CASE WHEN n_bytes > 0 THEN
+             |      round(CAST(n_deflate AS DOUBLE) / n_bytes, 4)
+             |    END AS ratio FROM j)
+             |SELECT doc_id, n_bytes, n_deflate, ratio,
+             |  CASE WHEN n_bytes = 0 THEN 'empty'
+             |    WHEN ratio <= 0.3 THEN 'repetitive'
+             |    WHEN ratio >= 0.9 THEN 'high_entropy'
+             |    ELSE 'ok' END AS verdict
+             |FROM x ORDER BY doc_id""".stripMargin)),
 
     // ---- product quantization: 64 dims → 8 subspaces × 16 centroids
     // (4 bits each — 4 bytes/vector vs int8's 64). Deterministic

@@ -66,24 +66,8 @@ object ScaleJaccard {
     val preamble = (0 until 30).map(i => s"boiler$i").mkString(" ")
 
     def corpus(mult: Int): DataFrame = mode match {
-      case "family" =>
-        if (mult <= 1) docs
-        else docs
-          .crossJoin(spark.range(mult).select(col("id").as("rep")))
-          .select((col("doc_id") * mult + col("rep")).as("doc_id"),
-            concat(col("text"), lit(" rep"), col("rep")).as("text"))
-      case "boiler" =>
-        val base = docs
-          .crossJoin(spark.range(mult.toLong).select(col("id").as("rep")))
-        // suffix every 3rd word with the replica id: every 3-gram
-        // shingle of a replica contains ≥1 suffixed word, so replicas
-        // of one document share NO shingles beyond the preamble
-        val ws = split(col("text"), "\\s+")
-        val modded = transform(ws, (w, i) =>
-          when(i % 3 === 0, concat(w, col("rep"))).otherwise(w))
-        base.select(
-          (col("doc_id") * mult + col("rep")).as("doc_id"),
-          concat(lit(preamble + " "), concat_ws(" ", modded)).as("text"))
+      case "family" => ToolCorpus.family(docs, mult)
+      case "boiler" => ToolCorpus.boiler(docs, mult, preamble)
       case other => sys.error(s"unknown corpus mode: $other")
     }
 

@@ -5,8 +5,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale experiment: SemDeDup cell-bounded semantic dedup vs the exact
-  * all-pairs marking, as the vector count grows —
-  * `runMain graft.tools.ScaleSemDedup [sizes] [bruteCeiling]`.
+  * all-pairs marking, as the vector count grows — seeded AND k-means-
+  * trained centroids, with recall of the exact dup set for both —
+  * `runMain graft.tools.ScaleSemDedup [sizes] [bruteCeiling] [trainIters]`.
   *
   * Synthetic corpus: 97 base directions (`id % 97`), each vector a
   * deterministic small perturbation of its family's direction — dense
@@ -63,6 +64,7 @@ object ScaleSemDedup {
       (rs.tail.map(_._1).min, rs.head._2)
     }
 
+    val trainIters = args.lift(2).map(_.toInt).getOrElse(3)
     sizes.foreach { n =>
       val df = vecs(n).localCheckpoint() // materialize: time the ops, not the generator
       val k = math.max(4, math.sqrt(n.toDouble).toInt)
@@ -70,16 +72,32 @@ object ScaleSemDedup {
         Similarity.semDedup(df, threshold, k)
           .filter(col("semdup")).count()
       }
+      // trained-centroid variant (r5 verdict #4): same plan, k-means
+      // cells — measures what seeding costs in recall, and what
+      // training costs in wall time
+      val (tTrn, nTrn) = timed {
+        Similarity.semDedup(df, threshold, k, trainIters = trainIters)
+          .filter(col("semdup")).count()
+      }
       if (n <= bruteCeiling) {
         val (tBrute, nBrute) = timed(bruteDups(df).count())
-        val sem = Similarity.semDedup(df, threshold, k)
-          .filter(col("semdup")).select(col("vec_id"))
-        val hit = sem.join(bruteDups(df), Seq("vec_id")).count()
-        spark.catalog.clearCache()
+        def recallOf(iters: Int): String = {
+          val sem = Similarity.semDedup(df, threshold, k,
+              trainIters = iters)
+            .filter(col("semdup")).select(col("vec_id"))
+          val hit = sem.join(bruteDups(df), Seq("vec_id")).count()
+          spark.catalog.clearCache()
+          // recall is undefined when the exact pass finds no dups at
+          // this size/threshold — print n/a rather than NaN
+          if (nBrute > 0) f"${hit.toDouble / nBrute}%.4f" else "n/a"
+        }
         println(f"[semdedup] n=$n%7d k=$k%4d  sem=$tSem%7.2fs ($nSem dups)  " +
-          f"brute=$tBrute%7.2fs ($nBrute dups)  recall=${hit.toDouble / nBrute}%.4f")
+          f"trained=$tTrn%7.2fs ($nTrn dups, $trainIters iters)  " +
+          f"brute=$tBrute%7.2fs ($nBrute dups)  " +
+          f"recall seed=${recallOf(0)} trained=${recallOf(trainIters)}")
       } else
-        println(f"[semdedup] n=$n%7d k=$k%4d  sem=$tSem%7.2fs ($nSem dups)  brute=skipped")
+        println(f"[semdedup] n=$n%7d k=$k%4d  sem=$tSem%7.2fs ($nSem dups)  " +
+          f"trained=$tTrn%7.2fs ($nTrn dups)  brute=skipped")
     }
     spark.stop()
   }

@@ -89,6 +89,37 @@ class SimilaritySpec extends SparkSpec {
     assert(cells(1L) == 1L && cells(2L) == 1L && cells(3L) == 1L)
   }
 
+  test("trainedCentroids: iters=0 ≡ seeds, k=1 converges to the mean, " +
+      "deterministic, and the consumers' plan shape is unchanged") {
+    val seeded = Similarity.seedCentroids(vecs, 2)
+      .select("cen_id").collect().map(_.getLong(0)).toSeq.sorted
+    val t0 = Similarity.trainedCentroids(vecs, 2, 0)
+      .select("cen_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(t0 == seeded)
+    // k=1: every vector lands in the single cell, so one Lloyd step is
+    // exactly the rounded per-dimension mean of all five vectors
+    val m = Similarity.trainedCentroids(vecs, 1, 1).first()
+    assert(m.getSeq[Double](m.fieldIndex("cen_e")).toList ==
+      List(0.38, 0.222, 0.0, 0.0))
+    // 6-decimal rounding each iteration pins run-to-run determinism
+    val a = Similarity.trainedCentroids(vecs, 2, 3)
+      .orderBy("cen_id").collect().toSeq
+    val b = Similarity.trainedCentroids(vecs, 2, 3)
+      .orderBy("cen_id").collect().toSeq
+    assert(a == b)
+    // trained cells ride the same semDedup plan (one row per vector) —
+    // and demonstrate the recall gain: the seeded split put 1 in the
+    // other cell, hiding the (0,1) pair at cos 0.99388 ≥ 0.99; Lloyd
+    // iterations pull 0, 1 and 4 into one cell, so BOTH redundant
+    // copies are witnessed by the lower-id representative 0.
+    val out = Similarity.semDedup(vecs, threshold = 0.99, nCentroids = 2,
+        trainIters = 2)
+      .orderBy("vec_id").collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == (0L to 4L))
+    assert(out.filter(_.getAs[Boolean]("semdup"))
+      .map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 4L))
+  }
+
   test("knnClassify takes the majority label, ties to the smaller") {
     import spark.implicits._
     val labeled = vecs.join(
