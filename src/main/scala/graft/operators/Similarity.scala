@@ -535,6 +535,108 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-PQ with per-cell RESIDUAL encoding — the full FAISS
+    * IndexIVFPQ architecture ([[ivfPqTopK]]'s documented
+    * constants-not-shape simplification, completed): each candidate is
+    * PQ-encoded as `v − centroid(cell(v))` rather than raw, and each
+    * query builds a distance table PER PROBED CELL against the residual
+    * codebook (`qr = q − centroid(cell)`), so quantization error is
+    * measured around the local cell origin — sharper codes where cells
+    * are tight, the reason FAISS defaults to residual encoding.
+    *
+    * Same deterministic discipline as the rest of the family: the
+    * codebook seeds are the residual subvectors of the `nCentroids`
+    * lowest-id vectors, per-subspace distances round to 6 decimals and
+    * accumulate in DECIMAL, ties break to the lowest id — the DuckDB
+    * oracle replays every step (q88). An exact duplicate of a query
+    * vector achieves the minimal possible ADC sum in its cell, so it
+    * ranks first (spec-pinned).
+    *
+    * Scale shape vs [[ivfPqTopK]]: identical joins; the only growth is
+    * the per-query distance table — |queries|·nprobe·m·nCentroids rows
+    * instead of |queries|·m·nCentroids — still broadcast-sized by
+    * construction. The candidate stream carries (cell, m codes); the
+    * probe join prunes it BEFORE the distance sums exactly as before.
+    */
+  def ivfPqResidualTopK(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      nCells: Int, nprobe: Int, dims: Int, m: Int, nCentroids: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      trainIters: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells =
+      if (trainIters > 0)
+        trainedCentroids(candidates, nCells, trainIters, idCol, embCol)
+      else seedCentroids(candidates, nCells, idCol, embCol)
+    val cellsE = cells.select(col("cen_id").as("cell"),
+      darr(col("cen_e")).as("cell_e"))
+    // candidate residuals: r = e − centroid(cell); (id, cell, r)
+    val resid = assignCells(candidates, cells, idCol, embCol)
+      .join(broadcast(cellsE), Seq("cell"))
+      .select(col("id"), col("cell"),
+        zip_with(darr(col("e")), col("cell_e"), (a, b) => a - b).as("r"))
+    val codebook = pqCentroids(resid, dims, m, nCentroids, "id", "r")
+    require(m > 0 && dims % m == 0, "m must divide dims")
+    val sub = dims / m
+    // code assignment carries `cell` through the min_by grouping keys
+    // (functionally dependent on id) instead of re-joining the corpus
+    // against itself afterwards — one corpus-sized shuffle, not three
+    val rsub = graft.Tables.rebalance(resid)
+      .select(col("id"), col("cell"),
+        explode(transform(sequence(lit(0), lit(m - 1)),
+          j => struct(j.as("j"),
+            slice(col("r"), j * sub + 1, lit(sub)).as("sv")))).as("x"))
+      .select(col("id"), col("cell"), col("x.j").as("j"),
+        col("x.sv").as("sv"))
+    val codes = rsub.join(broadcast(codebook), Seq("j"))
+      .select(col("id"), col("cell"), col("j"), col("cen_id"),
+        round(dot(col("sv"), col("sv")) - dot(col("sv"), col("cv")) * 2
+          + dot(col("cv"), col("cv")), 6).as("dist2"))
+      .groupBy(col("id"), col("cell"), col("j"))
+      .agg(min_by(col("cen_id"),
+        struct(col("dist2"), col("cen_id"))).as("code"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(embCol).as("q_emb"), sqrt(norm2(col(embCol))).as("q_nrm"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("psim").desc, col("cen_id"))
+    val probes = q.join(broadcast(cells), lit(true))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cen_id"),
+        round(dot(col("q_emb"), col("cen_e")) /
+          (col("q_nrm") * col("cen_nrm")), 6).as("psim"))
+      .withColumn("_r", row_number().over(wProbe))
+      .filter(col("_r") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("cen_id").as("cell"))
+    // per-(query, probed cell) residual subvectors → distance table
+    val qres = probes.join(broadcast(cellsE), Seq("cell"))
+      .select(col("query_id"), col("cell"),
+        zip_with(darr(col("q_emb")), col("cell_e"), (a, b) => a - b)
+          .as("qr"))
+    val qsub = qres.select(col("query_id"), col("cell"),
+        explode(transform(sequence(lit(0), lit(m - 1)),
+          j => struct(j.as("j"),
+            slice(col("qr"), j * sub + 1, lit(sub)).as("qv")))).as("x"))
+      .select(col("query_id"), col("cell"), col("x.j").as("j"),
+        col("x.qv").as("qv"))
+    val table = qsub.join(codebook, Seq("j"))
+      .select(col("query_id"), col("cell"), col("j"),
+        col("cen_id").as("code"),
+        round(dot(col("qv"), col("qv")) - dot(col("qv"), col("cv")) * 2
+          + dot(col("cv"), col("cv")), 6)
+          .cast("decimal(20,6)").as("d2"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    codes
+      .join(broadcast(probes.select(col("query_id"), col("cell"))),
+        Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .join(broadcast(table), Seq("query_id", "cell", "j", "code"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("d2")).cast("double").as("adist"))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("adist"))
+      .withColumn("rank", row_number().over(wRank).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
   /** Multi-table LSH near-dup pairs: candidates share a bucket in ANY of
     * `tables` independent hash tables (the standard recall amplification:
     * recall = 1−(1−p^m)^L), then exact (rounded) cosine ≥ threshold.

@@ -35,12 +35,24 @@ object ScaleSemDedup {
 
     val dims = 64
     val threshold = 0.95
+    // family layout: "interleaved" (id % 97 — seeds 0..k-1 cover k
+    // distinct families: the BEST case for lowest-id seeding) or
+    // "clustered" (families contiguous in id order — the data-sorted-
+    // by-source reality where the first k ids all come from the same
+    // few families and seeded cells degenerate; the case
+    // trainedCentroids exists for)
+    val layout = args.lift(3).getOrElse("interleaved")
 
-    def vecs(n: Int): DataFrame =
+    def vecs(n: Int): DataFrame = {
+      val fam = layout match {
+        case "clustered" => floor(col("id") * 97 / n)
+        case _ => col("id") % 97
+      }
       spark.range(n.toLong).select(col("id").as("vec_id"),
         transform(sequence(lit(0), lit(dims - 1)),
-          d => sin((col("id") % 97) * 13 + d * 5) +
+          d => sin(fam * 13 + d * 5) +
             sin(col("id") * 7919 + d * 3) * lit(0.05)).as("embedding"))
+    }
 
     def bruteDups(df: DataFrame): DataFrame = {
       val v = df.select(col("vec_id").as("id"),

@@ -128,6 +128,45 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqResidualTopK: an exact duplicate ranks first (it achieves " +
+    "the minimal ADC sum in its cell), and pruned scores exist in the " +
+    "unpruned scoring") {
+    import spark.implicits._
+    // plant an exact duplicate of query vector 3 under a fresh id —
+    // same cell by construction, residual equal to the query's, so its
+    // codes MINIMIZE the query's per-cell distance table term by term
+    val dup = emb.filter(col("vec_id") === 3)
+      .select(lit(9001L).as("vec_id"), col("embedding"), col("label"))
+    val cand = emb.select(col("vec_id"), col("embedding"), col("label"))
+      .union(dup)
+    val q = emb.filter(col("vec_id") === 3)
+    val top = Similarity.ivfPqResidualTopK(q, cand, k = 3, nCells = 4,
+        nprobe = 2, dims = 64, m = 8, nCentroids = 16)
+      .orderBy("rank").collect()
+    val dupRow = top.find(_.getAs[Long]("neighbor_id") == 9001L)
+    assert(dupRow.isDefined, s"duplicate missing from top-3: ${top.toSeq}")
+    // minimal, not necessarily unique: an equal-coded lower-id
+    // candidate would tie and win the id tiebreak
+    assert(dupRow.get.getAs[Double]("adist") ==
+      top.head.getAs[Double]("adist"))
+    // pruned (nprobe=2) scores are a subset of the unpruned (nprobe=
+    // nCells) scoring — residual tables are per-cell, so any candidate
+    // scored under pruning is scored identically without it
+    val qs = emb.filter(col("vec_id") < 5)
+    val fullDists = Similarity.ivfPqResidualTopK(qs, emb, k = 1000,
+        nCells = 8, nprobe = 8, dims = 64, m = 8, nCentroids = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val pruned = Similarity.ivfPqResidualTopK(qs, emb, k = 5,
+        nCells = 8, nprobe = 2, dims = 64, m = 8, nCentroids = 16)
+      .collect()
+    assert(pruned.length == 25)
+    pruned.foreach { r =>
+      assert(fullDists.contains((r.getLong(0), r.getLong(1),
+        r.getDouble(2))))
+    }
+  }
+
   test("dequantize error is within half a quantization step per component") {
     val q = Similarity.quantizeInt8(col("embedding"))
     val err = emb.select(
