@@ -293,6 +293,44 @@ object Curation {
         col("c.chunk_text").as("chunk_text"))
   }
 
+  /** Intra-document repeated-block scrub: split each document into
+    * consecutive `blockWords`-word blocks and keep only the FIRST
+    * occurrence of each distinct block, preserving order — the
+    * within-document counterpart of the cross-document dedup family
+    * (Lee et al. 2022 remove repeated substrings corpus-wide; C4 drops
+    * repeated spans). Returns
+    * `(idCol, n_blocks, n_removed, cleaned)`.
+    *
+    * Boundary-aligned by contract: a repeat OFFSET from the block grid
+    * is not detected (exact span removal needs suffix structures —
+    * [[Dedup.substringCandidates]] covers the cross-document version
+    * via winnowing). What this catches is the dominant real-world
+    * case: verbatim re-pasted blocks — navigation chrome, repeated
+    * boilerplate paragraphs, copy-paste loops in generated text.
+    *
+    * Entirely map-side (array ops on the per-doc token array; the
+    * first-occurrence test is `array_position(chunks, c) == i+1`,
+    * exact string equality): no shuffle, scales with the scan like
+    * every per-doc transform here.
+    */
+  def dedupBlocks(df: DataFrame, textCol: String, idCol: String,
+      blockWords: Int): DataFrame = {
+    require(blockWords > 0, "blockWords must be positive")
+    val ws = TextOps.words(col(textCol))
+    val nChunks = ceil(size(ws) / lit(blockWords.toDouble)).cast("int")
+    val chunks = when(size(ws) > 0,
+      transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ",
+          slice(ws, i * blockWords + 1, lit(blockWords)))))
+      .otherwise(array().cast("array<string>"))
+    val kept = filter(chunks,
+      (c, i) => array_position(chunks, c) === (i + 1).cast("long"))
+    df.select(col(idCol),
+      size(chunks).cast("bigint").as("n_blocks"),
+      (size(chunks) - size(kept)).cast("bigint").as("n_removed"),
+      concat_ws(" ", kept).as("cleaned"))
+  }
+
   /** Default PII patterns — deliberately restricted to the regex
     * dialect subset Java and RE2 share (no backreferences, no
     * lookaround), so oracles/other engines replay them verbatim.

@@ -1,17 +1,50 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Similarity
+import graft.operators.{Curation, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Round-6 additions: per-cell residual product quantization — the
   * final piece of the FAISS IndexIVFPQ architecture (r5 verdict's
-  * design-headroom item).
+  * design-headroom item) — and intra-document repeated-block
+  * scrubbing.
   */
 object Round6 {
   private def t(name: String): QueryFn = (s, dir) => Tables.load(s, dir, name)
 
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- intra-document repeated-block scrub: consecutive 8-word
+    // blocks, first occurrence kept in order. Map-side only; the
+    // within-doc counterpart of the cross-doc dedup family.
+    QueryDef("q89_block_scrub",
+      (s, dir) => Curation
+        .dedupBlocks(t("documents")(s, dir), "text", "doc_id",
+          blockWords = 8)
+        .orderBy(col("doc_id")),
+      Some("""WITH w AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(text), '\s+'),
+             |    x -> len(x) > 0) AS ws FROM documents),
+             |c AS (SELECT doc_id, ws, unnest(generate_series(0,
+             |    CAST(ceil(len(ws) / 8.0) AS INT) - 1)) AS i
+             |  FROM w WHERE len(ws) > 0),
+             |ch AS (SELECT doc_id, i,
+             |    array_to_string(ws[i*8+1 : i*8+8], ' ') AS chunk
+             |  FROM c),
+             |k AS (SELECT doc_id, i, chunk,
+             |    min(i) OVER (PARTITION BY doc_id, chunk) AS fi
+             |  FROM ch),
+             |agg AS (SELECT doc_id, COUNT(*) AS n_blocks,
+             |    COUNT(*) FILTER (i != fi) AS n_removed,
+             |    string_agg(chunk, ' ' ORDER BY i) FILTER (i = fi)
+             |      AS cleaned
+             |  FROM k GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  CAST(COALESCE(n_blocks, 0) AS BIGINT) AS n_blocks,
+             |  CAST(COALESCE(n_removed, 0) AS BIGINT) AS n_removed,
+             |  COALESCE(cleaned, '') AS cleaned
+             |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
 
     // ---- IVF-PQ with residual encoding: candidates PQ-code their
     // offset from their cell centroid, queries build a distance table

@@ -320,6 +320,24 @@ class CurationSpec extends SparkSpec {
     assert(got.toSeq == expect)
   }
 
+  test("dedupBlocks keeps first occurrences in order, boundary-aligned") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "p q p q p q"),       // 3 identical 2-word blocks → keep 1
+      (2L, "a b c a b c d e"),   // offset repeat invisible to the grid
+      (3L, ""),                  // no tokens → 0 blocks, empty cleaned
+      (4L, "x y z")              // 2 blocks (second short), distinct
+    ).toDF("doc_id", "text")
+    val got = Curation.dedupBlocks(d, "text", "doc_id", blockWords = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 2L, "p q"),
+      (2L, 4L, 0L, "a b c a b c d e"),
+      (3L, 0L, 0L, ""),
+      (4L, 2L, 0L, "x y z")))
+  }
+
   test("packSequences keeps null-strata rows (null-safe offsets join)") {
     import spark.implicits._
     val d = Seq(
