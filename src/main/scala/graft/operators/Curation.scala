@@ -309,9 +309,20 @@ object Curation {
     * boilerplate paragraphs, copy-paste loops in generated text.
     *
     * Entirely map-side (array ops on the per-doc token array; the
-    * first-occurrence test is `array_position(chunks, c) == i+1`,
+    * first-occurrence test is `array_position(blocks, c) == i+1`,
     * exact string equality): no shuffle, scales with the scan like
     * every per-doc transform here.
+    *
+    * The block array and the kept array are materialized through NAMED
+    * intermediate projections, never inlined into the filter lambda:
+    * interpreted lambdas get no subexpression elimination, so the
+    * inlined formulation re-derived the whole split→slice→concat block
+    * array PER ELEMENT — measured 11 s steady at sf0.1 versus ~0.4 s
+    * for this shape (the same interpreted-HOF pathology
+    * [[graft.functions.CurationStatsKernel]] and the int8 kernel were
+    * built against; here a projection boundary is enough — Catalyst's
+    * CollapseProject keeps non-cheap multiply-referenced expressions
+    * in their own layer).
     */
   def dedupBlocks(df: DataFrame, textCol: String, idCol: String,
       blockWords: Int): DataFrame = {
@@ -323,12 +334,16 @@ object Curation {
         i => concat_ws(" ",
           slice(ws, i * blockWords + 1, lit(blockWords)))))
       .otherwise(array().cast("array<string>"))
-    val kept = filter(chunks,
-      (c, i) => array_position(chunks, c) === (i + 1).cast("long"))
-    df.select(col(idCol),
-      size(chunks).cast("bigint").as("n_blocks"),
-      (size(chunks) - size(kept)).cast("bigint").as("n_removed"),
-      concat_ws(" ", kept).as("cleaned"))
+    df.select(col(idCol), chunks.as("_blocks"))
+      .select(col(idCol), col("_blocks"),
+        filter(col("_blocks"), (c, i) =>
+          array_position(col("_blocks"), c) === (i + 1).cast("long"))
+          .as("_kept"))
+      .select(col(idCol),
+        size(col("_blocks")).cast("bigint").as("n_blocks"),
+        (size(col("_blocks")) - size(col("_kept"))).cast("bigint")
+          .as("n_removed"),
+        concat_ws(" ", col("_kept")).as("cleaned"))
   }
 
   /** Default PII patterns — deliberately restricted to the regex

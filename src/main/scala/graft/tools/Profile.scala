@@ -75,6 +75,13 @@ object Profile {
       "q59_heavy_hitters", "q60_tpch3", "q61_tpch5").foreach { q =>
       time(q)(graft.SparkEntry.queries(q)(spark, sfDir).count())
     }
+    // noop sink, not count(): q89 is projection-only — count() would
+    // prune the block arrays and time an empty scan (the q71/q67
+    // lesson Bench documents)
+    time("q89 block scrub (noop sink)") {
+      graft.SparkEntry.queries("q89_block_scrub")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save(); 0L
+    }
     spark.stop()
   }
 }
