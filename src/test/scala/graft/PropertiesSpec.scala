@@ -116,4 +116,35 @@ class PropertiesSpec extends SparkSpec {
         s"cut=$cutMin log=${log.take(20)}")
     }
   }
+
+  test("property: distributed packSequences ≡ serial per-stratum prefix " +
+    "sum for any corpus, window, and block count") {
+    import spark.implicits._
+    // docs: (id, stratum ∈ 3 values + null, token count 0..9)
+    val docGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.oneOf(Some("en"), Some("de"), Some("fr"), None),
+      Gen.choose(0, 9)))
+    for (((raw, window), blocks) <-
+           samples(Gen.zip(docGen, Gen.choose(1L, 20L)), 5)
+             .zip(Seq(1, 2, 3, 8, 17))) {
+      val docs = raw.zipWithIndex.map { case ((lang, n), i) =>
+        (i.toLong, lang, Seq.fill(n)("w").mkString(" ")) }
+      val df = docs.toDF("doc_id", "lang", "text")
+      val got = operators.Curation
+        .packSequences(df, "text", "doc_id", "lang", window,
+          blocks = blocks)
+        .select("doc_id", "n_tokens", "bin").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // serial oracle: running offset per stratum in id order
+      val cum = scala.collection.mutable.Map.empty[Option[String], Long]
+      val expect = docs.map { case (id, lang, text) =>
+        val n = if (text.isEmpty) 0L else text.split(" ").length.toLong
+        val off = cum.getOrElse(lang, 0L)
+        cum(lang) = off + n
+        (id, n, off / window)
+      }
+      assert(got.toSeq == expect,
+        s"window=$window blocks=$blocks docs=${docs.take(20)}")
+    }
+  }
 }
