@@ -544,6 +544,14 @@ object Similarity {
     * measured around the local cell origin — sharper codes where cells
     * are tight, the reason FAISS defaults to residual encoding.
     *
+    * Measured caveat (tools/RecallAb, PLANS.md round 6): residual
+    * encoding AMPLIFIES coarse-quantizer quality. With the default
+    * deterministic lowest-id seeds it UNDERPERFORMS the global-codebook
+    * [[ivfPqTopK]] (residuals from bad centroids carry more variance
+    * than the raw vectors); with `trainIters` ≥ 3 it overtakes every
+    * global-codebook variant. Production use of this operator should
+    * train — the seeded path exists for oracle replayability.
+    *
     * Same deterministic discipline as the rest of the family: the
     * codebook seeds are the residual subvectors of the `nCentroids`
     * lowest-id vectors, per-subspace distances round to 6 decimals and

@@ -147,4 +147,28 @@ class PropertiesSpec extends SparkSpec {
         s"window=$window blocks=$blocks docs=${docs.take(20)}")
     }
   }
+
+  test("property: dedupBlocks ≡ in-memory first-occurrence block dedup " +
+    "for any corpus and block size") {
+    import spark.implicits._
+    val docGen = Gen.nonEmptyListOf(
+      Gen.listOf(Gen.oneOf("a", "b", "c")).map(_.mkString(" ")))
+    for ((texts, bw) <- samples(docGen, 5).zip(Seq(1, 2, 3, 4, 7))) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = operators.Curation
+        .dedupBlocks(docs.toDF("doc_id", "text"), "text", "doc_id", bw)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3)))
+      val expect = docs.map { case (id, t) =>
+        val ws = t.split("\\s+").filter(_.nonEmpty)
+        val blocks = ws.grouped(bw).map(_.mkString(" ")).toSeq
+        val kept = blocks.zipWithIndex
+          .filter { case (b, i) => blocks.indexOf(b) == i }.map(_._1)
+        (id, blocks.size.toLong, (blocks.size - kept.size).toLong,
+          kept.mkString(" "))
+      }
+      assert(got.toSeq == expect, s"bw=$bw texts=${texts.take(10)}")
+    }
+  }
 }
