@@ -171,4 +171,48 @@ class PropertiesSpec extends SparkSpec {
       assert(got.toSeq == expect, s"bw=$bw texts=${texts.take(10)}")
     }
   }
+
+  test("property: chunkTokens with overlap 0 partitions the token " +
+    "stream exactly (concatenation reconstructs the normalized text)") {
+    import spark.implicits._
+    val docGen = Gen.nonEmptyListOf(
+      Gen.listOf(Gen.oneOf("x", "yy", "zzz")).map(_.mkString(" ")))
+    for ((texts, size) <- samples(docGen, 5).zip(Seq(1, 2, 3, 5, 11))) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val rebuilt = operators.Curation
+        .chunkTokens(docs.toDF("doc_id", "text"), "text", "doc_id",
+          chunkSize = size, overlap = 0)
+        .groupBy("doc_id")
+        .agg(concat_ws(" ", array_sort(collect_list(
+          struct(col("chunk_id"), col("chunk_text")))).getField("chunk_text"))
+          .as("joined"),
+          sum("n_tokens").as("n"))
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+        .toMap
+      docs.foreach { case (id, t) =>
+        val ws = t.split("\\s+").filter(_.nonEmpty)
+        if (ws.nonEmpty) {
+          val (joined, n) = rebuilt(id)
+          assert(joined == ws.mkString(" ") && n == ws.length,
+            s"size=$size doc=$t got=$joined")
+        } else assert(!rebuilt.contains(id)) // empty docs emit no chunks
+      }
+    }
+  }
+
+  test("property: piiScrub output is a fixed point (re-scrub finds 0)") {
+    import spark.implicits._
+    val frag = Gen.oneOf("hi", "a@b.com", "1.2.3.4", "555-123-4567",
+      "x@1.2.3.4", "ok 555-123-4567@y.org", "plain text")
+    val docGen = Gen.nonEmptyListOf(
+      Gen.listOf(frag).map(_.mkString(" ")))
+    for (texts <- samples(docGen, 5)) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val once = operators.Curation.piiScrub(docs, "text", "doc_id")
+        .select(col("doc_id"), col("scrubbed").as("text"))
+      val twice = operators.Curation.piiScrub(once, "text", "doc_id")
+      assert(twice.agg(sum("n_pii")).first().getLong(0) == 0L)
+    }
+  }
 }
