@@ -108,6 +108,19 @@ object Bench {
         .mkString(""","errors":{""", ",", "}")
     val total = cold.map(_._2).filter(_ >= 0).sum
     val steadyTotal = steady.map(_._2).filter(_ >= 0).sum
+    // stall-robust companion: Σ per-query min(cold, steady). On a
+    // shared box a single scheduler stall lands in ONE pass of ONE
+    // query (measured: 28-126 s one-offs whose sibling pass ran
+    // normally — PLANS.md round 6); the per-query min suppresses it
+    // without redefining the cold headline.
+    val minTotal = cold.zip(steady).map { case ((_, c), (_, s)) =>
+      (c, s) match {
+        case (c, s) if c >= 0 && s >= 0 => math.min(c, s)
+        case (c, _) if c >= 0 => c
+        case (_, s) if s >= 0 => s
+        case _ => 0.0
+      }
+    }.sum
     // 1-minute system load average at end of run: contention evidence.
     // The r3 bench artifact showed uniform 2.5-4x inflation across
     // trivial queries that an idle re-run of the same commit didn't
@@ -117,7 +130,7 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     // Verbose artifact first (full precision, cold + steady maps) for
     // humans reading the log...
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"steady_total":$steadyTotal,"steady":${js(steady)}$errJson,"load_avg_end":$loadAvg,"cpus":$cpus,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"steady_total":$steadyTotal,"steady":${js(steady)},"min_total":$minTotal$errJson,"load_avg_end":$loadAvg,"cpus":$cpus,"sf":"$sfDir"}""")
     // ...then the driver-facing line LAST and COMPACT. The driver
     // records only a ~2000-char tail of stdout: the verbose line above
     // (~4.5 KB) always had its opening brace truncated away, so every
@@ -146,7 +159,7 @@ object Bench {
     def js3(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => s"\"" + short(k) + "\":" + f3(v) }
         .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${js3(cold)},"steady_total":${f3(steadyTotal)}$errJson,"load_avg_end":${f3(loadAvg)},"cpus":$cpus,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${js3(cold)},"steady_total":${f3(steadyTotal)},"min_total":${f3(minTotal)}$errJson,"load_avg_end":${f3(loadAvg)},"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
