@@ -483,9 +483,18 @@ object Curation {
     * block-local prefixes compose into the global per-stratum prefix.
     * Package-private so the spec can assert a single-stratum corpus
     * really fans out over >1 block.
+    *
+    * Driver-safety bound: the boundary collect is one row per stratum,
+    * so a high-cardinality stratum column (a mis-use, but a cheap one
+    * to survive) would pressure the driver for no benefit — above
+    * `maxStrata` strata the operator skips blocking entirely, because
+    * that many strata ALREADY parallelize the per-stratum windows; the
+    * collect is LIMIT-bounded so the overflow case never materializes
+    * driver-side.
     */
   private[graft] def withPackBlocks(df: DataFrame, idCol: String,
-      strataCol: String, blocks: Int): DataFrame = {
+      strataCol: String, blocks: Int,
+      maxStrata: Int = 10000): DataFrame = {
     val spark = df.sparkSession
     val nBlocks =
       if (blocks > 0) blocks
@@ -499,8 +508,10 @@ object Curation {
     val agg = df.groupBy(col(strataCol))
       .agg(percentile_approx(idn, array(probs.map(lit): _*), lit(10000))
         .as("_bnds"))
+    val rows = agg.limit(maxStrata + 1).collect()
+    if (rows.length > maxStrata) return df.withColumn("_blk", lit(0))
     val boundsDf = broadcast(spark.createDataFrame(
-      java.util.Arrays.asList(agg.collect(): _*), agg.schema))
+      java.util.Arrays.asList(rows: _*), agg.schema))
     df.join(boundsDf, Seq(strataCol), "left")
       .withColumn("_blk", coalesce(
         aggregate(col("_bnds"), lit(0),

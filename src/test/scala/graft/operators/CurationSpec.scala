@@ -305,6 +305,13 @@ class CurationSpec extends SparkSpec {
     val blks = Curation.withPackBlocks(d, "doc_id", "lang", 8)
       .select("_blk").distinct().count()
     assert(blks > 1, s"expected >1 block for 64 docs @ blocks=8, got $blks")
+    // driver-safety: above maxStrata the (strata-sized) boundary
+    // collect is skipped and blocking degrades to the serial-but-
+    // already-parallel-by-strata path
+    val capped = Curation.withPackBlocks(d, "doc_id", "lang", 8,
+        maxStrata = 0)
+      .select("_blk").distinct().collect().map(_.getInt(0)).toSeq
+    assert(capped == Seq(0))
     // distributed result ≡ the serial greedy packing, bin by bin
     val got = Curation.packSequences(d, "text", "doc_id", "lang", 7L,
         blocks = 8)
