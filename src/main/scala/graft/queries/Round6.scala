@@ -123,5 +123,40 @@ object Round6 {
              |SELECT query_id, neighbor_id, adist,
              |  CAST(rank AS BIGINT) AS rank
              |FROM r WHERE rank <= 5
-             |ORDER BY query_id, rank""".stripMargin)))
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- packing-efficiency audit over q79's bins: per stratum, how
+    // many context windows the greedy packing filled and the fill
+    // ratio (total tokens over capacity through the last-used bin) —
+    // the padding-waste number a pretraining batch pipeline reports.
+    // Strata-sized aggregation on top of the distributed prefix sum.
+    QueryDef("q90_pack_audit",
+      (s, dir) => Curation
+        .packSequences(t("documents")(s, dir), "text", "doc_id",
+          strataCol = "lang", window = 2048L)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          (max(col("bin")) + 1).as("n_bins"),
+          round(sum(col("n_tokens")) /
+            ((max(col("bin")) + 1) * 2048.0), 6).as("fill_ratio"))
+        .orderBy(col("lang")),
+      Some("""WITH tok AS (SELECT doc_id, lang,
+             |    CAST(len(list_filter(
+             |      string_split_regex(lower(text), '\s+'),
+             |      x -> len(x) > 0)) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT doc_id, lang, n_tokens,
+             |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+             |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND 1 PRECEDING), 0) AS cum FROM tok),
+             |b AS (SELECT lang, n_tokens,
+             |    CAST(floor(cum / 2048) AS BIGINT) AS bin FROM c)
+             |SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             |  CAST(MAX(bin) + 1 AS BIGINT) AS n_bins,
+             |  round(SUM(n_tokens) / ((MAX(bin) + 1) * 2048.0), 6)
+             |    AS fill_ratio
+             |FROM b GROUP BY lang ORDER BY lang""".stripMargin)))
 }
