@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, Literal}
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native one-pass repetition-stats kernel.
@@ -58,6 +59,56 @@ object CurationStatsKernel {
       Array[Any](n.toLong, distinct.size.toLong, top))
   }
 
+  /** One-pass first-occurrence block scrub: split the lowercased
+    * whitespace-token stream into consecutive `blockWords`-word blocks
+    * and keep only each distinct block's FIRST occurrence, in order.
+    * Returns `(n_blocks, n_removed, cleaned)`.
+    *
+    * This is the linear kernel behind
+    * [[graft.operators.Curation.dedupBlocks]]: the declarative
+    * formulation's first-occurrence test (`array_position(blocks, c) ==
+    * i+1` inside a filter lambda) rescans the block array per element —
+    * O(b²) string comparisons per document, a straggler tail on
+    * book-length docs (a 100k-word doc at 8-word blocks is 12.5k blocks
+    * ⇒ ~78M comparisons inside ONE task). Here a hash set makes the
+    * test O(b) amortized; the whole scrub is one tokenize pass plus one
+    * block pass. Null text behaves like the declarative twin (empty
+    * token array): `(0, 0, "")`, hence `propagateNull = false`.
+    * CurationSpec pins kernel ≡ declarative on hand-built docs, a
+    * generated corpus, and a bounded-ratio timing property.
+    */
+  def blockScrub(text: UTF8String, blockWords: Int): InternalRow = {
+    val words =
+      if (text == null) new java.util.ArrayList[String]()
+      else ShingleKernel.tokenize(text)
+    val n = words.size
+    val nBlocks = if (n == 0) 0 else (n + blockWords - 1) / blockWords
+    val seen = new java.util.HashSet[String](math.max(4, nBlocks * 2))
+    val sb = new java.lang.StringBuilder(blockWords * 12)
+    val out = new java.lang.StringBuilder(
+      if (text == null) 16 else text.numChars() + 1)
+    var removed = 0L
+    var b = 0
+    while (b < nBlocks) {
+      sb.setLength(0)
+      var j = b * blockWords
+      val end = math.min(n, j + blockWords)
+      while (j < end) {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(words.get(j))
+        j += 1
+      }
+      val blk = sb.toString
+      if (seen.add(blk)) {
+        if (out.length > 0) out.append(' ')
+        out.append(blk)
+      } else removed += 1
+      b += 1
+    }
+    new GenericInternalRow(Array[Any](nBlocks.toLong, removed,
+      UTF8String.fromString(out.toString)))
+  }
+
   /** DEFLATE-compressed size of the UTF-8 text, level 6 (zlib default).
     * The compression-ratio quality signal (low ratio ⇒ repetitive/
     * boilerplate text; near-1 ⇒ high-entropy gibberish) used by
@@ -95,6 +146,27 @@ object CurationStats {
   /** Column API: `array(n_words, n_distinct_words, top_bigram_n)`. */
   def repStats(text: Column): Column =
     ColumnBridge.column(repStatsExpr(ColumnBridge.expression(text)))
+
+  private val blockScrubType = StructType(Seq(
+    StructField("n_blocks", LongType, nullable = false),
+    StructField("n_removed", LongType, nullable = false),
+    StructField("cleaned", StringType, nullable = false)))
+
+  def blockScrubExpr(text: Expression, blockWords: Int): Expression =
+    StaticInvoke(
+      CurationStatsKernel.getClass,
+      blockScrubType,
+      "blockScrub",
+      Seq(text, Literal(blockWords, IntegerType)),
+      inputTypes = Seq(StringType, IntegerType),
+      propagateNull = false,
+      returnNullable = false)
+
+  /** Column API: `struct(n_blocks, n_removed, cleaned)` — the one-pass
+    * first-occurrence block scrub. */
+  def blockScrub(text: Column, blockWords: Int): Column =
+    ColumnBridge.column(
+      blockScrubExpr(ColumnBridge.expression(text), blockWords))
 
   def deflateSizeExpr(text: Expression): Expression =
     StaticInvoke(

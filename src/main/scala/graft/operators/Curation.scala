@@ -308,10 +308,33 @@ object Curation {
     * case: verbatim re-pasted blocks — navigation chrome, repeated
     * boilerplate paragraphs, copy-paste loops in generated text.
     *
-    * Entirely map-side (array ops on the per-doc token array; the
-    * first-occurrence test is `array_position(blocks, c) == i+1`,
-    * exact string equality): no shuffle, scales with the scan like
-    * every per-doc transform here.
+    * Entirely map-side via the one-pass native
+    * [[graft.functions.CurationStatsKernel.blockScrub]] kernel (hash
+    * set of seen blocks — O(b) per doc): no shuffle, scales with the
+    * scan like every per-doc transform here, and — unlike the
+    * declarative `array_position` formulation kept below as the
+    * cross-check oracle — has no quadratic straggler tail on
+    * book-length documents (a 100k-word doc is 12.5k blocks; the
+    * array-rescan test paid ~78M string comparisons inside one task,
+    * the r6 verdict's flagged hardening item).
+    */
+  def dedupBlocks(df: DataFrame, textCol: String, idCol: String,
+      blockWords: Int): DataFrame = {
+    require(blockWords > 0, "blockWords must be positive")
+    val st = graft.functions.CurationStats.blockScrub(
+      col(textCol), blockWords)
+    df.select(col(idCol),
+      st.getField("n_blocks").as("n_blocks"),
+      st.getField("n_removed").as("n_removed"),
+      st.getField("cleaned").as("cleaned"))
+  }
+
+  /** Declarative twin of [[dedupBlocks]] — the cross-check oracle for
+    * the native kernel (CurationSpec asserts equality) and the fallback
+    * shape for engines without expression extensions. O(blocks²) per
+    * document: the first-occurrence test `array_position(blocks, c) ==
+    * i+1` rescans the block array per element, which is why the kernel
+    * replaced it on the hot path.
     *
     * The block array and the kept array are materialized through NAMED
     * intermediate projections, never inlined into the filter lambda:
@@ -324,8 +347,8 @@ object Curation {
     * CollapseProject keeps non-cheap multiply-referenced expressions
     * in their own layer).
     */
-  def dedupBlocks(df: DataFrame, textCol: String, idCol: String,
-      blockWords: Int): DataFrame = {
+  private[graft] def dedupBlocksDeclarative(df: DataFrame,
+      textCol: String, idCol: String, blockWords: Int): DataFrame = {
     require(blockWords > 0, "blockWords must be positive")
     val ws = TextOps.words(col(textCol))
     val nChunks = ceil(size(ws) / lit(blockWords.toDouble)).cast("int")

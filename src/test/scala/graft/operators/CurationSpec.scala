@@ -345,6 +345,46 @@ class CurationSpec extends SparkSpec {
       (4L, 2L, 0L, "x y z")))
   }
 
+  test("dedupBlocks native kernel ≡ declarative array_position twin " +
+      "(generated corpus incl. repeats, partial blocks, null text)") {
+    import spark.implicits._
+    // varied shapes: empty, null, all-identical blocks, offset repeats,
+    // partial trailing blocks, long docs with interleaved repeats
+    val d = ((0L to 200L).map { i =>
+      val words = (0 until (i % 37).toInt)
+        .map(j => s"w${(i + j * j) % 11}")
+      (i, if (i % 50 == 13) null else words.mkString(" "))
+    } :+ (999L, ("dup block of four " * 6) + "tail bit")).toDF("doc_id", "text")
+    for (bw <- Seq(1, 2, 4)) {
+      val a = Curation.dedupBlocks(d, "text", "doc_id", bw)
+      val b = Curation.dedupBlocksDeclarative(d, "text", "doc_id", bw)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"kernel/declarative divergence at blockWords=$bw")
+    }
+  }
+
+  test("blockScrub kernel is linear in blocks (no quadratic straggler)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // all-distinct blocks = worst case for the old array_position scan
+    // (every test walks the whole prefix). 16× the blocks must cost
+    // nowhere near 256× the time; generous bound to absorb JIT/GC
+    // noise — quadratic behavior overshoots it by ~4×.
+    def doc(nBlocks: Int): UTF8String = UTF8String.fromString(
+      (0 until nBlocks * 4).map(j => s"w$j").mkString(" "))
+    def timeMin(t: UTF8String): Double = {
+      graft.functions.CurationStatsKernel.blockScrub(t, 4) // warm
+      (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        graft.functions.CurationStatsKernel.blockScrub(t, 4)
+        (System.nanoTime() - t0) / 1e6
+      }.min
+    }
+    val small = timeMin(doc(1000))
+    val big = timeMin(doc(16000))
+    assert(big / math.max(small, 0.001) < 64.0,
+      f"16x blocks cost ${big / small}%.1fx (quadratic ~256x)")
+  }
+
   test("packSequences keeps null-strata rows (null-safe offsets join)") {
     import spark.implicits._
     val d = Seq(
