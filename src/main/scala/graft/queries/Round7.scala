@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Curation, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Round-7 additions: the trained-centroid (Lloyd k-means) path under
+  * the driver's hard signal — the production recall path for the whole
+  * IVF/PQ/SemDeDup family, previously exercised only by tools and
+  * specs — and the packSequences non-numeric-id degradation path under
+  * the oracle.
+  */
+object Round7 {
+  private def t(name: String): QueryFn = (s, dir) => Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- spherical k-means training (2 Lloyd iterations, 8 cells):
+    // the coarse-quantizer refinement behind ivfTopK/semDedup/ivfPq*
+    // `trainIters`. Deterministic by construction — lowest-id seeds,
+    // 6-decimal per-dimension means each iteration, rounded-cosine
+    // assignment with lowest-cen_id tie-break — so the oracle replays
+    // both iterations exactly. Output is the per-dimension mean table
+    // of the final centroids (cen_id, p, m): scalar values, no arrays
+    // to hash. Empty cells drop on both sides (standard Lloyd).
+    QueryDef("q91_kmeans_train",
+      (s, dir) => Similarity
+        .trainedCentroids(t("embeddings")(s, dir), nCentroids = 8,
+          iters = 2)
+        .select(col("cen_id"),
+          posexplode(col("cen_e").cast("array<double>"))
+            .as(Seq("p", "m")))
+        .select(col("cen_id"), col("p").cast("bigint").as("p"), col("m"))
+        .orderBy(col("cen_id"), col("p")),
+      Some("""WITH e AS (SELECT vec_id,
+             |    CAST(embedding AS DOUBLE[]) AS d FROM embeddings),
+             |en AS (SELECT vec_id, d,
+             |    sqrt(list_dot_product(d, d)) AS nrm FROM e),
+             |c0 AS (SELECT vec_id AS cen_id, d AS ce,
+             |    sqrt(list_dot_product(d, d)) AS cn
+             |  FROM e ORDER BY vec_id LIMIT 8),
+             |a1r AS (SELECT en.vec_id, c0.cen_id,
+             |    round(list_dot_product(en.d, c0.ce) /
+             |      (en.nrm * c0.cn), 6) AS cs
+             |  FROM en, c0),
+             |a1 AS (SELECT vec_id, cen_id AS cell FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY cs DESC, cen_id) AS r FROM a1r)
+             |  WHERE r = 1),
+             |m1 AS (SELECT a1.cell, t.p,
+             |    round(avg(en.d[t.p + 1]), 6) AS m
+             |  FROM a1 JOIN en ON a1.vec_id = en.vec_id,
+             |    range(0, 64) t(p)
+             |  GROUP BY a1.cell, t.p),
+             |c1 AS (SELECT cell AS cen_id, list(m ORDER BY p) AS ce
+             |  FROM m1 GROUP BY cell),
+             |c1n AS (SELECT cen_id, ce,
+             |    sqrt(list_dot_product(ce, ce)) AS cn FROM c1),
+             |a2r AS (SELECT en.vec_id, c1n.cen_id,
+             |    round(list_dot_product(en.d, c1n.ce) /
+             |      (en.nrm * c1n.cn), 6) AS cs
+             |  FROM en, c1n),
+             |a2 AS (SELECT vec_id, cen_id AS cell FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY cs DESC, cen_id) AS r FROM a2r)
+             |  WHERE r = 1),
+             |m2 AS (SELECT a2.cell, t.p,
+             |    round(avg(en.d[t.p + 1]), 6) AS m
+             |  FROM a2 JOIN en ON a2.vec_id = en.vec_id,
+             |    range(0, 64) t(p)
+             |  GROUP BY a2.cell, t.p)
+             |SELECT cell AS cen_id, CAST(p AS BIGINT) AS p, m FROM m2
+             |ORDER BY cen_id, p""".stripMargin)))
+}
