@@ -21,6 +21,30 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** The warning [[ivfPqResidualTopK]] logs when called with untrained
+    * (lowest-id seeded) coarse centroids — a MEASURED recall downgrade
+    * versus the simpler global-codebook [[ivfPqTopK]] (tools/RecallAb:
+    * recall@10 0.092 seeded-residual vs 0.120 global @ nprobe 2;
+    * trained ≥3 iters overtakes both at 0.162): residual encoding
+    * amplifies coarse-quantizer quality, so residuals from bad
+    * centroids carry MORE variance than the raw vectors. The seeded
+    * path exists for oracle replayability (q88); production callers
+    * should pass `trainIters >= 3` ([[trainedCentroids]]). Returns
+    * None when training is on; factored out so the spec can pin the
+    * warning path without a log capture harness.
+    */
+  private[graft] def seededResidualWarning(
+      trainIters: Int): Option[String] =
+    if (trainIters > 0) None
+    else Some("ivfPqResidualTopK called with trainIters=0 (seeded " +
+      "centroids): residual encoding with untrained coarse centroids " +
+      "measurably UNDERPERFORMS the global-codebook ivfPqTopK " +
+      "(recall@10 0.092 vs 0.120 on the reference corpus — " +
+      "tools/RecallAb). Pass trainIters >= 3 for production use; the " +
+      "seeded path exists for deterministic oracle replay.")
+
   private def darr(c: Column): Column = c.cast("array<double>")
 
   /** Sequential dot product via the native fused kernel
@@ -408,7 +432,21 @@ object Similarity {
   def semDedup(
       df: DataFrame, threshold: Double, nCentroids: Int,
       idCol: String = "vec_id", embCol: String = "embedding",
-      cache: Boolean = true, trainIters: Int = 0): DataFrame = {
+      cache: Boolean = true, trainIters: Int = 0): DataFrame =
+    semDedupReleasable(df, threshold, nCentroids, idCol, embCol,
+      cache, trainIters)._1
+
+  /** [[semDedup]] plus a [[CacheHandle]] that unpersists the operator's
+    * cached assignment frame — the enforceable form of the cache
+    * contract for long-lived sessions streaming many corpora: consume
+    * the result, then `close()` the handle (idempotent) instead of
+    * relying on session-level `clearCache()`.
+    */
+  def semDedupReleasable(
+      df: DataFrame, threshold: Double, nCentroids: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      cache: Boolean = true,
+      trainIters: Int = 0): (DataFrame, CacheHandle) = {
     val cen =
       if (trainIters > 0)
         trainedCentroids(df, nCentroids, trainIters, idCol, embCol)
@@ -436,9 +474,11 @@ object Similarity {
         (col("x.nrm") * col("y.nrm")), 6) >= threshold)
       .select(col("y.id").as("id")).distinct()
       .withColumn("semdup", lit(true))
-    a.join(dups, Seq("id"), "left")
+    val result = a.join(dups, Seq("id"), "left")
       .select(col("id").as(idCol), col("cell"),
         coalesce(col("semdup"), lit(false)).as("semdup"))
+    (result,
+      if (cache) new CacheHandle(Seq(a)) else CacheHandle.empty)
   }
 
   /** kNN label propagation (auto-labeling): classify each query vector
@@ -563,8 +603,15 @@ object Similarity {
     * Scale shape vs [[ivfPqTopK]]: identical joins; the only growth is
     * the per-query distance table — |queries|·nprobe·m·nCentroids rows
     * instead of |queries|·m·nCentroids — still broadcast-sized by
-    * construction. The candidate stream carries (cell, m codes); the
-    * probe join prunes it BEFORE the distance sums exactly as before.
+    * construction FOR BOUNDED QUERY SETS: the table and the probes
+    * frame carry broadcast hints, so a caller passing a very large
+    * query set would pressure the driver rather than fall back to a
+    * shuffle join. Ceiling rule of thumb: table rows =
+    * |queries|·nprobe·m·nCentroids at ~50 bytes/row — with the defaults
+    * here (nprobe 2, m 8, nCentroids 16) a 100k-query batch is ~26M
+    * rows ≈ 1.3 GB, near the practical broadcast limit; shard larger
+    * query sets into batches (ANN batch lookups are embarrassingly
+    * parallel across queries) rather than raising driver memory.
     */
   def ivfPqResidualTopK(
       queries: DataFrame, candidates: DataFrame, k: Int,
@@ -572,6 +619,7 @@ object Similarity {
       idCol: String = "vec_id", embCol: String = "embedding",
       trainIters: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    seededResidualWarning(trainIters).foreach(log.warn)
     val cells =
       if (trainIters > 0)
         trainedCentroids(candidates, nCells, trainIters, idCol, embCol)
@@ -653,7 +701,19 @@ object Similarity {
   def lshNearDupPairs(
       df: DataFrame, threshold: Double, tables: Int, planesPerTable: Int,
       dims: Int, idCol: String = "vec_id",
-      embCol: String = "embedding", cache: Boolean = true): DataFrame = {
+      embCol: String = "embedding", cache: Boolean = true): DataFrame =
+    lshNearDupPairsReleasable(df, threshold, tables, planesPerTable,
+      dims, idCol, embCol, cache)._1
+
+  /** [[lshNearDupPairs]] plus a [[CacheHandle]] over the two persisted
+    * frames (vector frame + bucket assignments) — the enforceable
+    * release point for long-lived sessions; see [[semDedupReleasable]].
+    */
+  def lshNearDupPairsReleasable(
+      df: DataFrame, threshold: Double, tables: Int, planesPerTable: Int,
+      dims: Int, idCol: String = "vec_id",
+      embCol: String = "embedding",
+      cache: Boolean = true): (DataFrame, CacheHandle) = {
     // Both the (id, e, nrm) frame and the bucket assignments are read
     // multiple times by the self-join diamond below; persisting them (one
     // small row per vector / per vector×table) means the `tables × planes`
@@ -690,7 +750,7 @@ object Similarity {
       .select(col("id"), col("pos").cast("int").as("t"),
         col("col").as("bk"))
       .repartition(np, col("t"), col("bk")))
-    bucketed.as("a").join(bucketed.as("b"), Seq("t", "bk"))
+    val result = bucketed.as("a").join(bucketed.as("b"), Seq("t", "bk"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("da"), col("b.id").as("db"))
       .distinct()
@@ -700,5 +760,7 @@ object Similarity {
         round(dot(col("ea.e"), col("eb.e")) /
           (col("ea.nrm") * col("eb.nrm")), 6).as("sim"))
       .filter(col("sim") >= threshold)
+    (result,
+      if (cache) new CacheHandle(Seq(b, bucketed)) else CacheHandle.empty)
   }
 }

@@ -120,6 +120,50 @@ class SimilaritySpec extends SparkSpec {
       .map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 4L))
   }
 
+  test("ivfPqResidualTopK warns on the seeded (trainIters=0) path only") {
+    // the measured recall trap (tools/RecallAb): seeded residual PQ
+    // underperforms the global codebook; the warning nudges production
+    // callers toward trainedCentroids while the catalog keeps the
+    // oracle-replayable seeded shape
+    assert(Similarity.seededResidualWarning(0).exists(
+      _.contains("trainIters")))
+    assert(Similarity.seededResidualWarning(3).isEmpty)
+    // and the seeded result itself is unchanged by the guard: an exact
+    // duplicate of the query still ranks first in its cell
+    import spark.implicits._
+    val base = (0L until 24L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val top = Similarity.ivfPqResidualTopK(
+        base.filter(col("vec_id") === 5), base, k = 3,
+        nCells = 4, nprobe = 2, dims = 8, m = 4, nCentroids = 4)
+      .orderBy("rank").collect()
+    assert(top.nonEmpty && top.head.getAs[Long]("rank") == 1L)
+  }
+
+  test("releasable variants return a CacheHandle that unpersists " +
+      "(idempotent close)") {
+    import org.apache.spark.storage.StorageLevel
+    val (sd, h1) = Similarity.semDedupReleasable(vecs, 0.99, 2)
+    sd.count()
+    assert(h1.frames.nonEmpty &&
+      h1.frames.forall(_.storageLevel != StorageLevel.NONE))
+    h1.close()
+    assert(h1.frames.forall(_.storageLevel == StorageLevel.NONE))
+    h1.close() // double-close is a no-op
+    val (pairs, h2) = Similarity.lshNearDupPairsReleasable(
+      vecs, 0.99, tables = 2, planesPerTable = 4, dims = 4)
+    pairs.count()
+    assert(h2.frames.size == 2 &&
+      h2.frames.forall(_.storageLevel != StorageLevel.NONE))
+    h2.close()
+    assert(h2.frames.forall(_.storageLevel == StorageLevel.NONE))
+    // cache=false → empty handle, nothing persisted
+    val (_, h3) = Similarity.semDedupReleasable(vecs, 0.99, 2,
+      cache = false)
+    assert(h3.frames.isEmpty)
+  }
+
   test("knnClassify takes the majority label, ties to the smaller") {
     import spark.implicits._
     val labeled = vecs.join(
