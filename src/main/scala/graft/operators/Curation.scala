@@ -462,15 +462,21 @@ object Curation {
     * Block boundaries need an id that casts to double (order-preserving
     * for any numeric id); for non-numeric ids the cast nulls out and
     * packing degrades to one block per stratum (the old serial
-    * behavior) — still correct, documented, never wrong.
+    * behavior) — still correct, documented, never wrong (q92 pins this
+    * fallback under the driver's oracle). Above `maxStrata` distinct
+    * strata, blocking is skipped the same way — that many strata
+    * already parallelize — and the boundary collect stays LIMIT-bounded
+    * (see [[withPackBlocks]]); CurationSpec pins result equality across
+    * both fallbacks.
     */
   def packSequences(df: DataFrame, textCol: String, idCol: String,
-      strataCol: String, window: Long, blocks: Int = 0): DataFrame = {
+      strataCol: String, window: Long, blocks: Int = 0,
+      maxStrata: Int = 10000): DataFrame = {
     require(window > 0, "window must be positive")
     val wb = withPackBlocks(
       df.withColumn("n_tokens",
         size(TextOps.words(col(textCol))).cast("bigint")),
-      idCol, strataCol, blocks)
+      idCol, strataCol, blocks, maxStrata)
     val uP = org.apache.spark.sql.expressions.Window.unboundedPreceding
     val wOff = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol)).orderBy(col("_blk"))
@@ -522,7 +528,11 @@ object Curation {
     val nBlocks =
       if (blocks > 0) blocks
       else math.max(spark.sparkContext.defaultParallelism, 1)
-    val idn = col(idCol).cast("double")
+    // try_cast, NOT cast: under ANSI mode (the Spark 4 default) a
+    // plain cast of a non-numeric id THROWS instead of nulling out —
+    // the documented degrade-to-one-block fallback only exists if the
+    // failed cast yields null (q92 pins the string-id path end-to-end)
+    val idn = col(idCol).try_cast("double")
     if (nBlocks <= 1) return df.withColumn("_blk", lit(0))
     val probs = (1 until nBlocks).map(_.toDouble / nBlocks)
     // collected ONCE so the subtotal pass and the output pass see the

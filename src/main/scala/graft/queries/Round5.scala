@@ -376,9 +376,12 @@ object Round5 {
     // 2048-token bins, per-language (packing parallelizes across
     // strata; a global order would serialize the sort at scale).
     QueryDef("q79_pack_sequences",
+      // blocks pinned (not defaultParallelism) so the audited plan
+      // shape — 3 hash exchanges + 3 broadcasts — is machine-
+      // independent; the bin output is boundary-invariant either way
       (s, dir) => Curation
         .packSequences(t("documents")(s, dir), "text", "doc_id",
-          strataCol = "lang", window = 2048L)
+          strataCol = "lang", window = 2048L, blocks = 8)
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin"))
         .orderBy(col("doc_id")),
       Some("""WITH tok AS (SELECT doc_id, lang,

@@ -133,7 +133,7 @@ object Round6 {
     QueryDef("q90_pack_audit",
       (s, dir) => Curation
         .packSequences(t("documents")(s, dir), "text", "doc_id",
-          strataCol = "lang", window = 2048L)
+          strataCol = "lang", window = 2048L, blocks = 8)
         .groupBy(col("lang"))
         .agg(
           count(lit(1)).as("n_docs"),

@@ -70,5 +70,37 @@ object Round7 {
              |    range(0, 64) t(p)
              |  GROUP BY a2.cell, t.p)
              |SELECT cell AS cen_id, CAST(p AS BIGINT) AS p, m FROM m2
-             |ORDER BY cen_id, p""".stripMargin)))
+             |ORDER BY cen_id, p""".stripMargin)),
+
+    // ---- packSequences non-numeric-id degradation path under the
+    // oracle: a string id ('d' + zero-padded doc_id, so lexicographic
+    // order ≡ numeric order) nulls out the boundary-quantile cast and
+    // packing degrades to one block per stratum — the documented
+    // serial-but-correct fallback, here hash-gated against the same
+    // greedy prefix-sum the numeric path replays (q79). blocks=8 is
+    // requested and must be harmlessly ignored.
+    QueryDef("q92_pack_string_ids",
+      (s, dir) => Curation
+        .packSequences(
+          t("documents")(s, dir)
+            .select(concat(lit("d"), lpad(col("doc_id"), 6, "0"))
+              .as("doc_key"), col("lang"), col("text")),
+          "text", "doc_key", strataCol = "lang", window = 2048L,
+          blocks = 8)
+        .select(col("doc_key"), col("lang"), col("n_tokens"), col("bin"))
+        .orderBy(col("doc_key")),
+      Some("""WITH tok AS (SELECT
+             |    'd' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+             |      AS doc_key, lang,
+             |    CAST(len(list_filter(
+             |      string_split_regex(lower(text), '\s+'),
+             |      x -> len(x) > 0)) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT doc_key, lang, n_tokens,
+             |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+             |      ORDER BY doc_key ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND 1 PRECEDING), 0) AS cum FROM tok)
+             |SELECT doc_key, lang, n_tokens,
+             |  CAST(floor(cum / 2048) AS BIGINT) AS bin
+             |FROM c ORDER BY doc_key""".stripMargin)))
 }

@@ -385,6 +385,38 @@ class CurationSpec extends SparkSpec {
       f"16x blocks cost ${big / small}%.1fx (quadratic ~256x)")
   }
 
+  test("packSequences degradation paths: non-numeric ids and " +
+      ">maxStrata both fall back to serial blocking with identical bins") {
+    import spark.implicits._
+    val d = (1L to 40L)
+      .map(i => (i, if (i % 2 == 0) "en" else "fi",
+        Seq.fill((i % 7 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val numeric = Curation.packSequences(d, "text", "doc_id", "lang",
+        window = 9L, blocks = 8)
+      .select("doc_id", "n_tokens", "bin").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // >maxStrata: the boundary collect is skipped (LIMIT-bounded),
+    // blocking degrades to one block per stratum, bins unchanged
+    val capped = Curation.packSequences(d, "text", "doc_id", "lang",
+        window = 9L, blocks = 8, maxStrata = 1)
+      .select("doc_id", "n_tokens", "bin").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(capped == numeric)
+    // non-numeric id: ANSI-safe try_cast nulls out, one block per
+    // stratum; zero-padded string order ≡ numeric order, so the bins
+    // must agree with the numeric run doc for doc
+    val s = d.select(concat(lit("k"), lpad(col("doc_id"), 4, "0"))
+      .as("k"), col("lang"), col("text"))
+    val viaString = Curation.packSequences(s, "text", "k", "lang",
+        window = 9L, blocks = 8)
+      .select(col("k"), col("n_tokens"), col("bin"))
+      .collect()
+      .map(r => (r.getString(0).drop(1).toLong, r.getLong(1),
+        r.getLong(2))).toSeq.sortBy(_._1)
+    assert(viaString == numeric)
+  }
+
   test("packSequences keeps null-strata rows (null-safe offsets join)") {
     import spark.implicits._
     val d = Seq(
