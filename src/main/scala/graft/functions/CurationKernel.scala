@@ -109,6 +109,45 @@ object CurationStatsKernel {
       UTF8String.fromString(out.toString)))
   }
 
+  /** Off-grid repeated-span statistics: slide a `spanWords`-word window
+    * over the token stream (stride 1 — every word offset, unlike
+    * [[blockScrub]]'s aligned grid) and count positions whose span
+    * already occurred earlier in the SAME document. Returns
+    * `[n_spans, n_repeated]`; a document with fewer than `spanWords`
+    * tokens has 0 spans.
+    *
+    * This is the within-document counterpart of the Lee et al. 2022
+    * repeated-substring signal at word granularity: a verbatim re-paste
+    * at ANY offset lights up (blockScrub only sees grid-aligned
+    * repeats). Exact string matching in a hash set — the Rabin-Karp
+    * rolling-hash trick is unnecessary here because the span strings
+    * are built once each (O(n·spanWords) chars total, linear in n) and
+    * Java string hashing is already cached per instance. One tokenize
+    * pass, one span pass; no quadratic tail (the seen-set discipline
+    * of [[blockScrub]]).
+    */
+  def spanRepeats(text: UTF8String, spanWords: Int): ArrayData = {
+    val words = ShingleKernel.tokenize(text)
+    val n = words.size
+    val nSpans = math.max(0, n - spanWords + 1)
+    val seen = new java.util.HashSet[String](math.max(4, nSpans * 2))
+    val sb = new java.lang.StringBuilder(spanWords * 12)
+    var repeated = 0L
+    var i = 0
+    while (i < nSpans) {
+      sb.setLength(0)
+      var j = i
+      while (j < i + spanWords) {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(words.get(j))
+        j += 1
+      }
+      if (!seen.add(sb.toString)) repeated += 1
+      i += 1
+    }
+    new GenericArrayData(Array[Any](nSpans.toLong, repeated))
+  }
+
   /** DEFLATE-compressed size of the UTF-8 text, level 6 (zlib default).
     * The compression-ratio quality signal (low ratio ⇒ repetitive/
     * boilerplate text; near-1 ⇒ high-entropy gibberish) used by
@@ -167,6 +206,22 @@ object CurationStats {
   def blockScrub(text: Column, blockWords: Int): Column =
     ColumnBridge.column(
       blockScrubExpr(ColumnBridge.expression(text), blockWords))
+
+  def spanRepeatsExpr(text: Expression, spanWords: Int): Expression =
+    StaticInvoke(
+      CurationStatsKernel.getClass,
+      ArrayType(LongType, containsNull = false),
+      "spanRepeats",
+      Seq(text, Literal(spanWords, IntegerType)),
+      inputTypes = Seq(StringType, IntegerType),
+      propagateNull = true,
+      returnNullable = false)
+
+  /** Column API: `array(n_spans, n_repeated)` — off-grid repeated-span
+    * counts over the stride-1 sliding window. */
+  def spanRepeats(text: Column, spanWords: Int): Column =
+    ColumnBridge.column(
+      spanRepeatsExpr(ColumnBridge.expression(text), spanWords))
 
   def deflateSizeExpr(text: Expression): Expression =
     StaticInvoke(

@@ -369,6 +369,40 @@ object Curation {
         concat_ws(" ", col("_kept")).as("cleaned"))
   }
 
+  /** Off-grid repeated-span statistics: count sliding `spanWords`-word
+    * windows (stride 1 — EVERY word offset) whose exact span already
+    * occurred earlier in the same document. Returns
+    * `(idCol, n_spans, n_repeated, repeat_frac)`; repeat_frac is null
+    * for documents with no spans (< spanWords tokens).
+    *
+    * Completes [[dedupBlocks]]'s documented blind spot: that operator
+    * is grid-aligned by contract (a repeat OFFSET from the block grid
+    * is invisible), while this detector sees a verbatim re-paste at
+    * any offset — the within-document counterpart of
+    * [[Dedup.substringCandidates]]'s winnowing (Lee et al. 2022
+    * repeated-substring signal at word granularity). Detection only:
+    * span removal is ill-posed under overlap (every word sits in up to
+    * `spanWords` spans); pipelines gate on `repeat_frac` and route
+    * flagged docs to [[dedupBlocks]] or exact scrubbing.
+    *
+    * Entirely map-side via the one-pass native
+    * [[graft.functions.CurationStatsKernel.spanRepeats]] kernel
+    * (seen-set, linear in tokens): no shuffle, scales with the scan
+    * like every per-doc transform here.
+    */
+  def spanRepeatStats(df: DataFrame, textCol: String, idCol: String,
+      spanWords: Int): DataFrame = {
+    require(spanWords > 0, "spanWords must be positive")
+    val st = graft.functions.CurationStats.spanRepeats(
+      col(textCol), spanWords)
+    df.select(col(idCol),
+        element_at(st, 1).as("n_spans"),
+        element_at(st, 2).as("n_repeated"))
+      .withColumn("repeat_frac",
+        when(col("n_spans") > 0,
+          round(col("n_repeated").cast("double") / col("n_spans"), 6)))
+  }
+
   /** Default PII patterns — deliberately restricted to the regex
     * dialect subset Java and RE2 share (no backreferences, no
     * lookaround), so oracles/other engines replay them verbatim.

@@ -102,5 +102,40 @@ object Round7 {
              |      AND 1 PRECEDING), 0) AS cum FROM tok)
              |SELECT doc_key, lang, n_tokens,
              |  CAST(floor(cum / 2048) AS BIGINT) AS bin
-             |FROM c ORDER BY doc_key""".stripMargin)))
+             |FROM c ORDER BY doc_key""".stripMargin)),
+
+    // ---- off-grid repeated-span stats: stride-1 sliding 3-word
+    // windows, count positions whose exact span occurred earlier in
+    // the same doc — the within-doc repeat signal dedupBlocks' aligned
+    // grid can't see (its documented blind spot, r6 verdict item #8).
+    // Map-side native kernel; oracle replays with exact string spans
+    // and a min-position window.
+    QueryDef("q93_span_repeats",
+      (s, dir) => Curation
+        .spanRepeatStats(t("documents")(s, dir), "text", "doc_id",
+          spanWords = 3)
+        .orderBy(col("doc_id")),
+      Some("""WITH w AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(text), '\s+'),
+             |    x -> len(x) > 0) AS ws FROM documents),
+             |c AS (SELECT doc_id, ws,
+             |    unnest(generate_series(1, len(ws) - 2)) AS i
+             |  FROM w WHERE len(ws) >= 3),
+             |s AS (SELECT doc_id, i,
+             |    array_to_string(ws[i : i + 2], ' ') AS span FROM c),
+             |k AS (SELECT doc_id, i,
+             |    min(i) OVER (PARTITION BY doc_id, span) AS fi FROM s),
+             |agg AS (SELECT doc_id, COUNT(*) AS n_spans,
+             |    COUNT(*) FILTER (i != fi) AS n_repeated
+             |  FROM k GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  CAST(COALESCE(agg.n_spans, 0) AS BIGINT) AS n_spans,
+             |  CAST(COALESCE(agg.n_repeated, 0) AS BIGINT)
+             |    AS n_repeated,
+             |  CASE WHEN COALESCE(agg.n_spans, 0) > 0
+             |    THEN round(agg.n_repeated / CAST(agg.n_spans
+             |      AS DOUBLE), 6)
+             |  END AS repeat_frac
+             |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+             |ORDER BY d.doc_id""".stripMargin)))
 }

@@ -7,7 +7,11 @@ import org.apache.spark.sql.functions._
 /** Scale experiment: SemDeDup cell-bounded semantic dedup vs the exact
   * all-pairs marking, as the vector count grows — seeded AND k-means-
   * trained centroids, with recall of the exact dup set for both —
-  * `runMain graft.tools.ScaleSemDedup [sizes] [bruteCeiling] [trainIters]`.
+  * `runMain graft.tools.ScaleSemDedup [sizes] [bruteCeiling]
+  * [trainIters] [layout]` — layout `interleaved` (default) or
+  * `clustered` (id-contiguous families: the regime where seeded
+  * lowest-id centroids collapse into one region and trainedCentroids
+  * is the fix — the motivating case for the trained path).
   *
   * Synthetic corpus: 97 base directions (`id % 97`), each vector a
   * deterministic small perturbation of its family's direction — dense

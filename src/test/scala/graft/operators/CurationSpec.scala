@@ -385,6 +385,44 @@ class CurationSpec extends SparkSpec {
       f"16x blocks cost ${big / small}%.1fx (quadratic ~256x)")
   }
 
+  test("spanRepeatStats counts off-grid repeats (hand-computed + " +
+      "in-memory model), no shuffle") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c x a b c"),  // spans at 1-based 1..5; "a b c" repeats
+                              // at offset 5 (off the 3-grid) → 1 repeat
+      (2L, "p q"),            // fewer than 3 words → 0 spans, null frac
+      (3L, "z z z z")         // spans: zzz, zzz → 1 repeat of 2
+    ).toDF("doc_id", "text")
+    val q = Curation.spanRepeatStats(d, "text", "doc_id", spanWords = 3)
+    assert(q.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeLike => e }.isEmpty)
+    val got = q.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq(
+      (1L, 5L, 1L, Some(0.2)),
+      (2L, 0L, 0L, None),
+      (3L, 2L, 1L, Some(0.5))))
+    // generated corpus vs in-memory seen-set model
+    val gen = (0L to 120L).map { i =>
+      val words = (0 until (i % 23).toInt).map(j => s"w${(i + j) % 5}")
+      (i, words.mkString(" "))
+    }
+    val expect = gen.map { case (id, text) =>
+      val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val spans = (0 to ws.length - 3).map(k => ws.slice(k, k + 3).mkString(" "))
+      val seen = scala.collection.mutable.Set.empty[String]
+      val rep = spans.count(sp => !seen.add(sp))
+      (id, math.max(0, ws.length - 2).toLong, rep.toLong)
+    }
+    val out = Curation.spanRepeatStats(gen.toDF("doc_id", "text"),
+        "text", "doc_id", 3)
+      .select("doc_id", "n_spans", "n_repeated").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == expect)
+  }
+
   test("packSequences degradation paths: non-numeric ids and " +
       ">maxStrata both fall back to serial blocking with identical bins") {
     import spark.implicits._
