@@ -369,6 +369,73 @@ object Curation {
         concat_ws(" ", col("_kept")).as("cleaned"))
   }
 
+  /** Bloom-filter benchmark decontamination: flag documents whose
+    * n-gram shingles hit a Bloom filter built over a benchmark corpus's
+    * shingles — the fixed-size-membership scale path for "is any eval
+    * data in my training set" at 100 TB, complementing the exact
+    * inverted-index check (q55): the exact check broadcasts the
+    * benchmark's full shingle-hash set, this one caps the broadcast at
+    * the filter's information content regardless of benchmark growth.
+    * Returns one row per `docs` document:
+    * `(idCol, n_shingles, n_flagged, contaminated)` — n_shingles =
+    * distinct shingles, n_flagged = shingles whose `kHashes` probe
+    * positions are ALL set, contaminated = any flagged.
+    *
+    * Bloom construction is deterministic and oracle-replayable: probe
+    * p of shingle-hash h is `hash60(h || ':' || p) % mBits` (md5
+    * family — identical in DuckDB), and the "bitmap" is the DISTINCT
+    * position set as rows, bounded by min(kHashes·|bench shingles|,
+    * mBits) — benchmark-sized, broadcast. False positives follow the
+    * standard (1−e^(−kn/m))^k rate and are REPRODUCIBLE (a fixed hash
+    * family makes the FP set deterministic, so the gate is
+    * hash-stable across runs and engines — q94 pins it). Size m for
+    * per-document honesty: a doc with S shingles sees ~S·fp spurious
+    * flags, so target fp ≪ 1/S_max. For the packed-bitmap form of
+    * bloom pruning inside joins, Spark's native runtime filter
+    * already applies (see RuntimeFilterSpec).
+    *
+    * Scale shape: both sides shingle via the distinct-set Generator
+    * ([[Dedup.hashedShingleSet]] — map-side after a rebalance); the
+    * corpus stream joins the broadcast position set and reduces with
+    * partial aggregation (doc, shingle) → doc. The corpus crosses the
+    * wire once, carrying (id, hash) pairs ×kHashes.
+    */
+  def bloomDecontaminate(docs: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int, mBits: Long,
+      kHashes: Int): DataFrame = {
+    require(n > 0 && mBits > 0 && kHashes > 0,
+      "need positive n, mBits, kHashes")
+    def posOf(h: Column, k: Column): Column =
+      TextOps.hash60(concat(h.cast("string"), lit(":"),
+        k.cast("string"))) % mBits
+    val ks = explode(sequence(lit(0), lit(kHashes - 1)))
+    val bits = Dedup.hashedShingleSet(bench, idCol, textCol, n,
+        cache = false)
+      .select(col("h")).distinct()
+      .select(col("h"), ks.as("k"))
+      .select(posOf(col("h"), col("k")).as("pos"))
+      .distinct()
+      .withColumn("_set", lit(1))
+    val perDoc = Dedup.hashedShingleSet(docs, idCol, textCol, n,
+        cache = false)
+      .select(col("doc_id"), col("h"), ks.as("k"))
+      .select(col("doc_id"), col("h"),
+        posOf(col("h"), col("k")).as("pos"))
+      .join(broadcast(bits), Seq("pos"), "left")
+      .groupBy(col("doc_id"), col("h"))
+      .agg(count(col("_set")).as("_nhit"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("_nhit") === kHashes, 1)).as("n_flagged"))
+      .withColumnRenamed("doc_id", "_did")
+    docs.select(col(idCol))
+      .join(perDoc, col(idCol) === col("_did"), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))
+      .withColumn("contaminated", col("n_flagged") > 0)
+  }
+
   /** Off-grid repeated-span statistics: count sliding `spanWords`-word
     * windows (stride 1 — EVERY word offset) whose exact span already
     * occurred earlier in the same document. Returns

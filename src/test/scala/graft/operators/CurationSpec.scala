@@ -385,6 +385,37 @@ class CurationSpec extends SparkSpec {
       f"16x blocks cost ${big / small}%.1fx (quadratic ~256x)")
   }
 
+  test("bloomDecontaminate: bench copies fully flag, clean docs pass, " +
+      "short docs have zero shingles; bits join broadcasts") {
+    import spark.implicits._
+    val mk = (s: Seq[String]) => s.mkString(" ")
+    val benchText = mk((1 to 12).map(i => s"b$i"))
+    val docs = Seq(
+      (1L, benchText),                        // the benchmark doc itself
+      (2L, "x " + benchText),                 // shifted copy: shares all
+                                              // 8-gram shingles → flagged
+      (3L, mk((1 to 12).map(i => s"c$i"))),   // unrelated → clean
+      (4L, "too short")                       // < 8 words → 0 shingles
+    ).toDF("doc_id", "text")
+    val bench = docs.filter($"doc_id" === 1)
+    val q = Curation.bloomDecontaminate(docs, bench, "text", "doc_id",
+      n = 8, mBits = 1L << 22, kHashes = 4)
+    // static-plan text, PlanAuditSpec-style: the position-set join must
+    // broadcast (the corpus side never shuffles for it)
+    assert(q.queryExecution.executedPlan.toString
+      .contains("BroadcastExchange"))
+    val got = q.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    // doc 1: 5 shingles, all in the filter; doc 2: 6 shingles, the 5
+    // bench shingles flag, the x-prefixed one doesn't
+    assert(got.toSeq == Seq(
+      (1L, 5L, 5L, true),
+      (2L, 6L, 5L, true),
+      (3L, 5L, 0L, false),
+      (4L, 0L, 0L, false)))
+  }
+
   test("spanRepeatStats counts off-grid repeats (hand-computed + " +
       "in-memory model), no shuffle") {
     import spark.implicits._

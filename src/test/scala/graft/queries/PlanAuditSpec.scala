@@ -134,6 +134,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.hash == 3 && p.bcast == 3, s"q79: $p")
   }
 
+  test("q94_bloom_decontaminate: position set broadcasts; corpus " +
+    "crosses the wire only for the hit aggregations") {
+    val s = shape("q94_bloom_decontaminate")
+    // broadcasts: the bits set onto the probe stream + the per-doc
+    // verdict back onto the id spine. Hash exchanges: bench distinct +
+    // bits distinct (benchmark-sized), (doc,h) hit agg + doc agg
+    // (corpus-sized but partial-aggregated) — a corpus-sized join
+    // replacing a broadcast fails here.
+    assert(s.bcast >= 2 && s.hash <= 6, s)
+  }
+
   test("q72_semdedup: centroid joins broadcast; no shuffled join of the " +
     "corpus against itself except the pinned cell repartition") {
     val s = shape("q72_semdedup")
