@@ -59,15 +59,20 @@ object CorpusCuration {
       TextOps.hashSplit(col("cluster"), cuts))
   }
 
-  /** The round-5 composition: the full curation ladder a pretraining
-    * corpus actually runs, each stage one library operator, the whole
-    * flow one lazy program.
+  /** The round-5 composition (extended round 7): the full curation
+    * ladder a pretraining corpus actually runs, each stage one library
+    * operator, the whole flow one lazy program.
     *
     *   1. blocklist gate      — term-hit rejection (q75)
     *   2. quality gate        — repetition/diversity verdict, native
     *                            kernel (q71)
     *   3. compression filter  — DEFLATE ratio bounds: drops both
     *                            machine repetition and gibberish (q81)
+    *   3b. span-repeat gate   — off-grid verbatim re-paste fraction
+    *                            above `maxRepeatFrac` rejects (q93)
+    *   3c. decontamination    — optional `bench` corpus: Bloom-filter
+    *                            shingle screen rejects contaminated
+    *                            docs (q94)
     *   4. exact dedup         — fingerprint, min-id survivor
     *   5. near-dup dedup      — MinHash-LSH candidates → connected
     *                            components → cluster representative
@@ -95,7 +100,10 @@ object CorpusCuration {
       tokenBudget: Long = 20000L,
       window: Long = 512L,
       cuts: Seq[(String, Int)] =
-        Seq("train" -> 80, "val" -> 10, "test" -> 10)): DataFrame = {
+        Seq("train" -> 80, "val" -> 10, "test" -> 10),
+      maxRepeatFrac: Double = 0.1,
+      spanWords: Int = 8,
+      bench: Option[DataFrame] = None): DataFrame = {
     import graft.operators.Curation
     val spark = docs.sparkSession
     implicit val sp: org.apache.spark.sql.SparkSession = spark
@@ -112,7 +120,19 @@ object CorpusCuration {
       .filter(col("ratio").isNull ||
         !col("ratio").between(ratioBounds._1, ratioBounds._2))
       .select(col("doc_id"))
-    val rejected = blocked.union(lowQuality).union(badRatio).distinct()
+    // 3b: off-grid re-paste fraction (stride-1 spans — catches the
+    // repeats the aligned block grid and the bigram signal both miss)
+    val repetitive = Curation.spanRepeatStats(docs, "text", "doc_id",
+        spanWords)
+      .filter(col("repeat_frac") > maxRepeatFrac).select(col("doc_id"))
+    // 3c: optional benchmark decontamination via the Bloom screen
+    val contaminated = bench.map(b =>
+      Curation.bloomDecontaminate(docs, b, "text", "doc_id",
+          n = spanWords, mBits = 1L << 22, kHashes = 4)
+        .filter(col("contaminated")).select(col("doc_id")))
+    val rejected =
+      (Seq(blocked, lowQuality, badRatio, repetitive) ++ contaminated)
+        .reduce(_ union _).distinct()
     val clean = docs.join(rejected, Seq("doc_id"), "left_anti")
 
     // 4: exact dedup

@@ -74,6 +74,24 @@ class CorpusCurationSpec extends SparkSpec {
       val langs = out.select("lang").distinct().collect()
         .map(_.getString(0)).toSet
       assert(langs.subsetOf(Set("en", "zh", "de", "es", "fr")))
+      // span-repeat gate held: no survivor exceeds the re-paste bound
+      assert(Curation.spanRepeatStats(docs, "text", "doc_id", 8)
+        .filter(col("repeat_frac") > 0.1)
+        .join(ids, "doc_id").count() == 0)
     } finally out.unpersist()
+  }
+
+  test("curateForTraining with a benchmark: contaminated docs rejected") {
+    import graft.operators.Curation
+    // benchmark = a slice of the corpus itself ⇒ those docs (and any
+    // near-verbatim copies) must not survive decontamination
+    val bench = docs.filter(col("doc_id") % 11 === 0)
+    val out = CorpusCuration.curateForTraining(docs, bench = Some(bench))
+    val ids = out.select("doc_id")
+    val contaminated = Curation.bloomDecontaminate(docs, bench, "text",
+        "doc_id", n = 8, mBits = 1L << 22, kHashes = 4)
+      .filter(col("contaminated")).select("doc_id")
+    assert(contaminated.count() > 0) // the gate has something to do
+    assert(contaminated.join(ids, "doc_id").count() == 0)
   }
 }
