@@ -532,8 +532,49 @@ object Similarity {
       queries: DataFrame, candidates: DataFrame, k: Int,
       nCells: Int, nprobe: Int, dims: Int, m: Int, nCentroids: Int,
       idCol: String = "vec_id", embCol: String = "embedding",
-      trainIters: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      trainIters: Int = 0): DataFrame =
+    ivfPqSearch(queries,
+      ivfPqIndex(candidates, nCells, dims, m, nCentroids, idCol, embCol,
+        trainIters),
+      k, nprobe, dims, m, idCol, embCol)
+
+  /** The three materializable artifacts of an IVF-PQ index — the
+    * build-once/search-many deployment shape: `build` writes them as
+    * parquet (one subdirectory each), a search job [[IvfPqIndex.read]]s
+    * them back and runs [[ivfPqSearch]] without touching the corpus
+    * embeddings at all. Sizes: cells = nCells rows, codebook =
+    * m·nCentroids rows (both broadcast at search time), codes = one
+    * (id, j, code, cell) row per (vector, subspace) — the only
+    * corpus-sized artifact, m·log₂(nCentroids) bits of payload per
+    * vector. q95 hash-gates the full write → read → search round-trip
+    * against q87's oracle (bit-identical results by construction:
+    * doubles round-trip parquet exactly).
+    */
+  final case class IvfPqIndex(cells: DataFrame, codebook: DataFrame,
+      codes: DataFrame) {
+    def write(dir: String): Unit = {
+      cells.write.mode("overwrite").parquet(s"$dir/cells")
+      codebook.write.mode("overwrite").parquet(s"$dir/codebook")
+      codes.write.mode("overwrite").parquet(s"$dir/codes")
+    }
+  }
+
+  object IvfPqIndex {
+    def read(spark: org.apache.spark.sql.SparkSession,
+        dir: String): IvfPqIndex =
+      IvfPqIndex(
+        spark.read.parquet(s"$dir/cells"),
+        spark.read.parquet(s"$dir/codebook"),
+        spark.read.parquet(s"$dir/codes"))
+  }
+
+  /** Index-build half of [[ivfPqTopK]]: coarse cells (seeded or
+    * trained), per-subspace PQ codebook, and the per-vector code stream
+    * carrying its cell assignment.
+    */
+  def ivfPqIndex(candidates: DataFrame, nCells: Int, dims: Int, m: Int,
+      nCentroids: Int, idCol: String = "vec_id",
+      embCol: String = "embedding", trainIters: Int = 0): IvfPqIndex = {
     val cells =
       if (trainIters > 0)
         trainedCentroids(candidates, nCells, trainIters, idCol, embCol)
@@ -544,11 +585,24 @@ object Similarity {
       idCol, embCol)
     val codes = pqAssignWith(codebook, candidates, dims, m, idCol, embCol)
       .join(cand, Seq("id"))
+    IvfPqIndex(cells, codebook, codes)
+  }
+
+  /** Search half of [[ivfPqTopK]]: probe the index's `nprobe` best
+    * cells per query, broadcast the per-query ADC distance table, and
+    * rank pruned candidates — the corpus embeddings are never read
+    * (everything comes from the index artifacts, in-memory or
+    * parquet-read).
+    */
+  def ivfPqSearch(queries: DataFrame, index: IvfPqIndex, k: Int,
+      nprobe: Int, dims: Int, m: Int, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(idCol).as("query_id"),
       col(embCol).as("q_emb"), sqrt(norm2(col(embCol))).as("q_nrm"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("psim").desc, col("cen_id"))
-    val probes = q.join(broadcast(cells), lit(true))
+    val probes = q.join(broadcast(index.cells), lit(true))
       .select(col("query_id"), col("cen_id"),
         round(dot(col("q_emb"), col("cen_e")) /
           (col("q_nrm") * col("cen_nrm")), 6).as("psim"))
@@ -557,14 +611,14 @@ object Similarity {
       .select(col("query_id"), col("cen_id").as("cell"))
     val qsub = pqSubvectors(queries, dims, m, idCol, embCol,
       "query_id", "qv")
-    val table = qsub.join(codebook, Seq("j"))
+    val table = qsub.join(index.codebook, Seq("j"))
       .select(col("query_id"), col("j"), col("cen_id").as("code"),
         round(dot(col("qv"), col("qv")) - dot(col("qv"), col("cv")) * 2
           + dot(col("cv"), col("cv")), 6)
           .cast("decimal(20,6)").as("d2"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("adist"), col("neighbor_id"))
-    codes
+    index.codes
       .join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("id"))
       .join(broadcast(table), Seq("query_id", "j", "code"))

@@ -183,5 +183,38 @@ object Round7 {
              |  CAST(COALESCE(agg.n_flagged, 0) AS BIGINT) AS n_flagged,
              |  COALESCE(agg.n_flagged, 0) > 0 AS contaminated
              |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
-             |ORDER BY d.doc_id""".stripMargin)))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- IVF-PQ index persistence round-trip: build the index
+    // artifacts (cells, codebook, codes), WRITE them to parquet, read
+    // them back, and search from the persisted index without touching
+    // the corpus embeddings — the build-once/search-many deployment
+    // shape (separate index and serving jobs). Same parameters as
+    // q87 and the SAME oracle: the round-trip must be bit-identical
+    // (doubles survive parquet exactly), so any schema/value drift in
+    // the persisted artifacts hash-fails here — the q80/q65 pattern
+    // applied to the ANN index.
+    QueryDef("q95_ivfpq_persist",
+      (s, dir) => {
+        val emb = t("embeddings")(s, dir)
+        val dirKey = try new java.io.File(dir).getCanonicalPath
+          catch { case _: Throwable => dir }
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(dirKey.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16) + "_" +
+          java.lang.ProcessHandle.current().pid()
+        val outDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_q95_index_$tag")
+        Round5.registerScratchCleanup(outDir)
+        Similarity.ivfPqIndex(emb, nCells = 8, dims = 64, m = 8,
+            nCentroids = 16)
+          .write(outDir.getAbsolutePath)
+        val index = Similarity.IvfPqIndex.read(s, outDir.getAbsolutePath)
+        Similarity.ivfPqSearch(emb.filter(col("vec_id") < 12), index,
+            k = 5, nprobe = 2, dims = 64, m = 8)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      // the persisted index must reproduce the live q87 pipeline
+      // bit-for-bit, so the oracle IS q87's
+      Round5.defs.find(_.name == "q87_ivfpq_topk").get.oracle))
 }

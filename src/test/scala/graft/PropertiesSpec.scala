@@ -200,6 +200,31 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: bloomDecontaminate flags are monotone in the benchmark " +
+      "and n_shingles is benchmark-independent") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // per-doc-unique shingles: growth must come from the ADDED bench
+    // docs' own content (cross-doc sharing is covered in CurationSpec)
+    val docs = (0L until 60L).map { i =>
+      (i, (0 until 12).map(j => s"w${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    def flags(bench: org.apache.spark.sql.DataFrame) =
+      Curation.bloomDecontaminate(docs, bench, "text", "doc_id",
+          n = 8, mBits = 1L << 22, kHashes = 4)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(1), r.getLong(2)))
+    val a = flags(docs.filter($"doc_id" % 5 === 0))
+    val ab = flags(docs.filter($"doc_id" % 5 === 0 ||
+      $"doc_id" % 3 === 0))
+    // a larger benchmark can only set MORE filter bits: per-doc flags
+    // grow monotonically, and the doc's own shingle count is fixed
+    a.zip(ab).foreach { case ((sh1, f1), (sh2, f2)) =>
+      assert(sh1 == sh2 && f1 <= f2)
+    }
+    assert(ab.map(_._2).sum > a.map(_._2).sum) // grew somewhere
+  }
+
   test("property: piiScrub output is a fixed point (re-scrub finds 0)") {
     import spark.implicits._
     val frag = Gen.oneOf("hi", "a@b.com", "1.2.3.4", "555-123-4567",

@@ -167,6 +167,33 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  test("IvfPqIndex parquet round-trip searches bit-identically to the " +
+    "live pipeline") {
+    val q = emb.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_idx").toFile
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    try {
+      Similarity.ivfPqIndex(emb, nCells = 8, dims = 64, m = 8,
+        nCentroids = 16).write(dir.getAbsolutePath)
+      val idx = Similarity.IvfPqIndex.read(spark, dir.getAbsolutePath)
+      val persisted = Similarity.ivfPqSearch(q, idx, k = 5, nprobe = 2,
+          dims = 64, m = 8)
+        .orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3)))
+      val live = Similarity.ivfPqTopK(q, emb, k = 5, nCells = 8,
+          nprobe = 2, dims = 64, m = 8, nCentroids = 16)
+        .orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3)))
+      assert(persisted.toSeq == live.toSeq)
+    } finally rm(dir)
+  }
+
   test("dequantize error is within half a quantization step per component") {
     val q = Similarity.quantizeInt8(col("embedding"))
     val err = emb.select(
