@@ -436,6 +436,47 @@ object Curation {
       .withColumn("contaminated", col("n_flagged") > 0)
   }
 
+  /** [[bloomDecontaminate]] with the filter as a PACKED BITMAP — the
+    * production physical shape: the benchmark reduces to ⌈mBits/64⌉
+    * longs (512 KB at m = 2²²) through a native OR-merging aggregate
+    * with NO shuffle at all (no distinct needed — setting a bit twice
+    * is idempotent), and membership is one native all-probes-set
+    * expression per (doc, shingle) row instead of a k-way explode +
+    * position join. Flag-for-flag identical to the position-set
+    * variant (same md5 probe family — CurationSpec pins equality, and
+    * q96 shares q94's oracle verbatim); same return schema.
+    *
+    * Scale contract: benchmark size stops mattering entirely — the
+    * broadcast is mBits/8 bytes whether the benchmark holds one
+    * document or a billion shingles (at saturation every probe hits;
+    * size m so the load factor stays useful). The corpus side is one
+    * scan + one per-doc aggregation.
+    */
+  def bloomDecontaminateBitmap(docs: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int, mBits: Long,
+      kHashes: Int): DataFrame = {
+    require(n > 0 && mBits > 0 && kHashes > 0,
+      "need positive n, mBits, kHashes")
+    val bitmap = Dedup.hashedShingleSet(bench, idCol, textCol, n,
+        cache = false)
+      .agg(graft.functions.Bloom.bloomAgg(col("h"), mBits, kHashes)
+        .as("_bm"))
+    val perDoc = Dedup.hashedShingleSet(docs, idCol, textCol, n,
+        cache = false)
+      .crossJoin(broadcast(bitmap))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(graft.functions.Bloom.hitsAll(col("_bm"), col("h"),
+          kHashes, mBits), 1)).as("n_flagged"))
+      .withColumnRenamed("doc_id", "_did")
+    docs.select(col(idCol))
+      .join(perDoc, col(idCol) === col("_did"), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))
+      .withColumn("contaminated", col("n_flagged") > 0)
+  }
+
   /** Off-grid repeated-span statistics: count sliding `spanWords`-word
     * windows (stride 1 — EVERY word offset) whose exact span already
     * occurred earlier in the same document. Returns

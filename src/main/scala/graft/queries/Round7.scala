@@ -13,6 +13,43 @@ import org.apache.spark.sql.functions._
 object Round7 {
   private def t(name: String): QueryFn = (s, dir) => Tables.load(s, dir, name)
 
+  /** Shared by q94 (position-set variant) and q96 (packed-bitmap
+    * variant): the two physical shapes are flag-for-flag identical by
+    * construction, so one oracle gates both.
+    */
+  private val bloomOracle: String =
+    """WITH w AS (SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '\s+'),
+      |    x -> len(x) > 0) AS ws FROM documents),
+      |idx AS (SELECT doc_id, ws,
+      |    unnest(generate_series(1, len(ws) - 7)) AS i
+      |  FROM w WHERE len(ws) >= 8),
+      |sh AS (SELECT DISTINCT doc_id,
+      |    array_to_string(ws[i : i + 7], ' ') AS s FROM idx),
+      |hs AS (SELECT doc_id, CAST(concat('0x',
+      |    substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),
+      |bits AS (SELECT DISTINCT CAST(concat('0x', substr(md5(
+      |      CAST(h AS VARCHAR) || ':' || CAST(t.k AS VARCHAR)),
+      |      1, 15)) AS BIGINT) % 4194304 AS pos
+      |  FROM hs, range(0, 4) t(k) WHERE doc_id % 7 = 0),
+      |probes AS (SELECT doc_id, h, CAST(concat('0x', substr(md5(
+      |      CAST(h AS VARCHAR) || ':' || CAST(t.k AS VARCHAR)),
+      |      1, 15)) AS BIGINT) % 4194304 AS pos
+      |  FROM hs, range(0, 4) t(k)),
+      |hits AS (SELECT doc_id, h, count(bits.pos) AS nh
+      |  FROM probes LEFT JOIN bits USING (pos)
+      |  GROUP BY doc_id, h),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_shingles,
+      |    COUNT(*) FILTER (nh = 4) AS n_flagged
+      |  FROM hits GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(agg.n_shingles, 0) AS BIGINT)
+      |    AS n_shingles,
+      |  CAST(COALESCE(agg.n_flagged, 0) AS BIGINT) AS n_flagged,
+      |  COALESCE(agg.n_flagged, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- spherical k-means training (2 Lloyd iterations, 8 cells):
@@ -153,37 +190,22 @@ object Round7 {
             n = 8, mBits = 4194304L, kHashes = 4)
           .orderBy(col("doc_id"))
       },
-      Some("""WITH w AS (SELECT doc_id, list_filter(
-             |    string_split_regex(lower(text), '\s+'),
-             |    x -> len(x) > 0) AS ws FROM documents),
-             |idx AS (SELECT doc_id, ws,
-             |    unnest(generate_series(1, len(ws) - 7)) AS i
-             |  FROM w WHERE len(ws) >= 8),
-             |sh AS (SELECT DISTINCT doc_id,
-             |    array_to_string(ws[i : i + 7], ' ') AS s FROM idx),
-             |hs AS (SELECT doc_id, CAST(concat('0x',
-             |    substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),
-             |bits AS (SELECT DISTINCT CAST(concat('0x', substr(md5(
-             |      CAST(h AS VARCHAR) || ':' || CAST(t.k AS VARCHAR)),
-             |      1, 15)) AS BIGINT) % 4194304 AS pos
-             |  FROM hs, range(0, 4) t(k) WHERE doc_id % 7 = 0),
-             |probes AS (SELECT doc_id, h, CAST(concat('0x', substr(md5(
-             |      CAST(h AS VARCHAR) || ':' || CAST(t.k AS VARCHAR)),
-             |      1, 15)) AS BIGINT) % 4194304 AS pos
-             |  FROM hs, range(0, 4) t(k)),
-             |hits AS (SELECT doc_id, h, count(bits.pos) AS nh
-             |  FROM probes LEFT JOIN bits USING (pos)
-             |  GROUP BY doc_id, h),
-             |agg AS (SELECT doc_id, COUNT(*) AS n_shingles,
-             |    COUNT(*) FILTER (nh = 4) AS n_flagged
-             |  FROM hits GROUP BY doc_id)
-             |SELECT d.doc_id,
-             |  CAST(COALESCE(agg.n_shingles, 0) AS BIGINT)
-             |    AS n_shingles,
-             |  CAST(COALESCE(agg.n_flagged, 0) AS BIGINT) AS n_flagged,
-             |  COALESCE(agg.n_flagged, 0) > 0 AS contaminated
-             |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
-             |ORDER BY d.doc_id""".stripMargin)),
+      Some(bloomOracle)),
+
+    // ---- the packed-bitmap form of q94: a native OR-merging bitmap
+    // aggregate (512 KB regardless of benchmark size, no bench-side
+    // shuffle) + a per-row all-probes-set expression (no k-way
+    // explode). Flag-for-flag identical to the position-set shape, so
+    // the SAME oracle gates it.
+    QueryDef("q96_bloom_bitmap",
+      (s, dir) => {
+        val docs = t("documents")(s, dir)
+        Curation.bloomDecontaminateBitmap(docs,
+            docs.filter(col("doc_id") % 7 === 0), "text", "doc_id",
+            n = 8, mBits = 4194304L, kHashes = 4)
+          .orderBy(col("doc_id"))
+      },
+      Some(bloomOracle)),
 
     // ---- IVF-PQ index persistence round-trip: build the index
     // artifacts (cells, codebook, codes), WRITE them to parquet, read

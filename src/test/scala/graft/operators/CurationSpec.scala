@@ -416,6 +416,26 @@ class CurationSpec extends SparkSpec {
       (4L, 0L, 0L, false)))
   }
 
+  test("bloomDecontaminateBitmap ≡ position-set bloomDecontaminate " +
+      "(generated corpus with shared and unique shingles)") {
+    import spark.implicits._
+    // mix of per-doc-unique and cross-doc-shared 8-gram content
+    val docs = (0L until 80L).map { i =>
+      val words =
+        if (i % 4 == 0) (0 until 12).map(j => s"s${(i % 3)}_$j")
+        else (0 until 12).map(j => s"u${i}_$j")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val bench = docs.filter($"doc_id" % 5 === 0)
+    val a = Curation.bloomDecontaminate(docs, bench, "text", "doc_id",
+      n = 8, mBits = 1L << 18, kHashes = 3)
+    val b = Curation.bloomDecontaminateBitmap(docs, bench, "text",
+      "doc_id", n = 8, mBits = 1L << 18, kHashes = 3)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // and the bitmap gate actually flags the shared-content docs
+    assert(b.filter($"contaminated").count() > 0)
+  }
+
   test("spanRepeatStats counts off-grid repeats (hand-computed + " +
       "in-memory model), no shuffle") {
     import spark.implicits._
