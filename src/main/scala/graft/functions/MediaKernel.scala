@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** REAL media-container metadata probe — the non-stub rung of the
+  * multimodal ladder ([[graft.operators.Multimodal]]): parses actual
+  * PNG / JPEG / BMP / WAV headers from raw bytes, no codec library
+  * needed (container headers are pure byte arithmetic). Full
+  * pixel/sample decode stays behind the documented stubs (those DO
+  * need libraries this environment lacks); typed metadata extraction —
+  * dimensions, sample rate, channel count — is the first thing a real
+  * ingest pipeline wants from a blob column and works here end-to-end
+  * on genuine files.
+  *
+  * Returns `(format, width, height, sample_rate, channels)` with nulls
+  * for fields a format doesn't carry; unrecognized bytes probe as
+  * `("unknown", null, null, null, null)` rather than erroring — a
+  * 100 TB blob column always contains garbage rows, and a probe that
+  * kills the task on byte 3 of a truncated header is useless. All
+  * bounds-checked; JPEG walks the segment stream to the first SOF
+  * marker (the frame header carrying dimensions).
+  */
+object MediaProbeKernel {
+
+  private def row(f: String, w: Any, h: Any, sr: Any, ch: Any) =
+    new GenericInternalRow(
+      Array[Any](UTF8String.fromString(f), w, h, sr, ch))
+
+  def probeMeta(payload: Array[Byte]): InternalRow = {
+    val b = if (payload == null) Array.emptyByteArray else payload
+    def u8(i: Int): Int = b(i) & 0xff
+    def be16(i: Int): Long = ((u8(i) << 8) | u8(i + 1)).toLong
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) |
+        (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def le16(i: Int): Long = (u8(i) | (u8(i + 1) << 8)).toLong
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+        (u8(i + 3).toLong << 24)) & 0xffffffffL
+
+    if (b.length >= 24 && u8(0) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+        b(3) == 'G' && u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a &&
+        u8(7) == 0x0a)
+      // IHDR is mandated first: width/height at fixed offsets 16/20
+      row("png", be32(16), be32(20), null, null)
+    else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+      // BITMAPINFOHEADER: signed LE dims at 18/22 (negative height =
+      // top-down row order; magnitude is the pixel height)
+      row("bmp", math.abs(le32(18).toInt).toLong,
+        math.abs(le32(22).toInt).toLong, null, null)
+    else if (b.length >= 36 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+        b(11) == 'E')
+      // canonical fmt chunk: channels at 22, sample rate at 24
+      row("wav", null, null, le32(24), le16(22))
+    else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // JPEG: walk FF-marker segments to the first SOFn (C0-CF minus
+      // C4/C8/CC), whose payload is precision(1), height(2), width(2)
+      var i = 2
+      while (i + 3 < b.length) {
+        if (u8(i) != 0xff) return row("jpeg", null, null, null, null)
+        val m = u8(i + 1)
+        if (m == 0xff) i += 1 // fill byte
+        else if ((m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2
+        else {
+          val len = be16(i + 2).toInt
+          if (len < 2) return row("jpeg", null, null, null, null)
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 &&
+              m != 0xcc) {
+            if (i + 8 < b.length)
+              return row("jpeg", be16(i + 7), be16(i + 5), null, null)
+            return row("jpeg", null, null, null, null)
+          }
+          i += 2 + len
+        }
+      }
+      row("jpeg", null, null, null, null)
+    }
+    else row("unknown", null, null, null, null)
+  }
+}
+
+object MediaProbe {
+
+  private val metaType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", LongType, nullable = true),
+    StructField("height", LongType, nullable = true),
+    StructField("sample_rate", LongType, nullable = true),
+    StructField("channels", LongType, nullable = true)))
+
+  def probeMetaExpr(payload: Expression): Expression =
+    StaticInvoke(
+      MediaProbeKernel.getClass,
+      metaType,
+      "probeMeta",
+      Seq(payload),
+      inputTypes = Seq(BinaryType),
+      propagateNull = false,
+      returnNullable = false)
+
+  /** Column API: `struct(format, width, height, sample_rate, channels)`
+    * parsed from real container headers. */
+  def probeMeta(payload: Column): Column =
+    ColumnBridge.column(probeMetaExpr(ColumnBridge.expression(payload)))
+}

@@ -57,6 +57,28 @@ object Multimodal {
       .select(col(idCol), col("n_frames"), col("frame_no"), col("frame"))
   }
 
+  /** REAL container-metadata probe over a binary column — parses actual
+    * PNG / JPEG / BMP / WAV headers (pure byte arithmetic, no codec
+    * library) via [[graft.functions.MediaProbeKernel]]: the typed-
+    * metadata extraction an ingest pipeline runs over every blob before
+    * any decode. Unrecognized/truncated bytes probe as `unknown` with
+    * null fields rather than erroring (garbage rows are a fact of blob
+    * columns at scale). Map-side, no shuffle, no UDF — this rung of the
+    * multimodal ladder is NOT a stub: it works on genuine files
+    * (MultimodalSpec feeds real header bytes; q97 hash-gates
+    * parse∘construct against ground truth).
+    */
+  def mediaProbe(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val m = graft.functions.MediaProbe.probeMeta(col(payloadCol))
+    df.select(col(idCol),
+      m.getField("format").as("format"),
+      m.getField("width").as("width"),
+      m.getField("height").as("height"),
+      m.getField("sample_rate").as("sample_rate"),
+      m.getField("channels").as("channels"))
+  }
+
   /** STUB codec: deterministic fixed-size feature vector from raw bytes
     * (normalized 16-bin byte histogram + mean byte). A real
     * implementation would decode the image/audio here; the signature,

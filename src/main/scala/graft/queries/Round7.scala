@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Curation, Similarity}
+import graft.operators.{Curation, Multimodal, Similarity}
+import org.apache.spark.sql.{Column}
 import org.apache.spark.sql.functions._
 
 /** Round-7 additions: the trained-centroid (Lloyd k-means) path under
@@ -238,5 +239,57 @@ object Round7 {
       },
       // the persisted index must reproduce the live q87 pipeline
       // bit-for-bit, so the oracle IS q87's
-      Round5.defs.find(_.name == "q87_ivfpq_topk").get.oracle))
+      Round5.defs.find(_.name == "q87_ivfpq_topk").get.oracle),
+
+    // ---- real media-metadata probe, hash-gated as parse∘construct ≡
+    // identity: Spark BUILDS genuine container headers (PNG big-endian
+    // IHDR dims, WAV little-endian fmt chunk) from document fields,
+    // parses them back with the native header kernel, and the oracle
+    // predicts the fields ARITHMETICALLY — any drift in either the
+    // construction or the parser hash-fails. The non-multiple-of-3
+    // docs carry raw text bytes and must probe as unknown/null.
+    QueryDef("q97_media_probe",
+      (s, dir) => {
+        def be32(c: Column): Column = lpad(hex(c), 8, "0")
+        def le32(c: Column): Column = {
+          val x = lpad(hex(c), 8, "0")
+          concat(substring(x, 7, 2), substring(x, 5, 2),
+            substring(x, 3, 2), substring(x, 1, 2))
+        }
+        def le16(c: Column): Column = {
+          val x = lpad(hex(c), 4, "0")
+          concat(substring(x, 3, 2), substring(x, 1, 2))
+        }
+        val w = col("n_chars") % 1000 + 1
+        val h = col("doc_id") % 500 + 1
+        val sr = lit(8000) + col("n_chars") % 40000
+        val ch = col("doc_id") % 8 + 1
+        val png = unhex(concat(
+          lit("89504E470D0A1A0A0000000D49484452"), be32(w), be32(h)))
+        val wav = unhex(concat(
+          lit("52494646"), le32(lit(36)), lit("57415645666D7420"),
+          le32(lit(16)), le16(lit(1)), le16(ch), le32(sr),
+          lit("0000000000000000")))
+        val payload = when(col("doc_id") % 3 === 0, png)
+          .when(col("doc_id") % 3 === 1, wav)
+          .otherwise(Multimodal.syntheticPayload(col("text")))
+        Multimodal.mediaProbe(
+            t("documents")(s, dir).withColumn("payload", payload),
+            "doc_id", "payload")
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+             |       WHEN doc_id % 3 = 1 THEN 'wav'
+             |       ELSE 'unknown' END AS format,
+             |  CASE WHEN doc_id % 3 = 0
+             |    THEN CAST(n_chars % 1000 + 1 AS BIGINT) END AS width,
+             |  CASE WHEN doc_id % 3 = 0
+             |    THEN CAST(doc_id % 500 + 1 AS BIGINT) END AS height,
+             |  CASE WHEN doc_id % 3 = 1
+             |    THEN CAST(8000 + n_chars % 40000 AS BIGINT)
+             |  END AS sample_rate,
+             |  CASE WHEN doc_id % 3 = 1
+             |    THEN CAST(doc_id % 8 + 1 AS BIGINT) END AS channels
+             |FROM documents ORDER BY doc_id""".stripMargin)))
 }

@@ -58,6 +58,47 @@ class MultimodalSpec extends SparkSpec {
       .getAs[Long]("n_bytes") == 50L))
   }
 
+  test("mediaProbe parses REAL container headers: PNG, BMP (top-down), " +
+      "WAV, JPEG segment walk, garbage, truncation, null") {
+    import spark.implicits._
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // genuine 24-byte PNG prefix: signature + IHDR, 640x480
+    val png = bytes(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 0x0d, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80, 0, 0, 0x01, 0xe0)
+    // BMP with NEGATIVE height (top-down): 32 x -16 → height 16
+    val bmp = bytes('B', 'M') ++ new Array[Byte](16) ++
+      bytes(0x20, 0, 0, 0, 0xf0, 0xff, 0xff, 0xff)
+    // canonical 36-byte WAV header: stereo, 44100 Hz
+    val wav = bytes('R', 'I', 'F', 'F', 36, 0, 0, 0,
+      'W', 'A', 'V', 'E', 'f', 'm', 't', ' ', 16, 0, 0, 0,
+      1, 0, 2, 0, 0x44, 0xac, 0, 0) ++ new Array[Byte](8)
+    // JPEG: SOI, APP0 (skipped by the walk), SOF0 with 120x80
+    val jpeg = bytes(0xff, 0xd8,
+      0xff, 0xe0, 0, 4, 0, 0,                      // APP0 len 4
+      0xff, 0xc0, 0, 11, 8, 0, 0x50, 0, 0x78, 3,   // SOF0: h=80 w=120
+      0, 0, 0)
+    val rows = Seq(
+      (1L, png), (2L, bmp), (3L, wav), (4L, jpeg),
+      (5L, "not a media file at all".getBytes("UTF-8")),
+      (6L, png.take(10)),               // truncated: too short for PNG
+      (7L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.mediaProbe(rows, "doc_id", "payload")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(4)),
+        Option(r.get(5))))
+    assert(got.toSeq == Seq(
+      (1L, "png", Some(640L), Some(480L), None, None),
+      (2L, "bmp", Some(32L), Some(16L), None, None),
+      (3L, "wav", None, None, Some(44100L), Some(2L)),
+      (4L, "jpeg", Some(120L), Some(80L), None, None),
+      (5L, "unknown", None, None, None, None),
+      (6L, "unknown", None, None, None, None),
+      (7L, "unknown", None, None, None, None)))
+  }
+
   test("repartitionByBytes: partition count tracks payload volume") {
     import spark.implicits._
     val big = (1L to 100L).map(i => (i, "z" * 1000)).toDF("doc_id", "text")
