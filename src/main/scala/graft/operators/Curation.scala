@@ -610,15 +610,34 @@ object Curation {
     * already parallelize — and the boundary collect stays LIMIT-bounded
     * (see [[withPackBlocks]]); CurationSpec pins result equality across
     * both fallbacks.
+    *
+    * `startOffsets` makes packing INCREMENTAL — the nightly-refresh
+    * shape: a `(strataCol, start_tokens)` frame (strata-sized,
+    * broadcast, null-safe like the offsets join) pre-loads each
+    * stratum's running token count, so a new shard's bins CONTINUE the
+    * previous run's numbering instead of restarting at 0. When the new
+    * shard's ids sort after the old corpus's, append-pack ≡ packing
+    * the union and keeping the new rows (CurationSpec pins it; q98
+    * hash-gates it).
     */
   def packSequences(df: DataFrame, textCol: String, idCol: String,
       strataCol: String, window: Long, blocks: Int = 0,
-      maxStrata: Int = 10000): DataFrame = {
+      maxStrata: Int = 10000,
+      startOffsets: Option[DataFrame] = None): DataFrame = {
     require(window > 0, "window must be positive")
-    val wb = withPackBlocks(
+    val wb0 = withPackBlocks(
       df.withColumn("n_tokens",
         size(TextOps.words(col(textCol))).cast("bigint")),
       idCol, strataCol, blocks, maxStrata)
+    val wb = startOffsets match {
+      case Some(so) =>
+        val s2 = so.select(col(strataCol).as("_ss"),
+          col("start_tokens").cast("bigint").as("_start"))
+        wb0.join(broadcast(s2), col(strataCol) <=> col("_ss"), "left")
+          .withColumn("_base", coalesce(col("_start"), lit(0L)))
+          .drop("_ss", "_start")
+      case None => wb0.withColumn("_base", lit(0L))
+    }
     val uP = org.apache.spark.sql.expressions.Window.unboundedPreceding
     val wOff = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol)).orderBy(col("_blk"))
@@ -640,7 +659,7 @@ object Curation {
     wb.join(broadcast(offsets),
         col(strataCol) <=> col("_os") && col("_blk") === col("_ob"))
       .withColumn("bin", floor(
-        (col("_offset") +
+        (col("_base") + col("_offset") +
           coalesce(sum(col("n_tokens")).over(wLocal), lit(0L))) / window)
         .cast("bigint"))
       .select(df.columns.map(col).toIndexedSeq :+

@@ -291,5 +291,44 @@ object Round7 {
              |  END AS sample_rate,
              |  CASE WHEN doc_id % 3 = 1
              |    THEN CAST(doc_id % 8 + 1 AS BIGINT) END AS channels
-             |FROM documents ORDER BY doc_id""".stripMargin)))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- incremental sequence packing (the nightly-refresh shape):
+    // the even-id half of the corpus is "yesterday's" packed data; the
+    // odd-id half packs TODAY with per-stratum start offsets carried
+    // over, so its bins continue yesterday's numbering instead of
+    // restarting at 0. Oracle replays the carried offsets in the
+    // window frame.
+    QueryDef("q98_pack_append",
+      (s, dir) => {
+        val docs = t("documents")(s, dir)
+        val old = docs.filter(col("doc_id") % 2 === 0)
+        val offsets = old
+          .groupBy(col("lang"))
+          .agg(sum(size(graft.operators.TextOps.words(col("text")))
+            .cast("bigint")).as("start_tokens"))
+        Curation.packSequences(docs.filter(col("doc_id") % 2 =!= 0),
+            "text", "doc_id", strataCol = "lang", window = 2048L,
+            blocks = 8, startOffsets = Some(offsets))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            col("bin"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, lang,
+             |    CAST(len(list_filter(
+             |      string_split_regex(lower(text), '\s+'),
+             |      x -> len(x) > 0)) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |old AS (SELECT lang, SUM(n_tokens) AS start
+             |  FROM tok WHERE doc_id % 2 = 0 GROUP BY lang),
+             |c AS (SELECT t.doc_id, t.lang, t.n_tokens,
+             |    COALESCE(o.start, 0) +
+             |    COALESCE(SUM(t.n_tokens) OVER (PARTITION BY t.lang
+             |      ORDER BY t.doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND 1 PRECEDING), 0) AS cum
+             |  FROM tok t LEFT JOIN old o ON t.lang = o.lang
+             |  WHERE t.doc_id % 2 = 1)
+             |SELECT doc_id, lang, n_tokens,
+             |  CAST(floor(cum / 2048) AS BIGINT) AS bin
+             |FROM c ORDER BY doc_id""".stripMargin)))
 }

@@ -506,6 +506,36 @@ class CurationSpec extends SparkSpec {
     assert(viaString == numeric)
   }
 
+  test("packSequences with startOffsets: append-pack ≡ packing the " +
+      "union when new ids sort after the old corpus") {
+    import spark.implicits._
+    val mk = (r: Range, tag: String) => r.map(i =>
+      (i.toLong, if (i % 2 == 0) "en" else "fi",
+        Seq.fill(i % 5 + 1)(tag).mkString(" ")))
+    val old = mk(1 to 30, "o").toDF("doc_id", "lang", "text")
+    val neu = mk(31 to 50, "n").toDF("doc_id", "lang", "text")
+    val offsets = old.groupBy($"lang")
+      .agg(sum(size(TextOps.words($"text"))).cast("bigint")
+        .as("start_tokens"))
+    val appended = Curation.packSequences(neu, "text", "doc_id", "lang",
+        window = 7L, blocks = 4, startOffsets = Some(offsets))
+      .select("doc_id", "n_tokens", "bin").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val unioned = Curation.packSequences(old.union(neu), "text",
+        "doc_id", "lang", window = 7L, blocks = 4)
+      .filter($"doc_id" > 30)
+      .select("doc_id", "n_tokens", "bin").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(appended.toSeq == unioned.toSeq)
+    // a stratum absent from the offsets frame starts at bin 0
+    val fresh = Curation.packSequences(
+        Seq((99L, "zz", "a b c")).toDF("doc_id", "lang", "text"),
+        "text", "doc_id", "lang", window = 7L,
+        startOffsets = Some(offsets))
+      .select("bin").first().getLong(0)
+    assert(fresh == 0L)
+  }
+
   test("packSequences keeps null-strata rows (null-safe offsets join)") {
     import spark.implicits._
     val d = Seq(
