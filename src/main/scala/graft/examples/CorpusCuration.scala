@@ -103,7 +103,8 @@ object CorpusCuration {
         Seq("train" -> 80, "val" -> 10, "test" -> 10),
       maxRepeatFrac: Double = 0.1,
       spanWords: Int = 8,
-      bench: Option[DataFrame] = None): DataFrame = {
+      bench: Option[DataFrame] = None,
+      benchShingle: Int = 8): DataFrame = {
     import graft.operators.Curation
     val spark = docs.sparkSession
     implicit val sp: org.apache.spark.sql.SparkSession = spark
@@ -125,10 +126,14 @@ object CorpusCuration {
     val repetitive = Curation.spanRepeatStats(docs, "text", "doc_id",
         spanWords)
       .filter(col("repeat_frac") > maxRepeatFrac).select(col("doc_id"))
-    // 3c: optional benchmark decontamination via the Bloom screen
+    // 3c: optional benchmark decontamination via the Bloom screen.
+    // benchShingle is its OWN knob (not spanWords): tightening the
+    // re-paste gate to short spans must not silently narrow the
+    // decontamination n-gram, which would flag clean docs on common
+    // short phrases shared with any benchmark.
     val contaminated = bench.map(b =>
       Curation.bloomDecontaminate(docs, b, "text", "doc_id",
-          n = spanWords, mBits = 1L << 22, kHashes = 4)
+          n = benchShingle, mBits = 1L << 22, kHashes = 4)
         .filter(col("contaminated")).select(col("doc_id")))
     val rejected =
       (Seq(blocked, lowQuality, badRatio, repetitive) ++ contaminated)

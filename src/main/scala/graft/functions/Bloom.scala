@@ -99,9 +99,20 @@ object BloomKernel {
   def probe(h: Long, p: Int, mBits: Long): Long =
     graft.operators.TextOps.hash60Const(s"$h:$p") % mBits
 
-  /** True iff ALL kHashes probe positions of h are set in the bitmap. */
+  /** True iff ALL kHashes probe positions of h are set in the bitmap.
+    * Guards bitmap/mBits consistency up front: a filter built with a
+    * different mBits than the query's (config drift between an
+    * index-build job and a serving job) must fail with a clear message,
+    * not an ArrayIndexOutOfBoundsException deep in a task.
+    */
   def hitsAll(bitmap: ArrayData, h: Long, kHashes: Int,
       mBits: Long): Boolean = {
+    val needed = ((mBits + 63) >>> 6).toInt
+    if (bitmap.numElements() < needed)
+      throw new IllegalArgumentException(
+        s"bloom bitmap has ${bitmap.numElements()} words but mBits=" +
+          s"$mBits needs $needed — was the filter built with a " +
+          "different mBits?")
     var p = 0
     while (p < kHashes) {
       val pos = probe(h, p, mBits)

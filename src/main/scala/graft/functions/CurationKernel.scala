@@ -127,7 +127,11 @@ object CurationStatsKernel {
     * of [[blockScrub]]).
     */
   def spanRepeats(text: UTF8String, spanWords: Int): ArrayData = {
-    val words = ShingleKernel.tokenize(text)
+    // null text ≡ empty token stream (0 spans) — the same convention as
+    // blockScrub, and what the q93 oracle's COALESCE(n_spans, 0) emits
+    val words =
+      if (text == null) new java.util.ArrayList[String]()
+      else ShingleKernel.tokenize(text)
     val n = words.size
     val nSpans = math.max(0, n - spanWords + 1)
     val seen = new java.util.HashSet[String](math.max(4, nSpans * 2))
@@ -214,7 +218,7 @@ object CurationStats {
       "spanRepeats",
       Seq(text, Literal(spanWords, IntegerType)),
       inputTypes = Seq(StringType, IntegerType),
-      propagateNull = true,
+      propagateNull = false,
       returnNullable = false)
 
   /** Column API: `array(n_spans, n_repeated)` — off-grid repeated-span

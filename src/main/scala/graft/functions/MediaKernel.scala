@@ -51,9 +51,11 @@ object MediaProbeKernel {
       row("png", be32(16), be32(20), null, null)
     else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
       // BITMAPINFOHEADER: signed LE dims at 18/22 (negative height =
-      // top-down row order; magnitude is the pixel height)
-      row("bmp", math.abs(le32(18).toInt).toLong,
-        math.abs(le32(22).toInt).toLong, null, null)
+      // top-down row order; magnitude is the pixel height). abs AFTER
+      // widening to long: abs(Int.MinValue) is still negative, and a
+      // crafted 0x80000000 dim must not emit a negative width
+      row("bmp", math.abs(le32(18).toInt.toLong),
+        math.abs(le32(22).toInt.toLong), null, null)
     else if (b.length >= 36 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
         b(11) == 'E')

@@ -601,11 +601,15 @@ object Curation {
     * persisted here for the same release-point reason as
     * [[dfPruneCounts]].
     *
-    * Block boundaries need an id that casts to double (order-preserving
-    * for any numeric id); for non-numeric ids the cast nulls out and
-    * packing degrades to one block per stratum (the old serial
-    * behavior) — still correct, documented, never wrong (q92 pins this
-    * fallback under the driver's oracle). Above `maxStrata` distinct
+    * Block boundaries need a NUMERIC-TYPED id (the double cast is
+    * order-preserving for numeric types); a string id column degrades
+    * to one block per stratum (the old serial behavior) — still
+    * correct, documented, never wrong (q92 pins this fallback under
+    * the driver's oracle). The gate is the column TYPE, not value
+    * parseability: numeric-text strings sort lexicographically in the
+    * pack order but numerically in the quantile blocks, which would
+    * break the block-monotonicity the prefix sum needs — so they
+    * degrade too. Above `maxStrata` distinct
     * strata, blocking is skipped the same way — that many strata
     * already parallelize — and the boundary collect stays LIMIT-bounded
     * (see [[withPackBlocks]]); CurationSpec pins result equality across
@@ -613,7 +617,9 @@ object Curation {
     *
     * `startOffsets` makes packing INCREMENTAL — the nightly-refresh
     * shape: a `(strataCol, start_tokens)` frame (strata-sized,
-    * broadcast, null-safe like the offsets join) pre-loads each
+    * broadcast, null-safe like the offsets join; duplicate stratum
+    * rows SUM, so several per-shard summary frames can be passed
+    * unioned) pre-loads each
     * stratum's running token count, so a new shard's bins CONTINUE the
     * previous run's numbering instead of restarting at 0. When the new
     * shard's ids sort after the old corpus's, append-pack ≡ packing
@@ -631,8 +637,12 @@ object Curation {
       idCol, strataCol, blocks, maxStrata)
     val wb = startOffsets match {
       case Some(so) =>
-        val s2 = so.select(col(strataCol).as("_ss"),
-          col("start_tokens").cast("bigint").as("_start"))
+        // aggregate defensively: duplicate stratum rows (e.g. several
+        // per-shard summary frames unioned) SUM — the additive reading
+        // of carried token counts — instead of duplicating every
+        // matching document through the join and corrupting the bins
+        val s2 = so.groupBy(col(strataCol).as("_ss"))
+          .agg(sum(col("start_tokens").cast("bigint")).as("_start"))
         wb0.join(broadcast(s2), col(strataCol) <=> col("_ss"), "left")
           .withColumn("_base", coalesce(col("_start"), lit(0L)))
           .drop("_ss", "_start")
@@ -689,11 +699,20 @@ object Curation {
     val nBlocks =
       if (blocks > 0) blocks
       else math.max(spark.sparkContext.defaultParallelism, 1)
-    // try_cast, NOT cast: under ANSI mode (the Spark 4 default) a
-    // plain cast of a non-numeric id THROWS instead of nulling out —
-    // the documented degrade-to-one-block fallback only exists if the
-    // failed cast yields null (q92 pins the string-id path end-to-end)
-    val idn = col(idCol).try_cast("double")
+    // blocking requires an id whose NUMERIC order is the pack order —
+    // i.e. a numeric-TYPED column. A string column degrades to one
+    // block per stratum even when its values happen to parse as
+    // numbers: casting "10" < "9" to 10.0 > 9.0 would assign quantile
+    // blocks by numeric order while the block-local window sorts
+    // lexicographically, breaking the _blk-monotone-in-id invariant
+    // the prefix-sum composition rests on (bins would silently differ
+    // from the serial path for unpadded numeric-text ids). Type check,
+    // not try_cast: the fallback must not depend on what the values
+    // parse as.
+    if (!df.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType])
+      return df.withColumn("_blk", lit(0))
+    val idn = col(idCol).cast("double")
     if (nBlocks <= 1) return df.withColumn("_blk", lit(0))
     val probs = (1 until nBlocks).map(_.toDouble / nBlocks)
     // collected ONCE so the subtotal pass and the output pass see the

@@ -86,6 +86,10 @@ object ScaleBloom {
         noop(Curation.bloomDecontaminateBitmap(docs, bench, "text",
           "doc_id", n = 8, mBits = mBits, kHashes = k))
       }
+      // release the checkpointed bench before the next (larger) one:
+      // leaking 1+4+16+64 corpus copies into the storage pool would
+      // evict the frames under test and skew the timings
+      bench.unpersist()
     }
     spark.stop()
   }

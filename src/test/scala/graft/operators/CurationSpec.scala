@@ -436,6 +436,20 @@ class CurationSpec extends SparkSpec {
     assert(b.filter($"contaminated").count() > 0)
   }
 
+  test("bloom bitmap/mBits mismatch fails with a clear message, " +
+      "not an index error") {
+    import graft.functions.BloomKernel
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // filter built at m=2^18 (4096 words), queried at m=2^22
+    val smallBitmap = new GenericArrayData(new Array[Long](4096))
+    val e = intercept[IllegalArgumentException] {
+      BloomKernel.hitsAll(smallBitmap, 12345L, 4, 1L << 22)
+    }
+    assert(e.getMessage.contains("different mBits"))
+    // consistent m is fine regardless of hit outcome
+    assert(!BloomKernel.hitsAll(smallBitmap, 12345L, 4, 1L << 18))
+  }
+
   test("spanRepeatStats counts off-grid repeats (hand-computed + " +
       "in-memory model), no shuffle") {
     import spark.implicits._
@@ -443,7 +457,9 @@ class CurationSpec extends SparkSpec {
       (1L, "a b c x a b c"),  // spans at 1-based 1..5; "a b c" repeats
                               // at offset 5 (off the 3-grid) → 1 repeat
       (2L, "p q"),            // fewer than 3 words → 0 spans, null frac
-      (3L, "z z z z")         // spans: zzz, zzz → 1 repeat of 2
+      (3L, "z z z z"),        // spans: zzz, zzz → 1 repeat of 2
+      (4L, null.asInstanceOf[String]) // null text ≡ empty: (0, 0, null)
+                              // — what the q93 oracle's COALESCE emits
     ).toDF("doc_id", "text")
     val q = Curation.spanRepeatStats(d, "text", "doc_id", spanWords = 3)
     assert(q.queryExecution.executedPlan.collect {
@@ -454,7 +470,8 @@ class CurationSpec extends SparkSpec {
     assert(got.toSeq == Seq(
       (1L, 5L, 1L, Some(0.2)),
       (2L, 0L, 0L, None),
-      (3L, 2L, 1L, Some(0.5))))
+      (3L, 2L, 1L, Some(0.5)),
+      (4L, 0L, 0L, None)))
     // generated corpus vs in-memory seen-set model
     val gen = (0L to 120L).map { i =>
       val words = (0 until (i % 23).toInt).map(j => s"w${(i + j) % 5}")
@@ -492,9 +509,9 @@ class CurationSpec extends SparkSpec {
       .select("doc_id", "n_tokens", "bin").orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(capped == numeric)
-    // non-numeric id: ANSI-safe try_cast nulls out, one block per
-    // stratum; zero-padded string order ≡ numeric order, so the bins
-    // must agree with the numeric run doc for doc
+    // non-numeric id TYPE: one block per stratum; zero-padded string
+    // order ≡ numeric order, so the bins must agree with the numeric
+    // run doc for doc
     val s = d.select(concat(lit("k"), lpad(col("doc_id"), 4, "0"))
       .as("k"), col("lang"), col("text"))
     val viaString = Curation.packSequences(s, "text", "k", "lang",
@@ -504,6 +521,22 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getString(0).drop(1).toLong, r.getLong(1),
         r.getLong(2))).toSeq.sortBy(_._1)
     assert(viaString == numeric)
+    // UNPADDED numeric-text strings: "10" sorts before "9"
+    // lexicographically but after it numerically — the type gate must
+    // force the serial path (quantile blocks over parsed values would
+    // break block monotonicity and silently corrupt bins), so blocked
+    // ≡ serial in the STRING sort order
+    val u = d.select(col("doc_id").cast("string").as("k"), col("lang"),
+      col("text"))
+    val blocked = Curation.packSequences(u, "text", "k", "lang",
+        window = 9L, blocks = 8)
+      .select("k", "bin").orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val serial = Curation.packSequences(u, "text", "k", "lang",
+        window = 9L, blocks = 1)
+      .select("k", "bin").orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(blocked == serial)
   }
 
   test("packSequences with startOffsets: append-pack ≡ packing the " +
@@ -534,6 +567,19 @@ class CurationSpec extends SparkSpec {
         startOffsets = Some(offsets))
       .select("bin").first().getLong(0)
     assert(fresh == 0L)
+    // duplicate stratum rows in the offsets frame SUM (per-shard
+    // summaries passed unioned) — and must NOT duplicate output rows
+    val halves = old.filter($"doc_id" <= 15).groupBy($"lang")
+      .agg(sum(size(TextOps.words($"text"))).cast("bigint")
+        .as("start_tokens"))
+      .union(old.filter($"doc_id" > 15).groupBy($"lang")
+        .agg(sum(size(TextOps.words($"text"))).cast("bigint")
+          .as("start_tokens")))
+    val viaDup = Curation.packSequences(neu, "text", "doc_id", "lang",
+        window = 7L, blocks = 4, startOffsets = Some(halves))
+      .select("doc_id", "n_tokens", "bin").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(viaDup.toSeq == appended.toSeq)
   }
 
   test("packSequences keeps null-strata rows (null-safe offsets join)") {

@@ -78,11 +78,17 @@ class MultimodalSpec extends SparkSpec {
       0xff, 0xe0, 0, 4, 0, 0,                      // APP0 len 4
       0xff, 0xc0, 0, 11, 8, 0, 0x50, 0, 0x78, 3,   // SOF0: h=80 w=120
       0, 0, 0)
+    // crafted BMP with width 0x80000000: abs must widen to long first
+    // (abs(Int.MinValue) stays negative) — the probe must not emit a
+    // negative dimension for garbage bytes
+    val evilBmp = bytes('B', 'M') ++ new Array[Byte](16) ++
+      bytes(0, 0, 0, 0x80, 0x10, 0, 0, 0)
     val rows = Seq(
       (1L, png), (2L, bmp), (3L, wav), (4L, jpeg),
       (5L, "not a media file at all".getBytes("UTF-8")),
       (6L, png.take(10)),               // truncated: too short for PNG
-      (7L, null.asInstanceOf[Array[Byte]]))
+      (7L, null.asInstanceOf[Array[Byte]]),
+      (8L, evilBmp))
       .toDF("doc_id", "payload")
     val got = Multimodal.mediaProbe(rows, "doc_id", "payload")
       .orderBy("doc_id").collect()
@@ -96,7 +102,8 @@ class MultimodalSpec extends SparkSpec {
       (4L, "jpeg", Some(120L), Some(80L), None, None),
       (5L, "unknown", None, None, None, None),
       (6L, "unknown", None, None, None, None),
-      (7L, "unknown", None, None, None, None)))
+      (7L, "unknown", None, None, None, None),
+      (8L, "bmp", Some(2147483648L), Some(16L), None, None)))
   }
 
   test("repartitionByBytes: partition count tracks payload volume") {
