@@ -203,6 +203,60 @@ object Curation {
           .as("avg_logp"))
   }
 
+  /** Bigram language-model scoring — the conditional-probability
+    * counterpart of [[unigramLogProb]], the next rung of the standard
+    * perplexity-filter ladder: per document, the mean log P(w₂|w₁)
+    * under an add-one-smoothed corpus bigram model,
+    * `P(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁·) + V)` with `c(w₁·)` the
+    * context count (occurrences of w₁ as a bigram head) and `V` the
+    * corpus unigram vocabulary. Repeated boilerplate scores high;
+    * incoherent word salad scores low even when its unigrams are
+    * common — the signal the unigram model cannot see.
+    *
+    * Determinism discipline (same as [[unigramLogProb]]): each bigram's
+    * log-probability is rounded to 6 decimals and carried as
+    * DECIMAL(20,6), so per-document sums are exact integer arithmetic —
+    * order-independent and engine-portable; only the final mean is a
+    * float. Documents with fewer than 2 words have no bigrams and are
+    * omitted.
+    *
+    * Plan shape: one bigram explode (map-side zip of the token array
+    * with its own tail), one (doc, w₁, w₂) partial+final aggregation;
+    * corpus bigram and context counts REUSE that aggregate (sums of
+    * `tf`, no second scan), and the scoring join shuffles on the bigram
+    * key — all linear in corpus size, nothing all-pairs. `V` is a
+    * one-row broadcast.
+    */
+  def bigramLogProb(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val ws = TextOps.words(col(textCol))
+    val bg = graft.Tables.rebalance(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(zip_with(
+        // greatest(…, 0): slice() rejects negative lengths, and an
+        // empty token array would ask for length -1
+        slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+        slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val tf = bg.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val cb = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("cb"))
+    val cw = tf.groupBy(col("w1")).agg(sum(col("tf")).as("cw"))
+    val vocab = TextOps.wordRows(docs, textCol)
+      .agg(countDistinct(col("word")).as("v"))
+    val logp = cb.join(cw, Seq("w1")).crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        round(log((col("cb") + 1) / (col("cw") + col("v"))), 6)
+          .cast("decimal(20,6)").as("logp"))
+    tf.join(logp, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("logp") * col("tf")).as("s"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("s").cast("double") / col("n_bigrams"), 6)
+          .as("avg_logp"))
+  }
+
   /** C4-style blocklist gate: count each document's tokens that appear
     * in a term blocklist and reject documents exceeding `maxHits`.
     * Returns `(idCol, n_hits, blocked)` — counts kept as a column so

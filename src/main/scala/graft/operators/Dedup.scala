@@ -616,4 +616,43 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Post-clustering canonical selection — the "keep one, not drop
+    * all" resolution step a curation pipeline runs after
+    * [[connectedComponents]]: from every duplicate cluster, keep the
+    * member with the highest `scoreCol` (e.g. a quality score), ties
+    * broken to the LOWEST id so the choice is deterministic and
+    * replayable by an oracle. Standard practice after near-dup
+    * clustering (Lee et al. 2022 keep-one-per-cluster); the reference
+    * has no analog — its dedup is row-identity truncate-and-reload
+    * (sqltask/base/table.py), not content clustering.
+    *
+    * Returns one row per cluster: `(cluster, kept_id, n_members,
+    * best_score)`. Anti-join the input against `kept_id` to obtain the
+    * drop set.
+    *
+    * Plan shape: one shuffle on `cluster` with a map-side partial
+    * `max_by` over a (score, -id) struct — no window sort, no second
+    * pass over the corpus. At 100 TB this is a plain aggregation whose
+    * output cardinality is the cluster count; the struct ordering keeps
+    * the tie-break inside the same partial aggregate instead of a
+    * row_number window (which would sort every partition).
+    *
+    * @param clusters (id, cluster) from [[connectedComponents]]
+    * @param scores   per-id score frame; ids absent from `scores` drop
+    *                 out of the selection (inner join), so score every
+    *                 node you want eligible
+    */
+  def keepBestPerCluster(clusters: DataFrame, scores: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    val s = scores.select(col(idCol).cast("long").as("id"),
+      col(scoreCol).cast("double").as("_score"))
+    clusters.join(s, Seq("id"))
+      .groupBy(col("cluster"))
+      .agg(
+        max_by(col("id"), struct(col("_score"), -col("id")))
+          .as("kept_id"),
+        count(lit(1)).as("n_members"),
+        max(col("_score")).as("best_score"))
+  }
 }

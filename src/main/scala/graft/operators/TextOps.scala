@@ -71,6 +71,24 @@ object TextOps {
   def markerHits(ws: Column, markers: Seq[String]): Column =
     size(filter(ws, w => w.isInCollection(markers))).cast("bigint")
 
+  /** Composite heuristic quality score over a token array — the q31
+    * formula as one reusable column, so downstream selection steps
+    * (e.g. [[Dedup.keepBestPerCluster]]) score with exactly the same
+    * arithmetic the audit query reports:
+    * `0.5·stopword_ratio + 0.5 / (1 + |avg_word_len − 5|)`.
+    *
+    * Both terms are single double divisions over exact integer counts,
+    * so the value is bit-identical across engines (oracle-comparable
+    * without rounding). Empty token arrays yield NaN (0/0) — filter to
+    * `size(ws) >= 1` before ordering by this score.
+    */
+  def qualityScore(ws: Column, stopwords: Seq[String]): Column = {
+    val avgWordLen = aggregate(transform(ws, w => length(w)), lit(0),
+      (acc, x) => acc + x).cast("double") / size(ws)
+    (markerHits(ws, stopwords).cast("double") / size(ws)) * 0.5 +
+      (lit(1.0) / (lit(1.0) + abs(avgWordLen - 5.0))) * 0.5
+  }
+
   /** Deterministic whole-document fingerprint: md5 of the
     * whitespace-normalized lowercase text, plus a 60-bit bucket of it.
     */

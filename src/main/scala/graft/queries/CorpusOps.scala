@@ -178,10 +178,10 @@ object CorpusOps {
   )
 
   // language-marker sets for the langid heuristic
-  private val enM = Seq("the", "of", "and", "a", "to", "in", "is")
+  private[queries] val enM = Seq("the", "of", "and", "a", "to", "in", "is")
   private val esM = Seq("el", "la", "de", "los", "y", "en", "que")
   private val deM = Seq("der", "die", "das", "und", "ist")
-  private def oMarkers(m: Seq[String]): String =
+  private[queries] def oMarkers(m: Seq[String]): String =
     m.map(w => s"'$w'").mkString(", ")
 
   val textDefs: Seq[QueryDef] = Seq(

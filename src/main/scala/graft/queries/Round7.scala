@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Curation, Multimodal, Similarity}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextOps}
 import org.apache.spark.sql.{Column}
 import org.apache.spark.sql.functions._
 
@@ -330,5 +330,102 @@ object Round7 {
              |  WHERE t.doc_id % 2 = 1)
              |SELECT doc_id, lang, n_tokens,
              |  CAST(floor(cum / 2048) AS BIGINT) AS bin
-             |FROM c ORDER BY doc_id""".stripMargin)))
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ---- canonical selection per duplicate cluster: the "keep one,
+    // not drop all" resolution step after q45's clustering — highest
+    // quality score wins, ties to the lowest doc_id. One map-side
+    // partial max_by per cluster (no window sort). Oracle walks the
+    // same component graph, scores with the same two-division formula
+    // (bit-identical doubles — exact integer counts, one division
+    // each), and picks with a deterministic row_number.
+    QueryDef("q99_cluster_keep_best",
+      (s, dir) => {
+        val docs = t("documents")(s, dir)
+        val pairs = Dedup.jaccardPairs(
+          docs, "doc_id", "text", n = 3, threshold = 0.6)
+        val clusters = Dedup.connectedComponents(
+          pairs, docs.select(col("doc_id")), "doc_id")
+        val scored = docs
+          .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 1)
+          .select(col("doc_id"),
+            TextOps.qualityScore(col("ws"), CorpusOps.enM).as("q"))
+        Dedup.keepBestPerCluster(clusters, scored, "doc_id", "q")
+          .select(col("cluster"), col("kept_id").as("kept_doc_id"),
+            col("n_members"), round(col("best_score"), 6).as("best_score"))
+          .orderBy(col("cluster"))
+      },
+      Some(s"""WITH RECURSIVE ${CorpusOps.oShinglesSql},
+              |hs AS (SELECT doc_id, ${CorpusOps.oH60("s")} AS h FROM sh),
+              |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+              |p AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) AS inter
+              |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |prs AS (SELECT da, db FROM p
+              |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+              |  WHERE inter / (x.n + y.n - inter) >= 0.6),
+              |edges AS (SELECT da AS src, db AS dst FROM prs
+              |  UNION ALL SELECT db, da FROM prs),
+              |walk AS (
+              |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+              |  UNION
+              |  SELECT e.dst AS id, w.lbl
+              |  FROM walk w JOIN edges e ON w.id = e.src
+              |  WHERE w.lbl < e.dst),
+              |cl AS (SELECT id AS doc_id, min(lbl) AS cluster
+              |  FROM walk GROUP BY id),
+              |tok AS (SELECT doc_id, list_filter(
+              |    string_split_regex(lower(text), '\\s+'),
+              |    x -> len(x) > 0) AS ws FROM documents),
+              |q AS (SELECT doc_id,
+              |    (CAST(len(list_filter(ws, x -> list_contains(
+              |      [${CorpusOps.oMarkers(CorpusOps.enM)}], x)))
+              |      AS BIGINT) / len(ws)) * 0.5 +
+              |    1.0 / (1.0 + abs(
+              |      CAST(list_sum(list_transform(ws, x -> len(x)))
+              |        AS BIGINT) / len(ws) - 5.0)) * 0.5 AS q
+              |  FROM tok WHERE len(ws) >= 1),
+              |r AS (SELECT cl.cluster, q.doc_id, q.q,
+              |    ROW_NUMBER() OVER (PARTITION BY cl.cluster
+              |      ORDER BY q.q DESC, q.doc_id ASC) AS rn,
+              |    COUNT(*) OVER (PARTITION BY cl.cluster) AS n_members,
+              |    MAX(q.q) OVER (PARTITION BY cl.cluster) AS best
+              |  FROM cl JOIN q USING (doc_id))
+              |SELECT cluster, doc_id AS kept_doc_id,
+              |  CAST(n_members AS BIGINT) AS n_members,
+              |  round(best, 6) AS best_score
+              |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin)),
+
+    // ---- bigram-LM document scoring: the conditional-probability rung
+    // above q74's unigram model (add-one smoothing over the corpus
+    // vocabulary). Same determinism discipline: per-bigram logp rounded
+    // to 6 decimals into DECIMAL(20,6), exact decimal sums, one final
+    // float division.
+    QueryDef("q100_bigram_logprob",
+      (s, dir) => Curation
+        .bigramLogProb(t("documents")(s, dir), "text", "doc_id")
+        .orderBy(col("doc_id")),
+      Some("""WITH w AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(text), '\s+'),
+             |    x -> len(x) > 0) AS ws FROM documents),
+             |v AS (SELECT COUNT(DISTINCT word) AS v FROM
+             |  (SELECT unnest(ws) AS word FROM w)),
+             |b AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+             |  FROM (SELECT doc_id, ws,
+             |      unnest(generate_series(1, len(ws) - 1)) AS i
+             |    FROM w WHERE len(ws) >= 2)),
+             |tf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf
+             |  FROM b GROUP BY doc_id, w1, w2),
+             |cb AS (SELECT w1, w2, SUM(tf) AS cbn FROM tf GROUP BY w1, w2),
+             |cw AS (SELECT w1, SUM(tf) AS cwn FROM tf GROUP BY w1),
+             |lp AS (SELECT w1, w2, CAST(round(ln((cbn + 1) / (cwn + v.v)), 6)
+             |    AS DECIMAL(20,6)) AS logp
+             |  FROM cb JOIN cw USING (w1), v),
+             |d AS (SELECT tf.doc_id, SUM(tf.tf) AS n_bigrams,
+             |    SUM(lp.logp * tf.tf) AS s
+             |  FROM tf JOIN lp USING (w1, w2) GROUP BY tf.doc_id)
+             |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+             |  round(CAST(s AS DOUBLE) / n_bigrams, 6) AS avg_logp
+             |FROM d ORDER BY doc_id""".stripMargin)))
 }
