@@ -139,8 +139,19 @@ object Bench {
     // records only a ~2000-char tail of stdout: the verbose line above
     // (~4.5 KB) always had its opening brace truncated away, so every
     // BENCH_r{N}.json carried parsed:null. 3-decimal seconds (ms
-    // precision — below run-to-run noise) and cold-only per-query map
-    // keep this line well under the tail window.
+    // precision — below run-to-run noise) keeps this line well under
+    // the tail window. The compact `queries` map carries the PER-QUERY
+    // MIN of the two passes (since r8; r7 recorded cold): the r7
+    // artifact caught a host stall in q1's cold pass (8.7 s vs a <1 s
+    // floor) that was unfalsifiable from the recorded artifact alone —
+    // per-query floors are the numbers a regression hunt needs. Cold
+    // and steady totals remain as their own fields; full-precision
+    // cold/steady per-query maps stay in the verbose line.
+    // NOTE on `value` semantics across rounds: r1-r6 `value` = cold
+    // total; r7+ `value` = min_total. Round-over-round comparisons of
+    // `value` across that boundary conflate the metric change with a
+    // real speedup — compare min_total to min_total (derivable for r6
+    // from its verbose cold+steady maps).
     def f3(v: Double): String = {
       val s = "%.3f".format(v)
       val t = s.reverse.dropWhile(_ == '0').reverse
@@ -163,7 +174,14 @@ object Bench {
     def js3(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => s"\"" + short(k) + "\":" + f3(v) }
         .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(minTotal)},"unit":"sec","queries":${js3(cold)},"cold_total":${f3(total)},"steady_total":${f3(steadyTotal)},"min_total":${f3(minTotal)}$errJson,"load_avg_end":${f3(loadAvg)},"cpus":$cpus,"sf":"$sfDir"}""")
+    val perQueryMin = cold.zip(steady).map { case ((n, c), (_, s)) =>
+      n -> ((c, s) match {
+        case (c, s) if c >= 0 && s >= 0 => math.min(c, s)
+        case (c, _) if c >= 0 => c
+        case _ => s
+      })
+    }
+    println(s"""{"metric":"total","value":${f3(minTotal)},"unit":"sec","queries":${js3(perQueryMin)},"cold_total":${f3(total)},"steady_total":${f3(steadyTotal)},"min_total":${f3(minTotal)}$errJson,"load_avg_end":${f3(loadAvg)},"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

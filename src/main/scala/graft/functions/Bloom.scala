@@ -37,6 +37,8 @@ case class BloomAgg(
   extends TypedImperativeAggregate[Array[Long]] {
 
   require(mBits > 0 && kHashes > 0, "need positive mBits, kHashes")
+  require(mBits <= BloomKernel.MaxMBits,
+    s"mBits=$mBits too large for a packed long[] bitmap (max ${BloomKernel.MaxMBits})")
   private val words = ((mBits + 63) / 64).toInt
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -93,6 +95,11 @@ case class BloomAgg(
 
 object BloomKernel {
 
+  /** Upper bound on mBits: keeps `words * 8` (serialize buffer) inside
+    * Int and the bitmap a sane broadcast size (2^31 bits = 256 MB).
+    */
+  val MaxMBits: Long = 1L << 31
+
   /** Probe position p of hash h — MUST stay bit-identical to the
     * Column-side `hash60(concat(h, ':', p)) % m` and its DuckDB twin.
     */
@@ -100,19 +107,22 @@ object BloomKernel {
     graft.operators.TextOps.hash60Const(s"$h:$p") % mBits
 
   /** True iff ALL kHashes probe positions of h are set in the bitmap.
-    * Guards bitmap/mBits consistency up front: a filter built with a
-    * different mBits than the query's (config drift between an
-    * index-build job and a serving job) must fail with a clear message,
-    * not an ArrayIndexOutOfBoundsException deep in a task.
+    * Guards bitmap/mBits consistency up front, in BOTH directions: a
+    * filter built with a different mBits than the query's (config drift
+    * between an index-build job and a serving job) must fail with a
+    * clear message. A too-small bitmap would index out of bounds; a
+    * too-LARGE one would probe mod the wrong modulus and silently
+    * return false negatives — missed contamination. `words` is a
+    * deterministic function of mBits, so exact equality is the check.
     */
   def hitsAll(bitmap: ArrayData, h: Long, kHashes: Int,
       mBits: Long): Boolean = {
     val needed = ((mBits + 63) >>> 6).toInt
-    if (bitmap.numElements() < needed)
+    if (bitmap.numElements() != needed)
       throw new IllegalArgumentException(
         s"bloom bitmap has ${bitmap.numElements()} words but mBits=" +
-          s"$mBits needs $needed — was the filter built with a " +
-          "different mBits?")
+          s"$mBits needs exactly $needed — was the filter built with " +
+          "a different mBits?")
     var p = 0
     while (p < kHashes) {
       val pos = probe(h, p, mBits)

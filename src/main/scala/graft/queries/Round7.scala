@@ -270,9 +270,14 @@ object Round7 {
           lit("52494646"), le32(lit(36)), lit("57415645666D7420"),
           le32(lit(16)), le16(lit(1)), le16(ch), le32(sr),
           lit("0000000000000000")))
+        // the unknown branch is guaranteed-by-construction: a leading
+        // '#' (0x23) byte matches no container magic, so a document
+        // whose text happens to start with e.g. "BM…" can't drift the
+        // probe to bmp across regenerated corpora / scale factors
         val payload = when(col("doc_id") % 3 === 0, png)
           .when(col("doc_id") % 3 === 1, wav)
-          .otherwise(Multimodal.syntheticPayload(col("text")))
+          .otherwise(concat(unhex(lit("23")),
+            Multimodal.syntheticPayload(col("text"))))
         Multimodal.mediaProbe(
             t("documents")(s, dir).withColumn("payload", payload),
             "doc_id", "payload")
@@ -398,10 +403,11 @@ object Round7 {
               |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin)),
 
     // ---- bigram-LM document scoring: the conditional-probability rung
-    // above q74's unigram model (add-one smoothing over the corpus
-    // vocabulary). Same determinism discipline: per-bigram logp rounded
-    // to 6 decimals into DECIMAL(20,6), exact decimal sums, one final
-    // float division.
+    // above q74's unigram model (add-one smoothing over the bigram-model
+    // vocabulary — distinct w1 ∪ w2, derived from the one materialized
+    // tf aggregate instead of a separate corpus scan). Same determinism
+    // discipline: per-bigram logp rounded to 6 decimals into
+    // DECIMAL(20,6), exact decimal sums, one final float division.
     QueryDef("q100_bigram_logprob",
       (s, dir) => Curation
         .bigramLogProb(t("documents")(s, dir), "text", "doc_id")
@@ -409,14 +415,14 @@ object Round7 {
       Some("""WITH w AS (SELECT doc_id, list_filter(
              |    string_split_regex(lower(text), '\s+'),
              |    x -> len(x) > 0) AS ws FROM documents),
-             |v AS (SELECT COUNT(DISTINCT word) AS v FROM
-             |  (SELECT unnest(ws) AS word FROM w)),
              |b AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
              |  FROM (SELECT doc_id, ws,
              |      unnest(generate_series(1, len(ws) - 1)) AS i
              |    FROM w WHERE len(ws) >= 2)),
              |tf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf
              |  FROM b GROUP BY doc_id, w1, w2),
+             |v AS (SELECT COUNT(DISTINCT wd) AS v FROM
+             |  (SELECT w1 AS wd FROM tf UNION SELECT w2 FROM tf)),
              |cb AS (SELECT w1, w2, SUM(tf) AS cbn FROM tf GROUP BY w1, w2),
              |cw AS (SELECT w1, SUM(tf) AS cwn FROM tf GROUP BY w1),
              |lp AS (SELECT w1, w2, CAST(round(ln((cbn + 1) / (cwn + v.v)), 6)

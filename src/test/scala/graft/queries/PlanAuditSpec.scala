@@ -159,6 +159,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.bcast >= 1 && s.hash <= 3, s)
   }
 
+  test("q100_bigram_logprob: the bigram explode + (doc,w1,w2) " +
+    "aggregation runs ONCE — tf is materialized, so the scoring plan " +
+    "contains NO Generate and reads the checkpointed frame") {
+    val plan = SparkEntry.queries("q100_bigram_logprob")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // before the fix cb/cw/scoring each replayed tokenize+explode+agg:
+    // three Generate nodes (plus a fourth corpus scan for vocabulary);
+    // with tf localCheckpointed the final plan must derive everything
+    // from Scan ExistingRDD nodes and contain zero Generates
+    assert(!plan.contains("Generate"), plan.linesIterator.take(40).mkString("\n"))
+    assert(plan.contains("Scan ExistingRDD"), plan.linesIterator.take(40).mkString("\n"))
+  }
+
   test("q88_ivfpq_residual: every model-sized side broadcasts (cells, " +
     "codebook, probes, distance table); corpus shuffles only for " +
     "assignment, code min_by, and the ADC aggregation") {
