@@ -526,6 +526,17 @@ object Curation {
         cache = false)
       .agg(graft.functions.Bloom.bloomAgg(col("h"), mBits, kHashes)
         .as("_bm"))
+    bloomProbe(docs, bitmap, textCol, idCol, n, mBits, kHashes)
+  }
+
+  /** Probe half shared by [[bloomDecontaminateBitmap]] (in-memory
+    * build) and [[bloomDecontaminateWith]] (persisted filter): one
+    * corpus scan, the one-row bitmap broadcast onto the shingle
+    * stream, per-doc partial+final aggregation.
+    */
+  private def bloomProbe(docs: DataFrame, bitmap: DataFrame,
+      textCol: String, idCol: String, n: Int, mBits: Long,
+      kHashes: Int): DataFrame = {
     val perDoc = Dedup.hashedShingleSet(docs, idCol, textCol, n,
         cache = false)
       .crossJoin(broadcast(bitmap))
@@ -541,6 +552,66 @@ object Curation {
         coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))
       .withColumn("contaminated", col("n_flagged") > 0)
   }
+
+  /** Persistable Bloom-filter artifact — the build-once/probe-many
+    * deployment shape (the q95 treatment applied to the decontamination
+    * filter): a benchmark-ingest job builds the packed bitmap ONCE and
+    * writes one parquet row `(bitmap, m_bits, k_hashes, shingle_n)`;
+    * every later curation run reads mBits/8 bytes instead of
+    * re-shingling the benchmark corpus. The probe parameters travel
+    * INSIDE the artifact, so an index-build vs serving config drift
+    * (the failure [[graft.functions.BloomKernel.hitsAll]]'s exact-size
+    * guard exists for) cannot be expressed through this API — a forged
+    * mismatch still fails loudly (spec-covered).
+    */
+  final case class BloomFilter(bitmap: DataFrame, mBits: Long,
+      kHashes: Int, shingleN: Int) {
+    def write(dir: String): Unit =
+      bitmap.select(col("_bm").as("bitmap"),
+          lit(mBits).as("m_bits"), lit(kHashes).as("k_hashes"),
+          lit(shingleN).as("shingle_n"))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  object BloomFilter {
+    /** Build from a benchmark corpus: no shuffle at all (partial
+      * bitmaps OR together into one ⌈mBits/64⌉-long row).
+      */
+    def build(bench: DataFrame, textCol: String, idCol: String,
+        n: Int, mBits: Long, kHashes: Int): BloomFilter = {
+      require(n > 0 && mBits > 0 && kHashes > 0,
+        "need positive n, mBits, kHashes")
+      val bm = Dedup.hashedShingleSet(bench, idCol, textCol, n,
+          cache = false)
+        .agg(graft.functions.Bloom.bloomAgg(col("h"), mBits, kHashes)
+          .as("_bm"))
+      BloomFilter(bm, mBits, kHashes, n)
+    }
+
+    /** Read a persisted filter; the stored parameters are restored from
+      * the artifact row (one bounded head() — the frame is one row by
+      * construction).
+      */
+    def read(spark: org.apache.spark.sql.SparkSession,
+        dir: String): BloomFilter = {
+      val df = spark.read.parquet(dir)
+      val row = df.select(col("m_bits"), col("k_hashes"),
+        col("shingle_n")).head()
+      BloomFilter(df.select(col("bitmap").as("_bm")),
+        row.getLong(0), row.getInt(1), row.getInt(2))
+    }
+  }
+
+  /** [[bloomDecontaminateBitmap]] probing a pre-built (typically
+    * persisted) [[BloomFilter]] — the serving half: the benchmark
+    * corpus is never touched, the filter row is all that's read.
+    * Flag-for-flag identical to the in-memory build by construction
+    * (q102 shares q94/q96's oracle verbatim).
+    */
+  def bloomDecontaminateWith(docs: DataFrame, filter: BloomFilter,
+      textCol: String, idCol: String): DataFrame =
+    bloomProbe(docs, filter.bitmap, textCol, idCol, filter.shingleN,
+      filter.mBits, filter.kHashes)
 
   /** Off-grid repeated-span statistics: count sliding `spanWords`-word
     * windows (stride 1 — EVERY word offset) whose exact span already

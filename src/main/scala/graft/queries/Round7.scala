@@ -18,7 +18,7 @@ object Round7 {
     * variant): the two physical shapes are flag-for-flag identical by
     * construction, so one oracle gates both.
     */
-  private val bloomOracle: String =
+  private[queries] val bloomOracle: String =
     """WITH w AS (SELECT doc_id, list_filter(
       |    string_split_regex(lower(text), '\s+'),
       |    x -> len(x) > 0) AS ws FROM documents),

@@ -1,0 +1,212 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Curation, Multimodal, Similarity}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Round-8 additions: the TRAINED-cells IVF-PQ search end-to-end under
+  * the driver's hard signal (q87/q88/q95 run the catalog seeded — the
+  * measured-worse recall path the code itself warns about; q91 proved
+  * Lloyd training replays in SQL, this composes it THROUGH search), the
+  * persistable Bloom-filter artifact (the build-once/probe-many shape
+  * ScaleBloom's guidance promises), and the JPEG/BMP marker-scanning
+  * parser paths under the parse∘construct gate.
+  */
+object Round8 {
+  private def t(name: String): QueryFn = (s, dir) => Tables.load(s, dir, name)
+
+  /** The 2-iteration Lloyd replay from q91's oracle, ending in trained
+    * cells `c2n(cen_id, ce, cn)` — shared verbatim by q101 so the
+    * training and search queries can never drift apart.
+    */
+  private val lloyd2Cte: String =
+    """e AS (SELECT vec_id,
+      |    CAST(embedding AS DOUBLE[]) AS d FROM embeddings),
+      |en AS (SELECT vec_id, d,
+      |    sqrt(list_dot_product(d, d)) AS nrm FROM e),
+      |c0 AS (SELECT vec_id AS cen_id, d AS ce,
+      |    sqrt(list_dot_product(d, d)) AS cn
+      |  FROM e ORDER BY vec_id LIMIT 8),
+      |a1r AS (SELECT en.vec_id, c0.cen_id,
+      |    round(list_dot_product(en.d, c0.ce) /
+      |      (en.nrm * c0.cn), 6) AS cs
+      |  FROM en, c0),
+      |a1 AS (SELECT vec_id, cen_id AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cs DESC, cen_id) AS r FROM a1r)
+      |  WHERE r = 1),
+      |m1 AS (SELECT a1.cell, t.p,
+      |    round(avg(en.d[t.p + 1]), 6) AS m
+      |  FROM a1 JOIN en ON a1.vec_id = en.vec_id,
+      |    range(0, 64) t(p)
+      |  GROUP BY a1.cell, t.p),
+      |c1 AS (SELECT cell AS cen_id, list(m ORDER BY p) AS ce
+      |  FROM m1 GROUP BY cell),
+      |c1n AS (SELECT cen_id, ce,
+      |    sqrt(list_dot_product(ce, ce)) AS cn FROM c1),
+      |a2r AS (SELECT en.vec_id, c1n.cen_id,
+      |    round(list_dot_product(en.d, c1n.ce) /
+      |      (en.nrm * c1n.cn), 6) AS cs
+      |  FROM en, c1n),
+      |a2 AS (SELECT vec_id, cen_id AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cs DESC, cen_id) AS r FROM a2r)
+      |  WHERE r = 1),
+      |m2 AS (SELECT a2.cell, t.p,
+      |    round(avg(en.d[t.p + 1]), 6) AS m
+      |  FROM a2 JOIN en ON a2.vec_id = en.vec_id,
+      |    range(0, 64) t(p)
+      |  GROUP BY a2.cell, t.p),
+      |c2 AS (SELECT cell AS cen_id, list(m ORDER BY p) AS ce
+      |  FROM m2 GROUP BY cell),
+      |c2n AS (SELECT cen_id, ce,
+      |    sqrt(list_dot_product(ce, ce)) AS cn FROM c2)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- IVF-PQ search over TRAINED cells, end-to-end under the
+    // oracle: q91 put Lloyd TRAINING under the hard signal; this runs
+    // the same 2-iteration refinement and searches THROUGH the trained
+    // cells — closing the last seeded-only gap (q87/q88/q95 all run
+    // trainIters = 0, the path Similarity.scala's recall warning exists
+    // for). Same search parameters and output shape as q87; only WHICH
+    // cells bound the candidate set changes — training moves the
+    // broadcast constants, never the plan shape.
+    QueryDef("q101_ivfpq_trained",
+      (s, dir) => {
+        val emb = t("embeddings")(s, dir)
+        Similarity.ivfPqTopK(emb.filter(col("vec_id") < 12), emb,
+            k = 5, nCells = 8, nprobe = 2, dims = 64, m = 8,
+            nCentroids = 16, trainIters = 2)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH $lloyd2Cte,
+              |ca0 AS (SELECT en.vec_id AS id, c2n.cen_id AS cel_id,
+              |    round(list_dot_product(en.d, c2n.ce) /
+              |      (en.nrm * c2n.cn), 6) AS csim
+              |  FROM en, c2n),
+              |ca1 AS (SELECT *, row_number() OVER (PARTITION BY id
+              |    ORDER BY csim DESC, cel_id) AS r FROM ca0),
+              |cellof AS (SELECT id, cel_id AS cell FROM ca1 WHERE r = 1),
+              |qp1 AS (SELECT *, row_number() OVER (PARTITION BY id
+              |    ORDER BY csim DESC, cel_id) AS r FROM ca0
+              |  WHERE id < 12),
+              |probes AS (SELECT id AS query_id, cel_id AS cell
+              |  FROM qp1 WHERE r <= 2),
+              |s AS (SELECT vec_id, t.j, d[t.j*8+1 : t.j*8+8] AS sv
+              |  FROM e, range(0, 8) t(j)),
+              |pcen AS (SELECT j, s.vec_id AS cen_id, sv AS cv FROM s
+              |  WHERE s.vec_id IN (SELECT vec_id FROM e
+              |    ORDER BY vec_id LIMIT 16)),
+              |pa0 AS (SELECT s.vec_id AS id, s.j, cen_id,
+              |    round(list_dot_product(sv, sv)
+              |      - 2 * list_dot_product(sv, cv)
+              |      + list_dot_product(cv, cv), 6) AS dist2
+              |  FROM s JOIN pcen ON s.j = pcen.j),
+              |pa1 AS (SELECT *, row_number() OVER (PARTITION BY id, j
+              |    ORDER BY dist2, cen_id) AS r FROM pa0),
+              |codes AS (SELECT id, j, cen_id AS code FROM pa1
+              |  WHERE r = 1),
+              |qs AS (SELECT vec_id AS query_id, j, sv AS qv FROM s
+              |  WHERE vec_id < 12),
+              |tbl AS (SELECT query_id, qs.j, cen_id AS code,
+              |    CAST(round(list_dot_product(qv, qv)
+              |      - 2 * list_dot_product(qv, cv)
+              |      + list_dot_product(cv, cv), 6)
+              |      AS DECIMAL(20,6)) AS d2
+              |  FROM qs JOIN pcen ON qs.j = pcen.j),
+              |sums AS (SELECT p.query_id, c.id AS neighbor_id,
+              |    CAST(SUM(d2) AS DOUBLE) AS adist
+              |  FROM codes c
+              |  JOIN cellof ON c.id = cellof.id
+              |  JOIN probes p ON p.cell = cellof.cell
+              |  JOIN tbl ON tbl.query_id = p.query_id
+              |    AND tbl.j = c.j AND tbl.code = c.code
+              |  WHERE p.query_id != c.id
+              |  GROUP BY p.query_id, c.id),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              |    ORDER BY adist, neighbor_id) AS rank FROM sums)
+              |SELECT query_id, neighbor_id, adist,
+              |  CAST(rank AS BIGINT) AS rank
+              |FROM r WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- persisted Bloom-filter round-trip: build the packed bitmap
+    // from the benchmark split, WRITE the one-row artifact (bitmap +
+    // its probe parameters) to parquet, read it back, and probe the
+    // whole corpus from the persisted filter — the build-once/
+    // probe-many serving shape ScaleBloom's guidance promises ("amortize
+    // by persisting the built filter"). Same parameters as q94/q96 and
+    // the SAME oracle: any drift in the persisted bitmap or restored
+    // parameters hash-fails here.
+    QueryDef("q102_bloom_persist",
+      (s, dir) => {
+        val docs = t("documents")(s, dir)
+        val dirKey = try new java.io.File(dir).getCanonicalPath
+          catch { case _: Throwable => dir }
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(dirKey.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16) + "_" +
+          java.lang.ProcessHandle.current().pid()
+        val outDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_q102_bloom_$tag")
+        Round5.registerScratchCleanup(outDir)
+        Curation.BloomFilter
+          .build(docs.filter(col("doc_id") % 7 === 0), "text", "doc_id",
+            n = 8, mBits = 4194304L, kHashes = 4)
+          .write(outDir.getAbsolutePath)
+        val filter = Curation.BloomFilter.read(s, outDir.getAbsolutePath)
+        Curation.bloomDecontaminateWith(docs, filter, "text", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some(Round7.bloomOracle)),
+
+    // ---- JPEG + BMP under the parse∘construct ≡ identity gate: q97
+    // covered the fixed-offset parsers (PNG IHDR, WAV fmt); this one
+    // targets the code paths where parser bugs actually live — JPEG's
+    // MARKER-SCANNING loop (a COM segment the walker must skip, a FF
+    // fill byte, then SOF0 carrying the dimensions) and BMP's signed
+    // little-endian dims (both height signs: positive bottom-up and
+    // two's-complement negative top-down, whose magnitude must come
+    // back). The oracle predicts every field arithmetically.
+    QueryDef("q103_jpeg_bmp_probe",
+      (s, dir) => {
+        def be16(c: Column): Column = lpad(hex(c), 4, "0")
+        def le32(c: Column): Column = {
+          val x = lpad(hex(c), 8, "0")
+          concat(substring(x, 7, 2), substring(x, 5, 2),
+            substring(x, 3, 2), substring(x, 1, 2))
+        }
+        val w = col("n_chars") % 1000 + 1
+        val h = col("doc_id") % 500 + 1
+        // BMP height alternates sign: % 4 == 1 → bottom-up (+h),
+        // % 4 == 3 → top-down (two's-complement −h); parser returns |h|
+        val h32 = when(col("doc_id") % 4 === 1, h)
+          .otherwise(lit(4294967296L) - h)
+        val jpeg = unhex(concat(
+          lit("FFD8"),                  // SOI
+          lit("FFFE00046869"),          // COM segment (len 4) to skip
+          lit("FF"),                    // fill byte before the marker
+          lit("FFC00011"),              // SOF0, len 17
+          lit("08"), be16(h), be16(w),  // precision, height, width
+          lit("03012200021101031101"))) // 3 components
+        val bmp = unhex(concat(
+          lit("424D"), lit("00" * 12),  // BM + size/reserved/offset
+          lit("28000000"),              // BITMAPINFOHEADER size 40 LE
+          le32(w), le32(h32)))
+        val payload = when(col("doc_id") % 2 === 0, jpeg).otherwise(bmp)
+        Multimodal.mediaProbe(
+            t("documents")(s, dir).withColumn("payload", payload),
+            "doc_id", "payload")
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'bmp'
+             |    END AS format,
+             |  CAST(n_chars % 1000 + 1 AS BIGINT) AS width,
+             |  CAST(doc_id % 500 + 1 AS BIGINT) AS height,
+             |  CAST(NULL AS BIGINT) AS sample_rate,
+             |  CAST(NULL AS BIGINT) AS channels
+             |FROM documents ORDER BY doc_id""".stripMargin)))
+}

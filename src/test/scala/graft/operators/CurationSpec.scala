@@ -448,6 +448,53 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("different mBits"))
     // consistent m is fine regardless of hit outcome
     assert(!BloomKernel.hitsAll(smallBitmap, 12345L, 4, 1L << 18))
+    // the OTHER direction: a bitmap LARGER than mBits needs would probe
+    // mod the wrong modulus and silently miss contamination — must also
+    // fail loudly (exact-size equality, both drift directions)
+    val bigBitmap = new GenericArrayData(new Array[Long](65536))
+    val e2 = intercept[IllegalArgumentException] {
+      BloomKernel.hitsAll(bigBitmap, 12345L, 4, 1L << 18)
+    }
+    assert(e2.getMessage.contains("different mBits"))
+  }
+
+  test("persisted BloomFilter round-trip: parameters restored, probe ≡ " +
+      "in-memory build, forged mismatch fails on the read path") {
+    import spark.implicits._
+    val docs = (0L until 20L).map(i =>
+      (i, (0 until 12).map(j => s"w${i % 4}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bench = docs.filter($"doc_id" % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_rt")
+      .toFile
+    try {
+      Curation.BloomFilter
+        .build(bench, "text", "doc_id", n = 8, mBits = 1L << 18,
+          kHashes = 3)
+        .write(dir.getAbsolutePath)
+      val f = Curation.BloomFilter.read(spark, dir.getAbsolutePath)
+      assert(f.mBits == (1L << 18) && f.kHashes == 3 && f.shingleN == 8)
+      val a = Curation.bloomDecontaminateBitmap(docs, bench, "text",
+        "doc_id", n = 8, mBits = 1L << 18, kHashes = 3)
+      val b = Curation.bloomDecontaminateWith(docs, f, "text", "doc_id")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+      // a forged parameter drift against a persisted bitmap must hit
+      // the kernel's exact-size guard, not return silent false negatives
+      val err = intercept[Exception] {
+        Curation.bloomDecontaminateWith(docs, f.copy(mBits = 1L << 20),
+          "text", "doc_id").collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(err).exists(_.contains("different mBits")), msgs(err))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val k = f.listFiles(); if (k != null) k.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir)
+    }
   }
 
   test("spanRepeatStats counts off-grid repeats (hand-computed + " +
