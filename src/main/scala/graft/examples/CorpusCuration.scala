@@ -73,10 +73,19 @@ object CorpusCuration {
     *   3c. decontamination    — optional `bench` corpus: Bloom-filter
     *                            shingle screen rejects contaminated
     *                            docs (q94)
+    *   3d. bigram-LM gate     — optional `minBigramLogProb`: documents
+    *                            scoring below the threshold under the
+    *                            corpus's own add-one-smoothed bigram
+    *                            model reject (word salad whose unigrams
+    *                            look fine — q100); the score survives
+    *                            as the `bigram_logp` audit column on
+    *                            every kept row
     *   4. exact dedup         — fingerprint, min-id survivor
     *   5. near-dup dedup      — MinHash-LSH candidates → connected
-    *                            components → cluster representative
-    *                            (q26/q45)
+    *                            components → keep each cluster's BEST
+    *                            member by the q31 quality score (ties
+    *                            to the lowest doc_id), not "drop all" /
+    *                            not blind min-id (q26/q45/q99)
     *   6. mixture sampling    — per-stratum rates from a token budget,
     *                            executed by the deterministic md5
     *                            sampler (q76 → q69)
@@ -104,7 +113,10 @@ object CorpusCuration {
       maxRepeatFrac: Double = 0.1,
       spanWords: Int = 8,
       bench: Option[DataFrame] = None,
-      benchShingle: Int = 8): DataFrame = {
+      benchShingle: Int = 8,
+      minBigramLogProb: Option[Double] = None,
+      scoreStopwords: Seq[String] =
+        Seq("the", "of", "and", "a", "to", "in", "is")): DataFrame = {
     import graft.operators.Curation
     val spark = docs.sparkSession
     implicit val sp: org.apache.spark.sql.SparkSession = spark
@@ -135,10 +147,26 @@ object CorpusCuration {
       Curation.bloomDecontaminate(docs, b, "text", "doc_id",
           n = benchShingle, mBits = 1L << 22, kHashes = 4)
         .filter(col("contaminated")).select(col("doc_id")))
+    // 3d: optional bigram-LM gate. The score frame is computed ONCE
+    // (bigramLogProb materializes its tf aggregate internally) and
+    // reused twice: the rejection filter here, and the `bigram_logp`
+    // audit column joined onto the surviving rows below. Docs with < 2
+    // words have no bigram score and are never rejected by THIS gate
+    // (minWords already handles them).
+    val bgScores = minBigramLogProb.map(_ =>
+      Curation.bigramLogProb(docs, "text", "doc_id")
+        .select(col("doc_id"), col("avg_logp").as("bigram_logp")))
+    val wordSalad = minBigramLogProb.zip(bgScores).map {
+      case (thr, bg) =>
+        bg.filter(col("bigram_logp") < thr).select(col("doc_id"))
+    }
     val rejected =
-      (Seq(blocked, lowQuality, badRatio, repetitive) ++ contaminated)
-        .reduce(_ union _).distinct()
-    val clean = docs.join(rejected, Seq("doc_id"), "left_anti")
+      (Seq(blocked, lowQuality, badRatio, repetitive) ++ contaminated ++
+        wordSalad).reduce(_ union _).distinct()
+    val cleanBase = docs.join(rejected, Seq("doc_id"), "left_anti")
+    val clean = bgScores
+      .map(bg => cleanBase.join(bg, Seq("doc_id"), "left"))
+      .getOrElse(cleanBase)
 
     // 4: exact dedup
     val wFp = Window.partitionBy(col("_fp")).orderBy(col("doc_id"))
@@ -148,15 +176,26 @@ object CorpusCuration {
       .filter(col("_rn") === 1)
       .drop("_fp", "_rn")
 
-    // 5: near-dup clusters via MinHash-LSH (the scale path — q26)
+    // 5: near-dup clusters via MinHash-LSH (the scale path — q26),
+    // resolved by KEEP-BEST: each cluster keeps its highest-quality
+    // member (q31 score, ties to lowest doc_id) via the map-side
+    // max_by partial aggregation — "keep one, not drop all", and not
+    // the blind min-id representative either (q99's operator)
     val pairs = Dedup.minhashCandidates(exact, "doc_id", "text",
         n = 3, k = 16, bands = 4, minEst = minEst, cache = false)
       .select(col("da"), col("db"))
     val clusters = Dedup.connectedComponents(
       pairs, exact.select(col("doc_id")), "doc_id")
+    val scored = exact
+      .select(col("doc_id"), TextOps.words(col("text")).as("_ws"))
+      .select(col("doc_id"),
+        TextOps.qualityScore(col("_ws"), scoreStopwords).as("_q"))
+      .filter(col("_q").isNotNull)
+    val best = Dedup.keepBestPerCluster(clusters, scored, "doc_id", "_q")
     val kept = exact
       .join(clusters.withColumnRenamed("id", "doc_id"), "doc_id")
-      .filter(col("doc_id") === col("cluster"))
+      .join(best.select(col("kept_id").as("doc_id")), Seq("doc_id"),
+        "left_semi")
 
     // 6: mixture rates → deterministic sampler (config-in-data).
     // round(), not a bare int cast: rate·100 in IEEE double can land

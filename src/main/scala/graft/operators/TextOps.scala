@@ -79,14 +79,16 @@ object TextOps {
     *
     * Both terms are single double divisions over exact integer counts,
     * so the value is bit-identical across engines (oracle-comparable
-    * without rounding). Empty token arrays yield NaN (0/0) — filter to
-    * `size(ws) >= 1` before ordering by this score.
+    * without rounding). Empty token arrays yield NULL (not a 0/0 NaN,
+    * which would poison any ordering it reaches) — still filter to
+    * `size(ws) >= 1` when every row must carry a score.
     */
   def qualityScore(ws: Column, stopwords: Seq[String]): Column = {
     val avgWordLen = aggregate(transform(ws, w => length(w)), lit(0),
       (acc, x) => acc + x).cast("double") / size(ws)
-    (markerHits(ws, stopwords).cast("double") / size(ws)) * 0.5 +
-      (lit(1.0) / (lit(1.0) + abs(avgWordLen - 5.0))) * 0.5
+    when(size(ws) > 0,
+      (markerHits(ws, stopwords).cast("double") / size(ws)) * 0.5 +
+        (lit(1.0) / (lit(1.0) + abs(avgWordLen - 5.0))) * 0.5)
   }
 
   /** Deterministic whole-document fingerprint: md5 of the

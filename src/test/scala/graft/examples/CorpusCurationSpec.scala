@@ -57,7 +57,11 @@ class CorpusCurationSpec extends SparkSpec {
       assert(Curation.qualityGate(docs, "text", "doc_id", minWords = 20)
         .filter(col("reason") =!= "kept")
         .join(ids, "doc_id").count() == 0)
-      assert(out.filter(col("doc_id") =!= col("cluster")).count() == 0)
+      // keep-best cluster resolution: EXACTLY ONE kept member per
+      // cluster (the quality-argmax, per q99's oracle-gated operator —
+      // no longer necessarily the min-id representative)
+      assert(out.groupBy("cluster").count()
+        .filter(col("count") > 1).count() == 0)
       // packing: bins start at 0 and are contiguous within each stratum
       val bins = out
         .withColumn("_stratum",
@@ -93,5 +97,24 @@ class CorpusCurationSpec extends SparkSpec {
       .filter(col("contaminated")).select("doc_id")
     assert(contaminated.count() > 0) // the gate has something to do
     assert(contaminated.join(ids, "doc_id").count() == 0)
+  }
+
+  test("curateForTraining with a bigram-LM gate: low scorers rejected, " +
+      "bigram_logp audit column on every kept row") {
+    import graft.operators.Curation
+    val scores = Curation.bigramLogProb(docs, "text", "doc_id")
+    // threshold at the 20th percentile of the corpus's own scores so
+    // the gate provably has work to do on any generated corpus
+    val thr = scores.stat.approxQuantile("avg_logp", Array(0.2), 0.0)(0)
+    val out = CorpusCuration.curateForTraining(docs,
+      minBigramLogProb = Some(thr))
+    assert(out.columns.contains("bigram_logp"))
+    // the gate held: no survivor scores below the threshold (docs with
+    // no bigrams carry a null audit score and pass this gate by design)
+    assert(out.filter(col("bigram_logp") < thr).count() == 0)
+    // and it actually rejected someone
+    assert(scores.filter(col("avg_logp") < thr)
+      .join(out.select("doc_id"), "doc_id").count() == 0)
+    assert(scores.filter(col("avg_logp") < thr).count() > 0)
   }
 }
