@@ -168,8 +168,7 @@ object Extras {
     QueryDef("q45_dedup_clusters",
       (s, dir) => {
         val docs = t("documents")(s, dir)
-        val pairs = graft.operators.Dedup.jaccardPairs(
-          docs, "doc_id", "text", n = 3, threshold = 0.6)
+        val pairs = CorpusOps.sharedJaccardPairs(s, dir)
         graft.operators.Dedup.connectedComponents(
             pairs, docs.select(col("doc_id")), "doc_id")
           .select(col("id").as("doc_id"), col("cluster"))
@@ -203,8 +202,7 @@ object Extras {
     QueryDef("q46_split_assign",
       (s, dir) => {
         val docs = t("documents")(s, dir)
-        val pairs = graft.operators.Dedup.jaccardPairs(
-          docs, "doc_id", "text", n = 3, threshold = 0.6)
+        val pairs = CorpusOps.sharedJaccardPairs(s, dir)
         val clusters = graft.operators.Dedup.connectedComponents(
           pairs, docs.select(col("doc_id")), "doc_id")
         clusters

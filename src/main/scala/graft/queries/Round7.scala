@@ -347,8 +347,7 @@ object Round7 {
     QueryDef("q99_cluster_keep_best",
       (s, dir) => {
         val docs = t("documents")(s, dir)
-        val pairs = Dedup.jaccardPairs(
-          docs, "doc_id", "text", n = 3, threshold = 0.6)
+        val pairs = CorpusOps.sharedJaccardPairs(s, dir)
         val clusters = Dedup.connectedComponents(
           pairs, docs.select(col("doc_id")), "doc_id")
         val scored = docs
