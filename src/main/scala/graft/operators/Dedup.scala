@@ -655,4 +655,48 @@ object Dedup {
         count(lit(1)).as("n_members"),
         max(col("_score")).as("best_score"))
   }
+
+  /** Skew-armored [[keepBestPerCluster]]: identical result (same
+    * columns, same deterministic argmax — spec-pinned equal), computed
+    * as a SALTED two-level aggregation for corpora where one
+    * mega-cluster (a boilerplate explosion: millions of copies of one
+    * page) concentrates a single groupBy key. The plain variant's
+    * map-side partial max_by already bounds memory and per-reducer
+    * rows at ≤ #map-partitions per cluster; what salting additionally
+    * caps is the single-reducer JOIN fan-in when `clusters` × `scores`
+    * lands skewed before the aggregation. Level 1 keeps the best
+    * member per (cluster, id % salts) — spreading the hot key over
+    * `salts` reducers — level 2 reduces the salts-sized winner set.
+    *
+    * Correctness of the two-level argmax: each salt's winner is the
+    * (score, −id)-max of its slice; the level-2 (best_score, −kept_id)
+    * max over slice winners equals the global max because max is
+    * associative and the −id tie-break composes (the lowest tied id
+    * overall is the lowest among per-slice lowest tied ids).
+    * `n_members` sums exactly (salts partition each cluster).
+    *
+    * Use when cluster-size skew is measured (e.g. [[Skew.keyStats]]),
+    * not by default: two exchanges instead of one is a real cost on
+    * well-distributed keys.
+    */
+  def keepBestPerClusterSalted(clusters: DataFrame, scores: DataFrame,
+      idCol: String, scoreCol: String, salts: Int = 16): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val s = scores.select(col(idCol).cast("long").as("id"),
+      col(scoreCol).cast("double").as("_score"))
+    val l1 = clusters.join(s, Seq("id"))
+      .withColumn("_salt", pmod(col("id"), lit(salts)))
+      .groupBy(col("cluster"), col("_salt"))
+      .agg(
+        max_by(col("id"), struct(col("_score"), -col("id")))
+          .as("kept_id"),
+        count(lit(1)).as("n_members"),
+        max(col("_score")).as("best_score"))
+    l1.groupBy(col("cluster"))
+      .agg(
+        max_by(col("kept_id"),
+          struct(col("best_score"), -col("kept_id"))).as("kept_id"),
+        sum(col("n_members")).as("n_members"),
+        max(col("best_score")).as("best_score"))
+  }
 }

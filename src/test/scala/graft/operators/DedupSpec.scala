@@ -189,4 +189,34 @@ class DedupSpec extends SparkSpec {
     assert(counts.head.getLong(1) == 7L)
     assert(sh.count() == sh.distinct().count())
   }
+
+  test("keepBestPerCluster: argmax by (score, -id); salted two-level " +
+      "variant is result-identical on a mega-cluster with ties") {
+    import spark.implicits._
+    // cluster 0 = mega-cluster (300 members) with the best score TIED
+    // between ids 17 and 203 → keep the LOWER id (17); cluster 1000 is
+    // a singleton; cluster 2000 has a strict best
+    val clusters = ((0L until 300L).map(i => (i, 0L)) ++
+      Seq((1000L, 1000L), (2000L, 2000L), (2001L, 2000L)))
+      .toDF("id", "cluster")
+    val scores = ((0L until 300L).map(i =>
+      (i, if (i == 17 || i == 203) 9.5 else 1.0 + (i % 7) * 0.1)) ++
+      Seq((1000L, 2.0), (2000L, 3.0), (2001L, 4.0)))
+      .toDF("doc_id", "q")
+    val plain = Dedup.keepBestPerCluster(clusters, scores, "doc_id", "q")
+    val got = plain.orderBy("cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (0L, 17L, 300L, 9.5),
+      (1000L, 1000L, 1L, 2.0),
+      (2000L, 2001L, 2L, 4.0)))
+    // the salted plan must produce the IDENTICAL frame (several salt
+    // counts, including one that splits the tied ids across salts)
+    Seq(2, 3, 16).foreach { k =>
+      val salted = Dedup.keepBestPerClusterSalted(clusters, scores,
+        "doc_id", "q", salts = k)
+      assert(plain.exceptAll(salted).isEmpty &&
+        salted.exceptAll(plain).isEmpty, s"salts=$k")
+    }
+  }
 }
