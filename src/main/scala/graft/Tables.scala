@@ -36,23 +36,38 @@ object Tables {
     }
   }
 
+  /** Normalize an events frame's `ts` to TimestampType regardless of the
+    * parquet physical layout the driver generated it with. Observed
+    * layouts across testdata generations: TIMESTAMP(NANOS) (readable
+    * only as a raw long via `nanosAsLong` — µs-resolution data, so the
+    * DIV 1000 truncation is lossless), TIMESTAMP(MICROS) without UTC
+    * adjustment (reads as TIMESTAMP_NTZ), and instant-adjusted
+    * TIMESTAMP (reads as TimestampType directly). The session timezone
+    * is UTC everywhere (Bench/Verify/specs), so the NTZ→LTZ cast is
+    * instant-preserving and all three layouts yield identical values —
+    * DuckDB oracles see the same via CAST(ts AS TIMESTAMP).
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) which Spark's vectorized reader
-      // rejects; read nanos as long and convert to a microsecond timestamp
-      // (the data is µs-resolution, so truncation is lossless). DuckDB
-      // oracles cast with CAST(ts AS TIMESTAMP) for identical values.
-      // The flag is only consulted while the relation is resolved (it is
-      // captured into the relation's hadoop conf), so it can be restored
-      // immediately after `spark.read` — verified: count() succeeds with
-      // the flag back at false — leaving unrelated TIMESTAMP(NANOS)
-      // reads in the session untouched.
+      // The nanosAsLong flag is only consulted while the relation is
+      // resolved (captured into the relation's hadoop conf), so it can
+      // be restored immediately after `spark.read` — verified: count()
+      // succeeds with the flag back at false — leaving unrelated
+      // TIMESTAMP(NANOS) reads in the session untouched. For non-nanos
+      // layouts the flag is inert.
       val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      try spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.expr(
-            "timestamp_micros(ts DIV 1000)"))
+      try normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
       finally prev match {
         case Some(v) =>
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)

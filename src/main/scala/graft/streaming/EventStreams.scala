@@ -49,40 +49,38 @@ object EventStreams {
   val eventSchema: StructType =
     Encoders.product[Event].schema.add("props", "string")
 
-  /** On-disk schema of the events parquet: ts is TIMESTAMP(NANOS), which
-    * Spark's reader only accepts as a raw long
-    * (`spark.sql.legacy.parquet.nanosAsLong`).
-    */
-  val eventFileSchema: StructType = StructType(eventSchema.map(f =>
-    if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
-    else f))
-
   /** File-based event stream over a DIRECTORY of parquet files (Spark's
     * file source rejects a bare file path — stage single files into a
     * directory first). One file per micro-batch by default;
-    * `maxFilesPerTrigger` bounds per-batch work for backfills. Nanosecond
-    * timestamps are read as longs and truncated (losslessly, µs data) to
-    * microsecond timestamps, mirroring `Tables.load`.
+    * `maxFilesPerTrigger` bounds per-batch work for backfills.
+    *
+    * The stream schema is PROBED from the files already in the
+    * directory (a streaming source requires a user schema, and the
+    * driver has generated events parquet with three different physical
+    * `ts` layouts across testdata generations — TIMESTAMP(NANOS),
+    * TIMESTAMP(MICROS)/NTZ, and instant TIMESTAMP); the probed layout
+    * governs every micro-batch scan, and `Tables.normalizeTs` folds all
+    * three to the same µs TimestampType the batch side uses — verified
+    * across 2 real file-source micro-batches by
+    * ReadEventsFileStreamSpec.
     */
   def readEvents(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 1): DataFrame = {
     // nanosAsLong is a session-wide flag (no per-reader option exists),
     // but it is only consulted at relation-resolution time, so set it
-    // just for the readStream call and restore — unrelated
+    // just for the probe + readStream calls and restore — unrelated
     // TIMESTAMP(NANOS) reads in the session are unaffected (same
-    // save/restore contract as Tables.load). Micro-batches resolved
-    // AFTER the restore still read fine because the user-supplied
-    // eventFileSchema (ts: long) governs the runtime scans — verified
-    // across 2 real file-source micro-batches by
-    // ReadEventsFileStreamSpec.
+    // save/restore contract as Tables.load). For non-nanos layouts the
+    // flag is inert.
     val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try spark.readStream
-      .schema(eventFileSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    finally prev match {
+    try {
+      val fileSchema = spark.read.parquet(dir).schema
+      graft.Tables.normalizeTs(spark.readStream
+        .schema(fileSchema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(dir))
+    } finally prev match {
       case Some(v) =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
       case None =>

@@ -78,7 +78,11 @@ class ReadEventsFileStreamSpec extends SparkSpec {
 
   /** Stage the real events file + a far-future sentinel as two ordered
     * micro-batches (the sentinel advances the watermark past every real
-    * window/session so append mode emits them all).
+    * window/session so append mode emits them all). The sentinel is
+    * derived FROM the real file so its `ts` physical layout (nanos
+    * long / µs NTZ / instant timestamp — the driver has generated all
+    * three across testdata generations) always matches the schema
+    * `readEvents` probes.
     */
   private def stageWithSentinel(): java.nio.file.Path = {
     val src = Paths.get("/root/testdata/sf0.001/events.parquet")
@@ -86,12 +90,29 @@ class ReadEventsFileStreamSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-evparity")
     Files.copy(src, dir.resolve("a_data.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
-    val farFutureNs = 4102444800L * 1000000000L // 2100-01-01 in ns
-    val sentinel = spark.createDataFrame(
-      java.util.List.of(
-        org.apache.spark.sql.Row(-1L, farFutureNs, -1L, "sentinel", 0.0,
-          "{}")),
-      EventStreams.eventFileSchema)
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sentinel =
+      try {
+        val base = spark.read.parquet(src.toString)
+        val farFutureTs = base.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            lit(4102444800L * 1000000000L) // 2100-01-01 in ns
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            expr("TIMESTAMP_NTZ '2100-01-01 00:00:00'")
+          case _ => expr("TIMESTAMP '2100-01-01 00:00:00'")
+        }
+        base.limit(1).select(lit(-1L).as("event_id"),
+          farFutureTs.as("ts"), lit(-1L).as("user_id"),
+          lit("sentinel").as("event_type"), lit(0.0).as("value"),
+          lit("{}").as("props"))
+      } finally prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None =>
+          spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
     val sentDir = Files.createTempDirectory("graft-evsent")
     sentinel.coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
     val part = {
