@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Linear text-classifier inference with the hashing trick — the
+  * quality-filter shape production corpus pipelines run at scale
+  * (a fastText-style model: bag of unigram+bigram features, each hashed
+  * into a fixed-size bucket space whose buckets carry the model
+  * weights; Joulin et al. 2016, "Bag of Tricks for Efficient Text
+  * Classification"; Weinberger et al. 2009 for the hashing trick).
+  *
+  * The reference has no classifier surface (sqltask is SQL
+  * orchestration, `sqltask/base/engine.py`); this is a north-star
+  * LLM-pipeline extension specified from the public fastText model
+  * shape.
+  *
+  * Scale contract: inference is PURELY map-side — tokenize, feature
+  * arrays, per-element weight lookup, and the margin fold all run as
+  * per-row column expressions; the plan contains NO shuffle, NO join,
+  * and no model-sized frame at all (bucket weights are derived, not
+  * stored — see below). At 100 TB the cost is one scan. The per-element
+  * lambdas run interpreted (Spark HOFs are CodegenFallback), the
+  * documented price of staying shuffle-free; the array is bound to its
+  * own projection first so the lambda never re-derives it per element
+  * (PLANS.md round-6 finding).
+  *
+  * The weight vector is a DETERMINISTIC PSEUDO-MODEL: bucket b's weight
+  * is an md5-derived integer in [-1000, 1000] milli-units,
+  * `hash60("w|" + seed + "|" + b) % 2001 - 1000`. This stands in for
+  * loading released trained weights (no model artifacts ship with the
+  * testdata) while keeping every structural property of real inference
+  * — finite parameter space, bucket collisions sharing one weight,
+  * exact integer accumulation — and makes the whole computation
+  * replayable by the DuckDB oracle (q104). Swapping in a trained model
+  * means replacing ONE expression (`bucketWeightMilli`) with a
+  * broadcast `Map[bucket -> milliWeight]` lookup; the plan shape is
+  * unchanged.
+  *
+  * Numeric determinism: weights are exact integer milli-units summed as
+  * BIGINT (associative, order-free), and the margin is one double
+  * division at the end — bit-identical across engines, no DECIMAL
+  * staging needed.
+  */
+object Classifier {
+
+  /** Feature array of a token array: unigrams ++ bigrams (space-joined,
+    * multiplicity preserved — a bag, not a set, like fastText).
+    */
+  def features(ws: Column): Column =
+    concat(ws, TextOps.shingles(ws, 2))
+
+  /** Hash a feature string into [0, buckets). */
+  def featureBucket(feat: Column, seed: String, buckets: Int): Column =
+    pmod(TextOps.hash60(concat(lit(seed + "|"), feat)), lit(buckets.toLong))
+
+  /** The pseudo-model: bucket → weight in exact milli-units
+    * [-1000, 1000].
+    */
+  def bucketWeightMilli(bucket: Column, seed: String): Column =
+    pmod(TextOps.hash60(concat(lit("w|" + seed + "|"),
+      bucket.cast("string"))), lit(2001L)) - lit(1000L)
+
+  /** Score every document with the hashed linear model.
+    *
+    * Output per input row: `(idCol, n_feats, w_milli, margin, keep)` —
+    * `n_feats` = feature count (unigrams + bigrams), `w_milli` = exact
+    * BIGINT sum of the feature-bucket weights, `margin` = w_milli /
+    * (1000 · n_feats) (mean weight, the linear score), `keep` = margin
+    * ≥ 0. Feature-less documents (empty/whitespace text) keep their row
+    * with `w_milli = 0` and NULL margin/keep — a gate must decide
+    * those explicitly, not inherit a 0/0 artifact.
+    */
+  def hashedLinearScore(df: DataFrame, textCol: String, idCol: String,
+      seed: String = "cls", buckets: Int = 1 << 18): DataFrame = {
+    df.select(col(idCol), TextOps.words(col(textCol)).as("ws"))
+      .select(col(idCol), features(col("ws")).as("feats"))
+      .select(col(idCol), size(col("feats")).cast("bigint").as("n_feats"),
+        aggregate(
+          transform(col("feats"),
+            f => bucketWeightMilli(
+              featureBucket(f, seed, buckets), seed)),
+          lit(0L), (acc, w) => acc + w).as("w_milli"))
+      .select(col(idCol), col("n_feats"), col("w_milli"),
+        when(col("n_feats") > 0,
+          col("w_milli") / (col("n_feats") * lit(1000.0))).as("margin"))
+      .withColumn("keep", when(col("n_feats") > 0, col("margin") >= 0))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Curation, Multimodal, Similarity}
+import graft.operators.{Classifier, Curation, Multimodal, Similarity}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -208,5 +208,44 @@ object Round8 {
              |  CAST(doc_id % 500 + 1 AS BIGINT) AS height,
              |  CAST(NULL AS BIGINT) AS sample_rate,
              |  CAST(NULL AS BIGINT) AS channels
-             |FROM documents ORDER BY doc_id""".stripMargin)))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- fastText-style quality-classifier inference: bag of
+    // unigram+bigram features hashed into 2^18 weight buckets, exact
+    // integer milli-weight accumulation, margin = mean bucket weight.
+    // The catalog's only MODEL-INFERENCE operator: purely map-side
+    // (zero shuffles — plan-asserted in ClassifierSpec), no stored
+    // model frame (weights are md5-derived pseudo-parameters standing
+    // in for released trained weights — Classifier scaladoc). The
+    // oracle replays hashing, bucketing, weights, and the integer fold.
+    QueryDef("q104_classifier_score",
+      (s, dir) =>
+        Classifier.hashedLinearScore(t("documents")(s, dir),
+            "text", "doc_id", seed = "cls", buckets = 1 << 18)
+          .orderBy(col("doc_id")),
+      Some("""WITH w AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text), '\s+'),
+             |      x -> len(x) > 0) AS ws FROM documents),
+             |f AS (SELECT doc_id, list_concat(ws,
+             |    list_transform(generate_series(1, len(ws) - 1),
+             |      i -> ws[i] || ' ' || ws[i+1])) AS feats FROM w),
+             |e AS (SELECT doc_id, unnest(feats) AS feat FROM f),
+             |b AS (SELECT doc_id,
+             |    CAST(concat('0x', substr(md5('cls|' || feat), 1, 15))
+             |      AS BIGINT) % 262144 AS bucket FROM e),
+             |s AS (SELECT doc_id, COUNT(*) AS n_feats,
+             |    SUM(CAST(concat('0x',
+             |        substr(md5('w|cls|' || CAST(bucket AS VARCHAR)),
+             |          1, 15)) AS BIGINT) % 2001 - 1000) AS w_milli
+             |  FROM b GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+             |  CAST(coalesce(s.w_milli, 0) AS BIGINT) AS w_milli,
+             |  CASE WHEN s.n_feats > 0
+             |    THEN s.w_milli / (s.n_feats * 1000.0) END AS margin,
+             |  CASE WHEN s.n_feats > 0
+             |    THEN s.w_milli / (s.n_feats * 1000.0) >= 0
+             |  END AS keep
+             |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+             |ORDER BY d.doc_id""".stripMargin)))
 }

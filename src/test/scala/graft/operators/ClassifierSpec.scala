@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def score(rows: Seq[(Long, String)], buckets: Int = 1 << 18) =
+    Classifier.hashedLinearScore(
+      rows.toDF("doc_id", "text"), "text", "doc_id", "cls", buckets)
+
+  /** JVM replay of the exact model arithmetic. */
+  private def expectedMilli(text: String, buckets: Int): (Long, Long) = {
+    val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val feats = ws ++ ws.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    val milli = feats.map { f =>
+      val b = java.lang.Math.floorMod(
+        TextOps.hash60Const("cls|" + f), buckets.toLong)
+      java.lang.Math.floorMod(
+        TextOps.hash60Const("w|cls|" + b), 2001L) - 1000L
+    }.sum
+    (feats.size.toLong, milli)
+  }
+
+  test("matches an in-JVM replay of the model on mixed docs") {
+    val docs = Seq(
+      1L -> "The quick brown fox jumps over the lazy dog",
+      2L -> "spark native analytics engine",
+      3L -> "a a a repeated token stream a a")
+    val got = score(docs).orderBy("doc_id").collect()
+    docs.zip(got).foreach { case ((id, text), row) =>
+      val (n, milli) = expectedMilli(text, 1 << 18)
+      assert(row.getLong(0) == id)
+      assert(row.getLong(1) == n, s"n_feats for doc $id")
+      assert(row.getLong(2) == milli, s"w_milli for doc $id")
+      assert(row.getDouble(3) == milli.toDouble / (1000.0 * n))
+      assert(row.getBoolean(4) == (milli >= 0))
+    }
+  }
+
+  test("buckets=1 collapses every feature onto one shared weight") {
+    // the hashing-trick collision semantics, made total: with a single
+    // bucket each feature contributes the SAME weight w0
+    val w0 = java.lang.Math.floorMod(
+      TextOps.hash60Const("w|cls|0"), 2001L) - 1000L
+    val got = score(Seq(7L -> "alpha beta gamma"), buckets = 1).head()
+    assert(got.getLong(1) == 5) // 3 unigrams + 2 bigrams
+    assert(got.getLong(2) == 5 * w0)
+  }
+
+  test("feature-less documents keep their row with NULL margin/keep") {
+    val got = score(Seq(1L -> "", 2L -> "   ", 3L -> "ok"))
+      .orderBy("doc_id").collect()
+    got.take(2).foreach { r =>
+      assert(r.getLong(1) == 0 && r.getLong(2) == 0)
+      assert(r.isNullAt(3) && r.isNullAt(4))
+    }
+    assert(!got(2).isNullAt(3))
+  }
+
+  test("inference plan is purely map-side: zero shuffles") {
+    val df = score(Seq(1L -> "a b c"))
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeLike => e
+    }
+    assert(shuffles.isEmpty, "hashedLinearScore must not shuffle")
+  }
+}
