@@ -69,11 +69,14 @@ object Classifier {
     * (1000 · n_feats) (mean weight, the linear score), `keep` = margin
     * ≥ 0. Feature-less documents (empty/whitespace text) keep their row
     * with `w_milli = 0` and NULL margin/keep — a gate must decide
-    * those explicitly, not inherit a 0/0 artifact.
+    * those explicitly, not inherit a 0/0 artifact. NULL text is scored
+    * like empty text (0 features, not NULL-propagated) — the exact
+    * semantics of the q104 oracle's unnest + LEFT JOIN + coalesce.
     */
   def hashedLinearScore(df: DataFrame, textCol: String, idCol: String,
       seed: String = "cls", buckets: Int = 1 << 18): DataFrame = {
-    df.select(col(idCol), TextOps.words(col(textCol)).as("ws"))
+    df.select(col(idCol),
+        TextOps.words(coalesce(col(textCol), lit(""))).as("ws"))
       .select(col(idCol), features(col("ws")).as("feats"))
       .select(col(idCol), size(col("feats")).cast("bigint").as("n_feats"),
         aggregate(

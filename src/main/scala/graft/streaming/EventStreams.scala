@@ -63,6 +63,13 @@ object EventStreams {
     * three to the same µs TimestampType the batch side uses — verified
     * across 2 real file-source micro-batches by
     * ReadEventsFileStreamSpec.
+    *
+    * CONTRACT: every file that ever lands in one stream directory must
+    * share ONE physical ts layout. The probe (or the [[eventSchema]]
+    * fallback when the directory is still empty at start) is captured
+    * once into the source; a file arriving later with a DIFFERENT
+    * layout would fail or misread in its micro-batch — re-layout means
+    * a new directory and a fresh stream, not mixed files.
     */
   def readEvents(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 1): DataFrame = {
@@ -75,7 +82,13 @@ object EventStreams {
     val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try {
-      val fileSchema = spark.read.parquet(dir).schema
+      // An empty directory cannot be probed (schema inference throws);
+      // fall back to the logical µs-timestamp schema so a stream can be
+      // STARTED before its first file arrives — the pre-probe behavior.
+      val fileSchema =
+        try spark.read.parquet(dir).schema
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          eventSchema }
       graft.Tables.normalizeTs(spark.readStream
         .schema(fileSchema)
         .option("maxFilesPerTrigger", maxFilesPerTrigger)

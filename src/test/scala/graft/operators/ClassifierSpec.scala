@@ -61,6 +61,25 @@ class ClassifierSpec extends SparkSpec {
     assert(!got(2).isNullAt(3))
   }
 
+  test("NULL text scores like empty text, not NULL-propagated") {
+    // the q104 oracle's unnest + LEFT JOIN coalesces a NULL-text doc to
+    // (n_feats 0, w_milli 0); Spark must not propagate the null instead
+    // (ADVICE r8: latent until the testdata generator emits null text)
+    val rows = Seq(Row(1L, null), Row(2L, "ok"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val got = Classifier.hashedLinearScore(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(got(0).getLong(1) == 0 && got(0).getLong(2) == 0)
+    assert(got(0).isNullAt(3) && got(0).isNullAt(4))
+    assert(!got(1).isNullAt(3))
+  }
+
   test("inference plan is purely map-side: zero shuffles") {
     val df = score(Seq(1L -> "a b c"))
     val shuffles = df.queryExecution.executedPlan.collect {

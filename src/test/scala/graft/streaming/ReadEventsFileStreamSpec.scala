@@ -49,12 +49,49 @@ class ReadEventsFileStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("readEvents starts on an EMPTY directory via the eventSchema " +
+      "fallback and processes a later-arriving instant-layout file") {
+    val dir = Files.createTempDirectory("graft-evempty")
+    // empty directory: the probe cannot infer a schema; the logical
+    // µs-timestamp fallback lets the stream START before data arrives
+    val events = EventStreams.readEvents(spark, dir.toString)
+    assert(events.isStreaming)
+    assert(events.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val q = events.writeStream.format("memory").queryName("ev_empty")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ev_empty").count() == 0)
+      // a file arriving AFTER start, in the fallback's own (instant
+      // timestamp) layout, flows through the already-running stream
+      import org.apache.spark.sql.functions._
+      val stage = Files.createTempDirectory("graft-evempty-stage")
+      spark.range(1).select(lit(1L).as("event_id"),
+          expr("TIMESTAMP '2024-01-01 00:00:00'").as("ts"),
+          lit(7L).as("user_id"), lit("click").as("event_type"),
+          lit(1.5).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = {
+        val ls = Files.list(stage)
+        try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        finally ls.close()
+      }
+      Files.copy(part, dir.resolve("late.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable()
+      assert(spark.table("ev_empty").count() == 1)
+    } finally q.stop()
+  }
+
   test("streaming tumblingAgg over the real file EQUALS the batch q35 result") {
-    // sentinel second batch: ONE far-future event written as a raw
-    // int64 ts (readEvents' user schema reads ts as long either way).
-    // Processing it advances the watermark past every real window, so
-    // append mode emits them all; its own window stays open and is
-    // excluded below. Later modification time => second micro-batch.
+    // sentinel second batch: ONE far-future event whose ts physical
+    // layout stageWithSentinel derives from the real file (nanos long /
+    // µs NTZ / instant timestamp), so it always matches the schema
+    // readEvents probes. Processing it advances the watermark past
+    // every real window, so append mode emits them all; its own window
+    // stays open and is excluded below. Later modification time =>
+    // second micro-batch.
     val dir = stageWithSentinel()
     val events =
       EventStreams.readEvents(spark, dir.toString, maxFilesPerTrigger = 1)
