@@ -41,10 +41,18 @@ object Bench {
       try new java.io.File(warmDir).getCanonicalPath !=
         new java.io.File(sfDir).getCanonicalPath
       catch { case _: Throwable => false }
+    // Optional single-query iteration: SPARK_GRAFT_BENCH_ONLY=q104,q66
+    // times only queries whose name starts with a listed prefix. Dev
+    // loop only — the driver runs the full catalog (env unset).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
     if (new java.io.File(warmDir).isDirectory && distinctDirs) {
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+      SparkEntry.queries.foreach { case (n, fn) =>
+        if (selected(n))
+          try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
       }
       // drop the warm-up dataset's persisted frames (shingle/tf/vector
       // caches keyed to warmDir plans): they are never read again but
@@ -92,7 +100,8 @@ object Bench {
         try spark.catalog.clearCache() catch { case _: Throwable => () }
       }
     }
-    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sorted =
+      SparkEntry.queries.toSeq.filter(q => selected(q._1)).sortBy(_._1)
     // Two timed passes per query. "cold" includes planning + codegen
     // (single-shot execution); "steady" is the per-query cost a
     // long-lived session pays. The HEADLINE `value` is min_total — the

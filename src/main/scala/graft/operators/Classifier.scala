@@ -72,10 +72,32 @@ object Classifier {
     * those explicitly, not inherit a 0/0 artifact. NULL text is scored
     * like empty text (0 features, not NULL-propagated) — the exact
     * semantics of the q104 oracle's unnest + LEFT JOIN + coalesce.
+    *
+    * The tokenize → feature bag → bucket hash → weight sum hot path
+    * runs as ONE fused native kernel
+    * ([[graft.functions.ClassifierKernel]]): the declarative HOF form
+    * below paid two interpreted md5 expression walks per feature —
+    * the r8 verdict's heaviest-map-side-query finding. Plan shape is
+    * unchanged (zero shuffles, zero joins, no model frame); the
+    * declarative twin is kept for the ≡ spec.
     */
   def hashedLinearScore(df: DataFrame, textCol: String, idCol: String,
-      seed: String = "cls", buckets: Int = 1 << 18): DataFrame = {
-    df.select(col(idCol),
+      seed: String = "cls", buckets: Int = 1 << 18): DataFrame =
+    finishScore(df.select(col(idCol),
+      graft.functions.ClassifierScore.score(col(textCol), seed, buckets)
+        .as("nw"))
+      .select(col(idCol), col("nw").getItem(0).as("n_feats"),
+        col("nw").getItem(1).as("w_milli")), idCol)
+
+  /** The declarative (pure-column-expression) twin of
+    * [[hashedLinearScore]] — two interpreted `hash60` evaluations per
+    * feature; kept as the independently-derived form the kernel is
+    * spec-checked against (ClassifierSpec), not for production use.
+    */
+  def hashedLinearScoreDeclarative(df: DataFrame, textCol: String,
+      idCol: String, seed: String = "cls",
+      buckets: Int = 1 << 18): DataFrame =
+    finishScore(df.select(col(idCol),
         TextOps.words(coalesce(col(textCol), lit(""))).as("ws"))
       .select(col(idCol), features(col("ws")).as("feats"))
       .select(col(idCol), size(col("feats")).cast("bigint").as("n_feats"),
@@ -83,10 +105,14 @@ object Classifier {
           transform(col("feats"),
             f => bucketWeightMilli(
               featureBucket(f, seed, buckets), seed)),
-          lit(0L), (acc, w) => acc + w).as("w_milli"))
+          lit(0L), (acc, w) => acc + w).as("w_milli")), idCol)
+
+  /** margin/keep from the exact (n_feats, w_milli) pair — shared tail
+    * of the kernel and declarative paths. */
+  private def finishScore(counts: DataFrame, idCol: String): DataFrame =
+    counts
       .select(col(idCol), col("n_feats"), col("w_milli"),
         when(col("n_feats") > 0,
           col("w_milli") / (col("n_feats") * lit(1000.0))).as("margin"))
       .withColumn("keep", when(col("n_feats") > 0, col("margin") >= 0))
-  }
 }

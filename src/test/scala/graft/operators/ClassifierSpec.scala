@@ -80,6 +80,38 @@ class ClassifierSpec extends SparkSpec {
     assert(!got(1).isNullAt(3))
   }
 
+  test("native kernel EQUALS the declarative twin on the real corpus") {
+    // the fused ClassifierKernel (one md5/feature + precomputed weight
+    // table) against the independently-derived HOF formulation, on the
+    // driver corpus plus null/empty/single-word edge docs
+    val src = new java.io.File("/root/testdata/sf0.001/documents.parquet")
+    assume(src.exists(), "driver testdata not present")
+    val docs = spark.read.parquet(src.toString)
+      .select(col("doc_id"), col("text"))
+      .unionAll(Seq((-1L, null.asInstanceOf[String]), (-2L, "  "),
+        (-3L, "one")).toDF("doc_id", "text"))
+    val kernel = Classifier
+      .hashedLinearScore(docs, "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    val declarative = Classifier
+      .hashedLinearScoreDeclarative(docs, "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    assert(kernel == declarative)
+  }
+
+  test("kernel honors non-default seed and bucket count") {
+    val doc = Seq(5L -> "alpha beta gamma delta").toDF("doc_id", "text")
+    val k = Classifier.hashedLinearScore(doc, "text", "doc_id",
+      seed = "other", buckets = 1 << 10).head()
+    val d = Classifier.hashedLinearScoreDeclarative(doc, "text", "doc_id",
+      seed = "other", buckets = 1 << 10).head()
+    assert(k == d)
+    // and differs from the default model (the seed actually reaches
+    // the hash family)
+    val dflt = Classifier.hashedLinearScore(doc, "text", "doc_id").head()
+    assert(k.getLong(2) != dflt.getLong(2))
+  }
+
   test("inference plan is purely map-side: zero shuffles") {
     val df = score(Seq(1L -> "a b c"))
     val shuffles = df.queryExecution.executedPlan.collect {
