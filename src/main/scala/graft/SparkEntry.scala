@@ -52,7 +52,8 @@ object SparkEntry {
       graft.queries.EventOps.defs ++ graft.queries.Extras.defs ++
       graft.queries.Round2.defs ++ graft.queries.Round3.defs ++
       graft.queries.Round5.defs ++ graft.queries.Round6.defs ++
-      graft.queries.Round7.defs ++ graft.queries.Round8.defs)
+      graft.queries.Round7.defs ++ graft.queries.Round8.defs ++
+      graft.queries.Round9.defs)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
