@@ -671,9 +671,15 @@ object Similarity {
       queries: DataFrame, candidates: DataFrame, k: Int,
       nCells: Int, nprobe: Int, dims: Int, m: Int, nCentroids: Int,
       idCol: String = "vec_id", embCol: String = "embedding",
-      trainIters: Int = 0): DataFrame = {
+      trainIters: Int = 0,
+      acknowledgeSeeded: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    seededResidualWarning(trainIters).foreach(log.warn)
+    // acknowledgeSeeded: a caller that DELIBERATELY runs the seeded
+    // path (q88's catalog row — the oracle-replayable baseline the
+    // trained q106 row is A/B'd against) opts out of the recall
+    // warning; unacknowledged seeded production use still warns.
+    if (!acknowledgeSeeded)
+      seededResidualWarning(trainIters).foreach(log.warn)
     val cells =
       if (trainIters > 0)
         trainedCentroids(candidates, nCells, trainIters, idCol, embCol)

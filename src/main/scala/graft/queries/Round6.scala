@@ -51,13 +51,15 @@ object Round6 {
     // per probed cell. Same joins as q87; only the (broadcast) table
     // grows by ×nprobe. Deterministic seeding end-to-end, so the
     // oracle replays cell assignment, residual codebooks, codes, and
-    // the per-cell ADC sums exactly.
+    // the per-cell ADC sums exactly. Deliberately SEEDED
+    // (acknowledgeSeeded): this row is the baseline the trained
+    // q106 row (Round9) is A/B'd against, not a production path.
     QueryDef("q88_ivfpq_residual",
       (s, dir) => {
         val emb = t("embeddings")(s, dir)
         Similarity.ivfPqResidualTopK(emb.filter(col("vec_id") < 12), emb,
             k = 5, nCells = 8, nprobe = 2, dims = 64, m = 8,
-            nCentroids = 16)
+            nCentroids = 16, acknowledgeSeeded = true)
           .orderBy(col("query_id"), col("rank"))
       },
       Some("""WITH e AS (SELECT vec_id,

@@ -20,7 +20,7 @@ object Round8 {
     * cells `c2n(cen_id, ce, cn)` — shared verbatim by q101 so the
     * training and search queries can never drift apart.
     */
-  private val lloyd2Cte: String =
+  private[queries] val lloyd2Cte: String =
     """e AS (SELECT vec_id,
       |    CAST(embedding AS DOUBLE[]) AS d FROM embeddings),
       |en AS (SELECT vec_id, d,

@@ -53,5 +53,84 @@ object Round9 {
               |  CAST(COALESCE(SUM(db), 0) AS BIGINT) AS sum_db,
               |  MIN(jaccard) AS min_jaccard,
               |  MAX(jaccard) AS max_jaccard
-              |FROM j""".stripMargin)))
+              |FROM j""".stripMargin)),
+
+    // ---- TRAINED-cells residual IVF-PQ end-to-end under the oracle:
+    // q101 closed the seeded-only gap for the global-codebook search;
+    // this closes it for the RESIDUAL architecture — the one RecallAb
+    // showed amplifies centroid quality most (recall@10 0.092 seeded
+    // vs 0.162 trained). The oracle composes q91/q101's 2-iteration
+    // Lloyd replay CTEs verbatim with q88's per-cell residual CTEs:
+    // residuals, codebooks, codes, and per-cell ADC tables all derive
+    // from the TRAINED cells, so training and residual search cannot
+    // drift apart. q88 (seeded, acknowledged) remains as the A/B
+    // baseline.
+    QueryDef("q106_residual_trained",
+      (s, dir) => {
+        val emb = t("embeddings")(s, dir)
+        Similarity.ivfPqResidualTopK(emb.filter(col("vec_id") < 12), emb,
+            k = 5, nCells = 8, nprobe = 2, dims = 64, m = 8,
+            nCentroids = 16, trainIters = 2)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH ${Round8.lloyd2Cte},
+              |ca0 AS (SELECT en.vec_id AS id, c2n.cen_id AS cel_id,
+              |    round(list_dot_product(en.d, c2n.ce) /
+              |      (en.nrm * c2n.cn), 6) AS csim
+              |  FROM en, c2n),
+              |ca1 AS (SELECT *, row_number() OVER (PARTITION BY id
+              |    ORDER BY csim DESC, cel_id) AS r FROM ca0),
+              |cellof AS (SELECT id, cel_id AS cell FROM ca1 WHERE r = 1),
+              |res AS (SELECT c.id, c.cell,
+              |    list_transform(list_zip(e.d, cc.ce),
+              |      x -> x[1] - x[2]) AS rv
+              |  FROM cellof c JOIN e ON c.id = e.vec_id
+              |  JOIN c2n cc ON c.cell = cc.cen_id),
+              |s AS (SELECT id, cell, t.j, rv[t.j*8+1 : t.j*8+8] AS sv
+              |  FROM res, range(0, 8) t(j)),
+              |pcen AS (SELECT j, s.id AS cen_id, sv AS cv FROM s
+              |  WHERE s.id IN (SELECT vec_id FROM e
+              |    ORDER BY vec_id LIMIT 16)),
+              |pa0 AS (SELECT s.id, s.j, cen_id,
+              |    round(list_dot_product(sv, sv)
+              |      - 2 * list_dot_product(sv, cv)
+              |      + list_dot_product(cv, cv), 6) AS dist2
+              |  FROM s JOIN pcen ON s.j = pcen.j),
+              |pa1 AS (SELECT *, row_number() OVER (PARTITION BY id, j
+              |    ORDER BY dist2, cen_id) AS r FROM pa0),
+              |codes AS (SELECT id, j, cen_id AS code FROM pa1
+              |  WHERE r = 1),
+              |qp1 AS (SELECT *, row_number() OVER (PARTITION BY id
+              |    ORDER BY csim DESC, cel_id) AS r FROM ca0
+              |  WHERE id < 12),
+              |probes AS (SELECT id AS query_id, cel_id AS cell
+              |  FROM qp1 WHERE r <= 2),
+              |qres AS (SELECT p.query_id, p.cell,
+              |    list_transform(list_zip(e.d, cc.ce),
+              |      x -> x[1] - x[2]) AS qr
+              |  FROM probes p JOIN e ON p.query_id = e.vec_id
+              |  JOIN c2n cc ON p.cell = cc.cen_id),
+              |qs AS (SELECT query_id, cell, t.j,
+              |    qr[t.j*8+1 : t.j*8+8] AS qv
+              |  FROM qres, range(0, 8) t(j)),
+              |tbl AS (SELECT query_id, cell, qs.j, cen_id AS code,
+              |    CAST(round(list_dot_product(qv, qv)
+              |      - 2 * list_dot_product(qv, cv)
+              |      + list_dot_product(cv, cv), 6)
+              |      AS DECIMAL(20,6)) AS d2
+              |  FROM qs JOIN pcen ON qs.j = pcen.j),
+              |sums AS (SELECT t.query_id, c.id AS neighbor_id,
+              |    CAST(SUM(d2) AS DOUBLE) AS adist
+              |  FROM codes c
+              |  JOIN cellof cf ON c.id = cf.id
+              |  JOIN tbl t ON t.cell = cf.cell AND t.j = c.j
+              |    AND t.code = c.code
+              |  WHERE t.query_id != c.id
+              |  GROUP BY t.query_id, c.id),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              |    ORDER BY adist, neighbor_id) AS rank FROM sums)
+              |SELECT query_id, neighbor_id, adist,
+              |  CAST(rank AS BIGINT) AS rank
+              |FROM r WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)))
 }
