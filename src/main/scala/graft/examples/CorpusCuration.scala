@@ -80,6 +80,12 @@ object CorpusCuration {
     *                            look fine — q100); the score survives
     *                            as the `bigram_logp` audit column on
     *                            every kept row
+    *   3e. classifier gate    — optional `minClassifierMargin`:
+    *                            documents whose hashed-linear-model
+    *                            margin (q104, the fastText-style
+    *                            inference kernel) falls below the
+    *                            threshold reject; the margin survives
+    *                            as the `classifier_margin` audit column
     *   4. exact dedup         — fingerprint, min-id survivor
     *   5. near-dup dedup      — MinHash-LSH candidates → connected
     *                            components → keep each cluster's BEST
@@ -115,6 +121,7 @@ object CorpusCuration {
       bench: Option[DataFrame] = None,
       benchShingle: Int = 8,
       minBigramLogProb: Option[Double] = None,
+      minClassifierMargin: Option[Double] = None,
       scoreStopwords: Seq[String] =
         Seq("the", "of", "and", "a", "to", "in", "is")): DataFrame = {
     import graft.operators.Curation
@@ -160,13 +167,25 @@ object CorpusCuration {
       case (thr, bg) =>
         bg.filter(col("bigram_logp") < thr).select(col("doc_id"))
     }
+    // 3e: optional model-inference gate — the q104 hashed-linear
+    // classifier's margin (one fused map-side kernel pass). Same
+    // score-once/use-twice discipline as 3d: the rejection filter
+    // here, the `classifier_margin` audit column below. Feature-less
+    // docs carry a NULL margin and are never rejected by THIS gate
+    // (minWords already handles them) — the filter is null-safe false.
+    val clsScores = minClassifierMargin.map(_ =>
+      graft.operators.Classifier.hashedLinearScore(docs, "text", "doc_id")
+        .select(col("doc_id"), col("margin").as("classifier_margin")))
+    val lowMargin = minClassifierMargin.zip(clsScores).map {
+      case (thr, cs) =>
+        cs.filter(col("classifier_margin") < thr).select(col("doc_id"))
+    }
     val rejected =
       (Seq(blocked, lowQuality, badRatio, repetitive) ++ contaminated ++
-        wordSalad).reduce(_ union _).distinct()
+        wordSalad ++ lowMargin).reduce(_ union _).distinct()
     val cleanBase = docs.join(rejected, Seq("doc_id"), "left_anti")
-    val clean = bgScores
-      .map(bg => cleanBase.join(bg, Seq("doc_id"), "left"))
-      .getOrElse(cleanBase)
+    val clean = (bgScores ++ clsScores)
+      .foldLeft(cleanBase)((d, sc) => d.join(sc, Seq("doc_id"), "left"))
 
     // 4: exact dedup
     val wFp = Window.partitionBy(col("_fp")).orderBy(col("doc_id"))

@@ -117,4 +117,33 @@ class CorpusCurationSpec extends SparkSpec {
       .join(out.select("doc_id"), "doc_id").count() == 0)
     assert(scores.filter(col("avg_logp") < thr).count() > 0)
   }
+
+  test("curateForTraining with a classifier gate: low-margin docs " +
+      "rejected, classifier_margin audit column on every kept row") {
+    import graft.operators.Classifier
+    val scores = Classifier.hashedLinearScore(docs, "text", "doc_id")
+    // threshold at the corpus's own 20th-percentile margin so the gate
+    // provably has work to do on any generated corpus
+    val thr = scores.stat.approxQuantile("margin", Array(0.2), 0.0)(0)
+    val out = CorpusCuration.curateForTraining(docs,
+      minClassifierMargin = Some(thr))
+    assert(out.columns.contains("classifier_margin"))
+    // the gate held: no survivor scores below the threshold
+    // (feature-less docs carry a NULL margin and pass by design)
+    assert(out.filter(col("classifier_margin") < thr).count() == 0)
+    // and it actually rejected someone
+    assert(scores.filter(col("margin") < thr)
+      .join(out.select("doc_id"), "doc_id").count() == 0)
+    assert(scores.filter(col("margin") < thr).count() > 0)
+  }
+
+  test("curateForTraining composes BOTH audit-scored gates at once") {
+    val out = CorpusCuration.curateForTraining(docs,
+      minBigramLogProb = Some(-1e9), minClassifierMargin = Some(-1e9))
+    // thresholds below any real score: both audit columns attach, no
+    // extra rejection (the two optional score joins compose)
+    assert(out.columns.contains("bigram_logp"))
+    assert(out.columns.contains("classifier_margin"))
+    assert(out.count() > 0)
+  }
 }
