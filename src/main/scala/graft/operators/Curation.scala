@@ -194,13 +194,10 @@ object Curation {
       .select(col("word"),
         round(log(col("cnt") / col("n_total")), 6)
           .cast("decimal(20,6)").as("logp"))
-    tf.join(logp, Seq("word"))
+    meanLogp6(tf.join(logp, Seq("word"))
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_tokens"),
-        sum(col("logp") * col("tf")).as("s"))
-      .select(col(idCol), col("n_tokens"),
-        round(col("s").cast("double") / col("n_tokens"), 6)
-          .as("avg_logp"))
+        sum(col("logp") * col("tf")).as("s")), idCol, "n_tokens")
   }
 
   /** Bigram language-model scoring — the conditional-probability
@@ -219,8 +216,10 @@ object Curation {
     * Determinism discipline (same as [[unigramLogProb]]): each bigram's
     * log-probability is rounded to 6 decimals and carried as
     * DECIMAL(20,6), so per-document sums are exact integer arithmetic —
-    * order-independent and engine-portable; only the final mean is a
-    * float. Documents with fewer than 2 words have no bigrams and are
+    * order-independent and engine-portable; the final mean's 6-decimal
+    * rounding is ALSO decided in exact integer micro-units
+    * ([[meanLogp6]]), so no float enters until the already-rounded
+    * result. Documents with fewer than 2 words have no bigrams and are
     * omitted.
     *
     * Plan shape: ONE corpus pass total. The bigram explode (map-side
@@ -266,14 +265,37 @@ object Curation {
       .select(col("w1"), col("w2"),
         round(log((col("cb") + 1) / (col("cw") + col("v"))), 6)
           .cast("decimal(20,6)").as("logp"))
-    tf.join(logp, Seq("w1", "w2"))
+    meanLogp6(tf.join(logp, Seq("w1", "w2"))
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_bigrams"),
-        sum(col("logp") * col("tf")).as("s"))
-      .select(col(idCol), col("n_bigrams"),
-        round(col("s").cast("double") / col("n_bigrams"), 6)
-          .as("avg_logp"))
+        sum(col("logp") * col("tf")).as("s")), idCol, "n_bigrams")
   }
+
+  /** `avg_logp = round(s / n, 6)` with the rounding decided in EXACT
+    * integer micro-units, not on a double quotient: `s` is a
+    * DECIMAL(·,6) sum, so `s·10⁶` is an exact BIGINT and the half-
+    * away-from-zero rounding of `s/n` to 6 decimals is
+    * `sign(s) · (2·|s·10⁶| + n) DIV (2n)` — integer arithmetic both
+    * engines reproduce bit-for-bit. The previous
+    * `round(s::double / n, 6)` was latently engine-divergent: when the
+    * exact quotient lands ON a 7th-decimal half-boundary (structural
+    * here — a 6-decimal sum divided by a token count hits one whenever
+    * `2n ∤ 2·s·10⁶` fails, e.g. n = 10 with an odd last digit), Spark
+    * rounds the exact BigDecimal of the double while DuckDB rounds
+    * `x·10⁶`, and the two can disagree by one final-digit ulp — found
+    * by the full-catalog sf0.1 re-verification in round 9 (2 of 5000
+    * docs). The final division by 10⁶ is exact-integer-over-constant,
+    * IEEE-identical across engines.
+    */
+  private def meanLogp6(agg: DataFrame, idCol: String,
+      nName: String): DataFrame =
+    agg
+      .withColumn("_sm", (col("s") * 1000000).cast("long"))
+      .withColumn("_qm",
+        when(col("_sm") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr(s"(abs(_sm) * 2 + $nName) DIV ($nName * 2)"))
+      .select(col(idCol), col(nName),
+        (col("_qm") / lit(1000000.0)).as("avg_logp"))
 
   /** C4-style blocklist gate: count each document's tokens that appear
     * in a term blocklist and reject documents exceeding `maxHits`.

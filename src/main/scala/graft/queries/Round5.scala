@@ -260,7 +260,9 @@ object Round5 {
              |    SUM(lp.logp * tf.tf) AS s
              |  FROM tf JOIN lp USING (word) GROUP BY tf.doc_id)
              |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-             |  round(CAST(s AS DOUBLE) / n_tokens, 6) AS avg_logp
+             |  CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END) *
+             |    ((CAST(abs(s) * 1000000 AS BIGINT) * 2 + n_tokens)
+             |      // (n_tokens * 2)) AS DOUBLE) / 1000000 AS avg_logp
              |FROM d ORDER BY doc_id""".stripMargin)),
 
     // ---- C4-style blocklist gate: token hits against an inlined term

@@ -431,6 +431,8 @@ object Round7 {
              |    SUM(lp.logp * tf.tf) AS s
              |  FROM tf JOIN lp USING (w1, w2) GROUP BY tf.doc_id)
              |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
-             |  round(CAST(s AS DOUBLE) / n_bigrams, 6) AS avg_logp
+             |  CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END) *
+             |    ((CAST(abs(s) * 1000000 AS BIGINT) * 2 + n_bigrams)
+             |      // (n_bigrams * 2)) AS DOUBLE) / 1000000 AS avg_logp
              |FROM d ORDER BY doc_id""".stripMargin)))
 }
