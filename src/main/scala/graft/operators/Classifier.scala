@@ -115,4 +115,102 @@ object Classifier {
         when(col("n_feats") > 0,
           col("w_milli") / (col("n_feats") * lit(1000.0))).as("margin"))
       .withColumn("keep", when(col("n_feats") > 0, col("margin") >= 0))
+
+  /** TRAIN a hashed logistic-regression text classifier — the model
+    * half [[hashedLinearScore]] infers with, closing the train→infer
+    * loop (the same inference-vs-training split as q87/q88 search vs
+    * q91/q101/q106 Lloyd training on the ANN side): full-batch
+    * gradient descent on the unigram+bigram hashing-trick features
+    * (Joulin et al. 2016), `iters` iterations at learning rate 1 over
+    * the mean gradient, starting from w = 0.
+    *
+    * Returns one row per OBSERVED bucket: `(bucket, w_micro, n_tf)` —
+    * the trained weight in exact integer micro-units and the bucket's
+    * total feature count.
+    *
+    * Numeric determinism (the q91-Lloyd / meanLogp6 discipline, so a
+    * SQL oracle can replay every step — q107):
+    *  - weights LIVE in integer micro-units; per-document logits are
+    *    `z_micro = Σ w_micro·tf` — exact BIGINT arithmetic;
+    *  - the sigmoid is the ONLY transcendental: `p = round(1/(1+exp(
+    *    −z_micro/10⁶)), 6)` carried as DECIMAL(20,6) (same cross-engine
+    *    trust as the `round(ln(…), 6)` the LM scores rely on; at w = 0
+    *    it is EXACTLY 0.500000 in both engines, so iteration 1 needs no
+    *    special case);
+    *  - residuals `y − p` and per-bucket gradients `Σ r·tf` are exact
+    *    decimals; the mean over N docs rounds half-away-from-zero in
+    *    integer micro-space (`sign · (2|g·10⁶| + N) DIV 2N` — the
+    *    [[Curation]] meanLogp6 rule), giving the integer weight update.
+    *
+    * Scale contract: the tokenize→feature→bucket explode runs ONCE into
+    * a materialized `(doc, bucket, tf)` frame (corpus-reduced:
+    * |docs|·|distinct buckets per doc|); each iteration is two joins
+    * against it (broadcast model-side) and two aggregations — the
+    * corpus text is never re-scanned. The model collects to the driver
+    * per iteration (≤ `buckets` rows — model-sized, the
+    * [[Similarity.trainedCentroids]] pattern). Label imbalance, feature
+    * scaling, and stopping criteria are the caller's concern; this is
+    * the exact, replayable training kernel.
+    *
+    * @param labelCol 0/1 integer column (e.g. `(col("lang") === "en")
+    *                 .cast("int")`)
+    */
+  def trainHashedLogistic(docs: DataFrame, textCol: String,
+      idCol: String, labelCol: Column, buckets: Int = 64,
+      iters: Int = 2, seed: String = "cls"): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // (doc, bucket, tf): the feature stream, built once. Declarative
+    // feature path (not the inference kernel) — training wants the
+    // exploded rows, and this runs once per job, not per scan.
+    val x = graft.Tables.rebalance(
+        docs.select(col(idCol), col(textCol).as("_text")))
+      .select(col(idCol),
+        features(TextOps.words(coalesce(col("_text"), lit("")))).as("_f"))
+      .select(col(idCol), explode(col("_f")).as("_feat"))
+      .select(col(idCol),
+        featureBucket(col("_feat"), seed, buckets).as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val y = docs.select(col(idCol), labelCol.cast("int").as("_y"))
+    val nDocs = x.select(col(idCol)).distinct().count()
+    val observed = x.select(col("bucket")).distinct()
+      .orderBy(col("bucket")).collect().map(_.getLong(0))
+    val wSchema = StructType(Seq(StructField("bucket", LongType),
+      StructField("wm", LongType)))
+    var w: Map[Long, Long] = observed.map(_ -> 0L).toMap
+    for (_ <- 1 to iters) {
+      val wDf = spark.createDataFrame(
+        java.util.Arrays.asList(observed.map(b =>
+          org.apache.spark.sql.Row(b, w(b))): _*), wSchema)
+      val p = x.join(broadcast(wDf), Seq("bucket"))
+        .groupBy(col(idCol))
+        .agg(sum(col("wm") * col("tf")).as("_zm"))
+        .select(col(idCol),
+          round(lit(1.0) / (lit(1.0) + exp(-col("_zm") / lit(1000000.0))),
+            6).cast("decimal(20,6)").as("_p"))
+      val r = p.join(y, Seq(idCol))
+        .select(col(idCol),
+          (col("_y").cast("decimal(20,6)") - col("_p")).as("_r"))
+      val delta = x.join(r, Seq(idCol))
+        .groupBy(col("bucket"))
+        .agg(sum(col("_r") * col("tf")).as("_g"))
+        .select(col("bucket"), (col("_g") * 1000000).cast("long").as("_gm"))
+        .select(col("bucket"),
+          (when(col("_gm") < 0, lit(-1L)).otherwise(lit(1L)) *
+            expr(s"(abs(_gm) * 2 + ${nDocs}L) DIV ${2 * nDocs}L"))
+            .as("_dm"))
+        .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+      w = w.map { case (b, v) => b -> (v + delta.getOrElse(b, 0L)) }
+    }
+    val wFinal = spark.createDataFrame(
+      java.util.Arrays.asList(observed.map(b =>
+        org.apache.spark.sql.Row(b, w(b))): _*), wSchema)
+    x.groupBy(col("bucket")).agg(sum(col("tf")).as("n_tf"))
+      .join(broadcast(wFinal), Seq("bucket"))
+      .select(col("bucket"), col("wm").as("w_micro"),
+        col("n_tf").cast("bigint").as("n_tf"))
+  }
 }

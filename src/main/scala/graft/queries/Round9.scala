@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Similarity
+import graft.operators.{Classifier, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Round-9 additions: the shared Jaccard pair-set build as its own
@@ -132,5 +132,69 @@ object Round9 {
               |SELECT query_id, neighbor_id, adist,
               |  CAST(rank AS BIGINT) AS rank
               |FROM r WHERE rank <= 5
-              |ORDER BY query_id, rank""".stripMargin)))
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- hashed logistic-regression TRAINING under the oracle: the
+    // catalog's first model-training operator on the text side (q104
+    // is the inference half; q91/q101/q106 are the ANN-side training
+    // precedent). Label = (lang = 'en'); 2 full-batch GD iterations at
+    // lr 1 over the mean gradient from w = 0. Every step is exact:
+    // integer-micro weights, BIGINT logits, the sigmoid is the only
+    // transcendental (exact 0.500000 at w=0, so iteration 1 replays
+    // without a special case), and the mean-gradient rounding is the
+    // q74/q100 integer micro-unit rule. The oracle replays both
+    // iterations CTE-by-CTE.
+    QueryDef("q107_logreg_train",
+      (s, dir) => Classifier.trainHashedLogistic(
+          t("documents")(s, dir), "text", "doc_id",
+          (col("lang") === "en").cast("int"), buckets = 64, iters = 2)
+        .orderBy(col("bucket")),
+      Some("""WITH w AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(text), '\s+'),
+             |    x -> len(x) > 0) AS ws FROM documents),
+             |f AS (SELECT doc_id, list_concat(ws,
+             |    list_transform(generate_series(1, len(ws) - 1),
+             |      i -> ws[i] || ' ' || ws[i+1])) AS feats FROM w),
+             |e AS (SELECT doc_id, unnest(feats) AS feat FROM f),
+             |x AS (SELECT doc_id,
+             |    CAST(concat('0x', substr(md5('cls|' || feat), 1, 15))
+             |      AS BIGINT) % 64 AS bucket, COUNT(*) AS tf
+             |  FROM e GROUP BY 1, 2),
+             |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM x),
+             |y AS (SELECT doc_id,
+             |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+             |  FROM documents),
+             |g1 AS (SELECT bucket,
+             |    SUM((CAST(y.y AS DECIMAL(20,6)) - 0.5) * x.tf) AS g
+             |  FROM x JOIN y USING (doc_id) GROUP BY bucket),
+             |w1 AS (SELECT bucket,
+             |    (CASE WHEN g < 0 THEN -1 ELSE 1 END) *
+             |      ((CAST(abs(g) * 1000000 AS BIGINT) * 2 + n.n)
+             |        // (n.n * 2)) AS wm
+             |  FROM g1, n),
+             |z2 AS (SELECT x.doc_id,
+             |    SUM(w1.wm * x.tf) AS zm
+             |  FROM x JOIN w1 USING (bucket) GROUP BY x.doc_id),
+             |p2 AS (SELECT doc_id, CAST(round(
+             |      1.0 / (1.0 + exp(-(CAST(zm AS DOUBLE) / 1000000))),
+             |      6) AS DECIMAL(20,6)) AS p
+             |  FROM z2),
+             |r2 AS (SELECT p2.doc_id,
+             |    CAST(y.y AS DECIMAL(20,6)) - p2.p AS r
+             |  FROM p2 JOIN y USING (doc_id)),
+             |g2 AS (SELECT x.bucket, SUM(r2.r * x.tf) AS g
+             |  FROM x JOIN r2 USING (doc_id) GROUP BY x.bucket),
+             |d2 AS (SELECT bucket,
+             |    (CASE WHEN g < 0 THEN -1 ELSE 1 END) *
+             |      ((CAST(abs(g) * 1000000 AS BIGINT) * 2 + n.n)
+             |        // (n.n * 2)) AS dm
+             |  FROM g2, n),
+             |w2 AS (SELECT bucket, w1.wm + d2.dm AS wm
+             |  FROM w1 JOIN d2 USING (bucket)),
+             |o AS (SELECT bucket, SUM(tf) AS n_tf FROM x
+             |  GROUP BY bucket)
+             |SELECT o.bucket, CAST(w2.wm AS BIGINT) AS w_micro,
+             |  CAST(o.n_tf AS BIGINT) AS n_tf
+             |FROM o JOIN w2 USING (bucket)
+             |ORDER BY bucket""".stripMargin)))
 }

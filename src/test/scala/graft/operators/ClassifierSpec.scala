@@ -112,6 +112,54 @@ class ClassifierSpec extends SparkSpec {
     assert(k.getLong(2) != dflt.getLong(2))
   }
 
+  test("trainHashedLogistic matches an in-JVM replay of 2 GD steps") {
+    // 2 docs, buckets=1: every feature lands in bucket 0, so the model
+    // is ONE weight and each step is hand-computable
+    val docs = Seq((1L, "a b", 1), (2L, "c d", 0))
+      .toDF("doc_id", "text", "y")
+    val got = Classifier.trainHashedLogistic(docs, "text", "doc_id",
+      col("y"), buckets = 1, iters = 2).collect()
+    assert(got.length == 1 && got.head.getLong(0) == 0L)
+    // each doc has 3 features (2 unigrams + 1 bigram): tf = 3 both
+    assert(got.head.getLong(2) == 6L)
+    // iter 1: p = 0.5 exactly; g = (1-0.5)*3 + (0-0.5)*3 = 0 → w1 = 0
+    // iter 2: unchanged (w stays 0, p stays 0.5, g stays 0)
+    assert(got.head.getLong(1) == 0L)
+
+    // asymmetric labels: docs (tf 3 each), y = (1, 1) → iter1
+    // g = 0.5*3 + 0.5*3 = 3, mean over 2 docs = 1.5 → w1 = 1_500_000
+    // micro; iter2: z = 4.5 per doc, p = round(sigmoid(4.5), 6) =
+    // 0.989013, r = 0.010987, g = 0.010987*6 = 0.065922, mean =
+    // 0.032961 → +32_961
+    val docs2 = Seq((1L, "a b", 1), (2L, "c d", 1))
+      .toDF("doc_id", "text", "y")
+    val got2 = Classifier.trainHashedLogistic(docs2, "text", "doc_id",
+      col("y"), buckets = 1, iters = 2).collect()
+    assert(got2.head.getLong(1) == 1500000L + 32961L)
+  }
+
+  test("trainHashedLogistic learns a planted signal's direction") {
+    // label = doc contains the word 'positive'; with 2^18 buckets the
+    // marker's unigram bucket is collision-free on this tiny vocab, so
+    // its trained weight must come out positive and dominant
+    val rows = (0L until 40L).map { i =>
+      if (i % 2 == 0) (i, s"common filler positive tok$i", 1)
+      else (i, s"common filler negative tok$i", 0)
+    }
+    val docs = rows.toDF("doc_id", "text", "y")
+    val w = Classifier.trainHashedLogistic(docs, "text", "doc_id",
+      col("y"), buckets = 1 << 18, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val posBucket = java.lang.Math.floorMod(
+      TextOps.hash60Const("cls|positive"), (1L << 18))
+    val negBucket = java.lang.Math.floorMod(
+      TextOps.hash60Const("cls|negative"), (1L << 18))
+    assert(w(posBucket) > 0, "positive marker weight")
+    assert(w(negBucket) < 0, "negative marker weight")
+    assert(w(posBucket) == -w(negBucket),
+      "symmetric corpus trains symmetric weights")
+  }
+
   test("inference plan is purely map-side: zero shuffles") {
     val df = score(Seq(1L -> "a b c"))
     val shuffles = df.queryExecution.executedPlan.collect {
