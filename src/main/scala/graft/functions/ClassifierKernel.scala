@@ -117,6 +117,46 @@ object ClassifierKernel {
     val nFeats = if (n == 0) 0L else 2L * n - 1L
     new GenericArrayData(Array[Any](nFeats, wMilli))
   }
+
+  /** [[score]] with an EXPLICIT weight table instead of the derived
+    * pseudo-model — the "swapping in trained weights replaces one
+    * expression" seam (Classifier scaladoc) made real: `weights` is
+    * the micro-unit weight vector indexed by bucket (length =
+    * `buckets`, 0 for untrained buckets), shipped as a plan literal —
+    * tiny at training bucket counts (64 longs for the q107 model), so
+    * serving stays map-side, shuffle-free, and model-frame-free
+    * exactly like the pseudo-model path. Returns
+    * `[n_feats, z_micro]` (micro-unit logit sum).
+    */
+  def scoreWith(text: UTF8String, seed: UTF8String, buckets: Int,
+      weights: ArrayData): ArrayData = {
+    val words =
+      if (text == null) new java.util.ArrayList[String]()
+      else ShingleKernel.tokenize(text)
+    val n = words.size
+    val prefix = seed.toString + "|"
+    val sb = new java.lang.StringBuilder(64)
+    var zMicro = 0L
+    var i = 0
+    while (i < n) { // unigrams
+      sb.setLength(0)
+      sb.append(prefix).append(words.get(i))
+      zMicro += weights.getLong(
+        (hash60(sb.toString.getBytes("UTF-8")) % buckets).toInt)
+      i += 1
+    }
+    var j = 0
+    while (j < n - 1) { // bigrams
+      sb.setLength(0)
+      sb.append(prefix).append(words.get(j)).append(' ')
+        .append(words.get(j + 1))
+      zMicro += weights.getLong(
+        (hash60(sb.toString.getBytes("UTF-8")) % buckets).toInt)
+      j += 1
+    }
+    val nFeats = if (n == 0) 0L else 2L * n - 1L
+    new GenericArrayData(Array[Any](nFeats, zMicro))
+  }
 }
 
 object ClassifierScore {
@@ -137,4 +177,29 @@ object ClassifierScore {
   def score(text: Column, seed: String, buckets: Int): Column =
     ColumnBridge.column(
       scoreExpr(ColumnBridge.expression(text), seed, buckets))
+
+  def scoreWithExpr(text: Expression, seed: String, buckets: Int,
+      weightsMicro: Array[Long]): Expression = {
+    require(weightsMicro.length == buckets,
+      s"weight table length ${weightsMicro.length} != buckets $buckets")
+    StaticInvoke(
+      ClassifierKernel.getClass,
+      ArrayType(LongType, containsNull = false),
+      "scoreWith",
+      Seq(text, Literal(UTF8String.fromString(seed), StringType),
+        Literal(buckets, IntegerType),
+        Literal.create(weightsMicro,
+          ArrayType(LongType, containsNull = false))),
+      inputTypes = Seq(StringType, StringType, IntegerType,
+        ArrayType(LongType, containsNull = false)),
+      propagateNull = false,
+      returnNullable = false)
+  }
+
+  /** Column API: `array(n_feats, z_micro)` — the fused pass scoring
+    * with an explicit (e.g. trained) micro-unit weight table. */
+  def scoreWith(text: Column, seed: String, buckets: Int,
+      weightsMicro: Array[Long]): Column =
+    ColumnBridge.column(scoreWithExpr(
+      ColumnBridge.expression(text), seed, buckets, weightsMicro))
 }

@@ -116,6 +116,39 @@ object Classifier {
           col("w_milli") / (col("n_feats") * lit(1000.0))).as("margin"))
       .withColumn("keep", when(col("n_feats") > 0, col("margin") >= 0))
 
+  /** Score every document with an EXPLICIT (e.g. trained) micro-unit
+    * weight table — the serving half of [[trainHashedLogistic]], and
+    * the realization of the scaladoc's "swapping in a trained model
+    * replaces one expression" claim: same fused kernel pass, same
+    * zero-shuffle/zero-join/no-model-frame plan as
+    * [[hashedLinearScore]]; the weight vector rides the plan as a
+    * literal (64 longs at the q107 training width — at very large
+    * bucket counts ship it via the pseudo-model seam or a broadcast
+    * join instead).
+    *
+    * Output per input row: `(idCol, n_feats, z_micro, margin, keep)` —
+    * `z_micro` the exact BIGINT micro-unit logit, `margin` =
+    * z_micro / (10⁶ · n_feats) (mean per-feature weight), `keep` =
+    * margin ≥ 0, NULL margin/keep for feature-less docs (q104
+    * semantics).
+    *
+    * @param weightsMicro micro-unit weights indexed by bucket; length
+    *                     must equal `buckets` (0 = untrained bucket)
+    */
+  def hashedLinearScoreWith(df: DataFrame, textCol: String,
+      idCol: String, weightsMicro: Array[Long], seed: String = "cls",
+      buckets: Int = 64): DataFrame =
+    df.select(col(idCol),
+        graft.functions.ClassifierScore.scoreWith(col(textCol), seed,
+          buckets, weightsMicro).as("nz"))
+      .select(col(idCol), col("nz").getItem(0).as("n_feats"),
+        col("nz").getItem(1).as("z_micro"))
+      .select(col(idCol), col("n_feats"), col("z_micro"),
+        when(col("n_feats") > 0,
+          col("z_micro") / (col("n_feats") * lit(1000000.0)))
+          .as("margin"))
+      .withColumn("keep", when(col("n_feats") > 0, col("margin") >= 0))
+
   /** TRAIN a hashed logistic-regression text classifier — the model
     * half [[hashedLinearScore]] infers with, closing the train→infer
     * loop (the same inference-vs-training split as q87/q88 search vs

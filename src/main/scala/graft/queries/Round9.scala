@@ -15,6 +15,55 @@ import org.apache.spark.sql.functions._
 object Round9 {
   private def t(name: String): QueryFn = (s, dir) => Tables.load(s, dir, name)
 
+  /** The 2-iteration logistic-regression training replay ending in
+    * trained weights `w2(bucket, wm)` — shared verbatim by q107 (the
+    * training row) and q108 (trained-weights serving), so training and
+    * serving can never drift apart (the lloyd2Cte pattern).
+    */
+  private[queries] val logregCtes: String =
+    """WITH w AS (SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '\s+'),
+      |    x -> len(x) > 0) AS ws FROM documents),
+      |f AS (SELECT doc_id, list_concat(ws,
+      |    list_transform(generate_series(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i+1])) AS feats FROM w),
+      |e AS (SELECT doc_id, unnest(feats) AS feat FROM f),
+      |x AS (SELECT doc_id,
+      |    CAST(concat('0x', substr(md5('cls|' || feat), 1, 15))
+      |      AS BIGINT) % 64 AS bucket, COUNT(*) AS tf
+      |  FROM e GROUP BY 1, 2),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM x),
+      |y AS (SELECT doc_id,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |g1 AS (SELECT bucket,
+      |    SUM((CAST(y.y AS DECIMAL(20,6)) - 0.5) * x.tf) AS g
+      |  FROM x JOIN y USING (doc_id) GROUP BY bucket),
+      |w1 AS (SELECT bucket,
+      |    (CASE WHEN g < 0 THEN -1 ELSE 1 END) *
+      |      ((CAST(abs(g) * 1000000 AS BIGINT) * 2 + n.n)
+      |        // (n.n * 2)) AS wm
+      |  FROM g1, n),
+      |z2 AS (SELECT x.doc_id,
+      |    SUM(w1.wm * x.tf) AS zm
+      |  FROM x JOIN w1 USING (bucket) GROUP BY x.doc_id),
+      |p2 AS (SELECT doc_id, CAST(round(
+      |      1.0 / (1.0 + exp(-(CAST(zm AS DOUBLE) / 1000000))),
+      |      6) AS DECIMAL(20,6)) AS p
+      |  FROM z2),
+      |r2 AS (SELECT p2.doc_id,
+      |    CAST(y.y AS DECIMAL(20,6)) - p2.p AS r
+      |  FROM p2 JOIN y USING (doc_id)),
+      |g2 AS (SELECT x.bucket, SUM(r2.r * x.tf) AS g
+      |  FROM x JOIN r2 USING (doc_id) GROUP BY x.bucket),
+      |d2 AS (SELECT bucket,
+      |    (CASE WHEN g < 0 THEN -1 ELSE 1 END) *
+      |      ((CAST(abs(g) * 1000000 AS BIGINT) * 2 + n.n)
+      |        // (n.n * 2)) AS dm
+      |  FROM g2, n),
+      |w2 AS (SELECT bucket, w1.wm + d2.dm AS wm
+      |  FROM w1 JOIN d2 USING (bucket))""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- the shared pair-set ARTIFACT BUILD, charged exactly once:
@@ -149,52 +198,46 @@ object Round9 {
           t("documents")(s, dir), "text", "doc_id",
           (col("lang") === "en").cast("int"), buckets = 64, iters = 2)
         .orderBy(col("bucket")),
-      Some("""WITH w AS (SELECT doc_id, list_filter(
-             |    string_split_regex(lower(text), '\s+'),
-             |    x -> len(x) > 0) AS ws FROM documents),
-             |f AS (SELECT doc_id, list_concat(ws,
-             |    list_transform(generate_series(1, len(ws) - 1),
-             |      i -> ws[i] || ' ' || ws[i+1])) AS feats FROM w),
-             |e AS (SELECT doc_id, unnest(feats) AS feat FROM f),
-             |x AS (SELECT doc_id,
-             |    CAST(concat('0x', substr(md5('cls|' || feat), 1, 15))
-             |      AS BIGINT) % 64 AS bucket, COUNT(*) AS tf
-             |  FROM e GROUP BY 1, 2),
-             |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM x),
-             |y AS (SELECT doc_id,
-             |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-             |  FROM documents),
-             |g1 AS (SELECT bucket,
-             |    SUM((CAST(y.y AS DECIMAL(20,6)) - 0.5) * x.tf) AS g
-             |  FROM x JOIN y USING (doc_id) GROUP BY bucket),
-             |w1 AS (SELECT bucket,
-             |    (CASE WHEN g < 0 THEN -1 ELSE 1 END) *
-             |      ((CAST(abs(g) * 1000000 AS BIGINT) * 2 + n.n)
-             |        // (n.n * 2)) AS wm
-             |  FROM g1, n),
-             |z2 AS (SELECT x.doc_id,
-             |    SUM(w1.wm * x.tf) AS zm
-             |  FROM x JOIN w1 USING (bucket) GROUP BY x.doc_id),
-             |p2 AS (SELECT doc_id, CAST(round(
-             |      1.0 / (1.0 + exp(-(CAST(zm AS DOUBLE) / 1000000))),
-             |      6) AS DECIMAL(20,6)) AS p
-             |  FROM z2),
-             |r2 AS (SELECT p2.doc_id,
-             |    CAST(y.y AS DECIMAL(20,6)) - p2.p AS r
-             |  FROM p2 JOIN y USING (doc_id)),
-             |g2 AS (SELECT x.bucket, SUM(r2.r * x.tf) AS g
-             |  FROM x JOIN r2 USING (doc_id) GROUP BY x.bucket),
-             |d2 AS (SELECT bucket,
-             |    (CASE WHEN g < 0 THEN -1 ELSE 1 END) *
-             |      ((CAST(abs(g) * 1000000 AS BIGINT) * 2 + n.n)
-             |        // (n.n * 2)) AS dm
-             |  FROM g2, n),
-             |w2 AS (SELECT bucket, w1.wm + d2.dm AS wm
-             |  FROM w1 JOIN d2 USING (bucket)),
+      Some(Round9.logregCtes + """,
              |o AS (SELECT bucket, SUM(tf) AS n_tf FROM x
              |  GROUP BY bucket)
              |SELECT o.bucket, CAST(w2.wm AS BIGINT) AS w_micro,
              |  CAST(o.n_tf AS BIGINT) AS n_tf
              |FROM o JOIN w2 USING (bucket)
-             |ORDER BY bucket""".stripMargin)))
+             |ORDER BY bucket""".stripMargin)),
+
+    // ---- train → infer END-TO-END under one oracle: q107's trained
+    // weights collected (64 longs — model-sized) and shipped back into
+    // the fused inference kernel as a plan literal, scoring the whole
+    // corpus shuffle-free. Any drift between training replay and
+    // serving arithmetic hash-fails HERE — the classifier-side
+    // counterpart of q101/q106's trained-cells search.
+    QueryDef("q108_logreg_score",
+      (s, dir) => {
+        val docs = t("documents")(s, dir)
+        val trained = Classifier.trainHashedLogistic(docs, "text",
+            "doc_id", (col("lang") === "en").cast("int"),
+            buckets = 64, iters = 2)
+          .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+        val weights = Array.tabulate(64)(b => trained.getOrElse(b, 0L))
+        Classifier.hashedLinearScoreWith(docs, "text", "doc_id",
+            weights, seed = "cls", buckets = 64)
+          .orderBy(col("doc_id"))
+      },
+      Some(Round9.logregCtes + """,
+             |sc AS (SELECT x.doc_id, SUM(x.tf) AS n_feats,
+             |    SUM(w2.wm * x.tf) AS zm
+             |  FROM x JOIN w2 USING (bucket) GROUP BY x.doc_id)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+             |  CAST(coalesce(sc.zm, 0) AS BIGINT) AS z_micro,
+             |  CASE WHEN sc.n_feats > 0
+             |    THEN CAST(sc.zm AS DOUBLE) / (sc.n_feats * 1000000.0)
+             |  END AS margin,
+             |  CASE WHEN sc.n_feats > 0
+             |    THEN CAST(sc.zm AS DOUBLE) / (sc.n_feats * 1000000.0)
+             |      >= 0
+             |  END AS keep
+             |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+             |ORDER BY d.doc_id""".stripMargin)))
 }

@@ -167,4 +167,39 @@ class ClassifierSpec extends SparkSpec {
     }
     assert(shuffles.isEmpty, "hashedLinearScore must not shuffle")
   }
+
+  test("explicit-weights scoring with the pseudo-model table EQUALS " +
+      "the derived pseudo-model path") {
+    // the trained-weights seam, closed-loop checked: a weight table
+    // holding exactly the pseudo-model's micro weights must reproduce
+    // hashedLinearScore bit-for-bit (z_micro = 1000 * w_milli)
+    val B = 64
+    val table = Array.tabulate(B) { b =>
+      (java.lang.Math.floorMod(
+        TextOps.hash60Const("w|cls|" + b), 2001L) - 1000L) * 1000L
+    }
+    val docs = Seq(1L -> "the quick brown fox", 2L -> "", 3L -> "one")
+      .toDF("doc_id", "text")
+    val viaTable = Classifier.hashedLinearScoreWith(docs, "text",
+      "doc_id", table, buckets = B).orderBy("doc_id").collect()
+    val viaPseudo = Classifier.hashedLinearScore(docs, "text", "doc_id",
+      buckets = B).orderBy("doc_id").collect()
+    viaTable.zip(viaPseudo).foreach { case (t, p) =>
+      assert(t.getLong(1) == p.getLong(1), "n_feats")
+      assert(t.getLong(2) == p.getLong(2) * 1000L, "z_micro vs w_milli")
+      assert(t.isNullAt(3) == p.isNullAt(3))
+      if (!t.isNullAt(3)) assert(t.getDouble(3) == p.getDouble(3),
+        "margin")
+    }
+  }
+
+  test("trained-weights serving plan is zero-shuffle") {
+    val df = Classifier.hashedLinearScoreWith(
+      Seq(1L -> "a b").toDF("doc_id", "text"), "text", "doc_id",
+      new Array[Long](64), buckets = 64)
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeLike => e
+    }
+    assert(shuffles.isEmpty, "hashedLinearScoreWith must not shuffle")
+  }
 }
