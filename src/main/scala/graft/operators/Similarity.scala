@@ -270,6 +270,34 @@ object Similarity {
       when(dot(e, signs) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Johnson–Lindenstrauss sign-random projection: embed `dims`-d
+    * vectors into `outDims` dimensions via the md5-derived ±1
+    * hyperplane family ([[planeSigns]] — the same planes the q29 LSH
+    * tables use) scaled by 1/√outDims, the cheap distance-preserving
+    * reduction (Achlioptas 2003 showed ±1 entries satisfy the JL
+    * lemma) an embedding pipeline runs before LSH/clustering when the
+    * INDEX, not the model, bounds dimensionality.
+    *
+    * Purely map-side: `outDims` dot products per row against literal
+    * sign vectors — no shuffle, no model frame; at 100 TB the cost is
+    * the scan. Returns `(idCol, dim, v)` rows, `v` rounded to 6
+    * decimals (`√outDims` is IEEE-exact for perfect-square `outDims`,
+    * so the scale division is engine-identical; oracle q109 replays
+    * the sign lists inline exactly like q29).
+    */
+  def randomProject(df: DataFrame, outDims: Int, dims: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(outDims > 0, "outDims must be positive")
+    val scale = math.sqrt(outDims.toDouble)
+    val projections = array((0 until outDims).map { j =>
+      val signs = array(planeSigns(j, dims).map(lit): _*)
+      round(dot(col("_e"), signs) / scale, 6)
+    }: _*)
+    df.select(col(idCol), darr(col(embCol)).as("_e"))
+      .select(col(idCol), posexplode(projections).as(Seq("dim", "v")))
+      .select(col(idCol), col("dim").cast("bigint").as("dim"), col("v"))
+  }
+
   /** The `nCentroids` lowest-id vectors as coarse-quantizer seeds —
     * `(cen_id, cen_e, cen_nrm)`. Seed selection affects recall, not
     * the plumbing, and the deterministic choice lets the DuckDB oracle

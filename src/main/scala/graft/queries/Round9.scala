@@ -239,5 +239,28 @@ object Round9 {
              |      >= 0
              |  END AS keep
              |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
-             |ORDER BY d.doc_id""".stripMargin)))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- Johnson–Lindenstrauss sign-random projection 64-d → 16-d:
+    // the distance-preserving cheap reduction run before LSH/
+    // clustering when the index bounds dimensionality. Reuses the q29
+    // hyperplane family, so the oracle inlines the identical ±1 sign
+    // lists; scale 1/√16 = 0.25 is IEEE-exact. Purely map-side.
+    QueryDef("q109_random_projection",
+      (s, dir) => Similarity.randomProject(
+          t("embeddings")(s, dir), outDims = 16, dims = 64)
+        .orderBy(col("vec_id"), col("dim")),
+      Some {
+        val dimSel = (0 until 16).map { j =>
+          val signs = Similarity.planeSigns(j, 64)
+            .map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")
+          s"SELECT vec_id, $j AS dim, " +
+            s"round(list_dot_product(e, [$signs]) / 4.0, 6) AS v FROM b"
+        }.mkString(" UNION ALL ")
+        s"""WITH b AS (SELECT vec_id,
+           |    CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+           |SELECT vec_id, CAST(dim AS BIGINT) AS dim, v
+           |FROM ($dimSel)
+           |ORDER BY vec_id, dim""".stripMargin
+      }))
 }

@@ -186,4 +186,39 @@ class SimilaritySpec extends SparkSpec {
     assert(tie.getAs[Int]("pred_label") == 1 &&
       tie.getAs[Long]("n_votes") == 1L)
   }
+  test("randomProject preserves pairwise distance structure (JL)") {
+    val src = new java.io.File("/root/testdata/sf0.001/embeddings.parquet")
+    assume(src.exists(), "driver testdata not present")
+    val emb = spark.read.parquet(src.toString).limit(40)
+    val proj = Similarity.randomProject(emb, outDims = 16, dims = 64)
+      .groupBy("vec_id")
+      .agg(org.apache.spark.sql.functions.collect_list(
+        org.apache.spark.sql.functions.struct(col("dim"), col("v")))
+        .as("pv"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .sortBy(_.getLong(0)).map(_.getDouble(1)).toArray)
+      .toMap
+    val orig = emb.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = orig.keys.toSeq.sorted
+    val pairs = for (i <- ids.indices; j <- (i + 1) until ids.size)
+      yield (ids(i), ids(j))
+    val ratios = pairs.map { case (a, b) =>
+      d2(proj(a), proj(b)) / d2(orig(a), orig(b)) }
+    // JL at 16 dims: squared-distance ratios concentrate around 1 -
+    // a loose band (no ratio collapses to 0 or explodes) is the
+    // operator-level guarantee worth pinning
+    assert(ratios.forall(r => r > 0.2 && r < 3.0),
+      s"distortion out of band: min ${ratios.min} max ${ratios.max}")
+    // deterministic: same plane family every run
+    val again = Similarity.randomProject(emb, outDims = 16, dims = 64)
+      .orderBy("vec_id", "dim").collect()
+    val first = Similarity.randomProject(emb, outDims = 16, dims = 64)
+      .orderBy("vec_id", "dim").collect()
+    assert(again.toSeq == first.toSeq)
+  }
 }
