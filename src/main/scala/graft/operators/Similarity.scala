@@ -298,6 +298,91 @@ object Similarity {
       .select(col(idCol), col("dim").cast("bigint").as("dim"), col("v"))
   }
 
+  /** Top principal component by POWER ITERATION — the decorrelation
+    * step an embedding-index pipeline runs before quantization (FAISS
+    * ships PCA/OPQ matrices for exactly this; Jégou 2011 §IV notes PQ
+    * degrades on correlated dimensions). Returns the unit-norm
+    * dominant eigenvector of the (N-scaled) covariance as
+    * `(dim, v)` rows after `iters` iterations from the deterministic
+    * uniform start `v₀ = 1/√dims` (exact at power-of-4 dims).
+    *
+    * Replayability discipline (q91-Lloyd family; oracle q110):
+    *  - per-dimension means round to 6 decimals (the trainedCentroids
+    *    arithmetic);
+    *  - centered components are DECIMAL(12,6), so every covariance
+    *    product/sum is EXACT decimal arithmetic — decimal widths are
+    *    chosen to keep all products ≤ precision 38, because DuckDB
+    *    silently degrades wider products to DOUBLE whose summation
+    *    order would break the oracle;
+    *  - the UNNORMALIZED covariance `C = Σ x xᵀ` (round 6) is used —
+    *    same eigenvectors as the mean-normalized matrix, and dropping
+    *    the /N division removes a rounding boundary entirely;
+    *  - each matvec `u = round₆(C·v)` is exact decimal; only the
+    *    normalization touches doubles (IEEE sqrt + division + round —
+    *    the cross-engine pair every cosine already relies on).
+    *
+    * Scale shape: one component explode (corpus-reduced to N·dims
+    * rows), ONE self-join building the dims²-sized covariance
+    * (materialized once — iterations never touch the corpus again),
+    * then `iters` model-sized (dims-row) matvecs with driver collects
+    * (the trainedCentroids pattern). At 100 TB: covariance state is
+    * dims², independent of N; train on a sample if dims is huge.
+    */
+  def topPrincipalComponent(df: DataFrame, dims: Int, iters: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val comp = graft.Tables.rebalance(
+        df.select(col(idCol).as("id"), darr(col(embCol)).as("e")))
+      .select(col("id"), posexplode(col("e")).as(Seq("p", "val")))
+    val m = comp.groupBy(col("p"))
+      .agg(round(avg(col("val")), 6).cast("decimal(12,6)").as("m"))
+    val cen = comp.join(broadcast(m), Seq("p"))
+      .select(col("id"), col("p"),
+        (col("val").cast("decimal(12,6)") - col("m")).as("x"))
+      .localCheckpoint()
+    val cov = cen.as("a")
+      .join(cen.as("b"), col("a.id") === col("b.id"))
+      .select(col("a.p").as("p"), col("b.p").as("q"),
+        (col("a.x") * col("b.x")).as("xx"))
+      .groupBy(col("p"), col("q"))
+      .agg(round(sum(col("xx")), 6).cast("decimal(18,6)").as("c"))
+      .localCheckpoint()
+    val vSchema = StructType(Seq(StructField("q", IntegerType),
+      StructField("v", org.apache.spark.sql.types.DecimalType(12, 6))))
+    val v0 = java.math.BigDecimal.valueOf(
+      Math.round(1e6 / math.sqrt(dims.toDouble)), 6)
+    var v: IndexedSeq[(Int, java.math.BigDecimal)] =
+      (0 until dims).map(_ -> v0)
+    for (_ <- 1 to iters) {
+      val vDf = spark.createDataFrame(
+        java.util.Arrays.asList(v.map { case (q, d) =>
+          org.apache.spark.sql.Row(q, new java.math.BigDecimal(
+            d.unscaledValue, 6)) }: _*), vSchema)
+      val u = cov.join(broadcast(vDf), Seq("q"))
+        .groupBy(col("p"))
+        .agg(round(sum(col("c") * col("v")), 6).cast("decimal(18,6)")
+          .as("u"))
+        .localCheckpoint()
+      val nrm = u
+        .agg(sqrt(sum(col("u") * col("u")).cast("double")).as("n"))
+        .head().getDouble(0)
+      v = u.select(col("p"),
+          round(col("u").cast("double") / nrm, 6).cast("decimal(12,6)")
+            .as("v"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getDecimal(1).setScale(6))
+        .toIndexedSeq.sortBy(_._1)
+    }
+    spark.createDataFrame(
+        java.util.Arrays.asList(v.map { case (p, d) =>
+          org.apache.spark.sql.Row(p.toLong, d.doubleValue) }: _*),
+        StructType(Seq(
+          StructField("dim", org.apache.spark.sql.types.LongType),
+          StructField("v", org.apache.spark.sql.types.DoubleType))))
+  }
+
   /** The `nCentroids` lowest-id vectors as coarse-quantizer seeds —
     * `(cen_id, cen_e, cen_nrm)`. Seed selection affects recall, not
     * the plumbing, and the deterministic choice lets the DuckDB oracle

@@ -262,5 +262,48 @@ object Round9 {
            |SELECT vec_id, CAST(dim AS BIGINT) AS dim, v
            |FROM ($dimSel)
            |ORDER BY vec_id, dim""".stripMargin
-      }))
+      }),
+
+    // ---- top principal component via POWER ITERATION under the
+    // oracle: the decorrelation step before quantization (FAISS's
+    // PCA/OPQ matrices). Unnormalized covariance (same eigenvectors,
+    // one rounding boundary fewer), exact decimal matvecs, 2
+    // iterations from the uniform 1/√64 start; only the per-iteration
+    // normalization touches doubles. The oracle replays means,
+    // covariance, and both iterations CTE-by-CTE.
+    QueryDef("q110_pca_power",
+      (s, dir) => Similarity.topPrincipalComponent(
+          t("embeddings")(s, dir), dims = 64, iters = 2)
+        .orderBy(col("dim")),
+      Some("""WITH b AS (SELECT vec_id,
+             |    CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |m AS (SELECT t.p,
+             |    CAST(round(avg(e[t.p + 1]), 6) AS DECIMAL(12,6)) AS m
+             |  FROM b, range(0, 64) t(p) GROUP BY t.p),
+             |c AS (SELECT b.vec_id AS id, t.p,
+             |    CAST(e[t.p + 1] AS DECIMAL(12,6)) - m.m AS x
+             |  FROM b, range(0, 64) t(p) JOIN m ON m.p = t.p),
+             |cov AS (SELECT a.p, bb.p AS q,
+             |    CAST(round(SUM(a.x * bb.x), 6) AS DECIMAL(18,6)) AS cv
+             |  FROM c a JOIN c bb ON a.id = bb.id GROUP BY a.p, bb.p),
+             |v0 AS (SELECT t.p AS q,
+             |    CAST(0.125 AS DECIMAL(12,6)) AS v FROM range(0, 64) t(p)),
+             |u1 AS (SELECT cov.p,
+             |    CAST(round(SUM(cov.cv * v0.v), 6) AS DECIMAL(18,6)) AS u
+             |  FROM cov JOIN v0 USING (q) GROUP BY cov.p),
+             |n1 AS (SELECT sqrt(CAST(SUM(u * u) AS DOUBLE)) AS nrm
+             |  FROM u1),
+             |v1 AS (SELECT p AS q, CAST(round(CAST(u AS DOUBLE) / n1.nrm,
+             |      6) AS DECIMAL(12,6)) AS v
+             |  FROM u1, n1),
+             |u2 AS (SELECT cov.p,
+             |    CAST(round(SUM(cov.cv * v1.v), 6) AS DECIMAL(18,6)) AS u
+             |  FROM cov JOIN v1 USING (q) GROUP BY cov.p),
+             |n2 AS (SELECT sqrt(CAST(SUM(u * u) AS DOUBLE)) AS nrm
+             |  FROM u2),
+             |v2 AS (SELECT p AS q, CAST(round(CAST(u AS DOUBLE) / n2.nrm,
+             |      6) AS DECIMAL(12,6)) AS v
+             |  FROM u2, n2)
+             |SELECT CAST(q AS BIGINT) AS dim, CAST(v AS DOUBLE) AS v
+             |FROM v2 ORDER BY dim""".stripMargin)))
 }

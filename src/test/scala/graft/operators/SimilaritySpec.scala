@@ -221,4 +221,25 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("vec_id", "dim").collect()
     assert(again.toSeq == first.toSeq)
   }
+  test("topPrincipalComponent recovers a planted dominant direction") {
+    import spark.implicits._
+    // 4-d vectors spread along axis 1 (variance ~25) with small spread
+    // on axis 3 (variance ~0.01): the top PC must align with axis 1
+    val rows = (0 until 20).map { i =>
+      val t = (i - 10).toDouble / 2.0
+      val n = (i % 3 - 1).toDouble / 10.0
+      (i.toLong, Array(0.0f, t.toFloat, 0.0f, n.toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val pc = Similarity.topPrincipalComponent(df, dims = 4, iters = 3)
+      .orderBy("dim").collect().map(_.getDouble(1))
+    val nrm = math.sqrt(pc.map(x => x * x).sum)
+    assert(math.abs(nrm - 1.0) < 1e-4, s"unit norm, got $nrm")
+    assert(math.abs(pc(1)) > 0.999, s"dominant axis, got ${pc.toSeq}")
+    assert(math.abs(pc(0)) < 1e-3 && math.abs(pc(2)) < 1e-3)
+    // deterministic across runs
+    val again = Similarity.topPrincipalComponent(df, dims = 4, iters = 3)
+      .orderBy("dim").collect().map(_.getDouble(1))
+    assert(again.toSeq == pc.toSeq)
+  }
 }
