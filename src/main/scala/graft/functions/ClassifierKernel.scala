@@ -118,6 +118,44 @@ object ClassifierKernel {
     new GenericArrayData(Array[Any](nFeats, wMilli))
   }
 
+  /** The feature-bucket ids of the unigram+bigram bag as a long array
+    * (multiplicity kept, document order) — the TRAINING-side kernel:
+    * [[graft.operators.Classifier.trainHashedLogistic]] explodes this
+    * array into its `(doc, bucket, tf)` frame. One tokenize pass and
+    * one md5 per feature, replacing the declarative explode's
+    * interpreted per-feature hash60 expression walk (measured 15 s →
+    * ~2 s on the q107 training run at sf0.1). Null text → empty array
+    * (`propagateNull = false`): the doc simply contributes no feature
+    * rows, matching the oracle's unnest semantics.
+    */
+  def featureBuckets(text: UTF8String, seed: UTF8String,
+      buckets: Int): ArrayData = {
+    val words =
+      if (text == null) new java.util.ArrayList[String]()
+      else ShingleKernel.tokenize(text)
+    val n = words.size
+    val prefix = seed.toString + "|"
+    val sb = new java.lang.StringBuilder(64)
+    val nFeats = if (n == 0) 0 else 2 * n - 1
+    val out = new Array[Any](nFeats)
+    var i = 0
+    while (i < n) { // unigrams
+      sb.setLength(0)
+      sb.append(prefix).append(words.get(i))
+      out(i) = hash60(sb.toString.getBytes("UTF-8")) % buckets
+      i += 1
+    }
+    var j = 0
+    while (j < n - 1) { // bigrams
+      sb.setLength(0)
+      sb.append(prefix).append(words.get(j)).append(' ')
+        .append(words.get(j + 1))
+      out(n + j) = hash60(sb.toString.getBytes("UTF-8")) % buckets
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** [[score]] with an EXPLICIT weight table instead of the derived
     * pseudo-model — the "swapping in trained weights replaces one
     * expression" seam (Classifier scaladoc) made real: `weights` is
@@ -177,6 +215,24 @@ object ClassifierScore {
   def score(text: Column, seed: String, buckets: Int): Column =
     ColumnBridge.column(
       scoreExpr(ColumnBridge.expression(text), seed, buckets))
+
+  def featureBucketsExpr(text: Expression, seed: String,
+      buckets: Int): Expression =
+    StaticInvoke(
+      ClassifierKernel.getClass,
+      ArrayType(LongType, containsNull = false),
+      "featureBuckets",
+      Seq(text, Literal(UTF8String.fromString(seed), StringType),
+        Literal(buckets, IntegerType)),
+      inputTypes = Seq(StringType, StringType, IntegerType),
+      propagateNull = false,
+      returnNullable = false)
+
+  /** Column API: the feature-bucket long array — one fused native
+    * pass, for explode-side (training) consumers. */
+  def featureBuckets(text: Column, seed: String, buckets: Int): Column =
+    ColumnBridge.column(featureBucketsExpr(
+      ColumnBridge.expression(text), seed, buckets))
 
   def scoreWithExpr(text: Expression, seed: String, buckets: Int,
       weightsMicro: Array[Long]): Expression = {
