@@ -86,6 +86,15 @@ object CorpusCuration {
     *                            inference kernel) falls below the
     *                            threshold reject; the margin survives
     *                            as the `classifier_margin` audit column
+    *   3f. TRAINED gate       — optional `trainedClassifier`
+    *                            `(labelCol, minMargin)`: train the
+    *                            hashed logistic model on the corpus's
+    *                            own labels (q107), serve the trained
+    *                            weights through the fused kernel
+    *                            (q108), and reject documents whose
+    *                            trained margin falls below `minMargin`;
+    *                            the margin survives as the
+    *                            `trained_margin` audit column
     *   4. exact dedup         — fingerprint, min-id survivor
     *   5. near-dup dedup      — MinHash-LSH candidates → connected
     *                            components → keep each cluster's BEST
@@ -122,6 +131,8 @@ object CorpusCuration {
       benchShingle: Int = 8,
       minBigramLogProb: Option[Double] = None,
       minClassifierMargin: Option[Double] = None,
+      trainedClassifier: Option[(org.apache.spark.sql.Column, Double)] =
+        None,
       scoreStopwords: Seq[String] =
         Seq("the", "of", "and", "a", "to", "in", "is")): DataFrame = {
     import graft.operators.Curation
@@ -180,11 +191,31 @@ object CorpusCuration {
       case (thr, cs) =>
         cs.filter(col("classifier_margin") < thr).select(col("doc_id"))
     }
+    // 3f: optional TRAINED gate — train on the corpus's own labels
+    // (q107's exact GD), serve the model-sized weight vector through
+    // the fused kernel (q108). The train step collects ≤64 longs —
+    // model-sized, the one collect a train-then-serve flow makes.
+    // Feature-less docs carry a NULL margin and pass (as in 3e).
+    val trScores = trainedClassifier.map { case (labelCol, _) =>
+      import graft.operators.Classifier
+      val buckets = 64
+      val model = Classifier.trainHashedLogistic(docs, "text", "doc_id",
+          labelCol, buckets = buckets, iters = 2)
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      val weights = Array.tabulate(buckets)(b => model.getOrElse(b, 0L))
+      Classifier.hashedLinearScoreWith(docs, "text", "doc_id", weights,
+          buckets = buckets)
+        .select(col("doc_id"), col("margin").as("trained_margin"))
+    }
+    val offTarget = trainedClassifier.zip(trScores).map {
+      case ((_, thr), sc) =>
+        sc.filter(col("trained_margin") < thr).select(col("doc_id"))
+    }
     val rejected =
       (Seq(blocked, lowQuality, badRatio, repetitive) ++ contaminated ++
-        wordSalad ++ lowMargin).reduce(_ union _).distinct()
+        wordSalad ++ lowMargin ++ offTarget).reduce(_ union _).distinct()
     val cleanBase = docs.join(rejected, Seq("doc_id"), "left_anti")
-    val clean = (bgScores ++ clsScores)
+    val clean = (bgScores ++ clsScores ++ trScores)
       .foldLeft(cleanBase)((d, sc) => d.join(sc, Seq("doc_id"), "left"))
 
     // 4: exact dedup

@@ -146,4 +146,25 @@ class CorpusCurationSpec extends SparkSpec {
     assert(out.columns.contains("classifier_margin"))
     assert(out.count() > 0)
   }
+
+  test("curateForTraining with a TRAINED gate: off-target docs " +
+      "rejected, trained_margin audit column carried") {
+    import graft.operators.Classifier
+    // replicate the gate's own train-then-serve to find a threshold
+    // with provable work: the corpus's 20th-percentile trained margin
+    val model = Classifier.trainHashedLogistic(docs, "text", "doc_id",
+        (col("lang") === "en").cast("int"), buckets = 64, iters = 2)
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val weights = Array.tabulate(64)(b => model.getOrElse(b, 0L))
+    val scores = Classifier.hashedLinearScoreWith(docs, "text",
+      "doc_id", weights, buckets = 64)
+    val thr = scores.stat.approxQuantile("margin", Array(0.2), 0.0)(0)
+    val out = CorpusCuration.curateForTraining(docs,
+      trainedClassifier = Some(((col("lang") === "en").cast("int"), thr)))
+    assert(out.columns.contains("trained_margin"))
+    assert(out.filter(col("trained_margin") < thr).count() == 0)
+    assert(scores.filter(col("margin") < thr)
+      .join(out.select("doc_id"), "doc_id").count() == 0)
+    assert(scores.filter(col("margin") < thr).count() > 0)
+  }
 }
