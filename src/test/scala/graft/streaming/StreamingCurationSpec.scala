@@ -44,4 +44,34 @@ class StreamingCurationSpec extends SparkSpec {
       assert(streamed.select(col("reason")).distinct().count() >= 2)
     } finally q.stop()
   }
+
+  test("classifier inference over a file stream == batch scores, per doc") {
+    // the fused ClassifierKernel is a stateless per-row expression, so
+    // the q104 quality gate runs unchanged as a continuous-ingest
+    // scorer — including trained-weights serving (the q108 path)
+    val src = Paths.get("/root/testdata/sf0.001/documents.parquet")
+    assume(Files.exists(src), "driver testdata not present")
+    val dir = Files.createTempDirectory("graft-clsstream")
+    Files.copy(src, dir.resolve("d1.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val batchDocs = spark.read.parquet(dir.toString)
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .parquet(dir.toString)
+    import graft.operators.Classifier
+    val weights = Array.tabulate(64)(b => (b % 7 - 3).toLong * 1000)
+    val scored = Classifier.hashedLinearScoreWith(stream, "text",
+      "doc_id", weights, buckets = 64)
+    assert(scored.isStreaming)
+    val q = scored.writeStream.format("memory").queryName("doc_cls")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("doc_cls")
+      val batch = Classifier.hashedLinearScoreWith(batchDocs, "text",
+        "doc_id", weights, buckets = 64)
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty)
+    } finally q.stop()
+  }
 }
