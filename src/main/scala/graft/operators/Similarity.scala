@@ -330,9 +330,54 @@ object Similarity {
     */
   def topPrincipalComponent(df: DataFrame, dims: Int, iters: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val (_, v) = pcaCore(df, dims, iters, idCol, embCol)
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(v.map { case (p, d) =>
+        org.apache.spark.sql.Row(p.toLong, d.doubleValue) }: _*),
+      StructType(Seq(
+        StructField("dim", org.apache.spark.sql.types.LongType),
+        StructField("v", org.apache.spark.sql.types.DoubleType))))
+  }
+
+  /** Project every vector onto the learned top principal component —
+    * the whitening/reduction step using the TRAINED transform (the
+    * data-independent [[randomProject]]'s learned counterpart):
+    * `proj = round₆(Σ_p x_p·v_p)` over the centered DECIMAL components
+    * and the exact-decimal eigenvector, so the projection itself is
+    * exact decimal arithmetic (rounded BEFORE the double cast — no
+    * quotient/product boundary). One extra broadcast join + aggregation
+    * over the already-materialized centered frame; oracle q111 replays
+    * training and projection from one CTE chain.
+    */
+  def pcaProject(df: DataFrame, dims: Int, iters: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    val (cen, v) = pcaCore(df, dims, iters, idCol, embCol)
+    val vDf = spark.createDataFrame(
+      java.util.Arrays.asList(v.map { case (q, d) =>
+        org.apache.spark.sql.Row(q, new java.math.BigDecimal(
+          d.unscaledValue, 6)) }: _*), pcaVSchema)
+    cen.join(broadcast(vDf), col("p") === col("q"))
+      .groupBy(col("id"))
+      .agg(round(sum(col("x") * col("v")), 6).cast("double").as("proj"))
+      .select(col("id").as(idCol), col("proj"))
+  }
+
+  private def pcaVSchema = {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    StructType(Seq(StructField("q", IntegerType),
+      StructField("v", org.apache.spark.sql.types.DecimalType(12, 6))))
+  }
+
+  /** Shared power-iteration core: the materialized centered-component
+    * frame `(id, p, x)` and the final eigenvector as exact
+    * 6-decimal values. */
+  private def pcaCore(df: DataFrame, dims: Int, iters: Int,
+      idCol: String, embCol: String)
+      : (DataFrame, IndexedSeq[(Int, java.math.BigDecimal)]) = {
     require(iters >= 1, "iters must be >= 1")
     val spark = df.sparkSession
-    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     val comp = graft.Tables.rebalance(
         df.select(col(idCol).as("id"), darr(col(embCol)).as("e")))
       .select(col("id"), posexplode(col("e")).as(Seq("p", "val")))
@@ -349,8 +394,6 @@ object Similarity {
       .groupBy(col("p"), col("q"))
       .agg(round(sum(col("xx")), 6).cast("decimal(18,6)").as("c"))
       .localCheckpoint()
-    val vSchema = StructType(Seq(StructField("q", IntegerType),
-      StructField("v", org.apache.spark.sql.types.DecimalType(12, 6))))
     val v0 = java.math.BigDecimal.valueOf(
       Math.round(1e6 / math.sqrt(dims.toDouble)), 6)
     var v: IndexedSeq[(Int, java.math.BigDecimal)] =
@@ -359,7 +402,7 @@ object Similarity {
       val vDf = spark.createDataFrame(
         java.util.Arrays.asList(v.map { case (q, d) =>
           org.apache.spark.sql.Row(q, new java.math.BigDecimal(
-            d.unscaledValue, 6)) }: _*), vSchema)
+            d.unscaledValue, 6)) }: _*), pcaVSchema)
       val u = cov.join(broadcast(vDf), Seq("q"))
         .groupBy(col("p"))
         .agg(round(sum(col("c") * col("v")), 6).cast("decimal(18,6)")
@@ -375,12 +418,7 @@ object Similarity {
         .map(r => r.getInt(0) -> r.getDecimal(1).setScale(6))
         .toIndexedSeq.sortBy(_._1)
     }
-    spark.createDataFrame(
-        java.util.Arrays.asList(v.map { case (p, d) =>
-          org.apache.spark.sql.Row(p.toLong, d.doubleValue) }: _*),
-        StructType(Seq(
-          StructField("dim", org.apache.spark.sql.types.LongType),
-          StructField("v", org.apache.spark.sql.types.DoubleType))))
+    (cen, v)
   }
 
   /** The `nCentroids` lowest-id vectors as coarse-quantizer seeds —

@@ -275,35 +275,61 @@ object Round9 {
       (s, dir) => Similarity.topPrincipalComponent(
           t("embeddings")(s, dir), dims = 64, iters = 2)
         .orderBy(col("dim")),
-      Some("""WITH b AS (SELECT vec_id,
-             |    CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-             |m AS (SELECT t.p,
-             |    CAST(round(avg(e[t.p + 1]), 6) AS DECIMAL(12,6)) AS m
-             |  FROM b, range(0, 64) t(p) GROUP BY t.p),
-             |c AS (SELECT b.vec_id AS id, t.p,
-             |    CAST(e[t.p + 1] AS DECIMAL(12,6)) - m.m AS x
-             |  FROM b, range(0, 64) t(p) JOIN m ON m.p = t.p),
-             |cov AS (SELECT a.p, bb.p AS q,
-             |    CAST(round(SUM(a.x * bb.x), 6) AS DECIMAL(18,6)) AS cv
-             |  FROM c a JOIN c bb ON a.id = bb.id GROUP BY a.p, bb.p),
-             |v0 AS (SELECT t.p AS q,
-             |    CAST(0.125 AS DECIMAL(12,6)) AS v FROM range(0, 64) t(p)),
-             |u1 AS (SELECT cov.p,
-             |    CAST(round(SUM(cov.cv * v0.v), 6) AS DECIMAL(18,6)) AS u
-             |  FROM cov JOIN v0 USING (q) GROUP BY cov.p),
-             |n1 AS (SELECT sqrt(CAST(SUM(u * u) AS DOUBLE)) AS nrm
-             |  FROM u1),
-             |v1 AS (SELECT p AS q, CAST(round(CAST(u AS DOUBLE) / n1.nrm,
-             |      6) AS DECIMAL(12,6)) AS v
-             |  FROM u1, n1),
-             |u2 AS (SELECT cov.p,
-             |    CAST(round(SUM(cov.cv * v1.v), 6) AS DECIMAL(18,6)) AS u
-             |  FROM cov JOIN v1 USING (q) GROUP BY cov.p),
-             |n2 AS (SELECT sqrt(CAST(SUM(u * u) AS DOUBLE)) AS nrm
-             |  FROM u2),
-             |v2 AS (SELECT p AS q, CAST(round(CAST(u AS DOUBLE) / n2.nrm,
-             |      6) AS DECIMAL(12,6)) AS v
-             |  FROM u2, n2)
-             |SELECT CAST(q AS BIGINT) AS dim, CAST(v AS DOUBLE) AS v
-             |FROM v2 ORDER BY dim""".stripMargin)))
+      Some(s"""WITH $pcaCtes
+              |SELECT CAST(q AS BIGINT) AS dim, CAST(v AS DOUBLE) AS v
+              |FROM v2 ORDER BY dim""".stripMargin)),
+
+    // ---- projection onto the LEARNED component: the whitening/
+    // reduction step using the trained transform (q109's learned
+    // counterpart). Exact-decimal dot of the centered components with
+    // the q110 eigenvector, rounded BEFORE the double cast. One oracle
+    // CTE chain covers training AND projection, so the transform
+    // cannot drift between the two rows.
+    QueryDef("q111_pca_project",
+      (s, dir) => Similarity.pcaProject(
+          t("embeddings")(s, dir), dims = 64, iters = 2)
+        .orderBy(col("vec_id")),
+      Some(s"""WITH $pcaCtes,
+              |proj AS (SELECT c.id,
+              |    CAST(round(SUM(c.x * v2.v), 6) AS DOUBLE) AS proj
+              |  FROM c JOIN v2 ON c.p = v2.q GROUP BY c.id)
+              |SELECT id AS vec_id, proj FROM proj
+              |ORDER BY vec_id""".stripMargin)))
+
+  /** q110's power-iteration replay (means → centered DECIMAL
+    * components → covariance → two normalized matvecs, ending in the
+    * eigenvector `v2(q, v)` with the centered frame `c(id, p, x)`
+    * still in scope) — shared by q110 and q111 (the lloyd2Cte
+    * pattern).
+    */
+  private lazy val pcaCtes: String =
+    """b AS (SELECT vec_id,
+      |    CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |m AS (SELECT t.p,
+      |    CAST(round(avg(e[t.p + 1]), 6) AS DECIMAL(12,6)) AS m
+      |  FROM b, range(0, 64) t(p) GROUP BY t.p),
+      |c AS (SELECT b.vec_id AS id, t.p,
+      |    CAST(e[t.p + 1] AS DECIMAL(12,6)) - m.m AS x
+      |  FROM b, range(0, 64) t(p) JOIN m ON m.p = t.p),
+      |cov AS (SELECT a.p, bb.p AS q,
+      |    CAST(round(SUM(a.x * bb.x), 6) AS DECIMAL(18,6)) AS cv
+      |  FROM c a JOIN c bb ON a.id = bb.id GROUP BY a.p, bb.p),
+      |v0 AS (SELECT t.p AS q,
+      |    CAST(0.125 AS DECIMAL(12,6)) AS v FROM range(0, 64) t(p)),
+      |u1 AS (SELECT cov.p,
+      |    CAST(round(SUM(cov.cv * v0.v), 6) AS DECIMAL(18,6)) AS u
+      |  FROM cov JOIN v0 USING (q) GROUP BY cov.p),
+      |n1 AS (SELECT sqrt(CAST(SUM(u * u) AS DOUBLE)) AS nrm
+      |  FROM u1),
+      |v1 AS (SELECT p AS q, CAST(round(CAST(u AS DOUBLE) / n1.nrm,
+      |      6) AS DECIMAL(12,6)) AS v
+      |  FROM u1, n1),
+      |u2 AS (SELECT cov.p,
+      |    CAST(round(SUM(cov.cv * v1.v), 6) AS DECIMAL(18,6)) AS u
+      |  FROM cov JOIN v1 USING (q) GROUP BY cov.p),
+      |n2 AS (SELECT sqrt(CAST(SUM(u * u) AS DOUBLE)) AS nrm
+      |  FROM u2),
+      |v2 AS (SELECT p AS q, CAST(round(CAST(u AS DOUBLE) / n2.nrm,
+      |      6) AS DECIMAL(12,6)) AS v
+      |  FROM u2, n2)""".stripMargin
 }

@@ -241,5 +241,15 @@ class SimilaritySpec extends SparkSpec {
     val again = Similarity.topPrincipalComponent(df, dims = 4, iters = 3)
       .orderBy("dim").collect().map(_.getDouble(1))
     assert(again.toSeq == pc.toSeq)
+    // projection onto the component recovers the planted coordinate
+    // (up to global sign): proj_i ≈ ±(t_i − mean t)
+    val proj = Similarity.pcaProject(df, dims = 4, iters = 3)
+      .orderBy("vec_id").collect().map(_.getDouble(1))
+    val ts = rows.map(_._2(1).toDouble)
+    val tc = ts.map(_ - ts.sum / ts.size)
+    val sign = if (proj(0) * tc(0) >= 0) 1.0 else -1.0
+    proj.zip(tc).foreach { case (p, t) =>
+      assert(math.abs(p - sign * t) < 0.01, s"proj $p vs centered $t")
+    }
   }
 }
