@@ -708,6 +708,28 @@ object Similarity {
       codebook.write.mode("overwrite").parquet(s"$dir/codebook")
       codes.write.mode("overwrite").parquet(s"$dir/codes")
     }
+
+    /** Add new vectors WITHOUT rebuilding — FAISS `add()` semantics,
+      * the nightly-ingest shape (the ANN counterpart of q77's
+      * cross-corpus dedup and q98's incremental packing): cells and
+      * codebooks stay FROZEN, new vectors are assigned to the existing
+      * cells and encoded against the existing per-subspace centroids,
+      * and only the code stream grows. Search is unchanged — it reads
+      * whatever codes the index holds. Delta-sized work: two broadcast
+      * joins over the new batch only; the existing corpus is never
+      * touched. (Quantization error drifts as the distribution moves —
+      * re-train/rebuild on your retraining cadence, not per ingest.)
+      */
+    def append(newVecs: DataFrame, dims: Int, m: Int,
+        idCol: String = "vec_id",
+        embCol: String = "embedding"): IvfPqIndex = {
+      val newCells = assignCells(newVecs, cells, idCol, embCol)
+        .select(col("id"), col("cell"))
+      val newCodes = pqAssignWith(codebook, newVecs, dims, m, idCol,
+          embCol)
+        .join(newCells, Seq("id"))
+      IvfPqIndex(cells, codebook, codes.unionByName(newCodes))
+    }
   }
 
   object IvfPqIndex {

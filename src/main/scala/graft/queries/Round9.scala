@@ -294,7 +294,81 @@ object Round9 {
               |    CAST(round(SUM(c.x * v2.v), 6) AS DOUBLE) AS proj
               |  FROM c JOIN v2 ON c.p = v2.q GROUP BY c.id)
               |SELECT id AS vec_id, proj FROM proj
-              |ORDER BY vec_id""".stripMargin)))
+              |ORDER BY vec_id""".stripMargin)),
+
+    // ---- incremental index maintenance: build the IVF-PQ index from
+    // the OLD corpus slice (vec_id % 5 != 0), APPEND the new batch
+    // against the frozen cells/codebooks (FAISS add() — delta-sized
+    // work, existing corpus untouched), search across both. The
+    // oracle is q87's with ONLY the seed sources switched to the old
+    // slice: cell assignment and codes for ALL vectors derive from
+    // the frozen artifacts, exactly the append semantics.
+    QueryDef("q112_ivfpq_append",
+      (s, dir) => {
+        val emb = t("embeddings")(s, dir)
+        val old = emb.filter(col("vec_id") % 5 =!= 0)
+        val fresh = emb.filter(col("vec_id") % 5 === 0)
+        val idx = Similarity.ivfPqIndex(old, nCells = 8, dims = 64,
+            m = 8, nCentroids = 16)
+          .append(fresh, dims = 64, m = 8)
+        Similarity.ivfPqSearch(emb.filter(col("vec_id") < 12), idx,
+            k = 5, nprobe = 2, dims = 64, m = 8)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    CAST(embedding AS DOUBLE[]) AS d FROM embeddings),
+             |ccen AS (SELECT vec_id AS cel_id, d AS cele
+             |  FROM e WHERE vec_id % 5 != 0 ORDER BY vec_id LIMIT 8),
+             |ca0 AS (SELECT e.vec_id AS id, cel_id,
+             |    round(list_dot_product(e.d, cele) /
+             |      (sqrt(list_dot_product(e.d, e.d)) *
+             |       sqrt(list_dot_product(cele, cele))), 6) AS csim
+             |  FROM e, ccen),
+             |ca1 AS (SELECT *, row_number() OVER (PARTITION BY id
+             |    ORDER BY csim DESC, cel_id) AS r FROM ca0),
+             |cellof AS (SELECT id, cel_id AS cell FROM ca1 WHERE r = 1),
+             |qp1 AS (SELECT *, row_number() OVER (PARTITION BY id
+             |    ORDER BY csim DESC, cel_id) AS r FROM ca0
+             |  WHERE id < 12),
+             |probes AS (SELECT id AS query_id, cel_id AS cell
+             |  FROM qp1 WHERE r <= 2),
+             |s AS (SELECT vec_id, t.j, d[t.j*8+1 : t.j*8+8] AS sv
+             |  FROM e, range(0, 8) t(j)),
+             |pcen AS (SELECT j, s.vec_id AS cen_id, sv AS cv FROM s
+             |  WHERE s.vec_id IN (SELECT vec_id FROM e
+             |    WHERE vec_id % 5 != 0 ORDER BY vec_id LIMIT 16)),
+             |pa0 AS (SELECT s.vec_id AS id, s.j, cen_id,
+             |    round(list_dot_product(sv, sv)
+             |      - 2 * list_dot_product(sv, cv)
+             |      + list_dot_product(cv, cv), 6) AS dist2
+             |  FROM s JOIN pcen ON s.j = pcen.j),
+             |pa1 AS (SELECT *, row_number() OVER (PARTITION BY id, j
+             |    ORDER BY dist2, cen_id) AS r FROM pa0),
+             |codes AS (SELECT id, j, cen_id AS code FROM pa1
+             |  WHERE r = 1),
+             |qs AS (SELECT vec_id AS query_id, j, sv AS qv FROM s
+             |  WHERE vec_id < 12),
+             |tbl AS (SELECT query_id, qs.j, cen_id AS code,
+             |    CAST(round(list_dot_product(qv, qv)
+             |      - 2 * list_dot_product(qv, cv)
+             |      + list_dot_product(cv, cv), 6)
+             |      AS DECIMAL(20,6)) AS d2
+             |  FROM qs JOIN pcen ON qs.j = pcen.j),
+             |sums AS (SELECT p.query_id, c.id AS neighbor_id,
+             |    CAST(SUM(d2) AS DOUBLE) AS adist
+             |  FROM codes c
+             |  JOIN cellof ON c.id = cellof.id
+             |  JOIN probes p ON p.cell = cellof.cell
+             |  JOIN tbl ON tbl.query_id = p.query_id
+             |    AND tbl.j = c.j AND tbl.code = c.code
+             |  WHERE p.query_id != c.id
+             |  GROUP BY p.query_id, c.id),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY adist, neighbor_id) AS rank FROM sums)
+             |SELECT query_id, neighbor_id, adist,
+             |  CAST(rank AS BIGINT) AS rank
+             |FROM r WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)))
 
   /** q110's power-iteration replay (means → centered DECIMAL
     * components → covariance → two normalized matvecs, ending in the

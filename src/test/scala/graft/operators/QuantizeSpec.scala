@@ -227,4 +227,26 @@ class QuantizeSpec extends SparkSpec {
     val recall = hits / total
     assert(recall >= 0.8, s"recall@$k = $recall")
   }
+
+  test("IvfPqIndex.append of higher-id vectors EQUALS building on all") {
+    // appended ids all exceed the build slice's, so the frozen seeds
+    // (lowest-id cells + codebooks) are what a full build would pick -
+    // append must then be indistinguishable from rebuild
+    val half = emb.count() / 2
+    val old = emb.filter(col("vec_id") < half)
+    val fresh = emb.filter(col("vec_id") >= half)
+    val appended = Similarity.ivfPqIndex(old, nCells = 8, dims = 64,
+        m = 8, nCentroids = 16)
+      .append(fresh, dims = 64, m = 8)
+    val full = Similarity.ivfPqIndex(emb, nCells = 8, dims = 64,
+      m = 8, nCentroids = 16)
+    val q = emb.filter(col("vec_id") < 6)
+    val a = Similarity.ivfPqSearch(q, appended, k = 5, nprobe = 2,
+      dims = 64, m = 8).orderBy("query_id", "rank").collect()
+    val b = Similarity.ivfPqSearch(q, full, k = 5, nprobe = 2,
+      dims = 64, m = 8).orderBy("query_id", "rank").collect()
+    assert(a.toSeq == b.toSeq)
+    // and the appended code stream covers the whole corpus
+    assert(appended.codes.select("id").distinct().count() == emb.count())
+  }
 }
