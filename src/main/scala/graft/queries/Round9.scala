@@ -368,7 +368,34 @@ object Round9 {
              |SELECT query_id, neighbor_id, adist,
              |  CAST(rank AS BIGINT) AS rank
              |FROM r WHERE rank <= 5
-             |ORDER BY query_id, rank""".stripMargin)))
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- ORC round-trip (the q80 treatment for Spark's other native
+    // columnar format): write documents as ORC, read through
+    // Sources.orc with the schema as a consistency check, filter +
+    // project. Hash-gated against the pre-roundtrip parquet — any
+    // write/read type or value drift fails here.
+    QueryDef("q113_orc_roundtrip",
+      (s, dir) => {
+        val docs = t("documents")(s, dir)
+        val dirKey = try new java.io.File(dir).getCanonicalPath
+          catch { case _: Throwable => dir }
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(dirKey.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16) + "_" +
+          java.lang.ProcessHandle.current().pid()
+        val outDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_q113_orc_$tag")
+        Round5.registerScratchCleanup(outDir)
+        val out = outDir.getAbsolutePath
+        docs.write.mode("overwrite").orc(out)
+        graft.sources.Sources.orc(s, out, Some(docs.schema))
+          .filter(col("lang") =!= "en")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE lang != 'en' ORDER BY doc_id""".stripMargin)))
 
   /** q110's power-iteration replay (means → centered DECIMAL
     * components → covariance → two normalized matvecs, ending in the

@@ -132,6 +132,21 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC scan — the other vectorized columnar format Spark ships
+    * natively (predicate pushdown + column pruning work exactly as for
+    * parquet). Schema optional: ORC carries its own, and unlike JSON a
+    * schema-inference pass reads only footers, so schema-first is a
+    * consistency check rather than a scan saver here.
+    */
+  def orc(
+      spark: SparkSession,
+      path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).orc(path)
+  }
+
   /** JSON-lines scan. Schema-first by default (`schema` supplied ⇒ no
     * inference pass over the data — at 100 TB an inference scan doubles
     * the read); FAILFAST like the CSV source so malformed rows abort
