@@ -370,14 +370,77 @@ object Similarity {
       StructField("v", org.apache.spark.sql.types.DecimalType(12, 6))))
   }
 
+  /** Top `nComponents` principal components by power iteration +
+    * SPECTRAL DEFLATION: after each component converges, subtract its
+    * rank-1 term from the covariance (`C ← C − λ v vᵀ`, with λ = the
+    * final iteration's matvec norm — for the dominant eigenvector
+    * `u = C v = λ v`, so ‖u‖ IS the eigenvalue) and re-iterate on the
+    * deflated matrix. Every deflation product rounds to 6 decimals in
+    * two exact-decimal steps (`round₆(λ·v_p)` then `round₆(·v_q)`),
+    * and λ itself is rounded to 6 IN SQL on both engines, so the
+    * deflated matrices — and therefore all components — replay
+    * exactly (oracle q114 for nComponents = 2). Orthogonality of the
+    * results is approximate (finite iterations + 6-decimal rounding),
+    * pinned by spec bound, not assumed.
+    *
+    * Returns `(component, dim, v)` with components numbered from 0 in
+    * decreasing-eigenvalue order. Cost: the one corpus-reduced
+    * covariance build plus nComponents · iters model-sized matvecs —
+    * deflation never touches the corpus.
+    */
+  def principalComponents(df: DataFrame, dims: Int, iters: Int,
+      nComponents: Int, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(nComponents >= 1, "nComponents must be >= 1")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val (_, cov0) = pcaCovariance(df, dims, idCol, embCol)
+    var cov = cov0
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Double)]
+    for (comp <- 0 until nComponents) {
+      val (v, lam6) = powerIterate(spark, cov, dims, iters)
+      v.foreach { case (p, d) => out += ((comp, p, d.doubleValue)) }
+      if (comp < nComponents - 1) {
+        val vDf = spark.createDataFrame(
+          java.util.Arrays.asList(v.map { case (q, d) =>
+            org.apache.spark.sql.Row(q, new java.math.BigDecimal(
+              d.unscaledValue, 6)) }: _*), pcaVSchema)
+        cov = cov
+          .join(broadcast(vDf.select(col("q").as("p"),
+            col("v").as("vp"))), Seq("p"))
+          .join(broadcast(vDf.select(col("q"), col("v").as("vq"))),
+            Seq("q"))
+          .select(col("p"), col("q"),
+            (col("c") - round(round(lit(lam6) * col("vp"), 6)
+              .cast("decimal(18,6)") * col("vq"), 6)
+              .cast("decimal(18,6)"))
+              .cast("decimal(18,6)").as("c"))
+          .localCheckpoint()
+      }
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(out.map { case (c, p, d) =>
+        org.apache.spark.sql.Row(c.toLong, p.toLong, d) }.toSeq: _*),
+      StructType(Seq(StructField("component", LongType),
+        StructField("dim", LongType), StructField("v", DoubleType))))
+  }
+
   /** Shared power-iteration core: the materialized centered-component
     * frame `(id, p, x)` and the final eigenvector as exact
     * 6-decimal values. */
   private def pcaCore(df: DataFrame, dims: Int, iters: Int,
       idCol: String, embCol: String)
       : (DataFrame, IndexedSeq[(Int, java.math.BigDecimal)]) = {
-    require(iters >= 1, "iters must be >= 1")
-    val spark = df.sparkSession
+    val (cen, cov) = pcaCovariance(df, dims, idCol, embCol)
+    val (v, _) = powerIterate(df.sparkSession, cov, dims, iters)
+    (cen, v)
+  }
+
+  /** Centered components + exact-decimal covariance, both
+    * materialized. */
+  private def pcaCovariance(df: DataFrame, dims: Int, idCol: String,
+      embCol: String): (DataFrame, DataFrame) = {
     val comp = graft.Tables.rebalance(
         df.select(col(idCol).as("id"), darr(col(embCol)).as("e")))
       .select(col("id"), posexplode(col("e")).as(Seq("p", "val")))
@@ -394,10 +457,23 @@ object Similarity {
       .groupBy(col("p"), col("q"))
       .agg(round(sum(col("xx")), 6).cast("decimal(18,6)").as("c"))
       .localCheckpoint()
+    (cen, cov)
+  }
+
+  /** Power iteration on a materialized covariance: the converged unit
+    * eigenvector (exact 6-decimal values) and the final matvec norm
+    * rounded to 6 IN SQL (`round(sqrt(Σu²), 6)`) — the eigenvalue
+    * estimate deflation subtracts, computed with the same
+    * engine-rounding pair the oracle uses. */
+  private def powerIterate(spark: org.apache.spark.sql.SparkSession,
+      cov: DataFrame, dims: Int, iters: Int)
+      : (IndexedSeq[(Int, java.math.BigDecimal)], java.math.BigDecimal) = {
+    require(iters >= 1, "iters must be >= 1")
     val v0 = java.math.BigDecimal.valueOf(
       Math.round(1e6 / math.sqrt(dims.toDouble)), 6)
     var v: IndexedSeq[(Int, java.math.BigDecimal)] =
       (0 until dims).map(_ -> v0)
+    var lam6 = java.math.BigDecimal.ZERO
     for (_ <- 1 to iters) {
       val vDf = spark.createDataFrame(
         java.util.Arrays.asList(v.map { case (q, d) =>
@@ -408,9 +484,13 @@ object Similarity {
         .agg(round(sum(col("c") * col("v")), 6).cast("decimal(18,6)")
           .as("u"))
         .localCheckpoint()
-      val nrm = u
-        .agg(sqrt(sum(col("u") * col("u")).cast("double")).as("n"))
-        .head().getDouble(0)
+      val nr = u
+        .agg(sqrt(sum(col("u") * col("u")).cast("double")).as("n"),
+          round(sqrt(sum(col("u") * col("u")).cast("double")), 6)
+            .cast("decimal(18,6)").as("l"))
+        .head()
+      val nrm = nr.getDouble(0)
+      lam6 = nr.getDecimal(1).setScale(6)
       v = u.select(col("p"),
           round(col("u").cast("double") / nrm, 6).cast("decimal(12,6)")
             .as("v"))
@@ -418,7 +498,7 @@ object Similarity {
         .map(r => r.getInt(0) -> r.getDecimal(1).setScale(6))
         .toIndexedSeq.sortBy(_._1)
     }
-    (cen, v)
+    (v, lam6)
   }
 
   /** The `nCentroids` lowest-id vectors as coarse-quantizer seeds —

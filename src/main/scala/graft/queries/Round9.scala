@@ -395,7 +395,57 @@ object Round9 {
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id, lang, n_chars FROM documents
-             |WHERE lang != 'en' ORDER BY doc_id""".stripMargin)))
+             |WHERE lang != 'en' ORDER BY doc_id""".stripMargin)),
+
+    // ---- top-2 principal components via SPECTRAL DEFLATION: after
+    // the dominant component converges, C ← C − λvvᵀ (λ = the final
+    // matvec norm, rounded to 6 in SQL on both engines; each rank-1
+    // term rounds in two exact-decimal steps) and the power iteration
+    // re-runs on the deflated matrix. The oracle replays covariance,
+    // both components' iterations, and the deflation arithmetic.
+    QueryDef("q114_pca_deflate",
+      (s, dir) => Similarity.principalComponents(
+          t("embeddings")(s, dir), dims = 64, iters = 2,
+          nComponents = 2)
+        .orderBy(col("component"), col("dim")),
+      Some(s"""WITH $pcaCtes,
+              |l1 AS (SELECT CAST(round(nrm, 6) AS DECIMAL(18,6)) AS l
+              |  FROM n2),
+              |cov2 AS (SELECT cov.p, cov.q,
+              |    CAST(cov.cv - CAST(round(
+              |      CAST(round(l1.l * a.v, 6) AS DECIMAL(18,6)) * b.v,
+              |      6) AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS cv
+              |  FROM cov JOIN v2 a ON cov.p = a.q
+              |    JOIN v2 b ON cov.q = b.q, l1),
+              |u1b AS (SELECT cov2.p,
+              |    CAST(round(SUM(cov2.cv * v0.v), 6) AS DECIMAL(18,6))
+              |      AS u
+              |  FROM cov2 JOIN v0 USING (q) GROUP BY cov2.p),
+              |n1b AS (SELECT sqrt(CAST(SUM(u * u) AS DOUBLE)) AS nrm
+              |  FROM u1b),
+              |v1b AS (SELECT p AS q, CAST(round(
+              |      CAST(u AS DOUBLE) / n1b.nrm, 6) AS DECIMAL(12,6))
+              |      AS v
+              |  FROM u1b, n1b),
+              |u2b AS (SELECT cov2.p,
+              |    CAST(round(SUM(cov2.cv * v1b.v), 6) AS DECIMAL(18,6))
+              |      AS u
+              |  FROM cov2 JOIN v1b USING (q) GROUP BY cov2.p),
+              |n2b AS (SELECT sqrt(CAST(SUM(u * u) AS DOUBLE)) AS nrm
+              |  FROM u2b),
+              |v2b AS (SELECT p AS q, CAST(round(
+              |      CAST(u AS DOUBLE) / n2b.nrm, 6) AS DECIMAL(12,6))
+              |      AS v
+              |  FROM u2b, n2b)
+              |SELECT component, dim, v FROM (
+              |  SELECT CAST(0 AS BIGINT) AS component,
+              |    CAST(q AS BIGINT) AS dim, CAST(v AS DOUBLE) AS v
+              |  FROM v2
+              |  UNION ALL
+              |  SELECT CAST(1 AS BIGINT), CAST(q AS BIGINT),
+              |    CAST(v AS DOUBLE)
+              |  FROM v2b)
+              |ORDER BY component, dim""".stripMargin)))
 
   /** q110's power-iteration replay (means → centered DECIMAL
     * components → covariance → two normalized matvecs, ending in the

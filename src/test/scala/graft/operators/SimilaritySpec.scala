@@ -252,4 +252,29 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(p - sign * t) < 0.01, s"proj $p vs centered $t")
     }
   }
+  test("principalComponents deflation recovers the SECOND direction") {
+    import spark.implicits._
+    // dominant spread on axis 1 (t, antisymmetric about the center),
+    // secondary on axis 3 (u = |i-9.5|/6, SYMMETRIC about the center,
+    // so cov(t, u) is exactly 0 - a correlated second coordinate
+    // would legitimately tilt the top component): component 0 ->
+    // axis 1, component 1 -> axis 3, approximately orthogonal
+    val rows = (0 until 20).map { i =>
+      val t = (i - 10).toDouble / 2.0
+      val u = math.abs(i - 9.5) / 6.0
+      (i.toLong, Array(0.0f, t.toFloat, 0.0f, u.toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val pcs = Similarity.principalComponents(df, dims = 4, iters = 3,
+        nComponents = 2)
+      .orderBy("component", "dim").collect()
+      .groupBy(_.getLong(0))
+      .map { case (c, rs) => c -> rs.sortBy(_.getLong(1))
+        .map(_.getDouble(2)) }
+    val c0 = pcs(0L); val c1 = pcs(1L)
+    assert(math.abs(c0(1)) > 0.999, s"component 0 on axis 1: ${c0.toSeq}")
+    assert(math.abs(c1(3)) > 0.99, s"component 1 on axis 3: ${c1.toSeq}")
+    val dotp = c0.zip(c1).map { case (a, b) => a * b }.sum
+    assert(math.abs(dotp) < 0.05, s"near-orthogonal, dot $dotp")
+  }
 }
