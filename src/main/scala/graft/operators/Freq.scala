@@ -84,4 +84,69 @@ object Freq {
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_rows"))
   }
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) frequency
+    * estimates for the exact heavy hitters of `keyCol` — the
+    * streaming-sized frequency summary, verified against exact counts.
+    *
+    * Output: one row per key whose exact count is ≥ a 1/`minShare`
+    * share of the non-null rows, with columns `(keyCol, n_rows, est_n)`
+    * — `n_rows` the exact count, `est_n` the sketch estimate. CMS
+    * guarantees `est_n ≥ n_rows` always (collisions only ADD), and
+    * `est_n ≤ n_rows + εn` with probability 1−δ for ε = e/width,
+    * δ = e^−depth.
+    *
+    * Scale design: the sketch is `depth·width` counters built by ONE
+    * aggregation over (row index, bucket) — the map-side partial agg
+    * collapses every task's contribution to ≤ depth·width cells, so
+    * the shuffle carries sketch-sized data regardless of corpus size
+    * (the whole point of CMS vs a key-universe `groupBy(key)`). The
+    * probe side reuses [[heavyHitterCounts]] (Misra-Gries candidates +
+    * exact verification — no key-universe shuffle either), and the
+    * share threshold is evaluated as the pure-integer comparison
+    * `n_rows · minShare ≥ total` (no division-semantics drift between
+    * engines). Bucket hashing is the md5-backed [[TextOps.hash60]]
+    * with per-row salts `cms<j>|`, so a SQL oracle replays the sketch
+    * bit-identically.
+    *
+    * The depth×width sketch frame and the probe estimates are both
+    * broadcast-sized; nothing in the plan grows with the key universe.
+    */
+  def countMinEstimates(df: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 32, minShare: Int = 64,
+      capacity: Int = 4096): DataFrame = {
+    require(depth >= 1 && width >= 1 && minShare >= 1)
+    val keyed = df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("_k"))
+
+    def buckets(k: org.apache.spark.sql.Column) =
+      array((0 until depth).map { j =>
+        struct(lit(j).as("j"),
+          pmod(TextOps.hash60(concat(lit(s"cms$j|"), k)),
+            lit(width.toLong)).as("bucket"))
+      }: _*)
+
+    // sketch build: explode keeps the hashing inside the Generate (the
+    // single-task guard, PLANS.md round 1), partial agg collapses each
+    // task to ≤ depth·width cells before the shuffle
+    val sketch = graft.Tables.rebalance(keyed)
+      .select(explode(buckets(col("_k"))).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+    val total = keyed.agg(count(lit(1)).as("_total"))
+    val hh = heavyHitterCounts(df, keyCol, capacity)
+      .crossJoin(broadcast(total))
+      .filter(col("n_rows") * minShare >= col("_total"))
+      .select(col(keyCol), col("n_rows"))
+
+    val probes = hh
+      .select(col(keyCol), col("n_rows"),
+        explode(buckets(col(keyCol).cast("string"))).as("jb"))
+      .select(col(keyCol), col("n_rows"),
+        col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+    probes.join(broadcast(sketch), Seq("j", "bucket"))
+      .groupBy(col(keyCol), col("n_rows"))
+      .agg(min(col("c")).as("est_n"))
+  }
 }

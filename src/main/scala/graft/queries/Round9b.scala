@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Retrieval
+import graft.operators.{Freq, Retrieval, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Round-9 late additions: retrieval and further sketch/dedup/sampling
@@ -43,5 +43,39 @@ object Round9b {
               |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
               |  score, CAST(rnk AS BIGINT) AS rank
               |FROM r WHERE rnk <= 10
-              |ORDER BY query_id, rank""".stripMargin)))
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- count-min sketch frequency estimates over the corpus token
+    // stream: the sketch is 4×32 counters built by one aggregation
+    // whose shuffle carries ≤ depth·width cells per task (map-side
+    // combine), probes are the exact heavy hitters (Misra-Gries +
+    // verification — no key-universe shuffle anywhere). Width 32 is
+    // deliberately small so bucket collisions actually occur and the
+    // min-over-rows arithmetic is exercised, not just replayed
+    // trivially; the oracle recomputes sketch AND exact counts, so
+    // est_n ≥ n_rows (the CMS one-sided guarantee) is hash-gated.
+    QueryDef("q116_countmin_est",
+      (s, dir) => Freq.countMinEstimates(
+          TextOps.wordRows(t("documents")(s, dir), "text"),
+          "word", depth = 4, width = 32, minShare = 64)
+        .orderBy(col("word")),
+      Some("""WITH w AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(text), '\s+'),
+             |    x -> len(x) > 0) AS ws FROM documents),
+             |tok AS (SELECT unnest(ws) AS word FROM w),
+             |tot AS (SELECT COUNT(*) AS n FROM tok),
+             |sk AS (SELECT t.j,
+             |    CAST(concat('0x', substr(md5(concat('cms', t.j, '|',
+             |      word)), 1, 15)) AS BIGINT) % 32 AS bucket,
+             |    COUNT(*) AS c
+             |  FROM tok, range(0, 4) t(j) GROUP BY 1, 2),
+             |hh AS (SELECT word, COUNT(*) AS n_rows FROM tok
+             |  GROUP BY 1 HAVING COUNT(*) * 64 >= (SELECT n FROM tot)),
+             |pb AS (SELECT hh.word, hh.n_rows, t.j,
+             |    CAST(concat('0x', substr(md5(concat('cms', t.j, '|',
+             |      hh.word)), 1, 15)) AS BIGINT) % 32 AS bucket
+             |  FROM hh, range(0, 4) t(j))
+             |SELECT pb.word, pb.n_rows, MIN(sk.c) AS est_n
+             |FROM pb JOIN sk USING (j, bucket)
+             |GROUP BY 1, 2 ORDER BY word""".stripMargin)))
 }

@@ -88,4 +88,39 @@ class FreqSpec extends SparkSpec {
       .filter(col("n_rows") >= 6).count()
     assert(got == 0L)
   }
+
+  // skewed corpus: 'hot' 40%, 'warm' 30%, tail of 30 keys ~1% each
+  private def skewed = (Seq.fill(200)("hot") ++ Seq.fill(150)("warm") ++
+    (1 to 30).flatMap(i => Seq.fill(5)(s"tail$i"))).toDF("w")
+    .repartition(8)
+
+  test("countMin: estimates are one-sided (est_n >= exact) and share-thresholded") {
+    val got = Freq.countMinEstimates(skewed, "w",
+      depth = 4, width = 8, minShare = 10)
+      .as[(String, Long, Long)].collect()
+    // total 500; threshold = 50 → hot(200) and warm(150) only
+    assert(got.map(_._1).sorted.toSeq == Seq("hot", "warm"))
+    got.foreach { case (_, exact, est) => assert(est >= exact) }
+    assert(got.find(_._1 == "hot").get._2 == 200L)
+    assert(got.find(_._1 == "warm").get._2 == 150L)
+  }
+
+  test("countMin: a collision-free width makes estimates exact") {
+    // 32 distinct keys into width 65536 across 4 rows: P(any collision
+    // in all 4 rows for some pair) ≈ 0 with this fixed hash family —
+    // deterministic given the md5 family, verified tight here
+    val got = Freq.countMinEstimates(skewed, "w",
+      depth = 4, width = 65536, minShare = 10)
+      .as[(String, Long, Long)].collect()
+    got.foreach { case (_, exact, est) => assert(est == exact) }
+  }
+
+  test("countMin: estimate never exceeds the stream length and is deterministic") {
+    val a = Freq.countMinEstimates(skewed, "w", depth = 2, width = 4,
+      minShare = 10).as[(String, Long, Long)].collect().toSet
+    val b = Freq.countMinEstimates(skewed, "w", depth = 2, width = 4,
+      minShare = 10).as[(String, Long, Long)].collect().toSet
+    assert(a == b)
+    a.foreach { case (_, _, est) => assert(est <= 500L) }
+  }
 }
