@@ -699,4 +699,71 @@ object Dedup {
         sum(col("n_members")).as("n_members"),
         max(col("best_score")).as("best_score"))
   }
+
+  /** Fuzzy self-join at edit distance ≤ 1 via FastSS deletion
+    * neighborhoods (Bocek, Hunt & Stiller 2007, "Fast Similarity
+    * Search in Large Dictionaries") — typo-level entity matching
+    * (near-identical names/ids/urls) without an all-pairs scan.
+    *
+    * Blocking is EXACT, not approximate: if `lev(a, b) ≤ 1` the two
+    * strings share a member of each other's 1-deletion neighborhood
+    * (substitution → delete the differing position from both;
+    * insertion/deletion → the shorter string itself), so the
+    * equi-join on variants misses nothing. It also ADMITS pairs up to
+    * distance 2 (a→v→b composes two deletions), which the final
+    * `levenshtein ≤ 1` verification rejects — candidates are a
+    * superset, the output is exact.
+    *
+    * Scale shape: the explode factor is `len+1` variants per string
+    * (linear, vs C(len,k) for general k — this operator is fixed at
+    * k = 1, the typo case; larger radii belong to
+    * [[jaccardPairsPrefix]]-style token methods). Candidates come
+    * from an inverted-index equi-join on the variant — the same
+    * no-cross-product rule as every dedup path here. The skew risk is
+    * a hot variant (many near-identical strings sharing a deletion,
+    * d² candidate work — the stop-shingle problem): `maxVariantDf`
+    * drops variants above a document-frequency cap, trading recall
+    * ONLY on strings with > cap 1-distance twins (document the cap
+    * when used; the unset default is exact).
+    *
+    * Output: `(id_a, id_b, dist)` with id_a < id_b, one row per
+    * distinct pair, dist ∈ {0, 1} (0 = identical strings).
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxVariantDf: Option[Int] = None): DataFrame = {
+    val s = df.select(col(idCol).cast("long").as("id"),
+        col(strCol).cast("string").as("nm"))
+      .filter(col("nm").isNotNull)
+    val nmLen = length(col("nm"))
+    // sequence(1, 0) would generate a DESCENDING [1, 0] — guard empties
+    val dels = when(nmLen >= 1,
+      transform(sequence(lit(1), nmLen),
+        i => concat(col("nm").substr(lit(1), i - 1),
+          col("nm").substr(i + 1, nmLen))))
+      .otherwise(array().cast("array<string>"))
+    // explode keeps the variant derivation inside the Generate (the
+    // single-task guard); per-row distinct ≡ per-(id, variant) distinct
+    val vars0 = graft.Tables.rebalance(s)
+      .select(col("id"), col("nm"),
+        explode(array_distinct(array_union(array(col("nm")), dels)))
+          .as("v"))
+    val vars = maxVariantDf match {
+      case Some(cap) =>
+        val hot = vars0.groupBy(col("v")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > cap).select(col("v"))
+        vars0.join(broadcast(hot), Seq("v"), "left_anti")
+      case None => vars0
+    }
+    val a = vars.select(col("id").as("ida"), col("nm").as("nma"),
+      col("v"))
+    val b = vars.select(col("id").as("idb"), col("nm").as("nmb"),
+      col("v"))
+    a.join(b, Seq("v"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), col("nma"), col("nmb")).distinct()
+      .withColumn("dist", levenshtein(col("nma"), col("nmb")))
+      .filter(col("dist") <= 1)
+      .select(col("ida").as("id_a"), col("idb").as("id_b"),
+        col("dist").cast("bigint").as("dist"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Freq, Retrieval, TextOps}
+import graft.operators.{Dedup, Freq, Retrieval, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Round-9 late additions: retrieval and further sketch/dedup/sampling
@@ -77,5 +77,32 @@ object Round9b {
              |  FROM hh, range(0, 4) t(j))
              |SELECT pb.word, pb.n_rows, MIN(sk.c) AS est_n
              |FROM pb JOIN sk USING (j, bucket)
-             |GROUP BY 1, 2 ORDER BY word""".stripMargin)))
+             |GROUP BY 1, 2 ORDER BY word""".stripMargin)),
+
+    // ---- fuzzy entity matching at edit distance ≤ 1 (FastSS deletion
+    // neighborhoods): the variant equi-join is an EXACT blocking for
+    // d ≤ 1 (it admits d = 2 candidates; the levenshtein verification
+    // rejects them — the oracle replays neighborhood, join, and
+    // verify, so both the blocking and the distance arithmetic are
+    // hash-gated). Supplier names are ID-like strings where one-digit
+    // typos are the realistic duplicate class.
+    QueryDef("q117_fuzzy_pairs",
+      (s, dir) => Dedup.editDistancePairs(t("supplier")(s, dir),
+          "s_suppkey", "s_name")
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH s AS (SELECT CAST(s_suppkey AS BIGINT) AS id,
+             |    s_name AS nm FROM supplier),
+             |v AS (
+             |  SELECT id, nm, nm AS var FROM s
+             |  UNION
+             |  SELECT id, nm,
+             |    substr(nm, 1, i - 1) || substr(nm, i + 1) AS var
+             |  FROM s, range(1, 1025) t(i) WHERE t.i <= len(nm)),
+             |c AS (SELECT DISTINCT a.id AS ida, a.nm AS nma,
+             |    b.id AS idb, b.nm AS nmb
+             |  FROM v a JOIN v b ON a.var = b.var AND a.id < b.id)
+             |SELECT ida AS id_a, idb AS id_b,
+             |  CAST(levenshtein(nma, nmb) AS BIGINT) AS dist
+             |FROM c WHERE levenshtein(nma, nmb) <= 1
+             |ORDER BY id_a, id_b""".stripMargin)))
 }

@@ -219,4 +219,58 @@ class DedupSpec extends SparkSpec {
         salted.exceptAll(plain).isEmpty, s"salts=$k")
     }
   }
+
+  test("editDistancePairs: substitution, insertion, deletion all found; d=2 rejected") {
+    import spark.implicits._
+    val df = Seq((1L, "abc"), (2L, "abd"), (3L, "ab"), (4L, "xyz"),
+      (5L, "abcd")).toDF("id", "nm")
+    val got = Dedup.editDistancePairs(df, "id", "nm")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 1L),  // abc ~ abd   substitution
+      (1L, 3L, 1L),  // abc ~ ab    deletion
+      (2L, 3L, 1L),  // abd ~ ab    deletion
+      (1L, 5L, 1L),  // abc ~ abcd  insertion
+      (2L, 5L, 1L))) // abd ~ abcd  insertion (of c)
+    // NOT present: (3,5) d=2, anything with xyz
+  }
+
+  test("editDistancePairs ≡ brute-force levenshtein join (completeness)") {
+    import spark.implicits._
+    // adversarial mix: duplicates (d=0), repeated chars, empty string,
+    // single chars, shared deletions that create d=2 candidates
+    val strs = Seq("", "a", "b", "ab", "ba", "aa", "aab", "aba", "abc",
+      "cab", "cb", "hello", "hallo", "hell", "helo", "hello", "shell")
+    val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "nm")
+    val fast = Dedup.editDistancePairs(df, "id", "nm")
+      .as[(Long, Long, Long)].collect().toSet
+    val a = df.select(col("id").as("ia"), col("nm").as("na"))
+    val b = df.select(col("id").as("ib"), col("nm").as("nb"))
+    val brute = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .withColumn("d", levenshtein(col("na"), col("nb")))
+      .filter(col("d") <= 1)
+      .select(col("ia"), col("ib"), col("d").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fast == brute)
+  }
+
+  test("editDistancePairs: maxVariantDf cap drops only hot-variant pairs") {
+    import spark.implicits._
+    // 5 strings all pairwise-adjacent through the hot variant "x"
+    // plus an unrelated cold pair
+    val df = Seq((1L, "xa"), (2L, "xb"), (3L, "xc"), (4L, "xd"),
+      (5L, "xe"), (10L, "frog"), (11L, "frogs")).toDF("id", "nm")
+    val uncapped = Dedup.editDistancePairs(df, "id", "nm")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(uncapped.contains((10L, 11L, 1L)))
+    assert(uncapped.count(_._1 <= 5) == 10) // C(5,2) via variant "x"
+    val capped = Dedup.editDistancePairs(df, "id", "nm",
+      maxVariantDf = Some(3)).as[(Long, Long, Long)].collect().toSet
+    // the cold pair survives; hot-variant pairs… "xa"~"xb" also share
+    // variants? deleting pos2: "x" (hot, capped); deleting pos1: "a"/"b"
+    // differ — so capping "x" removes exactly the hub pairs
+    assert(capped.contains((10L, 11L, 1L)))
+    assert(capped.count(_._1 <= 5) == 0)
+  }
 }
