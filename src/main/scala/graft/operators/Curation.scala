@@ -165,6 +165,47 @@ object Curation {
       .drop("pct")
   }
 
+  /** Weighted sampling without replacement — the A-ES key method
+    * (Efraimidis & Spirtakis 2006, "Weighted random sampling with a
+    * reservoir"): give each row the key `u^(1/w)` with `u` uniform in
+    * (0, 1] and keep the k largest keys; the result is distributed
+    * exactly as sequential weighted draws without replacement. The
+    * mixture-building primitive when strata are continuous (sample
+    * proportional to length/quality/freshness) rather than the
+    * discrete buckets of [[stratifiedSample]].
+    *
+    * Like every sampling step here, `u` is a PURE FUNCTION of the row
+    * key (salted md5, [[TextOps.hash60]]), not a seeded RNG: the
+    * sample is reproducible across runs, engines, partitionings and
+    * cluster sizes — the training-data-lineage requirement — and a
+    * SQL oracle can replay the entire draw.
+    *
+    * Scale shape: key derivation is map-side; the top-k is
+    * `orderBy(...).limit(k)` which Spark plans as TakeOrdered —
+    * per-partition top-k heaps merged on the driver (k·partitions
+    * rows), never a global sort/shuffle of the corpus.
+    *
+    * Determinism at the boundary: keys are rounded to 6 decimals with
+    * ties broken by the row key ascending, so selection is total-order
+    * deterministic cross-engine. Rows with weight ≤ 0 or NULL are
+    * excluded (A-ES requires w > 0).
+    *
+    * Output: `(keyCol, weight, skey)`, the k selected rows.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int, salt: String = "wrs"): DataFrame = {
+    val u = (TextOps.hash60(concat(lit(salt + "|"),
+      col(keyCol).cast("string"))) + 1).cast("double") /
+      lit(1152921504606846976.0) // 2^60: u ∈ (0, 1]
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(keyCol),
+        col(weightCol).cast("bigint").as("weight"),
+        round(pow(u, lit(1.0) / col(weightCol).cast("double")), 6)
+          .as("skey"))
+      .orderBy(col("skey").desc, col(keyCol))
+      .limit(k)
+  }
+
   /** Per-document corpus-unigram log-likelihood — the classic cheap
     * LM-quality proxy (a KenLM stand-in): score each document by the
     * mean log-probability of its tokens under the corpus's own unigram

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Freq, Retrieval, TextOps}
+import graft.operators.{Curation, Dedup, Freq, Retrieval, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Round-9 late additions: retrieval and further sketch/dedup/sampling
@@ -104,5 +104,35 @@ object Round9b {
              |SELECT ida AS id_a, idb AS id_b,
              |  CAST(levenshtein(nma, nmb) AS BIGINT) AS dist
              |FROM c WHERE levenshtein(nma, nmb) <= 1
-             |ORDER BY id_a, id_b""".stripMargin)))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- weighted sampling without replacement (A-ES), weights =
+    // token counts: the whole draw — salted-md5 uniform, u^(1/w) key,
+    // 6-decimal boundary rounding, doc_id tie-break, top-k — is
+    // replayed by the oracle, so selection is proven reproducible
+    // cross-engine (the training-data-lineage property the scaladoc
+    // promises). TakeOrdered plan: per-partition heaps, no global
+    // sort.
+    QueryDef("q118_weighted_sample",
+      (s, dir) => {
+        val docs = t("documents")(s, dir)
+        val weighted = docs.select(col("doc_id"),
+          size(TextOps.words(col("text"))).as("n_words"))
+        Curation.weightedSample(weighted, "doc_id", "n_words", k = 25)
+          .orderBy(col("skey").desc, col("doc_id"))
+      },
+      Some("""WITH w AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(text), '\s+'),
+             |    x -> len(x) > 0) AS ws FROM documents),
+             |dw AS (SELECT doc_id, len(ws) AS wt FROM w
+             |  WHERE len(ws) > 0),
+             |s AS (SELECT doc_id, CAST(wt AS BIGINT) AS weight,
+             |    round(pow(
+             |      (CAST(concat('0x', substr(md5(concat('wrs|',
+             |         doc_id)), 1, 15)) AS BIGINT) + 1)
+             |        / 1152921504606846976.0,
+             |      1.0 / wt), 6) AS skey
+             |  FROM dw)
+             |SELECT doc_id, weight, skey FROM s
+             |ORDER BY skey DESC, doc_id LIMIT 25""".stripMargin)))
 }

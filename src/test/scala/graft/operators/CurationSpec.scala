@@ -642,4 +642,43 @@ class CurationSpec extends SparkSpec {
     // the null stratum packs as its own group: offsets 0, 2 → bins 0, 0
     assert(got.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 0L)))
   }
+
+  test("weightedSample: exactly k rows, weight>0 only, keys in (0,1], partition-proof") {
+    import spark.implicits._
+    val df = ((1 to 40).map(i => (i.toLong, 5L)) ++
+      Seq((100L, 0L), (101L, -3L), (102L, 5L))) // excluded: w ≤ 0
+      .toDF("id", "w")
+    val got = Curation.weightedSample(df, "id", "w", k = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 10)
+    assert(!got.exists(r => r._1 == 100L || r._1 == 101L))
+    got.foreach { case (_, w, skey) =>
+      assert(w == 5L && skey > 0.0 && skey <= 1.0)
+    }
+    val repart = Curation.weightedSample(df.repartition(7), "id", "w",
+      k = 10).as[(Long, Long, Double)].collect()
+    assert(got.sortBy(_._1).toSeq == repart.sortBy(_._1).toSeq)
+  }
+
+  test("weightedSample: k >= n returns every positive-weight row") {
+    import spark.implicits._
+    val df = Seq((1L, 2L), (2L, 3L), (3L, 0L)).toDF("id", "w")
+    val got = Curation.weightedSample(df, "id", "w", k = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(_._1).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("weightedSample: a dominant weight wins the draw for most salts") {
+    import spark.implicits._
+    // one row with weight 1000 vs 50 rows of weight 1 → P(win) ≈ 0.95
+    // per draw; across 20 deterministic salts it must win a clear
+    // majority (the weighting actually biases the draw)
+    val df = ((1 to 50).map(i => (i.toLong, 1L)) :+ (999L, 1000L))
+      .toDF("id", "w")
+    val wins = (1 to 20).count { s =>
+      Curation.weightedSample(df, "id", "w", k = 1, salt = s"s$s")
+        .as[(Long, Long, Double)].collect().head._1 == 999L
+    }
+    assert(wins >= 15, s"dominant weight won only $wins/20 draws")
+  }
 }
