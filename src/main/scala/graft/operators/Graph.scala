@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph-centrality operators: weighted PageRank (Page, Brin, Motwani
+  * & Winograd 1999) and its text instantiation TextRank (Mihalcea &
+  * Tarau 2004) — keyword extraction by running PageRank over the word
+  * co-occurrence graph. The corpus-summarization / keyword-mining
+  * primitive of a training-data pipeline (what is this 100 TB corpus
+  * ABOUT?), and the catalog's first graph-centrality operator (the
+  * connected-components operator in [[Dedup]] is the other graph
+  * resident).
+  *
+  * Scale design: the graph is built by ONE token-stream aggregation
+  * (the bigram map-side zip of [[Curation.bigramLogProb]]) and is
+  * vocabulary²-bounded — far smaller than the corpus; every PageRank
+  * iteration is one vocabulary-sized join + aggregation. Iterations
+  * are a fixed small count (TextRank converges in tens; rankings
+  * stabilize much earlier), so the lineage stays bounded without
+  * checkpointing gymnastics.
+  *
+  * Numeric determinism (SparkEntry policy, the strong form): every
+  * iteration runs in EXACT INTEGER MICRO-UNITS — scores are BIGINT
+  * millionths, per-edge contributions and the damping update use the
+  * round-half-up integer identity `round(a/b) = (2a + b) div 2b` (the
+  * [[Classifier]] milli-weight pattern) — so no float exists until the
+  * single final division to DOUBLE. The first cut rounded doubles to
+  * 6 decimals per step and hash-FAILED at sf0.1 by one micro-unit on
+  * one word (a `round(x, 6)` half-way boundary where Spark's
+  * BigDecimal HALF_UP and DuckDB's float rounding disagree on the
+  * binary expansion); integer arithmetic makes that boundary
+  * inexpressible.
+  */
+object Graph {
+
+  /** Weighted PageRank on an edge list `(src, dst, w)`. Pass BOTH
+    * directions of an undirected edge. Nodes outside the edge list do
+    * not participate (every node here has degree ≥ 1, so the
+    * random-jump mass is the standard `1 − d` per node).
+    *
+    * Update rule (the TextRank weighted form):
+    * `score(i) ← (1−d) + d · Σ_j w_ji / S_j · score(j)` with `S_j`
+    * the out-strength of j.
+    *
+    * Returns `(node, score)` after `iters` iterations from the
+    * uniform `score = 1` start.
+    */
+  def pageRank(edges: DataFrame, damping: Double = 0.85,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 1 && damping > 0 && damping < 1)
+    val dm = math.round(damping * 1000).toInt
+    require(dm / 1000.0 == damping,
+      "damping must be a multiple of 0.001 (exact milli-units)")
+    val strength = edges.groupBy(col("src")).agg(sum(col("w")).as("s"))
+    // (src, dst, w, S_src), reused by every iteration — materialize
+    // once so iteration N does not replay the graph build N times
+    val e = edges.join(strength, "src")
+      .select(col("src"), col("dst"), col("w"), col("s"))
+      .localCheckpoint()
+    // sm = score in exact micro-units; fits BIGINT while
+    // w · sm < 2^63 (w < ~9·10^12 at score ~1 — beyond any corpus)
+    var score = strength.select(col("src").as("node"),
+      lit(1000000L).as("sm"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(score, e("src") === score("node"))
+        .select(col("dst"),
+          expr("(w * sm * 2 + s) div (2 * s)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      score = contrib.select(col("dst").as("node"),
+        (lit((1000L - dm) * 1000L) +
+          expr(s"(sc * $dm * 2 + 1000) div 2000")).as("sm"))
+    }
+    score.select(col("node"),
+      (col("sm").cast("double") / lit(1000000.0)).as("score"))
+  }
+
+  /** TextRank keywords: top-k words by PageRank over the
+    * adjacent-token co-occurrence graph (window 2, undirected,
+    * weighted by co-occurrence count, self-loops dropped).
+    * Output `(word, score)` ordered by (score desc, word).
+    */
+  def textRankKeywords(docs: DataFrame, textCol: String,
+      damping: Double = 0.85, iters: Int = 2,
+      topK: Int = 30): DataFrame = {
+    val ws = TextOps.words(col(textCol))
+    // map-side bigram zip; explode is the single-task guard (PLANS.md)
+    val adj = graft.Tables.rebalance(docs.select(col(textCol)))
+      .select(explode(zip_with(
+        slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+        slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+    val und = adj
+      .groupBy(least(col("w1"), col("w2")).as("a"),
+        greatest(col("w1"), col("w2")).as("b"))
+      .agg(count(lit(1)).as("w"))
+    val edges = und.select(col("a").as("src"), col("b").as("dst"),
+        col("w"))
+      .union(und.select(col("b").as("src"), col("a").as("dst"),
+        col("w")))
+    pageRank(edges, damping, iters)
+      .orderBy(col("score").desc, col("node"))
+      .limit(topK)
+      .select(col("node").as("word"), col("score"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Curation, Dedup, Freq, Retrieval, TextOps}
+import graft.operators.{Curation, Dedup, Freq, Graph, Retrieval, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Round-9 late additions: retrieval and further sketch/dedup/sampling
@@ -134,5 +134,48 @@ object Round9b {
              |      1.0 / wt), 6) AS skey
              |  FROM dw)
              |SELECT doc_id, weight, skey FROM s
-             |ORDER BY skey DESC, doc_id LIMIT 25""".stripMargin)))
+             |ORDER BY skey DESC, doc_id LIMIT 25""".stripMargin)),
+
+    // ---- TextRank keywords (weighted PageRank over the adjacent-token
+    // co-occurrence graph): the corpus-keyword operator and the
+    // catalog's first graph-centrality query. The graph is ONE
+    // token-stream aggregation (vocabulary²-bounded); each iteration
+    // is a vocabulary-sized join. The oracle replays graph build +
+    // both damped iterations — per-edge contributions round to
+    // DECIMAL(20,6) before node sums, so every iteration is exact.
+    QueryDef("q119_textrank",
+      (s, dir) => Graph.textRankKeywords(t("documents")(s, dir),
+        "text", damping = 0.85, iters = 2, topK = 30),
+      Some("""WITH w AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(text), '\s+'),
+             |    x -> len(x) > 0) AS ws FROM documents),
+             |bg0 AS (SELECT unnest(list_transform(
+             |    generate_series(1, len(ws) - 1),
+             |    i -> struct_pack(w1 := ws[i], w2 := ws[i + 1])))
+             |    AS p FROM w),
+             |bg AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM bg0
+             |  WHERE p.w1 != p.w2),
+             |und AS (SELECT least(w1, w2) AS a, greatest(w1, w2) AS b,
+             |    COUNT(*) AS wt
+             |  FROM bg GROUP BY 1, 2),
+             |e AS (SELECT a AS src, b AS dst, wt FROM und
+             |  UNION ALL SELECT b, a, wt FROM und),
+             |st AS (SELECT src, SUM(wt) AS s FROM e GROUP BY 1),
+             |s0 AS (SELECT src AS node,
+             |    CAST(1000000 AS BIGINT) AS sm FROM st),
+             |c1 AS (SELECT e.dst,
+             |    SUM((e.wt * s0.sm * 2 + st.s) // (2 * st.s)) AS sc
+             |  FROM e JOIN s0 ON e.src = s0.node
+             |    JOIN st ON e.src = st.src GROUP BY 1),
+             |s1 AS (SELECT dst AS node,
+             |    150000 + (sc * 850 * 2 + 1000) // 2000 AS sm FROM c1),
+             |c2 AS (SELECT e.dst,
+             |    SUM((e.wt * s1.sm * 2 + st.s) // (2 * st.s)) AS sc
+             |  FROM e JOIN s1 ON e.src = s1.node
+             |    JOIN st ON e.src = st.src GROUP BY 1),
+             |s2 AS (SELECT dst AS node,
+             |    150000 + (sc * 850 * 2 + 1000) // 2000 AS sm FROM c2)
+             |SELECT node AS word,
+             |  CAST(sm AS DOUBLE) / 1000000.0 AS score FROM s2
+             |ORDER BY score DESC, word LIMIT 30""".stripMargin)))
 }

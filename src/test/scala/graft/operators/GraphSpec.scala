@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sym(pairs: (String, String, Long)*) =
+    (pairs ++ pairs.map(p => (p._2, p._1, p._3)))
+      .toDF("src", "dst", "w")
+
+  test("pageRank: star graph — hand-computed two-iteration scores") {
+    val edges = sym(("c", "x", 1L), ("c", "y", 1L), ("c", "z", 1L))
+    val got = Graph.pageRank(edges, damping = 0.85, iters = 2)
+      .as[(String, Double)].collect().toMap
+    // iter1: c ← 3·round(1/1·1) → 0.15+0.85·3 = 2.7
+    //        x ← round(1/3·1) = 0.333333 → 0.15+0.85·0.333333 = 0.433333
+    // iter2: c ← 3·round(0.433333) = 1.299999 → 0.15+1.1049992 → 1.254999
+    //        x ← round(2.7/3) = 0.9 → 0.15+0.765 = 0.915
+    assert(got("c") == 1.254999)
+    assert(got("x") == 0.915 && got("y") == 0.915 && got("z") == 0.915)
+  }
+
+  test("pageRank: uniform cycle is a fixed point at score 1") {
+    val edges = sym(("a", "b", 2L), ("b", "c", 2L), ("c", "a", 2L))
+    val got = Graph.pageRank(edges, iters = 3)
+      .as[(String, Double)].collect().toMap
+    assert(got.values.forall(_ == 1.0))
+  }
+
+  test("pageRank: total mass stays ≈ node count under damping") {
+    val edges = sym(("a", "b", 1L), ("b", "c", 3L), ("c", "d", 2L),
+      ("d", "a", 1L), ("a", "c", 5L))
+    val got = Graph.pageRank(edges, iters = 4)
+      .as[(String, Double)].collect()
+    assert(got.length == 4)
+    assert(math.abs(got.map(_._2).sum - 4.0) < 0.01)
+  }
+
+  test("textRank: the hub word of a hub-and-spoke corpus ranks first") {
+    // 'spark' co-occurs with everything; spokes only with 'spark'
+    val docs = Seq(
+      "spark joins", "spark windows", "spark shuffles",
+      "spark caching", "spark lineage").toDF("text")
+    val got = Graph.textRankKeywords(docs, "text", topK = 10)
+      .as[(String, Double)].collect()
+    assert(got.head._1 == "spark")
+    assert(got.map(_._2).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("textRank: deterministic across partitionings; self-loops dropped") {
+    val docs = Seq("a a a b", "b c b", "c a").toDF("text")
+    val one = Graph.textRankKeywords(docs, "text")
+      .as[(String, Double)].collect().toSeq
+    val many = Graph.textRankKeywords(docs.repartition(5), "text")
+      .as[(String, Double)].collect().toSeq
+    assert(one == many)
+    // "a a a" contributes no (a,a) edge: a's neighbors are only b, c
+    val edgesToSelf = one.filter(_._1 == "a")
+    assert(edgesToSelf.nonEmpty) // a participates via a-b, c-a only
+  }
+}
