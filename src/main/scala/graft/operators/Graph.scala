@@ -92,10 +92,14 @@ object Graph {
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .filter(col("w1") =!= col("w2"))
+    // the corpus-sized aggregation feeds both union branches AND the
+    // strength aggregation — materialize the (vocabulary²-bounded)
+    // edge weights once so the token stream reduces exactly once
     val und = adj
       .groupBy(least(col("w1"), col("w2")).as("a"),
         greatest(col("w1"), col("w2")).as("b"))
       .agg(count(lit(1)).as("w"))
+      .localCheckpoint()
     val edges = und.select(col("a").as("src"), col("b").as("dst"),
         col("w"))
       .union(und.select(col("b").as("src"), col("a").as("dst"),

@@ -55,8 +55,13 @@ object Round9b {
     // trivially; the oracle recomputes sketch AND exact counts, so
     // est_n ≥ n_rows (the CMS one-sided guarantee) is hash-gated.
     QueryDef("q116_countmin_est",
+      // the token frame feeds FOUR passes (Misra-Gries, exact verify,
+      // total count, sketch build) — materialize the tokenize once so
+      // the corpus is scanned once, not four times (plan-audited:
+      // 4 FileScans → 1 before/after; the q100 tf pattern)
       (s, dir) => Freq.countMinEstimates(
-          TextOps.wordRows(t("documents")(s, dir), "text"),
+          TextOps.wordRows(t("documents")(s, dir), "text")
+            .localCheckpoint(),
           "word", depth = 4, width = 32, minShare = 64)
         .orderBy(col("word")),
       Some("""WITH w AS (SELECT doc_id, list_filter(
