@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed-cardinality sketching: HyperLogLog (Flajolet, Fusy,
+  * Gandouet & Meunier 2007) as a PERSISTABLE, MERGEABLE register
+  * frame — the distinct-count analog of the [[Curation.BloomFilter]]
+  * and IVF-PQ index artifacts. Build per-batch sketches, persist them
+  * (m-row parquet), merge across batches/days/corpora with a
+  * register-wise max, estimate at read time: the incremental
+  * distinct-count lifecycle a 100 TB ingest pipeline needs (exact
+  * `countDistinct` across batches would re-shuffle the union's whole
+  * key universe every day; sketch merge is register-sized).
+  *
+  * Spark's own `approx_count_distinct` is a black-box HLL++ whose
+  * registers cannot be persisted, merged across frames, or replayed
+  * by an external engine. These registers use the md5-backed
+  * [[TextOps.hash60]] (low p bits → bucket, remaining bits → rank via
+  * `length(bin(q))` — both exact integer ops in Spark AND ANSI SQL),
+  * so a DuckDB oracle replays build, merge, and estimate
+  * bit-identically, and the register sum runs in exact BIGINT
+  * (`2^(R₀−r)` units — no float until the single final division).
+  *
+  * Scale shape: register build is one `groupBy(bucket)` whose
+  * map-side partial max collapses every task to ≤ m cells (the
+  * count-min shuffle argument); merge and estimate are m-row
+  * frames. Nothing anywhere is key-universe-sized after the first
+  * partial aggregation.
+  */
+object Cardinality {
+
+  /** Sparse HLL registers `(bucket, r, p)` of `keyCol` (empty buckets
+    * omitted; estimate re-adds them). `m = 2^p` buckets; standard
+    * error ≈ 1.04/√m (p = 12 → ~1.6%).
+    */
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int = 12,
+      salt: String = "hll"): DataFrame = {
+    require(p >= 4 && p <= 16, "p in [4, 16]")
+    val m = 1L << p
+    val r0 = 61 - p // rank of q = 0 (all 60 − p remaining bits zero)
+    val h = TextOps.hash60(concat(lit(salt + "|"),
+      col(keyCol).cast("string")))
+    df.filter(col(keyCol).isNotNull)
+      .select(h.as("_h"))
+      .select(pmod(col("_h"), lit(m)).as("bucket"),
+        expr(s"_h div $m").as("q"))
+      .select(col("bucket"),
+        when(col("q") === 0, lit(r0))
+          .otherwise(lit(r0) - length(bin(col("q"))))
+          .cast("int").as("r"))
+      .groupBy(col("bucket")).agg(max(col("r")).as("r"))
+      .withColumn("p", lit(p))
+  }
+
+  /** Register-wise max — the HLL merge. Both sides must carry the same
+    * `p` (enforced loudly on the [[readSketch]] path; merging two
+    * different-p frames here would group them into disjoint, silently
+    * wrong families, so the union re-checks).
+    */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    val u = a.select(col("bucket"), col("r"), col("p"))
+      .unionByName(b.select(col("bucket"), col("r"), col("p")))
+    u.groupBy(col("bucket"), col("p")).agg(max(col("r")).as("r"))
+      .select(col("bucket"), col("r"), col("p"))
+  }
+
+  /** Persist a register frame as an m-row parquet artifact (~32 KB at
+    * p = 12 — the serving shape regardless of corpus size).
+    */
+  def writeSketch(regs: DataFrame, path: String): Unit =
+    regs.write.mode("overwrite").parquet(path)
+
+  /** Read a persisted sketch, failing loudly if its `p` does not match
+    * the serving configuration (the [[Curation.BloomFilter]] contract:
+    * build-vs-serving drift must be inexpressible).
+    */
+  def readSketch(spark: SparkSession, path: String,
+      expectP: Int): DataFrame = {
+    val df = spark.read.parquet(path)
+    val ps = df.select(col("p")).distinct().collect().map(_.getInt(0))
+    require(ps.length == 1 && ps.head == expectP,
+      s"sketch p=[${ps.mkString(",")}] does not match expected p=$expectP")
+    df
+  }
+
+  /** One-row estimate `(est_hll, n_zero)` from a register frame.
+    * The register sum runs in exact BIGINT units of 2^(r−R₀) (max
+    * Σ = m·2^R₀ = 2^61 at p = 12 — inside BIGINT); the bias-corrected
+    * constant is folded to ONE double literal so the estimate is a
+    * single division, bit-identical across engines. Small-range
+    * correction (est ≤ 2.5 m with empty buckets → linear counting
+    * m·ln(m/V)) applies on the already-rounded raw estimate, so the
+    * branch decision is deterministic too.
+    */
+  def hllEstimate(regs: DataFrame, p: Int): DataFrame = {
+    val m = 1L << p
+    val r0 = 61 - p
+    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+    // single-literal constant: α·m²·2^R₀ (oracle embeds the same text)
+    val c = alpha * m.toDouble * m.toDouble * math.pow(2.0, r0)
+    val agg = regs
+      .agg(coalesce(sum(expr(s"shiftleft(cast(1 as bigint), $r0 - r)")),
+          lit(0L)).as("s_filled"),
+        count(lit(1)).as("n_filled"))
+    agg
+      .select(
+        (col("s_filled") +
+          (lit(m) - col("n_filled")) * lit(1L << r0)).as("s_total"),
+        (lit(m) - col("n_filled")).as("n_zero"))
+      .select(
+        round(lit(c) / col("s_total").cast("double"), 2).as("est_raw"),
+        col("n_zero"))
+      .select(
+        when(col("est_raw") <= lit(2.5 * m.toDouble) &&
+            col("n_zero") > 0,
+          round(lit(m.toDouble) *
+            log(lit(m.toDouble) / col("n_zero")), 2))
+          .otherwise(col("est_raw")).as("est_hll"),
+        col("n_zero"))
+  }
+
+  /** The single-literal estimate constant, for oracle SQL authors. */
+  def estimateConst(p: Int): Double = {
+    val m = 1L << p
+    (0.7213 / (1.0 + 1.079 / m.toDouble)) *
+      m.toDouble * m.toDouble * math.pow(2.0, 61 - p)
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Curation, Dedup, Freq, Graph, Retrieval, TextOps}
+import graft.operators.{Cardinality, Curation, Dedup, Freq, Graph, Retrieval, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Round-9 late additions: retrieval and further sketch/dedup/sampling
@@ -182,5 +182,61 @@ object Round9b {
              |    150000 + (sc * 850 * 2 + 1000) // 2000 AS sm FROM c2)
              |SELECT node AS word,
              |  CAST(sm AS DOUBLE) / 1000000.0 AS score FROM s2
-             |ORDER BY score DESC, word LIMIT 30""".stripMargin)))
+             |ORDER BY score DESC, word LIMIT 30""".stripMargin)),
+
+    // ---- persistable mergeable HyperLogLog (the Bloom/IVF-PQ
+    // artifact treatment for distinct counts): the Spark path builds
+    // per-half sketches, PERSISTS one (m-row parquet), reads it back
+    // through the p-validation gate, MERGES with the other half, and
+    // estimates; the oracle builds the straight single-pass sketch
+    // over the union — hash equality therefore proves
+    // merge(persist(half1), half2) ≡ build(all), the mergeability law,
+    // under the hard signal. n_exact rides along so the artifact also
+    // documents the estimate's error at every SF.
+    QueryDef("q120_hll_persist",
+      (s, dir) => {
+        val li = t("lineitem")(s, dir).select(col("l_orderkey"))
+        val even = li.filter(col("l_orderkey") % 2 === 0)
+        val odd = li.filter(col("l_orderkey") % 2 === 1)
+        val dirKey = try new java.io.File(dir).getCanonicalPath
+          catch { case _: Throwable => dir }
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(dirKey.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16) + "_" +
+          java.lang.ProcessHandle.current().pid()
+        val outDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_q120_hll_$tag")
+        Round5.registerScratchCleanup(outDir)
+        Cardinality.writeSketch(
+          Cardinality.hllRegisters(even, "l_orderkey"),
+          outDir.getAbsolutePath)
+        val merged = Cardinality.hllMerge(
+          Cardinality.readSketch(s, outDir.getAbsolutePath, expectP = 12),
+          Cardinality.hllRegisters(odd, "l_orderkey"))
+        val exact = li
+          .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+        exact.crossJoin(Cardinality.hllEstimate(merged, p = 12))
+          .select(col("n_exact"), col("est_hll"), col("n_zero"))
+      },
+      Some(s"""WITH h AS (SELECT CAST(concat('0x', substr(md5(
+              |    concat('hll|', l_orderkey)), 1, 15)) AS BIGINT) AS h
+              |  FROM lineitem WHERE l_orderkey IS NOT NULL),
+              |b AS (SELECT h % 4096 AS bucket, h // 4096 AS q FROM h),
+              |r AS (SELECT bucket, MAX(CASE WHEN q = 0 THEN 49
+              |    ELSE 49 - length(bin(q)) END) AS r
+              |  FROM b GROUP BY 1),
+              |a AS (SELECT COALESCE(SUM(CAST(1 AS BIGINT) << (49 - r)),
+              |      0) AS s_filled, COUNT(*) AS n_filled FROM r),
+              |t AS (SELECT s_filled + (4096 - n_filled) *
+              |      (CAST(1 AS BIGINT) << 49) AS s_total,
+              |    4096 - n_filled AS n_zero FROM a),
+              |e AS (SELECT round(${Cardinality.estimateConst(12)}
+              |      / CAST(s_total AS DOUBLE), 2) AS est_raw, n_zero
+              |  FROM t),
+              |f AS (SELECT CASE WHEN est_raw <= 10240.0 AND n_zero > 0
+              |    THEN round(4096.0 * ln(4096.0 / n_zero), 2)
+              |    ELSE est_raw END AS est_hll, n_zero FROM e),
+              |x AS (SELECT COUNT(DISTINCT l_orderkey) AS n_exact
+              |  FROM lineitem)
+              |SELECT x.n_exact, f.est_hll, f.n_zero FROM f, x""".stripMargin)))
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CardinalitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hll: merge of split halves ≡ single-pass build (mergeability law)") {
+    val all = (1 to 5000).map(_.toLong).toDF("id")
+    val direct = Cardinality.hllRegisters(all, "id")
+    val merged = Cardinality.hllMerge(
+      Cardinality.hllRegisters(all.filter($"id" % 3 === 0), "id"),
+      Cardinality.hllMerge(
+        Cardinality.hllRegisters(all.filter($"id" % 3 === 1), "id"),
+        Cardinality.hllRegisters(all.filter($"id" % 3 === 2), "id")))
+    assert(direct.exceptAll(merged).isEmpty &&
+      merged.exceptAll(direct).isEmpty)
+  }
+
+  test("hll: estimate within ~5% at 20k distinct (p=12 → σ≈1.6%)") {
+    val df = (1 to 20000).map(i => s"key$i").toDF("k")
+      .repartition(8)
+    val est = Cardinality.hllEstimate(
+      Cardinality.hllRegisters(df, "k"), p = 12)
+      .select("est_hll").as[Double].head()
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.05, s"est=$est")
+  }
+
+  test("hll: duplicates do not move the estimate (cardinality, not count)") {
+    val uniq = (1 to 3000).map(_.toString).toDF("k")
+    val dup = ((1 to 3000) ++ (1 to 3000) ++ (1 to 3000))
+      .map(_.toString).toDF("k")
+    val e1 = Cardinality.hllEstimate(
+      Cardinality.hllRegisters(uniq, "k"), 12).collect()
+    val e2 = Cardinality.hllEstimate(
+      Cardinality.hllRegisters(dup, "k"), 12).collect()
+    assert(e1.sameElements(e2))
+  }
+
+  test("hll: small-range linear counting kicks in and stays accurate") {
+    val df = (1 to 100).map(_.toLong).toDF("id")
+    val row = Cardinality.hllEstimate(
+      Cardinality.hllRegisters(df, "id"), 12).head()
+    val est = row.getDouble(0)
+    assert(row.getLong(1) > 0) // empty buckets present → corrected path
+    assert(math.abs(est - 100.0) / 100.0 < 0.15, s"est=$est")
+  }
+
+  test("hll: persisted sketch round-trips; wrong p fails loudly") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-hll-spec").toString
+    val regs = Cardinality.hllRegisters(
+      (1 to 1000).map(_.toLong).toDF("id"), "id")
+    Cardinality.writeSketch(regs, dir)
+    val back = Cardinality.readSketch(spark, dir, expectP = 12)
+    assert(regs.exceptAll(back).isEmpty && back.exceptAll(regs).isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      Cardinality.readSketch(spark, dir, expectP = 10)
+    }
+    assert(e.getMessage.contains("does not match"))
+  }
+
+  test("hll: registers are partition-proof") {
+    val df = (1 to 4000).map(i => s"u$i").toDF("k")
+    val a = Cardinality.hllRegisters(df, "k").collect().toSet
+    val b = Cardinality.hllRegisters(df.repartition(13), "k")
+      .collect().toSet
+    assert(a == b)
+  }
+}
