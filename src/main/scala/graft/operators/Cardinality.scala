@@ -126,4 +126,36 @@ object Cardinality {
     (0.7213 / (1.0 + 1.079 / m.toDouble)) *
       m.toDouble * m.toDouble * math.pow(2.0, 61 - p)
   }
+
+  /** Overlap estimation by sketch algebra (inclusion-exclusion):
+    * `|A ∩ B| ≈ est(A) + est(B) − est(A ∪ B)`, with `est(A ∪ B)` from
+    * the register-wise MERGE — no join, no shuffle of either key
+    * universe. The train/eval-contamination screen at 100 TB: an
+    * exact overlap is a key-universe semi-join; this is three m-row
+    * estimates off sketches that may already be persisted per corpus.
+    * Error is additive in the three estimates (σ ≈ 1.04/√m each), so
+    * it is a SCREEN (is overlap ~0, ~10%, ~all?), not a count — pair
+    * it with the exact Bloom/8-gram decontamination operators once a
+    * corpus pair screens positive.
+    *
+    * Returns one row `(est_a, est_b, est_union, est_overlap)`;
+    * `est_overlap` is clamped at 0 (inclusion-exclusion of estimates
+    * can go slightly negative on disjoint sets).
+    */
+  def hllOverlapEstimate(a: DataFrame, aKey: String, b: DataFrame,
+      bKey: String, p: Int = 12): DataFrame = {
+    // each register frame feeds its own estimate AND the union merge —
+    // materialize (m-row) so each corpus is scanned exactly once
+    val ra = hllRegisters(a, aKey, p).localCheckpoint()
+    val rb = hllRegisters(b, bKey, p).localCheckpoint()
+    val ea = hllEstimate(ra, p).select(col("est_hll").as("est_a"))
+    val eb = hllEstimate(rb, p).select(col("est_hll").as("est_b"))
+    val eu = hllEstimate(hllMerge(ra, rb), p)
+      .select(col("est_hll").as("est_union"))
+    ea.crossJoin(eb).crossJoin(eu)
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        greatest(lit(0.0),
+          round(col("est_a") + col("est_b") - col("est_union"), 2))
+          .as("est_overlap"))
+  }
 }

@@ -24,6 +24,39 @@ object Round9b {
   private val bm25Values: String = bm25Queries
     .map { case (qid, txt) => s"($qid, '$txt')" }.mkString(", ")
 
+  /** HLL register→estimate oracle CTE chain over a source CTE
+    * `src(k)`, prefixed so several sketches compose in one query
+    * (q121 builds three). Ends in `<pfx>f(est)`. Mirrors
+    * [[Cardinality.hllRegisters]]/[[Cardinality.hllEstimate]]
+    * arithmetic exactly — BIGINT register sum, one folded double
+    * constant, deterministic correction branch.
+    */
+  private def hllEstCtes(src: String, pfx: String, p: Int): String = {
+    val m = 1L << p
+    val r0 = 61 - p
+    val c = Cardinality.estimateConst(p)
+    val thresh = 2.5 * m
+    s"""${pfx}h AS (SELECT CAST(concat('0x', substr(md5(
+       |    concat('hll|', k)), 1, 15)) AS BIGINT) AS h FROM $src),
+       |${pfx}b AS (SELECT h % $m AS bucket, h // $m AS q
+       |  FROM ${pfx}h),
+       |${pfx}r AS (SELECT bucket, MAX(CASE WHEN q = 0 THEN $r0
+       |    ELSE $r0 - length(bin(q)) END) AS r
+       |  FROM ${pfx}b GROUP BY 1),
+       |${pfx}a AS (SELECT COALESCE(SUM(CAST(1 AS BIGINT)
+       |      << ($r0 - r)), 0) AS s_filled, COUNT(*) AS n_filled
+       |  FROM ${pfx}r),
+       |${pfx}t AS (SELECT s_filled + ($m - n_filled) *
+       |      (CAST(1 AS BIGINT) << $r0) AS s_total,
+       |    $m - n_filled AS n_zero FROM ${pfx}a),
+       |${pfx}e AS (SELECT round($c / CAST(s_total AS DOUBLE), 2)
+       |      AS est_raw, n_zero FROM ${pfx}t),
+       |${pfx}f AS (SELECT CASE WHEN est_raw <= $thresh
+       |      AND n_zero > 0
+       |    THEN round(${m.toDouble} * ln(${m.toDouble} / n_zero), 2)
+       |    ELSE est_raw END AS est FROM ${pfx}e)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Okapi BM25 top-k retrieval: one corpus pass builds the
@@ -238,5 +271,45 @@ object Round9b {
               |    ELSE est_raw END AS est_hll, n_zero FROM e),
               |x AS (SELECT COUNT(DISTINCT l_orderkey) AS n_exact
               |  FROM lineitem)
-              |SELECT x.n_exact, f.est_hll, f.n_zero FROM f, x""".stripMargin)))
+              |SELECT x.n_exact, f.est_hll, f.n_zero FROM f, x""".stripMargin)),
+
+    // ---- overlap estimation by sketch algebra: |A∩B| ≈
+    // est(A)+est(B)−est(A∪B), the join-free train/eval-contamination
+    // SCREEN. A = orders with a returned line, B = all orders. The
+    // Spark path merges the two register frames; the oracle sketches
+    // the UNION ALL of the key streams directly — equality rides on
+    // the mergeability law q120 proved. n_exact_overlap (the
+    // key-universe semi-join this screen avoids at scale) rides along
+    // as error evidence.
+    QueryDef("q121_hll_overlap",
+      (s, dir) => {
+        val li = t("lineitem")(s, dir)
+        val returned = li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"))
+        val ord = t("orders")(s, dir).select(col("o_orderkey"))
+        val est = Cardinality.hllOverlapEstimate(
+          returned, "l_orderkey", ord, "o_orderkey", p = 10)
+        val exact = returned
+          .join(ord, returned("l_orderkey") === ord("o_orderkey"),
+            "left_semi")
+          .agg(countDistinct(col("l_orderkey")).as("n_exact_overlap"))
+        est.crossJoin(exact)
+      },
+      Some(s"""WITH qa AS (SELECT l_orderkey AS k FROM lineitem
+              |  WHERE l_returnflag = 'R'),
+              |qb AS (SELECT o_orderkey AS k FROM orders),
+              |qu AS (SELECT k FROM qa UNION ALL SELECT k FROM qb),
+              |${hllEstCtes("qa", "a_", 10)},
+              |${hllEstCtes("qb", "b_", 10)},
+              |${hllEstCtes("qu", "u_", 10)},
+              |x AS (SELECT COUNT(DISTINCT l_orderkey)
+              |      AS n_exact_overlap
+              |  FROM lineitem WHERE l_returnflag = 'R'
+              |    AND l_orderkey IN (SELECT o_orderkey FROM orders))
+              |SELECT a_f.est AS est_a, b_f.est AS est_b,
+              |  u_f.est AS est_union,
+              |  GREATEST(0.0, round(a_f.est + b_f.est - u_f.est, 2))
+              |    AS est_overlap,
+              |  x.n_exact_overlap
+              |FROM a_f, b_f, u_f, x""".stripMargin)))
 }

@@ -61,6 +61,24 @@ class CardinalitySpec extends SparkSpec {
     assert(e.getMessage.contains("does not match"))
   }
 
+  test("hll overlap: disjoint ≈ 0 (clamped), identical ≈ |A|, half ≈ half") {
+    def est(a: Seq[Long], b: Seq[Long]): Double = {
+      val da = a.toDF("k"); val db = b.toDF("k")
+      Cardinality.hllOverlapEstimate(da, "k", db, "k", p = 12)
+        .select("est_overlap").as[Double].head()
+    }
+    val xs = (1L to 8000L)
+    // disjoint
+    val d = est(xs.take(4000), xs.drop(4000))
+    assert(d >= 0.0 && d < 400.0, s"disjoint est=$d") // ≥0 by clamp, ≈0
+    // identical
+    val i = est(xs.take(4000), xs.take(4000))
+    assert(math.abs(i - 4000.0) / 4000.0 < 0.1, s"identical est=$i")
+    // half overlap: [1,4000] vs [2001,6000] → 2000
+    val h = est(xs.take(4000), xs.slice(2000, 6000))
+    assert(math.abs(h - 2000.0) / 2000.0 < 0.25, s"half est=$h")
+  }
+
   test("hll: registers are partition-proof") {
     val df = (1 to 4000).map(i => s"u$i").toDF("k")
     val a = Cardinality.hllRegisters(df, "k").collect().toSet
