@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution sketching: fixed-bin histogram quantile BOUNDS — the
+  * scale path for percentiles. The exact sort-based `percentile`
+  * (catalog q44) needs a per-group global sort; a fixed-bin histogram
+  * is one `groupBy(bin)` whose map-side combine collapses every task
+  * to ≤ `bins` cells (the count-min/HLL shuffle argument), is
+  * MERGEABLE across batches (cell-wise add — same lifecycle as the
+  * HLL registers), and brackets any quantile to a bin of width
+  * `(hi − lo)/bins` — at 256 bins, ~0.4 % of the value range.
+  *
+  * This is the honest equi-width contract: the returned `[est_lo,
+  * est_hi]` bin bounds are GUARANTEED to contain the exact quantile
+  * (spec-pinned against the sort-based exact), with resolution in
+  * value-range units, not rank units (heavy skew into one bin widens
+  * the effective rank resolution — use a second refinement pass over
+  * the one hot bin when rank precision matters; KLL/t-digest trade
+  * this simplicity for rank guarantees).
+  *
+  * Numeric determinism: bin assignment is `floor((x − lo)·bins /
+  * (hi − lo))` — pure IEEE ·,−,/ on identical expressions, exact in
+  * both engines (no round-half decimal boundary anywhere); target
+  * ranks are the pure-integer `ceil(n·pct/100) = (n·pct + 99) div
+  * 100`; bounds are single-expression double arithmetic.
+  */
+object Quantiles {
+
+  /** Quantile bounds for integer percentages `pcts` of `valCol`.
+    * Output: `(pct, est_lo, est_hi)` ordered by pct — the exact
+    * quantile lies within the (closed) band.
+    *
+    * Two scans (range pre-pass + histogram), both map-side-combined;
+    * everything after is bins-sized.
+    */
+  def histogramQuantiles(df: DataFrame, valCol: String,
+      bins: Int = 256, pcts: Seq[Int] = Seq(25, 50, 75, 99)): DataFrame = {
+    require(bins >= 2 && pcts.nonEmpty &&
+      pcts.forall(p => p >= 1 && p <= 100))
+    val spark = df.sparkSession
+    val v = df.filter(col(valCol).isNotNull)
+      .select(col(valCol).cast("double").as("x"))
+    val rg = v.agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
+      count(lit(1)).as("n"))
+    val hb = v.crossJoin(broadcast(rg))
+      .select(when(col("hi") === col("lo"), lit(0L))
+        .otherwise(least(lit((bins - 1).toLong), greatest(lit(0L),
+          floor((col("x") - col("lo")) * bins / (col("hi") - col("lo")))
+            .cast("long")))).as("bin"))
+    val h = hb.groupBy(col("bin")).agg(count(lit(1)).as("c"))
+    // bins-bounded single-partition window — deliberately tiny
+    val cu = h.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("bin"))))
+    val pr = spark.createDataFrame(pcts.map(Tuple1(_))).toDF("pct")
+    val t = pr.crossJoin(broadcast(rg))
+      .select(col("pct"), expr("(n * pct + 99) div 100").as("tgt"))
+    val sel = cu.join(broadcast(t), col("cum") >= col("tgt"))
+      .groupBy(col("pct")).agg(min(col("bin")).as("bin"))
+    sel.crossJoin(broadcast(rg))
+      .select(col("pct").cast("bigint").as("pct"),
+        (col("lo") + col("bin") * (col("hi") - col("lo")) / lit(bins))
+          .as("est_lo"),
+        (col("lo") +
+          (col("bin") + 1) * (col("hi") - col("lo")) / lit(bins))
+          .as("est_hi"))
+      .orderBy(col("pct"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Cardinality, Curation, Dedup, Freq, Graph, Retrieval, TextOps}
+import graft.operators.{Cardinality, Curation, Dedup, Freq, Graph, Quantiles, Retrieval, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Round-9 late additions: retrieval and further sketch/dedup/sampling
@@ -311,5 +311,40 @@ object Round9b {
               |  GREATEST(0.0, round(a_f.est + b_f.est - u_f.est, 2))
               |    AS est_overlap,
               |  x.n_exact_overlap
-              |FROM a_f, b_f, u_f, x""".stripMargin)))
+              |FROM a_f, b_f, u_f, x""".stripMargin)),
+
+    // ---- histogram quantile bounds (the scale path for percentiles:
+    // one groupBy(bin) with map-side combine to ≤ bins cells/task,
+    // mergeable across batches, vs q44's per-group global sort). Bin
+    // assignment is pure IEEE arithmetic on identical expressions —
+    // no decimal-rounding boundary anywhere — and target ranks are
+    // pure-integer ceil division, so the oracle replays bit-exactly.
+    // QuantilesSpec pins the containment guarantee against the exact
+    // sort-based percentile.
+    QueryDef("q122_histogram_quantiles",
+      (s, dir) => Quantiles.histogramQuantiles(
+        t("lineitem")(s, dir), "l_extendedprice",
+        bins = 256, pcts = Seq(25, 50, 75, 99)),
+      Some("""WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+             |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+             |rg AS (SELECT MIN(x) AS lo, MAX(x) AS hi, COUNT(*) AS n
+             |  FROM v),
+             |hb AS (SELECT CASE WHEN hi = lo THEN 0
+             |    ELSE LEAST(CAST(255 AS BIGINT), GREATEST(
+             |      CAST(0 AS BIGINT),
+             |      CAST(floor((x - lo) * 256 / (hi - lo)) AS BIGINT)))
+             |    END AS bin
+             |  FROM v, rg),
+             |h AS (SELECT bin, COUNT(*) AS c FROM hb GROUP BY 1),
+             |cu AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum
+             |  FROM h),
+             |pr(pct) AS (VALUES (25), (50), (75), (99)),
+             |t AS (SELECT pct, (rg.n * pct + 99) // 100 AS tgt
+             |  FROM pr, rg),
+             |sel AS (SELECT t.pct, MIN(cu.bin) AS bin
+             |  FROM t JOIN cu ON cu.cum >= t.tgt GROUP BY 1)
+             |SELECT CAST(pct AS BIGINT) AS pct,
+             |  lo + bin * (hi - lo) / 256 AS est_lo,
+             |  lo + (bin + 1) * (hi - lo) / 256 AS est_hi
+             |FROM sel, rg ORDER BY pct""".stripMargin)))
 }

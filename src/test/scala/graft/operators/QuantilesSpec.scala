@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("histogram bounds CONTAIN the exact sort-based percentile") {
+    // deterministic skewed-ish values
+    val df = (1 to 20000).map(i => ((i * 2654435761L) % 100000).toDouble)
+      .toDF("x").repartition(8)
+    val pcts = Seq(25, 50, 75, 99)
+    val bands = Quantiles.histogramQuantiles(df, "x", bins = 256,
+      pcts = pcts).collect().map(r =>
+        r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = df.agg(expr(
+      "percentile(x, array(0.25D, 0.5D, 0.75D, 0.99D))")).head()
+      .getSeq[Double](0)
+    pcts.zip(exact).foreach { case (p, e) =>
+      val (lo, hi) = bands(p.toLong)
+      assert(lo <= e && e <= hi, s"p$p exact=$e outside [$lo, $hi]")
+      // and the band is genuinely narrow: ≤ 1/256 of the value range
+      assert(hi - lo <= (100000.0 / 256) * 1.01)
+    }
+  }
+
+  test("uniform data: median band brackets the midpoint") {
+    val df = (0 to 10000).map(_.toDouble).toDF("x")
+    val m = Quantiles.histogramQuantiles(df, "x", pcts = Seq(50))
+      .head()
+    assert(m.getDouble(1) <= 5000.0 && 5000.0 <= m.getDouble(2))
+  }
+
+  test("degenerate all-equal column collapses to a zero-width band") {
+    val df = Seq.fill(100)(42.5).toDF("x")
+    val r = Quantiles.histogramQuantiles(df, "x", pcts = Seq(50, 99))
+      .collect()
+    r.foreach { row =>
+      assert(row.getDouble(1) == 42.5 && row.getDouble(2) == 42.5)
+    }
+  }
+
+  test("bounds are partition-proof") {
+    val df = (1 to 5000).map(i => math.sqrt(i.toDouble)).toDF("x")
+    val a = Quantiles.histogramQuantiles(df, "x").collect().toSeq
+    val b = Quantiles.histogramQuantiles(df.repartition(11), "x")
+      .collect().toSeq
+    assert(a == b)
+  }
+}
