@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis over an event stream: how many entities
+  * performed stage 1, then stage 2 strictly after it, then stage 3
+  * strictly after that, … — the conversion primitive of event
+  * analytics (view → click → purchase), and a composition target for
+  * the sessionizer/as-of operators already in the catalog.
+  *
+  * Semantics (the standard greedy unbounded-window funnel): an
+  * entity's stage-k time `t_k` is the EARLIEST stage-k event strictly
+  * after its `t_{k−1}`. Greedy-earliest is optimal for existence —
+  * if any valid increasing assignment of event times exists, the
+  * greedy one exists — so "reached stage k" is exact, not an
+  * artifact of the rule. Strict `>` means simultaneous events do not
+  * chain (a view and a click on the same timestamp are one funnel
+  * step apart in wall-time, not zero).
+  *
+  * Scale shape: stage 1 is one partial+final aggregation over the
+  * (type-filtered) stream; each later stage is a left join of the
+  * (monotonically shrinking, one-row-per-entity) accumulator against
+  * ONE type's events plus a re-aggregation — all shuffles are on the
+  * entity key, so AQE/exchange-reuse keeps one partitioning across
+  * the chain, and per-stage frames never exceed one row per stage-1
+  * entity. No collect_list of per-entity event arrays anywhere (the
+  * sorted-array formulation caps at per-entity memory; this one
+  * doesn't).
+  */
+object Funnel {
+
+  /** Per-entity stage times `(entityCol, t1 … tK)` — `t_k` null where
+    * the entity stalled before stage k. Only entities that performed
+    * stage 1 appear.
+    */
+  def stageTimes(events: DataFrame, entityCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "at least one stage")
+    var acc = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(entityCol))
+      .agg(min(col(tsCol)).as("t1"))
+    for (k <- 2 to stages.size) {
+      val e = events.filter(col(typeCol) === stages(k - 1))
+        .select(col(entityCol), col(tsCol).as("_ts"))
+      val prior = (1 until k).map(i => col(s"t$i"))
+      acc = acc.join(e, Seq(entityCol), "left")
+        .groupBy(col(entityCol) +: prior: _*)
+        .agg(min(when(col("_ts") > col(s"t${k - 1}"), col("_ts")))
+          .as(s"t$k"))
+    }
+    acc
+  }
+
+  /** Funnel counts in long form: `(stage, stage_type, n_entities)`,
+    * ordered by stage — `n_entities` monotonically non-increasing.
+    */
+  def funnelCounts(events: DataFrame, entityCol: String,
+      typeCol: String, tsCol: String, stages: Seq[String]): DataFrame = {
+    val st = stageTimes(events, entityCol, typeCol, tsCol, stages)
+    val aggs = stages.indices
+      .map(i => count(col(s"t${i + 1}")).as(s"n${i + 1}"))
+    val wide = st.agg(aggs.head, aggs.tail: _*)
+    wide.select(explode(array(stages.indices.map { i =>
+        struct(lit((i + 1).toLong).as("stage"),
+          lit(stages(i)).as("stage_type"),
+          col(s"n${i + 1}").as("n_entities"))
+      }: _*)).as("s"))
+      .select(col("s.stage"), col("s.stage_type"), col("s.n_entities"))
+      .orderBy(col("stage"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Cardinality, Curation, Dedup, Freq, Graph, Quantiles, Retrieval, TextOps}
+import graft.operators.{Cardinality, Curation, Dedup, Freq, Funnel, Graph, Quantiles, Retrieval, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Round-9 late additions: retrieval and further sketch/dedup/sampling
@@ -346,5 +346,37 @@ object Round9b {
              |SELECT CAST(pct AS BIGINT) AS pct,
              |  lo + bin * (hi - lo) / 256 AS est_lo,
              |  lo + (bin + 1) * (hi - lo) / 256 AS est_hi
-             |FROM sel, rg ORDER BY pct""".stripMargin)))
+             |FROM sel, rg ORDER BY pct""".stripMargin)),
+
+    // ---- ordered funnel (view → click → purchase): stage k counts a
+    // user only when a stage-k event lands STRICTLY after the
+    // greedy-earliest stage-(k−1) time. All shuffles on user_id (one
+    // AQE-reusable partitioning); timestamps compared exactly, so the
+    // oracle replays the chain bit-for-bit.
+    QueryDef("q123_funnel",
+      (s, dir) => Funnel.funnelCounts(t("events")(s, dir),
+        "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase")),
+      Some("""WITH ev AS (SELECT user_id, event_type,
+             |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (SELECT s1.user_id, s1.t1,
+             |    MIN(CASE WHEN e.ts > s1.t1 THEN e.ts END) AS t2
+             |  FROM s1 LEFT JOIN ev e ON e.user_id = s1.user_id
+             |    AND e.event_type = 'click'
+             |  GROUP BY 1, 2),
+             |s3 AS (SELECT s2.user_id, s2.t1, s2.t2,
+             |    MIN(CASE WHEN e.ts > s2.t2 THEN e.ts END) AS t3
+             |  FROM s2 LEFT JOIN ev e ON e.user_id = s2.user_id
+             |    AND e.event_type = 'purchase'
+             |  GROUP BY 1, 2, 3)
+             |SELECT stage, stage_type, n_entities FROM (
+             |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_type,
+             |    COUNT(t1) AS n_entities FROM s3
+             |  UNION ALL
+             |  SELECT CAST(2 AS BIGINT), 'click', COUNT(t2) FROM s3
+             |  UNION ALL
+             |  SELECT CAST(3 AS BIGINT), 'purchase', COUNT(t3) FROM s3)
+             |ORDER BY stage""".stripMargin)))
 }
