@@ -127,6 +127,65 @@ object Cardinality {
       m.toDouble * m.toDouble * math.pow(2.0, 61 - p)
   }
 
+  /** Per-group HLL registers `(groupCols…, bucket, r, p)` — one
+    * sketch per group from ONE aggregation (partial max collapses each
+    * task to ≤ m cells PER GROUP SEEN; the grouped analog of
+    * [[hllRegisters]]). The "distinct users per day/country/type"
+    * primitive: exact per-group `countDistinct` shuffles every
+    * (group, key) pair; this shuffles ≤ m cells per (task, group).
+    */
+  def hllRegistersBy(df: DataFrame, groupCols: Seq[String],
+      keyCol: String, p: Int = 12, salt: String = "hll"): DataFrame = {
+    require(p >= 4 && p <= 16, "p in [4, 16]")
+    require(groupCols.nonEmpty)
+    val m = 1L << p
+    val r0 = 61 - p
+    val h = TextOps.hash60(concat(lit(salt + "|"),
+      col(keyCol).cast("string")))
+    df.filter(col(keyCol).isNotNull)
+      .select(groupCols.map(col) :+ h.as("_h"): _*)
+      .select(groupCols.map(col) :+
+        pmod(col("_h"), lit(m)).as("bucket") :+
+        expr(s"_h div $m").as("q"): _*)
+      .select(groupCols.map(col) :+ col("bucket") :+
+        when(col("q") === 0, lit(r0))
+          .otherwise(lit(r0) - length(bin(col("q"))))
+          .cast("int").as("r"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("r")).as("r"))
+      .withColumn("p", lit(p))
+  }
+
+  /** Per-group estimates `(groupCols…, est_hll, n_zero)` from
+    * [[hllRegistersBy]] output — the [[hllEstimate]] arithmetic,
+    * grouped.
+    */
+  def hllEstimateBy(regs: DataFrame, groupCols: Seq[String],
+      p: Int): DataFrame = {
+    val m = 1L << p
+    val r0 = 61 - p
+    val c = estimateConst(p)
+    regs
+      .groupBy(groupCols.map(col): _*)
+      .agg(coalesce(sum(expr(s"shiftleft(cast(1 as bigint), $r0 - r)")),
+          lit(0L)).as("s_filled"),
+        count(lit(1)).as("n_filled"))
+      .select(groupCols.map(col) :+
+        (col("s_filled") +
+          (lit(m) - col("n_filled")) * lit(1L << r0)).as("s_total") :+
+        (lit(m) - col("n_filled")).as("n_zero"): _*)
+      .select(groupCols.map(col) :+
+        round(lit(c) / col("s_total").cast("double"), 2).as("est_raw") :+
+        col("n_zero"): _*)
+      .select(groupCols.map(col) :+
+        when(col("est_raw") <= lit(2.5 * m.toDouble) &&
+            col("n_zero") > 0,
+          round(lit(m.toDouble) *
+            log(lit(m.toDouble) / col("n_zero")), 2))
+          .otherwise(col("est_raw")).as("est_hll") :+
+        col("n_zero"): _*)
+  }
+
   /** Overlap estimation by sketch algebra (inclusion-exclusion):
     * `|A ∩ B| ≈ est(A) + est(B) − est(A ∪ B)`, with `est(A ∪ B)` from
     * the register-wise MERGE — no join, no shuffle of either key

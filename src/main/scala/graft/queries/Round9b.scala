@@ -378,5 +378,58 @@ object Round9b {
              |  SELECT CAST(2 AS BIGINT), 'click', COUNT(t2) FROM s3
              |  UNION ALL
              |  SELECT CAST(3 AS BIGINT), 'purchase', COUNT(t3) FROM s3)
-             |ORDER BY stage""".stripMargin)))
+             |ORDER BY stage""".stripMargin)),
+
+    // ---- per-group HLL (distinct users per event type): one grouped
+    // register aggregation — ≤ m cells per (task, group) shuffled,
+    // vs one row per (group, user) for exact countDistinct. The
+    // exact count rides along per group as error evidence; at this
+    // cardinality (150/1.5k users) the estimate exercises the
+    // linear-counting branch on both engines.
+    QueryDef("q124_hll_by_group",
+      (s, dir) => {
+        val ev = t("events")(s, dir)
+        val est = Cardinality.hllEstimateBy(
+          Cardinality.hllRegistersBy(ev, Seq("event_type"), "user_id"),
+          Seq("event_type"), p = 12)
+        val exact = ev.filter(col("user_id").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        est.join(exact, "event_type")
+          .select(col("event_type"), col("n_exact"), col("est_hll"),
+            col("n_zero"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH h AS (SELECT event_type,
+              |    CAST(concat('0x', substr(md5(concat('hll|',
+              |      user_id)), 1, 15)) AS BIGINT) AS h
+              |  FROM events WHERE user_id IS NOT NULL),
+              |b AS (SELECT event_type, h % 4096 AS bucket,
+              |    h // 4096 AS q FROM h),
+              |r AS (SELECT event_type, bucket,
+              |    MAX(CASE WHEN q = 0 THEN 49
+              |      ELSE 49 - length(bin(q)) END) AS r
+              |  FROM b GROUP BY 1, 2),
+              |a AS (SELECT event_type,
+              |    COALESCE(SUM(CAST(1 AS BIGINT) << (49 - r)), 0)
+              |      AS s_filled,
+              |    COUNT(*) AS n_filled
+              |  FROM r GROUP BY 1),
+              |t AS (SELECT event_type, s_filled + (4096 - n_filled) *
+              |      (CAST(1 AS BIGINT) << 49) AS s_total,
+              |    4096 - n_filled AS n_zero FROM a),
+              |e AS (SELECT event_type,
+              |    round(${Cardinality.estimateConst(12)}
+              |      / CAST(s_total AS DOUBLE), 2) AS est_raw, n_zero
+              |  FROM t),
+              |f AS (SELECT event_type, CASE WHEN est_raw <= 10240.0
+              |      AND n_zero > 0
+              |    THEN round(4096.0 * ln(4096.0 / n_zero), 2)
+              |    ELSE est_raw END AS est_hll, n_zero FROM e),
+              |x AS (SELECT event_type,
+              |    COUNT(DISTINCT user_id) AS n_exact
+              |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+              |SELECT f.event_type, x.n_exact, f.est_hll, f.n_zero
+              |FROM f JOIN x USING (event_type)
+              |ORDER BY event_type""".stripMargin)))
 }

@@ -79,6 +79,24 @@ class CardinalitySpec extends SparkSpec {
     assert(math.abs(h - 2000.0) / 2000.0 < 0.25, s"half est=$h")
   }
 
+  test("hll by group: each group's sketch ≡ its solo sketch; estimates track truth") {
+    val df = ((1 to 6000).map(i => ("a", s"k${i % 3000}")) ++
+      (1 to 200).map(i => ("b", s"k$i"))).toDF("g", "k")
+      .repartition(7)
+    val grouped = Cardinality.hllRegistersBy(df, Seq("g"), "k")
+    // per-group slice ≡ ungrouped sketch of that slice
+    Seq("a", "b").foreach { g =>
+      val slice = grouped.filter($"g" === g).drop("g")
+      val solo = Cardinality.hllRegisters(df.filter($"g" === g), "k")
+      assert(slice.exceptAll(solo).isEmpty &&
+        solo.exceptAll(slice).isEmpty, s"group $g")
+    }
+    val est = Cardinality.hllEstimateBy(grouped, Seq("g"), p = 12)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(est("a") - 3000.0) / 3000.0 < 0.1)
+    assert(math.abs(est("b") - 200.0) / 200.0 < 0.15)
+  }
+
   test("hll: registers are partition-proof") {
     val df = (1 to 4000).map(i => s"u$i").toDF("k")
     val a = Cardinality.hllRegisters(df, "k").collect().toSet
