@@ -4,10 +4,14 @@ import graft.Tables
 import graft.operators.{Cardinality, Curation, Dedup, Freq, Funnel, Graph, Quantiles, Retrieval, TextOps}
 import org.apache.spark.sql.functions._
 
-/** Round-9 late additions: retrieval and further sketch/dedup/sampling
-  * primitives of a training-data pipeline — BM25 relevance retrieval,
-  * count-min frequency sketching, blocked fuzzy (edit-distance)
-  * matching, and weighted reservoir sampling.
+/** Round-9 late additions (q115–q124): retrieval, sketch, graph,
+  * sampling and event-analytics primitives of a training-data
+  * pipeline — BM25 relevance retrieval, count-min frequency
+  * estimates, FastSS edit-distance fuzzy matching, A-ES weighted
+  * reservoir sampling, TextRank keywords (exact-integer PageRank),
+  * persistable/mergeable HyperLogLog (solo, overlap-screen and
+  * per-group forms), histogram quantile bounds, and ordered funnel
+  * analysis.
   */
 object Round9b {
   private def t(name: String): QueryFn = (s, dir) => Tables.load(s, dir, name)
