@@ -435,5 +435,68 @@ object Round9b {
               |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
               |SELECT f.event_type, x.n_exact, f.est_hll, f.n_zero
               |FROM f JOIN x USING (event_type)
-              |ORDER BY event_type""".stripMargin)))
+              |ORDER BY event_type""".stripMargin)),
+
+    // ---- Z-order layout under the oracle (upgrades Layout's
+    // spec-only coverage to hash-gated): bucketize two dims, Morton-
+    // interleave, assign each row its z-RANGE bucket (top 4 z bits —
+    // pure map-side, the declarative stand-in for
+    // writeZOrdered's repartitionByRange), and report each bucket's
+    // bounding rectangle. The tight per-bucket min/max on BOTH dims
+    // is the file-skipping property that makes Z-ordering worth it at
+    // 100 TB; the oracle replays bucketize + interleave + rectangles
+    // bit-exactly (pure integer/IEEE ops).
+    QueryDef("q125_zorder_layout",
+      (s, dir) => {
+        val li = t("lineitem")(s, dir)
+          .select(col("l_partkey").cast("long").as("x"),
+            col("l_suppkey").cast("long").as("y"))
+        val rg = li.agg(min(col("x")).cast("double").as("lo_x"),
+          max(col("x")).cast("double").as("hi_x"),
+          min(col("y")).cast("double").as("lo_y"),
+          max(col("y")).cast("double").as("hi_y"))
+        def bucketize(c: org.apache.spark.sql.Column,
+            lo: org.apache.spark.sql.Column,
+            hi: org.apache.spark.sql.Column) =
+          least(lit(255L), greatest(lit(0L),
+            floor((c.cast("double") - lo) / (hi - lo) * 256)
+              .cast("long")))
+        val zb = li.crossJoin(broadcast(rg))
+          .select(col("x"), col("y"),
+            graft.sink.Layout.zValue(
+              bucketize(col("x"), col("lo_x"), col("hi_x")),
+              bucketize(col("y"), col("lo_y"), col("hi_y")),
+              bits = 8).as("zv"))
+        zb.select(col("x"), col("y"),
+            expr("zv div 4096").as("bucket")) // top 4 of 16 z bits
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+            min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+          .orderBy(col("bucket"))
+      },
+      Some {
+        val z = (0 until 8).map(i =>
+          s"((((xb >> $i) & 1) << ${2 * i + 1}) | " +
+            s"(((yb >> $i) & 1) << ${2 * i}))").mkString(" | ")
+        s"""WITH li AS (SELECT CAST(l_partkey AS BIGINT) AS x,
+           |    CAST(l_suppkey AS BIGINT) AS y FROM lineitem),
+           |rg AS (SELECT CAST(MIN(x) AS DOUBLE) AS lo_x,
+           |    CAST(MAX(x) AS DOUBLE) AS hi_x,
+           |    CAST(MIN(y) AS DOUBLE) AS lo_y,
+           |    CAST(MAX(y) AS DOUBLE) AS hi_y FROM li),
+           |zb AS (SELECT x, y,
+           |    LEAST(255, GREATEST(0, CAST(floor(
+           |      (CAST(x AS DOUBLE) - lo_x) / (hi_x - lo_x) * 256)
+           |      AS BIGINT))) AS xb,
+           |    LEAST(255, GREATEST(0, CAST(floor(
+           |      (CAST(y AS DOUBLE) - lo_y) / (hi_y - lo_y) * 256)
+           |      AS BIGINT))) AS yb
+           |  FROM li, rg),
+           |zz AS (SELECT x, y, ($z) AS zv FROM zb)
+           |SELECT zv // 4096 AS bucket, COUNT(*) AS n_rows,
+           |  MIN(x) AS min_x, MAX(x) AS max_x,
+           |  MIN(y) AS min_y, MAX(y) AS max_y
+           |FROM zz GROUP BY 1 ORDER BY bucket""".stripMargin
+      }))
 }
