@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Cardinality, Curation, Dedup, Freq, Funnel, Graph, Quantiles, Retrieval, TextOps}
+import graft.operators.{Anomaly, Cardinality, Curation, Dedup, Freq, Funnel, Graph, Quantiles, Retrieval, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Round-9 late additions (q115–q124): retrieval, sketch, graph,
@@ -498,5 +498,22 @@ object Round9b {
            |  MIN(x) AS min_x, MAX(x) AS max_x,
            |  MIN(y) AS min_y, MAX(y) AS max_y
            |FROM zz GROUP BY 1 ORDER BY bucket""".stripMargin
-      }))
+      }),
+
+    // ---- hourly volume anomalies, exact integer z-test: (n·c − S)² >
+    // k²(n·Q − S²) — no mean/variance/sqrt/float anywhere, so the
+    // oracle replays the whole test in BIGINT. The partial boundary
+    // hours of the synthetic stream flag deterministically.
+    QueryDef("q126_anomaly_windows",
+      (s, dir) => Anomaly.countAnomalies(t("events")(s, dir), "ts",
+        every = "hour", k = 2),
+      Some("""WITH w AS (SELECT date_trunc('hour',
+             |      CAST(ts AS TIMESTAMP)) AS w0, COUNT(*) AS c
+             |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+             |st AS (SELECT COUNT(*) AS n, SUM(c) AS s,
+             |    SUM(c * c) AS q FROM w)
+             |SELECT w.w0 AS window_start, w.c AS n_events,
+             |  ((st.n * w.c - st.s) * (st.n * w.c - st.s)) >
+             |    4 * (st.n * st.q - st.s * st.s) AS is_anomaly
+             |FROM w, st ORDER BY window_start""".stripMargin)))
 }

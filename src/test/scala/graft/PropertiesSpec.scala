@@ -225,6 +225,27 @@ class PropertiesSpec extends SparkSpec {
     assert(ab.map(_._2).sum > a.map(_._2).sum) // grew somewhere
   }
 
+  test("property: editDistancePairs ≡ brute-force levenshtein on random strings") {
+    import spark.implicits._
+    // short alphabet maximizes collisions/near-misses; includes empty
+    val strGen = Gen.listOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    val listGen = Gen.nonEmptyListOf(strGen)
+    for (strs <- samples(listGen, 5)) {
+      val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "nm")
+      val fast = operators.Dedup.editDistancePairs(df, "id", "nm")
+        .as[(Long, Long, Long)].collect().toSet
+      val a = df.select(col("id").as("ia"), col("nm").as("na"))
+      val b = df.select(col("id").as("ib"), col("nm").as("nb"))
+      val brute = a.crossJoin(b).filter(col("ia") < col("ib"))
+        .withColumn("d", levenshtein(col("na"), col("nb")))
+        .filter(col("d") <= 1)
+        .select(col("ia"), col("ib"), col("d").cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(fast == brute, s"on ${strs.take(20)}…")
+    }
+  }
+
   test("property: piiScrub output is a fixed point (re-scrub finds 0)") {
     import spark.implicits._
     val frag = Gen.oneOf("hi", "a@b.com", "1.2.3.4", "555-123-4567",

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class AnomalySpec extends SparkSpec {
+  import spark.implicits._
+
+  // events at second granularity so each hour's count stays in its hour
+  private def ev(countsPerHour: Seq[Int]) =
+    countsPerHour.zipWithIndex.flatMap { case (c, h) =>
+      require(c < 3600)
+      (0 until c).map(m =>
+        new Timestamp(1700000000000L + h * 3600000L + m * 1000L))
+    }.map(Tuple1(_)).toDF("ts")
+
+  test("a spike flags; steady hours do not (and the spike masks a mild crater)") {
+    // classic z-test behavior: the 500-spike inflates σ (≈126) enough
+    // that the crater at 1 (|1−μ| ≈ 82) is masked — only the spike
+    // flags. Robust stats (MAD) would catch both; this operator is
+    // deliberately the exact textbook z-test.
+    val df = ev(Seq(50, 50, 50, 50, 500, 50, 50, 1, 50, 50, 50, 50))
+    val got = Anomaly.countAnomalies(df, "ts", "hour", k = 2)
+      .collect().map(r => (r.getLong(1), r.getBoolean(2)))
+    assert(got.filter(_._2).map(_._1).toSeq == Seq(500L))
+  }
+
+  test("a lone crater in an otherwise steady stream flags") {
+    val df = ev(Seq(50, 50, 50, 50, 50, 50, 50, 50, 50, 50, 50, 1))
+    val got = Anomaly.countAnomalies(df, "ts", "hour", k = 2)
+      .collect().map(r => (r.getLong(1), r.getBoolean(2)))
+    assert(got.filter(_._2).map(_._1).toSeq == Seq(1L))
+  }
+
+  test("uniform counts never flag (variance 0, strict >)") {
+    val df = ev(Seq.fill(8)(40))
+    val got = Anomaly.countAnomalies(df, "ts", "hour")
+      .collect().map(_.getBoolean(2))
+    assert(got.forall(!_))
+  }
+
+  test("k widens the gate monotonically") {
+    val df = ev(Seq(50, 50, 50, 50, 50, 50, 120, 50, 80, 50))
+    def flags(k: Int) = Anomaly.countAnomalies(df, "ts", "hour", k)
+      .collect().count(_.getBoolean(2))
+    assert(flags(1) >= flags(2) && flags(2) >= flags(5))
+    assert(flags(1) > 0)
+  }
+
+  test("integer test agrees with the float z-score away from boundaries") {
+    val counts = Seq(30, 45, 52, 48, 61, 33, 200, 47, 55, 12)
+    val df = ev(counts)
+    val n = counts.length.toDouble
+    val mu = counts.sum / n
+    val sd = math.sqrt(counts.map(c => (c - mu) * (c - mu)).sum / n)
+    val expect = counts.map(c => math.abs(c - mu) > 2 * sd)
+    val got = Anomaly.countAnomalies(df, "ts", "hour", k = 2)
+      .collect().sortBy(_.getTimestamp(0).getTime).map(_.getBoolean(2))
+    assert(got.toSeq == expect)
+  }
+}
