@@ -34,9 +34,7 @@ object Anomaly {
   def countAnomalies(events: DataFrame, tsCol: String,
       every: String = "hour", k: Int = 2): DataFrame = {
     require(k >= 1)
-    val w = events.filter(col(tsCol).isNotNull)
-      .select(date_trunc(every, col(tsCol)).as("w0"))
-      .groupBy(col("w0")).agg(count(lit(1)).as("c"))
+    val w = windowCounts(events, tsCol, every)
     val st = w.agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
       sum(col("c") * col("c")).as("q"))
     w.crossJoin(broadcast(st))
@@ -47,4 +45,50 @@ object Anomaly {
           .as("is_anomaly"))
       .orderBy(col("window_start"))
   }
+
+  /** Robust variant — median/MAD instead of mean/σ: window w flags iff
+    * `|c − median| > k · MAD` (MAD = median of |c − median|). A
+    * single extreme spike CANNOT mask other anomalies (the z-test's
+    * documented failure mode, AnomalySpec: one 10× spike inflates σ
+    * enough to hide a crater; the median moves by at most one rank).
+    * With `k = 3` this is the standard Hampel identifier.
+    *
+    * Exactness without integers: medians of BIGINT counts are either
+    * whole or exact halves (`x.5` is exactly representable in
+    * binary), deviations and `k·MAD` therefore stay exact doubles,
+    * and the strict `>` is engine-stable — no rounding boundary
+    * exists. (Both engines' interpolated median of two integers is
+    * the same exact double.)
+    *
+    * Scale note: the two medians are sort-based aggregates over the
+    * WINDOW-COUNT frame (one row per window), not over events — a
+    * million windows is a single small-column sort. MAD = 0 (over
+    * half the windows identical) flags every deviating window; use
+    * the z-test variant for such ultra-regular streams.
+    */
+  def robustCountAnomalies(events: DataFrame, tsCol: String,
+      every: String = "hour", k: Int = 3): DataFrame = {
+    require(k >= 1)
+    val w = windowCounts(events, tsCol, every)
+    val med = w.agg(expr("percentile(c, 0.5D)").as("med"))
+    val dev = w.crossJoin(broadcast(med))
+      .select(col("w0"), col("c"),
+        abs(col("c") - col("med")).as("dev"), col("med"))
+    val mad = dev.agg(expr("percentile(dev, 0.5D)").as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .select(col("w0").as("window_start"), col("c").as("n_events"),
+        (col("dev") > lit(k.toDouble) * col("mad")).as("is_anomaly"))
+      .orderBy(col("window_start"))
+  }
+
+  /** Window counts, materialized: every variant consumes this frame
+    * at least twice (stats pass + flag pass), and the checkpoint is
+    * windows-sized — the event stream reduces exactly once.
+    */
+  private def windowCounts(events: DataFrame, tsCol: String,
+      every: String): DataFrame =
+    events.filter(col(tsCol).isNotNull)
+      .select(date_trunc(every, col(tsCol)).as("w0"))
+      .groupBy(col("w0")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
 }

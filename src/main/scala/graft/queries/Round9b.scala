@@ -515,5 +515,22 @@ object Round9b {
              |SELECT w.w0 AS window_start, w.c AS n_events,
              |  ((st.n * w.c - st.s) * (st.n * w.c - st.s)) >
              |    4 * (st.n * st.q - st.s * st.s) AS is_anomaly
-             |FROM w, st ORDER BY window_start""".stripMargin)))
+             |FROM w, st ORDER BY window_start""".stripMargin)),
+
+    // ---- robust (median/MAD, Hampel k=3) anomaly windows — the
+    // masking-proof twin of q126: medians of integer counts are whole
+    // or exact halves (binary-exact doubles), so dev/MAD/k·MAD and
+    // the strict > all replay engine-stably without any rounding.
+    QueryDef("q127_robust_anomaly",
+      (s, dir) => Anomaly.robustCountAnomalies(t("events")(s, dir),
+        "ts", every = "hour", k = 3),
+      Some("""WITH w AS (SELECT date_trunc('hour',
+             |      CAST(ts AS TIMESTAMP)) AS w0, COUNT(*) AS c
+             |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+             |m AS (SELECT quantile_cont(c, 0.5) AS med FROM w),
+             |d AS (SELECT w0, c, abs(c - med) AS dev FROM w, m),
+             |md AS (SELECT quantile_cont(dev, 0.5) AS mad FROM d)
+             |SELECT d.w0 AS window_start, d.c AS n_events,
+             |  d.dev > 3.0 * md.mad AS is_anomaly
+             |FROM d, md ORDER BY window_start""".stripMargin)))
 }

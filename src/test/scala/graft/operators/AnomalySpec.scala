@@ -47,6 +47,23 @@ class AnomalySpec extends SparkSpec {
     assert(flags(1) > 0)
   }
 
+  test("robust MAD variant catches BOTH the spike and the crater the z-test masks") {
+    val df = ev(Seq(50, 50, 50, 50, 500, 50, 50, 1, 50, 50, 50, 50))
+    val z = Anomaly.countAnomalies(df, "ts", "hour", k = 2)
+      .collect().filter(_.getBoolean(2)).map(_.getLong(1)).toSeq
+    val robust = Anomaly.robustCountAnomalies(df, "ts", "hour", k = 3)
+      .collect().filter(_.getBoolean(2)).map(_.getLong(1)).toSeq
+    assert(z == Seq(500L)) // the documented masking
+    assert(robust.sorted == Seq(1L, 500L)) // median unmoved by the spike
+  }
+
+  test("robust variant: steady stream with jitter stays silent") {
+    val df = ev(Seq(50, 51, 49, 50, 52, 48, 50, 51, 49, 50))
+    val got = Anomaly.robustCountAnomalies(df, "ts", "hour")
+      .collect().map(_.getBoolean(2))
+    assert(got.forall(!_))
+  }
+
   test("integer test agrees with the float z-score away from boundaries") {
     val counts = Seq(30, 45, 52, 48, 61, 33, 200, 47, 55, 12)
     val df = ev(counts)
