@@ -192,6 +192,31 @@ object Curation {
     *
     * Output: `(keyCol, weight, skey)`, the k selected rows.
     */
+  /** Per-stratum [[weightedSample]]: k A-ES draws within EACH stratum
+    * (balanced corpus subsets — "top-k weighted docs per language"),
+    * one `row_number` window partitioned by the stratum instead of a
+    * global TakeOrdered. Same key arithmetic, same reproducibility
+    * contract; strata with fewer than k positive-weight rows return
+    * all of them. Output adds `(strataCol, rank)`.
+    */
+  def weightedSamplePerStratum(df: DataFrame, strataCol: String,
+      keyCol: String, weightCol: String, k: Int,
+      salt: String = "wrs"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (TextOps.hash60(concat(lit(salt + "|"),
+      col(keyCol).cast("string"))) + 1).cast("double") /
+      lit(1152921504606846976.0)
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("skey").desc, col(keyCol))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(strataCol), col(keyCol),
+        col(weightCol).cast("bigint").as("weight"),
+        round(pow(u, lit(1.0) / col(weightCol).cast("double")), 6)
+          .as("skey"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
       k: Int, salt: String = "wrs"): DataFrame = {
     val u = (TextOps.hash60(concat(lit(salt + "|"),

@@ -532,5 +532,39 @@ object Round9b {
              |md AS (SELECT quantile_cont(dev, 0.5) AS mad FROM d)
              |SELECT d.w0 AS window_start, d.c AS n_events,
              |  d.dev > 3.0 * md.mad AS is_anomaly
-             |FROM d, md ORDER BY window_start""".stripMargin)))
+             |FROM d, md ORDER BY window_start""".stripMargin)),
+
+    // ---- balanced weighted subsets: k A-ES draws PER STRATUM
+    // (language), one row_number window per stratum instead of a
+    // global top-k — q118's key arithmetic, q69's balance contract,
+    // in one operator. Oracle replays draw + per-stratum ranking.
+    QueryDef("q128_stratified_weighted",
+      (s, dir) => {
+        val docs = t("documents")(s, dir)
+        val weighted = docs.select(col("lang"), col("doc_id"),
+          size(TextOps.words(col("text"))).as("n_words"))
+        Curation.weightedSamplePerStratum(weighted, "lang", "doc_id",
+            "n_words", k = 5)
+          .orderBy(col("lang"), col("rank"))
+      },
+      Some("""WITH w AS (SELECT lang, doc_id, list_filter(
+             |    string_split_regex(lower(text), '\s+'),
+             |    x -> len(x) > 0) AS ws FROM documents),
+             |dw AS (SELECT lang, doc_id, len(ws) AS wt FROM w
+             |  WHERE len(ws) > 0),
+             |s AS (SELECT lang, doc_id, CAST(wt AS BIGINT) AS weight,
+             |    round(pow(
+             |      (CAST(concat('0x', substr(md5(concat('wrs|',
+             |         doc_id)), 1, 15)) AS BIGINT) + 1)
+             |        / 1152921504606846976.0,
+             |      1.0 / wt), 6) AS skey
+             |  FROM dw),
+             |r AS (SELECT lang, doc_id, weight, skey,
+             |    ROW_NUMBER() OVER (PARTITION BY lang
+             |      ORDER BY skey DESC, doc_id) AS rnk
+             |  FROM s)
+             |SELECT lang, doc_id, weight, skey,
+             |  CAST(rnk AS BIGINT) AS rank
+             |FROM r WHERE rnk <= 5
+             |ORDER BY lang, rank""".stripMargin)))
 }

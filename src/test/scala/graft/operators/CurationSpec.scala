@@ -668,6 +668,23 @@ class CurationSpec extends SparkSpec {
     assert(got.map(_._1).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("weightedSamplePerStratum: k per stratum, short strata whole, ≡ solo draw") {
+    import spark.implicits._
+    val df = ((1 to 30).map(i => ("en", i.toLong, 5L)) ++
+      (1 to 3).map(i => ("de", (100 + i).toLong, 5L)) ++
+      Seq(("fr", 200L, 0L))).toDF("lang", "id", "w")
+    val got = Curation.weightedSamplePerStratum(df, "lang", "id", "w",
+      k = 4).as[(String, Long, Long, Double, Long)].collect()
+    val byLang = got.groupBy(_._1)
+    assert(byLang("en").length == 4 && byLang("de").length == 3)
+    assert(!byLang.contains("fr")) // weight 0 excluded
+    // per-stratum selection ≡ the solo weightedSample on that stratum
+    val soloEn = Curation.weightedSample(
+      df.filter($"lang" === "en").drop("lang"), "id", "w", k = 4)
+      .as[(Long, Long, Double)].collect().map(_._1).toSet
+    assert(byLang("en").map(_._2).toSet == soloEn)
+  }
+
   test("weightedSample: a dominant weight wins the draw for most salts") {
     import spark.implicits._
     // one row with weight 1000 vs 50 rows of weight 1 → P(win) ≈ 0.95
