@@ -271,4 +271,27 @@ object CorpusCuration {
         "text", "doc_id", "_stratum", window)
       .drop("_stratum")
   }
+
+  /** Topic mining — the retrieval-then-curate composition: BM25 pulls
+    * the k most relevant documents for a human query out of the
+    * corpus (q115's operator — at 100 TB, the posting-list filter
+    * touches only the query terms' rows), and the [[curate]] ladder
+    * (quality gate → exact dedup → near-dup clusters → leakage-safe
+    * split) runs over ONLY the retrieved subset. This is the "build
+    * me a clean training subset about X" flow; the BM25 score rides
+    * through as an audit column, so downstream weighting (e.g.
+    * [[graft.operators.Curation.weightedSample]] by relevance) can
+    * chain directly.
+    */
+  def mineTopic(docs: DataFrame, query: String, k: Int,
+      minWords: Int = 5,
+      jaccardThreshold: Double = 0.6,
+      cuts: Seq[(String, Int)] =
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)): DataFrame = {
+    val hits = graft.operators.Retrieval
+      .bm25TopK(docs, "doc_id", "text", Seq(1 -> query), k)
+      .select(col("doc_id"), col("score").as("bm25_score"))
+    val subset = docs.join(hits, "doc_id")
+    curate(subset, minWords, jaccardThreshold, cuts)
+  }
 }

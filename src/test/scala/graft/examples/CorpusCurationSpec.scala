@@ -167,4 +167,23 @@ class CorpusCurationSpec extends SparkSpec {
       .join(out.select("doc_id"), "doc_id").count() == 0)
     assert(scores.filter(col("margin") < thr).count() > 0)
   }
+
+  test("mineTopic: retrieval-then-curate returns a deduped on-topic subset " +
+      "with the BM25 score as audit column") {
+    val mined = CorpusCuration.mineTopic(docs, "hash join", k = 30)
+    assert(mined.columns.contains("bm25_score"))
+    val rows = mined.select("doc_id", "bm25_score").collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    assert(rows.forall(!_.isNullAt(1)))
+    // the mined set is a subset of the raw top-30 retrieval
+    val top = graft.operators.Retrieval
+      .bm25TopK(docs, "doc_id", "text", Seq(1 -> "hash join"), 30)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).forall(top.contains))
+    // curation invariants survived the composition
+    val fps = mined.select(TextOps.fingerprint(col("text")).as("fp"))
+    assert(fps.count() == fps.distinct().count())
+    assert(mined.filter(!col("split").isin("train", "val", "test"))
+      .count() == 0)
+  }
 }
