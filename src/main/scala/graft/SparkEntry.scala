@@ -53,7 +53,8 @@ object SparkEntry {
       graft.queries.Round2.defs ++ graft.queries.Round3.defs ++
       graft.queries.Round5.defs ++ graft.queries.Round6.defs ++
       graft.queries.Round7.defs ++ graft.queries.Round8.defs ++
-      graft.queries.Round9.defs ++ graft.queries.Round9b.defs)
+      graft.queries.Round9.defs ++ graft.queries.Round9b.defs ++
+      graft.queries.Round9c.defs)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

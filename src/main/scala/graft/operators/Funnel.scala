@@ -69,4 +69,40 @@ object Funnel {
       .select(col("s.stage"), col("s.stage_type"), col("s.n_entities"))
       .orderBy(col("stage"))
   }
+
+  /** Regex pattern matching over per-entity event-TYPE sequences — the
+    * MATCH_RECOGNIZE-lite of event analytics. Each entity's events are
+    * ordered by `(ts, idCol)` (a total order, so the sequence string
+    * is deterministic), each event contributes one letter
+    * (`substr(type, 1, 1)` — the catalog's event types have distinct
+    * initials), and patterns are counted/tested by regex over the
+    * per-entity string.
+    *
+    * Output: `(entity, n_events, n_matches, has_path)` where
+    * `n_matches` counts non-overlapping occurrences of `contigPattern`
+    * and `has_path` tests `somewherePattern` (an existence funnel —
+    * cross-checkable against [[stageTimes]]).
+    *
+    * Scale contract — the opposite trade from [[stageTimes]]: ONE
+    * shuffle on the entity key and a per-entity sort-aggregate, but
+    * the entity's whole type-sequence materializes as a string, so
+    * per-entity event counts must be memory-bounded (sessions, users —
+    * yes; a global singleton key — no). For unbounded entities compose
+    * the funnel-join formulation instead.
+    */
+  def typeSequenceMatch(events: DataFrame, entityCol: String,
+      typeCol: String, tsCol: String, idCol: String,
+      contigPattern: String, somewherePattern: String): DataFrame = {
+    val seq = events
+      .groupBy(col(entityCol))
+      .agg(count(lit(1)).as("n_events"),
+        array_join(transform(
+          array_sort(collect_list(struct(col(tsCol), col(idCol),
+            substring(col(typeCol), 1, 1).as("letter")))),
+          e => e.getField("letter")), "").as("seq"))
+    seq.select(col(entityCol), col("n_events"),
+      size(regexp_extract_all(col("seq"), lit(contigPattern), lit(0)))
+        .cast("long").as("n_matches"),
+      col("seq").rlike(somewherePattern).as("has_path"))
+  }
 }

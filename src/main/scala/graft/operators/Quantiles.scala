@@ -77,4 +77,53 @@ object Quantiles {
           .as("est_hi"))
       .orderBy(col("pct"))
   }
+
+  /** Per-group winsorization at EXACT order statistics — the standard
+    * outlier-clipping normalization of a training-data feature
+    * pipeline (Dixon 1960). Clip bounds are the `ceil(p·n/100)`-th
+    * order statistics (type-1 quantiles, the same pure-integer rank
+    * arithmetic as [[histogramQuantiles]]); every value is clipped
+    * into [lo, hi] and the group is summarized.
+    *
+    * Output per group: `n_rows`, `lo`, `hi`, `n_clip_lo`, `n_clip_hi`
+    * (exact BIGINT clip counts) and `sum_clip` (exact-decimal sum of
+    * clipped values — lo/hi/values are all STORED column values, so
+    * 2-decimal casting is lossless and the sum associative).
+    *
+    * Scale contract: exact order statistics need a per-group sort —
+    * one window sort partitioned by the group columns (shuffle on the
+    * group key, sort within). Honest caveat: a FEW huge groups
+    * serialize into few tasks (the exact-percentile cost class); when
+    * rank exactness isn't required at 100 TB, compose
+    * [[histogramQuantiles]] bounds as approximate clip points instead
+    * (bins-bounded shuffle, no per-group sort). Ties need no id
+    * tie-break: row_number among equal values selects the same VALUE
+    * at rank k whatever the intra-tie order.
+    */
+  def winsorizeStats(df: DataFrame, groupCols: Seq[String],
+      valCol: String, loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    require(loPct >= 1 && hiPct <= 100 && loPct < hiPct,
+      s"bad winsorize percentiles [$loPct, $hiPct]")
+    val gcols = groupCols.map(col)
+    val g = Window.partitionBy(gcols: _*)
+    val v = col(valCol)
+    val ranked = df.select(gcols :+ v.as("v"): _*)
+      .withColumn("rn", row_number().over(g.orderBy(col("v"))))
+      .withColumn("n", count(lit(1)).over(g))
+      .withColumn("k_lo", expr(s"(n * $loPct + 99) div 100"))
+      .withColumn("k_hi", expr(s"(n * $hiPct + 99) div 100"))
+    val bounded = ranked
+      .withColumn("lo",
+        max(when(col("rn") === col("k_lo"), col("v"))).over(g))
+      .withColumn("hi",
+        max(when(col("rn") === col("k_hi"), col("v"))).over(g))
+    bounded.groupBy(gcols: _*).agg(
+      count(lit(1)).as("n_rows"),
+      min(col("lo")).as("lo"),
+      min(col("hi")).as("hi"),
+      sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+      sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+      sum(least(greatest(col("v"), col("lo")), col("hi"))
+        .cast("decimal(12,2)")).cast("double").as("sum_clip"))
+  }
 }

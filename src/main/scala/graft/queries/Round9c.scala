@@ -1,0 +1,222 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Bpe, Funnel, Quantiles, Series, Skyline}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-9 continuation (q129+): BPE tokenizer training under the
+  * oracle — the catalog's first tokenizer-learning operator (q33
+  * counts tokens; this LEARNS the subword vocabulary that defines
+  * them), plus its vocabulary and serving paths.
+  *
+  * Oracle strategy: the q91/q101 iteration-replay pattern — the DuckDB
+  * SQL replays every learning iteration as a CTE chain (pair counts →
+  * argmax with pinned tie-break → gaps-and-islands leftmost merge), so
+  * the Spark driver loop and the oracle cannot drift apart on ANY
+  * iteration's choice.
+  */
+object Round9c {
+  private def t(name: String): QueryFn = (s, dir) => Tables.load(s, dir, name)
+
+  /** Learned merges per catalog config (k=3 over documents.text). Like
+    * the q105 pair-set artifact: q129 is the unconditional, timed,
+    * oracle-gated BUILD row; q130/q131 consume whatever artifact is
+    * registered for this (session, dataset). `localCheckpoint`'d
+    * symbol tables survive Bench's per-query clearCache by design;
+    * values are deterministic so consumers' oracles are unaffected by
+    * who built the artifact.
+    */
+  private val K = 3
+  private val bpeReg =
+    new java.util.concurrent.ConcurrentHashMap[String, Bpe.Learned]()
+  private def bpeKey(s: SparkSession, dir: String): String = {
+    val dirKey = try new java.io.File(dir).getCanonicalPath
+      catch { case _: Throwable => dir }
+    System.identityHashCode(s) + "|" + dirKey
+  }
+  private def buildBpe(s: SparkSession, dir: String): Bpe.Learned = {
+    val learned = Bpe.learnMerges(s, t("documents")(s, dir), "text", K)
+    bpeReg.put(bpeKey(s, dir), learned)
+    learned
+  }
+  private def sharedBpe(s: SparkSession, dir: String): Bpe.Learned =
+    bpeReg.computeIfAbsent(bpeKey(s, dir),
+      _ => Bpe.learnMerges(s, t("documents")(s, dir), "text", K))
+
+  /** Base CTEs: tokenize → word-frequency table → initial char-level
+    * symbol table s0. Tokenization twin of [[graft.operators.TextOps.words]].
+    */
+  private val bpeBaseCtes: String =
+    """w AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> len(x) > 0) AS ws FROM documents),
+      |tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+      |wf AS (SELECT word, COUNT(*) AS freq FROM tok GROUP BY word),
+      |s0 AS (SELECT word, freq, i AS pos,
+      |    substr(word, CAST(i AS INT), 1) AS sym
+      |  FROM (SELECT word, freq,
+      |      unnest(generate_series(1, len(word))) AS i FROM wf))""".stripMargin
+
+  /** One BPE learning iteration as CTEs: s{i-1} → b{i} (the chosen
+    * merge, 1 row) and s{i} (the merged symbol table). Mirrors
+    * [[Bpe.pairCounts]] (overlapping positions count) +
+    * [[Bpe.mergeStep]] (leftmost-first non-overlapping via
+    * gaps-and-islands: odd matches within each island merge, the
+    * following row is consumed).
+    */
+  private def bpeIterCtes(i: Int): String = {
+    val p = i - 1
+    s"""a$i AS (SELECT word, freq, sym,
+       |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS idx,
+       |    LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+       |  FROM s$p),
+       |p$i AS (SELECT sym AS lhs, nxt AS rhs,
+       |    CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM a$i WHERE nxt IS NOT NULL GROUP BY 1, 2),
+       |b$i AS (SELECT lhs, rhs, cnt FROM p$i
+       |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+       |m$i AS (SELECT a.word, a.freq, a.sym, a.idx, a.nxt,
+       |    (a.sym = b.lhs AND a.nxt = b.rhs) AS m, b.lhs AS bl,
+       |    b.rhs AS br
+       |  FROM a$i a CROSS JOIN b$i b),
+       |n$i AS (SELECT *, CASE WHEN m THEN idx - ROW_NUMBER()
+       |    OVER (PARTITION BY word, m ORDER BY idx) END AS isl
+       |  FROM m$i),
+       |o$i AS (SELECT *, (m AND ROW_NUMBER()
+       |    OVER (PARTITION BY word, isl ORDER BY idx) % 2 = 1) AS keep
+       |  FROM n$i),
+       |s$i AS (SELECT word, freq, idx AS pos,
+       |    CASE WHEN keep THEN bl || br ELSE sym END AS sym
+       |  FROM (SELECT *, COALESCE(LAG(keep)
+       |      OVER (PARTITION BY word ORDER BY idx), FALSE) AS consumed
+       |    FROM o$i)
+       |  WHERE NOT consumed)""".stripMargin
+  }
+
+  private val bpeAllCtes: String =
+    (bpeBaseCtes +: (1 to K).map(bpeIterCtes)).mkString(",\n")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- BPE tokenizer training: the learned merge list. Build row
+    // for the shared artifact (rebuilds unconditionally — the bench
+    // headline charges learning here, exactly once).
+    QueryDef("q129_bpe_learn",
+      (s, dir) => buildBpe(s, dir).merges.orderBy(col("merge_rank")),
+      Some(s"""WITH $bpeAllCtes
+              |${(1 to K).map(i =>
+                 s"SELECT CAST($i AS BIGINT) AS merge_rank, lhs, rhs, " +
+                 s"cnt AS pair_cnt FROM b$i").mkString("\nUNION ALL\n")}
+              |ORDER BY merge_rank""".stripMargin)),
+
+    // ---- post-merge vocabulary: subword symbol frequencies
+    QueryDef("q130_bpe_vocab",
+      (s, dir) => sharedBpe(s, dir).finalSyms
+        .groupBy("sym").agg(sum("freq").as("freq"))
+        .orderBy(col("freq").desc, col("sym")),
+      Some(s"""WITH $bpeAllCtes
+              |SELECT sym, CAST(SUM(freq) AS BIGINT) AS freq
+              |FROM s$K GROUP BY sym ORDER BY freq DESC, sym""".stripMargin)),
+
+    // ---- BPE serving: per-doc token counts via the vocab-encode
+    // broadcast join (no per-doc merge replay)
+    QueryDef("q131_bpe_tokens",
+      (s, dir) => Bpe.docTokenCounts(t("documents")(s, dir), "text",
+          "doc_id", sharedBpe(s, dir))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $bpeAllCtes,
+              |v AS (SELECT word, COUNT(*) AS n_tokens
+              |  FROM s$K GROUP BY word)
+              |SELECT t.doc_id,
+              |  CAST(SUM(v.n_tokens) AS BIGINT) AS bpe_tokens
+              |FROM tok t JOIN v USING (word)
+              |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
+
+    // ---- per-group winsorization at exact order statistics
+    QueryDef("q132_winsorize",
+      (s, dir) => Quantiles.winsorizeStats(t("part")(s, dir),
+          Seq("p_brand"), "p_retailprice", loPct = 5, hiPct = 95)
+        .orderBy(col("p_brand")),
+      Some("""WITH b AS (SELECT p_brand, p_retailprice AS v,
+             |    ROW_NUMBER() OVER (PARTITION BY p_brand
+             |      ORDER BY p_retailprice) AS rn,
+             |    COUNT(*) OVER (PARTITION BY p_brand) AS n
+             |  FROM part),
+             |k AS (SELECT *, (n * 5 + 99) // 100 AS k_lo,
+             |    (n * 95 + 99) // 100 AS k_hi FROM b),
+             |l AS (SELECT *,
+             |    MAX(CASE WHEN rn = k_lo THEN v END)
+             |      OVER (PARTITION BY p_brand) AS lo,
+             |    MAX(CASE WHEN rn = k_hi THEN v END)
+             |      OVER (PARTITION BY p_brand) AS hi FROM k)
+             |SELECT p_brand, COUNT(*) AS n_rows,
+             |  MIN(lo) AS lo, MIN(hi) AS hi,
+             |  CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_clip_lo,
+             |  CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_clip_hi,
+             |  CAST(SUM(CAST(LEAST(GREATEST(v, lo), hi)
+             |    AS DECIMAL(12,2))) AS DOUBLE) AS sum_clip
+             |FROM l GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // ---- 2-D Pareto skyline (min price, max size), no self-join
+    QueryDef("q133_skyline",
+      (s, dir) => Skyline.pareto2d(t("part")(s, dir),
+          "p_retailprice", "p_size")
+        .select(col("p_partkey"), col("p_retailprice"),
+          col("p_size").cast("bigint").as("p_size"))
+        .orderBy(col("p_retailprice"), col("p_partkey")),
+      Some("""WITH g AS (SELECT p_retailprice AS price,
+             |    MAX(p_size) AS gmax FROM part GROUP BY 1),
+             |r AS (SELECT price, gmax, MAX(gmax) OVER (ORDER BY price
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |    AS prev FROM g)
+             |SELECT p.p_partkey, p.p_retailprice,
+             |  CAST(p.p_size AS BIGINT) AS p_size
+             |FROM part p JOIN r ON p.p_retailprice = r.price
+             |WHERE (r.prev IS NULL OR r.prev < p.p_size)
+             |  AND p.p_size = r.gmax
+             |ORDER BY p.p_retailprice, p.p_partkey""".stripMargin)),
+
+    // ---- sparse→dense gap-filled daily series with running totals
+    QueryDef("q134_gapfill",
+      (s, dir) => Series.gapFillDaily(t("events")(s, dir),
+          "event_type", "ts")
+        .withColumnRenamed("k", "event_type")
+        .orderBy(col("event_type"), col("day")),
+      Some("""WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day
+             |  FROM events),
+             |c AS (SELECT event_type, day, COUNT(*) AS n FROM e
+             |  GROUP BY 1, 2),
+             |sp AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+             |  FROM e GROUP BY 1),
+             |cal AS (SELECT event_type,
+             |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+             |      AS DATE) AS day FROM sp),
+             |f AS (SELECT cal.event_type, cal.day,
+             |    COALESCE(c.n, 0) AS n_events
+             |  FROM cal LEFT JOIN c ON cal.event_type = c.event_type
+             |    AND cal.day = c.day)
+             |SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events,
+             |  CAST(SUM(n_events) OVER (PARTITION BY event_type
+             |    ORDER BY day) AS BIGINT) AS cum_events
+             |FROM f ORDER BY event_type, day""".stripMargin)),
+
+    // ---- MATCH_RECOGNIZE-lite: regex over per-user event-type
+    // sequences (v=view, c=click, p=purchase)
+    QueryDef("q135_seqmatch",
+      (s, dir) => Funnel.typeSequenceMatch(t("events")(s, dir),
+          "user_id", "event_type", "ts", "event_id",
+          contigPattern = "vcp", somewherePattern = "v.*c.*p")
+        .orderBy(col("user_id")),
+      Some("""WITH s AS (SELECT user_id, COUNT(*) AS n_events,
+             |    string_agg(substr(event_type, 1, 1), ''
+             |      ORDER BY ts, event_id) AS seq
+             |  FROM events GROUP BY user_id)
+             |SELECT user_id, n_events,
+             |  CAST(len(regexp_extract_all(seq, 'vcp')) AS BIGINT)
+             |    AS n_matches,
+             |  regexp_matches(seq, 'v.*c.*p') AS has_path
+             |FROM s ORDER BY user_id""".stripMargin)))
+}

@@ -64,4 +64,40 @@ class FunnelSpec extends SparkSpec {
       .collect().map(_.getLong(2)).toSeq
     assert(a == b)
   }
+
+  test("typeSequenceMatch: ordered sequence, contiguous count, existence path") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // user 1: v c p v c p  (2 contiguous vcp)
+    // user 2: v x c x p    (existence only, 0 contiguous)
+    // user 3: p c v        (wrong order: neither)
+    val rows = Seq(
+      (1L, 1L, "view", ts(1)), (1L, 2L, "click", ts(2)),
+      (1L, 3L, "purchase", ts(3)), (1L, 4L, "view", ts(4)),
+      (1L, 5L, "click", ts(5)), (1L, 6L, "purchase", ts(6)),
+      (2L, 7L, "view", ts(1)), (2L, 8L, "xother", ts(2)),
+      (2L, 9L, "click", ts(3)), (2L, 10L, "xother", ts(4)),
+      (2L, 11L, "purchase", ts(5)),
+      (3L, 12L, "purchase", ts(1)), (3L, 13L, "click", ts(2)),
+      (3L, 14L, "view", ts(3)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = Funnel.typeSequenceMatch(rows.repartition(5), "user_id",
+        "event_type", "ts", "event_id", "vcp", "v.*c.*p")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((2L, true)))
+    assert(out(2L) == ((0L, true)))
+    assert(out(3L) == ((0L, false)))
+  }
+
+  test("typeSequenceMatch breaks timestamp ties by id deterministically") {
+    import java.sql.Timestamp
+    val t0 = new Timestamp(1000L)
+    // same ts: id order is v(1) c(2) p(3) → one contiguous match
+    val rows = Seq((1L, 1L, "view", t0), (1L, 2L, "click", t0),
+      (1L, 3L, "purchase", t0)).toDF("user_id", "event_id", "event_type", "ts")
+    val r = Funnel.typeSequenceMatch(rows, "user_id", "event_type",
+      "ts", "event_id", "vcp", "v.*c.*p").collect().head
+    assert(r.getLong(2) == 1L && r.getBoolean(3))
+  }
 }

@@ -51,4 +51,29 @@ class QuantilesSpec extends SparkSpec {
       .collect().toSeq
     assert(a == b)
   }
+
+  test("winsorizeStats clips at the exact ceil(p·n/100) order statistics") {
+    // group g: values 1..100 → k_lo = ceil(5) = 5, k_hi = ceil(95) = 95
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "x")
+      .repartition(7)
+    val r = Quantiles.winsorizeStats(df, Seq("grp"), "x").collect().head
+    assert(r.getAs[Long]("n_rows") == 100L)
+    assert(r.getAs[Double]("lo") == 5.0)
+    assert(r.getAs[Double]("hi") == 95.0)
+    assert(r.getAs[Long]("n_clip_lo") == 4L) // 1..4 clipped up
+    assert(r.getAs[Long]("n_clip_hi") == 5L) // 96..100 clipped down
+    // sum: 4·5 (1..4 up) + (5+...+95) + 5·95 (96..100 down)
+    assert(r.getAs[Double]("sum_clip") == (20 + (5 to 95).sum + 475).toDouble)
+  }
+
+  test("winsorizeStats: duplicate-heavy group — value at rank is tie-stable") {
+    // 10 copies of each of 1..10: n=100, k_lo=5 → value 1 (ranks 1-10
+    // all value 1), k_hi=95 → value 10; no clipping below lo=1
+    val df = (1 to 10).flatMap(v => Seq.fill(10)(("g", v.toDouble)))
+      .toDF("grp", "x").repartition(5)
+    val r = Quantiles.winsorizeStats(df, Seq("grp"), "x").collect().head
+    assert(r.getAs[Double]("lo") == 1.0 && r.getAs[Double]("hi") == 10.0)
+    assert(r.getAs[Long]("n_clip_lo") == 0L &&
+      r.getAs[Long]("n_clip_hi") == 0L)
+  }
 }

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+/** Pins gap-filling semantics: per-key spans, zero rows for silent
+  * days, running totals over the DENSE frame.
+  */
+class SeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int, h: Int = 12) =
+    Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+
+  test("gapFillDaily fills silent days with 0 and carries running totals") {
+    // key a: events on Jan 1 (×2) and Jan 4 → span 1..4, gaps 2,3
+    // key b: single day → one row, no gaps
+    val events = Seq(
+      ("a", ts(1, 1)), ("a", ts(1, 23)), ("a", ts(4)),
+      ("b", ts(7))).toDF("k", "ts").repartition(5)
+    val out = Series.gapFillDaily(events, "k", "ts")
+      .orderBy("k", "day")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("a", "2024-01-01", 2L, 2L),
+      ("a", "2024-01-02", 0L, 2L),
+      ("a", "2024-01-03", 0L, 2L),
+      ("a", "2024-01-04", 1L, 3L),
+      ("b", "2024-01-07", 1L, 1L)))
+  }
+
+  test("gapFillDaily is partitioning-invariant") {
+    val events = (1 to 300).map(i =>
+      (s"k${i % 3}", ts(1 + (i * 7) % 25))).toDF("k", "ts")
+    val a = Series.gapFillDaily(events, "k", "ts")
+      .orderBy("k", "day").collect().toSeq
+    val b = Series.gapFillDaily(events.repartition(11), "k", "ts")
+      .orderBy("k", "day").collect().toSeq
+    assert(a == b)
+    // dense: every key covers its full span with no holes
+    val byKey = a.groupBy(_.getString(0))
+    byKey.foreach { case (_, rows) =>
+      assert(rows.size ==
+        rows.last.getDate(1).toLocalDate.toEpochDay -
+        rows.head.getDate(1).toLocalDate.toEpochDay + 1)
+    }
+  }
+}
