@@ -149,4 +149,46 @@ object Freq {
       .groupBy(col(keyCol), col("n_rows"))
       .agg(min(col("c")).as("est_n"))
   }
+
+  /** PMI collocation mining — which adjacent word pairs co-occur far
+    * more than their marginals predict (Church & Hanks 1990). The
+    * phrase-discovery primitive of corpus analysis (finding "new york"
+    * in 100 TB of text).
+    *
+    * PMI = log(c_ab·N / (c_a·c_b)) over the bigram stream (c_a = left
+    * marginal, c_b = right marginal, N = total bigrams). Since log is
+    * monotone, RANKING by PMI ≡ ranking by the ratio itself — so no
+    * transcendental is ever evaluated: the score is the exact integer
+    * `score_ppm = (c_ab·N·10⁶) div (c_a·c_b)` (the q119 integer-exact
+    * lesson applied preemptively; at planetary counts the 10⁶ scaling
+    * needs DECIMAL(38) headroom, a widening not a redesign).
+    *
+    * Scale shape: ONE corpus tokenize+zip pass to the checkpointed
+    * bigram table `tf` (bigram-vocab-sized); marginals and N are sums
+    * over `tf`; the scoring join shuffles on vocab-sized keys; top-k
+    * via TakeOrderedAndProject (per-partition heaps).
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+      minCount: Long = 5L, topK: Int = 20): DataFrame = {
+    val ws = graft.operators.TextOps.words(col(textCol))
+    val bg = graft.Tables.rebalance(docs.select(col(textCol)))
+      .select(explode(zip_with(
+        slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+        slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val tf = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cab"))
+      .localCheckpoint() // corpus reduces ONCE; marginals/N read this
+    val ca = tf.groupBy(col("w1")).agg(sum(col("cab")).as("ca"))
+    val cb = tf.groupBy(col("w2")).agg(sum(col("cab")).as("cb"))
+    val n = tf.agg(sum(col("cab")).as("n"))
+    tf.where(col("cab") >= minCount)
+      .join(ca, Seq("w1")).join(cb, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("cab"),
+        expr("(cab * n * 1000000) div (ca * cb)").as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

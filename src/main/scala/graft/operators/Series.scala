@@ -44,4 +44,27 @@ object Series {
       sum(col("n_events")).over(
         Window.partitionBy(col("k")).orderBy(col("day"))))
   }
+
+  /** Trailing `windowDays`-day moving average over the DENSE series —
+    * the composition gap-filling exists for: on the sparse frame a
+    * ROWS window silently skips silent days and the "7-day average"
+    * is actually a 7-active-day average. Edge days average over the
+    * rows that exist (`w_n` < windowDays at the series head — the
+    * standard trailing-window convention, made explicit in the
+    * output). `ma` is one IEEE division of exact BIGINTs — engine-
+    * deterministic.
+    *
+    * Output: `(key, day, n_events, w_sum, w_n, ma)`.
+    */
+  def movingAvgDaily(events: DataFrame, keyCol: String, tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("day"))
+      .rowsBetween(-(windowDays - 1), 0)
+    gapFillDaily(events, keyCol, tsCol)
+      .drop("cum_events")
+      .withColumn("w_sum", sum(col("n_events")).over(w))
+      .withColumn("w_n", count(lit(1)).over(w))
+      .withColumn("ma",
+        col("w_sum").cast("double") / col("w_n").cast("double"))
+  }
 }

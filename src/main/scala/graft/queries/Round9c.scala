@@ -218,5 +218,85 @@ object Round9c {
              |  CAST(len(regexp_extract_all(seq, 'vcp')) AS BIGINT)
              |    AS n_matches,
              |  regexp_matches(seq, 'v.*c.*p') AS has_path
-             |FROM s ORDER BY user_id""".stripMargin)))
+             |FROM s ORDER BY user_id""".stripMargin)),
+
+    // ---- per-node triangle counts over the near-dup pair graph
+    // (clique-likeness of duplicate neighborhoods). Consumes the q105
+    // shared pair artifact; oracle re-derives the pairs and enumerates
+    // each triangle once via a<b<c ordering (orientation-invariant,
+    // so the operator's degree-oriented generation replays exactly).
+    QueryDef("q136_triangles",
+      (s, dir) => graft.operators.Graph.triangleCounts(
+          CorpusOps.sharedJaccardPairs(s, dir), "da", "db")
+        .withColumnRenamed("node", "doc_id")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH ${CorpusOps.oShinglesSql},
+              |hs AS (SELECT doc_id, ${CorpusOps.oH60("s")} AS h FROM sh),
+              |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+              |p AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) AS inter
+              |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs AS (SELECT da, db FROM p
+              |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+              |  WHERE inter / (x.n + y.n - inter) >= 0.6),
+              |tri AS (SELECT e1.da AS a, e1.db AS b, e2.db AS c
+              |  FROM pairs e1 JOIN pairs e2 ON e1.db = e2.da
+              |  JOIN pairs e3 ON e3.da = e1.da AND e3.db = e2.db)
+              |SELECT v AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri
+              |FROM (SELECT a AS v FROM tri UNION ALL
+              |      SELECT b FROM tri UNION ALL SELECT c FROM tri)
+              |GROUP BY v ORDER BY doc_id""".stripMargin)),
+
+    // ---- 7-day trailing moving average over the DENSE daily series
+    // (composes q134's gap-fill: silent days pull the average DOWN,
+    // which the sparse frame cannot express)
+    QueryDef("q137_moving_avg",
+      (s, dir) => graft.operators.Series.movingAvgDaily(
+          t("events")(s, dir), "event_type", "ts", windowDays = 7)
+        .withColumnRenamed("k", "event_type")
+        .orderBy(col("event_type"), col("day")),
+      Some("""WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day
+             |  FROM events),
+             |c AS (SELECT event_type, day, COUNT(*) AS n FROM e
+             |  GROUP BY 1, 2),
+             |sp AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+             |  FROM e GROUP BY 1),
+             |cal AS (SELECT event_type,
+             |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+             |      AS DATE) AS day FROM sp),
+             |f AS (SELECT cal.event_type, cal.day,
+             |    CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+             |  FROM cal LEFT JOIN c ON cal.event_type = c.event_type
+             |    AND cal.day = c.day),
+             |m AS (SELECT event_type, day, n_events,
+             |    CAST(SUM(n_events) OVER w AS BIGINT) AS w_sum,
+             |    CAST(COUNT(*) OVER w AS BIGINT) AS w_n
+             |  FROM f WINDOW w AS (PARTITION BY event_type ORDER BY day
+             |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+             |SELECT event_type, day, n_events, w_sum, w_n,
+             |  CAST(w_sum AS DOUBLE) / CAST(w_n AS DOUBLE) AS ma
+             |FROM m ORDER BY event_type, day""".stripMargin)),
+
+    // ---- PMI collocations: top adjacent word pairs by exact-integer
+    // PMI-monotone score (no log anywhere)
+    QueryDef("q138_pmi",
+      (s, dir) => graft.operators.Freq.pmiCollocations(
+          t("documents")(s, dir), "text", minCount = 5L, topK = 20),
+      Some("""WITH w AS (SELECT
+             |    list_filter(string_split_regex(lower(text), '\s+'),
+             |      x -> len(x) > 0) AS ws FROM documents),
+             |i AS (SELECT ws, unnest(generate_series(1, len(ws) - 1))
+             |    AS i FROM w WHERE len(ws) >= 2),
+             |bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2 FROM i),
+             |tf AS (SELECT w1, w2, COUNT(*) AS cab FROM bg GROUP BY 1, 2),
+             |ca AS (SELECT w1, CAST(SUM(cab) AS BIGINT) AS ca FROM tf
+             |  GROUP BY 1),
+             |cb AS (SELECT w2, CAST(SUM(cab) AS BIGINT) AS cb FROM tf
+             |  GROUP BY 1),
+             |nn AS (SELECT CAST(SUM(cab) AS BIGINT) AS n FROM tf)
+             |SELECT w1, w2, cab,
+             |  (cab * n * 1000000) // (ca * cb) AS score_ppm
+             |FROM tf JOIN ca USING (w1) JOIN cb USING (w2) CROSS JOIN nn
+             |WHERE cab >= 5
+             |ORDER BY score_ppm DESC, w1, w2 LIMIT 20""".stripMargin)))
 }

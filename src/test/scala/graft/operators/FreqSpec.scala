@@ -123,4 +123,44 @@ class FreqSpec extends SparkSpec {
     assert(a == b)
     a.foreach { case (_, _, est) => assert(est <= 500L) }
   }
+
+  test("pmiCollocations equals brute-force integer PMI ranking") {
+    val vocab = Vector("a", "b", "c", "d", "e", "x")
+    val docs = (1 to 60).map { i =>
+      val ws = (0 until 12).map(j =>
+        vocab(((i * 2654435761L + j * 40503L) % 6).toInt.abs))
+      (i.toLong, ws.mkString(" "))
+    }
+    // brute force in plain Scala
+    val bigrams = docs.flatMap { case (_, t) =>
+      val ws = t.split("\\s+").filter(_.nonEmpty)
+      ws.zip(ws.tail)
+    }
+    val cab = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ca = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cb = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = bigrams.size.toLong
+    val expect = cab.toSeq.collect { case ((w1, w2), c) if c >= 5L =>
+      (w1, w2, c, c * n * 1000000L / (ca(w1) * cb(w2))) }
+      .sortBy { case (w1, w2, _, s) => (-s, w1, w2) }.take(10)
+    val got = Freq.pmiCollocations(docs.toDF("doc_id", "text")
+        .repartition(7), "text", minCount = 5L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+  }
+
+  test("pmiCollocations score is the exact integer ratio transform " +
+      "and favors the rarer glued pair") {
+    val docs = Seq((1L, "x y x y x y x y x y")).toDF("doc_id", "text")
+    // bigrams: (x,y)×5, (y,x)×4; N=9. Marginals are positional:
+    // ca(x)=5, cb(y)=5 → score(x,y) = 5·9·10⁶ div 25 = 1_800_000;
+    // ca(y)=4, cb(x)=4 → score(y,x) = 4·9·10⁶ div 16 = 2_250_000 —
+    // the rarer pair wins, the defining PMI behavior.
+    val rs = Freq.pmiCollocations(docs, "text", minCount = 1L, topK = 2)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    assert(rs(0) == (("y", "x", 4L, 2250000L)))
+    assert(rs(1) == (("x", "y", 5L, 1800000L)))
+  }
 }

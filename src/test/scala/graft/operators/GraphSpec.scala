@@ -60,4 +60,35 @@ class GraphSpec extends SparkSpec {
     val edgesToSelf = one.filter(_._1 == "a")
     assert(edgesToSelf.nonEmpty) // a participates via a-b, c-a only
   }
+
+  test("triangleCounts equals brute-force enumeration on a hashed graph") {
+    // deterministic pseudo-random graph on 40 nodes, canonical a<b
+    val edges = (for {
+      a <- 1L to 40L; b <- (a + 1) to 40L
+      if (a * 2654435761L + b * 40503L) % 7 == 0
+    } yield (a, b)).toSeq
+    val brute = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    val es = edges.toSet
+    for {
+      (a, b) <- edges; c <- (b + 1) to 40L
+      if es.contains((b, c)) && es.contains((a, c))
+    } { brute(a) += 1; brute(b) += 1; brute(c) += 1 }
+    val got = Graph.triangleCounts(
+        edges.toDF("a", "b").repartition(7), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == brute.toMap)
+    assert(got.nonEmpty) // the graph actually has triangles
+  }
+
+  test("triangleCounts: hub star has no triangles; closing one edge " +
+      "makes exactly one") {
+    val star = (2L to 20L).map(i => (1L, i))
+    assert(Graph.triangleCounts(star.toDF("a", "b"), "a", "b")
+      .collect().isEmpty)
+    val closed = star :+ ((2L, 3L))
+    val got = Graph.triangleCounts(closed.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }

@@ -46,4 +46,19 @@ class SeriesSpec extends SparkSpec {
         rows.head.getDate(1).toLocalDate.toEpochDay + 1)
     }
   }
+
+  test("movingAvgDaily: silent days pull the average down; head ramps") {
+    // key a: 3 events on Jan 1, nothing until Jan 4 (1 event)
+    val events = Seq(("a", ts(1, 1)), ("a", ts(1, 2)), ("a", ts(1, 3)),
+      ("a", ts(4))).toDF("k", "ts")
+    val out = Series.movingAvgDaily(events, "k", "ts", windowDays = 3)
+      .orderBy("day")
+      .collect().map(r => (r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 3L, 3L, 1L, 3.0),
+      ("2024-01-02", 0L, 3L, 2L, 1.5),   // head ramp: 2-day window
+      ("2024-01-03", 0L, 3L, 3L, 1.0),
+      ("2024-01-04", 1L, 1L, 3L, 1.0 / 3.0))) // Jan 1 rolled out
+  }
 }
