@@ -105,4 +105,71 @@ object Funnel {
         .cast("long").as("n_matches"),
       col("seq").rlike(somewherePattern).as("has_path"))
   }
+
+  /** First-order Markov transition matrix of the event stream:
+    * `(from_type, to_type, n, p_ppm)` where `n` counts per-entity
+    * consecutive transitions (ordered by `(ts, id)` — total order ⇒
+    * deterministic) and `p_ppm` is the row-normalized transition
+    * probability in exact integer parts-per-million
+    * (`n·10⁶ div row_total` — no float division).
+    *
+    * Scale: one entity-key window (lead) + one type²-bounded
+    * aggregation; the row-normalizing window runs over the
+    * type²-sized frame. The behavioral-model primitive that
+    * [[typeSequenceMatch]] patterns and [[stageTimes]] funnels both
+    * summarize a slice of.
+    */
+  def transitionMatrix(events: DataFrame, entityCol: String,
+      typeCol: String, tsCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entityCol)).orderBy(col(tsCol), col(idCol))
+    val wRow = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+    events
+      .withColumn("to_type", lead(col(typeCol), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum(col("n")).over(wRow))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000000) div row_total").as("p_ppm"))
+  }
+
+  /** Per-leg conversion-latency order statistics over the greedy
+    * funnel: for each consecutive stage pair (and the overall
+    * first→last leg), the exact type-1 p50/p90 of the
+    * microsecond latency among entities that completed the leg.
+    * Latencies are exact BIGINT microseconds (unix_micros — no
+    * second-truncation ambiguity); target ranks use the
+    * `ceil(p·n/100) = (p·n + 99) div 100` integer identity.
+    *
+    * Scale: [[stageTimes]]' join chain (entity-keyed), then one
+    * window sort over the legs frame (≤ legs × converters rows).
+    */
+  def stageLatencyQuantiles(events: DataFrame, entityCol: String,
+      typeCol: String, tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.length >= 2, "need at least two stages")
+    val st = stageTimes(events, entityCol, typeCol, tsCol, stages)
+    val k = stages.length
+    val legs = (1 until k).map(i =>
+      (s"${stages(i - 1)}->${stages(i)}", i, i + 1)) :+
+      ((s"${stages.head}->${stages.last}", 1, k))
+    val all = legs.map { case (label, a, b) =>
+      st.where(col(s"t$b").isNotNull)
+        .select(lit(label).as("leg"),
+          (expr(s"unix_micros(t$b)") - expr(s"unix_micros(t$a)"))
+            .as("lat_us"))
+    }.reduce(_ unionAll _)
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("leg"))
+    all
+      .withColumn("rn", row_number().over(wl.orderBy(col("lat_us"))))
+      .withColumn("n", count(lit(1)).over(wl))
+      .withColumn("k50", expr("(n * 50 + 99) div 100"))
+      .withColumn("k90", expr("(n * 90 + 99) div 100"))
+      .groupBy(col("leg")).agg(
+        count(lit(1)).as("n_conv"),
+        max(when(col("rn") === col("k50"), col("lat_us"))).as("p50_us"),
+        max(when(col("rn") === col("k90"), col("lat_us"))).as("p90_us"))
+  }
 }

@@ -298,5 +298,96 @@ object Round9c {
              |  (cab * n * 1000000) // (ca * cb) AS score_ppm
              |FROM tf JOIN ca USING (w1) JOIN cb USING (w2) CROSS JOIN nn
              |WHERE cab >= 5
-             |ORDER BY score_ppm DESC, w1, w2 LIMIT 20""".stripMargin)))
+             |ORDER BY score_ppm DESC, w1, w2 LIMIT 20""".stripMargin)),
+
+    // ---- grid-density clustering (CLIQUE/GriDBSCAN) over the
+    // embedding space: eps-grid on dims 1-2, core cells ≥ 5 points,
+    // clusters = CC of 8-adjacent core cells
+    QueryDef("q139_density_clusters",
+      (s, dir) => graft.operators.Density.clusterStats(
+          t("embeddings")(s, dir), "embedding", eps = 0.05,
+          minPts = 5L)
+        .orderBy(col("cluster")),
+      Some("""WITH RECURSIVE e AS (SELECT vec_id,
+             |    CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.05)
+             |      AS BIGINT) AS cx,
+             |    CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.05)
+             |      AS BIGINT) AS cy
+             |  FROM embeddings),
+             |cc AS (SELECT cx, cy, COUNT(*) AS n FROM e GROUP BY 1, 2),
+             |core AS (SELECT cx, cy, n,
+             |    (cx + 500) * 100000 + (cy + 500) AS cid
+             |  FROM cc WHERE n >= 5),
+             |adj AS (SELECT a.cid AS src, b.cid AS dst
+             |  FROM core a JOIN core b ON abs(a.cx - b.cx) <= 1
+             |    AND abs(a.cy - b.cy) <= 1 AND a.cid <> b.cid),
+             |walk AS (
+             |  SELECT cid AS id, cid AS lbl FROM core
+             |  UNION
+             |  SELECT e2.dst AS id, w.lbl FROM walk w
+             |  JOIN adj e2 ON w.id = e2.src WHERE w.lbl < e2.dst),
+             |lab AS (SELECT id AS cid, MIN(lbl) AS cluster FROM walk
+             |  GROUP BY id)
+             |SELECT l.cluster, CAST(COUNT(*) AS BIGINT) AS n_cells,
+             |  CAST(SUM(c.n) AS BIGINT) AS n_points
+             |FROM core c JOIN lab l ON c.cid = l.cid
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- first-order Markov transition matrix of user behavior
+    QueryDef("q140_markov",
+      (s, dir) => Funnel.transitionMatrix(t("events")(s, dir),
+          "user_id", "event_type", "ts", "event_id")
+        .orderBy(col("from_type"), col("to_type")),
+      Some("""WITH x AS (SELECT user_id, event_type,
+             |    LEAD(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |tm AS (SELECT event_type AS from_type, to_type,
+             |    COUNT(*) AS n
+             |  FROM x WHERE to_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_type, to_type, n,
+             |  (n * 1000000) // CAST(SUM(n)
+             |    OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+             |FROM tm ORDER BY from_type, to_type""".stripMargin)),
+
+    // ---- funnel conversion-latency order statistics per leg
+    QueryDef("q141_funnel_latency",
+      (s, dir) => Funnel.stageLatencyQuantiles(t("events")(s, dir),
+          "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .orderBy(col("leg")),
+      Some("""WITH ev AS (SELECT user_id, event_type,
+             |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (SELECT s1.user_id, s1.t1,
+             |    MIN(CASE WHEN e.ts > s1.t1 THEN e.ts END) AS t2
+             |  FROM s1 LEFT JOIN ev e ON e.user_id = s1.user_id
+             |    AND e.event_type = 'click'
+             |  GROUP BY 1, 2),
+             |s3 AS (SELECT s2.user_id, s2.t1, s2.t2,
+             |    MIN(CASE WHEN e.ts > s2.t2 THEN e.ts END) AS t3
+             |  FROM s2 LEFT JOIN ev e ON e.user_id = s2.user_id
+             |    AND e.event_type = 'purchase'
+             |  GROUP BY 1, 2, 3),
+             |legs AS (
+             |  SELECT 'view->click' AS leg,
+             |    epoch_us(t2) - epoch_us(t1) AS lat_us FROM s3
+             |  WHERE t2 IS NOT NULL
+             |  UNION ALL
+             |  SELECT 'click->purchase', epoch_us(t3) - epoch_us(t2)
+             |  FROM s3 WHERE t3 IS NOT NULL
+             |  UNION ALL
+             |  SELECT 'view->purchase', epoch_us(t3) - epoch_us(t1)
+             |  FROM s3 WHERE t3 IS NOT NULL),
+             |r AS (SELECT leg, lat_us,
+             |    ROW_NUMBER() OVER (PARTITION BY leg ORDER BY lat_us)
+             |      AS rn,
+             |    COUNT(*) OVER (PARTITION BY leg) AS n FROM legs),
+             |kk AS (SELECT *, (n * 50 + 99) // 100 AS k50,
+             |    (n * 90 + 99) // 100 AS k90 FROM r)
+             |SELECT leg, COUNT(*) AS n_conv,
+             |  MAX(CASE WHEN rn = k50 THEN lat_us END) AS p50_us,
+             |  MAX(CASE WHEN rn = k90 THEN lat_us END) AS p90_us
+             |FROM kk GROUP BY leg ORDER BY leg""".stripMargin)))
 }

@@ -100,4 +100,45 @@ class FunnelSpec extends SparkSpec {
       "ts", "event_id", "vcp", "v.*c.*p").collect().head
     assert(r.getLong(2) == 1L && r.getBoolean(3))
   }
+
+  test("transitionMatrix: per-entity chains, row-normalized exact ppm") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // user 1: a b a b ; user 2: a a  — transitions a→b ×2, b→a ×1
+    // (user boundary breaks the chain), a→a ×1
+    val rows = Seq(
+      (1L, 1L, "a", ts(1)), (1L, 2L, "b", ts(2)),
+      (1L, 3L, "a", ts(3)), (1L, 4L, "b", ts(4)),
+      (2L, 5L, "a", ts(1)), (2L, 6L, "a", ts(2)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val m = Funnel.transitionMatrix(rows.repartition(3), "user_id",
+        "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // from a: a→b 2, a→a 1 (row total 3); from b: b→a 1 (total 1)
+    assert(m(("a", "b")) == ((2L, 666666L)))
+    assert(m(("a", "a")) == ((1L, 333333L)))
+    assert(m(("b", "a")) == ((1L, 1000000L)))
+    assert(m.size == 3)
+  }
+
+  test("stageLatencyQuantiles: exact order-statistic latencies per leg") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // 3 converters with view→click latencies 10s, 20s, 30s;
+    // click→buy all 5s; one non-converter stalls after view
+    val rows = (1 to 3).flatMap { u =>
+      Seq((u.toLong, "view", ts(0)), (u.toLong, "click", ts(10L * u)),
+        (u.toLong, "buy", ts(10L * u + 5)))
+    } :+ ((9L, "view", ts(0)))
+    val df = rows.toDF("user_id", "event_type", "ts")
+    val out = Funnel.stageLatencyQuantiles(df, "user_id", "event_type",
+        "ts", Seq("view", "click", "buy"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // n=3 → k50 = ceil(1.5) = 2, k90 = ceil(2.7) = 3
+    assert(out("view->click") == ((3L, 20000000L, 30000000L)))
+    assert(out("click->buy") == ((3L, 5000000L, 5000000L)))
+    assert(out("view->buy") == ((3L, 25000000L, 35000000L)))
+  }
 }
