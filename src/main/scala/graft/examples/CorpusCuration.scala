@@ -134,7 +134,8 @@ object CorpusCuration {
       trainedClassifier: Option[(org.apache.spark.sql.Column, Double)] =
         None,
       scoreStopwords: Seq[String] =
-        Seq("the", "of", "and", "a", "to", "in", "is")): DataFrame = {
+        Seq("the", "of", "and", "a", "to", "in", "is"),
+      packByBpeMerges: Option[Int] = None): DataFrame = {
     import graft.operators.Curation
     val spark = docs.sparkSession
     implicit val sp: org.apache.spark.sql.SparkSession = spark
@@ -265,11 +266,29 @@ object CorpusCuration {
     // upstream pipeline a second time)
     val split = sampled.withColumn("split",
       TextOps.hashSplit(col("cluster"), cuts))
-    Curation.packSequences(
-        split.withColumn("_stratum",
-          concat_ws("/", col("split"), col("lang"))),
-        "text", "doc_id", "_stratum", window)
-      .drop("_stratum")
+    val packInput = split.withColumn("_stratum",
+      concat_ws("/", col("split"), col("lang")))
+    packByBpeMerges match {
+      case Some(k) =>
+        // token-budget bins measured in TRAINED-BPE tokens — the count
+        // that actually fills a model's context window. The tokenizer
+        // is learned on the CURATED subset itself (post-gate corpus =
+        // the distribution the model will see); counts join in as the
+        // `bpe_tokens` audit column and drive the packing arithmetic.
+        val learned = graft.operators.Bpe.learnMerges(
+          spark, packInput, "text", k)
+        val counts = graft.operators.Bpe.docTokenCounts(
+          packInput, "text", "doc_id", learned)
+        Curation.packSequences(
+            packInput.join(counts, Seq("doc_id")),
+            "text", "doc_id", "_stratum", window,
+            tokenCountCol = Some("bpe_tokens"))
+          .drop("_stratum")
+      case None =>
+        Curation.packSequences(packInput,
+            "text", "doc_id", "_stratum", window)
+          .drop("_stratum")
+    }
   }
 
   /** Topic mining — the retrieval-then-curate composition: BM25 pulls

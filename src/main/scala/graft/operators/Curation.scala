@@ -866,11 +866,19 @@ object Curation {
   def packSequences(df: DataFrame, textCol: String, idCol: String,
       strataCol: String, window: Long, blocks: Int = 0,
       maxStrata: Int = 10000,
-      startOffsets: Option[DataFrame] = None): DataFrame = {
+      startOffsets: Option[DataFrame] = None,
+      tokenCountCol: Option[String] = None): DataFrame = {
     require(window > 0, "window must be positive")
+    // tokenCountCol: budget bins by a caller-supplied per-row token
+    // count (e.g. trained-BPE counts from [[Bpe.docTokenCounts]] —
+    // the count that actually fills a model's context window) instead
+    // of the whitespace default. Same packing arithmetic either way.
+    val nTok = tokenCountCol match {
+      case Some(c) => col(c).cast("bigint")
+      case None => size(TextOps.words(col(textCol))).cast("bigint")
+    }
     val wb0 = withPackBlocks(
-      df.withColumn("n_tokens",
-        size(TextOps.words(col(textCol))).cast("bigint")),
+      df.withColumn("n_tokens", nTok),
       idCol, strataCol, blocks, maxStrata)
     val wb = startOffsets match {
       case Some(so) =>

@@ -389,5 +389,37 @@ object Round9c {
              |SELECT leg, COUNT(*) AS n_conv,
              |  MAX(CASE WHEN rn = k50 THEN lat_us END) AS p50_us,
              |  MAX(CASE WHEN rn = k90 THEN lat_us END) AS p90_us
-             |FROM kk GROUP BY leg ORDER BY leg""".stripMargin)))
+             |FROM kk GROUP BY leg ORDER BY leg""".stripMargin)),
+
+    // ---- packing budgeted by TRAINED-BPE token counts (q79's bins,
+    // q131's serving counts): the context-window packer measured in
+    // the tokens a model would actually consume
+    QueryDef("q142_bpe_packing",
+      (s, dir) => {
+        val docs = t("documents")(s, dir)
+        val counts = Bpe.docTokenCounts(docs, "text", "doc_id",
+          sharedBpe(s, dir))
+        graft.operators.Curation.packSequences(
+            docs.join(counts, Seq("doc_id")),
+            "text", "doc_id", "lang", window = 1024L, blocks = 8,
+            tokenCountCol = Some("bpe_tokens"))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            col("bin"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $bpeAllCtes,
+              |v AS (SELECT word, COUNT(*) AS n_tokens
+              |  FROM s$K GROUP BY word),
+              |dt AS (SELECT t.doc_id,
+              |    CAST(SUM(v.n_tokens) AS BIGINT) AS n_tokens
+              |  FROM tok t JOIN v USING (word) GROUP BY t.doc_id),
+              |dd AS (SELECT d.doc_id, d.lang, dt.n_tokens
+              |  FROM documents d JOIN dt ON d.doc_id = dt.doc_id),
+              |c AS (SELECT doc_id, lang, n_tokens,
+              |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+              |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+              |      AND 1 PRECEDING), 0) AS cum FROM dd)
+              |SELECT doc_id, lang, n_tokens,
+              |  CAST(floor(cum / 1024) AS BIGINT) AS bin
+              |FROM c ORDER BY doc_id""".stripMargin)))
 }

@@ -186,4 +186,26 @@ class CorpusCurationSpec extends SparkSpec {
     assert(mined.filter(!col("split").isin("train", "val", "test"))
       .count() == 0)
   }
+
+  test("packByBpeMerges: bins budgeted by trained-BPE counts, " +
+      "bpe_tokens audit column drives n_tokens") {
+    val out = CorpusCuration.curateForTraining(docs,
+      packByBpeMerges = Some(3))
+    assert(out.columns.contains("bpe_tokens"))
+    // the packer's n_tokens IS the BPE count, not the whitespace count
+    assert(out.filter(col("n_tokens") =!= col("bpe_tokens"))
+      .count() == 0)
+    val ws = out.filter(
+      org.apache.spark.sql.functions.size(
+        TextOps.words(col("text"))).cast("long") === col("bpe_tokens"))
+    // BPE-token counts genuinely differ from whitespace counts
+    assert(ws.count() < out.count())
+    // bin numbering still monotone per (split, lang) in doc order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("split"), col("lang")).orderBy(col("doc_id"))
+    assert(out.withColumn("prev",
+        org.apache.spark.sql.functions.lag(col("bin"), 1).over(w))
+      .filter(col("prev").isNotNull && col("bin") < col("prev"))
+      .count() == 0)
+  }
 }

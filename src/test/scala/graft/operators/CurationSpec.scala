@@ -291,6 +291,26 @@ class CurationSpec extends SparkSpec {
       (4L, "de", 6L, 0L)))
   }
 
+  test("packSequences tokenCountCol: caller-supplied counts drive the " +
+      "bins; default path unchanged") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "en", "a b c", 4L),  // supplied 4 (≠ 3 whitespace)
+      (2L, "en", "d e", 1L),    // offset 4 → bin 0 (window 5)
+      (3L, "en", "f g", 3L))    // offset 5 → bin 1
+      .toDF("doc_id", "lang", "text", "cnt")
+    val got = Curation.packSequences(d, "text", "doc_id", "lang", 5L,
+        tokenCountCol = Some("cnt"))
+      .select("doc_id", "n_tokens", "bin").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 4L, 0L), (2L, 1L, 0L), (3L, 3L, 1L)))
+    // default path on the same frame ignores cnt entirely
+    val dft = Curation.packSequences(d, "text", "doc_id", "lang", 5L)
+      .select("doc_id", "n_tokens", "bin").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(dft.toSeq == Seq((1L, 3L, 0L), (2L, 2L, 0L), (3L, 2L, 1L)))
+  }
+
   test("packSequences fans a single stratum over >1 block and still " +
       "matches the serial prefix sum") {
     import spark.implicits._
