@@ -22,6 +22,10 @@ object Tables {
     * scan does — so the extra shuffle only ever moves tiny inputs.
     */
   def rebalance(df: DataFrame): DataFrame = {
+    // Streaming frames pass through untouched: micro-batch parallelism
+    // is the source's concern (maxFilesPerTrigger etc.), and touching
+    // sparkPlan/.rdd here would assert batch execution and throw.
+    if (df.isStreaming) return df
     // If the plan already contains a shuffle, its output is
     // spark.sql.shuffle.partitions-way parallel — nothing to fix, and
     // consulting .rdd here would eagerly execute the upstream stages

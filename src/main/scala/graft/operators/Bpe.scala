@@ -99,8 +99,16 @@ object Bpe {
     * lhs, rhs, pair_cnt BIGINT) in learning order.
     */
   def learnMerges(spark: SparkSession, docs: DataFrame, textCol: String,
+      k: Int): Learned =
+    learnMergesFrom(spark, wordFreq(docs, textCol), k)
+
+  /** Learning from a prebuilt word-frequency table — the phase whose
+    * cost is VOCABULARY-bounded, independent of corpus size
+    * (ScaleBpe measures the separation).
+    */
+  def learnMergesFrom(spark: SparkSession, wf: DataFrame,
       k: Int): Learned = {
-    var syms = initialSymbols(wordFreq(docs, textCol)).localCheckpoint()
+    var syms = initialSymbols(wf).localCheckpoint()
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var i = 1
     var exhausted = false

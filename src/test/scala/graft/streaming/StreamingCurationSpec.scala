@@ -74,4 +74,34 @@ class StreamingCurationSpec extends SparkSpec {
         batch.exceptAll(streamed).isEmpty)
     } finally q.stop()
   }
+
+  test("BPE token counting over a file stream == batch counts, per doc") {
+    // the production tokenizer shape: BPE merges are LEARNED offline
+    // (batch — training collects a model), then SERVED on the stream
+    // via the static vocab-encode broadcast join (stream-static join +
+    // per-doc stateful count, Complete mode for the re-emitted totals)
+    val src = Paths.get("/root/testdata/sf0.001/documents.parquet")
+    assume(Files.exists(src), "driver testdata not present")
+    val dir = Files.createTempDirectory("graft-bpestream")
+    Files.copy(src, dir.resolve("d1.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val batchDocs = spark.read.parquet(dir.toString)
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .parquet(dir.toString)
+    import graft.operators.Bpe
+    val learned = Bpe.learnMerges(spark, batchDocs, "text", 3)
+    val counted = Bpe.docTokenCounts(stream, "text", "doc_id", learned)
+    assert(counted.isStreaming)
+    val q = counted.writeStream.format("memory").queryName("doc_bpe")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("doc_bpe")
+      val batch = Bpe.docTokenCounts(batchDocs, "text", "doc_id",
+        learned)
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty)
+    } finally q.stop()
+  }
 }
