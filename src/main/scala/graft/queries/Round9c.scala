@@ -421,5 +421,48 @@ object Round9c {
               |      AND 1 PRECEDING), 0) AS cum FROM dd)
               |SELECT doc_id, lang, n_tokens,
               |  CAST(floor(cum / 1024) AS BIGINT) AS bin
-              |FROM c ORDER BY doc_id""".stripMargin)))
+              |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ---- TPC-H Q10 shape (returned-item reporting): the classic
+    // fact⨝fact shuffle (lineitem⨝quarter-filtered orders) with the
+    // customer⨝nation dimension chain broadcast; top-20 debtors by
+    // returned revenue via TakeOrderedAndProject
+    QueryDef("q143_tpch10",
+      (s, dir) => {
+        val lo = lit("1996-01-01").cast("timestamp")
+        val hi = lit("1996-04-01").cast("timestamp")
+        val nat = t("nation")(s, dir)
+          .select(col("n_nationkey"), col("n_name"))
+        val cust = t("customer")(s, dir)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("c_nationkey"))
+          .join(broadcast(nat),
+            col("c_nationkey") === col("n_nationkey"))
+        val ord = t("orders")(s, dir)
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+          .select(col("o_orderkey"), col("o_custkey"))
+        t("lineitem")(s, dir)
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_extendedprice"),
+            col("l_discount"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("n_name"))
+          .agg(dsum2(col("l_extendedprice"),
+            lit(1.0) - col("l_discount")).as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+              |  ${oSum2("l_extendedprice", "1.0 - l_discount")}
+              |    AS revenue
+              |FROM customer, orders, lineitem, nation
+              |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+              |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+              |  AND o_orderdate < TIMESTAMP '1996-04-01'
+              |GROUP BY c_custkey, c_name, c_acctbal, n_name
+              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)))
 }
