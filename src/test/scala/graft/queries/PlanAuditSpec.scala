@@ -186,4 +186,48 @@ class PlanAuditSpec extends SparkSpec {
     // window + duplicated-subtree copies), not 5.
     assert(s.bcast >= 4 && s.hash <= 7, s)
   }
+
+  test("q131_bpe_tokens: vocab-encode table broadcasts; corpus crosses " +
+      "the wire once (word rebalance + per-doc agg)") {
+    val s = shape("q131_bpe_tokens")
+    // the learned-vocab serving join must NOT shuffle the corpus
+    // against the vocab: vocab broadcasts, exchanges are the word
+    // rebalance round-robin + the per-doc count agg (plus the tiny
+    // vocab-side aggs). No corpus-sized join exchange.
+    assert(s.bcast >= 1, s)
+  }
+
+  test("q133_skyline: no cartesian/theta join — per-value agg + " +
+      "distinct-frame window + one equi-join back") {
+    val plan = SparkEntry.queries("q133_skyline")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+  }
+
+  test("q135_seqmatch / q140_markov: one entity-key exchange each, " +
+      "zero joins") {
+    val s1 = shape("q135_seqmatch")
+    assert(s1.hash <= 2 && s1.bcast == 0, s1)
+    val s2 = shape("q140_markov")
+    // entity window shuffle + type² agg shuffle (+ the type²-frame
+    // row-normalize window)
+    assert(s2.bcast == 0, s2)
+  }
+
+  test("q138_pmi: marginals join on vocab-sized keys; one-row N " +
+      "broadcasts; no corpus re-scan (tf checkpointed)") {
+    val plan = SparkEntry.queries("q138_pmi")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the tf localCheckpoint means the final plan reads NO parquet scan
+    assert(!plan.contains("FileScan parquet"), plan.take(400))
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 1, plan.take(400))
+  }
+
+  test("q143_tpch10: customer/nation dims broadcast; shuffles only for " +
+      "the fact join + final agg") {
+    val s = shape("q143_tpch10")
+    assert(s.bcast >= 2 && s.pushed >= 2, s)
+    assert(s.hash <= 3, s)
+  }
 }
