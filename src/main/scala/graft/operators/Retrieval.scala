@@ -63,8 +63,36 @@ object Retrieval {
       queries: Seq[(Int, String)], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = docs.sparkSession
-    import org.apache.spark.sql.expressions.Window
+    // distinct query terms, tokenized driver-side with words() semantics
+    val qterms = queries.flatMap { case (qid, text) =>
+      text.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        .map(w => (qid.toLong, w))
+    }
+    val qt = spark.createDataFrame(qterms).toDF("query_id", "word")
+    rankTopK(bm25Score(docs, idCol, textCol, qt, k1, b), k,
+      excludeSelf = false)
+  }
 
+  /** BM25 with a DataFrame query set `(query_id, qtext)` — the
+    * dynamic twin of [[bm25TopK]] for doc-as-query retrieval (hybrid
+    * search, more-like-this). `excludeSelf` drops the query document
+    * from its own result list BEFORE ranking.
+    */
+  def bm25TopKFrame(docs: DataFrame, idCol: String, textCol: String,
+      queriesDf: DataFrame, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = false): DataFrame = {
+    val qt = queriesDf
+      .select(col("query_id"),
+        explode(TextOps.words(col("qtext"))).as("word"))
+      .distinct()
+    rankTopK(bm25Score(docs, idCol, textCol, qt, k1, b), k, excludeSelf)
+  }
+
+  /** Shared scoring core: broadcastable distinct query-term frame
+    * `(query_id, word)` → scored `(query_id, doc_id, score)`.
+    */
+  private def bm25Score(docs: DataFrame, idCol: String, textCol: String,
+      qt: DataFrame, k1: Double, b: Double): DataFrame = {
     // one corpus pass: (doc_id, word, tf), materialized for reuse
     val tf = TextOps.wordRows(
         docs.select(col(idCol).as("doc_id"), col(textCol)), textCol,
@@ -77,13 +105,6 @@ object Retrieval {
     // N + avgdl as a one-row broadcast (no driver collect)
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-
-    // distinct query terms, tokenized driver-side with words() semantics
-    val qterms = queries.flatMap { case (qid, text) =>
-      text.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
-        .map(w => (qid, w))
-    }
-    val qt = spark.createDataFrame(qterms).toDF("query_id", "word")
 
     // posting lists of the query terms only
     val matched = tf.join(broadcast(qt), "word")
@@ -105,14 +126,72 @@ object Retrieval {
       .groupBy(col("query_id"), col("doc_id"))
       // exact decimal sum, presented as DOUBLE (the dsum convention)
       .agg(sum(col("contrib")).cast("double").as("score"))
+    scored
+  }
 
+  private def rankTopK(scored: DataFrame, k: Int,
+      excludeSelf: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base =
+      if (excludeSelf) scored.where(col("doc_id") =!= col("query_id"))
+      else scored
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
-    scored
+    base
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
       .select(col("query_id").cast("bigint").as("query_id"),
         col("doc_id"), col("score"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion of a sparse BM25 arm and a dense
+    * cosine-kNN arm (Cormack, Clarke & Büttcher 2009, "Reciprocal
+    * Rank Fusion outperforms Condorcet and individual Rank Learning
+    * Methods") — the standard hybrid-search combiner of RAG retrieval
+    * stacks: `rrf(d) = Σ_arms 1/(kRrf + rank_arm(d))`, rank-only, so
+    * the arms' incomparable score scales never need calibration.
+    *
+    * Query documents are `queryIds` (their text drives the sparse
+    * arm, their embedding the dense arm; the self-match is excluded
+    * from both). Scale: each arm is its proven operator
+    * ([[bm25TopKFrame]] posting-list filter; [[Similarity
+    * .bruteForceTopK]] broadcast scan — swap in `ivfPqTopK` for the
+    * ANN path at 100 TB); fusion is a full-outer join of two
+    * (queries × armK)-sized frames — driver-scale, broadcastable.
+    * The rrf score is one fixed-shape double expression of BIGINT
+    * ranks (engine-identical), rounded to 6 before the deterministic
+    * (rrf DESC, doc_id) ranking.
+    */
+  def rrfHybrid(docs: DataFrame, idCol: String, textCol: String,
+      embs: DataFrame, queryIds: Seq[Long], armK: Int, k: Int,
+      kRrf: Int = 60, embIdCol: String = "vec_id",
+      embCol: String = "embedding",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queriesDf = docs.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(textCol).as("qtext"))
+    val sparse = bm25TopKFrame(docs, idCol, textCol, queriesDf, armK,
+        k1, b, excludeSelf = true)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").as("r_sparse"))
+    val dense = Similarity.bruteForceTopK(
+        embs.filter(col(embIdCol).isin(queryIds: _*)), embs, armK,
+        idCol = embIdCol, embCol = embCol)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("r_dense"))
+    val fused = sparse
+      .join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        round(
+          coalesce(lit(1.0) / (lit(kRrf) + col("r_sparse")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("r_dense")), lit(0.0)),
+          6).as("rrf"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rrf"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -122,6 +201,14 @@ object Retrieval {
     * drift. `queriesValues` is a SQL VALUES list of (query_id, qtext).
     */
   def bm25OracleCtes(queriesValues: String, k1: Double, b: Double): String =
+    bm25OracleCtesQr(
+      s"qr(query_id, qtext) AS (VALUES $queriesValues)", k1, b)
+
+  /** Same chain with an arbitrary SQL definition for the query CTE
+    * `qr(query_id, qtext)` — for doc-as-query retrieval (q144's
+    * hybrid arms derive queries from the corpus itself).
+    */
+  def bm25OracleCtesQr(qrCte: String, k1: Double, b: Double): String =
     s"""w AS (SELECT doc_id, list_filter(
        |    string_split_regex(lower(text), '\\s+'),
        |    x -> len(x) > 0) AS ws FROM documents),
@@ -131,7 +218,7 @@ object Retrieval {
        |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tfc GROUP BY 1),
        |st AS (SELECT COUNT(*) AS n_docs,
        |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
-       |qr(query_id, qtext) AS (VALUES $queriesValues),
+       |$qrCte,
        |qt AS (SELECT DISTINCT query_id, unnest(list_filter(
        |    string_split_regex(lower(qtext), '\\s+'),
        |    x -> len(x) > 0)) AS word FROM qr),

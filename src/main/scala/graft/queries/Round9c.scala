@@ -464,5 +464,53 @@ object Round9c {
               |  AND o_orderdate >= TIMESTAMP '1996-01-01'
               |  AND o_orderdate < TIMESTAMP '1996-04-01'
               |GROUP BY c_custkey, c_name, c_acctbal, n_name
-              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)))
+              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // ---- hybrid retrieval via reciprocal-rank fusion: BM25 sparse
+    // arm (query = the doc's own text) ⊕ cosine dense arm (query =
+    // the doc's embedding), fused rank-only — the RAG-stack combiner
+    QueryDef("q144_rrf_hybrid",
+      (s, dir) => graft.operators.Retrieval.rrfHybrid(
+          t("documents")(s, dir), "doc_id", "text",
+          t("embeddings")(s, dir), queryIds = Seq(0L, 1L, 2L),
+          armK = 10, k = 10)
+        .orderBy(col("query_id"), col("rank")),
+      Some(s"""WITH ${graft.operators.Retrieval.bm25OracleCtesQr(
+                 "qr AS (SELECT doc_id AS query_id, text AS qtext " +
+                 "FROM documents WHERE doc_id < 3)", 1.2, 0.75)},
+              |spr AS (SELECT query_id, doc_id, ROW_NUMBER() OVER (
+              |    PARTITION BY query_id ORDER BY score DESC, doc_id)
+              |    AS r
+              |  FROM sc WHERE doc_id <> query_id),
+              |sp AS (SELECT query_id, doc_id, r AS r_sparse FROM spr
+              |  WHERE r <= 10),
+              |dq AS (SELECT vec_id AS qid,
+              |    CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+              |  WHERE vec_id < 3),
+              |dc AS (SELECT vec_id AS nid,
+              |    CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+              |dsc AS (SELECT qid AS query_id, nid AS doc_id,
+              |    round(list_dot_product(qe, ce) /
+              |      (sqrt(list_dot_product(qe, qe)) *
+              |       sqrt(list_dot_product(ce, ce))), 6) AS sim
+              |  FROM dq, dc WHERE qid != nid),
+              |dr AS (SELECT query_id, doc_id, ROW_NUMBER() OVER (
+              |    PARTITION BY query_id ORDER BY sim DESC, doc_id)
+              |    AS r FROM dsc),
+              |de AS (SELECT query_id, doc_id, r AS r_dense FROM dr
+              |  WHERE r <= 10),
+              |f AS (SELECT COALESCE(sp.query_id, de.query_id)
+              |    AS query_id,
+              |    COALESCE(sp.doc_id, de.doc_id) AS doc_id,
+              |    round(COALESCE(1.0 / (60 + r_sparse), 0.0) +
+              |          COALESCE(1.0 / (60 + r_dense), 0.0), 6) AS rrf
+              |  FROM sp FULL OUTER JOIN de
+              |    ON sp.query_id = de.query_id
+              |    AND sp.doc_id = de.doc_id),
+              |r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY
+              |    query_id ORDER BY rrf DESC, doc_id) AS rank FROM f)
+              |SELECT query_id, doc_id, rrf, CAST(rank AS BIGINT)
+              |  AS rank
+              |FROM r2 WHERE rank <= 10
+              |ORDER BY query_id, rank""".stripMargin)))
 }

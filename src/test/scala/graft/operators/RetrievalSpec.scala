@@ -75,4 +75,44 @@ class RetrievalSpec extends SparkSpec {
       Seq(1 -> "apple apple"), k = 10).select("score").as[Double].collect()
     assert(once.toSeq == twice.toSeq)
   }
+
+  test("bm25TopKFrame == bm25TopK on the same queries; excludeSelf " +
+      "drops the query doc before ranking") {
+    val lit = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq(7 -> "banana cherry"), k = 10).collect().toSeq
+    val frame = Retrieval.bm25TopKFrame(corpus, "doc_id", "text",
+      Seq((7L, "banana cherry")).toDF("query_id", "qtext"), k = 10)
+      .collect().toSeq
+    assert(lit == frame)
+    // doc 2's own text as query: with excludeSelf, doc 2 disappears
+    // and the remaining docs re-rank from 1
+    val self = Retrieval.bm25TopKFrame(corpus, "doc_id", "text",
+      Seq((2L, "banana cherry")).toDF("query_id", "qtext"), k = 10,
+      excludeSelf = true).collect()
+    assert(!self.exists(_.getLong(1) == 2L))
+    assert(self.map(_.getLong(3)).min == 1L)
+  }
+
+  test("rrfHybrid: fused score sums both arms' reciprocal ranks; " +
+      "single-arm docs get one term") {
+    // embeddings: doc 1's nearest is doc 2 (identical direction),
+    // doc 3 orthogonal
+    val embs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Retrieval.rrfHybrid(corpus, "doc_id", "text", embs,
+        queryIds = Seq(1L), armK = 2, k = 10)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // sparse arm for doc-1 text "apple banana apple": doc 2 matches
+    // (banana), doc 3 doesn't → r_sparse(2) = 1.
+    // dense arm: sim(1,2)=1 > sim(1,3)=0 → r_dense(2)=1, r_dense(3)=2.
+    val r61x2 = BigDecimal(1.0 / 61 + 1.0 / 61).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r62 = BigDecimal(1.0 / 62).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(2L) == r61x2) // both arms at rank 1
+    assert(out(3L) == r62)   // dense-only at rank 2
+    assert(!out.contains(1L)) // self excluded from both arms
+  }
 }
