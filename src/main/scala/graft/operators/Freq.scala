@@ -120,19 +120,9 @@ object Freq {
       .select(col(keyCol).cast("string").as("_k"))
 
     def buckets(k: org.apache.spark.sql.Column) =
-      array((0 until depth).map { j =>
-        struct(lit(j).as("j"),
-          pmod(TextOps.hash60(concat(lit(s"cms$j|"), k)),
-            lit(width.toLong)).as("bucket"))
-      }: _*)
+      cmBuckets(k, depth, width)
 
-    // sketch build: explode keeps the hashing inside the Generate (the
-    // single-task guard, PLANS.md round 1), partial agg collapses each
-    // task to ≤ depth·width cells before the shuffle
-    val sketch = graft.Tables.rebalance(keyed)
-      .select(explode(buckets(col("_k"))).as("jb"))
-      .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
-      .agg(count(lit(1)).as("c"))
+    val sketch = cmSketch(keyed, depth, width)
 
     val total = keyed.agg(count(lit(1)).as("_total"))
     val hh = heavyHitterCounts(df, keyCol, capacity)
@@ -148,6 +138,65 @@ object Freq {
     probes.join(broadcast(sketch), Seq("j", "bucket"))
       .groupBy(col(keyCol), col("n_rows"))
       .agg(min(col("c")).as("est_n"))
+  }
+
+  /** The depth-row bucket family of a key — `cms<j>|` md5 hashing,
+    * oracle-replayable (the q116 twin).
+    */
+  private def cmBuckets(k: org.apache.spark.sql.Column, depth: Int,
+      width: Int) =
+    array((0 until depth).map { j =>
+      struct(lit(j).as("j"),
+        pmod(TextOps.hash60(concat(lit(s"cms$j|"), k)),
+          lit(width.toLong)).as("bucket"))
+    }: _*)
+
+  /** Count-min sketch frame `(j, bucket, c)` of a one-column string
+    * frame `_k`. The explode keeps the hashing inside the Generate
+    * (the single-task guard, PLANS.md round 1); the partial agg
+    * collapses each task to ≤ depth·width cells before the shuffle.
+    */
+  def cmSketch(keyed: DataFrame, depth: Int, width: Int): DataFrame =
+    graft.Tables.rebalance(keyed)
+      .select(explode(cmBuckets(col("_k"), depth, width)).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Equi-join cardinality estimation WITHOUT running the join — the
+    * count-min inner product (Cormode & Muthukrishnan 2005 §4.2, the
+    * AGMS idea carried to CM): |A ⋈ B| = Σ_k f_A(k)·f_B(k) is
+    * estimated by `min_j Σ_bucket cms_A[j]·cms_B[j]` — an
+    * overestimate whose error shrinks with width, never an
+    * underestimate. The cost-based-optimizer primitive at 100 TB:
+    * each side is one map-side-combined pass collapsing to
+    * depth×width cells (mergeable across partitions/batches like the
+    * HLL registers), the product is a sketch-sized join — the join
+    * itself never runs, no shuffle of either table against the other.
+    * All arithmetic is exact BIGINT.
+    *
+    * Accuracy contract (measured, q145 + FreqSpec): the collision
+    * error is ≈ (‖f_A‖₁·‖f_B‖₁ − true)/width, so the estimate is
+    * informative only when `width ≳ ‖f_A‖₁·‖f_B‖₁ / (ε·|A⋈B|)`.
+    * Skewed keys and self-joins (F₂, the blow-up diagnostic — pass
+    * the same frame twice) are the sweet spot: the signal Σf² grows
+    * with skew while the error term doesn't. For near-unique PK–FK
+    * joins the signal is minimal (|A⋈B| = |B|) and CM needs an
+    * impractical width — measured 235× over at width 64 on
+    * orders⋈lineitem; use the HLL-overlap screen for that shape
+    * instead.
+    */
+  def joinSizeEstimate(a: DataFrame, aKey: String,
+      b: DataFrame, bKey: String,
+      depth: Int = 4, width: Int = 64): DataFrame = {
+    val sa = cmSketch(a.filter(col(aKey).isNotNull)
+      .select(col(aKey).cast("string").as("_k")), depth, width)
+    val sb = cmSketch(b.filter(col(bKey).isNotNull)
+      .select(col(bKey).cast("string").as("_k")), depth, width)
+    sa.select(col("j"), col("bucket"), col("c").as("ca"))
+      .join(sb.select(col("j"), col("bucket"), col("c").as("cb")),
+        Seq("j", "bucket"))
+      .groupBy(col("j")).agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est_rows"))
   }
 
   /** PMI collocation mining — which adjacent word pairs co-occur far

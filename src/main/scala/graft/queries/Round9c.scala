@@ -512,5 +512,39 @@ object Round9c {
               |SELECT query_id, doc_id, rrf, CAST(rank AS BIGINT)
               |  AS rank
               |FROM r2 WHERE rank <= 10
-              |ORDER BY query_id, rank""".stripMargin)))
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- self-join-size (F₂) estimation WITHOUT running the join:
+    // count-min inner product (AGMS carried to CM) on events.user_id
+    // — the skew/blow-up diagnostic ("how big would a user_id
+    // self-join get?"), with the exact Σf² as error evidence. Width
+    // sized per the operator's accuracy contract (32768 ⇒ sub-5%
+    // here); a near-unique PK-FK join is deliberately NOT the demo
+    // (CM's documented anti-case — see Freq.joinSizeEstimate).
+    QueryDef("q145_selfjoin_size_est",
+      (s, dir) => {
+        val e = t("events")(s, dir)
+        val est = graft.operators.Freq.joinSizeEstimate(
+          e, "user_id", e, "user_id", depth = 4, width = 32768)
+        val exact = e.filter(col("user_id").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("f"))
+          .agg(sum(col("f") * col("f")).as("exact_rows"))
+        est.crossJoin(exact)
+      },
+      Some("""WITH ka AS (SELECT CAST(user_id AS VARCHAR) AS k
+             |  FROM events WHERE user_id IS NOT NULL),
+             |sa AS (SELECT t.j,
+             |    CAST(concat('0x', substr(md5(concat('cms', t.j, '|',
+             |      k)), 1, 15)) AS BIGINT) % 32768 AS bucket,
+             |    COUNT(*) AS ca
+             |  FROM ka, range(0, 4) t(j) GROUP BY 1, 2),
+             |ip AS (SELECT j, CAST(SUM(ca * ca) AS BIGINT) AS ip
+             |  FROM sa GROUP BY 1),
+             |est AS (SELECT MIN(ip) AS est_rows FROM ip),
+             |ex AS (SELECT CAST(SUM(f * f) AS BIGINT) AS exact_rows
+             |  FROM (SELECT COUNT(*) AS f FROM events
+             |    WHERE user_id IS NOT NULL GROUP BY user_id))
+             |SELECT est_rows, exact_rows FROM est CROSS JOIN ex"""
+        .stripMargin)))
 }

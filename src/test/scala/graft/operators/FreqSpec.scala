@@ -163,4 +163,32 @@ class FreqSpec extends SparkSpec {
     assert(rs(0) == (("y", "x", 4L, 2250000L)))
     assert(rs(1) == (("x", "y", 5L, 1800000L)))
   }
+
+  test("joinSizeEstimate: exact at collision-free width, " +
+      "hand-computed inner product") {
+    // A: x×3, y×2; B: x×4, z×5 → |A⋈B| = 3·4 = 12
+    val a = (Seq.fill(3)("x") ++ Seq.fill(2)("y")).toDF("k")
+    val b = (Seq.fill(4)("x") ++ Seq.fill(5)("z")).toDF("k")
+    val est = Freq.joinSizeEstimate(a, "k", b, "k",
+      depth = 4, width = 4096).collect().head.getLong(0)
+    assert(est == 12L)
+    val exact = a.join(b, "k").count()
+    assert(exact == 12L)
+  }
+
+  test("joinSizeEstimate is an OVERestimate that tightens with width " +
+      "(self-join F2)") {
+    val keys = (1 to 2000).map(i => s"u${(i * 2654435761L) % 400}")
+      .toDF("k").repartition(7)
+    val exact = keys.groupBy("k").count()
+      .agg(sum(col("count") * col("count"))).collect().head.getLong(0)
+    val narrow = Freq.joinSizeEstimate(keys, "k", keys, "k",
+      depth = 4, width = 16).collect().head.getLong(0)
+    val wide = Freq.joinSizeEstimate(keys, "k", keys, "k",
+      depth = 4, width = 8192).collect().head.getLong(0)
+    assert(narrow >= exact && wide >= exact) // never under
+    assert(wide - exact <= narrow - exact)   // width tightens
+    // wide is collision-sparse: within 5% of truth
+    assert(wide - exact <= exact / 20)
+  }
 }
