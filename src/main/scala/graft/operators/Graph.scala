@@ -159,4 +159,29 @@ object Graph {
     tri.select(explode(array(col("pivot"), col("x"), col("y"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Local clustering coefficients (Watts & Strogatz 1998): per node
+    * with degree ≥ 2, `coeff = triangles / C(degree, 2)` — reported
+    * in exact integer ppm (`2·T·10⁶ div d·(d−1)`, no float). The
+    * cohesion twin of [[triangleCounts]]: 10⁶ ppm = the node's
+    * neighborhood is a clique (a true duplicate cluster); near 0 = a
+    * hub of pairwise-unrelated matches. Triangle-less nodes report 0.
+    *
+    * Scale: [[triangleCounts]]' oriented generation + one degree
+    * aggregation + a node-keyed left join.
+    */
+  def clusteringCoefficients(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val e = edges.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.where(col("deg") >= 2)
+      .join(triangleCounts(edges, aCol, bCol), Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("coeff_ppm",
+        expr("(2 * n_tri * 1000000) div (deg * (deg - 1))"))
+  }
 }

@@ -546,5 +546,40 @@ object Round9c {
              |  FROM (SELECT COUNT(*) AS f FROM events
              |    WHERE user_id IS NOT NULL GROUP BY user_id))
              |SELECT est_rows, exact_rows FROM est CROSS JOIN ex"""
-        .stripMargin)))
+        .stripMargin)),
+
+    // ---- local clustering coefficients over the near-dup graph:
+    // 10⁶ ppm = the neighborhood is a clique (true duplicate
+    // cluster); near 0 = a hub of pairwise-unrelated matches
+    QueryDef("q146_clustering_coeff",
+      (s, dir) => graft.operators.Graph.clusteringCoefficients(
+          CorpusOps.sharedJaccardPairs(s, dir), "da", "db")
+        .withColumnRenamed("node", "doc_id")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH ${CorpusOps.oShinglesSql},
+              |hs AS (SELECT doc_id, ${CorpusOps.oH60("s")} AS h FROM sh),
+              |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+              |p AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) AS inter
+              |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs AS (SELECT da, db FROM p
+              |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+              |  WHERE inter / (x.n + y.n - inter) >= 0.6),
+              |dg AS (SELECT v AS node, COUNT(*) AS deg FROM (
+              |    SELECT da AS v FROM pairs
+              |    UNION ALL SELECT db FROM pairs)
+              |  GROUP BY v HAVING COUNT(*) >= 2),
+              |tri AS (SELECT e1.da AS a, e1.db AS b, e2.db AS c
+              |  FROM pairs e1 JOIN pairs e2 ON e1.db = e2.da
+              |  JOIN pairs e3 ON e3.da = e1.da AND e3.db = e2.db),
+              |tc AS (SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS t
+              |  FROM (SELECT a AS v FROM tri UNION ALL
+              |        SELECT b FROM tri UNION ALL SELECT c FROM tri)
+              |  GROUP BY v)
+              |SELECT dg.node AS doc_id, dg.deg,
+              |  COALESCE(tc.t, 0) AS n_tri,
+              |  (2 * COALESCE(tc.t, 0) * 1000000)
+              |    // (dg.deg * (dg.deg - 1)) AS coeff_ppm
+              |FROM dg LEFT JOIN tc ON dg.node = tc.node
+              |ORDER BY doc_id""".stripMargin)))
 }

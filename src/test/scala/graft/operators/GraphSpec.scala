@@ -91,4 +91,21 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("clusteringCoefficients: clique = 10^6 ppm, hub center ~0, " +
+      "exact integer values") {
+    // K4 clique (every node coeff 1.0) + a 4-leaf star (center 0)
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val star = (11L to 14L).map(i => (10L, i))
+    val got = Graph.clusteringCoefficients(
+        (k4 ++ star).toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    (1L to 4L).foreach { v =>
+      assert(got(v) == ((3L, 3L, 1000000L))) // deg 3, 3 triangles
+    }
+    assert(got(10L) == ((4L, 0L, 0L))) // hub: 4 neighbors, no closure
+    // leaves have degree 1 → excluded
+    assert(!got.contains(11L))
+  }
 }
