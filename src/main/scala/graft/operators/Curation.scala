@@ -977,4 +977,33 @@ object Curation {
         lit(0)))
       .drop("_bnds")
   }
+
+  /** Snapshot diff of two corpus versions — the nightly-refresh audit
+    * ("what changed since yesterday's crawl?") that gates incremental
+    * reprocessing: only `added`/`changed` docs need re-curation, and
+    * `removed` ids feed downstream retraction. Comparison is by
+    * normalized-text fingerprint (the q33 md5 — 16 bytes cross the
+    * wire per doc instead of the text, and the full-outer join
+    * shuffles id+fingerprint only). Statuses: `added` (new only),
+    * `removed` (old only), `changed` (both, fingerprints differ),
+    * `unchanged`.
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def fp(df: DataFrame, n: String) = df.select(col(idCol).as("_id"),
+      md5(concat_ws(" ", TextOps.words(col(textCol)))).as(n))
+    fp(oldDocs, "fp_old")
+      .join(fp(newDocs, "fp_new"), Seq("_id"), "full_outer")
+      .select(col("_id").as(idCol),
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") === col("fp_new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
+  /** Per-status counts of [[corpusDiff]]. */
+  def corpusDiffSummary(oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    corpusDiff(oldDocs, newDocs, idCol, textCol)
+      .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
 }

@@ -581,5 +581,40 @@ object Round9c {
               |  (2 * COALESCE(tc.t, 0) * 1000000)
               |    // (dg.deg * (dg.deg - 1)) AS coeff_ppm
               |FROM dg LEFT JOIN tc ON dg.node = tc.node
-              |ORDER BY doc_id""".stripMargin)))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- corpus snapshot diff (nightly-refresh audit): old = docs
+    // missing the %7 slice, new = docs missing the %11 slice with the
+    // %5 slice's text revised — statuses count added / removed /
+    // changed / unchanged by normalized-text fingerprint
+    QueryDef("q147_corpus_diff",
+      (s, dir) => {
+        val docs = t("documents")(s, dir)
+        val old = docs.filter(col("doc_id") % 7 =!= 0)
+        val fresh = docs.filter(col("doc_id") % 11 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+        graft.operators.Curation.corpusDiffSummary(old, fresh,
+            "doc_id", "text")
+          .orderBy(col("status"))
+      },
+      Some("""WITH o AS (SELECT doc_id, md5(array_to_string(
+             |    list_filter(string_split_regex(lower(text), '\s+'),
+             |      x -> len(x) > 0), ' ')) AS fp
+             |  FROM documents WHERE doc_id % 7 <> 0),
+             |nw AS (SELECT doc_id, md5(array_to_string(
+             |    list_filter(string_split_regex(lower(
+             |      CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+             |           ELSE text END), '\s+'),
+             |      x -> len(x) > 0), ' ')) AS fp
+             |  FROM documents WHERE doc_id % 11 <> 0),
+             |d AS (SELECT COALESCE(o.doc_id, nw.doc_id) AS doc_id,
+             |    CASE WHEN o.fp IS NULL THEN 'added'
+             |         WHEN nw.fp IS NULL THEN 'removed'
+             |         WHEN o.fp = nw.fp THEN 'unchanged'
+             |         ELSE 'changed' END AS status
+             |  FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id)
+             |SELECT status, COUNT(*) AS n_docs FROM d
+             |GROUP BY status ORDER BY status""".stripMargin)))
 }

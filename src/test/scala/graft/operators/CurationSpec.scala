@@ -311,6 +311,26 @@ class CurationSpec extends SparkSpec {
     assert(dft.toSeq == Seq((1L, 3L, 0L), (2L, 2L, 0L), (3L, 2L, 1L)))
   }
 
+  test("corpusDiff: all four statuses; whitespace-only edits are " +
+      "UNCHANGED (normalized fingerprint)") {
+    import spark.implicits._
+    val old = Seq((1L, "a b c"), (2L, "d e"), (3L, "gone soon"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, "  a   b c "),   // whitespace churn only → unchanged
+      (2L, "d e revised"),  // changed
+      (4L, "brand new"))    // added; 3 removed
+      .toDF("doc_id", "text")
+    val got = Curation.corpusDiff(old, fresh, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    val sum = Curation.corpusDiffSummary(old, fresh, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sum == Map("unchanged" -> 1L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L))
+  }
+
   test("packSequences fans a single stratum over >1 block and still " +
       "matches the serial prefix sum") {
     import spark.implicits._
