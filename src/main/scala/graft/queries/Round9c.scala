@@ -616,5 +616,38 @@ object Round9c {
              |         ELSE 'changed' END AS status
              |  FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id)
              |SELECT status, COUNT(*) AS n_docs FROM d
-             |GROUP BY status ORDER BY status""".stripMargin)))
+             |GROUP BY status ORDER BY status""".stripMargin)),
+
+    // ---- market-basket association rules: frequent brand pairs per
+    // order with support / confidence / lift in exact integer ppm
+    QueryDef("q148_assoc_pairs",
+      (s, dir) => {
+        val li = t("lineitem")(s, dir)
+          .select(col("l_orderkey"), col("l_partkey"))
+          .join(broadcast(t("part")(s, dir)
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+        graft.operators.Assoc.frequentPairs(li, "l_orderkey",
+          "p_brand", minSupport = 2L, topK = 20)
+      },
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey AS bk,
+             |    p_brand AS it
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+             |n AS (SELECT COUNT(DISTINCT bk) AS n FROM b),
+             |si AS (SELECT it, COUNT(*) AS supp_i FROM b GROUP BY it),
+             |pr AS (SELECT x.it AS item_a, y.it AS item_b,
+             |    COUNT(*) AS supp_ab
+             |  FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+             |SELECT pr.item_a, pr.item_b, pr.supp_ab,
+             |  sa.supp_i AS supp_a, sb.supp_i AS supp_b,
+             |  (pr.supp_ab * 1000000) // sa.supp_i AS conf_ppm,
+             |  (pr.supp_ab * n.n * 1000000)
+             |    // (sa.supp_i * sb.supp_i) AS lift_ppm
+             |FROM pr
+             |JOIN si sa ON pr.item_a = sa.it
+             |JOIN si sb ON pr.item_b = sb.it
+             |CROSS JOIN n
+             |ORDER BY supp_ab DESC, item_a, item_b
+             |LIMIT 20""".stripMargin)))
 }
