@@ -81,6 +81,34 @@ object Anomaly {
       .orderBy(col("window_start"))
   }
 
+  /** Hampel flags over a PRE-AGGREGATED counts frame, per key group —
+    * the composition entry point: feed it [[Series.gapFillDaily]]'s
+    * DENSE daily counts and zero-activity days become real
+    * observations the detector can flag ([[robustCountAnomalies]] is
+    * the same arithmetic over its own hourly window counts, globally).
+    * Same exactness argument: medians of integer counts are whole or
+    * exact halves in both engines.
+    *
+    * Output: the input columns plus `is_anomaly`
+    * (`|v − median| > k·MAD` per key group). Stats frames are
+    * key-cardinality-sized broadcasts.
+    */
+  def hampelFlags(counts: DataFrame, keyCols: Seq[String],
+      valCol: String, k: Int = 3): DataFrame = {
+    require(keyCols.nonEmpty, "use robustCountAnomalies for global")
+    val kc = keyCols.map(col)
+    val med = counts.groupBy(kc: _*)
+      .agg(expr(s"percentile($valCol, 0.5D)").as("_med"))
+    val dev = counts.join(broadcast(med), keyCols)
+      .withColumn("_dev", abs(col(valCol) - col("_med")))
+    val mad = dev.groupBy(kc: _*)
+      .agg(expr("percentile(_dev, 0.5D)").as("_mad"))
+    dev.join(broadcast(mad), keyCols)
+      .withColumn("is_anomaly",
+        col("_dev") > lit(k.toDouble) * col("_mad"))
+      .drop("_med", "_dev", "_mad")
+  }
+
   /** Window counts, materialized: every variant consumes this frame
     * at least twice (stats pass + flag pass), and the checkpoint is
     * windows-sized — the event stream reduces exactly once.
