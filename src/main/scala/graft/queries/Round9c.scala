@@ -649,5 +649,43 @@ object Round9c {
              |JOIN si sb ON pr.item_b = sb.it
              |CROSS JOIN n
              |ORDER BY supp_ab DESC, item_a, item_b
-             |LIMIT 20""".stripMargin)))
+             |LIMIT 20""".stripMargin)),
+
+    // ---- the EventAnalytics health section under the oracle:
+    // per-type Hampel flags over the GAP-FILLED daily counts (q134's
+    // densify feeding q127's arithmetic, per key) — zero-activity
+    // days are real observations here
+    QueryDef("q149_daily_anomalies",
+      (s, dir) => graft.operators.Anomaly.hampelFlags(
+          graft.operators.Series.gapFillDaily(
+              t("events")(s, dir), "event_type", "ts")
+            .select(col("k").as("event_type"), col("day"),
+              col("n_events")),
+          Seq("event_type"), "n_events", k = 3)
+        .orderBy(col("event_type"), col("day")),
+      Some("""WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day
+             |  FROM events),
+             |c AS (SELECT event_type, day, COUNT(*) AS n FROM e
+             |  GROUP BY 1, 2),
+             |sp AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+             |  FROM e GROUP BY 1),
+             |cal AS (SELECT event_type,
+             |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+             |      AS DATE) AS day FROM sp),
+             |f AS (SELECT cal.event_type, cal.day,
+             |    CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+             |  FROM cal LEFT JOIN c ON cal.event_type = c.event_type
+             |    AND cal.day = c.day),
+             |m AS (SELECT event_type,
+             |    quantile_cont(n_events, 0.5) AS med
+             |  FROM f GROUP BY 1),
+             |d AS (SELECT f.event_type, f.day, f.n_events,
+             |    abs(f.n_events - m.med) AS dev
+             |  FROM f JOIN m ON f.event_type = m.event_type),
+             |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+             |  FROM d GROUP BY 1)
+             |SELECT d.event_type, d.day, d.n_events,
+             |  d.dev > 3.0 * md.mad AS is_anomaly
+             |FROM d JOIN md ON d.event_type = md.event_type
+             |ORDER BY d.event_type, d.day""".stripMargin)))
 }
