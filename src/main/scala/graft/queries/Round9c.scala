@@ -687,5 +687,29 @@ object Round9c {
              |SELECT d.event_type, d.day, d.n_events,
              |  d.dev > 3.0 * md.mad AS is_anomaly
              |FROM d JOIN md ON d.event_type = md.event_type
-             |ORDER BY d.event_type, d.day""".stripMargin)))
+             |ORDER BY d.event_type, d.day""".stripMargin)),
+
+    // ---- relational division (the FORALL quotient): customers whose
+    // orders span EVERY order priority — set-cover via distinct-count
+    // equality, no correlated NOT EXISTS double negation
+    QueryDef("q150_division",
+      (s, dir) => {
+        val o = t("orders")(s, dir)
+        val nPrio = o.agg(
+          countDistinct(col("o_orderpriority")).as("n_prio"))
+        o.groupBy(col("o_custkey"))
+          .agg(countDistinct(col("o_orderpriority")).as("n_cust_prio"),
+            count(lit(1)).as("n_orders"))
+          .crossJoin(broadcast(nPrio))
+          .where(col("n_cust_prio") === col("n_prio"))
+          .select(col("o_custkey"), col("n_orders"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""WITH np AS (SELECT COUNT(DISTINCT o_orderpriority) AS n
+             |  FROM orders)
+             |SELECT o_custkey, COUNT(*) AS n_orders
+             |FROM orders CROSS JOIN np
+             |GROUP BY o_custkey, np.n
+             |HAVING COUNT(DISTINCT o_orderpriority) = np.n
+             |ORDER BY o_custkey""".stripMargin)))
 }
