@@ -711,5 +711,57 @@ object Round9c {
              |FROM orders CROSS JOIN np
              |GROUP BY o_custkey, np.n
              |HAVING COUNT(DISTINCT o_orderpriority) = np.n
-             |ORDER BY o_custkey""".stripMargin)))
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // ---- exact-moment Pearson correlation (hash-stable: decimal
+    // moments, one fixed double formula — not the order-dependent
+    // builtin corr())
+    QueryDef("q151_correlation",
+      (s, dir) => graft.operators.Stats.pearson(
+        t("lineitem")(s, dir), "l_quantity", "l_extendedprice"),
+      Some("""WITH m AS (SELECT COUNT(*) AS n,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+             |      AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+             |      AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+             |      CAST(l_extendedprice AS DECIMAL(18,2)))
+             |      AS DOUBLE) AS sxy,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+             |      CAST(l_quantity AS DECIMAL(18,2)))
+             |      AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |      CAST(l_extendedprice AS DECIMAL(18,2)))
+             |      AS DOUBLE) AS syy
+             |  FROM lineitem
+             |  WHERE l_quantity IS NOT NULL
+             |    AND l_extendedprice IS NOT NULL)
+             |SELECT n, round((n * sxy - sx * sy) /
+             |  sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             |  AS corr
+             |FROM m""".stripMargin)),
+
+    // ---- chi-square contingency cells (lang × source association)
+    // in exact integer milliunits — which cells deviate, and by how
+    // much, with no float anywhere
+    QueryDef("q152_chi2_cells",
+      (s, dir) => graft.operators.Stats.chi2Cells(
+          t("documents")(s, dir), "lang", "source")
+        .orderBy(col("a"), col("b")),
+      Some("""WITH b0 AS (SELECT lang AS a, source AS b
+             |  FROM documents
+             |  WHERE lang IS NOT NULL AND source IS NOT NULL),
+             |obs AS (SELECT a, b, COUNT(*) AS obs FROM b0
+             |  GROUP BY 1, 2),
+             |ra AS (SELECT a, COUNT(*) AS ra FROM b0 GROUP BY 1),
+             |cb AS (SELECT b, COUNT(*) AS cb FROM b0 GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS n FROM b0)
+             |SELECT obs.a, obs.b, obs.obs,
+             |  (ra.ra * cb.cb * 1000) // n.n AS exp_milli,
+             |  ((obs.obs * n.n - ra.ra * cb.cb) *
+             |   (obs.obs * n.n - ra.ra * cb.cb) * 1000)
+             |    // (n.n * ra.ra * cb.cb) AS chi2_milli
+             |FROM obs JOIN ra USING (a) JOIN cb USING (b)
+             |CROSS JOIN n
+             |ORDER BY a, b""".stripMargin)))
 }
