@@ -71,4 +71,102 @@ object Stats {
         expr("((obs * n - ra * cb) * (obs * n - ra * cb) * 1000) " +
           "div (n * ra * cb)").as("chi2_milli"))
   }
+
+  /** Ordinary-least-squares fit `y = slope·x + intercept`, one row
+    * `(n, slope, intercept, r2)` — same exact-decimal moment pass as
+    * [[pearson]], three fixed double expressions, rounded to 6.
+    */
+  def olsFit(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("decimal(18,2)")
+    val y = col(yCol).cast("decimal(18,2)")
+    val m = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    m.select(col("n"),
+      round(cov / vx, 6).as("slope"),
+      round((col("sy") - (cov / vx) * col("sx")) / col("n"), 6)
+        .as("intercept"),
+      round(cov * cov / (vx * vy), 6).as("r2"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov distance in exact integer ppm —
+    * distribution-DRIFT detection between two slices of one column
+    * ("did today's crawl shift?"). `D = max_v |F_A(v) − F_B(v)|` is
+    * computed entirely in integers: cumulative counts per group over
+    * the merged value axis, the difference cross-multiplied
+    * (`|cA·nB − cB·nA|`), the max scaled once:
+    * `d_ppm = max|cA·nB − cB·nA| · 10⁶ div (nA·nB)` — no float, no
+    * interpolation ambiguity.
+    *
+    * Scale: one distinct-value aggregation per group (map-side
+    * combined to the value cardinality), a full-outer merge on the
+    * value axis, and a prefix-sum window over the DISTINCT-value
+    * frame (value-cardinality-bounded — the skyline/histogram model
+    * contract). Output one row `(n_a, n_b, d_ppm)`.
+    */
+  def ksDistance(df: DataFrame, valCol: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valCol)
+    val cntA = df.filter(col(groupCol) === groupA && v.isNotNull)
+      .groupBy(v.as("v")).agg(count(lit(1)).as("ca"))
+    val cntB = df.filter(col(groupCol) === groupB && v.isNotNull)
+      .groupBy(v.as("v")).agg(count(lit(1)).as("cb"))
+    val merged = cntA.join(cntB, Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    // distinct-value-bounded prefix scan
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = merged
+      .withColumn("cumA", sum(col("ca")).over(w))
+      .withColumn("cumB", sum(col("cb")).over(w))
+    val totals = merged.agg(sum(col("ca")).as("n_a"),
+      sum(col("cb")).as("n_b"))
+    cum.crossJoin(broadcast(totals))
+      .select(col("n_a"), col("n_b"),
+        abs(col("cumA") * col("n_b") - col("cumB") * col("n_a"))
+          .as("d"))
+      .groupBy(col("n_a"), col("n_b")).agg(max(col("d")).as("dmax"))
+      .select(col("n_a"), col("n_b"),
+        expr("(dmax * 1000000) div (n_a * n_b)").as("d_ppm"))
+  }
+
+  /** Benford expected first-digit shares in ppm — `log10(1 + 1/d)`
+    * computed ONCE driver-side and inlined as literals in both the
+    * Spark plan and any oracle (constants, not per-row
+    * transcendentals — the engine never evaluates a log).
+    */
+  val benfordPpm: Seq[(String, Long)] = (1 to 9).map(d =>
+    d.toString -> math.round(math.log10(1.0 + 1.0 / d) * 1000000))
+
+  /** First-digit distribution vs Benford's law (Newcomb 1881, Benford
+    * 1938) — the fraud/synthetic-data smell test of numeric columns.
+    * Digit extraction avoids float formatting: `floor(v)` → BIGINT →
+    * string head (identical in both engines; values < 1 excluded).
+    * Output per digit: `(digit, n, obs_ppm, exp_ppm)` — all exact
+    * integers.
+    */
+  def benfordDigits(df: DataFrame, valCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val digits = df.filter(col(valCol) >= 1)
+      .select(substring(floor(col(valCol)).cast("bigint")
+        .cast("string"), 1, 1).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("t"))
+    val expected = spark.createDataFrame(benfordPpm)
+      .toDF("digit", "exp_ppm")
+    digits.crossJoin(broadcast(total))
+      .join(broadcast(expected), Seq("digit"))
+      .select(col("digit"), col("n"),
+        expr("(n * 1000000) div t").as("obs_ppm"), col("exp_ppm"))
+  }
 }

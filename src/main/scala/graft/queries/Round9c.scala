@@ -763,5 +763,89 @@ object Round9c {
              |    // (n.n * ra.ra * cb.cb) AS chi2_milli
              |FROM obs JOIN ra USING (a) JOIN cb USING (b)
              |CROSS JOIN n
-             |ORDER BY a, b""".stripMargin)))
+             |ORDER BY a, b""".stripMargin)),
+
+    // ---- Benford first-digit audit of order totals (expected shares
+    // are driver-computed literal constants — the engines evaluate no
+    // transcendental)
+    QueryDef("q153_benford",
+      (s, dir) => graft.operators.Stats.benfordDigits(
+          t("orders")(s, dir), "o_totalprice")
+        .orderBy(col("digit")),
+      Some(s"""WITH d AS (SELECT substr(CAST(CAST(floor(o_totalprice)
+              |      AS BIGINT) AS VARCHAR), 1, 1) AS digit
+              |  FROM orders WHERE o_totalprice >= 1),
+              |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+              |t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c),
+              |e(digit, exp_ppm) AS (VALUES ${
+                graft.operators.Stats.benfordPpm.map { case (d, p) =>
+                  s"('$d', CAST($p AS BIGINT))" }.mkString(", ")})
+              |SELECT c.digit, c.n, (c.n * 1000000) // t.t AS obs_ppm,
+              |  e.exp_ppm
+              |FROM c JOIN e USING (digit) CROSS JOIN t
+              |ORDER BY digit""".stripMargin)),
+
+    // ---- OLS trend fit (quantity → price), same exact-moment pass
+    // as q151
+    QueryDef("q154_ols",
+      (s, dir) => graft.operators.Stats.olsFit(
+        t("lineitem")(s, dir), "l_quantity", "l_extendedprice"),
+      Some("""WITH m AS (SELECT COUNT(*) AS n,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+             |      AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+             |      AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+             |      CAST(l_extendedprice AS DECIMAL(18,2)))
+             |      AS DOUBLE) AS sxy,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+             |      CAST(l_quantity AS DECIMAL(18,2)))
+             |      AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |      CAST(l_extendedprice AS DECIMAL(18,2)))
+             |      AS DOUBLE) AS syy
+             |  FROM lineitem
+             |  WHERE l_quantity IS NOT NULL
+             |    AND l_extendedprice IS NOT NULL)
+             |SELECT n,
+             |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             |    AS slope,
+             |  round((sy - ((n * sxy - sx * sy) /
+             |    (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
+             |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+             |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             |    AS r2
+             |FROM m""".stripMargin)),
+
+    // ---- KS distribution drift between returned and delivered line
+    // items, fully integer (cross-multiplied CDF gap in ppm)
+    QueryDef("q155_ks_drift",
+      (s, dir) => graft.operators.Stats.ksDistance(
+        t("lineitem")(s, dir), "l_extendedprice", "l_returnflag",
+        "R", "N"),
+      Some("""WITH ca AS (SELECT l_extendedprice AS v,
+             |    COUNT(*) AS ca FROM lineitem
+             |  WHERE l_returnflag = 'R' AND l_extendedprice IS NOT NULL
+             |  GROUP BY 1),
+             |cb AS (SELECT l_extendedprice AS v, COUNT(*) AS cb
+             |  FROM lineitem
+             |  WHERE l_returnflag = 'N' AND l_extendedprice IS NOT NULL
+             |  GROUP BY 1),
+             |m AS (SELECT COALESCE(ca.v, cb.v) AS v,
+             |    COALESCE(ca.ca, 0) AS ca, COALESCE(cb.cb, 0) AS cb
+             |  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+             |cum AS (SELECT v,
+             |    SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS cumA,
+             |    SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS cumB
+             |  FROM m),
+             |tt AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+             |    CAST(SUM(cb) AS BIGINT) AS n_b FROM m),
+             |dd AS (SELECT MAX(abs(CAST(cumA AS BIGINT) * tt.n_b -
+             |    CAST(cumB AS BIGINT) * tt.n_a)) AS dmax
+             |  FROM cum CROSS JOIN tt)
+             |SELECT tt.n_a, tt.n_b,
+             |  (dd.dmax * 1000000) // (tt.n_a * tt.n_b) AS d_ppm
+             |FROM dd CROSS JOIN tt""".stripMargin)))
 }

@@ -55,4 +55,42 @@ class StatsSpec extends SparkSpec {
     assert(Stats.chi2Cells(ind, "a", "b").collect()
       .forall(_.getLong(4) == 0L))
   }
+
+  test("olsFit recovers an exact linear relationship; r2 = 1") {
+    val df = (1 to 200).map(i => (i.toDouble, 2.5 * i + 7)).toDF("x", "y")
+    val r = Stats.olsFit(df, "x", "y").collect().head
+    assert(r.getDouble(1) == 2.5 && r.getDouble(2) == 7.0 &&
+      r.getDouble(3) == 1.0)
+  }
+
+  test("ksDistance: identical distributions → 0; disjoint → 10^6 ppm; " +
+      "hand-computed mixed case") {
+    val same = ((1 to 50).map(i => ("A", i.toDouble)) ++
+      (1 to 50).map(i => ("B", i.toDouble))).toDF("g", "v")
+    assert(Stats.ksDistance(same, "v", "g", "A", "B")
+      .collect().head.getLong(2) == 0L)
+    val disjoint = ((1 to 50).map(i => ("A", i.toDouble)) ++
+      (1 to 50).map(i => ("B", i + 1000.0))).toDF("g", "v")
+    assert(Stats.ksDistance(disjoint, "v", "g", "A", "B")
+      .collect().head.getLong(2) == 1000000L)
+    // A = {1,2,3,4}, B = {3,4,5,6}: D = max gap = 1/2 at v=2
+    val mixed = (Seq(1, 2, 3, 4).map(i => ("A", i.toDouble)) ++
+      Seq(3, 4, 5, 6).map(i => ("B", i.toDouble))).toDF("g", "v")
+    assert(Stats.ksDistance(mixed, "v", "g", "A", "B")
+      .collect().head.getLong(2) == 500000L)
+  }
+
+  test("benfordDigits: ppm shares sum to ~10^6 and a Benford-ish " +
+      "geometric sample skews toward digit 1") {
+    val vals = (1 to 4000).map(i =>
+      math.pow(1.003, i) * 10).toDF("v")
+    val rows = Stats.benfordDigits(vals, "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val obsSum = rows.values.map(_._2).sum
+    assert(obsSum > 999990L && obsSum <= 1000000L) // div truncation
+    // geometric growth follows Benford closely: digit 1 around 30%
+    val (_, obs1, exp1) = rows("1")
+    assert(math.abs(obs1 - exp1) < 30000) // within 3 points of 30.1%
+  }
 }
