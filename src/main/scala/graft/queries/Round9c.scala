@@ -847,5 +847,40 @@ object Round9c {
              |  FROM cum CROSS JOIN tt)
              |SELECT tt.n_a, tt.n_b,
              |  (dd.dmax * 1000000) // (tt.n_a * tt.n_b) AS d_ppm
-             |FROM dd CROSS JOIN tt""".stripMargin)))
+             |FROM dd CROSS JOIN tt""".stripMargin)),
+
+    // ---- TPC-H Q19 shape (disjunctive discounted revenue): three
+    // OR'd conjunctive branches spanning BOTH join sides — the
+    // optimizer stress case: the common p_partkey join key must still
+    // drive one broadcast equi-join, with the disjunction evaluated
+    // as a post-join filter, not a nested-loop
+    QueryDef("q156_tpch19",
+      (s, dir) => {
+        val p = t("part")(s, dir)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        val li = t("lineitem")(s, dir)
+          .select(col("l_partkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount"))
+        val branch = (brand: String, szHi: Int, qLo: Int, qHi: Int) =>
+          col("p_brand") === brand &&
+          col("p_size").between(1, szHi) &&
+          col("l_quantity").between(qLo, qHi)
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .where(branch("Brand#1", 15, 1, 11) ||
+            branch("Brand#2", 25, 10, 20) ||
+            branch("Brand#3", 35, 20, 30))
+          .agg(count(lit(1)).as("n_rows"),
+            dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+              .as("revenue"))
+      },
+      Some(s"""SELECT COUNT(*) AS n_rows,
+              |  ${oSum2("l_extendedprice", "1.0 - l_discount")}
+              |    AS revenue
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+              |    AND l_quantity BETWEEN 1 AND 11)
+              |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+              |    AND l_quantity BETWEEN 10 AND 20)
+              |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+              |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin)))
 }

@@ -230,4 +230,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.bcast >= 2 && s.pushed >= 2, s)
     assert(s.hash <= 3, s)
   }
+
+  test("q156_tpch19: disjunctive branches stay a broadcast EQUI-join " +
+      "(no nested-loop) with a post-join filter") {
+    val plan = SparkEntry.queries("q156_tpch19")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+  }
 }
