@@ -147,6 +147,41 @@ object Dedup {
     if (cache) out.persist(StorageLevel.MEMORY_AND_DISK) else out
   }
 
+  /** ASYMMETRIC containment join: pairs where the SMALLER document's
+    * shingles are mostly inside the larger's — `C = |A∩B| /
+    * min(|A|,|B|) ≥ threshold` (Broder 1997's containment, the
+    * quote/subset-detection measure). The case symmetric Jaccard
+    * structurally misses: a paragraph quoted inside a 100× longer
+    * document has J ≈ |A|/|B| ≈ 0.01 but C ≈ 1. Same inverted-index
+    * join as [[jaccardPairs]] (only co-shingled pairs generated,
+    * exact intersection counts, broadcastable size side); output
+    * orients each pair as (contained, container) with exact BIGINT
+    * sizes and the containment ratio of two exact integers.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, cache: Boolean = true): DataFrame = {
+    val sh = hashedShingleSet(df, idCol, textCol, n, cache)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("db") === col("sb.doc_id"))
+      .select(
+        when(col("sa.n") <= col("sb.n"), col("da")).otherwise(col("db"))
+          .as("contained"),
+        when(col("sa.n") <= col("sb.n"), col("db")).otherwise(col("da"))
+          .as("container"),
+        col("inter"),
+        least(col("sa.n"), col("sb.n")).as("n_small"),
+        greatest(col("sa.n"), col("sb.n")).as("n_big"),
+        (col("inter") / least(col("sa.n"), col("sb.n")))
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Exact n-gram Jaccard join with PPJoin-style candidate pruning
     * (prefix + length + positional filtering; Xiao et al., WWW'08 —
     * public algorithm, re-expressed declaratively). Same results as

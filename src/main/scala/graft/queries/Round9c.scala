@@ -882,5 +882,31 @@ object Round9c {
               |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
               |    AND l_quantity BETWEEN 10 AND 20)
               |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
-              |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin)))
+              |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    // ---- asymmetric containment near-dup (Broder): quote/subset
+    // detection — the case symmetric Jaccard structurally misses
+    // (DedupSpec pins the quoted-paragraph case; this data's
+    // containment pairs coincide with its near-dups)
+    QueryDef("q157_containment",
+      (s, dir) => graft.operators.Dedup.containmentPairs(
+          t("documents")(s, dir), "doc_id", "text", n = 3,
+          threshold = 0.8)
+        .orderBy(col("contained"), col("container")),
+      Some(s"""WITH ${CorpusOps.oShinglesSql},
+              |hs AS (SELECT doc_id, ${CorpusOps.oH60("s")} AS h FROM sh),
+              |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+              |p AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) AS inter
+              |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT CASE WHEN x.n <= y.n THEN da ELSE db END
+              |    AS contained,
+              |  CASE WHEN x.n <= y.n THEN db ELSE da END AS container,
+              |  inter, LEAST(x.n, y.n) AS n_small,
+              |  GREATEST(x.n, y.n) AS n_big,
+              |  inter / LEAST(x.n, y.n) AS containment
+              |FROM p JOIN sz x ON da = x.doc_id
+              |JOIN sz y ON db = y.doc_id
+              |WHERE inter / LEAST(x.n, y.n) >= 0.8
+              |ORDER BY contained, container""".stripMargin)))
 }

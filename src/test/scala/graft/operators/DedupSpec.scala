@@ -273,4 +273,26 @@ class DedupSpec extends SparkSpec {
     assert(capped.contains((10L, 11L, 1L)))
     assert(capped.count(_._1 <= 5) == 0)
   }
+
+  test("containmentPairs catches a quote inside a long doc that " +
+      "Jaccard misses; orientation = (contained, container)") {
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 120).map(i => s"w${(i * 7) % 40}").mkString(" ")
+    val docs = Seq(
+      (1L, quote),                 // the short doc
+      (2L, s"$filler $quote"),     // quoted inside a much longer doc
+      (3L, "totally different content here now")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    // the quote's shingles are fully inside doc 2 → containment 1.0
+    assert(cont.exists { case (c, big, v) =>
+      c == 1L && big == 2L && v == 1.0 })
+    // symmetric Jaccard at the same bar finds NOTHING for this pair
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.9, cache = false).collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
 }
