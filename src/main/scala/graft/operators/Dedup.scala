@@ -182,6 +182,33 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** Per-document NOVELTY rate in corpus order — the diversity-decay
+    * metric of incremental corpus building: for each doc (ordered by
+    * id = ingestion order), the fraction of its distinct n-gram
+    * shingles never seen in ANY earlier document. A crawl whose
+    * novelty curve collapses is re-crawling itself; the metric is the
+    * aggregate view of what [[jaccardPairs]] finds pairwise.
+    *
+    * Shape: shingle first-occurrence = one `min(doc_id)` aggregation
+    * over the hashed shingle set (map-side combined, shingle-
+    * vocabulary-bounded), joined back on the 8-byte hash; per-doc
+    * novel/total counts are exact BIGINTs, the rate exact integer
+    * ppm. No window over the corpus, no ordering shuffle — "earlier"
+    * is resolved entirely by the min aggregation.
+    */
+  def noveltyRates(df: DataFrame, idCol: String, textCol: String,
+      n: Int, cache: Boolean = true): DataFrame = {
+    val sh = hashedShingleSet(df, idCol, textCol, n, cache)
+    val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
+    sh.join(first, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("(n_novel * 1000000) div n_shingles").as("novelty_ppm"))
+  }
+
   /** Exact n-gram Jaccard join with PPJoin-style candidate pruning
     * (prefix + length + positional filtering; Xiao et al., WWW'08 —
     * public algorithm, re-expressed declaratively). Same results as

@@ -908,5 +908,25 @@ object Round9c {
               |FROM p JOIN sz x ON da = x.doc_id
               |JOIN sz y ON db = y.doc_id
               |WHERE inter / LEAST(x.n, y.n) >= 0.8
-              |ORDER BY contained, container""".stripMargin)))
+              |ORDER BY contained, container""".stripMargin)),
+
+    // ---- per-doc novelty rate in ingestion order (diversity decay):
+    // fraction of a doc's shingles never seen in any earlier doc —
+    // resolved by ONE min-aggregation, no corpus-order window
+    QueryDef("q158_novelty",
+      (s, dir) => graft.operators.Dedup.noveltyRates(
+          t("documents")(s, dir), "doc_id", "text", n = 3)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH ${CorpusOps.oShinglesSql},
+              |hs AS (SELECT doc_id, ${CorpusOps.oH60("s")} AS h FROM sh),
+              |f AS (SELECT h, MIN(doc_id) AS first_id FROM hs
+              |  GROUP BY h)
+              |SELECT hs.doc_id, COUNT(*) AS n_shingles,
+              |  CAST(SUM(CASE WHEN f.first_id = hs.doc_id THEN 1
+              |    ELSE 0 END) AS BIGINT) AS n_novel,
+              |  (CAST(SUM(CASE WHEN f.first_id = hs.doc_id THEN 1
+              |    ELSE 0 END) AS BIGINT) * 1000000) // COUNT(*)
+              |    AS novelty_ppm
+              |FROM hs JOIN f USING (h)
+              |GROUP BY hs.doc_id ORDER BY hs.doc_id""".stripMargin)))
 }

@@ -295,4 +295,22 @@ class DedupSpec extends SparkSpec {
       threshold = 0.9, cache = false).collect()
     assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
+
+  test("noveltyRates: first doc fully novel, exact copy fully stale, " +
+      "half-quote half-novel") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),      // 6 shingles, all first
+      (2L, "a b c d e f g h"),      // exact copy → novelty 0
+      (3L, "a b c d x y z w v u"))  // shares prefix shingles
+      .toDF("doc_id", "text")
+    val got = Dedup.noveltyRates(docs, "doc_id", "text", n = 3,
+        cache = false)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((6L, 6L, 1000000L)))
+    assert(got(2L) == ((6L, 0L, 0L)))
+    // doc 3: 8 shingles; "a b c"/"b c d" seen before → 6 novel
+    assert(got(3L) == ((8L, 6L, 750000L)))
+  }
 }
