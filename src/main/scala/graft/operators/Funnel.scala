@@ -135,6 +135,35 @@ object Funnel {
         expr("(n * 1000000) div row_total").as("p_ppm"))
   }
 
+  /** Top-k length-3 behavior paths: consecutive event-type TRIGRAMS
+    * per entity (ordered by (ts, id)), counted corpus-wide — the
+    * path-mining extension of [[transitionMatrix]] (first-order →
+    * second-order evidence: which three-step journeys dominate).
+    * Share is exact integer ppm of all trigrams.
+    *
+    * Scale: one entity-key window (two leads) + a type³-bounded
+    * aggregation; top-k via TakeOrderedAndProject.
+    */
+  def topTrigramPaths(events: DataFrame, entityCol: String,
+      typeCol: String, tsCol: String, idCol: String,
+      topK: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entityCol)).orderBy(col(tsCol), col(idCol))
+    val tri = events
+      .withColumn("t2", lead(col(typeCol), 1).over(w))
+      .withColumn("t3", lead(col(typeCol), 2).over(w))
+      .where(col("t3").isNotNull)
+      .groupBy(col(typeCol).as("s1"), col("t2").as("s2"),
+        col("t3").as("s3"))
+      .agg(count(lit(1)).as("n"))
+    val total = tri.agg(sum(col("n")).as("t"))
+    tri.crossJoin(broadcast(total))
+      .select(col("s1"), col("s2"), col("s3"), col("n"),
+        expr("(n * 1000000) div t").as("share_ppm"))
+      .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+      .limit(topK)
+  }
+
   /** Per-leg conversion-latency order statistics over the greedy
     * funnel: for each consecutive stage pair (and the overall
     * first→last leg), the exact type-1 p50/p90 of the

@@ -928,5 +928,63 @@ object Round9c {
               |    ELSE 0 END) AS BIGINT) * 1000000) // COUNT(*)
               |    AS novelty_ppm
               |FROM hs JOIN f USING (h)
-              |GROUP BY hs.doc_id ORDER BY hs.doc_id""".stripMargin)))
+              |GROUP BY hs.doc_id ORDER BY hs.doc_id""".stripMargin)),
+
+    // ---- second-order path mining: dominant 3-step user journeys
+    QueryDef("q159_trigram_paths",
+      (s, dir) => Funnel.topTrigramPaths(t("events")(s, dir),
+        "user_id", "event_type", "ts", "event_id", topK = 10),
+      Some("""WITH x AS (SELECT user_id, event_type AS s1,
+             |    LEAD(event_type, 1) OVER w AS s2,
+             |    LEAD(event_type, 2) OVER w AS s3
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |tri AS (SELECT s1, s2, s3, COUNT(*) AS n FROM x
+             |  WHERE s3 IS NOT NULL GROUP BY 1, 2, 3),
+             |t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM tri)
+             |SELECT s1, s2, s3, n, (n * 1000000) // t.t AS share_ppm
+             |FROM tri CROSS JOIN t
+             |ORDER BY n DESC, s1, s2, s3 LIMIT 10""".stripMargin)),
+
+    // ---- referential-integrity audit: the DQ report a warehouse
+    // runs nightly — duplicate PKs, orphaned FKs, null keys — one
+    // (check, n_violations) frame, every check an aggregation or
+    // broadcastable anti-join
+    QueryDef("q160_integrity_report",
+      (s, dir) => {
+        val o = t("orders")(s, dir)
+        val li = t("lineitem")(s, dir)
+        val c = t("customer")(s, dir)
+        def row(name: String, d: org.apache.spark.sql.DataFrame) =
+          d.agg(count(lit(1)).as("n_violations"))
+            .select(lit(name).as("check"), col("n_violations"))
+        val dupPk = row("dup_orderkey",
+          o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+            .where(col("c") > 1))
+        val orphanLi = row("orphan_lineitem",
+          li.select(col("l_orderkey"))
+            .join(o.select(col("o_orderkey")),
+              col("l_orderkey") === col("o_orderkey"), "left_anti"))
+        val orphanOrd = row("orphan_order_customer",
+          o.select(col("o_custkey"))
+            .join(c.select(col("c_custkey")),
+              col("o_custkey") === col("c_custkey"), "left_anti"))
+        val nullKeys = row("null_orderkey",
+          o.where(col("o_orderkey").isNull))
+        dupPk.unionAll(orphanLi).unionAll(orphanOrd).unionAll(nullKeys)
+          .orderBy(col("check"))
+      },
+      Some("""SELECT 'dup_orderkey' AS "check", COUNT(*) AS n_violations
+             |FROM (SELECT o_orderkey FROM orders GROUP BY 1
+             |      HAVING COUNT(*) > 1)
+             |UNION ALL
+             |SELECT 'orphan_lineitem', COUNT(*) FROM lineitem
+             |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+             |UNION ALL
+             |SELECT 'orphan_order_customer', COUNT(*) FROM orders
+             |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+             |UNION ALL
+             |SELECT 'null_orderkey', COUNT(*) FROM orders
+             |WHERE o_orderkey IS NULL
+             |ORDER BY "check"""".stripMargin)))
 }

@@ -141,4 +141,25 @@ class FunnelSpec extends SparkSpec {
     assert(out("click->buy") == ((3L, 5000000L, 5000000L)))
     assert(out("view->buy") == ((3L, 25000000L, 35000000L)))
   }
+
+  test("topTrigramPaths: per-entity windows, no cross-user trigrams, " +
+      "exact shares") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // user 1: a b c b c  → trigrams abc, bcb, cbc
+    // user 2: a b c      → abc (no chain into user 1)
+    val rows = Seq(
+      (1L, 1L, "a", ts(1)), (1L, 2L, "b", ts(2)), (1L, 3L, "c", ts(3)),
+      (1L, 4L, "b", ts(4)), (1L, 5L, "c", ts(5)),
+      (2L, 6L, "a", ts(1)), (2L, 7L, "b", ts(2)), (2L, 8L, "c", ts(3)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = Funnel.topTrigramPaths(rows.repartition(3), "user_id",
+        "event_type", "ts", "event_id", topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2)) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("a", "b", "c")) == ((2L, 500000L))) // 2 of 4 trigrams
+    assert(got(("b", "c", "b")) == ((1L, 250000L)))
+    assert(got(("c", "b", "c")) == ((1L, 250000L)))
+    assert(got.size == 3)
+  }
 }
