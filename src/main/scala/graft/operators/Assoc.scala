@@ -50,7 +50,11 @@ object Assoc {
       .select(col("item_a"), col("item_b"), col("supp_ab"),
         col("supp_a"), col("supp_b"),
         expr("(supp_ab * 1000000) div supp_a").as("conf_ppm"),
-        expr("(supp_ab * n * 1000000) div (supp_a * supp_b)")
+        // the supp_ab·n·1e6 product can exceed BIGINT over ~3M+
+        // baskets with frequent pairs — carry it in DECIMAL(38,0)
+        // (exact) and floor-divide, ≡ integer div for positives
+        expr("cast(floor((cast(supp_ab as decimal(38,0)) * n * 1000000)" +
+          " / (cast(supp_a as decimal(38,0)) * supp_b)) as bigint)")
           .as("lift_ppm"))
       .orderBy(col("supp_ab").desc, col("item_a"), col("item_b"))
       .limit(topK)

@@ -159,9 +159,26 @@ object Dedup {
     * sizes and the containment ratio of two exact integers.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, cache: Boolean = true): DataFrame = {
-    val sh = hashedShingleSet(df, idCol, textCol, n, cache)
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      n: Int, threshold: Double, maxShingleDf: Option[Int] = None,
+      cache: Boolean = true): DataFrame = {
+    val sh0 = hashedShingleSet(df, idCol, textCol, n, cache)
+    // stop-shingle hatch — the same skew escape every sibling
+    // inverted-index join carries (jaccardPairs/winnowed/editDistance):
+    // drop shingles present in > cap docs from CANDIDATE GENERATION
+    // and intersection counting only. Sizes stay exact (uncapped), so
+    // the reported containment is a LOWER BOUND: every returned pair
+    // truly has C ≥ its reported value; pairs whose overlap lives
+    // mostly in stop-shingles may fall below threshold and be missed.
+    // None keeps exact semantics. For exactness WITH skew armor use
+    // [[containmentPairsPrefix]].
+    val sh = maxShingleDf match {
+      case Some(cap) =>
+        val keep = sh0.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("h")
+        sh0.join(keep, "h")
+      case None => sh0
+    }
+    val sz = sh0.groupBy("doc_id").agg(count(lit(1)).as("n"))
     sh.as("a")
       .join(sh.as("b"), col("a.h") === col("b.h") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -179,6 +196,79 @@ object Dedup {
         greatest(col("sa.n"), col("sb.n")).as("n_big"),
         (col("inter") / least(col("sa.n"), col("sb.n")))
           .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** EXACT prefix-filtered containment join — [[containmentPairs]]
+    * semantics (same output, bit-for-bit) with the inverted-index
+    * skew removed, the way [[jaccardPairsPrefix]] de-skews
+    * [[jaccardPairs]]. C ≥ t forces overlap ≥ ⌈t·|A|⌉ where A is the
+    * SMALLER doc, so A must share a shingle within its first
+    * |A| − ⌈t·|A|⌉ + 1 shingles under ANY canonical global order —
+    * rarest-first here, so prefixes hold each doc's rarest shingles.
+    * Containment is asymmetric: the container side admits no prefix
+    * (a tiny quote can sit anywhere in a huge doc), so the join pairs
+    * the contained side's PREFIX rows against the container side's
+    * FULL ranked rows. Cost: Σ_s df_pfx(s)·df(s) — a corpus-wide
+    * boilerplate shingle has huge df but appears in almost no
+    * prefix (it ranks last within each doc), killing the df(s)² term
+    * that makes the naive join quadratic. A positional filter
+    * (remaining-overlap upper bound, shared canonical order) prunes
+    * further; all float comparisons carry 1e-9 slack toward KEEPING,
+    * so rounding can only admit an extra candidate (removed by exact
+    * verification), never drop a true pair. Two extra linear
+    * exchanges (df aggregation + ranking window) buy the pruning.
+    */
+  def containmentPairsPrefix(df: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double,
+      cache: Boolean = true): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      "threshold must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val t = lit(threshold)
+    val eps = lit(1e-9)
+    val sh = hashedShingleSet(df, idCol, textCol, n, cache)
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("dfreq"))
+    val byDoc = Window.partitionBy("doc_id")
+    val ranked = sh.join(dfreq, "h")
+      .select(col("doc_id"), col("h"),
+        row_number().over(byDoc.orderBy(col("dfreq"), col("h")))
+          .as("pos"),
+        count(lit(1)).over(byDoc).as("n"))
+    // contained-side prefix: first |d| − ⌈t·|d|⌉ + 1 rarest shingles
+    // (ceil slack lengthens the prefix — the safe side)
+    val pfx = ranked
+      .filter(col("pos") <= col("n") - ceil(t * col("n") - eps) + 1)
+    // orient at candidate time: a = contained (smaller; id tiebreak on
+    // equal sizes), b = container — b gets NO prefix/length filter.
+    // positional filter: overlap from here ≤ 1 + min(remaining on
+    // each side) must still reach ⌈t·|a|⌉.
+    val smallerSide =
+      col("a.n") < col("b.n") ||
+      (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id"))
+    val overlapUb = lit(1) +
+      least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))
+    val cand = pfx.as("a")
+      .join(ranked.as("b"), col("a.h") === col("b.h") && smallerSide &&
+        overlapUb >= t * col("a.n") - eps)
+      .select(col("a.doc_id").as("ds"), col("b.doc_id").as("dl"),
+        col("a.n").as("ns"), col("b.n").as("nl"))
+      .distinct()
+    // exact verification over the full (cached) shingle sets — inner
+    // join reproduces containmentPairs' count multiplicity exactly
+    val inter = cand
+      .join(sh.as("x"), col("ds") === col("x.doc_id"))
+      .select(col("ds"), col("dl"), col("ns"), col("nl"),
+        col("x.h").as("xh"))
+      .join(sh.as("y"),
+        col("dl") === col("y.doc_id") && col("xh") === col("y.h"))
+      .groupBy(col("ds"), col("dl"), col("ns"), col("nl"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .select(
+        col("ds").as("contained"), col("dl").as("container"),
+        col("inter"), col("ns").as("n_small"), col("nl").as("n_big"),
+        (col("inter") / col("ns")).as("containment"))
       .filter(col("containment") >= threshold)
   }
 

@@ -31,16 +31,28 @@ import org.apache.spark.sql.functions._
   */
 object Density {
 
-  private val OFF = 500L
-  private val W = 100000L
+  // Collision-free 64-bit pack: cid = cx·2^32 + cy is injective for
+  // cy spanning < 2^32 and |cx| ≤ 2^30 keeps the product inside
+  // BIGINT. Out-of-range grid indices (unnormalized coords or a tiny
+  // eps) raise instead of silently aliasing distinct cells; the check
+  // runs on the CELL frame only (occupied-cell cardinality).
+  private val CX_MAX = 1073741824L // 2^30
+  private val CY_MAX = 2147483647L // 2^31 - 1
+  private val W = 4294967296L      // 2^32
 
   /** Per-cell core frame `(cx, cy, n, cid)` — exposed for labeling. */
   def coreCells(embs: DataFrame, embCol: String, eps: Double,
       minPts: Long, dimX: Int, dimY: Int): DataFrame = {
     val pts = cellOf(embs, embCol, eps, dimX, dimY)
+    val inRange = abs(col("cx")) <= lit(CX_MAX) &&
+      abs(col("cy")) <= lit(CY_MAX)
     pts.groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n"))
       .where(col("n") >= minPts)
-      .withColumn("cid", (col("cx") + OFF) * W + (col("cy") + OFF))
+      .withColumn("cid", when(inRange, col("cx") * lit(W) + col("cy"))
+        .otherwise(raise_error(concat(
+          lit("Density grid index out of range (|cx|<=2^30, "),
+          lit("|cy|<2^31 required): cx="), col("cx"),
+          lit(" cy="), col("cy")))))
   }
 
   private def cellOf(embs: DataFrame, embCol: String, eps: Double,

@@ -108,6 +108,7 @@ object Quantiles {
     val g = Window.partitionBy(gcols: _*)
     val v = col(valCol)
     val ranked = df.select(gcols :+ v.as("v"): _*)
+      .filter(col("v").isNotNull)
       .withColumn("rn", row_number().over(g.orderBy(col("v"))))
       .withColumn("n", count(lit(1)).over(g))
       .withColumn("k_lo", expr(s"(n * $loPct + 99) div 100"))

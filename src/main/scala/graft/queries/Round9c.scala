@@ -77,9 +77,9 @@ object Round9c {
        |b$i AS (SELECT lhs, rhs, cnt FROM p$i
        |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
        |m$i AS (SELECT a.word, a.freq, a.sym, a.idx, a.nxt,
-       |    (a.sym = b.lhs AND a.nxt = b.rhs) AS m, b.lhs AS bl,
-       |    b.rhs AS br
-       |  FROM a$i a CROSS JOIN b$i b),
+       |    COALESCE(a.sym = b.lhs AND a.nxt = b.rhs, FALSE) AS m,
+       |    b.lhs AS bl, b.rhs AS br
+       |  FROM a$i a LEFT JOIN b$i b ON TRUE),
        |n$i AS (SELECT *, CASE WHEN m THEN idx - ROW_NUMBER()
        |    OVER (PARTITION BY word, m ORDER BY idx) END AS isl
        |  FROM m$i),
@@ -316,7 +316,7 @@ object Round9c {
              |  FROM embeddings),
              |cc AS (SELECT cx, cy, COUNT(*) AS n FROM e GROUP BY 1, 2),
              |core AS (SELECT cx, cy, n,
-             |    (cx + 500) * 100000 + (cy + 500) AS cid
+             |    cx * 4294967296 + cy AS cid
              |  FROM cc WHERE n >= 5),
              |adj AS (SELECT a.cid AS src, b.cid AS dst
              |  FROM core a JOIN core b ON abs(a.cx - b.cx) <= 1
@@ -978,11 +978,13 @@ object Round9c {
              |FROM (SELECT o_orderkey FROM orders GROUP BY 1
              |      HAVING COUNT(*) > 1)
              |UNION ALL
-             |SELECT 'orphan_lineitem', COUNT(*) FROM lineitem
-             |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+             |SELECT 'orphan_lineitem', COUNT(*) FROM lineitem li
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_orderkey = li.l_orderkey)
              |UNION ALL
-             |SELECT 'orphan_order_customer', COUNT(*) FROM orders
-             |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+             |SELECT 'orphan_order_customer', COUNT(*) FROM orders o
+             |WHERE NOT EXISTS (SELECT 1 FROM customer c
+             |  WHERE c.c_custkey = o.o_custkey)
              |UNION ALL
              |SELECT 'null_orderkey', COUNT(*) FROM orders
              |WHERE o_orderkey IS NULL

@@ -296,6 +296,73 @@ class DedupSpec extends SparkSpec {
     assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
 
+  // quote-heavy corpus with corpus-wide boilerplate: short quotes
+  // contained in long docs, a hot header shared by everyone, plus
+  // unrelated docs — the shape where the naive inverted-index join
+  // fans out on the hot shingles and the prefix filter must not
+  // change the answer
+  private def quoteCorpus = {
+    import spark.implicits._
+    val boiler = "standard legal disclaimer header text here"
+    val quoteA = "alpha beta gamma delta epsilon zeta eta theta"
+    val quoteB = "one two three four five six seven eight nine"
+    val fillerA = (1 to 90).map(i => s"fa${(i * 3) % 55}").mkString(" ")
+    val fillerB = (1 to 70).map(i => s"fb${(i * 11) % 45}").mkString(" ")
+    Seq(
+      (1L, s"$boiler $quoteA"),
+      (2L, s"$boiler $fillerA $quoteA"),      // contains 1's quote
+      (3L, s"$boiler $fillerB $quoteB"),
+      (4L, s"$boiler $quoteB"),               // contained in 3
+      (5L, s"$boiler unrelated totally fresh material present"),
+      (6L, s"$boiler $quoteA $quoteB")        // contains both quotes
+    ).toDF("doc_id", "text")
+  }
+
+  test("containmentPairsPrefix ≡ containmentPairs on a quote-heavy " +
+      "boilerplate corpus (exactness of the prefix filter)") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("contained", "container").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    for (t <- Seq(0.5, 0.8, 0.95)) {
+      val naive = canon(Dedup.containmentPairs(quoteCorpus, "doc_id",
+        "text", n = 3, threshold = t, cache = false))
+      val pfx = canon(Dedup.containmentPairsPrefix(quoteCorpus,
+        "doc_id", "text", n = 3, threshold = t, cache = false))
+      assert(pfx == naive, s"prefix != naive at t=$t")
+      assert(naive.nonEmpty, s"degenerate fixture at t=$t")
+    }
+  }
+
+  test("containmentPairs maxShingleDf: capped run reports lower-bound " +
+      "containment over exact sizes; drops only stop-shingle overlap") {
+    val un = Dedup.containmentPairs(quoteCorpus, "doc_id", "text",
+        n = 3, threshold = 0.5, cache = false)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // cap at 3: the 6-doc boilerplate header shingles are dropped from
+    // candidate generation/intersection; quote shingles (df ≤ 3) stay
+    val capped = Dedup.containmentPairs(quoteCorpus, "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleDf = Some(3), cache = false)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(capped.nonEmpty)
+    capped.foreach { case (k, (inter, nS, nB, c)) =>
+      val (uInter, uS, uB, uC) = un(k)
+      assert(nS == uS && nB == uB, s"sizes must stay exact for $k")
+      assert(inter <= uInter && c <= uC + 1e-12,
+        s"capped containment must lower-bound the exact value for $k")
+    }
+    // capped finds a strict subset of pairs (boilerplate-only overlap
+    // pairs fall below threshold), never a new pair
+    assert(capped.keySet.subsetOf(un.keySet))
+    assert(capped.keySet != un.keySet,
+      "fixture should have at least one pair held up only by the " +
+      "boilerplate shingles")
+  }
+
   test("noveltyRates: first doc fully novel, exact copy fully stale, " +
       "half-quote half-novel") {
     import spark.implicits._
