@@ -239,4 +239,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
     assert(!plan.contains("CartesianProduct"), plan.take(400))
   }
+
+  test("q162_tpch21: exists/not-exists compile to equi semi/anti joins " +
+      "on the fact key — no nested-loop, no cartesian, dims broadcast") {
+    val plan = SparkEntry.queries("q162_tpch21")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    assert(plan.contains("LeftSemi"), plan.take(600))
+    assert(plan.contains("LeftAnti"), plan.take(600))
+    val s = shape("q162_tpch21")
+    // supplier⨝nation prune broadcasts into the probe; exchanges only
+    // for the orderkey-keyed fact joins + the final per-supplier agg
+    // (at larger SFs the l2/l3 sides shuffle on the SAME key, so the
+    // partitioning is reused — the static bound stays ≤ 6)
+    assert(s.bcast >= 1 && s.hash <= 6, s)
+  }
 }
