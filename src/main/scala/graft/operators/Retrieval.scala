@@ -61,7 +61,8 @@ object Retrieval {
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: Seq[(Int, String)], k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      tf: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     // distinct query terms, tokenized driver-side with words() semantics
     val qterms = queries.flatMap { case (qid, text) =>
@@ -69,9 +70,25 @@ object Retrieval {
         .map(w => (qid.toLong, w))
     }
     val qt = spark.createDataFrame(qterms).toDF("query_id", "word")
-    rankTopK(bm25Score(docs, idCol, textCol, qt, k1, b), k,
+    rankTopK(bm25Score(docs, idCol, textCol, qt, k1, b, tf), k,
       excludeSelf = false)
   }
+
+  /** The one corpus-pass posting frame `(doc_id, word, tf)` all BM25
+    * paths derive from — exposed (materialized) so callers sharing a
+    * corpus charge the tokenize→tf build ONCE and pass it to
+    * [[bm25TopK]]/[[bm25TopKFrame]]/[[rrfHybrid]] (the q105/q129
+    * artifact-registration discipline: q115 is the build row, q144's
+    * sparse arm reuses it).
+    */
+  def termFrequencies(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    TextOps.wordRows(
+        docs.select(col(idCol).as("doc_id"), col(textCol)), textCol,
+        keep = Seq("doc_id"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
 
   /** BM25 with a DataFrame query set `(query_id, qtext)` — the
     * dynamic twin of [[bm25TopK]] for doc-as-query retrieval (hybrid
@@ -80,26 +97,27 @@ object Retrieval {
     */
   def bm25TopKFrame(docs: DataFrame, idCol: String, textCol: String,
       queriesDf: DataFrame, k: Int, k1: Double = 1.2, b: Double = 0.75,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false,
+      tf: Option[DataFrame] = None): DataFrame = {
     val qt = queriesDf
       .select(col("query_id"),
         explode(TextOps.words(col("qtext"))).as("word"))
       .distinct()
-    rankTopK(bm25Score(docs, idCol, textCol, qt, k1, b), k, excludeSelf)
+    rankTopK(bm25Score(docs, idCol, textCol, qt, k1, b, tf), k,
+      excludeSelf)
   }
 
   /** Shared scoring core: broadcastable distinct query-term frame
     * `(query_id, word)` → scored `(query_id, doc_id, score)`.
     */
   private def bm25Score(docs: DataFrame, idCol: String, textCol: String,
-      qt: DataFrame, k1: Double, b: Double): DataFrame = {
-    // one corpus pass: (doc_id, word, tf), materialized for reuse
-    val tf = TextOps.wordRows(
-        docs.select(col(idCol).as("doc_id"), col(textCol)), textCol,
-        keep = Seq("doc_id"))
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      qt: DataFrame, k1: Double, b: Double,
+      prebuiltTf: Option[DataFrame]): DataFrame = {
+    // one corpus pass: (doc_id, word, tf) — built here or taken from
+    // the caller's shared artifact (charged to its own build row)
+    val tf = prebuiltTf.getOrElse(
+      termFrequencies(docs.select(col(idCol), col(textCol)),
+        idCol, textCol))
 
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     // N + avgdl as a one-row broadcast (no driver collect)
@@ -167,12 +185,13 @@ object Retrieval {
       embs: DataFrame, queryIds: Seq[Long], armK: Int, k: Int,
       kRrf: Int = 60, embIdCol: String = "vec_id",
       embCol: String = "embedding",
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      tf: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val queriesDf = docs.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col(textCol).as("qtext"))
     val sparse = bm25TopKFrame(docs, idCol, textCol, queriesDf, armK,
-        k1, b, excludeSelf = true)
+        k1, b, excludeSelf = true, tf = tf)
       .select(col("query_id"), col("doc_id"),
         col("rank").as("r_sparse"))
     val dense = Similarity.bruteForceTopK(

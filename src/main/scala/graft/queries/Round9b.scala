@@ -28,6 +28,35 @@ object Round9b {
   private val bm25Values: String = bm25Queries
     .map { case (qid, txt) => s"($qid, '$txt')" }.mkString(", ")
 
+  /** Shared BM25 posting frame per (session, dataset) — the q105/q129
+    * artifact-registration discipline. q115 is the unconditional,
+    * timed, oracle-gated BUILD row (rebuilds + registers); q144's
+    * sparse arm consumes whatever artifact is registered, so the
+    * tokenize→tf corpus pass is charged exactly once per bench run.
+    * Values are deterministic, so consumers' oracles are unaffected by
+    * who built the artifact.
+    */
+  private val tfReg = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.DataFrame]()
+  private def tfKey(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val dirKey = try new java.io.File(dir).getCanonicalPath
+      catch { case _: Throwable => dir }
+    System.identityHashCode(s) + "|" + dirKey
+  }
+  private def buildTf(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val tf = Retrieval.termFrequencies(
+      t("documents")(s, dir), "doc_id", "text")
+    tfReg.put(tfKey(s, dir), tf)
+    tf
+  }
+  private[queries] def sharedTf(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    tfReg.computeIfAbsent(tfKey(s, dir),
+      _ => Retrieval.termFrequencies(
+        t("documents")(s, dir), "doc_id", "text"))
+
   /** HLL register→estimate oracle CTE chain over a source CTE
     * `src(k)`, prefixed so several sketches compose in one query
     * (q121 builds three). Ends in `<pfx>f(est)`. Mirrors
@@ -71,7 +100,8 @@ object Round9b {
     // per-document sum, so the score is exact and order-independent.
     QueryDef("q115_bm25_topk",
       (s, dir) => Retrieval.bm25TopK(t("documents")(s, dir),
-        "doc_id", "text", bm25Queries, k = 10),
+        "doc_id", "text", bm25Queries, k = 10,
+        tf = Some(buildTf(s, dir))),
       Some(s"""WITH ${Retrieval.bm25OracleCtes(bm25Values, 1.2, 0.75)},
               |r AS (SELECT query_id, doc_id, score,
               |    ROW_NUMBER() OVER (PARTITION BY query_id

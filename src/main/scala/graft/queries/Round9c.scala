@@ -473,7 +473,7 @@ object Round9c {
       (s, dir) => graft.operators.Retrieval.rrfHybrid(
           t("documents")(s, dir), "doc_id", "text",
           t("embeddings")(s, dir), queryIds = Seq(0L, 1L, 2L),
-          armK = 10, k = 10)
+          armK = 10, k = 10, tf = Some(Round9b.sharedTf(s, dir)))
         .orderBy(col("query_id"), col("rank")),
       Some(s"""WITH ${graft.operators.Retrieval.bm25OracleCtesQr(
                  "qr AS (SELECT doc_id AS query_id, text AS qtext " +
