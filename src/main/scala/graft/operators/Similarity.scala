@@ -169,6 +169,64 @@ object Similarity {
     pqAssignWith(pqCentroids(df, dims, m, nCentroids, idCol, embCol),
       df, dims, m, idCol, embCol)
 
+  /** Per-subspace Lloyd refinement of [[pqCentroids]] — the PQ
+    * codebook twin of [[trainedCentroids]] (the r9 verdict's last
+    * seeded-only training gap): `iters` k-means iterations in EACH of
+    * the m subspaces under the rounded squared-L2 metric (the
+    * assignment arithmetic of [[pqAssign]], ties to the lowest
+    * cen_id), each followed by a per-(subspace, code, dimension) mean
+    * rounded to 6 decimals. Returns the same `(j, cen_id, cv)` shape
+    * as [[pqCentroids]]; empty codes drop (standard Lloyd), so a
+    * subspace may end with fewer than `nCentroids` rows.
+    *
+    * Scale shape: the subvector explode runs ONCE
+    * (`localCheckpoint`'d — m·N rows of dims/m-length arrays, the
+    * same width as the corpus); each iteration is one broadcast-
+    * assign pass (map-side min_by carrying the subvector through the
+    * buffer, the [[assignCells]] pattern) plus an
+    * (m·nCentroids·dims/m)-sized mean aggregation. The refreshed
+    * codebook COLLECTS to the driver — model-sized (m·nCentroids
+    * rows), like any k-means library — so the next iteration
+    * broadcasts literal centroids instead of growing a lineage chain.
+    * 6-decimal per-dimension rounding each iteration pins cross-
+    * engine float drift below the assignment's own rounding, so the
+    * DuckDB oracle replays every iteration (the q91 discipline).
+    */
+  def trainedPqCentroids(df: DataFrame, dims: Int, m: Int,
+      nCentroids: Int, iters: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    val spark = df.sparkSession
+    val sub = graft.Tables.rebalance(
+        pqSubvectors(df, dims, m, idCol, embCol, "id", "sv"))
+      .localCheckpoint()
+    var cen = pqCentroids(df, dims, m, nCentroids, idCol, embCol)
+    for (_ <- 1 to iters) {
+      val assigned = sub.join(broadcast(cen), Seq("j"))
+        .select(col("id"), col("j"), col("sv"), col("cen_id"),
+          round(dot(col("sv"), col("sv"))
+            - dot(col("sv"), col("cv")) * 2
+            + dot(col("cv"), col("cv")), 6).as("dist2"))
+        .groupBy(col("id"), col("j"))
+        .agg(min_by(struct(col("sv"), col("cen_id")),
+          struct(col("dist2"), col("cen_id"))).as("best"))
+        .select(col("j"), col("best.cen_id").as("cen_id"),
+          col("best.sv").as("sv"))
+      val means = assigned
+        .select(col("j"), col("cen_id"),
+          posexplode(col("sv")).as(Seq("p", "v")))
+        .groupBy(col("j"), col("cen_id"), col("p"))
+        .agg(round(avg(col("v")), 6).as("mv"))
+        .groupBy(col("j"), col("cen_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("p"), col("mv")))),
+          x => x.getField("mv")).as("cv"))
+      cen = spark.createDataFrame(
+        java.util.Arrays.asList(means.collect(): _*), means.schema)
+    }
+    cen
+  }
+
   /** [[pqAssign]] packed to one row per vector: `(idCol, codes)` with
     * the m codes comma-joined in subspace order (a string so the
     * driver's value hash is representation-stable across engines).
@@ -200,8 +258,13 @@ object Similarity {
   def pqTopK(
       queries: DataFrame, candidates: DataFrame, k: Int,
       dims: Int, m: Int, nCentroids: Int,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val cen = pqCentroids(candidates, dims, m, nCentroids, idCol, embCol)
+      idCol: String = "vec_id", embCol: String = "embedding",
+      trainIters: Int = 0): DataFrame = {
+    val cen =
+      if (trainIters > 0)
+        trainedPqCentroids(candidates, dims, m, nCentroids, trainIters,
+          idCol, embCol)
+      else pqCentroids(candidates, dims, m, nCentroids, idCol, embCol)
     val assign = pqAssignWith(cen, candidates, dims, m, idCol, embCol)
     val qsub = pqSubvectors(queries, dims, m, idCol, embCol,
       "query_id", "qv")

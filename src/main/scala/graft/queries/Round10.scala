@@ -106,5 +106,130 @@ object Round10 {
              |    AND datediff('day', o3.o_orderdate, l3.l_shipdate)
              |      > 60)
              |GROUP BY s_name
-             |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)))
+             |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)),
+
+    // ---- PQ codebook training (per-subspace Lloyd, 1 iteration over
+    // 8 subspaces × 16 codes): the r9 verdict's last seeded-only
+    // training gap. Deterministic by construction — lowest-id seeds,
+    // rounded-L2 assignment with lowest-cen_id tie-break, 6-decimal
+    // per-dimension means — so the oracle replays the full iteration.
+    // Output = the trained codebook as scalar rows (j, cen_id, p, mv).
+    QueryDef("q163_pq_train",
+      (s, dir) => graft.operators.Similarity.trainedPqCentroids(
+          t("embeddings")(s, dir), dims = 64, m = 8, nCentroids = 16,
+          iters = 1)
+        .select(col("j").cast("bigint").as("j"), col("cen_id"),
+          posexplode(col("cv")).as(Seq("p", "mv")))
+        .select(col("j"), col("cen_id"), col("p").cast("bigint").as("p"),
+          col("mv"))
+        .orderBy(col("j"), col("cen_id"), col("p")),
+      Some("""WITH e AS (SELECT vec_id,
+             |    CAST(embedding AS DOUBLE[]) AS d FROM embeddings),
+             |s AS (SELECT vec_id, t.j, d[t.j*8+1 : t.j*8+8] AS sv
+             |  FROM e, range(0, 8) t(j)),
+             |cen AS (SELECT j, s.vec_id AS cen_id, sv AS cv FROM s
+             |  WHERE s.vec_id IN (SELECT vec_id FROM e
+             |    ORDER BY vec_id LIMIT 16)),
+             |a0 AS (SELECT s.vec_id AS id, s.j, s.sv, cen_id,
+             |    round(list_dot_product(sv, sv)
+             |      - 2 * list_dot_product(sv, cv)
+             |      + list_dot_product(cv, cv), 6) AS dist2
+             |  FROM s JOIN cen ON s.j = cen.j),
+             |a1 AS (SELECT *, row_number() OVER (PARTITION BY id, j
+             |    ORDER BY dist2, cen_id) AS r FROM a0),
+             |asg AS (SELECT id, j, sv, cen_id FROM a1 WHERE r = 1),
+             |m1 AS (SELECT j, cen_id, t.p,
+             |    round(avg(sv[t.p + 1]), 6) AS mv
+             |  FROM asg, range(0, 8) t(p) GROUP BY j, cen_id, t.p)
+             |SELECT CAST(j AS BIGINT) AS j, cen_id,
+             |  CAST(p AS BIGINT) AS p, mv
+             |FROM m1 ORDER BY j, cen_id, p""".stripMargin)),
+
+    // ---- ADC search over the TRAINED codebook (q84's shape with the
+    // q163 Lloyd pass swapped in): training changes WHICH centroids
+    // broadcast, never the plan — RecallAb measures the recall lift
+    QueryDef("q164_pq_adc_trained",
+      (s, dir) => {
+        val emb = t("embeddings")(s, dir)
+        graft.operators.Similarity.pqTopK(
+            emb.filter(col("vec_id") < 20), emb, k = 5,
+            dims = 64, m = 8, nCentroids = 16, trainIters = 1)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    CAST(embedding AS DOUBLE[]) AS d FROM embeddings),
+             |s AS (SELECT vec_id, t.j, d[t.j*8+1 : t.j*8+8] AS sv
+             |  FROM e, range(0, 8) t(j)),
+             |cen AS (SELECT j, s.vec_id AS cen_id, sv AS cv FROM s
+             |  WHERE s.vec_id IN (SELECT vec_id FROM e
+             |    ORDER BY vec_id LIMIT 16)),
+             |a0 AS (SELECT s.vec_id AS id, s.j, s.sv, cen_id,
+             |    round(list_dot_product(sv, sv)
+             |      - 2 * list_dot_product(sv, cv)
+             |      + list_dot_product(cv, cv), 6) AS dist2
+             |  FROM s JOIN cen ON s.j = cen.j),
+             |a1 AS (SELECT *, row_number() OVER (PARTITION BY id, j
+             |    ORDER BY dist2, cen_id) AS r FROM a0),
+             |asg AS (SELECT id, j, sv, cen_id FROM a1 WHERE r = 1),
+             |m1 AS (SELECT j, cen_id, t.p,
+             |    round(avg(sv[t.p + 1]), 6) AS mv
+             |  FROM asg, range(0, 8) t(p) GROUP BY j, cen_id, t.p),
+             |cen1 AS (SELECT j, cen_id, list(mv ORDER BY p) AS cv
+             |  FROM m1 GROUP BY j, cen_id),
+             |b0 AS (SELECT s.vec_id AS id, s.j, cen_id,
+             |    round(list_dot_product(sv, sv)
+             |      - 2 * list_dot_product(sv, cv)
+             |      + list_dot_product(cv, cv), 6) AS dist2
+             |  FROM s JOIN cen1 ON s.j = cen1.j),
+             |b1 AS (SELECT *, row_number() OVER (PARTITION BY id, j
+             |    ORDER BY dist2, cen_id) AS r FROM b0),
+             |c AS (SELECT id, j, cen_id AS code FROM b1 WHERE r = 1),
+             |qs AS (SELECT vec_id AS query_id, j, sv AS qv FROM s
+             |  WHERE vec_id < 20),
+             |tbl AS (SELECT query_id, qs.j, cen_id AS code,
+             |    CAST(round(list_dot_product(qv, qv)
+             |      - 2 * list_dot_product(qv, cv)
+             |      + list_dot_product(cv, cv), 6)
+             |      AS DECIMAL(20,6)) AS d2
+             |  FROM qs JOIN cen1 ON qs.j = cen1.j),
+             |sums AS (SELECT query_id, c.id AS neighbor_id,
+             |    CAST(SUM(d2) AS DOUBLE) AS adist
+             |  FROM c JOIN tbl ON c.j = tbl.j AND c.code = tbl.code
+             |  WHERE query_id != c.id GROUP BY query_id, c.id),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY adist, neighbor_id) AS rank FROM sums)
+             |SELECT query_id, neighbor_id, adist,
+             |  CAST(rank AS BIGINT) AS rank
+             |FROM r WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- stream-stream interval join, batch twin: the SAME
+    // EventStreams.intervalJoin code path (withWatermark is a no-op on
+    // batch frames) pairing each purchase with the user's clicks in
+    // the preceding hour. In streaming, the watermarks bound the join
+    // state to O(rate × (watermark + within)); the join condition and
+    // output are identical here, which is what EventStreamsSpec's
+    // parity test pins — this row puts the semantics under the
+    // driver's oracle too.
+    QueryDef("q165_interval_join",
+      (s, dir) => {
+        val ev = t("events")(s, dir)
+        graft.streaming.EventStreams.intervalJoin(
+            ev.where(col("event_type") === "purchase"),
+            ev.where(col("event_type") === "click"),
+            key = "user_id", within = "1 HOUR", watermark = "2 hours")
+          .orderBy(col("l_event_id"), col("r_event_id"))
+      },
+      Some("""SELECT l.user_id AS l_key,
+             |  CAST(l.ts AS TIMESTAMP) AS l_ts,
+             |  l.event_id AS l_event_id, l.value AS l_value,
+             |  r.user_id AS r_key, CAST(r.ts AS TIMESTAMP) AS r_ts,
+             |  r.event_id AS r_event_id, r.value AS r_value
+             |FROM events l JOIN events r
+             |  ON l.user_id = r.user_id
+             |  AND l.event_type = 'purchase'
+             |  AND r.event_type = 'click'
+             |  AND r.ts >= l.ts - INTERVAL 1 HOUR
+             |  AND r.ts <= l.ts
+             |ORDER BY l_event_id, r_event_id""".stripMargin)))
 }

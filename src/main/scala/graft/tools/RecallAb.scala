@@ -52,6 +52,9 @@ object RecallAb {
 
     recall(s"PQ global ADC (q84, full scan)",
       Similarity.pqTopK(q, emb, k, dims = 64, m = 8, nCentroids = 16))
+    recall(s"PQ global ADC trained($trainIters) (q163/q164)",
+      Similarity.pqTopK(q, emb, k, dims = 64, m = 8, nCentroids = 16,
+        trainIters = trainIters))
     for (np <- Seq(2, 8)) {
       recall(s"IVF-PQ global codebook nprobe=$np (q87)",
         Similarity.ivfPqTopK(q, emb, k, nCells = 8, nprobe = np,
