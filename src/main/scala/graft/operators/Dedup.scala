@@ -221,24 +221,21 @@ object Dedup {
     */
   def containmentPairsPrefix(df: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double,
-      cache: Boolean = true): DataFrame = {
+      cache: Boolean = true,
+      nativePrefix: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       "threshold must be in (0, 1]")
-    import org.apache.spark.sql.expressions.Window
     val t = lit(threshold)
     val eps = lit(1e-9)
     val sh = hashedShingleSet(df, idCol, textCol, n, cache)
-    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("dfreq"))
-    val byDoc = Window.partitionBy("doc_id")
-    val ranked = sh.join(dfreq, "h")
-      .select(col("doc_id"), col("h"),
-        row_number().over(byDoc.orderBy(col("dfreq"), col("h")))
-          .as("pos"),
-        count(lit(1)).over(byDoc).as("n"))
+    val shs = sh.withColumnRenamed("h", "s")
     // contained-side prefix: first |d| − ⌈t·|d|⌉ + 1 rarest shingles
-    // (ceil slack lengthens the prefix — the safe side)
-    val pfx = ranked
-      .filter(col("pos") <= col("n") - ceil(t * col("n") - eps) + 1)
+    // (ceil slack lengthens the prefix — the safe side); the container
+    // side keeps EVERY ranked position (keepFrac = None)
+    val pfx = rankedRows(shs, Some(threshold), nativePrefix)
+      .withColumnRenamed("s", "h")
+    val ranked = rankedRows(shs, None, nativePrefix)
+      .withColumnRenamed("s", "h")
     // orient at candidate time: a = contained (smaller; id tiebreak on
     // equal sizes), b = container — b gets NO prefix/length filter.
     // positional filter: overlap from here ≤ 1 + min(remaining on
@@ -352,25 +349,57 @@ object Dedup {
     * ([[minhashCandidates]]) or exact grouping there; no exact
     * pairwise join is the right tool when duplicates are the rule.
     */
-  def jaccardPairsPrefix(
-      df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double,
-      cache: Boolean = true): DataFrame = {
-    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
-    import org.apache.spark.sql.expressions.Window
-    val t = lit(threshold)
-    val eps = lit(1e-9)
-    val sh = hashedShingleSet(df, idCol, textCol, n, cache)
-      .withColumnRenamed("h", "s")
+  /** Rarest-first ranked shingle rows `(doc_id, s, pos, n)` of a
+    * hashed shingle frame, optionally truncated to the PPJoin prefix —
+    * ONE aggregation pass via [[graft.functions.RankedShinglesAgg]]
+    * (`native = true`, the default) or the declarative
+    * `row_number + count` window pair it replaces (`native = false`;
+    * DedupSpec pins ≡). The native path drops the window's full
+    * (doc_id, dfreq, s) exchange sort + second scan: the group-by
+    * fuses into the dfreq join's exchange and sorts only within each
+    * document's buffer at eval.
+    */
+  private def rankedRows(sh: DataFrame, keepFrac: Option[Double],
+      native: Boolean): DataFrame = {
     // canonical global order: ascending document frequency, ties by
     // hash value — any total order works for correctness; rarest-first
     // minimizes prefix-join fan-out (the point of the algorithm)
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("dfreq"))
-    val byDoc = Window.partitionBy("doc_id")
-    val ranked = sh.join(dfreq, "s")
-      .select(col("doc_id"), col("s"),
-        row_number().over(byDoc.orderBy(col("dfreq"), col("s"))).as("pos"),
-        count(lit(1)).over(byDoc).as("n"))
+    val joined = sh.join(dfreq, "s")
+    if (native)
+      joined.groupBy(col("doc_id"))
+        .agg(graft.functions.PrefixAgg.rankedShingles(
+          col("s"), col("dfreq"), keepFrac).as("px"))
+        .select(col("doc_id"), col("px.n").as("n"),
+          explode(col("px.items")).as("it"))
+        .select(col("doc_id"), col("it.s").as("s"),
+          col("it.pos").as("pos"), col("n"))
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val byDoc = Window.partitionBy("doc_id")
+      val ranked = joined
+        .select(col("doc_id"), col("s"),
+          row_number().over(byDoc.orderBy(col("dfreq"), col("s")))
+            .as("pos"),
+          count(lit(1)).over(byDoc).as("n"))
+      keepFrac match {
+        case Some(t) => ranked.filter(col("pos") <=
+          col("n") - ceil(lit(t) * col("n") - lit(1e-9)) + 1)
+        case None => ranked
+      }
+    }
+  }
+
+  def jaccardPairsPrefix(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double,
+      cache: Boolean = true,
+      nativePrefix: Boolean = true): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val t = lit(threshold)
+    val eps = lit(1e-9)
+    val sh = hashedShingleSet(df, idCol, textCol, n, cache)
+      .withColumnRenamed("h", "s")
     // prefix = first |d| − ⌈t·|d|⌉ + 1 ranked shingles (ceil slack
     // shortens the ceiling, i.e. lengthens the prefix — the safe side)
     // the prefix frame is NOT persisted: its only consumer is the
@@ -380,8 +409,7 @@ object Dedup {
     // (2.05 s) within noise at sf0.1, and no-persist keeps the operator
     // lazy and leaks nothing into the unified pool between global
     // cache clears (ADVICE r3)
-    val pfx = ranked
-      .filter(col("pos") <= col("n") - ceil(t * col("n") - eps) + 1)
+    val pfx = rankedRows(sh, Some(threshold), nativePrefix)
     val overlapUb =
       lit(1) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))
     val cand = pfx.as("a")

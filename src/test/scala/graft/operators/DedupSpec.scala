@@ -334,6 +334,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("native RankedShinglesAgg prefix ≡ declarative window twin " +
+      "(jaccardPairsPrefix and containmentPairsPrefix)") {
+    def canonJ(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("da", "db").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    def canonC(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("contained", "container").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    for (t <- Seq(0.5, 0.8)) {
+      assert(
+        canonJ(Dedup.jaccardPairsPrefix(quoteCorpus, "doc_id", "text",
+          n = 3, threshold = t, cache = false, nativePrefix = true)) ==
+        canonJ(Dedup.jaccardPairsPrefix(quoteCorpus, "doc_id", "text",
+          n = 3, threshold = t, cache = false, nativePrefix = false)),
+        s"jaccard native != declarative at t=$t")
+      assert(
+        canonC(Dedup.containmentPairsPrefix(quoteCorpus, "doc_id",
+          "text", n = 3, threshold = t, cache = false,
+          nativePrefix = true)) ==
+        canonC(Dedup.containmentPairsPrefix(quoteCorpus, "doc_id",
+          "text", n = 3, threshold = t, cache = false,
+          nativePrefix = false)),
+        s"containment native != declarative at t=$t")
+    }
+  }
+
   test("containmentPairs maxShingleDf: capped run reports lower-bound " +
       "containment over exact sizes; drops only stop-shingle overlap") {
     val un = Dedup.containmentPairs(quoteCorpus, "doc_id", "text",
