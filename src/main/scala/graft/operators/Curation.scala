@@ -337,6 +337,166 @@ object Curation {
         sum(col("logp") * col("tf")).as("s")), idCol, "n_bigrams")
   }
 
+  /** DSIR importance log-ratios (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169):
+    * per document, the mean log P_target(w)/P_raw(w) of its tokens
+    * under two add-one-smoothed unigram models — the target model from
+    * the `targetCol = true` rows (the domain exemplars), the raw model
+    * from the WHOLE corpus — the paper's hashed-n-gram feature ratio
+    * in its unigram form. Positive ⇒ the doc looks more like the
+    * target domain than the raw corpus; [[dsirSample]] resamples by
+    * it. Returns `(idCol, n_tokens, avg_logratio)`.
+    *
+    * Shared vocabulary V (the raw model's — a superset of the
+    * target's) smooths both models, so a word unseen in the target set
+    * gets the floor 1/(N_t+V), never −∞. Determinism: each model's
+    * per-word log rounds to 6 decimals into DECIMAL(20,6) BEFORE the
+    * subtraction, so the ratio column and the per-doc sums are exact
+    * integer arithmetic (the q74 discipline); the mean rounds in
+    * integer micro-units ([[meanLogp6]]).
+    *
+    * Plan shape: one token pass feeds per-doc tf + the two
+    * vocab-sized count frames; the ratio table is vocab-sized and
+    * joins tf by word; N/V are a one-row broadcast. Nothing
+    * corpus-sized shuffles twice.
+    */
+  def dsirLogRatios(docs: DataFrame, textCol: String, idCol: String,
+      targetCol: Column): DataFrame = {
+    val words = TextOps.wordRows(
+      docs.select(col(idCol), col(textCol), targetCol.as("is_target")),
+      textCol, keep = Seq(idCol, "is_target"))
+    val tf = words.groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val rc = words.groupBy(col("word")).agg(count(lit(1)).as("rc"))
+    val tc = words.filter(col("is_target"))
+      .groupBy(col("word")).agg(count(lit(1)).as("tc"))
+    val nv = rc.agg(sum(col("rc")).as("n_r"), count(lit(1)).as("v"))
+      .crossJoin(tc.agg(coalesce(sum(col("tc")), lit(0L)).as("n_t")))
+    val ratio = rc.join(tc, Seq("word"), "left")
+      .crossJoin(broadcast(nv))
+      .select(col("word"),
+        (round(log((coalesce(col("tc"), lit(0L)) + 1) /
+            (col("n_t") + col("v"))), 6).cast("decimal(20,6)") -
+          round(log((col("rc") + 1) / (col("n_r") + col("v"))), 6)
+            .cast("decimal(20,6)")).as("d"))
+    meanLogp6(tf.join(ratio, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("d") * col("tf")).as("s")), idCol, "n_tokens")
+      .withColumnRenamed("avg_logp", "avg_logratio")
+  }
+
+  /** DSIR selection: importance-resample `k` documents WITHOUT
+    * replacement, proportionally to exp(avg_logratio) — the A-ES
+    * weighted sampler ([[weightedSample]]) over integer-ppm weights
+    * `round(exp(clamp(avg_logratio, ±13))·10⁶)` (the clamp keeps the
+    * ppm weight inside BIGINT; exp of the identical 6-decimal double
+    * is engine-identical, the q118 replay discipline). Docs whose
+    * weight rounds to 0 ppm (avg_logratio < ~−13.8) are never
+    * sampled — the resampling intent, documented. Output
+    * `(idCol, weight, skey)` — the reproducible salted sample.
+    */
+  def dsirSample(docs: DataFrame, textCol: String, idCol: String,
+      targetCol: Column, k: Int, salt: String = "dsir"): DataFrame = {
+    val weighted = dsirLogRatios(docs, textCol, idCol, targetCol)
+      .select(col(idCol),
+        round(exp(least(greatest(col("avg_logratio"), lit(-13.0)),
+          lit(13.0))) * 1000000, 0).cast("bigint").as("w_ppm"))
+    weightedSample(weighted, idCol, "w_ppm", k, salt)
+  }
+
+  /** Stupid Backoff trigram scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") — the next rung of the
+    * q74/q100 perplexity-filter ladder and the web-scale LM the paper
+    * built for exactly this job (quality-scoring trillions of tokens
+    * without discount estimation): per held-out document, the mean
+    * log S(w₃|w₁w₂) where
+    *
+    *   S(w₃|w₁w₂) = c(w₁w₂w₃)/c(w₁w₂·)      if the trigram was seen,
+    *              = α·c(·w₂w₃)/c(·w₂·)       else if the (w₂,w₃)
+    *                                          suffix was seen,
+    *              = α²·(c(··w₃)+1)/(N+V₃)    otherwise (add-one floor,
+    *                                          so OOV words score
+    *                                          finite, never −∞),
+    *
+    * with α = 0.4 (the paper's constant) and EVERY count a marginal of
+    * the one training trigram-count frame (c(w₁w₂·) = Σ_w₃,
+    * c(·w₂w₃) = Σ_w₁, c(·w₂·) = Σ_w₁w₃, c(··w₃) = Σ_w₁w₂, N = Σ all,
+    * V₃ = distinct w₃) — one documented degree of freedom that keeps
+    * the whole model derivable from a single corpus pass. Training
+    * rows are `trainCol = true`; all other docs are scored (backoff
+    * actually fires — a model trained on the scored corpus itself
+    * never backs off). Docs with < 3 tokens have no trigrams and are
+    * omitted.
+    *
+    * Determinism: the q74 discipline verbatim — each branch's log is
+    * rounded to 6 decimals and carried as DECIMAL(20,6) so per-doc
+    * sums are exact; the final mean rounds in integer micro-units
+    * ([[meanLogp6]]).
+    *
+    * Plan shape: ONE corpus pass builds the (doc, w₁, w₂, w₃, train)
+    * trigram frame (map-side zip of the token array with its own two
+    * tails, `localCheckpoint`'d); the five marginals are vocab-sized
+    * map-side-combined aggregations of the TRAINING trigram counts;
+    * scoring is the held-out tf frame LEFT-joined to the marginals on
+    * their own keys (no corpus re-scan), N/V₃ a one-row broadcast.
+    */
+  def stupidBackoffScores(docs: DataFrame, textCol: String,
+      idCol: String, trainCol: Column,
+      alpha: Double = 0.4): DataFrame = {
+    val tg = graft.Tables.rebalance(
+        docs.select(col(idCol), col(textCol), trainCol.as("is_train")))
+      .select(col(idCol), col("is_train"),
+        TextOps.words(col(textCol)).as("ws"))
+      .select(col(idCol), col("is_train"), explode(zip_with(
+        zip_with(
+          slice(col("ws"), lit(1), greatest(size(col("ws")) - 2, lit(0))),
+          slice(col("ws"), lit(2), greatest(size(col("ws")) - 2, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2"))),
+        slice(col("ws"), lit(3), greatest(size(col("ws")) - 2, lit(0))),
+        (p, c) => struct(p.getField("w1").as("w1"),
+          p.getField("w2").as("w2"), c.as("w3")))).as("t"))
+      .select(col(idCol), col("is_train"), col("t.w1").as("w1"),
+        col("t.w2").as("w2"), col("t.w3").as("w3"))
+      .localCheckpoint()
+    val c3 = tg.filter(col("is_train"))
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+      .localCheckpoint() // feeds all five marginals + the score join
+    val c12 = c3.groupBy(col("w1"), col("w2")).agg(sum("c3").as("c12"))
+    val c23 = c3.groupBy(col("w2"), col("w3")).agg(sum("c3").as("c23"))
+    val c2m = c3.groupBy(col("w2")).agg(sum("c3").as("c2m"))
+    val c3u = c3.groupBy(col("w3")).agg(sum("c3").as("c3u"))
+    val nv = c3.agg(sum("c3").as("n_tg"),
+      countDistinct(col("w3")).as("v3"))
+    val tf = tg.filter(!col("is_train"))
+      .groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("tf"))
+    val logS =
+      when(col("c3").isNotNull,
+        round(log(col("c3") / col("c12")), 6))
+      .when(col("c23").isNotNull,
+        round(log(lit(alpha) * col("c23") / col("c2m")), 6))
+      // lit(α)·lit(α), not lit(α²): both engines then compute the
+      // same IEEE product at runtime (a Scala-side α² would embed a
+      // constant the oracle's own 0.4·0.4 fold must bit-match anyway)
+      .otherwise(round(log(lit(alpha) * lit(alpha) *
+        (coalesce(col("c3u"), lit(0L)) + 1) /
+        (col("n_tg") + col("v3"))), 6))
+      .cast("decimal(20,6)")
+    meanLogp6(tf
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c23, Seq("w2", "w3"), "left")
+      .join(c2m, Seq("w2"), "left")
+      .join(c3u, Seq("w3"), "left")
+      .crossJoin(broadcast(nv))
+      .select(col(idCol), col("tf"), logS.as("logp"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_trigrams"),
+        sum(col("logp") * col("tf")).as("s")), idCol, "n_trigrams")
+  }
+
   /** `avg_logp = round(s / n, 6)` with the rounding decided in EXACT
     * integer micro-units, not on a double quotient: `s` is a
     * DECIMAL(·,6) sum, so `s·10⁶` is an exact BIGINT and the half-

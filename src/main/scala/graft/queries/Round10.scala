@@ -231,5 +231,114 @@ object Round10 {
              |  AND r.event_type = 'click'
              |  AND r.ts >= l.ts - INTERVAL 1 HOUR
              |  AND r.ts <= l.ts
-             |ORDER BY l_event_id, r_event_id""".stripMargin)))
+             |ORDER BY l_event_id, r_event_id""".stripMargin)),
+
+    // ---- Stupid Backoff trigram LM scoring (Brants 2007): train on
+    // the even-id half, score the held-out half — trigram hit,
+    // α-discounted suffix-bigram backoff, α²·add-one unigram floor
+    // (OOV scores finite). Every count is a marginal of ONE training
+    // trigram frame; the oracle replays all three branches.
+    QueryDef("q166_backoff_lm",
+      (s, dir) => graft.operators.Curation.stupidBackoffScores(
+          t("documents")(s, dir), "text", "doc_id",
+          trainCol = col("doc_id") % 2 === 0)
+        .orderBy(col("doc_id")),
+      Some("""WITH w AS (SELECT doc_id, doc_id % 2 = 0 AS is_train,
+             |    list_filter(string_split_regex(lower(text), '\s+'),
+             |      x -> len(x) > 0) AS ws FROM documents),
+             |i AS (SELECT doc_id, is_train, ws,
+             |    unnest(generate_series(1, len(ws) - 2)) AS i
+             |  FROM w WHERE len(ws) >= 3),
+             |tg AS (SELECT doc_id, is_train, ws[i] AS w1,
+             |    ws[i+1] AS w2, ws[i+2] AS w3 FROM i),
+             |c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tg
+             |  WHERE is_train GROUP BY 1, 2, 3),
+             |c12 AS (SELECT w1, w2, SUM(c3) AS c12 FROM c3
+             |  GROUP BY 1, 2),
+             |c23 AS (SELECT w2, w3, SUM(c3) AS c23 FROM c3
+             |  GROUP BY 1, 2),
+             |c2m AS (SELECT w2, SUM(c3) AS c2m FROM c3 GROUP BY 1),
+             |c3u AS (SELECT w3, SUM(c3) AS c3u FROM c3 GROUP BY 1),
+             |nv AS (SELECT CAST(SUM(c3) AS BIGINT) AS n_tg,
+             |    COUNT(DISTINCT w3) AS v3 FROM c3),
+             |tf AS (SELECT doc_id, w1, w2, w3, COUNT(*) AS tf FROM tg
+             |  WHERE NOT is_train GROUP BY 1, 2, 3, 4),
+             |sc AS (SELECT tf.doc_id, tf.tf,
+             |    CAST(CASE
+             |      WHEN c3.c3 IS NOT NULL THEN
+             |        round(ln(c3.c3 / c12.c12), 6)
+             |      WHEN c23.c23 IS NOT NULL THEN
+             |        round(ln(0.4 * c23.c23 / c2m.c2m), 6)
+             |      ELSE round(ln(0.4 * 0.4 *
+             |        (COALESCE(c3u.c3u, 0) + 1) /
+             |        (nv.n_tg + nv.v3)), 6)
+             |      END AS DECIMAL(20,6)) AS logp
+             |  FROM tf
+             |  LEFT JOIN c3 USING (w1, w2, w3)
+             |  LEFT JOIN c12 USING (w1, w2)
+             |  LEFT JOIN c23 USING (w2, w3)
+             |  LEFT JOIN c2m USING (w2)
+             |  LEFT JOIN c3u USING (w3)
+             |  CROSS JOIN nv),
+             |d AS (SELECT doc_id, SUM(tf) AS n_trigrams,
+             |    SUM(logp * tf) AS s
+             |  FROM sc GROUP BY doc_id)
+             |SELECT doc_id, CAST(n_trigrams AS BIGINT) AS n_trigrams,
+             |  CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END) *
+             |    ((CAST(abs(s) * 1000000 AS BIGINT) * 2 + n_trigrams)
+             |      // (n_trigrams * 2)) AS DOUBLE) / 1000000
+             |    AS avg_logp
+             |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // ---- DSIR importance resampling (Xie 2023): select k docs whose
+    // unigram profile looks like the target domain (lang='de'
+    // exemplars) vs the raw corpus — per-doc mean log P_t/P_r under
+    // two add-one models, then A-ES weighted sampling by exp(ratio)
+    // in integer ppm. The whole chain (both models, the integer-micro
+    // mean, the clamp, the salted sample keys) replays in the oracle.
+    QueryDef("q167_dsir_sample",
+      (s, dir) => graft.operators.Curation.dsirSample(
+          t("documents")(s, dir), "text", "doc_id",
+          targetCol = col("lang") === "de", k = 25)
+        .orderBy(col("skey").desc, col("doc_id")),
+      Some("""WITH w AS (SELECT doc_id, lang = 'de' AS is_target,
+             |    list_filter(string_split_regex(lower(text), '\s+'),
+             |      x -> len(x) > 0) AS ws FROM documents),
+             |tok AS (SELECT doc_id, is_target, unnest(ws) AS word
+             |  FROM w),
+             |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok
+             |  GROUP BY 1, 2),
+             |rc AS (SELECT word, COUNT(*) AS rc FROM tok GROUP BY 1),
+             |tc AS (SELECT word, COUNT(*) AS tc FROM tok
+             |  WHERE is_target GROUP BY 1),
+             |nv AS (SELECT CAST(SUM(rc) AS BIGINT) AS n_r,
+             |    COUNT(*) AS v FROM rc),
+             |nt AS (SELECT CAST(COALESCE(SUM(tc), 0) AS BIGINT) AS n_t
+             |  FROM tc),
+             |lw AS (SELECT rc.word,
+             |    CAST(round(ln((COALESCE(tc.tc, 0) + 1)
+             |        / (nt.n_t + nv.v)), 6) AS DECIMAL(20,6))
+             |    - CAST(round(ln((rc.rc + 1)
+             |        / (nv.n_r + nv.v)), 6) AS DECIMAL(20,6)) AS d
+             |  FROM rc LEFT JOIN tc USING (word)
+             |  CROSS JOIN nv CROSS JOIN nt),
+             |dd AS (SELECT tf.doc_id, SUM(tf.tf) AS n_tokens,
+             |    SUM(lw.d * tf.tf) AS s
+             |  FROM tf JOIN lw USING (word) GROUP BY 1),
+             |m AS (SELECT doc_id,
+             |    CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END) *
+             |      ((CAST(abs(s) * 1000000 AS BIGINT) * 2 + n_tokens)
+             |        // (n_tokens * 2)) AS DOUBLE) / 1000000 AS avg_lr
+             |  FROM dd),
+             |wt AS (SELECT doc_id,
+             |    CAST(round(exp(LEAST(GREATEST(avg_lr, -13.0), 13.0))
+             |      * 1000000, 0) AS BIGINT) AS w_ppm FROM m),
+             |sk AS (SELECT doc_id, w_ppm AS weight,
+             |    round(pow((CAST(concat('0x', substr(md5(
+             |        concat('dsir|', doc_id)), 1, 15)) AS BIGINT) + 1)
+             |        / 1152921504606846976.0,
+             |      1.0 / w_ppm), 6) AS skey
+             |  FROM wt WHERE w_ppm > 0)
+             |SELECT doc_id, weight, skey FROM sk
+             |ORDER BY skey DESC, doc_id LIMIT 25""".stripMargin)))
 }

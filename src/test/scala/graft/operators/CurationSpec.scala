@@ -738,4 +738,61 @@ class CurationSpec extends SparkSpec {
     }
     assert(wins >= 15, s"dominant weight won only $wins/20 draws")
   }
+
+  test("stupidBackoffScores: all three branches hand-computed on a " +
+      "one-train-doc corpus") {
+    import spark.implicits._
+    // train trigrams of "a b c a b d": (a,b,c)(b,c,a)(c,a,b)(a,b,d)
+    // → c12(a,b)=2, c2m(b)=2, c23(b,c)=1, N=4, V3=|{c,a,b,d}|=4
+    val df = Seq(
+      (0L, "a b c a b d"), // train (doc 0)
+      (1L, "a b c"),       // seen trigram: ln(1/2)
+      (3L, "x b c"),       // suffix backoff: ln(0.4·1/2)
+      (5L, "q q q")        // OOV floor: ln(0.16·1/8)
+    ).toDF("doc_id", "text")
+    val got = Curation.stupidBackoffScores(df, "text", "doc_id",
+        trainCol = col("doc_id") === 0)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, -0.693147), (3L, 1L, -1.609438), (5L, 1L, -3.912023)),
+      got.toString)
+  }
+
+  test("stupidBackoffScores: <3-token docs omitted; multi-trigram " +
+      "doc averages in exact micro-units") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "a b c a b d"),
+      (1L, "a b"),          // no trigram → omitted
+      (3L, "a b c q q q")   // 4 trigrams: seen + 3 floors... compute n
+    ).toDF("doc_id", "text")
+    val got = Curation.stupidBackoffScores(df, "text", "doc_id",
+        trainCol = col("doc_id") === 0)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(3L), got.toString)
+    assert(got.head._2 == 4L) // a b c / b c q / c q q / q q q
+  }
+
+  test("dsirLogRatios: target-vocabulary docs score above raw-typical " +
+      "docs; dsirSample draws only positive-ppm docs") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "ziel wort satz", true),
+      (1L, "ziel satz wort", true),
+      (2L, "noise words here", false),
+      (3L, "ziel wort satz", false),   // looks like target
+      (4L, "noise words here", false), // looks like raw background
+      (5L, "noise here words", false)
+    ).toDF("doc_id", "text", "tgt")
+    val lr = Curation.dsirLogRatios(df, "text", "doc_id", col("tgt"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(lr(3L) > lr(4L),
+      s"target-like doc must out-score background: $lr")
+    val sampled = Curation.dsirSample(df, "text", "doc_id", col("tgt"),
+      k = 3).as[(Long, Long, Double)].collect()
+    assert(sampled.length == 3 && sampled.forall(_._2 > 0L))
+  }
 }
