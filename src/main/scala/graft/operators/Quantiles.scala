@@ -127,4 +127,34 @@ object Quantiles {
       sum(least(greatest(col("v"), col("lo")), col("hi"))
         .cast("decimal(12,2)")).cast("double").as("sum_clip"))
   }
+
+  /** Per-group quantile (rank) normalization to exact integer ppm —
+    * the distribution-free feature rescaling of a training pipeline
+    * (each value maps to its empirical quantile, so downstream
+    * consumers see a uniform [0, 1] feature whatever the raw
+    * distribution): `q_ppm = (rank−1)·10⁶ div (n−1)` with rank the
+    * deterministic `(value, id)` row_number. Singleton groups map to
+    * the midpoint 500000 (documented convention — no spread to rank
+    * within). NULL values are excluded (the winsorizeStats
+    * convention). All arithmetic is integer — engine-identical.
+    *
+    * Scale: one window shuffle on the group key; rank windows
+    * serialize per group like any exact order statistic (the
+    * winsorizeStats caveat) — normalize within strata, not globally,
+    * at 100 TB.
+    */
+  def rankNormalize(df: DataFrame, groupCols: Seq[String],
+      valCol: String, idCol: String): DataFrame = {
+    val gcols = groupCols.map(col)
+    val g = Window.partitionBy(gcols: _*)
+    df.filter(col(valCol).isNotNull)
+      .select(gcols ++ Seq(col(idCol), col(valCol)): _*)
+      .withColumn("rn", row_number().over(
+        g.orderBy(col(valCol), col(idCol))))
+      .withColumn("n", count(lit(1)).over(g))
+      .withColumn("q_ppm",
+        when(col("n") > 1, expr("((rn - 1) * 1000000) div (n - 1)"))
+          .otherwise(lit(500000L)))
+      .drop("rn", "n")
+  }
 }

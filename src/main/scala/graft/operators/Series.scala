@@ -67,4 +67,49 @@ object Series {
       .withColumn("ma",
         col("w_sum").cast("double") / col("w_n").cast("double"))
   }
+
+  /** Finite-horizon exponentially-weighted moving average over the
+    * DENSE daily series — the recency-biased twin of
+    * [[movingAvgDaily]], entirely in EXACT integers: the classic
+    * unbounded EWMA recursion (`s_t = λ·x_t + (1−λ)·s_{t−1}`) is
+    * order-dependent float accumulation, so this is the truncated
+    * form every replayable pipeline actually wants — geometric
+    * weights λ = num/den over the trailing `horizon` days, scaled to
+    * the integer weights `w_j = num^j · den^(horizon−1−j)` (j = days
+    * back), so numerator and denominator are exact BIGINTs and
+    * `ewma_milli = (Σ x_j·w_j · 1000) div (Σ w_j)`. Series-head days
+    * with fewer than `horizon` predecessors weight over the lags
+    * that exist (the [[movingAvgDaily]] edge convention). Gap-filled
+    * first, so "j days back" is calendar days, not active days.
+    *
+    * Scale: one window shuffle on the key; the `horizon` lag columns
+    * all ride the SAME window sort (one exchange, one sort, horizon
+    * projections).
+    */
+  def ewmaDaily(events: DataFrame, keyCol: String, tsCol: String,
+      horizon: Int = 7, lamNum: Long = 1L, lamDen: Long = 2L)
+      : DataFrame = {
+    require(horizon >= 1 && lamNum > 0 && lamDen > lamNum,
+      "need horizon ≥ 1 and 0 < λ = num/den < 1")
+    val w = Window.partitionBy(col("k")).orderBy(col("day"))
+    // w_j = num^j · den^(H-1-j), largest for j = 0 (today)
+    val weights = (0 until horizon).map { j =>
+      val v = BigInt(lamNum).pow(j) * BigInt(lamDen).pow(horizon - 1 - j)
+      require(v.isValidLong, s"weight overflow at lag $j")
+      v.toLong
+    }
+    val lags = (0 until horizon).map { j =>
+      if (j == 0) col("n_events") else lag(col("n_events"), j).over(w)
+    }
+    val num = lags.zip(weights).map { case (v, wt) =>
+      when(v.isNotNull, v * lit(wt)).otherwise(lit(0L)) }.reduce(_ + _)
+    val den = lags.zip(weights).map { case (v, wt) =>
+      when(v.isNotNull, lit(wt)).otherwise(lit(0L)) }.reduce(_ + _)
+    gapFillDaily(events, keyCol, tsCol)
+      .drop("cum_events")
+      .withColumn("_num", num * 1000)
+      .withColumn("_den", den)
+      .withColumn("ewma_milli", expr("_num div _den"))
+      .drop("_num", "_den")
+  }
 }

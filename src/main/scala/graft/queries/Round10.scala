@@ -340,5 +340,177 @@ object Round10 {
              |      1.0 / w_ppm), 6) AS skey
              |  FROM wt WHERE w_ppm > 0)
              |SELECT doc_id, weight, skey FROM sk
-             |ORDER BY skey DESC, doc_id LIMIT 25""".stripMargin)))
+             |ORDER BY skey DESC, doc_id LIMIT 25""".stripMargin)),
+
+    // ---- per-group quantile (rank) normalization to exact ppm: the
+    // distribution-free feature rescaling — every value maps to its
+    // empirical within-stratum quantile
+    QueryDef("q168_rank_normalize",
+      (s, dir) => graft.operators.Quantiles.rankNormalize(
+          t("part")(s, dir), Seq("p_brand"), "p_retailprice",
+          "p_partkey")
+        .orderBy(col("p_brand"), col("p_partkey")),
+      Some("""WITH b AS (SELECT p_brand, p_partkey, p_retailprice,
+             |    ROW_NUMBER() OVER (PARTITION BY p_brand
+             |      ORDER BY p_retailprice, p_partkey) AS rn,
+             |    COUNT(*) OVER (PARTITION BY p_brand) AS n
+             |  FROM part WHERE p_retailprice IS NOT NULL)
+             |SELECT p_brand, p_partkey, p_retailprice,
+             |  CASE WHEN n > 1 THEN ((rn - 1) * 1000000) // (n - 1)
+             |    ELSE 500000 END AS q_ppm
+             |FROM b ORDER BY p_brand, p_partkey""".stripMargin)),
+
+    // ---- finite-horizon EWMA over the gap-filled daily series:
+    // recency-biased smoothing in EXACT integers (geometric weights
+    // 2^(6-j) over the trailing 7 calendar days — the replayable
+    // truncation of the order-dependent float recursion)
+    QueryDef("q169_ewma_daily",
+      (s, dir) => graft.operators.Series.ewmaDaily(
+          t("events")(s, dir), "event_type", "ts")
+        .select(col("k").as("event_type"), col("day"),
+          col("n_events"), col("ewma_milli"))
+        .orderBy(col("event_type"), col("day")),
+      Some("""WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day
+             |  FROM events),
+             |c AS (SELECT event_type, day, COUNT(*) AS n FROM e
+             |  GROUP BY 1, 2),
+             |sp AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+             |  FROM e GROUP BY 1),
+             |cal AS (SELECT event_type,
+             |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+             |      AS DATE) AS day FROM sp),
+             |f AS (SELECT cal.event_type, cal.day,
+             |    CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+             |  FROM cal LEFT JOIN c ON cal.event_type = c.event_type
+             |    AND cal.day = c.day),
+             |l AS (SELECT event_type, day, n_events,
+             |    LAG(n_events, 1) OVER w AS l1,
+             |    LAG(n_events, 2) OVER w AS l2,
+             |    LAG(n_events, 3) OVER w AS l3,
+             |    LAG(n_events, 4) OVER w AS l4,
+             |    LAG(n_events, 5) OVER w AS l5,
+             |    LAG(n_events, 6) OVER w AS l6
+             |  FROM f WINDOW w AS (PARTITION BY event_type
+             |    ORDER BY day))
+             |SELECT event_type, day, n_events,
+             |  ((n_events * 64 + COALESCE(l1 * 32, 0)
+             |    + COALESCE(l2 * 16, 0) + COALESCE(l3 * 8, 0)
+             |    + COALESCE(l4 * 4, 0) + COALESCE(l5 * 2, 0)
+             |    + COALESCE(l6 * 1, 0)) * 1000) //
+             |  (64 + CASE WHEN l1 IS NULL THEN 0 ELSE 32 END
+             |    + CASE WHEN l2 IS NULL THEN 0 ELSE 16 END
+             |    + CASE WHEN l3 IS NULL THEN 0 ELSE 8 END
+             |    + CASE WHEN l4 IS NULL THEN 0 ELSE 4 END
+             |    + CASE WHEN l5 IS NULL THEN 0 ELSE 2 END
+             |    + CASE WHEN l6 IS NULL THEN 0 ELSE 1 END)
+             |    AS ewma_milli
+             |FROM l ORDER BY event_type, day""".stripMargin)),
+
+    // ---- TPC-H Q2 planner shape (min-cost supplier per part): the
+    // correlated-scalar-min + tie-break + re-join topology, Spark-side
+    // as ONE min_by aggregation (no window, no self-join) with the
+    // supplier/nation dims broadcast; the oracle keeps the doubly
+    // correlated subquery form. Unit price in exact integer
+    // tenth-cents (BIGINT div of exact decimals).
+    QueryDef("q170_argmin_supplier",
+      (s, dir) => {
+        val u = t("lineitem")(s, dir)
+          .withColumn("cents10",
+            (col("l_extendedprice").cast("decimal(12,2)") * 100)
+              .cast("bigint") * 10)
+          .withColumn("qty", col("l_quantity").cast("bigint"))
+          .withColumn("unit_milli", expr("cents10 div qty"))
+          .select(col("l_partkey"), col("l_suppkey"), col("unit_milli"))
+        val sn = t("supplier")(s, dir)
+          .join(broadcast(t("nation")(s, dir)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        u.groupBy(col("l_partkey").as("p_partkey"))
+          .agg(
+            min_by(col("l_suppkey"),
+              struct(col("unit_milli"), col("l_suppkey")))
+              .as("best_supp"),
+            min(col("unit_milli")).as("unit_milli"))
+          .join(broadcast(sn), col("best_supp") === col("s_suppkey"))
+          .select(col("p_partkey"), col("s_name"), col("n_name"),
+            col("unit_milli"))
+          .orderBy(col("unit_milli"), col("p_partkey"))
+          .limit(100)
+      },
+      Some("""WITH u AS (SELECT l_partkey, l_suppkey,
+             |    (CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+             |      AS BIGINT) * 10) // CAST(l_quantity AS BIGINT)
+             |      AS unit_milli
+             |  FROM lineitem)
+             |SELECT DISTINCT u.l_partkey AS p_partkey, s.s_name,
+             |  n.n_name, u.unit_milli
+             |FROM u
+             |JOIN supplier s ON s.s_suppkey = u.l_suppkey
+             |JOIN nation n ON n.n_nationkey = s.s_nationkey
+             |WHERE u.unit_milli = (SELECT MIN(u2.unit_milli) FROM u u2
+             |    WHERE u2.l_partkey = u.l_partkey)
+             |  AND u.l_suppkey = (SELECT MIN(u3.l_suppkey) FROM u u3
+             |    WHERE u3.l_partkey = u.l_partkey
+             |      AND u3.unit_milli = (SELECT MIN(u4.unit_milli)
+             |        FROM u u4 WHERE u4.l_partkey = u.l_partkey))
+             |ORDER BY unit_milli, p_partkey LIMIT 100""".stripMargin)),
+
+    // ---- blocked record linkage (Fellegi-Sunter shape): customer
+    // registry vs a synthesized second registry (names perturbed for
+    // id%3=0, balances shifted for id%5=0, id%7=0 rows missing) —
+    // candidate pairs ONLY within (nation, segment) blocks, integer
+    // field-agreement score, threshold keeps name-matches AND
+    // exact-balance recoveries of perturbed names; the %15 doubly-
+    // perturbed rows score 15 and are the documented misses
+    QueryDef("q171_record_linkage",
+      (s, dir) => {
+        val cents = (col("c_acctbal").cast("decimal(12,2)") * 100)
+          .cast("bigint")
+        val cust = t("customer")(s, dir)
+        val a = cust.select(col("c_custkey"), col("c_name"),
+          col("c_nationkey"), col("c_mktsegment"), cents.as("cents"))
+        val b = cust.where(col("c_custkey") % 7 =!= 0)
+          .select(col("c_custkey"),
+            when(col("c_custkey") % 3 === 0,
+              concat(col("c_name"), lit("~")))
+              .otherwise(col("c_name")).as("c_name"),
+            col("c_nationkey"), col("c_mktsegment"),
+            (when(col("c_custkey") % 5 === 0, col("c_acctbal") + 0.5)
+              .otherwise(col("c_acctbal"))
+              .cast("decimal(12,2)") * 100).cast("bigint").as("cents"))
+        val score =
+          when(col("a.c_name") === col("b.c_name"), 40L).otherwise(0L) +
+          when(col("a.cents") === col("b.cents"), 35L)
+            .when(abs(col("a.cents") - col("b.cents")) <= 100, 15L)
+            .otherwise(0L)
+        graft.operators.Linkage.scoredPairs(a, b,
+            Seq("c_nationkey", "c_mktsegment"), "c_custkey",
+            score, minScore = 35L)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH a AS (SELECT c_custkey, c_name, c_nationkey,
+             |    c_mktsegment,
+             |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100
+             |      AS BIGINT) AS cents
+             |  FROM customer),
+             |b AS (SELECT c_custkey,
+             |    CASE WHEN c_custkey % 3 = 0 THEN c_name || '~'
+             |      ELSE c_name END AS c_name,
+             |    c_nationkey, c_mktsegment,
+             |    CAST(CAST(CASE WHEN c_custkey % 5 = 0
+             |        THEN c_acctbal + 0.5 ELSE c_acctbal END
+             |      AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+             |  FROM customer WHERE c_custkey % 7 <> 0),
+             |p AS (SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+             |    CAST(CASE WHEN a.c_name = b.c_name THEN 40
+             |      ELSE 0 END +
+             |    CASE WHEN a.cents = b.cents THEN 35
+             |      WHEN abs(a.cents - b.cents) <= 100 THEN 15
+             |      ELSE 0 END AS BIGINT) AS score,
+             |    a.c_nationkey, a.c_mktsegment
+             |  FROM a JOIN b ON a.c_nationkey = b.c_nationkey
+             |    AND a.c_mktsegment = b.c_mktsegment)
+             |SELECT a_id, b_id, score, c_nationkey, c_mktsegment
+             |FROM p WHERE score >= 35
+             |ORDER BY a_id, b_id""".stripMargin)))
 }

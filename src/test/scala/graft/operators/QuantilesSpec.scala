@@ -76,4 +76,33 @@ class QuantilesSpec extends SparkSpec {
     assert(r.getAs[Long]("n_clip_lo") == 0L &&
       r.getAs[Long]("n_clip_hi") == 0L)
   }
+
+  test("winsorizeStats ignores null values (they must not occupy ranks)") {
+    import spark.implicits._
+    val df = (Seq.fill(3)(Option.empty[Double]) ++
+        (1 to 10).map(v => Some(v.toDouble)))
+      .map(v => ("g", v)).toDF("grp", "x")
+    val r = Quantiles.winsorizeStats(df, Seq("grp"), "x").collect().head
+    assert(r.getAs[Long]("n_rows") == 10L, r.toString)
+    assert(r.getAs[Double]("lo") == 1.0 && r.getAs[Double]("hi") == 10.0)
+  }
+
+  test("rankNormalize: exact ppm quantiles, deterministic ties, " +
+      "singleton midpoint, nulls excluded") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, Some(10.0)), ("a", 2L, Some(20.0)),
+      ("a", 3L, Some(20.0)), ("a", 4L, Some(40.0)),
+      ("a", 5L, None),
+      ("b", 9L, Some(7.0))
+    ).toDF("grp", "id", "x")
+    val got = Quantiles.rankNormalize(df, Seq("grp"), "x", "id")
+      .orderBy("grp", "id")
+      .select("grp", "id", "q_ppm")
+      .as[(String, Long, Long)].collect().toSeq
+    // group a: ranks by (x, id) → 1,2,3,4 over n=4 → 0, 1/3, 2/3, 1
+    assert(got == Seq(
+      ("a", 1L, 0L), ("a", 2L, 333333L), ("a", 3L, 666666L),
+      ("a", 4L, 1000000L), ("b", 9L, 500000L)), got.toString)
+  }
 }

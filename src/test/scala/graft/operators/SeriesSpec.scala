@@ -61,4 +61,21 @@ class SeriesSpec extends SparkSpec {
       ("2024-01-03", 0L, 3L, 3L, 1.0),
       ("2024-01-04", 1L, 1L, 3L, 1.0 / 3.0))) // Jan 1 rolled out
   }
+
+  test("ewmaDaily: hand-computed geometric weights, head ramp, " +
+      "silent days weighted as zeros") {
+    // dense series for a: Jan1=2, Jan2=0 (gap), Jan3=1
+    // H=3, λ=1/2 → integer weights (today..2 back) = 4, 2, 1
+    val events = Seq(("a", ts(1, 1)), ("a", ts(1, 23)), ("a", ts(3)))
+      .toDF("k", "ts").repartition(4)
+    val out = Series.ewmaDaily(events, "k", "ts", horizon = 3)
+      .orderBy("day")
+      .collect().map(r => (r.getDate(1).toString, r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(out == Seq(
+      ("2024-01-01", 2L, 2000L),          // 2·4·1000 div 4
+      ("2024-01-02", 0L, 666L),           // (0·4+2·2)·1000 div 6
+      ("2024-01-03", 1L, 857L)),          // (1·4+0·2+2·1)·1000 div 7
+      out.toString)
+  }
 }
