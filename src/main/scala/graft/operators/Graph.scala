@@ -184,4 +184,45 @@ object Graph {
       .withColumn("coeff_ppm",
         expr("(2 * n_tri * 1000000) div (deg * (deg - 1))"))
   }
+
+  /** Synchronous min-label propagation over an undirected edge list,
+    * `iters` FIXED iterations (Raghavan et al. 2007's deterministic
+    * min-label variant): every node starts labeled with itself; each
+    * round it takes the minimum of its own and its neighbors' labels.
+    * With unbounded rounds this converges to connected components
+    * ([[Dedup.connectedComponents]] is the O(log diameter)
+    * pointer-jumping operator for THAT); bounded `iters` is the
+    * community-detection / partial-closure form — after k rounds a
+    * node's label is the smallest id within graph distance k, so
+    * label agreement is a radius-k locality signal. Deterministic by
+    * construction (min is order-free), so a DuckDB oracle replays
+    * every round as one CTE.
+    *
+    * Scale: each round is one join of the (symmetrized) edge list
+    * against the label frame on the SAME node key + a min
+    * aggregation — k rounds = k bounded shuffles, `localCheckpoint`
+    * per round truncates the lineage chain (the trainedCentroids
+    * discipline, but graph-sized state stays distributed — nothing
+    * collects).
+    *
+    * Returns `(node, community)` — community = the radius-`iters`
+    * min label.
+    */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val sym = edges.select(col(aCol).as("s"), col(bCol).as("d"))
+      .unionAll(edges.select(col(bCol).as("s"), col(aCol).as("d")))
+      .localCheckpoint()
+    var lab = sym.select(col("s").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to iters) {
+      val fromNeighbors = sym.join(lab, col("s") === col("node"))
+        .select(col("d").as("node"), col("lbl"))
+      lab = fromNeighbors.unionAll(lab)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    lab.select(col("node"), col("lbl").as("community"))
+  }
 }

@@ -169,4 +169,129 @@ object Stats {
       .select(col("digit"), col("n"),
         expr("(n * 1000000) div t").as("obs_ppm"), col("exp_ppm"))
   }
+
+  /** All-pairs Pearson correlation MATRIX in ONE corpus pass — the
+    * profiling step that runs [[pearson]]'s five-moment discipline
+    * for every column pair simultaneously: one aggregation computes
+    * the full moment set (k sums, k sums-of-squares, k·(k−1)/2 cross
+    * products — all exact DECIMAL, partition-order-proof), and the
+    * k²-sized correlation frame is derived from the ONE result row.
+    * Rows with a NULL in ANY of the columns are excluded (complete-
+    * case analysis — the convention that makes every pair share the
+    * same n, which is what makes a one-pass matrix possible at all;
+    * pairwise-deletion would need a pass per pair).
+    *
+    * Output: `(col_a, col_b, n, corr)` for a < b (upper triangle).
+    */
+  def pearsonMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val complete = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    val d = cols.map(c => col(c).cast("decimal(18,2)"))
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (i, j)
+    val aggs =
+      Seq(count(lit(1)).as("n")) ++
+      cols.indices.map(i => sum(d(i)).cast("double").as(s"s$i")) ++
+      cols.indices.map(i =>
+        sum(d(i) * d(i)).cast("double").as(s"q$i")) ++
+      pairs.map { case (i, j) =>
+        sum(d(i) * d(j)).cast("double").as(s"x${i}_$j") }
+    val m = complete.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (i, j) =>
+      struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        round(
+          (col("n") * col(s"x${i}_$j") - col(s"s$i") * col(s"s$j")) /
+            sqrt((col("n") * col(s"q$i") - col(s"s$i") * col(s"s$i")) *
+              (col("n") * col(s"q$j") - col(s"s$j") * col(s"s$j"))),
+          6).as("corr"))
+    }
+    m.select(col("n"), explode(array(rows: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("n"), col("p.corr"))
+  }
+
+  /** Percentile-bootstrap confidence interval for a mean via the
+    * POISSON bootstrap (Chamandy et al. 2012, "Estimating Uncertainty
+    * for Massive Data Streams" — the Google formulation): resample b's
+    * multiplicity for each row is Poisson(1), drawn deterministically
+    * from the salted row hash by inverting the CDF against literal
+    * thresholds (inlined in both engines — no transcendental is
+    * evaluated at query time), so the whole resample set replays
+    * bit-for-bit. THE at-scale bootstrap: no global resampling pass,
+    * no shared state — each row contributes to all `b` resamples in
+    * one map-side explode, and each resample reduces by partial
+    * aggregation.
+    *
+    * Value semantics: `valCol` is cast to exact cents
+    * (DECIMAL(18,2)·100) so resample sums are exact BIGINTs;
+    * per-resample means are exact integer milli-units
+    * (`(sum·10) div n` of cents). The CI is the type-1 order
+    * statistic (`ceil(p·b)` rank) of the b means — the winsorizeStats
+    * rank arithmetic in permille.
+    *
+    * Output (one row): `(n_rows, b, point_milli, lo_milli, hi_milli)`
+    * — the full-sample mean plus the [loPermille, hiPermille]
+    * percentile interval.
+    */
+  /** Cumulative Poisson(1) CDF at k = 0..5 (multiplicity capped at
+    * 6) — driver-computed ONCE and inlined as literals into both the
+    * Spark plan and the oracle SQL (`Double.toString` round-trips, so
+    * DuckDB parses back the identical double; neither engine
+    * evaluates exp() at query time).
+    */
+  val poisson1Cdf: IndexedSeq[Double] = {
+    var f = 1.0; var s = 0.0
+    (0 to 5).map { k =>
+      if (k > 0) f *= k
+      s += math.exp(-1.0) / f
+      s
+    }
+  }
+
+  def poissonBootstrapCI(df: DataFrame, valCol: String, idCol: String,
+      b: Int = 40, loPermille: Int = 25, hiPermille: Int = 975,
+      salt: String = "boot"): DataFrame = {
+    require(b >= 4 && loPermille < hiPermille,
+      "need b >= 4 and lo < hi")
+    val cum = poisson1Cdf
+    val base = df.filter(col(valCol).isNotNull)
+      .select(col(idCol).as("_id"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("bigint")
+          .as("cents"))
+    val rep = base.select(col("_id"), col("cents"),
+      explode(sequence(lit(0), lit(b - 1))).as("rb"))
+    val u = (graft.operators.TextOps.hash60(concat(lit(salt + "|"),
+      col("_id").cast("string"), lit("|"), col("rb").cast("string")))
+      + 1).cast("double") / lit(1152921504606846976.0)
+    val k = cum.zipWithIndex
+        .foldRight(lit(6): org.apache.spark.sql.Column) {
+      case ((t, i), rest) => when(u <= lit(t), lit(i)).otherwise(rest)
+    }
+    val perRep = rep.select(col("rb"), col("cents"), k.as("k"))
+      .groupBy(col("rb"))
+      .agg(sum(col("k") * col("cents")).as("ssum"),
+        sum(col("k")).as("sn"))
+      .filter(col("sn") > 0)
+      .select(col("rb"), expr("(ssum * 10) div sn").as("mean_milli"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("mean_milli"), col("rb"))
+    val ranked = perRep
+      .withColumn("r", row_number().over(w))
+      .withColumn("nb", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))))
+    val kLo = expr(s"(nb * $loPermille + 999) div 1000")
+    val kHi = expr(s"(nb * $hiPermille + 999) div 1000")
+    val ci = ranked
+      .select(col("nb"),
+        when(col("r") === kLo, col("mean_milli")).as("lo"),
+        when(col("r") === kHi, col("mean_milli")).as("hi"))
+      .agg(max(col("nb")).as("b"), max(col("lo")).as("lo_milli"),
+        max(col("hi")).as("hi_milli"))
+    val point = base.agg(count(lit(1)).as("n_rows"),
+      expr("(sum(cents) * 10) div count(1)").as("point_milli"))
+    point.crossJoin(broadcast(ci))
+      .select(col("n_rows"), col("b"), col("point_milli"),
+        col("lo_milli"), col("hi_milli"))
+  }
 }

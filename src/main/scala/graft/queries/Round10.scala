@@ -12,6 +12,16 @@ object Round10 {
   private def t(name: String): QueryFn =
     (s, dir) => Tables.load(s, dir, name)
 
+  /** The Poisson(1) inverse-CDF CASE of q175's oracle — thresholds
+    * are the SAME driver-computed doubles the Spark plan inlines
+    * (Stats.poisson1Cdf; Double.toString round-trips through
+    * DuckDB's CAST AS DOUBLE).
+    */
+  private val poissonKCase: String =
+    "CASE " + graft.operators.Stats.poisson1Cdf.zipWithIndex
+      .map { case (th, i) => s"WHEN u <= CAST($th AS DOUBLE) THEN $i" }
+      .mkString(" ") + " ELSE 6 END"
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- exact prefix-filtered containment: same answer as q157
@@ -512,5 +522,162 @@ object Round10 {
              |    AND a.c_mktsegment = b.c_mktsegment)
              |SELECT a_id, b_id, score, c_nationkey, c_mktsegment
              |FROM p WHERE score >= 35
-             |ORDER BY a_id, b_id""".stripMargin)))
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // ---- ranking-window suite: ntile / percent_rank / cume_dist /
+    // first-last over an explicit full frame — the §2.5 window
+    // functions the catalog hadn't exercised yet, all on ONE shared
+    // window sort (one exchange)
+    QueryDef("q172_window_suite",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val full = w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        t("orders")(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_totalprice"))
+          .withColumn("nt", ntile(4).over(w).cast("bigint"))
+          .withColumn("pr", round(percent_rank().over(w), 6))
+          .withColumn("cd", round(cume_dist().over(w), 6))
+          .withColumn("first_ok", first(col("o_orderkey")).over(full))
+          .withColumn("last_ok", last(col("o_orderkey")).over(full))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+             |  ntile(4) OVER w AS nt,
+             |  round(percent_rank() OVER w, 6) AS pr,
+             |  round(cume_dist() OVER w, 6) AS cd,
+             |  first_value(o_orderkey) OVER wf AS first_ok,
+             |  last_value(o_orderkey) OVER wf AS last_ok
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey
+             |    ORDER BY o_totalprice, o_orderkey),
+             |  wf AS (PARTITION BY o_custkey
+             |    ORDER BY o_totalprice, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ---- bounded min-label propagation (3 rounds) over the shared
+    // near-dup pair graph: after k rounds a node's label is the
+    // smallest id within distance k — the community/partial-closure
+    // signal (unbounded rounds = q45's connected components); every
+    // round replays as one oracle CTE
+    QueryDef("q173_label_propagation",
+      (s, dir) => graft.operators.Graph.labelPropagation(
+          CorpusOps.sharedJaccardPairs(s, dir), "da", "db", iters = 3)
+        .withColumnRenamed("node", "doc_id")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH ${CorpusOps.oShinglesSql},
+              |hs AS (SELECT doc_id, ${CorpusOps.oH60("s")} AS h FROM sh),
+              |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+              |p AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) AS inter
+              |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs AS (SELECT da, db FROM p
+              |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+              |  WHERE inter / (x.n + y.n - inter) >= 0.6),
+              |sym AS (SELECT da AS s, db AS d FROM pairs
+              |  UNION ALL SELECT db, da FROM pairs),
+              |l0 AS (SELECT node, node AS lbl FROM
+              |  (SELECT DISTINCT s AS node FROM sym)),
+              |l1 AS (SELECT node, MIN(lbl) AS lbl FROM (
+              |    SELECT node, lbl FROM l0 UNION ALL
+              |    SELECT sym.d, l0.lbl FROM sym JOIN l0
+              |      ON sym.s = l0.node) GROUP BY node),
+              |l2 AS (SELECT node, MIN(lbl) AS lbl FROM (
+              |    SELECT node, lbl FROM l1 UNION ALL
+              |    SELECT sym.d, l1.lbl FROM sym JOIN l1
+              |      ON sym.s = l1.node) GROUP BY node),
+              |l3 AS (SELECT node, MIN(lbl) AS lbl FROM (
+              |    SELECT node, lbl FROM l2 UNION ALL
+              |    SELECT sym.d, l2.lbl FROM sym JOIN l2
+              |      ON sym.s = l2.node) GROUP BY node)
+              |SELECT node AS doc_id, lbl AS community FROM l3
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- all-pairs correlation matrix in ONE pass: the q151 moment
+    // discipline for every pair simultaneously (complete-case rows,
+    // shared n) — profiling a feature set without a pass per pair
+    QueryDef("q174_corr_matrix",
+      (s, dir) => graft.operators.Stats.pearsonMatrix(
+          t("lineitem")(s, dir),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy(col("col_a"), col("col_b")),
+      Some("""WITH c AS (SELECT
+             |    CAST(l_quantity AS DECIMAL(18,2)) AS a,
+             |    CAST(l_extendedprice AS DECIMAL(18,2)) AS b,
+             |    CAST(l_discount AS DECIMAL(18,2)) AS c2
+             |  FROM lineitem WHERE l_quantity IS NOT NULL
+             |    AND l_extendedprice IS NOT NULL
+             |    AND l_discount IS NOT NULL),
+             |m AS (SELECT COUNT(*) AS n,
+             |    CAST(SUM(a) AS DOUBLE) AS s0,
+             |    CAST(SUM(b) AS DOUBLE) AS s1,
+             |    CAST(SUM(c2) AS DOUBLE) AS s2,
+             |    CAST(SUM(a*a) AS DOUBLE) AS q0,
+             |    CAST(SUM(b*b) AS DOUBLE) AS q1,
+             |    CAST(SUM(c2*c2) AS DOUBLE) AS q2,
+             |    CAST(SUM(a*b) AS DOUBLE) AS x01,
+             |    CAST(SUM(a*c2) AS DOUBLE) AS x02,
+             |    CAST(SUM(b*c2) AS DOUBLE) AS x12
+             |  FROM c)
+             |SELECT col_a, col_b, n, corr FROM (
+             |  SELECT 'l_quantity' AS col_a,
+             |    'l_extendedprice' AS col_b, n,
+             |    round((n * x01 - s0 * s1) /
+             |      sqrt((n * q0 - s0 * s0) * (n * q1 - s1 * s1)), 6)
+             |      AS corr FROM m
+             |  UNION ALL
+             |  SELECT 'l_quantity', 'l_discount', n,
+             |    round((n * x02 - s0 * s2) /
+             |      sqrt((n * q0 - s0 * s0) * (n * q2 - s2 * s2)), 6)
+             |    FROM m
+             |  UNION ALL
+             |  SELECT 'l_extendedprice', 'l_discount', n,
+             |    round((n * x12 - s1 * s2) /
+             |      sqrt((n * q1 - s1 * s1) * (n * q2 - s2 * s2)), 6)
+             |    FROM m)
+             |ORDER BY col_a, col_b""".stripMargin)),
+
+    // ---- Poisson-bootstrap CI for the mean (Chamandy 2012 — the
+    // at-scale bootstrap: each row's per-resample multiplicity is
+    // Poisson(1) from the salted row hash, no global resampling
+    // pass); the whole resample set, the exact-milli means, and the
+    // type-1 percentile ranks replay in the oracle
+    QueryDef("q175_bootstrap_ci",
+      (s, dir) => graft.operators.Stats.poissonBootstrapCI(
+        t("orders")(s, dir), "o_totalprice", "o_orderkey", b = 40),
+      Some(s"""WITH base AS (SELECT o_orderkey AS id,
+              |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+              |      AS BIGINT) AS cents
+              |  FROM orders WHERE o_totalprice IS NOT NULL),
+              |rep AS (SELECT id, cents,
+              |    unnest(generate_series(0, 39)) AS rb FROM base),
+              |uu AS (SELECT rb, cents,
+              |    (CAST(concat('0x', substr(md5(concat('boot|', id,
+              |      '|', rb)), 1, 15)) AS BIGINT) + 1)
+              |      / 1152921504606846976.0 AS u
+              |  FROM rep),
+              |kk AS (SELECT rb, cents, $poissonKCase AS k FROM uu),
+              |pr AS (SELECT rb,
+              |    CAST((SUM(k * cents) * 10) // SUM(k) AS BIGINT)
+              |      AS mean_milli
+              |  FROM kk GROUP BY rb HAVING SUM(k) > 0),
+              |rk AS (SELECT rb, mean_milli,
+              |    ROW_NUMBER() OVER (ORDER BY mean_milli, rb) AS r,
+              |    COUNT(*) OVER () AS nb FROM pr),
+              |ci AS (SELECT MAX(nb) AS b,
+              |    MAX(CASE WHEN r = (nb * 25 + 999) // 1000
+              |      THEN mean_milli END) AS lo_milli,
+              |    MAX(CASE WHEN r = (nb * 975 + 999) // 1000
+              |      THEN mean_milli END) AS hi_milli FROM rk),
+              |pt AS (SELECT COUNT(*) AS n_rows,
+              |    CAST((SUM(cents) * 10) // COUNT(*) AS BIGINT)
+              |      AS point_milli
+              |  FROM base)
+              |SELECT n_rows, b, point_milli, lo_milli, hi_milli
+              |FROM pt CROSS JOIN ci""".stripMargin)))
 }

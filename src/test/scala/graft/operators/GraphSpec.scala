@@ -108,4 +108,20 @@ class GraphSpec extends SparkSpec {
     // leaves have degree 1 → excluded
     assert(!got.contains(11L))
   }
+
+  test("labelPropagation: after k rounds the label is the min id " +
+      "within distance k (chain); separate components never mix") {
+    // chain 1-2-3-4-5-6-7 plus isolated pair 10-11
+    val edges = ((1L to 6L).map(i => (i, i + 1)) :+ (10L, 11L))
+      .toDF("a", "b")
+    for (k <- Seq(1, 2, 3)) {
+      val got = Graph.labelPropagation(edges, "a", "b", iters = k)
+        .as[(Long, Long)].collect().toMap
+      (1L to 7L).foreach { n =>
+        assert(got(n) == math.max(1L, n - k),
+          s"k=$k node=$n got=${got(n)}")
+      }
+      assert(got(10L) == 10L && got(11L) == 10L)
+    }
+  }
 }

@@ -93,4 +93,54 @@ class StatsSpec extends SparkSpec {
     val (_, obs1, exp1) = rows("1")
     assert(math.abs(obs1 - exp1) < 30000) // within 3 points of 30.1%
   }
+
+  test("pearsonMatrix ≡ per-pair pearson on complete-case rows; " +
+      "upper triangle only") {
+    import spark.implicits._
+    val df = Seq(
+      (1.0, 2.0, 9.0), (2.0, 4.1, 7.0), (3.0, 5.9, 5.5),
+      (4.0, 8.2, 3.0), (5.0, 9.8, 1.2)
+    ).toDF("x", "y", "z")
+    val m = Stats.pearsonMatrix(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(m.keySet == Set(("x", "y"), ("x", "z"), ("y", "z")))
+    for (((a, b), (n, c)) <- m) {
+      val solo = Stats.pearson(df, a, b).collect().head
+      assert(n == solo.getLong(0) && c == solo.getDouble(1),
+        s"pair ($a,$b): matrix ($n,$c) vs solo $solo")
+    }
+    assert(m(("x", "y"))._2 > 0.99 && m(("x", "z"))._2 < -0.99)
+  }
+
+  test("pearsonMatrix drops rows with a null in ANY column " +
+      "(complete-case: every pair shares one n)") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1.0), Some(2.0), Some(3.0)),
+      (Some(2.0), None, Some(4.0)),
+      (Some(3.0), Some(6.0), Some(5.0)),
+      (Some(4.0), Some(8.0), Some(6.0))
+    ).toDF("x", "y", "z")
+    val ns = Stats.pearsonMatrix(df, Seq("x", "y", "z"))
+      .select("n").as[Long].collect().toSet
+    assert(ns == Set(3L))
+  }
+
+  test("poissonBootstrapCI: deterministic across reruns and " +
+      "partitionings; CI brackets the point estimate") {
+    import spark.implicits._
+    val df = (1 to 400).map(i => (i.toLong, 100.0 + (i % 50)))
+      .toDF("id", "v")
+    def run(parts: Int) =
+      Stats.poissonBootstrapCI(df.repartition(parts), "v", "id",
+        b = 40).as[(Long, Long, Long, Long, Long)].collect().head
+    val a = run(3)
+    val b = run(17)
+    assert(a == b, s"partitioning changed the bootstrap: $a vs $b")
+    val (nRows, nb, point, lo, hi) = a
+    assert(nRows == 400L && nb == 40L)
+    assert(lo <= point && point <= hi && lo < hi,
+      s"CI [$lo, $hi] must bracket point $point")
+  }
 }
