@@ -201,4 +201,41 @@ object Funnel {
         max(when(col("rn") === col("k50"), col("lat_us"))).as("p50_us"),
         max(when(col("rn") === col("k90"), col("lat_us"))).as("p90_us"))
   }
+
+  /** Weekly cohort-retention matrix — the classic product-analytics
+    * triangle: entities are cohorted by their FIRST active ISO week
+    * (Monday-start `date_trunc`, identical in both engines), and each
+    * `(cohort, offset)` cell counts how many of them were active
+    * `offset` weeks later, with the rate in exact integer ppm of the
+    * cohort's size. Offset 0 is the cohort itself (retention 10⁶ by
+    * construction — kept: it pins the denominators).
+    *
+    * Output: `(cohort_week, offset_w, n_active, n_cohort,
+    * retention_ppm)`.
+    *
+    * Scale shape: ONE distinct over (entity, week) reduces the event
+    * stream to active-weeks (map-side combined); the cohort frame is
+    * an entity-sized min-aggregation joined back on the entity key
+    * (same key, partitioning reused); cells are
+    * cohorts × offsets — tiny — and the size join broadcasts. No
+    * window over the event stream anywhere.
+    */
+  def cohortRetention(events: DataFrame, entityCol: String,
+      tsCol: String): DataFrame = {
+    val act = events.select(col(entityCol).as("ent"),
+        to_date(date_trunc("week", col(tsCol))).as("wk"))
+      .distinct()
+    val cohort = act.groupBy(col("ent")).agg(min(col("wk")).as("c0"))
+    val sizes = cohort.groupBy(col("c0"))
+      .agg(count(lit(1)).as("n_cohort"))
+    act.join(cohort, "ent")
+      .withColumn("offset_w", expr("datediff(wk, c0) div 7"))
+      .groupBy(col("c0").as("cohort_week"), col("offset_w"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes),
+        col("cohort_week") === col("c0"))
+      .select(col("cohort_week"), col("offset_w"), col("n_active"),
+        col("n_cohort"),
+        expr("(n_active * 1000000) div n_cohort").as("retention_ppm"))
+  }
 }

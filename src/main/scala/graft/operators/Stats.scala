@@ -233,6 +233,53 @@ object Stats {
     * — the full-sample mean plus the [loPermille, hiPermille]
     * percentile interval.
     */
+  /** Theil-Sen robust trend + Mann-Kendall test over a SERIES frame
+    * — the outlier-proof replacement for [[olsFit]]'s slope when the
+    * series has spikes: the Sen slope is the MEDIAN of all pairwise
+    * slopes (exact integer milli-units per day, type-1 median with a
+    * deterministic pair tie-break), and the Mann-Kendall S statistic
+    * counts concordant minus discordant pairs (its normalized τ in
+    * exact ppm). One output row:
+    * `(n_points, n_pairs, sen_slope_milli, mk_s, tau_ppm)`.
+    *
+    * Scale contract: pairwise over the SERIES, so this is for
+    * AGGREGATED frames (daily/hourly rollups — n in the hundreds,
+    * C(n,2) in the 10⁴s), never raw events; the upstream aggregation
+    * is where the corpus-sized work belongs. The pair join is a
+    * single theta self-join of a tiny frame; the median is one
+    * ranking window over the pair frame.
+    */
+  def theilSenTrend(series: DataFrame, dayCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = series.select(col(dayCol).as("d"), col(valCol).as("v"))
+    val pairs = s.as("a").join(s.as("b"),
+        col("a.d") < col("b.d"))
+      .select(col("a.d").as("d1"), col("b.d").as("d2"),
+        col("a.v").as("v1"), col("b.v").as("v2"))
+      .withColumn("dd", datediff(col("d2"), col("d1")).cast("bigint"))
+      .withColumn("slope_milli",
+        expr("((v2 - v1) * 1000) div dd"))
+      .withColumn("sgn",
+        when(col("v2") > col("v1"), 1L)
+          .when(col("v2") < col("v1"), -1L).otherwise(0L))
+    val w = Window.orderBy(col("slope_milli"), col("d1"), col("d2"))
+    val ranked = pairs
+      .withColumn("r", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+    val agg = ranked.agg(
+      max(col("np")).as("n_pairs"),
+      max(when(col("r") === expr("(np + 1) div 2"),
+        col("slope_milli"))).as("sen_slope_milli"),
+      sum(col("sgn")).as("mk_s"))
+    val n = s.agg(count(lit(1)).as("n_points"))
+    n.crossJoin(broadcast(agg))
+      .select(col("n_points"), col("n_pairs"), col("sen_slope_milli"),
+        col("mk_s"),
+        expr("(mk_s * 1000000) div n_pairs").as("tau_ppm"))
+  }
+
   /** Cumulative Poisson(1) CDF at k = 0..5 (multiplicity capped at
     * 6) — driver-computed ONCE and inlined as literals into both the
     * Spark plan and the oracle SQL (`Double.toString` round-trips, so

@@ -679,5 +679,87 @@ object Round10 {
               |      AS point_milli
               |  FROM base)
               |SELECT n_rows, b, point_milli, lo_milli, hi_milli
-              |FROM pt CROSS JOIN ci""".stripMargin)))
+              |FROM pt CROSS JOIN ci""".stripMargin)),
+
+    // ---- weekly cohort retention (the product-analytics triangle):
+    // entities cohorted by first active ISO week; each (cohort,
+    // offset) cell = active entities N weeks later, rate in exact ppm
+    QueryDef("q176_cohort_retention",
+      (s, dir) => graft.operators.Funnel.cohortRetention(
+          t("events")(s, dir), "user_id", "ts")
+        .orderBy(col("cohort_week"), col("offset_w")),
+      Some("""WITH act AS (SELECT DISTINCT user_id AS ent,
+             |    CAST(date_trunc('week', ts) AS DATE) AS wk
+             |  FROM events),
+             |co AS (SELECT ent, MIN(wk) AS c0 FROM act GROUP BY ent),
+             |sz AS (SELECT c0, CAST(COUNT(*) AS BIGINT) AS n_cohort
+             |  FROM co GROUP BY c0),
+             |cell AS (SELECT co.c0 AS cohort_week,
+             |    CAST(datediff('day', co.c0, act.wk) // 7 AS BIGINT)
+             |      AS offset_w,
+             |    CAST(COUNT(*) AS BIGINT) AS n_active
+             |  FROM act JOIN co USING (ent) GROUP BY 1, 2)
+             |SELECT cohort_week, offset_w, n_active, sz.n_cohort,
+             |  (n_active * 1000000) // sz.n_cohort AS retention_ppm
+             |FROM cell JOIN sz ON cell.cohort_week = sz.c0
+             |ORDER BY cohort_week, offset_w""".stripMargin)),
+
+    // ---- robust trend audit: Theil-Sen median slope + Mann-Kendall
+    // τ over the daily event-count series — the outlier-proof
+    // trendline (pairwise over the AGGREGATED series, never raw
+    // events; all arithmetic exact integers)
+    QueryDef("q177_theilsen_trend",
+      (s, dir) => graft.operators.Stats.theilSenTrend(
+        t("events")(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n")),
+        "day", "n"),
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day,
+             |    CAST(COUNT(*) AS BIGINT) AS n FROM events
+             |  GROUP BY 1),
+             |p AS (SELECT a.day AS d1, b.day AS d2, a.n AS v1,
+             |    b.n AS v2, datediff('day', a.day, b.day) AS dd
+             |  FROM d a JOIN d b ON a.day < b.day),
+             |q AS (SELECT d1, d2,
+             |    CAST(((v2 - v1) * 1000) // dd AS BIGINT)
+             |      AS slope_milli,
+             |    CASE WHEN v2 > v1 THEN 1 WHEN v2 < v1 THEN -1
+             |      ELSE 0 END AS sgn FROM p),
+             |r AS (SELECT slope_milli, sgn,
+             |    ROW_NUMBER() OVER (ORDER BY slope_milli, d1, d2)
+             |      AS r,
+             |    COUNT(*) OVER () AS np FROM q),
+             |ag AS (SELECT CAST(MAX(np) AS BIGINT) AS n_pairs,
+             |    MAX(CASE WHEN r = (np + 1) // 2 THEN slope_milli
+             |      END) AS sen_slope_milli,
+             |    CAST(SUM(sgn) AS BIGINT) AS mk_s FROM r),
+             |np2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points
+             |  FROM d)
+             |SELECT n_points, n_pairs, sen_slope_milli, mk_s,
+             |  (mk_s * 1000000) // n_pairs AS tau_ppm
+             |FROM np2 CROSS JOIN ag""".stripMargin)),
+
+    // ---- level-3 Apriori: frequent brand triples per order — the
+    // lattice level above q148's pairs, one ordered 3-way basket join
+    QueryDef("q178_assoc_triples",
+      (s, dir) => {
+        val li = t("lineitem")(s, dir)
+          .select(col("l_orderkey"), col("l_partkey"))
+          .join(broadcast(t("part")(s, dir)
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+        graft.operators.Assoc.frequentTriples(li, "l_orderkey",
+          "p_brand", minSupport = 2L, topK = 20)
+      },
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey AS bk,
+             |    p_brand AS it
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+             |SELECT x.it AS item_a, y.it AS item_b, z.it AS item_c,
+             |  COUNT(*) AS supp_abc
+             |FROM b x
+             |JOIN b y ON x.bk = y.bk AND x.it < y.it
+             |JOIN b z ON x.bk = z.bk AND y.it < z.it
+             |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+             |ORDER BY supp_abc DESC, item_a, item_b, item_c
+             |LIMIT 20""".stripMargin)))
 }

@@ -41,4 +41,21 @@ class AssocSpec extends SparkSpec {
     val supps = a.map(_.getLong(2))
     assert(supps == supps.sortBy(-_))
   }
+
+  test("frequentTriples: each triple emitted once (ordered), " +
+      "support = basket count, dup item rows don't inflate") {
+    val rows = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"), (1L, "c"), // dup c
+      (2L, "a"), (2L, "b"), (2L, "c"), (2L, "d"),
+      (3L, "a"), (3L, "b"),                       // no triple
+      (4L, "b"), (4L, "c"), (4L, "d")).toDF("bk", "it")
+    val got = Assoc.frequentTriples(rows.repartition(5), "bk", "it",
+        minSupport = 1L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2)) -> r.getLong(3)).toMap
+    assert(got(("a", "b", "c")) == 2L)  // baskets 1 and 2
+    assert(got(("b", "c", "d")) == 2L)  // baskets 2 and 4
+    assert(got(("a", "b", "d")) == 1L && got(("a", "c", "d")) == 1L)
+    assert(got.size == 4)
+  }
 }

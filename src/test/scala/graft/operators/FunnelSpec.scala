@@ -162,4 +162,26 @@ class FunnelSpec extends SparkSpec {
     assert(got(("c", "b", "c")) == ((1L, 250000L)))
     assert(got.size == 3)
   }
+
+  test("cohortRetention: first-week cohorts, ppm rates, offset-0 " +
+      "row is the cohort itself") {
+    import org.apache.spark.sql.functions.col
+    def day(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // weeks (Mon-start): w1 = Jan 1-7, w2 = Jan 8-14, w3 = Jan 15-21
+    // cohort w1 = {u1, u2}; u1 active w1+w2+w3, u2 only w1
+    // cohort w2 = {u3}; u3 active w2
+    val ev = Seq(
+      (1L, day(2)), (1L, day(3)), (1L, day(9)), (1L, day(16)),
+      (2L, day(4)),
+      (3L, day(10))).toDF("user_id", "ts").repartition(3)
+    val got = Funnel.cohortRetention(ev, "user_id", "ts")
+      .orderBy("cohort_week", "offset_w")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0L, 2L, 2L, 1000000L),
+      ("2024-01-01", 1L, 1L, 2L, 500000L),
+      ("2024-01-01", 2L, 1L, 2L, 500000L),
+      ("2024-01-08", 0L, 1L, 1L, 1000000L)), got.toString)
+  }
 }

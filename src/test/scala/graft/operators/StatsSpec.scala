@@ -127,6 +127,23 @@ class StatsSpec extends SparkSpec {
     assert(ns == Set(3L))
   }
 
+  test("theilSenTrend: median pairwise slope resists the outlier " +
+      "OLS would chase; MK tau counts concordance exactly") {
+    import spark.implicits._
+    import java.sql.Date
+    // days 1..5 values 10,12,14,16,1000 — clean slope 2/day except
+    // the spike; OLS slope would be ~+217, Sen slope stays ~2
+    val s = Seq((1, 10L), (2, 12L), (3, 14L), (4, 16L), (5, 1000L))
+      .map { case (d, v) => (Date.valueOf(f"2024-03-$d%02d"), v) }
+      .toDF("day", "n")
+    val r = Stats.theilSenTrend(s, "day", "n").collect().head
+    val (nPts, nPairs, sen, mkS, tau) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nPts == 5L && nPairs == 10L)
+    assert(sen == 2000L, s"sen=$sen")   // median slope 2.000/day
+    assert(mkS == 10L && tau == 1000000L) // strictly increasing
+  }
+
   test("poissonBootstrapCI: deterministic across reruns and " +
       "partitionings; CI brackets the point estimate") {
     import spark.implicits._
