@@ -135,6 +135,41 @@ object Funnel {
         expr("(n * 1000000) div row_total").as("p_ppm"))
   }
 
+  /** Per-source-state Shannon entropy of the transition distribution
+    * (behavior predictability: H = 0 ⇒ the next step is determined;
+    * high H ⇒ uniform wandering) — the information-theoretic summary
+    * of [[transitionMatrix]]. The q74 exactness discipline: each
+    * transition's ln(n/total) rounds to 6 decimals into
+    * DECIMAL(20,6), the Σ n·ln p accumulation is exact, and the final
+    * −Σ/total rounds in integer micro-units, so `entropy_nats`
+    * (6-decimal nats) is engine-identical. Output
+    * `(from_type, n_transitions, entropy_nats)`.
+    *
+    * Scale: the type²-sized matrix frame is the only input; both
+    * aggregations are type-bounded.
+    */
+  def transitionEntropy(events: DataFrame, entityCol: String,
+      typeCol: String, tsCol: String, idCol: String): DataFrame = {
+    val counts = transitionMatrix(events, entityCol, typeCol, tsCol,
+        idCol)
+      .select(col("from_type"), col("n"))
+    val tot = counts.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("row_total"))
+    val agg = counts.join(tot, "from_type")
+      .withColumn("logp",
+        round(log(col("n") / col("row_total")), 6)
+          .cast("decimal(20,6)"))
+      .groupBy(col("from_type"))
+      .agg(max(col("row_total")).as("n_transitions"),
+        sum(col("logp") * col("n")).as("s"))
+    // H = −s/total, rounded half-away in exact integer micro-units
+    // (the meanLogp6 arithmetic; s ≤ 0 always, so −s ≥ 0)
+    agg.select(col("from_type"), col("n_transitions"),
+      (expr("(abs(cast(s * 1000000 as long)) * 2 + n_transitions) " +
+        "div (n_transitions * 2)") / lit(1000000.0))
+        .as("entropy_nats"))
+  }
+
   /** Top-k length-3 behavior paths: consecutive event-type TRIGRAMS
     * per entity (ordered by (ts, id)), counted corpus-wide — the
     * path-mining extension of [[transitionMatrix]] (first-order →

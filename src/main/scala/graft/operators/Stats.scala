@@ -233,6 +233,73 @@ object Stats {
     * — the full-sample mean plus the [loPermille, hiPermille]
     * percentile interval.
     */
+  /** Gini concentration index in exact ppm — the inequality audit of
+    * a value distribution (revenue per customer, tokens per doc):
+    * `G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx)` over ascending
+    * (value, id)-ranked exact cents, the rank formulation of the mean
+    * absolute difference. All products carried in DECIMAL(38,0), so
+    * no headroom cliff; one ranking window + one aggregation. Output
+    * one row: `(n, total_cents, gini_ppm)`.
+    */
+  def giniPpm(df: DataFrame, valCol: String, idCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("cents"), col(idCol))
+    df.filter(col(valCol).isNotNull)
+      .select(col(idCol),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("bigint")
+          .as("cents"))
+      .withColumn("r", row_number().over(w).cast("bigint"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"),
+        sum(col("r") * col("cents")).as("si"))
+      .select(col("n"), col("total_cents"),
+        expr("cast(floor(((2 * cast(si as decimal(38,0)) " +
+          "- (n + 1) * total_cents) * 1000000) " +
+          "/ (cast(n as decimal(38,0)) * total_cents)) as bigint)")
+          .as("gini_ppm"))
+  }
+
+  /** Herfindahl-Hirschman concentration of a categorical share in
+    * exact ppm: `HHI = Σ cnt_g² · 10⁶ div (Σ cnt)²` (10⁶ ⇒ monopoly,
+    * 10⁶/k ⇒ k equal shares). DECIMAL(38,0) products; group-sized
+    * aggregations only. Output `(n_groups, total, hhi_ppm)`.
+    */
+  def hhiPpm(df: DataFrame, groupCol: String): DataFrame =
+    df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("cnt")).as("total"),
+        sum(col("cnt") * col("cnt")).as("sq"))
+      .select(col("n_groups"), col("total"),
+        expr("cast(floor((cast(sq as decimal(38,0)) * 1000000) " +
+          "/ (cast(total as decimal(38,0)) * total)) as bigint)")
+          .as("hhi_ppm"))
+
+  /** Per-group z-score standardization — the mean/σ feature scaling:
+    * moments are exact DECIMAL sums (the [[pearson]] discipline), the
+    * population σ derives once per group, and each row's
+    * `z = round((x − mean)/σ, 6)` is a fixed double formula of
+    * exact-moment-derived values — engine-identical. σ = 0 groups
+    * yield null z (documented; a constant feature has no scale).
+    * Output: `(groupCols…, idCol, valCol, z)`.
+    */
+  def zScores(df: DataFrame, groupCols: Seq[String], valCol: String,
+      idCol: String): DataFrame = {
+    val gcols = groupCols.map(col)
+    val x = col(valCol).cast("decimal(18,2)")
+    val m = df.filter(col(valCol).isNotNull)
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as("gn"),
+        sum(x).cast("double").as("gs"),
+        sum(x * x).cast("double").as("gq"))
+    df.filter(col(valCol).isNotNull)
+      .join(broadcast(m), groupCols)
+      .select(gcols ++ Seq(col(idCol), col(valCol),
+        when(col("gn") * col("gq") - col("gs") * col("gs") > 0,
+          round((col(valCol) - col("gs") / col("gn")) /
+            sqrt((col("gn") * col("gq") - col("gs") * col("gs")) /
+              (col("gn") * col("gn"))), 6)).as("z")): _*)
+  }
+
   /** Theil-Sen robust trend + Mann-Kendall test over a SERIES frame
     * — the outlier-proof replacement for [[olsFit]]'s slope when the
     * series has spikes: the Sen slope is the MEDIAN of all pairwise

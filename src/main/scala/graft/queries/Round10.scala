@@ -761,5 +761,97 @@ object Round10 {
              |JOIN b z ON x.bk = z.bk AND y.it < z.it
              |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
              |ORDER BY supp_abc DESC, item_a, item_b, item_c
-             |LIMIT 20""".stripMargin)))
+             |LIMIT 20""".stripMargin)),
+
+    // ---- behavior predictability: Shannon entropy of each state's
+    // transition distribution (6-decimal nats, exact-integer mean
+    // rounding — the q74 discipline on the q140 matrix)
+    QueryDef("q179_transition_entropy",
+      (s, dir) => graft.operators.Funnel.transitionEntropy(
+          t("events")(s, dir), "user_id", "event_type", "ts",
+          "event_id")
+        .orderBy(col("from_type")),
+      Some("""WITH x AS (SELECT user_id, event_type,
+             |    LEAD(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |tm AS (SELECT event_type AS from_type, to_type,
+             |    COUNT(*) AS n
+             |  FROM x WHERE to_type IS NOT NULL GROUP BY 1, 2),
+             |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT)
+             |    AS row_total FROM tm GROUP BY 1),
+             |sc AS (SELECT tm.from_type,
+             |    tot.row_total AS n_transitions,
+             |    SUM(CAST(round(ln(tm.n / tot.row_total), 6)
+             |      AS DECIMAL(20,6)) * tm.n) AS s
+             |  FROM tm JOIN tot USING (from_type) GROUP BY 1, 2)
+             |SELECT from_type, n_transitions,
+             |  CAST((CAST(abs(s) * 1000000 AS BIGINT) * 2
+             |      + n_transitions) // (n_transitions * 2) AS DOUBLE)
+             |    / 1000000 AS entropy_nats
+             |FROM sc ORDER BY from_type""".stripMargin)),
+
+    // ---- Gini concentration of order value (inequality audit):
+    // rank formulation over exact cents, DECIMAL(38,0) products
+    QueryDef("q180_gini",
+      (s, dir) => graft.operators.Stats.giniPpm(
+        t("orders")(s, dir), "o_totalprice", "o_orderkey"),
+      Some("""WITH b AS (SELECT o_orderkey AS id,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT) AS cents
+             |  FROM orders WHERE o_totalprice IS NOT NULL),
+             |r AS (SELECT cents,
+             |    ROW_NUMBER() OVER (ORDER BY cents, id) AS r FROM b),
+             |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(cents) AS BIGINT) AS total_cents,
+             |    SUM(r * cents) AS si FROM r)
+             |SELECT n, total_cents,
+             |  CAST(floor(((2 * CAST(si AS DECIMAL(38,0))
+             |      - (n + 1) * total_cents) * 1000000)
+             |    / (CAST(n AS DECIMAL(38,0)) * total_cents))
+             |    AS BIGINT) AS gini_ppm
+             |FROM a""".stripMargin)),
+
+    // ---- Herfindahl-Hirschman brand concentration of line items
+    QueryDef("q181_hhi",
+      (s, dir) => graft.operators.Stats.hhiPpm(
+        t("lineitem")(s, dir)
+          .select(col("l_partkey"))
+          .join(broadcast(t("part")(s, dir)
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey")),
+        "p_brand"),
+      Some("""WITH g AS (SELECT p_brand, COUNT(*) AS cnt
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  GROUP BY 1)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+             |  CAST(SUM(cnt) AS BIGINT) AS total,
+             |  CAST(floor((CAST(SUM(cnt * cnt) AS DECIMAL(38,0))
+             |      * 1000000)
+             |    / (CAST(SUM(cnt) AS DECIMAL(38,0)) * SUM(cnt)))
+             |    AS BIGINT) AS hhi_ppm
+             |FROM g""".stripMargin)),
+
+    // ---- per-group z-score standardization from exact moments
+    QueryDef("q182_zscores",
+      (s, dir) => graft.operators.Stats.zScores(
+          t("part")(s, dir), Seq("p_brand"), "p_retailprice",
+          "p_partkey")
+        .orderBy(col("p_brand"), col("p_partkey")),
+      Some("""WITH m AS (SELECT p_brand, COUNT(*) AS gn,
+             |    CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)))
+             |      AS DOUBLE) AS gs,
+             |    CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))
+             |      * CAST(p_retailprice AS DECIMAL(18,2)))
+             |      AS DOUBLE) AS gq
+             |  FROM part WHERE p_retailprice IS NOT NULL
+             |  GROUP BY 1)
+             |SELECT p.p_brand, p.p_partkey, p.p_retailprice,
+             |  CASE WHEN m.gn * m.gq - m.gs * m.gs > 0 THEN
+             |    round((p.p_retailprice - m.gs / m.gn)
+             |      / sqrt((m.gn * m.gq - m.gs * m.gs)
+             |        / (m.gn * m.gn)), 6) END AS z
+             |FROM part p JOIN m USING (p_brand)
+             |WHERE p.p_retailprice IS NOT NULL
+             |ORDER BY p_brand, p_partkey""".stripMargin)))
 }

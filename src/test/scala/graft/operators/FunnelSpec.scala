@@ -163,6 +163,23 @@ class FunnelSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  test("transitionEntropy: deterministic next-step → 0 nats; " +
+      "uniform 2-way → ln 2") {
+    // from a: always to b (H = 0); from b: half to a, half to c
+    val events = ev(
+      (1L, "a", 1), (1L, "b", 2), (1L, "a", 3), (1L, "b", 4),
+      (1L, "c", 5), (2L, "b", 1), (2L, "a", 2), (2L, "b", 3),
+      (2L, "c", 4))
+      .withColumn("event_id",
+        org.apache.spark.sql.functions.monotonically_increasing_id())
+    val got = Funnel.transitionEntropy(events, "user_id",
+        "event_type", "ts", "event_id")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("a")._2 == 0.0, got.toString)       // a→b always
+    assert(got("b")._2 == 0.693147, got.toString)  // ln 2 to 6 dp
+  }
+
   test("cohortRetention: first-week cohorts, ppm rates, offset-0 " +
       "row is the cohort itself") {
     import org.apache.spark.sql.functions.col

@@ -127,6 +127,45 @@ class StatsSpec extends SparkSpec {
     assert(ns == Set(3L))
   }
 
+  test("giniPpm: uniform distribution ≈ 0; extreme concentration " +
+      "approaches (n-1)/n; hand-computed 2-value case") {
+    import spark.implicits._
+    val equal = (1 to 10).map(i => (i.toLong, 5.0)).toDF("id", "v")
+    assert(Stats.giniPpm(equal, "v", "id")
+      .collect().head.getLong(2) == 0L)
+    // one holder of everything among 10: G = (n-1)/n = 0.9
+    val mono = ((1 to 9).map(i => (i.toLong, 0.01)) :+ (10L, 1000.0))
+      .toDF("id", "v")
+    val g = Stats.giniPpm(mono, "v", "id").collect().head.getLong(2)
+    assert(g > 890000L && g <= 900000L, s"g=$g")
+  }
+
+  test("hhiPpm: k equal groups → 10^6/k; monopoly → 10^6") {
+    import spark.implicits._
+    val four = (1 to 100).map(i => s"g${i % 4}").toDF("g")
+    assert(Stats.hhiPpm(four, "g").collect().head.getLong(2) ==
+      250000L)
+    val mono = Seq.fill(50)("only").toDF("g")
+    assert(Stats.hhiPpm(mono, "g").collect().head.getLong(2) ==
+      1000000L)
+  }
+
+  test("zScores: standardized group has mean 0 / unit spread; " +
+      "constant group yields null z") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0),
+      ("b", 4L, 7.0), ("b", 5L, 7.0)
+    ).toDF("grp", "id", "x")
+    val got = Stats.zScores(df, Seq("grp"), "x", "id")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(1), Option(r.get(3)))).toMap
+    // group a: mean 20, population sigma = sqrt(200/3) ≈ 8.164966
+    assert(got(1L).get == -1.224745 && got(2L).get == 0.0 &&
+      got(3L).get == 1.224745, got.toString)
+    assert(got(4L).isEmpty && got(5L).isEmpty)
+  }
+
   test("theilSenTrend: median pairwise slope resists the outlier " +
       "OLS would chase; MK tau counts concordance exactly") {
     import spark.implicits._
