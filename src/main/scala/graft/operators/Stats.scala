@@ -372,8 +372,12 @@ object Stats {
       .select(col(idCol).as("_id"),
         (col(valCol).cast("decimal(18,2)") * 100).cast("bigint")
           .as("cents"))
-    val rep = base.select(col("_id"), col("cents"),
-      explode(sequence(lit(0), lit(b - 1))).as("rb"))
+    // rebalance BEFORE the ×b explode: a small single-file scan would
+    // otherwise run the entire 6M-row hash/CDF pipeline in one task
+    // (measured 12.7 s → this is the whole cost of the operator)
+    val rep = graft.Tables.rebalance(base)
+      .select(col("_id"), col("cents"),
+        explode(sequence(lit(0), lit(b - 1))).as("rb"))
     val u = (graft.operators.TextOps.hash60(concat(lit(salt + "|"),
       col("_id").cast("string"), lit("|"), col("rb").cast("string")))
       + 1).cast("double") / lit(1152921504606846976.0)
