@@ -493,6 +493,58 @@ object Dedup {
       .select(col("doc_id"), col("sig"), col("x.band"), col("x.bv"))
   }
 
+  /** LSH index-quality calibration: every banded candidate pair's
+    * signature-estimated similarity AGAINST its exact n-gram Jaccard,
+    * bucketed by estimate decile — the measurement that tells you
+    * whether a (k, bands) configuration's S-curve is delivering the
+    * threshold you think it is, BEFORE trusting it on 100 TB.
+    * Per bucket (est decile 0-10): `n_pairs`, `avg_est_ppm`,
+    * `avg_true_ppm` — all exact integer arithmetic (per-pair ppm are
+    * integer div of exact counts; bucket means are integer div of
+    * their sums).
+    *
+    * Scale: candidate generation is the banded join (never
+    * all-pairs); the exact-Jaccard verification joins only the
+    * CANDIDATE pairs against the (cached) hashed shingle set — cost
+    * proportional to candidates × doc size, the same bound as
+    * [[jaccardPairsPrefix]]'s verification phase. A banded pair that
+    * shares no shingle (possible: equal minhashes need only equal
+    * RARE extremes) contributes inter = 0 via the left join.
+    */
+  def lshCalibration(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int, cache: Boolean = true): DataFrame = {
+    val banded = bandedSignatures(df, idCol, textCol, n, k, bands,
+      cache)
+    val m = size(filter(
+      zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), b => b))
+    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bv"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        m.cast("bigint").as("mm"))
+      .distinct()
+    val sh = hashedShingleSet(df, idCol, textCol, n, cache)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("nn"))
+    val inter = cand
+      .join(sh.as("x"), col("da") === col("x.doc_id"))
+      .select(col("da"), col("db"), col("mm"), col("x.h").as("xh"))
+      .join(sh.as("y"),
+        col("db") === col("y.doc_id") && col("xh") === col("y.h"))
+      .groupBy(col("da"), col("db"), col("mm"))
+      .agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("da", "db", "mm"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .join(sz.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        expr(s"(mm * 1000000) div $k").as("est_ppm"),
+        expr("(inter * 1000000) div (sa.nn + sb.nn - inter)")
+          .as("true_ppm"))
+      .groupBy(expr("est_ppm div 100000").as("est_decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(est_ppm) div count(1)").as("avg_est_ppm"),
+        expr("sum(true_ppm) div count(1)").as("avg_true_ppm"))
+  }
+
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, bands: Int, minEst: Double,

@@ -12,6 +12,25 @@ object Round10 {
   private def t(name: String): QueryFn =
     (s, dir) => Tables.load(s, dir, name)
 
+  /** One inclusion-dependency candidate of q185's oracle: distinct
+    * child values LEFT-joined to distinct parent values, counts +
+    * exact-ppm containment.
+    */
+  private def oInclusion(label: String, childSql: String,
+      parentSql: String): String =
+    s"""SELECT '$label' AS candidate,
+       |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       |  CAST(COUNT(*) - COUNT(p.pv) AS BIGINT) AS n_orphans,
+       |  (CAST(COUNT(p.pv) AS BIGINT) * 1000000) // COUNT(*)
+       |    AS containment_ppm
+       |FROM ($childSql) ch
+       |LEFT JOIN ($parentSql) p ON ch.v = p.pv""".stripMargin
+
+  private def oDistinct(colName: String, table: String,
+      as: String): String =
+    s"SELECT DISTINCT CAST($colName AS VARCHAR) AS $as FROM $table " +
+      s"WHERE $colName IS NOT NULL"
+
   /** The Poisson(1) inverse-CDF CASE of q175's oracle — thresholds
     * are the SAME driver-computed doubles the Spark plan inlines
     * (Stats.poisson1Cdf; Double.toString round-trips through
@@ -853,5 +872,161 @@ object Round10 {
              |        / (m.gn * m.gn)), 6) END AS z
              |FROM part p JOIN m USING (p_brand)
              |WHERE p.p_retailprice IS NOT NULL
-             |ORDER BY p_brand, p_partkey""".stripMargin)))
+             |ORDER BY p_brand, p_partkey""".stripMargin)),
+
+    // ---- LSH index-quality calibration: every banded candidate's
+    // estimated similarity vs its EXACT Jaccard, bucketed by estimate
+    // decile — the S-curve audit run before trusting a (k, bands)
+    // config at scale. q26's configuration (k=16, 4 bands).
+    QueryDef("q183_lsh_calibration",
+      (s, dir) => graft.operators.Dedup.lshCalibration(
+          t("documents")(s, dir), "doc_id", "text", n = 3, k = 16,
+          bands = 4)
+        .orderBy(col("est_decile")),
+      Some {
+        val mhC = graft.operators.Dedup.minhashConstants(16)
+        val mins = (0 until 16)
+          .map(i => s"min(xor(h, ${mhC(i)})) AS m$i").mkString(", ")
+        val bandSel = (0 until 4).map { b =>
+          val cols = (0 until 4).map(j => s"m${b * 4 + j}")
+            .mkString(", ")
+          s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS bv " +
+            "FROM sig"
+        }.mkString(" UNION ALL ")
+        val est = (0 until 16)
+          .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH ${CorpusOps.oShinglesSql},
+           |hs AS (SELECT doc_id, ${CorpusOps.oH60("s")} AS h FROM sh),
+           |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+           |banded AS ($bandSel),
+           |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           |  FROM banded a JOIN banded b ON a.band = b.band
+           |    AND a.bv = b.bv AND a.doc_id < b.doc_id),
+           |cm AS (SELECT da, db, CAST($est AS BIGINT) AS mm
+           |  FROM cand JOIN sig sa ON da = sa.doc_id
+           |  JOIN sig sb ON db = sb.doc_id),
+           |szs AS (SELECT doc_id, COUNT(*) AS nn FROM hs
+           |  GROUP BY doc_id),
+           |iv AS (SELECT cm.da, cm.db, cm.mm,
+           |    CAST(COUNT(y.doc_id) AS BIGINT) AS inter
+           |  FROM cm JOIN hs x ON cm.da = x.doc_id
+           |  LEFT JOIN hs y ON cm.db = y.doc_id AND x.h = y.h
+           |  GROUP BY 1, 2, 3),
+           |jp AS (SELECT iv.da, iv.db,
+           |    (iv.mm * 1000000) // 16 AS est_ppm,
+           |    (iv.inter * 1000000) // (sa.nn + sb.nn - iv.inter)
+           |      AS true_ppm
+           |  FROM iv JOIN szs sa ON iv.da = sa.doc_id
+           |  JOIN szs sb ON iv.db = sb.doc_id)
+           |SELECT est_ppm // 100000 AS est_decile,
+           |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |  CAST(SUM(est_ppm) // COUNT(*) AS BIGINT) AS avg_est_ppm,
+           |  CAST(SUM(true_ppm) // COUNT(*) AS BIGINT)
+           |    AS avg_true_ppm
+           |FROM jp GROUP BY 1 ORDER BY est_decile""".stripMargin
+      }),
+
+    // ---- CDC compaction: collapse a synthesized I/U/D change stream
+    // to final state + the net op the downstream merge applies; keys
+    // hit every net_op branch (insert / update / delete / noop)
+    QueryDef("q184_cdc_compact",
+      (s, dir) => {
+        val o = t("orders")(s, dir)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val ins = o.where(col("o_orderkey") % 7 =!= 0)
+          .select(col("o_orderkey").as("k"), lit(1L).as("ver"),
+            lit("I").as("op"), col("o_totalprice").as("price"))
+        val upd = o.where(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey").as("k"), lit(2L).as("ver"),
+            lit("U").as("op"),
+            (col("o_totalprice") + 10.0).as("price"))
+        val del = o.where(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey").as("k"), lit(3L).as("ver"),
+            lit("D").as("op"), lit(null).cast("double").as("price"))
+        graft.operators.Cdc.compact(
+            ins.unionAll(upd).unionAll(del), "k", "ver", "op",
+            Seq("price"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH ch AS (
+             |  SELECT o_orderkey AS k, 1 AS ver, 'I' AS op,
+             |    o_totalprice AS price
+             |  FROM orders WHERE o_orderkey % 7 <> 0
+             |  UNION ALL
+             |  SELECT o_orderkey, 2, 'U', o_totalprice + 10.0
+             |  FROM orders WHERE o_orderkey % 3 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, 3, 'D', NULL
+             |  FROM orders WHERE o_orderkey % 5 = 0),
+             |r1 AS (SELECT *,
+             |    CASE op WHEN 'I' THEN 0 WHEN 'U' THEN 1 ELSE 2 END
+             |      AS opr,
+             |    ROW_NUMBER() OVER (PARTITION BY k
+             |      ORDER BY ver, CASE op WHEN 'I' THEN 0
+             |        WHEN 'U' THEN 1 ELSE 2 END) AS rf,
+             |    ROW_NUMBER() OVER (PARTITION BY k
+             |      ORDER BY ver DESC, CASE op WHEN 'I' THEN 0
+             |        WHEN 'U' THEN 1 ELSE 2 END DESC) AS rl,
+             |    COUNT(*) OVER (PARTITION BY k) AS nc,
+             |    MAX(ver) OVER (PARTITION BY k) AS lv FROM ch),
+             |f AS (SELECT k, op AS first_op FROM r1 WHERE rf = 1),
+             |l AS (SELECT k, op AS last_op, price AS lp, nc, lv
+             |  FROM r1 WHERE rl = 1)
+             |SELECT l.k, CAST(nc AS BIGINT) AS n_changes,
+             |  CAST(lv AS BIGINT) AS last_version,
+             |  f.first_op, l.last_op,
+             |  CASE WHEN f.first_op = 'I' AND l.last_op = 'D'
+             |      THEN 'noop'
+             |    WHEN l.last_op = 'D' THEN 'delete'
+             |    WHEN f.first_op = 'I' THEN 'insert'
+             |    ELSE 'update' END AS net_op,
+             |  CASE WHEN l.last_op = 'D' THEN NULL ELSE l.lp END
+             |    AS price
+             |FROM l JOIN f USING (k) ORDER BY k""".stripMargin)),
+
+    // ---- foreign-key discovery: inclusion-dependency profile of six
+    // candidate column pairs (four true FKs at 10^6 ppm, one
+    // negative, one partial) — q160 audits declared keys, this
+    // MEASURES undeclared ones
+    QueryDef("q185_fk_discovery",
+      (s, dir) => {
+        def inc(lbl: String, cd: String, cc: String, pd: String,
+            pc: String) =
+          graft.operators.Cdc.inclusionStats(
+            t(cd)(s, dir), cc, t(pd)(s, dir), pc, lbl)
+        inc("customer.c_nationkey->nation.n_nationkey",
+            "customer", "c_nationkey", "nation", "n_nationkey")
+          .unionAll(inc("lineitem.l_orderkey->orders.o_orderkey",
+            "lineitem", "l_orderkey", "orders", "o_orderkey"))
+          .unionAll(inc("lineitem.l_partkey->part.p_partkey",
+            "lineitem", "l_partkey", "part", "p_partkey"))
+          .unionAll(inc("orders.o_custkey->customer.c_custkey",
+            "orders", "o_custkey", "customer", "c_custkey"))
+          .unionAll(inc("orders.o_orderkey->customer.c_custkey",
+            "orders", "o_orderkey", "customer", "c_custkey"))
+          .unionAll(inc("part.p_size->nation.n_nationkey",
+            "part", "p_size", "nation", "n_nationkey"))
+          .orderBy(col("candidate"))
+      },
+      Some(Seq(
+        oInclusion("customer.c_nationkey->nation.n_nationkey",
+          oDistinct("c_nationkey", "customer", "v"),
+          oDistinct("n_nationkey", "nation", "pv")),
+        oInclusion("lineitem.l_orderkey->orders.o_orderkey",
+          oDistinct("l_orderkey", "lineitem", "v"),
+          oDistinct("o_orderkey", "orders", "pv")),
+        oInclusion("lineitem.l_partkey->part.p_partkey",
+          oDistinct("l_partkey", "lineitem", "v"),
+          oDistinct("p_partkey", "part", "pv")),
+        oInclusion("orders.o_custkey->customer.c_custkey",
+          oDistinct("o_custkey", "orders", "v"),
+          oDistinct("c_custkey", "customer", "pv")),
+        oInclusion("orders.o_orderkey->customer.c_custkey",
+          oDistinct("o_orderkey", "orders", "v"),
+          oDistinct("c_custkey", "customer", "pv")),
+        oInclusion("part.p_size->nation.n_nationkey",
+          oDistinct("p_size", "part", "v"),
+          oDistinct("n_nationkey", "nation", "pv")))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY candidate"))))
 }
