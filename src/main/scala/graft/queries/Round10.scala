@@ -1028,5 +1028,44 @@ object Round10 {
         oInclusion("part.p_size->nation.n_nationkey",
           oDistinct("p_size", "part", "v"),
           oDistinct("n_nationkey", "nation", "pv")))
-        .mkString("", "\nUNION ALL\n", "\nORDER BY candidate"))))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY candidate"))),
+
+    // ---- pure range join (NO equi key): events within overlapping
+    // campaign windows — the shape Spark can only nested-loop. The
+    // binned rewrite is an EQUI join on time bins (each pair
+    // generated once, exact between-filter after); the oracle runs
+    // the naive between join. ScaleRange measures the crossover.
+    QueryDef("q186_range_join_binned",
+      (s, dir) => {
+        val windows = t("nation")(s, dir)
+          .select(col("n_nationkey").as("win_id"),
+            expr("date'2024-01-01' + make_interval(0,0,0," +
+              "cast(n_nationkey as int),0,0,0)").cast("date")
+              .as("w_start"))
+          .withColumn("w_end", date_add(col("w_start"), 3))
+        graft.operators.RangeJoin.pointInInterval(
+            t("events")(s, dir).select(col("event_id"), col("ts"),
+              col("value")),
+            "ts", windows, "w_start", "w_end", binDays = 2)
+          .groupBy(col("win_id"), col("w_start"), col("w_end"))
+          .agg(count(lit(1)).as("n_events"),
+            dsum(col("value")).as("total_value"))
+          .orderBy(col("win_id"))
+      },
+      Some(s"""WITH w AS (SELECT n_nationkey AS win_id,
+              |    DATE '2024-01-01'
+              |      + CAST(n_nationkey AS INT) * INTERVAL 1 DAY
+              |      AS w_start
+              |  FROM nation),
+              |w2 AS (SELECT win_id, CAST(w_start AS DATE) AS w_start,
+              |    CAST(w_start + INTERVAL 3 DAY AS DATE) AS w_end
+              |  FROM w)
+              |SELECT win_id, w_start, w_end,
+              |  COUNT(*) AS n_events,
+              |  ${oSum("value")} AS total_value
+              |FROM events JOIN w2
+              |  ON CAST(ts AS DATE) >= w_start
+              |  AND CAST(ts AS DATE) <= w_end
+              |GROUP BY win_id, w_start, w_end
+              |ORDER BY win_id""".stripMargin)))
 }
