@@ -1067,5 +1067,53 @@ object Round10 {
               |  ON CAST(ts AS DATE) >= w_start
               |  AND CAST(ts AS DATE) <= w_end
               |GROUP BY win_id, w_start, w_end
-              |ORDER BY win_id""".stripMargin)))
+              |ORDER BY win_id""".stripMargin)),
+
+    // ---- hierarchical share report (the BI percent-of-parent): per
+    // nation, revenue share within its region AND of the total, all
+    // in exact integer arithmetic (cents → ppm); dims broadcast, the
+    // share windows run over the nation-sized frame
+    QueryDef("q187_share_of_parent",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val rev = t("orders")(s, dir)
+          .select(col("o_custkey"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("bigint").as("cents"))
+          .join(broadcast(t("customer")(s, dir)
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t("nation")(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t("region")(s, dir)),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum(col("cents")).as("rev_cents"))
+        rev
+          .withColumn("_rt", sum(col("rev_cents"))
+            .over(Window.partitionBy(col("r_name"))))
+          .withColumn("_gt", sum(col("rev_cents"))
+            .over(Window.partitionBy(lit(1))))
+          .select(col("r_name"), col("n_name"), col("rev_cents"),
+            expr("(rev_cents * 1000000) div _rt")
+              .as("region_share_ppm"),
+            expr("(rev_cents * 1000000) div _gt")
+              .as("total_share_ppm"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some("""WITH rev AS (SELECT r_name, n_name,
+             |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+             |      * 100 AS BIGINT)) AS BIGINT) AS rev_cents
+             |  FROM orders
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  GROUP BY r_name, n_name)
+             |SELECT r_name, n_name, rev_cents,
+             |  (rev_cents * 1000000) // CAST(SUM(rev_cents)
+             |    OVER (PARTITION BY r_name) AS BIGINT)
+             |    AS region_share_ppm,
+             |  (rev_cents * 1000000) // CAST(SUM(rev_cents)
+             |    OVER () AS BIGINT) AS total_share_ppm
+             |FROM rev ORDER BY r_name, n_name""".stripMargin)))
 }
