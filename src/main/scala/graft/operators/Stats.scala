@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Profiling statistics with the engine's exactness discipline —
@@ -233,6 +233,75 @@ object Stats {
     * — the full-sample mean plus the [loPermille, hiPermille]
     * percentile interval.
     */
+  /** Population Stability Index between a REFERENCE slice and the
+    * rest — THE production drift monitor (banking scorecard canon;
+    * the same quantity as q155's KS but weighting the whole
+    * distribution, not the max gap): bucket by the reference's exact
+    * decile edges (type-1 order statistics — the winsorizeStats rank
+    * arithmetic), then `PSI = Σ_b (p_b − q_b)·ln(p_b/q_b)` with
+    * Laplace-smoothed shares `(cnt+1)/(n+B)` so empty buckets stay
+    * finite. Per-bucket output `(bucket, ref_cnt, cur_cnt, p_ppm,
+    * q_ppm, contrib_micro)` where contrib_micro =
+    * (p_ppm − q_ppm)·round(ln(p/q), 6) — exact integer × 6-decimal
+    * DECIMAL, so Σ contrib_micro / 10⁶ IS the PSI and every engine
+    * reproduces it bit-for-bit. Buckets with no rows on either side
+    * appear with zero counts (densified against the bucket range).
+    *
+    * Scale: edges are a (B−1)-row frame (broadcast); bucket
+    * assignment is a broadcast join + per-row sum (no sort of the
+    * current slice); everything after is B-sized.
+    */
+  def psiBuckets(df: DataFrame, valCol: String, idCol: String,
+      refPred: Column, buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2, "need at least 2 buckets")
+    val spark = df.sparkSession
+    val base = df.filter(col(valCol).isNotNull)
+      .select(col(idCol).as("_id"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("bigint")
+          .as("cents"),
+        refPred.as("is_ref"))
+    val w = Window.orderBy(col("cents"), col("_id"))
+    val ranked = base.filter(col("is_ref"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+    val edges = ranked
+      .join(broadcast(spark.range(1, buckets).select(
+        col("id").as("k"))),
+        col("rn") === expr("(k * n + " + (buckets - 1) +
+          s") div $buckets"))
+      .select(col("cents").as("edge"))
+    val assigned = base
+      .crossJoin(broadcast(edges))
+      .groupBy(col("_id"), col("is_ref"))
+      .agg(sum(when(col("cents") >= col("edge"), 1L).otherwise(0L))
+        .as("bucket"))
+    val counts = assigned.groupBy(col("bucket"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_cnt"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cur_cnt"))
+    val dense = spark.range(buckets).select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("ref_cnt"), lit(0L)).as("ref_cnt"),
+        coalesce(col("cur_cnt"), lit(0L)).as("cur_cnt"))
+    val totals = dense.agg(sum(col("ref_cnt")).as("n_ref"),
+      sum(col("cur_cnt")).as("n_cur"))
+    dense.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("ref_cnt"), col("cur_cnt"),
+        expr(s"((ref_cnt + 1) * 1000000) div (n_ref + $buckets)")
+          .as("p_ppm"),
+        expr(s"((cur_cnt + 1) * 1000000) div (n_cur + $buckets)")
+          .as("q_ppm"),
+        ((expr(s"((ref_cnt + 1) * 1000000) div (n_ref + $buckets)") -
+          expr(s"((cur_cnt + 1) * 1000000) div (n_cur + $buckets)")) *
+          round(log(((col("ref_cnt") + 1) *
+              (col("n_cur") + buckets)) /
+            ((col("cur_cnt") + 1) * (col("n_ref") + buckets))), 6)
+            .cast("decimal(20,6)"))
+          .cast("double").as("contrib_micro"))
+  }
+
   /** Gini concentration index in exact ppm — the inequality audit of
     * a value distribution (revenue per customer, tokens per doc):
     * `G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx)` over ascending

@@ -1115,5 +1115,53 @@ object Round10 {
              |    AS region_share_ppm,
              |  (rev_cents * 1000000) // CAST(SUM(rev_cents)
              |    OVER () AS BIGINT) AS total_share_ppm
-             |FROM rev ORDER BY r_name, n_name""".stripMargin)))
+             |FROM rev ORDER BY r_name, n_name""".stripMargin)),
+
+    // ---- Population Stability Index: order-value drift of the
+    // post-1996 book vs the pre-1996 reference, bucketed by the
+    // REFERENCE's exact decile edges; Laplace-smoothed shares keep
+    // empty buckets finite; Σ contrib_micro / 10⁶ is the PSI
+    QueryDef("q188_psi_drift",
+      (s, dir) => graft.operators.Stats.psiBuckets(
+          t("orders")(s, dir), "o_totalprice", "o_orderkey",
+          refPred = col("o_orderdate") <
+            lit("1996-01-01").cast("timestamp"))
+        .orderBy(col("bucket")),
+      Some("""WITH base AS (SELECT o_orderkey AS id,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT) AS cents,
+             |    o_orderdate < TIMESTAMP '1996-01-01' AS is_ref
+             |  FROM orders WHERE o_totalprice IS NOT NULL),
+             |rk AS (SELECT id, cents,
+             |    ROW_NUMBER() OVER (ORDER BY cents, id) AS rn,
+             |    COUNT(*) OVER () AS n
+             |  FROM base WHERE is_ref),
+             |ed AS (SELECT rk.cents AS edge FROM rk
+             |  JOIN range(1, 10) t(k)
+             |    ON rk.rn = (t.k * rk.n + 9) // 10),
+             |asg AS (SELECT b.id, b.is_ref,
+             |    CAST(SUM(CASE WHEN b.cents >= ed.edge THEN 1
+             |      ELSE 0 END) AS BIGINT) AS bucket
+             |  FROM base b CROSS JOIN ed GROUP BY b.id, b.is_ref),
+             |cnt AS (SELECT bucket,
+             |    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS ref_cnt,
+             |    SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END)
+             |      AS cur_cnt
+             |  FROM asg GROUP BY bucket),
+             |dn AS (SELECT t.b AS bucket,
+             |    CAST(COALESCE(ref_cnt, 0) AS BIGINT) AS ref_cnt,
+             |    CAST(COALESCE(cur_cnt, 0) AS BIGINT) AS cur_cnt
+             |  FROM range(0, 10) t(b)
+             |  LEFT JOIN cnt ON cnt.bucket = t.b),
+             |tt AS (SELECT CAST(SUM(ref_cnt) AS BIGINT) AS n_ref,
+             |    CAST(SUM(cur_cnt) AS BIGINT) AS n_cur FROM dn)
+             |SELECT bucket, ref_cnt, cur_cnt,
+             |  ((ref_cnt + 1) * 1000000) // (n_ref + 10) AS p_ppm,
+             |  ((cur_cnt + 1) * 1000000) // (n_cur + 10) AS q_ppm,
+             |  CAST((((ref_cnt + 1) * 1000000) // (n_ref + 10)
+             |      - ((cur_cnt + 1) * 1000000) // (n_cur + 10))
+             |    * CAST(round(ln(((ref_cnt + 1) * (n_cur + 10))
+             |        / ((cur_cnt + 1) * (n_ref + 10))), 6)
+             |      AS DECIMAL(20,6)) AS DOUBLE) AS contrib_micro
+             |FROM dn CROSS JOIN tt ORDER BY bucket""".stripMargin)))
 }

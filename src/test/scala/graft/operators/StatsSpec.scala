@@ -127,6 +127,29 @@ class StatsSpec extends SparkSpec {
     assert(ns == Set(3L))
   }
 
+  test("psiBuckets: identical slices → zero PSI; a shifted slice → " +
+      "clearly positive; buckets densified") {
+    import spark.implicits._
+    // reference ids 0..199 (values 0..99 twice), current = same dist
+    val same = ((0 until 200).map(i => (i.toLong, (i % 100).toDouble,
+      true)) ++ (200 until 400).map(i => (i.toLong,
+      (i % 100).toDouble, false))).toDF("id", "v", "ref")
+    val z = Stats.psiBuckets(same, "v", "id", col("ref"))
+      .orderBy("bucket").collect()
+    assert(z.length == 10)
+    assert(z.forall(r => math.abs(r.getDouble(5)) < 200.0),
+      z.mkString(";")) // smoothing-only noise, ≪ any drift signal
+    // current shifted up by 80: mass leaves low buckets
+    val shifted = ((0 until 200).map(i => (i.toLong,
+      (i % 100).toDouble, true)) ++ (200 until 400).map(i =>
+      (i.toLong, (i % 100).toDouble + 80.0, false)))
+      .toDF("id", "v", "ref")
+    val psi = Stats.psiBuckets(shifted, "v", "id", col("ref"))
+      .agg(org.apache.spark.sql.functions.sum(col("contrib_micro")))
+      .collect().head.getDouble(0) / 1e6
+    assert(psi > 0.5, s"shifted PSI should scream: $psi")
+  }
+
   test("giniPpm: uniform distribution ≈ 0; extreme concentration " +
       "approaches (n-1)/n; hand-computed 2-value case") {
     import spark.implicits._
