@@ -240,6 +240,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(400))
   }
 
+  test("q186_range_join_binned: the pure interval predicate compiles " +
+      "to an EQUI join on the bin key — no nested-loop, no cartesian") {
+    val plan = SparkEntry.queries("q186_range_join_binned")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    assert(plan.contains("Join") || plan.contains("join"),
+      plan.take(600))
+  }
+
   test("q162_tpch21: exists/not-exists compile to equi semi/anti joins " +
       "on the fact key — no nested-loop, no cartesian, dims broadcast") {
     val plan = SparkEntry.queries("q162_tpch21")(spark, sf)
