@@ -237,6 +237,37 @@ object Funnel {
         max(when(col("rn") === col("k90"), col("lat_us"))).as("p90_us"))
   }
 
+  /** Gap-bounded sequential patterns (the 2-length SPAM/PrefixSpan
+    * core): count `(type_a → type_b)` occurrences where b follows a
+    * within `maxGap` events of the same entity — the generalization
+    * of [[transitionMatrix]] (maxGap = 1) that catches skip-step
+    * behavior. Implemented as `maxGap` LEAD columns over ONE entity
+    * window (no self-join — per-event fan-out is exactly maxGap),
+    * exact integer ppm shares of all counted pairs.
+    */
+  def gapPatterns(events: DataFrame, entityCol: String,
+      typeCol: String, tsCol: String, idCol: String, maxGap: Int,
+      topK: Int = 15): DataFrame = {
+    require(maxGap >= 1, "maxGap must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entityCol)).orderBy(col(tsCol), col(idCol))
+    val leads = (1 to maxGap).map(k =>
+      lead(col(typeCol), k).over(w).as(s"_l$k"))
+    val pairs = events
+      .select(col(typeCol).as("type_a") +: leads: _*)
+      .select(col("type_a"), explode(array(
+        (1 to maxGap).map(k => col(s"_l$k")): _*)).as("type_b"))
+      .where(col("type_b").isNotNull)
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n"))
+    val tot = pairs.agg(sum(col("n")).as("t"))
+    pairs.crossJoin(broadcast(tot))
+      .select(col("type_a"), col("type_b"), col("n"),
+        expr("(n * 1000000) div t").as("share_ppm"))
+      .orderBy(col("n").desc, col("type_a"), col("type_b"))
+      .limit(topK)
+  }
+
   /** Weekly cohort-retention matrix — the classic product-analytics
     * triangle: entities are cohorted by their FIRST active ISO week
     * (Monday-start `date_trunc`, identical in both engines), and each

@@ -328,6 +328,37 @@ object Stats {
           .as("gini_ppm"))
   }
 
+  /** Lorenz-curve decile points — [[giniPpm]]'s distributional view
+    * ("the top x% hold y%"): ascending (value, id)-ranked exact
+    * cents, running total at each decile cut (type-1 rank
+    * `ceil(d·n/10)`), cumulative share in exact ppm. Output one row
+    * per decile `(decile, cut_rank, cum_cents, cum_share_ppm)`.
+    * One ranking window + a 10-row broadcast join.
+    */
+  def lorenzDeciles(df: DataFrame, valCol: String, idCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val w = Window.orderBy(col("cents"), col(idCol))
+    val ranked = df.filter(col(valCol).isNotNull)
+      .select(col(idCol),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("bigint")
+          .as("cents"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .withColumn("cum", sum(col("cents")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("total", sum(col("cents")).over(
+        Window.partitionBy(lit(1))))
+    ranked
+      .join(broadcast(spark.range(1, 11).select(col("id").as("decile"))),
+        col("rn") === expr("(decile * n + 9) div 10"))
+      .select(col("decile"), col("rn").as("cut_rank"),
+        col("cum").as("cum_cents"),
+        expr("(cum * 1000000) div total").as("cum_share_ppm"))
+  }
+
   /** Herfindahl-Hirschman concentration of a categorical share in
     * exact ppm: `HHI = Σ cnt_g² · 10⁶ div (Σ cnt)²` (10⁶ ⇒ monopoly,
     * 10⁶/k ⇒ k equal shares). DECIMAL(38,0) products; group-sized

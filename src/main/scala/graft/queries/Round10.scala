@@ -1163,5 +1163,56 @@ object Round10 {
              |    * CAST(round(ln(((ref_cnt + 1) * (n_cur + 10))
              |        / ((cur_cnt + 1) * (n_ref + 10))), 6)
              |      AS DECIMAL(20,6)) AS DOUBLE) AS contrib_micro
-             |FROM dn CROSS JOIN tt ORDER BY bucket""".stripMargin)))
+             |FROM dn CROSS JOIN tt ORDER BY bucket""".stripMargin)),
+
+    // ---- gap-bounded sequential patterns (2-length SPAM core):
+    // type_a → type_b within ≤3 events of the same user — q140's
+    // matrix with skip-steps, via 3 LEADs (no self-join)
+    QueryDef("q189_gap_patterns",
+      (s, dir) => graft.operators.Funnel.gapPatterns(
+        t("events")(s, dir), "user_id", "event_type", "ts",
+        "event_id", maxGap = 3, topK = 15),
+      Some("""WITH x AS (SELECT event_type AS type_a,
+             |    LEAD(event_type, 1) OVER w AS l1,
+             |    LEAD(event_type, 2) OVER w AS l2,
+             |    LEAD(event_type, 3) OVER w AS l3
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY ts, event_id)),
+             |p AS (SELECT type_a, type_b, COUNT(*) AS n FROM (
+             |    SELECT type_a, l1 AS type_b FROM x
+             |    UNION ALL SELECT type_a, l2 FROM x
+             |    UNION ALL SELECT type_a, l3 FROM x)
+             |  WHERE type_b IS NOT NULL GROUP BY 1, 2),
+             |t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM p)
+             |SELECT type_a, type_b, n,
+             |  (n * 1000000) // t.t AS share_ppm
+             |FROM p CROSS JOIN t
+             |ORDER BY n DESC, type_a, type_b LIMIT 15""".stripMargin)),
+
+    // ---- Lorenz-curve deciles of order value: q180's Gini as the
+    // full "top x% hold y%" distribution, exact cents/ppm
+    QueryDef("q190_lorenz",
+      (s, dir) => graft.operators.Stats.lorenzDeciles(
+          t("orders")(s, dir), "o_totalprice", "o_orderkey")
+        .orderBy(col("decile")),
+      Some("""WITH b AS (SELECT o_orderkey AS id,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT) AS cents
+             |  FROM orders WHERE o_totalprice IS NOT NULL),
+             |r AS (SELECT id, cents,
+             |    ROW_NUMBER() OVER (ORDER BY cents, id) AS rn,
+             |    SUM(cents) OVER (ORDER BY cents, id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum,
+             |    COUNT(*) OVER () AS n,
+             |    SUM(cents) OVER () AS total
+             |  FROM b)
+             |SELECT t.d AS decile, CAST(rn AS BIGINT) AS cut_rank,
+             |  CAST(cum AS BIGINT) AS cum_cents,
+             |  CAST((cum * 1000000) // total AS BIGINT)
+             |    AS cum_share_ppm
+             |FROM r JOIN range(1, 11) t(d)
+             |  ON r.rn = (t.d * r.n + 9) // 10
+             |ORDER BY decile""".stripMargin)))
 }

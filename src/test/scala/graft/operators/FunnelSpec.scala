@@ -163,6 +163,26 @@ class FunnelSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  test("gapPatterns: pairs within the gap only, no cross-entity " +
+      "pairs, exact shares") {
+    // user 1: a b c d → gap≤2 pairs: ab ac bc bd cd (5)
+    // user 2: x y → xy (1)
+    val events = ev(
+      (1L, "a", 1), (1L, "b", 2), (1L, "c", 3), (1L, "d", 4),
+      (2L, "x", 1), (2L, "y", 2))
+      .withColumn("event_id",
+        org.apache.spark.sql.functions.monotonically_increasing_id())
+    val got = Funnel.gapPatterns(events, "user_id", "event_type",
+        "ts", "event_id", maxGap = 2, topK = 20)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("x", "y")), got.keySet.toString)
+    assert(got(("a", "b")) == ((1L, 166666L))) // 1/6 in ppm
+    assert(!got.contains(("a", "d"))) // gap 3 > 2
+    assert(!got.contains(("d", "x"))) // cross-entity
+  }
+
   test("transitionEntropy: deterministic next-step → 0 nats; " +
       "uniform 2-way → ln 2") {
     // from a: always to b (H = 0); from b: half to a, half to c

@@ -163,6 +163,22 @@ class StatsSpec extends SparkSpec {
     assert(g > 890000L && g <= 900000L, s"g=$g")
   }
 
+  test("lorenzDeciles: uniform values → linear curve; last decile " +
+      "always 10^6; concentrated tail bends the curve down") {
+    import spark.implicits._
+    val uni = (1 to 100).map(i => (i.toLong, 5.0)).toDF("id", "v")
+    val lu = Stats.lorenzDeciles(uni, "v", "id")
+      .orderBy("decile").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(lu(5L) == 500000L && lu(10L) == 1000000L, lu.toString)
+    val conc = ((1 to 99).map(i => (i.toLong, 1.0)) :+ (100L, 901.0))
+      .toDF("id", "v")
+    val lc = Stats.lorenzDeciles(conc, "v", "id")
+      .orderBy("decile").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(lc(9L) == 90000L && lc(10L) == 1000000L, lc.toString)
+  }
+
   test("hhiPpm: k equal groups → 10^6/k; monopoly → 10^6") {
     import spark.implicits._
     val four = (1 to 100).map(i => s"g${i % 4}").toDF("g")
