@@ -1214,5 +1214,90 @@ object Round10 {
              |    AS cum_share_ppm
              |FROM r JOIN range(1, 11) t(d)
              |  ON r.rn = (t.d * r.n + 9) // 10
-             |ORDER BY decile""".stripMargin)))
+             |ORDER BY decile""".stripMargin)),
+
+    // ---- vocabulary drift: terms whose frequency share GREW most in
+    // the second corpus half vs the first (the emerging-terms report
+    // a crawl pipeline watches) — Laplace-smoothed exact-ppm shares,
+    // growth in ppm delta, floor on current count to kill noise
+    QueryDef("q191_emerging_terms",
+      (s, dir) => {
+        val words = graft.operators.TextOps.wordRows(
+          t("documents")(s, dir)
+            .withColumn("is_ref", col("doc_id") % 2 === 0),
+          "text", keep = Seq("is_ref"))
+        val rc = words.filter(col("is_ref"))
+          .groupBy(col("word")).agg(count(lit(1)).as("rc"))
+        val cc = words.filter(!col("is_ref"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cc"))
+        val tot = rc.agg(sum("rc").as("n_r"))
+          .crossJoin(cc.agg(sum("cc").as("n_c")))
+        cc.join(rc, Seq("word"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("word"),
+            coalesce(col("rc"), lit(0L)).as("ref_n"),
+            col("cc").as("cur_n"),
+            expr("((coalesce(rc, 0) + 1) * 1000000) div (n_r + 1)")
+              .as("ref_ppm"),
+            expr("((cc + 1) * 1000000) div (n_c + 1)").as("cur_ppm"))
+          .where(col("cur_n") >= 5)
+          .withColumn("growth_ppm", col("cur_ppm") - col("ref_ppm"))
+          .orderBy(col("growth_ppm").desc, col("word"))
+          .limit(20)
+      },
+      Some("""WITH w AS (SELECT doc_id % 2 = 0 AS is_ref,
+             |    unnest(list_filter(string_split_regex(lower(text),
+             |      '\s+'), x -> len(x) > 0)) AS word
+             |  FROM documents),
+             |rc AS (SELECT word, COUNT(*) AS rc FROM w
+             |  WHERE is_ref GROUP BY 1),
+             |cc AS (SELECT word, COUNT(*) AS cc FROM w
+             |  WHERE NOT is_ref GROUP BY 1),
+             |tot AS (SELECT (SELECT CAST(SUM(rc) AS BIGINT) FROM rc)
+             |    AS n_r,
+             |  (SELECT CAST(SUM(cc) AS BIGINT) FROM cc) AS n_c)
+             |SELECT cc.word, CAST(COALESCE(rc.rc, 0) AS BIGINT)
+             |    AS ref_n,
+             |  CAST(cc.cc AS BIGINT) AS cur_n,
+             |  ((COALESCE(rc.rc, 0) + 1) * 1000000) // (n_r + 1)
+             |    AS ref_ppm,
+             |  ((cc.cc + 1) * 1000000) // (n_c + 1) AS cur_ppm,
+             |  ((cc.cc + 1) * 1000000) // (n_c + 1)
+             |    - ((COALESCE(rc.rc, 0) + 1) * 1000000) // (n_r + 1)
+             |    AS growth_ppm
+             |FROM cc LEFT JOIN rc USING (word) CROSS JOIN tot
+             |WHERE cc.cc >= 5
+             |ORDER BY growth_ppm DESC, word LIMIT 20""".stripMargin)),
+
+    // ---- k-anonymity audit: quasi-identifier combos with fewer than
+    // k members, and the share of rows at re-identification risk —
+    // the privacy DQ gate before a data release
+    QueryDef("q192_k_anonymity",
+      (s, dir) => {
+        val g = t("customer")(s, dir)
+          .groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"))
+        g.agg(count(lit(1)).as("n_combos"),
+            sum(when(col("n") < 5, 1L).otherwise(0L))
+              .as("combos_under_k"),
+            sum(col("n")).as("n_rows"),
+            sum(when(col("n") < 5, col("n")).otherwise(0L))
+              .as("rows_at_risk"))
+          .select(col("n_combos"), col("combos_under_k"),
+            col("n_rows"), col("rows_at_risk"),
+            expr("(rows_at_risk * 1000000) div n_rows")
+              .as("risk_ppm"))
+      },
+      Some("""WITH g AS (SELECT c_nationkey, c_mktsegment,
+             |    COUNT(*) AS n FROM customer GROUP BY 1, 2)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_combos,
+             |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS combos_under_k,
+             |  CAST(SUM(n) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END)
+             |    AS BIGINT) AS rows_at_risk,
+             |  (CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END)
+             |    AS BIGINT) * 1000000) // CAST(SUM(n) AS BIGINT)
+             |    AS risk_ppm
+             |FROM g""".stripMargin)))
 }
