@@ -261,4 +261,87 @@ class PropertiesSpec extends SparkSpec {
       assert(twice.agg(sum("n_pii")).first().getLong(0) == 0L)
     }
   }
+
+  private val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta",
+    "epsilon", "zeta", "eta", "theta", "iota", "kappa")
+  private val corpusGen: Gen[List[String]] =
+    Gen.nonEmptyListOf(
+      Gen.choose(3, 12).flatMap(n => Gen.listOfN(n, wordGen))
+        .map(_.mkString(" ")))
+
+  test("property: containmentPairsPrefix ≡ containmentPairs on " +
+      "random corpora") {
+    import spark.implicits._
+    for ((texts, t) <- samples(corpusGen, 4).zip(
+        Seq(0.5, 0.7, 0.8, 0.95))) {
+      val docs = texts.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+        .toDF("doc_id", "text")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("contained", "container").collect()
+          .map(_.toSeq).toSeq
+      assert(
+        canon(operators.Dedup.containmentPairsPrefix(docs, "doc_id",
+          "text", 3, t, cache = false)) ==
+        canon(operators.Dedup.containmentPairs(docs, "doc_id",
+          "text", 3, t, cache = false)), s"t=$t texts=$texts")
+    }
+  }
+
+  test("property: Cdc.compact ≡ sequential reference fold on random " +
+      "change streams") {
+    import spark.implicits._
+    val chGen: Gen[List[(Long, Long, String, Double)]] =
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 4L),
+        Gen.choose(1L, 6L), Gen.oneOf("I", "U", "D"),
+        Gen.choose(0, 99).map(_.toDouble)))
+    def rank(op: String) = op match {
+      case "I" => 0; case "U" => 1; case _ => 2 }
+    for (chRaw <- samples(chGen, 5)) {
+      // dedupe (k, ver, op): ties with equal sort keys but different
+      // payloads have no defined winner (both engines pick SOME row;
+      // the operator's contract demands real version resolution)
+      val ch = chRaw.distinctBy(c => (c._1, c._2, c._3))
+      val df = ch.toDF("k", "ver", "op", "price")
+      val got = operators.Cdc.compact(df.repartition(4), "k", "ver",
+          "op", Seq("price"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+          r.getLong(2), r.getString(3), r.getString(4),
+          r.getString(5), Option(r.get(6))))).toMap
+      val want = ch.groupBy(_._1).map { case (k, rows) =>
+        val sorted = rows.sortBy(c => (c._2, rank(c._3)))
+        val (fo, lo) = (sorted.head._3, sorted.last._3)
+        val net =
+          if (fo == "I" && lo == "D") "noop"
+          else if (lo == "D") "delete"
+          else if (fo == "I") "insert" else "update"
+        k -> ((rows.size.toLong, rows.map(_._2).max, fo, lo, net,
+          if (lo == "D") None else Some(sorted.last._4)))
+      }
+      assert(got == want, s"ch=$ch\ngot=$got\nwant=$want")
+    }
+  }
+
+  test("property: rankNormalize stays in [0, 10^6], is monotone in " +
+      "value within a group, and hits both endpoints") {
+    import spark.implicits._
+    val rowsGen = Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("a", "b"),
+      Gen.choose(0, 50).map(_.toDouble)))
+    for (rows <- samples(rowsGen, 5)) {
+      val df = rows.zipWithIndex.map { case ((g, v), i) =>
+        (g, i.toLong, v) }.toDF("grp", "id", "v")
+      val out = operators.Quantiles.rankNormalize(df, Seq("grp"),
+          "v", "id")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDouble(2), r.getLong(3)))
+      assert(out.forall(r => r._4 >= 0L && r._4 <= 1000000L))
+      out.groupBy(_._1).foreach { case (_, g) =>
+        val sorted = g.sortBy(r => (r._3, r._2))
+        assert(sorted.map(_._4).toSeq ==
+          sorted.map(_._4).toSeq.sorted, sorted.toString)
+        if (g.size > 1) {
+          assert(sorted.head._4 == 0L && sorted.last._4 == 1000000L)
+        } else assert(sorted.head._4 == 500000L)
+      }
+    }
+  }
 }
