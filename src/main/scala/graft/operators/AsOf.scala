@@ -61,6 +61,42 @@ object AsOf {
         payload.map(p => col(s"_m.$p").as(p)): _*)
   }
 
+  /** FORWARD as-of join — each left row picks the EARLIEST right row
+    * with `rightTs >= leftTs` on the same keys (the "next following
+    * event" direction; equal timestamps match, the [[join]]
+    * convention mirrored). Same union-window shape: one shuffle on
+    * the keys, one sort, `first` over the forward frame. Attribution
+    * windows, next-touch analysis, and time-to-response metrics are
+    * this direction.
+    */
+  def joinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val lStruct = struct(left.columns.map(col): _*)
+    val rStruct = struct(payload.map(col): _*)
+    val lType = left.select(lStruct).schema.head.dataType
+    val rType = right.select(rStruct).schema.head.dataType
+
+    val l2 = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("_ts"), lit(0).as("_side"),
+        lStruct.as("_lrow"), lit(null).cast(rType).as("_rrow")): _*)
+    val r2 = right.filter(col(rightTs).isNotNull).select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("_ts"), lit(1).as("_side"),
+        lit(null).cast(lType).as("_lrow"), rStruct.as("_rrow")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val matched = l2.unionByName(r2)
+      .withColumn("_m", first(col("_rrow"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+    matched.select(
+      left.columns.map(c => col(s"_lrow.$c").as(c)) ++
+        payload.map(p => col(s"_m.$p").as(p)): _*)
+  }
+
   /** Same as-of semantics through the whole-operator extension stack
     * (custom LogicalPlan + Strategy + SparkPlan — see
     * [[graft.plans.AsOfJoinPlan]]): hash-partition + sort per side, then

@@ -47,4 +47,37 @@ object Skew {
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, keys :+ "_salt", joinType).drop("_salt")
   }
+
+  /** Join-key skew report — the measurement feeding the
+    * [[saltedEquiJoin]] decision: distribution of per-key
+    * multiplicities as exact order statistics (type-1 ranks, the
+    * winsorizeStats arithmetic) plus the hottest key's share. A
+    * p99/p50 ratio in the tens says the key is salting territory; a
+    * max_share in the percents says ONE key dominates the shuffle.
+    * One key aggregation (map-side combined) + one ranking window
+    * over the KEY frame (≪ rows). Output one row: `(n_keys, n_rows,
+    * max_n, max_share_ppm, p50_n, p99_n, p99_over_p50_milli)`.
+    */
+  def keySkewReport(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kc = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n"), col(keyCol))
+    val ranked = kc
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .withColumn("k", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+    ranked.agg(
+        max(col("k")).as("n_keys"),
+        sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_n"),
+        max(when(col("rn") === expr("(k * 50 + 99) div 100"),
+          col("n"))).as("p50_n"),
+        max(when(col("rn") === expr("(k * 99 + 99) div 100"),
+          col("n"))).as("p99_n"))
+      .select(col("n_keys"), col("n_rows"), col("max_n"),
+        expr("(max_n * 1000000) div n_rows").as("max_share_ppm"),
+        col("p50_n"), col("p99_n"),
+        expr("(p99_n * 1000) div p50_n").as("p99_over_p50_milli"))
+  }
 }

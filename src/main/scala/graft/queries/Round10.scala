@@ -1299,5 +1299,71 @@ object Round10 {
              |  (CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END)
              |    AS BIGINT) * 1000000) // CAST(SUM(n) AS BIGINT)
              |    AS risk_ppm
-             |FROM g""".stripMargin)))
+             |FROM g""".stripMargin)),
+
+    // ---- join-key skew report: per-key multiplicity order stats +
+    // hottest-key share over l_orderkey — the measurement feeding the
+    // q40 salting decision
+    QueryDef("q193_skew_report",
+      (s, dir) => graft.operators.Skew.keySkewReport(
+        t("lineitem")(s, dir), "l_orderkey"),
+      Some("""WITH kc AS (SELECT l_orderkey, COUNT(*) AS n
+             |  FROM lineitem WHERE l_orderkey IS NOT NULL
+             |  GROUP BY 1),
+             |r AS (SELECT n,
+             |    ROW_NUMBER() OVER (ORDER BY n, l_orderkey) AS rn,
+             |    COUNT(*) OVER () AS k FROM kc),
+             |a AS (SELECT CAST(MAX(k) AS BIGINT) AS n_keys,
+             |    CAST(SUM(n) AS BIGINT) AS n_rows,
+             |    CAST(MAX(n) AS BIGINT) AS max_n,
+             |    MAX(CASE WHEN rn = (k * 50 + 99) // 100 THEN n END)
+             |      AS p50_n,
+             |    MAX(CASE WHEN rn = (k * 99 + 99) // 100 THEN n END)
+             |      AS p99_n
+             |  FROM r)
+             |SELECT n_keys, n_rows, max_n,
+             |  (max_n * 1000000) // n_rows AS max_share_ppm,
+             |  CAST(p50_n AS BIGINT) AS p50_n,
+             |  CAST(p99_n AS BIGINT) AS p99_n,
+             |  (CAST(p99_n AS BIGINT) * 1000) // p50_n
+             |    AS p99_over_p50_milli
+             |FROM a""".stripMargin)),
+
+    // ---- FORWARD as-of: each click's NEXT error (ts ≥ click) per
+    // user — the attribution/time-to-response direction, one
+    // union-window pass (q43's backward twin mirrored)
+    QueryDef("q194_asof_forward",
+      (s, dir) => {
+        val ev = t("events")(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("value"))
+        val errW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("ts"))
+          .orderBy(col("event_id").desc)
+        val errors = ev.filter(col("event_type") === "error")
+          .withColumn("_r", row_number().over(errW))
+          .filter(col("_r") === 1)
+          .select(col("user_id"), col("ts").as("nerr_ts"),
+            col("value").as("nerr_value"))
+        graft.operators.AsOf.joinForward(clicks, errors,
+            Seq("user_id"), "ts", "nerr_ts",
+            Seq("nerr_ts", "nerr_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH clicks AS (SELECT event_id, user_id, ts, value
+             |  FROM events WHERE event_type = 'click'),
+             |e0 AS (SELECT user_id, ts, value,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id, ts
+             |      ORDER BY event_id DESC) AS r
+             |  FROM events WHERE event_type = 'error'),
+             |err AS (SELECT user_id, ts AS nerr_ts,
+             |    value AS nerr_value FROM e0 WHERE r = 1)
+             |SELECT c.event_id, c.user_id, c.ts, c.value,
+             |  n.nerr_ts, n.nerr_value
+             |FROM clicks c LEFT JOIN LATERAL (
+             |  SELECT e.nerr_ts, e.nerr_value FROM err e
+             |  WHERE e.user_id = c.user_id AND e.nerr_ts >= c.ts
+             |  ORDER BY e.nerr_ts LIMIT 1) n ON TRUE
+             |ORDER BY c.event_id""".stripMargin)))
 }

@@ -29,4 +29,17 @@ class SkewSpec extends SparkSpec {
       .select("_salt").distinct().count()
     assert(buckets >= 6) // hash spreads ~uniformly over 8 buckets
   }
+
+  test("keySkewReport: hand-computed order stats and hot-key share") {
+    import spark.implicits._
+    // 99 keys with 1 row each + one key with 100 rows
+    val df = ((1 to 99).map(k => (k.toLong, "x")) ++
+      (1 to 100).map(_ => (1000L, "x"))).toDF("k", "v")
+    val r = Skew.keySkewReport(df.repartition(5), "k").collect().head
+    assert(r.getLong(0) == 100L && r.getLong(1) == 199L)
+    assert(r.getLong(2) == 100L)                    // max_n
+    assert(r.getLong(3) == 502512L)                 // 100/199 in ppm
+    assert(r.getLong(4) == 1L && r.getLong(5) == 1L) // p50=p99=1
+    assert(r.getLong(6) == 1000L)                   // ratio 1.000
+  }
 }
