@@ -1365,5 +1365,112 @@ object Round10 {
              |  SELECT e.nerr_ts, e.nerr_value FROM err e
              |  WHERE e.user_id = c.user_id AND e.nerr_ts >= c.ts
              |  ORDER BY e.nerr_ts LIMIT 1) n ON TRUE
-             |ORDER BY c.event_id""".stripMargin)))
+             |ORDER BY c.event_id""".stripMargin)),
+
+    // ---- tokenizer fertility per language (BPE tokens per word,
+    // exact milli): the metric that tells you which languages the
+    // learned vocabulary under-serves; consumes the q129 artifact
+    QueryDef("q195_bpe_fertility",
+      (s, dir) => {
+        val docs = t("documents")(s, dir)
+        val counts = graft.operators.Bpe.docTokenCounts(docs, "text",
+          "doc_id", Round9c.sharedBpe(s, dir))
+        val words = docs.select(col("doc_id"), col("lang"),
+          size(graft.operators.TextOps.words(col("text")))
+            .cast("bigint").as("n_words"))
+        counts.join(words, "doc_id")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("n_words"),
+            sum(col("bpe_tokens")).as("n_bpe_tokens"))
+          .withColumn("fertility_milli",
+            expr("(n_bpe_tokens * 1000) div n_words"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH ${Round9c.bpeAllCtes},
+              |v AS (SELECT word, COUNT(*) AS n_tokens
+              |  FROM s${Round9c.K} GROUP BY word),
+              |dt AS (SELECT t.doc_id,
+              |    CAST(SUM(v.n_tokens) AS BIGINT) AS bpe_tokens
+              |  FROM tok t JOIN v USING (word) GROUP BY t.doc_id),
+              |dw AS (SELECT doc_id, lang,
+              |    CAST(len(list_filter(string_split_regex(
+              |      lower(text), '\\s+'), x -> len(x) > 0))
+              |      AS BIGINT) AS n_words
+              |  FROM documents)
+              |SELECT dw.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(dw.n_words) AS BIGINT) AS n_words,
+              |  CAST(SUM(dt.bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+              |  (CAST(SUM(dt.bpe_tokens) AS BIGINT) * 1000)
+              |    // CAST(SUM(dw.n_words) AS BIGINT)
+              |    AS fertility_milli
+              |FROM dt JOIN dw USING (doc_id)
+              |GROUP BY dw.lang ORDER BY dw.lang""".stripMargin)),
+
+    // ---- dedup savings report: what transitive near-dup clustering
+    // (q45's CC over the shared pair graph) actually buys — docs and
+    // tokens removed when each cluster keeps its min-id
+    // representative, in exact ppm of the corpus
+    QueryDef("q196_dedup_savings",
+      (s, dir) => {
+        val docs = t("documents")(s, dir)
+        val cc = graft.operators.Dedup.connectedComponents(
+          CorpusOps.sharedJaccardPairs(s, dir),
+          docs.select(col("doc_id")), "doc_id")
+        val toks = docs.select(col("doc_id"),
+          size(graft.operators.TextOps.words(col("text")))
+            .cast("bigint").as("n_tokens"))
+        cc.join(toks, cc("id") === toks("doc_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            sum(when(col("id") =!= col("cluster"), 1L).otherwise(0L))
+              .as("docs_removed"),
+            sum(when(col("id") =!= col("cluster"), col("n_tokens"))
+              .otherwise(0L)).as("tokens_removed"))
+          .select(col("n_docs"), col("n_tokens"), col("docs_removed"),
+            col("tokens_removed"),
+            expr("(docs_removed * 1000000) div n_docs")
+              .as("docs_removed_ppm"),
+            expr("(tokens_removed * 1000000) div n_tokens")
+              .as("tokens_removed_ppm"))
+      },
+      Some(s"""WITH RECURSIVE ${CorpusOps.oShinglesSql},
+              |hs AS (SELECT doc_id, ${CorpusOps.oH60("s")} AS h FROM sh),
+              |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+              |p AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) AS inter
+              |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs AS (SELECT da, db FROM p
+              |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+              |  WHERE inter / (x.n + y.n - inter) >= 0.6),
+              |edges AS (SELECT da AS src, db AS dst FROM pairs
+              |  UNION ALL SELECT db, da FROM pairs),
+              |walk AS (
+              |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+              |  UNION
+              |  SELECT e.dst AS id, w.lbl
+              |  FROM walk w JOIN edges e ON w.id = e.src
+              |  WHERE w.lbl < e.dst),
+              |cl AS (SELECT id, MIN(lbl) AS cluster FROM walk
+              |  GROUP BY id),
+              |tk AS (SELECT doc_id, CAST(len(list_filter(
+              |    string_split_regex(lower(text), '\\s+'),
+              |    x -> len(x) > 0)) AS BIGINT) AS n_tokens
+              |  FROM documents),
+              |j AS (SELECT cl.id, cl.cluster, tk.n_tokens
+              |  FROM cl JOIN tk ON cl.id = tk.doc_id)
+              |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+              |  CAST(SUM(CASE WHEN id <> cluster THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS docs_removed,
+              |  CAST(SUM(CASE WHEN id <> cluster THEN n_tokens
+              |    ELSE 0 END) AS BIGINT) AS tokens_removed,
+              |  (CAST(SUM(CASE WHEN id <> cluster THEN 1 ELSE 0 END)
+              |    AS BIGINT) * 1000000) // COUNT(*)
+              |    AS docs_removed_ppm,
+              |  (CAST(SUM(CASE WHEN id <> cluster THEN n_tokens
+              |    ELSE 0 END) AS BIGINT) * 1000000)
+              |    // CAST(SUM(n_tokens) AS BIGINT)
+              |    AS tokens_removed_ppm
+              |FROM j""".stripMargin)))
 }

@@ -27,7 +27,7 @@ object Round9c {
     * values are deterministic so consumers' oracles are unaffected by
     * who built the artifact.
     */
-  private val K = 3
+  private[queries] val K = 3
   private val bpeReg =
     new java.util.concurrent.ConcurrentHashMap[String, Bpe.Learned]()
   private def bpeKey(s: SparkSession, dir: String): String = {
@@ -40,7 +40,7 @@ object Round9c {
     bpeReg.put(bpeKey(s, dir), learned)
     learned
   }
-  private def sharedBpe(s: SparkSession, dir: String): Bpe.Learned =
+  private[queries] def sharedBpe(s: SparkSession, dir: String): Bpe.Learned =
     bpeReg.computeIfAbsent(bpeKey(s, dir),
       _ => Bpe.learnMerges(s, t("documents")(s, dir), "text", K))
 
@@ -94,7 +94,7 @@ object Round9c {
        |  WHERE NOT consumed)""".stripMargin
   }
 
-  private val bpeAllCtes: String =
+  private[queries] val bpeAllCtes: String =
     (bpeBaseCtes +: (1 to K).map(bpeIterCtes)).mkString(",\n")
 
   val defs: Seq[QueryDef] = Seq(
