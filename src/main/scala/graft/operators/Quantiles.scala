@@ -143,6 +143,44 @@ object Quantiles {
     * winsorizeStats caveat) — normalize within strata, not globally,
     * at 100 TB.
     */
+  /** Per-group ROBUST z-scores (Hampel-style): `(x − median)·1000 div
+    * MAD` in exact integer milli over exact cents — the outlier-proof
+    * twin of mean/σ standardization (one spike moves a mean/σ z for
+    * EVERY row; median/MAD ignore it). Median and MAD are type-1
+    * order statistics (the winsorizeStats rank arithmetic); groups
+    * with MAD = 0 yield null z (no spread to scale by — documented,
+    * matching zScores' σ=0 convention). NULLs excluded. Two ranking
+    * windows on the same group key (median pass, then deviation
+    * pass) — the exact-order-statistic cost class; use histogram
+    * bounds at 100 TB when rank exactness isn't required.
+    * Output: `(groupCols…, idCol, valCol, robust_z_milli)`.
+    */
+  def robustZ(df: DataFrame, groupCols: Seq[String], valCol: String,
+      idCol: String): DataFrame = {
+    val gcols = groupCols.map(col)
+    val g = Window.partitionBy(gcols: _*)
+    val base = df.filter(col(valCol).isNotNull)
+      .select(gcols ++ Seq(col(idCol), col(valCol),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("bigint")
+          .as("_cents")): _*)
+    val med = base
+      .withColumn("_rn", row_number().over(
+        g.orderBy(col("_cents"), col(idCol))))
+      .withColumn("_n", count(lit(1)).over(g))
+      .withColumn("_med", max(when(
+        col("_rn") === expr("(_n + 1) div 2"), col("_cents"))).over(g))
+      .withColumn("_dev", abs(col("_cents") - col("_med")))
+    med
+      .withColumn("_rd", row_number().over(
+        g.orderBy(col("_dev"), col(idCol))))
+      .withColumn("_mad", max(when(
+        col("_rd") === expr("(_n + 1) div 2"), col("_dev"))).over(g))
+      .select(gcols ++ Seq(col(idCol), col(valCol),
+        when(col("_mad") > 0,
+          expr("((_cents - _med) * 1000) div _mad"))
+          .as("robust_z_milli")): _*)
+  }
+
   def rankNormalize(df: DataFrame, groupCols: Seq[String],
       valCol: String, idCol: String): DataFrame = {
     val gcols = groupCols.map(col)

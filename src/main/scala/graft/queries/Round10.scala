@@ -1472,5 +1472,206 @@ object Round10 {
               |    ELSE 0 END) AS BIGINT) * 1000000)
               |    // CAST(SUM(n_tokens) AS BIGINT)
               |    AS tokens_removed_ppm
-              |FROM j""".stripMargin)))
+              |FROM j""".stripMargin)),
+
+    // ---- robust (median/MAD) z-scores per brand — q182's outlier-
+    // proof twin, exact integer milli
+    QueryDef("q197_robust_z",
+      (s, dir) => graft.operators.Quantiles.robustZ(
+          t("part")(s, dir), Seq("p_brand"), "p_retailprice",
+          "p_partkey")
+        .orderBy(col("p_brand"), col("p_partkey")),
+      Some("""WITH b AS (SELECT p_brand, p_partkey, p_retailprice,
+             |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT) AS c
+             |  FROM part WHERE p_retailprice IS NOT NULL),
+             |r1 AS (SELECT *,
+             |    ROW_NUMBER() OVER (PARTITION BY p_brand
+             |      ORDER BY c, p_partkey) AS rn,
+             |    COUNT(*) OVER (PARTITION BY p_brand) AS n FROM b),
+             |m1 AS (SELECT *, MAX(CASE WHEN rn = (n + 1) // 2
+             |      THEN c END) OVER (PARTITION BY p_brand) AS med
+             |  FROM r1),
+             |d1 AS (SELECT *, abs(c - med) AS dev FROM m1),
+             |r2 AS (SELECT *,
+             |    ROW_NUMBER() OVER (PARTITION BY p_brand
+             |      ORDER BY dev, p_partkey) AS rd FROM d1),
+             |m2 AS (SELECT *, MAX(CASE WHEN rd = (n + 1) // 2
+             |      THEN dev END) OVER (PARTITION BY p_brand) AS mad
+             |  FROM r2)
+             |SELECT p_brand, p_partkey, p_retailprice,
+             |  CASE WHEN mad > 0 THEN ((c - med) * 1000) // mad
+             |    END AS robust_z_milli
+             |FROM m2 ORDER BY p_brand, p_partkey""".stripMargin)),
+
+    // ---- KWIC (keyword-in-context) extraction: ±3-word window
+    // around each doc's FIRST occurrence of the query term — the
+    // retrieval-presentation primitive, pure array functions
+    QueryDef("q198_kwic",
+      (s, dir) => {
+        val ws = graft.operators.TextOps.words(col("text"))
+        t("documents")(s, dir)
+          .select(col("doc_id"), ws.as("ws"))
+          .withColumn("pos",
+            array_position(col("ws"), "hash").cast("bigint"))
+          .where(col("pos") > 0)
+          .select(col("doc_id"), col("pos"),
+            concat_ws(" ", slice(col("ws"),
+              greatest(col("pos") - 3, lit(1)).cast("int"),
+              (col("pos") - greatest(col("pos") - 3, lit(1)) + 4)
+                .cast("int"))).as("context"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(text), '\s+'),
+             |    x -> len(x) > 0) AS ws FROM documents),
+             |p AS (SELECT doc_id, ws,
+             |    CAST(list_position(ws, 'hash') AS BIGINT) AS pos
+             |  FROM w)
+             |SELECT doc_id, pos,
+             |  array_to_string(ws[CAST(GREATEST(pos - 3, 1) AS INT)
+             |    : CAST(pos + 3 AS INT)], ' ') AS context
+             |FROM p WHERE pos > 0 ORDER BY doc_id""".stripMargin)),
+
+    // ---- weekly seasonality profile: per (event_type, day-of-week)
+    // share vs the type's uniform 1/7 baseline, exact ppm — the
+    // cheap seasonality detector feeding q149's anomaly thresholds
+    QueryDef("q199_dow_profile",
+      (s, dir) => {
+        val e = t("events")(s, dir)
+          .select(col("event_type"),
+            dayofweek(col("ts")).cast("bigint").as("dow"))
+        val c = e.groupBy(col("event_type"), col("dow"))
+          .agg(count(lit(1)).as("n"))
+        val tot = c.groupBy(col("event_type"))
+          .agg(sum(col("n")).as("t"))
+        c.join(broadcast(tot), "event_type")
+          .select(col("event_type"), col("dow"), col("n"),
+            expr("(n * 1000000) div t").as("share_ppm"),
+            (expr("(n * 1000000) div t") - lit(142857L))
+              .as("vs_uniform_ppm"))
+          .orderBy(col("event_type"), col("dow"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT)
+             |      AS dow
+             |  FROM events),
+             |c AS (SELECT event_type, dow, COUNT(*) AS n FROM e
+             |  GROUP BY 1, 2),
+             |t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS t
+             |  FROM c GROUP BY 1)
+             |SELECT c.event_type, c.dow, c.n,
+             |  (c.n * 1000000) // t.t AS share_ppm,
+             |  (c.n * 1000000) // t.t - 142857 AS vs_uniform_ppm
+             |FROM c JOIN t USING (event_type)
+             |ORDER BY event_type, dow""".stripMargin)),
+
+    // ---- the curation funnel headline: cumulative survivor counts
+    // through four gates — exact-dup rep (q33's fingerprint), near-dup
+    // cluster rep (q45's CC), quality floor (≥10 words), blocklist
+    // (q75's gate) — each gate exactly replayable, shares in exact ppm
+    QueryDef("q200_curation_funnel",
+      (s, dir) => {
+        val docs = t("documents")(s, dir)
+        val norm = concat_ws(" ",
+          graft.operators.TextOps.words(col("text")))
+        val base = docs.select(col("doc_id"), col("text"),
+          md5(norm).as("fp"),
+          size(graft.operators.TextOps.words(col("text")))
+            .cast("bigint").as("n_words"))
+        val fpRep = base.groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("rep_id"))
+        val cc = graft.operators.Dedup.connectedComponents(
+          CorpusOps.sharedJaccardPairs(s, dir),
+          docs.select(col("doc_id")), "doc_id")
+        val bl = graft.operators.Curation.blocklistGate(docs, "text",
+          "doc_id", Seq("slow", "dup"), maxHits = 3)
+        val flags = base
+          .join(fpRep, Seq("fp"))
+          .withColumn("g_exact", col("doc_id") === col("rep_id"))
+          .join(cc, base("doc_id") === cc("id"))
+          .withColumn("g_near", col("id") === col("cluster"))
+          .withColumn("g_quality", col("n_words") >= 10)
+          .join(bl.select(col("doc_id").as("bid"), col("blocked")),
+            base("doc_id") === col("bid"))
+          .withColumn("g_block", !col("blocked"))
+        val agg = flags.agg(
+          count(lit(1)).as("n0"),
+          sum(when(col("g_exact"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("g_exact") && col("g_near"), 1L)
+            .otherwise(0L)).as("n2"),
+          sum(when(col("g_exact") && col("g_near") &&
+            col("g_quality"), 1L).otherwise(0L)).as("n3"),
+          sum(when(col("g_exact") && col("g_near") &&
+            col("g_quality") && col("g_block"), 1L)
+            .otherwise(0L)).as("n4"))
+        val stages = Seq(
+          ("0_input", "n0"), ("1_exact_dedup", "n1"),
+          ("2_near_dedup", "n2"), ("3_quality", "n3"),
+          ("4_blocklist", "n4"))
+        agg.select(explode(array(stages.map { case (nm, c) =>
+            struct(lit(nm).as("stage"), col(c).as("n_docs"),
+              expr(s"($c * 1000000) div n0").as("share_ppm"))
+          }: _*)).as("x"))
+          .select(col("x.stage"), col("x.n_docs"),
+            col("x.share_ppm"))
+          .orderBy(col("stage"))
+      },
+      Some(s"""WITH RECURSIVE ${CorpusOps.oShinglesSql},
+              |hs AS (SELECT doc_id, ${CorpusOps.oH60("s")} AS h FROM sh),
+              |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+              |p AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) AS inter
+              |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs AS (SELECT da, db FROM p
+              |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+              |  WHERE inter / (x.n + y.n - inter) >= 0.6),
+              |edges AS (SELECT da AS src, db AS dst FROM pairs
+              |  UNION ALL SELECT db, da FROM pairs),
+              |walk AS (
+              |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+              |  UNION
+              |  SELECT e.dst AS id, w.lbl
+              |  FROM walk w JOIN edges e ON w.id = e.src
+              |  WHERE w.lbl < e.dst),
+              |cl AS (SELECT id, MIN(lbl) AS cluster FROM walk
+              |  GROUP BY id),
+              |wlist AS (SELECT doc_id, list_filter(
+              |    string_split_regex(lower(text), '\\s+'),
+              |    x -> len(x) > 0) AS ws FROM documents),
+              |bse AS (SELECT doc_id,
+              |    md5(array_to_string(ws, ' ')) AS fp,
+              |    CAST(len(ws) AS BIGINT) AS n_words,
+              |    CAST(len(list_filter(ws,
+              |      x -> x = 'slow' OR x = 'dup')) AS BIGINT)
+              |      AS n_hits
+              |  FROM wlist),
+              |fr AS (SELECT fp, MIN(doc_id) AS rep_id FROM bse
+              |  GROUP BY fp),
+              |fl AS (SELECT b.doc_id,
+              |    b.doc_id = fr.rep_id AS g_exact,
+              |    b.doc_id = cl.cluster AS g_near,
+              |    b.n_words >= 10 AS g_quality,
+              |    b.n_hits <= 3 AS g_block
+              |  FROM bse b JOIN fr ON b.fp = fr.fp
+              |  JOIN cl ON b.doc_id = cl.id),
+              |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+              |    CAST(SUM(CASE WHEN g_exact THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n1,
+              |    CAST(SUM(CASE WHEN g_exact AND g_near THEN 1
+              |      ELSE 0 END) AS BIGINT) AS n2,
+              |    CAST(SUM(CASE WHEN g_exact AND g_near AND g_quality
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+              |    CAST(SUM(CASE WHEN g_exact AND g_near AND g_quality
+              |      AND g_block THEN 1 ELSE 0 END) AS BIGINT) AS n4
+              |  FROM fl)
+              |SELECT stage, n_docs, (n_docs * 1000000) // n0
+              |    AS share_ppm
+              |FROM (
+              |  SELECT '0_input' AS stage, n0 AS n_docs, n0 FROM a
+              |  UNION ALL SELECT '1_exact_dedup', n1, n0 FROM a
+              |  UNION ALL SELECT '2_near_dedup', n2, n0 FROM a
+              |  UNION ALL SELECT '3_quality', n3, n0 FROM a
+              |  UNION ALL SELECT '4_blocklist', n4, n0 FROM a)
+              |ORDER BY stage""".stripMargin)))
 }
