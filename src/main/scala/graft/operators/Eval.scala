@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier-evaluation operators: ROC AUC, confusion/PRF at a
+  * threshold, the full threshold sweep (ROC/PR points), and a
+  * tie-coherent reliability (calibration) table.
+  *
+  * The catalog trains (q107) and serves (q104/q108) quality
+  * classifiers; these are the measurement half of that loop — the
+  * operators a curation pipeline runs on a labeled holdout before
+  * trusting a gate with 100 TB of corpus. The reference delegates all
+  * scoring SQL to its engines (sqltask/base/engine.py); here the
+  * whole evaluation is first-class and distributed.
+  *
+  * Every metric is computed over the DISTINCT-SCORE frame, not the
+  * row frame: one map-side-combined aggregation collapses the corpus
+  * to (score → pos/neg counts), and every subsequent window runs over
+  * that value-cardinality-bounded frame (the ksDistance scale
+  * contract — scores are micro-quantized integers, so the frame is
+  * small even when the corpus is not). All ratios are exact integer
+  * ppm via truncating division (Spark `div` ≡ DuckDB `//`, both
+  * toward zero — negative-safe), so results are hash-stable
+  * cross-engine with no float accumulation anywhere.
+  *
+  * Input contract for all four: `scoreCol` an integral score (e.g.
+  * micro-units margin), `labelCol` ∈ {0, 1}; null scores/labels are
+  * the caller's to filter (the catalog rows feed frames where both
+  * are non-null by construction).
+  */
+object Eval {
+
+  /** Distinct-score frame: (score, pos, neg) counts. */
+  private def scoreCounts(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame =
+    df.groupBy(col(scoreCol).cast("bigint").as("score"))
+      .agg(sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("pos"),
+        sum(when(col(labelCol) === 1, 0L).otherwise(1L)).as("neg"))
+
+  /** ROC AUC in exact ppm via the rank (Mann-Whitney U) formulation
+    * with tie correction: AUC = (#{pos>neg} + ½·#{pos=neg}) /
+    * (nPos·nNeg), carried as (2·concordant + ties) over 2·nPos·nNeg
+    * so the half never touches a float. One aggregation to the
+    * distinct-score frame, one prefix window over it, one total —
+    * never the O(nPos·nNeg) pair join.
+    *
+    * Output: one row (n_pos, n_neg, auc_ppm).
+    */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String)
+      : DataFrame = {
+    val g = scoreCounts(df, scoreCol, labelCol)
+    // distinct-score-bounded prefix scan (ksDistance model contract)
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("neg_below", coalesce(sum(col("neg")).over(w), lit(0L)))
+      .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+        sum(col("pos") * col("neg_below")).as("conc"),
+        sum(col("pos") * col("neg")).as("ties"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("((2 * conc + ties) * 1000000) div (2 * n_pos * n_neg)")
+          .as("auc_ppm"))
+  }
+
+  /** Confusion matrix + accuracy/precision/recall/F1 in exact ppm at
+    * `predict positive ⇔ score ≥ threshold`. One map-side-combined
+    * aggregation; no shuffle beyond the single-row reduce. Undefined
+    * ratios (empty denominator) are null on both engines.
+    *
+    * Output: one row (tp, fp, fn, tn, accuracy_ppm, precision_ppm,
+    * recall_ppm, f1_ppm).
+    */
+  def confusionAtThreshold(df: DataFrame, scoreCol: String,
+      labelCol: String, threshold: Long): DataFrame = {
+    val predPos = col(scoreCol).cast("bigint") >= threshold
+    val isPos = col(labelCol) === 1
+    df.agg(
+        sum(when(predPos && isPos, 1L).otherwise(0L)).as("tp"),
+        sum(when(predPos && !isPos, 1L).otherwise(0L)).as("fp"),
+        sum(when(!predPos && isPos, 1L).otherwise(0L)).as("fn"),
+        sum(when(!predPos && !isPos, 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("((tp + tn) * 1000000) div (tp + fp + fn + tn)")
+          .as("accuracy_ppm"),
+        expr("CASE WHEN tp + fp > 0 THEN (tp * 1000000) div (tp + fp) " +
+          "END").as("precision_ppm"),
+        expr("CASE WHEN tp + fn > 0 THEN (tp * 1000000) div (tp + fn) " +
+          "END").as("recall_ppm"),
+        expr("CASE WHEN 2 * tp + fp + fn > 0 THEN (2 * tp * 1000000) " +
+          "div (2 * tp + fp + fn) END").as("f1_ppm"))
+  }
+
+  /** Full threshold sweep — one ROC/PR point per DISTINCT score
+    * (predict positive ⇔ score ≥ that value): tp/fp plus
+    * tpr/fpr/precision in exact ppm. This is the frame a pipeline
+    * picks its operating threshold from (target precision → lowest
+    * threshold that achieves it). Cost: the scoreCounts aggregation +
+    * one descending prefix window over the distinct-score frame.
+    *
+    * Output: (score, tp, fp, tpr_ppm, fpr_ppm, precision_ppm), one
+    * row per distinct score, ascending.
+    */
+  def thresholdSweep(df: DataFrame, scoreCol: String, labelCol: String)
+      : DataFrame = {
+    val g = scoreCounts(df, scoreCol, labelCol)
+    // suffix sums = prefix sums over descending score
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totals = g.agg(sum(col("pos")).as("n_pos"),
+      sum(col("neg")).as("n_neg"))
+    g.withColumn("tp", sum(col("pos")).over(w))
+      .withColumn("fp", sum(col("neg")).over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("score"), col("tp"), col("fp"),
+        expr("CASE WHEN n_pos > 0 THEN (tp * 1000000) div n_pos END")
+          .as("tpr_ppm"),
+        expr("CASE WHEN n_neg > 0 THEN (fp * 1000000) div n_neg END")
+          .as("fpr_ppm"),
+        expr("CASE WHEN tp + fp > 0 THEN (tp * 1000000) div (tp + fp) " +
+          "END").as("precision_ppm"))
+      .orderBy(col("score"))
+  }
+
+  /** Reliability (calibration) table over TIE-COHERENT quantile
+    * buckets: rows are ranked by score ascending and cut into
+    * `nBuckets` equal-mass buckets, except that equal scores never
+    * straddle a boundary — every row of a distinct score lands in the
+    * bucket of that score's LAST rank (`bucket(v) = (cum≤v − 1) ·
+    * nBuckets div n`). Ties-together is the statistically honest
+    * choice for calibration (rows the model cannot distinguish must
+    * share a bucket) AND what keeps the computation on the
+    * distinct-score frame — ntile-style row splitting would need a
+    * total order over all n rows (a single-partition sort at corpus
+    * scale); this needs it only over distinct scores.
+    *
+    * Per bucket: row count, mean score (exact integer micro-units,
+    * truncating div) and the empirical positive rate in ppm — the
+    * "predicted vs observed" pair a reliability diagram plots.
+    *
+    * Output: (bucket, n, n_pos, mean_score, pos_rate_ppm), ascending.
+    */
+  def calibrationBuckets(df: DataFrame, scoreCol: String,
+      labelCol: String, nBuckets: Int = 10): DataFrame = {
+    val g = scoreCounts(df, scoreCol, labelCol)
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totals = g.agg(sum(col("pos") + col("neg")).as("n_all"))
+    g.withColumn("cum", sum(col("pos") + col("neg")).over(w))
+      .crossJoin(broadcast(totals))
+      .withColumn("bucket",
+        expr(s"((cum - 1) * $nBuckets) div n_all"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("pos") + col("neg")).as("n"),
+        sum(col("pos")).as("n_pos"),
+        sum(col("score") * (col("pos") + col("neg"))).as("score_sum"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        expr("score_sum div n").as("mean_score"),
+        expr("(n_pos * 1000000) div n").as("pos_rate_ppm"))
+      .orderBy(col("bucket"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Pins the classifier-evaluation arithmetic against hand computation:
+  * AUC with ties, confusion/PRF branches, sweep monotonicity, and the
+  * tie-coherent calibration cut.
+  */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // pos scores {10, 5, 8}, neg scores {10, 3, 1} — one tied pair
+  private def frame =
+    Seq((10L, 1), (10L, 0), (5L, 1), (3L, 0), (1L, 0), (8L, 1))
+      .toDF("score", "label")
+
+  test("rocAuc: hand-computed with a tied pair") {
+    // pairs pos>neg: 10:{3,1} + 5:{3,1} + 8:{3,1} = 6; ties: (10,10)
+    // AUC = (6 + 0.5) / 9 → (2·6 + 1)·10⁶ div 18 = 722222
+    val r = Eval.rocAuc(frame, "score", "label").collect().head
+    assert(r === Row(3L, 3L, 722222L))
+  }
+
+  test("rocAuc: perfect separation = 10⁶; reversed = 0; " +
+      "partitioning-invariant") {
+    val perfect = Seq((9L, 1), (8L, 1), (2L, 0), (1L, 0))
+      .toDF("score", "label")
+    assert(Eval.rocAuc(perfect, "score", "label")
+      .collect().head.getLong(2) == 1000000L)
+    val reversed = Seq((9L, 0), (8L, 0), (2L, 1), (1L, 1))
+      .toDF("score", "label")
+    assert(Eval.rocAuc(reversed, "score", "label")
+      .collect().head.getLong(2) == 0L)
+    assert(Eval.rocAuc(frame.repartition(7), "score", "label")
+      .collect().head === Row(3L, 3L, 722222L))
+  }
+
+  test("confusionAtThreshold: all four cells + PRF at t=5") {
+    // pred pos: (10,1)(10,0)(5,1)(8,1) → tp=3 fp=1; neg: (3,0)(1,0)
+    val r = Eval.confusionAtThreshold(frame, "score", "label", 5L)
+      .collect().head
+    assert(r === Row(3L, 1L, 0L, 2L,
+      833333L,  // 5/6
+      750000L,  // 3/4
+      1000000L, // 3/3
+      857142L)) // 6/7
+  }
+
+  test("confusionAtThreshold: empty denominators are null") {
+    val allNeg = Seq((5L, 0), (1L, 0)).toDF("score", "label")
+    val r = Eval.confusionAtThreshold(allNeg, "score", "label", 10L)
+      .collect().head
+    // no predicted positives → precision null; no actual → recall null
+    assert(r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7))
+    assert(r.getLong(4) == 1000000L) // all tn → perfect accuracy
+  }
+
+  test("thresholdSweep: one row per distinct score, tp/fp " +
+      "nonincreasing in score, endpoints exact") {
+    val rows = Eval.thresholdSweep(frame, "score", "label").collect()
+    assert(rows.length == 5) // distinct scores 1 3 5 8 10
+    val byScore = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+    assert(byScore(1L) == (3L, 3L))   // everything predicted positive
+    assert(byScore(8L) == (2L, 1L))   // ≥8: pos{10,8}, neg{10}
+    assert(byScore(10L) == (1L, 1L))
+    // monotone: raising the threshold never adds predictions
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getLong(1) >= hi.getLong(1) &&
+        lo.getLong(2) >= hi.getLong(2))
+    }
+    // precision at the top: tp=1 fp=1 → 500000
+    assert(byScore(10L) == (1L, 1L) &&
+      rows.find(_.getLong(0) == 10L).get.getLong(5) == 500000L)
+  }
+
+  test("calibrationBuckets: tie-coherent halves, exact means/rates") {
+    val rows = Eval.calibrationBuckets(frame, "score", "label",
+      nBuckets = 2).collect()
+    // ascending rows: 1n 3n 5p | 8p 10p 10n — cut lands between 5
+    // and 8; both score-10 rows share bucket 1 (ties never straddle)
+    assert(rows.length == 2)
+    assert(rows(0) === Row(0L, 3L, 1L, 3L, 333333L))  // (1+3+5) div 3
+    assert(rows(1) === Row(1L, 3L, 2L, 9L, 666666L))  // (8+10+10) div 3
+  }
+
+  test("calibrationBuckets: a dominant tie class collapses buckets " +
+      "rather than splitting the tie") {
+    val tied = Seq((7L, 1), (7L, 0), (7L, 1), (7L, 0), (9L, 1))
+      .toDF("score", "label")
+    val rows = Eval.calibrationBuckets(tied, "score", "label",
+      nBuckets = 4).collect()
+    // score 7 (cum 4 → bucket (3·4) div 5 = 2), score 9 → bucket 3
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    assert(rows(0).getLong(1) == 4L && rows(1).getLong(1) == 1L)
+  }
+
+  test("negative scores: truncating div is engine-consistent") {
+    val neg = Seq((-7L, 1), (-3L, 0), (2L, 1)).toDF("score", "label")
+    val cal = Eval.calibrationBuckets(neg, "score", "label", 1)
+      .collect().head
+    // mean = (-7 + -3 + 2) div 3 = -8 div 3 = -2 (toward zero)
+    assert(cal.getLong(3) == -2L)
+  }
+}
