@@ -109,6 +109,67 @@ object Anomaly {
       .drop("_med", "_dev", "_mad")
   }
 
+  /** Two-sided CUSUM level-shift detection (Page 1954) per key: flag
+    * windows where the CUMULATIVE deviation from the key's reference
+    * rate exceeds a threshold — the detector for sustained small
+    * shifts that per-window tests ([[countAnomalies]]/[[hampelFlags]])
+    * structurally miss (a +20% drift never trips a 2σ test on any
+    * single day, but its cumulative sum grows linearly).
+    *
+    * The textbook recursion `S_t = max(0, S_{t−1} + d_t)` is
+    * order-dependent; it is computed here in CLOSED FORM via the
+    * reflection identity `S_t = C_t − min(0, min_{j≤t} C_j)` with
+    * `C_t` the plain prefix sum of deviations — two windows (prefix
+    * sum + prefix min) over the per-key window-count frame, fully
+    * declarative and exactly replayable (AnomalySpec pins ≡ the
+    * sequential fold). Deviations are exact milli-counts:
+    * `d_up = 1000·c − ref_milli − slack`, `ref_milli = (1000·Σc) div
+    * n` per key (truncating div, engine-stable); `d_dn` mirrors for
+    * downward shifts.
+    *
+    * Scale shape: the event stream reduces once to (key, window)
+    * counts; reference frame is key-cardinality-sized and broadcast;
+    * both windows share one partitioning (key) and ordering (window),
+    * so Catalyst plans a single Exchange + Sort. Zero-count windows
+    * produce no row (gap-fill upstream if silence must count as a
+    * deviation — [[Series]] has the calendar frame).
+    *
+    * @param slackMilli  per-window allowance k (milli-counts) before
+    *                    deviation accumulates — the CUSUM slack that
+    *                    absorbs noise around the reference
+    * @param threshMilli decision interval h: `cusum > h` flags
+    */
+  def cusumShifts(events: DataFrame, tsCol: String, typeCol: String,
+      every: String = "day", slackMilli: Long = 0L,
+      threshMilli: Long = 4000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = events.filter(col(tsCol).isNotNull)
+      .select(col(typeCol).as("k"),
+        date_trunc(every, col(tsCol)).as("w0"))
+      .groupBy(col("k"), col("w0")).agg(count(lit(1)).as("c"))
+    val ref = cnt.groupBy(col("k"))
+      .agg(expr("(sum(c) * 1000) div count(1)").as("ref_milli"))
+    val w = Window.partitionBy(col("k")).orderBy(col("w0"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cnt.join(broadcast(ref), "k")
+      .withColumn("d_up",
+        col("c") * 1000L - col("ref_milli") - lit(slackMilli))
+      .withColumn("d_dn",
+        col("ref_milli") - col("c") * 1000L - lit(slackMilli))
+      .withColumn("cu", sum(col("d_up")).over(w))
+      .withColumn("cd", sum(col("d_dn")).over(w))
+      .withColumn("cusum_up_milli",
+        col("cu") - least(min(col("cu")).over(w), lit(0L)))
+      .withColumn("cusum_dn_milli",
+        col("cd") - least(min(col("cd")).over(w), lit(0L)))
+      .select(col("k").as(typeCol), col("w0").as("window_start"),
+        col("c").as("n_events"),
+        col("cusum_up_milli"), col("cusum_dn_milli"),
+        (col("cusum_up_milli") > threshMilli).as("shift_up"),
+        (col("cusum_dn_milli") > threshMilli).as("shift_dn"))
+      .orderBy(col(typeCol), col("window_start"))
+  }
+
   /** Window counts, materialized: every variant consumes this frame
     * at least twice (stats pass + flag pass), and the checkpoint is
     * windows-sized — the event stream reduces exactly once.

@@ -523,6 +523,47 @@ object Curation {
       .select(col(idCol), col(nName),
         (col("_qm") / lit(1000000.0)).as("avg_logp"))
 
+  /** CCNet-style perplexity bucketing: split each stratum (language)
+    * into `nBuckets` equal-mass buckets by LM score — CCNet's
+    * head/middle/tail cut that downstream mixtures sample from
+    * ("keep head+middle, drop tail" or per-bucket rates). The score
+    * is [[unigramLogProb]]'s exact micro mean (higher = more fluent;
+    * bucket `nBuckets−1` is the head), recovered losslessly from
+    * `avg_logp` (`round(·10⁶)` — the stored value IS micro/10⁶).
+    *
+    * The cut is the tie-coherent quantile rule shared with
+    * [[graft.operators.Eval.calibrationBuckets]]: per-stratum
+    * distinct-score frame, prefix counts, `bucket = (cum−1)·k div n`
+    * — equal scores never straddle a boundary, and no corpus-wide
+    * row sort exists (windows run over the per-stratum DISTINCT-score
+    * frame; docs join back by (stratum, score)).
+    *
+    * Output: `(idCol, strataCol, score_micro, bucket)`, one row per
+    * scored document.
+    */
+  def pplBuckets(docs: DataFrame, textCol: String, idCol: String,
+      strataCol: String, nBuckets: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets >= 2)
+    val scored = unigramLogProb(docs, textCol, idCol)
+      .join(docs.select(col(idCol), col(strataCol)), Seq(idCol))
+      .withColumn("score_micro",
+        round(col("avg_logp") * 1000000).cast("long"))
+    val g = scored.groupBy(col(strataCol), col("score_micro"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("score_micro"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = g.groupBy(col(strataCol)).agg(sum(col("cnt")).as("n_all"))
+    val cut = g.withColumn("cum", sum(col("cnt")).over(w))
+      .join(broadcast(tot), Seq(strataCol))
+      .select(col(strataCol), col("score_micro"),
+        expr(s"((cum - 1) * $nBuckets) div n_all").as("bucket"))
+    scored.join(cut, Seq(strataCol, "score_micro"))
+      .select(col(idCol), col(strataCol), col("score_micro"),
+        col("bucket"))
+  }
+
   /** C4-style blocklist gate: count each document's tokens that appear
     * in a term blocklist and reject documents exceeding `maxHits`.
     * Returns `(idCol, n_hits, blocked)` — counts kept as a column so
@@ -572,6 +613,52 @@ object Curation {
         round(when(col("total_tokens") > 0,
           least(lit(1.0), col("share") * budget / col("total_tokens")))
           .otherwise(lit(0.0)), 6).as("rate"))
+  }
+
+  /** Temperature-scaled mixture (the multilingual sampling rule of
+    * mC4 / XLM-R: sample stratum l with probability ∝ p_l^α, α < 1
+    * upweighting the tail so low-resource strata aren't drowned).
+    * Complements [[mixtureRates]]: there the shares are GIVEN; here
+    * they are DERIVED from the corpus with the temperature.
+    *
+    * α is expressed as halvings (α = 2^−halvings: 1 → √, 2 → ⁴√ …)
+    * because repeated `sqrt` is the one real power that is IEEE
+    * correctly-rounded and therefore bit-identical cross-engine —
+    * `pow(x, 0.3)` is a libm call with no such guarantee. The scaled
+    * weight is immediately floored to micro-units
+    * (`w_micro = floor(10⁶·α-power(tokens))` — exact double compare,
+    * engine-stable), and everything after is exact integer: shares
+    * and allocations by truncating div over Σw_micro, natural shares
+    * by truncating div over Σtokens. No float sum anywhere (the
+    * order-dependence that would break the hash gate).
+    *
+    * Output per stratum: `(strata, total_tokens, natural_ppm,
+    * temp_ppm, alloc_tokens)` — natural vs temperature share and the
+    * token allocation of `budget` under the temperature. Strata-sized
+    * everything past one map-side-combined token count.
+    */
+  def temperatureShares(docs: DataFrame, textCol: String,
+      strataCol: String, alphaHalvings: Int = 1, budget: Long)
+      : DataFrame = {
+    require(alphaHalvings >= 1 && alphaHalvings <= 4,
+      "alphaHalvings in [1,4] — α = 2^-h; h=0 is the natural mixture")
+    val tot = docs
+      .select(col(strataCol),
+        size(TextOps.words(col(textCol))).cast("bigint").as("n"))
+      .groupBy(col(strataCol))
+      .agg(sum(col("n")).as("total_tokens"))
+    val scaled = (1 to alphaHalvings).foldLeft(
+      col("total_tokens").cast("double"))((c, _) => sqrt(c))
+    val w = tot.withColumn("w_micro",
+      floor(scaled * lit(1000000.0)).cast("bigint"))
+    val totals = w.agg(sum(col("w_micro")).as("w_sum"),
+      sum(col("total_tokens")).as("t_sum"))
+    w.crossJoin(broadcast(totals))
+      .select(col(strataCol), col("total_tokens"),
+        expr("(total_tokens * 1000000) div t_sum").as("natural_ppm"),
+        expr("(w_micro * 1000000) div w_sum").as("temp_ppm"),
+        expr(s"($budget * w_micro) div w_sum").as("alloc_tokens"))
+      .orderBy(col(strataCol))
   }
 
   /** RAG/context-window chunking: split each document into token chunks

@@ -179,4 +179,39 @@ object Scd2 {
       keyCols, ordCol, attrCols, endOfTime)
     untouched.unionByName(rebuilt)
   }
+
+  /** Point-in-time (validity-window) join: enrich each fact with the
+    * dimension version that was CURRENT at the fact's timestamp —
+    * `valid_from ≤ ts < valid_to` per key. This is the consuming half
+    * of the reference's SCD2 pattern (`example/tasks/
+    * fact_customer_task.py:60-61`: `WHERE start_date <= :report_date
+    * AND end_date > :report_date` — there a per-report-date scalar
+    * bind, here a per-ROW temporal join, the form a backfill over
+    * years of facts needs in one pass).
+    *
+    * Plan shape: an EQUI join on the key carries the weight (facts
+    * hash to the dimension's key partitioning — this is NOT a range
+    * join; the validity predicate is a post-join filter on the ≤
+    * |versions(key)| candidate rows per fact). SCD2 windows are
+    * disjoint per key, so at most one version survives per fact; left
+    * join keeps facts predating their key's first version (null
+    * attrs), `found` makes that explicit. Broadcast the dimension
+    * when it is dim-sized; keyed-shuffle otherwise — left to AQE.
+    *
+    * Output: all fact columns + the dimension's attribute columns +
+    * `valid_from`/`valid_to`/`found`. Dimension key columns are
+    * dropped (they equal the fact's).
+    */
+  def pointInTime(facts: DataFrame, dim: DataFrame,
+      keyCols: Seq[String], tsCol: String): DataFrame = {
+    val renamed = keyCols.foldLeft(dim)((d, k) =>
+      d.withColumnRenamed(k, s"_pit_$k"))
+    val cond = keyCols.map(k => facts(k) <=> renamed(s"_pit_$k"))
+      .reduce(_ && _) &&
+      renamed("valid_from") <= facts(tsCol) &&
+      facts(tsCol) < renamed("valid_to")
+    facts.join(renamed, cond, "left")
+      .withColumn("found", renamed("valid_from").isNotNull)
+      .drop(keyCols.map(k => s"_pit_$k"): _*)
+  }
 }

@@ -112,4 +112,47 @@ object Series {
       .withColumn("ewma_milli", expr("_num div _den"))
       .drop("_num", "_den")
   }
+
+  /** Trailing `windowDays`-day EXACT distinct-entity count per day —
+    * the "7-day active users" metric. Distinct does not decompose
+    * over a sliding frame (no window COUNT DISTINCT in Spark, and a
+    * per-day re-scan is quadratic), so the distributed formulation
+    * inverts the window: dedup the stream to (entity, day) ONCE, fan
+    * each entity-day out to the ≤ `windowDays` trailing cover-days it
+    * contributes to, and count distinct per cover-day. Fan-out is
+    * exactly windowDays × |entity-days| — known up front, the
+    * q189-gap-pattern bound — and the one distinct aggregation
+    * shuffles on the day key (365 × windowDays cells per year,
+    * trivially re-mergeable). Days inside the span with NO activity
+    * still appear (calendar left join): a silent day's trailing
+    * count is a real observation, not a missing row.
+    *
+    * For window × cardinality regimes where exact is too wide
+    * (distinct URLs over 90 days), the mergeable per-day HLL
+    * registers (q120/q124) union across the window instead — same
+    * inversion, sketch-sized state.
+    *
+    * Output: `(day, n_active)`, every day in the observed span.
+    */
+  def rollingDistinctDaily(events: DataFrame, tsCol: String,
+      entityCol: String, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1)
+    val du = events.filter(col(tsCol).isNotNull)
+      .select(to_date(col(tsCol)).as("day"),
+        col(entityCol).as("ent"))
+      .distinct()
+    val span = du.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val calendar = span.select(explode(sequence(col("d0"), col("d1"),
+      expr("interval 1 day"))).as("day"))
+    val cover = du.select(col("ent"),
+      explode(sequence(col("day"),
+        date_add(col("day"), windowDays - 1),
+        expr("interval 1 day"))).as("day"))
+    val counts = cover.groupBy(col("day"))
+      .agg(countDistinct(col("ent")).as("n"))
+    calendar.join(counts, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n"), lit(0L)).as("n_active"))
+      .orderBy(col("day"))
+  }
 }

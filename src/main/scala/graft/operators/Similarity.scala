@@ -324,6 +324,36 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Mutual nearest neighbors — the bitext-mining / paired-data shape
+    * (LASER/CCMatrix margin mining keeps a candidate pair only when
+    * each side is the other's best match; mutual-NN is its exact
+    * α→∞ skeleton). Emits `(a, b, sim)` with `a < b` where b is a's
+    * cosine top-1 AND a is b's.
+    *
+    * Exact baseline over [[bruteForceTopK]]'s top-1 (the q28
+    * contract: explicit exact arm; the scale path generates
+    * candidates from IVF probed cells / LSH buckets and applies the
+    * same mutual filter). `sim` is identical from both directions —
+    * dot and norm products are IEEE-commutative — so the self-join
+    * dedup by `a < b` loses nothing.
+    */
+  def mutualNearestNeighbors(df: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding")
+      : DataFrame = {
+    val top1 = bruteForceTopK(df, df, k = 1, idCol, embCol)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+      .localCheckpoint()
+    val rev = top1.select(col("query_id").as("r_q"),
+      col("neighbor_id").as("r_n"))
+    top1.join(rev,
+        col("query_id") === col("r_n") &&
+          col("neighbor_id") === col("r_q") &&
+          col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("a"), col("neighbor_id").as("b"),
+        col("sim"))
+      .orderBy(col("a"))
+  }
+
   /** Bucket id for LSH table `t`: `planesPerTable` sign bits from the
     * plane family `t*planesPerTable .. t*planesPerTable+planesPerTable-1`.
     */

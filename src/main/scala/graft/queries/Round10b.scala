@@ -172,5 +172,240 @@ object Round10b {
               |  CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
               |  CAST(score_sum // n AS BIGINT) AS mean_score,
               |  CAST((n_pos * 1000000) // n AS BIGINT) AS pos_rate_ppm
-              |FROM a ORDER BY bucket""".stripMargin)))
+              |FROM a ORDER BY bucket""".stripMargin)),
+
+    // ---- two-sided CUSUM level-shift detection per event type: the
+    // order-dependent recursion S_t = max(0, S_{t−1} + d_t) replayed
+    // in closed form (reflection: S = C − min(0, min prefix C)) —
+    // two shared-partition windows, exact milli-count deviations
+    QueryDef("q205_cusum",
+      (s, dir) => graft.operators.Anomaly.cusumShifts(
+        t("events")(s, dir), "ts", "event_type",
+        every = "day", slackMilli = 500L, threshMilli = 5000L),
+      Some("""WITH cnt AS (SELECT event_type AS k,
+             |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS w0,
+             |    COUNT(*) AS c
+             |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+             |ref AS (SELECT k, (SUM(c) * 1000) // COUNT(*) AS ref_milli
+             |  FROM cnt GROUP BY k),
+             |d AS (SELECT cnt.k, w0, c,
+             |    c * 1000 - ref_milli - 500 AS d_up,
+             |    ref_milli - c * 1000 - 500 AS d_dn
+             |  FROM cnt JOIN ref USING (k)),
+             |c1 AS (SELECT k, w0, c,
+             |    SUM(d_up) OVER (PARTITION BY k ORDER BY w0
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cu,
+             |    SUM(d_dn) OVER (PARTITION BY k ORDER BY w0
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cd FROM d),
+             |c2 AS (SELECT k, w0, c, cu, cd,
+             |    LEAST(MIN(cu) OVER (PARTITION BY k ORDER BY w0
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |      0) AS mu,
+             |    LEAST(MIN(cd) OVER (PARTITION BY k ORDER BY w0
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |      0) AS md FROM c1)
+             |SELECT k AS event_type, w0 AS window_start,
+             |  CAST(c AS BIGINT) AS n_events,
+             |  CAST(cu - mu AS BIGINT) AS cusum_up_milli,
+             |  CAST(cd - md AS BIGINT) AS cusum_dn_milli,
+             |  (cu - mu) > 5000 AS shift_up,
+             |  (cd - md) > 5000 AS shift_dn
+             |FROM c2 ORDER BY event_type, window_start""".stripMargin)),
+
+    // ---- temperature-scaled mixture (mC4/XLM-R α-sampling, α = ½
+    // via IEEE-exact sqrt): derived shares + budget allocation in
+    // exact integer ppm — the counterpart of q76's given-share rates
+    QueryDef("q206_temperature_mix",
+      (s, dir) => graft.operators.Curation.temperatureShares(
+        t("documents")(s, dir), "text", "lang",
+        alphaHalvings = 1, budget = 100000L),
+      Some("""WITH t AS (SELECT lang, SUM(len(list_filter(
+             |    string_split_regex(lower(text), '\s+'),
+             |    x -> len(x) > 0))) AS total_tokens
+             |  FROM documents GROUP BY lang),
+             |w AS (SELECT lang, total_tokens,
+             |    CAST(floor(sqrt(CAST(total_tokens AS DOUBLE))
+             |      * 1000000.0) AS BIGINT) AS w_micro FROM t),
+             |s AS (SELECT SUM(w_micro) AS w_sum,
+             |    SUM(total_tokens) AS t_sum FROM w)
+             |SELECT lang, CAST(total_tokens AS BIGINT) AS total_tokens,
+             |  CAST((total_tokens * 1000000) // t_sum AS BIGINT)
+             |    AS natural_ppm,
+             |  CAST((w_micro * 1000000) // w_sum AS BIGINT) AS temp_ppm,
+             |  CAST((100000 * w_micro) // w_sum AS BIGINT)
+             |    AS alloc_tokens
+             |FROM w, s ORDER BY lang""".stripMargin)),
+
+    // ---- trailing 7-day exact distinct users per day: the sliding
+    // COUNT DISTINCT inverted into a windowDays-bounded fan-out + one
+    // distinct aggregation (the oracle deliberately keeps the naive
+    // per-day range-join form)
+    QueryDef("q207_rolling_distinct",
+      (s, dir) => graft.operators.Series.rollingDistinctDaily(
+        t("events")(s, dir), "ts", "user_id", windowDays = 7),
+      Some("""WITH du AS (SELECT DISTINCT
+             |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |    user_id AS ent
+             |  FROM events WHERE ts IS NOT NULL),
+             |sp AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM du),
+             |cal AS (SELECT CAST(unnest(generate_series(
+             |    CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+             |    INTERVAL 1 DAY)) AS DATE) AS day FROM sp)
+             |SELECT c.day,
+             |  CAST(COUNT(DISTINCT du.ent) AS BIGINT) AS n_active
+             |FROM cal c LEFT JOIN du
+             |  ON du.day BETWEEN c.day - 6 AND c.day
+             |GROUP BY c.day ORDER BY c.day""".stripMargin)),
+
+    // ---- incremental aggregate maintenance: per-supplier mergeable
+    // state (n / cents sum / extrema) built separately over the
+    // pre-cutoff base and the post-cutoff delta, then MERGED — the
+    // oracle computes the one-shot aggregate, so merge ≡ recompute is
+    // exactly what the hash certifies
+    QueryDef("q208_incr_agg_merge",
+      (s, dir) => {
+        import graft.operators.Rollup
+        val li = t("lineitem")(s, dir)
+        val cutoff = lit("1997-01-01").cast("date")
+        val base = li.filter(col("l_shipdate") < cutoff)
+        val delta = li.filter(col("l_shipdate") >= cutoff)
+        Rollup.finish(Rollup.merge(
+            Rollup.state(base, Seq("l_suppkey"), "l_extendedprice"),
+            Rollup.state(delta, Seq("l_suppkey"), "l_extendedprice")))
+          .orderBy(col("l_suppkey"))
+      },
+      Some("""WITH c AS (SELECT l_suppkey,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+             |  FROM lineitem)
+             |SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(cents) AS BIGINT) AS sum_c,
+             |  CAST(MIN(cents) AS BIGINT) AS min_c,
+             |  CAST(MAX(cents) AS BIGINT) AS max_c,
+             |  CAST((SUM(cents) * 10000) // COUNT(*) AS BIGINT)
+             |    AS avg_micro
+             |FROM c GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
+
+    // ---- CCNet head/middle/tail perplexity buckets per language:
+    // q74's exact micro LM score cut into tie-coherent per-stratum
+    // terciles (bucket 2 = head); the oracle replays score AND cut
+    QueryDef("q209_ppl_buckets",
+      (s, dir) => graft.operators.Curation.pplBuckets(
+          t("documents")(s, dir), "text", "doc_id", "lang",
+          nBuckets = 3)
+        .orderBy(col("doc_id")),
+      Some("""WITH w AS (SELECT doc_id, unnest(list_filter(
+             |    string_split_regex(lower(text), '\s+'),
+             |    x -> len(x) > 0)) AS word FROM documents),
+             |tf AS (SELECT doc_id, word, COUNT(*) AS tf
+             |  FROM w GROUP BY doc_id, word),
+             |c AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+             |n AS (SELECT SUM(cnt) AS n_total FROM c),
+             |lp AS (SELECT word, CAST(round(ln(cnt / n_total), 6)
+             |    AS DECIMAL(20,6)) AS logp FROM c, n),
+             |d AS (SELECT tf.doc_id, SUM(tf.tf) AS n_tokens,
+             |    SUM(lp.logp * tf.tf) AS s
+             |  FROM tf JOIN lp USING (word) GROUP BY tf.doc_id),
+             |m AS (SELECT doc_id,
+             |    (CASE WHEN s < 0 THEN -1 ELSE 1 END) *
+             |      ((CAST(abs(s) * 1000000 AS BIGINT) * 2 + n_tokens)
+             |        // (n_tokens * 2)) AS score_micro FROM d),
+             |j AS (SELECT m.doc_id, doc.lang, m.score_micro
+             |  FROM m JOIN documents doc USING (doc_id)),
+             |g AS (SELECT lang, score_micro, COUNT(*) AS cnt
+             |  FROM j GROUP BY 1, 2),
+             |cum AS (SELECT lang, score_micro,
+             |    SUM(cnt) OVER (PARTITION BY lang ORDER BY score_micro
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum FROM g),
+             |tot AS (SELECT lang, SUM(cnt) AS n_all FROM g
+             |  GROUP BY lang),
+             |bk AS (SELECT cum.lang, score_micro,
+             |    ((cum - 1) * 3) // n_all AS bucket
+             |  FROM cum JOIN tot USING (lang))
+             |SELECT j.doc_id, j.lang,
+             |  CAST(j.score_micro AS BIGINT) AS score_micro,
+             |  CAST(bk.bucket AS BIGINT) AS bucket
+             |FROM j JOIN bk ON j.lang = bk.lang
+             |  AND j.score_micro = bk.score_micro
+             |ORDER BY j.doc_id""".stripMargin)),
+
+    // ---- mutual nearest neighbors (bitext-mining shape): pairs
+    // where each side is the other's exact cosine top-1; q28's exact
+    // arm + the mutuality self-join (IVF/LSH candidates are the
+    // documented scale path, same filter)
+    QueryDef("q210_mutual_nn",
+      (s, dir) => graft.operators.Similarity.mutualNearestNeighbors(
+        t("embeddings")(s, dir)),
+      Some("""WITH b AS (SELECT vec_id,
+             |    CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |p AS (SELECT a.vec_id AS qid, b2.vec_id AS nid,
+             |    round(list_dot_product(a.e, b2.e) /
+             |      (sqrt(list_dot_product(a.e, a.e)) *
+             |       sqrt(list_dot_product(b2.e, b2.e))), 6) AS sim
+             |  FROM b a JOIN b b2 ON a.vec_id != b2.vec_id),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+             |    ORDER BY sim DESC, nid) AS rk FROM p),
+             |t1 AS (SELECT qid, nid, sim FROM r WHERE rk = 1)
+             |SELECT x.qid AS a, x.nid AS b, x.sim
+             |FROM t1 x JOIN t1 y
+             |  ON x.qid = y.nid AND x.nid = y.qid AND x.qid < y.qid
+             |ORDER BY a""".stripMargin)),
+
+    // ---- SCD2 point-in-time enrichment: purchases pick up the user
+    // `value` version current at purchase time from the login-built
+    // SCD2 dimension (the reference's validity-window lookup,
+    // fact_customer_task.py:60-61, as a per-row temporal join);
+    // purchases before a user's first login stay null (found = false)
+    QueryDef("q211_scd2_pit",
+      (s, dir) => {
+        val eot = lit("2200-01-01 00:00:00").cast("timestamp")
+        val ev = t("events")(s, dir)
+        val wTie = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("ts"))
+          .orderBy(col("event_id").desc)
+        val logins = ev.filter(col("event_type") === "signup" ||
+            col("event_type") === "click")
+          .withColumn("_r", row_number().over(wTie))
+          .filter(col("_r") === 1)
+          .select(col("user_id"), col("ts"), col("value"))
+        val dim = graft.operators.Scd2.build(logins,
+            Seq("user_id"), "ts", Seq("value"), eot)
+          .select(col("user_id"), col("value"),
+            col("valid_from"), col("valid_to"))
+        val facts = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        graft.operators.Scd2.pointInTime(facts, dim,
+            Seq("user_id"), "ts")
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id,
+             |    CAST(ts AS TIMESTAMP) AS ts, value, event_type
+             |  FROM events),
+             |lg0 AS (SELECT user_id, ts, value,
+             |    row_number() OVER (PARTITION BY user_id, ts
+             |      ORDER BY event_id DESC) AS r
+             |  FROM ev WHERE event_type IN ('signup', 'click')),
+             |lg AS (SELECT user_id, ts, value FROM lg0 WHERE r = 1),
+             |ch AS (SELECT *, CASE WHEN value IS NOT DISTINCT FROM
+             |      lag(value) OVER (PARTITION BY user_id ORDER BY ts)
+             |      THEN 0 ELSE 1 END AS chg,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts)
+             |      AS rn FROM lg),
+             |f AS (SELECT user_id, value, ts AS valid_from FROM ch
+             |  WHERE chg = 1 OR rn = 1),
+             |dim AS (SELECT user_id, value, valid_from,
+             |    coalesce(lead(valid_from) OVER (PARTITION BY user_id
+             |      ORDER BY valid_from),
+             |      TIMESTAMP '2200-01-01 00:00:00') AS valid_to
+             |  FROM f),
+             |fact AS (SELECT event_id, user_id, ts FROM ev
+             |  WHERE event_type = 'purchase')
+             |SELECT fact.event_id, fact.user_id, fact.ts, dim.value,
+             |  dim.valid_from, dim.valid_to,
+             |  dim.valid_from IS NOT NULL AS found
+             |FROM fact LEFT JOIN dim ON fact.user_id = dim.user_id
+             |  AND dim.valid_from <= fact.ts AND fact.ts < dim.valid_to
+             |ORDER BY fact.event_id""".stripMargin)))
 }

@@ -64,6 +64,50 @@ class AnomalySpec extends SparkSpec {
     assert(got.forall(!_))
   }
 
+  // one event row per count unit on consecutive DAYS, typed
+  private def dayEv(typed: Seq[(String, Seq[Int])]) =
+    typed.flatMap { case (k, counts) =>
+      counts.zipWithIndex.flatMap { case (c, d) =>
+        (0 until c).map(i =>
+          (k, new Timestamp(1700000000000L + d * 86400000L + i * 1000L)))
+      }
+    }.toDF("k", "ts")
+
+  test("cusum: closed form ≡ the sequential max(0, S+d) fold, and a " +
+      "sustained small shift flags where no single day would") {
+    val counts = Seq(10, 10, 10, 14, 14, 14) // +20%-ish shift at day 4
+    val df = dayEv(Seq("a" -> counts))
+    val rows = Anomaly.cusumShifts(df, "ts", "k", "day",
+        slackMilli = 0L, threshMilli = 3000L)
+      .collect()
+    // reference: the order-dependent textbook recursion
+    val ref = (counts.sum.toLong * 1000) / counts.length // 12000
+    def fold(ds: Seq[Long]) =
+      ds.scanLeft(0L)((s, d) => math.max(0L, s + d)).tail
+    val up = fold(counts.map(_ * 1000L - ref))
+    val dn = fold(counts.map(ref - _ * 1000L))
+    assert(rows.map(_.getLong(3)).toSeq == up)
+    assert(rows.map(_.getLong(4)).toSeq == dn)
+    // no single day deviates enough for a 2σ z-test, but the shift's
+    // cumulative sum crosses the 3000-milli decision interval
+    assert(rows.map(r => (r.getLong(2), r.getBoolean(5))).toSeq
+      == Seq((10L, false), (10L, false), (10L, false),
+        (14L, false), (14L, true), (14L, true)))
+  }
+
+  test("cusum: keys are independent (one type's shift never bleeds)") {
+    val df = dayEv(Seq(
+      "steady" -> Seq(20, 20, 20, 20, 20, 20),
+      "shifted" -> Seq(10, 10, 10, 18, 18, 18)))
+    val rows = Anomaly.cusumShifts(df, "ts", "k", "day",
+        slackMilli = 500L, threshMilli = 4000L)
+      .collect()
+    val steady = rows.filter(_.getString(0) == "steady")
+    assert(steady.forall(r => !r.getBoolean(5) && !r.getBoolean(6)))
+    assert(rows.filter(_.getString(0) == "shifted")
+      .exists(_.getBoolean(5)))
+  }
+
   test("integer test agrees with the float z-score away from boundaries") {
     val counts = Seq(30, 45, 52, 48, 61, 33, 200, 47, 55, 12)
     val df = ev(counts)

@@ -795,4 +795,59 @@ class CurationSpec extends SparkSpec {
       k = 3).as[(Long, Long, Double)].collect()
     assert(sampled.length == 3 && sampled.forall(_._2 > 0L))
   }
+
+  test("temperatureShares: α=½ flattens a 9:1 corpus to 3:1 shares, " +
+      "exact ppm and allocation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "big", "w w w w w w w w w"), // 9 tokens
+      (2L, "small", "w"))               // 1 token
+      .toDF("doc_id", "lang", "text")
+    val got = Curation.temperatureShares(docs, "text", "lang",
+        alphaHalvings = 1, budget = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // sqrt weights 3e6 : 1e6 → temp shares 750000 : 250000
+    assert(got == Seq(
+      ("big", 9L, 900000L, 750000L, 75L),
+      ("small", 1L, 100000L, 250000L, 25L)), got.toString)
+    // α=¼ flattens further: weights 9^¼ : 1 = √3 : 1
+    val q = Curation.temperatureShares(docs, "text", "lang",
+        alphaHalvings = 2, budget = 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(q("small") > 250000L && q("small") < 500000L, q.toString)
+  }
+
+  test("pplBuckets: per-language tie-coherent terciles ordered by " +
+      "the exact LM score") {
+    import spark.implicits._
+    // corpus: 'common' df 3, rares df 1 each (n_total 6) →
+    // logp(common) = ln(1/2), logp(rare) = ln(1/6)
+    val docs = Seq(
+      (1L, "en", "common common"),   // score −693147 → head
+      (2L, "en", "common rare1"),    // −1242453 → middle
+      (3L, "en", "rare2 rare3"))     // −1791759 → tail
+      .toDF("doc_id", "lang", "text")
+    val got = Curation.pplBuckets(docs, "text", "doc_id", "lang", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, -693147L, 2L), (2L, -1242453L, 1L),
+      (3L, -1791759L, 0L)), got.toString)
+  }
+
+  test("pplBuckets: ties share a bucket; strata cut independently") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x", "a a"), (2L, "x", "a a"), (3L, "x", "b c"),
+      (4L, "y", "a a"))
+      .toDF("doc_id", "lang", "text")
+    val got = Curation.pplBuckets(docs, "text", "doc_id", "lang", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // x: doc3 (rare words, lowest score) cut alone into bucket 0;
+    // docs 1·2 tie on the top score → both land in bucket 1
+    assert(got(1L) == got(2L) && got(1L) == 1L && got(3L) == 0L,
+      got.toString)
+    // y has one doc — its own stratum, bucket (1−1)·2 div 1 = 0
+    assert(got(4L) == 0L, got.toString)
+  }
 }

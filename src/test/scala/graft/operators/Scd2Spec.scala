@@ -181,4 +181,35 @@ class Scd2Spec extends SparkSpec {
     assert(canon(merged) == canon(full))
     assert(canon(merged).count(_._1.isEmpty) == 2)
   }
+
+  test("pointInTime: each fact picks the version current at its ts; " +
+      "[from, to) boundaries; pre-history facts stay null") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-$s:00:00")
+    // user 1: A [03, 07) then B [07, eot)
+    val eot = java.sql.Timestamp.valueOf("2099-01-01 00:00:00")
+    val dim = Seq(
+      (1L, "A", t("03 00"), t("07 00")),
+      (1L, "B", t("07 00"), eot))
+      .toDF("uid", "v", "valid_from", "valid_to")
+    val facts = Seq(
+      (100L, 1L, t("01 00")), // before first version → null
+      (101L, 1L, t("03 00")), // valid_from inclusive → A
+      (102L, 1L, t("05 12")), // interior → A
+      (103L, 1L, t("07 00")), // valid_to exclusive → B, not A
+      (104L, 2L, t("05 00"))) // unknown key → null
+      .toDF("event_id", "uid", "ts")
+    val got = Scd2.pointInTime(facts, dim, Seq("uid"), "ts")
+      .orderBy(col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getAs[String]("v")),
+        r.getBoolean(r.fieldIndex("found"))))
+      .toSeq
+    assert(got == Seq(
+      (100L, None, false), (101L, Some("A"), true),
+      (102L, Some("A"), true), (103L, Some("B"), true),
+      (104L, None, false)), got.toString)
+    // disjoint windows ⇒ exactly one output row per fact
+    assert(Scd2.pointInTime(facts, dim, Seq("uid"), "ts").count() == 5)
+  }
 }

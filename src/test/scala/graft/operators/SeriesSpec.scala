@@ -78,4 +78,28 @@ class SeriesSpec extends SparkSpec {
       ("2024-01-03", 1L, 857L)),          // (1·4+0·2+2·1)·1000 div 7
       out.toString)
   }
+
+  test("rollingDistinctDaily: trailing window counts distinct " +
+      "entities, repeat visits don't double-count, silent days appear") {
+    import org.apache.spark.sql.functions.col
+    // d1: u1 u2 (u1 twice)  d2: u1  d4: u3  — d3 silent
+    val events = Seq(
+      (1L, ts(1)), (1L, ts(1, 5)), (2L, ts(1)),
+      (1L, ts(2)), (3L, ts(4)))
+      .toDF("u", "ts").repartition(3)
+    val got2 = Series.rollingDistinctDaily(events, "ts", "u", 2)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSeq
+    // w=2: d1 {1,2}; d2 {1,2}∪{1}={1,2}; d3 {1}; d4 {3}
+    assert(got2 == Seq(("2024-01-01", 2L), ("2024-01-02", 2L),
+      ("2024-01-03", 1L), ("2024-01-04", 1L)), got2.toString)
+    // w=1 degenerates to per-day distinct; the silent day is a 0 row
+    val got1 = Series.rollingDistinctDaily(events, "ts", "u", 1)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSeq
+    assert(got1 == Seq(("2024-01-01", 2L), ("2024-01-02", 1L),
+      ("2024-01-03", 0L), ("2024-01-04", 1L)), got1.toString)
+    // partitioning-invariant
+    val re = Series.rollingDistinctDaily(events.repartition(7),
+      "ts", "u", 2).collect().map(r => r.getLong(1)).toSeq
+    assert(re == got2.map(_._2))
+  }
 }

@@ -277,4 +277,18 @@ class SimilaritySpec extends SparkSpec {
     val dotp = c0.zip(c1).map { case (a, b) => a * b }.sum
     assert(math.abs(dotp) < 0.05, s"near-orthogonal, dot $dotp")
   }
+
+  test("mutualNearestNeighbors: only reciprocal top-1 pairs survive") {
+    // nn(0)=4, nn(4)=0 → mutual. nn(1)=4 (0.994949 > 0.993884),
+    // nn(2)=1, nn(3)=2 → one-directional chains, dropped.
+    val got = Similarity.mutualNearestNeighbors(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 4L)), got.toString)
+    // sim is the q28-rounded cosine of the pair
+    val sim = Similarity.mutualNearestNeighbors(vecs)
+      .collect().head.getDouble(2)
+    val expect = BigDecimal(1.0 / math.sqrt(1.0 + 0.01 * 0.01))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(sim - expect) < 1e-9, s"$sim vs $expect")
+  }
 }
