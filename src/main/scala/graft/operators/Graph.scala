@@ -225,4 +225,46 @@ object Graph {
     }
     lab.select(col("node"), col("lbl").as("community"))
   }
+
+  /** k-core pruning (Seidman 1983): iteratively delete nodes of
+    * degree < k — the surviving subgraph is where every member has ≥ k
+    * surviving neighbors. On a near-dup pair graph this separates
+    * dense template/boilerplate clusters (high-core) from incidental
+    * pairwise matches (pruned immediately); on an interaction graph
+    * it is the standard engagement-tier cut.
+    *
+    * Runs EXACTLY `rounds` pruning rounds (each: one degree
+    * aggregation + two semi-joins on the shrinking edge frame) — the
+    * deterministic bounded-iteration contract shared with
+    * [[labelPropagation]]: replayable by the oracle round for round,
+    * per-round cost bounded by the CURRENT edge count (monotonically
+    * shrinking), lineage checkpointed per round. Removal cascades
+    * longer than `rounds` leave a superset of the true k-core; the
+    * fixpoint needs at most as many rounds as the longest cascade
+    * (GraphSpec pins a chain that takes 3), and convergence is
+    * detectable by one extra round changing nothing.
+    *
+    * Input may carry duplicate/reversed edges; self-loops are
+    * dropped, the edge set is symmetrized + deduped first. Output:
+    * `(node, deg)` of the surviving subgraph after `rounds` prunes.
+    */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val fwd = edges.filter(col(aCol) =!= col(bCol))
+      .select(col(aCol).as("s"), col(bCol).as("d"))
+    var sym = fwd
+      .unionAll(fwd.select(col("d").as("s"), col("s").as("d")))
+      .distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = sym.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("s").as("_keep"))
+      sym = sym
+        .join(keep, col("s") === col("_keep"), "left_semi")
+        .join(keep, col("d") === col("_keep"), "left_semi")
+        .localCheckpoint()
+    }
+    sym.groupBy(col("s").as("node")).agg(count(lit(1)).as("deg"))
+  }
 }

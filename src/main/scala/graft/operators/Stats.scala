@@ -512,4 +512,49 @@ object Stats {
       .select(col("n_rows"), col("b"), col("point_milli"),
         col("lo_milli"), col("hi_milli"))
   }
+
+  /** Per-column data card — the profiling report a warehouse runs
+    * before trusting a new feed: for each listed column, row/null/
+    * exact-distinct counts, min/max (canonical string form), and the
+    * modal value with its share in exact ppm (deterministic
+    * tie-break: highest count, then lowest value string).
+    *
+    * Cost: one aggregation per listed column over that column's
+    * VALUE frame (map-side combined to distinct-value cardinality —
+    * the [[ksDistance]] model contract) plus a count-per-value pass
+    * for the mode; k columns = k bounded passes, unioned. The
+    * approximate path for ultra-wide profiling is the per-group HLL
+    * registers (q124); this is the exact card.
+    *
+    * Output: `(col_name, n_rows, n_null, n_distinct, min_value,
+    * max_value, top_value, top_share_ppm)`, one row per column,
+    * ordered by `col_name`.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    val perCol = cols.map { c =>
+      val counts = df.filter(col(c).isNotNull)
+        .groupBy(col(c).cast("string").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val top = counts
+        .orderBy(col("cnt").desc, col("v").asc).limit(1)
+        .select(col("v").as("top_value"))
+      // min/max in the column's NATIVE ordering (numeric/date), then
+      // canonical string form — lexicographic min of "99" vs "100"
+      // would invert numerics
+      val stats = df.agg(count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        min(col(c)).cast("string").as("min_value"),
+        max(col(c)).cast("string").as("max_value"))
+      val nd = counts.agg(count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"))
+      stats.crossJoin(broadcast(nd)).crossJoin(broadcast(top))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_value"), col("max_value"),
+          col("top_value"),
+          expr("(top_cnt * 1000000) div (n_rows - n_null)")
+            .as("top_share_ppm"))
+    }
+    perCol.reduce(_ unionByName _).orderBy(col("col_name"))
+  }
 }

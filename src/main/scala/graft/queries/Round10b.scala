@@ -407,5 +407,167 @@ object Round10b {
              |  dim.valid_from IS NOT NULL AS found
              |FROM fact LEFT JOIN dim ON fact.user_id = dim.user_id
              |  AND dim.valid_from <= fact.ts AND fact.ts < dim.valid_to
-             |ORDER BY fact.event_id""".stripMargin)))
+             |ORDER BY fact.event_id""".stripMargin)),
+
+    // ---- TPC-H Q13 shape (custdist): predicate INSIDE the outer-join
+    // condition (the planner must not push it to a WHERE, which would
+    // turn the left join inner), double aggregation — per-customer
+    // count incl. zero, then the count histogram
+    QueryDef("q212_custdist",
+      (s, dir) => {
+        val c = t("customer")(s, dir)
+        val o = t("orders")(s, dir)
+        c.join(o,
+            c("c_custkey") === o("o_custkey") &&
+              o("o_orderpriority") =!= "1-URGENT", "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+             |FROM (SELECT c.c_custkey,
+             |    COUNT(o.o_orderkey) AS c_count
+             |  FROM customer c LEFT JOIN orders o
+             |    ON c.c_custkey = o.o_custkey
+             |    AND o.o_orderpriority != '1-URGENT'
+             |  GROUP BY c.c_custkey)
+             |GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // ---- k-core pruning of the shared near-dup pair graph: the
+    // dense boilerplate clusters survive (every member keeps ≥ 2
+    // surviving neighbors), incidental pairwise matches prune in
+    // round 1; 3 rounds, each replayed by the oracle
+    QueryDef("q213_kcore",
+      (s, dir) => graft.operators.Graph.kCore(
+          CorpusOps.sharedJaccardPairs(s, dir), "da", "db",
+          k = 2, rounds = 3)
+        .withColumnRenamed("node", "doc_id")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH ${CorpusOps.oShinglesSql},
+              |hs AS (SELECT doc_id, ${CorpusOps.oH60("s")} AS h FROM sh),
+              |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+              |p AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) AS inter
+              |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs AS (SELECT da, db FROM p
+              |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+              |  WHERE inter / (x.n + y.n - inter) >= 0.6),
+              |e0 AS (SELECT DISTINCT s, d FROM (
+              |  SELECT da AS s, db AS d FROM pairs WHERE da != db
+              |  UNION ALL
+              |  SELECT db, da FROM pairs WHERE da != db)),
+              |k1 AS (SELECT s FROM e0 GROUP BY s HAVING COUNT(*) >= 2),
+              |e1 AS (SELECT e0.s, e0.d FROM e0
+              |  JOIN k1 a ON e0.s = a.s JOIN k1 b ON e0.d = b.s),
+              |k2 AS (SELECT s FROM e1 GROUP BY s HAVING COUNT(*) >= 2),
+              |e2 AS (SELECT e1.s, e1.d FROM e1
+              |  JOIN k2 a ON e1.s = a.s JOIN k2 b ON e1.d = b.s),
+              |k3 AS (SELECT s FROM e2 GROUP BY s HAVING COUNT(*) >= 2),
+              |e3 AS (SELECT e2.s, e2.d FROM e2
+              |  JOIN k3 a ON e2.s = a.s JOIN k3 b ON e2.d = b.s)
+              |SELECT s AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg
+              |FROM e3 GROUP BY s ORDER BY doc_id""".stripMargin)),
+
+    // ---- l-diversity audit (the q192 k-anonymity sibling): within
+    // each (nation, balance-band) quasi-identifier group, how many
+    // DISTINCT sensitive values (segment) — groups under l leak the
+    // attribute even when k-anonymous
+    QueryDef("q214_l_diversity",
+      (s, dir) => {
+        val qi = t("customer")(s, dir)
+          .select(col("c_nationkey"),
+            floor(col("c_acctbal") / 2000).cast("bigint")
+              .as("bal_band"),
+            col("c_mktsegment"))
+        qi.groupBy(col("c_nationkey"), col("bal_band"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("c_mktsegment")).as("l_distinct"))
+          .withColumn("under_l", col("l_distinct") < 3)
+          .orderBy(col("c_nationkey"), col("bal_band"))
+      },
+      Some("""SELECT c_nationkey,
+             |  CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT)
+             |    AS l_distinct,
+             |  COUNT(DISTINCT c_mktsegment) < 3 AS under_l
+             |FROM customer GROUP BY 1, 2
+             |ORDER BY c_nationkey, bal_band""".stripMargin)),
+
+    // ---- per-column data card over orders: row/null/exact-distinct
+    // counts, canonical min/max, modal value + share — the
+    // trust-a-new-feed profile, one bounded pass per column
+    QueryDef("q215_profile",
+      (s, dir) => graft.operators.Stats.profileColumns(
+        t("orders")(s, dir),
+        Seq("o_orderstatus", "o_orderpriority", "o_totalprice",
+          "o_orderdate")),
+      Some {
+        def one(c: String) =
+          s"""SELECT '$c' AS col_name,
+             |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_null,
+             |  CAST(COUNT(DISTINCT CAST($c AS VARCHAR)) AS BIGINT)
+             |    AS n_distinct,
+             |  CAST(MIN($c) AS VARCHAR) AS min_value,
+             |  CAST(MAX($c) AS VARCHAR) AS max_value,
+             |  (SELECT v FROM (SELECT CAST($c AS VARCHAR) AS v
+             |      FROM orders WHERE $c IS NOT NULL)
+             |    GROUP BY v ORDER BY COUNT(*) DESC, v LIMIT 1)
+             |    AS top_value,
+             |  CAST(((SELECT COUNT(*) FROM orders WHERE $c IS NOT NULL
+             |    GROUP BY CAST($c AS VARCHAR)
+             |    ORDER BY COUNT(*) DESC LIMIT 1) * 1000000)
+             |    // (COUNT(*) - SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0
+             |      END)) AS BIGINT) AS top_share_ppm
+             |FROM orders""".stripMargin
+        Seq("o_orderstatus", "o_orderpriority", "o_totalprice",
+          "o_orderdate")
+          .map(one).mkString("SELECT * FROM (", " UNION ALL ",
+            ") ORDER BY col_name")
+      }),
+
+    // ---- TPC-H Q22 shape: scalar-average subquery as an EXACT
+    // integer cross-multiplied filter (cents·n > Σcents — no float
+    // boundary), NOT EXISTS anti join to orders, per-segment rollup
+    QueryDef("q216_wealthy_inactive",
+      (s, dir) => {
+        val c = t("customer")(s, dir)
+          .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE",
+            "MACHINERY"))
+          .withColumn("cents",
+            round(col("c_acctbal") * 100).cast("bigint"))
+        val stats = c.filter(col("cents") > 0)
+          .agg(count(lit(1)).as("n_pos"),
+            sum(col("cents")).as("sum_pos"))
+        val rich = c.crossJoin(broadcast(stats))
+          .filter(col("cents") * col("n_pos") > col("sum_pos"))
+        val recent = t("orders")(s, dir)
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("date"))
+        val inactive = rich.join(recent,
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        inactive.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("numcust"),
+            sum(col("cents")).as("totacctbal_cents"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""WITH c AS (SELECT c_custkey, c_mktsegment,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+             |  FROM customer
+             |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE',
+             |    'MACHINERY')),
+             |st AS (SELECT COUNT(*) AS n_pos, SUM(cents) AS sum_pos
+             |  FROM c WHERE cents > 0)
+             |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+             |  CAST(SUM(cents) AS BIGINT) AS totacctbal_cents
+             |FROM c, st
+             |WHERE c.cents * st.n_pos > st.sum_pos
+             |  AND NOT EXISTS (SELECT 1 FROM orders o
+             |    WHERE o.o_custkey = c.c_custkey
+             |    AND o.o_orderdate >= DATE '2000-01-01')
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)))
 }

@@ -124,4 +124,30 @@ class GraphSpec extends SparkSpec {
       assert(got(10L) == 10L && got(11L) == 10L)
     }
   }
+
+  test("kCore: a triangle with pendant chains — the 2-core is the " +
+      "triangle; cascades need their depth in rounds") {
+    import spark.implicits._
+    // triangle 1-2-3 + chain 3-4-5-6 (each chain node degree ≤ 2 but
+    // pruning cascades from the leaf inward)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    // round 1 drops 6 (deg 1), round 2 drops 5, round 3 drops 4
+    val after1 = Graph.kCore(edges, "a", "b", k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(after1.keySet == Set(1L, 2L, 3L, 4L, 5L), after1.toString)
+    val after3 = Graph.kCore(edges, "a", "b", k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(after3 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), after3.toString)
+    // fixpoint: a 4th round changes nothing
+    val after4 = Graph.kCore(edges, "a", "b", k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(after4 == after3)
+    // duplicate + reversed + self-loop input edges don't inflate degrees
+    val messy = edges.unionAll(Seq((2L, 1L), (1L, 1L), (1L, 2L))
+      .toDF("a", "b"))
+    val gotMessy = Graph.kCore(messy, "a", "b", k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(gotMessy == after3, gotMessy.toString)
+  }
 }

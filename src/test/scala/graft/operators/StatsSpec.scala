@@ -238,4 +238,23 @@ class StatsSpec extends SparkSpec {
     assert(lo <= point && point <= hi && lo < hi,
       s"CI [$lo, $hi] must bracket point $point")
   }
+
+  test("profileColumns: nulls, native-order extrema, deterministic " +
+      "mode tie-break") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)](
+      (100L, "b"), (99L, "a"), (null, "a"), (2L, "b"), (2L, "c"))
+      .toDF("num", "cat")
+    val got = Stats.profileColumns(df, Seq("num", "cat"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getString(5), r.getString(6), r.getLong(7))).toMap
+    // native numeric ordering: min 2 max 100 (lexicographic would say
+    // min "100"); mode 2 (count 2), share 2/4
+    assert(got("num") == (5L, 1L, 3L, "2", "100", "2", 500000L),
+      got.toString)
+    // cat: 'a' and 'b' tie at 2 → lowest value string wins
+    assert(got("cat") == (5L, 0L, 3L, "a", "c", "a", 400000L),
+      got.toString)
+  }
 }
