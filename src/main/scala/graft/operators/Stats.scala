@@ -513,6 +513,99 @@ object Stats {
         col("lo_milli"), col("hi_milli"))
   }
 
+  /** Tie-coherent quantile bucket per DISTINCT value of `valCol` in
+    * `df` (the [[graft.operators.Eval.calibrationBuckets]] cut rule:
+    * bucket = (cum≤v − 1)·n div N, equal values never straddle).
+    * Returns the distinct-value → bucket map frame `(valCol, bucket)`.
+    */
+  private def tieBuckets(df: DataFrame, valCol: String,
+      nBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.groupBy(col(valCol)).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col(valCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = g.agg(sum(col("cnt")).as("n_all"))
+    g.withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col(valCol),
+        expr(s"((cum - 1) * $nBuckets) div n_all").as("bucket"))
+  }
+
+  /** RFM segmentation (Hughes 1994) — the classic lifecycle cut: per
+    * key, Recency (days since last activity, against the corpus max
+    * date), Frequency (activity count), Monetary (exact cents), each
+    * scored into tie-coherent quintiles (R inverted: most recent =
+    * 4), plus the combined `rfm_code = 100·r + 10·f + m`.
+    *
+    * Exactness: days via datediff (integer), money in cents, and the
+    * quintile cut is the shared distinct-value rule — three
+    * value-cardinality-bounded windows (dates, counts, distinct cent
+    * totals), never a row-frame sort. One shuffle on the key builds
+    * the base; the three bucket maps join back broadcast (each is
+    * distinct-value-sized).
+    *
+    * Output: `(key, r_days, f_cnt, m_cents, r_score, f_score,
+    * m_score, rfm_code)`.
+    */
+  def rfmQuintiles(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, nBuckets: Int = 5): DataFrame = {
+    val base = df.groupBy(col(keyCol))
+      .agg(max(col(tsCol)).as("last_ts"),
+        count(lit(1)).as("f_cnt"),
+        sum(round(col(valCol) * 100).cast("bigint")).as("m_cents"))
+    val maxTs = base.agg(max(col("last_ts")).as("corpus_max"))
+    val withR = base.crossJoin(broadcast(maxTs))
+      .withColumn("r_days",
+        datediff(col("corpus_max"), col("last_ts")).cast("bigint"))
+      .drop("corpus_max")
+    val rB = tieBuckets(withR.select(col("r_days")), "r_days", nBuckets)
+      .withColumnRenamed("bucket", "_rb")
+    val fB = tieBuckets(withR.select(col("f_cnt")), "f_cnt", nBuckets)
+      .withColumnRenamed("bucket", "_fb")
+    val mB = tieBuckets(withR.select(col("m_cents")), "m_cents",
+      nBuckets).withColumnRenamed("bucket", "_mb")
+    withR
+      .join(broadcast(rB), Seq("r_days"))
+      .join(broadcast(fB), Seq("f_cnt"))
+      .join(broadcast(mB), Seq("m_cents"))
+      // recency inverts: fewest days since last activity = top score
+      .withColumn("r_score", lit(nBuckets.toLong - 1) - col("_rb"))
+      .withColumn("f_score", col("_fb"))
+      .withColumn("m_score", col("_mb"))
+      .select(col(keyCol), col("r_days"), col("f_cnt"), col("m_cents"),
+        col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .as("rfm_code"))
+  }
+
+  /** ABC / Pareto classification: rank items by exact revenue cents
+    * descending (id tie-break — the order is total, so the cumulative
+    * share is well-defined), cumulative share in exact ppm, class A
+    * while cum ≤ `aPpm`, B while ≤ `bPpm`, else C. The window runs
+    * over the ITEM frame (catalog-bounded, not fact-bounded — the
+    * fact stream reduces first).
+    *
+    * Output: `(key, cents, cum_ppm, abc_class)` ordered by rank.
+    */
+  def abcClasses(df: DataFrame, keyCol: String, valCol: String,
+      aPpm: Long = 800000L, bPpm: Long = 950000L): DataFrame = {
+    require(aPpm < bPpm && bPpm <= 1000000L)
+    val base = df.groupBy(col(keyCol))
+      .agg(sum(round(col(valCol) * 100).cast("bigint")).as("cents"))
+    val tot = base.agg(sum(col("cents")).as("t_cents"))
+    base.crossJoin(broadcast(tot))
+      .withColumn("cum_ppm",
+        expr("(sum(cents) OVER (ORDER BY cents DESC, " +
+          s"$keyCol ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)" +
+          " * 1000000) div t_cents"))
+      .withColumn("abc_class",
+        when(col("cum_ppm") <= aPpm, "A")
+          .when(col("cum_ppm") <= bPpm, "B").otherwise("C"))
+      .select(col(keyCol), col("cents"), col("cum_ppm"),
+        col("abc_class"))
+      .orderBy(col("cents").desc, col(keyCol))
+  }
+
   /** Per-column data card — the profiling report a warehouse runs
     * before trusting a new feed: for each listed column, row/null/
     * exact-distinct counts, min/max (canonical string form), and the

@@ -569,5 +569,73 @@ object Round10b {
              |  AND NOT EXISTS (SELECT 1 FROM orders o
              |    WHERE o.o_custkey = c.c_custkey
              |    AND o.o_orderdate >= DATE '2000-01-01')
-             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)))
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---- RFM lifecycle segmentation: recency/frequency/monetary per
+    // customer, each scored into tie-coherent quintiles (three
+    // value-cardinality-bounded cuts — never a row-frame sort), exact
+    // days/cents throughout
+    QueryDef("q217_rfm",
+      (s, dir) => graft.operators.Stats.rfmQuintiles(
+          t("orders")(s, dir), "o_custkey", "o_orderdate",
+          "o_totalprice")
+        .orderBy(col("o_custkey")),
+      Some {
+        def cut(src: String, v: String) =
+          s"""${v}g AS (SELECT $v, COUNT(*) AS cnt FROM $src
+             |  GROUP BY $v),
+             |${v}c AS (SELECT $v, SUM(cnt) OVER (ORDER BY $v
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS cum FROM ${v}g),
+             |${v}t AS (SELECT SUM(cnt) AS n_all FROM ${v}g),
+             |${v}b AS (SELECT $v, ((cum - 1) * 5) // n_all AS b
+             |  FROM ${v}c, ${v}t)""".stripMargin
+        s"""WITH base AS (SELECT o_custkey,
+           |    MAX(o_orderdate) AS last_ts, COUNT(*) AS f_cnt,
+           |    SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+           |      AS m_cents
+           |  FROM orders GROUP BY o_custkey),
+           |mx AS (SELECT MAX(last_ts) AS corpus_max FROM base),
+           |b2 AS (SELECT o_custkey,
+           |    CAST(date_diff('day', CAST(last_ts AS DATE),
+           |      CAST(corpus_max AS DATE)) AS BIGINT) AS r_days,
+           |    f_cnt, m_cents FROM base, mx),
+           |${cut("b2", "r_days")},
+           |${cut("b2", "f_cnt")},
+           |${cut("b2", "m_cents")}
+           |SELECT b2.o_custkey, b2.r_days,
+           |  CAST(b2.f_cnt AS BIGINT) AS f_cnt,
+           |  CAST(b2.m_cents AS BIGINT) AS m_cents,
+           |  CAST(4 - r_daysb.b AS BIGINT) AS r_score,
+           |  CAST(f_cntb.b AS BIGINT) AS f_score,
+           |  CAST(m_centsb.b AS BIGINT) AS m_score,
+           |  CAST((4 - r_daysb.b) * 100 + f_cntb.b * 10 + m_centsb.b
+           |    AS BIGINT) AS rfm_code
+           |FROM b2 JOIN r_daysb USING (r_days)
+           |  JOIN f_cntb USING (f_cnt) JOIN m_centsb USING (m_cents)
+           |ORDER BY b2.o_custkey""".stripMargin
+      }),
+
+    // ---- ABC / Pareto classification of parts by exact revenue:
+    // cumulative share in ppm over the ITEM frame (catalog-bounded
+    // window — the fact stream reduces first), crisp class edges
+    QueryDef("q218_abc",
+      (s, dir) => graft.operators.Stats.abcClasses(
+        t("lineitem")(s, dir), "l_partkey", "l_extendedprice"),
+      Some("""WITH base AS (SELECT l_partkey,
+             |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |      AS cents
+             |  FROM lineitem GROUP BY l_partkey),
+             |t AS (SELECT SUM(cents) AS t_cents FROM base),
+             |c AS (SELECT l_partkey, cents,
+             |    (SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      * 1000000) // t_cents AS cum_ppm
+             |  FROM base, t)
+             |SELECT l_partkey, CAST(cents AS BIGINT) AS cents,
+             |  CAST(cum_ppm AS BIGINT) AS cum_ppm,
+             |  CASE WHEN cum_ppm <= 800000 THEN 'A'
+             |    WHEN cum_ppm <= 950000 THEN 'B' ELSE 'C' END
+             |    AS abc_class
+             |FROM c ORDER BY cents DESC, l_partkey""".stripMargin)))
 }

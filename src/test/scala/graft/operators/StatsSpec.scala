@@ -257,4 +257,36 @@ class StatsSpec extends SparkSpec {
     assert(got("cat") == (5L, 0L, 3L, "a", "c", "a", 400000L),
       got.toString)
   }
+
+  test("rfmQuintiles: recency inverts, scores from tie-coherent cuts, " +
+      "exact cents") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // 5 customers, distinct last-dates / frequencies / spend
+    val orders = (1 to 5).flatMap { c =>
+      (1 to c).map(i => (c.toLong, d(f"2024-01-${c * 2}%02d"), c * 10.0))
+    }.toDF("cust", "ts", "v")
+    val got = Stats.rfmQuintiles(orders, "cust", "ts", "v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // customer 5: most recent (r_days 0 → r_score 4), most frequent,
+    // biggest spend (5 × 50.00 = 25000 cents) → rfm 444
+    assert(got(5L) == (0L, 5L, 25000L, 4L, 4L, 4L, 444L), got.toString)
+    // customer 1: stalest, least frequent, least spend → rfm 000
+    assert(got(1L) == (8L, 1L, 1000L, 0L, 0L, 0L, 0L), got.toString)
+  }
+
+  test("abcClasses: crisp cumulative-share edges, total order") {
+    import spark.implicits._
+    // revenues 50, 30, 15, 5 → cum ppm 500000, 800000, 950000, 10⁶
+    val li = Seq((1L, 50.0), (2L, 30.0), (3L, 15.0), (4L, 5.0))
+      .toDF("k", "v")
+    val got = Stats.abcClasses(li, "k", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+      .toSeq
+    // the row that LANDS ON the edge is inside the class (≤)
+    assert(got == Seq((1L, 500000L, "A"), (2L, 800000L, "A"),
+      (3L, 950000L, "B"), (4L, 1000000L, "C")), got.toString)
+  }
 }
