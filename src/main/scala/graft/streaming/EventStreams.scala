@@ -251,6 +251,31 @@ object EventStreams {
         col("r_ts") <= col("l_ts"))
   }
 
+  /** LEFT OUTER stream-stream interval join: like [[intervalJoin]],
+    * but a left row with NO match inside its time bound is still
+    * emitted (right side null) — the attribution shape "every
+    * purchase, with its preceding click if any". The null row can
+    * only be emitted once the right watermark has passed the bound
+    * (before that a match could still arrive), so unmatched results
+    * trail the watermark by design — correctness over latency, the
+    * documented Spark outer-join contract. State stays
+    * watermark-bounded exactly as in the inner form.
+    */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+      key: String, within: String, watermark: String): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(key).as("l_key"), col("ts").as("l_ts"),
+        col("event_id").as("l_event_id"), col("value").as("l_value"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(key).as("r_key"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"), col("value").as("r_value"))
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $within") &&
+        col("r_ts") <= col("l_ts"),
+      "left_outer")
+  }
+
   /** Stream-static enrichment join: each micro-batch left-joins the
     * (broadcast) dimension — the streaming twin of the lookup operator
     * (SURVEY.md §2.2). The dimension is re-read per trigger for file

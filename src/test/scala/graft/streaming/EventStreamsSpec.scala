@@ -182,6 +182,44 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinLeftOuter: matched rows emit like the inner join; " +
+      "an unmatched left row emits with nulls AFTER the watermark " +
+      "passes its bound") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val errors = MemoryStream[Event]
+    val joined = EventStreams.intervalJoinLeftOuter(
+      clicks.toDF(), errors.toDF(), "user_id", "15 minutes", "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssjo")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // click 1 has a match (error at minute 10); click 2 (user 7) has
+      // no error anywhere in its bound
+      clicks.addData(ev(1, 20), ev(2, 22, user = 7))
+      errors.addData(ev(100, 10))
+      q.processAllAvailable()
+      // before the watermark passes, the unmatched row must NOT have
+      // been emitted with nulls (a match could still arrive)
+      val early = spark.table("ssjo").filter(col("l_event_id") === 2)
+        .collect()
+      assert(early.isEmpty, "null row emitted before watermark")
+      // advance both watermarks far past the bound
+      clicks.addData(ev(9, 500, user = 99))
+      errors.addData(ev(900, 500, user = 99))
+      q.processAllAvailable()
+      val matched = spark.table("ssjo").filter(col("l_event_id") === 1)
+        .collect()
+      assert(matched.map(_.getAs[Long]("r_event_id")).toSet
+        == Set(100L))
+      val unmatched = spark.table("ssjo")
+        .filter(col("l_event_id") === 2).collect()
+      assert(unmatched.length == 1 &&
+        unmatched.head.isNullAt(unmatched.head.fieldIndex("r_event_id")),
+        "unmatched left row must emit exactly once with nulls")
+    } finally q.stop()
+  }
+
   test("enrichWithDim: stream-static broadcast join, miss yields nulls") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
