@@ -998,4 +998,51 @@ object Dedup {
       .select(col("ida").as("id_a"), col("idb").as("id_b"),
         col("dist").cast("bigint").as("dist"))
   }
+
+  /** Golden-record cluster cards — the survivorship step after
+    * clustering: for every multi-member cluster, ONE canonical record
+    * plus merged metadata. Canonical pick is the keep-best rule
+    * (longest text, then lowest id — deterministic, the q99
+    * convention); merged fields here are the curation-relevant ones
+    * (member count, total chars, sorted distinct langs, majority lang
+    * with lexicographic tie-break). MDM survivorship with other
+    * field-level rules (most-recent, most-trusted-source) is the same
+    * shape: per-cluster aggregations + one rank-1 window over the
+    * CLUSTER-member frame (cluster-size-bounded partitions).
+    *
+    * Input: `clusters` = (id, cluster) as produced by
+    * [[connectedComponents]]; `docs` supplies (idCol, langCol,
+    * charsCol). Output per cluster (n_docs ≥ 2):
+    * `(cluster, n_docs, canonical_id, total_chars, langs,
+    * major_lang)`.
+    */
+  def clusterCards(clusters: DataFrame, docs: DataFrame,
+      idCol: String, langCol: String, charsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val j = clusters.join(
+      docs.select(col(idCol).as("id"), col(langCol).as("lang"),
+        col(charsCol).as("chars")), Seq("id"))
+    val agg = j.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("chars")).as("total_chars"),
+        array_join(array_sort(collect_set(col("lang"))), ",")
+          .as("langs"))
+      .filter(col("n_docs") >= 2)
+    val wCanon = Window.partitionBy(col("cluster"))
+      .orderBy(col("chars").desc, col("id"))
+    val canon = j.withColumn("_r", row_number().over(wCanon))
+      .filter(col("_r") === 1)
+      .select(col("cluster"), col("id").as("canonical_id"))
+    val wLang = Window.partitionBy(col("cluster"))
+      .orderBy(col("cnt").desc, col("lang"))
+    val major = j.groupBy(col("cluster"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("_r", row_number().over(wLang))
+      .filter(col("_r") === 1)
+      .select(col("cluster"), col("lang").as("major_lang"))
+    agg.join(canon, Seq("cluster")).join(major, Seq("cluster"))
+      .select(col("cluster"), col("n_docs"), col("canonical_id"),
+        col("total_chars"), col("langs"), col("major_lang"))
+      .orderBy(col("cluster"))
+  }
 }

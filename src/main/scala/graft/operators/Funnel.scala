@@ -304,4 +304,52 @@ object Funnel {
         col("n_cohort"),
         expr("(n_active * 1000000) div n_cohort").as("retention_ppm"))
   }
+
+  /** Linear multi-touch attribution: each conversion's value is split
+    * EQUALLY over its qualifying touches (same entity, touch strictly
+    * before the conversion, within `windowDays`); a conversion with
+    * no touch keeps its full value on a `touch_id = null` "direct"
+    * row. The cents are conserved EXACTLY: each touch gets
+    * `cents div k`, and the `cents mod k` remainder goes +1 to the
+    * EARLIEST touches (ts, id order) — Σ credits ≡ cents per
+    * conversion, spec-pinned, no float credit anywhere. (Requires
+    * non-negative values — a negative remainder would have no row to
+    * land on; refunds belong on their own conversion rows.)
+    *
+    * Scale shape: the conversion↔touch join is an equi join on the
+    * entity with the time bound as a post-join filter (per-entity
+    * fan-out = touches-per-window, the q189 bounded-gap model); the
+    * per-conversion window runs over that bounded candidate frame,
+    * partitioned by conversion — never a global sort.
+    *
+    * Output: `(conv_id, touch_id nullable, credit_cents)`.
+    */
+  def linearAttribution(events: DataFrame, entityCol: String,
+      typeCol: String, tsCol: String, valCol: String,
+      convType: String, touchTypes: Seq[String], windowDays: Int)
+      : DataFrame = {
+    require(touchTypes.nonEmpty && windowDays >= 1)
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col("event_id").as("conv_id"),
+        col(entityCol).as("ent"), col(tsCol).as("c_ts"),
+        round(col(valCol) * 100).cast("bigint").as("cents"))
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col("event_id").as("touch_id"),
+        col(entityCol).as("t_ent"), col(tsCol).as("t_ts"))
+    val j = conv.join(touch,
+      col("ent") === col("t_ent") &&
+        col("t_ts") < col("c_ts") &&
+        col("t_ts") >= col("c_ts") - expr(s"INTERVAL $windowDays DAY"),
+      "left")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_id"))
+    val wOrd = w.orderBy(col("t_ts"), col("touch_id"))
+    j.withColumn("k", count(col("touch_id")).over(w))
+      .withColumn("r", row_number().over(wOrd))
+      .select(col("conv_id"), col("touch_id"),
+        when(col("touch_id").isNull, col("cents"))
+          .otherwise(expr("cents div k") +
+            when(col("r") <= expr("cents % k"), 1L).otherwise(0L))
+          .as("credit_cents"))
+  }
 }

@@ -637,5 +637,94 @@ object Round10b {
              |  CASE WHEN cum_ppm <= 800000 THEN 'A'
              |    WHEN cum_ppm <= 950000 THEN 'B' ELSE 'C' END
              |    AS abc_class
-             |FROM c ORDER BY cents DESC, l_partkey""".stripMargin)))
+             |FROM c ORDER BY cents DESC, l_partkey""".stripMargin)),
+
+    // ---- linear multi-touch attribution: purchase cents split
+    // EQUALLY over the user's clicks/views in the prior 3 days,
+    // remainder cents to the earliest touches (Σ credits ≡ cents,
+    // exactly); no-touch purchases keep full value on a direct row
+    QueryDef("q219_attribution",
+      (s, dir) => graft.operators.Funnel.linearAttribution(
+          t("events")(s, dir), "user_id", "event_type", "ts", "value",
+          convType = "purchase", touchTypes = Seq("click", "view"),
+          windowDays = 3)
+        .orderBy(col("conv_id"), col("touch_id")),
+      Some("""WITH ev AS (SELECT event_id, user_id,
+             |    CAST(ts AS TIMESTAMP) AS ts, value, event_type
+             |  FROM events),
+             |p AS (SELECT event_id AS conv_id, user_id, ts AS c_ts,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM ev WHERE event_type = 'purchase'),
+             |t AS (SELECT event_id AS touch_id, user_id, ts AS t_ts
+             |  FROM ev WHERE event_type IN ('click', 'view')),
+             |j AS (SELECT p.conv_id, p.cents, t.touch_id, t.t_ts
+             |  FROM p LEFT JOIN t ON p.user_id = t.user_id
+             |    AND t.t_ts < p.c_ts
+             |    AND t.t_ts >= p.c_ts - INTERVAL 3 DAY),
+             |k AS (SELECT conv_id, cents, touch_id,
+             |    COUNT(touch_id) OVER (PARTITION BY conv_id) AS k,
+             |    ROW_NUMBER() OVER (PARTITION BY conv_id
+             |      ORDER BY t_ts, touch_id) AS r FROM j)
+             |SELECT conv_id, touch_id,
+             |  CAST(CASE WHEN touch_id IS NULL THEN cents
+             |    ELSE cents // k +
+             |      CASE WHEN r <= cents % k THEN 1 ELSE 0 END END
+             |    AS BIGINT) AS credit_cents
+             |FROM k
+             |ORDER BY conv_id, touch_id NULLS FIRST""".stripMargin)),
+
+    // ---- golden-record cluster cards: survivorship over the
+    // near-dup CC clusters — canonical member (keep-best: longest
+    // text then lowest id), merged langs (sorted distinct), majority
+    // lang with lexicographic tie-break
+    QueryDef("q220_cluster_cards",
+      (s, dir) => {
+        val docs = t("documents")(s, dir)
+        val cc = graft.operators.Dedup.connectedComponents(
+          CorpusOps.sharedJaccardPairs(s, dir),
+          docs.select(col("doc_id")), "doc_id")
+        graft.operators.Dedup.clusterCards(cc, docs,
+          "doc_id", "lang", "n_chars")
+      },
+      Some(s"""WITH RECURSIVE ${CorpusOps.oShinglesSql},
+              |hs AS (SELECT doc_id, ${CorpusOps.oH60("s")} AS h FROM sh),
+              |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh
+              |  GROUP BY doc_id),
+              |p AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) AS inter
+              |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs AS (SELECT da, db FROM p
+              |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+              |  WHERE inter / (x.n + y.n - inter) >= 0.6),
+              |edges AS (SELECT da AS src, db AS dst FROM pairs
+              |  UNION ALL SELECT db, da FROM pairs),
+              |walk AS (
+              |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+              |  UNION
+              |  SELECT e.dst AS id, w.lbl
+              |  FROM walk w JOIN edges e ON w.id = e.src
+              |  WHERE w.lbl < e.dst),
+              |cc AS (SELECT id, MIN(lbl) AS cluster FROM walk
+              |  GROUP BY id),
+              |jj AS (SELECT cc.cluster, d.doc_id AS id, d.lang,
+              |    d.n_chars AS chars
+              |  FROM cc JOIN documents d ON cc.id = d.doc_id),
+              |a AS (SELECT cluster, COUNT(*) AS n_docs,
+              |    SUM(chars) AS total_chars,
+              |    string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
+              |  FROM jj GROUP BY cluster HAVING COUNT(*) >= 2),
+              |cn AS (SELECT cluster, id AS canonical_id FROM (
+              |    SELECT cluster, id, ROW_NUMBER() OVER (
+              |      PARTITION BY cluster ORDER BY chars DESC, id) AS r
+              |    FROM jj) WHERE r = 1),
+              |lg AS (SELECT cluster, lang AS major_lang FROM (
+              |    SELECT cluster, lang, ROW_NUMBER() OVER (
+              |      PARTITION BY cluster
+              |      ORDER BY COUNT(*) DESC, lang) AS r
+              |    FROM jj GROUP BY cluster, lang) WHERE r = 1)
+              |SELECT a.cluster, CAST(n_docs AS BIGINT) AS n_docs,
+              |  canonical_id, CAST(total_chars AS BIGINT)
+              |    AS total_chars, langs, major_lang
+              |FROM a JOIN cn USING (cluster) JOIN lg USING (cluster)
+              |ORDER BY cluster""".stripMargin)))
 }

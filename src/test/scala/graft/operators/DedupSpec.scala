@@ -408,4 +408,26 @@ class DedupSpec extends SparkSpec {
     // doc 3: 8 shingles; "a b c"/"b c d" seen before → 6 novel
     assert(got(3L) == ((8L, 6L, 750000L)))
   }
+
+  test("clusterCards: keep-best canonical, majority-lang tie-break, " +
+      "sorted langs, singletons dropped") {
+    import spark.implicits._
+    // cluster 1 = {1,2,3}; cluster 10 = {10,11}; 99 is a singleton
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (99L, 99L)).toDF("id", "cluster")
+    val docs = Seq(
+      (1L, "en", 50L), (2L, "de", 80L), (3L, "de", 80L), // tie: min id
+      (10L, "fr", 10L), (11L, "en", 90L),                // lang tie 1-1
+      (99L, "zh", 7L)).toDF("doc_id", "lang", "n_chars")
+    val got = Dedup.clusterCards(clusters, docs, "doc_id", "lang",
+        "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5))).toSeq
+    assert(got == Seq(
+      // canonical: chars 80 tie between 2 and 3 → lower id 2;
+      // majority lang: de×2 beats en; langs sorted distinct
+      (1L, 3L, 2L, 210L, "de,en", "de"),
+      // majority tie en-fr → lexicographic 'en'
+      (10L, 2L, 11L, 100L, "en,fr", "en")), got.toString)
+  }
 }

@@ -221,4 +221,42 @@ class FunnelSpec extends SparkSpec {
       ("2024-01-01", 2L, 1L, 2L, 500000L),
       ("2024-01-08", 0L, 1L, 1L, 1000000L)), got.toString)
   }
+
+  test("linearAttribution: exact conservation, earliest-touch " +
+      "remainder, direct row for no-touch, window/order bounds") {
+    import spark.implicits._
+    def t(h: Int) = new Timestamp(1700000000000L + h * 3600000L)
+    val events = Seq(
+      // user 1: 3 touches then a 1.00 purchase → 100 = 34+33+33
+      (10L, 1L, t(0), "click", 0.0),
+      (11L, 1L, t(1), "view", 0.0),
+      (12L, 1L, t(2), "click", 0.0),
+      (13L, 1L, t(3), "purchase", 1.00),
+      // user 2: no touches → direct row with full cents
+      (20L, 2L, t(3), "purchase", 2.50),
+      // user 3: touch AFTER purchase and touch outside window → direct
+      (30L, 3L, t(100), "purchase", 0.99),
+      (31L, 3L, t(101), "click", 0.0),      // after purchase: excluded
+      (32L, 3L, t(100 - 80), "click", 0.0)) // 80h > 72h window: excluded
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Funnel.linearAttribution(events, "user_id",
+        "event_type", "ts", "value", "purchase",
+        Seq("click", "view"), windowDays = 3)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_ => r.getLong(1)),
+        r.getLong(2))).toSeq.sortBy(x => (x._1, x._2.getOrElse(-1L)))
+    // remainder cent (100 mod 3 = 1) goes to the EARLIEST touch (10)
+    assert(got == Seq(
+      (13L, Some(10L), 34L), (13L, Some(11L), 33L),
+      (13L, Some(12L), 33L),
+      (20L, None, 250L),
+      (30L, None, 99L)), got.toString)
+    // conservation: per conversion, credits sum to the cents
+    val sums = Funnel.linearAttribution(events, "user_id",
+        "event_type", "ts", "value", "purchase",
+        Seq("click", "view"), windowDays = 3)
+      .groupBy("conv_id").sum("credit_cents")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sums == Map(13L -> 100L, 20L -> 250L, 30L -> 99L))
+  }
 }
