@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global ranking: assign every row its 0-based position
+  * in the total order of a unique key WITHOUT a single-partition sort
+  * — the "give me contiguous sequence numbers" primitive that a naive
+  * `row_number() OVER (ORDER BY k)` turns into the one thing a
+  * 1000-executor cluster cannot do (all 100 TB through one task;
+  * Spark even logs `No Partition Defined for Window` for it).
+  *
+  * Two-phase formulation, fully declarative and deterministic:
+  *   1. range-bucket each row by the key against the key's [min, max]
+  *      span (fixed integer arithmetic, no sampling — so unlike
+  *      `repartitionByRange`, bucket boundaries are a pure function
+  *      of the data);
+  *   2. per-bucket counts → prefix-sum offsets over the BUCKET frame
+  *      (B rows, the only unpartitioned window — bounded by the
+  *      bucket count, the ksDistance model contract);
+  *   3. `row_number()` within each bucket (partitioned window) +
+  *      bucket offset = the global position.
+  *
+  * Equivalence `≡ row_number() OVER (ORDER BY key)` holds because
+  * range buckets respect the key order; RanksSpec pins it and asserts
+  * the plan contains NO unpartitioned row-frame window. Uniform-width
+  * buckets skew with skewed keys (a bucket ≈ its key-density); for
+  * pathological distributions feed quantile edges instead — same
+  * phase 2/3, different bucket function (the psiBuckets precedent).
+  *
+  * Contract: `keyCol` numeric (or castable to long) and UNIQUE — ties
+  * would make "the" total order ill-defined; pre-dedup or compose a
+  * unique tiebreak key upstream.
+  */
+object Ranks {
+
+  /** `(input columns…, global_rank)` with `global_rank` the 0-based
+    * position of `keyCol` in ascending order.
+    */
+  def globalRowNumbers(df: DataFrame, keyCol: String,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1)
+    val k = col(keyCol).cast("long")
+    val span = df.agg(min(k).as("_kmin"), max(k).as("_kmax"))
+    // ((v − min) · B) div (max − min + 1) ∈ [0, B): exact integer,
+    // order-preserving
+    val bucketed = df.crossJoin(broadcast(span))
+      .withColumn("_b",
+        expr(s"((CAST($keyCol AS BIGINT) - _kmin) * $buckets) div " +
+          "(_kmax - _kmin + 1)"))
+      .drop("_kmin", "_kmax")
+    val offsets = bucketed.groupBy(col("_b"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_off",
+        coalesce(sum(col("_n")).over(Window.orderBy(col("_b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_b"), col("_off"))
+    val wIn = Window.partitionBy(col("_b")).orderBy(col(keyCol))
+    bucketed.join(broadcast(offsets), Seq("_b"))
+      .withColumn("global_rank",
+        col("_off") + row_number().over(wIn) - 1)
+      .drop("_b", "_off")
+  }
+}

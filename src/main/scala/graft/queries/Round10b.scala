@@ -726,5 +726,21 @@ object Round10b {
               |  canonical_id, CAST(total_chars AS BIGINT)
               |    AS total_chars, langs, major_lang
               |FROM a JOIN cn USING (cluster) JOIN lg USING (cluster)
-              |ORDER BY cluster""".stripMargin)))
+              |ORDER BY cluster""".stripMargin)),
+
+    // ---- distributed global sequence numbers: range-bucket + bucket
+    // offsets + partitioned within-bucket ranks ≡ row_number() OVER
+    // (ORDER BY key) with NO row-frame single-partition window — the
+    // oracle deliberately runs the naive global-sort form
+    QueryDef("q221_global_rank",
+      (s, dir) => graft.operators.Ranks.globalRowNumbers(
+          t("orders")(s, dir).select(col("o_orderkey")),
+          "o_orderkey", buckets = 256)
+        .select(col("o_orderkey"),
+          col("global_rank").cast("bigint").as("global_rank"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+             |  CAST(row_number() OVER (ORDER BY o_orderkey) - 1
+             |    AS BIGINT) AS global_rank
+             |FROM orders ORDER BY o_orderkey""".stripMargin)))
 }

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pins the distributed global-rank equivalence and its plan shape:
+  * ≡ row_number() OVER (ORDER BY key), with the only unpartitioned
+  * window running over the bucket-count frame, never the row frame.
+  */
+class RanksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("globalRowNumbers ≡ row_number over the total order — gaps, " +
+      "negatives, many buckets vs few, partitioning-invariant") {
+    // unique keys with gaps and negatives, shuffled input order
+    val keys = (0 until 2000).map(i =>
+      (i * 2654435761L) % 100003 - 50000).distinct
+    val df = keys.map(Tuple1(_)).toDF("k").repartition(13)
+    val expect = df.withColumn("global_rank",
+      row_number().over(Window.orderBy(col("k"))) - 1)
+    for (b <- Seq(1, 7, 1024)) {
+      val got = Ranks.globalRowNumbers(df, "k", buckets = b)
+      assert(got.exceptAll(expect).isEmpty &&
+        expect.exceptAll(got).isEmpty, s"buckets=$b diverged")
+    }
+  }
+
+  test("plan: the row frame is ranked under a PARTITIONED window; " +
+      "only the bucket frame is unpartitioned") {
+    val df = (1L to 5000L).map(Tuple1(_)).toDF("k")
+    // AQE hides the physical tree until execution; the optimized
+    // LOGICAL plan carries the same partitionSpec evidence
+    val plan = Ranks.globalRowNumbers(df, "k", buckets = 64)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    val (unpart, part) = windows.partition(_.partitionSpec.isEmpty)
+    assert(part.nonEmpty, "row-frame window must be partitioned")
+    // the unpartitioned window consumes the bucket aggregation, whose
+    // row count is the BUCKET count — bounded regardless of data size
+    assert(unpart.size <= 1, s"${unpart.size} unpartitioned windows")
+  }
+}
