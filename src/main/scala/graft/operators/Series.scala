@@ -155,4 +155,40 @@ object Series {
         coalesce(col("n"), lit(0L)).as("n_active"))
       .orderBy(col("day"))
   }
+
+  /** The SKETCH path of [[rollingDistinctDaily]] — for window ×
+    * cardinality regimes where the exact fan-out is too wide
+    * (distinct URLs over 90 days): per-day HLL registers
+    * ([[Cardinality.hllRegistersBy]]), each day's m-cell register
+    * frame fanned to its ≤ `windowDays` cover days, register-wise MAX
+    * per cover day (the HLL union), one estimate per day. State per
+    * day is ≤ m cells regardless of entity cardinality, and the
+    * fan-out is windowDays × m cells — entity count appears only in
+    * the first (map-side-combined) aggregation. Estimate error is the
+    * standard 1.04/√m; same-day estimates are exactly the persisted-
+    * sketch algebra of q120/q124, so windows can also be served off
+    * stored per-day sketches without touching events at all.
+    *
+    * Output: `(day, est_active, n_zero)` for every OBSERVED day.
+    */
+  def rollingDistinctHllDaily(events: DataFrame, tsCol: String,
+      entityCol: String, windowDays: Int = 7, p: Int = 12)
+      : DataFrame = {
+    require(windowDays >= 1)
+    val du = events.filter(col(tsCol).isNotNull)
+      .select(to_date(col(tsCol)).as("day"),
+        col(entityCol).as("ent"))
+    val regs = Cardinality.hllRegistersBy(du, Seq("day"), "ent", p)
+    val cover = regs.select(col("bucket"), col("r"),
+      explode(sequence(col("day"),
+        date_add(col("day"), windowDays - 1),
+        expr("interval 1 day"))).as("day"))
+    val merged = cover.groupBy(col("day"), col("bucket"))
+      .agg(max(col("r")).as("r"))
+      .join(du.select(col("day")).distinct(), Seq("day"), "left_semi")
+    Cardinality.hllEstimateBy(merged, Seq("day"), p)
+      .select(col("day"), col("est_hll").as("est_active"),
+        col("n_zero"))
+      .orderBy(col("day"))
+  }
 }

@@ -742,5 +742,52 @@ object Round10b {
       Some("""SELECT o_orderkey,
              |  CAST(row_number() OVER (ORDER BY o_orderkey) - 1
              |    AS BIGINT) AS global_rank
-             |FROM orders ORDER BY o_orderkey""".stripMargin)))
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- rolling distinct, SKETCH path: per-day HLL registers fanned
+    // to their cover days, register-wise MAX (the HLL union), one
+    // estimate per day — state ≤ m cells/day at ANY entity
+    // cardinality (the q207 exact twin's documented wide-window
+    // regime); the oracle replays the register algebra per cover day
+    QueryDef("q222_rolling_hll",
+      (s, dir) => graft.operators.Series.rollingDistinctHllDaily(
+        t("events")(s, dir), "ts", "user_id",
+        windowDays = 7, p = 12),
+      Some {
+        val m = 1L << 12; val r0 = 49
+        val c = graft.operators.Cardinality.estimateConst(12)
+        s"""WITH du AS (SELECT DISTINCT
+           |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           |    user_id AS ent
+           |  FROM events WHERE ts IS NOT NULL),
+           |h AS (SELECT day, CAST(concat('0x', substr(md5(
+           |    concat('hll|', CAST(ent AS VARCHAR))), 1, 15))
+           |    AS BIGINT) AS h FROM du),
+           |b AS (SELECT day, h % $m AS bucket, h // $m AS q FROM h),
+           |r AS (SELECT day, bucket, MAX(CASE WHEN q = 0 THEN $r0
+           |    ELSE $r0 - length(bin(q)) END) AS r
+           |  FROM b GROUP BY 1, 2),
+           |obs AS (SELECT DISTINCT day FROM du),
+           |cov AS (SELECT r.day + CAST(t.i AS INTEGER) AS cday,
+           |    bucket, r
+           |  FROM r, range(0, 7) t(i)),
+           |cr AS (SELECT cday, bucket, MAX(r) AS r FROM cov
+           |  JOIN obs ON cov.cday = obs.day GROUP BY 1, 2),
+           |a AS (SELECT cday,
+           |    SUM(CAST(1 AS BIGINT) << ($r0 - r)) AS s_filled,
+           |    COUNT(*) AS n_filled FROM cr GROUP BY cday),
+           |t2 AS (SELECT cday,
+           |    s_filled + ($m - n_filled) *
+           |      (CAST(1 AS BIGINT) << $r0) AS s_total,
+           |    $m - n_filled AS n_zero FROM a),
+           |e AS (SELECT cday, round($c / CAST(s_total AS DOUBLE), 2)
+           |    AS est_raw, n_zero FROM t2)
+           |SELECT cday AS day,
+           |  CASE WHEN est_raw <= ${2.5 * m} AND n_zero > 0
+           |    THEN round(${m.toDouble} * ln(${m.toDouble} / n_zero),
+           |      2)
+           |    ELSE est_raw END AS est_active,
+           |  CAST(n_zero AS BIGINT) AS n_zero
+           |FROM e ORDER BY day""".stripMargin
+      }))
 }

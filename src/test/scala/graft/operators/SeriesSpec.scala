@@ -102,4 +102,35 @@ class SeriesSpec extends SparkSpec {
       "ts", "u", 2).collect().map(r => r.getLong(1)).toSeq
     assert(re == got2.map(_._2))
   }
+
+  test("rollingDistinctHllDaily: window union ≡ one sketch over the " +
+      "window's rows (merge associativity), estimate near exact") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    // 3 days × several hundred users with overlap across days
+    val events = (0 until 3).flatMap { d =>
+      (0 until 400).map(u => ((d * 173 + u * 7) % 900L,
+        ts(d + 1, h = 10)))
+    }.toDF("u", "ts").repartition(5)
+    val got = Series.rollingDistinctHllDaily(events, "ts", "u",
+        windowDays = 2, p = 12)
+      .collect().map(r => r.getDate(0).toString -> r.getDouble(1))
+      .toMap
+    // associativity: day-3 estimate (union of day2+day3 registers)
+    // must EQUAL the sketch built directly on those two days' rows
+    val two = events.filter(
+      to_date(col("ts")) >= java.sql.Date.valueOf("2024-01-02"))
+    val direct = Cardinality.hllEstimate(
+      Cardinality.hllRegisters(
+        two.select(col("u")), "u", p = 12), p = 12)
+      .collect().head.getDouble(0)
+    assert(got("2024-01-03") == direct,
+      s"window merge ${got("2024-01-03")} != direct $direct")
+    // accuracy: within ~5% of the exact trailing-2-day distinct
+    val exact = Series.rollingDistinctDaily(events, "ts", "u", 2)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    got.foreach { case (day, est) =>
+      val ex = exact(day).toDouble
+      assert(math.abs(est - ex) / ex < 0.05, s"$day: $est vs $ex")
+    }
+  }
 }
