@@ -181,6 +181,36 @@ object Quantiles {
           .as("robust_z_milli")): _*)
   }
 
+  /** Weighted type-1 median per group, exact: the SMALLEST value
+    * whose cumulative weight reaches half the total
+    * (`2·cumw(v) ≥ W`) — "the price at which half the shipped
+    * QUANTITY sits below", the volume-weighted twin of the plain
+    * median. Values in exact cents, weights integral; the scan runs
+    * over the per-group DISTINCT-value frame (values grouped first —
+    * the ksDistance contract), so no row-frame sort exists.
+    *
+    * Output: `(groupCols…, total_w, median_cents)`.
+    */
+  def weightedMedian(df: DataFrame, groupCols: Seq[String],
+      valCol: String, weightCol: String): DataFrame = {
+    val gcols = groupCols.map(col)
+    val g1 = df
+      .filter(col(valCol).isNotNull && col(weightCol).isNotNull)
+      .select(gcols :+ round(col(valCol) * 100).cast("bigint").as("_v")
+        :+ col(weightCol).cast("bigint").as("_w"): _*)
+      .groupBy(gcols :+ col("_v"): _*)
+      .agg(sum(col("_w")).as("_w"))
+    val w = Window.partitionBy(gcols: _*).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = g1.groupBy(gcols: _*).agg(sum(col("_w")).as("total_w"))
+    g1.withColumn("_cw", sum(col("_w")).over(w))
+      .join(tot, groupCols)
+      .filter(col("_cw") * 2 >= col("total_w"))
+      .groupBy(gcols :+ col("total_w"): _*)
+      .agg(min(col("_v")).as("median_cents"))
+      .select(gcols :+ col("total_w") :+ col("median_cents"): _*)
+  }
+
   def rankNormalize(df: DataFrame, groupCols: Seq[String],
       valCol: String, idCol: String): DataFrame = {
     val gcols = groupCols.map(col)

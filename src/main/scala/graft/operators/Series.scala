@@ -191,4 +191,38 @@ object Series {
         col("n_zero"))
       .orderBy(col("day"))
   }
+
+  /** Trailing-window OLS slope per key over the DENSE daily series,
+    * in exact integer milli-units/day: `slope = (n·Σxy − Σx·Σy) /
+    * (n·Σxx − (Σx)²)` with x = epoch-day and y = the daily count —
+    * every moment a windowed BIGINT sum over the gap-filled frame
+    * (the q177 Theil-Sen is the ROBUST trend over an aggregated
+    * series; this is its cheap per-day windowed cousin — one shared
+    * per-key window, five sums, no pairwise term). Milli via ·1000
+    * before the truncating div; slope is null while the window holds
+    * < 2 distinct days (denominator 0).
+    *
+    * Output: `(key, day, n_events, slope_milli)`.
+    */
+  def rollingSlopeDaily(events: DataFrame, keyCol: String,
+      tsCol: String, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 2)
+    val dense = gapFillDaily(events, keyCol, tsCol).drop("cum_events")
+      .withColumn("x",
+        datediff(col("day"), lit("1970-01-01").cast("date"))
+          .cast("bigint"))
+    val w = Window.partitionBy(col("k")).orderBy(col("day"))
+      .rowsBetween(-(windowDays - 1), 0)
+    dense
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("n_events")).over(w))
+      .withColumn("sxy", sum(col("x") * col("n_events")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("slope_milli",
+        when(expr("n * sxx - sx * sx") =!= 0L,
+          expr("((n * sxy - sx * sy) * 1000) div (n * sxx - sx * sx)")))
+      .select(col("k"), col("day"), col("n_events"),
+        col("slope_milli"))
+  }
 }

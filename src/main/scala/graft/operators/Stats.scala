@@ -513,6 +513,46 @@ object Stats {
         col("lo_milli"), col("hi_milli"))
   }
 
+  /** Two-proportion z-test in EXACT integer arithmetic (the q126
+    * discipline: no mean, no sqrt, no float boundary anywhere). With
+    * arms (n₁, x₁) and (n₂, x₂), pooled X = x₁+x₂, N = n₁+n₂, the
+    * pooled test `(p₁−p₂)² > z²·p̂(1−p̂)(1/n₁+1/n₂)` multiplies
+    * through by (n₁n₂)²N²/N to
+    * `(x₁n₂ − x₂n₁)²·N·zDen > zNum·X·(N−X)·n₁·n₂`
+    * with z² the exact rational zNum/zDen (default 1.96 = 49/25 →
+    * z² = 2401/625). Products ride DECIMAL(38,0) (the q148 headroom
+    * rule): exact to n ~ 10⁹ per arm.
+    *
+    * Output one row: `(n_a, x_a, n_b, x_b, rate_a_ppm, rate_b_ppm,
+    * diff_ppm, significant)`. One map-side-combined aggregation.
+    *
+    * @param armCol  boolean column; true = arm A
+    * @param convCol boolean column; true = converted
+    */
+  def twoProportionTest(df: DataFrame, armCol: String,
+      convCol: String, zNum: Long = 2401L, zDen: Long = 625L)
+      : DataFrame = {
+    val d38 = "decimal(38,0)"
+    df.agg(
+        sum(when(col(armCol), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(armCol) && col(convCol), 1L).otherwise(0L))
+          .as("x_a"),
+        sum(when(!col(armCol), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col(armCol) && col(convCol), 1L).otherwise(0L))
+          .as("x_b"))
+      .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        expr("(x_a * 1000000) div n_a").as("rate_a_ppm"),
+        expr("(x_b * 1000000) div n_b").as("rate_b_ppm"),
+        expr("(x_a * 1000000) div n_a - (x_b * 1000000) div n_b")
+          .as("diff_ppm"),
+        expr(s"""CAST(x_a * n_b - x_b * n_a AS $d38) *
+                 CAST(x_a * n_b - x_b * n_a AS $d38) *
+                 (n_a + n_b) * $zDen >
+                 CAST($zNum AS $d38) * (x_a + x_b) *
+                 (n_a + n_b - x_a - x_b) * n_a * n_b""")
+          .as("significant"))
+  }
+
   /** Tie-coherent quantile bucket per DISTINCT value of `valCol` in
     * `df` (the [[graft.operators.Eval.calibrationBuckets]] cut rule:
     * bucket = (cum≤v − 1)·n div N, equal values never straddle).

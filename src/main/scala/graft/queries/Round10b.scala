@@ -789,5 +789,109 @@ object Round10b {
            |    ELSE est_raw END AS est_active,
            |  CAST(n_zero AS BIGINT) AS n_zero
            |FROM e ORDER BY day""".stripMargin
-      }))
+      }),
+
+    // ---- volume-weighted median price per return flag: smallest
+    // price (exact cents) at which half the shipped QUANTITY sits at
+    // or below — the distinct-value-bounded weighted type-1 median
+    QueryDef("q223_weighted_median",
+      (s, dir) => graft.operators.Quantiles.weightedMedian(
+          t("lineitem")(s, dir), Seq("l_returnflag"),
+          "l_extendedprice", "l_quantity")
+        .orderBy(col("l_returnflag")),
+      Some("""WITH c AS (SELECT l_returnflag AS g,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+             |    CAST(l_quantity AS BIGINT) AS w
+             |  FROM lineitem
+             |  WHERE l_extendedprice IS NOT NULL
+             |    AND l_quantity IS NOT NULL),
+             |g1 AS (SELECT g, v, SUM(w) AS w FROM c GROUP BY 1, 2),
+             |cum AS (SELECT g, v, SUM(w) OVER (PARTITION BY g
+             |    ORDER BY v
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS cw FROM g1),
+             |tot AS (SELECT g, SUM(w) AS tw FROM g1 GROUP BY g)
+             |SELECT cum.g AS l_returnflag,
+             |  CAST(tot.tw AS BIGINT) AS total_w,
+             |  CAST(MIN(v) AS BIGINT) AS median_cents
+             |FROM cum JOIN tot ON cum.g = tot.g
+             |WHERE 2 * cw >= tw
+             |GROUP BY cum.g, tot.tw
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- trailing 7-day OLS slope of daily volume per event type:
+    // five windowed BIGINT moments over the gap-filled series, exact
+    // milli-units/day (the windowed cheap cousin of q177's Theil-Sen)
+    QueryDef("q224_rolling_slope",
+      (s, dir) => graft.operators.Series.rollingSlopeDaily(
+          t("events")(s, dir), "event_type", "ts", windowDays = 7)
+        .orderBy(col("k"), col("day")),
+      Some("""WITH d AS (SELECT event_type AS k,
+             |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |    COUNT(*) AS c
+             |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+             |sp AS (SELECT k, MIN(day) AS d0, MAX(day) AS d1
+             |  FROM d GROUP BY k),
+             |cal AS (SELECT k, CAST(unnest(generate_series(
+             |    CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+             |    INTERVAL 1 DAY)) AS DATE) AS day FROM sp),
+             |dense AS (SELECT cal.k, cal.day, COALESCE(d.c, 0) AS y,
+             |    CAST(date_diff('day', DATE '1970-01-01', cal.day)
+             |      AS BIGINT) AS x
+             |  FROM cal LEFT JOIN d
+             |    ON cal.k = d.k AND cal.day = d.day),
+             |m AS (SELECT k, day, y,
+             |    COUNT(*) OVER w AS n, SUM(x) OVER w AS sx,
+             |    SUM(y) OVER w AS sy, SUM(x * y) OVER w AS sxy,
+             |    SUM(x * x) OVER w AS sxx
+             |  FROM dense WINDOW w AS (PARTITION BY k ORDER BY day
+             |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+             |SELECT k, day, CAST(y AS BIGINT) AS n_events,
+             |  CAST(CASE WHEN n * sxx - sx * sx != 0
+             |    THEN ((n * sxy - sx * sy) * 1000)
+             |      // (n * sxx - sx * sx) END AS BIGINT)
+             |    AS slope_milli
+             |FROM m ORDER BY k, day""".stripMargin)),
+
+    // ---- two-proportion A/B z-test, exact integers end to end: the
+    // q126 cross-multiplication discipline at z = 49/25 (z² as the
+    // exact rational 2401/625), products in DECIMAL(38,0) headroom —
+    // the experiment readout with NO float significance boundary
+    QueryDef("q225_ab_ztest",
+      (s, dir) => {
+        val users = t("events")(s, dir)
+          .groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase", 1)
+            .otherwise(0)).as("conv"))
+          .select((col("user_id") % 2 === 0).as("arm_a"),
+            (col("conv") === 1).as("converted"))
+        graft.operators.Stats.twoProportionTest(users,
+          "arm_a", "converted")
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+             |      END) AS conv
+             |  FROM events GROUP BY user_id),
+             |f AS (SELECT user_id % 2 = 0 AS arm_a, conv = 1 AS cv
+             |  FROM u),
+             |m AS (SELECT
+             |    SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS n_a,
+             |    SUM(CASE WHEN arm_a AND cv THEN 1 ELSE 0 END) AS x_a,
+             |    SUM(CASE WHEN NOT arm_a THEN 1 ELSE 0 END) AS n_b,
+             |    SUM(CASE WHEN NOT arm_a AND cv THEN 1 ELSE 0 END)
+             |      AS x_b
+             |  FROM f)
+             |SELECT CAST(n_a AS BIGINT) AS n_a,
+             |  CAST(x_a AS BIGINT) AS x_a,
+             |  CAST(n_b AS BIGINT) AS n_b,
+             |  CAST(x_b AS BIGINT) AS x_b,
+             |  CAST((x_a * 1000000) // n_a AS BIGINT) AS rate_a_ppm,
+             |  CAST((x_b * 1000000) // n_b AS BIGINT) AS rate_b_ppm,
+             |  CAST((x_a * 1000000) // n_a - (x_b * 1000000) // n_b
+             |    AS BIGINT) AS diff_ppm,
+             |  (x_a * n_b - x_b * n_a) * (x_a * n_b - x_b * n_a)
+             |    * (n_a + n_b) * 625 >
+             |    2401 * (x_a + x_b) * (n_a + n_b - x_a - x_b)
+             |    * n_a * n_b AS significant
+             |FROM m""".stripMargin)))
 }

@@ -105,4 +105,25 @@ class QuantilesSpec extends SparkSpec {
       ("a", 1L, 0L), ("a", 2L, 333333L), ("a", 3L, 666666L),
       ("a", 4L, 1000000L), ("b", 9L, 500000L)), got.toString)
   }
+
+  test("weightedMedian: weights steer the cut; exact half-boundary " +
+      "is inclusive (type-1)") {
+    import spark.implicits._
+    val df = Seq(
+      // group g1: heavy weight at 3.00 drags the median there
+      ("g1", 1.00, 1L), ("g1", 2.00, 1L), ("g1", 3.00, 10L),
+      // group g2: exact half at the FIRST value → it is the median
+      ("g2", 1.00, 2L), ("g2", 2.00, 2L))
+      .toDF("g", "v", "w")
+    val got = Quantiles.weightedMedian(df, Seq("g"), "v", "w")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(got == Seq(("g1", 12L, 300L), ("g2", 4L, 100L)),
+      got.toString)
+    // equal weights degenerate to the plain lower median
+    val eq = Seq(("g", 1.0, 1L), ("g", 2.0, 1L), ("g", 3.0, 1L))
+      .toDF("g", "v", "w")
+    assert(Quantiles.weightedMedian(eq, Seq("g"), "v", "w")
+      .collect().head.getLong(2) == 200L)
+  }
 }

@@ -133,4 +133,27 @@ class SeriesSpec extends SparkSpec {
       assert(math.abs(est - ex) / ex < 0.05, s"$day: $est vs $ex")
     }
   }
+
+  test("rollingSlopeDaily: exact ramp slope, null head, gap-filled " +
+      "zero days enter the fit") {
+    // key a: counts 10,12,14,16,18 → slope exactly 2/day
+    val ramp = (1 to 5).flatMap { d =>
+      (0 until 8 + 2 * d).map(i => ("a", ts(d, h = 1 + (i % 20))))
+    }.toDF("k", "ts").repartition(4)
+    val got = Series.rollingSlopeDaily(ramp, "k", "ts", windowDays = 3)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(2), Option(r.get(3)).map(_ => r.getLong(3))))
+      .toSeq
+    assert(got == Seq((10L, None), (12L, Some(2000L)),
+      (14L, Some(2000L)), (16L, Some(2000L)), (18L, Some(2000L))),
+      got.toString)
+    // gap day becomes a real zero: days 1,3 active (5 and 7 events),
+    // day 2 silent → window {5, 0, 7} fits slope exactly 1000 milli
+    val gap = ((1 to 5).map(i => ("b", ts(1, h = i))) ++
+      (1 to 7).map(i => ("b", ts(3, h = i)))).toDF("k", "ts")
+    val g3 = Series.rollingSlopeDaily(gap, "k", "ts", windowDays = 3)
+      .orderBy("day").collect()
+    assert(g3.map(_.getLong(2)).toSeq == Seq(5L, 0L, 7L))
+    assert(g3(2).getLong(3) == 1000L, g3.mkString(","))
+  }
 }

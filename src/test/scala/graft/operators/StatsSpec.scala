@@ -289,4 +289,29 @@ class StatsSpec extends SparkSpec {
     assert(got == Seq((1L, 500000L, "A"), (2L, 800000L, "A"),
       (3L, 950000L, "B"), (4L, 1000000L, "C")), got.toString)
   }
+
+  test("twoProportionTest: significant and insignificant hand cases, " +
+      "exact counts and rates") {
+    import spark.implicits._
+    def frame(xa: Int, xb: Int) =
+      ((1 to 1000).map(i => (true, i <= xa)) ++
+        (1 to 1000).map(i => (false, i <= xb)))
+        .toDF("arm_a", "converted")
+    // 10.0% vs 15.0%: z ≈ 3.39 > 1.96 → significant
+    val sig = Stats.twoProportionTest(frame(100, 150),
+      "arm_a", "converted").collect().head
+    assert((sig.getLong(0), sig.getLong(1), sig.getLong(2),
+      sig.getLong(3)) == (1000L, 100L, 1000L, 150L))
+    assert(sig.getLong(4) == 100000L && sig.getLong(5) == 150000L)
+    assert(sig.getLong(6) == -50000L)
+    assert(sig.getBoolean(7), "5-point gap at n=1000 must flag")
+    // 10.0% vs 11.0%: z ≈ 0.73 → not significant
+    val ns = Stats.twoProportionTest(frame(100, 110),
+      "arm_a", "converted").collect().head
+    assert(!ns.getBoolean(7), "1-point gap at n=1000 must not flag")
+    // equal rates: never significant
+    val eq = Stats.twoProportionTest(frame(100, 100),
+      "arm_a", "converted").collect().head
+    assert(!eq.getBoolean(7))
+  }
 }
