@@ -170,6 +170,53 @@ object Anomaly {
       .orderBy(col(typeCol), col("window_start"))
   }
 
+  /** Inter-event gap regularity per entity — the bot/automation
+    * screen: scripted clients fire on a timer, so their inter-event
+    * gaps have an unnaturally LOW coefficient of variation; humans
+    * are bursty (CV ≳ 1). Computed exactly: gaps in BIGINT
+    * microseconds from the per-entity time-sorted sequence (the gap
+    * multiset depends only on the sorted timestamps, so tie order
+    * cannot change it), `CV² = (n·Σg² − (Σg)²)/(Σg)²` in ppm via the
+    * q126 cross-multiplication discipline — squares ride
+    * DECIMAL(38,0) (µs² overflows BIGINT), no mean/sqrt/float
+    * anywhere.
+    *
+    * Scale shape: one window (lag) + one aggregation, both on the
+    * entity key — a single shuffle; output is entity-sized. Entities
+    * with < `minGaps` gaps are omitted (no stable statistic);
+    * all-identical timestamps (Σg = 0) yield null cv2.
+    *
+    * Output: `(entity, n_gaps, mean_gap_us, cv2_ppm, is_regular)`
+    * with `is_regular = cv2_ppm < maxCv2Ppm` (default 0.25 in ppm —
+    * CV < 0.5).
+    */
+  def gapRegularity(events: DataFrame, entityCol: String,
+      tsCol: String, minGaps: Int = 3, maxCv2Ppm: Long = 250000L)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("ent")).orderBy(col("t"))
+    val gaps = events.filter(col(tsCol).isNotNull)
+      .select(col(entityCol).as("ent"),
+        unix_micros(col(tsCol)).as("t"))
+      .withColumn("gap", col("t") - lag(col("t"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    val d38 = "decimal(38,0)"
+    gaps.groupBy(col("ent"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("s"),
+        sum(col("gap").cast("decimal(19,0)") *
+          col("gap").cast("decimal(19,0)")).as("q"))
+      .filter(col("n_gaps") >= minGaps)
+      .withColumn("cv2_ppm",
+        when(col("s") > 0,
+          expr(s"""(CAST(n_gaps AS $d38) * q -
+                   CAST(s AS $d38) * CAST(s AS $d38)) * 1000000 div
+                   (CAST(s AS $d38) * CAST(s AS $d38))"""))
+          .cast("bigint"))
+      .select(col("ent").as(entityCol), col("n_gaps"),
+        expr("s div n_gaps").as("mean_gap_us"), col("cv2_ppm"),
+        (col("cv2_ppm") < maxCv2Ppm).as("is_regular"))
+  }
+
   /** Window counts, materialized: every variant consumes this frame
     * at least twice (stats pass + flag pass), and the checkpoint is
     * windows-sized — the event stream reduces exactly once.

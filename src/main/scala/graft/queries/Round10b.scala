@@ -893,5 +893,35 @@ object Round10b {
              |    * (n_a + n_b) * 625 >
              |    2401 * (x_a + x_b) * (n_a + n_b - x_a - x_b)
              |    * n_a * n_b AS significant
-             |FROM m""".stripMargin)))
+             |FROM m""".stripMargin)),
+
+    // ---- inter-event gap regularity per user (bot screen): exact
+    // CV² of µs gaps via cross-multiplied integer moments in
+    // DECIMAL(38,0) headroom — scripted timers read low, humans
+    // bursty; the gap multiset depends only on sorted timestamps
+    QueryDef("q226_gap_regularity",
+      (s, dir) => graft.operators.Anomaly.gapRegularity(
+          t("events")(s, dir), "user_id", "ts",
+          minGaps = 3, maxCv2Ppm = 250000L)
+        .orderBy(col("user_id")),
+      Some("""WITH e AS (SELECT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS t
+             |  FROM events WHERE ts IS NOT NULL),
+             |g AS (SELECT user_id,
+             |    t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+             |      AS gap FROM e),
+             |a AS (SELECT user_id, COUNT(*) AS n, SUM(gap) AS s,
+             |    SUM(CAST(gap AS HUGEINT) * gap) AS q
+             |  FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+             |SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+             |  CAST(s // n AS BIGINT) AS mean_gap_us,
+             |  CAST(CASE WHEN s > 0
+             |    THEN ((n * q - CAST(s AS HUGEINT) * s) * 1000000)
+             |      // (CAST(s AS HUGEINT) * s) END
+             |    AS BIGINT) AS cv2_ppm,
+             |  CASE WHEN s > 0
+             |    THEN ((n * q - CAST(s AS HUGEINT) * s) * 1000000)
+             |      // (CAST(s AS HUGEINT) * s) < 250000
+             |  END AS is_regular
+             |FROM a WHERE n >= 3 ORDER BY user_id""".stripMargin)))
 }

@@ -108,6 +108,34 @@ class AnomalySpec extends SparkSpec {
       .exists(_.getBoolean(5)))
   }
 
+  test("gapRegularity: a metronome flags, a bursty human does not; " +
+      "minGaps filters; exact CV² from integer moments") {
+    val base = 1700000000000L
+    def at(ms: Long) = new Timestamp(base + ms)
+    val events =
+      // bot: exactly every 60 s × 5 events → 4 gaps, CV² = 0
+      (0 to 4).map(i => ("bot", at(i * 60000L))) ++
+      // human: gaps 1 s, 10 s, 100 s, 1000 s → CV² ≫ threshold
+      Seq(0L, 1000L, 11000L, 111000L, 1111000L)
+        .map(ms => ("hum", at(ms))) ++
+      // sparse: only 2 gaps → dropped by minGaps = 3
+      Seq(0L, 5000L, 9000L).map(ms => ("few", at(ms)))
+    val df = events.toDF("u", "ts").repartition(5)
+    val got = Anomaly.gapRegularity(df, "u", "ts", minGaps = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    assert(!got.contains("few"), got.toString)
+    assert(got("bot") == ((4L, 60000000L, 0L, true)), got.toString)
+    // hand moments: s=1111s, q=1010101s² (in µs: scale cancels in CV²)
+    val (n, s, q) = (BigInt(4), BigInt(1111000000L),
+      Seq(1L, 10L, 100L, 1000L).map(g => BigInt(g * 1000000L))
+        .map(g => g * g).sum)
+    val expectCv2 = ((n * q - s * s) * 1000000 / (s * s)).toLong
+    assert(got("hum")._3 == expectCv2 && !got("hum")._4,
+      s"${got("hum")} vs $expectCv2")
+  }
+
   test("integer test agrees with the float z-score away from boundaries") {
     val counts = Seq(30, 45, 52, 48, 61, 33, 200, 47, 55, 12)
     val df = ev(counts)
