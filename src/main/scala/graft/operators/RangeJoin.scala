@@ -44,4 +44,39 @@ object RangeJoin {
       p.join(iv, Seq("_bin")).filter(contained).drop("_bin")
     }
   }
+
+  /** Merge overlapping/touching intervals per key (the gaps-and-
+    * islands union): intervals sorted by start; a new island opens
+    * exactly where a start exceeds the running max of prior ends
+    * (`s > max(e) over preceding`), island id = prefix count of
+    * openings, merged bounds by one grouped min/max. The classic
+    * declarative form — two shared-partition windows + one
+    * aggregation, all on the key (one shuffle); works for validity
+    * windows, IP ranges, activity periods (points ∪ fixed windows =
+    * sessionization by overlap).
+    *
+    * Touching counts as connected (`s ≤ prior end` merges; strictly
+    * greater opens). Output: `(key, island, s, e, n_merged)` with
+    * `island` the 1-based per-key island ordinal.
+    */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wPrev = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol), col(endCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wPre = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol), col(endCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.filter(col(startCol).isNotNull && col(endCol).isNotNull)
+      .withColumn("_pmax", max(col(endCol)).over(wPrev))
+      .withColumn("_open",
+        when(col("_pmax").isNull ||
+          col(startCol) > col("_pmax"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("_open")).over(wPre))
+      .groupBy(col(keyCol), col("island"))
+      .agg(min(col(startCol)).as("s"), max(col(endCol)).as("e"),
+        count(lit(1)).as("n_merged"))
+      .orderBy(col(keyCol), col("island"))
+  }
 }

@@ -923,5 +923,38 @@ object Round10b {
              |    THEN ((n * q - CAST(s AS HUGEINT) * s) * 1000000)
              |      // (CAST(s AS HUGEINT) * s) < 250000
              |  END AS is_regular
-             |FROM a WHERE n >= 3 ORDER BY user_id""".stripMargin)))
+             |FROM a WHERE n >= 3 ORDER BY user_id""".stripMargin)),
+
+    // ---- merge overlapping intervals (gaps-and-islands union): each
+    // event opens a 30-minute activity window; overlapping/touching
+    // windows merge into activity periods per user — two
+    // shared-partition windows + one aggregation, one shuffle
+    QueryDef("q227_merge_intervals",
+      (s, dir) => {
+        val iv = t("events")(s, dir)
+          .select(col("user_id"), col("ts").as("s0"),
+            (col("ts") + expr("INTERVAL 30 MINUTE")).as("e0"))
+        graft.operators.RangeJoin.mergeIntervals(iv, "user_id",
+          "s0", "e0")
+      },
+      Some("""WITH iv AS (SELECT user_id,
+             |    CAST(ts AS TIMESTAMP) AS s0,
+             |    CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS e0
+             |  FROM events WHERE ts IS NOT NULL),
+             |m AS (SELECT user_id, s0, e0,
+             |    MAX(e0) OVER (PARTITION BY user_id ORDER BY s0, e0
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS pmax FROM iv),
+             |o AS (SELECT user_id, s0, e0,
+             |    CASE WHEN pmax IS NULL OR s0 > pmax THEN 1 ELSE 0
+             |      END AS opens FROM m),
+             |isl AS (SELECT user_id, s0, e0,
+             |    SUM(opens) OVER (PARTITION BY user_id ORDER BY s0, e0
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS island FROM o)
+             |SELECT user_id, CAST(island AS BIGINT) AS island,
+             |  MIN(s0) AS s, MAX(e0) AS e,
+             |  CAST(COUNT(*) AS BIGINT) AS n_merged
+             |FROM isl GROUP BY user_id, island
+             |ORDER BY user_id, island""".stripMargin)))
 }

@@ -36,4 +36,24 @@ class RangeJoinSpec extends SparkSpec {
       assert(binned == naive, s"binDays=$bw: $binned")
     }
   }
+
+  test("mergeIntervals: overlap and touch merge, gaps split, " +
+      "contained intervals don't reopen, keys independent") {
+    import spark.implicits._
+    val iv = Seq(
+      // key a: [0,10] [5,8] (contained) [10,20] (touch) | [25,30]
+      ("a", 0L, 10L), ("a", 5L, 8L), ("a", 10L, 20L), ("a", 25L, 30L),
+      // the contained-interval trap: [0,100] [10,20] [30,40] — naive
+      // lag(e) comparison would split at 30; the running MAX must not
+      ("b", 0L, 100L), ("b", 10L, 20L), ("b", 30L, 40L),
+      ("c", 7L, 9L))
+      .toDF("k", "s0", "e0").repartition(5)
+    val got = RangeJoin.mergeIntervals(iv, "k", "s0", "e0")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("a", 1L, 0L, 20L, 3L), ("a", 2L, 25L, 30L, 1L),
+      ("b", 1L, 0L, 100L, 3L),
+      ("c", 1L, 7L, 9L, 1L)), got.toString)
+  }
 }
