@@ -192,6 +192,47 @@ object Series {
       .orderBy(col("day"))
   }
 
+  /** LOCF forward fill over the dense daily calendar: each (key, day)
+    * carries the key's LAST observed value at or before that day —
+    * the standard reconstruction for sparsely-observed state (price
+    * marks, sensor readings, account balances) — plus
+    * `staleness_days` (age of the carried observation), the column
+    * downstream freshness gates cut on. Per-day observation is the
+    * deterministic latest writer ((ts, id) tie-break, the q53 rule);
+    * silent days come from the calendar join and inherit via
+    * `last(ignoreNulls)` over the per-key ordered window. Days before
+    * a key's first observation don't exist (the calendar starts at
+    * the key's first event).
+    *
+    * One shuffle on the key; the window shares the calendar join's
+    * partitioning. Output: `(key, day, v_filled, staleness_days)`.
+    */
+  def forwardFillDaily(events: DataFrame, keyCol: String,
+      tsCol: String, valCol: String, idCol: String): DataFrame = {
+    val wTie = Window
+      .partitionBy(col(keyCol), to_date(col(tsCol)))
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    val daily = events.filter(col(tsCol).isNotNull)
+      .withColumn("_rn", row_number().over(wTie))
+      .filter(col("_rn") === 1)
+      .select(col(keyCol).as("k"), to_date(col(tsCol)).as("day"),
+        col(valCol).as("_v"))
+    val spans = daily.groupBy(col("k"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val calendar = spans.select(col("k"),
+      explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy(col("k")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    calendar.join(daily, Seq("k", "day"), "left")
+      .withColumn("v_filled", last(col("_v"), ignoreNulls = true).over(w))
+      .withColumn("_last_obs",
+        max(when(col("_v").isNotNull, col("day"))).over(w))
+      .select(col("k"), col("day"), col("v_filled"),
+        datediff(col("day"), col("_last_obs")).cast("bigint")
+          .as("staleness_days"))
+  }
+
   /** Trailing-window OLS slope per key over the DENSE daily series,
     * in exact integer milli-units/day: `slope = (n·Σxy − Σx·Σy) /
     * (n·Σxx − (Σx)²)` with x = epoch-day and y = the daily count —

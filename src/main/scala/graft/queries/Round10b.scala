@@ -956,5 +956,40 @@ object Round10b {
              |  MIN(s0) AS s, MAX(e0) AS e,
              |  CAST(COUNT(*) AS BIGINT) AS n_merged
              |FROM isl GROUP BY user_id, island
-             |ORDER BY user_id, island""".stripMargin)))
+             |ORDER BY user_id, island""".stripMargin)),
+
+    // ---- LOCF forward fill + staleness: each (user, day) carries the
+    // last observed event value (latest-writer per day, q53 tie-break)
+    // across the dense calendar, with the carried observation's age
+    QueryDef("q228_forward_fill",
+      (s, dir) => graft.operators.Series.forwardFillDaily(
+          t("events")(s, dir), "user_id", "ts", "value", "event_id")
+        .orderBy(col("k"), col("day")),
+      Some("""WITH e AS (SELECT user_id,
+             |    CAST(ts AS TIMESTAMP) AS ts, value, event_id
+             |  FROM events WHERE ts IS NOT NULL),
+             |r AS (SELECT user_id, CAST(ts AS DATE) AS day, value,
+             |    row_number() OVER (PARTITION BY user_id,
+             |      CAST(ts AS DATE) ORDER BY ts DESC, event_id DESC)
+             |      AS rn FROM e),
+             |d AS (SELECT user_id AS k, day, value FROM r
+             |  WHERE rn = 1),
+             |sp AS (SELECT k, MIN(day) AS d0, MAX(day) AS d1 FROM d
+             |  GROUP BY k),
+             |cal AS (SELECT k, CAST(unnest(generate_series(
+             |    CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+             |    INTERVAL 1 DAY)) AS DATE) AS day FROM sp),
+             |j AS (SELECT cal.k, cal.day, d.value
+             |  FROM cal LEFT JOIN d
+             |    ON cal.k = d.k AND cal.day = d.day),
+             |f AS (SELECT k, day,
+             |    LAST_VALUE(value IGNORE NULLS) OVER w AS v_filled,
+             |    MAX(CASE WHEN value IS NOT NULL THEN day END) OVER w
+             |      AS last_obs
+             |  FROM j WINDOW w AS (PARTITION BY k ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT k, day, v_filled,
+             |  CAST(date_diff('day', last_obs, day) AS BIGINT)
+             |    AS staleness_days
+             |FROM f ORDER BY k, day""".stripMargin)))
 }

@@ -156,4 +156,23 @@ class SeriesSpec extends SparkSpec {
     assert(g3.map(_.getLong(2)).toSeq == Seq(5L, 0L, 7L))
     assert(g3(2).getLong(3) == 1000L, g3.mkString(","))
   }
+
+  test("forwardFillDaily: LOCF across silent days, latest-writer per " +
+      "day, staleness counts the carry age") {
+    import org.apache.spark.sql.functions.col
+    // day1: two obs (late one wins); day2-3 silent; day4: new obs
+    val events = Seq(
+      (1L, ts(1, 2), 10.0), (2L, ts(1, 9), 20.0),
+      (3L, ts(4), 40.0))
+      .map { case (id, t, v) => ("u", t, v, id) }
+      .toDF("k", "ts", "v", "id").repartition(3)
+    val got = Series.forwardFillDaily(events, "k", "ts", "v", "id")
+      .orderBy(col("day")).collect()
+      .map(r => (r.getDate(1).toString, r.getDouble(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      ("2024-01-01", 20.0, 0L), ("2024-01-02", 20.0, 1L),
+      ("2024-01-03", 20.0, 2L), ("2024-01-04", 40.0, 0L)),
+      got.toString)
+  }
 }
