@@ -523,6 +523,51 @@ object Curation {
       .select(col(idCol), col(nName),
         (col("_qm") / lit(1000000.0)).as("avg_logp"))
 
+  /** Neyman allocation for stratified sampling (Neyman 1934): split a
+    * sample budget across strata ∝ n_l·σ_l — minimum-variance
+    * estimation under a fixed budget, the step above
+    * [[stratifiedSample]]'s given-rate contract (there the rates are
+    * CHOSEN; here they are DERIVED from the strata's dispersion).
+    *
+    * Determinism: per-stratum variance from exact integer moments
+    * (cents², DECIMAL(38,0)/HUGEINT headroom), truncated to integer
+    * cents² BEFORE the one sqrt (IEEE-exact on the same integer on
+    * both engines), weight floored to an integer, allocation by
+    * truncating div over Σ weights. One map-side-combined
+    * aggregation; everything after is strata-sized.
+    *
+    * Output: `(strataCol, n, var_cents2, weight, alloc_n)` —
+    * `alloc_n` sums to ≤ budget (truncation remainder undistributed;
+    * callers wanting exactness route it like
+    * [[graft.operators.Funnel.linearAttribution]]'s remainder rule).
+    */
+  def neymanAllocation(df: DataFrame, strataCol: String,
+      valCol: String, budget: Long): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val m = df
+      .filter(col(valCol).isNotNull)
+      .select(col(strataCol),
+        round(col(valCol) * 100).cast("bigint").as("_c"))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n"), sum(col("_c")).as("_s"),
+        sum(col("_c").cast("decimal(19,0)") *
+          col("_c").cast("decimal(19,0)")).as("_q"))
+      .filter(col("n") >= 2)
+      .withColumn("var_cents2",
+        expr(s"""(CAST(n AS $d38) * _q -
+                 CAST(_s AS $d38) * CAST(_s AS $d38)) div
+                 (CAST(n AS $d38) * (n - 1))""").cast("bigint"))
+      .withColumn("weight",
+        floor(col("n") * sqrt(col("var_cents2").cast("double")))
+          .cast("bigint"))
+    val tot = m.agg(sum(col("weight")).as("_wsum"))
+    m.crossJoin(broadcast(tot))
+      .select(col(strataCol), col("n"), col("var_cents2"),
+        col("weight"),
+        expr(s"($budget * weight) div _wsum").as("alloc_n"))
+      .orderBy(col(strataCol))
+  }
+
   /** CCNet-style perplexity bucketing: split each stratum (language)
     * into `nBuckets` equal-mass buckets by LM score — CCNet's
     * head/middle/tail cut that downstream mixtures sample from

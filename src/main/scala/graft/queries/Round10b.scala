@@ -991,5 +991,32 @@ object Round10b {
              |SELECT k, day, v_filled,
              |  CAST(date_diff('day', last_obs, day) AS BIGINT)
              |    AS staleness_days
-             |FROM f ORDER BY k, day""".stripMargin)))
+             |FROM f ORDER BY k, day""".stripMargin)),
+
+    // ---- Neyman allocation: sample budget split ∝ n·σ per return
+    // flag — variance in exact integer cents² truncated BEFORE the
+    // one IEEE sqrt, so the only float op is bit-identical
+    QueryDef("q229_neyman_alloc",
+      (s, dir) => graft.operators.Curation.neymanAllocation(
+        t("lineitem")(s, dir), "l_returnflag", "l_extendedprice",
+        budget = 10000L),
+      Some("""WITH c AS (SELECT l_returnflag AS g,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+             |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+             |m AS (SELECT g, COUNT(*) AS n, SUM(v) AS s,
+             |    SUM(CAST(v AS HUGEINT) * v) AS q
+             |  FROM c GROUP BY g),
+             |w AS (SELECT g, n,
+             |    CAST((n * q - CAST(s AS HUGEINT) * s)
+             |      // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT)
+             |      AS var_cents2
+             |  FROM m WHERE n >= 2),
+             |w2 AS (SELECT g, n, var_cents2,
+             |    CAST(floor(n * sqrt(CAST(var_cents2 AS DOUBLE)))
+             |      AS BIGINT) AS weight FROM w),
+             |t AS (SELECT SUM(weight) AS wsum FROM w2)
+             |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+             |  var_cents2, weight,
+             |  CAST((10000 * weight) // wsum AS BIGINT) AS alloc_n
+             |FROM w2, t ORDER BY l_returnflag""".stripMargin)))
 }

@@ -850,4 +850,32 @@ class CurationSpec extends SparkSpec {
     // y has one doc — its own stratum, bucket (1−1)·2 div 1 = 0
     assert(got(4L) == 0L, got.toString)
   }
+
+  test("neymanAllocation: dispersion beats size; zero-variance " +
+      "stratum gets nothing; singletons dropped") {
+    import spark.implicits._
+    val df = (
+      // wide: 100 rows alternating 1.00 / 99.00 (sd ≈ 49)
+      (1 to 100).map(i => ("wide", if (i % 2 == 0) 1.00 else 99.00)) ++
+      // flat: 400 rows all 50.00 (sd = 0) — bigger but carries
+      // no estimation variance → weight 0
+      (1 to 400).map(_ => ("flat", 50.00)) ++
+      Seq(("single", 7.00))  // n = 1: variance undefined → dropped
+    ).toDF("g", "v")
+    val got = Curation.neymanAllocation(df, "g", "v", budget = 1000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(!got.contains("single"), got.toString)
+    assert(got("flat")._2 == 0L && got("flat")._3 == 0L, got.toString)
+    // the wide stratum takes the whole budget despite being 4× smaller
+    assert(got("wide")._3 == 1000L, got.toString)
+    // exact variance: cents ±4900 around mean 5000 → s² of the
+    // two-point ladder = n/(n−1)·2401⁰… hand value: Σ(c−c̄)² =
+    // 100·2400² ... verify via the integer formula directly
+    val cents = (1 to 100).map(i => if (i % 2 == 0) 100L else 9900L)
+    val n = BigInt(100); val s = cents.map(BigInt(_)).sum
+    val q = cents.map(c => BigInt(c) * c).sum
+    val expectVar = ((n * q - s * s) / (n * (n - 1))).toLong
+    assert(got("wide")._2 == expectVar, s"${got("wide")._2} vs $expectVar")
+  }
 }
