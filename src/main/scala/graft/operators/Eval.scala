@@ -122,6 +122,46 @@ object Eval {
       .orderBy(col("score"))
   }
 
+  /** Gains/lift table (the decile chart on every model scorecard):
+    * rank rows by score DESCENDING into tie-coherent buckets, and per
+    * bucket report the cumulative share of all positives captured so
+    * far (`gain_ppm`) and the lift over random targeting
+    * (`lift = gain / cumulative-row-share`, in ppm of 1×). "Top
+    * decile captures 4.2× its share of positives" is this frame's
+    * first row. Same distinct-score-frame discipline as
+    * [[calibrationBuckets]] — ties never straddle, no row sort.
+    *
+    * Output: `(bucket, n, n_pos, cum_pos, gain_ppm, lift_ppm)`,
+    * bucket 0 = highest scores.
+    */
+  def gainsTable(df: DataFrame, scoreCol: String, labelCol: String,
+      nBuckets: Int = 10): DataFrame = {
+    val g = scoreCounts(df, scoreCol, labelCol)
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totals = g.agg(sum(col("pos") + col("neg")).as("n_all"),
+      sum(col("pos")).as("pos_all"))
+    val bucketed = g
+      .withColumn("cum", sum(col("pos") + col("neg")).over(w))
+      .crossJoin(broadcast(totals))
+      .withColumn("bucket", expr(s"((cum - 1) * $nBuckets) div n_all"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("pos") + col("neg")).as("n"),
+        sum(col("pos")).as("n_pos"),
+        max(col("n_all")).as("n_all"), max(col("pos_all")).as("pos_all"))
+    val w2 = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bucketed
+      .withColumn("cum_pos", sum(col("n_pos")).over(w2))
+      .withColumn("cum_n", sum(col("n")).over(w2))
+      .select(col("bucket"), col("n"), col("n_pos"), col("cum_pos"),
+        expr("CASE WHEN pos_all > 0 THEN (cum_pos * 1000000) " +
+          "div pos_all END").as("gain_ppm"),
+        expr("CASE WHEN pos_all > 0 THEN (cum_pos * n_all * 1000000)" +
+          " div (pos_all * cum_n) END").as("lift_ppm"))
+      .orderBy(col("bucket"))
+  }
+
   /** Reliability (calibration) table over TIE-COHERENT quantile
     * buckets: rows are ranked by score ascending and cut into
     * `nBuckets` equal-mass buckets, except that equal scores never

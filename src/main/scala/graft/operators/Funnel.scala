@@ -305,6 +305,46 @@ object Funnel {
         expr("(n_active * 1000000) div n_cohort").as("retention_ppm"))
   }
 
+  /** Majority-class next-event baseline: the accuracy a "predict the
+    * most common next event type after the current one" model gets —
+    * the floor every sequence model must beat, computed from the same
+    * per-entity ordered stream as [[transitionMatrix]]. Exact:
+    * accuracy = Σ_state max_next_count · 10⁶ div Σ transitions. Also
+    * reports the entropy-free trivial floor (always predict the
+    * globally most common next type) so "is the per-state model even
+    * better than the global constant" is one subtraction.
+    *
+    * One entity-keyed window (lead) + two bounded aggregations
+    * (type² cells). Output one row:
+    * `(n_transitions, majority_correct, baseline_ppm,
+    * global_majority_ppm)`.
+    */
+  def markovBaselineAccuracy(events: DataFrame, entityCol: String,
+      typeCol: String, tsCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(idCol))
+    val trans = events
+      .withColumn("_next", lead(col(typeCol), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col(typeCol).as("src"), col("_next").as("dst"))
+      .agg(count(lit(1)).as("c"))
+    val perState = trans.groupBy(col("src"))
+      .agg(max(col("c")).as("best"), sum(col("c")).as("tot"))
+    val global = trans.groupBy(col("dst"))
+      .agg(sum(col("c")).as("gc"))
+      .agg(max(col("gc")).as("gbest"))
+    perState
+      .agg(sum(col("tot")).as("n_transitions"),
+        sum(col("best")).as("majority_correct"))
+      .crossJoin(broadcast(global))
+      .select(col("n_transitions"), col("majority_correct"),
+        expr("(majority_correct * 1000000) div n_transitions")
+          .as("baseline_ppm"),
+        expr("(gbest * 1000000) div n_transitions")
+          .as("global_majority_ppm"))
+  }
+
   /** Linear multi-touch attribution: each conversion's value is split
     * EQUALLY over its qualifying touches (same entity, touch strictly
     * before the conversion, within `windowDays`); a conversion with

@@ -1018,5 +1018,68 @@ object Round10b {
              |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
              |  var_cents2, weight,
              |  CAST((10000 * weight) // wsum AS BIGINT) AS alloc_n
-             |FROM w2, t ORDER BY l_returnflag""".stripMargin)))
+             |FROM w2, t ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- gains/lift decile chart for the q104 classifier: per
+    // descending tie-coherent decile, cumulative positive capture and
+    // lift over random targeting — the scorecard frame next to q204's
+    // reliability table
+    QueryDef("q230_gains_table",
+      (s, dir) => Eval.gainsTable(evalFrame(s, dir), "score", "label"),
+      Some(s"""WITH $oEvalFrame,
+              |cumd AS (SELECT score, pos, neg,
+              |    SUM(pos + neg) OVER (ORDER BY score DESC
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS cum FROM g),
+              |tt AS (SELECT SUM(pos + neg) AS n_all,
+              |    SUM(pos) AS pos_all FROM g),
+              |bk AS (SELECT ((cum - 1) * 10) // n_all AS bucket,
+              |    pos, neg FROM cumd, tt),
+              |a AS (SELECT bucket, SUM(pos + neg) AS n,
+              |    SUM(pos) AS n_pos FROM bk GROUP BY bucket),
+              |c2 AS (SELECT bucket, n, n_pos,
+              |    SUM(n_pos) OVER (ORDER BY bucket
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS cum_pos,
+              |    SUM(n) OVER (ORDER BY bucket
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS cum_n FROM a)
+              |SELECT CAST(bucket AS BIGINT) AS bucket,
+              |  CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+              |  CAST(cum_pos AS BIGINT) AS cum_pos,
+              |  CAST(CASE WHEN pos_all > 0
+              |    THEN (cum_pos * 1000000) // pos_all END AS BIGINT)
+              |    AS gain_ppm,
+              |  CAST(CASE WHEN pos_all > 0
+              |    THEN (cum_pos * n_all * 1000000)
+              |      // (pos_all * cum_n) END AS BIGINT) AS lift_ppm
+              |FROM c2, tt ORDER BY bucket""".stripMargin)),
+
+    // ---- majority-class next-event baseline: the accuracy floor a
+    // sequence model must beat (per-state argmax of the q140
+    // transition counts), plus the global-constant floor
+    QueryDef("q231_markov_baseline",
+      (s, dir) => graft.operators.Funnel.markovBaselineAccuracy(
+        t("events")(s, dir), "user_id", "event_type", "ts",
+        "event_id"),
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |    CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+             |t AS (SELECT event_type AS src,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS dst FROM e),
+             |tc AS (SELECT src, dst, COUNT(*) AS c FROM t
+             |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+             |ps AS (SELECT src, MAX(c) AS best, SUM(c) AS tot
+             |  FROM tc GROUP BY src),
+             |gg AS (SELECT MAX(gc) AS gbest FROM (
+             |  SELECT dst, SUM(c) AS gc FROM tc GROUP BY dst)),
+             |m AS (SELECT SUM(tot) AS n_transitions,
+             |    SUM(best) AS majority_correct FROM ps)
+             |SELECT CAST(n_transitions AS BIGINT) AS n_transitions,
+             |  CAST(majority_correct AS BIGINT) AS majority_correct,
+             |  CAST((majority_correct * 1000000) // n_transitions
+             |    AS BIGINT) AS baseline_ppm,
+             |  CAST((gbest * 1000000) // n_transitions AS BIGINT)
+             |    AS global_majority_ppm
+             |FROM m, gg""".stripMargin)))
 }

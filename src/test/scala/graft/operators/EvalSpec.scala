@@ -96,6 +96,23 @@ class EvalSpec extends SparkSpec {
     assert(rows(0).getLong(1) == 4L && rows(1).getLong(1) == 1L)
   }
 
+  test("gainsTable: perfect ranking gives top-bucket lift = 1/base " +
+      "rate, gain monotone to 10⁶, final lift exactly 10⁶") {
+    val scored = ((1 to 2).map(i => (100L + i, 1)) ++
+      (1 to 8).map(i => (i.toLong, 0))).toDF("score", "label")
+    val rows = Eval.gainsTable(scored, "score", "label", nBuckets = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSeq
+    // bucket 0 (top 2 rows) holds both positives: gain 10⁶ at 20% of
+    // rows → lift 5×
+    assert(rows.head == ((0L, 2L, 1000000L, 5000000L)), rows.toString)
+    assert(rows.last == ((4L, 2L, 1000000L, 1000000L)), rows.toString)
+    // gain never decreases down the table
+    rows.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._3 <= b._3)
+    }
+  }
+
   test("negative scores: truncating div is engine-consistent") {
     val neg = Seq((-7L, 1), (-3L, 0), (2L, 1)).toDF("score", "label")
     val cal = Eval.calibrationBuckets(neg, "score", "label", 1)

@@ -222,6 +222,24 @@ class FunnelSpec extends SparkSpec {
       ("2024-01-08", 0L, 1L, 1L, 1000000L)), got.toString)
   }
 
+  test("markovBaselineAccuracy: per-state argmax vs global constant, " +
+      "exact ppm on a hand-built stream") {
+    import spark.implicits._
+    def t(s: Long) = new Timestamp(1700000000000L + s * 1000)
+    // user 1: a b a b → a→b ×2, b→a ×1; user 2: a c → a→c ×1
+    // per-state: a best 2 of 3, b best 1 of 1 → 3/4 = 750000
+    // global: dst counts b=2 a=1 c=1 → gbest 2 → 500000
+    val events = Seq(
+      (1L, "a", t(0), 10L), (1L, "b", t(1), 11L),
+      (1L, "a", t(2), 12L), (1L, "b", t(3), 13L),
+      (2L, "a", t(0), 20L), (2L, "c", t(1), 21L))
+      .toDF("user_id", "et", "ts", "event_id").repartition(3)
+    val r = Funnel.markovBaselineAccuracy(events, "user_id", "et",
+      "ts", "event_id").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((4L, 3L, 750000L, 500000L)), r.toString)
+  }
+
   test("linearAttribution: exact conservation, earliest-touch " +
       "remainder, direct row for no-touch, window/order bounds") {
     import spark.implicits._
