@@ -305,6 +305,78 @@ object Funnel {
         expr("(n_active * 1000000) div n_cohort").as("retention_ppm"))
   }
 
+  /** Kaplan-Meier survival (product-limit, right-censored): time from
+    * a birth event to a death event per entity, censored at the
+    * entity's last observation — "how long until a signup converts",
+    * with non-converters correctly contributing risk time instead of
+    * being dropped (the bias every naive time-to-convert average
+    * has). Emits the hazard table at each EVENT time: subjects at
+    * risk, deaths, hazard in exact ppm, and cumulative log-survival
+    * in micro units — each step's `ln(1 − d/n)` is rounded to 6
+    * decimals and carried as DECIMAL (the q74 discipline), so the
+    * cumulative sum is exact/associative and `S(t) =
+    * exp(log_surv_micro/10⁶)` reconstructs the curve to 6-decimal
+    * step precision.
+    *
+    * Scale shape: three entity-keyed aggregations build the
+    * (entity, duration, event) subject frame; everything after runs
+    * on the DISTINCT-duration frame (days-span-bounded — the
+    * ksDistance contract): n_risk via one prefix window
+    * (N − cum subjects ended before t), never a per-t rescan.
+    *
+    * Output: `(t_days, n_risk, d, hazard_ppm, log_surv_micro)` at
+    * event times, ascending.
+    */
+  def kaplanMeier(events: DataFrame, entityCol: String,
+      typeCol: String, tsCol: String, birthType: String,
+      deathType: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events.select(col(entityCol).as("ent"),
+      col(typeCol).as("et"), to_date(col(tsCol)).as("d"))
+    val births = base.filter(col("et") === birthType)
+      .groupBy(col("ent")).agg(min(col("d")).as("b"))
+    val lasts = base.groupBy(col("ent")).agg(max(col("d")).as("last"))
+    val deaths = base.filter(col("et") === deathType)
+      .join(births, "ent")
+      .filter(col("d") >= col("b"))
+      .groupBy(col("ent")).agg(min(col("d")).as("dd"))
+    val subjects = births.join(lasts, "ent")
+      .join(deaths, Seq("ent"), "left")
+      .select(col("ent"),
+        datediff(coalesce(col("dd"), col("last")), col("b"))
+          .cast("bigint").as("t"),
+        col("dd").isNotNull.cast("int").as("ev"))
+    val byT = subjects.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_end"), sum(col("ev")).as("d"))
+    val tot = byT.agg(sum(col("n_end")).as("n_total"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byT.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("n_end")).over(w), lit(0L)))
+      .withColumn("logstep",
+        when(col("d") > 0 && col("d") < col("n_risk"),
+          round(log(lit(1.0) -
+            col("d").cast("double") / col("n_risk")), 6)
+            .cast("decimal(20,6)"))
+          .otherwise(lit(0).cast("decimal(20,6)")))
+      // d = n_risk ⇒ S hits exactly 0 (ln undefined): log-survival is
+      // null at and after the terminal step; hazard still reported
+      .withColumn("_term",
+        when(col("d") === col("n_risk"), 1L).otherwise(0L))
+      .withColumn("_anyterm", sum(col("_term")).over(wCum))
+      .withColumn("log_surv", sum(col("logstep")).over(wCum))
+      .filter(col("d") > 0)
+      .select(col("t").as("t_days"), col("n_risk"), col("d"),
+        expr("(d * 1000000) div n_risk").as("hazard_ppm"),
+        when(col("_anyterm") === 0L,
+          (col("log_surv") * 1000000).cast("bigint"))
+          .as("log_surv_micro"))
+      .orderBy(col("t_days"))
+  }
+
   /** Majority-class next-event baseline: the accuracy a "predict the
     * most common next event type after the current one" model gets —
     * the floor every sequence model must beat, computed from the same

@@ -1081,5 +1081,54 @@ object Round10b {
              |    AS BIGINT) AS baseline_ppm,
              |  CAST((gbest * 1000000) // n_transitions AS BIGINT)
              |    AS global_majority_ppm
-             |FROM m, gg""".stripMargin)))
+             |FROM m, gg""".stripMargin)),
+
+    // ---- Kaplan-Meier signup→purchase conversion curve: right-
+    // censored at last observation (non-converters contribute risk
+    // time); hazard exact ppm, log-survival as the q74 pre-rounded
+    // decimal sum — distinct-duration-bounded throughout
+    QueryDef("q232_kaplan_meier",
+      (s, dir) => graft.operators.Funnel.kaplanMeier(
+        t("events")(s, dir), "user_id", "event_type", "ts",
+        birthType = "signup", deathType = "purchase"),
+      Some("""WITH base AS (SELECT user_id AS ent, event_type AS et,
+             |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+             |  FROM events),
+             |births AS (SELECT ent, MIN(d) AS b FROM base
+             |  WHERE et = 'signup' GROUP BY ent),
+             |lasts AS (SELECT ent, MAX(d) AS last FROM base
+             |  GROUP BY ent),
+             |deaths AS (SELECT base.ent, MIN(d) AS dd FROM base
+             |  JOIN births ON base.ent = births.ent
+             |  WHERE et = 'purchase' AND d >= b GROUP BY base.ent),
+             |subj AS (SELECT births.ent,
+             |    CAST(date_diff('day', b, COALESCE(dd, last))
+             |      AS BIGINT) AS t,
+             |    CASE WHEN dd IS NOT NULL THEN 1 ELSE 0 END AS ev
+             |  FROM births JOIN lasts ON births.ent = lasts.ent
+             |  LEFT JOIN deaths ON births.ent = deaths.ent),
+             |byt AS (SELECT t, COUNT(*) AS n_end, SUM(ev) AS d
+             |  FROM subj GROUP BY t),
+             |tt AS (SELECT SUM(n_end) AS n_total FROM byt),
+             |rk AS (SELECT t, n_end, d,
+             |    n_total - COALESCE(SUM(n_end) OVER (ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0) AS n_risk FROM byt, tt),
+             |ls AS (SELECT t, n_risk, d,
+             |    SUM(CASE WHEN d > 0 AND d < n_risk
+             |      THEN CAST(round(ln(1.0 - CAST(d AS DOUBLE)
+             |        / n_risk), 6) AS DECIMAL(20,6))
+             |      ELSE CAST(0 AS DECIMAL(20,6)) END)
+             |      OVER cum AS log_surv,
+             |    SUM(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+             |      OVER cum AS anyterm
+             |  FROM rk WINDOW cum AS (ORDER BY t
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT t AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+             |  CAST(d AS BIGINT) AS d,
+             |  CAST((d * 1000000) // n_risk AS BIGINT) AS hazard_ppm,
+             |  CAST(CASE WHEN anyterm = 0
+             |    THEN log_surv * 1000000 END AS BIGINT)
+             |    AS log_surv_micro
+             |FROM ls WHERE d > 0 ORDER BY t_days""".stripMargin)))
 }

@@ -222,6 +222,39 @@ class FunnelSpec extends SparkSpec {
       ("2024-01-08", 0L, 1L, 1L, 1000000L)), got.toString)
   }
 
+  test("kaplanMeier: censoring contributes risk time, hand-computed " +
+      "hazards and log-survival, terminal step nulls the curve") {
+    import spark.implicits._
+    def d(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // u1 converts at t=2; u2 censored at t=4; u3 at t=0; u4 at t=2
+    val events = Seq(
+      (1L, "signup", d(1)), (1L, "purchase", d(3)),
+      (2L, "signup", d(1)), (2L, "view", d(5)),
+      (3L, "signup", d(1)), (3L, "purchase", d(1)),
+      (4L, "signup", d(2)), (4L, "purchase", d(4)),
+      (9L, "view", d(2))) // never signs up → not a subject
+      .toDF("user_id", "event_type", "ts").repartition(3)
+    val got = Funnel.kaplanMeier(events, "user_id", "event_type",
+        "ts", "signup", "purchase")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // t=0: risk 4, d 1 → ln(.75) = −0.287682
+    // t=2: risk 3, d 2 → + ln(1/3) = −1.098612 → −1.386294
+    // t=4: censor only (d=0) → no row
+    assert(got == Seq(
+      (0L, 4L, 1L, 250000L, -287682L),
+      (2L, 3L, 2L, 666666L, -1386294L)), got.toString)
+    // everyone dies at once: hazard 10⁶, log-survival null (S = 0)
+    val term = Seq(
+      (1L, "signup", d(1)), (1L, "purchase", d(2)),
+      (2L, "signup", d(1)), (2L, "purchase", d(2)))
+      .toDF("user_id", "event_type", "ts")
+    val tr = Funnel.kaplanMeier(term, "user_id", "event_type", "ts",
+      "signup", "purchase").collect()
+    assert(tr.length == 1 && tr.head.getLong(3) == 1000000L &&
+      tr.head.isNullAt(4), tr.mkString(","))
+  }
+
   test("markovBaselineAccuracy: per-state argmax vs global constant, " +
       "exact ppm on a hand-built stream") {
     import spark.implicits._
