@@ -233,6 +233,26 @@ object Series {
           .as("staleness_days"))
   }
 
+  /** Time-weighted average over the LOCF-filled daily series — the
+    * TWAP/average-balance convention: each day contributes the value
+    * that was IN FORCE that day (carried forward from the last
+    * observation), so sparse observers aren't over-weighted at their
+    * observation instants the way a plain AVG over events is. Exact:
+    * filled values to cents, mean in micro-currency by truncating
+    * div. Composes [[forwardFillDaily]] (one key shuffle) + one
+    * key-sized aggregation.
+    *
+    * Output: `(k, n_days, twap_micro)`.
+    */
+  def timeWeightedAverage(events: DataFrame, keyCol: String,
+      tsCol: String, valCol: String, idCol: String): DataFrame =
+    forwardFillDaily(events, keyCol, tsCol, valCol, idCol)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(round(col("v_filled") * 100).cast("bigint")).as("_sc"))
+      .select(col("k"), col("n_days"),
+        expr("(_sc * 10000) div n_days").as("twap_micro"))
+
   /** Trailing-window OLS slope per key over the DENSE daily series,
     * in exact integer milli-units/day: `slope = (n·Σxy − Σx·Σy) /
     * (n·Σxx − (Σx)²)` with x = epoch-day and y = the daily count —

@@ -513,6 +513,89 @@ object Stats {
         col("lo_milli"), col("hi_milli"))
   }
 
+  /** Correlation ratio η² (ANOVA effect size) in exact integer ppm:
+    * how much of a numeric column's variance a CATEGORICAL column
+    * explains — `η² = SSB/SST = (n·Σ s_g²/n_g − S²)/(n·Q − S²)` with
+    * all moments exact integer cents (products in DECIMAL(38,0)).
+    * The per-group rational `n·s_g²/n_g` truncates to an integer
+    * (≤ 1 cent² per group, deterministic on both engines) — the only
+    * rounding anywhere. The "does segment explain spend" profiling
+    * staple, one map-side-combined aggregation + a group-sized
+    * reduce.
+    *
+    * Output one row: `(n, k_groups, eta2_ppm)`.
+    */
+  def etaSquared(df: DataFrame, groupCol: String, valCol: String)
+      : DataFrame = {
+    val d38 = "decimal(38,0)"
+    val g = df.filter(col(valCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        round(col(valCol) * 100).cast("bigint").as("c"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(col("c")).as("sg"),
+        sum(col("c").cast("decimal(19,0)") *
+          col("c").cast("decimal(19,0)")).as("qg"))
+    val tot = g.agg(sum(col("ng")).as("n"), sum(col("sg")).as("s"),
+      sum(col("qg")).as("q"))
+    // per-group u = ⌊sg²/ng⌋ (≤1 cent² truncation each). Quotients
+    // exceed BIGINT at fact scale, so floor division stays in
+    // DECIMAL via the mod-subtract identity ⌊x/y⌋ = (x − x mod y)/y
+    // (x ≥ 0; the division is then exact — no scale rounding exists
+    // on an integer-valued quotient)
+    def fdiv(x: String, y: String) =
+      s"CAST(($x - $x % $y) / $y AS $d38)"
+    val sg2 = s"(CAST(sg AS $d38) * CAST(sg AS $d38))"
+    val s2 = s"(CAST(s AS $d38) * CAST(s AS $d38))"
+    g.crossJoin(broadcast(tot))
+      .select(col("n"), col("s"), col("q"),
+        expr(fdiv(sg2, "ng")).as("u"))
+      .groupBy(col("n"), col("s"), col("q"))
+      .agg(count(lit(1)).as("k_groups"), sum(col("u")).as("usum"))
+      .withColumn("s2n", expr(fdiv(s2, "n")))
+      .select(col("n"), col("k_groups"),
+        expr(s"""CASE WHEN q - s2n > 0 THEN
+                 (CAST(usum - s2n AS $d38) * 1000000)
+                 div (q - s2n) END""")
+          .cast("bigint").as("eta2_ppm"))
+  }
+
+  /** Cramér's V² between two categoricals in exact integer ppm:
+    * χ² from the contingency cells with each cell's rational term
+    * `(O·N − R·C)²/(R·C·N)` truncated to integer micro-units (the
+    * q74 pre-rounding discipline — deterministic, then the sum is
+    * exact), `V² = χ²/(N·(min(r,c) − 1))`. Cells are r×c-bounded;
+    * margins broadcast.
+    *
+    * Output one row: `(n, r, c, chi2_micro, v2_ppm)`.
+    */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy(col("a")).agg(sum(col("o")).as("ra"))
+    val cb = cells.groupBy(col("b")).agg(sum(col("o")).as("cb"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("a")).as("r"), countDistinct(col("b")).as("c"))
+    // the FULL r×c grid: unobserved combos still carry E = R·C/N
+    // into χ² (summing only observed cells understates association)
+    val grid = ra.crossJoin(cb)
+      .join(cells, Seq("a", "b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    grid
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("r"), col("c"),
+        expr(s"""((CAST(o AS $d38) * n - CAST(ra AS $d38) * cb) *
+                 (CAST(o AS $d38) * n - CAST(ra AS $d38) * cb) *
+                 1000000) div
+                 (CAST(ra AS $d38) * cb * n)""").as("term"))
+      .groupBy(col("n"), col("r"), col("c"))
+      .agg(sum(col("term")).cast("bigint").as("chi2_micro"))
+      .select(col("n"), col("r"), col("c"), col("chi2_micro"),
+        expr("CASE WHEN least(r, c) > 1 THEN chi2_micro div " +
+          "(n * (least(r, c) - 1)) END").as("v2_ppm"))
+  }
+
   /** Two-proportion z-test in EXACT integer arithmetic (the q126
     * discipline: no mean, no sqrt, no float boundary anywhere). With
     * arms (n₁, x₁) and (n₂, x₂), pooled X = x₁+x₂, N = n₁+n₂, the

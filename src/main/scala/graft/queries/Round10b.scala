@@ -1130,5 +1130,100 @@ object Round10b {
              |  CAST(CASE WHEN anyterm = 0
              |    THEN log_surv * 1000000 END AS BIGINT)
              |    AS log_surv_micro
-             |FROM ls WHERE d > 0 ORDER BY t_days""".stripMargin)))
+             |FROM ls WHERE d > 0 ORDER BY t_days""".stripMargin)),
+
+    // ---- correlation ratio η² (ANOVA effect size): how much of the
+    // price variance the return flag explains — exact integer cents
+    // moments, per-group rational truncated once, ppm output
+    QueryDef("q233_eta_squared",
+      (s, dir) => graft.operators.Stats.etaSquared(
+        t("lineitem")(s, dir), "l_returnflag", "l_extendedprice"),
+      Some("""WITH c AS (SELECT l_returnflag AS g,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+             |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+             |    AND l_returnflag IS NOT NULL),
+             |gg AS (SELECT g, COUNT(*) AS ng, SUM(v) AS sg,
+             |    SUM(CAST(v AS HUGEINT) * v) AS qg FROM c GROUP BY g),
+             |t AS (SELECT SUM(ng) AS n, SUM(sg) AS s, SUM(qg) AS q
+             |  FROM gg),
+             |u AS (SELECT (CAST(sg AS HUGEINT) * sg) // ng AS u
+             |  FROM gg),
+             |m AS (SELECT COUNT(*) AS k_groups, SUM(u) AS usum
+             |  FROM u),
+             |s2 AS (SELECT (CAST(s AS HUGEINT) * s) // n AS s2n
+             |  FROM t)
+             |SELECT CAST(n AS BIGINT) AS n,
+             |  CAST(k_groups AS BIGINT) AS k_groups,
+             |  CAST(CASE WHEN q - s2n > 0
+             |    THEN ((usum - s2n) * 1000000) // (q - s2n)
+             |    END AS BIGINT) AS eta2_ppm
+             |FROM m, t, s2""".stripMargin)),
+
+    // ---- Cramér's V² between market segment and nation: χ² over the
+    // FULL r×c grid (absent combos still carry E), per-cell rational
+    // pre-truncated to micro (q74 discipline), exact ppm
+    QueryDef("q234_cramers_v",
+      (s, dir) => graft.operators.Stats.cramersV(
+        t("customer")(s, dir), "c_mktsegment", "c_nationkey"),
+      Some("""WITH cells AS (SELECT c_mktsegment AS a,
+             |    c_nationkey AS b, COUNT(*) AS o
+             |  FROM customer WHERE c_mktsegment IS NOT NULL
+             |    AND c_nationkey IS NOT NULL GROUP BY 1, 2),
+             |ra AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY a),
+             |cb AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY b),
+             |tt AS (SELECT SUM(o) AS n, COUNT(DISTINCT a) AS r,
+             |    COUNT(DISTINCT b) AS c FROM cells),
+             |grid AS (SELECT ra.a, cb.b, ra.ra, cb.cb,
+             |    COALESCE(cells.o, 0) AS o
+             |  FROM ra CROSS JOIN cb
+             |  LEFT JOIN cells ON ra.a = cells.a AND cb.b = cells.b),
+             |terms AS (SELECT
+             |    ((CAST(o AS HUGEINT) * n - CAST(ra AS HUGEINT) * cb)
+             |     * (CAST(o AS HUGEINT) * n - CAST(ra AS HUGEINT)
+             |       * cb) * 1000000)
+             |      // (CAST(ra AS HUGEINT) * cb * n) AS term
+             |  FROM grid, tt),
+             |m AS (SELECT SUM(term) AS chi2 FROM terms)
+             |SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
+             |  CAST(c AS BIGINT) AS c,
+             |  CAST(chi2 AS BIGINT) AS chi2_micro,
+             |  CAST(CASE WHEN LEAST(r, c) > 1
+             |    THEN chi2 // (n * (LEAST(r, c) - 1)) END AS BIGINT)
+             |    AS v2_ppm
+             |FROM m, tt""".stripMargin)),
+
+    // ---- time-weighted average value per user: each day contributes
+    // the LOCF in-force value (plain AVG over events over-weights
+    // frequent observers); exact micro-currency
+    QueryDef("q235_twap",
+      (s, dir) => graft.operators.Series.timeWeightedAverage(
+          t("events")(s, dir), "user_id", "ts", "value", "event_id")
+        .orderBy(col("k")),
+      Some("""WITH e AS (SELECT user_id,
+             |    CAST(ts AS TIMESTAMP) AS ts, value, event_id
+             |  FROM events WHERE ts IS NOT NULL),
+             |r AS (SELECT user_id, CAST(ts AS DATE) AS day, value,
+             |    row_number() OVER (PARTITION BY user_id,
+             |      CAST(ts AS DATE) ORDER BY ts DESC, event_id DESC)
+             |      AS rn FROM e),
+             |d AS (SELECT user_id AS k, day, value FROM r
+             |  WHERE rn = 1),
+             |sp AS (SELECT k, MIN(day) AS d0, MAX(day) AS d1 FROM d
+             |  GROUP BY k),
+             |cal AS (SELECT k, CAST(unnest(generate_series(
+             |    CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+             |    INTERVAL 1 DAY)) AS DATE) AS day FROM sp),
+             |j AS (SELECT cal.k, cal.day, d.value
+             |  FROM cal LEFT JOIN d
+             |    ON cal.k = d.k AND cal.day = d.day),
+             |f AS (SELECT k, day,
+             |    LAST_VALUE(value IGNORE NULLS) OVER (PARTITION BY k
+             |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND
+             |      CURRENT ROW) AS v_filled FROM j),
+             |a AS (SELECT k, COUNT(*) AS n_days,
+             |    SUM(CAST(round(v_filled * 100) AS BIGINT)) AS sc
+             |  FROM f GROUP BY k)
+             |SELECT k, CAST(n_days AS BIGINT) AS n_days,
+             |  CAST((sc * 10000) // n_days AS BIGINT) AS twap_micro
+             |FROM a ORDER BY k""".stripMargin)))
 }

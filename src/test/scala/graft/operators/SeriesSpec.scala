@@ -134,6 +134,19 @@ class SeriesSpec extends SparkSpec {
     }
   }
 
+  test("timeWeightedAverage: silent days carry the in-force value " +
+      "(plain AVG over events would say 25.00)") {
+    import org.apache.spark.sql.functions.col
+    // 10.00 in force on days 1-3 (observed once), 40.00 on day 4
+    val events = Seq(("u", ts(1), 10.0, 1L), ("u", ts(4), 40.0, 2L))
+      .toDF("k", "ts", "v", "id")
+    val r = Series.timeWeightedAverage(events, "k", "ts", "v", "id")
+      .collect().head
+    // (1000·3 + 4000) · 10⁴ div 4 = 17.50 in micro
+    assert((r.getLong(1), r.getLong(2)) == ((4L, 17500000L)),
+      r.toString)
+  }
+
   test("rollingSlopeDaily: exact ramp slope, null head, gap-filled " +
       "zero days enter the fit") {
     // key a: counts 10,12,14,16,18 → slope exactly 2/day

@@ -290,6 +290,36 @@ class StatsSpec extends SparkSpec {
       (3L, 950000L, "B"), (4L, 1000000L, "C")), got.toString)
   }
 
+  test("etaSquared: perfect separation = 10⁶, no effect = 0") {
+    import spark.implicits._
+    val perfect = Seq(("a", 2.00), ("a", 2.00), ("b", 4.00),
+      ("b", 4.00)).toDF("g", "v")
+    val p = Stats.etaSquared(perfect, "g", "v").collect().head
+    assert((p.getLong(0), p.getLong(1), p.getLong(2))
+      == ((4L, 2L, 1000000L)), p.toString)
+    val none = Seq(("a", 2.00), ("a", 4.00), ("b", 2.00),
+      ("b", 4.00)).toDF("g", "v")
+    assert(Stats.etaSquared(none, "g", "v")
+      .collect().head.getLong(2) == 0L)
+  }
+
+  test("cramersV: perfect association = 10⁶ (zero cells counted), " +
+      "independence = 0") {
+    import spark.implicits._
+    val perfect = ((1 to 10).map(_ => ("a1", "b1")) ++
+      (1 to 10).map(_ => ("a2", "b2"))).toDF("x", "y")
+    val p = Stats.cramersV(perfect, "x", "y").collect().head
+    // χ² = N at perfect 2×2 association — only true when the O = 0
+    // off-diagonal cells contribute; summing observed cells alone
+    // would halve it
+    assert((p.getLong(0), p.getLong(3), p.getLong(4))
+      == ((20L, 20000000L, 1000000L)), p.toString)
+    val indep = (for { a <- Seq("a1", "a2"); b <- Seq("b1", "b2");
+      _ <- 1 to 5 } yield (a, b)).toDF("x", "y")
+    assert(Stats.cramersV(indep, "x", "y")
+      .collect().head.getLong(4) == 0L)
+  }
+
   test("twoProportionTest: significant and insignificant hand cases, " +
       "exact counts and rates") {
     import spark.implicits._
