@@ -1225,5 +1225,49 @@ object Round10b {
              |  FROM f GROUP BY k)
              |SELECT k, CAST(n_days AS BIGINT) AS n_days,
              |  CAST((sc * 10000) // n_days AS BIGINT) AS twap_micro
-             |FROM a ORDER BY k""".stripMargin)))
+             |FROM a ORDER BY k""".stripMargin)),
+
+    // ---- price elasticity of demand: OLS slope of ln(qty) on
+    // ln(unit price) across parts — logs of EXACT integer inputs
+    // (cents div qty, total qty), scaled ×100 so olsFit's
+    // DECIMAL(18,2) moment pass keeps 4 significant log decimals
+    // (slope is scale-invariant when both axes scale)
+    QueryDef("q236_elasticity",
+      (s, dir) => {
+        val pf = t("lineitem")(s, dir)
+          .groupBy(col("l_partkey"))
+          .agg(sum(round(col("l_extendedprice") * 100)
+            .cast("bigint")).as("sc"),
+            sum(col("l_quantity").cast("bigint")).as("qt"))
+          .filter(col("qt") > 0)
+          .select((log(expr("sc div qt")) * 100).as("x"),
+            (log(col("qt")) * 100).as("y"))
+        graft.operators.Stats.olsFit(pf, "x", "y")
+      },
+      Some("""WITH pf AS (SELECT l_partkey,
+             |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |      AS sc,
+             |    SUM(CAST(l_quantity AS BIGINT)) AS qt
+             |  FROM lineitem GROUP BY 1),
+             |v AS (SELECT ln(sc // qt) * 100 AS x, ln(qt) * 100 AS y
+             |  FROM pf WHERE qt > 0),
+             |m AS (SELECT COUNT(*) AS n,
+             |    CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(x AS DECIMAL(18,2)) *
+             |      CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             |    CAST(SUM(CAST(x AS DECIMAL(18,2)) *
+             |      CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(y AS DECIMAL(18,2)) *
+             |      CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS syy
+             |  FROM v WHERE x IS NOT NULL AND y IS NOT NULL)
+             |SELECT n,
+             |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             |    AS slope,
+             |  round((sy - ((n * sxy - sx * sy) /
+             |    (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
+             |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+             |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             |    AS r2
+             |FROM m""".stripMargin)))
 }
