@@ -305,6 +305,50 @@ object Funnel {
         expr("(n_active * 1000000) div n_cohort").as("retention_ppm"))
   }
 
+  /** Cohort LTV curve — the monetary sibling of [[cohortRetention]]:
+    * per (first-active-week cohort, week offset), the cohort's
+    * revenue that week, its running total, and the cumulative value
+    * PER COHORT MEMBER in exact micro-currency (`(cum·10⁴) div
+    * n_cohort`) — the "how much is a signup worth by week k" table.
+    * Same scale shape as retention: one distinct to entity-weeks,
+    * entity-sized cohort min-aggregation, cells = cohorts × offsets;
+    * revenue reduces to cells before the cohort-sized window runs.
+    * Offsets with zero revenue emit no row (the curve is flat
+    * there — join against the retention triangle for dense axes).
+    *
+    * Output: `(cohort_week, offset_w, rev_cents, cum_rev_cents,
+    * n_cohort, ltv_micro)`.
+    */
+  def cohortLtv(events: DataFrame, entityCol: String, tsCol: String,
+      valCol: String, revenueType: String, typeCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val act = events.select(col(entityCol).as("ent"),
+        to_date(date_trunc("week", col(tsCol))).as("wk"))
+      .distinct()
+    val cohort = act.groupBy(col("ent")).agg(min(col("wk")).as("c0"))
+    val sizes = cohort.groupBy(col("c0"))
+      .agg(count(lit(1)).as("n_cohort"))
+    val rev = events.filter(col(typeCol) === revenueType)
+      .select(col(entityCol).as("ent"),
+        to_date(date_trunc("week", col(tsCol))).as("wk"),
+        round(col(valCol) * 100).cast("bigint").as("cents"))
+      .join(cohort, "ent")
+      .withColumn("offset_w", expr("datediff(wk, c0) div 7"))
+      .groupBy(col("c0").as("cohort_week"), col("offset_w"))
+      .agg(sum(col("cents")).as("rev_cents"))
+    val w = Window.partitionBy(col("cohort_week"))
+      .orderBy(col("offset_w"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rev.withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+      .join(broadcast(sizes),
+        col("cohort_week") === col("c0"))
+      .select(col("cohort_week"), col("offset_w"), col("rev_cents"),
+        col("cum_rev_cents"), col("n_cohort"),
+        expr("(cum_rev_cents * 10000) div n_cohort").as("ltv_micro"))
+      .orderBy(col("cohort_week"), col("offset_w"))
+  }
+
   /** Kaplan-Meier survival (product-limit, right-censored): time from
     * a birth event to a death event per entity, censored at the
     * entity's last observation — "how long until a signup converts",

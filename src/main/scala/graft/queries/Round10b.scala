@@ -1269,5 +1269,71 @@ object Round10b {
              |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
              |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
              |    AS r2
+             |FROM m""".stripMargin)),
+
+    // ---- cohort LTV curve: revenue per (first-active-week cohort,
+    // offset) with running totals and cumulative value per member in
+    // exact micro — the monetary sibling of q176's retention triangle
+    QueryDef("q237_cohort_ltv",
+      (s, dir) => graft.operators.Funnel.cohortLtv(
+        t("events")(s, dir), "user_id", "ts", "value",
+        revenueType = "purchase", typeCol = "event_type"),
+      Some("""WITH act AS (SELECT DISTINCT user_id AS ent,
+             |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP))
+             |      AS DATE) AS wk FROM events),
+             |cohort AS (SELECT ent, MIN(wk) AS c0 FROM act
+             |  GROUP BY ent),
+             |sizes AS (SELECT c0, COUNT(*) AS n_cohort FROM cohort
+             |  GROUP BY c0),
+             |rev AS (SELECT cohort.c0 AS cohort_week,
+             |    date_diff('day', cohort.c0,
+             |      CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP))
+             |        AS DATE)) // 7 AS offset_w,
+             |    SUM(CAST(round(e.value * 100) AS BIGINT))
+             |      AS rev_cents
+             |  FROM events e JOIN cohort ON e.user_id = cohort.ent
+             |  WHERE e.event_type = 'purchase'
+             |  GROUP BY 1, 2),
+             |c2 AS (SELECT cohort_week, offset_w, rev_cents,
+             |    SUM(rev_cents) OVER (PARTITION BY cohort_week
+             |      ORDER BY offset_w
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum_rev_cents FROM rev)
+             |SELECT c2.cohort_week,
+             |  CAST(c2.offset_w AS BIGINT) AS offset_w,
+             |  CAST(rev_cents AS BIGINT) AS rev_cents,
+             |  CAST(cum_rev_cents AS BIGINT) AS cum_rev_cents,
+             |  CAST(n_cohort AS BIGINT) AS n_cohort,
+             |  CAST((cum_rev_cents * 10000) // n_cohort AS BIGINT)
+             |    AS ltv_micro
+             |FROM c2 JOIN sizes ON c2.cohort_week = sizes.c0
+             |ORDER BY cohort_week, offset_w""".stripMargin)),
+
+    // ---- index of dispersion of per-order line counts: var/mean in
+    // exact ppm ((nQ − S²)·10⁶ div ((n−1)·S)) — the "is demand
+    // Poisson" screen (Poisson ⇒ ≈ 10⁶; clumping reads higher)
+    QueryDef("q238_dispersion",
+      (s, dir) => {
+        val counts = t("lineitem")(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("c"))
+        counts.agg(count(lit(1)).as("n_orders"),
+            sum(col("c")).as("s"),
+            sum(col("c") * col("c")).as("q"))
+          .select(col("n_orders"),
+            expr("(s * 1000) div n_orders").as("mean_milli"),
+            expr("CASE WHEN n_orders > 1 AND s > 0 THEN " +
+              "((n_orders * q - s * s) * 1000000) div " +
+              "((n_orders - 1) * s) END").as("dispersion_ppm"))
+      },
+      Some("""WITH c AS (SELECT l_orderkey, COUNT(*) AS c
+             |  FROM lineitem GROUP BY l_orderkey),
+             |m AS (SELECT COUNT(*) AS n, SUM(c) AS s,
+             |    SUM(c * c) AS q FROM c)
+             |SELECT CAST(n AS BIGINT) AS n_orders,
+             |  CAST((s * 1000) // n AS BIGINT) AS mean_milli,
+             |  CAST(CASE WHEN n > 1 AND s > 0 THEN
+             |    ((n * q - s * s) * 1000000) // ((n - 1) * s) END
+             |    AS BIGINT) AS dispersion_ppm
              |FROM m""".stripMargin)))
 }

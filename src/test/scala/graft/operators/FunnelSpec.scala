@@ -222,6 +222,28 @@ class FunnelSpec extends SparkSpec {
       ("2024-01-08", 0L, 1L, 1L, 1000000L)), got.toString)
   }
 
+  test("cohortLtv: hand-built triangle — exact per-member value, " +
+      "non-revenue events set cohorts but add nothing") {
+    import spark.implicits._
+    def d(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    val events = Seq(
+      (1L, "view", d(2), 0.0),        // u1 cohort = week of Jan 1
+      (1L, "purchase", d(3), 1.00),
+      (1L, "purchase", d(9), 2.00),   // offset 1
+      (2L, "signup", d(4), 0.0),      // u2 same cohort, buys later
+      (2L, "purchase", d(10), 3.00),
+      (3L, "purchase", d(11), 4.00))  // u3 cohort = week of Jan 8
+      .toDF("user_id", "event_type", "ts", "value")
+    val got = Funnel.cohortLtv(events, "user_id", "ts", "value",
+        "purchase", "event_type")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0L, 100L, 100L, 2L, 500000L),
+      ("2024-01-01", 1L, 500L, 600L, 2L, 3000000L),
+      ("2024-01-08", 0L, 400L, 400L, 1L, 4000000L)), got.toString)
+  }
+
   test("kaplanMeier: censoring contributes risk time, hand-computed " +
       "hazards and log-survival, terminal step nulls the curve") {
     import spark.implicits._
