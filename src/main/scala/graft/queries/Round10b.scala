@@ -1335,5 +1335,87 @@ object Round10b {
              |  CAST(CASE WHEN n > 1 AND s > 0 THEN
              |    ((n * q - s * s) * 1000000) // ((n - 1) * s) END
              |    AS BIGINT) AS dispersion_ppm
-             |FROM m""".stripMargin)))
+             |FROM m""".stripMargin)),
+
+    // ---- duplicate-payment screen: same user, same whole-dollar
+    // amount, within 24 hours — the fraud/ops audit; the self-join is
+    // bounded by the (user, dollars) equi key, time bound
+    // post-filters, id ordering emits each pair once
+    QueryDef("q239_double_charge",
+      (s, dir) => {
+        val p = t("events")(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            expr("CAST(round(value * 100) AS BIGINT) div 100")
+              .as("dollars"))
+        val a = p.select(col("event_id").as("id_a"),
+          col("user_id").as("u"), col("ts").as("ts_a"),
+          col("dollars"))
+        val b = p.select(col("event_id").as("id_b"),
+          col("user_id").as("u"), col("ts").as("ts_b"),
+          col("dollars"))
+        a.join(b, Seq("u", "dollars"))
+          .filter(col("id_a") < col("id_b") &&
+            col("ts_b") >= col("ts_a") - expr("INTERVAL 24 HOUR") &&
+            col("ts_b") <= col("ts_a") + expr("INTERVAL 24 HOUR"))
+          .select(col("u").as("user_id"), col("dollars"),
+            col("id_a"), col("id_b"))
+          .orderBy(col("user_id"), col("id_a"), col("id_b"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id,
+             |    CAST(ts AS TIMESTAMP) AS ts,
+             |    CAST(round(value * 100) AS BIGINT) // 100 AS dollars
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT a.user_id, a.dollars,
+             |  a.event_id AS id_a, b.event_id AS id_b
+             |FROM p a JOIN p b
+             |  ON a.user_id = b.user_id AND a.dollars = b.dollars
+             |  AND a.event_id < b.event_id
+             |  AND b.ts >= a.ts - INTERVAL 24 HOUR
+             |  AND b.ts <= a.ts + INTERVAL 24 HOUR
+             |ORDER BY a.user_id, id_a, id_b""".stripMargin)),
+
+    // ---- growth accounting: weekly revenue split into NEW (buyer's
+    // first-ever purchase week) vs RETURNING — exact cents, one
+    // entity-sized first-purchase frame joined back on the entity
+    QueryDef("q240_growth_accounting",
+      (s, dir) => {
+        val p = t("events")(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            to_date(date_trunc("week", col("ts"))).as("wk"),
+            round(col("value") * 100).cast("bigint").as("cents"))
+        val first = p.groupBy(col("user_id"))
+          .agg(min(col("wk")).as("w0"))
+        p.join(first, "user_id")
+          .groupBy(col("wk"))
+          .agg(
+            sum(when(col("wk") === col("w0"), col("cents"))
+              .otherwise(0L)).as("new_cents"),
+            sum(when(col("wk") =!= col("w0"), col("cents"))
+              .otherwise(0L)).as("returning_cents"),
+            countDistinct(when(col("wk") === col("w0"),
+              col("user_id"))).as("new_buyers"),
+            countDistinct(when(col("wk") =!= col("w0"),
+              col("user_id"))).as("returning_buyers"))
+          .orderBy(col("wk"))
+      },
+      Some("""WITH p AS (SELECT user_id,
+             |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP))
+             |      AS DATE) AS wk,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events WHERE event_type = 'purchase'),
+             |f AS (SELECT user_id, MIN(wk) AS w0 FROM p
+             |  GROUP BY user_id)
+             |SELECT wk,
+             |  CAST(SUM(CASE WHEN wk = w0 THEN cents ELSE 0 END)
+             |    AS BIGINT) AS new_cents,
+             |  CAST(SUM(CASE WHEN wk != w0 THEN cents ELSE 0 END)
+             |    AS BIGINT) AS returning_cents,
+             |  CAST(COUNT(DISTINCT CASE WHEN wk = w0 THEN user_id
+             |    END) AS BIGINT) AS new_buyers,
+             |  CAST(COUNT(DISTINCT CASE WHEN wk != w0 THEN user_id
+             |    END) AS BIGINT) AS returning_buyers
+             |FROM p JOIN f USING (user_id)
+             |GROUP BY wk ORDER BY wk""".stripMargin)))
 }
