@@ -1417,5 +1417,102 @@ object Round10b {
              |  CAST(COUNT(DISTINCT CASE WHEN wk != w0 THEN user_id
              |    END) AS BIGINT) AS returning_buyers
              |FROM p JOIN f USING (user_id)
-             |GROUP BY wk ORDER BY wk""".stripMargin)))
+             |GROUP BY wk ORDER BY wk""".stripMargin)),
+
+    // ---- SLA attainment: share of order lines shipped within 7 days
+    // of order date, split urgent vs rest, per order-month — exact
+    // ppm; the fact joins its (broadcastable) order dims once
+    QueryDef("q241_sla_attainment",
+      (s, dir) => {
+        val li = t("lineitem")(s, dir)
+          .select(col("l_orderkey"), col("l_shipdate"))
+        val o = t("orders")(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate"),
+            (col("o_orderpriority") === "1-URGENT").as("urgent"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .withColumn("mth",
+            to_date(date_trunc("month", col("o_orderdate"))))
+          .withColumn("on_time",
+            datediff(col("l_shipdate"), col("o_orderdate")) <= 7)
+          .groupBy(col("mth"), col("urgent"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(when(col("on_time"), 1L).otherwise(0L))
+              .as("n_on_time"))
+          .withColumn("on_time_ppm",
+            expr("(n_on_time * 1000000) div n_lines"))
+          .orderBy(col("mth"), col("urgent"))
+      },
+      Some("""WITH j AS (SELECT
+             |    CAST(date_trunc('month', o.o_orderdate) AS DATE)
+             |      AS mth,
+             |    o.o_orderpriority = '1-URGENT' AS urgent,
+             |    date_diff('day', CAST(o.o_orderdate AS DATE),
+             |      CAST(l.l_shipdate AS DATE)) <= 7 AS on_time
+             |  FROM lineitem l JOIN orders o
+             |    ON l.l_orderkey = o.o_orderkey)
+             |SELECT mth, urgent,
+             |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+             |  CAST(SUM(CASE WHEN on_time THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_on_time,
+             |  CAST((SUM(CASE WHEN on_time THEN 1 ELSE 0 END)
+             |    * 1000000) // COUNT(*) AS BIGINT) AS on_time_ppm
+             |FROM j GROUP BY mth, urgent
+             |ORDER BY mth, urgent""".stripMargin)),
+
+    // ---- ABC migration matrix: how parts move between revenue
+    // classes across a date cutoff — two abcClasses passes over the
+    // period slices, one join on the item key, class-pair counts
+    QueryDef("q242_abc_migration",
+      (s, dir) => {
+        import graft.operators.Stats
+        val li = t("lineitem")(s, dir)
+        val cutoff = lit("1998-01-01").cast("date")
+        val before = Stats.abcClasses(
+          li.filter(col("l_shipdate") < cutoff),
+          "l_partkey", "l_extendedprice")
+          .select(col("l_partkey"), col("abc_class").as("class_before"))
+        val after = Stats.abcClasses(
+          li.filter(col("l_shipdate") >= cutoff),
+          "l_partkey", "l_extendedprice")
+          .select(col("l_partkey"), col("abc_class").as("class_after"))
+        before.join(after, Seq("l_partkey"), "full_outer")
+          .select(coalesce(col("class_before"), lit("-"))
+            .as("class_before"),
+            coalesce(col("class_after"), lit("-")).as("class_after"))
+          .groupBy(col("class_before"), col("class_after"))
+          .agg(count(lit(1)).as("n_parts"))
+          .orderBy(col("class_before"), col("class_after"))
+      },
+      Some("""WITH mk AS (SELECT l_partkey, l_shipdate,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+             |  FROM lineitem),
+             |b0 AS (SELECT l_partkey, SUM(c) AS cents FROM mk
+             |  WHERE CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+             |  GROUP BY 1),
+             |bt AS (SELECT SUM(cents) AS t FROM b0),
+             |bc AS (SELECT l_partkey,
+             |    CASE WHEN cum <= 800000 THEN 'A'
+             |      WHEN cum <= 950000 THEN 'B' ELSE 'C' END AS cb
+             |  FROM (SELECT l_partkey,
+             |      (SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+             |        ROW) * 1000000) // t AS cum
+             |    FROM b0, bt)),
+             |a0 AS (SELECT l_partkey, SUM(c) AS cents FROM mk
+             |  WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01'
+             |  GROUP BY 1),
+             |at2 AS (SELECT SUM(cents) AS t FROM a0),
+             |ac AS (SELECT l_partkey,
+             |    CASE WHEN cum <= 800000 THEN 'A'
+             |      WHEN cum <= 950000 THEN 'B' ELSE 'C' END AS ca
+             |  FROM (SELECT l_partkey,
+             |      (SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+             |        ROW) * 1000000) // t AS cum
+             |    FROM a0, at2))
+             |SELECT COALESCE(cb, '-') AS class_before,
+             |  COALESCE(ca, '-') AS class_after,
+             |  CAST(COUNT(*) AS BIGINT) AS n_parts
+             |FROM bc FULL OUTER JOIN ac USING (l_partkey)
+             |GROUP BY 1, 2 ORDER BY class_before, class_after""".stripMargin)))
 }
