@@ -1514,5 +1514,47 @@ object Round10b {
              |  COALESCE(ca, '-') AS class_after,
              |  CAST(COUNT(*) AS BIGINT) AS n_parts
              |FROM bc FULL OUTER JOIN ac USING (l_partkey)
-             |GROUP BY 1, 2 ORDER BY class_before, class_after""".stripMargin)))
+             |GROUP BY 1, 2 ORDER BY class_before, class_after""".stripMargin)),
+
+    // ---- Heaps-law vocabulary growth: cumulative distinct words vs
+    // cumulative tokens along the doc-id axis — each word charged to
+    // its FIRST document (one min-agg), so the curve is two prefix
+    // sums over the doc frame, never a per-prefix distinct
+    QueryDef("q243_heaps_law",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val words = graft.operators.TextOps.wordRows(
+          t("documents")(s, dir), "text", keep = Seq("doc_id"))
+        val toks = words.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"))
+        val firsts = words.groupBy(col("word"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_new"))
+        val w = Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        toks.join(firsts, Seq("doc_id"), "left")
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .withColumn("cum_vocab",
+            sum(coalesce(col("n_new"), lit(0L))).over(w))
+          .select(col("doc_id"), col("cum_tokens"), col("cum_vocab"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (SELECT doc_id, unnest(list_filter(
+             |    string_split_regex(lower(text), '\s+'),
+             |    x -> len(x) > 0)) AS word FROM documents),
+             |tk AS (SELECT doc_id, COUNT(*) AS n_tokens FROM w
+             |  GROUP BY doc_id),
+             |fs AS (SELECT MIN(doc_id) AS doc_id FROM w
+             |  GROUP BY word),
+             |fc AS (SELECT doc_id, COUNT(*) AS n_new FROM fs
+             |  GROUP BY doc_id),
+             |j AS (SELECT tk.doc_id, tk.n_tokens,
+             |    COALESCE(fc.n_new, 0) AS n_new
+             |  FROM tk LEFT JOIN fc ON tk.doc_id = fc.doc_id)
+             |SELECT doc_id,
+             |  CAST(SUM(n_tokens) OVER cum AS BIGINT) AS cum_tokens,
+             |  CAST(SUM(n_new) OVER cum AS BIGINT) AS cum_vocab
+             |FROM j WINDOW cum AS (ORDER BY doc_id
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY doc_id""".stripMargin)))
 }
