@@ -19,9 +19,18 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
   * codegen-compiled calls.
   */
 object VectorKernel {
-  /** Sequential Σ a(i)·b(i) over the common prefix. */
+  /** Sequential Σ a(i)·b(i). Ragged inputs FAIL LOUDLY: zipping the
+    * common prefix (what `zip_with` null-padding degrades to) would
+    * return a plausible-but-wrong similarity for a corrupt embedding
+    * column — every consumer (cosine, ADC, LSH) assumes equal dims, so
+    * a mismatch is always an upstream data bug, never a semantics.
+    */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"dot: dimension mismatch ($n vs ${b.numElements()}) — " +
+          "ragged embedding input; fix the upstream vector column")
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }

@@ -698,11 +698,19 @@ object Curation {
       floor(scaled * lit(1000000.0)).cast("bigint"))
     val totals = w.agg(sum(col("w_micro")).as("w_sum"),
       sum(col("total_tokens")).as("t_sum"))
+    // products ride DECIMAL(38,0) (the q148 headroom idiom): raw
+    // BIGINT would wrap silently past ~9.2×10¹² tokens per stratum —
+    // inside this operator's 100 TB contract — where DuckDB errors
+    // (ADVICE r10); decimal keeps both engines exact to 10³⁸.
+    val d38 = "decimal(38,0)"
     w.crossJoin(broadcast(totals))
       .select(col(strataCol), col("total_tokens"),
-        expr("(total_tokens * 1000000) div t_sum").as("natural_ppm"),
-        expr("(w_micro * 1000000) div w_sum").as("temp_ppm"),
-        expr(s"($budget * w_micro) div w_sum").as("alloc_tokens"))
+        expr(s"(CAST(total_tokens AS $d38) * 1000000) div t_sum")
+          .as("natural_ppm"),
+        expr(s"(CAST(w_micro AS $d38) * 1000000) div w_sum")
+          .as("temp_ppm"),
+        expr(s"(CAST($budget AS $d38) * w_micro) div w_sum")
+          .as("alloc_tokens"))
       .orderBy(col(strataCol))
   }
 

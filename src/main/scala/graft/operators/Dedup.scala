@@ -222,19 +222,28 @@ object Dedup {
   def containmentPairsPrefix(df: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double,
       cache: Boolean = true,
-      nativePrefix: Boolean = true): DataFrame = {
+      nativePrefix: Boolean = true,
+      rankedIn: Option[DataFrame] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       "threshold must be in (0, 1]")
     val t = lit(threshold)
     val eps = lit(1e-9)
-    val sh = hashedShingleSet(df, idCol, textCol, n, cache)
-    val shs = sh.withColumnRenamed("h", "s")
+    // `rankedIn`: pre-built [[rankedShingleRows]] artifact — supplies
+    // the shingle set, the full ranked container side AND the
+    // contained-side prefix (a filter), removing every corpus pass
+    // (q105/q115 artifact discipline; DedupSpec pins ≡)
+    val sh = rankedIn
+      .map(_.select(col("doc_id"), col("s").as("h")))
+      .getOrElse(hashedShingleSet(df, idCol, textCol, n, cache))
+    lazy val shs = sh.withColumnRenamed("h", "s")
     // contained-side prefix: first |d| − ⌈t·|d|⌉ + 1 rarest shingles
     // (ceil slack lengthens the prefix — the safe side); the container
     // side keeps EVERY ranked position (keepFrac = None)
-    val pfx = rankedRows(shs, Some(threshold), nativePrefix)
+    val pfx = rankedIn.map(prefixOf(_, threshold))
+      .getOrElse(rankedRows(shs, Some(threshold), nativePrefix))
       .withColumnRenamed("s", "h")
-    val ranked = rankedRows(shs, None, nativePrefix)
+    val ranked = rankedIn
+      .getOrElse(rankedRows(shs, None, nativePrefix))
       .withColumnRenamed("s", "h")
     // orient at candidate time: a = contained (smaller; id tiebreak on
     // equal sizes), b = container — b gets NO prefix/length filter.
@@ -359,6 +368,33 @@ object Dedup {
     * fuses into the dfreq join's exchange and sorts only within each
     * document's buffer at eval.
     */
+  /** The FULL rarest-first ranked-shingle frame `(doc_id, s, pos, n)`
+    * over the hashed 60-bit shingle set — the shared ARTIFACT of the
+    * PPJoin family ([[jaccardPairsPrefix]] / [[containmentPairsPrefix]]
+    * consume it via their `ranked` parameter; the q105/q115 build-row
+    * discipline): `s` = shingle hash, `pos` = 1-based rank by
+    * ascending global document frequency (ties by hash), `n` = the
+    * document's distinct-shingle count. Any threshold's prefix is a
+    * pure FILTER of this frame ([[prefixOf]]), so one build serves
+    * every (operator, threshold) in the family. Build cost: the
+    * shingle scan + one dfreq exchange + one ranked aggregation —
+    * exactly what each consumer would otherwise pay privately.
+    */
+  def rankedShingleRows(df: DataFrame, idCol: String, textCol: String,
+      n: Int, cache: Boolean = true,
+      nativePrefix: Boolean = true): DataFrame =
+    rankedRows(hashedShingleSet(df, idCol, textCol, n, cache)
+      .withColumnRenamed("h", "s"), None, nativePrefix)
+
+  /** The PPJoin prefix of a [[rankedShingleRows]] frame at `t`: the
+    * first `|d| − ⌈t·|d|⌉ + 1` ranked rows of each document (ceil
+    * slack toward the LONGER prefix — the safe side, identical to the
+    * keepFrac arithmetic inside the build paths).
+    */
+  def prefixOf(ranked: DataFrame, t: Double): DataFrame =
+    ranked.filter(col("pos") <=
+      col("n") - ceil(lit(t) * col("n") - lit(1e-9)) + 1)
+
   private def rankedRows(sh: DataFrame, keepFrac: Option[Double],
       native: Boolean): DataFrame = {
     // canonical global order: ascending document frequency, ties by
@@ -394,12 +430,19 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
       cache: Boolean = true,
-      nativePrefix: Boolean = true): DataFrame = {
+      nativePrefix: Boolean = true,
+      ranked: Option[DataFrame] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     val t = lit(threshold)
     val eps = lit(1e-9)
-    val sh = hashedShingleSet(df, idCol, textCol, n, cache)
-      .withColumnRenamed("h", "s")
+    // `ranked`: a pre-built [[rankedShingleRows]] artifact for the SAME
+    // (df, idCol, textCol, n) — both the shingle set (its (doc_id, s)
+    // projection) and the prefix (a filter) derive from it, so a
+    // registered artifact removes every corpus pass from this operator
+    // (values identical by construction; DedupSpec pins ≡)
+    val sh = ranked.map(_.select(col("doc_id"), col("s")))
+      .getOrElse(hashedShingleSet(df, idCol, textCol, n, cache)
+        .withColumnRenamed("h", "s"))
     // prefix = first |d| − ⌈t·|d|⌉ + 1 ranked shingles (ceil slack
     // shortens the ceiling, i.e. lengthens the prefix — the safe side)
     // the prefix frame is NOT persisted: its only consumer is the
@@ -409,7 +452,8 @@ object Dedup {
     // (2.05 s) within noise at sf0.1, and no-persist keeps the operator
     // lazy and leaks nothing into the unified pool between global
     // cache clears (ADVICE r3)
-    val pfx = rankedRows(sh, Some(threshold), nativePrefix)
+    val pfx = ranked.map(prefixOf(_, threshold))
+      .getOrElse(rankedRows(sh, Some(threshold), nativePrefix))
     val overlapUb =
       lit(1) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))
     val cand = pfx.as("a")

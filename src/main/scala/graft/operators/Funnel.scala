@@ -479,18 +479,22 @@ object Funnel {
     * partitioned by conversion — never a global sort.
     *
     * Output: `(conv_id, touch_id nullable, credit_cents)`.
+    *
+    * @param idCol unique event id column, used for both conv_id and
+    *              touch_id (parameterized like every other column here
+    *              — the markovBaselineAccuracy convention; ADVICE r10)
     */
   def linearAttribution(events: DataFrame, entityCol: String,
       typeCol: String, tsCol: String, valCol: String,
-      convType: String, touchTypes: Seq[String], windowDays: Int)
-      : DataFrame = {
+      convType: String, touchTypes: Seq[String], windowDays: Int,
+      idCol: String = "event_id"): DataFrame = {
     require(touchTypes.nonEmpty && windowDays >= 1)
     val conv = events.filter(col(typeCol) === convType)
-      .select(col("event_id").as("conv_id"),
+      .select(col(idCol).as("conv_id"),
         col(entityCol).as("ent"), col(tsCol).as("c_ts"),
         round(col(valCol) * 100).cast("bigint").as("cents"))
     val touch = events.filter(col(typeCol).isin(touchTypes: _*))
-      .select(col("event_id").as("touch_id"),
+      .select(col(idCol).as("touch_id"),
         col(entityCol).as("t_ent"), col(tsCol).as("t_ts"))
     val j = conv.join(touch,
       col("ent") === col("t_ent") &&

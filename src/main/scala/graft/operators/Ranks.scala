@@ -44,11 +44,17 @@ object Ranks {
     val k = col(keyCol).cast("long")
     val span = df.agg(min(k).as("_kmin"), max(k).as("_kmax"))
     // ((v − min) · B) div (max − min + 1) ∈ [0, B): exact integer,
-    // order-preserving
+    // order-preserving. The arithmetic rides DECIMAL(38,0) (the q148
+    // headroom idiom): in BIGINT, key spans ≥ 2⁶³/B — routine for
+    // hash-derived unique ids, the usual unique key here — wrap the
+    // multiply silently and break bucket monotonicity (ADVICE r10);
+    // the full-long span times B tops out near 10²³, exact in DECIMAL.
+    val d38 = "decimal(38,0)"
     val bucketed = df.crossJoin(broadcast(span))
       .withColumn("_b",
-        expr(s"((CAST($keyCol AS BIGINT) - _kmin) * $buckets) div " +
-          "(_kmax - _kmin + 1)"))
+        expr(s"((CAST($keyCol AS $d38) - CAST(_kmin AS $d38)) * " +
+          s"$buckets) div " +
+          s"(CAST(_kmax AS $d38) - CAST(_kmin AS $d38) + 1)"))
       .drop("_kmin", "_kmax")
     val offsets = bucketed.groupBy(col("_b"))
       .agg(count(lit(1)).as("_n"))

@@ -330,19 +330,31 @@ object Similarity {
     * α→∞ skeleton). Emits `(a, b, sim)` with `a < b` where b is a's
     * cosine top-1 AND a is b's.
     *
-    * Exact baseline over [[bruteForceTopK]]'s top-1 (the q28
-    * contract: explicit exact arm; the scale path generates
-    * candidates from IVF probed cells / LSH buckets and applies the
-    * same mutual filter). `sim` is identical from both directions —
+    * EXACT BASELINE over [[bruteForceTopK]]'s top-1 (the q28
+    * contract: all-pairs work, query side broadcast — correct at any
+    * size but O(n²); the correctness anchor the bounded arms are
+    * spec-pinned against). The SCALE PATHS are
+    * [[mutualNearestNeighborsIvf]] (IVF probed-cell candidates) and
+    * [[mutualNearestNeighborsFromCandidates]] (any bounded candidate
+    * pair frame, e.g. LSH buckets) — same reciprocal filter, bounded
+    * candidate generation. `sim` is identical from both directions —
     * dot and norm products are IEEE-commutative — so the self-join
     * dedup by `a < b` loses nothing.
     */
   def mutualNearestNeighbors(df: DataFrame,
       idCol: String = "vec_id", embCol: String = "embedding")
-      : DataFrame = {
-    val top1 = bruteForceTopK(df, df, k = 1, idCol, embCol)
-      .select(col("query_id"), col("neighbor_id"), col("sim"))
-      .localCheckpoint()
+      : DataFrame =
+    mutualFilter(bruteForceTopK(df, df, k = 1, idCol, embCol)
+      .select(col("query_id"), col("neighbor_id"), col("sim")))
+
+  /** The reciprocal filter every mutual-NN arm shares: from a
+    * per-query top-1 frame `(query_id, neighbor_id, sim)`, the pairs
+    * where each side is the other's best — `(a, b, sim)`, a < b.
+    * The top-1 frame is tiny (one row per query) and feeds both
+    * self-join sides, so it is checkpointed once.
+    */
+  private def mutualFilter(top1Raw: DataFrame): DataFrame = {
+    val top1 = top1Raw.localCheckpoint()
     val rev = top1.select(col("query_id").as("r_q"),
       col("neighbor_id").as("r_n"))
     top1.join(rev,
@@ -352,6 +364,85 @@ object Similarity {
       .select(col("query_id").as("a"), col("neighbor_id").as("b"),
         col("sim"))
       .orderBy(col("a"))
+  }
+
+  /** CANDIDATE-BOUNDED mutual nearest neighbors — the 100 TB arm of
+    * [[mutualNearestNeighbors]]: IVF cells bound which pairs are ever
+    * scored ([[ivfTopK]]'s probe join — queries score only their
+    * `nprobe` nearest of `nCentroids` cells), then the same reciprocal
+    * filter keeps pairs that are each other's within-candidates top-1.
+    *
+    * Semantics: EXACT mutual-NN restricted to IVF candidates — when
+    * the probed cells cover every vector's true top-1 (always at
+    * `nprobe = nCentroids`, where this is spec-pinned ≡ the exact
+    * arm), the result IS the exact answer; below that, recall follows
+    * the IVF S-curve (measure with tools/RecallAb on your corpus
+    * before trusting a (nCentroids, nprobe) config — the q183
+    * calibration discipline). `trainIters > 0` refines the cells by
+    * spherical k-means ([[trainedCentroids]]) for production recall;
+    * the seeded default keeps the whole pipeline oracle-replayable.
+    *
+    * Scale shape (vs the exact arm's all-pairs broadcast): candidate
+    * generation is [[ivfTopK]]'s bounded probe join —
+    * ~nprobe/nCentroids of the corpus scored per query, centroids
+    * broadcast, per-query top-1 via one partial-aggregated window —
+    * and the reciprocal filter touches only the n-row top-1 frame.
+    * Nothing anywhere is O(n²).
+    */
+  def mutualNearestNeighborsIvf(df: DataFrame,
+      nCentroids: Int, nprobe: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      trainIters: Int = 0): DataFrame =
+    mutualFilter(
+      ivfTopK(df, df, k = 1, nCentroids, nprobe, idCol, embCol,
+          trainIters)
+        .select(col("query_id"), col("neighbor_id"), col("sim")))
+
+  /** [[mutualNearestNeighbors]] over a CALLER-SUPPLIED candidate pair
+    * frame — the generic bounded arm for candidate generators this
+    * module doesn't own (LSH buckets via [[lshNearDupPairs]]'
+    * machinery, a blocking key join, yesterday's pair artifact):
+    * `pairs` holds undirected candidate pairs `(da, db)`; each side's
+    * top-1 WITHIN its candidates is computed (exact rounded cosine,
+    * id tiebreak), then the reciprocal filter applies. Returns
+    * `(a, b, sim)`, a < b.
+    *
+    * Exact whenever the candidate set covers each vector's true
+    * top-1 (spec-pinned on an LSH-covered corpus); vectors with no
+    * candidate pair simply produce nothing. Cost: one equi-join of
+    * the pair frame against the embedding frame per side (ids are
+    * join keys — never a cross product) + a map-side-combined max_by
+    * per query; everything is candidate-frame-sized.
+    */
+  def mutualNearestNeighborsFromCandidates(pairs: DataFrame,
+      emb: DataFrame, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol).cast("long").as("id"),
+      col(embCol).as("e"), sqrt(norm2(col(embCol))).as("nrm"))
+    // symmetrize once: per-side top-1 needs both directions of each
+    // undirected candidate pair
+    val undirected = pairs
+      .select(col("da").cast("long").as("qid"),
+        col("db").cast("long").as("nid"))
+    val directed = undirected.union(
+      undirected.select(col("nid").as("qid"), col("qid").as("nid")))
+    val scored = directed
+      .join(e.select(col("id").as("qid"), col("e").as("q_e"),
+        col("nrm").as("q_nrm")), Seq("qid"))
+      .join(e.select(col("id").as("nid"), col("e").as("n_e"),
+        col("nrm").as("n_nrm")), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("q_e"), col("n_e")) /
+          (col("q_nrm") * col("n_nrm")), 6).as("sim"))
+    // within-candidates top-1: max_by over (sim, −id) — the
+    // assignCells aggregation shape (partial map-side combine), not a
+    // ranking window
+    val top1 = scored.groupBy(col("qid"))
+      .agg(max_by(struct(col("nid"), col("sim")),
+        struct(col("sim"), (-col("nid")).as("ni"))).as("best"))
+      .select(col("qid").as("query_id"),
+        col("best.nid").as("neighbor_id"), col("best.sim").as("sim"))
+    mutualFilter(top1)
   }
 
   /** Bucket id for LSH table `t`: `planesPerTable` sign bits from the

@@ -603,8 +603,22 @@ object Stats {
     * through by (n₁n₂)²N²/N to
     * `(x₁n₂ − x₂n₁)²·N·zDen > zNum·X·(N−X)·n₁·n₂`
     * with z² the exact rational zNum/zDen (default 1.96 = 49/25 →
-    * z² = 2401/625). Products ride DECIMAL(38,0) (the q148 headroom
-    * rule): exact to n ~ 10⁹ per arm.
+    * z² = 2401/625).
+    *
+    * Headroom (ADVICE r10 — the raw five-factor LHS left only ~9×10⁶
+    * rows per arm before DECIMAL(38,0) overflowed, which Spark's
+    * non-ANSI decimals turn into a SILENT null `significant`):
+    *  - the zDen factor is folded away by an exact staged quotient —
+    *    for integers T, U and zDen > 0, `T·zDen > U·zNum ⟺
+    *    T > (U·zNum) div zDen` (proof: with Q = (U·zNum) div zDen and
+    *    0 ≤ R < zDen the remainder, T·zDen > Q·zDen + R ⟺
+    *    (T−Q)·zDen > R ⟺ T > Q) — so the compared products are
+    *    T = D²·N ≤ 2n⁵ and U·zNum ≤ zNum·n⁴: exact to
+    *    n ≈ 3×10⁷ per arm at the default z;
+    *  - past that the test RAISES (max(n_a, n_b) guard) instead of
+    *    returning null — an experiment that large should use the
+    *    normal approximation on aggregated rates, not per-row exact
+    *    arithmetic.
     *
     * Output one row: `(n_a, x_a, n_b, x_b, rate_a_ppm, rate_b_ppm,
     * diff_ppm, significant)`. One map-side-combined aggregation.
@@ -615,7 +629,12 @@ object Stats {
   def twoProportionTest(df: DataFrame, armCol: String,
       convCol: String, zNum: Long = 2401L, zDen: Long = 625L)
       : DataFrame = {
+    require(zNum > 0 && zDen > 0, "z² rational must be positive")
     val d38 = "decimal(38,0)"
+    // exact bound for T = D²·N ≤ (n_a·n_b)²·(n_a+n_b) within 38 digits:
+    // with n = max arm, T ≤ 2n⁵, and 2·(3×10⁷)⁵ ≈ 4.9×10³⁷ < 10³⁸
+    // with margin; the U side (zNum·n⁴ ≈ 2×10³³) binds far later
+    val maxArm = 30000000L
     df.agg(
         sum(when(col(armCol), 1L).otherwise(0L)).as("n_a"),
         sum(when(col(armCol) && col(convCol), 1L).otherwise(0L))
@@ -628,11 +647,17 @@ object Stats {
         expr("(x_b * 1000000) div n_b").as("rate_b_ppm"),
         expr("(x_a * 1000000) div n_a - (x_b * 1000000) div n_b")
           .as("diff_ppm"),
-        expr(s"""CAST(x_a * n_b - x_b * n_a AS $d38) *
-                 CAST(x_a * n_b - x_b * n_a AS $d38) *
-                 (n_a + n_b) * $zDen >
-                 CAST($zNum AS $d38) * (x_a + x_b) *
-                 (n_a + n_b - x_a - x_b) * n_a * n_b""")
+        when(greatest(col("n_a"), col("n_b")) > maxArm,
+          raise_error(lit(s"twoProportionTest: arm size exceeds the " +
+            s"exact-arithmetic headroom ($maxArm rows) — aggregate " +
+            "first and use a normal-approximation test")))
+          .otherwise(
+            expr(s"""CAST(x_a * n_b - x_b * n_a AS $d38) *
+                     CAST(x_a * n_b - x_b * n_a AS $d38) *
+                     (n_a + n_b) >
+                     (CAST($zNum AS $d38) * (x_a + x_b) *
+                      (n_a + n_b - x_a - x_b) * n_a * n_b)
+                     div $zDen"""))
           .as("significant"))
   }
 
@@ -752,9 +777,16 @@ object Stats {
       val counts = df.filter(col(c).isNotNull)
         .groupBy(col(c).cast("string").as("v"))
         .agg(count(lit(1)).as("cnt"))
+      // global agg, not orderBy.limit(1): an ALL-NULL column has an
+      // empty `counts`, and a zero-row top frame would cross-join the
+      // column's card row out of the report entirely — exactly the
+      // broken-feed column the card exists to flag (ADVICE r10). The
+      // agg always yields one row (null top_value on empty input), and
+      // min_by((−cnt, v)) is the same highest-count/lowest-value pick
+      // without the sort.
       val top = counts
-        .orderBy(col("cnt").desc, col("v").asc).limit(1)
-        .select(col("v").as("top_value"))
+        .agg(min_by(col("v"), struct((-col("cnt")).as("nc"), col("v")))
+          .as("top_value"))
       // min/max in the column's NATIVE ordering (numeric/date), then
       // canonical string form — lexicographic min of "99" vs "100"
       // would invert numerics

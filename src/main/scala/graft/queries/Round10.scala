@@ -49,10 +49,14 @@ object Round10 {
     // rarest-shingle prefix keeps corpus-wide boilerplate out of the
     // join (DedupSpec pins prefix ≡ naive; ScaleContain measures the
     // bounded curve)
+    // consumes the q244 shared ranked-shingle artifact (contained-side
+    // prefix, container side, and verification frames are all
+    // projections/filters of it — zero corpus passes here)
     QueryDef("q161_containment_prefix",
       (s, dir) => graft.operators.Dedup.containmentPairsPrefix(
           t("documents")(s, dir), "doc_id", "text", n = 3,
-          threshold = 0.8)
+          threshold = 0.8,
+          rankedIn = Some(Round11.sharedRanked(s, dir)))
         .orderBy(col("contained"), col("container")),
       Some(s"""WITH ${CorpusOps.oShinglesSql},
               |hs AS (SELECT doc_id, ${CorpusOps.oH60("s")} AS h FROM sh),

@@ -299,9 +299,14 @@ object Round3 {
     // those). The pruning is lossless, so the oracle is the NAIVE
     // all-pairs SQL — the driver hash-checks that the pruned plan is
     // indistinguishable from the unpruned semantics.
+    // consumes the shared ranked-shingle artifact (built + charged by
+    // q244_ranked_build, the q105/q115 registration discipline) — the
+    // shingle set, prefix, and verification frames all derive from it,
+    // so no corpus pass is rebuilt here; values identical either way
     QueryDef("q66_jaccard_prefix",
       (s, dir) => Dedup.jaccardPairsPrefix(t("documents")(s, dir),
-          "doc_id", "text", n = 3, threshold = 0.5)
+          "doc_id", "text", n = 3, threshold = 0.5,
+          ranked = Some(Round11.sharedRanked(s, dir)))
         .orderBy(col("da"), col("db")),
       Some(s"""WITH ${graft.queries.CorpusOps.oShinglesSql},
               |hs AS (SELECT doc_id,

@@ -362,6 +362,46 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("pre-built rankedShingleRows artifact ≡ self-built frames in " +
+      "both PPJoin consumers (the q244 shared-artifact contract)") {
+    def canonJ(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("da", "db").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    def canonC(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("contained", "container").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    val ranked = Dedup.rankedShingleRows(quoteCorpus, "doc_id", "text",
+      n = 3, cache = false).localCheckpoint()
+    for (t <- Seq(0.5, 0.8)) {
+      assert(
+        canonJ(Dedup.jaccardPairsPrefix(quoteCorpus, "doc_id", "text",
+          n = 3, threshold = t, cache = false,
+          ranked = Some(ranked))) ==
+        canonJ(Dedup.jaccardPairsPrefix(quoteCorpus, "doc_id", "text",
+          n = 3, threshold = t, cache = false)),
+        s"jaccard artifact != self-built at t=$t")
+      assert(
+        canonC(Dedup.containmentPairsPrefix(quoteCorpus, "doc_id",
+          "text", n = 3, threshold = t, cache = false,
+          rankedIn = Some(ranked))) ==
+        canonC(Dedup.containmentPairsPrefix(quoteCorpus, "doc_id",
+          "text", n = 3, threshold = t, cache = false)),
+        s"containment artifact != self-built at t=$t")
+    }
+    // the artifact itself: pos is a 1..n permutation per doc, n is the
+    // doc's distinct-shingle count, order is ascending global dfreq
+    val byDoc = ranked.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .groupBy(_._1)
+    byDoc.foreach { case (d, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq,
+        s"doc $d pos not a permutation")
+      assert(rows.forall(_._4 == rows.length), s"doc $d n mismatch")
+    }
+  }
+
   test("containmentPairs maxShingleDf: capped run reports lower-bound " +
       "containment over exact sizes; drops only stop-shingle overlap") {
     val un = Dedup.containmentPairs(quoteCorpus, "doc_id", "text",

@@ -26,6 +26,25 @@ class RanksSpec extends SparkSpec {
     }
   }
 
+  test("globalRowNumbers: full-long key spans (hash-derived ids) rank " +
+      "correctly — the bucket arithmetic must not wrap (ADVICE r10)") {
+    // keys spanning nearly the whole long range, including both
+    // extremes: (k − min) · B overflowed BIGINT here and scrambled
+    // bucket order silently; the DECIMAL(38,0) arithmetic is exact
+    // even at span 2⁶⁴
+    val keys = Seq(Long.MinValue, Long.MinValue + 17L, -987654321L,
+      -1L, 0L, 42L, 1234567890123L, Long.MaxValue - 5L, Long.MaxValue)
+    val df = keys.map(Tuple1(_)).toDF("k").repartition(5)
+    for (b <- Seq(7, 1024)) {
+      val got = Ranks.globalRowNumbers(df, "k", buckets = b)
+        .orderBy("global_rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val expect = keys.sorted.zipWithIndex
+        .map { case (k, i) => (k, i.toLong) }
+      assert(got == expect, s"buckets=$b: $got")
+    }
+  }
+
   test("plan: the row frame is ranked under a PARTITIONED window; " +
       "only the bucket frame is unpartitioned") {
     val df = (1L to 5000L).map(Tuple1(_)).toDF("k")

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CI recall gate for the ANN family (r10 verdict ask #6): the oracle
+  * rows pin determinism, not retrieval quality — a config drift
+  * (nprobe, bands, codebook size) could halve recall while every
+  * catalog row stays green. This spec measures recall@10 against the
+  * exact brute-force baseline on the driver's sf0.001 embeddings
+  * (500 × 64d, deterministic) and asserts:
+  *  - structure: IVF probing EVERY cell is exactly the brute-force
+  *    answer (recall 1.0 — the bounded arms' correctness anchor);
+  *  - ordering: trained codebooks/cells never fall below their seeded
+  *    baselines (the whole point of trainIters — RecallAb measured
+  *    0.280 vs 0.234 ADC, 0.220 vs 0.132 residual at these configs);
+  *  - floors: each family stays above a hard floor set ~35% below its
+  *    measured value — tight enough that a recall halving fails the
+  *    build, loose enough that benign rounding shifts don't.
+  *
+  * Everything here is deterministic (seeded centroids, fixed corpus,
+  * rounded similarities), so the measured values are stable across
+  * runs; a FAIL means the retrieval code or config actually changed.
+  */
+class RecallGateSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val k = 10
+  private val nQ = 50
+
+  private lazy val emb =
+    Tables.load(spark, sf, "embeddings").localCheckpoint()
+  private lazy val queries = emb.filter(col("vec_id") < nQ)
+  private lazy val exact = Similarity
+    .bruteForceTopK(queries, emb, k)
+    .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+  private lazy val denom = exact.count().toDouble
+
+  private def recall(df: DataFrame): Double = {
+    val hits = df.select(col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id")).count()
+    spark.catalog.clearCache()
+    hits / denom
+  }
+
+  test("IVF probing every cell ≡ brute force (recall exactly 1.0)") {
+    val r = recall(Similarity.ivfTopK(queries, emb, k,
+      nCentroids = 8, nprobe = 8))
+    assert(r == 1.0, s"full-probe IVF recall $r != 1.0")
+  }
+
+  test("IVF at nprobe 2 holds its floor") {
+    val r = recall(Similarity.ivfTopK(queries, emb, k,
+      nCentroids = 8, nprobe = 2))
+    info(f"ivf@2 recall $r%.4f")
+    assert(r >= 0.35, s"IVF nprobe=2 recall $r below floor 0.35")
+  }
+
+  test("PQ ADC: trained codebooks ≥ seeded, both above floor") {
+    val seeded = recall(Similarity.pqTopK(queries, emb, k,
+      dims = 64, m = 8, nCentroids = 16))
+    val trained = recall(Similarity.pqTopK(queries, emb, k,
+      dims = 64, m = 8, nCentroids = 16, trainIters = 3))
+    info(f"pq seeded $seeded%.4f trained $trained%.4f")
+    assert(trained >= seeded,
+      s"training REDUCED ADC recall: $trained < $seeded")
+    assert(seeded >= 0.15, s"seeded ADC recall $seeded below floor")
+    assert(trained >= 0.18, s"trained ADC recall $trained below floor")
+  }
+
+  test("residual IVF-PQ: trained cells ≥ seeded, both above floor " +
+      "(the q88 seeded-residual warning's measured basis)") {
+    val seeded = recall(Similarity.ivfPqResidualTopK(queries, emb, k,
+      nCells = 8, nprobe = 2, dims = 64, m = 8, nCentroids = 16,
+      acknowledgeSeeded = true))
+    val trained = recall(Similarity.ivfPqResidualTopK(queries, emb, k,
+      nCells = 8, nprobe = 2, dims = 64, m = 8, nCentroids = 16,
+      trainIters = 3))
+    info(f"residual seeded $seeded%.4f trained $trained%.4f")
+    assert(trained >= seeded,
+      s"training REDUCED residual recall: $trained < $seeded")
+    assert(seeded >= 0.08, s"seeded residual recall $seeded below floor")
+    assert(trained >= 0.14,
+      s"trained residual recall $trained below floor")
+  }
+}

@@ -291,4 +291,94 @@ class SimilaritySpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(math.abs(sim - expect) < 1e-9, s"$sim vs $expect")
   }
+
+  // a larger deterministic corpus for the bounded-arm equivalences:
+  // 30 vectors in 8 dims, no duplicates, spread over the sphere
+  private def corpus30 = {
+    import spark.implicits._
+    (0L until 30L).map { i =>
+      (i, Array.tabulate(8)(d =>
+        (math.sin(i * 31 + d * 7) + 0.1 * math.cos(i * 3 + d)).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def canonPairs(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2)).toSeq
+
+  test("mutualNearestNeighborsIvf ≡ exact arm when probes cover every " +
+      "cell (the bounded arm's correctness anchor)") {
+    val exact = canonPairs(Similarity.mutualNearestNeighbors(corpus30))
+    assert(exact.nonEmpty, "degenerate fixture: no mutual pair")
+    // nprobe = nCentroids ⇒ every query scores every candidate — the
+    // IVF arm's candidate set covers every true top-1 by construction
+    val bounded = canonPairs(Similarity.mutualNearestNeighborsIvf(
+      corpus30, nCentroids = 6, nprobe = 6))
+    assert(bounded == exact, s"bounded $bounded vs exact $exact")
+  }
+
+  test("mutualNearestNeighborsIvf with partial probes returns a subset " +
+      "of candidate-restricted mutual pairs, never a fabricated pair") {
+    // with nprobe < nCentroids the arm is exact mutual-NN restricted
+    // to IVF candidates: any surviving pair must be reciprocal top-1
+    // within the probed candidates, so every (a, b, sim) it emits must
+    // carry the TRUE rounded cosine of (a, b)
+    val emb = corpus30.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+      .toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (emb(a), emb(b))
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      val n = math.sqrt(x.map(v => v * v).sum) *
+        math.sqrt(y.map(v => v * v).sum)
+      BigDecimal(d / n).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    val got = canonPairs(Similarity.mutualNearestNeighborsIvf(
+      corpus30, nCentroids = 6, nprobe = 2))
+    got.foreach { case (a, b, s) =>
+      assert(a < b, s"orientation ($a, $b)")
+      assert(math.abs(s - cos(a, b)) < 1e-9,
+        s"pair ($a, $b) sim $s != true cosine ${cos(a, b)}")
+    }
+  }
+
+  test("mutualNearestNeighborsFromCandidates ≡ exact arm when the " +
+      "candidate pairs cover every true top-1") {
+    val exact = canonPairs(Similarity.mutualNearestNeighbors(corpus30))
+    // candidates = exact top-2 pairs (a strict superset of top-1,
+    // far smaller than all-pairs) — the LSH/blocking-key stand-in
+    val top2 = Similarity.bruteForceTopK(corpus30, corpus30, k = 2)
+      .select(col("query_id").as("da"), col("neighbor_id").as("db"))
+    val bounded = canonPairs(
+      Similarity.mutualNearestNeighborsFromCandidates(top2, corpus30))
+    assert(bounded == exact, s"bounded $bounded vs exact $exact")
+  }
+
+  test("mutualNearestNeighborsFromCandidates: vectors outside the " +
+      "candidate frame produce nothing; a lone covered pair survives") {
+    import spark.implicits._
+    val pairs = Seq((0L, 4L)).toDF("da", "db")
+    val got = canonPairs(
+      Similarity.mutualNearestNeighborsFromCandidates(pairs, vecs))
+    // within candidates, 0 and 4 are each other's only (hence best)
+    // neighbor — reciprocal by construction; nothing else may appear
+    assert(got.map(p => (p._1, p._2)) == Seq((0L, 4L)), got.toString)
+  }
+
+  test("dot/cosine fail loudly on ragged (dimension-mismatched) input " +
+      "— never a silent common-prefix similarity") {
+    import spark.implicits._
+    val ragged = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+    val e = intercept[Exception] {
+      ragged.select(Similarity.dot(col("a"), col("b")).as("d"))
+        .collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("dimension mismatch"))),
+      s"unexpected failure: $e")
+  }
 }

@@ -344,4 +344,65 @@ class StatsSpec extends SparkSpec {
       "arm_a", "converted").collect().head
     assert(!eq.getBoolean(7))
   }
+
+  test("twoProportionTest staged quotient ≡ the exact rational test " +
+      "on boundary-hugging hand cases (the zDen fold, ADVICE r10)") {
+    import spark.implicits._
+    // the operator compares T = D²·N against (U·zNum) div zDen; this
+    // cross-checks the boolean against the UNfolded exact rational
+    // T·zDen > U·zNum computed in BigInt, on cases that straddle the
+    // boundary (including the degenerate equal-rates case D = 0,
+    // which must be NOT significant on both formulations)
+    val cases = Seq(
+      (50, 5, 50, 10), (200, 20, 200, 39), (200, 20, 200, 40),
+      (9, 3, 9, 4), (12, 0, 8, 8), (25, 25, 25, 0), (10, 5, 10, 5))
+    cases.foreach { case (na, xa, nb, xb) =>
+      val df = ((1 to na).map(i => (true, i <= xa)) ++
+        (1 to nb).map(i => (false, i <= xb))).toDF("a", "c")
+      val got = Stats.twoProportionTest(df, "a", "c")
+        .collect().head.getBoolean(7)
+      val (bNa, bXa, bNb, bXb) =
+        (BigInt(na), BigInt(xa), BigInt(nb), BigInt(xb))
+      val d = bXa * bNb - bXb * bNa
+      val expect = d * d * (bNa + bNb) * 625 >
+        BigInt(2401) * (bXa + bXb) * (bNa + bNb - bXa - bXb) * bNa * bNb
+      assert(got == expect, s"($na,$xa,$nb,$xb): got $got want $expect")
+    }
+  }
+
+  test("twoProportionTest raises past the exact-arithmetic headroom " +
+      "instead of returning a silent null verdict") {
+    import spark.implicits._
+    // one arm over the bound, the other small but non-empty (empty
+    // arms fail earlier on the rate division — a different guard)
+    val big = spark.range(30000002L)
+      .select((col("id") > 0).as("a"), (col("id") % 2 === 0).as("c"))
+    val e = intercept[Exception] {
+      Stats.twoProportionTest(big, "a", "c").collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(e).exists(c => Option(c.getMessage)
+        .exists(_.contains("headroom"))), s"unexpected failure: $e")
+  }
+
+  test("profileColumns: an ALL-NULL column still reports its card " +
+      "(n_distinct 0, null mode) instead of vanishing (ADVICE r10)") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)](
+      (null, "x"), (null, "y"), (null, "y"))
+      .toDF("dead", "alive")
+    val got = Stats.profileColumns(df, Seq("dead", "alive"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.contains("dead"),
+      "the broken-feed column must appear in the card")
+    val d = got("dead")
+    assert(d.getLong(1) == 3L && d.getLong(2) == 3L &&
+      d.getLong(3) == 0L, d.toString)
+    assert(d.isNullAt(4) && d.isNullAt(5) && d.isNullAt(6) &&
+      d.isNullAt(7), s"all-null column stats must be null: $d")
+    val a = got("alive")
+    assert(a.getLong(3) == 2L && a.getString(6) == "y" &&
+      a.getLong(7) == 666666L, a.toString)
+  }
 }

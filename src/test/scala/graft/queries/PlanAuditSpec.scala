@@ -265,4 +265,65 @@ class PlanAuditSpec extends SparkSpec {
     // partitioning is reused — the static bound stays ≤ 6)
     assert(s.bcast >= 1 && s.hash <= 6, s)
   }
+
+  test("q247_tpch15: one fact exchange for the revenue view; the " +
+      "one-row max and the supplier dim broadcast back — no " +
+      "re-aggregation, no cartesian") {
+    val plan = SparkEntry.queries("q247_tpch15")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    val s = shape("q247_tpch15")
+    // hash exchanges: the per-supplier revenue agg on each consumer
+    // branch of the view (max branch + probe branch — the view is not
+    // materialized in the static plan) — ≤ 2; supplier broadcasts
+    assert(s.hash <= 2 && s.bcast >= 1 && s.pushed >= 1, s)
+  }
+
+  test("q248_tpch17: the correlated scalar agg decorrelates to ONE " +
+      "per-part aggregation joined back BROADCAST — no cartesian, " +
+      "no nested-loop, no per-row re-aggregation") {
+    val plan = SparkEntry.queries("q248_tpch17")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+    val s = shape("q248_tpch17")
+    // exchanges: the per-part stats agg (partial+final); the part
+    // filter and the stats frame broadcast onto the fact scan
+    assert(s.hash <= 2 && s.bcast >= 2 && s.pushed >= 1, s)
+  }
+
+  test("q249_tpch20: nested EXISTS chain compiles to broadcast " +
+      "semi-joins + one conditional aggregation — no second fact " +
+      "pass, no cartesian, no nested-loop") {
+    val plan = SparkEntry.queries("q249_tpch20")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+    assert(plan.contains("LeftSemi"), plan.take(600))
+    // exactly ONE lineitem scan: the window-vs-total compare folds
+    // into one conditional aggregation instead of two fact passes
+    assert("Scan parquet .*lineitem|FileScan parquet.*lineitem".r
+      .findAllIn(plan).size == 1, "lineitem must be scanned once")
+    val s = shape("q249_tpch20")
+    // exchanges: the (suppkey, partkey) agg + the distinct suppkey
+    // frame; part/nation/qualifying sides broadcast
+    assert(s.hash <= 3 && s.bcast >= 2, s)
+  }
+
+  test("q245_mutual_nn_ivf: bounded arm — centroids/probes broadcast, " +
+      "no cartesian; the only nested-loop is the model-sized centroid " +
+      "cross (the q42 assignment shape), never corpus × corpus") {
+    val plan = SparkEntry.queries("q245_mutual_nn_ivf")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    // every BroadcastNestedLoopJoin in this plan must be the
+    // centroid-frame cross (assignCells / probe scoring): its build
+    // side is the nCentroids-row frame, which the static plan shows
+    // as a broadcast of the LIMIT-8 subtree — corpus×corpus would
+    // appear as a BNLJ over two scans without the limit
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    val limits = "(?i)limit".r.findAllIn(plan).size
+    assert(bnlj == 0 || limits >= 1, s"$bnlj BNLJ without a " +
+      "model-sized limit side — corpus-scale nested loop crept in")
+  }
 }
