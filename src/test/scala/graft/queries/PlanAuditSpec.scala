@@ -310,6 +310,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.hash <= 3 && s.bcast >= 2, s)
   }
 
+  test("q250/q256/q257/q258 (TPC-H Q4/Q16/Q18/Q2 shapes): EXISTS → " +
+      "semi, NOT IN → anti, HAVING-IN → agg+join, correlated MIN → " +
+      "argmin agg — no cartesian/nested-loop anywhere") {
+    Seq("q250_tpch4", "q256_tpch16", "q257_tpch18", "q258_tpch2")
+      .foreach { q =>
+        val plan = SparkEntry.queries(q)(spark, sf)
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"), s"$q cartesian")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$q nested-loop")
+      }
+    val q4 = SparkEntry.queries("q250_tpch4")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(q4.contains("LeftSemi"), "Q4 EXISTS must be a semi join")
+    val q16 = SparkEntry.queries("q256_tpch16")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(q16.contains("LeftAnti"), "Q16 NOT IN must be an anti join")
+    // Q2's correlated MIN decorrelates to a map-side argmin, never a
+    // rank window: no unpartitioned Window in the plan
+    val q2 = SparkEntry.queries("q258_tpch2")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!q2.contains("Window"), "Q2 must use min_by, not a window")
+  }
+
   test("q245_mutual_nn_ivf: bounded arm — centroids/probes broadcast, " +
       "no cartesian; the only nested-loop is the model-sized centroid " +
       "cross (the q42 assignment shape), never corpus × corpus") {
