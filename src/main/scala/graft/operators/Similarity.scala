@@ -392,11 +392,49 @@ object Similarity {
   def mutualNearestNeighborsIvf(df: DataFrame,
       nCentroids: Int, nprobe: Int,
       idCol: String = "vec_id", embCol: String = "embedding",
-      trainIters: Int = 0): DataFrame =
-    mutualFilter(
-      ivfTopK(df, df, k = 1, nCentroids, nprobe, idCol, embCol,
-          trainIters)
-        .select(col("query_id"), col("neighbor_id"), col("sim")))
+      trainIters: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // [[ivfTopK]]'s probe pipeline, with the generic k ranking window
+    // replaced by a per-query max_by argmax: k = 1 needs no sorted
+    // group — the partial aggregation combines map-side over the
+    // probed-cell scored stream (the assignCells shape), cutting the
+    // window sort of ~|q|·nprobe·|cell| rows. Same rounding, same
+    // (sim desc, id asc) tiebreak ⇒ bit-identical to ivfTopK(k=1)
+    // (spec-pinned via the ≡-exact equivalences).
+    val cen =
+      if (trainIters > 0)
+        trainedCentroids(df, nCentroids, trainIters, idCol, embCol)
+      else seedCentroids(df, nCentroids, idCol, embCol)
+    val assigned = assignCells(df, cen, idCol, embCol)
+      .select(col("id").as("neighbor_id"), col("e").as("c_emb"),
+        col("nrm").as("c_nrm"), col("cell"))
+    val q = df.select(col(idCol).as("query_id"),
+      col(embCol).as("q_emb"), sqrt(norm2(col(embCol))).as("q_nrm"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("psim").desc, col("cen_id"))
+    val probes = q.join(broadcast(cen), lit(true))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        col("cen_id"),
+        round(dot(col("q_emb"), col("cen_e")) /
+          (col("q_nrm") * col("cen_nrm")), 6).as("psim"))
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        col("cen_id").as("cell"))
+    val np = df.sparkSession.sparkContext.defaultParallelism
+    val top1 = probes
+      .join(assigned.repartition(np, col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("q_emb"), col("c_emb")) /
+          (col("q_nrm") * col("c_nrm")), 6).as("sim"))
+      .groupBy(col("query_id"))
+      .agg(max_by(struct(col("neighbor_id"), col("sim")),
+        struct(col("sim"), (-col("neighbor_id")).as("ni"))).as("best"))
+      .select(col("query_id"), col("best.neighbor_id").as("neighbor_id"),
+        col("best.sim").as("sim"))
+    mutualFilter(top1)
+  }
 
   /** [[mutualNearestNeighbors]] over a CALLER-SUPPLIED candidate pair
     * frame — the generic bounded arm for candidate generators this
