@@ -568,9 +568,10 @@ object Dedup {
     * all-pairs); the exact-Jaccard verification joins only the
     * CANDIDATE pairs against the (cached) hashed shingle set — cost
     * proportional to candidates × doc size, the same bound as
-    * [[jaccardPairsPrefix]]'s verification phase. A banded pair that
-    * shares no shingle (possible: equal minhashes need only equal
-    * RARE extremes) contributes inter = 0 via the left join.
+    * [[jaccardPairsPrefix]]'s verification phase (and the same
+    * sorted-array merge kernel). A banded pair that shares no shingle
+    * (possible: equal minhashes need only equal RARE extremes)
+    * contributes inter = 0 straight from the kernel.
     */
   def lshCalibration(df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, bands: Int, cache: Boolean = true): DataFrame = {
@@ -584,21 +585,27 @@ object Dedup {
         m.cast("bigint").as("mm"))
       .distinct()
     val sh = hashedShingleSet(df, idCol, textCol, n, cache)
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("nn"))
-    val inter = cand
-      .join(sh.as("x"), col("da") === col("x.doc_id"))
-      .select(col("da"), col("db"), col("mm"), col("x.h").as("xh"))
-      .join(sh.as("y"),
-        col("db") === col("y.doc_id") && col("xh") === col("y.h"))
-      .groupBy(col("da"), col("db"), col("mm"))
-      .agg(count(lit(1)).as("inter"))
-    cand.join(inter, Seq("da", "db", "mm"), "left")
-      .withColumn("inter", coalesce(col("inter"), lit(0L)))
-      .join(sz.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sz.as("sb"), col("db") === col("sb.doc_id"))
+    // exact verification via sorted per-doc arrays + the native
+    // merge-count kernel (the jaccardPairsPrefix shape — join-
+    // multiplicity-identical to the two-sided shingle join it
+    // replaces); the size rides the array (nn = its length), and a
+    // shared-nothing banded pair gets inter = 0 straight from the
+    // kernel — no left join + coalesce needed
+    val arr = sh.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("h"))).as("arr"))
+    cand
+      .join(arr.select(col("doc_id").as("da"), col("arr").as("_aa")),
+        Seq("da"))
+      .join(arr.select(col("doc_id").as("db"), col("arr").as("_ab")),
+        Seq("db"))
+      .select(col("da"), col("db"), col("mm"),
+        graft.functions.SortedIntersect.count(col("_aa"), col("_ab"))
+          .as("inter"),
+        size(col("_aa")).cast("bigint").as("nn_a"),
+        size(col("_ab")).cast("bigint").as("nn_b"))
       .select(col("da"), col("db"),
         expr(s"(mm * 1000000) div $k").as("est_ppm"),
-        expr("(inter * 1000000) div (sa.nn + sb.nn - inter)")
+        expr("(inter * 1000000) div (nn_a + nn_b - inter)")
           .as("true_ppm"))
       .groupBy(expr("est_ppm div 100000").as("est_decile"))
       .agg(count(lit(1)).as("n_pairs"),
