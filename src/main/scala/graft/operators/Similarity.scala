@@ -483,6 +483,132 @@ object Similarity {
     mutualFilter(top1)
   }
 
+  /** Every (left, right) pair's rounded cosine — the cross-corpus
+    * scored stream shared by [[mutualNearestNeighborsBetween]] and
+    * [[marginMiningScores]]: the left side broadcasts onto the
+    * (rebalanced) right scan, so the pair stream is generated
+    * map-side and never shuffled as pairs (the [[bruteForceTopK]]
+    * shape WITHOUT the self-exclusion — cross-corpus ids live in
+    * separate namespaces, so numeric collisions are legitimate
+    * pairs).
+    */
+  private def crossScores(left: DataFrame, right: DataFrame,
+      idCol: String, embCol: String): DataFrame = {
+    val l = left.select(col(idCol).as("left_id"),
+      col(embCol).as("l_emb"), sqrt(norm2(col(embCol))).as("l_nrm"))
+    val r = graft.Tables.rebalance(
+      right.select(col(idCol).as("right_id"),
+        col(embCol).as("r_emb"), sqrt(norm2(col(embCol))).as("r_nrm")))
+    r.join(broadcast(l), lit(true))
+      .select(col("left_id"), col("right_id"),
+        round(dot(col("l_emb"), col("r_emb")) /
+          (col("l_nrm") * col("r_nrm")), 6).as("sim"))
+  }
+
+  /** CROSS-CORPUS mutual nearest neighbors — the actual bitext-mining
+    * deployment shape (LASER/CCMatrix mine pairs BETWEEN a source and
+    * a target corpus, not within one): `(left_id, right_id, sim)`
+    * where right is left's cosine top-1 in RIGHT and left is right's
+    * top-1 in LEFT. The self-corpus [[mutualNearestNeighbors]] is the
+    * degenerate left = right case (minus its self-exclusion).
+    *
+    * Exact baseline: the scored stream is generated twice (once per
+    * top-1 aggregation — each pass is map-side broadcast work, and
+    * persisting an |L|·|R| frame would cost more than re-scoring);
+    * both top-1s are partial-combining max_by argmaxes, never a
+    * ranking window. At scale, bound candidates first and feed the
+    * pair frame to [[mutualNearestNeighborsFromCandidates]] — with
+    * directed pairs from IVF/LSH the reciprocal filter is identical.
+    * Ids must be unique within each frame; the two id spaces are
+    * independent (equal numeric ids across frames are a normal
+    * cross-corpus pair).
+    */
+  def mutualNearestNeighborsBetween(left: DataFrame, right: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding")
+      : DataFrame = {
+    val scored = crossScores(left, right, idCol, embCol)
+    val lTop = scored.groupBy(col("left_id"))
+      .agg(max_by(struct(col("right_id"), col("sim")),
+        struct(col("sim"), (-col("right_id")).as("nr"))).as("b"))
+      .select(col("left_id"), col("b.right_id").as("right_id"),
+        col("b.sim").as("sim"))
+    val rTop = scored.groupBy(col("right_id"))
+      .agg(max_by(col("left_id"),
+        struct(col("sim"), (-col("left_id")).as("nl"))).as("r_best"))
+    lTop.join(rTop,
+        lTop("right_id") === rTop("right_id") &&
+          col("left_id") === col("r_best"))
+      .select(col("left_id"), lTop("right_id").as("right_id"),
+        col("sim"))
+      .orderBy(col("left_id"))
+  }
+
+  /** Margin-based bitext mining scores (Artetxe & Schwenk 2019, the
+    * LASER/CCMatrix criterion): for each left vector's cosine top-1
+    * in RIGHT, the ABSOLUTE margin `sim − (avgₖ(left) + avgₖ(right))
+    * / 2` — the top-1 similarity discounted by how similar each side
+    * is to its k nearest neighbors in the other corpus (hubness
+    * correction: a vector that is close to EVERYTHING scores low
+    * margins everywhere). Returns `(left_id, right_id, sim_micro,
+    * margin_micro)` — exact integer micro-cosine units end to end:
+    * per-pair sims round to 6 decimals into DECIMAL (micro ints are
+    * then exact), the two k-neighborhood sums are BIGINT, and the
+    * averaging division is sign-split truncating (q166's discipline:
+    * `sign·(abs div den)`, so Spark's toward-zero `div` and DuckDB's
+    * floor `//` agree on every operand sign). No float boundary —
+    * the driver hash gates the margins exactly.
+    *
+    * Cost shape: the scored stream is generated per consumer pass
+    * (map-side broadcast work, see [[crossScores]]); the two top-k
+    * neighborhoods need per-side ranking windows over the scored
+    * stream (|L|·|R| rows at the exact baseline — at scale, generate
+    * candidates with IVF/LSH first and run the same windows over the
+    * candidate-bounded stream; the arithmetic is unchanged).
+    */
+  def marginMiningScores(left: DataFrame, right: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding")
+      : DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val scored = crossScores(left, right, idCol, embCol)
+      .select(col("left_id"), col("right_id"),
+        (round(col("sim"), 6).cast("decimal(10,6)") * 1000000)
+          .cast("bigint").as("sim_micro"))
+    val wL = Window.partitionBy(col("left_id"))
+      .orderBy(col("sim_micro").desc, col("right_id"))
+    val wR = Window.partitionBy(col("right_id"))
+      .orderBy(col("sim_micro").desc, col("left_id"))
+    val lNbh = scored.withColumn("_r", row_number().over(wL))
+      .filter(col("_r") <= k)
+      .groupBy(col("left_id"))
+      .agg(sum(col("sim_micro")).as("sum_l"),
+        count(lit(1)).as("k_l"),
+        max_by(struct(col("right_id"), col("sim_micro")),
+          struct(col("sim_micro"), (-col("right_id")).as("nr")))
+          .as("top"))
+    val rNbh = scored.withColumn("_r", row_number().over(wR))
+      .filter(col("_r") <= k)
+      .groupBy(col("right_id"))
+      .agg(sum(col("sim_micro")).as("sum_r"),
+        count(lit(1)).as("k_r"))
+    // avg_micro = (sum_l·k_r + sum_r·k_l) / (2·k_l·k_r), sign-split
+    // truncating so both engines agree on negative sums
+    val s = col("sum_l") * col("k_r") + col("sum_r") * col("k_l")
+    val d = col("k_l") * col("k_r") * 2
+    val avgMicro = when(s < 0, -expr("(abs(sum_l * k_r + sum_r * k_l))" +
+        " div (k_l * k_r * 2)"))
+      .otherwise(expr("(sum_l * k_r + sum_r * k_l)" +
+        " div (k_l * k_r * 2)"))
+    lNbh
+      .select(col("left_id"), col("top.right_id").as("right_id"),
+        col("top.sim_micro").as("sim_micro"), col("sum_l"),
+        col("k_l"))
+      .join(rNbh, Seq("right_id"))
+      .select(col("left_id"), col("right_id"), col("sim_micro"),
+        (col("sim_micro") - avgMicro).as("margin_micro"))
+      .orderBy(col("left_id"))
+  }
+
   /** Bucket id for LSH table `t`: `planesPerTable` sign bits from the
     * plane family `t*planesPerTable .. t*planesPerTable+planesPerTable-1`.
     */

@@ -1,0 +1,176 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Round-11 continuation 2 (q259-q262): the cross-corpus bitext-mining
+  * family (mutual-NN BETWEEN corpora, margin-based mining scores — the
+  * LASER/CCMatrix criterion) plus the ranked-shingle artifact's
+  * persistence round-trip and the LSH-candidate arm of bounded
+  * mutual-NN, each oracle-gated.
+  */
+object Round11c {
+  private def t(name: String): QueryFn =
+    (s, dir) => Tables.load(s, dir, name)
+
+  /** DuckDB rounded-cosine expression over DOUBLE[] columns. */
+  private def oCos(a: String, b: String): String =
+    s"round(list_dot_product($a, $b) / " +
+      s"(sqrt(list_dot_product($a, $a)) * " +
+      s"sqrt(list_dot_product($b, $b))), 6)"
+
+  /** The even/odd corpus split CTEs + all-pairs sims (`p`). */
+  private val oCross: String =
+    s"""l AS (SELECT vec_id AS left_id,
+       |    CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |  WHERE vec_id % 2 = 0),
+       |r AS (SELECT vec_id AS right_id,
+       |    CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |  WHERE vec_id % 2 = 1),
+       |p AS (SELECT left_id, right_id,
+       |    ${oCos("l.e", "r.e")} AS sim FROM l, r)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- ranked-shingle artifact persistence round-trip: WRITE the
+    // q244 artifact to parquet, read it back, and run the q66
+    // consumer from the persisted frame — the build-once/consume-many
+    // deployment shape at 100 TB (separate artifact and consumer
+    // jobs; the q95 pattern applied to the PPJoin family). Same
+    // oracle as q66: the round-trip must be bit-identical (longs/ints
+    // survive parquet exactly), so any schema/value drift in the
+    // persisted artifact hash-fails here.
+    QueryDef("q259_ranked_persist",
+      (s, dir) => {
+        val dirKey = try new java.io.File(dir).getCanonicalPath
+          catch { case _: Throwable => dir }
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(dirKey.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16) + "_" +
+          java.lang.ProcessHandle.current().pid()
+        val outDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_q259_ranked_$tag")
+        Round5.registerScratchCleanup(outDir)
+        Dedup.rankedShingleRows(t("documents")(s, dir),
+            "doc_id", "text", n = 3)
+          .write.mode("overwrite").parquet(outDir.getAbsolutePath)
+        val ranked = s.read.parquet(outDir.getAbsolutePath)
+        Dedup.jaccardPairsPrefix(t("documents")(s, dir),
+            "doc_id", "text", n = 3, threshold = 0.5,
+            ranked = Some(ranked))
+          .orderBy(col("da"), col("db"))
+      },
+      Round3.defs.find(_.name == "q66_jaccard_prefix").get.oracle),
+
+    // ---- cross-corpus mutual nearest neighbors: the ACTUAL bitext-
+    // mining deployment shape (pairs BETWEEN a source and a target
+    // corpus — here the even/odd halves of the embeddings table);
+    // both top-1s are map-side argmax aggregations over the
+    // broadcast-generated pair stream, the reciprocal join runs on
+    // the two per-side top-1 frames.
+    QueryDef("q260_mutual_nn_between",
+      (s, dir) => {
+        val emb = t("embeddings")(s, dir)
+        Similarity.mutualNearestNeighborsBetween(
+          emb.where(col("vec_id") % 2 === 0),
+          emb.where(col("vec_id") % 2 === 1))
+      },
+      Some(s"""WITH $oCross,
+              |lt0 AS (SELECT *, row_number() OVER (
+              |    PARTITION BY left_id
+              |    ORDER BY sim DESC, right_id) AS rk FROM p),
+              |lt AS (SELECT left_id, right_id, sim FROM lt0
+              |  WHERE rk = 1),
+              |rt0 AS (SELECT *, row_number() OVER (
+              |    PARTITION BY right_id
+              |    ORDER BY sim DESC, left_id) AS rk FROM p),
+              |rt AS (SELECT left_id, right_id FROM rt0 WHERE rk = 1)
+              |SELECT lt.left_id, lt.right_id, lt.sim
+              |FROM lt JOIN rt ON lt.left_id = rt.left_id
+              |  AND lt.right_id = rt.right_id
+              |ORDER BY lt.left_id""".stripMargin)),
+
+    // ---- margin-based mining scores (Artetxe & Schwenk 2019): each
+    // left vector's top-1 pair with its ABSOLUTE margin — top-1 sim
+    // minus the mean of both sides' k-NN similarity averages — in
+    // exact integer micro-cosine (sign-split truncating division, so
+    // Spark `div` and DuckDB `//` agree on negative neighborhood
+    // sums). The hubness correction of CCMatrix, hash-gated exactly.
+    QueryDef("q261_margin_mining",
+      (s, dir) => {
+        val emb = t("embeddings")(s, dir)
+        Similarity.marginMiningScores(
+          emb.where(col("vec_id") % 2 === 0),
+          emb.where(col("vec_id") % 2 === 1), k = 3)
+      },
+      Some(s"""WITH $oCross,
+              |pm AS (SELECT left_id, right_id,
+              |    CAST(CAST(sim AS DECIMAL(10,6)) * 1000000 AS BIGINT)
+              |      AS sim_micro FROM p),
+              |ln0 AS (SELECT *, row_number() OVER (
+              |    PARTITION BY left_id
+              |    ORDER BY sim_micro DESC, right_id) AS rk FROM pm),
+              |ln AS (SELECT left_id, SUM(sim_micro) AS sum_l,
+              |    COUNT(*) AS k_l FROM ln0 WHERE rk <= 3 GROUP BY 1),
+              |ltop AS (SELECT left_id, right_id, sim_micro FROM ln0
+              |  WHERE rk = 1),
+              |rn0 AS (SELECT *, row_number() OVER (
+              |    PARTITION BY right_id
+              |    ORDER BY sim_micro DESC, left_id) AS rk FROM pm),
+              |rn AS (SELECT right_id, SUM(sim_micro) AS sum_r,
+              |    COUNT(*) AS k_r FROM rn0 WHERE rk <= 3 GROUP BY 1)
+              |SELECT ltop.left_id, ltop.right_id, ltop.sim_micro,
+              |  CAST(ltop.sim_micro - (CASE
+              |    WHEN sum_l * k_r + sum_r * k_l < 0
+              |    THEN -(abs(sum_l * k_r + sum_r * k_l)
+              |      // (k_l * k_r * 2))
+              |    ELSE (sum_l * k_r + sum_r * k_l)
+              |      // (k_l * k_r * 2) END) AS BIGINT) AS margin_micro
+              |FROM ltop JOIN ln USING (left_id)
+              |JOIN rn USING (right_id)
+              |ORDER BY ltop.left_id""".stripMargin)),
+
+    // ---- LSH-candidate arm of bounded mutual-NN: candidate pairs
+    // from shared sign-LSH buckets (the q29 family, 6 tables × 4
+    // planes — generation is `tables` equi-joins, never all-pairs),
+    // then the generic mutualNearestNeighborsFromCandidates
+    // reciprocal filter. With q245 (IVF cells) this makes BOTH
+    // bounded candidate generators oracle-gated.
+    QueryDef("q262_mutual_nn_lsh",
+      (s, dir) => {
+        val emb = t("embeddings")(s, dir)
+        val cand = Similarity.lshNearDupPairs(emb, threshold = -1.0,
+            tables = 6, planesPerTable = 4, dims = 64)
+          .select(col("da"), col("db"))
+        Similarity.mutualNearestNeighborsFromCandidates(cand, emb)
+      },
+      Some {
+        def bucket(tb: Int) = (0 until 4).map { j =>
+          val signs = Similarity.planeSigns(tb * 4 + j, 64)
+            .map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")
+          s"CASE WHEN list_dot_product(e, [$signs]) >= 0 " +
+            s"THEN ${1L << j} ELSE 0 END"
+        }.mkString(" + ")
+        val tablesSel = (0 until 6).map(tb =>
+          s"SELECT id, $tb AS t, ${bucket(tb)} AS bk FROM b")
+          .mkString(" UNION ALL ")
+        s"""WITH b AS (SELECT vec_id AS id,
+           |    CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           |bk AS ($tablesSel),
+           |cand AS (SELECT DISTINCT a.id AS da, b.id AS db
+           |  FROM bk a JOIN bk b ON a.t = b.t AND a.bk = b.bk
+           |    AND a.id < b.id),
+           |dir AS (SELECT da AS q, db AS n FROM cand
+           |  UNION ALL SELECT db, da FROM cand),
+           |sc AS (SELECT q, n, ${oCos("ea.e", "eb.e")} AS sim
+           |  FROM dir JOIN b ea ON q = ea.id JOIN b eb ON n = eb.id),
+           |t0 AS (SELECT *, row_number() OVER (PARTITION BY q
+           |    ORDER BY sim DESC, n) AS rk FROM sc),
+           |t1 AS (SELECT q, n, sim FROM t0 WHERE rk = 1)
+           |SELECT x.q AS a, x.n AS b, x.sim
+           |FROM t1 x JOIN t1 y ON x.q = y.n AND x.n = y.q
+           |  AND x.q < x.n
+           |ORDER BY a""".stripMargin
+      }))
+}

@@ -366,6 +366,74 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(p => (p._1, p._2)) == Seq((0L, 4L)), got.toString)
   }
 
+  // exact rounded cosine replicated driver-side (same float→double
+  // cast, same left-to-right dot, same HALF_UP rounding)
+  private def cosOf(emb: Map[Long, Seq[Double]])(a: Long, b: Long)
+      : Double = {
+    val (x, y) = (emb(a), emb(b))
+    val d = x.zip(y).map { case (p, q) => p * q }.sum
+    val n = math.sqrt(x.map(v => v * v).sum) *
+      math.sqrt(y.map(v => v * v).sum)
+    BigDecimal(d / n).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+  }
+
+  private def embMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+      .toMap
+
+  test("mutualNearestNeighborsBetween ≡ hand-computed reciprocal " +
+      "top-1 across the even/odd split") {
+    val emb = embMap(corpus30)
+    val lIds = emb.keys.filter(_ % 2 == 0).toSeq.sorted
+    val rIds = emb.keys.filter(_ % 2 == 1).toSeq.sorted
+    val cos = cosOf(emb) _
+    def top1(q: Long, pool: Seq[Long]): Long =
+      pool.map(c => (c, cos(q, c))).minBy { case (c, s) => (-s, c) }._1
+    val expect = lIds.flatMap { l =>
+      val r = top1(l, rIds)
+      if (top1(r, lIds) == l) Some((l, r, cos(l, r))) else None
+    }
+    val got = Similarity.mutualNearestNeighborsBetween(
+        corpus30.filter(col("vec_id") % 2 === 0),
+        corpus30.filter(col("vec_id") % 2 === 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got.nonEmpty && got == expect, s"$got vs $expect")
+  }
+
+  test("marginMiningScores: exact micro margins ≡ hand arithmetic " +
+      "(sign-split truncating division) at k=2") {
+    val emb = embMap(corpus30)
+    val lIds = emb.keys.filter(_ % 2 == 0).toSeq.sorted
+    val rIds = emb.keys.filter(_ % 2 == 1).toSeq.sorted
+    val cos = cosOf(emb) _
+    def micro(s: Double): Long = // round6 → exact micro int
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(1000000)).toLongExact
+    def topk(q: Long, pool: Seq[Long], k: Int): Seq[(Long, Long)] =
+      pool.map(c => (c, micro(cos(q, c))))
+        .sortBy { case (c, s) => (-s, c) }.take(k)
+    val expect = lIds.map { l =>
+      val ln = topk(l, rIds, 2)
+      val (r, simM) = ln.head
+      val rn = topk(r, lIds, 2)
+      val (sumL, kL) = (ln.map(_._2).sum, ln.length.toLong)
+      val (sumR, kR) = (rn.map(_._2).sum, rn.length.toLong)
+      val s = sumL * kR + sumR * kL
+      val d = kL * kR * 2
+      val avg = if (s < 0) -(-s / d) else s / d // toward-zero ≡ div
+      (l, r, simM, simM - avg)
+    }
+    val got = Similarity.marginMiningScores(
+        corpus30.filter(col("vec_id") % 2 === 0),
+        corpus30.filter(col("vec_id") % 2 === 1), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expect, s"$got vs $expect")
+  }
+
   test("dot/cosine fail loudly on ragged (dimension-mismatched) input " +
       "— never a silent common-prefix similarity") {
     import spark.implicits._
