@@ -1306,4 +1306,82 @@ object Curation {
       idCol: String, textCol: String): DataFrame =
     corpusDiff(oldDocs, newDocs, idCol, textCol)
       .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+
+  /** Gopher quality rules (Rae et al. 2021, table A1 — the public
+    * rule set most large text pipelines start from): per-document
+    * exact counting metrics and the five rule flags, plus the overall
+    * keep verdict. Every threshold compare is CROSS-MULTIPLIED exact
+    * integer (mean word length ∈ [3, 10] becomes 3n ≤ chars ≤ 10n;
+    * ratios become product compares) — no float boundary, so the
+    * verdicts hash identically cross-engine.
+    *
+    * Rules (document-level):
+    *  - word count ∈ [minWords, maxWords] (paper: 50..100k);
+    *  - mean word length ∈ [3, 10] characters;
+    *  - symbol-to-word ratio ≤ 0.1 ('#' or '…'/'...' — boilerplate
+    *    markup smell);
+    *  - ≥ 80% of words contain at least one alphabetic character;
+    *  - ≥ 2 stopword hits (the `stopwords` list).
+    *
+    * Map-side only — per-doc counting over the words array; at 100 TB
+    * the cost is the scan (the q31/q67 contract).
+    */
+  def gopherQualityFlags(df: DataFrame, textCol: String, idCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      stopwords: Seq[String] =
+        Seq("the", "of", "and", "a", "to", "in", "is")): DataFrame = {
+    val ws = TextOps.words(col(textCol))
+    df.select(col(idCol),
+        size(ws).cast("bigint").as("n_words"),
+        aggregate(transform(ws, w => length(w)), lit(0),
+          (acc, x) => acc + x).cast("bigint").as("n_word_chars"),
+        (length(col(textCol)) - length(regexp_replace(col(textCol),
+          "#|\\.\\.\\.|…", ""))).cast("bigint").as("n_symbol_chars"),
+        size(filter(ws, w => w.rlike("[a-zA-Z]"))).cast("bigint")
+          .as("n_alpha_words"),
+        TextOps.markerHits(ws, stopwords).cast("bigint")
+          .as("n_stopword_hits"))
+      .withColumn("f_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("f_mean_word_len",
+        col("n_word_chars") >= col("n_words") * 3 &&
+          col("n_word_chars") <= col("n_words") * 10)
+      // n_symbol_chars counts CHARACTERS of the matched symbols; the
+      // '…'/'#' forms are 1 char and '...' is 3, so the conservative
+      // exact compare treats every 1 symbol char as 1 symbol
+      .withColumn("f_symbol_ratio",
+        col("n_symbol_chars") * 10 <= col("n_words"))
+      .withColumn("f_alpha_words",
+        col("n_alpha_words") * 10 >= col("n_words") * 8)
+      .withColumn("f_stopwords", col("n_stopword_hits") >= 2)
+      .withColumn("keep",
+        col("f_word_count") && col("f_mean_word_len") &&
+          col("f_symbol_ratio") && col("f_alpha_words") &&
+          col("f_stopwords"))
+  }
+
+  /** C4 cleaning rules (Raffel et al. 2020 §2.2 — the other canonical
+    * public filter set), document-level: terminal-punctuation ending,
+    * ≥ `minSentences` sentence terminators, ≥ `minWords` words, no
+    * curly brace (code smell), no "lorem ipsum". Sentence counting is
+    * the engine-identical character count of [.!?] occurrences (a
+    * regexp_replace length difference — no tokenizer to disagree on);
+    * all other rules are exact string predicates. Map-side only.
+    */
+  def c4QualityFlags(df: DataFrame, textCol: String, idCol: String,
+      minSentences: Int = 3, minWords: Int = 5): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+        size(TextOps.words(t)).cast("bigint").as("n_words"),
+        length(regexp_replace(t, "[^.!?]", "")).cast("bigint")
+          .as("n_sentence_ends"),
+        rtrim(t).rlike("[.!?\"']$").as("f_ends_punct"),
+        (!t.contains("{")).as("f_no_brace"),
+        (!lower(t).contains("lorem ipsum")).as("f_no_lorem"))
+      .withColumn("f_sentences", col("n_sentence_ends") >= minSentences)
+      .withColumn("f_words", col("n_words") >= minWords)
+      .withColumn("keep",
+        col("f_ends_punct") && col("f_no_brace") && col("f_no_lorem") &&
+          col("f_sentences") && col("f_words"))
+  }
 }

@@ -131,6 +131,95 @@ object Round11c {
               |JOIN rn USING (right_id)
               |ORDER BY ltop.left_id""".stripMargin)),
 
+    // ---- Gopher quality rules (Rae et al. 2021): the canonical
+    // public document-filter set as exact-integer metrics + rule
+    // flags + keep verdict — every threshold cross-multiplied (mean
+    // word length ∈ [3,10] ⇒ 3n ≤ chars ≤ 10n), so the verdicts hash
+    // exactly. Map-side; the 100 TB cost is the scan.
+    QueryDef("q263_gopher_rules",
+      (s, dir) => graft.operators.Curation.gopherQualityFlags(
+          t("documents")(s, dir), "text", "doc_id", minWords = 20)
+        .orderBy(col("doc_id")),
+      Some("""WITH w AS (SELECT doc_id, text, list_filter(
+             |    string_split_regex(lower(text), '\s+'),
+             |    x -> len(x) > 0) AS ws FROM documents),
+             |m AS (SELECT doc_id,
+             |    CAST(len(ws) AS BIGINT) AS n_words,
+             |    CAST(COALESCE(list_sum(list_transform(ws,
+             |      x -> len(x))), 0) AS BIGINT) AS n_word_chars,
+             |    CAST(len(text) - len(regexp_replace(text,
+             |      '#|\.\.\.|…', '', 'g')) AS BIGINT)
+             |      AS n_symbol_chars,
+             |    CAST(len(list_filter(ws, x -> regexp_matches(x,
+             |      '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
+             |    CAST(len(list_filter(ws, x -> list_contains(
+             |      ['the', 'of', 'and', 'a', 'to', 'in', 'is'], x)))
+             |      AS BIGINT) AS n_stopword_hits
+             |  FROM w)
+             |SELECT doc_id, n_words, n_word_chars, n_symbol_chars,
+             |  n_alpha_words, n_stopword_hits,
+             |  n_words >= 20 AND n_words <= 100000 AS f_word_count,
+             |  n_word_chars >= n_words * 3
+             |    AND n_word_chars <= n_words * 10 AS f_mean_word_len,
+             |  n_symbol_chars * 10 <= n_words AS f_symbol_ratio,
+             |  n_alpha_words * 10 >= n_words * 8 AS f_alpha_words,
+             |  n_stopword_hits >= 2 AS f_stopwords,
+             |  (n_words >= 20 AND n_words <= 100000)
+             |    AND (n_word_chars >= n_words * 3
+             |      AND n_word_chars <= n_words * 10)
+             |    AND n_symbol_chars * 10 <= n_words
+             |    AND n_alpha_words * 10 >= n_words * 8
+             |    AND n_stopword_hits >= 2 AS keep
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ---- C4 cleaning rules (Raffel et al. 2020 §2.2): terminal
+    // punctuation, sentence/word minimums, code-smell brace, lorem
+    // ipsum — sentence counting via the engine-identical character
+    // count of [.!?] (no tokenizer to disagree on). Map-side. The
+    // synthetic corpus carries no punctuation at all, so the input is
+    // DECORATED per doc-id branch (the q97 construct-the-input
+    // discipline, identically in both engines) to make every rule
+    // fire: %4=0 passes all, %4=1 trips the brace, %4=2 trips lorem
+    // ipsum, %4=3 (raw text) trips punctuation+sentences.
+    QueryDef("q264_c4_rules",
+      (s, dir) => {
+        val deco = when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit(". End. Ok.")))
+          .when(col("doc_id") % 4 === 1,
+            concat(col("text"), lit(" has { brace. One. Two.")))
+          .when(col("doc_id") % 4 === 2,
+            concat(col("text"), lit(" Lorem Ipsum filler. Really! Sure?")))
+          .otherwise(col("text"))
+        graft.operators.Curation.c4QualityFlags(
+            t("documents")(s, dir)
+              .select(col("doc_id"), deco.as("text")),
+            "text", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, CASE
+             |    WHEN doc_id % 4 = 0 THEN text || '. End. Ok.'
+             |    WHEN doc_id % 4 = 1 THEN text || ' has { brace. One. Two.'
+             |    WHEN doc_id % 4 = 2 THEN text || ' Lorem Ipsum filler. Really! Sure?'
+             |    ELSE text END AS text FROM documents),
+             |m AS (SELECT doc_id,
+             |    CAST(len(list_filter(string_split_regex(lower(text),
+             |      '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_words,
+             |    CAST(len(regexp_replace(text, '[^.!?]', '', 'g'))
+             |      AS BIGINT) AS n_sentence_ends,
+             |    regexp_matches(rtrim(text), '[.!?"'']$')
+             |      AS f_ends_punct,
+             |    NOT contains(text, '{') AS f_no_brace,
+             |    NOT contains(lower(text), 'lorem ipsum')
+             |      AS f_no_lorem
+             |  FROM d)
+             |SELECT doc_id, n_words, n_sentence_ends, f_ends_punct,
+             |  f_no_brace, f_no_lorem,
+             |  n_sentence_ends >= 3 AS f_sentences,
+             |  n_words >= 5 AS f_words,
+             |  f_ends_punct AND f_no_brace AND f_no_lorem
+             |    AND n_sentence_ends >= 3 AND n_words >= 5 AS keep
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
     // ---- LSH-candidate arm of bounded mutual-NN: candidate pairs
     // from shared sign-LSH buckets (the q29 family, 6 tables × 4
     // planes — generation is `tables` equi-joins, never all-pairs),

@@ -878,4 +878,50 @@ class CurationSpec extends SparkSpec {
     val expectVar = ((n * q - s * s) / (n * (n - 1))).toLong
     assert(got("wide")._2 == expectVar, s"${got("wide")._2} vs $expectVar")
   }
+
+  test("gopherQualityFlags: each rule trips on its designed offender, " +
+      "clean prose passes all five") {
+    import spark.implicits._
+    val clean = (1 to 60).map(_ => "the quick brown fox is here to win")
+      .mkString(" ") // 480 words, stopword-rich, alpha, mean len ~4
+    val docs = Seq(
+      (1L, clean),
+      (2L, "too short but the a of is in to"),            // word count
+      (3L, (1 to 60).map(_ => "a b the of c d").mkString(" ")), // mean len < 3
+      (4L, clean + " " + (1 to 60).map(_ => "###").mkString(" ")), // symbols+alpha
+      (5L, (1 to 60).map(i => s"the of ${i}1 23 45 67").mkString(" ")) // alpha < 80%
+    ).toDF("doc_id", "text")
+    val got = Curation.gopherQualityFlags(docs, "text", "doc_id",
+        minWords = 50)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Boolean]("keep"), got(1L).toString)
+    assert(!got(2L).getAs[Boolean]("f_word_count") &&
+      !got(2L).getAs[Boolean]("keep"))
+    assert(!got(3L).getAs[Boolean]("f_mean_word_len"))
+    assert(!got(4L).getAs[Boolean]("f_symbol_ratio"))
+    assert(!got(5L).getAs[Boolean]("f_alpha_words"))
+    // rule independence: doc 5 still passes the stopword rule
+    assert(got(5L).getAs[Boolean]("f_stopwords"))
+  }
+
+  test("c4QualityFlags: punctuation/sentence/brace/lorem/word rules " +
+      "fire independently") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "One fine sentence here. Another one follows! A third?"),
+      (2L, "no terminal punctuation at all in this one"),
+      (3L, "Code ahead { x }. Two more. Sentences here."),
+      (4L, "Lorem ipsum dolor sit amet. More words. Again here."),
+      (5L, "Tiny. Ok. Yes.")
+    ).toDF("doc_id", "text")
+    val got = Curation.c4QualityFlags(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Boolean]("keep"))
+    assert(!got(2L).getAs[Boolean]("f_ends_punct") &&
+      !got(2L).getAs[Boolean]("f_sentences"))
+    assert(!got(3L).getAs[Boolean]("f_no_brace"))
+    assert(!got(4L).getAs[Boolean]("f_no_lorem"))
+    assert(!got(5L).getAs[Boolean]("f_words") &&
+      got(5L).getAs[Boolean]("f_sentences"))
+  }
 }
