@@ -566,14 +566,24 @@ object Similarity {
     * candidate-bounded stream; the arithmetic is unchanged).
     */
   def marginMiningScores(left: DataFrame, right: DataFrame, k: Int,
-      idCol: String = "vec_id", embCol: String = "embedding")
-      : DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      cache: Boolean = true): DataFrame = {
     require(k >= 1, "k must be >= 1")
     import org.apache.spark.sql.expressions.Window
-    val scored = crossScores(left, right, idCol, embCol)
+    // the micro-sim stream feeds BOTH per-side neighborhood windows;
+    // persist it (3 longs per pair — spillable) so the dot products
+    // run once, not per branch (the module's shared-frame contract:
+    // pass cache=false in long-lived sessions streaming many corpora,
+    // or when the pair stream is too large to spill profitably — at
+    // that size use candidate-bounded generation anyway)
+    val scored0 = crossScores(left, right, idCol, embCol)
       .select(col("left_id"), col("right_id"),
         (round(col("sim"), 6).cast("decimal(10,6)") * 1000000)
           .cast("bigint").as("sim_micro"))
+    val scored = if (cache)
+      scored0.persist(org.apache.spark.storage.StorageLevel
+        .MEMORY_AND_DISK)
+    else scored0
     val wL = Window.partitionBy(col("left_id"))
       .orderBy(col("sim_micro").desc, col("right_id"))
     val wR = Window.partitionBy(col("right_id"))
