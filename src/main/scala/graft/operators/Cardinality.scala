@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed-cardinality sketching: HyperLogLog (Flajolet, Fusy,
@@ -217,4 +217,95 @@ object Cardinality {
           round(col("est_a") + col("est_b") - col("est_union"), 2))
           .as("est_overlap"))
   }
+
+  // ---------------------------------------------------------------
+  // KMV (k-minimum-values / bottom-k) sketches — the SECOND mergeable
+  // distinct sketch, for what HLL registers cannot do: SET-OPERATION
+  // estimates from the sketches alone (Bar-Yossef et al. 2002; Beyer
+  // et al. 2007). A KMV sketch is the k smallest distinct 60-bit
+  // hashes of a key set, sorted ascending; union sketches compose by
+  // merge-and-truncate, and the combined sketch estimates Jaccard /
+  // intersection DIRECTLY (membership of union-sketch values in both
+  // input sketches — no inclusion-exclusion of noisy estimates, the
+  // structural weakness of [[hllOverlapEstimate]]). All arithmetic is
+  // exact integer over the md5 hash60 family, so DuckDB replays
+  // build, merge, and every estimate bit-identically.
+  // ---------------------------------------------------------------
+
+  /** 2^60 — the hash60 value space, as a DECIMAL(38,0) literal
+    * (BIGINT would overflow the (k−1)·2⁶⁰ estimator numerator). */
+  private val hashSpace = "1152921504606846976"
+
+  /** Per-group KMV sketch of `keyCol`: `(groupCols…, sketch)` with
+    * `sketch` the sorted k smallest distinct hash60 values as an
+    * array<long>. One aggregation, k-long bounded buffer per group
+    * per task ([[graft.functions.BottomKDistinctLong]]) — global
+    * dedup is free (equal hashes collapse in the buffer), so unlike
+    * exact `countDistinct` nothing key-universe-sized ever shuffles.
+    */
+  def kmvSketchBy(df: DataFrame, groupCols: Seq[String],
+      keyCol: String, k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val h = TextOps.hash60(concat(lit("kmv|"), col(keyCol)))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.TopKAgg.smallestDistinctLong(k)(h)
+        .as("sketch"))
+  }
+
+  /** The estimate SQL for a named sketch column — exact `|sketch|`
+    * while unsaturated (fewer than k distinct keys seen: the sketch
+    * IS the distinct hash set), else the Beyer et al. unbiased
+    * estimator `(k−1)·2⁶⁰ div (h₍ₖ₎ + 1)` in exact DECIMAL(38,0)
+    * integer division (HUGEINT on the oracle side). Shared between
+    * the Spark plan and scaladoc'd for the oracle twin.
+    */
+  private def kmvEstExpr(sketchCol: String, k: Int): Column =
+    when(size(col(sketchCol)) < k,
+      size(col(sketchCol)).cast("bigint"))
+      .otherwise(expr(
+        s"(CAST(${k - 1} AS DECIMAL(38,0)) * $hashSpace) div " +
+          s"(element_at($sketchCol, $k) + 1)"))
+
+  /** Append `estCol` = distinct-count estimate of the named sketch
+    * column. */
+  def kmvEstimated(df: DataFrame, sketchCol: String, k: Int,
+      estCol: String = "est_kmv"): DataFrame =
+    df.withColumn(estCol, kmvEstExpr(sketchCol, k))
+
+  /** Merge two KMV sketch columns: k smallest of the deduped union —
+    * associative/commutative, the artifact-merge half of the
+    * incremental lifecycle (persist per-batch sketches, merge across
+    * days; the [[hllMerge]] analog).
+    */
+  def kmvMerge(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
+
+  /** Set-operation estimates from two named KMV sketch columns:
+    * appends `est_a`, `est_b`, `est_union`, `est_jaccard_ppm`,
+    * `est_intersection`. The union sketch L = merge(a, b); with
+    * kc = |{v ∈ L : v ∈ a ∧ v ∈ b}|, Jaccard ≈ kc/|L| (Beyer et al.
+    * 2007 §4: L is a uniform sample of the union, and membership of
+    * its values in both input sketches is decidable EXACTLY below
+    * their thresholds — no noisy inclusion-exclusion, the structural
+    * advantage over [[hllOverlapEstimate]]); intersection ≈ Jaccard ·
+    * union_est. Every step is exact integer arithmetic on the sketch
+    * values.
+    */
+  def kmvSetOps(df: DataFrame, aCol: String, bCol: String,
+      k: Int): DataFrame =
+    df.withColumn("union_sketch", kmvMerge(col(aCol), col(bCol), k))
+      .withColumn("_kc", size(filter(col("union_sketch"),
+        v => array_contains(col(aCol), v) &&
+          array_contains(col(bCol), v))).cast("bigint"))
+      .withColumn("est_a", kmvEstExpr(aCol, k))
+      .withColumn("est_b", kmvEstExpr(bCol, k))
+      .withColumn("est_union", kmvEstExpr("union_sketch", k))
+      .withColumn("est_jaccard_ppm",
+        expr("(_kc * 1000000) div greatest(size(union_sketch), 1)"))
+      .withColumn("est_intersection",
+        // DECIMAL(38,0) headroom: ppm × a trillion-scale estimate
+        // would wrap BIGINT (the q148 discipline)
+        expr("(CAST(est_jaccard_ppm AS DECIMAL(38,0)) * est_union) " +
+          "div 1000000"))
+      .drop("_kc")
 }

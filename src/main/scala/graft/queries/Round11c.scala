@@ -220,6 +220,140 @@ object Round11c {
              |    AND n_sentence_ends >= 3 AND n_words >= 5 AS keep
              |FROM m ORDER BY doc_id""".stripMargin)),
 
+    // ---- KMV (bottom-k) distinct sketch: the second mergeable
+    // distinct sketch next to HLL — k smallest distinct key hashes
+    // per group (bounded k-long buffer, global dedup free in the
+    // buffer), the Beyer et al. 2007 estimator in exact
+    // DECIMAL(38,0)/HUGEINT integer division; exact distinct rides
+    // along as the audit column. Keyed on l_partkey per return flag
+    // (~2000 distinct per group, so the k=64 sketches SATURATE and
+    // the estimator branch is the one under the oracle — the
+    // synthetic documents' 31-word vocabulary would leave it
+    // untested). Sketch emitted comma-joined (the q41 convention).
+    QueryDef("q265_kmv_distinct",
+      (s, dir) => {
+        val li = t("lineitem")(s, dir)
+          .select(col("l_returnflag"),
+            col("l_partkey").cast("string").as("k"))
+        val sk = graft.operators.Cardinality.kmvSketchBy(
+          li, Seq("l_returnflag"), "k", k = 64)
+        val exact = li.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("k")).as("n_exact"))
+        graft.operators.Cardinality.kmvEstimated(sk, "sketch", 64)
+          .join(exact, Seq("l_returnflag"))
+          .select(col("l_returnflag"),
+            concat_ws(",", transform(col("sketch"),
+              v => v.cast("string"))).as("sketch"),
+            col("est_kmv"), col("n_exact"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""WITH h AS (SELECT DISTINCT l_returnflag,
+              |    ${CorpusOps.oH60("'kmv|' || CAST(l_partkey AS VARCHAR)")}
+              |      AS h FROM lineitem),
+              |r AS (SELECT l_returnflag, h, row_number() OVER (
+              |    PARTITION BY l_returnflag ORDER BY h) AS rk FROM h),
+              |sk AS (SELECT l_returnflag,
+              |    list(h ORDER BY h) AS sketch,
+              |    COUNT(*) AS n_in FROM r WHERE rk <= 64 GROUP BY 1),
+              |ex AS (SELECT l_returnflag,
+              |    COUNT(DISTINCT l_partkey) AS n_exact
+              |  FROM lineitem GROUP BY 1)
+              |SELECT sk.l_returnflag,
+              |  array_to_string(sketch, ',') AS sketch,
+              |  CASE WHEN n_in < 64 THEN n_in
+              |    ELSE CAST(CAST(63 AS HUGEINT) *
+              |      1152921504606846976 // (sketch[64] + 1) AS BIGINT)
+              |    END AS est_kmv,
+              |  n_exact
+              |FROM sk JOIN ex ON sk.l_returnflag = ex.l_returnflag
+              |ORDER BY sk.l_returnflag""".stripMargin)),
+
+    // ---- KMV set operations: union / Jaccard / intersection
+    // estimates between the 1995-buyer and 1996-buyer customer sets
+    // FROM THE SKETCHES ALONE — the screen HLL registers structurally
+    // cannot give (no noisy inclusion-exclusion: the union sketch's
+    // values are membership-tested exactly against both input
+    // sketches). Customers order sparsely across years, so the two
+    // sets overlap PARTIALLY (non-degenerate Jaccard, unlike
+    // every-part-in-both-halves splits); both sides saturate k=64;
+    // exact counts ride along.
+    QueryDef("q266_kmv_setops",
+      (s, dir) => {
+        val ord = t("orders")(s, dir)
+          .select(year(col("o_orderdate")).as("yr"),
+            col("o_custkey").cast("string").as("k"))
+        def half(yr: Int, as: String) =
+          graft.operators.Cardinality.kmvSketchBy(
+              ord.where(col("yr") === yr)
+                .select(lit(1).as("g"), col("k")),
+              Seq("g"), "k", k = 64)
+            .select(col("sketch").as(as))
+        val wa = ord.where(col("yr") === 1995)
+          .select(col("k")).distinct()
+        val wb = ord.where(col("yr") === 1996)
+          .select(col("k")).distinct()
+        val exact = wa.agg(count(lit(1)).as("n_a_exact"))
+          .crossJoin(wb.agg(count(lit(1)).as("n_b_exact")))
+          .crossJoin(wa.join(wb, Seq("k"), "left_semi")
+            .agg(count(lit(1)).as("n_inter_exact")))
+        graft.operators.Cardinality.kmvSetOps(
+            half(1995, "a_sk").crossJoin(half(1996, "b_sk")),
+            "a_sk", "b_sk", k = 64)
+          .crossJoin(broadcast(exact))
+          .select(col("est_a"), col("est_b"), col("est_union"),
+            col("est_jaccard_ppm"), col("est_intersection"),
+            col("n_a_exact"), col("n_b_exact"), col("n_inter_exact"))
+      },
+      Some(s"""WITH w AS (SELECT DISTINCT
+              |    EXTRACT(year FROM o_orderdate) AS half,
+              |    CAST(o_custkey AS VARCHAR) AS k FROM orders
+              |  WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)),
+              |h AS (SELECT DISTINCT half,
+              |    ${CorpusOps.oH60("'kmv|' || k")} AS h FROM w),
+              |r AS (SELECT half, h, row_number() OVER (
+              |    PARTITION BY half ORDER BY h) AS rk FROM h),
+              |ska AS (SELECT list(h ORDER BY h) AS a FROM r
+              |  WHERE half = 1995 AND rk <= 64),
+              |skb AS (SELECT list(h ORDER BY h) AS b FROM r
+              |  WHERE half = 1996 AND rk <= 64),
+              |u AS (SELECT a, b, (list_sort(list_distinct(a || b)))
+              |    [1:64] AS un FROM ska, skb),
+              |kc AS (SELECT a, b, un, len(list_filter(un,
+              |    v -> list_contains(a, v) AND list_contains(b, v)))
+              |    AS n_both FROM u),
+              |est AS (SELECT
+              |    CASE WHEN len(a) < 64 THEN len(a)
+              |      ELSE CAST(CAST(63 AS HUGEINT) *
+              |        1152921504606846976 // (a[64] + 1) AS BIGINT)
+              |      END AS est_a,
+              |    CASE WHEN len(b) < 64 THEN len(b)
+              |      ELSE CAST(CAST(63 AS HUGEINT) *
+              |        1152921504606846976 // (b[64] + 1) AS BIGINT)
+              |      END AS est_b,
+              |    CASE WHEN len(un) < 64 THEN len(un)
+              |      ELSE CAST(CAST(63 AS HUGEINT) *
+              |        1152921504606846976 // (un[64] + 1) AS BIGINT)
+              |      END AS est_union,
+              |    CAST(n_both AS BIGINT) * 1000000
+              |      // greatest(len(un), 1) AS est_jaccard_ppm
+              |  FROM kc),
+              |ex AS (SELECT
+              |    (SELECT COUNT(DISTINCT k) FROM w WHERE half = 1995)
+              |      AS n_a_exact,
+              |    (SELECT COUNT(DISTINCT k) FROM w WHERE half = 1996)
+              |      AS n_b_exact,
+              |    (SELECT COUNT(*) FROM
+              |      (SELECT DISTINCT k FROM w WHERE half = 1995
+              |       INTERSECT
+              |       SELECT DISTINCT k FROM w WHERE half = 1996))
+              |      AS n_inter_exact)
+              |SELECT est_a, est_b, est_union,
+              |  CAST(est_jaccard_ppm AS BIGINT) AS est_jaccard_ppm,
+              |  CAST(CAST(est_jaccard_ppm AS HUGEINT) * est_union
+              |    // 1000000 AS BIGINT) AS est_intersection,
+              |  n_a_exact, n_b_exact, n_inter_exact
+              |FROM est, ex""".stripMargin)),
+
     // ---- LSH-candidate arm of bounded mutual-NN: candidate pairs
     // from shared sign-LSH buckets (the q29 family, 6 tables × 4
     // planes — generation is `tables` equi-joins, never all-pairs),

@@ -104,4 +104,68 @@ class CardinalitySpec extends SparkSpec {
       .collect().toSet
     assert(a == b)
   }
+
+  test("KMV: unsaturated sketch IS the sorted distinct hash set and " +
+      "its estimate is the exact count") {
+    import spark.implicits._
+    val df = Seq("a", "b", "c", "b", "a").map(Tuple1(_)).toDF("k")
+      .select(lit(1).as("g"), col("k"))
+    val sk = Cardinality.kmvSketchBy(df, Seq("g"), "k", k = 8)
+    val arr = sk.select(col("sketch")).head.getSeq[Long](0)
+    assert(arr.length == 3 && arr == arr.sorted && arr.distinct == arr)
+    val est = Cardinality.kmvEstimated(sk, "sketch", 8)
+      .select(col("est_kmv")).head.getLong(0)
+    assert(est == 3L)
+  }
+
+  test("KMV: merge ≡ the sketch of the union; dedup across " +
+      "partitions; saturated estimate within sketch error") {
+    import spark.implicits._
+    val n = 5000
+    val a = (0 until n).map(i => s"k$i")
+    val b = (n / 2 until n + n / 2).map(i => s"k$i") // 50% overlap
+    val k = 64
+    def sketch(xs: Seq[String]) = Cardinality.kmvSketchBy(
+      xs.map(Tuple1(_)).toDF("k").repartition(7)
+        .select(lit(1).as("g"), col("k")), Seq("g"), "k", k)
+    val ska = sketch(a).select(col("sketch").as("a_sk"))
+    val skb = sketch(b).select(col("sketch").as("b_sk"))
+    val skU = sketch((a ++ b).distinct)
+      .select(col("sketch")).head.getSeq[Long](0)
+    val merged = ska.crossJoin(skb)
+      .select(Cardinality.kmvMerge(col("a_sk"), col("b_sk"), k)
+        .as("m")).head.getSeq[Long](0)
+    assert(merged == skU, "merge must equal the union's own sketch")
+    val ops = Cardinality.kmvSetOps(ska.crossJoin(skb), "a_sk",
+      "b_sk", k).select(col("est_a"), col("est_union"),
+        col("est_jaccard_ppm"), col("est_intersection")).head
+    // σ ≈ 1/√63 ≈ 12.6%; allow 3σ
+    assert(math.abs(ops.getLong(0) - n) < n * 0.4, ops.toString)
+    assert(math.abs(ops.getLong(1) - 1.5 * n) < 1.5 * n * 0.4,
+      ops.toString)
+    // true Jaccard = (n/2)/(3n/2) = 1/3
+    assert(ops.getLong(2) > 120000 && ops.getLong(2) < 550000,
+      ops.toString)
+    assert(ops.getLong(3) > 0, ops.toString)
+  }
+
+  test("KMV: identical sets estimate Jaccard exactly 10⁶; disjoint " +
+      "sets 0") {
+    import spark.implicits._
+    val k = 16
+    def sk(xs: Seq[String], as: String) = Cardinality.kmvSketchBy(
+      xs.map(Tuple1(_)).toDF("k").select(lit(1).as("g"), col("k")),
+      Seq("g"), "k", k).select(col("sketch").as(as))
+    val xs = (0 until 100).map(i => s"v$i")
+    val same = Cardinality.kmvSetOps(
+      sk(xs, "a_sk").crossJoin(sk(xs, "b_sk")), "a_sk", "b_sk", k)
+    assert(same.select(col("est_jaccard_ppm")).head.getLong(0)
+      == 1000000L)
+    val dis = Cardinality.kmvSetOps(
+      sk(xs, "a_sk").crossJoin(
+        sk((0 until 100).map(i => s"w$i"), "b_sk")), "a_sk", "b_sk", k)
+    val d = dis.select(col("est_jaccard_ppm"), col("est_intersection"))
+      .head
+    assert(d.getLong(0) == 0L && d.getLong(1) == 0L)
+  }
 }
