@@ -1113,4 +1113,106 @@ object Dedup {
         col("total_chars"), col("langs"), col("major_lang"))
       .orderBy(col("cluster"))
   }
+
+  /** Line-level exact dedup (the CCNet/C4 preprocessing step): across
+    * the whole corpus, each distinct line ≥ `minChars` chars survives
+    * only at its FIRST occurrence — (doc, position) lexicographic —
+    * and every later copy is dropped; shorter lines (blank separators,
+    * bullets) always survive. Returns one row per doc with the
+    * reassembled text and removal stats:
+    * `(id, n_lines, n_removed, text_dedup)`.
+    *
+    * Shape: one explode to (doc, pos, line), one aggregation per
+    * DISTINCT eligible line (min-of-(doc,pos) struct — no corpus-wide
+    * window), one shuffle join back on the line, one per-doc
+    * aggregation to reassemble (collect + array_sort on the unique
+    * pos — deterministic regardless of collect order). Everything
+    * shuffles on line content or doc id; nothing is corpus-wide on a
+    * single partition. At 100 TB the line-keyed exchanges carry the
+    * corpus once each — the same linear cost as the exact-doc dedup —
+    * and the keep-first rule needs no global ordering beyond the
+    * per-line argmin.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      minChars: Int = 1): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), lit("\n"))).as(Seq("pos", "line")))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("line"))
+    val firsts = lines.where(length(col("line")) >= minChars)
+      .groupBy(col("line"))
+      .agg(min(struct(col("id").as("fid"), col("pos").as("fpos")))
+        .as("f"))
+    val flagged = lines.join(firsts, Seq("line"), "left")
+      .withColumn("keep", col("f").isNull ||
+        (col("id") === col("f.fid") && col("pos") === col("f.fpos")))
+    flagged.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("pos"), col("line"))))),
+          x => x.getField("line"))).as("text_dedup"))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** Cross-document duplicated-substring spans (the exact-substring
+    * arm of training-data dedup, cf. Lee et al. 2021 "Deduplicating
+    * Training Data Makes Language Models Better"): fixed-length
+    * character windows sampled every `stride` positions; a window is
+    * DUPLICATED if its exact text occurs in ≥ `minDocs` distinct
+    * docs; per doc, duplicated windows merge into contiguous spans
+    * (gaps-and-islands on character offsets) and the output reports
+    * `(id, n_windows, n_dup_windows, n_dup_spans, dup_chars,
+    * dup_ppm)` for every doc (zero rows for docs shorter than L).
+    *
+    * Scale: the window frame is rows ≈ chars/stride — the stride is
+    * the documented cost knob (Lee et al. use suffix arrays on one
+    * machine; the distributed shape is this stride-sampled hash join).
+    * Window-text grouping and the join back are the only corpus-sized
+    * exchanges; the island windows are per-doc (doc-length bounded,
+    * total order on the unique sampled offsets).
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      winLen: Int = 40, stride: Int = 7, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("t"),
+      length(col(textCol)).cast("long").as("len"))
+    val wins = docs.where(col("len") >= winLen)
+      .select(col("id"),
+        explode(sequence(lit(1), (col("len") - winLen + 1).cast("int"),
+          lit(stride))).as("p"))
+      .join(docs.select(col("id"), col("t")), Seq("id"))
+      .select(col("id"), col("p").cast("long").as("p"),
+        expr(s"substring(t, p, $winLen)").as("win"))
+    val dup = wins.select(col("win"), col("id")).distinct()
+      .groupBy(col("win")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select(col("win"))
+    val spans = wins.join(dup, Seq("win"))
+      .select(col("id"), col("p"), (col("p") + winLen - 1).as("pe"))
+    val ord = Window.partitionBy(col("id")).orderBy(col("p"))
+    val flagged = spans.withColumn("pm",
+        max(col("pe")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isn", when(col("pm").isNull ||
+        col("p") > col("pm") + 1L, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("isn")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    val islands = flagged.groupBy(col("id"), col("island"))
+      .agg(count(lit(1)).as("n_w"),
+        min(col("p")).as("i_s"), max(col("pe")).as("i_e"))
+    val perDoc = islands.groupBy(col("id"))
+      .agg(sum(col("n_w")).as("n_dup_windows"),
+        count(lit(1)).as("n_dup_spans"),
+        sum(col("i_e") - col("i_s") + 1L).as("dup_chars"))
+    val totals = wins.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_windows"))
+    docs.where(col("len") >= winLen).select(col("id"), col("len"))
+      .join(totals, Seq("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        expr("(1000000 * coalesce(dup_chars, 0)) div len").as("dup_ppm"))
+  }
 }

@@ -470,4 +470,70 @@ class DedupSpec extends SparkSpec {
       // majority tie en-fr → lexicographic 'en'
       (10L, 2L, 11L, 100L, "en,fr", "en")), got.toString)
   }
+
+  test("lineDedup keeps first occurrence, short lines always survive") {
+    import spark.implicits._
+    // doc 1: HEADER / body-a / x        (x < minChars: always kept)
+    // doc 2: HEADER / body-a / x        (HEADER+body dup of doc 1)
+    // doc 3: body-a at pos 0 — still a later occurrence than doc 1 pos 1
+    val docs = Seq(
+      (1L, "LONG SHARED HEADER\nthe first body line\nx"),
+      (2L, "LONG SHARED HEADER\nthe first body line\nx"),
+      (3L, "the first body line\nfresh content here")
+    ).toDF("doc_id", "text").repartition(5)
+    val got = Dedup.lineDedup(docs, "doc_id", "text", minChars = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 0L, "LONG SHARED HEADER\nthe first body line\nx"),
+      (2L, 3L, 2L, "x"),
+      (3L, 2L, 1L, "fresh content here")))
+  }
+
+  test("lineDedup: doc whose every line is removed yields empty text") {
+    import spark.implicits._
+    val docs = Seq((1L, "dup line one\ndup line two"),
+      (2L, "dup line one\ndup line two")).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, "doc_id", "text", minChars = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq((1L, 0L, "dup line one\ndup line two"),
+      (2L, 2L, "")))
+  }
+
+  test("duplicatedSpans merges overlapping windows into exact spans") {
+    import spark.implicits._
+    // winLen=4, stride=2: docs 1 and 2 share chars 1..8 ("abcdefgh");
+    // doc 3 is all-unique. Windows in doc1 at p=1,3,5,7,9,...
+    // shared windows: p=1 "abcd", p=3 "cdef", p=5 "efgh" → one island
+    // covering [1, 8] = 8 chars.
+    val docs = Seq(
+      (1L, "abcdefgh" + "qqqrrrsssttt"),     // 20 chars
+      (2L, "abcdefgh" + "uuuvvvwwwxxx"),
+      (3L, "zzzzyyyyzzzzyyyyzzzz")           // self-repeats, single doc
+    ).toDF("doc_id", "text").repartition(3)
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text",
+        winLen = 4, stride = 2, minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // 20 chars, winLen 4, stride 2 → positions 1,3,...,17 = 9 windows
+    assert(got.toSeq == Seq(
+      (1L, 9L, 3L, 1L, 8L, 400000L),
+      (2L, 9L, 3L, 1L, 8L, 400000L),
+      (3L, 9L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("duplicatedSpans: disjoint shared regions give separate islands") {
+    import spark.implicits._
+    // shared prefix (1..4) and shared suffix (13..16), unique middle
+    val docs = Seq(
+      (1L, "SAME" + "abcdefgh" + "TAIL"),
+      (2L, "SAME" + "12345678" + "TAIL")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text",
+        winLen = 4, stride = 4, minDocs = 2) // windows at p=1,5,9,13
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 2L, 2L, 8L), (2L, 2L, 2L, 8L)))
+  }
 }
