@@ -1155,6 +1155,32 @@ object Dedup {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Deterministic full-row keep-first dedup: for each key group the
+    * surviving row is the MINIMUM of struct(orderCols ++ remaining
+    * payload columns) — a total order over the group, so the result is
+    * partitioning-invariant (unlike `dropDuplicates`, which keeps an
+    * arbitrary row when payloads differ). This is the batch twin of
+    * [[graft.streaming.EventStreams.dedupWithinWatermark]]: on an
+    * at-least-once transport whose re-deliveries are identical rows the
+    * two agree exactly; when re-deliveries MUTATE (late enrichment,
+    * clock skew) this twin picks the orderCols-first version, a
+    * deterministic policy the streaming arm's arrival-order cannot
+    * promise.
+    *
+    * One aggregation with partial (map-side) combine — no window, no
+    * corpus-wide sort; the min-struct carries the payload through the
+    * single key-shuffle.
+    */
+  def keepFirstPerKey(df: DataFrame, keys: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
+    val payload = df.columns.filterNot(keys.contains).toSeq
+    val ordFields = (orderCols ++ payload.filterNot(orderCols.contains))
+    val packed = struct(ordFields.map(col): _*)
+    df.groupBy(keys.map(col): _*).agg(min(packed).as("_f"))
+      .select(keys.map(col) ++
+        payload.map(c => col(s"_f.$c").as(c)): _*)
+  }
+
   /** Cross-document duplicated-substring spans (the exact-substring
     * arm of training-data dedup, cf. Lee et al. 2021 "Deduplicating
     * Training Data Makes Language Models Better"): fixed-length

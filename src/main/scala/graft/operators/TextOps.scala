@@ -115,4 +115,43 @@ object TextOps {
         when(bucket < hi, lit(label)).otherwise(acc)
     }
   }
+
+  /** Flesch reading-ease per document, in exact integer micro-points
+    * (score × 10⁶): `206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words)` with both ratios as truncating integer
+    * divisions of micro-scaled numerators — no float exists anywhere,
+    * so Spark and any replaying engine agree bit-for-bit.
+    *
+    * The counting rules are the standard cheap heuristics, stated so
+    * they are replayable in plain SQL on any engine:
+    *  - words = whitespace tokens ([[words]]);
+    *  - sentences = count of `.`, `!`, `?` characters, floored at 1;
+    *  - syllables = maximal vowel runs (`[aeiouy]+` in the lowercased
+    *    text), the classic one-regex approximation, floored at 1.
+    * Vowel runs are counted WITHOUT a per-character explode: collapse
+    * each run to one char and difference the lengths (two linear
+    * regexp passes per doc).
+    *
+    * Output: `(id, n_words, n_sentences, n_syllables, flesch_micro)`
+    * — one narrow projection, no shuffle at all until the caller
+    * aggregates.
+    */
+  def fleschReadability(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val lowered = lower(col(textCol))
+    // runs = len(collapsed) − len(vowels-removed): each maximal vowel
+    // run contributes exactly 1 to the first and 0 to the second
+    val collapsed = length(regexp_replace(lowered, "[aeiouy]+", "V"))
+    val noVowels = length(regexp_replace(lowered, "[aeiouy]", ""))
+    df.select(col(idCol),
+        size(words(col(textCol))).cast("long").as("n_words"),
+        greatest(length(regexp_replace(col(textCol), "[^.!?]", ""))
+          .cast("long"), lit(1L)).as("n_sentences"),
+        greatest((collapsed - noVowels).cast("long"), lit(1L))
+          .as("n_syllables"))
+      .withColumn("flesch_micro",
+        lit(206835000L) -
+          expr("(1015000 * n_words) div greatest(n_sentences, 1)") -
+          expr("(84600000 * n_syllables) div greatest(n_words, 1)"))
+  }
 }

@@ -4,11 +4,13 @@ import graft.Tables
 import graft.operators.Dedup
 import org.apache.spark.sql.functions._
 
-/** Round-11 continuation 5 (q270-q271): the two remaining classic
+/** Round-11 continuation 5 (q270-q273): the two remaining classic
   * text-dedup arms — line-level exact dedup (CCNet/C4 boilerplate
   * removal with keep-first semantics and reassembly) and
   * cross-document duplicated-substring spans (the stride-sampled
-  * distributed shape of Lee et al. 2021 exact-substring dedup).
+  * distributed shape of Lee et al. 2021 exact-substring dedup) — plus
+  * the streaming watermark-dedup's deterministic batch twin and Flesch
+  * reading-ease in exact integer micro-points.
   */
 object Round11e {
   private def t(name: String): QueryFn =
@@ -112,5 +114,84 @@ object Round11e {
              |  CAST((1000000 * COALESCE(pd.dup_chars, 0)) // t.dlen
              |    AS BIGINT) AS dup_ppm
              |FROM tot t LEFT JOIN pd USING (doc_id)
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- streaming watermark-dedup batch twin (q165/q246 pattern):
+    // an at-least-once transport re-delivers every event_id%5=0 event
+    // one minute later with a MUTATED value (+1) — keepFirstPerKey's
+    // min-struct policy deterministically keeps the ts-first original
+    // (dropDuplicates would keep an arbitrary copy; the streaming arm
+    // keeps first ARRIVAL — EventStreamsSpec pins the parity on
+    // identical-row redelivery). Aggregated per type after dedup, so
+    // skipping the dedup OR keeping last-instead-of-first hash-fails.
+    QueryDef("q272_stream_dedup_twin",
+      (s, dir) => {
+        val ev = t("events")(s, dir)
+        val redelivered = ev.unionAll(
+          ev.where(col("event_id") % 5 === 0)
+            .withColumn("ts", col("ts") + expr("interval 1 minute"))
+            .withColumn("value", col("value") + 1.0))
+        Dedup.keepFirstPerKey(redelivered, Seq("event_id"), Seq("ts"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,6)")).cast("double")
+              .as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH re AS (
+             |  SELECT event_id, ts, user_id, event_type, value, props
+             |    FROM events
+             |  UNION ALL
+             |  SELECT event_id, ts + INTERVAL 1 MINUTE, user_id,
+             |      event_type, value + 1, props
+             |    FROM events WHERE event_id % 5 = 0),
+             |k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+             |    ORDER BY ts, user_id, event_type, value, props) AS rn
+             |  FROM re)
+             |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS sum_value
+             |FROM k WHERE rn = 1 GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    // ---- Flesch reading ease, exact integer micro-points: the corpus
+    // is punctuation-free, so sentence ends are decorated per doc_id
+    // branch (q264 pattern) — every counting rule (words, [.!?] ends,
+    // vowel-run syllables) then varies across docs.
+    QueryDef("q273_flesch",
+      (s, dir) => {
+        val deco = t("documents")(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit(". Short tail. Done.")))
+            .when(col("doc_id") % 4 === 1,
+              concat(col("text"), lit(" and a longer appended clause"
+                + " stretching the final sentence considerably!")))
+            .when(col("doc_id") % 4 === 2,
+              concat(col("text"), lit(" Two halves? Yes.")))
+            .otherwise(col("text")).as("text"))
+        graft.operators.TextOps.fleschReadability(deco, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, CASE
+             |    WHEN doc_id % 4 = 0 THEN text || '. Short tail. Done.'
+             |    WHEN doc_id % 4 = 1 THEN text ||
+             |      ' and a longer appended clause' ||
+             |      ' stretching the final sentence considerably!'
+             |    WHEN doc_id % 4 = 2 THEN text || ' Two halves? Yes.'
+             |    ELSE text END AS text FROM documents),
+             |m AS (SELECT doc_id,
+             |    CAST(len(list_filter(string_split_regex(lower(text),
+             |      '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_words,
+             |    GREATEST(CAST(len(regexp_replace(text, '[^.!?]', '',
+             |      'g')) AS BIGINT), 1) AS n_sentences,
+             |    GREATEST(CAST(len(regexp_replace(lower(text),
+             |        '[aeiouy]+', 'V', 'g')) AS BIGINT)
+             |      - CAST(len(regexp_replace(lower(text), '[aeiouy]',
+             |        '', 'g')) AS BIGINT), 1) AS n_syllables
+             |  FROM d)
+             |SELECT doc_id, n_words, n_sentences, n_syllables,
+             |  206835000 - (1015000 * n_words) // n_sentences
+             |    - (84600000 * n_syllables) // GREATEST(n_words, 1)
+             |    AS flesch_micro
+             |FROM m ORDER BY doc_id""".stripMargin)))
 }

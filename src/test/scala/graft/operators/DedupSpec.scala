@@ -536,4 +536,26 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(got.toSeq == Seq((1L, 2L, 2L, 8L), (2L, 2L, 2L, 8L)))
   }
+
+  test("keepFirstPerKey is deterministic and partitioning-invariant") {
+    import spark.implicits._
+    // key 1: three versions — ts ties broken by the payload columns
+    val rows = Seq(
+      (1L, 10L, "b", 2.0), (1L, 10L, "a", 9.0), (1L, 5L, "z", 1.0),
+      (2L, 7L, "only", 4.0))
+    for (parts <- Seq(1, 3, 7)) {
+      val df = rows.toDF("event_id", "ts", "tag", "value")
+        .repartition(parts)
+      val got = Dedup.keepFirstPerKey(df, Seq("event_id"), Seq("ts"))
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getDouble(3)))
+      assert(got.toSeq == Seq((1L, 5L, "z", 1.0), (2L, 7L, "only", 4.0)))
+    }
+    // ts tie: (10,"a",9.0) < (10,"b",2.0) lexicographically by tag
+    val tied = rows.filter(_._2 == 10L).toDF("event_id", "ts", "tag", "value")
+    val Array(r) = Dedup.keepFirstPerKey(tied, Seq("event_id"), Seq("ts"))
+      .collect()
+    assert((r.getString(2), r.getDouble(3)) == ("a", 9.0))
+  }
 }

@@ -55,4 +55,34 @@ class TextOpsSpec extends SparkSpec {
       .first().getLong(0)
     assert(n == 3L)
   }
+
+  test("fleschReadability counts hand-checkable words/sentences/syllables") {
+    import spark.implicits._
+    // "The cat sat. On a mat!" → words 6, sentence ends 2,
+    // vowel runs (lower): e,a,a,o,a,a → 6
+    // flesch_micro = 206835000 − (1015000·6) div 2 − (84600000·6) div 6
+    //              = 206835000 − 3045000 − 84600000 = 119190000
+    val df = Seq((1L, "The cat sat. On a mat!")).toDF("doc_id", "text")
+    val Array(r) = TextOps.fleschReadability(df, "doc_id", "text").collect()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      (6L, 2L, 6L, 119190000L))
+  }
+
+  test("fleschReadability floors: no punctuation → 1 sentence; y vowels") {
+    import spark.implicits._
+    // "why try" → words 2, sentences floor 1, runs: y / y → 2
+    // = 206835000 − 2030000 − 84600000 = 120205000
+    val df = Seq((1L, "why try")).toDF("doc_id", "text")
+    val Array(r) = TextOps.fleschReadability(df, "doc_id", "text").collect()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      (2L, 1L, 2L, 120205000L))
+  }
+
+  test("fleschReadability: adjacent vowels are ONE run (syllable)") {
+    import spark.implicits._
+    // "beautiful queue" → runs: eau, i, u / ueue = 4 runs; words 2
+    val df = Seq((1L, "beautiful queue")).toDF("doc_id", "text")
+    val Array(r) = TextOps.fleschReadability(df, "doc_id", "text").collect()
+    assert((r.getLong(1), r.getLong(3)) == (2L, 4L))
+  }
 }

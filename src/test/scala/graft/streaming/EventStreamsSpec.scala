@@ -307,4 +307,34 @@ class EventStreamsSpec extends SparkSpec {
     run()
     assert(target.read(spark, spec).count() == 3)
   }
+
+  test("dedupWithinWatermark ≡ batch keepFirstPerKey on identical-row redelivery") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = EventStreams.dedupWithinWatermark(
+        in.toDF(), Seq("event_id"), "30 minutes")
+      .writeStream.format("memory").queryName("dedup_parity")
+      .outputMode(OutputMode.Append).start()
+    val batch1 = Seq(ev(1, 1), ev(2, 2), ev(3, 3))
+    val redeliveries = Seq(ev(1, 1), ev(3, 3)) // identical rows, again
+    val batch2 = Seq(ev(4, 4))
+    try {
+      in.addData(batch1)
+      q.processAllAvailable()
+      in.addData(redeliveries ++ batch2)
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_parity")
+        .select("event_id", "user_id", "event_type", "value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getDouble(3))).toSet
+      val twin = graft.operators.Dedup.keepFirstPerKey(
+          (batch1 ++ redeliveries ++ batch2).toDF(),
+          Seq("event_id"), Seq("ts"))
+        .select("event_id", "user_id", "event_type", "value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getDouble(3))).toSet
+      assert(streamed == twin && streamed.size == 4)
+    } finally q.stop()
+  }
 }
