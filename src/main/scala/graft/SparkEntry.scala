@@ -57,7 +57,8 @@ object SparkEntry {
       graft.queries.Round9c.defs ++ graft.queries.Round10.defs ++
       graft.queries.Round10b.defs ++ graft.queries.Round11.defs ++
       graft.queries.Round11b.defs ++ graft.queries.Round11c.defs ++
-      graft.queries.Round11d.defs ++ graft.queries.Round11e.defs)
+      graft.queries.Round11d.defs ++ graft.queries.Round11e.defs ++
+      graft.queries.Round11f.defs)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -199,4 +199,92 @@ object Eval {
         expr("(n_pos * 1000000) div n").as("pos_rate_ppm"))
       .orderBy(col("bucket"))
   }
+
+  /** Binary-relevance nDCG discount weights in integer micro-units:
+    * `round(10⁶ / log₂(r+1))` for rank r = 1..20, written as LITERALS
+    * (not computed) so Spark and any replaying engine share the exact
+    * same integers — JVM `Math.log` is not bit-specified across
+    * platforms, and one ulp would flip a truncating division.
+    */
+  val ndcgDiscountMicro: IndexedSeq[Long] = IndexedSeq(
+    1000000L, 630930L, 500000L, 430677L, 386853L, 356207L, 333333L,
+    315465L, 301030L, 289065L, 278943L, 270238L, 262650L, 255958L,
+    250000L, 244651L, 239812L, 235409L, 231378L, 227670L)
+
+  /** `dt(r, w)` + `it(n, idcg)` VALUES CTEs for an oracle replay of
+    * [[retrievalMetrics]] at cutoff `k` — the discount table and its
+    * prefix sums (ideal DCG for n relevant), same literals as
+    * [[ndcgDiscountMicro]].
+    */
+  def ndcgOracleCtes(k: Int): String = {
+    val w = ndcgDiscountMicro.take(k)
+    val dt = w.zipWithIndex
+      .map { case (v, i) => s"(${i + 1}, ${v})" }.mkString(", ")
+    val it = w.scanLeft(0L)(_ + _).tail.zipWithIndex
+      .map { case (v, i) => s"(${i + 1}, ${v})" }.mkString(", ")
+    s"dt(r, w) AS (VALUES $dt),\nit(n, idcg) AS (VALUES $it)"
+  }
+
+  /** Ranked-retrieval quality per query — the evaluation half of the
+    * BM25/hybrid retrieval family (the classifier-eval discipline
+    * applied to ranking): binary-relevance precision@k, recall@k,
+    * reciprocal rank, DCG@k and nDCG@k, all in exact integer
+    * micro/ppm units (the nDCG log₂ discounts are the fixed literal
+    * table [[ndcgDiscountMicro]], so no float exists anywhere).
+    *
+    * Inputs: `ranked(query_id, doc_id, rank)` (1-based, from
+    * `Retrieval.bm25TopK*`/`rrfHybrid`) and a relevance frame
+    * `truth(query_id, doc_id)`. Queries with empty truth report
+    * zeros — the honest "nothing to find" row, kept so a broken
+    * truth join fails loudly in row counts rather than silently
+    * shrinking the mean.
+    *
+    * Scale: one semi-join of the top-k frame against truth (both
+    * keyed (query_id, doc_id) — queries-×-k sized, not corpus), two
+    * per-query aggregations, a map-literal lookup per hit. Nothing
+    * corpus-sized after the caller's ranking.
+    */
+  def retrievalMetrics(ranked: DataFrame, truth: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= ndcgDiscountMicro.length,
+      s"k must be in 1..${ndcgDiscountMicro.length}")
+    val w = ndcgDiscountMicro.take(k)
+    val wMap = map(w.zipWithIndex.flatMap { case (v, i) =>
+      Seq(lit((i + 1).toLong), lit(v)) }: _*)
+    val idcgMap = map(w.scanLeft(0L)(_ + _).tail.zipWithIndex.flatMap {
+      case (v, i) => Seq(lit((i + 1).toLong), lit(v)) }: _*)
+    val topk = ranked.where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank").cast("long")
+        .as("rank"))
+    val tr = truth.select(col("query_id"), col("doc_id")).distinct()
+    val nrel = tr.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel"))
+    val perQ = topk.join(tr, Seq("query_id", "doc_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("hits_at_k"),
+        min(col("rank")).as("fr"),
+        sum(element_at(wMap, col("rank"))).as("dcg"))
+    // staged so every ratio is a true integer `div` (never a double)
+    ranked.select(col("query_id")).distinct()
+      .join(nrel, Seq("query_id"), "left")
+      .join(perQ, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
+        col("fr"),
+        coalesce(col("dcg"), lit(0L)).as("dcg_micro"),
+        element_at(idcgMap, least(greatest(col("n_rel"), lit(1L)),
+          lit(k.toLong))).as("idcg_at"))
+      .select(col("query_id"), col("n_rel"), col("hits_at_k"),
+        when(col("fr").isNull, lit(0L))
+          .otherwise(expr("1000000 div fr")).as("rr_micro"),
+        expr(s"(1000000 * hits_at_k) div $k").as("precision_ppm"),
+        when(col("n_rel") > 0L,
+          expr("(1000000 * hits_at_k) div n_rel"))
+          .otherwise(lit(0L)).as("recall_ppm"),
+        col("dcg_micro"),
+        when(col("n_rel") > 0L,
+          expr("(1000000 * dcg_micro) div idcg_at"))
+          .otherwise(lit(0L)).as("ndcg_ppm"))
+  }
 }

@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Eval, Retrieval, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Round-11 continuation 6 (q274+): retrieval-quality evaluation —
+  * the ranking twin of the classifier-eval family (q201-q204):
+  * precision@k / recall@k / MRR / nDCG@k in exact integer units over
+  * the BM25 ranking, with pseudo-relevance truth derived from word
+  * overlap (replayed verbatim by the oracle).
+  */
+object Round11f {
+  private def t(name: String): QueryFn =
+    (s, dir) => Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- retrieval metrics @10 over doc-as-query BM25: queries are
+    // the first 5 words of every doc_id%10=0 doc; truth = docs
+    // sharing ≥4 of the query's distinct words (pseudo-relevance
+    // both engines re-derive). Queries whose truth set is empty
+    // report zeros — the n_rel=0 branch is part of the contract.
+    // The nDCG log2 discounts are the FIXED literal micro table
+    // (Eval.ndcgDiscountMicro) on both sides, so no float exists.
+    QueryDef("q274_retrieval_metrics",
+      (s, dir) => {
+        val docs = t("documents")(s, dir)
+        val qdf = docs.where(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(TextOps.words(col("text")), 1, 5), " ")
+              .as("qtext"))
+        val ranked = Retrieval.bm25TopKFrame(
+          docs, "doc_id", "text", qdf, k = 10)
+        val qw = qdf.select(col("query_id"),
+          explode(TextOps.words(col("qtext"))).as("word")).distinct()
+        val dw = TextOps.wordRows(
+            docs.select(col("doc_id"), col("text")), "text",
+            keep = Seq("doc_id"))
+          .select(col("doc_id"), col("word")).distinct()
+        val truth = qw.join(dw, "word")
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(count(lit(1)).as("ov"))
+          .where(col("ov") >= 4)
+          .select(col("query_id"), col("doc_id"))
+        Eval.retrievalMetrics(ranked, truth, k = 10)
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH ${Retrieval.bm25OracleCtesQr(
+                 """qr(query_id, qtext) AS (SELECT doc_id,
+                   |  array_to_string(list_filter(string_split_regex(
+                   |    lower(text), '\s+'), x -> len(x) > 0)[1:5], ' ')
+                   |  FROM documents WHERE doc_id % 10 = 0)"""
+                   .stripMargin, 1.2, 0.75)},
+              |rk AS (SELECT query_id, doc_id, ROW_NUMBER() OVER (
+              |    PARTITION BY query_id ORDER BY score DESC, doc_id)
+              |    AS rank FROM sc),
+              |tk AS (SELECT * FROM rk WHERE rank <= 10),
+              |dw AS (SELECT DISTINCT doc_id, word FROM tf),
+              |trh AS (SELECT qt.query_id, dw.doc_id FROM qt
+              |  JOIN dw USING (word) GROUP BY 1, 2
+              |  HAVING COUNT(*) >= 4),
+              |nr AS (SELECT query_id, CAST(COUNT(*) AS BIGINT)
+              |    AS n_rel FROM trh GROUP BY 1),
+              |${Eval.ndcgOracleCtes(10)},
+              |ht AS (SELECT tk.query_id, tk.rank FROM tk
+              |  JOIN trh ON tk.query_id = trh.query_id
+              |    AND tk.doc_id = trh.doc_id),
+              |pq AS (SELECT ht.query_id,
+              |    CAST(COUNT(*) AS BIGINT) AS hits_at_k,
+              |    CAST(MIN(ht.rank) AS BIGINT) AS fr,
+              |    CAST(SUM(dt.w) AS BIGINT) AS dcg
+              |  FROM ht JOIN dt ON ht.rank = dt.r GROUP BY 1),
+              |qs AS (SELECT DISTINCT query_id FROM rk),
+              |fin AS (SELECT qs.query_id,
+              |    COALESCE(nr.n_rel, 0) AS n_rel,
+              |    COALESCE(pq.hits_at_k, 0) AS hits_at_k, pq.fr,
+              |    COALESCE(pq.dcg, 0) AS dcg_micro
+              |  FROM qs LEFT JOIN nr USING (query_id)
+              |  LEFT JOIN pq USING (query_id))
+              |SELECT fin.query_id, fin.n_rel, fin.hits_at_k,
+              |  CAST(CASE WHEN fin.fr IS NULL THEN 0
+              |    ELSE 1000000 // fin.fr END AS BIGINT) AS rr_micro,
+              |  CAST((1000000 * fin.hits_at_k) // 10 AS BIGINT)
+              |    AS precision_ppm,
+              |  CAST(CASE WHEN fin.n_rel > 0
+              |    THEN (1000000 * fin.hits_at_k) // fin.n_rel
+              |    ELSE 0 END AS BIGINT) AS recall_ppm,
+              |  fin.dcg_micro,
+              |  CAST(CASE WHEN fin.n_rel > 0
+              |    THEN (1000000 * fin.dcg_micro) // it.idcg
+              |    ELSE 0 END AS BIGINT) AS ndcg_ppm
+              |FROM fin LEFT JOIN it
+              |  ON it.n = LEAST(GREATEST(fin.n_rel, 1), 10)
+              |ORDER BY fin.query_id""".stripMargin)))
+}

@@ -120,4 +120,36 @@ class EvalSpec extends SparkSpec {
     // mean = (-7 + -3 + 2) div 3 = -8 div 3 = -2 (toward zero)
     assert(cal.getLong(3) == -2L)
   }
+
+  test("retrievalMetrics: hand-computed MRR/P@k/recall/nDCG, zero-truth branch") {
+    import spark.implicits._
+    // q1: ranked docs 10,20,30; truth {20,30,99} → hits at ranks 2,3
+    //   rr = 1e6 div 2 = 500000; P@3 = 2/3 → 666666; recall = 2/3 of 3
+    //   dcg = w(2)+w(3) = 630930+500000 = 1130930
+    //   idcg(n_rel=3 → ranks 1..3) = 2130930
+    //   ndcg = 1e6·1130930 div 2130930 = 530720 (trunc)
+    // q2: ranked 10; truth empty → all zeros
+    val ranked = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L),
+      (2L, 10L, 1L)).toDF("query_id", "doc_id", "rank")
+    val truth = Seq((1L, 20L), (1L, 30L), (1L, 99L))
+      .toDF("query_id", "doc_id")
+    val got = Eval.retrievalMetrics(ranked, truth, k = 3)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got(0) == (1L, 3L, 2L, 500000L, 666666L, 666666L,
+      1130930L, (1000000L * 1130930L) / 2130930L))
+    assert(got(1) == (2L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+  }
+
+  test("retrievalMetrics: perfect ranking gives ndcg exactly 1e6") {
+    import spark.implicits._
+    // truth has 5 docs but k=3 → idcg uses min(n_rel, k)=3 prefix;
+    // perfect top-3 of relevant docs → dcg = idcg → ndcg_ppm = 1e6
+    val ranked = Seq((7L, 1L, 1L), (7L, 2L, 2L), (7L, 3L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val truth = (1L to 5L).map(d => (7L, d)).toDF("query_id", "doc_id")
+    val Array(r) = Eval.retrievalMetrics(ranked, truth, k = 3).collect()
+    assert(r.getLong(7) == 1000000L && r.getLong(3) == 1000000L)
+  }
 }
