@@ -286,4 +286,57 @@ object Series {
       .select(col("k"), col("day"), col("n_events"),
         col("slope_milli"))
   }
+
+  /** Sample autocorrelation of the GLOBAL daily event-count series at
+    * lags 1..`maxLag`, in exact signed ppm:
+    * `r_k = Σ_{t≤n−k}(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²`, computed with
+    * both sums cross-multiplied by n² so every term is an integer
+    * (`n·x_t − S` replaces `x_t − x̄`) — no float exists; the final
+    * ratio is the sign-split truncating division `sign·(10⁶·|num| div
+    * den)`, identical in Spark (`div`) and floor-division engines
+    * (positive operands). Deviations ride DECIMAL(38,0): at 100 TB a
+    * day can hold ~10¹¹ events and n·x² sums pass 2⁶³.
+    *
+    * The series is DENSIFIED first (zero-count days inside the span
+    * are real observations — on the sparse frame a lag-k join would
+    * silently skip silent days and correlate non-adjacent days).
+    * Shape: one N-sized aggregation to daily counts; everything after
+    * is calendar-span-sized (a few thousand rows at any data scale):
+    * the lag self-join is span×maxLag, the stats are one-row
+    * broadcasts.
+    *
+    * Output: `(lag, n_pairs, acf_ppm)`.
+    */
+  def acfDaily(events: DataFrame, tsCol: String, maxLag: Int)
+      : DataFrame = {
+    val counts = events.select(to_date(col(tsCol)).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("x"))
+    val span = counts.agg(min(col("day")).as("d0"),
+      max(col("day")).as("d1"))
+    val cal = span.select(col("d0"), explode(sequence(col("d0"),
+      col("d1"), expr("interval 1 day"))).as("day"))
+    val dense = cal.join(counts, Seq("day"), "left")
+      .select(datediff(col("day"), col("d0")).cast("long").as("t"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val stats = dense.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("x")).cast("decimal(38,0)").as("sx"))
+    val dev = dense.crossJoin(broadcast(stats))
+      .select(col("t"),
+        (col("n") * col("x") - col("sx")).cast("decimal(38,0)").as("d"))
+    val den = dev.agg(sum(col("d") * col("d")).as("den"))
+    val lagged = dev.select(col("t"), col("d"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"))
+      .join(dev.select(col("t").as("t2"), col("d").as("d2")),
+        col("t2") === col("t") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(sum(col("d") * col("d2")).as("num"),
+        count(lit(1)).as("n_pairs"))
+    lagged.crossJoin(broadcast(den))
+      .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+        when(col("num") < 0,
+          -expr("(1000000 * (-num)) div den"))
+          .otherwise(expr("(1000000 * num) div den"))
+          .cast("long").as("acf_ppm"))
+  }
 }

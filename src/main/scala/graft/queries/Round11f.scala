@@ -92,5 +92,42 @@ object Round11f {
               |    ELSE 0 END AS BIGINT) AS ndcg_ppm
               |FROM fin LEFT JOIN it
               |  ON it.n = LEAST(GREATEST(fin.n_rel, 1), 10)
-              |ORDER BY fin.query_id""".stripMargin)))
+              |ORDER BY fin.query_id""".stripMargin)),
+
+    // ---- daily-series autocorrelation at lags 1..7, exact signed
+    // ppm via the n²-cross-multiplied deviation formula (n·x_t − S)
+    // in DECIMAL(38,0)/HUGEINT — the seasonality probe (a weekly
+    // cycle shows as a lag-7 peak). Densified first: silent days are
+    // observations. Everything after the daily count aggregation is
+    // calendar-span-sized.
+    QueryDef("q275_daily_acf",
+      (s, dir) => graft.operators.Series.acfDaily(
+          t("events")(s, dir), "ts", maxLag = 7)
+        .orderBy(col("lag")),
+      Some("""WITH c AS (SELECT CAST(ts AS DATE) AS day,
+             |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1),
+             |sp AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM c),
+             |cal AS (SELECT d0, CAST(unnest(generate_series(
+             |    CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+             |    INTERVAL 1 DAY)) AS DATE) AS day FROM sp),
+             |dense AS (SELECT CAST(DATEDIFF('day', cal.d0, cal.day)
+             |    AS BIGINT) AS t, COALESCE(c.x, 0) AS x
+             |  FROM cal LEFT JOIN c USING (day)),
+             |st AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             |    CAST(SUM(x) AS HUGEINT) AS sx FROM dense),
+             |dev AS (SELECT t, st.n * x - st.sx AS d
+             |  FROM dense CROSS JOIN st),
+             |den AS (SELECT SUM(d * d) AS den FROM dev),
+             |lg AS (SELECT CAST(unnest(generate_series(1, 7))
+             |    AS BIGINT) AS lag),
+             |nm AS (SELECT lg.lag, SUM(a.d * b.d) AS num,
+             |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+             |  FROM lg, dev a JOIN dev b ON b.t = a.t + lg.lag
+             |  GROUP BY 1)
+             |SELECT nm.lag, nm.n_pairs,
+             |  CAST(CASE WHEN num < 0
+             |    THEN -((1000000 * (-num)) // den.den)
+             |    ELSE (1000000 * num) // den.den END AS BIGINT)
+             |    AS acf_ppm
+             |FROM nm CROSS JOIN den ORDER BY nm.lag""".stripMargin)))
 }

@@ -188,4 +188,27 @@ class SeriesSpec extends SparkSpec {
       ("2024-01-03", 20.0, 2L), ("2024-01-04", 40.0, 0L)),
       got.toString)
   }
+
+  test("acfDaily: alternating series gives negative lag-1, positive lag-2") {
+    import spark.implicits._
+    // days 1..4, counts 1,3,1,3 → d = 4x−8 = [−4,4,−4,4], den=64
+    // lag1: −48 → −750000; lag2: +32 → 500000
+    val events = Seq(1 -> 1, 2 -> 3, 3 -> 1, 4 -> 3).flatMap {
+      case (day, n) => Seq.fill(n)(ts(day)) }.toDF("ts").repartition(3)
+    val got = Series.acfDaily(events, "ts", maxLag = 2)
+      .orderBy("lag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 3L, -750000L), (2L, 2L, 500000L)))
+  }
+
+  test("acfDaily densifies: a silent day is a zero observation") {
+    import spark.implicits._
+    // events on days 1 and 3 only → x=[1,0,1], d=3x−2=[1,−2,1], den=6
+    // lag1: (1·−2)+(−2·1)=−4 → −666666; lag2: 1·1=1 → 166666
+    val events = Seq(ts(1), ts(3)).toDF("ts")
+    val got = Series.acfDaily(events, "ts", maxLag = 2)
+      .orderBy("lag").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, -666666L), (2L, 166666L)))
+  }
 }
