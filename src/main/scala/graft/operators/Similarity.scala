@@ -1434,4 +1434,55 @@ object Similarity {
     (result,
       if (cache) new CacheHandle(Seq(b, bucketed)) else CacheHandle.empty)
   }
+
+  /** Simplified silhouette per cell (Hruschka et al.: centroid
+    * distances replace the O(n²) pairwise means — the only silhouette
+    * that exists at corpus scale): for each vector, `s1` = cosine
+    * micro-sim to its OWN (nearest) centroid, `s2` = to the runner-up
+    * cell; under cosine distance `d = 1 − sim` the score is
+    * `(b − a)/max(a, b) = (s1 − s2) / (10⁶ − s2)` — exact integer ppm
+    * (assignment IS the argmax, so a ≤ b and the score is in
+    * [0, 10⁶]: 0 = sits on a cell boundary, 10⁶ = coincides with its
+    * centroid). The per-cell report `(cell, n_vecs, mean_sil_micro,
+    * min_sil_micro)` is the cluster-quality audit for the IVF/k-means
+    * family: a drifting codebook shows up as a falling mean before
+    * recall visibly degrades.
+    *
+    * Requires ≥ 2 centroids. Shape: one broadcast-scored pass
+    * (vectors × nCells rows, map-side), a per-vector top-2 from an
+    * nCells-bounded collected list (documented bound: the centroid
+    * frame is model-sized), one per-cell aggregation. Sims round to 6
+    * decimals BEFORE the micro cast — the [[assignCells]] determinism
+    * discipline; ties break to the lower cen_id, matching it.
+    */
+  def simplifiedSilhouette(candidates: DataFrame, cen: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding")
+      : DataFrame = {
+    val c = graft.Tables.rebalance(
+      candidates.select(col(idCol).as("id"),
+        col(embCol).as("e"), sqrt(norm2(col(embCol))).as("nrm")))
+    val sims = c.join(broadcast(cen), lit(true))
+      .select(col("id"), col("cen_id"),
+        (round(dot(col("e"), col("cen_e")) /
+            (col("nrm") * col("cen_nrm")), 6).cast("decimal(10,6)")
+          * 1000000).cast("bigint").as("sim_micro"))
+    val top2 = sims.groupBy(col("id"))
+      .agg(slice(reverse(array_sort(collect_list(
+        struct(col("sim_micro"), (-col("cen_id")).as("nid"))))), 1, 2)
+        .as("t"))
+      .select(col("id"),
+        col("t").getItem(0).getField("sim_micro").as("s1"),
+        (-col("t").getItem(0).getField("nid")).as("cell"),
+        col("t").getItem(1).getField("sim_micro").as("s2"))
+    top2
+      .withColumn("sil_micro",
+        expr("(1000000 * (s1 - s2)) div greatest(1000000 - s2, 1)"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("sil_micro")).as("ssum"),
+        min(col("sil_micro")).as("min_sil_micro"))
+      .select(col("cell"), col("n_vecs"),
+        expr("ssum div n_vecs").as("mean_sil_micro"),
+        col("min_sil_micro"))
+  }
 }

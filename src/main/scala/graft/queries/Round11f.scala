@@ -129,5 +129,42 @@ object Round11f {
              |    THEN -((1000000 * (-num)) // den.den)
              |    ELSE (1000000 * num) // den.den END AS BIGINT)
              |    AS acf_ppm
-             |FROM nm CROSS JOIN den ORDER BY nm.lag""".stripMargin)))
+             |FROM nm CROSS JOIN den ORDER BY nm.lag""".stripMargin)),
+
+    // ---- simplified silhouette over the seeded coarse cells: the
+    // cluster-quality audit for the IVF/k-means family (centroid
+    // distances, never the O(n²) pairwise silhouette). Deterministic
+    // lowest-id seeds so the oracle replays every assignment (the
+    // q91 discipline; trainedCentroids is the production path).
+    QueryDef("q276_silhouette",
+      (s, dir) => {
+        val emb = t("embeddings")(s, dir)
+        graft.operators.Similarity.simplifiedSilhouette(emb,
+            graft.operators.Similarity.seedCentroids(emb, 8))
+          .orderBy(col("cell"))
+      },
+      Some("""WITH cen AS (SELECT vec_id AS cen_id,
+             |    CAST(embedding AS DOUBLE[]) AS ce
+             |  FROM embeddings ORDER BY vec_id LIMIT 8),
+             |v AS (SELECT vec_id AS id,
+             |    CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |sm AS (SELECT id, cen_id,
+             |    CAST(CAST(round(list_dot_product(e, ce) /
+             |      (sqrt(list_dot_product(e, e)) *
+             |       sqrt(list_dot_product(ce, ce))), 6)
+             |      AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim
+             |  FROM v, cen),
+             |r AS (SELECT id, cen_id, sim, ROW_NUMBER() OVER (
+             |    PARTITION BY id ORDER BY sim DESC, cen_id) AS rn
+             |  FROM sm),
+             |t2 AS (SELECT a.id, a.cen_id AS cell, a.sim AS s1,
+             |    b.sim AS s2
+             |  FROM r a JOIN r b ON a.id = b.id
+             |    AND a.rn = 1 AND b.rn = 2),
+             |sc AS (SELECT cell, (1000000 * (s1 - s2))
+             |    // GREATEST(1000000 - s2, 1) AS sil FROM t2)
+             |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             |  CAST(SUM(sil) // COUNT(*) AS BIGINT) AS mean_sil_micro,
+             |  CAST(MIN(sil) AS BIGINT) AS min_sil_micro
+             |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin)))
 }

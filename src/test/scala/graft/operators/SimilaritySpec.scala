@@ -449,4 +449,25 @@ class SimilaritySpec extends SparkSpec {
       Option(c.getMessage).exists(_.contains("dimension mismatch"))),
       s"unexpected failure: $e")
   }
+
+  test("simplifiedSilhouette: perfect fit = 1e6, boundary tie = 0") {
+    import spark.implicits._
+    // centroids from seedCentroids = lowest-id vectors 1 (1,0) and 2 (0,1)
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // own centroid → sil 1e6
+      (2L, Seq(0.0f, 1.0f)),   // own centroid → sil 1e6
+      (3L, Seq(1.0f, 1.0f)),   // equidistant tie → cell 1, sil 0
+      (4L, Seq(2.0f, 1.0f))    // cos c1 = 0.894427, c2 = 0.447214
+    ).toDF("vec_id", "embedding")
+    val cen = Similarity.seedCentroids(emb, 2)
+    val got = Similarity.simplifiedSilhouette(emb, cen)
+      .orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // vec 4: sil = (894427−447214)·1e6 div (1e6−447214)
+    val sil4 = (1000000L * (894427L - 447214L)) / (1000000L - 447214L)
+    // cell 1 holds vecs 1,3,4: mean = (1e6 + 0 + sil4) div 3, min = 0
+    assert(got.toSeq == Seq(
+      (1L, 3L, (1000000L + 0L + sil4) / 3L, 0L),
+      (2L, 1L, 1000000L, 1000000L)))
+  }
 }
