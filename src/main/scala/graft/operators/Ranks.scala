@@ -68,4 +68,65 @@ object Ranks {
         col("_off") + row_number().over(wIn) - 1)
       .drop("_b", "_off")
   }
+
+  /** Sample-based range-partition plan — the quantile-boundary
+    * estimation behind every balanced global sort / range shuffle
+    * (what Spark's `RangePartitioner` does with reservoir sampling,
+    * made DETERMINISTIC): a hash-gated sample (`hash60(key) %
+    * sampleMod = 0` — a pure function of the key, so replayable and
+    * stable across runs/partitionings), exact row-weighted quantile
+    * boundaries of the sample at ranks `(i·n_s) div buckets`, and a
+    * full-data balance audit of the resulting buckets.
+    *
+    * Output: `(bucket, n_rows, lo_key, hi_key, share_ppm)` — one row
+    * per non-empty bucket; a skewed key distribution shows up
+    * directly as share_ppm spread (the pre-flight check before
+    * committing a 100-TB sort to those boundaries).
+    *
+    * Scale: the raw frame is touched exactly twice, both times by a
+    * groupBy(key) reduction (sample + full histogram); every window
+    * and join after that runs on the DISTINCT-KEY frame (the
+    * value-cardinality contract of the histogram/quantile family) or
+    * the (buckets−1)-row boundary frame (broadcast). Rows are never
+    * inflated: bucket assignment happens on the distinct-key frame,
+    * then counts aggregate.
+    */
+  def rangePartitionPlan(df: DataFrame, keyCol: String, buckets: Int,
+      sampleMod: Long = 20): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val keyed = df.select(col(keyCol).cast("long").as("k"))
+    val full = keyed.groupBy(col("k")).agg(count(lit(1)).as("c"))
+    val sample = keyed.where(
+      pmod(TextOps.hash60(col("k").cast("string")), lit(sampleMod))
+        === 0)
+    val vals = sample.groupBy(col("k")).agg(count(lit(1)).as("sc"))
+    val cum = vals.withColumn("cum",
+      sum(col("sc")).over(Window.orderBy(col("k"))))
+    val nS = sample.agg(count(lit(1)).as("n_s"))
+    val targets = nS.select(
+        explode(sequence(lit(1), lit(buckets - 1))).as("i"), col("n_s"))
+      .select(col("i"),
+        greatest(expr(s"(i * n_s) div $buckets"), lit(1L)).as("r"))
+    // boundary_i = smallest sampled key whose cumulative sample count
+    // reaches rank r_i — a (buckets−1) × distinct-sample-keys probe,
+    // both frames bounded; the broadcast keeps it map-side
+    val bounds = cum.join(broadcast(targets), col("cum") >= col("r"))
+      .groupBy(col("i")).agg(min(col("k")).as("b"))
+      .select(col("b"))
+    // assignment on the DISTINCT-key frame: bucket = 1 + #boundaries ≤
+    // key (LEFT theta join against the broadcast boundary frame, so an
+    // empty sample degrades to one bucket instead of an empty result)
+    val assigned = full.join(broadcast(bounds),
+        col("b") <= col("k"), "left")
+      .groupBy(col("k"), col("c"))
+      .agg(count(col("b")).as("bkt"))
+    val total = keyed.agg(count(lit(1)).as("n_total"))
+    assigned.groupBy((col("bkt") + 1L).as("bucket"))
+      .agg(sum(col("c")).as("n_rows"),
+        min(col("k")).as("lo_key"), max(col("k")).as("hi_key"))
+      .crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_rows"), col("lo_key"),
+        col("hi_key"),
+        expr("(1000000 * n_rows) div n_total").as("share_ppm"))
+  }
 }

@@ -166,5 +166,43 @@ object Round11f {
              |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
              |  CAST(SUM(sil) // COUNT(*) AS BIGINT) AS mean_sil_micro,
              |  CAST(MIN(sil) AS BIGINT) AS min_sil_micro
-             |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- deterministic range-partition plan over l_partkey: the
+    // quantile-boundary estimation behind a balanced 100-TB global
+    // sort (Spark's RangePartitioner made hash-deterministic), with
+    // the full-data balance audit as the output.
+    QueryDef("q277_range_plan",
+      (s, dir) => graft.operators.Ranks.rangePartitionPlan(
+          t("lineitem")(s, dir), "l_partkey",
+          buckets = 8, sampleMod = 10)
+        .orderBy(col("bucket")),
+      Some("""WITH keyed AS (SELECT CAST(l_partkey AS BIGINT) AS k
+             |  FROM lineitem),
+             |f0 AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM keyed GROUP BY 1),
+             |smp AS (SELECT k FROM keyed WHERE CAST(concat('0x',
+             |    substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)
+             |    % 10 = 0),
+             |vals AS (SELECT k, COUNT(*) AS sc FROM smp GROUP BY 1),
+             |cum AS (SELECT k, SUM(sc) OVER (ORDER BY k) AS cum
+             |  FROM vals),
+             |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_s FROM smp),
+             |tg AS (SELECT CAST(i AS BIGINT) AS i,
+             |    GREATEST((i * n_s) // 8, 1) AS r
+             |  FROM (SELECT unnest(generate_series(1, 7)) AS i, n_s
+             |    FROM ns)),
+             |bd AS (SELECT tg.i, MIN(cum.k) AS b FROM cum
+             |  JOIN tg ON cum.cum >= tg.r GROUP BY 1),
+             |asg AS (SELECT f0.k, f0.c, COUNT(bd.b) AS bkt
+             |  FROM f0 LEFT JOIN bd ON bd.b <= f0.k GROUP BY 1, 2),
+             |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total
+             |  FROM keyed)
+             |SELECT CAST(bkt + 1 AS BIGINT) AS bucket,
+             |  CAST(SUM(c) AS BIGINT) AS n_rows,
+             |  MIN(k) AS lo_key, MAX(k) AS hi_key,
+             |  CAST((1000000 * SUM(c)) // n_total AS BIGINT)
+             |    AS share_ppm
+             |FROM asg CROSS JOIN tot GROUP BY bkt, n_total
+             |ORDER BY bucket""".stripMargin)))
 }

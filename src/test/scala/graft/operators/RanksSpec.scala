@@ -62,4 +62,42 @@ class RanksSpec extends SparkSpec {
     // row count is the BUCKET count — bounded regardless of data size
     assert(unpart.size <= 1, s"${unpart.size} unpartitioned windows")
   }
+
+  test("rangePartitionPlan: full sample gives exact quantile buckets") {
+    import spark.implicits._
+    // keys 1..100 once each, sampleMod=1 (sample = everything),
+    // 4 buckets → boundaries at sample ranks 25/50/75 → keys 25,50,75
+    val df = (1 to 100).map(_.toLong).toDF("k").repartition(7)
+    val got = Ranks.rangePartitionPlan(df, "k", buckets = 4,
+        sampleMod = 1)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 24L, 1L, 24L, 240000L),
+      (2L, 25L, 25L, 49L, 250000L),
+      (3L, 25L, 50L, 74L, 250000L),
+      (4L, 26L, 75L, 100L, 260000L)))
+  }
+
+  test("rangePartitionPlan: empty sample degrades to one full bucket") {
+    import spark.implicits._
+    val df = (1 to 50).map(_.toLong).toDF("k")
+    // sampleMod so large no 50-key hash lands on 0
+    val got = Ranks.rangePartitionPlan(df, "k", buckets = 4,
+        sampleMod = 1000000007L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 50L, 1000000L)))
+  }
+
+  test("rangePartitionPlan: duplicate-heavy keys stay row-weighted") {
+    import spark.implicits._
+    // key 7 carries 90 of 100 rows; with a full sample the boundaries
+    // collapse onto 7, and the audit SHOWS the skew (share 900000+)
+    val df = (Seq.fill(90)(7L) ++ (1L to 10L)).toDF("k").repartition(5)
+    val got = Ranks.rangePartitionPlan(df, "k", buckets = 4,
+        sampleMod = 1).collect()
+    val shares = got.map(r => (r.getLong(0), r.getLong(4))).toMap
+    assert(shares.values.max >= 900000L, shares.toString)
+  }
 }
