@@ -339,4 +339,66 @@ object Series {
           .otherwise(expr("(1000000 * num) div den"))
           .cast("long").as("acf_ppm"))
   }
+
+  /** Classical additive trend/seasonal/residual decomposition of the
+    * global daily series with a weekly cycle (the STL shape reduced to
+    * exact arithmetic): trend = centered 7-day moving average,
+    * seasonal = per-weekday mean of the detrended series, residual =
+    * the rest — all in integer micro-units with every ratio a
+    * truncating division of DECIMAL(38,0) integers (the detrended
+    * value is carried ×7 as `d7 = 7·x − sum7`, so no fraction exists
+    * until the final micro conversions; negatives go through the
+    * sign-split `sign·(|a| div b)`).
+    *
+    * Weekday index is `t % 7` (t = days since the span start) — a pure
+    * function of the data, not an engine's locale-dependent
+    * day-of-week numbering.
+    *
+    * Only days with a FULL centered window decompose (the standard
+    * moving-average head/tail loss of 3 days each). The series is
+    * densified first; all windows and joins after the daily count
+    * aggregation run on the calendar-span frame (the acfDaily
+    * contract — thousands of rows at any data scale).
+    *
+    * Output: `(day, wd, x, trend_micro, seasonal_micro, resid_micro)`
+    * with `trend + seasonal + resid ≡ 10⁶·x` up to the documented
+    * truncation (< 3 micro-units per day).
+    */
+  def weekdayDecomposition(events: DataFrame, tsCol: String)
+      : DataFrame = {
+    val counts = events.select(to_date(col(tsCol)).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("x"))
+    val span = counts.agg(min(col("day")).as("d0"),
+      max(col("day")).as("d1"))
+    val cal = span.select(col("d0"), explode(sequence(col("d0"),
+      col("d1"), expr("interval 1 day"))).as("day"))
+    val dense = cal.join(counts, Seq("day"), "left")
+      .select(col("day"),
+        datediff(col("day"), col("d0")).cast("long").as("t"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val w = Window.orderBy(col("t")).rowsBetween(-3, 3)
+    val tr = dense
+      .withColumn("sum7", sum(col("x")).over(w).cast("decimal(38,0)"))
+      .withColumn("n7", count(lit(1)).over(w))
+      .where(col("n7") === 7)
+      .select(col("day"), col("x"), (col("t") % 7).as("wd"),
+        col("sum7"),
+        (lit(7L).cast("decimal(38,0)") * col("x") - col("sum7"))
+          .cast("decimal(38,0)").as("d7"))
+    val seas = tr.groupBy(col("wd"))
+      .agg(sum(col("d7")).as("snum"), count(lit(1)).as("scnt"))
+    tr.join(broadcast(seas), Seq("wd"))
+      .select(col("day"), col("wd"), col("x"),
+        expr("(1000000 * sum7) div 7").as("trend_micro"),
+        when(col("snum") < 0,
+          -expr("(1000000 * (-snum)) div (7 * scnt)"))
+          .otherwise(expr("(1000000 * snum) div (7 * scnt)"))
+          .cast("long").as("seasonal_micro"),
+        (when(col("d7") < 0, -expr("(1000000 * (-d7)) div 7"))
+          .otherwise(expr("(1000000 * d7) div 7")).cast("long") -
+          (when(col("snum") < 0,
+            -expr("(1000000 * (-snum)) div (7 * scnt)"))
+            .otherwise(expr("(1000000 * snum) div (7 * scnt)"))
+            .cast("long"))).as("resid_micro"))
+  }
 }

@@ -204,5 +204,49 @@ object Round11f {
              |  CAST((1000000 * SUM(c)) // n_total AS BIGINT)
              |    AS share_ppm
              |FROM asg CROSS JOIN tot GROUP BY bkt, n_total
-             |ORDER BY bucket""".stripMargin)))
+             |ORDER BY bucket""".stripMargin)),
+
+    // ---- weekday trend/seasonal/residual decomposition of the daily
+    // event series (STL-lite): centered 7-day MA trend, per-weekday
+    // seasonal means, all exact integer micro (d7 = 7x − sum7 carries
+    // the detrended value ×7; sign-split truncating divisions).
+    QueryDef("q278_weekday_decomp",
+      (s, dir) => graft.operators.Series.weekdayDecomposition(
+          t("events")(s, dir), "ts")
+        .orderBy(col("day")),
+      Some("""WITH c AS (SELECT CAST(ts AS DATE) AS day,
+             |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1),
+             |sp AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM c),
+             |cal AS (SELECT d0, CAST(unnest(generate_series(
+             |    CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+             |    INTERVAL 1 DAY)) AS DATE) AS day FROM sp),
+             |dense AS (SELECT cal.day,
+             |    CAST(DATEDIFF('day', cal.d0, cal.day) AS BIGINT) AS t,
+             |    COALESCE(c.x, 0) AS x
+             |  FROM cal LEFT JOIN c USING (day)),
+             |tr0 AS (SELECT day, t, x,
+             |    CAST(SUM(x) OVER wnd AS HUGEINT) AS sum7,
+             |    COUNT(*) OVER wnd AS n7
+             |  FROM dense WINDOW wnd AS (ORDER BY t
+             |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |tr AS (SELECT day, x, t % 7 AS wd, sum7,
+             |    CAST(7 AS HUGEINT) * x - sum7 AS d7
+             |  FROM tr0 WHERE n7 = 7),
+             |se AS (SELECT wd, SUM(d7) AS snum,
+             |    CAST(COUNT(*) AS HUGEINT) AS scnt
+             |  FROM tr GROUP BY 1),
+             |j AS (SELECT tr.day, tr.wd, tr.x, tr.sum7, tr.d7,
+             |    se.snum, se.scnt,
+             |    CAST(CASE WHEN se.snum < 0
+             |      THEN -((1000000 * (-se.snum)) // (7 * se.scnt))
+             |      ELSE (1000000 * se.snum) // (7 * se.scnt) END
+             |      AS BIGINT) AS seasonal_micro
+             |  FROM tr JOIN se USING (wd))
+             |SELECT day, wd, x,
+             |  CAST((1000000 * sum7) // 7 AS BIGINT) AS trend_micro,
+             |  seasonal_micro,
+             |  CAST(CASE WHEN d7 < 0 THEN -((1000000 * (-d7)) // 7)
+             |    ELSE (1000000 * d7) // 7 END AS BIGINT)
+             |    - seasonal_micro AS resid_micro
+             |FROM j ORDER BY day""".stripMargin)))
 }

@@ -211,4 +211,35 @@ class SeriesSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2)))
     assert(got.toSeq == Seq((1L, -666666L), (2L, 166666L)))
   }
+
+  test("weekdayDecomposition: constant series has flat trend, zero parts") {
+    import spark.implicits._
+    // two events every day for 9 days → only days 4..6 (t=3..5) have a
+    // full window; trend = 2e6, seasonal = 0, resid = 0
+    val events = (1 to 9).flatMap(d => Seq(ts(d), ts(d, 13))).toDF("ts")
+    val got = Series.weekdayDecomposition(events, "ts")
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("2024-01-04", 3L, 2L, 2000000L, 0L, 0L),
+      ("2024-01-05", 4L, 2L, 2000000L, 0L, 0L),
+      ("2024-01-06", 5L, 2L, 2000000L, 0L, 0L)))
+  }
+
+  test("weekdayDecomposition: identity holds within documented truncation") {
+    import spark.implicits._
+    // irregular series over 21 days
+    val events = (1 to 21).flatMap(d =>
+      Seq.fill(1 + (d * 5) % 7)(ts(d))).toDF("ts").repartition(5)
+    val got = Series.weekdayDecomposition(events, "ts").collect()
+    assert(got.length == 15) // 21 − 6 edge days
+    got.foreach { r =>
+      val (x, t, s, res) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val recon = t + s + res
+      assert(math.abs(recon - 1000000L * x) <= 3L,
+        s"day ${r.getDate(0)}: $recon vs ${1000000L * x}")
+    }
+  }
 }
