@@ -401,4 +401,96 @@ object Series {
             .otherwise(expr("(1000000 * snum) div (7 * scnt)"))
             .cast("long"))).as("resid_micro"))
   }
+
+  /** Dense (t, x) daily series — the shared preamble of the trend
+    * family ([[acfDaily]], [[mannKendallDaily]], [[theilSenDaily]]).
+    */
+  private def denseDaily(events: DataFrame, tsCol: String): DataFrame = {
+    val counts = events.select(to_date(col(tsCol)).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("x"))
+    val span = counts.agg(min(col("day")).as("d0"),
+      max(col("day")).as("d1"))
+    val cal = span.select(col("d0"), explode(sequence(col("d0"),
+      col("d1"), expr("interval 1 day"))).as("day"))
+    cal.join(counts, Seq("day"), "left")
+      .select(datediff(col("day"), col("d0")).cast("long").as("t"),
+        coalesce(col("x"), lit(0L)).as("x"))
+  }
+
+  /** Mann-Kendall monotone-trend test on the dense daily series —
+    * EXACT integers end to end (the test is built from signs and
+    * counts, so unlike parametric trend tests nothing ever needs a
+    * float): `S = Σ_{i<j} sign(x_j − x_i)`,
+    * `18·Var(S) = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)` (tie groups
+    * t_g), and the 95% two-sided verdict is the cross-multiplied
+    * `10⁴·18·S² > 38416·18Var` (z² = 1.96² = 38416/10⁴; no continuity
+    * correction — stated contract). Kendall's tau rides along as
+    * sign-split ppm `2·10⁶·S div n(n−1)`.
+    *
+    * Scale: the pair frame is span²/2 rows — bounded by the CALENDAR
+    * span (≈7M pairs for a decade of days), never the event count;
+    * the only N-sized work is the daily count aggregation. All
+    * products ride DECIMAL(38,0) (n³-sized terms).
+    *
+    * Output: one row `(n, s, var18, tau_ppm, significant)`.
+    */
+  def mannKendallDaily(events: DataFrame, tsCol: String): DataFrame = {
+    val dense = denseDaily(events, tsCol).localCheckpoint()
+    val a = dense.select(col("t").as("ti"), col("x").as("xi"))
+    val b = dense.select(col("t").as("tj"), col("x").as("xj"))
+    val sFrame = a.join(b, col("tj") > col("ti"))
+      .agg(sum(signum(col("xj") - col("xi")).cast("long")).as("s"),
+        count(lit(1)).as("n_pairs"))
+    val nF = dense.agg(count(lit(1)).cast("decimal(38,0)").as("n"))
+    val ties = dense.groupBy(col("x"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("tg"))
+      .agg(coalesce(sum(expr("tg * (tg - 1) * (2 * tg + 5)")),
+        lit(0).cast("decimal(38,0)")).as("tsum"))
+    sFrame.crossJoin(broadcast(nF)).crossJoin(broadcast(ties))
+      .select(col("n").cast("long").as("n"), col("s"),
+        expr("n * (n - 1) * (2 * n + 5) - tsum").cast("long")
+          .as("var18"),
+        when(col("s") < 0,
+          -expr("(2000000 * (-s)) div (n * (n - 1))"))
+          .otherwise(expr("(2000000 * s) div (n * (n - 1))"))
+          .cast("long").as("tau_ppm"),
+        // S² term in DECIMAL(38,0): 18·10⁴·S² passes 2⁶³ once the
+        // span reaches a few thousand days (the q225 headroom lesson)
+        (expr("CAST(180000 AS DECIMAL(38,0)) * s * s") >
+          expr("38416 * (n * (n - 1) * (2 * n + 5) - tsum)"))
+          .as("significant"))
+  }
+
+  /** Theil-Sen slope of the dense daily series: the (lower) median of
+    * all pairwise slopes `(x_j − x_i)/(j − i)`, reported as the exact
+    * sign-split micro ratio of the median pair. Pairs sort by IEEE
+    * double slope VALUE with a deterministic (dy, dx) tie-break —
+    * double division is bit-identical across engines, so the median
+    * ELEMENT is engine-stable even when distinct fractions collide in
+    * double; the reported ratio is then computed exactly from that
+    * pair's integers.
+    *
+    * Same span²-bounded pair frame as [[mannKendallDaily]]; the
+    * single-partition rank window runs on that bounded frame
+    * (documented contract). Output: one row
+    * `(n_pairs, dy, dx, slope_micro)`.
+    */
+  def theilSenDaily(events: DataFrame, tsCol: String): DataFrame = {
+    val dense = denseDaily(events, tsCol).localCheckpoint()
+    val a = dense.select(col("t").as("ti"), col("x").as("xi"))
+    val b = dense.select(col("t").as("tj"), col("x").as("xj"))
+    val pairs = a.join(b, col("tj") > col("ti"))
+      .select((col("xj") - col("xi")).as("dy"),
+        (col("tj") - col("ti")).as("dx"))
+    val ranked = pairs.withColumn("rnk", row_number().over(
+      Window.orderBy((col("dy").cast("double") / col("dx")).asc,
+        col("dy").asc, col("dx").asc)))
+    val nP = pairs.agg(count(lit(1)).as("n_pairs"))
+    ranked.crossJoin(broadcast(nP))
+      .where(col("rnk") === expr("(n_pairs + 1) div 2"))
+      .select(col("n_pairs"), col("dy"), col("dx"),
+        when(col("dy") < 0, -expr("(1000000 * (-dy)) div dx"))
+          .otherwise(expr("(1000000 * dy) div dx"))
+          .cast("long").as("slope_micro"))
+  }
 }

@@ -248,5 +248,70 @@ object Round11f {
              |  CAST(CASE WHEN d7 < 0 THEN -((1000000 * (-d7)) // 7)
              |    ELSE (1000000 * d7) // 7 END AS BIGINT)
              |    - seasonal_micro AS resid_micro
-             |FROM j ORDER BY day""".stripMargin)))
+             |FROM j ORDER BY day""".stripMargin)),
+
+    // ---- Mann-Kendall monotone-trend test on the daily series:
+    // sign/count arithmetic only, so the whole test (S, 18·Var with
+    // tie correction, the 95% cross-multiplied verdict, Kendall tau)
+    // is exact integers — the nonparametric companion of q275's ACF.
+    QueryDef("q279_mann_kendall",
+      (s, dir) => graft.operators.Series.mannKendallDaily(
+        t("events")(s, dir), "ts"),
+      Some("""WITH c AS (SELECT CAST(ts AS DATE) AS day,
+             |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1),
+             |sp AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM c),
+             |cal AS (SELECT d0, CAST(unnest(generate_series(
+             |    CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+             |    INTERVAL 1 DAY)) AS DATE) AS day FROM sp),
+             |dense AS (SELECT CAST(DATEDIFF('day', cal.d0, cal.day)
+             |    AS BIGINT) AS t, COALESCE(c.x, 0) AS x
+             |  FROM cal LEFT JOIN c USING (day)),
+             |p AS (SELECT a.x AS xi, b.x AS xj FROM dense a
+             |  JOIN dense b ON b.t > a.t),
+             |sf AS (SELECT CAST(SUM(CASE WHEN xj > xi THEN 1
+             |    WHEN xj < xi THEN -1 ELSE 0 END) AS BIGINT) AS s
+             |  FROM p),
+             |nf AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM dense),
+             |ti AS (SELECT COALESCE(SUM(tg * (tg - 1) * (2 * tg + 5)),
+             |    0) AS tsum FROM (SELECT CAST(COUNT(*) AS HUGEINT)
+             |    AS tg FROM dense GROUP BY x))
+             |SELECT CAST(n AS BIGINT) AS n, s,
+             |  CAST(n * (n - 1) * (2 * n + 5) - tsum AS BIGINT)
+             |    AS var18,
+             |  CAST(CASE WHEN s < 0
+             |    THEN -((2000000 * (-s)) // (n * (n - 1)))
+             |    ELSE (2000000 * s) // (n * (n - 1)) END AS BIGINT)
+             |    AS tau_ppm,
+             |  CAST(180000 AS HUGEINT) * s * s >
+             |    38416 * (n * (n - 1) * (2 * n + 5) - tsum)
+             |    AS significant
+             |FROM sf, nf, ti""".stripMargin)),
+
+    // ---- Theil-Sen slope: lower median of all pairwise daily
+    // slopes; the median ELEMENT is picked by bit-identical double
+    // ordering with a (dy, dx) tie-break, the reported ratio is the
+    // exact sign-split micro of that pair's integers.
+    QueryDef("q280_theil_sen",
+      (s, dir) => graft.operators.Series.theilSenDaily(
+        t("events")(s, dir), "ts"),
+      Some("""WITH c AS (SELECT CAST(ts AS DATE) AS day,
+             |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1),
+             |sp AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM c),
+             |cal AS (SELECT d0, CAST(unnest(generate_series(
+             |    CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+             |    INTERVAL 1 DAY)) AS DATE) AS day FROM sp),
+             |dense AS (SELECT CAST(DATEDIFF('day', cal.d0, cal.day)
+             |    AS BIGINT) AS t, COALESCE(c.x, 0) AS x
+             |  FROM cal LEFT JOIN c USING (day)),
+             |p AS (SELECT b.x - a.x AS dy, b.t - a.t AS dx
+             |  FROM dense a JOIN dense b ON b.t > a.t),
+             |r AS (SELECT dy, dx, ROW_NUMBER() OVER (ORDER BY
+             |    CAST(dy AS DOUBLE) / dx, dy, dx) AS rnk FROM p),
+             |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM p)
+             |SELECT np.n_pairs, r.dy, r.dx,
+             |  CAST(CASE WHEN dy < 0 THEN -((1000000 * (-dy)) // dx)
+             |    ELSE (1000000 * dy) // dx END AS BIGINT)
+             |    AS slope_micro
+             |FROM r, np WHERE r.rnk = (np.n_pairs + 1) // 2"""
+             .stripMargin)))
 }

@@ -242,4 +242,38 @@ class SeriesSpec extends SparkSpec {
         s"day ${r.getDate(0)}: $recon vs ${1000000L * x}")
     }
   }
+
+  test("mannKendallDaily: strict rise is significant, tau = 1e6") {
+    import spark.implicits._
+    // daily counts 1,2,3,4,5 → S = 10, n = 5, no ties:
+    // var18 = 5·4·15 = 300; 180000·100 > 38416·300 → significant
+    val events = (1 to 5).flatMap(d => Seq.fill(d)(ts(d))).toDF("ts")
+      .repartition(3)
+    val Array(r) = Series.mannKendallDaily(events, "ts").collect()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getBoolean(4)) == (5L, 10L, 300L, 1000000L, true))
+  }
+
+  test("mannKendallDaily: constant series — all ties, S=0, var18=0, quiet") {
+    import spark.implicits._
+    val events = (1 to 5).flatMap(d => Seq.fill(2)(ts(d))).toDF("ts")
+    val Array(r) = Series.mannKendallDaily(events, "ts").collect()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)) ==
+      (0L, 0L, 0L, false))
+  }
+
+  test("theilSenDaily: odd and even pair counts take the lower median") {
+    import spark.implicits._
+    // counts 1,2,4 → slopes 1, 1.5, 2 → median 1.5 = (dy 3, dx 2)
+    val e1 = Seq(1 -> 1, 2 -> 2, 3 -> 4).flatMap { case (d, n) =>
+      Seq.fill(n)(ts(d)) }.toDF("ts")
+    val Array(r1) = Series.theilSenDaily(e1, "ts").collect()
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3)) ==
+      (3L, 3L, 2L, 1500000L))
+    // counts 1,2,4,4 → 6 slopes [0,1,1,1,1.5,2] → rank (6+1) div 2 = 3
+    val e2 = Seq(1 -> 1, 2 -> 2, 3 -> 4, 4 -> 4).flatMap { case (d, n) =>
+      Seq.fill(n)(ts(d)) }.toDF("ts").repartition(4)
+    val Array(r2) = Series.theilSenDaily(e2, "ts").collect()
+    assert((r2.getLong(0), r2.getLong(3)) == (6L, 1000000L))
+  }
 }
