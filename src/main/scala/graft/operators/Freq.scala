@@ -240,4 +240,51 @@ object Freq {
       .orderBy(col("score_ppm").desc, col("w1"), col("w2"))
       .limit(topK)
   }
+
+  /** AMS "tug-of-war" estimate of the second frequency moment
+    * F₂ = Σ_k f_k² (Alon, Matias & Szegedy 1996) — the UNBIASED
+    * counterpart of [[joinSizeEstimate]]'s self-join arm (the CM inner
+    * product only overestimates; AMS errs both ways and needs no
+    * width): each of `depth` rows draws a ±1 sign per key from the
+    * md5 family (`ams<j>|key`, oracle-replayable), Z_j = Σ_rows s_j(k)
+    * accumulates in ONE pass with NO row inflation (the depth sums are
+    * separate aggregate expressions, each map-side combined), and the
+    * estimate is the MEDIAN of the Z_j² (depth-sized array sorted on
+    * the one-row result — variance control by medianing, the paper's
+    * construction).
+    *
+    * F₂ is the self-join blow-up diagnostic: n_rows ≤ F₂ ≤ n_rows²,
+    * equality left = all-unique keys, right = one key. Exact F₂ rides
+    * along as the audit column (groupBy-sized — at 100 TB drop it and
+    * keep the sketch, which is `depth` longs and merges by addition).
+    * Z_j² rides DECIMAL(38,0): Z is row-count-sized and its square
+    * passes 2⁶³ near 10¹⁰ rows.
+    *
+    * Output: one row `(n_rows, f2_exact, f2_est, ratio_ppm)`.
+    */
+  def amsF2Estimate(df: DataFrame, keyCol: String, depth: Int = 9)
+      : DataFrame = {
+    require(depth >= 1 && depth % 2 == 1, "depth must be odd")
+    val keyed = df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("_k"))
+    val signCols = (0 until depth).map { j =>
+      sum(lit(1L) - lit(2L) *
+        pmod(TextOps.hash60(concat(lit(s"ams$j|"), col("_k"))),
+          lit(2L))).as(s"z$j")
+    }
+    val sums = graft.Tables.rebalance(keyed)
+      .agg(count(lit(1)).as("n_rows"), signCols: _*)
+    val zsq = array((0 until depth).map(j =>
+      (col(s"z$j").cast("decimal(38,0)") * col(s"z$j"))
+        .cast("decimal(38,0)")): _*)
+    val est = sums.select(col("n_rows"),
+      element_at(array_sort(zsq), (depth + 1) / 2).cast("long")
+        .as("f2_est"))
+    val exact = keyed.groupBy(col("_k")).agg(count(lit(1)).as("f"))
+      .agg(sum(expr("CAST(f AS DECIMAL(38,0)) * f")).cast("long")
+        .as("f2_exact"))
+    est.crossJoin(broadcast(exact))
+      .select(col("n_rows"), col("f2_exact"), col("f2_est"),
+        expr("(1000000 * f2_est) div f2_exact").as("ratio_ppm"))
+  }
 }

@@ -313,5 +313,40 @@ object Round11f {
              |    ELSE (1000000 * dy) // dx END AS BIGINT)
              |    AS slope_micro
              |FROM r, np WHERE r.rnk = (np.n_pairs + 1) // 2"""
-             .stripMargin)))
+             .stripMargin)),
+
+    // ---- AMS tug-of-war F₂ estimate over l_partkey frequencies:
+    // the unbiased second-moment sketch (depth ±1-sign sums in ONE
+    // pass, no row inflation; median of Z² controls variance) with
+    // exact F₂ as the audit column — the self-join blow-up
+    // diagnostic's mergeable form.
+    QueryDef("q281_ams_f2", {
+      val depth = 9
+      (s, dir) => graft.operators.Freq.amsF2Estimate(
+        t("lineitem")(s, dir), "l_partkey", depth)
+    }, {
+      val depth = 9
+      val zs = (0 until depth).map(j =>
+        s"""SUM(1 - 2 * (CAST(concat('0x', substr(md5('ams$j|' || _k),
+           |      1, 15)) AS BIGINT) % 2)) AS z$j""".stripMargin)
+        .mkString(",\n    ")
+      val sq = (0 until depth)
+        .map(j => s"CAST(z$j AS HUGEINT) * z$j").mkString(", ")
+      Some(s"""WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS _k
+              |  FROM lineitem WHERE l_partkey IS NOT NULL),
+              |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+              |    $zs
+              |  FROM k),
+              |zq AS (SELECT n_rows, [$sq] AS zsq FROM s),
+              |est AS (SELECT n_rows,
+              |    CAST(list_sort(zsq)[${(depth + 1) / 2}] AS BIGINT)
+              |    AS f2_est FROM zq),
+              |ex AS (SELECT CAST(SUM(CAST(f AS HUGEINT) * f)
+              |    AS BIGINT) AS f2_exact FROM (
+              |    SELECT COUNT(*) AS f FROM k GROUP BY _k))
+              |SELECT est.n_rows, ex.f2_exact, est.f2_est,
+              |  CAST((1000000 * est.f2_est) // ex.f2_exact AS BIGINT)
+              |    AS ratio_ppm
+              |FROM est, ex""".stripMargin)
+    }))
 }

@@ -191,4 +191,22 @@ class FreqSpec extends SparkSpec {
     // wide is collision-sparse: within 5% of truth
     assert(wide - exact <= exact / 20)
   }
+
+  test("amsF2Estimate: bounds hold and extremes are exact") {
+    import spark.implicits._
+    // one key, 50 rows → F2 = 2500; every Z_j = ±50 → est exactly 2500
+    val one = Seq.fill(50)("k").toDF("key").repartition(5)
+    val Array(r1) = Freq.amsF2Estimate(one, "key", depth = 5).collect()
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3))
+      == (50L, 2500L, 2500L, 1000000L))
+    // unique keys: F2 = n; the unbiased estimate stays within n..n²
+    // and the test pins determinism by running twice
+    val uniq = (1 to 200).map(_.toString).toDF("key").repartition(7)
+    val a = Freq.amsF2Estimate(uniq, "key", depth = 9).collect()(0)
+    val b = Freq.amsF2Estimate(uniq.repartition(3), "key", depth = 9)
+      .collect()(0)
+    assert(a.getLong(1) == 200L)
+    assert(a.getLong(2) == b.getLong(2)) // partitioning-invariant
+    assert(a.getLong(2) >= 0L && a.getLong(2) <= 200L * 200L)
+  }
 }
