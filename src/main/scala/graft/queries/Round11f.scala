@@ -348,5 +348,48 @@ object Round11f {
               |  CAST((1000000 * est.f2_est) // ex.f2_exact AS BIGINT)
               |    AS ratio_ppm
               |FROM est, ex""".stripMargin)
-    }))
+    }),
+
+    // ---- link prediction on the part co-ordering graph (parts that
+    // appear together in ≥2 orders — scale-stable sparsity, unlike
+    // the near-dup graph whose components are perfect cliques by
+    // construction and admit NO distance-2 non-edges): distance-2
+    // candidates ranked by common neighbors + resource-allocation
+    // index (the no-transcendental link-prediction score).
+    QueryDef("q282_link_prediction",
+      (s, dir) => {
+        val co = t("lineitem")(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val edges = co.as("x").join(co.as("y"),
+            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .groupBy(col("x.p").as("da"), col("y.p").as("db"))
+          .agg(count(lit(1)).as("n")).where(col("n") >= 2)
+          .select(col("da"), col("db"))
+        graft.operators.Graph.linkPredictionScores(edges, "da", "db")
+          .select(col("a").as("part_a"), col("b").as("part_b"),
+            col("cn"), col("ra_micro"))
+          .orderBy(col("part_a"), col("part_b"))
+      },
+      Some("""WITH co AS (SELECT DISTINCT l_orderkey AS o,
+             |    l_partkey AS p FROM lineitem),
+             |e0 AS (SELECT x.p AS da, y.p AS db, COUNT(*) AS n
+             |  FROM co x JOIN co y ON x.o = y.o AND x.p < y.p
+             |  GROUP BY 1, 2),
+             |pairs AS (SELECT da, db FROM e0 WHERE n >= 2),
+             |adj AS (SELECT da AS u, db AS v FROM pairs
+             |  UNION ALL SELECT db, da FROM pairs),
+             |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+             |  FROM adj GROUP BY 1),
+             |adjd AS (SELECT adj.u, adj.v, deg.deg FROM adj
+             |  JOIN deg USING (u) WHERE deg.deg <= 1000),
+             |wg AS (SELECT x.u AS z, x.v AS a, y.v AS b, x.deg
+             |  FROM adjd x JOIN adjd y ON x.u = y.u AND x.v < y.v),
+             |sc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cn,
+             |    CAST(SUM(1000000 // deg) AS BIGINT) AS ra_micro
+             |  FROM wg GROUP BY 1, 2)
+             |SELECT sc.a AS part_a, sc.b AS part_b, sc.cn, sc.ra_micro
+             |FROM sc LEFT JOIN pairs p ON sc.a = p.da AND sc.b = p.db
+             |WHERE p.da IS NULL AND sc.cn >= 1
+             |ORDER BY part_a, part_b""".stripMargin)))
 }

@@ -150,4 +150,35 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(gotMessy == after3, gotMessy.toString)
   }
+
+  test("linkPredictionScores: path graph predicts the distance-2 pair") {
+    import spark.implicits._
+    // 1−2−3: only non-edge at distance 2 is (1,3) via z=2, deg(2)=2
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = Graph.linkPredictionScores(edges, "a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 3L, 1L, 500000L)))
+  }
+
+  test("linkPredictionScores: existing edges are excluded, RA adds up") {
+    import spark.implicits._
+    // K3 {1,2,3} plus pendant 4−1: triangle edges never predicted;
+    // (2,4) and (3,4) share z=1 (deg 3) → ra = 333333; (2,3) is real.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("a", "b")
+    val got = Graph.linkPredictionScores(edges, "a", "b")
+      .orderBy("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((2L, 4L, 1L, 333333L), (3L, 4L, 1L, 333333L)))
+  }
+
+  test("linkPredictionScores: two shared neighbors sum their RA") {
+    import spark.implicits._
+    // square 1−2, 2−3, 3−4, 4−1: (1,3) via z∈{2,4} both deg 2
+    // → cn 2, ra 1000000; same for (2,4)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val got = Graph.linkPredictionScores(edges, "a", "b")
+      .orderBy("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 3L, 2L, 1000000L), (2L, 4L, 2L, 1000000L)))
+  }
 }
