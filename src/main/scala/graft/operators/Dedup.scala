@@ -1203,6 +1203,9 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val docs = df.select(col(idCol).as("id"), col(textCol).as("t"),
       length(col(textCol)).cast("long").as("len"))
+    // three consumers (dup-window table, span join, per-doc totals):
+    // persist the window frame (spillable) so the explode+substring
+    // corpus pass runs once — the shingleSet sharing contract
     val wins = docs.where(col("len") >= winLen)
       .select(col("id"),
         explode(sequence(lit(1), (col("len") - winLen + 1).cast("int"),
@@ -1210,6 +1213,7 @@ object Dedup {
       .join(docs.select(col("id"), col("t")), Seq("id"))
       .select(col("id"), col("p").cast("long").as("p"),
         expr(s"substring(t, p, $winLen)").as("win"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val dup = wins.select(col("win"), col("id")).distinct()
       .groupBy(col("win")).agg(count(lit(1)).as("nd"))
       .where(col("nd") >= minDocs)

@@ -293,8 +293,12 @@ object Graph {
     */
   def linkPredictionScores(pairs: DataFrame, aCol: String, bCol: String,
       maxDegree: Long = 1000L, minCommon: Long = 1L): DataFrame = {
+    // the edge frame feeds three consumers (both adjacency directions
+    // and the final anti-join); checkpoint it once so an expensive
+    // upstream derivation (a co-occurrence self-join, a similarity
+    // join) is not re-run per consumer — edge-sized, spillable
     val und = pairs.select(col(aCol).cast("long").as("u"),
-      col(bCol).cast("long").as("v")).distinct()
+      col(bCol).cast("long").as("v")).distinct().localCheckpoint()
     val adj = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
     val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val adjD = adj.join(deg.where(col("deg") <= maxDegree), Seq("u"))

@@ -17,7 +17,10 @@ object Round11f {
   val defs: Seq[QueryDef] = Seq(
 
     // ---- retrieval metrics @10 over doc-as-query BM25: queries are
-    // the first 5 words of every doc_id%10=0 doc; truth = docs
+    // the first 5 words of every doc_id%20=0 doc (the synthetic
+    // corpus has a ~31-word vocabulary, so every query word posts the
+    // WHOLE corpus — query count, not plan shape, is the cost knob
+    // here); truth = docs
     // sharing ≥4 of the query's distinct words (pseudo-relevance
     // both engines re-derive). Queries whose truth set is empty
     // report zeros — the n_rel=0 branch is part of the contract.
@@ -26,18 +29,19 @@ object Round11f {
     QueryDef("q274_retrieval_metrics",
       (s, dir) => {
         val docs = t("documents")(s, dir)
-        val qdf = docs.where(col("doc_id") % 10 === 0)
+        val qdf = docs.where(col("doc_id") % 20 === 0)
           .select(col("doc_id").as("query_id"),
             array_join(slice(TextOps.words(col("text")), 1, 5), " ")
               .as("qtext"))
+        // the q115 shared TF artifact serves BOTH arms: the BM25
+        // posting lists and the distinct (doc, word) truth frame —
+        // zero extra corpus passes in this row
+        val tf = Round9b.sharedTf(s, dir)
         val ranked = Retrieval.bm25TopKFrame(
-          docs, "doc_id", "text", qdf, k = 10)
+          docs, "doc_id", "text", qdf, k = 10, tf = Some(tf))
         val qw = qdf.select(col("query_id"),
           explode(TextOps.words(col("qtext"))).as("word")).distinct()
-        val dw = TextOps.wordRows(
-            docs.select(col("doc_id"), col("text")), "text",
-            keep = Seq("doc_id"))
-          .select(col("doc_id"), col("word")).distinct()
+        val dw = tf.select(col("doc_id"), col("word"))
         val truth = qw.join(dw, "word")
           .groupBy(col("query_id"), col("doc_id"))
           .agg(count(lit(1)).as("ov"))
@@ -50,7 +54,7 @@ object Round11f {
                  """qr(query_id, qtext) AS (SELECT doc_id,
                    |  array_to_string(list_filter(string_split_regex(
                    |    lower(text), '\s+'), x -> len(x) > 0)[1:5], ' ')
-                   |  FROM documents WHERE doc_id % 10 = 0)"""
+                   |  FROM documents WHERE doc_id % 20 = 0)"""
                    .stripMargin, 1.2, 0.75)},
               |rk AS (SELECT query_id, doc_id, ROW_NUMBER() OVER (
               |    PARTITION BY query_id ORDER BY score DESC, doc_id)

@@ -350,4 +350,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(bnlj == 0 || limits >= 1, s"$bnlj BNLJ without a " +
       "model-sized limit side — corpus-scale nested loop crept in")
   }
+
+  private def full(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q267: per-key sweep — no single-partition exchange anywhere") {
+    val plan = full("q267_peak_concurrency")
+    assert(!plan.contains("Exchange SinglePartition"), "sweep must stay key-partitioned")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan.take(200))
+  }
+
+  test("q269: two-phase global sweep — exactly one single-partition stage, fed by a day-hash aggregation") {
+    val plan = full("q269_daily_in_transit")
+    // the one SinglePartition exchange carries the calendar-span frame
+    // (the N-sized data is reduced by the hashpartitioned day agg first)
+    assert("Exchange SinglePartition".r.findAllIn(plan).size == 1, plan.take(200))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size >= 1)
+    assert("\\bWindow\\b".r.findAllIn(plan).size == 1)
+  }
+
+  test("q270: line dedup is argmin + joins — zero windows, zero single-partition stages") {
+    val plan = full("q270_line_dedup")
+    assert(!plan.contains("Exchange SinglePartition"))
+    assert("\\bWindow\\b".r.findAllIn(plan).size == 0, "keep-first must not use a window")
+  }
+
+  test("q282: link prediction reuses the checkpointed edge frame — bounded exchanges") {
+    val plan = full("q282_link_prediction")
+    // before the edge-frame checkpoint this plan re-derived the
+    // co-occurrence self-join per consumer (32 hash exchanges)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 8, "edge frame must be checkpointed, not re-derived")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
