@@ -805,4 +805,64 @@ object Stats {
     }
     perCol.reduce(_ unionByName _).orderBy(col("col_name"))
   }
+
+  /** Two-sample Kolmogorov-Smirnov test on an INTEGER-valued column
+    * (cents, counts, ids — the repo's exact-money discipline), fully
+    * exact: the statistic is `D = max_x |F_a(x) − F_b(x)| =
+    * M/(n_a·n_b)` with `M = max_x |n_b·cumA(x) − n_a·cumB(x)|` — pure
+    * integers over the DISTINCT-value frame; the 95% verdict is the
+    * cross-multiplied `10⁶·M² > 1844164·(n_a+n_b)·n_a·n_b`
+    * (c(0.05)² = 1.358² = 1.844164 — the asymptotic two-sided
+    * critical value, stated contract). The classic distribution-drift
+    * gate (PSI's exact cousin): is this week's value distribution the
+    * same as last week's?
+    *
+    * Scale: one groupBy(value, group) over N rows; everything after —
+    * the full-outer value alignment, the cumulative windows, the max —
+    * runs on the DISTINCT-value frame (the quantile family's
+    * value-cardinality contract). All products ride DECIMAL(38,0):
+    * M ≤ n_a·n_b and M² reaches 10³⁸ only past ~10⁹ rows per side,
+    * guarded below.
+    *
+    * Output: one row `(n_a, n_b, m, d_ppm, significant)`.
+    */
+  def ksTwoSample(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = df.where(col(groupCol).isin(groupA, groupB))
+      .select(col(valueCol).cast("long").as("v"),
+        when(col(groupCol) === groupA, lit("a")).otherwise(lit("b"))
+          .as("g"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("g") === "a", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === "b", 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = vals
+      .withColumn("cuma", sum(col("ca")).over(w).cast("decimal(38,0)"))
+      .withColumn("cumb", sum(col("cb")).over(w).cast("decimal(38,0)"))
+    val totals = vals.agg(sum(col("ca")).cast("decimal(38,0)").as("na"),
+      sum(col("cb")).cast("decimal(38,0)").as("nb"))
+    cum.crossJoin(broadcast(totals))
+      .select(col("na"), col("nb"),
+        abs(col("nb") * col("cuma") - col("na") * col("cumb")).as("md"))
+      .groupBy(col("na"), col("nb"))
+      .agg(max(col("md")).cast("decimal(38,0)").as("m"))
+      .select(col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        col("m").cast("long").as("m"),
+        expr("(1000000 * m) div (na * nb)").as("d_ppm"),
+        // 10⁶·M² > 1844164·(n_a+n_b)·n_a·n_b, all DECIMAL(38,0).
+        // Past n_a·n_b = 10¹⁶ the M² product would overflow to a
+        // silent NULL verdict — raise loudly instead (q225 discipline)
+        when(expr("na * nb") >
+            expr("CAST(10000000000000000 AS DECIMAL(38,0))"),
+          raise_error(lit("ksTwoSample: n_a*n_b exceeds the " +
+            "exact-arithmetic headroom (1e16) — sample or bucket " +
+            "the sides first")))
+          .otherwise(
+            expr("CAST(1000000 AS DECIMAL(38,0)) * m * m") >
+              expr("CAST(1844164 AS DECIMAL(38,0)) * (na + nb) * na * nb"))
+          .as("significant"))
+  }
 }

@@ -395,5 +395,45 @@ object Round11f {
              |SELECT sc.a AS part_a, sc.b AS part_b, sc.cn, sc.ra_micro
              |FROM sc LEFT JOIN pairs p ON sc.a = p.da AND sc.b = p.db
              |WHERE p.da IS NULL AND sc.cn >= 1
-             |ORDER BY part_a, part_b""".stripMargin)))
+             |ORDER BY part_a, part_b""".stripMargin)),
+
+    // ---- two-sample Kolmogorov-Smirnov on exact cents: does the
+    // URGENT order-value distribution differ from the LOW one? The
+    // exact distribution-drift gate — statistic and 95% verdict are
+    // pure integers over the distinct-cents frame.
+    QueryDef("q283_ks_two_sample",
+      (s, dir) => graft.operators.Stats.ksTwoSample(
+        t("orders")(s, dir)
+          .select(round(col("o_totalprice") * 100).cast("long")
+            .as("cents"), col("o_orderpriority")),
+        "cents", "o_orderpriority", "1-URGENT", "5-LOW"),
+      Some("""WITH v0 AS (SELECT
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             |    CASE WHEN o_orderpriority = '1-URGENT' THEN 'a'
+             |      ELSE 'b' END AS g
+             |  FROM orders
+             |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+             |vals AS (SELECT v,
+             |    CAST(SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS ca,
+             |    CAST(SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS cb
+             |  FROM v0 GROUP BY 1),
+             |cum AS (SELECT v,
+             |    CAST(SUM(ca) OVER w AS HUGEINT) AS cuma,
+             |    CAST(SUM(cb) OVER w AS HUGEINT) AS cumb
+             |  FROM vals WINDOW w AS (ORDER BY v
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |tot AS (SELECT CAST(SUM(ca) AS HUGEINT) AS na,
+             |    CAST(SUM(cb) AS HUGEINT) AS nb FROM vals),
+             |mx AS (SELECT na, nb,
+             |    MAX(ABS(nb * cuma - na * cumb)) AS m
+             |  FROM cum CROSS JOIN tot GROUP BY 1, 2)
+             |SELECT CAST(na AS BIGINT) AS n_a,
+             |  CAST(nb AS BIGINT) AS n_b, CAST(m AS BIGINT) AS m,
+             |  CAST((1000000 * m) // (na * nb) AS BIGINT) AS d_ppm,
+             |  CAST(1000000 AS HUGEINT) * m * m >
+             |    CAST(1844164 AS HUGEINT) * (na + nb) * na * nb
+             |    AS significant
+             |FROM mx""".stripMargin)))
 }

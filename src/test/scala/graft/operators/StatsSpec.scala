@@ -405,4 +405,29 @@ class StatsSpec extends SparkSpec {
     assert(a.getLong(3) == 2L && a.getString(6) == "y" &&
       a.getLong(7) == 666666L, a.toString)
   }
+
+  test("ksTwoSample: identical samples D=0; disjoint samples D=1e6, significant") {
+    import spark.implicits._
+    val same = (1 to 40).flatMap(i => Seq((i.toLong, "x"), (i.toLong, "y")))
+      .toDF("v", "g").repartition(5)
+    val Array(r0) = Stats.ksTwoSample(same, "v", "g", "x", "y").collect()
+    assert((r0.getLong(2), r0.getLong(3), r0.getBoolean(4)) == (0L, 0L, false))
+    // disjoint supports: all of a below all of b → D = 1
+    val disj = ((1 to 30).map(i => (i.toLong, "x")) ++
+      (100 to 129).map(i => (i.toLong, "y"))).toDF("v", "g")
+    val Array(r1) = Stats.ksTwoSample(disj, "v", "g", "x", "y").collect()
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(3),
+      r1.getBoolean(4)) == (30L, 30L, 1000000L, true))
+  }
+
+  test("ksTwoSample: hand-computed D on a small asymmetric case") {
+    import spark.implicits._
+    // a = {1,2,3}, b = {2,4}: at v=1 |2·1−3·0|=2; v=2 |2·2−3·1|=1;
+    // v=3 |2·3−3·1|=3; v=4 |2·3−3·2|=0 → M=3, D=3/6 → 500000 ppm
+    val df = Seq((1L,"a"),(2L,"a"),(3L,"a"),(2L,"b"),(4L,"b")).toDF("v","g")
+    val Array(r) = Stats.ksTwoSample(df, "v", "g", "a", "b").collect()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (3L, 2L, 3L, 500000L))
+    assert(!r.getBoolean(4)) // tiny samples: not significant
+  }
 }
