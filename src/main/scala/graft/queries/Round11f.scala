@@ -435,5 +435,30 @@ object Round11f {
              |  CAST(1000000 AS HUGEINT) * m * m >
              |    CAST(1844164 AS HUGEINT) * (na + nb) * na * nb
              |    AS significant
-             |FROM mx""".stripMargin)))
+             |FROM mx""".stripMargin)),
+
+    // ---- Bloom semi-join reduction: lineitems of URGENT orders via
+    // a broadcast Bloom pre-filter on l_orderkey, then the exact semi
+    // join on the survivors — result ≡ the plain EXISTS the oracle
+    // runs (no false negatives; the exact join removes the fps). The
+    // probe side's shuffle carries only match+fp rows.
+    QueryDef("q284_bloom_semi_join",
+      (s, dir) => graft.operators.JoinReduce.bloomSemiJoin(
+          t("lineitem")(s, dir), "l_orderkey",
+          t("orders")(s, dir)
+            .where(col("o_orderpriority") === "1-URGENT"),
+          "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag")),
+      Some(s"""SELECT l_returnflag,
+              |  CAST(COUNT(*) AS BIGINT) AS n_items,
+              |  ${oSum("l_quantity")} AS sum_qty
+              |FROM lineitem l
+              |WHERE EXISTS (SELECT 1 FROM orders o
+              |  WHERE o.o_orderkey = l.l_orderkey
+              |    AND o.o_orderpriority = '1-URGENT')
+              |GROUP BY l_returnflag
+              |ORDER BY l_returnflag""".stripMargin)))
 }
