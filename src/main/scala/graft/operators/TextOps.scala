@@ -154,4 +154,40 @@ object TextOps {
           expr("(1015000 * n_words) div greatest(n_sentences, 1)") -
           expr("(84600000 * n_syllables) div greatest(n_words, 1)"))
   }
+
+  /** Encoding-health audit per document — the cheap map-side screen a
+    * web-scale ingest runs before any tokenizer sees the text (broken
+    * decode chains poison BPE merges and n-gram stats silently):
+    *
+    *  - `n_repl`  — U+FFFD replacement characters (a lossy decode
+    *    already happened upstream);
+    *  - `n_ctrl`  — C0 control characters other than tab/LF/CR
+    *    (binary junk or transfer-encoding damage);
+    *  - `n_moji`  — U+00C2/U+00C3 occurrences, the tell-tale lead
+    *    bytes of UTF-8 text re-decoded as Latin-1 ("é" → "Ã©",
+    *    NBSP → "Â "): vanishingly rare in clean western text, dense
+    *    in mojibake.
+    *
+    * All three are length-differencing counts (`len(t) − len(strip)`),
+    * two `replace`s and one character-class regex per doc — no
+    * explode, no UDF, and every primitive replays bit-identically in
+    * ANSI SQL. `is_clean` = all three zero. Scale: pure map-side
+    * projection; at 100 TB this runs inside the ingest scan's
+    * whole-stage codegen with zero exchanges.
+    */
+  def encodingQaFlags(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = col(textCol)
+    val nRepl = (length(t) -
+      length(regexp_replace(t, "\uFFFD", ""))).cast("long")
+    val nCtrl = (length(t) - length(regexp_replace(t,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))).cast("long")
+    val nMoji = (length(t) -
+      length(regexp_replace(t, "[\\u00C2\\u00C3]", ""))).cast("long")
+    df.select(col(idCol), nRepl.as("n_repl"), nCtrl.as("n_ctrl"),
+        nMoji.as("n_moji"))
+      .withColumn("is_clean",
+        col("n_repl") === 0 && col("n_ctrl") === 0 &&
+          col("n_moji") === 0)
+  }
 }

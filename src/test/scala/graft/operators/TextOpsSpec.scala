@@ -85,4 +85,23 @@ class TextOpsSpec extends SparkSpec {
     val Array(r) = TextOps.fleschReadability(df, "doc_id", "text").collect()
     assert((r.getLong(1), r.getLong(3)) == (2L, 4L))
   }
+
+  test("encodingQaFlags: counts each damage class; tab/LF/CR are NOT " +
+    "control damage; clean text is clean") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "clean text\twith tab\nand newline\r"),
+      (2L, "lossy \ufffd decode \ufffd"),
+      (3L, "caf\u00C3\u00A9 and\u00C2\u00A0nbsp"), // mojibake e-acute + NBSP lead bytes
+      (4L, "bell\u0007 and esc\u001b")
+    ).toDF("doc_id", "text")
+    val out = TextOps.encodingQaFlags(df, "doc_id", "text")
+      .orderBy(col("doc_id")).collect()
+    def row(i: Int) = (out(i).getLong(1), out(i).getLong(2),
+      out(i).getLong(3), out(i).getBoolean(4))
+    assert(row(0) == (0L, 0L, 0L, true))   // whitespace ctrl exempt
+    assert(row(1) == (2L, 0L, 0L, false))  // two U+FFFD
+    assert(row(2) == (0L, 0L, 2L, false))  // one Ã, one Â
+    assert(row(3) == (0L, 2L, 0L, false))  // BEL + ESC
+  }
 }
