@@ -17,10 +17,10 @@ object Round11g {
   /** Oracle twin of [[TextOps.hashSplit]] at 80/10/10 over an
     * arbitrary key expression (the q46 CASE, factored).
     */
-  private def oSplit(key: String): String = {
+  private def oSplit(key: String, mid: String = "val"): String = {
     val h = CorpusOps.oH60(s"CAST($key AS VARCHAR)")
     s"""CASE WHEN $h % 100 < 80 THEN 'train'
-       |    WHEN $h % 100 < 90 THEN 'val'
+       |    WHEN $h % 100 < 90 THEN '$mid'
        |    ELSE 'test' END""".stripMargin
   }
 
@@ -181,5 +181,236 @@ object Round11g {
              |  FROM d)
              |SELECT doc_id, n_repl, n_ctrl, n_moji,
              |  n_repl = 0 AND n_ctrl = 0 AND n_moji = 0 AS is_clean
-             |FROM m ORDER BY doc_id""".stripMargin)))
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ---- co-located bucketed join, hash-gated (upgrades
+    // BucketingSpec's spec-only no-shuffle proof to an oracle row —
+    // the q125 discipline): both sides written bucketed+sorted on the
+    // join key (8 buckets), then joined and aggregated. On a real
+    // cluster this is THE way a fact table joined repeatedly on the
+    // same key amortizes its shuffle: pay the bucketed write once,
+    // every subsequent join runs exchange-free (BucketingSpec asserts
+    // 0 shuffles under the same layout). The row charges the bucketed
+    // WRITE + the join visibly; the oracle is the plain join.
+    QueryDef("q288_bucketed_join",
+      (s, dir) => {
+        def clean(tbl: String): Unit = {
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          val wh = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), tbl)
+          val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(wh, true) // leftover dir from a previous JVM
+        }
+        clean("graft_b_orders"); clean("graft_b_lineitem")
+        graft.sink.Bucketing.writeBucketed(
+          t("orders")(s, dir).select("o_orderkey", "o_orderpriority"),
+          "graft_b_orders", 8, Seq("o_orderkey"))
+        graft.sink.Bucketing.writeBucketed(
+          t("lineitem")(s, dir).select("l_orderkey", "l_quantity"),
+          "graft_b_lineitem", 8, Seq("l_orderkey"))
+        s.table("graft_b_orders")
+          .join(s.table("graft_b_lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+              |  ${oSum("l_quantity")} AS sum_qty
+              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              |GROUP BY o_orderpriority
+              |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- zone-map pruning audit ([[graft.sink.Layout.zoneMapAudit]]):
+    // would a 3-month shipdate predicate skip row groups under the
+    // table's INGEST order (orderkey, linenumber) vs a
+    // shipdate-sorted re-cluster? Chunks of 4096 rows stand in for
+    // row groups; a chunk prunes when its min/max misses the window —
+    // the exact statistics test parquet readers run. The sorted
+    // layout prunes nearly everything, ingest order nearly nothing:
+    // the measured case for paying the 100 TB re-cluster. Composite
+    // orders pack into one BIGINT key (epoch-day·2³³ + orderkey·8 +
+    // linenumber — disjoint bit ranges, provably order-preserving
+    // and unique); sequence numbers come from the bucketed two-phase
+    // globalRowNumbers, so no single-partition sort anywhere.
+    QueryDef("q289_pruning_audit",
+      (s, dir) => {
+        val lo = java.time.LocalDate.parse("1995-03-01").toEpochDay
+        val hi = java.time.LocalDate.parse("1995-05-31").toEpochDay
+        val li = t("lineitem")(s, dir).select(
+          (col("l_orderkey") * 8 + col("l_linenumber"))
+            .cast("long").as("k_ingest"),
+          datediff(to_date(col("l_shipdate")), to_date(lit("1970-01-01")))
+            .cast("long").as("vday"))
+          .withColumn("k_sorted",
+            col("vday") * lit(8589934592L) + col("k_ingest"))
+        graft.sink.Layout.zoneMapAudit(li, "k_ingest", "vday", 4096,
+            lit(lo), lit(hi), "ingest")
+          .unionAll(graft.sink.Layout.zoneMapAudit(li, "k_sorted",
+            "vday", 4096, lit(lo), lit(hi), "shipdate_sorted"))
+          .orderBy(col("layout"))
+      },
+      Some {
+        val lo = java.time.LocalDate.parse("1995-03-01").toEpochDay
+        val hi = java.time.LocalDate.parse("1995-05-31").toEpochDay
+        def arm(key: String, label: String) =
+          s"""SELECT '$label' AS layout, COUNT(*) AS n_chunks,
+             |  CAST(SUM(CASE WHEN pr THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_pruned,
+             |  CAST((SUM(CASE WHEN pr THEN 1 ELSE 0 END) * 1000000)
+             |    // COUNT(*) AS BIGINT) AS pruned_ppm,
+             |  CAST(SUM(CASE WHEN pr THEN 0 ELSE n END) AS BIGINT)
+             |    AS rows_scanned
+             |FROM (SELECT ch, COUNT(*) AS n,
+             |    MAX(vday) < $lo OR MIN(vday) > $hi AS pr
+             |  FROM (SELECT (row_number() OVER (ORDER BY $key) - 1)
+             |      // 4096 AS ch, vday FROM li)
+             |  GROUP BY ch)""".stripMargin
+        s"""WITH li AS (SELECT
+           |    l_orderkey * 8 + l_linenumber AS k_ingest,
+           |    date_diff('day', DATE '1970-01-01',
+           |      CAST(l_shipdate AS DATE)) AS vday,
+           |    date_diff('day', DATE '1970-01-01',
+           |      CAST(l_shipdate AS DATE)) * 8589934592 +
+           |      l_orderkey * 8 + l_linenumber AS k_sorted
+           |  FROM lineitem)
+           |${arm("k_ingest", "ingest")}
+           |UNION ALL
+           |${arm("k_sorted", "shipdate_sorted")}
+           |ORDER BY layout""".stripMargin
+      }),
+
+    // ---- split-conformal prediction intervals (Vovk; the
+    // distribution-free calibration a score-based curation model
+    // ships with): OLS price~quantity on the train split, |residual|
+    // q-hat = ⌈0.9·(n_cal+1)⌉-th order statistic on the calibration
+    // split, coverage audited on the held-out test split — the
+    // guarantee says ≥90% of test residuals fall within ±q-hat.
+    // EXACT integer arithmetic end to end: cents in BIGINT, the OLS
+    // closed form in DECIMAL(38,0)/HUGEINT cross-products
+    // (n·Σxy − Σx·Σy over n·Σx² − Σx², micro-scaled, sign-split
+    // truncating division so Spark div ≡ DuckDB //), and q-hat via a
+    // cumulative count over the ordered DISTINCT-residual frame (no
+    // corpus-wide row_number). Splits ride hashSplit on the packed
+    // unique line key, so membership is a pure function of the data.
+    QueryDef("q290_conformal_ols",
+      (s, dir) => {
+        val d38 = "decimal(38,0)"
+        val li = t("lineitem")(s, dir).select(
+          TextOps.hashSplit(
+            (col("l_orderkey") * 8 + col("l_linenumber")).cast("long"),
+            Seq("train" -> 80, "cal" -> 10, "test" -> 10)).as("sp"),
+          (col("l_quantity").cast("decimal(12,2)") * 100)
+            .cast("long").as("x"),
+          (col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("long").as("y"))
+        val tr = li.where(col("sp") === "train").agg(
+          count(lit(1)).as("n_train"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x").cast(d38) * col("y").cast(d38)).as("sxy"),
+          sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"))
+        val fit = tr.select(col("n_train"),
+            (col("n_train").cast(d38) * col("sxy") -
+              col("sx").cast(d38) * col("sy").cast(d38)).as("num"),
+            (col("n_train").cast(d38) * col("sxx") -
+              col("sx").cast(d38) * col("sx").cast(d38)).as("den"),
+            col("sx"), col("sy"))
+          .withColumn("slope_micro", expr(
+            "CASE WHEN num < 0 THEN -(((-num) * 1000000) div den) " +
+              "ELSE (num * 1000000) div den END").cast("long"))
+          .withColumn("intercept_micro", expr(
+            "CASE WHEN CAST(sy AS decimal(38,0)) * 1000000 - " +
+              "CAST(slope_micro AS decimal(38,0)) * sx < 0 THEN " +
+              "-((-(CAST(sy AS decimal(38,0)) * 1000000 - " +
+              "CAST(slope_micro AS decimal(38,0)) * sx)) div n_train) " +
+              "ELSE (CAST(sy AS decimal(38,0)) * 1000000 - " +
+              "CAST(slope_micro AS decimal(38,0)) * sx) div n_train " +
+              "END").cast("long"))
+          .select("n_train", "slope_micro", "intercept_micro")
+        val scored = li.where(col("sp") =!= "train")
+          .crossJoin(broadcast(fit))
+          .withColumn("r_micro",
+            abs(col("y") * lit(1000000L) -
+              (col("slope_micro") * col("x") + col("intercept_micro"))))
+        val cal = scored.where(col("sp") === "cal")
+        val nCal = cal.agg(count(lit(1)).as("n_cal"))
+        // q-hat: cumulative counts over the ordered distinct-residual
+        // frame (value-cardinality-bounded window, the q223 idiom)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("r_micro"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        val qhat = cal.groupBy(col("r_micro"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(w))
+          .crossJoin(broadcast(nCal))
+          .where(col("cum") >= expr("(9 * (n_cal + 1) + 9) div 10"))
+          .agg(min(col("r_micro")).as("qhat_micro"),
+            max(col("n_cal")).as("n_cal"))
+        val test = scored.where(col("sp") === "test")
+          .crossJoin(broadcast(qhat))
+          .agg(max(col("n_cal")).as("n_cal"),
+            max(col("qhat_micro")).as("qhat_micro"),
+            count(lit(1)).as("n_test"),
+            sum(when(col("r_micro") <= col("qhat_micro"), 1L)
+              .otherwise(0L)).as("n_covered"))
+        fit.crossJoin(test)
+          .select(col("n_train"), col("slope_micro"),
+            col("intercept_micro"), col("n_cal"), col("qhat_micro"),
+            col("n_test"), col("n_covered"),
+            expr("(n_covered * 1000000) div n_test")
+              .as("coverage_ppm"))
+      },
+      Some {
+        val sp = oSplit("l_orderkey * 8 + l_linenumber", mid = "cal")
+        s"""WITH li AS (SELECT $sp AS sp,
+           |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+           |      AS x,
+           |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+           |      AS BIGINT) AS y
+           |  FROM lineitem),
+           |tr AS (SELECT COUNT(*) AS n_train,
+           |    SUM(CAST(x AS HUGEINT)) AS sx,
+           |    SUM(CAST(y AS HUGEINT)) AS sy,
+           |    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+           |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+           |  FROM li WHERE sp = 'train'),
+           |ft AS (SELECT n_train,
+           |    CASE WHEN n_train * sxy - sx * sy < 0
+           |      THEN -(((-(n_train * sxy - sx * sy)) * 1000000)
+           |        // (n_train * sxx - sx * sx))
+           |      ELSE ((n_train * sxy - sx * sy) * 1000000)
+           |        // (n_train * sxx - sx * sx) END AS slope_micro,
+           |    sx, sy FROM tr),
+           |ft2 AS (SELECT n_train, CAST(slope_micro AS BIGINT)
+           |      AS slope_micro,
+           |    CAST(CASE WHEN sy * 1000000 - slope_micro * sx < 0
+           |      THEN -((-(sy * 1000000 - slope_micro * sx))
+           |        // n_train)
+           |      ELSE (sy * 1000000 - slope_micro * sx) // n_train
+           |      END AS BIGINT) AS intercept_micro
+           |  FROM ft),
+           |sc AS (SELECT sp, abs(y * 1000000 -
+           |      (slope_micro * x + intercept_micro)) AS r_micro
+           |  FROM li, ft2 WHERE sp <> 'train'),
+           |nc AS (SELECT COUNT(*) AS n_cal FROM sc WHERE sp = 'cal'),
+           |dv AS (SELECT r_micro, COUNT(*) AS c FROM sc
+           |  WHERE sp = 'cal' GROUP BY r_micro),
+           |cum AS (SELECT r_micro, SUM(c) OVER (ORDER BY r_micro
+           |    ROWS UNBOUNDED PRECEDING) AS cum FROM dv),
+           |qh AS (SELECT MIN(r_micro) AS qhat_micro,
+           |    MAX(n_cal) AS n_cal
+           |  FROM cum, nc
+           |  WHERE cum >= (9 * (n_cal + 1) + 9) // 10),
+           |ts AS (SELECT MAX(n_cal) AS n_cal,
+           |    MAX(qhat_micro) AS qhat_micro, COUNT(*) AS n_test,
+           |    CAST(SUM(CASE WHEN r_micro <= qhat_micro
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+           |  FROM sc, qh WHERE sp = 'test')
+           |SELECT n_train, slope_micro, intercept_micro, n_cal,
+           |  qhat_micro, n_test, n_covered,
+           |  (n_covered * 1000000) // n_test AS coverage_ppm
+           |FROM ft2, ts""".stripMargin
+      }))
 }

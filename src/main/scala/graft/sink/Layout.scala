@@ -82,4 +82,48 @@ object Layout {
       .drop("_z")
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** Zone-map pruning audit: how much of the table would a range
+    * predicate on `valCol` SKIP if rows were laid out in `keyCol`
+    * order, in chunks of `chunk` rows (a row-group / file stand-in)?
+    * A chunk is prunable when its [min, max] of `valCol` misses
+    * [lo, hi] entirely — exactly the min/max-statistics test parquet
+    * readers, Delta/Iceberg data skipping, and q125's Z-order
+    * rectangles all run. Comparing the audit across candidate sort
+    * keys answers "is re-clustering this 100 TB table worth it?"
+    * BEFORE paying for the rewrite — on the live table, no copy.
+    *
+    * One row out: `(layout, n_chunks, n_pruned, pruned_ppm,
+    * rows_scanned)`. Exact integers throughout.
+    *
+    * Scale: chunk ids come from [[graft.operators.Ranks
+    * .globalRowNumbers]] (bucketed two-phase sequence — NO
+    * single-partition sort, the q221 infrastructure); the per-chunk
+    * min/max is one hash aggregation over n/chunk groups; the final
+    * verdict aggregates the chunk frame (table-size / chunk rows —
+    * thousands at 100 TB).
+    *
+    * Contract: `keyCol` unique (globalRowNumbers' contract); pack
+    * composite orders into one BIGINT upstream.
+    */
+  def zoneMapAudit(df: DataFrame, keyCol: String, valCol: String,
+      chunk: Int, lo: Column, hi: Column, label: String): DataFrame = {
+    require(chunk >= 1)
+    val ranked = graft.operators.Ranks.globalRowNumbers(df, keyCol)
+    val chunks = ranked
+      .withColumn("_chunk", expr(s"global_rank div $chunk"))
+      .groupBy(col("_chunk"))
+      .agg(count(lit(1)).as("_n"),
+        min(col(valCol)).as("_lo"), max(col(valCol)).as("_hi"))
+      .withColumn("_pruned", col("_hi") < lo || col("_lo") > hi)
+    chunks.agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("_pruned"), 1L).otherwise(0L)).as("n_pruned"),
+        sum(when(col("_pruned"), 0L).otherwise(col("_n")))
+          .as("rows_scanned"))
+      .select(lit(label).as("layout"), col("n_chunks"),
+        col("n_pruned"),
+        expr("(n_pruned * 1000000) div n_chunks").as("pruned_ppm"),
+        col("rows_scanned"))
+  }
 }

@@ -80,4 +80,23 @@ class LayoutSpec extends SparkSpec {
     assert(xe.map(_._2).min > 0.9)
     assert(zAvg < xe.map { case (a, b) => (a + b) / 2 }.sum / xe.size)
   }
+
+  test("zoneMapAudit: value-sorted layout prunes exactly the chunks " +
+    "outside the window; decorrelated layout prunes nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 100 rows, chunk=10. Sorted key = v: chunk i holds v in
+    // [10i+1, 10i+10]; window [15, 25] touches chunks 1 and 2 only.
+    // Shuffled key (reversed bit-mixed) decorrelates v from position.
+    val df = (1 to 100).map(i => (i.toLong, ((i * 37) % 101).toLong))
+      .toDF("v", "kshuf")
+    val sorted = Layout.zoneMapAudit(df.withColumn("k", col("v")),
+      "k", "v", 10, lit(15L), lit(25L), "sorted").collect()(0)
+    assert((sorted.getLong(1), sorted.getLong(2), sorted.getLong(3),
+      sorted.getLong(4)) == (10L, 8L, 800000L, 20L))
+    val shuf = Layout.zoneMapAudit(df, "kshuf", "v", 10,
+      lit(15L), lit(25L), "shuffled").collect()(0)
+    assert((shuf.getLong(1), shuf.getLong(2)) == (10L, 0L))
+    assert(shuf.getLong(4) == 100L)
+  }
 }
