@@ -412,5 +412,249 @@ object Round11g {
            |  qhat_micro, n_test, n_covered,
            |  (n_covered * 1000000) // n_test AS coverage_ppm
            |FROM ft2, ts""".stripMargin
+      }),
+
+    // ---- t-closeness audit (completes the q192/q214 privacy triad):
+    // per quasi-identifier group, the total-variation distance
+    // between the group's sensitive-attribute distribution (segment)
+    // and the table-wide one, in exact ppm — a k-anonymous,
+    // l-diverse group still leaks when its sensitive mix skews far
+    // from global (Li et al. 2007). TVD = ½·Σ_v |p_g(v) − p(v)|
+    // over the FULL value domain (values absent from a group
+    // contribute the global share), built as groups × broadcast
+    // domain with a left join back to group-value counts — the
+    // domain frame is value-cardinality-bounded (5 segments), so the
+    // group×domain stream is ~5× the group count at any scale.
+    QueryDef("q291_t_closeness",
+      (s, dir) => {
+        val qi = t("customer")(s, dir).select(col("c_nationkey"),
+          floor(col("c_acctbal") / 2000).cast("bigint").as("bal_band"),
+          col("c_mktsegment"))
+        val tot = qi.count() // scalar: table row count (one action)
+        val dom = qi.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("cv"))
+          .withColumn("p_ppm", expr(s"(cv * 1000000) div $tot"))
+          .select(col("c_mktsegment"), col("p_ppm"))
+        val gv = qi.groupBy(col("c_nationkey"), col("bal_band"),
+          col("c_mktsegment")).agg(count(lit(1)).as("cgv"))
+        val g = qi.groupBy(col("c_nationkey"), col("bal_band"))
+          .agg(count(lit(1)).as("n"))
+        g.crossJoin(broadcast(dom))
+          .join(gv, Seq("c_nationkey", "bal_band", "c_mktsegment"),
+            "left")
+          .withColumn("pg_ppm",
+            expr("(coalesce(cgv, 0) * 1000000) div n"))
+          .groupBy(col("c_nationkey"), col("bal_band"))
+          .agg(max(col("n")).as("n"),
+            (sum(abs(col("pg_ppm") - col("p_ppm"))) / 2)
+              .cast("long").as("tvd_ppm"))
+          .withColumn("under_t", col("tvd_ppm") > 200000)
+          .orderBy(col("c_nationkey"), col("bal_band"))
+      },
+      Some("""WITH qi AS (SELECT c_nationkey,
+             |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+             |    c_mktsegment FROM customer),
+             |tt AS (SELECT COUNT(*) AS tot FROM qi),
+             |dom AS (SELECT c_mktsegment,
+             |    (COUNT(*) * 1000000) // tot AS p_ppm
+             |  FROM qi, tt GROUP BY c_mktsegment, tot),
+             |gv AS (SELECT c_nationkey, bal_band, c_mktsegment,
+             |    COUNT(*) AS cgv FROM qi GROUP BY 1, 2, 3),
+             |g AS (SELECT c_nationkey, bal_band, COUNT(*) AS n
+             |  FROM qi GROUP BY 1, 2)
+             |SELECT g.c_nationkey, g.bal_band,
+             |  CAST(MAX(g.n) AS BIGINT) AS n,
+             |  CAST(SUM(abs((COALESCE(gv.cgv, 0) * 1000000) // g.n
+             |    - dom.p_ppm)) // 2 AS BIGINT) AS tvd_ppm,
+             |  CAST(SUM(abs((COALESCE(gv.cgv, 0) * 1000000) // g.n
+             |    - dom.p_ppm)) // 2 AS BIGINT) > 200000 AS under_t
+             |FROM g CROSS JOIN dom
+             |LEFT JOIN gv ON gv.c_nationkey = g.c_nationkey
+             |  AND gv.bal_band = g.bal_band
+             |  AND gv.c_mktsegment = dom.c_mktsegment
+             |GROUP BY g.c_nationkey, g.bal_band
+             |ORDER BY g.c_nationkey, g.bal_band""".stripMargin)),
+
+    // ---- blocking-quality evaluation (the record-linkage twin of
+    // the q274 retrieval metrics): score two candidate blocking
+    // schemes against the near-dup ground truth WITHOUT materializing
+    // a single candidate pair — candidate counts come from per-block
+    // sizes (Σ n_b·(n_b−1)/2), truth recall ("pairs completeness")
+    // from whether both ends of each truth pair share a block key.
+    // Reduction ratio = 1 − candidates/all-pairs. The measurement
+    // that picks a blocking key BEFORE the 100 TB linkage run.
+    QueryDef("q292_blocking_eval",
+      (s, dir) => {
+        val docs = t("documents")(s, dir)
+        val truth = CorpusOps.sharedJaccardPairs(s, dir)
+          .select("da", "db")
+        val nDocs = docs.count()
+        val allPairs = nDocs * (nDocs - 1) / 2
+        def arm(label: String, key: org.apache.spark.sql.Column) = {
+          val keyed = docs.select(col("doc_id"), key.as("bk"))
+          val cand = keyed.groupBy(col("bk"))
+            .agg(count(lit(1)).as("nb"))
+            .agg(count(lit(1)).as("n_blocks"),
+              sum(expr("nb * (nb - 1) div 2")).as("n_cand_pairs"))
+          val pc = truth
+            .join(keyed.select(col("doc_id").as("da"),
+              col("bk").as("ka")), Seq("da"))
+            .join(keyed.select(col("doc_id").as("db"),
+              col("bk").as("kb")), Seq("db"))
+            .agg(count(lit(1)).as("n_truth"),
+              sum(when(col("ka") === col("kb"), 1L).otherwise(0L))
+                .as("n_caught"))
+          cand.crossJoin(pc).select(lit(label).as("scheme"),
+            col("n_blocks"), col("n_cand_pairs"),
+            expr(s"1000000 - (n_cand_pairs * 1000000) div $allPairs")
+              .as("reduction_ppm"),
+            col("n_truth"),
+            expr("(n_caught * 1000000) div n_truth")
+              .as("completeness_ppm"))
+        }
+        arm("first_word",
+            element_at(TextOps.words(col("text")), 1))
+          .unionAll(arm("lang_source",
+            concat_ws("|", col("lang"), col("source"))))
+          .orderBy(col("scheme"))
+      },
+      Some(s"""WITH ${CorpusOps.oShinglesSql},
+              |hs AS (SELECT doc_id, ${CorpusOps.oH60("s")} AS h FROM sh),
+              |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+              |p AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) AS inter
+              |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs AS (SELECT da, db FROM p
+              |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+              |  WHERE inter / (x.n + y.n - inter) >= 0.6),
+              |nd AS (SELECT COUNT(*) AS n_docs,
+              |    COUNT(*) * (COUNT(*) - 1) // 2 AS all_pairs
+              |  FROM documents),
+              |k1 AS (SELECT doc_id,
+              |    list_filter(string_split_regex(lower(text), '\\s+'),
+              |      x -> len(x) > 0)[1] AS bk FROM documents),
+              |k2 AS (SELECT doc_id, lang || '|' || source AS bk
+              |  FROM documents),
+              |c1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+              |    CAST(SUM(nb * (nb - 1) // 2) AS BIGINT)
+              |      AS n_cand_pairs
+              |  FROM (SELECT bk, COUNT(*) AS nb FROM k1 GROUP BY bk)),
+              |c2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+              |    CAST(SUM(nb * (nb - 1) // 2) AS BIGINT)
+              |      AS n_cand_pairs
+              |  FROM (SELECT bk, COUNT(*) AS nb FROM k2 GROUP BY bk)),
+              |t1 AS (SELECT COUNT(*) AS n_truth,
+              |    CAST(SUM(CASE WHEN a.bk = b.bk THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_caught
+              |  FROM pairs JOIN k1 a ON da = a.doc_id
+              |  JOIN k1 b ON db = b.doc_id),
+              |t2 AS (SELECT COUNT(*) AS n_truth,
+              |    CAST(SUM(CASE WHEN a.bk = b.bk THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_caught
+              |  FROM pairs JOIN k2 a ON da = a.doc_id
+              |  JOIN k2 b ON db = b.doc_id)
+              |SELECT * FROM (
+              |SELECT 'first_word' AS scheme, c1.n_blocks,
+              |  c1.n_cand_pairs,
+              |  1000000 - (c1.n_cand_pairs * 1000000) // all_pairs
+              |    AS reduction_ppm,
+              |  t1.n_truth,
+              |  (t1.n_caught * 1000000) // t1.n_truth
+              |    AS completeness_ppm
+              |FROM c1, t1, nd
+              |UNION ALL
+              |SELECT 'lang_source', c2.n_blocks, c2.n_cand_pairs,
+              |  1000000 - (c2.n_cand_pairs * 1000000) // all_pairs,
+              |  t2.n_truth,
+              |  (t2.n_caught * 1000000) // t2.n_truth
+              |FROM c2, t2, nd)
+              |ORDER BY scheme""".stripMargin)),
+
+    // ---- perceptual-hash (dHash) near-duplicate pairs over the
+    // media payload: the image-dedup shape with the codec stubbed
+    // deterministically (the container has no image libs — the
+    // Spark-side plumbing is the deliverable). The "decode" samples
+    // 61 evenly-strided bytes of the blob as grayscale stand-ins
+    // (synthetic payloads are the UTF-8 bytes of ASCII text, so byte
+    // i ≡ char i — both engines sample via one substr each); dHash
+    // bit j = [p(j+1) > p(j)], packed into a 60-bit BIGINT (the repo
+    // hash-width discipline: bit 63 would flip the sign). Candidates
+    // come from 4 exact-match bands of 15 bits (hamming-LSH: a pair
+    // within hamming ≤ τ collides on ≥1 band unless all 4 bands are
+    // damaged), verified by popcount(xor) ≤ 10 on the candidate
+    // stream only — never all-pairs.
+    //
+    // Decoration (the q264 discipline, both engines identical): every
+    // doc_id%5=0 blob gets a RE-ENCODED twin — one byte perturbed at
+    // a deterministic offset, the local-pixel-delta noise a lossy
+    // re-save produces. Twins land within hamming ≤ ~3 with 3 clean
+    // bands, so the LSH provably catches them; text-level paraphrase
+    // pairs measure hamming ≥ 12 here (text bytes lack image
+    // smoothness), which is dHash behaving to spec: it dedups
+    // re-encodes and crops of the SAME image, not paraphrases —
+    // those belong to q25/q26's shingle families.
+    QueryDef("q293_phash_neardup",
+      (s, dir) => {
+        // pixel j: byte at 1 + (j·(len−1)) div 60, j = 0..60
+        def px(j: Int) =
+          s"ascii(substr(text, CAST(1 + ($j * (length(text) - 1)) " +
+            s"div 60 AS INT), 1))"
+        val hExpr = (0 until 60).map { j =>
+          s"(CASE WHEN ${px(j + 1)} > ${px(j)} " +
+            s"THEN ${1L << j}L ELSE 0L END)"
+        }.mkString(" + ")
+        val docs = t("documents")(s, dir)
+        val twins = docs.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            expr("concat(substr(text, 1, " +
+              "CAST((length(text) * 7) div 10 AS INT) - 1), '~', " +
+              "substr(text, CAST((length(text) * 7) div 10 AS INT) " +
+              "+ 1))").as("text"))
+        val sig = docs.select(col("doc_id"), col("text"))
+          .unionAll(twins)
+          .where(length(col("text")) >= 2)
+          .select(col("doc_id"), expr(hExpr).as("ph"))
+        val banded = sig.select(col("doc_id"), col("ph"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              expr(s"shiftright(ph, ${15 * b}) & 32767")
+                .as("bv"))): _*)).as("x"))
+          .select(col("doc_id"), col("ph"), col("x.band"),
+            col("x.bv"))
+        banded.as("a").join(banded.as("b"), Seq("band", "bv"))
+          .where(col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+            expr("bit_count(a.ph ^ b.ph)").cast("long").as("hamming"))
+          .distinct()
+          .where(col("hamming") <= 10)
+          .orderBy(col("da"), col("db"))
+      },
+      Some {
+        def px(j: Int) =
+          s"ascii(substr(text, CAST(1 + ($j * (len(text) - 1)) " +
+            s"// 60 AS INT), 1))"
+        val hExpr = (0 until 60).map { j =>
+          s"(CASE WHEN ${px(j + 1)} > ${px(j)} " +
+            s"THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH corpus AS (SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000000,
+           |    substr(text, 1,
+           |      CAST((len(text) * 7) // 10 AS INT) - 1) || '~' ||
+           |    substr(text, CAST((len(text) * 7) // 10 AS INT) + 1)
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |sig AS (SELECT doc_id, $hExpr AS ph
+           |  FROM corpus WHERE len(text) >= 2),
+           |banded AS (SELECT doc_id, ph, band,
+           |    (ph >> (15 * band)) & 32767 AS bv
+           |  FROM sig, unnest([0, 1, 2, 3]) AS u(band)),
+           |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+           |    CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+           |  FROM banded a JOIN banded b
+           |  ON a.band = b.band AND a.bv = b.bv
+           |  AND a.doc_id < b.doc_id)
+           |SELECT da, db, hamming FROM cand
+           |WHERE hamming <= 10 ORDER BY da, db""".stripMargin
       }))
 }
