@@ -1,0 +1,210 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+
+/** Round-11 continuation 8 (q294+): windowed code-switching detection
+  * and the hash-threshold sample-quantile sketch (the mergeable
+  * rank-sketch next to HLL/KMV/CMS, with an exact rank-error audit).
+  */
+object Round11h {
+  private def t(name: String): QueryFn =
+    (s, dir) => Tables.load(s, dir, name)
+
+  private val enM = Seq("the", "of", "and", "a", "to", "in", "is")
+  private val esM = Seq("el", "la", "de", "los", "y", "en", "que")
+  private val deM = Seq("der", "die", "das", "und", "ist")
+  private def oIn(m: Seq[String]): String =
+    m.map(w => s"'$w'").mkString(", ")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- code-switching detection: the q30 langid heuristic run per
+    // 20-token WINDOW instead of per document, then aggregated — a
+    // document whose windows disagree on language is mixed-language,
+    // the case a doc-level classifier mislabels with full confidence
+    // (and a real filter drops or splits before training). Decoration
+    // (q264 discipline): doc_id%9=0 docs get 42 appended Spanish
+    // marker tokens, guaranteeing ≥1 pure-es window regardless of
+    // alignment; both engines decorate identically. The token stream
+    // is one explode; windows are pos div 20; everything downstream
+    // is doc-bounded aggregation.
+    QueryDef("q294_code_switch",
+      (s, dir) => {
+        val esPad = (" " + esM.mkString(" ")) * 6
+        val docs = t("documents")(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 9 === 0, lit(esPad))
+              .otherwise(lit(""))).as("text"))
+        val tok = docs
+          .select(col("doc_id"),
+            posexplode(TextOps.words(col("text"))).as(Seq("pos", "w")))
+          .select(col("doc_id"), (col("pos") / 20).cast("long")
+            .as("win"), col("w"))
+        val winLang = tok.groupBy(col("doc_id"), col("win"))
+          .agg(
+            sum(when(col("w").isInCollection(enM), 1L).otherwise(0L))
+              .as("en_h"),
+            sum(when(col("w").isInCollection(esM), 1L).otherwise(0L))
+              .as("es_h"),
+            sum(when(col("w").isInCollection(deM), 1L).otherwise(0L))
+              .as("de_h"))
+          .withColumn("wl",
+            when(col("en_h") >= col("es_h") &&
+              col("en_h") >= col("de_h"), "en")
+              .when(col("es_h") >= col("de_h"), "es")
+              .otherwise("de"))
+        winLang.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_windows"),
+            countDistinct(col("wl")).as("n_langs"),
+            sum(when(col("wl") === "en", 1L).otherwise(0L))
+              .as("n_en_windows"),
+            sum(when(col("wl") === "es", 1L).otherwise(0L))
+              .as("n_es_windows"))
+          .withColumn("is_switched", col("n_langs") >= 2)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, text ||
+              |    CASE WHEN doc_id % 9 = 0
+              |      THEN repeat(' ${esM.mkString(" ")}', 6)
+              |      ELSE '' END AS text
+              |  FROM documents),
+              |w AS (SELECT doc_id,
+              |  list_filter(string_split_regex(lower(text), '\\s+'),
+              |    x -> len(x) > 0) AS ws FROM d),
+              |idx AS (SELECT doc_id, ws,
+              |  unnest(generate_series(1, len(ws))) AS i FROM w),
+              |tok AS (SELECT doc_id, (i - 1) // 20 AS win,
+              |  ws[i] AS w FROM idx),
+              |wl AS (SELECT doc_id, win,
+              |    SUM(CASE WHEN w IN (${oIn(enM)}) THEN 1 ELSE 0 END)
+              |      AS en_h,
+              |    SUM(CASE WHEN w IN (${oIn(esM)}) THEN 1 ELSE 0 END)
+              |      AS es_h,
+              |    SUM(CASE WHEN w IN (${oIn(deM)}) THEN 1 ELSE 0 END)
+              |      AS de_h
+              |  FROM tok GROUP BY 1, 2),
+              |wv AS (SELECT doc_id,
+              |    CASE WHEN en_h >= es_h AND en_h >= de_h THEN 'en'
+              |      WHEN es_h >= de_h THEN 'es' ELSE 'de' END AS wl
+              |  FROM wl)
+              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+              |  CAST(COUNT(DISTINCT wl) AS BIGINT) AS n_langs,
+              |  CAST(SUM(CASE WHEN wl = 'en' THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_en_windows,
+              |  CAST(SUM(CASE WHEN wl = 'es' THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_es_windows,
+              |  COUNT(DISTINCT wl) >= 2 AS is_switched
+              |FROM wv GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- hash-threshold sample-quantile sketch (the mergeable
+    // RANK sketch completing the HLL / KMV / count-min / Misra-Gries
+    // family): per group, keep rows whose 60-bit row hash falls under
+    // t_g = (k·2⁶⁰) div n_g — a coordinated ~k-row uniform sample
+    // that is MERGEABLE by construction (a fixed-threshold filter
+    // commutes with union; merging sketches built at different
+    // thresholds re-filters at the min). The p50 estimate is the
+    // sample's lower median; the row also carries the EXACT lower
+    // median and the estimate's true rank error in ppm — the audit
+    // that tells you whether k is big enough BEFORE trusting the
+    // sketch on 100 TB (expected error ~1/√k). Two passes over the
+    // fact table (count + filter), both map-side before tiny
+    // aggregations; the sample itself is k-bounded per group.
+    QueryDef("q295_sample_quantiles",
+      (s, dir) => {
+        val k = 256L
+        val li = t("lineitem")(s, dir).select(col("l_returnflag"),
+          (col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("long").as("v"),
+          TextOps.hash60((col("l_orderkey") * 8 + col("l_linenumber"))
+            .cast("string")).as("rh"))
+        val ng = li.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("thresh", expr(
+            s"CAST((CAST($k AS DECIMAL(38,0)) * " +
+              "1152921504606846976) div n AS BIGINT)"))
+        val sample = li.join(broadcast(ng), Seq("l_returnflag"))
+          .where(col("rh") < col("thresh"))
+        val wS = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag")).orderBy(col("v"))
+        val est = sample
+          .withColumn("rn", row_number().over(wS))
+          .withColumn("m", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("l_returnflag"))))
+          .where(col("rn") === expr("(m + 1) div 2"))
+          .select(col("l_returnflag"), col("m").as("m_sample"),
+            col("v").as("est_p50"))
+        // exact lower median + the estimate's true rank, both from
+        // the ordered distinct-value frame (the q223 idiom)
+        val dv = li.groupBy(col("l_returnflag"), col("v"))
+          .agg(count(lit(1)).as("c"))
+        val wC = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag")).orderBy(col("v"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        val cum = dv.withColumn("cum", sum(col("c")).over(wC))
+          .join(broadcast(ng.select(col("l_returnflag"), col("n"))),
+            Seq("l_returnflag"))
+        val exact = cum.where(col("cum") >= expr("(n + 1) div 2"))
+          .groupBy(col("l_returnflag"))
+          .agg(min(col("v")).as("exact_p50"), max(col("n")).as("n"))
+        val rankEst = cum.join(est, Seq("l_returnflag"))
+          .where(col("v") <= col("est_p50"))
+          .groupBy(col("l_returnflag"))
+          .agg(max(col("cum")).as("rank_est"))
+        est.join(exact, Seq("l_returnflag"))
+          .join(rankEst, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("n"), col("m_sample"),
+            col("est_p50"), col("exact_p50"),
+            expr("(abs(rank_est * 2 - n) * 1000000) div (2 * n)")
+              .as("rank_err_ppm"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""WITH li AS (SELECT l_returnflag,
+              |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+              |      AS BIGINT) AS v,
+              |    ${CorpusOps.oH60(
+               "CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)")}
+              |      AS rh
+              |  FROM lineitem),
+              |ng AS (SELECT l_returnflag, COUNT(*) AS n,
+              |    CAST((256 * CAST(1152921504606846976 AS HUGEINT))
+              |      // COUNT(*) AS BIGINT) AS thresh
+              |  FROM li GROUP BY 1),
+              |sm AS (SELECT li.l_returnflag, v FROM li
+              |  JOIN ng ON li.l_returnflag = ng.l_returnflag
+              |  WHERE rh < thresh),
+              |est AS (SELECT l_returnflag,
+              |    CAST(MAX(m) AS BIGINT) AS m_sample,
+              |    MIN(CASE WHEN rn = (m + 1) // 2 THEN v END)
+              |      AS est_p50
+              |  FROM (SELECT l_returnflag, v,
+              |      row_number() OVER (PARTITION BY l_returnflag
+              |        ORDER BY v) AS rn,
+              |      COUNT(*) OVER (PARTITION BY l_returnflag) AS m
+              |    FROM sm)
+              |  GROUP BY 1),
+              |dv AS (SELECT l_returnflag, v, COUNT(*) AS c FROM li
+              |  GROUP BY 1, 2),
+              |cum AS (SELECT l_returnflag, v,
+              |    SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v
+              |      ROWS UNBOUNDED PRECEDING) AS cum
+              |  FROM dv),
+              |ex AS (SELECT cum.l_returnflag,
+              |    MIN(v) AS exact_p50, CAST(MAX(n) AS BIGINT) AS n
+              |  FROM cum JOIN ng ON cum.l_returnflag = ng.l_returnflag
+              |  WHERE cum >= (n + 1) // 2 GROUP BY 1),
+              |re AS (SELECT cum.l_returnflag,
+              |    CAST(MAX(cum) AS BIGINT) AS rank_est
+              |  FROM cum JOIN est ON cum.l_returnflag = est.l_returnflag
+              |  WHERE v <= est_p50 GROUP BY 1)
+              |SELECT est.l_returnflag, ex.n, est.m_sample,
+              |  est.est_p50, ex.exact_p50,
+              |  (abs(re.rank_est * 2 - ex.n) * 1000000) // (2 * ex.n)
+              |    AS rank_err_ppm
+              |FROM est JOIN ex ON est.l_returnflag = ex.l_returnflag
+              |JOIN re ON est.l_returnflag = re.l_returnflag
+              |ORDER BY est.l_returnflag""".stripMargin)))
+}
