@@ -865,4 +865,62 @@ object Stats {
               expr("CAST(1844164 AS DECIMAL(38,0)) * (na + nb) * na * nb"))
           .as("significant"))
   }
+
+  /** Spearman rank correlation with average-rank tie correction, one
+    * row `(n, nd_x, nd_y, rho)` — the monotone-association measure
+    * [[pearson]] cannot give (rho = 1 for ANY monotone relation,
+    * linear or not; robust to the heavy-tailed magnitudes where a
+    * Pearson moment is one outlier's hostage).
+    *
+    * Ranks stay exact integers: a tied run of `c` rows ending at
+    * cumulative count `cum` has average rank `(2·cum − c + 1)/2`, so
+    * the DOUBLED rank `r2 = 2·cum − c + 1` is always a whole number —
+    * the tie correction costs no fractions. rho is then Pearson on
+    * the doubled ranks (doubling cancels), via the house discipline:
+    * five exact DECIMAL(38,0) moments in one pass (r2 ≤ 2n keeps Σr2²
+    * ≤ 4n³ inside DECIMAL(38,0) to n ≈ 10¹¹), then ONE fixed double
+    * expression rounded to 6.
+    *
+    * Scale: per axis, one groupBy(value) to the distinct-value frame,
+    * a prefix-sum window over THAT frame only (the quantile family's
+    * value-cardinality contract — never a corpus-wide row_number),
+    * and a value-keyed join back; then one map-side-combined moment
+    * aggregation. No row-frame window ever sees N rows.
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).as("_x"), col(yCol).as("_y"))
+    def rankFrame(c: String): DataFrame = {
+      val w = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      base.groupBy(col(c)).agg(count(lit(1)).as("_c"))
+        .withColumn("_cum", sum(col("_c")).over(w))
+        .select(col(c),
+          (col("_cum") * 2 - col("_c") + 1).as(s"_r2$c"))
+    }
+    val d38 = "decimal(38,0)"
+    val ranked = base
+      .join(rankFrame("_x"), Seq("_x"))
+      .join(rankFrame("_y"), Seq("_y"))
+      .select(col("_r2_x").cast(d38).as("rx"),
+        col("_r2_y").cast(d38).as("ry"))
+    val m = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("rx")).cast("double").as("srx"),
+      sum(col("ry")).cast("double").as("sry"),
+      sum(col("rx") * col("ry")).cast("double").as("srxy"),
+      sum(col("rx") * col("rx")).cast("double").as("srxx"),
+      sum(col("ry") * col("ry")).cast("double").as("sryy"))
+    val nd = base.agg(
+      countDistinct(col("_x")).as("nd_x"),
+      countDistinct(col("_y")).as("nd_y"))
+    m.crossJoin(broadcast(nd)).select(
+      col("n"), col("nd_x"), col("nd_y"),
+      round(
+        (col("n") * col("srxy") - col("srx") * col("sry")) /
+          sqrt((col("n") * col("srxx") - col("srx") * col("srx")) *
+            (col("n") * col("sryy") - col("sry") * col("sry"))),
+        6).as("rho"))
+  }
 }

@@ -206,5 +206,43 @@ object Round11h {
               |    AS rank_err_ppm
               |FROM est JOIN ex ON est.l_returnflag = ex.l_returnflag
               |JOIN re ON est.l_returnflag = re.l_returnflag
-              |ORDER BY est.l_returnflag""".stripMargin)))
+              |ORDER BY est.l_returnflag""".stripMargin)),
+
+    // ---- Spearman rank correlation (quantity vs extendedprice):
+    // the monotone-association twin of the q-row Pearson — rho rides
+    // integer doubled average ranks (tie correction costs no
+    // fractions), exact DECIMAL moments, one fixed double formula.
+    // l_quantity's ~50 distinct values make the tie branch carry
+    // real weight; both rank windows run on distinct-value frames.
+    QueryDef("q296_spearman",
+      (s, dir) => graft.operators.Stats.spearman(
+        t("lineitem")(s, dir), "l_quantity", "l_extendedprice"),
+      Some("""WITH b AS (SELECT l_quantity AS x, l_extendedprice AS y
+              |  FROM lineitem
+              |  WHERE l_quantity IS NOT NULL
+              |    AND l_extendedprice IS NOT NULL),
+              |cx AS (SELECT x, COUNT(*) AS c FROM b GROUP BY 1),
+              |rx AS (SELECT x, CAST(2 * SUM(c) OVER (ORDER BY x
+              |    ROWS UNBOUNDED PRECEDING) - c + 1
+              |    AS DECIMAL(38,0)) AS rxv FROM cx),
+              |cy AS (SELECT y, COUNT(*) AS c FROM b GROUP BY 1),
+              |ry AS (SELECT y, CAST(2 * SUM(c) OVER (ORDER BY y
+              |    ROWS UNBOUNDED PRECEDING) - c + 1
+              |    AS DECIMAL(38,0)) AS ryv FROM cy),
+              |j AS (SELECT rxv, ryv FROM b
+              |  JOIN rx USING (x) JOIN ry USING (y)),
+              |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              |    CAST(SUM(rxv) AS DOUBLE) AS srx,
+              |    CAST(SUM(ryv) AS DOUBLE) AS sry,
+              |    CAST(SUM(rxv * ryv) AS DOUBLE) AS srxy,
+              |    CAST(SUM(rxv * rxv) AS DOUBLE) AS srxx,
+              |    CAST(SUM(ryv * ryv) AS DOUBLE) AS sryy
+              |  FROM j),
+              |nd AS (SELECT CAST(COUNT(DISTINCT x) AS BIGINT) AS nd_x,
+              |    CAST(COUNT(DISTINCT y) AS BIGINT) AS nd_y FROM b)
+              |SELECT n, nd_x, nd_y,
+              |  ROUND((n * srxy - srx * sry) /
+              |    sqrt((n * srxx - srx * srx) *
+              |      (n * sryy - sry * sry)), 6) AS rho
+              |FROM m, nd""".stripMargin)))
 }

@@ -420,6 +420,36 @@ class StatsSpec extends SparkSpec {
       r1.getBoolean(4)) == (30L, 30L, 1000000L, true))
   }
 
+  test("spearman: monotone nonlinear = 1.0 where pearson < 1; " +
+      "reversal = -1.0; partitioning-invariant") {
+    import spark.implicits._
+    val cube = (1 to 200).map(i => (i.toDouble, math.pow(i, 3))).toDF("x", "y")
+    val r = Stats.spearman(cube, "x", "y").collect().head
+    assert(r.getDouble(3) == 1.0)
+    assert(Stats.pearson(cube, "x", "y").collect().head.getDouble(1) < 1.0)
+    val down = (1 to 200).map(i => (i.toDouble, -math.pow(i, 3))).toDF("x", "y")
+    assert(Stats.spearman(down, "x", "y").collect().head.getDouble(3)
+      == -1.0)
+    val r2 = Stats.spearman(cube.repartition(13), "x", "y").collect().head
+    assert(r.getDouble(3) == r2.getDouble(3)) // bit-identical
+  }
+
+  test("spearman: average-rank tie correction matches hand computation") {
+    import spark.implicits._
+    // x = (1,1,2,3), y = (10,20,20,30).
+    // avg ranks x: (1.5, 1.5, 3, 4); y: (1, 2.5, 2.5, 4)
+    // doubled:   x: (3, 3, 6, 8);    y: (2, 5, 5, 8)
+    // Pearson on doubled ranks:
+    //  n=4 Σx=20 Σy=20 Σxy=3·2+3·5+6·5+8·8=115 Σx²=118 Σy²=118
+    //  num = 4·115−400 = 60; den = 4·118−400 = 72 (both axes)
+    //  rho = 60/72 = 0.833333…
+    val df = Seq((1.0, 10.0), (1.0, 20.0), (2.0, 20.0), (3.0, 30.0))
+      .toDF("x", "y")
+    val r = Stats.spearman(df, "x", "y").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (4L, 3L, 3L))
+    assert(r.getDouble(3) == 0.833333)
+  }
+
   test("ksTwoSample: hand-computed D on a small asymmetric case") {
     import spark.implicits._
     // a = {1,2,3}, b = {2,4}: at v=1 |2·1−3·0|=2; v=2 |2·2−3·1|=1;
