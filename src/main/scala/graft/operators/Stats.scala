@@ -866,6 +866,46 @@ object Stats {
           .as("significant"))
   }
 
+  /** Approximate functional-dependency audit over a candidate list of
+    * column pairs: for each `lhs → rhs`, the g3 error (Kivinen &
+    * Mannila) — the minimum fraction of rows whose removal makes the
+    * dependency hold exactly, `g3 = (n − Σ_g max_v count(g,v)) / n` —
+    * in exact integer ppm. One row per pair `(lhs, rhs, n, n_groups,
+    * violations, g3_ppm, holds)`. The schema-discovery half of data
+    * profiling: `holds` finds the keys and derived columns a 100 TB
+    * table's layout/bucketing can exploit; small `g3_ppm` flags the
+    * NEAR-dependencies that are usually ingest corruption (one feed
+    * writing a stale dimension value).
+    *
+    * Scale: per pair, two nested aggregations — (lhs, rhs) cells then
+    * per-lhs max — both map-side combined, bounded by the cell
+    * cardinality; no joins, nothing row-sized past the first
+    * aggregation. The pair list is a candidate list (prune by schema
+    * knowledge first): cost is one pass per pair, so audit a 100-col
+    * table's 9900 ordered pairs with a sampled prefilter, not this
+    * exact pass.
+    */
+  def fdAudit(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "fdAudit: empty candidate pair list")
+    pairs.map { case (lhs, rhs) =>
+      df.filter(col(lhs).isNotNull && col(rhs).isNotNull)
+        .groupBy(col(lhs).as("_l"), col(rhs).as("_r"))
+        .agg(count(lit(1)).as("_c"))
+        .groupBy(col("_l"))
+        .agg(sum(col("_c")).as("_n"), max(col("_c")).as("_m"))
+        .agg(coalesce(sum(col("_n")), lit(0L)).as("n"),
+          count(lit(1)).as("n_groups"),
+          coalesce(sum(col("_n") - col("_m")), lit(0L))
+            .as("violations"))
+        .select(lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+          col("n").cast("long").as("n"), col("n_groups"),
+          col("violations").cast("long").as("violations"),
+          when(col("n") > 0, expr("(violations * 1000000) div n"))
+            .otherwise(lit(0L)).as("g3_ppm"),
+          (col("violations") === 0 && col("n") > 0).as("holds"))
+    }.reduce(_ unionAll _).orderBy(col("lhs"), col("rhs"))
+  }
+
   /** Spearman rank correlation with average-rank tie correction, one
     * row `(n, nd_x, nd_y, rho)` — the monotone-association measure
     * [[pearson]] cannot give (rho = 1 for ANY monotone relation,

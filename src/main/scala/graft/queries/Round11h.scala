@@ -244,5 +244,46 @@ object Round11h {
               |  ROUND((n * srxy - srx * sry) /
               |    sqrt((n * srxx - srx * srx) *
               |      (n * sryy - sry * sry)), 6) AS rho
-              |FROM m, nd""".stripMargin)))
+              |FROM m, nd""".stripMargin)),
+
+    // ---- approximate functional-dependency audit (g3) over three
+    // candidate pairs on part: the key FD (p_partkey→p_brand, holds
+    // exactly), a non-dependency (p_brand→p_type, g3 ≈ 77%), and a
+    // decorated NEAR-dependency (p_brand→brand_tag where brand_tag
+    // is the brand's digit suffix except rows p_partkey%97=0 write a
+    // stale 'XX' — the one-bad-feed corruption shape, g3 ≈ 1%; both
+    // engines decorate identically, the q264 discipline).
+    QueryDef("q297_fd_audit",
+      (s, dir) => graft.operators.Stats.fdAudit(
+        t("part")(s, dir).withColumn("brand_tag",
+          when(col("p_partkey") % 97 === 0, lit("XX"))
+            .otherwise(expr("substr(p_brand, 7)"))),
+        Seq(("p_partkey", "p_brand"), ("p_brand", "p_type"),
+          ("p_brand", "brand_tag"))),
+      Some {
+        def pairSql(lhs: String, rhs: String) =
+          s"""SELECT '$lhs' AS lhs, '$rhs' AS rhs,
+             |  CAST(SUM(nn) AS BIGINT) AS n,
+             |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+             |  CAST(SUM(nn - m) AS BIGINT) AS violations,
+             |  CAST((SUM(nn - m) * 1000000) // SUM(nn) AS BIGINT)
+             |    AS g3_ppm,
+             |  SUM(nn - m) = 0 AS holds
+             |FROM (SELECT $lhs, SUM(c) AS nn, MAX(c) AS m
+             |  FROM (SELECT $lhs, $rhs, COUNT(*) AS c FROM d
+             |    WHERE $lhs IS NOT NULL AND $rhs IS NOT NULL
+             |    GROUP BY 1, 2)
+             |  GROUP BY 1)""".stripMargin
+        s"""WITH d AS (SELECT p_partkey, p_brand, p_type,
+           |    CASE WHEN p_partkey % 97 = 0 THEN 'XX'
+           |      ELSE substr(p_brand, 7) END AS brand_tag
+           |  FROM part)
+           |SELECT * FROM (
+           |${pairSql("p_partkey", "p_brand")}
+           |UNION ALL
+           |${pairSql("p_brand", "p_type")}
+           |UNION ALL
+           |${pairSql("p_brand", "brand_tag")})
+           |ORDER BY lhs, rhs""".stripMargin
+      }))
 }

@@ -420,6 +420,21 @@ class StatsSpec extends SparkSpec {
       r1.getBoolean(4)) == (30L, 30L, 1000000L, true))
   }
 
+  test("fdAudit: exact hold, hand-counted g3, and null rows ignored") {
+    import spark.implicits._
+    val df = Seq(
+      (1, "x", "k1"), (1, "x", "k1"), (1, "y", "k1"), (2, "z", "k2"),
+      (3, null, "k3")).toDF("l", "r", "k")
+    val out = Stats.fdAudit(df, Seq(("l", "r"), ("k", "l"), ("l", "k")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    // l→r: groups {1: max 2 of 3, 2: 1 of 1} → n=4, viol=1, g3=250000
+    assert(out.contains(("l", "r", 4L, 2L, 1L, 250000L, false)))
+    // k→l holds exactly (keys); l→k holds too (1,2,3 distinct)
+    assert(out.contains(("k", "l", 5L, 3L, 0L, 0L, true)))
+    assert(out.contains(("l", "k", 5L, 3L, 0L, 0L, true)))
+  }
+
   test("spearman: monotone nonlinear = 1.0 where pearson < 1; " +
       "reversal = -1.0; partitioning-invariant") {
     import spark.implicits._
