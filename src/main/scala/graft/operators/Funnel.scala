@@ -512,4 +512,84 @@ object Funnel {
             when(col("r") <= expr("cents % k"), 1L).otherwise(0L))
           .as("credit_cents"))
   }
+
+  /** Exact Shapley channel attribution over observed coalition
+    * conversion rates (the data-driven attribution model; Shapley
+    * 1953 applied per Zhao et al. 2018): each entity's journey is the
+    * SET of touch channels it fired (a k-bit mask) plus a converted
+    * flag; the coalition value v(S) is the observed conversion rate
+    * of journeys with exactly that set, truncated to integer micro
+    * (deterministic, engine-neutral — the 1e-6 truncation is far
+    * below the statistical noise of any observed rate); and channel
+    * i's credit is the exact Shapley sum
+    * `φ_i = Σ_{S∌i} s!(k−1−s)!/k! · (v(S∪i) − v(S))`
+    * carried as an integer numerator (factorial weights times micro
+    * deltas) with ONE sign-split truncating division by k! at the
+    * end. Unobserved coalitions take v = 0 (the standard convention),
+    * and v(∅) is FORCED to 0 even when untouched journeys convert —
+    * the empty-coalition axiom; direct conversions earn no channel
+    * credit.
+    *
+    * Scale: the only N-sized work is the per-entity journey
+    * aggregation (bit_or of channel bits + max of the conversion
+    * flag, map-side combined). The coalition frame is ≤ 2^k rows and
+    * every join after it (lattice × channels, v lookups) is
+    * broadcast-tiny; k ≤ 16 is enforced.
+    *
+    * Output: one row per channel
+    * `(channel, n_journeys, phi_micro)` — n_journeys = journeys whose
+    * set contains the channel; Σ phi_micro ≈ v(full set) by the
+    * efficiency axiom (exact up to the documented truncations).
+    */
+  def shapleyAttribution(events: DataFrame, entityCol: String,
+      typeCol: String, convType: String,
+      touchTypes: Seq[String]): DataFrame = {
+    require(touchTypes.nonEmpty && touchTypes.size <= 16,
+      "shapleyAttribution: 1..16 touch channels")
+    require(!touchTypes.contains(convType))
+    val k = touchTypes.size
+    val spark = events.sparkSession
+    import spark.implicits._
+    def fact(n: Int): Long = (1 to n).map(_.toLong).product
+    val bitC = touchTypes.zipWithIndex.tail
+      .foldLeft(when(col(typeCol) === touchTypes.head, lit(1L))) {
+        case (acc, (t, i)) => acc.when(col(typeCol) === t, lit(1L << i))
+      }.otherwise(lit(0L))
+    val jny = events
+      .select(col(entityCol).as("_e"), bitC.as("_b"),
+        when(col(typeCol) === convType, 1L).otherwise(0L).as("_cv"))
+      .groupBy(col("_e"))
+      .agg(expr("bit_or(_b)").as("m"), max(col("_cv")).as("cv"))
+    val co = jny.groupBy(col("m"))
+      .agg(count(lit(1)).as("n"), sum(col("cv")).as("c"))
+    val v = co.where(col("m") =!= 0)
+      .select(col("m"), expr("(c * 1000000) div n").as("vm"))
+    val chans = touchTypes.zipWithIndex
+      .map { case (t, i) => (t, 1L << i) }.toDF("channel", "bit")
+    val weights = (0 until k).map(s => (s, fact(s) * fact(k - 1 - s)))
+      .toDF("s", "w")
+    val lattice = spark.range(1L << k).select(col("id").as("sm"))
+    val terms = chans.crossJoin(lattice)
+      .where((col("sm").bitwiseAND(col("bit"))) === 0)
+      .withColumn("s", expr("bit_count(sm)").cast("int"))
+      .join(broadcast(weights), Seq("s"))
+      .join(broadcast(v.select(col("m").as("m1"), col("vm").as("v_s"))),
+        col("sm") === col("m1"), "left").drop("m1")
+      .join(broadcast(v.select(col("m").as("m2"),
+        col("vm").as("v_si"))),
+        col("sm").bitwiseOR(col("bit")) === col("m2"), "left")
+      .select(col("channel"), col("bit"),
+        (col("w") * (coalesce(col("v_si"), lit(0L)) -
+          coalesce(col("v_s"), lit(0L)))).as("term"))
+    val nWith = chans.join(co, (col("m").bitwiseAND(col("bit"))) =!= 0)
+      .groupBy(col("channel")).agg(sum(col("n")).as("n_journeys"))
+    val kf = fact(k)
+    terms.groupBy(col("channel")).agg(sum(col("term")).as("num"))
+      .join(broadcast(nWith), Seq("channel"), "left")
+      .select(col("channel"),
+        coalesce(col("n_journeys"), lit(0L)).as("n_journeys"),
+        (signum(col("num")).cast("long") *
+          expr(s"abs(num) div $kf")).as("phi_micro"))
+      .orderBy(col("channel"))
+  }
 }

@@ -285,5 +285,49 @@ object Round11h {
            |UNION ALL
            |${pairSql("p_brand", "brand_tag")})
            |ORDER BY lhs, rhs""".stripMargin
-      }))
+      }),
+
+    // ---- exact Shapley channel attribution over the events stream:
+    // journeys = per-user sets of the four touch channels, coalition
+    // values = observed conversion rates in truncated micro, credits
+    // = the exact factorial-weighted Shapley sum with one sign-split
+    // division by k! — the data-driven attribution model next to the
+    // positional q219 row. v(∅) forced 0: direct purchases earn no
+    // channel credit.
+    QueryDef("q298_shapley_attribution",
+      (s, dir) => graft.operators.Funnel.shapleyAttribution(
+        t("events")(s, dir), "user_id", "event_type", "purchase",
+        Seq("view", "click", "signup", "error")),
+      Some("""WITH j AS (SELECT user_id,
+              |    BIT_OR(CASE event_type WHEN 'view' THEN 1
+              |      WHEN 'click' THEN 2 WHEN 'signup' THEN 4
+              |      WHEN 'error' THEN 8 ELSE 0 END) AS m,
+              |    MAX(CASE WHEN event_type = 'purchase' THEN 1
+              |      ELSE 0 END) AS cv
+              |  FROM events GROUP BY 1),
+              |co AS (SELECT m, COUNT(*) AS n, SUM(cv) AS c
+              |  FROM j GROUP BY 1),
+              |v AS (SELECT m, CAST((c * 1000000) // n AS BIGINT) AS vm
+              |  FROM co WHERE m <> 0),
+              |ch AS (SELECT * FROM (VALUES ('view', 1), ('click', 2),
+              |  ('signup', 4), ('error', 8)) t(channel, bit)),
+              |lat AS (SELECT unnest(generate_series(0, 15)) AS sm),
+              |terms AS (SELECT ch.channel,
+              |    (CASE bit_count(lat.sm) WHEN 0 THEN 6 WHEN 1 THEN 2
+              |      WHEN 2 THEN 2 ELSE 6 END) *
+              |      (COALESCE(v2.vm, 0) - COALESCE(v1.vm, 0)) AS term
+              |  FROM ch JOIN lat ON (lat.sm & ch.bit) = 0
+              |  LEFT JOIN v v1 ON v1.m = lat.sm
+              |  LEFT JOIN v v2 ON v2.m = (lat.sm | ch.bit)),
+              |sm AS (SELECT channel, SUM(term) AS num
+              |  FROM terms GROUP BY 1),
+              |nw AS (SELECT ch.channel,
+              |    CAST(SUM(co.n) AS BIGINT) AS n_journeys
+              |  FROM ch JOIN co ON (co.m & ch.bit) <> 0 GROUP BY 1)
+              |SELECT sm.channel,
+              |  COALESCE(nw.n_journeys, 0) AS n_journeys,
+              |  CAST(CASE WHEN num >= 0 THEN num // 24
+              |    ELSE -((-num) // 24) END AS BIGINT) AS phi_micro
+              |FROM sm LEFT JOIN nw ON sm.channel = nw.channel
+              |ORDER BY sm.channel""".stripMargin)))
 }

@@ -332,4 +332,40 @@ class FunnelSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sums == Map(13L -> 100L, 20L -> 250L, 30L -> 99L))
   }
+
+  test("shapleyAttribution: hand-computed two-channel case; direct " +
+      "conversions earn no credit; efficiency axiom holds") {
+    // journeys: u1 {A} conv, u2 {A}, u3 {A,B} conv, u4 {A,B} conv,
+    // u5 {B}, u6 {} conv (direct).
+    // v(A)=1/2=500000, v(B)=0, v(AB)=2/2=1000000, v(∅) forced 0.
+    // k=2, k!=2, W(0)=W(1)=1:
+    //  φ_A = (1·500000 + 1·(1000000−0)) div 2 = 750000
+    //  φ_B = (1·0 + 1·(1000000−500000)) div 2 = 250000
+    //  Σφ = 1000000 = v(AB)  (efficiency)
+    val ev = Seq(
+      (1L, "A"), (1L, "buy"), (2L, "A"),
+      (3L, "A"), (3L, "B"), (3L, "buy"),
+      (4L, "A"), (4L, "B"), (4L, "buy"),
+      (5L, "B"), (6L, "buy")).toDF("user_id", "event_type")
+    val got = Funnel.shapleyAttribution(ev, "user_id", "event_type",
+        "buy", Seq("A", "B"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("A", 4L, 750000L), ("B", 3L, 250000L)),
+      got.mkString(","))
+  }
+
+  test("shapleyAttribution: symmetric channels split equally and are " +
+      "partitioning-invariant") {
+    val ev = (1 to 60).flatMap { u =>
+      val base = Seq((u.toLong, "x"), (u.toLong, "y"))
+      if (u % 3 == 0) base :+ (u.toLong, "buy") else base
+    }.toDF("user_id", "event_type")
+    val got = Funnel.shapleyAttribution(ev.repartition(7), "user_id",
+        "event_type", "buy", Seq("x", "y"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    // v({x,y}) = 20/60 = 333333 micro; symmetric → 166666 each
+    // (truncating div: 333333/2 = 166666 both, by the sign-split)
+    assert(got.toSeq == Seq(("x", 166666L), ("y", 166666L)),
+      got.mkString(","))
+  }
 }
