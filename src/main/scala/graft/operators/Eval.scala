@@ -287,4 +287,59 @@ object Eval {
           expr("(1000000 * dcg_micro) div idcg_at"))
           .otherwise(lit(0L)).as("ndcg_ppm"))
   }
+
+  /** Off-policy evaluation of a target policy from logged bandit
+    * feedback (Horvitz-Thompson / self-normalized importance
+    * sampling): each row is a logged decision with the LOGGING
+    * policy's propensity for the action it took (`pCol`, micro), the
+    * TARGET policy's probability for that same action (`piCol`,
+    * micro), and the observed reward (`rCol`, integer units e.g.
+    * cents). Reports, one row:
+    *   - `ips_micro`  = (Σ r·w) div n — the IPS estimate of the
+    *     target policy's per-decision value, in MICRO reward units
+    *     (w = π/p carried as `w_micro = π_micro·10⁶ div p_micro`,
+    *     one deterministic truncation per row, ≤ 10⁻⁶ relative —
+    *     far below the estimator's own variance);
+    *   - `snips_micro` = (Σ r·w · 10⁶) div Σ w — the self-normalized
+    *     estimate (bounded, lower-variance, the default you trust);
+    *   - `ess_ppm` = (Σw)²·10⁶ div (n·Σw²) — Kish effective sample
+    *     size as a fraction of n: LOW ess means a few huge weights
+    *     own the estimate and the answer is noise;
+    *   - `max_w_micro` — the overlap diagnostic (a target action the
+    *     logger almost never took ⇒ exploding weight).
+    *
+    * All sums are exact DECIMAL(38,0), map-side combined, one pass;
+    * nothing is row-retained. This is the measurement half of the
+    * classifier/curation policy loop: before a new filtering policy
+    * reruns a 100 TB corpus, IPS on the logged sample says whether
+    * it's worth it.
+    */
+  def offPolicyValue(df: DataFrame, pCol: String, piCol: String,
+      rCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val rows = df.select(
+      col(pCol).cast("long").as("_p"),
+      col(piCol).cast("long").as("_pi"),
+      col(rCol).cast("long").as("_r"))
+    val terms = rows.select(
+      expr("(_pi * 1000000) div _p").cast(d38).as("w"),
+      col("_r").cast(d38).as("r"))
+      .select(col("w"), (col("r") * col("w")).as("rw"),
+        (col("w") * col("w")).as("w2"))
+    terms.agg(
+      count(lit(1)).as("n"),
+      sum(col("rw")).as("srw"),
+      sum(col("w")).as("sw"),
+      sum(col("w2")).as("sw2"),
+      max(col("w")).cast("long").as("max_w_micro"))
+      .select(col("n"),
+        expr("srw div n").cast("long").as("ips_micro"),
+        when(col("sw") > 0,
+          expr("(srw * 1000000) div sw").cast("long"))
+          .otherwise(lit(0L)).as("snips_micro"),
+        when(col("sw2") > 0,
+          expr("(sw * sw * 1000000) div (n * sw2)").cast("long"))
+          .otherwise(lit(0L)).as("ess_ppm"),
+        col("max_w_micro"))
+  }
 }

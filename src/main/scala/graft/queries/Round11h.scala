@@ -329,5 +329,72 @@ object Round11h {
               |  CAST(CASE WHEN num >= 0 THEN num // 24
               |    ELSE -((-num) // 24) END AS BIGINT) AS phi_micro
               |FROM sm LEFT JOIN nw ON sm.channel = nw.channel
-              |ORDER BY sm.channel""".stripMargin)))
+              |ORDER BY sm.channel""".stripMargin)),
+
+    // ---- off-policy evaluation (IPS / SNIPS / ESS) of a synthetic
+    // target policy against a synthetic logging policy over the
+    // events stream — both policies are deterministic literal tables
+    // (the q264 decoration discipline: the COMPUTATION is the
+    // deliverable; the propensities just have to be identical in
+    // both engines). Logging tilts per context c = user_id % 3;
+    // target prefers conversion-ish actions context-free; reward =
+    // purchase cents. One exact-DECIMAL pass.
+    QueryDef("q299_off_policy",
+      (s, dir) => {
+        val ev = t("events")(s, dir)
+          .withColumn("c", col("user_id") % 3)
+          .withColumn("p_micro",
+            expr("""CASE event_type
+              WHEN 'view' THEN 400000 - c * 30000 + CASE WHEN c = 2 THEN 20000 ELSE 0 END
+              WHEN 'click' THEN 250000 + CASE WHEN c = 2 THEN 70000 ELSE 0 END
+              WHEN 'purchase' THEN 150000 + CASE WHEN c = 1 THEN 50000 ELSE 0 END
+              WHEN 'signup' THEN 120000 ELSE 80000 END"""))
+          .withColumn("pi_micro",
+            expr("""CASE event_type WHEN 'view' THEN 200000
+              WHEN 'click' THEN 300000 WHEN 'purchase' THEN 300000
+              WHEN 'signup' THEN 150000 ELSE 50000 END"""))
+          .withColumn("r_cents",
+            when(col("event_type") === "purchase",
+              expr("CAST(round(value * 100) AS BIGINT)"))
+              .otherwise(lit(0L)))
+        graft.operators.Eval.offPolicyValue(
+          ev, "p_micro", "pi_micro", "r_cents")
+      },
+      Some("""WITH d AS (SELECT user_id % 3 AS c, event_type,
+              |    CASE WHEN event_type = 'purchase'
+              |      THEN CAST(round(value * 100) AS BIGINT)
+              |      ELSE 0 END AS r
+              |  FROM events),
+              |rows_ AS (SELECT
+              |    CASE event_type
+              |      WHEN 'view' THEN 400000 - c * 30000 +
+              |        CASE WHEN c = 2 THEN 20000 ELSE 0 END
+              |      WHEN 'click' THEN 250000 +
+              |        CASE WHEN c = 2 THEN 70000 ELSE 0 END
+              |      WHEN 'purchase' THEN 150000 +
+              |        CASE WHEN c = 1 THEN 50000 ELSE 0 END
+              |      WHEN 'signup' THEN 120000 ELSE 80000 END AS p,
+              |    CASE event_type WHEN 'view' THEN 200000
+              |      WHEN 'click' THEN 300000
+              |      WHEN 'purchase' THEN 300000
+              |      WHEN 'signup' THEN 150000 ELSE 50000 END AS pi,
+              |    r FROM d),
+              |t AS (SELECT
+              |    CAST((CAST(pi AS BIGINT) * 1000000) // p
+              |      AS HUGEINT) AS w,
+              |    CAST(r AS HUGEINT) AS r FROM rows_),
+              |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              |    SUM(r * w) AS srw, SUM(w) AS sw,
+              |    SUM(w * w) AS sw2,
+              |    CAST(MAX(w) AS BIGINT) AS max_w_micro
+              |  FROM t)
+              |SELECT n,
+              |  CAST(srw // n AS BIGINT) AS ips_micro,
+              |  CAST(CASE WHEN sw > 0 THEN (srw * 1000000) // sw
+              |    ELSE 0 END AS BIGINT) AS snips_micro,
+              |  CAST(CASE WHEN sw2 > 0
+              |    THEN (sw * sw * 1000000) // (n * sw2)
+              |    ELSE 0 END AS BIGINT) AS ess_ppm,
+              |  max_w_micro
+              |FROM m""".stripMargin)))
 }

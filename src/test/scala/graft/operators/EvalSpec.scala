@@ -152,4 +152,24 @@ class EvalSpec extends SparkSpec {
     val Array(r) = Eval.retrievalMetrics(ranked, truth, k = 3).collect()
     assert(r.getLong(7) == 1000000L && r.getLong(3) == 1000000L)
   }
+
+  test("offPolicyValue: hand-computed IPS/SNIPS/ESS and the " +
+      "identical-policy identity") {
+    import spark.implicits._
+    // w = pi/p in micro: 0.5, 2, 3 → sw=5.5e6, sw2=13.25e12
+    // rw: 100·0.5e6=5e7, 0, 10·3e6=3e7 → srw=8e7
+    val df = Seq((500000L, 250000L, 100L), (250000L, 500000L, 0L),
+      (250000L, 750000L, 10L)).toDF("p", "pi", "r")
+    val Array(got) = Eval.offPolicyValue(df, "p", "pi", "r").collect()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3), got.getLong(4)) ==
+      (3L, 26666666L, 14545454L, 761006L, 3000000L), got.toString)
+    // pi ≡ p → every w = 1e6: ips = snips = mean reward micro,
+    // ess = exactly 1e6
+    val same = Seq((200000L, 200000L, 7L), (400000L, 400000L, 9L))
+      .toDF("p", "pi", "r")
+    val Array(g2) = Eval.offPolicyValue(same, "p", "pi", "r").collect()
+    assert((g2.getLong(1), g2.getLong(2), g2.getLong(3)) ==
+      (8000000L, 8000000L, 1000000L), g2.toString)
+  }
 }
