@@ -313,6 +313,14 @@ object Eval {
     * classifier/curation policy loop: before a new filtering policy
     * reruns a 100 TB corpus, IPS on the logged sample says whether
     * it's worth it.
+    *
+    * Rows with a NULL or non-positive logging propensity are EXCLUDED
+    * — from the sums AND from `n` (a zero-propensity action carries no
+    * importance weight; silently keeping it in `n` while `div` nulls
+    * its weight out of the sums would bias ips_micro/ess_ppm, and the
+    * two engines disagree on 1/0 — Spark nulls, DuckDB errors). A log
+    * with p = 0 rows is a logging bug upstream; this estimator states
+    * the exclusion rather than inheriting an engine's null semantics.
     */
   def offPolicyValue(df: DataFrame, pCol: String, piCol: String,
       rCol: String): DataFrame = {
@@ -321,6 +329,7 @@ object Eval {
       col(pCol).cast("long").as("_p"),
       col(piCol).cast("long").as("_pi"),
       col(rCol).cast("long").as("_r"))
+      .where(col("_p").isNotNull && col("_p") > 0)
     val terms = rows.select(
       expr("(_pi * 1000000) div _p").cast(d38).as("w"),
       col("_r").cast(d38).as("r"))

@@ -579,8 +579,14 @@ object Funnel {
         col("vm").as("v_si"))),
         col("sm").bitwiseOR(col("bit")) === col("m2"), "left")
       .select(col("channel"), col("bit"),
-        (col("w") * (coalesce(col("v_si"), lit(0L)) -
-          coalesce(col("v_s"), lit(0L)))).as("term"))
+        // DECIMAL(38,0) before the sum: at the enforced max k = 16 the
+        // worst-case |Σ term| is k!·10⁶ ≈ 2.1e19 > Long.MaxValue, and
+        // non-ANSI Spark would wrap a LONG sum silently — the house
+        // exact-decimal discipline (ADVICE r11)
+        (col("w").cast("decimal(38,0)") *
+          (coalesce(col("v_si"), lit(0L)) -
+            coalesce(col("v_s"), lit(0L))).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("term"))
     val nWith = chans.join(co, (col("m").bitwiseAND(col("bit"))) =!= 0)
       .groupBy(col("channel")).agg(sum(col("n")).as("n_journeys"))
     val kf = fact(k)

@@ -619,6 +619,110 @@ object Similarity {
       .orderBy(col("left_id"))
   }
 
+  /** [[marginMiningScores]] over a CALLER-SUPPLIED candidate pair
+    * frame — the candidate-bounded arm (the CCMatrix deployment
+    * reality: LASER mines margins over FAISS candidates, never the
+    * |L|·|R| cross product). `pairs` holds cross-corpus candidate
+    * pairs `(left_id, right_id)` (undirected by construction — one
+    * row per pair; ids live in separate namespaces); only those pairs
+    * are ever scored, each side's k-NN neighborhood sum is its top-k
+    * WITHIN its candidates, and the margin arithmetic is byte-for-byte
+    * [[marginMiningScores]]' (micro ints, sign-split truncating
+    * average). Left vectors with no candidate produce nothing.
+    *
+    * Exact whenever the candidate set covers each side's true top-k
+    * in the other corpus (spec-pinned: candidates ⊇ per-side top-k ⇒
+    * ≡ the exhaustive arm). Cost: two equi-joins of the pair frame
+    * against the embedding frames (ids are join keys — never a cross
+    * product), two ranking windows over the CANDIDATE-sized stream
+    * (the exhaustive arm ran them over |L|·|R| rows), one map-side
+    * argmax for the top-1. Everything is candidate-frame-sized; pair
+    * generation is the caller's bounded operator ([[lshCrossPairs]],
+    * [[ivfTopK]] probes, a blocking join, yesterday's pair artifact).
+    */
+  def marginMiningScoresFromCandidates(pairs: DataFrame,
+      left: DataFrame, right: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding")
+      : DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val l = left.select(col(idCol).as("left_id"),
+      col(embCol).as("l_emb"), sqrt(norm2(col(embCol))).as("l_nrm"))
+    val r = right.select(col(idCol).as("right_id"),
+      col(embCol).as("r_emb"), sqrt(norm2(col(embCol))).as("r_nrm"))
+    val scored = pairs
+      .select(col("left_id").cast("long").as("left_id"),
+        col("right_id").cast("long").as("right_id"))
+      .join(l, Seq("left_id"))
+      .join(r, Seq("right_id"))
+      .select(col("left_id"), col("right_id"),
+        (round(round(dot(col("l_emb"), col("r_emb")) /
+            (col("l_nrm") * col("r_nrm")), 6), 6)
+          .cast("decimal(10,6)") * 1000000)
+          .cast("bigint").as("sim_micro"))
+    val wL = Window.partitionBy(col("left_id"))
+      .orderBy(col("sim_micro").desc, col("right_id"))
+    val wR = Window.partitionBy(col("right_id"))
+      .orderBy(col("sim_micro").desc, col("left_id"))
+    val lNbh = scored.withColumn("_r", row_number().over(wL))
+      .filter(col("_r") <= k)
+      .groupBy(col("left_id"))
+      .agg(sum(col("sim_micro")).as("sum_l"),
+        count(lit(1)).as("k_l"),
+        max_by(struct(col("right_id"), col("sim_micro")),
+          struct(col("sim_micro"), (-col("right_id")).as("nr")))
+          .as("top"))
+    val rNbh = scored.withColumn("_r", row_number().over(wR))
+      .filter(col("_r") <= k)
+      .groupBy(col("right_id"))
+      .agg(sum(col("sim_micro")).as("sum_r"),
+        count(lit(1)).as("k_r"))
+    val s = col("sum_l") * col("k_r") + col("sum_r") * col("k_l")
+    val avgMicro = when(s < 0,
+        -expr("(abs(sum_l * k_r + sum_r * k_l)) div (k_l * k_r * 2)"))
+      .otherwise(expr("(sum_l * k_r + sum_r * k_l)" +
+        " div (k_l * k_r * 2)"))
+    lNbh
+      .select(col("left_id"), col("top.right_id").as("right_id"),
+        col("top.sim_micro").as("sim_micro"), col("sum_l"),
+        col("k_l"))
+      .join(rNbh, Seq("right_id"))
+      .select(col("left_id"), col("right_id"), col("sim_micro"),
+        (col("sim_micro") - avgMicro).as("margin_micro"))
+      .orderBy(col("left_id"))
+  }
+
+  /** CROSS-CORPUS LSH candidate pairs: `(left_id, right_id)` pairs of
+    * vectors sharing a sign-LSH bucket in ANY of `tables` tables — the
+    * candidate generator that feeds
+    * [[mutualNearestNeighborsFromCandidates]] and
+    * [[marginMiningScoresFromCandidates]] when the two corpora are
+    * distinct (the within-corpus twin is [[lshNearDupPairs]]' bucket
+    * self-join). Same plane family, same kernel, same explosive-join
+    * guard (fixed-width repartition on the bucket key — AQE cannot see
+    * quadratic join fan-out from tiny map outputs); generation is
+    * `tables` equi-joins, never a cross product. Ids may numerically
+    * collide across frames (separate namespaces) — pairs are kept
+    * directional (left frame → left_id), no `<` orientation filter.
+    */
+  def lshCrossPairs(left: DataFrame, right: DataFrame, tables: Int,
+      planesPerTable: Int, dims: Int, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    def bucketed(df: DataFrame, as: String): DataFrame =
+      graft.Tables.rebalance(
+          df.select(col(idCol).as(as), col(embCol).as("e")))
+        .select(col(as), posexplode(
+          graft.functions.Lsh.buckets(darr(col("e")), tables,
+            planesPerTable, dims)))
+        .select(col(as), col("pos").cast("int").as("t"),
+          col("col").as("bk"))
+    val np = left.sparkSession.sparkContext.defaultParallelism
+    bucketed(left, "left_id").repartition(np, col("t"), col("bk"))
+      .join(bucketed(right, "right_id"), Seq("t", "bk"))
+      .select(col("left_id"), col("right_id"))
+      .distinct()
+  }
+
   /** Bucket id for LSH table `t`: `planesPerTable` sign bits from the
     * plane family `t*planesPerTable .. t*planesPerTable+planesPerTable-1`.
     */

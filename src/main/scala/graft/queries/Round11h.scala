@@ -319,7 +319,7 @@ object Round11h {
               |  FROM ch JOIN lat ON (lat.sm & ch.bit) = 0
               |  LEFT JOIN v v1 ON v1.m = lat.sm
               |  LEFT JOIN v v2 ON v2.m = (lat.sm | ch.bit)),
-              |sm AS (SELECT channel, SUM(term) AS num
+              |sm AS (SELECT channel, SUM(CAST(term AS HUGEINT)) AS num
               |  FROM terms GROUP BY 1),
               |nw AS (SELECT ch.channel,
               |    CAST(SUM(co.n) AS BIGINT) AS n_journeys
@@ -382,7 +382,8 @@ object Round11h {
               |t AS (SELECT
               |    CAST((CAST(pi AS BIGINT) * 1000000) // p
               |      AS HUGEINT) AS w,
-              |    CAST(r AS HUGEINT) AS r FROM rows_),
+              |    CAST(r AS HUGEINT) AS r FROM rows_
+              |  WHERE p IS NOT NULL AND p > 0),
               |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
               |    SUM(r * w) AS srw, SUM(w) AS sw,
               |    SUM(w * w) AS sw2,

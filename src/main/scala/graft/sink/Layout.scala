@@ -115,15 +115,24 @@ object Layout {
       .groupBy(col("_chunk"))
       .agg(count(lit(1)).as("_n"),
         min(col(valCol)).as("_lo"), max(col(valCol)).as("_hi"))
-      .withColumn("_pruned", col("_hi") < lo || col("_lo") > hi)
+      // a chunk whose valCol is entirely NULL has NULL min/max — the
+      // reader cannot prune on absent statistics, so it is SCANNED;
+      // coalesce states that convention instead of leaving it to
+      // three-valued-logic accident (ADVICE r11)
+      .withColumn("_pruned",
+        coalesce(col("_hi") < lo || col("_lo") > hi, lit(false)))
     chunks.agg(
         count(lit(1)).as("n_chunks"),
         sum(when(col("_pruned"), 1L).otherwise(0L)).as("n_pruned"),
         sum(when(col("_pruned"), 0L).otherwise(col("_n")))
           .as("rows_scanned"))
       .select(lit(label).as("layout"), col("n_chunks"),
-        col("n_pruned"),
-        expr("(n_pruned * 1000000) div n_chunks").as("pruned_ppm"),
-        col("rows_scanned"))
+        coalesce(col("n_pruned"), lit(0L)).as("n_pruned"),
+        // empty input ⇒ one row with n_chunks = 0: a 0-ppm verdict
+        // stated explicitly, not Spark's null-on-divide-by-zero
+        when(col("n_chunks") > 0,
+          expr("(n_pruned * 1000000) div n_chunks"))
+          .otherwise(lit(0L)).as("pruned_ppm"),
+        coalesce(col("rows_scanned"), lit(0L)).as("rows_scanned"))
   }
 }

@@ -172,4 +172,23 @@ class EvalSpec extends SparkSpec {
     assert((g2.getLong(1), g2.getLong(2), g2.getLong(3)) ==
       (8000000L, 8000000L, 1000000L), g2.toString)
   }
+
+  test("offPolicyValue excludes zero/null-propensity rows from the " +
+      "sums AND from n (no silent NULL-weight bias)") {
+    import spark.implicits._
+    // the three valid rows of the hand-computed case, plus a p = 0 row
+    // and a p = NULL row: both must vanish entirely — identical output
+    // to the clean 3-row frame, n included (a p=0 row that stayed in n
+    // would bias ips_micro and ess_ppm while `div` nulled it from srw)
+    val clean = Seq((500000L, 250000L, 100L), (250000L, 500000L, 0L),
+      (250000L, 750000L, 10L)).toDF("p", "pi", "r")
+    val dirty = clean.unionAll(
+      Seq((0L, 900000L, 999L)).toDF("p", "pi", "r"))
+      .unionAll(Seq((Option.empty[Long], Option(900000L), Option(5L)))
+        .toDF("p", "pi", "r"))
+    val Array(got) = Eval.offPolicyValue(dirty, "p", "pi", "r").collect()
+    val Array(want) = Eval.offPolicyValue(clean, "p", "pi", "r").collect()
+    assert(got == want, s"$got vs $want")
+    assert(got.getLong(0) == 3L)
+  }
 }

@@ -434,6 +434,82 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expect, s"$got vs $expect")
   }
 
+  private def canonMargins(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).sortBy(p => (p._1, p._2)).toSeq
+
+  test("marginMiningScoresFromCandidates ≡ exhaustive arm on the full " +
+      "cross product (identical arithmetic, candidate-shaped plan)") {
+    import spark.implicits._
+    val l = corpus30.filter(col("vec_id") % 2 === 0)
+    val r = corpus30.filter(col("vec_id") % 2 === 1)
+    val allPairs = l.select(col("vec_id").as("left_id"))
+      .crossJoin(r.select(col("vec_id").as("right_id")))
+    val exact = canonMargins(Similarity.marginMiningScores(l, r, k = 3))
+    val bounded = canonMargins(
+      Similarity.marginMiningScoresFromCandidates(allPairs, l, r, k = 3))
+    assert(bounded == exact, s"bounded $bounded vs exact $exact")
+  }
+
+  test("marginMiningScoresFromCandidates ≡ exhaustive arm when " +
+      "candidates cover each side's true top-k (the scale contract)") {
+    val l = corpus30.filter(col("vec_id") % 2 === 0)
+    val r = corpus30.filter(col("vec_id") % 2 === 1)
+    val k = 3
+    // covering candidate set: each side's exact top-k in the other
+    // corpus (the IVF/LSH stand-in — a strict subset of all-pairs)
+    val lTop = Similarity.bruteForceTopK(l, r, k)
+      .select(col("query_id").as("left_id"),
+        col("neighbor_id").as("right_id"))
+    val rTop = Similarity.bruteForceTopK(r, l, k)
+      .select(col("neighbor_id").as("left_id"),
+        col("query_id").as("right_id"))
+    val cover = lTop.unionAll(rTop).distinct()
+    val exact = canonMargins(Similarity.marginMiningScores(l, r, k = k))
+    val bounded = canonMargins(
+      Similarity.marginMiningScoresFromCandidates(cover, l, r, k = k))
+    assert(bounded == exact, s"bounded $bounded vs exact $exact")
+    // and the candidate frame really was smaller than all-pairs
+    assert(cover.count() < l.count() * r.count())
+  }
+
+  test("marginMiningScoresFromCandidates: a left vector with no " +
+      "candidate pair produces nothing; lone pairs self-anchor") {
+    import spark.implicits._
+    val l = vecs.filter(col("vec_id").isin(0L, 2L))
+    val r = vecs.filter(col("vec_id").isin(1L, 3L))
+    val pairs = Seq((0L, 1L)).toDF("left_id", "right_id")
+    val got = canonMargins(
+      Similarity.marginMiningScoresFromCandidates(pairs, l, r, k = 2))
+    // only left 0 appears (2 has no candidates); its neighborhood and
+    // right 1's neighborhood are both just the (0,1) pair, so
+    // avg = sim and margin = 0
+    assert(got.map(g => (g._1, g._2, g._4)) == Seq((0L, 1L, 0L)),
+      got.toString)
+  }
+
+  test("lshCrossPairs recalls a planted cross-corpus duplicate and " +
+      "never emits a within-corpus pair") {
+    import spark.implicits._
+    val base = (0L until 30L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }
+    val dup = Array.tabulate(8)(d => math.cos(d * 13).toFloat)
+    val left = (base.filter(_._1 % 2 == 0) :+ (100L, dup))
+      .toDF("vec_id", "embedding")
+    val right = (base.filter(_._1 % 2 == 1) :+ (200L, dup))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.lshCrossPairs(left, right,
+      tables = 6, planesPerTable = 4, dims = 8)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // identical vectors share every bucket in every table
+    assert(got.contains((100L, 200L)), got.toSeq.toString)
+    // directional: column 1 ids all from left, column 2 all from right
+    val lIds = left.select("vec_id").collect().map(_.getLong(0)).toSet
+    val rIds = right.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.forall { case (a, b) => lIds(a) && rIds(b) })
+  }
+
   test("dot/cosine fail loudly on ragged (dimension-mismatched) input " +
       "— never a silent common-prefix similarity") {
     import spark.implicits._

@@ -99,4 +99,28 @@ class LayoutSpec extends SparkSpec {
     assert((shuf.getLong(1), shuf.getLong(2)) == (10L, 0L))
     assert(shuf.getLong(4) == 100L)
   }
+
+  test("zoneMapAudit edge conventions: empty input yields an explicit " +
+    "all-zero verdict; an all-NULL-stats chunk counts as SCANNED") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // empty frame: one row, every counter 0 — not Spark's
+    // null-on-divide-by-zero (ADVICE r11)
+    val empty = Seq.empty[(Long, Long)].toDF("k", "v")
+    val e = Layout.zoneMapAudit(empty, "k", "v", 10,
+      lit(15L), lit(25L), "empty").collect()(0)
+    assert((e.getLong(1), e.getLong(2), e.getLong(3), e.getLong(4)) ==
+      (0L, 0L, 0L, 0L), e.toString)
+    // chunk 0 (k 1..10) holds only NULL values: min/max stats absent ⇒
+    // a reader cannot prune it — it must count as scanned, not slip
+    // out of both sums through three-valued logic
+    val withNulls = (1 to 20).map(i =>
+      (i.toLong, if (i <= 10) Option.empty[Long] else Option(100L)))
+      .toDF("k", "v")
+    val g = Layout.zoneMapAudit(withNulls, "k", "v", 10,
+      lit(15L), lit(25L), "nullchunk").collect()(0)
+    // chunk 1 (v=100) prunes; chunk 0 (all NULL) is scanned: 10 rows
+    assert((g.getLong(1), g.getLong(2), g.getLong(4)) == (2L, 1L, 10L),
+      g.toString)
+  }
 }
