@@ -107,11 +107,15 @@ object Retrieval {
       excludeSelf)
   }
 
-  /** Shared scoring core: broadcastable distinct query-term frame
-    * `(query_id, word)` → scored `(query_id, doc_id, score)`.
+  /** Per-posting BM25 contributions `(query_id, word, doc_id,
+    * contrib DECIMAL(20,6))` — the shared frame under BOTH the
+    * exhaustive sum and the max-score pruned path (the per-term
+    * upper bounds are maxima of exactly these rounded contribs, so
+    * the pruning math lives in the same exact-decimal domain as the
+    * scores it bounds).
     */
-  private def bm25Score(docs: DataFrame, idCol: String, textCol: String,
-      qt: DataFrame, k1: Double, b: Double,
+  private[graft] def bm25Contribs(docs: DataFrame, idCol: String,
+      textCol: String, qt: DataFrame, k1: Double, b: Double,
       prebuiltTf: Option[DataFrame]): DataFrame = {
     // one corpus pass: (doc_id, word, tf) — built here or taken from
     // the caller's shared artifact (charged to its own build row)
@@ -130,21 +134,465 @@ object Retrieval {
     val dfreq = matched.groupBy(col("query_id"), col("word"))
       .agg(count(lit(1)).as("df"))
 
-    val scored = matched
+    matched
       .join(broadcast(dfreq), Seq("query_id", "word"))
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
-      .select(col("query_id"), col("doc_id"),
+      .select(col("query_id"), col("word"), col("doc_id"),
         round(
           log(lit(1.0) + (col("n_docs").cast("double") - col("df") + lit(0.5))
             / (col("df") + lit(0.5))) *
           (col("tf") * lit(k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))),
           6).cast("decimal(20,6)").as("contrib"))
+  }
+
+  /** Shared scoring core: broadcastable distinct query-term frame
+    * `(query_id, word)` → scored `(query_id, doc_id, score)`.
+    */
+  private def bm25Score(docs: DataFrame, idCol: String, textCol: String,
+      qt: DataFrame, k1: Double, b: Double,
+      prebuiltTf: Option[DataFrame]): DataFrame =
+    bm25Contribs(docs, idCol, textCol, qt, k1, b, prebuiltTf)
       .groupBy(col("query_id"), col("doc_id"))
       // exact decimal sum, presented as DOUBLE (the dsum convention)
       .agg(sum(col("contrib")).cast("double").as("score"))
-    scored
+
+  /** BM25 posting INDEX `(word, doc_id, contrib)` — every per-posting
+    * contribution precomputed corpus-wide. df/dl/avgdl are corpus
+    * statistics, so the contribution of term t in doc d is
+    * QUERY-INDEPENDENT at fixed (k1, b): one build (one corpus pass +
+    * one corpus-wide df aggregation) serves every future query set —
+    * the impact-ordered-index half of the WAND deployment (Ding &
+    * Suel 2011 store exactly these precomputed impacts, plus the
+    * per-term maxima [[bm25TopKPruned]] derives). Materialize it like
+    * the q115 tf artifact (localCheckpoint in-session, parquet across
+    * jobs); feed it to [[bm25TopKIndexed]]/[[bm25TopKPrunedIndexed]].
+    *
+    * Values are bit-identical to the ad-hoc [[bm25Contribs]] path
+    * (same rounded expression, df over the same corpus), so indexed
+    * and ad-hoc rankings match exactly — spec-pinned.
+    */
+  def bm25Index(docs: DataFrame, idCol: String, textCol: String,
+      k1: Double = 1.2, b: Double = 0.75,
+      tf: Option[DataFrame] = None): DataFrame = {
+    val tfF = tf.getOrElse(
+      termFrequencies(docs.select(col(idCol), col(textCol)),
+        idCol, textCol))
+    val dl = tfF.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val dfreq = tfF.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    tfF
+      .join(dfreq, Seq("word"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("word"), col("doc_id"),
+        round(
+          log(lit(1.0) + (col("n_docs").cast("double") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))),
+          6).cast("decimal(20,6)").as("contrib"))
+  }
+
+  /** Exhaustive top-k from a prebuilt [[bm25Index]] — posting-list
+    * join, (query, doc) sum, rank. The fair exhaustive baseline when
+    * the index artifact exists (tools/ScaleWand A/Bs this against the
+    * pruned twin on the SAME index).
+    */
+  def bm25TopKIndexed(index: DataFrame, queries: Seq[(Int, String)],
+      k: Int): DataFrame = {
+    val qt = queryTerms(index.sparkSession, queries)
+    rankTopK(
+      index.join(broadcast(qt), "word")
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("contrib")).cast("double").as("score")),
+      k, excludeSelf = false)
+  }
+
+  /** Max-score-pruned top-k from a prebuilt [[bm25Index]] — see
+    * [[bm25TopKPruned]] for the algorithm; here the contribs come
+    * from the index join, so the prune pays NO per-query contrib
+    * computation and the saved work (the non-essential terms'
+    * (query, doc) aggregation + ranking input) is the whole story.
+    */
+  def bm25TopKPrunedIndexed(index: DataFrame,
+      queries: Seq[(Int, String)], k: Int): DataFrame = {
+    val qt = queryTerms(index.sparkSession, queries)
+    prunedTopK(index.join(broadcast(qt), "word"), k)
+  }
+
+  private def queryTerms(spark: SparkSession,
+      queries: Seq[(Int, String)]): DataFrame = {
+    val qterms = queries.flatMap { case (qid, text) =>
+      text.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        .map(w => (qid.toLong, w))
+    }
+    spark.createDataFrame(qterms).toDF("query_id", "word")
+  }
+
+  /** Persist a [[bm25Index]] as an on-disk inverted index:
+    * `path/postings` parquet PARTITIONED by `wbucket =
+    * pmod(xxhash64(word), wordBuckets)` — a query then reads ONLY its
+    * terms' partitions (directory-level pruning: the Spark analogue
+    * of posting-list seeks) — plus `path/ub`, the per-word maximum
+    * contribution metadata WAND keeps next to each posting list
+    * (word, ub, wbucket; vocabulary-sized). Size `wordBuckets` so a
+    * bucket holds a few posting lists: at 100 TB with a 10⁷-term
+    * vocabulary, 2¹⁴ buckets make a 5-term query read ~5/16384 of the
+    * index.
+    */
+  def writeBm25Index(index: DataFrame, path: String,
+      wordBuckets: Int = 512): Unit = {
+    require(wordBuckets >= 1)
+    val withB = index.withColumn("wbucket",
+      pmod(xxhash64(col("word")), lit(wordBuckets.toLong)))
+    withB.write.mode("overwrite").partitionBy("wbucket")
+      .parquet(s"$path/postings")
+    withB.groupBy(col("word"), col("wbucket"))
+      .agg(max(col("contrib")).as("ub"))
+      .withColumn("n_buckets", lit(wordBuckets))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/ub")
+  }
+
+  /** The partition-pruned posting read under both FromIndex query
+    * paths: the query words' bucket ids come from the (tiny) ub
+    * metadata table, so the postings scan carries literal
+    * `wbucket IN (...)` partition filters plus a pushed `word IN`
+    * row filter — only the query terms' directories are opened.
+    * Returns (contribs joined to query ids, per-(query, word) ub
+    * frame).
+    */
+  private def indexPostingsFor(spark: SparkSession, path: String,
+      queries: Seq[(Int, String)]): (DataFrame, DataFrame) = {
+    val qt = queryTerms(spark, queries)
+    val words = queries.flatMap(_._2.toLowerCase.split("\\s+"))
+      .filter(_.nonEmpty).distinct
+    // vocabulary-sized metadata: per-word ub AND the word→bucket
+    // mapping; the bucket ids collect driver-side (query-batch-
+    // bounded) to become LITERAL partition filters on the postings
+    val ubTable = spark.read.parquet(s"$path/ub")
+      .filter(col("word").isin(words: _*))
+    val buckets = ubTable.select(col("wbucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val postings =
+      if (buckets.isEmpty)
+        spark.read.parquet(s"$path/postings")
+          .where(lit(false)) // no query term exists in the corpus
+      else spark.read.parquet(s"$path/postings")
+        .where(col("wbucket").isin(buckets: _*) &&
+          col("word").isin(words: _*))
+    val contribs = postings.join(broadcast(qt), "word")
+      .select(col("query_id"), col("word"), col("doc_id"),
+        col("contrib"))
+    val ubByWord = ubTable.join(broadcast(qt), "word")
+      .select(col("query_id"), col("word"), col("ub"))
+    (contribs, ubByWord)
+  }
+
+  /** Exhaustive top-k against a [[writeBm25Index]] artifact — the
+    * partition-pruned read, then the plain sum + rank. */
+  def bm25TopKFromIndex(spark: SparkSession, path: String,
+      queries: Seq[(Int, String)], k: Int): DataFrame = {
+    val (contribs, _) = indexPostingsFor(spark, path, queries)
+    rankTopK(
+      contribs.groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("contrib")).cast("double").as("score")),
+      k, excludeSelf = false)
+  }
+
+  /** Max-score-pruned top-k against a [[writeBm25Index]] artifact —
+    * the DRIVER-COORDINATED plan a distributed WAND query coordinator
+    * actually runs. All coordination state is query-batch-bounded and
+    * collected deliberately (the documented driver-frame contract):
+    * per-word upper bounds (≤ Σ query terms), seed candidate ids
+    * (≤ |queries|·k), thresholds θ (≤ |queries|). Every value becomes
+    * a LITERAL filter, so each posting read is partition-pruned to
+    * exactly the directories it needs:
+    *
+    *  1. ub metadata read (vocabulary-of-the-query-sized);
+    *  2. seed read: ONLY the per-query top-ub term's buckets — its
+    *     top-k postings are the candidates;
+    *  3. θ read: query-word buckets row-filtered to the ≤ q·k
+    *     candidate ids (parquet row-group stats prune here too);
+    *     θ(q) = k-th best candidate full score, exact decimal;
+    *  4. essential terms per query computed driver-side (BigDecimal
+    *     suffix sums over the collected ubs — exact, same domain as
+    *     the stored decimals);
+    *  5. survivor read: ONLY the essential terms' buckets → distinct
+    *     survivor docs; final read: query-word buckets semi-joined to
+    *     survivors ∪ candidates (broadcast-sized for selective
+    *     queries), summed and ranked.
+    *
+    * Bit-identical to [[bm25TopKFromIndex]] (spec-pinned — the same
+    * safety argument as [[bm25TopKPruned]]: only documents whose
+    * matched-ub total is provably BELOW θ are skipped, and θ is an
+    * exact lower bound of the true k-th score). Queries with fewer
+    * than k seed candidates take θ = −∞ (nothing pruned for them).
+    */
+  def bm25TopKPrunedFromIndex(spark: SparkSession, path: String,
+      queries: Seq[(Int, String)], k: Int,
+      thetaExact: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val qWords: Map[Long, Seq[String]] = queries.map { case (q, t) =>
+      q.toLong -> t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .distinct.toSeq
+    }.toMap
+    val words = qWords.values.flatten.toSeq.distinct
+    // (1) metadata: word → (bucket, ub) — query-batch-sized collect
+    val ubRows = spark.read.parquet(s"$path/ub")
+      .filter(col("word").isin(words: _*))
+      .select(col("word"), col("wbucket"), col("ub")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2))).toMap
+    val emptyResult = spark.emptyDataset[(Long, Long, Double, Long)]
+      .toDF("query_id", "doc_id", "score", "rank")
+    if (ubRows.isEmpty) return emptyResult
+    def bucketsOf(ws: Iterable[String]): Seq[Long] =
+      ws.flatMap(ubRows.get).map(_._1).toSeq.distinct
+    def readPostings(ws: Iterable[String]): DataFrame = {
+      val present = ws.filter(ubRows.contains).toSeq.distinct
+      if (present.isEmpty)
+        spark.read.parquet(s"$path/postings").where(lit(false))
+      else spark.read.parquet(s"$path/postings")
+        .where(col("wbucket").isin(bucketsOf(present): _*) &&
+          col("word").isin(present: _*))
+    }
+    // per query: terms present in the corpus, best-ub term first
+    // sort key: exact micro-units of the scale-6 decimal (no float
+    // boundary in the tie discipline)
+    val termsByQ: Map[Long, Seq[String]] = qWords.view.mapValues(
+      _.filter(ubRows.contains)
+        .sortBy(w => (-ubRows(w)._2.movePointRight(6).longValueExact(),
+          w))).toMap
+      .filter(_._2.nonEmpty)
+    if (termsByQ.isEmpty) return emptyResult
+    // (2) seed candidates: top-k postings of each query's top term
+    val topPairs = termsByQ.toSeq.map { case (q, ts) => (q, ts.head) }
+    val topPairsDf = topPairs.toDF("query_id", "word")
+    val wSeed = Window.partitionBy(col("query_id"))
+      .orderBy(col("contrib").desc, col("doc_id"))
+    val candRows0 = readPostings(topPairs.map(_._2))
+      .join(broadcast(topPairsDf), "word")
+      .withColumn("_r", row_number().over(wSeed))
+      .filter(col("_r") <= k)
+      .select(col("query_id"), col("doc_id"), col("contrib"),
+        col("_r")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2),
+        r.getInt(3)))
+    val candRows = candRows0.map(t => (t._1, t._2))
+    // (3) θ — two strategies, both exact LOWER bounds of the true
+    // k-th score (pruning with a lower bound is always lossless):
+    //  - thetaExact: the k-th best FULL candidate score, from one
+    //    doc-filtered read over the query buckets (tightest θ, one
+    //    extra read);
+    //  - free θ: the k-th best TOP-TERM contribution, already in the
+    //    seed collect (a doc's full score ≥ its top-term contrib —
+    //    weaker θ, zero extra reads; the right trade when the query
+    //    buckets are large and selectivity is high anyway).
+    val candIds = candRows.map(_._2).distinct.toSeq
+    val candPairsDf = candRows.toSeq.toDF("query_id", "doc_id")
+    val qtAll = queryTerms(spark, queries)
+    val wTheta = Window.partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col("doc_id"))
+    val thetaRows: Map[Long, java.math.BigDecimal] =
+      if (thetaExact)
+        readPostings(words)
+          .where(col("doc_id").isin(candIds: _*))
+          .join(broadcast(qtAll), "word")
+          .join(broadcast(candPairsDf), Seq("query_id", "doc_id"),
+            "left_semi")
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(sum(col("contrib")).as("cscore"))
+          .withColumn("_r", row_number().over(wTheta))
+          .filter(col("_r") === k)
+          .select(col("query_id"), col("cscore")).collect()
+          .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      else
+        candRows0.collect { case (q, _, c, r) if r == k => q -> c }
+          .toMap
+    // (4) essential terms per query — exact BigDecimal suffix sums
+    val essPairs: Seq[(Long, String)] = termsByQ.toSeq.flatMap {
+      case (q, ts) =>
+        thetaRows.get(q) match {
+          case None => ts.map(q -> _) // < k candidates: prune nothing
+          case Some(theta) =>
+            val ubs = ts.map(w => ubRows(w)._2)
+            val suffix = ubs.scanRight(java.math.BigDecimal.ZERO)(
+              _.add(_)).init
+            ts.zip(suffix).collect {
+              case (w, s) if s.compareTo(theta) >= 0 => q -> w
+            }
+        }
+    }
+    // (5) survivors (essential-bucket read only) ∪ candidates, then
+    // the final scoring read over the query buckets
+    val essWords = essPairs.map(_._2).distinct
+    val essDf = essPairs.toDF("query_id", "word")
+    val survivors = readPostings(essWords)
+      .join(broadcast(essDf), Seq("word"))
+      .where(col("query_id").isNotNull)
+      .select(col("query_id"), col("doc_id"))
+      .union(candPairsDf.select(col("query_id").cast("long"),
+        col("doc_id").cast("long")))
+      .distinct()
+    val scored = readPostings(words)
+      .join(broadcast(qtAll), "word")
+      .join(survivors, Seq("query_id", "doc_id"), "left_semi")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).cast("double").as("score"))
+    rankTopK(scored, k, excludeSelf = false)
+  }
+
+  /** Max-score-pruned BM25 top-k (Turtle & Flood 1995's max-score;
+    * the term-partitioning half of the WAND family, Broder et al.
+    * 2003) — identical output to [[bm25TopK]], candidate-bounded
+    * work. The exhaustive arm sums EVERY matched posting into the
+    * (query, doc) aggregation and ranks every matched document; at
+    * 100 TB a query with one rare and four common terms pays the
+    * common terms' corpus-sized posting lists. Max-score skips them:
+    *
+    *  1. per-(query, term) upper bound `ub = max(contrib)` over the
+    *     term's posting list — exact decimal maxima of the same
+    *     rounded contribs the scores sum (at deployment scale this
+    *     frame is index metadata, computed once per corpus build);
+    *  2. a THRESHOLD θ = the k-th best FULL score among a seed
+    *     candidate set (the top-k postings of the highest-ub term) —
+    *     any ≥k-doc set gives a valid lower bound of the true k-th
+    *     score (order statistics of a subset can only be lower);
+    *  3. terms are ordered by ub descending and suffix-summed;
+    *     the maximal suffix with `Σ ub < θ` is NON-ESSENTIAL
+    *     (contribs are positive, so a document matching only
+    *     non-essential terms has score ≤ that suffix sum < θ — it
+    *     cannot displace any of the k candidates even on the
+    *     doc_id tiebreak, which only breaks EQUAL scores);
+    *  4. only documents matching ≥1 essential term (plus the seed
+    *     candidates) are fully scored and ranked.
+    *
+    * Every comparison is exact DECIMAL(20,6) — the pruned top-k is
+    * bit-identical to the exhaustive one (spec-pinned across k and on
+    * an all-ties corpus; the q301 catalog row runs pruned Spark
+    * against the EXHAUSTIVE DuckDB oracle). Degenerate vocabularies
+    * (every doc matches every term, e.g. the synthetic corpus) leave
+    * only the top term essential but survivors ≈ corpus — the
+    * measured win needs real Zipfian term selectivity
+    * (tools/ScaleWand measures the survivor fraction and crossover).
+    */
+  def bm25TopKPruned(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Int, String)], k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      tf: Option[DataFrame] = None): DataFrame = {
+    val spark = docs.sparkSession
+    val qterms = queries.flatMap { case (qid, text) =>
+      text.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        .map(w => (qid.toLong, w))
+    }
+    val qt = spark.createDataFrame(qterms).toDF("query_id", "word")
+    prunedTopK(
+      bm25Contribs(docs, idCol, textCol, qt, k1, b, tf), k)
+  }
+
+  /** [[bm25TopKPruned]] with a DataFrame query set `(query_id,
+    * qtext)` — the pruned twin of [[bm25TopKFrame]] (doc-as-query
+    * retrieval). Output is bit-identical to the exhaustive frame
+    * variant at the same arguments.
+    */
+  def bm25TopKFramePruned(docs: DataFrame, idCol: String,
+      textCol: String, queriesDf: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = false,
+      tf: Option[DataFrame] = None): DataFrame = {
+    val qt = queriesDf
+      .select(col("query_id"),
+        explode(TextOps.words(col("qtext"))).as("word"))
+      .distinct()
+    val contribs = bm25Contribs(docs, idCol, textCol, qt, k1, b, tf)
+    prunedTopK(
+      if (excludeSelf) contribs.where(col("doc_id") =!= col("query_id"))
+      else contribs,
+      k)
+  }
+
+  /** The max-score machinery over a contribs frame — see
+    * [[bm25TopKPruned]] for the algorithm and safety argument.
+    * Exposed package-private for the ScaleWand A/B harness (which
+    * also reads [[survivorStats]]).
+    */
+  private[graft] def prunedTopK(contribs0: DataFrame, k: Int,
+      persistContribs: Boolean = true,
+      ub: Option[DataFrame] = None): DataFrame = {
+    // the contribs stream is read multiple times (ub unless stored,
+    // seed candidates, final scoring): persist when re-derivation is
+    // expensive (the ad-hoc path recomputes the posting join per
+    // pass); the FromIndex path passes false — its rescans are
+    // partition-pruned parquet reads, cheaper than a cache write
+    val contribs = if (persistContribs)
+      contribs0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else contribs0
+    val survivors = survivorDocs(contribs, k, ub)
+    val scored = contribs
+      .join(survivors, Seq("query_id", "doc_id"), "left_semi")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).cast("double").as("score"))
+    rankTopK(scored, k, excludeSelf = false)
+  }
+
+  /** Survivor documents `(query_id, doc_id)` of the max-score prune —
+    * the set whose postings the final scoring aggregation touches.
+    * `precomputedUb` (the index's stored per-word maxima joined to
+    * query ids) skips the upper-bound pass entirely.
+    */
+  private[graft] def survivorDocs(contribs: DataFrame, k: Int,
+      precomputedUb: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // (1) per-(query, term) upper bounds — |queries|·|terms| rows
+    val ub = precomputedUb.getOrElse(
+      contribs.groupBy(col("query_id"), col("word"))
+        .agg(max(col("contrib")).as("ub")))
+    // (2) seed candidates: top-k postings of the top-ub term, then
+    // their FULL scores; θ = the k-th (null if fewer than k — then
+    // nothing is pruned)
+    val wTerm = Window.partitionBy(col("query_id"))
+      .orderBy(col("ub").desc, col("word"))
+    val topTerm = ub.withColumn("_r", row_number().over(wTerm))
+      .filter(col("_r") === 1).select(col("query_id"), col("word"))
+    val wPost = Window.partitionBy(col("query_id"))
+      .orderBy(col("contrib").desc, col("doc_id"))
+    val cand = contribs
+      .join(broadcast(topTerm), Seq("query_id", "word"))
+      .withColumn("_r", row_number().over(wPost))
+      .filter(col("_r") <= k)
+      .select(col("query_id"), col("doc_id"))
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col("doc_id"))
+    val theta = contribs
+      .join(broadcast(cand), Seq("query_id", "doc_id"), "left_semi")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("cscore"))
+      .withColumn("_r", row_number().over(wCand))
+      .groupBy(col("query_id"))
+      .agg(max(when(col("_r") === k, col("cscore"))).as("theta"))
+    // (3) essential terms: suffix sums over (ub desc, word) — a term
+    // whose suffix sum < θ cannot, together with everything below it,
+    // reach θ (contribs > 0 ⇒ suffixes decrease monotonically)
+    val wSuffix = Window.partitionBy(col("query_id"))
+      .orderBy(col("ub").desc, col("word"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val essential = ub
+      .withColumn("suffix", sum(col("ub")).over(wSuffix))
+      .join(broadcast(theta), Seq("query_id"), "left")
+      .where(col("theta").isNull || col("suffix") >= col("theta"))
+      .select(col("query_id"), col("word"))
+    // (4) survivors = docs with ≥1 essential posting ∪ seed candidates
+    contribs
+      .join(broadcast(essential), Seq("query_id", "word"), "left_semi")
+      .select(col("query_id"), col("doc_id"))
+      .union(cand)
+      .distinct()
   }
 
   private def rankTopK(scored: DataFrame, k: Int,

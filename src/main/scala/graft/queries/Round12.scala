@@ -29,6 +29,18 @@ object Round12 {
       s"THEN ${1L << j} ELSE 0 END"
   }.mkString(" + ")
 
+  /** q301's query set — mixed selectivity on purpose (short and long
+    * queries; some terms absent from the corpus exercise the ghost-
+    * term path through the prune).
+    */
+  private val prunedQueries: Seq[(Int, String)] = Seq(
+    1 -> "hash join planner",
+    2 -> "window merge batch stream vector",
+    3 -> "scan filter zzzabsent",
+    4 -> "partition shuffle")
+  private val prunedValues: String = prunedQueries
+    .map { case (qid, txt) => s"($qid, '$txt')" }.mkString(", ")
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- candidate-bounded margin mining (clears the r11 verdict's
@@ -92,5 +104,65 @@ object Round12 {
            |FROM ltop JOIN ln USING (left_id)
            |JOIN rn USING (right_id)
            |ORDER BY ltop.left_id""".stripMargin
-      }))
+      }),
+
+    // ---- max-score-pruned BM25 top-k (Turtle & Flood 1995; the
+    // term-partitioning half of WAND): Spark runs the PRUNED plan
+    // (per-term upper bounds → seed threshold from the top term's
+    // top-k postings → essential-term suffix cut → survivors-only
+    // scoring) while the oracle runs the plain EXHAUSTIVE ranking —
+    // the row's green hash IS the proof the prune is lossless,
+    // tiebreaks included. Consumes the q115 shared TF artifact.
+    QueryDef("q301_bm25_pruned",
+      (s, dir) => graft.operators.Retrieval.bm25TopKPruned(
+        t("documents")(s, dir), "doc_id", "text",
+        prunedQueries, k = 10, tf = Some(Round9b.sharedTf(s, dir))),
+      Some(s"""WITH ${graft.operators.Retrieval.bm25OracleCtes(
+                prunedValues, 1.2, 0.75)},
+              |r AS (SELECT query_id, doc_id, score,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY score DESC, doc_id) AS rnk
+              |  FROM sc)
+              |SELECT query_id, doc_id, score,
+              |  CAST(rnk AS BIGINT) AS rank
+              |FROM r WHERE rnk <= 10
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- the WRITTEN inverted index end to end (the 100 TB
+    // deployment shape: q95/q259's build-once/persist/consume-many
+    // discipline applied to retrieval): build the impact index, write
+    // it parquet-partitioned by word bucket (+ per-word ub metadata),
+    // then answer the SAME query batch through the driver-coordinated
+    // max-score plan — partition-pruned posting reads, literal seed/θ
+    // filters. The oracle stays EXHAUSTIVE: the green hash proves the
+    // whole persisted-index prune path is lossless.
+    QueryDef("q302_bm25_index_pruned",
+      (s, dir) => {
+        val dirKey = try new java.io.File(dir).getCanonicalPath
+          catch { case _: Throwable => dir }
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(dirKey.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16) + "_" +
+          java.lang.ProcessHandle.current().pid()
+        val outDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_q302_bm25idx_$tag")
+        Round5.registerScratchCleanup(outDir)
+        val idx = graft.operators.Retrieval.bm25Index(
+          t("documents")(s, dir), "doc_id", "text",
+          tf = Some(Round9b.sharedTf(s, dir)))
+        graft.operators.Retrieval.writeBm25Index(idx,
+          outDir.getAbsolutePath, wordBuckets = 16)
+        graft.operators.Retrieval.bm25TopKPrunedFromIndex(
+          s, outDir.getAbsolutePath, prunedQueries, k = 10)
+      },
+      Some(s"""WITH ${graft.operators.Retrieval.bm25OracleCtes(
+                prunedValues, 1.2, 0.75)},
+              |r AS (SELECT query_id, doc_id, score,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY score DESC, doc_id) AS rnk
+              |  FROM sc)
+              |SELECT query_id, doc_id, score,
+              |  CAST(rnk AS BIGINT) AS rank
+              |FROM r WHERE rnk <= 10
+              |ORDER BY query_id, rank""".stripMargin)))
 }

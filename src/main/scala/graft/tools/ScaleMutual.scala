@@ -70,6 +70,20 @@ object ScaleMutual {
         Similarity.mutualNearestNeighborsIvf(emb,
           nCentroids = nClusters, nprobe = 2).count()
       }
+      // margin-mining arms (q261 vs q300's bounded contract): same
+      // even/odd cross-corpus split as the catalog rows; the LSH arm
+      // bounds the pair stream the exhaustive arm generates in full
+      val l = emb.where(col("vec_id") % 2 === 0)
+      val r = emb.where(col("vec_id") % 2 === 1)
+      time(s"margin exhaustive |L|x|R| n=$n", skip = n > ceiling) {
+        Similarity.marginMiningScores(l, r, k = 3).count()
+      }
+      time(s"margin LSH-bounded 6x4 n=$n") {
+        val cand = Similarity.lshCrossPairs(l, r, tables = 6,
+          planesPerTable = 4, dims = dims)
+        Similarity.marginMiningScoresFromCandidates(cand, l, r, k = 3)
+          .count()
+      }
     }
     spark.stop()
   }

@@ -93,6 +93,141 @@ class RetrievalSpec extends SparkSpec {
     assert(self.map(_.getLong(3)).min == 1L)
   }
 
+  private def canonTopK(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getLong(3))).sortBy(t => (t._1, t._4)).toSeq
+
+  test("bm25TopKPruned ≡ bm25TopK across k on a mixed-selectivity " +
+      "corpus (rare + common terms — the max-score sweet spot)") {
+    // 40 docs: every doc has common filler words; docs 0-3 carry the
+    // rare term 'needle'; doc lengths vary so scores spread
+    val docs = (0L until 40L).map { i =>
+      val filler = Seq.fill((i % 4).toInt + 1)("common words here")
+        .mkString(" ")
+      val rare = if (i < 4) " needle" else ""
+      val extra = if (i % 3 == 0) " sometimes" else ""
+      (i, s"$filler$rare$extra")
+    }.toDF("doc_id", "text")
+    val queries = Seq(1 -> "needle common", 2 -> "sometimes words",
+      3 -> "needle sometimes common here")
+    for (k <- Seq(1, 3, 10)) {
+      val exhaustive = canonTopK(
+        Retrieval.bm25TopK(docs, "doc_id", "text", queries, k))
+      val pruned = canonTopK(
+        Retrieval.bm25TopKPruned(docs, "doc_id", "text", queries, k))
+      assert(pruned == exhaustive, s"k=$k: $pruned vs $exhaustive")
+    }
+  }
+
+  test("bm25TopKPruned ≡ bm25TopK on an ALL-TIES corpus (identical " +
+      "docs — doc_id tiebreak must survive pruning bit-identically)") {
+    val docs = (0L until 20L).map(i => (i, "same words every doc"))
+      .toDF("doc_id", "text")
+    val queries = Seq(1 -> "same words", 2 -> "every")
+    for (k <- Seq(1, 5)) {
+      val exhaustive = canonTopK(
+        Retrieval.bm25TopK(docs, "doc_id", "text", queries, k))
+      val pruned = canonTopK(
+        Retrieval.bm25TopKPruned(docs, "doc_id", "text", queries, k))
+      assert(pruned == exhaustive, s"k=$k: $pruned vs $exhaustive")
+      // ties resolve by ascending doc_id in both
+      assert(exhaustive.filter(_._1 == 1L).map(_._2) ==
+        (0L until k.toLong).toSeq)
+    }
+  }
+
+  test("bm25TopKFramePruned ≡ bm25TopKFrame incl. excludeSelf") {
+    val docs = (0L until 30L).map { i =>
+      val rare = if (i % 10 == 0) " scarce" else ""
+      (i, s"shared vocabulary tokens$rare doc")
+    }.toDF("doc_id", "text")
+    val qdf = docs.where(col("doc_id") % 15 === 0)
+      .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+    val exhaustive = canonTopK(Retrieval.bm25TopKFrame(
+      docs, "doc_id", "text", qdf, k = 5, excludeSelf = true))
+    val pruned = canonTopK(Retrieval.bm25TopKFramePruned(
+      docs, "doc_id", "text", qdf, k = 5, excludeSelf = true))
+    assert(pruned == exhaustive, s"$pruned vs $exhaustive")
+    assert(exhaustive.nonEmpty &&
+      !exhaustive.exists(t => t._1 == t._2)) // self really excluded
+  }
+
+  test("survivorDocs actually prunes on selective queries and keeps " +
+      "every true top-k doc") {
+    import graft.SparkSpec
+    // rare term in 3 docs, common terms everywhere: with k=3 the
+    // threshold comes from rare-term docs and the common terms'
+    // suffix sum falls below it → survivors ≪ matched docs
+    val docs = (0L until 100L).map { i =>
+      val rare = if (i < 3) " unicorn" else ""
+      (i, s"plain everyday filler words$rare")
+    }.toDF("doc_id", "text")
+    val spark2 = docs.sparkSession
+    val qt = spark2.createDataFrame(Seq((1L, "unicorn"), (1L, "plain"),
+      (1L, "filler"))).toDF("query_id", "word")
+    val contribs = Retrieval.bm25Contribs(docs, "doc_id", "text", qt,
+      1.2, 0.75, None).persist()
+    val survivors = Retrieval.survivorDocs(contribs, k = 3)
+    val nSurv = survivors.count()
+    val nMatched = contribs.select("query_id", "doc_id")
+      .distinct().count()
+    assert(nSurv < nMatched / 2,
+      s"no pruning: $nSurv survivors of $nMatched matched")
+    // and the exhaustive top-3 docs are all survivors
+    val top = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq(1 -> "unicorn plain filler"), k = 3)
+      .select(col("query_id"), col("doc_id"))
+    assert(top.join(survivors, Seq("query_id", "doc_id"), "left_anti")
+      .count() == 0)
+    contribs.unpersist()
+  }
+
+  test("bm25 index family: indexed / on-disk / pruned paths are all " +
+      "bit-identical to the ad-hoc exhaustive ranking, and the on-disk " +
+      "read is partition-pruned to the query words' buckets") {
+    val docs = (0L until 60L).map { i =>
+      val rare = if (i < 4) " needle" else ""
+      val mid = if (i % 5 == 0) " sometimes" else ""
+      (i, s"common words here doc$rare$mid")
+    }.toDF("doc_id", "text")
+    val queries = Seq(1 -> "needle common", 2 -> "sometimes here",
+      3 -> "needle sometimes words", 4 -> "zzzghost only")
+    val k = 5
+    val adhoc = canonTopK(
+      Retrieval.bm25TopK(docs, "doc_id", "text", queries, k))
+    val index = Retrieval.bm25Index(docs, "doc_id", "text")
+      .localCheckpoint()
+    assert(canonTopK(Retrieval.bm25TopKIndexed(index, queries, k))
+      == adhoc)
+    assert(canonTopK(Retrieval.bm25TopKPrunedIndexed(index, queries, k))
+      == adhoc)
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    try {
+      Retrieval.writeBm25Index(index, dir, wordBuckets = 8)
+      assert(canonTopK(
+        Retrieval.bm25TopKFromIndex(spark, dir, queries, k)) == adhoc)
+      assert(canonTopK(
+        Retrieval.bm25TopKPrunedFromIndex(spark, dir, queries, k))
+        == adhoc)
+      assert(canonTopK(Retrieval.bm25TopKPrunedFromIndex(
+        spark, dir, queries, k, thetaExact = false)) == adhoc)
+      // partition pruning evidence: the postings scan in the FromIndex
+      // plan carries literal wbucket partition filters
+      val plan = Retrieval.bm25TopKFromIndex(spark, dir, queries, k)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") &&
+        plan.contains("wbucket"), plan.take(2000))
+      // a query batch over NO existing term returns empty, not a crash
+      assert(Retrieval.bm25TopKFromIndex(spark, dir,
+        Seq(9 -> "zzzghost"), k).count() == 0)
+      assert(Retrieval.bm25TopKPrunedFromIndex(spark, dir,
+        Seq(9 -> "zzzghost"), k).count() == 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(dir))
+    }
+  }
+
   test("rrfHybrid: fused score sums both arms' reciprocal ranks; " +
       "single-arm docs get one term") {
     // embeddings: doc 1's nearest is doc 2 (identical direction),
