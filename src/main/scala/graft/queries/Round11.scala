@@ -33,26 +33,15 @@ object Round11 {
     * who built it. (At 100 TB the same artifact writes to parquet —
     * the q95 index-persistence shape — instead of executor memory.)
     */
-  private val rankedReg = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.sql.DataFrame]()
-  private def rankedKey(s: org.apache.spark.sql.SparkSession,
-      dir: String): String = {
-    val dirKey = try new java.io.File(dir).getCanonicalPath
-      catch { case _: Throwable => dir }
-    System.identityHashCode(s) + "|" + dirKey
-  }
+  private val rankedReg = new graft.core.ArtifactRegistry()
   private[queries] def sharedRanked(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    rankedReg.computeIfAbsent(rankedKey(s, dir),
-      _ => Dedup.rankedShingleRows(t("documents")(s, dir),
-        "doc_id", "text", n = 3).localCheckpoint())
+    rankedReg.getOrBuild(s, dir)(Dedup.rankedShingleRows(
+      t("documents")(s, dir), "doc_id", "text", n = 3))
   private def buildRankedArtifact(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val built = Dedup.rankedShingleRows(t("documents")(s, dir),
-      "doc_id", "text", n = 3).localCheckpoint()
-    rankedReg.put(rankedKey(s, dir), built)
-    built
-  }
+      dir: String): org.apache.spark.sql.DataFrame =
+    rankedReg.rebuild(s, dir)(Dedup.rankedShingleRows(
+      t("documents")(s, dir), "doc_id", "text", n = 3))
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -36,26 +36,17 @@ object Round9b {
     * Values are deterministic, so consumers' oracles are unaffected by
     * who built the artifact.
     */
-  private val tfReg = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.sql.DataFrame]()
-  private def tfKey(s: org.apache.spark.sql.SparkSession,
-      dir: String): String = {
-    val dirKey = try new java.io.File(dir).getCanonicalPath
-      catch { case _: Throwable => dir }
-    System.identityHashCode(s) + "|" + dirKey
-  }
+  // asIs persistence: termFrequencies localCheckpoints internally
+  private val tfReg = new graft.core.ArtifactRegistry(
+    graft.core.ArtifactRegistry.asIs)
   private def buildTf(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val tf = Retrieval.termFrequencies(
-      t("documents")(s, dir), "doc_id", "text")
-    tfReg.put(tfKey(s, dir), tf)
-    tf
-  }
+      dir: String): org.apache.spark.sql.DataFrame =
+    tfReg.rebuild(s, dir)(Retrieval.termFrequencies(
+      t("documents")(s, dir), "doc_id", "text"))
   private[queries] def sharedTf(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    tfReg.computeIfAbsent(tfKey(s, dir),
-      _ => Retrieval.termFrequencies(
-        t("documents")(s, dir), "doc_id", "text"))
+    tfReg.getOrBuild(s, dir)(Retrieval.termFrequencies(
+      t("documents")(s, dir), "doc_id", "text"))
 
   /** HLL register→estimate oracle CTE chain over a source CTE
     * `src(k)`, prefixed so several sketches compose in one query
