@@ -83,6 +83,51 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Per-row-group parquet FOOTER statistics of one long-backed
+    * column — `(file, rowGroup, nRows, min, max)` read from the real
+    * metadata a parquet reader prunes with (not re-derived by
+    * scanning data). INT32-backed logical types (DATE, smaller ints)
+    * widen to Long, so `l_shipdate` audits as epoch days.
+    *
+    * This is the sink-side closure of [[zoneMapAudit]]: the audit
+    * says a re-cluster WOULD prune; after [[writeRangeClustered]],
+    * this reads back what the layout actually promises scanners.
+    * Footers are metadata (driver-read here, file-list-bounded); at
+    * 100 TB distribute the same loop over a files frame.
+    */
+  def parquetRowGroupStatsLong(spark: org.apache.spark.sql.SparkSession,
+      path: String, column: String)
+      : Seq[(String, Int, Long, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val files = new java.io.File(path).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+    files.toSeq.flatMap { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getPath), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.map {
+          case (block, i) =>
+            val cc = block.getColumns.asScala
+              .find(_.getPath.toDotString == column)
+              .getOrElse(sys.error(
+                s"column $column absent from ${f.getName} footer"))
+            def asLong(v: Any): Long = v match {
+              case x: java.lang.Integer => x.longValue()
+              case x: java.lang.Long => x.longValue()
+              case other => sys.error(
+                s"parquetRowGroupStatsLong: $column has " +
+                  s"non-integer stats ${other.getClass}")
+            }
+            val st = cc.getStatistics
+            (f.getName, i, block.getRowCount,
+              asLong(st.genericGetMin()), asLong(st.genericGetMax()))
+        }
+      } finally reader.close()
+    }
+  }
+
   /** Zone-map pruning audit: how much of the table would a range
     * predicate on `valCol` SKIP if rows were laid out in `keyCol`
     * order, in chunks of `chunk` rows (a row-group / file stand-in)?

@@ -69,6 +69,61 @@ class RecallGateSpec extends SparkSpec {
     assert(trained >= 0.18, s"trained ADC recall $trained below floor")
   }
 
+  test("LSH candidate generation (q262/q300 config: 6 tables × 4 " +
+      "planes, 64d) holds its pair-yield and downstream-recall floors") {
+    import org.apache.spark.sql.DataFrame
+    // the oracle rows replay the same LSH config, so a bands/tables
+    // drift keeps every catalog row green while silently shrinking
+    // the candidate set — this gate pins retrieval QUALITY (r11
+    // verdict ask #5). Measured on this corpus: yield 0.323, mutual
+    // recall 0.673, margin top-1 agreement 0.604; floors ~35% below.
+    val n = emb.count()
+    val cand = Similarity.lshNearDupPairs(emb, threshold = -1.0,
+      tables = 6, planesPerTable = 4, dims = 64)
+      .select(col("da"), col("db")).localCheckpoint()
+    val yld = cand.count().toDouble / (n * (n - 1) / 2)
+    info(f"lsh pair yield $yld%.4f")
+    assert(yld >= 0.20, s"LSH pair yield $yld below floor 0.20")
+    // bounded mutual-NN recall vs the exact arm
+    val exactMutual = Similarity.mutualNearestNeighbors(emb)
+      .select(col("a"), col("b")).localCheckpoint()
+    val nExact = exactMutual.count().toDouble
+    val hits = Similarity.mutualNearestNeighborsFromCandidates(cand, emb)
+      .select(col("a"), col("b"))
+      .join(exactMutual, Seq("a", "b"), "left_semi").count()
+    val mRecall = hits / nExact
+    info(f"lsh mutual-NN recall $mRecall%.4f")
+    assert(mRecall >= 0.43,
+      s"LSH mutual-NN recall $mRecall below floor 0.43")
+    spark.catalog.clearCache()
+  }
+
+  test("LSH cross-corpus margin mining (q300 config) holds its top-1 " +
+      "agreement floor vs the exhaustive arm") {
+    val l = emb.filter(col("vec_id") % 2 === 0)
+    val r = emb.filter(col("vec_id") % 2 === 1)
+    val cross = Similarity.lshCrossPairs(l, r, tables = 6,
+      planesPerTable = 4, dims = 64)
+    val exact = Similarity.marginMiningScores(l, r, k = 3)
+      .select(col("left_id"), col("right_id").as("ex_r"))
+    val bounded = Similarity.marginMiningScoresFromCandidates(
+        cross, l, r, k = 3)
+      .select(col("left_id"), col("right_id").as("bd_r"))
+      .localCheckpoint()
+    val nLeft = l.count()
+    // every left vector keeps ≥1 candidate at this config — the
+    // bounded arm must not silently drop queries
+    assert(bounded.count() == nLeft,
+      s"bounded margin arm dropped lefts: ${bounded.count()} of $nLeft")
+    val agree = exact.join(bounded, Seq("left_id"))
+      .where(col("ex_r") === col("bd_r")).count()
+    val rate = agree.toDouble / nLeft
+    info(f"margin top-1 agreement $rate%.4f")
+    assert(rate >= 0.39,
+      s"margin top-1 agreement $rate below floor 0.39")
+    spark.catalog.clearCache()
+  }
+
   test("residual IVF-PQ: trained cells ≥ seeded, both above floor " +
       "(the q88 seeded-residual warning's measured basis)") {
     val seeded = recall(Similarity.ivfPqResidualTopK(queries, emb, k,
