@@ -1384,4 +1384,54 @@ object Curation {
         col("f_ends_punct") && col("f_no_brace") && col("f_no_lorem") &&
           col("f_sentences") && col("f_words"))
   }
+
+  /** Largest-remainder (Hamilton) apportionment of an integer budget
+    * across weighted groups — the "sample exactly B tokens across
+    * domains" planning step of a data-mixing run: each group gets
+    * `floor(B·w/W)` plus one of the `B·w mod W` leftover units, awarded
+    * to the largest remainders (ties to the first group in `ORDER BY
+    * groupCols`). Exact integers end to end; Σ alloc = B exactly —
+    * the property proportional-rounding by `round()` does NOT have,
+    * and the reason this operator exists.
+    *
+    * Input: one row per group with an integer weight column. Shape:
+    * one map-side-combined aggregation to W (one-row broadcast), one
+    * ranking window over the GROUP frame — value-cardinality-bounded
+    * (domains, languages: thousands at 100 TB, never rows).
+    */
+  def largestRemainderAllocation(groups: DataFrame,
+      groupCols: Seq[String], weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val gc = groupCols.map(col)
+    val tot = groups.agg(
+      sum(col(weightCol).cast("decimal(38,0)")).as("_w_total"))
+    val based = groups
+      .select(gc :+ col(weightCol).cast("decimal(38,0)")
+        .as("_w"): _*)
+      .crossJoin(broadcast(tot))
+      .select(gc ++ Seq(
+        col("_w").cast("bigint").as(weightCol),
+        // all-zero weights: every base/remainder is 0 and the first
+        // min(budget, nGroups) groups in group order get one unit —
+        // stated degenerate rule, not an ANSI divide-by-zero error
+        when(col("_w_total") > 0,
+          expr(s"(_w * $budget) div _w_total")).otherwise(lit(0L))
+          .cast("bigint").as("_base"),
+        when(col("_w_total") > 0, expr(s"(_w * $budget) % _w_total"))
+          .otherwise(lit(0)).cast("decimal(38,0)").as("_rem")): _*)
+    val wRank = Window.orderBy(
+      col("_rem").desc +: gc.map(_.asc): _*)
+    val leftover = based
+      .crossJoin(broadcast(based.agg(
+        sum(col("_base")).as("_base_total"))))
+      .withColumn("_rk", row_number().over(wRank))
+      .withColumn("alloc",
+        col("_base") + when(
+          col("_rk") <= lit(budget) - col("_base_total"), 1L)
+          .otherwise(0L))
+    leftover.select(gc ++ Seq(col(weightCol),
+      col("alloc").cast("bigint").as("alloc")): _*)
+  }
 }

@@ -164,5 +164,174 @@ object Round12 {
               |SELECT query_id, doc_id, score,
               |  CAST(rnk AS BIGINT) AS rank
               |FROM r WHERE rnk <= 10
-              |ORDER BY query_id, rank""".stripMargin)))
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- rendezvous (highest-random-weight) shard placement and the
+    // resize-stability audit: growing 5 → 6 shards moves ~1/6 of the
+    // corpus under rendezvous hashing and ~5/6 under mod-N — THE
+    // measurement that justifies stable shard placement for
+    // incremental 100 TB corpus snapshots (re-embedding/re-indexing
+    // only the moved shard). Purely map-side: n literal md5 hashes
+    // per key, exact integers end to end.
+    QueryDef("q303_rendezvous_stability",
+      (s, dir) => graft.operators.Sharding.resizeStability(
+          t("documents")(s, dir).select(col("doc_id")),
+          "doc_id", nFrom = 5, nTo = 6)
+        .orderBy(col("scheme")),
+      Some {
+        def hrw(n: Int, as: String) =
+          s"""sh$n AS (SELECT doc_id,
+             |    unnest(generate_series(0, ${n - 1})) AS s
+             |  FROM documents),
+             |h$n AS (SELECT doc_id, s,
+             |    ${CorpusOps.oH60(
+                   "CAST(doc_id AS VARCHAR) || '|' || s")} AS h
+             |  FROM sh$n),
+             |r$n AS (SELECT doc_id, s, row_number() OVER (
+             |    PARTITION BY doc_id ORDER BY h DESC, s) AS rk
+             |  FROM h$n),
+             |$as AS (SELECT doc_id, s FROM r$n WHERE rk = 1)"""
+            .stripMargin
+        s"""WITH ${hrw(5, "a5")},
+           |${hrw(6, "a6")},
+           |rz AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           |    CAST(SUM(CASE WHEN a5.s <> a6.s THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_moved
+           |  FROM a5 JOIN a6 USING (doc_id)),
+           |md AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           |    CAST(SUM(CASE WHEN doc_id % 5 <> doc_id % 6
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+           |  FROM documents)
+           |SELECT 'mod' AS scheme, n_keys, n_moved,
+           |  (n_moved * 1000000) // n_keys AS moved_ppm FROM md
+           |UNION ALL
+           |SELECT 'rendezvous', n_keys, n_moved,
+           |  (n_moved * 1000000) // n_keys FROM rz
+           |ORDER BY scheme""".stripMargin
+      }),
+
+    // ---- split-LEAKAGE audit (the measurement q46's cluster split
+    // exists to win): count near-dup truth pairs whose endpoints land
+    // in DIFFERENT train/val/test splits under (a) the naive
+    // doc-id-hash split and (b) the cluster-keyed split. The
+    // cluster-keyed crossing count is structurally zero — this row
+    // proves it against the same truth frame that convicts the naive
+    // split. Truth = the shared q105 pair artifact; splits are the
+    // exact q46 hash rule, replayed verbatim by the oracle.
+    QueryDef("q304_split_leakage",
+      (s, dir) => {
+        val docs = t("documents")(s, dir)
+        val pairs = CorpusOps.sharedJaccardPairs(s, dir)
+          .select(col("da"), col("db"))
+        val clusters = graft.operators.Dedup.connectedComponents(
+          pairs, docs.select(col("doc_id")), "doc_id")
+        val cuts = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+        val naive = docs.select(col("doc_id"),
+          graft.operators.TextOps.hashSplit(col("doc_id"), cuts)
+            .as("split"))
+        val clustered = clusters.select(col("id").as("doc_id"),
+          graft.operators.TextOps.hashSplit(col("cluster"), cuts)
+            .as("split"))
+        def arm(label: String,
+            keyed: org.apache.spark.sql.DataFrame) =
+          pairs
+            .join(keyed.select(col("doc_id").as("da"),
+              col("split").as("sa")), Seq("da"))
+            .join(keyed.select(col("doc_id").as("db"),
+              col("split").as("sb")), Seq("db"))
+            .agg(count(lit(1)).as("n_pairs"),
+              sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L))
+                .as("n_crossing"))
+            .select(lit(label).as("scheme"), col("n_pairs"),
+              col("n_crossing"),
+              expr("(n_crossing * 1000000) div n_pairs")
+                .as("crossing_ppm"))
+        arm("cluster_hash", clustered)
+          .unionAll(arm("doc_hash", naive))
+          .orderBy(col("scheme"))
+      },
+      Some(s"""WITH RECURSIVE ${CorpusOps.oShinglesSql},
+              |hs AS (SELECT doc_id, ${CorpusOps.oH60("s")} AS h FROM sh),
+              |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+              |p AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) AS inter
+              |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs AS (SELECT da, db FROM p
+              |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+              |  WHERE inter / (x.n + y.n - inter) >= 0.6),
+              |edges AS (SELECT da AS src, db AS dst FROM pairs
+              |  UNION ALL SELECT db, da FROM pairs),
+              |walk AS (
+              |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+              |  UNION
+              |  SELECT e.dst AS id, w.lbl
+              |  FROM walk w JOIN edges e ON w.id = e.src
+              |  WHERE w.lbl < e.dst),
+              |cl AS (SELECT id AS doc_id, min(lbl) AS cluster
+              |  FROM walk GROUP BY id),
+              |nv AS (SELECT doc_id, CASE
+              |    WHEN ${CorpusOps.oH60("CAST(doc_id AS VARCHAR)")}
+              |      % 100 < 80 THEN 'train'
+              |    WHEN ${CorpusOps.oH60("CAST(doc_id AS VARCHAR)")}
+              |      % 100 < 90 THEN 'val' ELSE 'test' END AS split
+              |  FROM documents),
+              |ck AS (SELECT doc_id, CASE
+              |    WHEN ${CorpusOps.oH60("CAST(cluster AS VARCHAR)")}
+              |      % 100 < 80 THEN 'train'
+              |    WHEN ${CorpusOps.oH60("CAST(cluster AS VARCHAR)")}
+              |      % 100 < 90 THEN 'val' ELSE 'test' END AS split
+              |  FROM cl),
+              |audit AS (
+              |  SELECT 'cluster_hash' AS scheme,
+              |      CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              |      CAST(SUM(CASE WHEN x.split <> y.split THEN 1
+              |        ELSE 0 END) AS BIGINT) AS n_crossing
+              |    FROM pairs JOIN ck x ON da = x.doc_id
+              |    JOIN ck y ON db = y.doc_id
+              |  UNION ALL
+              |  SELECT 'doc_hash',
+              |      CAST(COUNT(*) AS BIGINT),
+              |      CAST(SUM(CASE WHEN x.split <> y.split THEN 1
+              |        ELSE 0 END) AS BIGINT)
+              |    FROM pairs JOIN nv x ON da = x.doc_id
+              |    JOIN nv y ON db = y.doc_id)
+              |SELECT scheme, n_pairs, n_crossing,
+              |  (n_crossing * 1000000) // n_pairs AS crossing_ppm
+              |FROM audit ORDER BY scheme""".stripMargin)),
+
+    // ---- largest-remainder token-budget apportionment: allocate an
+    // exact 1,000,000-token sampling budget across (lang, source)
+    // domains proportionally to their token counts — floor shares +
+    // one unit to the largest remainders, so Σ alloc = budget EXACTLY
+    // (round() cannot promise that). The planning step before a
+    // data-mixing sampling run; window is domain-cardinality-bounded.
+    QueryDef("q305_budget_allocation",
+      (s, dir) => {
+        val toks = t("documents")(s, dir)
+          .groupBy(col("lang"), col("source"))
+          .agg(sum(size(graft.operators.TextOps.words(col("text"))))
+            .cast("bigint").as("n_tokens"))
+        graft.operators.Curation.largestRemainderAllocation(
+            toks, Seq("lang", "source"), "n_tokens",
+            budget = 1000000L)
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""WITH g AS (SELECT lang, source,
+             |    CAST(SUM(len(list_filter(string_split_regex(
+             |      lower(text), '\s+'), x -> len(x) > 0)))
+             |      AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY 1, 2),
+             |t AS (SELECT SUM(CAST(n_tokens AS HUGEINT)) AS w FROM g),
+             |b AS (SELECT lang, source, n_tokens,
+             |    CAST((CAST(n_tokens AS HUGEINT) * 1000000) // w
+             |      AS BIGINT) AS base,
+             |    (CAST(n_tokens AS HUGEINT) * 1000000) % w AS rem
+             |  FROM g, t),
+             |r AS (SELECT *, row_number() OVER (
+             |    ORDER BY rem DESC, lang, source) AS rk,
+             |    SUM(base) OVER () AS base_total FROM b)
+             |SELECT lang, source, n_tokens,
+             |  CAST(base + CASE WHEN rk <= 1000000 - base_total
+             |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+             |FROM r ORDER BY lang, source""".stripMargin)))
 }

@@ -924,4 +924,34 @@ class CurationSpec extends SparkSpec {
     assert(!got(5L).getAs[Boolean]("f_words") &&
       got(5L).getAs[Boolean]("f_sentences"))
   }
+
+  test("largestRemainderAllocation: Σ alloc = budget exactly, floor+1 " +
+      "to largest remainders, deterministic ties, zero-weight edge") {
+    import spark.implicits._
+    // weights 1,1,1 over budget 10: base 3 each, remainder 1/3 each —
+    // equal remainders tie to the first group in group order
+    val even = Seq(("a", 1L), ("b", 1L), ("c", 1L)).toDF("g", "w")
+    val gotE = Curation.largestRemainderAllocation(even, Seq("g"), "w",
+      10L).orderBy("g").collect().map(r => r.getString(0) -> r.getLong(2))
+    assert(gotE.toSeq == Seq("a" -> 4L, "b" -> 3L, "c" -> 3L))
+    // hand case: weights 5, 3, 2 over budget 7 → exact shares 3.5,
+    // 2.1, 1.4 → bases 3, 2, 1 (Σ 6), largest remainder .5 → a gets +1
+    val skew = Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("g", "w")
+    val gotS = Curation.largestRemainderAllocation(skew, Seq("g"), "w",
+      7L).orderBy("g").collect().map(r => r.getString(0) -> r.getLong(2))
+    assert(gotS.toSeq == Seq("a" -> 4L, "b" -> 2L, "c" -> 1L))
+    assert(gotS.map(_._2).sum == 7L)
+    // exactness at an awkward budget over many groups
+    val many = (1 to 37).map(i => (f"g$i%02d", (i * 13 % 11 + 1).toLong))
+      .toDF("g", "w")
+    val gotM = Curation.largestRemainderAllocation(many, Seq("g"), "w",
+      1000003L).collect()
+    assert(gotM.map(_.getLong(2)).sum == 1000003L)
+    // all-zero weights: stated degenerate rule — first budget groups
+    // in group order get one unit each
+    val zero = Seq(("a", 0L), ("b", 0L), ("c", 0L)).toDF("g", "w")
+    val gotZ = Curation.largestRemainderAllocation(zero, Seq("g"), "w",
+      2L).orderBy("g").collect().map(r => r.getString(0) -> r.getLong(2))
+    assert(gotZ.toSeq == Seq("a" -> 1L, "b" -> 1L, "c" -> 0L))
+  }
 }
