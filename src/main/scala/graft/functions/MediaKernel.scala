@@ -88,6 +88,71 @@ object MediaProbeKernel {
   }
 }
 
+/** Sample-level WAV PCM statistics — one rung past the header probe:
+  * walks the RIFF chunk stream to the `data` chunk and aggregates the
+  * 16-bit little-endian PCM samples in one pass of pure integer byte
+  * arithmetic (no audio library): `(n_samples, peak_abs, sum_sq,
+  * n_silent)` with silence = |sample| ≤ 256 (≈ −42 dBFS). The audio-QA
+  * primitives a corpus pipeline gates on — silence ratio, clipping
+  * (peak at 32767/32768), energy — WITHOUT decoding to floats.
+  *
+  * Non-WAV / truncated / non-16-bit payloads return all-null rather
+  * than erroring (the [[MediaProbeKernel]] garbage-rows contract).
+  * Chunk walk honors the RIFF word-alignment pad byte and clamps the
+  * declared data size to the actual buffer.
+  */
+object WavPcmKernel {
+
+  private def nulls =
+    new GenericInternalRow(Array[Any](null, null, null, null))
+
+  def pcmStats(payload: Array[Byte]): InternalRow = {
+    val b = if (payload == null) Array.emptyByteArray else payload
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+        (u8(i + 3).toLong << 24)) & 0xffffffffL
+    if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+        b(11) != 'E') return nulls
+    var i = 12
+    var bits = -1
+    while (i + 8 <= b.length) {
+      val id0 = b(i); val id1 = b(i + 1); val id2 = b(i + 2)
+      val id3 = b(i + 3)
+      val size = le32(i + 4)
+      if (size > Int.MaxValue) return nulls
+      val sz = size.toInt
+      if (id0 == 'f' && id1 == 'm' && id2 == 't' && id3 == ' ') {
+        if (i + 8 + 16 <= b.length) bits = le16(i + 8 + 14)
+      } else if (id0 == 'd' && id1 == 'a' && id2 == 't' &&
+          id3 == 'a') {
+        if (bits != 16) return nulls
+        val start = i + 8
+        val end = math.min(b.length.toLong, start.toLong + sz).toInt
+        val n = (end - start) / 2
+        var k = 0
+        var sumSq = 0L; var peak = 0L; var silent = 0L
+        while (k < n) {
+          // hi byte sign-extends: (signed hi << 8) | unsigned lo is
+          // exactly the signed 16-bit sample
+          val s = (b(start + 2 * k + 1) << 8) | u8(start + 2 * k)
+          sumSq += s.toLong * s
+          val a = math.abs(s.toLong)
+          if (a > peak) peak = a
+          if (a <= 256) silent += 1
+          k += 1
+        }
+        return new GenericInternalRow(
+          Array[Any](n.toLong, peak, sumSq, silent))
+      }
+      i += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+    }
+    nulls
+  }
+}
+
 object MediaProbe {
 
   private val metaType = StructType(Seq(
@@ -96,6 +161,28 @@ object MediaProbe {
     StructField("height", LongType, nullable = true),
     StructField("sample_rate", LongType, nullable = true),
     StructField("channels", LongType, nullable = true)))
+
+  private val pcmType = StructType(Seq(
+    StructField("n_samples", LongType, nullable = true),
+    StructField("peak_abs", LongType, nullable = true),
+    StructField("sum_sq", LongType, nullable = true),
+    StructField("n_silent", LongType, nullable = true)))
+
+  def pcmStatsExpr(payload: Expression): Expression =
+    StaticInvoke(
+      WavPcmKernel.getClass,
+      pcmType,
+      "pcmStats",
+      Seq(payload),
+      inputTypes = Seq(BinaryType),
+      propagateNull = false,
+      returnNullable = false)
+
+  /** Column API: `struct(n_samples, peak_abs, sum_sq, n_silent)` from
+    * the 16-bit PCM data chunk of a real WAV blob (all-null for
+    * non-WAV bytes). */
+  def pcmStats(payload: Column): Column =
+    ColumnBridge.column(pcmStatsExpr(ColumnBridge.expression(payload)))
 
   def probeMetaExpr(payload: Expression): Expression =
     StaticInvoke(

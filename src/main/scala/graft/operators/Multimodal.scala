@@ -79,6 +79,26 @@ object Multimodal {
       m.getField("channels").as("channels"))
   }
 
+  /** Sample-level WAV PCM audio QA over a binary column — silence
+    * ratio, peak (clipping), energy — via the
+    * [[graft.functions.WavPcmKernel]] one-pass byte kernel (REAL
+    * 16-bit PCM parsing, no audio library; non-WAV rows yield nulls).
+    * Map-side, no shuffle, no UDF; the blob column never leaves the
+    * scan. `silence_ppm` = n_silent·10⁶ div n_samples (null for
+    * non-WAV / empty-data rows).
+    */
+  def wavPcmStats(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val s = graft.functions.MediaProbe.pcmStats(col(payloadCol))
+    df.select(col(idCol), s.getField("n_samples").as("n_samples"),
+        s.getField("peak_abs").as("peak_abs"),
+        s.getField("sum_sq").as("sum_sq"),
+        s.getField("n_silent").as("n_silent"))
+      .withColumn("silence_ppm",
+        when(col("n_samples") > 0,
+          expr("(n_silent * 1000000) div n_samples")))
+  }
+
   /** STUB codec: deterministic fixed-size feature vector from raw bytes
     * (normalized 16-bin byte histogram + mean byte). A real
     * implementation would decode the image/audio here; the signature,

@@ -333,5 +333,70 @@ object Round12 {
              |SELECT lang, source, n_tokens,
              |  CAST(base + CASE WHEN rk <= 1000000 - base_total
              |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
-             |FROM r ORDER BY lang, source""".stripMargin)))
+             |FROM r ORDER BY lang, source""".stripMargin)),
+
+    // ---- sample-level WAV PCM audio QA, hash-gated parse∘construct
+    // (the q97 discipline one rung deeper): Spark BUILDS complete
+    // 16-bit PCM WAVs — RIFF + full fmt + data chunk whose sample i
+    // encodes u_i = (doc_id·7 + i·13) mod 65536 as a little-endian
+    // 16-bit word (signed value u_i, or u_i − 65536 when ≥ 2¹⁵) —
+    // parses them back
+    // with the native one-pass byte kernel (silence/peak/energy), and
+    // the oracle predicts every statistic ARITHMETICALLY from the
+    // same sample formula. doc_id%5=4 rows carry raw text bytes and
+    // must yield all nulls (the garbage-rows contract).
+    QueryDef("q306_wav_pcm_stats",
+      (s, dir) => {
+        def le16h(c: org.apache.spark.sql.Column) = {
+          val x = lpad(hex(c), 4, "0")
+          concat(substring(x, 3, 2), substring(x, 1, 2))
+        }
+        def le32h(c: org.apache.spark.sql.Column) = {
+          val x = lpad(hex(c), 8, "0")
+          concat(substring(x, 7, 2), substring(x, 5, 2),
+            substring(x, 3, 2), substring(x, 1, 2))
+        }
+        val n = col("doc_id") % 50 + 10
+        val samplesHex = array_join(transform(
+          sequence(lit(0L), n - 1),
+          i => le16h(pmod(col("doc_id") * 7 + i * 13, lit(65536L)))),
+          "")
+        val wav = unhex(concat(
+          lit("52494646"), le32h(lit(36L) + n * 2), lit("57415645"),
+          lit("666D7420"), le32h(lit(16L)), le16h(lit(1L)),
+          le16h(lit(1L)), le32h(lit(8000L)), le32h(lit(16000L)),
+          le16h(lit(2L)), le16h(lit(16L)),
+          lit("64617461"), le32h(n * 2), samplesHex))
+        val payload = when(col("doc_id") % 5 === 4,
+            graft.operators.Multimodal.syntheticPayload(col("text")))
+          .otherwise(wav)
+        graft.operators.Multimodal.wavPcmStats(
+            t("documents")(s, dir).withColumn("payload", payload),
+            "doc_id", "payload")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 50 + 10 AS n
+             |  FROM documents WHERE doc_id % 5 <> 4),
+             |sm AS (SELECT doc_id, n, unnest(generate_series(0,
+             |    CAST(n - 1 AS BIGINT))) AS i FROM d),
+             |u AS (SELECT doc_id, n,
+             |    (doc_id * 7 + i * 13) % 65536 AS uu FROM sm),
+             |v AS (SELECT doc_id, n,
+             |    CASE WHEN uu < 32768 THEN uu ELSE uu - 65536 END
+             |      AS smp
+             |  FROM u),
+             |a AS (SELECT doc_id,
+             |    CAST(MAX(n) AS BIGINT) AS n_samples,
+             |    CAST(MAX(abs(smp)) AS BIGINT) AS peak_abs,
+             |    CAST(SUM(smp * smp) AS BIGINT) AS sum_sq,
+             |    CAST(SUM(CASE WHEN abs(smp) <= 256 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_silent
+             |  FROM v GROUP BY 1)
+             |SELECT doc_id, n_samples, peak_abs, sum_sq, n_silent,
+             |  (n_silent * 1000000) // n_samples AS silence_ppm
+             |FROM a
+             |UNION ALL
+             |SELECT doc_id, NULL, NULL, NULL, NULL, NULL
+             |FROM documents WHERE doc_id % 5 = 4
+             |ORDER BY doc_id""".stripMargin)))
 }

@@ -106,6 +106,54 @@ class MultimodalSpec extends SparkSpec {
       (8L, "bmp", Some(2147483648L), Some(16L), None, None)))
   }
 
+  test("WavPcmKernel: hand-built 16-bit PCM WAV yields exact sample " +
+      "stats; pad bytes, extra chunks, truncation, non-16-bit and " +
+      "garbage all behave") {
+    import graft.functions.WavPcmKernel
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int): Array[Byte] = Array((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array(0.toByte)
+        else Array.emptyByteArray
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++ pad
+    }
+    def fmt(bits: Int) = chunk("fmt ", le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(bits))
+    def wav(chunks: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes ++ le32(4 + chunks.length) ++
+        "WAVE".getBytes ++ chunks
+    val samples = Seq(0, 100, -100, 32767, -32768, 256, -257)
+    val data = chunk("data", samples.flatMap(le16).toArray)
+    // an ODD-size junk chunk before data exercises the pad-byte walk
+    val junk = chunk("junk", Array.fill(5)(7.toByte))
+    val r = WavPcmKernel.pcmStats(wav(fmt(16) ++ junk ++ data))
+    assert(r.getLong(0) == 7L)                    // n_samples
+    assert(r.getLong(1) == 32768L)                // peak = |-32768|
+    assert(r.getLong(2) == samples.map(s =>
+      s.toLong * s).sum)                          // sum_sq exact
+    assert(r.getLong(3) == 4L)                    // 0, ±100, 256 silent
+    // declared size beyond the buffer clamps instead of crashing
+    val longDecl = wav(fmt(16) ++ "data".getBytes ++ le32(9999) ++
+      samples.flatMap(le16).toArray)
+    assert(WavPcmKernel.pcmStats(longDecl).getLong(0) == 7L)
+    // 8-bit fmt, missing fmt, garbage, null → all-null rows
+    assert(WavPcmKernel.pcmStats(wav(fmt(8) ++ data)).isNullAt(0))
+    assert(WavPcmKernel.pcmStats(wav(data)).isNullAt(0))
+    assert(WavPcmKernel.pcmStats("not audio".getBytes).isNullAt(0))
+    assert(WavPcmKernel.pcmStats(null).isNullAt(0))
+    // operator wrapper: silence_ppm exact, non-wav row nulls
+    import spark.implicits._
+    val df = Seq((1L, wav(fmt(16) ++ data)), (2L, "junk".getBytes))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.wavPcmStats(df, "doc_id", "payload")
+      .orderBy("doc_id").collect()
+    assert(got(0).getLong(5) == (4L * 1000000L) / 7L)
+    assert(got(1).isNullAt(1) && got(1).isNullAt(5))
+  }
+
   test("repartitionByBytes: partition count tracks payload volume") {
     import spark.implicits._
     val big = (1L to 100L).map(i => (i, "z" * 1000)).toDF("doc_id", "text")
