@@ -131,25 +131,42 @@ object WavPcmKernel {
         if (bits != 16) return nulls
         val start = i + 8
         val end = math.min(b.length.toLong, start.toLong + sz).toInt
-        val n = (end - start) / 2
-        var k = 0
-        var sumSq = 0L; var peak = 0L; var silent = 0L
-        while (k < n) {
-          // hi byte sign-extends: (signed hi << 8) | unsigned lo is
-          // exactly the signed 16-bit sample
-          val s = (b(start + 2 * k + 1) << 8) | u8(start + 2 * k)
-          sumSq += s.toLong * s
-          val a = math.abs(s.toLong)
-          if (a > peak) peak = a
-          if (a <= 256) silent += 1
-          k += 1
-        }
-        return new GenericInternalRow(
-          Array[Any](n.toLong, peak, sumSq, silent))
+        return statsOver(b, start, end)
       }
       i += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
     }
     nulls
+  }
+
+  /** The same statistics over a HEADERLESS 16-bit LE PCM blob — the
+    * per-frame path: [[graft.operators.Multimodal.sampleFrames]]
+    * slices raw sample windows out of the data chunk, and each frame
+    * aggregates here (frame-level energy/silence is the
+    * voice-activity primitive audio curation segments on). A trailing
+    * odd byte is ignored.
+    */
+  def rawPcmStats(payload: Array[Byte]): InternalRow = {
+    val b = if (payload == null) Array.emptyByteArray else payload
+    statsOver(b, 0, b.length)
+  }
+
+  private def statsOver(b: Array[Byte], start: Int, end: Int)
+      : InternalRow = {
+    def u8(i: Int): Int = b(i) & 0xff
+    val n = (end - start) / 2
+    var k = 0
+    var sumSq = 0L; var peak = 0L; var silent = 0L
+    while (k < n) {
+      // hi byte sign-extends: (signed hi << 8) | unsigned lo is
+      // exactly the signed 16-bit sample
+      val s = (b(start + 2 * k + 1) << 8) | u8(start + 2 * k)
+      sumSq += s.toLong * s
+      val a = math.abs(s.toLong)
+      if (a > peak) peak = a
+      if (a <= 256) silent += 1
+      k += 1
+    }
+    new GenericInternalRow(Array[Any](n.toLong, peak, sumSq, silent))
   }
 }
 
@@ -183,6 +200,17 @@ object MediaProbe {
     * non-WAV bytes). */
   def pcmStats(payload: Column): Column =
     ColumnBridge.column(pcmStatsExpr(ColumnBridge.expression(payload)))
+
+  /** Column API over HEADERLESS 16-bit LE PCM bytes (a frame slice). */
+  def rawPcmStats(payload: Column): Column =
+    ColumnBridge.column(StaticInvoke(
+      WavPcmKernel.getClass,
+      pcmType,
+      "rawPcmStats",
+      Seq(ColumnBridge.expression(payload)),
+      inputTypes = Seq(BinaryType),
+      propagateNull = false,
+      returnNullable = false))
 
   def probeMetaExpr(payload: Expression): Expression =
     StaticInvoke(

@@ -99,6 +99,28 @@ object Multimodal {
           expr("(n_silent * 1000000) div n_samples")))
   }
 
+  /** Frame-level PCM energy/silence — the voice-activity primitive:
+    * [[sampleFrames]] slices fixed windows out of a headerless 16-bit
+    * LE PCM blob, each frame aggregates through the raw-PCM kernel
+    * (one pass, integer), `active` = at most half the frame's samples
+    * silent (2·n_silent ≤ n_samples). Everything is map-side per blob; frame count is
+    * explicit (`sequence` + `explode`), never data-dependent blowup.
+    * Feed a `data`-chunk slice (or raw captured PCM) — WAV headers
+    * stay with [[wavPcmStats]].
+    */
+  def audioFrameEnergy(df: DataFrame, idCol: String,
+      payloadCol: String, frameBytes: Int, stride: Int): DataFrame = {
+    val framed = sampleFrames(df, idCol, payloadCol, frameBytes, stride)
+    val s = graft.functions.MediaProbe.rawPcmStats(col("frame"))
+    framed.select(col(idCol), col("frame_no"),
+        s.getField("n_samples").as("n_samples"),
+        s.getField("peak_abs").as("peak_abs"),
+        s.getField("sum_sq").as("sum_sq"),
+        s.getField("n_silent").as("n_silent"))
+      .withColumn("active",
+        col("n_silent") * 2 <= col("n_samples"))
+  }
+
   /** STUB codec: deterministic fixed-size feature vector from raw bytes
     * (normalized 16-bin byte histogram + mean byte). A real
     * implementation would decode the image/audio here; the signature,

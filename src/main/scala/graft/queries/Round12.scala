@@ -398,5 +398,52 @@ object Round12 {
              |UNION ALL
              |SELECT doc_id, NULL, NULL, NULL, NULL, NULL
              |FROM documents WHERE doc_id % 5 = 4
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- frame-level PCM energy (the voice-activity primitive):
+    // headerless 16-bit PCM blobs built from the q306 sample formula,
+    // sliced into 8-sample frames (sampleFrames: explicit sequence +
+    // explode, no data-dependent blowup), each frame aggregated by
+    // the raw-PCM kernel; `active` = at most half the samples silent.
+    // Oracle predicts every frame's integers arithmetically. Docs
+    // shorter than one frame vanish (complete-frames contract).
+    QueryDef("q307_audio_frames",
+      (s, dir) => {
+        def le16h(c: org.apache.spark.sql.Column) = {
+          val x = lpad(hex(c), 4, "0")
+          concat(substring(x, 3, 2), substring(x, 1, 2))
+        }
+        val n = col("doc_id") % 50 + 10
+        val pcm = unhex(array_join(transform(
+          sequence(lit(0L), n - 1),
+          i => le16h(pmod(col("doc_id") * 7 + i * 13, lit(65536L)))),
+          ""))
+        graft.operators.Multimodal.audioFrameEnergy(
+            t("documents")(s, dir).withColumn("payload", pcm),
+            "doc_id", "payload", frameBytes = 16, stride = 16)
+          .orderBy(col("doc_id"), col("frame_no"))
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 50 + 10 AS n
+             |  FROM documents),
+             |f AS (SELECT doc_id, n, unnest(generate_series(0,
+             |    CAST((n - 8) // 8 AS BIGINT))) AS frame_no
+             |  FROM d WHERE n >= 8),
+             |sm AS (SELECT doc_id, frame_no,
+             |    unnest(generate_series(0, 7)) AS j FROM f),
+             |u AS (SELECT doc_id, frame_no,
+             |    (doc_id * 7 + (frame_no * 8 + j) * 13) % 65536 AS uu
+             |  FROM sm),
+             |v AS (SELECT doc_id, frame_no,
+             |    CASE WHEN uu < 32768 THEN uu ELSE uu - 65536 END
+             |      AS smp FROM u)
+             |SELECT doc_id, frame_no,
+             |  CAST(8 AS BIGINT) AS n_samples,
+             |  CAST(MAX(abs(smp)) AS BIGINT) AS peak_abs,
+             |  CAST(SUM(smp * smp) AS BIGINT) AS sum_sq,
+             |  CAST(SUM(CASE WHEN abs(smp) <= 256 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_silent,
+             |  SUM(CASE WHEN abs(smp) <= 256 THEN 1 ELSE 0 END) * 2
+             |    <= 8 AS active
+             |FROM v GROUP BY doc_id, frame_no
+             |ORDER BY doc_id, frame_no""".stripMargin)))
 }

@@ -152,6 +152,19 @@ class MultimodalSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(got(0).getLong(5) == (4L * 1000000L) / 7L)
     assert(got(1).isNullAt(1) && got(1).isNullAt(5))
+    // headerless frame path: same samples, same stats; trailing odd
+    // byte ignored; frame operator splits and flags activity
+    val raw = samples.flatMap(le16).toArray
+    val rr = WavPcmKernel.rawPcmStats(raw :+ 0x7f.toByte)
+    assert(rr.getLong(0) == 7L && rr.getLong(1) == 32768L &&
+      rr.getLong(3) == 4L)
+    val frames = Multimodal.audioFrameEnergy(
+        Seq((9L, raw ++ raw)).toDF("doc_id", "payload"),
+        "doc_id", "payload", frameBytes = 14, stride = 14)
+      .orderBy("frame_no").collect()
+    assert(frames.length == 2 && frames.forall(_.getLong(2) == 7L))
+    // 4 of 7 samples silent in each frame → 2·4 > 7 → inactive
+    assert(frames.forall(f => f.getLong(5) == 4L && !f.getBoolean(6)))
   }
 
   test("repartitionByBytes: partition count tracks payload volume") {
