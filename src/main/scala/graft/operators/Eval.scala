@@ -322,6 +322,53 @@ object Eval {
     * with p = 0 rows is a logging bug upstream; this estimator states
     * the exclusion rather than inheriting an engine's null semantics.
     */
+  /** Group-fairness audit of a thresholded classifier — the
+    * selection-rate and error-rate disparities a data pipeline checks
+    * before a filter model touches a multilingual corpus (a quality
+    * classifier that silently drops one language's documents at 3×
+    * the rate of another's is a curation bug): per group
+    * `(group, n, n_sel, sel_ppm, tpr_ppm, fpr_ppm, di_ppm,
+    * four_fifths)` where
+    *  - `sel_ppm` is the selection rate (score ≥ threshold);
+    *  - `tpr_ppm`/`fpr_ppm` are per-group equalized-odds components
+    *    (0 when the group has no positives / negatives — stated
+    *    convention);
+    *  - `di_ppm` = this group's selection rate as a fraction of the
+    *    BEST group's (disparate impact vs the most-selected group);
+    *  - `four_fifths` flags di_ppm < 800000 — the EEOC 80% rule.
+    *
+    * Exact integers end to end (one hash aggregation per group + a
+    * one-row broadcast max — group-cardinality-bounded everywhere).
+    */
+  def fairnessAudit(df: DataFrame, groupCol: String,
+      scoreMicroCol: String, labelCol: String,
+      thresholdMicro: Long): DataFrame = {
+    val sel = col(scoreMicroCol) >= thresholdMicro
+    val pos = col(labelCol) === 1
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(sel, 1L).otherwise(0L)).as("n_sel"),
+        sum(when(pos, 1L).otherwise(0L)).as("_n_pos"),
+        sum(when(pos && sel, 1L).otherwise(0L)).as("_n_tp"),
+        sum(when(!pos && sel, 1L).otherwise(0L)).as("_n_fp"))
+      .select(col(groupCol), col("n"), col("n_sel"),
+        expr("(n_sel * 1000000) div n").as("sel_ppm"),
+        when(col("_n_pos") > 0,
+          expr("(_n_tp * 1000000) div _n_pos")).otherwise(0L)
+          .as("tpr_ppm"),
+        when(col("n") - col("_n_pos") > 0,
+          expr("(_n_fp * 1000000) div (n - _n_pos)")).otherwise(0L)
+          .as("fpr_ppm"))
+    val best = g.agg(max(col("sel_ppm")).as("_max_sel"))
+    g.crossJoin(broadcast(best))
+      .select(col(groupCol), col("n"), col("n_sel"), col("sel_ppm"),
+        col("tpr_ppm"), col("fpr_ppm"),
+        when(col("_max_sel") > 0,
+          expr("(sel_ppm * 1000000) div _max_sel")).otherwise(0L)
+          .as("di_ppm"))
+      .withColumn("four_fifths", col("di_ppm") < 800000L)
+  }
+
   def offPolicyValue(df: DataFrame, pCol: String, piCol: String,
       rCol: String): DataFrame = {
     val d38 = "decimal(38,0)"

@@ -121,6 +121,33 @@ object Multimodal {
         col("n_silent") * 2 <= col("n_samples"))
   }
 
+  /** Active-audio segments from frame-level energy — gaps-and-islands
+    * over [[audioFrameEnergy]]'s `active` flag: consecutive active
+    * frames merge into one segment `(idCol, seg_start, seg_end,
+    * n_frames, sum_sq)`; silent runs separate segments. The speech-
+    * segmentation step an audio curation pipeline runs before
+    * transcription — windows are partitioned BY BLOB (frame counts per
+    * blob are bounded), nothing global.
+    */
+  def activeSegments(df: DataFrame, idCol: String,
+      payloadCol: String, frameBytes: Int, stride: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = audioFrameEnergy(df, idCol, payloadCol, frameBytes,
+      stride)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("frame_no"))
+    frames.where(col("active"))
+      .withColumn("_rn", row_number().over(w))
+      // island key: frame_no − rank is constant within a consecutive
+      // active run
+      .withColumn("_isl", col("frame_no") - col("_rn"))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(min(col("frame_no")).as("seg_start"),
+        max(col("frame_no")).as("seg_end"),
+        count(lit(1)).as("n_frames"),
+        sum(col("sum_sq")).as("sum_sq"))
+      .drop("_isl")
+  }
+
   /** STUB codec: deterministic fixed-size feature vector from raw bytes
     * (normalized 16-bin byte histogram + mean byte). A real
     * implementation would decode the image/audio here; the signature,

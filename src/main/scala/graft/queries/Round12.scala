@@ -445,5 +445,109 @@ object Round12 {
              |  SUM(CASE WHEN abs(smp) <= 256 THEN 1 ELSE 0 END) * 2
              |    <= 8 AS active
              |FROM v GROUP BY doc_id, frame_no
-             |ORDER BY doc_id, frame_no""".stripMargin)))
+             |ORDER BY doc_id, frame_no""".stripMargin)),
+
+    // ---- active-audio segmentation (gaps-and-islands over the q307
+    // activity flags, partitioned per blob): consecutive active
+    // frames merge into speech-like segments with their total energy
+    // — the pre-transcription segmentation step. Oracle replays the
+    // same frame arithmetic and the frame_no − row_number island key.
+    QueryDef("q308_audio_segments",
+      (s, dir) => {
+        def le16h(c: org.apache.spark.sql.Column) = {
+          val x = lpad(hex(c), 4, "0")
+          concat(substring(x, 3, 2), substring(x, 1, 2))
+        }
+        val n = col("doc_id") % 50 + 10
+        val pcm = unhex(array_join(transform(
+          sequence(lit(0L), n - 1),
+          i => le16h(pmod(col("doc_id") * 7 + i * 13, lit(65536L)))),
+          ""))
+        graft.operators.Multimodal.activeSegments(
+            t("documents")(s, dir).withColumn("payload", pcm),
+            "doc_id", "payload", frameBytes = 16, stride = 16)
+          .orderBy(col("doc_id"), col("seg_start"))
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 50 + 10 AS n
+             |  FROM documents),
+             |f AS (SELECT doc_id, n, unnest(generate_series(0,
+             |    CAST((n - 8) // 8 AS BIGINT))) AS frame_no
+             |  FROM d WHERE n >= 8),
+             |sm AS (SELECT doc_id, frame_no,
+             |    unnest(generate_series(0, 7)) AS j FROM f),
+             |u AS (SELECT doc_id, frame_no,
+             |    (doc_id * 7 + (frame_no * 8 + j) * 13) % 65536 AS uu
+             |  FROM sm),
+             |v AS (SELECT doc_id, frame_no,
+             |    CASE WHEN uu < 32768 THEN uu ELSE uu - 65536 END
+             |      AS smp FROM u),
+             |fr AS (SELECT doc_id, frame_no,
+             |    CAST(SUM(smp * smp) AS BIGINT) AS sum_sq,
+             |    SUM(CASE WHEN abs(smp) <= 256 THEN 1 ELSE 0 END) * 2
+             |      <= 8 AS active
+             |  FROM v GROUP BY doc_id, frame_no),
+             |act AS (SELECT doc_id, frame_no, sum_sq,
+             |    frame_no - row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY frame_no) AS isl
+             |  FROM fr WHERE active)
+             |SELECT doc_id,
+             |  CAST(MIN(frame_no) AS BIGINT) AS seg_start,
+             |  CAST(MAX(frame_no) AS BIGINT) AS seg_end,
+             |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+             |  CAST(SUM(sum_sq) AS BIGINT) AS sum_sq
+             |FROM act GROUP BY doc_id, isl
+             |ORDER BY doc_id, seg_start""".stripMargin)),
+
+    // ---- group-fairness audit of a thresholded quality classifier:
+    // per-language selection rates, equalized-odds components, and
+    // disparate impact vs the most-selected language with the EEOC
+    // 80% flag — the check a curation pipeline runs before letting a
+    // filter model drop documents (silent per-language skew is a data
+    // bug). Score/label are deterministic decorations (q264
+    // discipline: the AUDIT arithmetic is the deliverable), exact
+    // integers end to end.
+    QueryDef("q309_fairness_audit",
+      (s, dir) => {
+        val docs = t("documents")(s, dir)
+          .withColumn("score_micro",
+            pmod(col("n_chars") * 37 + col("doc_id") * 11,
+              lit(1000000L)))
+          .withColumn("label",
+            when(pmod(col("n_chars") + col("doc_id"), lit(7)) < 3, 1L)
+              .otherwise(0L))
+        graft.operators.Eval.fairnessAudit(docs, "lang",
+            "score_micro", "label", thresholdMicro = 550000L)
+          .orderBy(col("lang"))
+      },
+      Some("""WITH d AS (SELECT lang,
+             |    (n_chars * 37 + doc_id * 11) % 1000000 AS score,
+             |    CASE WHEN (n_chars + doc_id) % 7 < 3 THEN 1 ELSE 0
+             |      END AS label
+             |  FROM documents),
+             |g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(CASE WHEN score >= 550000 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_sel,
+             |    CAST(SUM(label) AS BIGINT) AS n_pos,
+             |    CAST(SUM(CASE WHEN label = 1 AND score >= 550000
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+             |    CAST(SUM(CASE WHEN label = 0 AND score >= 550000
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
+             |  FROM d GROUP BY 1),
+             |r AS (SELECT lang, n, n_sel,
+             |    (n_sel * 1000000) // n AS sel_ppm,
+             |    CASE WHEN n_pos > 0 THEN (n_tp * 1000000) // n_pos
+             |      ELSE 0 END AS tpr_ppm,
+             |    CASE WHEN n - n_pos > 0
+             |      THEN (n_fp * 1000000) // (n - n_pos)
+             |      ELSE 0 END AS fpr_ppm
+             |  FROM g),
+             |mx AS (SELECT MAX(sel_ppm) AS max_sel FROM r)
+             |SELECT lang, n, n_sel, sel_ppm, tpr_ppm, fpr_ppm,
+             |  CAST(CASE WHEN max_sel > 0
+             |    THEN (sel_ppm * 1000000) // max_sel
+             |    ELSE 0 END AS BIGINT) AS di_ppm,
+             |  CASE WHEN max_sel > 0
+             |    THEN (sel_ppm * 1000000) // max_sel
+             |    ELSE 0 END < 800000 AS four_fifths
+             |FROM r, mx ORDER BY lang""".stripMargin)))
 }

@@ -173,6 +173,34 @@ class EvalSpec extends SparkSpec {
       (8000000L, 8000000L, 1000000L), g2.toString)
   }
 
+  test("fairnessAudit: hand-computed rates, DI vs best group, 80% " +
+      "flag, and the no-positives/no-negatives conventions") {
+    import spark.implicits._
+    // group a: 4 rows, 3 selected (sel 750000); 2 pos (1 tp → tpr
+    // 500000); 2 neg (2 fp → fpr 1000000)
+    // group b: 2 rows, 1 selected (sel 500000); no positives → tpr 0
+    // group c: 2 rows, 2 selected (sel 1000000 = best); no negatives
+    //          → fpr 0
+    val df = Seq(
+      ("a", 900000L, 1L), ("a", 800000L, 0L), ("a", 700000L, 0L),
+      ("a", 100000L, 1L),
+      ("b", 600000L, 0L), ("b", 100000L, 0L),
+      ("c", 990000L, 1L), ("c", 980000L, 1L)
+    ).toDF("g", "score_micro", "label")
+    val got = Eval.fairnessAudit(df, "g", "score_micro", "label",
+        thresholdMicro = 550000L)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getBoolean(7)))
+    assert(got(0) == ("a", 4L, 3L, 750000L, 500000L, 1000000L,
+      750000L, true))
+    assert(got(1) == ("b", 2L, 1L, 500000L, 0L, 500000L,
+      500000L, true))
+    assert(got(2) == ("c", 2L, 2L, 1000000L, 1000000L, 0L,
+      1000000L, false))
+  }
+
   test("offPolicyValue excludes zero/null-propensity rows from the " +
       "sums AND from n (no silent NULL-weight bias)") {
     import spark.implicits._

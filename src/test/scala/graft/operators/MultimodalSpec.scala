@@ -165,6 +165,17 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.length == 2 && frames.forall(_.getLong(2) == 7L))
     // 4 of 7 samples silent in each frame → 2·4 > 7 → inactive
     assert(frames.forall(f => f.getLong(5) == 4L && !f.getBoolean(6)))
+    // islands: loud-loud-quiet-loud frames (2 samples each) → active
+    // segments [0,1] and [3,3]; quiet frame 2 splits them
+    val loud = le16(20000) ++ le16(-20000)
+    val quiet = le16(10) ++ le16(-10)
+    val segsDf = Seq((5L, loud ++ loud ++ quiet ++ loud))
+      .toDF("doc_id", "payload")
+    val segs = Multimodal.activeSegments(segsDf, "doc_id", "payload",
+        frameBytes = 4, stride = 4)
+      .orderBy("seg_start").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(segs.toSeq == Seq((0L, 1L, 2L), (3L, 3L, 1L)), segs.toSeq)
   }
 
   test("repartitionByBytes: partition count tracks payload volume") {
