@@ -322,6 +322,50 @@ object Eval {
     * with p = 0 rows is a logging bug upstream; this estimator states
     * the exclusion rather than inheriting an engine's null semantics.
     */
+  /** Weight-of-evidence / information-value per feature bin (the
+    * credit-scoring feature-relevance report, applied to corpus
+    * curation: how much does this metadata bin separate kept from
+    * dropped documents?): per bin
+    * `(bin, n_pos, n_neg, woe_micro, iv_contrib_micro)` with Laplace
+    * +1 smoothing on both counts (zero-count bins stay finite, stated
+    * convention):
+    *   `woe = ln( ((n_pos+1)/(POS+B)) / ((n_neg+1)/(NEG+B)) )`
+    * rounded to 6 decimals (the q74 rounded-ln discipline — both
+    * engines' libm agree far inside the rounding), and
+    *   `iv_contrib_micro = (pos_share_ppm − neg_share_ppm) ·
+    *    woe_micro div 10⁶`
+    * with shares as exact smoothed ppm. Σ iv_contrib is the feature's
+    * IV. One hash aggregation per bin + a one-row broadcast total —
+    * bin-cardinality-bounded.
+    */
+  def weightOfEvidence(df: DataFrame, binCol: String,
+      labelCol: String): DataFrame = {
+    val pos = col(labelCol) === 1
+    val g = df.groupBy(col(binCol))
+      .agg(sum(when(pos, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!pos, 1L).otherwise(0L)).as("n_neg"))
+    val tot = g.agg(sum(col("n_pos")).as("_tp"),
+      sum(col("n_neg")).as("_tn"), count(lit(1)).as("_b"))
+    g.crossJoin(broadcast(tot))
+      .select(col(binCol), col("n_pos"), col("n_neg"),
+        (round(log(
+          ((col("n_pos") + 1).cast("double") / (col("_tp") + col("_b"))) /
+            ((col("n_neg") + 1).cast("double") / (col("_tn") + col("_b")))),
+          6).cast("decimal(10,6)") * 1000000).cast("bigint")
+          .as("woe_micro"),
+        expr("((n_pos + 1) * 1000000) div (_tp + _b)").as("_ps"),
+        expr("((n_neg + 1) * 1000000) div (_tn + _b)").as("_ns"))
+      // sign-split truncating division (the q166 discipline): Spark
+      // `div` truncates toward zero, DuckDB `//` floors — they agree
+      // only on `sign · (abs div d)`
+      .withColumn("iv_contrib_micro",
+        when(col("_ps") - col("_ns") < 0 && col("woe_micro") > 0 ||
+            (col("_ps") - col("_ns") > 0 && col("woe_micro") < 0),
+          -expr("abs((_ps - _ns) * woe_micro) div 1000000"))
+          .otherwise(expr("abs((_ps - _ns) * woe_micro) div 1000000")))
+      .drop("_ps", "_ns")
+  }
+
   /** Group-fairness audit of a thresholded classifier — the
     * selection-rate and error-rate disparities a data pipeline checks
     * before a filter model touches a multilingual corpus (a quality

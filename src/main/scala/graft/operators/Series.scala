@@ -417,6 +417,61 @@ object Series {
         coalesce(col("x"), lit(0L)).as("x"))
   }
 
+  /** Single change-point detection on the dense daily series (binary
+    * segmentation, k = 1 — the first split CUSUM-style monitors react
+    * to, found EXACTLY): the split `s` maximizing the between-segment
+    * sum-of-squares objective `S_L²/n_L + S_R²/n_R` (equivalently the
+    * SSE reduction — the `S²/n` term is constant). The objective is
+    * evaluated in micro units with truncating integer division
+    * (`(S²·10⁶) div n`, DECIMAL(38,0) products) — a DETERMINISTIC,
+    * engine-replayable argmax (stated contract: ties inside one
+    * micro-unit of objective resolve by the truncated value, then by
+    * the earlier split; the true rational argmax can differ only when
+    * two splits' objectives are within 10⁻⁶ of each other).
+    *
+    * Scale: one daily aggregation (map-side combined), then every
+    * candidate split is one row of the CALENDAR-SPAN-bounded prefix
+    * frame — the unpartitioned window orders days, never events (the
+    * q269 two-phase discipline).
+    *
+    * Output: one row `(split_t, n_l, n_r, mean_l_micro, mean_r_micro,
+    * gain_micro)` — split_t = last day index of the left segment;
+    * means are truncating micro; gain = objective − (S²·10⁶ div n).
+    */
+  def changePointDaily(events: DataFrame, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dense = denseDaily(events, tsCol)
+    val tot = dense.agg(sum(col("x")).cast("decimal(38,0)").as("s_all"),
+      count(lit(1)).as("n_all"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pref = dense
+      .withColumn("s_l", sum(col("x")).over(w).cast("decimal(38,0)"))
+      .withColumn("n_l", col("t") + 1)
+      .crossJoin(broadcast(tot))
+      .where(col("n_l") < col("n_all")) // both segments non-empty
+      .select(col("t"), col("n_l"),
+        col("s_l"), (col("s_all") - col("s_l")).as("s_r"),
+        (col("n_all") - col("n_l")).as("n_r"),
+        col("s_all"), col("n_all"))
+      .withColumn("obj",
+        expr("(s_l * s_l * 1000000) div n_l") +
+          expr("(s_r * s_r * 1000000) div n_r"))
+    pref
+      .groupBy()
+      .agg(max_by(
+        struct(col("t"), col("n_l"), col("n_r"), col("s_l"),
+          col("s_r"), col("s_all"), col("n_all"), col("obj")),
+        struct(col("obj"), (-col("t")).as("nt"))).as("b"))
+      .select(col("b.t").as("split_t"), col("b.n_l").as("n_l"),
+        col("b.n_r").as("n_r"),
+        expr("(b.s_l * 1000000) div b.n_l").as("mean_l_micro"),
+        expr("(b.s_r * 1000000) div b.n_r").as("mean_r_micro"),
+        (col("b.obj") -
+          expr("(b.s_all * b.s_all * 1000000) div b.n_all"))
+          .cast("bigint").as("gain_micro"))
+  }
+
   /** Mann-Kendall monotone-trend test on the dense daily series —
     * EXACT integers end to end (the test is built from signs and
     * counts, so unlike parametric trend tests nothing ever needs a

@@ -210,14 +210,13 @@ object Round12 {
            |ORDER BY scheme""".stripMargin
       }),
 
-    // ---- split-LEAKAGE audit (the measurement q46's cluster split
-    // exists to win): count near-dup truth pairs whose endpoints land
-    // in DIFFERENT train/val/test splits under (a) the naive
-    // doc-id-hash split and (b) the cluster-keyed split. The
-    // cluster-keyed crossing count is structurally zero — this row
-    // proves it against the same truth frame that convicts the naive
-    // split. Truth = the shared q105 pair artifact; splits are the
-    // exact q46 hash rule, replayed verbatim by the oracle.
+    // ---- split-LEAKAGE audit, head-to-head: q285 measures the naive
+    // doc-id-hash split's contamination; this row runs BOTH schemes
+    // against the same truth frame — the naive split convicted and
+    // the cluster-keyed split (q46's rule) PROVEN structurally zero,
+    // in one hash-gated report (the before/after a pipeline actually
+    // decides with). Truth = the shared q105 pair artifact; splits
+    // replayed verbatim by the oracle.
     QueryDef("q304_split_leakage",
       (s, dir) => {
         val docs = t("documents")(s, dir)

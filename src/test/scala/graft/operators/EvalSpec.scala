@@ -173,6 +173,25 @@ class EvalSpec extends SparkSpec {
       (8000000L, 8000000L, 1000000L), g2.toString)
   }
 
+  test("weightOfEvidence: hand-computed smoothed WoE and IV, " +
+      "symmetric bins mirror, zero-count bin stays finite") {
+    import spark.implicits._
+    // b0: 3 pos / 1 neg; b1: 1 pos / 3 neg → smoothed shares 4/6 vs
+    // 2/6 → woe = ±ln 2 = ±693147 micro; iv contribs equal (+231048)
+    val df = Seq(("b0", 1L), ("b0", 1L), ("b0", 1L), ("b0", 0L),
+      ("b1", 1L), ("b1", 0L), ("b1", 0L), ("b1", 0L)).toDF("bin", "l")
+    val got = Eval.weightOfEvidence(df, "bin", "l").orderBy("bin")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got(0) == ("b0", 3L, 1L, 693147L, 231048L), got(0).toString)
+    assert(got(1) == ("b1", 1L, 3L, -693147L, 231048L), got(1).toString)
+    // a bin with zero positives: smoothing keeps woe finite
+    val z = Seq(("a", 0L), ("a", 0L), ("b", 1L)).toDF("bin", "l")
+    val zg = Eval.weightOfEvidence(z, "bin", "l").orderBy("bin")
+      .collect()
+    assert(zg.forall(r => math.abs(r.getLong(3)) < 3000000L))
+  }
+
   test("fairnessAudit: hand-computed rates, DI vs best group, 80% " +
       "flag, and the no-positives/no-negatives conventions") {
     import spark.implicits._

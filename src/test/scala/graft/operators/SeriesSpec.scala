@@ -276,4 +276,23 @@ class SeriesSpec extends SparkSpec {
     val Array(r2) = Series.theilSenDaily(e2, "ts").collect()
     assert((r2.getLong(0), r2.getLong(3)) == (6L, 1000000L))
   }
+
+  test("changePointDaily finds the planted level shift exactly") {
+    import spark.implicits._
+    // days 1-4 at 2 events/day, days 5-8 at 10/day: the best split is
+    // after day 4 (t = 3), means 2e6 and 10e6 micro
+    val e = ((1 to 4).flatMap(d => Seq.fill(2)(ts(d))) ++
+      (5 to 8).flatMap(d => Seq.fill(10)(ts(d))))
+      .toDF("ts").repartition(4)
+    val Array(r) = Series.changePointDaily(e, "ts").collect()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (3L, 4L, 4L))
+    assert((r.getLong(3), r.getLong(4)) == (2000000L, 10000000L))
+    // gain = S_L²/n_L + S_R²/n_R − S²/n = 16 + 400 − 288 = 128 (micro)
+    assert(r.getLong(5) == 128000000L, r.toString)
+    // constant series: objective equal at every split → earliest split
+    // wins deterministically, gain exactly 0
+    val flat = (1 to 6).flatMap(d => Seq.fill(3)(ts(d))).toDF("ts")
+    val Array(f) = Series.changePointDaily(flat, "ts").collect()
+    assert(f.getLong(0) == 0L && f.getLong(5) == 0L, f.toString)
+  }
 }
