@@ -213,5 +213,146 @@ object Round12b {
              |  (n_padding * 1000000) // (n_padding + n_tokens)
              |    AS waste_ppm,
              |  n_truncated
-             |FROM a ORDER BY scheme, bucket""".stripMargin)))
+             |FROM a ORDER BY scheme, bucket""".stripMargin)),
+
+    // ---- hard-negative mining for contrastive training: per query
+    // (doc-as-query, the q274 setup), the top BM25 hits that are NOT
+    // relevant (word-overlap pseudo-truth) become the hard negatives,
+    // each with its rank and its margin below the query's best
+    // POSITIVE hit — the (anchor, negative, difficulty) frame an
+    // embedding-model run trains on. Everything rides the shared TF
+    // artifact; scoring is posting-list-bounded.
+    QueryDef("q314_hard_negatives",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t("documents")(s, dir)
+        val qdf = docs.where(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(TextOps.words(col("text")), 1, 5), " ")
+              .as("qtext"))
+        val tf = Round9b.sharedTf(s, dir)
+        val ranked = graft.operators.Retrieval.bm25TopKFrame(
+          docs, "doc_id", "text", qdf, k = 10, excludeSelf = true,
+          tf = Some(tf))
+        val qw = qdf.select(col("query_id"),
+          explode(TextOps.words(col("qtext"))).as("word")).distinct()
+        val truth = qw.join(tf.select(col("doc_id"), col("word")),
+            "word")
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(count(lit(1)).as("ov"))
+          .where(col("ov") >= 4)
+          .select(col("query_id"), col("doc_id"))
+        val flagged = ranked.join(
+          truth.withColumn("rel", lit(true)),
+          Seq("query_id", "doc_id"), "left")
+        val bestPos = flagged.where(col("rel"))
+          .groupBy(col("query_id"))
+          .agg(max(col("score")).as("best_pos"))
+        flagged.where(col("rel").isNull)
+          .join(bestPos, Seq("query_id"), "left")
+          .select(col("query_id"), col("doc_id").as("neg_id"),
+            col("rank"), col("score"),
+            // margin below the best positive, exact micro of the
+            // decimal-summed scores; queries with NO positive in the
+            // top-k report null (stated convention)
+            ((col("best_pos").cast("decimal(20,6)") -
+              col("score").cast("decimal(20,6)")) * 1000000)
+              .cast("bigint").as("margin_micro"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH ${graft.operators.Retrieval.bm25OracleCtesQr(
+                 """qr(query_id, qtext) AS (SELECT doc_id,
+                   |  array_to_string(list_filter(string_split_regex(
+                   |    lower(text), '\s+'), x -> len(x) > 0)[1:5], ' ')
+                   |  FROM documents WHERE doc_id % 20 = 0)"""
+                   .stripMargin, 1.2, 0.75)},
+              |rk AS (SELECT query_id, doc_id, score,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY score DESC, doc_id) AS rank
+              |  FROM sc WHERE doc_id <> query_id),
+              |tk AS (SELECT * FROM rk WHERE rank <= 10),
+              |dw AS (SELECT DISTINCT doc_id, word FROM tfc),
+              |trh AS (SELECT qt.query_id, dw.doc_id FROM qt
+              |  JOIN dw USING (word) GROUP BY 1, 2
+              |  HAVING COUNT(*) >= 4),
+              |fl AS (SELECT tk.query_id, tk.doc_id, tk.score,
+              |    tk.rank, trh.doc_id IS NOT NULL AS rel
+              |  FROM tk LEFT JOIN trh ON tk.query_id = trh.query_id
+              |    AND tk.doc_id = trh.doc_id),
+              |bp AS (SELECT query_id, MAX(score) AS best_pos
+              |  FROM fl WHERE rel GROUP BY 1)
+              |SELECT fl.query_id, fl.doc_id AS neg_id,
+              |  CAST(fl.rank AS BIGINT) AS rank, fl.score,
+              |  CAST((CAST(bp.best_pos AS DECIMAL(20,6)) -
+              |    CAST(fl.score AS DECIMAL(20,6))) * 1000000
+              |    AS BIGINT) AS margin_micro
+              |FROM fl LEFT JOIN bp USING (query_id)
+              |WHERE NOT fl.rel
+              |ORDER BY fl.query_id, fl.rank""".stripMargin)),
+
+    // ---- dataset card (the datasheet row a corpus release ships
+    // with): one exact-integer row summarizing the corpus — sizes,
+    // language/source coverage, exact-duplicate rate (normalized-text
+    // fingerprints), near-duplicate involvement (the shared truth
+    // pairs), short-doc rate, token-length mean — every number
+    // replayed by the oracle. The capstone composition over the
+    // shared artifacts; each input is one aggregation.
+    QueryDef("q315_dataset_card",
+      (s, dir) => {
+        val docs = t("documents")(s, dir)
+        val base = docs.agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(TextOps.words(col("text"))).cast("long"))
+            .as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(TextOps.fingerprint(col("text"))).as("_n_fp"),
+          sum(when(size(TextOps.words(col("text"))) < 20, 1L)
+            .otherwise(0L)).as("_n_short"))
+        val nearDup = CorpusOps.sharedJaccardPairs(s, dir)
+          .select(explode(array(col("da"), col("db"))).as("doc_id"))
+          .distinct().agg(count(lit(1)).as("_n_neardup"))
+        base.crossJoin(broadcast(nearDup))
+          .select(col("n_docs"), col("n_tokens"), col("n_langs"),
+            col("n_sources"),
+            expr("((n_docs - _n_fp) * 1000000) div n_docs")
+              .as("exact_dup_ppm"),
+            expr("(_n_neardup * 1000000) div n_docs")
+              .as("neardup_ppm"),
+            expr("(_n_short * 1000000) div n_docs")
+              .as("short_doc_ppm"),
+            expr("(n_tokens * 1000000) div n_docs")
+              .as("mean_tokens_micro"))
+      },
+      Some(s"""WITH ${CorpusOps.oShinglesSql},
+              |hs AS (SELECT doc_id, ${CorpusOps.oH60("s")} AS h FROM sh),
+              |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+              |p AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) AS inter
+              |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs AS (SELECT da, db FROM p
+              |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+              |  WHERE inter / (x.n + y.n - inter) >= 0.6),
+              |nd AS (SELECT COUNT(*) AS n_neardup FROM (
+              |  SELECT DISTINCT doc_id FROM (
+              |    SELECT da AS doc_id FROM pairs
+              |    UNION ALL SELECT db FROM pairs))),
+              |wd AS (SELECT doc_id, lang, source,
+              |    list_filter(string_split_regex(lower(text), '\\s+'),
+              |      x -> len(x) > 0) AS ws FROM documents),
+              |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |    CAST(SUM(len(ws)) AS BIGINT) AS n_tokens,
+              |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+              |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+              |    CAST(COUNT(DISTINCT md5(array_to_string(ws, ' ')))
+              |      AS BIGINT) AS n_fp,
+              |    CAST(SUM(CASE WHEN len(ws) < 20 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_short
+              |  FROM wd)
+              |SELECT n_docs, n_tokens, n_langs, n_sources,
+              |  ((n_docs - n_fp) * 1000000) // n_docs AS exact_dup_ppm,
+              |  (n_neardup * 1000000) // n_docs AS neardup_ppm,
+              |  (n_short * 1000000) // n_docs AS short_doc_ppm,
+              |  (n_tokens * 1000000) // n_docs AS mean_tokens_micro
+              |FROM b, nd""".stripMargin)))
 }
