@@ -99,13 +99,33 @@ object Retrieval {
       queriesDf: DataFrame, k: Int, k1: Double = 1.2, b: Double = 0.75,
       excludeSelf: Boolean = false,
       tf: Option[DataFrame] = None): DataFrame = {
+    rankTopK(bm25ScoresFrame(docs, idCol, textCol, queriesDf, k1, b,
+      tf), k, excludeSelf)
+  }
+
+  /** The SCORED half of [[bm25TopKFrame]] — every matched
+    * `(query_id, doc_id, score)` before any ranking. Exposed so
+    * consumers ranking the SAME query batch differently (with/without
+    * self-exclusion, different k, metrics vs mining) can share ONE
+    * scoring pass as a registered artifact (per-pair scores are
+    * independent, so post-scoring filters commute with scoring —
+    * q274/q314 share exactly this frame).
+    */
+  def bm25ScoresFrame(docs: DataFrame, idCol: String, textCol: String,
+      queriesDf: DataFrame, k1: Double = 1.2, b: Double = 0.75,
+      tf: Option[DataFrame] = None): DataFrame = {
     val qt = queriesDf
       .select(col("query_id"),
         explode(TextOps.words(col("qtext"))).as("word"))
       .distinct()
-    rankTopK(bm25Score(docs, idCol, textCol, qt, k1, b, tf), k,
-      excludeSelf)
+    bm25Score(docs, idCol, textCol, qt, k1, b, tf)
   }
+
+  /** The RANKING half: top-k from a prebuilt scores frame, same tie
+    * discipline as every other BM25 path. */
+  def topKFromScores(scored: DataFrame, k: Int,
+      excludeSelf: Boolean = false): DataFrame =
+    rankTopK(scored, k, excludeSelf)
 
   /** Per-posting BM25 contributions `(query_id, word, doc_id,
     * contrib DECIMAL(20,6))` — the shared frame under BOTH the

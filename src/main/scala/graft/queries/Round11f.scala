@@ -14,6 +14,34 @@ object Round11f {
   private def t(name: String): QueryFn =
     (s, dir) => Tables.load(s, dir, name)
 
+  /** Shared doc-as-query BM25 SCORES artifact per (session, dataset)
+    * — the q115/q244 registry discipline applied to the q274/q314
+    * query batch (doc_id%20=0, first-5-words queries, shared TF):
+    * both rows rank the SAME scored (query_id, doc_id, score) frame
+    * (q274 plain, q314 self-excluded — per-pair scores are
+    * independent, so the exclusion commutes with scoring). q274 is
+    * the unconditional BUILD row; q314 consumes.
+    */
+  private val scoresReg = new graft.core.ArtifactRegistry()
+  private def docQueryScores0(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = t("documents")(s, dir)
+    val qdf = docs.where(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(TextOps.words(col("text")), 1, 5), " ")
+          .as("qtext"))
+    Retrieval.bm25ScoresFrame(docs, "doc_id", "text", qdf,
+      tf = Some(Round9b.sharedTf(s, dir)))
+  }
+  private[queries] def buildDocQueryScores(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    scoresReg.rebuild(s, dir)(docQueryScores0(s, dir))
+  private[queries] def sharedDocQueryScores(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    scoresReg.getOrBuild(s, dir)(docQueryScores0(s, dir))
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- retrieval metrics @10 over doc-as-query BM25: queries are
@@ -35,10 +63,12 @@ object Round11f {
               .as("qtext"))
         // the q115 shared TF artifact serves BOTH arms: the BM25
         // posting lists and the distinct (doc, word) truth frame —
-        // zero extra corpus passes in this row
+        // zero extra corpus passes in this row. The scored frame is
+        // ITSELF the shared q274/q314 artifact (built here, q314
+        // ranks the same scores self-excluded).
         val tf = Round9b.sharedTf(s, dir)
-        val ranked = Retrieval.bm25TopKFrame(
-          docs, "doc_id", "text", qdf, k = 10, tf = Some(tf))
+        val ranked = Retrieval.topKFromScores(
+          buildDocQueryScores(s, dir), k = 10)
         val qw = qdf.select(col("query_id"),
           explode(TextOps.words(col("qtext"))).as("word")).distinct()
         val dw = tf.select(col("doc_id"), col("word"))

@@ -231,9 +231,12 @@ object Round12b {
             array_join(slice(TextOps.words(col("text")), 1, 5), " ")
               .as("qtext"))
         val tf = Round9b.sharedTf(s, dir)
-        val ranked = graft.operators.Retrieval.bm25TopKFrame(
-          docs, "doc_id", "text", qdf, k = 10, excludeSelf = true,
-          tf = Some(tf))
+        // the q274 scored-frame artifact, ranked self-excluded (the
+        // exclusion commutes with scoring — per-pair scores are
+        // independent); one scoring pass serves both rows
+        val ranked = graft.operators.Retrieval.topKFromScores(
+          Round11f.sharedDocQueryScores(s, dir), k = 10,
+          excludeSelf = true)
         val qw = qdf.select(col("query_id"),
           explode(TextOps.words(col("qtext"))).as("word")).distinct()
         val truth = qw.join(tf.select(col("doc_id"), col("word")),
