@@ -431,9 +431,12 @@ object Eval {
       sum(col("rw")).as("srw"),
       sum(col("w")).as("sw"),
       sum(col("w2")).as("sw2"),
-      max(col("w")).cast("long").as("max_w_micro"))
+      coalesce(max(col("w")).cast("long"), lit(0L)).as("max_w_micro"))
       .select(col("n"),
-        expr("srw div n").cast("long").as("ips_micro"),
+        // n = 0 (every row excluded / empty input): explicit zeros,
+        // not null-propagation through the divisions
+        when(col("n") > 0, expr("srw div n").cast("long"))
+          .otherwise(0L).as("ips_micro"),
         when(col("sw") > 0,
           expr("(srw * 1000000) div sw").cast("long"))
           .otherwise(lit(0L)).as("snips_micro"),

@@ -85,6 +85,42 @@ object Freq {
       .agg(count(lit(1)).as("n_rows"))
   }
 
+  /** Per-GROUP heavy hitters — [[heavyHitterCounts]] with the
+    * Misra-Gries candidate sketch keyed by `groupCols` (top terms per
+    * language, top products per region): one bounded sketch per group
+    * (map-side combined, ≤ capacity entries each), candidates explode
+    * group-locally, and the exact verify pass joins on
+    * (group, key) — so a key that is heavy in ONE group is never
+    * diluted by the corpus-wide tail (the failure mode of running the
+    * global sketch and filtering afterwards). Output:
+    * `(groupCols…, keyCol, n_rows)` exact counts for every per-group
+    * candidate; filter by a per-group threshold downstream. MG
+    * guarantee per group: any key with share > 1/capacity of the
+    * group's rows survives the sketch.
+    */
+  def heavyHitterCountsBy(df: DataFrame, groupCols: Seq[String],
+      keyCol: String, capacity: Int = 4096): DataFrame = {
+    require(groupCols.nonEmpty, "use heavyHitterCounts for global")
+    val integral = df.schema(keyCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    val hk =
+      if (integral) col(keyCol).cast("long")
+      else TextOps.hash60(col(keyCol).cast("string"))
+    val gc = groupCols.map(col)
+    val keyed = df.filter(col(keyCol).isNotNull)
+      .select(gc :+ col(keyCol) :+ hk.as("_hk"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = keyed
+      .groupBy(gc: _*)
+      .agg(SketchAggs.misraGries(col("_hk"), capacity).as("ks"))
+      .select(gc :+ explode(col("ks")).as("_hk"): _*)
+    keyed.join(cand, groupCols :+ "_hk")
+      .groupBy(gc :+ col(keyCol): _*)
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
   /** Count-min sketch (Cormode & Muthukrishnan 2005) frequency
     * estimates for the exact heavy hitters of `keyCol` — the
     * streaming-sized frequency summary, verified against exact counts.

@@ -357,5 +357,101 @@ object Round12b {
               |  (n_neardup * 1000000) // n_docs AS neardup_ppm,
               |  (n_short * 1000000) // n_docs AS short_doc_ppm,
               |  (n_tokens * 1000000) // n_docs AS mean_tokens_micro
-              |FROM b, nd""".stripMargin)))
+              |FROM b, nd""".stripMargin)),
+
+    // ---- per-GROUP heavy hitters: top-5 terms per language via the
+    // group-keyed Misra-Gries candidate sketch + exact verify — a key
+    // heavy in one small language is never diluted by the corpus-wide
+    // tail (the failure mode of filtering a GLOBAL sketch by group).
+    // The oracle is plain exact counts + a rank window: the sketch's
+    // candidates provably cover every true per-group heavy hitter at
+    // this capacity.
+    QueryDef("q316_heavy_hitters_by_lang",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val words = TextOps.wordRows(
+          t("documents")(s, dir).select(col("lang"), col("text")),
+          "text", keep = Seq("lang"))
+        val counts = graft.operators.Freq.heavyHitterCountsBy(
+          words, Seq("lang"), "word", capacity = 4096)
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("n_rows").desc, col("word"))
+        counts.withColumn("rank", row_number().over(w).cast("bigint"))
+          .where(col("rank") <= 5)
+          .orderBy(col("lang"), col("rank"))
+      },
+      Some("""WITH tok AS (SELECT lang, unnest(list_filter(
+             |    string_split_regex(lower(text), '\s+'),
+             |    x -> len(x) > 0)) AS word FROM documents),
+             |c AS (SELECT lang, word,
+             |    CAST(COUNT(*) AS BIGINT) AS n_rows
+             |  FROM tok GROUP BY 1, 2),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+             |    ORDER BY n_rows DESC, word) AS rank FROM c)
+             |SELECT lang, word, n_rows, CAST(rank AS BIGINT) AS rank
+             |FROM r WHERE rank <= 5
+             |ORDER BY lang, rank""".stripMargin)),
+
+    // ---- embedding-column ingest QA: zero-norm vectors, non-finite
+    // components, dimension drift, and the norm range — the hygiene
+    // screen an embedding pipeline runs before any index build (a
+    // zero vector makes cosine undefined; a NaN poisons every
+    // aggregation it touches). Defects are DECORATED deterministically
+    // (q264 discipline): vec_id%11=0 zeroed, vec_id%13=0 first
+    // component NaN'd, vec_id%17=0 truncated to 32 dims.
+    QueryDef("q317_embedding_qa",
+      (s, dir) => {
+        val emb = t("embeddings")(s, dir)
+        val e0 = col("embedding")
+        val deco = when(col("vec_id") % 11 === 0,
+            transform(e0, _ => lit(0.0f)))
+          .when(col("vec_id") % 13 === 0,
+            concat(array(lit(Float.NaN)), slice(e0, 2, 63)))
+          .when(col("vec_id") % 17 === 0, slice(e0, 1, 32))
+          .otherwise(e0)
+        val d = emb.select(col("vec_id"), deco.as("e"))
+          .withColumn("n_dims", size(col("e")).cast("long"))
+          .withColumn("n_bad", size(filter(col("e"),
+            v => isnan(v) || v === Float.PositiveInfinity ||
+              v === Float.NegativeInfinity)).cast("long"))
+          .withColumn("nrm2",
+            aggregate(col("e"), lit(0.0),
+              (acc, v) => acc + v.cast("double") * v.cast("double")))
+        d.agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("n_bad") > 0, 1L).otherwise(0L))
+            .as("n_nonfinite"),
+          sum(when(col("n_bad") === 0 && col("nrm2") === 0.0, 1L)
+            .otherwise(0L)).as("n_zero_norm"),
+          countDistinct(col("n_dims")).as("n_dims_distinct"),
+          max(when(col("n_bad") === 0,
+            round(sqrt(col("nrm2")), 6))).as("norm_max"),
+          min(when(col("n_bad") === 0 && col("nrm2") > 0.0,
+            round(sqrt(col("nrm2")), 6))).as("norm_min_nonzero"))
+      },
+      Some("""WITH d AS (SELECT vec_id, CASE
+             |    WHEN vec_id % 11 = 0 THEN list_transform(
+             |      CAST(embedding AS DOUBLE[]), x -> 0.0)
+             |    WHEN vec_id % 13 = 0 THEN ['NaN'::DOUBLE] ||
+             |      CAST(embedding AS DOUBLE[])[2:64]
+             |    WHEN vec_id % 17 = 0
+             |      THEN CAST(embedding AS DOUBLE[])[1:32]
+             |    ELSE CAST(embedding AS DOUBLE[]) END AS e
+             |  FROM embeddings),
+             |m AS (SELECT vec_id,
+             |    CAST(len(e) AS BIGINT) AS n_dims,
+             |    CAST(len(list_filter(e, x -> NOT isfinite(x)))
+             |      AS BIGINT) AS n_bad,
+             |    list_dot_product(e, e) AS nrm2 FROM d)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             |  CAST(SUM(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_nonfinite,
+             |  CAST(SUM(CASE WHEN n_bad = 0 AND nrm2 = 0 THEN 1
+             |    ELSE 0 END) AS BIGINT) AS n_zero_norm,
+             |  CAST(COUNT(DISTINCT n_dims) AS BIGINT)
+             |    AS n_dims_distinct,
+             |  MAX(CASE WHEN n_bad = 0 THEN round(sqrt(nrm2), 6) END)
+             |    AS norm_max,
+             |  MIN(CASE WHEN n_bad = 0 AND nrm2 > 0
+             |    THEN round(sqrt(nrm2), 6) END) AS norm_min_nonzero
+             |FROM m""".stripMargin)))
 }

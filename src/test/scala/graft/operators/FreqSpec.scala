@@ -209,4 +209,25 @@ class FreqSpec extends SparkSpec {
     assert(a.getLong(2) == b.getLong(2)) // partitioning-invariant
     assert(a.getLong(2) >= 0L && a.getLong(2) <= 200L * 200L)
   }
+
+  test("heavyHitterCountsBy: a key heavy only in a SMALL group " +
+      "survives its group's sketch (no corpus-wide dilution) and " +
+      "counts are exact per (group, key)") {
+    import spark.implicits._
+    // group 'big': 900 rows of filler spread over 90 keys;
+    // group 'small': 10 rows, 6 of them 'rare' — rare is 60% of small
+    // but 0.66% of the corpus. A tiny GLOBAL sketch (capacity 8)
+    // could evict it; the per-group sketch cannot.
+    val rows = (0 until 900).map(i => ("big", s"k${i % 90}")) ++
+      Seq.fill(6)(("small", "rare")) ++
+      (0 until 4).map(i => ("small", s"other$i"))
+    val df = rows.toDF("g", "k").repartition(7)
+    val got = Freq.heavyHitterCountsBy(df, Seq("g"), "k", capacity = 8)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2)))
+    val small = got.filter(_._1 == "small")
+    assert(small.contains(("small", "rare", 6L)), small.toSeq.toString)
+    // exact counts on everything returned
+    assert(got.filter(_._1 == "big").forall(_._3 == 10L))
+  }
 }
