@@ -382,4 +382,69 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 8, "edge frame must be checkpointed, not re-derived")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("q300: bounded margin mining — candidate equi-joins only, " +
+      "never a corpus×corpus product") {
+    val plan = full("q300_margin_candidates")
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+  }
+
+  test("q301: pruned BM25 — no cartesian; the contribs frame is " +
+      "persisted (read from cache, not recomputed per prune pass)") {
+    val plan = full("q301_bm25_pruned")
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+    assert(plan.contains("InMemoryTableScan"),
+      "contribs must be persisted for the multi-pass prune")
+  }
+
+  test("q303: rendezvous stability is pure map-side — zero joins, " +
+      "zero hash exchanges (global aggs only)") {
+    val s = shape("q303_rendezvous_stability")
+    assert(s.hash == 0 && s.bcast == 0, s)
+    assert(!full("q303_rendezvous_stability").contains("Join"))
+  }
+
+  test("q306/q307: PCM kernels are map-side scans — zero exchanges, " +
+      "zero joins; q308 adds exactly the per-blob island window") {
+    Seq("q306_wav_pcm_stats", "q307_audio_frames").foreach { q =>
+      val s = shape(q)
+      assert(s.hash == 0 && s.bcast == 0, s"$q: $s")
+      assert(!full(q).contains("Join"), s"$q joins")
+    }
+    val s8 = shape("q308_audio_segments")
+    assert(s8.hash <= 2 && s8.bcast == 0, s8)
+    assert(!full("q308_audio_segments")
+      .contains("Exchange SinglePartition"),
+      "islands must stay blob-partitioned")
+  }
+
+  test("q309/q305: group-bounded audits — one group aggregation, " +
+      "model-sized broadcasts, no corpus-sized join") {
+    val s9 = shape("q309_fairness_audit")
+    // 2 static exchanges: the group agg, PLUS the broadcast max's
+    // subtree re-stating it (the q88 duplicated-subtree counting note)
+    assert(s9.hash <= 2 && s9.bcast >= 1, s9)
+    val s5 = shape("q305_budget_allocation")
+    assert(s5.bcast >= 2, s5) // total + base_total one-row frames
+    assert(!full("q305_budget_allocation").contains("CartesianProduct"))
+  }
+
+  test("q310: change-point — the unpartitioned prefix window sees only " +
+      "the calendar-span frame (one SinglePartition stage, fed by the " +
+      "hash-partitioned day aggregation)") {
+    val plan = full("q310_changepoint")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size >= 1,
+      plan.take(300))
+    assert("\\bWindow\\b".r.findAllIn(plan).size == 1, plan.take(300))
+  }
+
+  test("q317: embedding QA is one map-side scan — zero hash " +
+      "exchanges, zero joins (the blob column never leaves the scan)") {
+    val s = shape("q317_embedding_qa")
+    // countDistinct(n_dims) expands to a two-phase distinct aggregate
+    // over the 1-3 distinct dim values — one bounded exchange
+    assert(s.hash <= 1 && s.bcast == 0, s)
+    assert(!full("q317_embedding_qa").contains("Join"))
+  }
 }
