@@ -78,9 +78,14 @@ object ScaleMutual {
       time(s"margin exhaustive |L|x|R| n=$n", skip = n > ceiling) {
         Similarity.marginMiningScores(l, r, k = 3).count()
       }
-      time(s"margin LSH-bounded 6x4 n=$n") {
+      // plane count must clear the cluster count: 2^planes buckets ≪
+      // clusters melts multiple clusters into one bucket and inflates
+      // candidates (measured: 6×4 at 64 clusters produced a bounded
+      // arm SLOWER than exhaustive — 61.6 vs 40.9 s at 32k; 6×8 gives
+      // 256 buckets and the bound pays)
+      time(s"margin LSH-bounded 6x8 n=$n") {
         val cand = Similarity.lshCrossPairs(l, r, tables = 6,
-          planesPerTable = 4, dims = dims)
+          planesPerTable = 8, dims = dims)
         Similarity.marginMiningScoresFromCandidates(cand, l, r, k = 3)
           .count()
       }
