@@ -453,5 +453,63 @@ object Round12b {
              |    AS norm_max,
              |  MIN(CASE WHEN n_bad = 0 AND nrm2 > 0
              |    THEN round(sqrt(nrm2), 6) END) AS norm_min_nonzero
-             |FROM m""".stripMargin)))
+             |FROM m""".stripMargin)),
+
+    // ---- dedup threshold sweep from ONE ranked-shingle artifact —
+    // the build-once/consume-every-threshold contract (q244/q66)
+    // demonstrated as the decision report it exists for: pairs,
+    // removable docs (greedy higher-id rule), and removable bytes at
+    // 0.5/0.7/0.9, all consuming the SAME registered artifact. The
+    // curve a pipeline reads before committing a dedup threshold —
+    // without re-paying the shingle build per candidate threshold.
+    QueryDef("q318_dedup_threshold_sweep",
+      (s, dir) => {
+        val docs = t("documents")(s, dir)
+        val ranked = Round11.sharedRanked(s, dir)
+        val lens = docs.select(col("doc_id").as("db"),
+          col("n_chars").cast("long").as("n_chars"))
+        val arms = Seq(50, 70, 90).map { pct =>
+          val pairs = graft.operators.Dedup.jaccardPairsPrefix(
+            docs, "doc_id", "text", n = 3,
+            threshold = pct / 100.0, ranked = Some(ranked))
+          val dups = pairs.select(col("db")).distinct()
+            .join(lens, Seq("db"))
+            .agg(count(lit(1)).as("n_docs_removable"),
+              coalesce(sum(col("n_chars")), lit(0L))
+                .as("chars_removable"))
+          pairs.agg(count(lit(1)).as("n_pairs")).crossJoin(dups)
+            .select(lit(pct.toLong).as("threshold_pct"),
+              col("n_pairs"), col("n_docs_removable"),
+              col("chars_removable"))
+        }
+        arms.reduce(_ unionAll _).orderBy(col("threshold_pct"))
+      },
+      Some {
+        def arm(pct: Int) =
+          s"""SELECT CAST($pct AS BIGINT) AS threshold_pct,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM j
+             |    WHERE jc >= $pct / 100.0) AS n_pairs,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+             |    SELECT DISTINCT db FROM j WHERE jc >= $pct / 100.0))
+             |    AS n_docs_removable,
+             |  (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM (
+             |    SELECT DISTINCT db FROM j WHERE jc >= $pct / 100.0) d
+             |    JOIN documents ON d.db = documents.doc_id)
+             |    AS chars_removable""".stripMargin
+        s"""WITH ${CorpusOps.oShinglesSql},
+           |hs AS (SELECT doc_id, ${CorpusOps.oH60("s")} AS h FROM sh),
+           |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+           |p AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) AS inter
+           |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |j AS (SELECT da, db,
+           |    inter / (x.n + y.n - inter) AS jc FROM p
+           |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id)
+           |${arm(50)}
+           |UNION ALL
+           |${arm(70)}
+           |UNION ALL
+           |${arm(90)}
+           |ORDER BY threshold_pct""".stripMargin
+      }))
 }
