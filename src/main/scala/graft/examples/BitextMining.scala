@@ -27,6 +27,13 @@ import org.apache.spark.sql.functions._
   * Output: `(left_id, right_id, sim_micro, margin_micro, mutual)` for
   * every margin-scored top-1 pair at/above `marginFloorMicro`, mined
   * pairs first (mutual desc), then by margin descending.
+  *
+  * CONTRACT: ids in BOTH corpora must be NON-NEGATIVE. The mutual
+  * stage folds the two id spaces into one by mapping right ids to
+  * `−id−1` (so "negative = right corpus" drives pair orientation); a
+  * genuinely negative left id would collide with a mapped right id
+  * and silently mis-orient pairs. The mapping stage asserts this per
+  * row (a codegen'd `assert_true`, free in the scan).
   */
 object BitextMining {
 
@@ -46,11 +53,17 @@ object BitextMining {
     // the right corpus is sign-separated (id → −id−1) in both the
     // embedding union and the pair frame; the a < b orientation then
     // always puts the (negative) right id in `a`, re-split on output.
+    // Enforce the non-negative-id contract inline: a negative source
+    // id would alias a mapped right id and mis-orient pairs silently.
+    def nonNeg(c: org.apache.spark.sql.Column) =
+      when(c >= 0, c).otherwise(raise_error(concat(
+        lit("BitextMining requires non-negative ids, got "),
+        c.cast("string"))))
     val mutual = Similarity.mutualNearestNeighborsFromCandidates(
-        cand.select(col("left_id").as("da"),
-          (-col("right_id") - 1).as("db")),
-        left.select(col(idCol), col(embCol)).unionAll(
-          right.select(-col(idCol) - 1, col(embCol))),
+        cand.select(nonNeg(col("left_id")).as("da"),
+          (-nonNeg(col("right_id")) - 1).as("db")),
+        left.select(nonNeg(col(idCol)).as(idCol), col(embCol)).unionAll(
+          right.select(-nonNeg(col(idCol)) - 1, col(embCol))),
         idCol, embCol)
       .select(col("b").as("left_id"), (-col("a") - 1).as("right_id"))
 

@@ -133,6 +133,11 @@ object WavPcmKernel {
         val end = math.min(b.length.toLong, start.toLong + sz).toInt
         return statsOver(b, start, end)
       }
+      // A non-data chunk whose declared size exceeds the remaining
+      // buffer is truncated/garbage: bail to all-null rather than
+      // advancing (8 + sz + pad would overflow Int for sz near
+      // Int.MaxValue, wrapping i negative and indexing out of bounds)
+      if (sz > b.length - i - 8) return nulls
       i += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
     }
     nulls

@@ -288,40 +288,6 @@ object Eval {
           .otherwise(lit(0L)).as("ndcg_ppm"))
   }
 
-  /** Off-policy evaluation of a target policy from logged bandit
-    * feedback (Horvitz-Thompson / self-normalized importance
-    * sampling): each row is a logged decision with the LOGGING
-    * policy's propensity for the action it took (`pCol`, micro), the
-    * TARGET policy's probability for that same action (`piCol`,
-    * micro), and the observed reward (`rCol`, integer units e.g.
-    * cents). Reports, one row:
-    *   - `ips_micro`  = (Σ r·w) div n — the IPS estimate of the
-    *     target policy's per-decision value, in MICRO reward units
-    *     (w = π/p carried as `w_micro = π_micro·10⁶ div p_micro`,
-    *     one deterministic truncation per row, ≤ 10⁻⁶ relative —
-    *     far below the estimator's own variance);
-    *   - `snips_micro` = (Σ r·w · 10⁶) div Σ w — the self-normalized
-    *     estimate (bounded, lower-variance, the default you trust);
-    *   - `ess_ppm` = (Σw)²·10⁶ div (n·Σw²) — Kish effective sample
-    *     size as a fraction of n: LOW ess means a few huge weights
-    *     own the estimate and the answer is noise;
-    *   - `max_w_micro` — the overlap diagnostic (a target action the
-    *     logger almost never took ⇒ exploding weight).
-    *
-    * All sums are exact DECIMAL(38,0), map-side combined, one pass;
-    * nothing is row-retained. This is the measurement half of the
-    * classifier/curation policy loop: before a new filtering policy
-    * reruns a 100 TB corpus, IPS on the logged sample says whether
-    * it's worth it.
-    *
-    * Rows with a NULL or non-positive logging propensity are EXCLUDED
-    * — from the sums AND from `n` (a zero-propensity action carries no
-    * importance weight; silently keeping it in `n` while `div` nulls
-    * its weight out of the sums would bias ips_micro/ess_ppm, and the
-    * two engines disagree on 1/0 — Spark nulls, DuckDB errors). A log
-    * with p = 0 rows is a logging bug upstream; this estimator states
-    * the exclusion rather than inheriting an engine's null semantics.
-    */
   /** Weight-of-evidence / information-value per feature bin (the
     * credit-scoring feature-relevance report, applied to corpus
     * curation: how much does this metadata bin separate kept from
@@ -413,6 +379,40 @@ object Eval {
       .withColumn("four_fifths", col("di_ppm") < 800000L)
   }
 
+  /** Off-policy evaluation of a target policy from logged bandit
+    * feedback (Horvitz-Thompson / self-normalized importance
+    * sampling): each row is a logged decision with the LOGGING
+    * policy's propensity for the action it took (`pCol`, micro), the
+    * TARGET policy's probability for that same action (`piCol`,
+    * micro), and the observed reward (`rCol`, integer units e.g.
+    * cents). Reports, one row:
+    *   - `ips_micro`  = (Σ r·w) div n — the IPS estimate of the
+    *     target policy's per-decision value, in MICRO reward units
+    *     (w = π/p carried as `w_micro = π_micro·10⁶ div p_micro`,
+    *     one deterministic truncation per row, ≤ 10⁻⁶ relative —
+    *     far below the estimator's own variance);
+    *   - `snips_micro` = (Σ r·w · 10⁶) div Σ w — the self-normalized
+    *     estimate (bounded, lower-variance, the default you trust);
+    *   - `ess_ppm` = (Σw)²·10⁶ div (n·Σw²) — Kish effective sample
+    *     size as a fraction of n: LOW ess means a few huge weights
+    *     own the estimate and the answer is noise;
+    *   - `max_w_micro` — the overlap diagnostic (a target action the
+    *     logger almost never took ⇒ exploding weight).
+    *
+    * All sums are exact DECIMAL(38,0), map-side combined, one pass;
+    * nothing is row-retained. This is the measurement half of the
+    * classifier/curation policy loop: before a new filtering policy
+    * reruns a 100 TB corpus, IPS on the logged sample says whether
+    * it's worth it.
+    *
+    * Rows with a NULL or non-positive logging propensity are EXCLUDED
+    * — from the sums AND from `n` (a zero-propensity action carries no
+    * importance weight; silently keeping it in `n` while `div` nulls
+    * its weight out of the sums would bias ips_micro/ess_ppm, and the
+    * two engines disagree on 1/0 — Spark nulls, DuckDB errors). A log
+    * with p = 0 rows is a logging bug upstream; this estimator states
+    * the exclusion rather than inheriting an engine's null semantics.
+    */
   def offPolicyValue(df: DataFrame, pCol: String, piCol: String,
       rCol: String): DataFrame = {
     val d38 = "decimal(38,0)"

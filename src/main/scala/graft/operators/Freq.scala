@@ -109,9 +109,12 @@ object Freq {
       if (integral) col(keyCol).cast("long")
       else TextOps.hash60(col(keyCol).cast("string"))
     val gc = groupCols.map(col)
+    // localCheckpoint (not persist): the keyed frame feeds both the
+    // sketch pass and the exact verify; blocks release when the frame
+    // is unreferenced instead of leaking a CacheManager entry per call
     val keyed = df.filter(col(keyCol).isNotNull)
       .select(gc :+ col(keyCol) :+ hk.as("_hk"): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val cand = keyed
       .groupBy(gc: _*)
       .agg(SketchAggs.misraGries(col("_hk"), capacity).as("ks"))

@@ -539,19 +539,19 @@ object Retrieval {
   /** The max-score machinery over a contribs frame — see
     * [[bm25TopKPruned]] for the algorithm and safety argument.
     * Exposed package-private for the ScaleWand A/B harness (which
-    * also reads [[survivorStats]]).
+    * also reads [[survivorDocs]]).
     */
   private[graft] def prunedTopK(contribs0: DataFrame, k: Int,
       persistContribs: Boolean = true,
       ub: Option[DataFrame] = None): DataFrame = {
     // the contribs stream is read multiple times (ub unless stored,
-    // seed candidates, final scoring): persist when re-derivation is
-    // expensive (the ad-hoc path recomputes the posting join per
+    // seed candidates, final scoring): materialize when re-derivation
+    // is expensive (the ad-hoc path recomputes the posting join per
     // pass); the FromIndex path passes false — its rescans are
-    // partition-pruned parquet reads, cheaper than a cache write
-    val contribs = if (persistContribs)
-      contribs0.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // partition-pruned parquet reads, cheaper than a cache write.
+    // localCheckpoint (not persist): blocks release when the frame is
+    // unreferenced, so ad-hoc queries don't leak CacheManager entries
+    val contribs = if (persistContribs) contribs0.localCheckpoint()
     else contribs0
     val survivors = survivorDocs(contribs, k, ub)
     val scored = contribs

@@ -430,10 +430,13 @@ object Round11g {
         val qi = t("customer")(s, dir).select(col("c_nationkey"),
           floor(col("c_acctbal") / 2000).cast("bigint").as("bal_band"),
           col("c_mktsegment"))
-        val tot = qi.count() // scalar: table row count (one action)
+        // table total as a one-row broadcast frame (the q254/q292
+        // total-crossJoin idiom) — no eager driver-side count() job
+        val tot = qi.agg(count(lit(1)).as("_tot"))
         val dom = qi.groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("cv"))
-          .withColumn("p_ppm", expr(s"(cv * 1000000) div $tot"))
+          .crossJoin(broadcast(tot))
+          .withColumn("p_ppm", expr("(cv * 1000000) div _tot"))
           .select(col("c_mktsegment"), col("p_ppm"))
         val gv = qi.groupBy(col("c_nationkey"), col("bal_band"),
           col("c_mktsegment")).agg(count(lit(1)).as("cgv"))

@@ -139,6 +139,17 @@ class MultimodalSpec extends SparkSpec {
     val longDecl = wav(fmt(16) ++ "data".getBytes ++ le32(9999) ++
       samples.flatMap(le16).toArray)
     assert(WavPcmKernel.pcmStats(longDecl).getLong(0) == 7L)
+    // a NON-data chunk declaring a huge size (near Int.MaxValue) must
+    // bail to all-null, not wrap the offset negative and throw (the
+    // r12 ADVICE overflow: 8 + sz + pad overflows Int)
+    val hugeChunk = wav(fmt(16) ++ "junk".getBytes ++
+      le32(0x7ffffff8) ++ Array.fill(4)(1.toByte) ++ data)
+    assert(WavPcmKernel.pcmStats(hugeChunk).isNullAt(0))
+    // same bail for a merely-truncated non-data chunk (declared size
+    // larger than the remaining buffer)
+    val truncChunk = wav(fmt(16) ++ "junk".getBytes ++ le32(5000) ++
+      Array.fill(4)(1.toByte))
+    assert(WavPcmKernel.pcmStats(truncChunk).isNullAt(0))
     // 8-bit fmt, missing fmt, garbage, null → all-null rows
     assert(WavPcmKernel.pcmStats(wav(fmt(8) ++ data)).isNullAt(0))
     assert(WavPcmKernel.pcmStats(wav(data)).isNullAt(0))
