@@ -1,0 +1,367 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{CRC32, DataFormatException, Deflater, Inflater}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StructField, StructType}
+
+/** Native PNG pixel codec — the rung past [[MediaProbeKernel]]'s
+  * header probe: FULL pixel decode of non-interlaced 8-bit PNGs using
+  * only the JDK (`java.util.zip.Inflater` for the zlib stream) plus
+  * the five RFC-2083 scanline unfilters (None/Sub/Up/Average/Paeth —
+  * pure byte arithmetic), and the matching encoder
+  * (`java.util.zip.Deflater` + real CRC32 chunks) so pipelines can
+  * round-trip REAL compressed images end to end with zero external
+  * libraries. Only entropy-coded codec formats (JPEG's DCT/Huffman
+  * stack) genuinely need libraries this environment lacks.
+  *
+  * Supported: bit depth 8, color types 0 (gray, 1 channel),
+  * 2 (RGB, 3) and 6 (RGBA, 4), interlace 0. Anything else — and any
+  * truncated/garbage/undeflatable payload — decodes to null rather
+  * than erroring (the [[MediaProbeKernel]] garbage-rows contract; a
+  * 100 TB blob column always contains garbage). A decompression-bomb
+  * guard rejects images whose raw size exceeds 1 GiB before
+  * inflating: a 100-byte payload declaring a 2³¹-pixel IHDR must not
+  * OOM an executor.
+  *
+  * All chunk-walk offsets are range-checked against the buffer BEFORE
+  * advancing (the r12 RIFF overflow lesson applied from day one);
+  * chunk CRCs are deliberately not verified — bit-rot tolerance
+  * matters more than integrity checking in a bulk-scan operator, and
+  * a corrupt zlib stream still nulls out at inflate time.
+  */
+object PngDecodeKernel {
+
+  private val SIG = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+  private val MaxRawBytes = 1L << 30
+
+  /** Decoded image: width, height, channels, raw pixels
+    * (row-major, channel-interleaved). Internal carrier. */
+  private[graft] final case class Decoded(
+      width: Int, height: Int, channels: Int, pixels: Array[Byte])
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Full decode, or None for anything unsupported/garbage. */
+  private[graft] def decode(payload: Array[Byte]): Option[Decoded] = {
+    val b = if (payload == null) Array.emptyByteArray else payload
+    def u8(i: Int): Int = b(i) & 0xff
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) |
+        u8(i + 3)) & 0xffffffffL
+    if (b.length < 8 + 25) return None
+    var k = 0
+    while (k < 8) { if (u8(k) != SIG(k)) return None; k += 1 }
+
+    // chunk walk: IHDR first (mandated), concatenate IDATs, stop at
+    // IEND. Long offsets; every advance is pre-checked.
+    var i = 8L
+    var w = 0; var h = 0; var channels = 0
+    var sawIhdr = false
+    val idat = new ByteArrayOutputStream()
+    while (i + 8 <= b.length) {
+      val len = be32(i.toInt)
+      if (len > b.length - i - 12) return None // truncated chunk
+      val tag = new String(b, i.toInt + 4, 4, "US-ASCII")
+      val dataOff = i.toInt + 8
+      if (!sawIhdr) {
+        if (tag != "IHDR" || len != 13) return None
+        w = be32(dataOff).toInt; h = be32(dataOff + 4).toInt
+        val bitDepth = u8(dataOff + 8); val colorType = u8(dataOff + 9)
+        val compression = u8(dataOff + 10)
+        val filterMethod = u8(dataOff + 11)
+        val interlace = u8(dataOff + 12)
+        channels = colorType match {
+          case 0 => 1
+          case 2 => 3
+          case 6 => 4
+          case _ => return None // palette/gray-alpha out of scope
+        }
+        if (w <= 0 || h <= 0 || bitDepth != 8 || compression != 0 ||
+            filterMethod != 0 || interlace != 0) return None
+        val raw = (1L + w.toLong * channels) * h
+        if (raw > MaxRawBytes) return None // decompression bomb
+        sawIhdr = true
+      } else if (tag == "IDAT") {
+        idat.write(b, dataOff, len.toInt)
+      } else if (tag == "IEND") {
+        return inflateAndUnfilter(idat.toByteArray, w, h, channels)
+      }
+      i += 12 + len
+    }
+    None // ran off the buffer without IEND: truncated
+  }
+
+  private def inflateAndUnfilter(z: Array[Byte], w: Int, h: Int,
+      ch: Int): Option[Decoded] = {
+    val stride = w * ch
+    val expected = h * (1 + stride)
+    val raw = new Array[Byte](expected)
+    val inf = new Inflater()
+    inf.setInput(z)
+    var off = 0
+    try {
+      while (off < expected && !inf.finished()) {
+        val n = inf.inflate(raw, off, expected - off)
+        // no progress and not finished: truncated IDAT (needsInput)
+        // or a preset-dictionary stream (never valid in PNG) — null
+        if (n == 0) return None
+        off += n
+      }
+    } catch { case _: DataFormatException => return None }
+    finally inf.end()
+    if (off < expected) return None
+
+    val px = new Array[Byte](h * stride)
+    var r = 0
+    while (r < h) {
+      val ft = raw(r * (1 + stride)) & 0xff
+      if (ft > 4) return None
+      var x = 0
+      while (x < stride) {
+        val f = raw(r * (1 + stride) + 1 + x) & 0xff
+        val left = if (x >= ch) px(r * stride + x - ch) & 0xff else 0
+        val up = if (r > 0) px((r - 1) * stride + x) & 0xff else 0
+        val ul = if (r > 0 && x >= ch) px((r - 1) * stride + x - ch) & 0xff
+          else 0
+        val recon = ft match {
+          case 0 => f
+          case 1 => f + left
+          case 2 => f + up
+          case 3 => f + ((left + up) >> 1)
+          case 4 => f + paeth(left, up, ul)
+        }
+        px(r * stride + x) = (recon & 0xff).toByte
+        x += 1
+      }
+      r += 1
+    }
+    Some(Decoded(w, h, ch, px))
+  }
+
+  /** Raw decoded pixels (row-major, channel-interleaved), or null. */
+  def decodePixels(payload: Array[Byte]): Array[Byte] =
+    decode(payload).map(_.pixels).orNull
+
+  private def nullStats =
+    new GenericInternalRow(
+      Array[Any](null, null, null, null, null, null, null, null))
+
+  /** Per-pixel luma in MILLI units (299·R + 587·G + 114·B for color;
+    * 1000·V for gray) — exact integers both engines replay. */
+  private def lumaMilli(d: Decoded, r: Int, c: Int): Long = {
+    val base = (r * d.width + c) * d.channels
+    if (d.channels == 1) 1000L * (d.pixels(base) & 0xff)
+    else 299L * (d.pixels(base) & 0xff) +
+      587L * (d.pixels(base + 1) & 0xff) +
+      114L * (d.pixels(base + 2) & 0xff)
+  }
+
+  /** Pixel statistics from a REAL compressed PNG:
+    * `(width, height, channels, n_pixels, sum_c0, sum_c1, sum_c2,
+    * sum_luma_milli)` — channel sums over the decoded bytes (alpha
+    * never summed; c1/c2 null for grayscale), total luma in exact
+    * milli units. All-null for undecodable payloads.
+    */
+  def pngStats(payload: Array[Byte]): InternalRow =
+    decode(payload) match {
+      case None => nullStats
+      case Some(d) =>
+        var s0 = 0L; var s1 = 0L; var s2 = 0L; var luma = 0L
+        val n = d.width * d.height
+        var p = 0
+        while (p < n) {
+          val base = p * d.channels
+          val v0 = d.pixels(base) & 0xff
+          s0 += v0
+          if (d.channels >= 3) {
+            val v1 = d.pixels(base + 1) & 0xff
+            val v2 = d.pixels(base + 2) & 0xff
+            s1 += v1; s2 += v2
+            luma += 299L * v0 + 587L * v1 + 114L * v2
+          } else luma += 1000L * v0
+          p += 1
+        }
+        new GenericInternalRow(Array[Any](
+          d.width.toLong, d.height.toLong, d.channels.toLong, n.toLong,
+          s0,
+          if (d.channels >= 3) s1 else null,
+          if (d.channels >= 3) s2 else null,
+          luma))
+    }
+
+  /** 60-bit perceptual dHash over the DECODED pixels (the repo
+    * hash-width discipline — bit 63 would flip the BIGINT sign): a
+    * 11×6 nearest-neighbor luma sample grid — sample (gx, gy) reads
+    * the pixel at column `(gx·w) div 11`, row `(gy·h) div 6` — and
+    * bit `gy·10 + gx` is set when the RIGHT neighbor sample is
+    * brighter. Nearest-neighbor (not average-pool) so an exact-SQL
+    * oracle can replay every sampled coordinate; gradient direction
+    * is what dHash keys on either way. Null for undecodable bytes.
+    */
+  def dhash60(payload: Array[Byte]): java.lang.Long =
+    decode(payload) match {
+      case None => null
+      case Some(d) =>
+        var bits = 0L
+        var gy = 0
+        while (gy < 6) {
+          val r = gy * d.height / 6
+          var gx = 0
+          while (gx < 10) {
+            val c0 = gx * d.width / 11
+            val c1 = (gx + 1) * d.width / 11
+            if (lumaMilli(d, r, c1) > lumaMilli(d, r, c0))
+              bits |= 1L << (gy * 10 + gx)
+            gx += 1
+          }
+          gy += 1
+        }
+        java.lang.Long.valueOf(bits)
+    }
+}
+
+/** PNG writer — the construct half of the parse∘construct oracle
+  * discipline (q306 style), and a real operator in its own right:
+  * raw pixels in, a genuine deflated PNG out, per-scanline filter
+  * type `row mod 5` so every encoded image exercises ALL five RFC-2083
+  * filters on the way back in. Real zlib stream (Deflater), real
+  * CRC32 chunk trailers.
+  */
+object PngEncodeKernel {
+
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+    val tb = tag.getBytes("US-ASCII")
+    val crc = new CRC32()
+    crc.update(tb); crc.update(data)
+    be32(data.length.toLong) ++ tb ++ data ++ be32(crc.getValue)
+  }
+
+  /** Encode `pixels` (row-major, channel-interleaved; length must be
+    * exactly width·height·channels) as a non-interlaced 8-bit PNG.
+    * channels 1 → color type 0, 3 → 2, 4 → 6. Null on any argument
+    * violation (nullable column in, nullable column out).
+    */
+  def encode(width: Int, height: Int, channels: Int,
+      pixels: Array[Byte]): Array[Byte] = {
+    val colorType = channels match {
+      case 1 => 0; case 3 => 2; case 4 => 6; case _ => return null
+    }
+    if (width <= 0 || height <= 0 || pixels == null ||
+        pixels.length.toLong != width.toLong * height * channels ||
+        width.toLong * height * channels > (1L << 30)) return null
+    val ch = channels
+    val stride = width * ch
+    val raw = new Array[Byte](height * (1 + stride))
+    var r = 0
+    while (r < height) {
+      val ft = r % 5
+      raw(r * (1 + stride)) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = pixels(r * stride + x) & 0xff
+        val left = if (x >= ch) pixels(r * stride + x - ch) & 0xff else 0
+        val up = if (r > 0) pixels((r - 1) * stride + x) & 0xff else 0
+        val ul = if (r > 0 && x >= ch)
+          pixels((r - 1) * stride + x - ch) & 0xff else 0
+        val f = ft match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - ((left + up) >> 1)
+          case 4 => cur - paeth(left, up, ul)
+        }
+        raw(r * (1 + stride) + 1 + x) = (f & 0xff).toByte
+        x += 1
+      }
+      r += 1
+    }
+    val defl = new Deflater()
+    defl.setInput(raw); defl.finish()
+    val out = new ByteArrayOutputStream(raw.length / 2 + 32)
+    val tmp = new Array[Byte](4096)
+    while (!defl.finished()) out.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a,
+      0x1a, 0x0a)
+    val ihdr = be32(width.toLong) ++ be32(height.toLong) ++
+      Array[Byte](8, colorType.toByte, 0, 0, 0)
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+}
+
+/** Column API over the PNG kernels — codegen-bridged StaticInvoke
+  * expressions, no UDF registration (the [[MediaProbe]] convention).
+  */
+object Png {
+
+  private val statsType = StructType(Seq(
+    StructField("width", LongType, nullable = true),
+    StructField("height", LongType, nullable = true),
+    StructField("channels", LongType, nullable = true),
+    StructField("n_pixels", LongType, nullable = true),
+    StructField("sum_c0", LongType, nullable = true),
+    StructField("sum_c1", LongType, nullable = true),
+    StructField("sum_c2", LongType, nullable = true),
+    StructField("sum_luma_milli", LongType, nullable = true)))
+
+  /** `struct(width, height, channels, n_pixels, sum_c0, sum_c1,
+    * sum_c2, sum_luma_milli)` decoded from a real PNG blob. */
+  def pngStats(payload: Column): Column =
+    ColumnBridge.column(StaticInvoke(
+      PngDecodeKernel.getClass, statsType, "pngStats",
+      Seq(ColumnBridge.expression(payload)),
+      inputTypes = Seq(BinaryType),
+      propagateNull = false, returnNullable = false))
+
+  /** Raw decoded pixel bytes (null for undecodable payloads). */
+  def pngPixels(payload: Column): Column =
+    ColumnBridge.column(StaticInvoke(
+      PngDecodeKernel.getClass, BinaryType, "decodePixels",
+      Seq(ColumnBridge.expression(payload)),
+      inputTypes = Seq(BinaryType),
+      propagateNull = false, returnNullable = true))
+
+  /** 60-bit pixel dHash (null for undecodable payloads). */
+  def pngDhash60(payload: Column): Column =
+    ColumnBridge.column(StaticInvoke(
+      PngDecodeKernel.getClass, LongType, "dhash60",
+      Seq(ColumnBridge.expression(payload)),
+      inputTypes = Seq(BinaryType),
+      propagateNull = false, returnNullable = true))
+
+  /** Real deflated PNG bytes from raw pixels (see
+    * [[PngEncodeKernel.encode]]). */
+  def pngEncode(width: Column, height: Column, channels: Column,
+      pixels: Column): Column =
+    ColumnBridge.column(StaticInvoke(
+      PngEncodeKernel.getClass, BinaryType, "encode",
+      Seq(ColumnBridge.expression(width.cast("int")),
+        ColumnBridge.expression(height.cast("int")),
+        ColumnBridge.expression(channels.cast("int")),
+        ColumnBridge.expression(pixels)),
+      inputTypes = Seq(IntegerType, IntegerType, IntegerType, BinaryType),
+      propagateNull = true, returnNullable = true))
+}
