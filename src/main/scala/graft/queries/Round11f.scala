@@ -25,13 +25,8 @@ object Round11f {
   private val scoresReg = new graft.core.ArtifactRegistry()
   private def docQueryScores0(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val docs = t("documents")(s, dir)
-    val qdf = docs.where(col("doc_id") % 20 === 0)
-      .select(col("doc_id").as("query_id"),
-        array_join(slice(TextOps.words(col("text")), 1, 5), " ")
-          .as("qtext"))
-    Retrieval.bm25ScoresFrame(docs, "doc_id", "text", qdf,
-      tf = Some(Round9b.sharedTf(s, dir)))
+    Retrieval.bm25ScoresFrame(t("documents")(s, dir), "doc_id", "text",
+      docQueryBatch(s, dir), tf = Some(Round9b.sharedTf(s, dir)))
   }
   private[queries] def buildDocQueryScores(
       s: org.apache.spark.sql.SparkSession, dir: String)
@@ -41,6 +36,82 @@ object Round11f {
       s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
     scoresReg.getOrBuild(s, dir)(docQueryScores0(s, dir))
+
+  /** The q274-family query batch `(query_id, qtext)` — doc_id%20=0,
+    * first 5 words. Shared by the ad-hoc (q274) and on-disk-index
+    * (q321) metric rows so both rank the SAME workload. */
+  private[queries] def docQueryBatch(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.load(s, dir, "documents").where(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(TextOps.words(col("text")), 1, 5), " ")
+          .as("qtext"))
+
+  /** Pseudo-relevance truth for the q274 family: docs sharing ≥4 of
+    * the query's distinct words, derived from the shared TF artifact
+    * (zero extra corpus passes). */
+  private[queries] def docQueryTruth(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val qw = docQueryBatch(s, dir).select(col("query_id"),
+      explode(TextOps.words(col("qtext"))).as("word")).distinct()
+    val dw = Round9b.sharedTf(s, dir).select(col("doc_id"), col("word"))
+    qw.join(dw, "word")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("ov"))
+      .where(col("ov") >= 4)
+      .select(col("query_id"), col("doc_id"))
+  }
+
+  /** q274's oracle — ALSO the oracle of the indexed twin q321 (the
+    * deployment read path must produce bit-identical metrics). */
+  private[queries] val retrievalMetricsOracle: String =
+    s"""WITH ${Retrieval.bm25OracleCtesQr(
+         """qr(query_id, qtext) AS (SELECT doc_id,
+           |  array_to_string(list_filter(string_split_regex(
+           |    lower(text), '\s+'), x -> len(x) > 0)[1:5], ' ')
+           |  FROM documents WHERE doc_id % 20 = 0)"""
+           .stripMargin, 1.2, 0.75)},
+      |rk AS (SELECT query_id, doc_id, ROW_NUMBER() OVER (
+      |    PARTITION BY query_id ORDER BY score DESC, doc_id)
+      |    AS rank FROM sc),
+      |tk AS (SELECT * FROM rk WHERE rank <= 10),
+      |dw AS (SELECT DISTINCT doc_id, word FROM tf),
+      |trh AS (SELECT qt.query_id, dw.doc_id FROM qt
+      |  JOIN dw USING (word) GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 4),
+      |nr AS (SELECT query_id, CAST(COUNT(*) AS BIGINT)
+      |    AS n_rel FROM trh GROUP BY 1),
+      |${Eval.ndcgOracleCtes(10)},
+      |ht AS (SELECT tk.query_id, tk.rank FROM tk
+      |  JOIN trh ON tk.query_id = trh.query_id
+      |    AND tk.doc_id = trh.doc_id),
+      |pq AS (SELECT ht.query_id,
+      |    CAST(COUNT(*) AS BIGINT) AS hits_at_k,
+      |    CAST(MIN(ht.rank) AS BIGINT) AS fr,
+      |    CAST(SUM(dt.w) AS BIGINT) AS dcg
+      |  FROM ht JOIN dt ON ht.rank = dt.r GROUP BY 1),
+      |qs AS (SELECT DISTINCT query_id FROM rk),
+      |fin AS (SELECT qs.query_id,
+      |    COALESCE(nr.n_rel, 0) AS n_rel,
+      |    COALESCE(pq.hits_at_k, 0) AS hits_at_k, pq.fr,
+      |    COALESCE(pq.dcg, 0) AS dcg_micro
+      |  FROM qs LEFT JOIN nr USING (query_id)
+      |  LEFT JOIN pq USING (query_id))
+      |SELECT fin.query_id, fin.n_rel, fin.hits_at_k,
+      |  CAST(CASE WHEN fin.fr IS NULL THEN 0
+      |    ELSE 1000000 // fin.fr END AS BIGINT) AS rr_micro,
+      |  CAST((1000000 * fin.hits_at_k) // 10 AS BIGINT)
+      |    AS precision_ppm,
+      |  CAST(CASE WHEN fin.n_rel > 0
+      |    THEN (1000000 * fin.hits_at_k) // fin.n_rel
+      |    ELSE 0 END AS BIGINT) AS recall_ppm,
+      |  fin.dcg_micro,
+      |  CAST(CASE WHEN fin.n_rel > 0
+      |    THEN (1000000 * fin.dcg_micro) // it.idcg
+      |    ELSE 0 END AS BIGINT) AS ndcg_ppm
+      |FROM fin LEFT JOIN it
+      |  ON it.n = LEAST(GREATEST(fin.n_rel, 1), 10)
+      |ORDER BY fin.query_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -56,77 +127,17 @@ object Round11f {
     // (Eval.ndcgDiscountMicro) on both sides, so no float exists.
     QueryDef("q274_retrieval_metrics",
       (s, dir) => {
-        val docs = t("documents")(s, dir)
-        val qdf = docs.where(col("doc_id") % 20 === 0)
-          .select(col("doc_id").as("query_id"),
-            array_join(slice(TextOps.words(col("text")), 1, 5), " ")
-              .as("qtext"))
         // the q115 shared TF artifact serves BOTH arms: the BM25
         // posting lists and the distinct (doc, word) truth frame —
         // zero extra corpus passes in this row. The scored frame is
         // ITSELF the shared q274/q314 artifact (built here, q314
         // ranks the same scores self-excluded).
-        val tf = Round9b.sharedTf(s, dir)
         val ranked = Retrieval.topKFromScores(
           buildDocQueryScores(s, dir), k = 10)
-        val qw = qdf.select(col("query_id"),
-          explode(TextOps.words(col("qtext"))).as("word")).distinct()
-        val dw = tf.select(col("doc_id"), col("word"))
-        val truth = qw.join(dw, "word")
-          .groupBy(col("query_id"), col("doc_id"))
-          .agg(count(lit(1)).as("ov"))
-          .where(col("ov") >= 4)
-          .select(col("query_id"), col("doc_id"))
-        Eval.retrievalMetrics(ranked, truth, k = 10)
+        Eval.retrievalMetrics(ranked, docQueryTruth(s, dir), k = 10)
           .orderBy(col("query_id"))
       },
-      Some(s"""WITH ${Retrieval.bm25OracleCtesQr(
-                 """qr(query_id, qtext) AS (SELECT doc_id,
-                   |  array_to_string(list_filter(string_split_regex(
-                   |    lower(text), '\s+'), x -> len(x) > 0)[1:5], ' ')
-                   |  FROM documents WHERE doc_id % 20 = 0)"""
-                   .stripMargin, 1.2, 0.75)},
-              |rk AS (SELECT query_id, doc_id, ROW_NUMBER() OVER (
-              |    PARTITION BY query_id ORDER BY score DESC, doc_id)
-              |    AS rank FROM sc),
-              |tk AS (SELECT * FROM rk WHERE rank <= 10),
-              |dw AS (SELECT DISTINCT doc_id, word FROM tf),
-              |trh AS (SELECT qt.query_id, dw.doc_id FROM qt
-              |  JOIN dw USING (word) GROUP BY 1, 2
-              |  HAVING COUNT(*) >= 4),
-              |nr AS (SELECT query_id, CAST(COUNT(*) AS BIGINT)
-              |    AS n_rel FROM trh GROUP BY 1),
-              |${Eval.ndcgOracleCtes(10)},
-              |ht AS (SELECT tk.query_id, tk.rank FROM tk
-              |  JOIN trh ON tk.query_id = trh.query_id
-              |    AND tk.doc_id = trh.doc_id),
-              |pq AS (SELECT ht.query_id,
-              |    CAST(COUNT(*) AS BIGINT) AS hits_at_k,
-              |    CAST(MIN(ht.rank) AS BIGINT) AS fr,
-              |    CAST(SUM(dt.w) AS BIGINT) AS dcg
-              |  FROM ht JOIN dt ON ht.rank = dt.r GROUP BY 1),
-              |qs AS (SELECT DISTINCT query_id FROM rk),
-              |fin AS (SELECT qs.query_id,
-              |    COALESCE(nr.n_rel, 0) AS n_rel,
-              |    COALESCE(pq.hits_at_k, 0) AS hits_at_k, pq.fr,
-              |    COALESCE(pq.dcg, 0) AS dcg_micro
-              |  FROM qs LEFT JOIN nr USING (query_id)
-              |  LEFT JOIN pq USING (query_id))
-              |SELECT fin.query_id, fin.n_rel, fin.hits_at_k,
-              |  CAST(CASE WHEN fin.fr IS NULL THEN 0
-              |    ELSE 1000000 // fin.fr END AS BIGINT) AS rr_micro,
-              |  CAST((1000000 * fin.hits_at_k) // 10 AS BIGINT)
-              |    AS precision_ppm,
-              |  CAST(CASE WHEN fin.n_rel > 0
-              |    THEN (1000000 * fin.hits_at_k) // fin.n_rel
-              |    ELSE 0 END AS BIGINT) AS recall_ppm,
-              |  fin.dcg_micro,
-              |  CAST(CASE WHEN fin.n_rel > 0
-              |    THEN (1000000 * fin.dcg_micro) // it.idcg
-              |    ELSE 0 END AS BIGINT) AS ndcg_ppm
-              |FROM fin LEFT JOIN it
-              |  ON it.n = LEAST(GREATEST(fin.n_rel, 1), 10)
-              |ORDER BY fin.query_id""".stripMargin)),
+      Some(retrievalMetricsOracle)),
 
     // ---- daily-series autocorrelation at lags 1..7, exact signed
     // ppm via the n²-cross-multiplied deviation formula (n·x_t − S)

@@ -187,5 +187,80 @@ object Round13 {
              |  ON a.band = b.band AND a.bv = b.bv
              |  AND a.doc_id < b.doc_id)
              |SELECT da, db, hamming FROM cand
-             |WHERE hamming <= 10 ORDER BY da, db""".stripMargin)))
+             |WHERE hamming <= 10 ORDER BY da, db""".stripMargin)),
+
+    // ---- retrieval metrics over the ON-DISK index — the q274 family
+    // finally exercising the deployment read path end to end: build
+    // the impact index from the shared TF, persist it word-bucket-
+    // partitioned (writeBm25Index), then rank the SAME doc-as-query
+    // batch through the driver-coordinated max-score plan
+    // (bm25TopKPrunedFromIndex: partition-pruned posting reads,
+    // query-batch-bounded driver state) and score P@10/MRR/nDCG
+    // against the same pseudo-relevance truth. Oracle = q274's,
+    // VERBATIM: the green hash proves the persisted-index pruned read
+    // path produces metrics bit-identical to the ad-hoc shared-frame
+    // path. (The query batch collects driver-side — |docs|/20 rows,
+    // the documented driver-frame contract of the WAND coordinator.)
+    QueryDef("q321_retrieval_metrics_indexed",
+      (s, dir) => {
+        val dirKey = try new java.io.File(dir).getCanonicalPath
+          catch { case _: Throwable => dir }
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(dirKey.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16) + "_" +
+          java.lang.ProcessHandle.current().pid()
+        val outDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_q321_bm25idx_$tag")
+        Round5.registerScratchCleanup(outDir)
+        val idx = graft.operators.Retrieval.bm25Index(
+          t("documents")(s, dir), "doc_id", "text",
+          tf = Some(Round9b.sharedTf(s, dir)))
+        graft.operators.Retrieval.writeBm25Index(idx,
+          outDir.getAbsolutePath, wordBuckets = 16)
+        val batch = Round11f.docQueryBatch(s, dir)
+          .collect().map(r => (r.getLong(0).toInt, r.getString(1)))
+          .toSeq
+        val ranked = graft.operators.Retrieval.bm25TopKPrunedFromIndex(
+          s, outDir.getAbsolutePath, batch, k = 10)
+        graft.operators.Eval.retrievalMetrics(ranked,
+            Round11f.docQueryTruth(s, dir), k = 10)
+          .orderBy(col("query_id"))
+      },
+      Some(Round11f.retrievalMetricsOracle)),
+
+    // ---- streaming per-group heavy hitters, batch twin (the q272
+    // discipline applied to the frequency family): the SAME pipeline
+    // shape the streaming arm runs — event-time tumbling day windows,
+    // per-(window, event_type) Misra-Gries candidates, exact-count
+    // verify ([[EventStreams.heavyHitterCandidates]] is the
+    // incremental half; EventStreamsSpec pins the micro-batch merge
+    // parity) — computed in batch and gated by a plain exact-count
+    // oracle. Capacity 4096 ≥ per-group user cardinality, so the MG
+    // candidate set is provably exact and the top-3 deterministic.
+    QueryDef("q322_stream_heavy_hitters_twin",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t("events")(s, dir)
+          .select(window(col("ts"), "1 day")("start").cast("date")
+            .as("day"), col("event_type"), col("user_id"))
+        val counts = graft.operators.Freq.heavyHitterCountsBy(
+          ev, Seq("day", "event_type"), "user_id", capacity = 4096)
+        val w = Window.partitionBy(col("day"), col("event_type"))
+          .orderBy(col("n_rows").desc, col("user_id"))
+        counts.withColumn("rank", row_number().over(w).cast("bigint"))
+          .where(col("rank") <= 3)
+          .orderBy(col("day"), col("event_type"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT CAST(date_trunc('day', ts) AS DATE)
+             |    AS day, event_type, user_id FROM events),
+             |c AS (SELECT day, event_type, user_id,
+             |    CAST(COUNT(*) AS BIGINT) AS n_rows
+             |  FROM e GROUP BY 1, 2, 3),
+             |r AS (SELECT *, row_number() OVER (
+             |    PARTITION BY day, event_type
+             |    ORDER BY n_rows DESC, user_id) AS rank FROM c)
+             |SELECT day, event_type, user_id, n_rows,
+             |  CAST(rank AS BIGINT) AS rank
+             |FROM r WHERE rank <= 3
+             |ORDER BY day, event_type, rank""".stripMargin)))
 }

@@ -126,6 +126,32 @@ object EventStreams {
       .select(col("window.start").as("bucket_start"), col("n"),
         col("total_value"))
 
+  /** Streaming per-group heavy-hitter CANDIDATES — the incremental arm
+    * of [[graft.operators.Freq.heavyHitterCountsBy]]: per
+    * watermark-bounded event-time window and group, the Misra-Gries
+    * candidate set of `keyCol` maintained incrementally (the
+    * TypedImperativeAggregate's buffer lives in the state store and
+    * each micro-batch MERGES into it — MG merge is associative and
+    * the coverage guarantee is merge-order-independent, so any key
+    * with share > 1/(capacity+1) of a (window, group)'s rows is in
+    * the final set no matter how arrivals were batched). Update mode:
+    * each trigger re-emits the groups it touched; read the LAST row
+    * per (window, group). The exact-count verification join is a
+    * batch pass over the emitted candidates (the lambda shape:
+    * sketch online, verify offline — EventStreamsSpec pins
+    * stream-final candidates ≡ the batch operator's on the same
+    * rows).
+    */
+  def heavyHitterCandidates(events: DataFrame, windowDur: String,
+      watermark: String, groupCol: String, keyCol: String,
+      capacity: Int): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col(groupCol))
+      .agg(graft.functions.SketchAggs.misraGries(
+        col(keyCol).cast("long"), capacity).as("candidates"))
+      .select(col("window.start").as("bucket_start"), col(groupCol),
+        col("candidates"))
+
   /** Declarative gap-based sessions via `session_window` — Spark merges
     * overlapping per-event windows into sessions natively; state per key
     * is bounded by the watermark.

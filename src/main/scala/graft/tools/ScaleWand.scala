@@ -123,6 +123,31 @@ object ScaleWand {
               queries, k = 10, thetaExact = false))
           }
         }
+      // doc-as-query workload arm (the q274-vs-q321 decision): the
+      // ad-hoc path scores the whole batch against the corpus in ONE
+      // shared-frame pass (cost ~ batch × matched postings, one
+      // shuffle); the on-disk pruned path pays per-batch coordinator
+      // reads but touches only essential terms' partitions. Measure
+      // where the indexed path overtakes as the query batch grows.
+      Seq(8, 32, 128).foreach { qb =>
+        val stride = math.max(n / qb, 1)
+        val qdf = docs.where(pmod(col("doc_id"), lit(stride)) === 0)
+          .limit(qb)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(split(col("text"), " "), 1, 4), " ")
+              .as("qtext")).localCheckpoint()
+        val batch = qdf.collect()
+          .map(r => (r.getLong(0).toInt, r.getString(1))).toSeq
+        time(s"[docq] ad-hoc shared-frame qb=$qb n=$n") {
+          noop(Retrieval.topKFromScores(
+            Retrieval.bm25ScoresFrame(docs, "doc_id", "text", qdf,
+              tf = Some(tf)), 10))
+        }
+        time(s"[docq] on-disk pruned qb=$qb n=$n") {
+          noop(Retrieval.bm25TopKPrunedFromIndex(spark, idxDir, batch,
+            k = 10))
+        }
+      }
       org.apache.commons.io.FileUtils
         .deleteQuietly(new java.io.File(idxDir))
     }

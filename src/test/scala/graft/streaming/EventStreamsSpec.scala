@@ -49,6 +49,50 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("heavyHitterCandidates: per-group MG buffers merge across " +
+      "micro-batches; final candidates cover every truly-heavy key") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val agg = EventStreams.heavyHitterCandidates(in.toDF(),
+      "1 hour", "10 minutes", "event_type", "user_id", capacity = 3)
+    val q = agg.writeStream.format("memory").queryName("hh")
+      .outputMode(OutputMode.Update).start()
+    // clicks: user 7 heavy (9 rows of 16 > 16/4), users 20..26 tail
+    // spread across batches so the heavy count ACCRUES through the
+    // state-store merge rather than landing in one batch; views:
+    // user 9 heavy in its own group (never diluted by click volume)
+    val clicks = (1 to 9).map(i => ev(i, i.toLong, user = 7)) ++
+      (20 to 26).map(i => ev(i, (i % 50).toLong, user = i.toLong))
+    val views = (40 to 44).map(i =>
+      ev(i, (i % 50).toLong, user = 9, typ = "view")) ++
+      Seq(ev(45, 3, user = 30, typ = "view"))
+    val all = (clicks ++ views).sortBy(_.event_id)
+    try {
+      all.grouped(6).foreach { batch =>
+        in.addData(batch: _*); q.processAllAvailable()
+      }
+      // last update per (bucket, group) is the final state
+      val fin = spark.table("hh")
+        .groupBy("bucket_start", "event_type")
+        .agg(last(col("candidates")).as("candidates"))
+        .collect()
+        .map(r => r.getString(1) -> r.getSeq[Long](2)).toMap
+      assert(fin("click").size <= 3 && fin("view").size <= 3)
+      // coverage guarantee per group: share > 1/(cap+1) ⇒ candidate
+      assert(fin("click").contains(7L), s"click cands ${fin("click")}")
+      assert(fin("view").contains(9L), s"view cands ${fin("view")}")
+      // lambda verify half: exact counts over the same rows confirm
+      // the streamed candidates cover the true per-group top keys
+      val batchDf = all.toDF()
+      val exact = graft.operators.Freq.heavyHitterCountsBy(
+        batchDf.withColumn("user_id", col("user_id")),
+        Seq("event_type"), "user_id", capacity = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(exact.contains(("click", 7L)) && exact.contains(("view", 9L)))
+    } finally q.stop()
+  }
+
   test("sessionizeStateful closes sessions on gap and on watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
