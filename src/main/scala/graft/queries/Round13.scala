@@ -35,6 +35,90 @@ object Round13 {
     unhex(array_join(
       transform(sequence(lit(0L), n - 1), i => pxHex(i, off)), ""))
 
+  /** Unigram-LM oracle building blocks (q323/q324): one hard-EM
+    * iteration `n` reading piece counts from CTE `src` — piece
+    * log-probs (rounded-ln micro), the word-position edge lattice,
+    * Viterbi via recursive path enumeration (31 distinct words of
+    * length ≤ 8: ≤ 56 segmentations each), the argmax-chosen edges
+    * with the kernel's exact tiebreak (score desc, start asc), the
+    * recursive backtrack, and the re-estimated counts with the
+    * character-coverage fallback.
+    */
+  private def unigramEmBlock(n: Int, src: String): String =
+    s"""lp$n AS MATERIALIZED (SELECT piece, cnt,
+       |    CAST(CAST(round(ln(cnt / tot), 6) AS DECIMAL(20,6))
+       |      * 1000000 AS BIGINT) AS lp
+       |  FROM $src, (SELECT SUM(cnt) AS tot FROM $src) t$n),
+       |ed$n AS MATERIALIZED (SELECT p.word, p.freq, p.i, p.l, q.lp FROM posl p
+       |  JOIN lp$n q ON substr(p.word, CAST(p.i AS INT),
+       |    CAST(p.l AS INT)) = q.piece),
+       |v${n}p(word, j, score) AS (
+       |  SELECT word, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM wf
+       |  UNION ALL
+       |  SELECT e.word, e.i - 1 + e.l, v${n}p.score + e.lp
+       |  FROM v${n}p JOIN ed$n e ON e.word = v${n}p.word
+       |    AND e.i = v${n}p.j + 1),
+       |v$n AS MATERIALIZED (SELECT word, j, MAX(score) AS best FROM v${n}p
+       |  GROUP BY 1, 2),
+       |ch$n AS MATERIALIZED (SELECT word, j, i, l FROM (
+       |    SELECT e.word, e.i - 1 + e.l AS j, e.i, e.l,
+       |      ROW_NUMBER() OVER (PARTITION BY e.word, e.i - 1 + e.l
+       |        ORDER BY (vb.best + e.lp) DESC, e.i) AS rn
+       |    FROM ed$n e JOIN v$n vb ON vb.word = e.word
+       |      AND vb.j = e.i - 1)
+       |  WHERE rn = 1),
+       |bt$n(word, j) AS (
+       |  SELECT word, CAST(len(word) AS BIGINT) FROM wf
+       |  UNION ALL
+       |  SELECT c.word, CAST(c.i - 1 AS BIGINT) FROM bt$n
+       |  JOIN ch$n c ON c.word = bt$n.word AND c.j = bt$n.j
+       |  WHERE bt$n.j > 0),
+       |seg$n AS MATERIALIZED (SELECT b.word, c.i, c.l,
+       |    substr(b.word, CAST(c.i AS INT), CAST(c.l AS INT)) AS piece
+       |  FROM bt$n b JOIN ch$n c ON c.word = b.word AND c.j = b.j),
+       |use$n AS MATERIALIZED (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM seg$n s JOIN wf USING (word) GROUP BY 1),
+       |em$n AS MATERIALIZED (SELECT piece, cnt FROM use$n
+       |  UNION ALL
+       |  SELECT a.piece, CAST(1 AS BIGINT) FROM alpha a
+       |  WHERE a.piece NOT IN (SELECT piece FROM use$n))"""
+      .stripMargin
+
+  /** Shared prefix: word freqs, the position lattice, the alphabet,
+    * seed piece counts, EM iteration 1, the vocabSize prune, EM
+    * iteration 2, and the final log-prob table lpF — the verbatim
+    * replay of [[graft.operators.Unigram.train]](maxLen=4,
+    * vocabSize=60, emIters=2). */
+  private def unigramCtes(maxLen: Int, vocabSize: Int): String =
+    s"""wf AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(list_filter(string_split_regex(lower(text),
+       |      '\\s+'), x -> len(x) > 0)) AS word FROM documents)
+       |  GROUP BY 1),
+       |posl AS MATERIALIZED (SELECT word, freq, i, unnest(generate_series(1,
+       |      LEAST($maxLen, CAST(len(word) AS BIGINT) - i + 1))) AS l
+       |  FROM (SELECT word, freq, unnest(generate_series(1,
+       |      CAST(len(word) AS BIGINT))) AS i FROM wf)),
+       |alpha AS MATERIALIZED (SELECT DISTINCT substr(word, CAST(i AS INT), 1)
+       |    AS piece FROM posl),
+       |p0 AS MATERIALIZED (SELECT substr(word, CAST(i AS INT), CAST(l AS INT))
+       |    AS piece, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM posl GROUP BY 1),
+       |${unigramEmBlock(1, "p0")},
+       |pr AS MATERIALIZED (SELECT piece, cnt FROM em1 WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt,
+       |      ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rn,
+       |      (SELECT COUNT(*) FROM em1 WHERE len(piece) = 1) AS ns
+       |    FROM em1 WHERE len(piece) > 1)
+       |  WHERE rn <= $vocabSize - ns),
+       |${unigramEmBlock(2, "pr")},
+       |lpF AS MATERIALIZED (SELECT piece, cnt,
+       |    CAST(CAST(round(ln(cnt / tot), 6) AS DECIMAL(20,6))
+       |      * 1000000 AS BIGINT) AS lp_micro
+       |  FROM em2, (SELECT SUM(cnt) AS tot FROM em2) tf2)"""
+      .stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- PNG pixel round-trip, hash-gated parse∘construct (the q306
@@ -262,5 +346,51 @@ object Round13 {
              |SELECT day, event_type, user_id, n_rows,
              |  CAST(rank AS BIGINT) AS rank
              |FROM r WHERE rank <= 3
-             |ORDER BY day, event_type, rank""".stripMargin)))
+             |ORDER BY day, event_type, rank""".stripMargin)),
+
+    // ---- unigram-LM tokenizer TRAINING (Kudo 2018 — the
+    // SentencePiece unigram model, the BPE family's EM-based sibling):
+    // seed every ≤4-char substring of the distinct vocabulary, two
+    // hard-EM iterations (Viterbi E-step via the native DP kernel,
+    // count M-step with the character-coverage fallback) with the
+    // Kudo shrink to 60 pieces between them. The oracle replays the
+    // ENTIRE loop — seed counts, rounded-ln micro log-probs, the
+    // Viterbi argmax with the exact (score desc, start asc) tiebreak
+    // via recursive path enumeration + backtrack CTEs, the prune
+    // window, both EM re-estimates — so the green hash pins every EM
+    // decision, not just the final vocabulary's shape.
+    QueryDef("q323_unigram_train",
+      (s, dir) => graft.operators.Unigram.train(
+          graft.operators.Bpe.wordFreq(t("documents")(s, dir), "text"),
+          maxPieceLen = 4, vocabSize = 60, emIters = 2)
+        .orderBy(col("piece")),
+      Some(s"""WITH RECURSIVE
+              |${unigramCtes(4, 60)}
+              |SELECT piece, cnt, lp_micro FROM lpF
+              |ORDER BY piece""".stripMargin)),
+
+    // ---- unigram-LM SEGMENTATION under the trained model (the
+    // serving half): Viterbi-tokenize every distinct vocabulary word
+    // with the q323 vocabulary —`(word, freq, seq, piece)` in path
+    // order. Oracle = a third Viterbi replay under the final
+    // log-probs. Character coverage guarantees a path for every word.
+    QueryDef("q324_unigram_segment",
+      (s, dir) => {
+        val wf = graft.operators.Bpe.wordFreq(
+          t("documents")(s, dir), "text")
+        val vocab = graft.operators.Unigram.train(
+          wf, maxPieceLen = 4, vocabSize = 60, emIters = 2)
+        graft.operators.Unigram.segmentWords(wf, vocab,
+            maxPieceLen = 4)
+          .orderBy(col("word"), col("seq"))
+      },
+      Some(s"""WITH RECURSIVE
+              |${unigramCtes(4, 60)},
+              |${unigramEmBlock(3, "em2")}
+              |SELECT s.word, wf.freq,
+              |  CAST(ROW_NUMBER() OVER (PARTITION BY s.word
+              |    ORDER BY s.i) AS BIGINT) AS seq,
+              |  s.piece
+              |FROM seg3 s JOIN wf USING (word)
+              |ORDER BY s.word, seq""".stripMargin)))
 }
