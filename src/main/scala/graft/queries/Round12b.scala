@@ -458,10 +458,16 @@ object Round12b {
     // ---- dedup threshold sweep from ONE ranked-shingle artifact —
     // the build-once/consume-every-threshold contract (q244/q66)
     // demonstrated as the decision report it exists for: pairs,
-    // removable docs (greedy higher-id rule), and removable bytes at
-    // 0.5/0.7/0.9, all consuming the SAME registered artifact. The
-    // curve a pipeline reads before committing a dedup threshold —
-    // without re-paying the shingle build per candidate threshold.
+    // removable docs and bytes at 0.5/0.7/0.9, all consuming the SAME
+    // registered artifact — under BOTH removal policies side by side:
+    // the greedy higher-id rule (cheap, but its removable SET can
+    // orphan evidence on chains) and the component-exact rule
+    // (union-find over the pair graph, keep the min-id doc per
+    // component, removable = Σ(size−1) — always ≥ greedy: every
+    // pair's higher id is a non-min member of its component, and a
+    // reversed star a~c, b~c adds b that greedy never sees). The
+    // curve a pipeline reads before committing a threshold AND a
+    // policy — without re-paying the shingle build per candidate.
     QueryDef("q318_dedup_threshold_sweep",
       (s, dir) => {
         val docs = t("documents")(s, dir)
@@ -472,19 +478,44 @@ object Round12b {
           val pairs = graft.operators.Dedup.jaccardPairsPrefix(
             docs, "doc_id", "text", n = 3,
             threshold = pct / 100.0, ranked = Some(ranked))
+            .localCheckpoint() // feeds greedy AND the component arm
           val dups = pairs.select(col("db")).distinct()
             .join(lens, Seq("db"))
             .agg(count(lit(1)).as("n_docs_removable"),
               coalesce(sum(col("n_chars")), lit(0L))
                 .as("chars_removable"))
+          val ccRem = graft.operators.Dedup.connectedComponents(
+              pairs.select(col("da"), col("db")),
+              docs.select(col("doc_id")), "doc_id")
+            .where(col("id") =!= col("cluster"))
+            .join(lens.withColumnRenamed("db", "id"), Seq("id"))
+            .agg(count(lit(1)).as("n_docs_removable_cc"),
+              coalesce(sum(col("n_chars")), lit(0L))
+                .as("chars_removable_cc"))
           pairs.agg(count(lit(1)).as("n_pairs")).crossJoin(dups)
+            .crossJoin(ccRem)
             .select(lit(pct.toLong).as("threshold_pct"),
               col("n_pairs"), col("n_docs_removable"),
-              col("chars_removable"))
+              col("chars_removable"), col("n_docs_removable_cc"),
+              col("chars_removable_cc"))
         }
         arms.reduce(_ unionAll _).orderBy(col("threshold_pct"))
       },
       Some {
+        def ccBlock(pct: Int) =
+          s"""ed$pct AS MATERIALIZED (
+             |  SELECT da AS src, db AS dst FROM j WHERE jc >= $pct / 100.0
+             |  UNION ALL
+             |  SELECT db, da FROM j WHERE jc >= $pct / 100.0),
+             |walk$pct AS (
+             |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+             |  UNION
+             |  SELECT e.dst AS id, w.lbl
+             |  FROM walk$pct w JOIN ed$pct e ON w.id = e.src
+             |  WHERE w.lbl < e.dst),
+             |cc$pct AS MATERIALIZED (
+             |  SELECT id, MIN(lbl) AS cluster FROM walk$pct GROUP BY id)"""
+            .stripMargin
         def arm(pct: Int) =
           s"""SELECT CAST($pct AS BIGINT) AS threshold_pct,
              |  (SELECT CAST(COUNT(*) AS BIGINT) FROM j
@@ -495,16 +526,25 @@ object Round12b {
              |  (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM (
              |    SELECT DISTINCT db FROM j WHERE jc >= $pct / 100.0) d
              |    JOIN documents ON d.db = documents.doc_id)
-             |    AS chars_removable""".stripMargin
-        s"""WITH ${CorpusOps.oShinglesSql},
+             |    AS chars_removable,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cc$pct
+             |    WHERE id <> cluster) AS n_docs_removable_cc,
+             |  (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT)
+             |    FROM cc$pct c JOIN documents ON c.id = documents.doc_id
+             |    WHERE c.id <> c.cluster) AS chars_removable_cc"""
+            .stripMargin
+        s"""WITH RECURSIVE ${CorpusOps.oShinglesSql},
            |hs AS (SELECT doc_id, ${CorpusOps.oH60("s")} AS h FROM sh),
            |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
            |p AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) AS inter
            |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
            |  GROUP BY 1, 2),
-           |j AS (SELECT da, db,
+           |j AS MATERIALIZED (SELECT da, db,
            |    inter / (x.n + y.n - inter) AS jc FROM p
-           |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id)
+           |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id),
+           |${ccBlock(50)},
+           |${ccBlock(70)},
+           |${ccBlock(90)}
            |${arm(50)}
            |UNION ALL
            |${arm(70)}

@@ -112,6 +112,23 @@ class DedupSpec extends SparkSpec {
       Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (7L, 7L), (9L, 7L)))
   }
 
+  test("greedy higher-id removable vs component-exact removable " +
+      "diverge on a reversed star (the q318 policy comparison)") {
+    import spark.implicits._
+    // pairs (1,3) and (2,3): greedy removes only the higher id of
+    // each pair = {3} → 1 doc; the component {1,2,3} keeps min-id 1
+    // and removes {2,3} → 2 docs. Component ≥ greedy always (a pair's
+    // higher id is never its component's min).
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("da", "db")
+    val nodes = Seq(1L, 2L, 3L).toDF("doc_id")
+    val greedy = pairs.select(col("db")).distinct().count()
+    val ccRem = Dedup.connectedComponents(pairs, nodes, "doc_id")
+      .where(col("id") =!= col("cluster")).collect()
+      .map(_.getLong(0)).toSet
+    assert(greedy == 1L)
+    assert(ccRem == Set(2L, 3L))
+  }
+
   test("connectedComponents: long chain converges (diameter > 1 round)") {
     import spark.implicits._
     val n = 20
