@@ -37,6 +37,23 @@ import org.apache.spark.sql.functions._
   */
 object BitextMining {
 
+  /** Geometry calibration for [[mine]]: measure the default ladder
+    * around mine()'s (6, 4) geometry on a corpus sample and report
+    * which configs clear `recallFloorPpm` at what candidate cost —
+    * run this BEFORE committing a geometry to a 100 TB mining job
+    * (ScaleMutual measured 6×4 losing under 64 clusters while 6×8
+    * wins; the knob is corpus-dependent, so measure, don't guess).
+    * Pick the cheapest passing row's (tables, planes) for [[mine]].
+    */
+  def calibrate(left: DataFrame, right: DataFrame,
+      dims: Int = 64, sampleMod: Int = 2,
+      recallFloorPpm: Long = 500000L,
+      configs: Seq[(Int, Int)] = Seq((2, 4), (6, 4), (6, 8)),
+      idCol: String = "vec_id", embCol: String = "embedding")
+      : DataFrame =
+    Similarity.calibrateLshGeometry(left, right, configs, dims,
+      sampleMod, recallFloorPpm, idCol, embCol)
+
   def mine(left: DataFrame, right: DataFrame,
       k: Int = 3,
       tables: Int = 6, planesPerTable: Int = 4, dims: Int = 64,

@@ -723,6 +723,87 @@ object Similarity {
       .distinct()
   }
 
+  /** LSH geometry auto-calibration — the measurement ScaleMutual
+    * proved is make-or-break (6×4 planes LOSE under 64 clusters, 6×8
+    * win at 32k): for each `(tables, planesPerTable)` config in the
+    * ladder, measured on a deterministic SAMPLE of both corpora
+    * (`idCol % sampleMod = 0` — sampling is what makes the exact
+    * truth affordable), one report row:
+    *  - `probe_volume` = Σ over buckets |L_b|·|R_b| — the bucket-join
+    *    fan-out the config would pay (occupancy distribution collapsed
+    *    to the number that drives cost);
+    *  - `n_cand_pairs` = distinct candidate pairs out of
+    *    [[lshCrossPairs]], and `pair_ppm`, its fraction of the
+    *    sample's |L|·|R|;
+    *  - `recall_ppm` = the fraction of exact cross-corpus top-1 pairs
+    *    (brute force on the sample) present in the candidates, and
+    *    `passes` vs `recallFloorPpm`.
+    *
+    * The caller picks the CHEAPEST passing config (fewest candidate
+    * pairs / probe volume); RecallGateSpec-style floors should be
+    * re-derived from the calibrated geometry. Plane families nest
+    * (table t at p planes uses planes t·p..t·p+p−1), so at fixed p
+    * more tables strictly add candidates — recall is monotone in
+    * `tables`, spec-pinned. Everything is sample- and
+    * config-ladder-bounded; the per-config loop unions one-row
+    * frames.
+    */
+  def calibrateLshGeometry(left: DataFrame, right: DataFrame,
+      configs: Seq[(Int, Int)], dims: Int,
+      sampleMod: Int = 2, recallFloorPpm: Long = 500000L,
+      idCol: String = "vec_id", embCol: String = "embedding")
+      : DataFrame = {
+    require(configs.nonEmpty, "need at least one (tables, planes) config")
+    require(sampleMod >= 1)
+    val sl = left.where(pmod(col(idCol), lit(sampleMod)) === 0)
+      .localCheckpoint()
+    val sr = right.where(pmod(col(idCol), lit(sampleMod)) === 0)
+      .localCheckpoint()
+    // exact truth on the sample: each left vector's cosine top-1 in
+    // right (the max_by argmax over the broadcast cross stream)
+    val truth = crossScores(sl, sr, idCol, embCol)
+      .groupBy(col("left_id"))
+      .agg(max_by(col("right_id"),
+        struct(col("sim"), (-col("right_id")).as("nr")))
+        .as("right_id"))
+      .localCheckpoint()
+    val sizes = sl.agg(count(lit(1)).as("n_left")).crossJoin(
+      sr.agg(count(lit(1)).as("n_right"))).crossJoin(
+      truth.agg(count(lit(1)).as("n_truth")))
+    val arms = configs.map { case (tables, planes) =>
+      def occ(df: DataFrame, as: String): DataFrame =
+        df.select(posexplode(graft.functions.Lsh.buckets(
+            darr(col(embCol)), tables, planes, dims)))
+          .select(col("pos").as("t"), col("col").as("bk"))
+          .groupBy(col("t"), col("bk"))
+          .agg(count(lit(1)).as(as))
+      val probeVol = occ(sl, "cl").join(occ(sr, "cr"), Seq("t", "bk"))
+        .agg(coalesce(sum(col("cl") * col("cr")), lit(0L))
+          .as("probe_volume"))
+      val cand = lshCrossPairs(sl, sr, tables, planes, dims,
+        idCol, embCol).localCheckpoint()
+      val nCand = cand.agg(count(lit(1)).as("n_cand_pairs"))
+      val caught = truth
+        .join(cand, Seq("left_id", "right_id"), "left_semi")
+        .agg(count(lit(1)).as("n_caught"))
+      sizes.crossJoin(broadcast(probeVol))
+        .crossJoin(broadcast(nCand)).crossJoin(broadcast(caught))
+        .select(lit(tables.toLong).as("tables"),
+          lit(planes.toLong).as("planes"),
+          col("n_left"), col("n_right"), col("probe_volume"),
+          col("n_cand_pairs"),
+          expr("(n_cand_pairs * 1000000) div (n_left * n_right)")
+            .as("pair_ppm"),
+          col("n_truth"),
+          col("n_caught"),
+          when(col("n_truth") > 0,
+            expr("(n_caught * 1000000) div n_truth")).otherwise(0L)
+            .as("recall_ppm"))
+        .withColumn("passes", col("recall_ppm") >= recallFloorPpm)
+    }
+    arms.reduce(_ unionAll _).orderBy(col("tables"), col("planes"))
+  }
+
   /** Bucket id for LSH table `t`: `planesPerTable` sign bits from the
     * plane family `t*planesPerTable .. t*planesPerTable+planesPerTable-1`.
     */

@@ -392,5 +392,97 @@ object Round13 {
               |    ORDER BY s.i) AS BIGINT) AS seq,
               |  s.piece
               |FROM seg3 s JOIN wf USING (word)
-              |ORDER BY s.word, seq""".stripMargin)))
+              |ORDER BY s.word, seq""".stripMargin)),
+
+    // ---- LSH geometry auto-calibration (the ScaleMutual lesson
+    // operationalized: plane count is make-or-break and
+    // corpus-dependent, so MEASURE the ladder before a 100 TB mining
+    // job): for (2,4)/(6,4)/(6,8) over a deterministic sample of the
+    // even/odd embedding halves — bucket-join probe volume, distinct
+    // candidate yield, and exact-top-1 recall per config, with the
+    // pass flag a pipeline picks its cheapest passing geometry from.
+    // The oracle replays every bucket (inline md5 plane signs, the
+    // q300 machinery at BOTH plane counts), the probe-volume
+    // occupancy sums, the brute-force truth, and the ppm arithmetic.
+    QueryDef("q325_lsh_calibration",
+      (s, dir) => {
+        val emb = t("embeddings")(s, dir)
+        graft.operators.Similarity.calibrateLshGeometry(
+          emb.where(col("vec_id") % 2 === 0),
+          emb.where(col("vec_id") % 2 === 1),
+          configs = Seq((2, 4), (6, 4), (6, 8)), dims = 64,
+          sampleMod = 3, recallFloorPpm = 400000L)
+      },
+      Some {
+        def oCos(a: String, b: String): String =
+          s"round(list_dot_product($a, $b) / " +
+            s"(sqrt(list_dot_product($a, $a)) * " +
+            s"sqrt(list_dot_product($b, $b))), 6)"
+        def oBucket(tb: Int, p: Int): String = (0 until p).map { j =>
+          val signs = graft.operators.Similarity
+            .planeSigns(tb * p + j, 64)
+            .map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")
+          s"CASE WHEN list_dot_product(e, [$signs]) >= 0 " +
+            s"THEN ${1L << j} ELSE 0 END"
+        }.mkString(" + ")
+        def cfg(i: Int, tables: Int, p: Int): String = {
+          val lSel = (0 until tables).map(tb =>
+            s"SELECT left_id, $tb AS t, ${oBucket(tb, p)} AS bk FROM lb")
+            .mkString(" UNION ALL ")
+          val rSel = (0 until tables).map(tb =>
+            s"SELECT right_id, $tb AS t, ${oBucket(tb, p)} AS bk FROM rb")
+            .mkString(" UNION ALL ")
+          s"""lbk$i AS MATERIALIZED ($lSel),
+             |rbk$i AS MATERIALIZED ($rSel),
+             |occ$i AS (SELECT COALESCE(SUM(cl * cr), 0) AS pv FROM
+             |  (SELECT t, bk, COUNT(*) AS cl FROM lbk$i GROUP BY 1, 2) a
+             |  JOIN (SELECT t, bk, COUNT(*) AS cr FROM rbk$i
+             |    GROUP BY 1, 2) b USING (t, bk)),
+             |cand$i AS MATERIALIZED (SELECT DISTINCT left_id, right_id
+             |  FROM lbk$i JOIN rbk$i USING (t, bk)),
+             |row$i AS (SELECT CAST($tables AS BIGINT) AS tables,
+             |    CAST($p AS BIGINT) AS planes,
+             |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lb) AS n_left,
+             |    (SELECT CAST(COUNT(*) AS BIGINT) FROM rb) AS n_right,
+             |    (SELECT CAST(pv AS BIGINT) FROM occ$i)
+             |      AS probe_volume,
+             |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand$i)
+             |      AS n_cand_pairs,
+             |    (SELECT CAST(COUNT(*) AS BIGINT) FROM tr) AS n_truth,
+             |    (SELECT CAST(COUNT(*) AS BIGINT) FROM tr
+             |      WHERE EXISTS (SELECT 1 FROM cand$i c
+             |        WHERE c.left_id = tr.left_id
+             |          AND c.right_id = tr.right_id)) AS n_caught)"""
+            .stripMargin
+        }
+        s"""WITH lb AS MATERIALIZED (SELECT vec_id AS left_id,
+           |    CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+           |  WHERE vec_id % 2 = 0 AND vec_id % 3 = 0),
+           |rb AS MATERIALIZED (SELECT vec_id AS right_id,
+           |    CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+           |  WHERE vec_id % 2 = 1 AND vec_id % 3 = 0),
+           |tr AS MATERIALIZED (SELECT left_id, right_id FROM (
+           |    SELECT lb.left_id, rb.right_id, ROW_NUMBER() OVER (
+           |      PARTITION BY lb.left_id
+           |      ORDER BY ${oCos("lb.e", "rb.e")} DESC, rb.right_id)
+           |      AS rk
+           |    FROM lb CROSS JOIN rb) WHERE rk = 1),
+           |${cfg(1, 2, 4)},
+           |${cfg(2, 6, 4)},
+           |${cfg(3, 6, 8)},
+           |allr AS (SELECT * FROM row1 UNION ALL
+           |  SELECT * FROM row2 UNION ALL SELECT * FROM row3)
+           |SELECT tables, planes, n_left, n_right, probe_volume,
+           |  n_cand_pairs,
+           |  (n_cand_pairs * 1000000) // (n_left * n_right)
+           |    AS pair_ppm,
+           |  n_truth, n_caught,
+           |  CASE WHEN n_truth > 0
+           |    THEN (n_caught * 1000000) // n_truth ELSE 0 END
+           |    AS recall_ppm,
+           |  CASE WHEN n_truth > 0
+           |    THEN (n_caught * 1000000) // n_truth ELSE 0 END
+           |    >= 400000 AS passes
+           |FROM allr ORDER BY tables, planes""".stripMargin
+      }))
 }

@@ -526,6 +526,42 @@ class SimilaritySpec extends SparkSpec {
       s"unexpected failure: $e")
   }
 
+  test("calibrateLshGeometry: nested plane families make recall and " +
+      "candidate yield monotone in tables; report columns are exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dims = 8
+    def vec() = Array.fill(dims)(rnd.nextGaussian().toFloat)
+    val left = (0L until 20L).map(i => (i, vec()))
+      .toDF("vec_id", "embedding")
+    val right = (100L until 120L).map(i => (i, vec()))
+      .toDF("vec_id", "embedding")
+    val rep = Similarity.calibrateLshGeometry(left, right,
+        configs = Seq((1, 4), (3, 4), (6, 4)), dims = dims,
+        sampleMod = 2, recallFloorPpm = 100000L)
+      .orderBy("tables").collect()
+    assert(rep.length == 3)
+    // sampleMod=2 keeps the even half of each dense id range
+    assert(rep.forall(_.getAs[Long]("n_left") == 10L))
+    assert(rep.forall(_.getAs[Long]("n_right") == 10L))
+    assert(rep.forall(_.getAs[Long]("n_truth") == 10L))
+    // tables nest: candidates and caught truth are supersets
+    val yields = rep.map(_.getAs[Long]("n_cand_pairs")).toSeq
+    val recalls = rep.map(_.getAs[Long]("recall_ppm")).toSeq
+    assert(yields == yields.sorted, s"yield not monotone: $yields")
+    assert(recalls == recalls.sorted, s"recall not monotone: $recalls")
+    // probe volume bounds the distinct pair yield from above
+    rep.foreach { r =>
+      assert(r.getAs[Long]("probe_volume") >=
+        r.getAs[Long]("n_cand_pairs"))
+    }
+    // passes flag consistent with the floor
+    rep.foreach { r =>
+      assert(r.getAs[Boolean]("passes") ==
+        (r.getAs[Long]("recall_ppm") >= 100000L))
+    }
+  }
+
   test("simplifiedSilhouette: perfect fit = 1e6, boundary tie = 0") {
     import spark.implicits._
     // centroids from seedCentroids = lowest-id vectors 1 (1,0) and 2 (0,1)
