@@ -484,5 +484,88 @@ object Round13 {
            |    THEN (n_caught * 1000000) // n_truth ELSE 0 END
            |    >= 400000 AS passes
            |FROM allr ORDER BY tables, planes""".stripMargin
-      }))
+      }),
+
+    // ---- KLL quantile sketch audit (Karnin-Lang-Liberty 2016; the
+    // q295 audit harness applied to the state-of-the-art mergeable
+    // rank sketch): per returnflag, build the k=256 KLL over the cent
+    // prices, estimate p50 from the weighted sketch, and audit it
+    // against the exact lower median. A compacting sketch's ESTIMATE
+    // is merge-order-dependent (unlike HLL/KMV/CM, whose merges
+    // commute exactly), so the row gates what IS deterministic: the
+    // exact side, Σweight = n (lossless weight conservation), the
+    // O(k) space ceiling, and the rank-error bound with wide slack
+    // (measured ~0.3% at k=256; gated at 3%) — the same
+    // drift-fails-the-build idea as RecallGateSpec, in-catalog.
+    // KllSpec pins the bound across partitionings; the error-vs-space
+    // curve lives beside q295's in PLANS.md.
+    QueryDef("q326_kll_quantiles",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 256
+        val li = t("lineitem")(s, dir).select(col("l_returnflag"),
+          (col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("long").as("v"))
+        val sk = li.groupBy(col("l_returnflag"))
+          .agg(graft.functions.KllAgg.kll(col("v"), k).as("s"))
+          .select(col("l_returnflag"), size(col("s")).as("n_items"),
+            explode(col("s")).as("x"))
+          .select(col("l_returnflag"), col("n_items"),
+            col("x.item"), col("x.weight"))
+        val wC = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("item"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val est = sk.withColumn("cum", sum(col("weight")).over(wC))
+          .withColumn("wsum", sum(col("weight")).over(
+            Window.partitionBy(col("l_returnflag"))))
+          .where(col("cum") >= expr("(wsum + 1) div 2"))
+          .groupBy(col("l_returnflag"))
+          .agg(min(col("item")).as("est_p50"),
+            max(col("wsum")).as("w_total"),
+            max(col("n_items")).as("n_items"))
+        // exact lower median + the estimate's true rank (q295 idiom)
+        val ng = li.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"))
+        val dv = li.groupBy(col("l_returnflag"), col("v"))
+          .agg(count(lit(1)).as("c"))
+        val cum = dv.withColumn("cum", sum(col("c")).over(
+            Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .join(broadcast(ng), Seq("l_returnflag"))
+        val exact = cum.where(col("cum") >= expr("(n + 1) div 2"))
+          .groupBy(col("l_returnflag"))
+          .agg(min(col("v")).as("exact_p50"), max(col("n")).as("n"))
+        val rankEst = cum.join(est, Seq("l_returnflag"))
+          .where(col("v") <= col("est_p50"))
+          .groupBy(col("l_returnflag"))
+          .agg(max(col("cum")).as("rank_est"))
+        est.join(exact, Seq("l_returnflag"))
+          .join(rankEst, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("n"), col("exact_p50"),
+            (col("w_total") === col("n")).as("weight_conserved"),
+            (col("n_items") <= lit(3 * k + 64)).as("space_bounded"),
+            (expr("(abs(rank_est * 2 - n) * 1000000) div (2 * n)")
+              <= 30000L).as("kll_within_bound"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH li AS (SELECT l_returnflag,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+             |      AS BIGINT) AS v FROM lineitem),
+             |ng AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM li GROUP BY 1),
+             |dv AS (SELECT l_returnflag, v, COUNT(*) AS c FROM li
+             |  GROUP BY 1, 2),
+             |cum AS (SELECT l_returnflag, v,
+             |    SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v
+             |      ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM dv),
+             |ex AS (SELECT cum.l_returnflag, MIN(v) AS exact_p50
+             |  FROM cum JOIN ng USING (l_returnflag)
+             |  WHERE cum >= (n + 1) // 2 GROUP BY 1)
+             |SELECT ng.l_returnflag, ng.n, ex.exact_p50,
+             |  TRUE AS weight_conserved,
+             |  TRUE AS space_bounded,
+             |  TRUE AS kll_within_bound
+             |FROM ng JOIN ex USING (l_returnflag)
+             |ORDER BY ng.l_returnflag""".stripMargin)))
 }
