@@ -124,6 +124,33 @@ class RecallGateSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("calibrateLshGeometry re-derives the gate's geometry: on this " +
+      "corpus the (6,4) config is the cheapest clearing the exact-" +
+      "top-1 recall floor, and its measured recall holds") {
+    val l = emb.filter(col("vec_id") % 2 === 0)
+    val r = emb.filter(col("vec_id") % 2 === 1)
+    val rep = Similarity.calibrateLshGeometry(l, r,
+        configs = Seq((2, 4), (6, 4), (6, 8)), dims = 64,
+        sampleMod = 1, recallFloorPpm = 400000L)
+      .collect().map(x => ((x.getAs[Long]("tables"),
+        x.getAs[Long]("planes")), (x.getAs[Long]("recall_ppm"),
+        x.getAs[Long]("n_cand_pairs"), x.getAs[Boolean]("passes"))))
+      .toMap
+    info(rep.toSeq.sortBy(_._1).map { case (c, v) =>
+      s"$c recall=${v._1}ppm pairs=${v._2} passes=${v._3}"
+    }.mkString("; "))
+    // the mine()/q300 geometry must pass its own calibration — a
+    // plane-family or bucketing drift that halves candidate recall
+    // fails here even while the oracle rows (which replay the same
+    // buckets) stay green
+    assert(rep((6L, 4L))._3, s"(6,4) no longer passes: $rep")
+    // and the calibration must still rank it ABOVE the cheap config
+    // that ScaleMutual measured losing (6×8 under-yields here)
+    assert(rep((6L, 4L))._1 > rep((6L, 8L))._1,
+      s"(6,8) overtook (6,4): $rep")
+    spark.catalog.clearCache()
+  }
+
   test("residual IVF-PQ: trained cells ≥ seeded, both above floor " +
       "(the q88 seeded-residual warning's measured basis)") {
     val seeded = recall(Similarity.ivfPqResidualTopK(queries, emb, k,

@@ -391,11 +391,12 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q301: pruned BM25 — no cartesian; the contribs frame is " +
-      "persisted (read from cache, not recomputed per prune pass)") {
+      "materialized (localCheckpoint — read back, not recomputed per " +
+      "prune pass)") {
     val plan = full("q301_bm25_pruned")
     assert(!plan.contains("CartesianProduct"), plan.take(400))
-    assert(plan.contains("InMemoryTableScan"),
-      "contribs must be persisted for the multi-pass prune")
+    assert(plan.contains("ExistingRDD"),
+      "contribs must be localCheckpoint'd for the multi-pass prune")
   }
 
   test("q303: rendezvous stability is pure map-side — zero joins, " +
@@ -446,5 +447,55 @@ class PlanAuditSpec extends SparkSpec {
     // over the 1-3 distinct dim values — one bounded exchange
     assert(s.hash <= 1 && s.bcast == 0, s)
     assert(!full("q317_embedding_qa").contains("Join"))
+  }
+
+  test("q319: PNG encode→decode→stats is ONE map-side scan — zero " +
+      "exchanges, zero joins (pixels never leave the task)") {
+    val s = shape("q319_png_roundtrip")
+    assert(s.hash == 0 && s.bcast == 0, s)
+    assert(!full("q319_png_roundtrip").contains("Join"))
+  }
+
+  test("q320: PNG dHash near-dup — band equi-joins only, never a " +
+      "cartesian; one candidate-stream distinct") {
+    val plan = full("q320_png_dhash_neardup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+  }
+
+  test("q322: windowed per-group heavy hitters — the MG sketch pass " +
+      "and the exact verify are group-keyed (no single-partition " +
+      "stage, no cartesian)") {
+    val plan = full("q322_stream_heavy_hitters_twin")
+    assert(!plan.contains("Exchange SinglePartition") ||
+      plan.contains("Window"), plan.take(300))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q323/q324: unigram EM — every stage is vocabulary-keyed; the " +
+      "Viterbi E-step is a piece join + per-word fold + kernel (no " +
+      "cartesian, no data-sized single-partition stage beyond the " +
+      "model-sized prune window)") {
+    Seq("q323_unigram_train", "q324_unigram_segment").foreach { q =>
+      val plan = full(q)
+      // BroadcastNestedLoopJoin appears only as the one-row total
+      // broadcast under pieceLogProbs — the established crossJoin
+      // (broadcast(tot)) idiom; a SHUFFLED cartesian is the defect
+      assert(!plan.contains("CartesianProduct"), s"$q cartesian")
+    }
+  }
+
+  test("q325: calibration — the only cross product is the SAMPLE-" +
+      "sized brute-force truth, and it broadcasts (never a shuffled " +
+      "cartesian); candidate generation is bucket equi-joins") {
+    val plan = full("q325_lsh_calibration")
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+  }
+
+  test("q326: KLL audit — sketch pass is one group aggregation; " +
+      "windows stay group-partitioned") {
+    val s = shape("q326_kll_quantiles")
+    assert(s.bcast >= 1, s) // the ng one-row-per-group broadcast
+    assert(!full("q326_kll_quantiles").contains("CartesianProduct"))
   }
 }
