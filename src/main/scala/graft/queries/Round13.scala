@@ -14,6 +14,23 @@ object Round13 {
   private def t(name: String): QueryFn =
     (s, dir) => Tables.load(s, dir, name)
 
+  /** Shared trained unigram vocabulary per (session, dataset) — the
+    * registry discipline: q323 is the unconditional BUILD row, q324
+    * consumes the same trained model (training twice would double the
+    * EM cost for an identical artifact). */
+  private val unigramReg = new graft.core.ArtifactRegistry()
+  private def unigramVocab0(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.Unigram.train(
+      graft.operators.Bpe.wordFreq(t("documents")(s, dir), "text"),
+      maxPieceLen = 4, vocabSize = 60, emIters = 2)
+  private def buildUnigramVocab(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    unigramReg.rebuild(s, dir)(unigramVocab0(s, dir))
+  private def sharedUnigramVocab(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    unigramReg.getOrBuild(s, dir)(unigramVocab0(s, dir))
+
   /** Hex of one formula pixel byte
     * `(doc_id·7 + i·(13 + doc_id mod 97)) mod 256`, optionally with
     * the one-byte re-encode perturbation at `off`. The doc-dependent
@@ -360,10 +377,7 @@ object Round13 {
     // window, both EM re-estimates — so the green hash pins every EM
     // decision, not just the final vocabulary's shape.
     QueryDef("q323_unigram_train",
-      (s, dir) => graft.operators.Unigram.train(
-          graft.operators.Bpe.wordFreq(t("documents")(s, dir), "text"),
-          maxPieceLen = 4, vocabSize = 60, emIters = 2)
-        .orderBy(col("piece")),
+      (s, dir) => buildUnigramVocab(s, dir).orderBy(col("piece")),
       Some(s"""WITH RECURSIVE
               |${unigramCtes(4, 60)}
               |SELECT piece, cnt, lp_micro FROM lpF
@@ -375,15 +389,10 @@ object Round13 {
     // order. Oracle = a third Viterbi replay under the final
     // log-probs. Character coverage guarantees a path for every word.
     QueryDef("q324_unigram_segment",
-      (s, dir) => {
-        val wf = graft.operators.Bpe.wordFreq(
-          t("documents")(s, dir), "text")
-        val vocab = graft.operators.Unigram.train(
-          wf, maxPieceLen = 4, vocabSize = 60, emIters = 2)
-        graft.operators.Unigram.segmentWords(wf, vocab,
-            maxPieceLen = 4)
-          .orderBy(col("word"), col("seq"))
-      },
+      (s, dir) => graft.operators.Unigram.segmentWords(
+          graft.operators.Bpe.wordFreq(t("documents")(s, dir), "text"),
+          sharedUnigramVocab(s, dir), maxPieceLen = 4)
+        .orderBy(col("word"), col("seq")),
       Some(s"""WITH RECURSIVE
               |${unigramCtes(4, 60)},
               |${unigramEmBlock(3, "em2")}
