@@ -576,5 +576,56 @@ object Round13 {
              |  TRUE AS space_bounded,
              |  TRUE AS kll_within_bound
              |FROM ng JOIN ex USING (l_returnflag)
-             |ORDER BY ng.l_returnflag""".stripMargin)))
+             |ORDER BY ng.l_returnflag""".stripMargin)),
+
+    // ---- temperature-scaled data-mixture allocation (the
+    // multilingual up-sampling rule: sample share ∝ n^τ with τ < 1 —
+    // mBERT used τ=0.7, XLM-R τ=0.3; τ=1/2 here because sqrt is
+    // IEEE-correctly-rounded, so the rounded-micro weight is
+    // engine-identical by the lp_micro discipline): per-language
+    // token totals → sqrt-micro weights → Hamilton largest-remainder
+    // integerization of a 100k-token budget (Σ alloc = budget
+    // EXACTLY, the q305 operator), plus each language's resulting
+    // sampling rate in ppm — low-resource languages get a higher
+    // rate, which is the point of the temperature.
+    QueryDef("q327_temperature_mixture",
+      (s, dir) => {
+        val toks = t("documents")(s, dir)
+          .groupBy(col("lang"))
+          .agg(sum(size(graft.operators.TextOps.words(col("text"))))
+            .cast("bigint").as("n_tokens"))
+        val weighted = toks.withColumn("w_micro",
+          (round(sqrt(col("n_tokens")), 6).cast("decimal(20,6)")
+            * 1000000).cast("long"))
+        graft.operators.Curation.largestRemainderAllocation(
+            weighted, Seq("lang", "n_tokens"), "w_micro",
+            budget = 100000L)
+          .withColumn("sample_ppm",
+            expr("(alloc * 1000000) div n_tokens"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH g AS (SELECT lang,
+             |    CAST(SUM(len(list_filter(string_split_regex(
+             |      lower(text), '\s+'), x -> len(x) > 0)))
+             |      AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY 1),
+             |wm AS (SELECT lang, n_tokens,
+             |    CAST(CAST(round(sqrt(n_tokens), 6) AS DECIMAL(20,6))
+             |      * 1000000 AS BIGINT) AS w_micro FROM g),
+             |t AS (SELECT SUM(CAST(w_micro AS HUGEINT)) AS w FROM wm),
+             |b AS (SELECT lang, n_tokens, w_micro,
+             |    CAST((CAST(w_micro AS HUGEINT) * 100000) // w
+             |      AS BIGINT) AS base,
+             |    (CAST(w_micro AS HUGEINT) * 100000) % w AS rem
+             |  FROM wm, t),
+             |r AS (SELECT *, row_number() OVER (
+             |    ORDER BY rem DESC, lang, n_tokens) AS rk,
+             |    SUM(base) OVER () AS base_total FROM b),
+             |a AS (SELECT lang, n_tokens, w_micro,
+             |    CAST(base + CASE WHEN rk <= 100000 - base_total
+             |      THEN 1 ELSE 0 END AS BIGINT) AS alloc
+             |  FROM r)
+             |SELECT lang, n_tokens, w_micro, alloc,
+             |  (alloc * 1000000) // n_tokens AS sample_ppm
+             |FROM a ORDER BY lang""".stripMargin)))
 }

@@ -65,6 +65,42 @@ class KllSpec extends SparkSpec {
     assert(nItems <= 3 * 128 + 64, s"sketch size $nItems")
   }
 
+  test("streaming: KLL buffers merge through the state store across " +
+      "micro-batches — weight conserved, bound held (the q272/q322 " +
+      "batch-stream parity discipline)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val n = 5000L
+    val data = (1L to n).map(v => (v * 7919) % n + 1)
+    val in = MemoryStream[Long]
+    val agg = in.toDF().toDF("v")
+      .groupBy().agg(KllAgg.kll(col("v"), 128).as("s"))
+    val q = agg.writeStream.format("memory").queryName("kllstream")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      data.grouped(1000).foreach { b =>
+        in.addData(b: _*); q.processAllAvailable()
+      }
+      val sk = spark.sql(
+        "SELECT explode(s) AS x FROM kllstream")
+        .select(col("x.item"), col("x.weight"))
+        .orderBy("item").collect()
+      assert(sk.map(_.getLong(1)).sum == n, "streamed weight != n")
+      var cum = 0L; var est = 0L; var found = false
+      sk.foreach { r =>
+        if (!found) {
+          cum += r.getLong(1)
+          if (cum >= (n + 1) / 2) { est = r.getLong(0); found = true }
+        }
+      }
+      val err = math.abs(est - (n + 1) / 2) * 1000000L / n
+      info(s"streamed kll p50 est=$est err=${err}ppm")
+      assert(err <= 30000L, s"streamed est=$est err=$err ppm")
+    } finally q.stop()
+  }
+
   test("error-vs-space curve: median rank error shrinks as k grows " +
       "(the PLANS.md measurement beside q295)") {
     import spark.implicits._
