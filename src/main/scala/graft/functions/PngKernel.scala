@@ -312,6 +312,43 @@ object PngEncodeKernel {
   }
 }
 
+/** REAL image resize — decode → nearest-neighbor resample → re-encode,
+  * all in the native PNG codec: the honest replacement for the
+  * resize stub on PNG payloads (sampling arithmetic is
+  * `in_row = (out_row · h_in) div h_out`, exactly replayable by a SQL
+  * oracle — the same reason [[PngDecodeKernel.dhash60]] samples
+  * nearest-neighbor). Non-PNG/garbage payloads return null; output
+  * keeps the input's color type.
+  */
+object PngResizeKernel {
+  def resize(payload: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    if (outW <= 0 || outH <= 0) return null
+    PngDecodeKernel.decode(payload) match {
+      case None => null
+      case Some(d) =>
+        val ch = d.channels
+        val out = new Array[Byte](outW * outH * ch)
+        var r = 0
+        while (r < outH) {
+          val ri = r * d.height / outH
+          var c = 0
+          while (c < outW) {
+            val ci = c * d.width / outW
+            var k = 0
+            while (k < ch) {
+              out((r * outW + c) * ch + k) =
+                d.pixels((ri * d.width + ci) * ch + k)
+              k += 1
+            }
+            c += 1
+          }
+          r += 1
+        }
+        PngEncodeKernel.encode(outW, outH, ch, out)
+    }
+  }
+}
+
 /** Column API over the PNG kernels — codegen-bridged StaticInvoke
   * expressions, no UDF registration (the [[MediaProbe]] convention).
   */
@@ -351,6 +388,17 @@ object Png {
       Seq(ColumnBridge.expression(payload)),
       inputTypes = Seq(BinaryType),
       propagateNull = false, returnNullable = true))
+
+  /** REAL nearest-neighbor resize: PNG in, resized PNG out (null for
+    * undecodable payloads) — see [[PngResizeKernel]]. */
+  def pngResize(payload: Column, outW: Column, outH: Column): Column =
+    ColumnBridge.column(StaticInvoke(
+      PngResizeKernel.getClass, BinaryType, "resize",
+      Seq(ColumnBridge.expression(payload),
+        ColumnBridge.expression(outW.cast("int")),
+        ColumnBridge.expression(outH.cast("int"))),
+      inputTypes = Seq(BinaryType, IntegerType, IntegerType),
+      propagateNull = true, returnNullable = true))
 
   /** Real deflated PNG bytes from raw pixels (see
     * [[PngEncodeKernel.encode]]). */

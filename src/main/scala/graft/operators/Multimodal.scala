@@ -193,8 +193,11 @@ object Multimodal {
   }
 
   /** STUB resize: byte-truncate/cycle-pad the payload to exactly
-    * `targetBytes` and restamp metadata — stands in for an image resize
-    * while exercising the binary-in/binary-out contract.
+    * `targetBytes` and restamp metadata — stands in for a CODEC-format
+    * (JPEG-class) resize while exercising the binary-in/binary-out
+    * contract. For PNG payloads the resize is REAL:
+    * [[graft.functions.Png.pngResize]] decodes, nearest-neighbor
+    * resamples, and re-encodes natively (q328 gates it pixel-exactly).
     */
   def resizeStub(df: DataFrame, idCol: String, payloadCol: String,
       targetBytes: Int): DataFrame = {

@@ -627,5 +627,64 @@ object Round13 {
              |  FROM r)
              |SELECT lang, n_tokens, w_micro, alloc,
              |  (alloc * 1000000) // n_tokens AS sample_ppm
-             |FROM a ORDER BY lang""".stripMargin)))
+             |FROM a ORDER BY lang""".stripMargin)),
+
+    // ---- REAL image resize (the resize stub's honest replacement on
+    // PNG payloads): encode a formula RGB PNG per doc, resize it to a
+    // fixed 8×6 thumbnail with the native decode→nearest-neighbor→
+    // re-encode kernel, decode the RESULT and report exact channel
+    // sums. The oracle replays the nearest-neighbor coordinate
+    // arithmetic (in_row = (out_row·h) div 6, in_col = (out_col·w)
+    // div 8) directly against the pixel formula — a green hash proves
+    // decode → resample → re-encode → decode is exact end to end on
+    // real deflate streams. Garbage rows (doc_id%7=6 text bytes)
+    // yield all-null, the contract every PNG kernel shares.
+    QueryDef("q328_png_resize",
+      (s, dir) => {
+        val w = col("doc_id") % 10 + 6
+        val h = col("doc_id") % 7 + 5
+        val png = Png.pngEncode(w, h, lit(3), pixelBytes(w * h * 3, None))
+        val payload = when(col("doc_id") % 7 === 6,
+            graft.operators.Multimodal.syntheticPayload(col("text")))
+          .otherwise(png)
+        t("documents")(s, dir)
+          .select(col("doc_id"), col("text"))
+          .withColumn("st",
+            Png.pngStats(Png.pngResize(payload, lit(8), lit(6))))
+          .select(col("doc_id"), col("st.width"), col("st.height"),
+            col("st.n_pixels"), col("st.sum_c0"), col("st.sum_c1"),
+            col("st.sum_c2"), col("st.sum_luma_milli"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 10 + 6 AS w,
+             |    doc_id % 7 + 5 AS h, 13 + doc_id % 97 AS sl
+             |  FROM documents WHERE doc_id % 7 <> 6),
+             |gr AS (SELECT doc_id, w, h, sl,
+             |    unnest(generate_series(0, 5)) AS r FROM d),
+             |gc AS (SELECT doc_id, w, h, sl, r,
+             |    unnest(generate_series(0, 7)) AS c FROM gr),
+             |gk AS (SELECT doc_id, w, h, sl, r, c,
+             |    unnest(generate_series(0, 2)) AS k FROM gc),
+             |v AS (SELECT doc_id, k,
+             |    (doc_id * 7 + (((r * h) // 6 * w + (c * w) // 8) * 3
+             |      + k) * sl) % 256 AS v
+             |  FROM gk),
+             |a AS (SELECT doc_id,
+             |    SUM(CASE WHEN k = 0 THEN v ELSE 0 END) AS s0,
+             |    SUM(CASE WHEN k = 1 THEN v ELSE 0 END) AS s1,
+             |    SUM(CASE WHEN k = 2 THEN v ELSE 0 END) AS s2
+             |  FROM v GROUP BY 1)
+             |SELECT doc_id, CAST(8 AS BIGINT) AS width,
+             |  CAST(6 AS BIGINT) AS height,
+             |  CAST(48 AS BIGINT) AS n_pixels,
+             |  CAST(s0 AS BIGINT) AS sum_c0,
+             |  CAST(s1 AS BIGINT) AS sum_c1,
+             |  CAST(s2 AS BIGINT) AS sum_c2,
+             |  CAST(299 * s0 + 587 * s1 + 114 * s2 AS BIGINT)
+             |    AS sum_luma_milli
+             |FROM a
+             |UNION ALL
+             |SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+             |FROM documents WHERE doc_id % 7 = 6
+             |ORDER BY doc_id""".stripMargin)))
 }

@@ -135,6 +135,28 @@ class PngKernelSpec extends SparkSpec {
     assert(PngDecodeKernel.dhash60("junk".getBytes) == null)
   }
 
+  test("PngResizeKernel: identity resize round-trips pixels; " +
+      "downsample picks the exact nearest-neighbor coordinates; " +
+      "garbage yields null") {
+    val px = pixels(4, 4, 1, seed = 9)
+    val png = PngEncodeKernel.encode(4, 4, 1, px)
+    // identity: same dims → same pixels (decode∘resize∘decode)
+    val same = PngResizeKernel.resize(png, 4, 4)
+    assert(PngDecodeKernel.decodePixels(same).sameElements(px))
+    // 4×4 → 2×2: out(r,c) = in((r·4) div 2 = 2r, 2c)
+    val down = PngDecodeKernel.decodePixels(
+      PngResizeKernel.resize(png, 2, 2))
+    assert(down.toSeq == Seq(px(0), px(2), px(8), px(10)))
+    // upsample 1×1 → 3×3 replicates the pixel
+    val one = PngEncodeKernel.encode(1, 1, 3, Array[Byte](5, 6, 7))
+    val up = PngDecodeKernel.decodePixels(
+      PngResizeKernel.resize(one, 3, 3))
+    assert(up.toSeq == Seq.fill(9)(Seq(5.toByte, 6.toByte, 7.toByte))
+      .flatten)
+    assert(PngResizeKernel.resize("junk".getBytes, 2, 2) == null)
+    assert(PngResizeKernel.resize(png, 0, 2) == null)
+  }
+
   test("Column API: encode→stats→dhash in one codegen'd plan over a " +
       "DataFrame; garbage rows null through") {
     import spark.implicits._
