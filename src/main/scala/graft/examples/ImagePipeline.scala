@@ -1,0 +1,77 @@
+package graft.examples
+
+import graft.functions.Png
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end image-corpus curation — the multimodal twin of
+  * [[BitextMining]]: one lazy DataFrame program composing the native
+  * PNG codec rungs the way a 100 TB image-ingest pipeline runs them:
+  *
+  *   1. probe    — container metadata from real headers
+  *                 ([[graft.functions.MediaProbe.probeMeta]]; garbage
+  *                 rows surface as format "unknown", never task
+  *                 failures)
+  *   2. decode QA — native pixel decode + exact channel/luma stats
+  *                 ([[Png.pngStats]]); undecodable rows carry nulls
+  *   3. gates    — decodable, min dimensions, luma not blown out
+  *                 (mean luma in [lumaMin, lumaMax] milli — the
+  *                 all-black/all-white screen)
+  *   4. dedup    — 60-bit pixel dHash + 4×15-bit band join, hamming
+  *                 ≤ τ candidates only (the q320 shape) — re-encodes
+  *                 and thumbnails of the same image collide, distinct
+  *                 images don't
+  *   5. thumbnail — REAL nearest-neighbor resize of the kept winners
+  *                 ([[Png.pngResize]])
+  *
+  * Every stage is map-side except the band equi-join (candidate-
+  * bounded) and the keep-one-per-pair argmin. Output: one row per
+  * KEPT image `(id, width, height, mean_luma_milli, thumb)` plus the
+  * `removed` frame of dedup losers — the keep/drop decision a
+  * curation run audits.
+  */
+object ImagePipeline {
+
+  final case class Result(kept: DataFrame, removed: DataFrame)
+
+  def curate(images: DataFrame,
+      idCol: String = "img_id", payloadCol: String = "payload",
+      minW: Long = 4, minH: Long = 4,
+      lumaMinMilli: Long = 10000, lumaMaxMilli: Long = 245000,
+      hammingMax: Int = 6,
+      thumbW: Int = 8, thumbH: Int = 8): Result = {
+    // 1+2: probe + decode stats + hash in ONE scan of the blob column
+    val scored = images.select(col(idCol).as("img_id"),
+        col(payloadCol).as("payload"),
+        graft.functions.MediaProbe.probeMeta(col(payloadCol))
+          .as("meta"),
+        Png.pngStats(col(payloadCol)).as("st"),
+        Png.pngDhash60(col(payloadCol)).as("ph"))
+      .localCheckpoint() // feeds the gate, the band join, the output
+    // 3: quality gates (mean luma = sum_luma_milli / n_pixels)
+    val gated = scored
+      .where(col("st.width").isNotNull &&
+        col("st.width") >= minW && col("st.height") >= minH)
+      .withColumn("mean_luma_milli",
+        expr("st.sum_luma_milli div st.n_pixels"))
+      .where(col("mean_luma_milli").between(lumaMinMilli, lumaMaxMilli))
+    // 4: banded dHash near-dup; keep the smaller id of each pair
+    val banded = gated.select(col("img_id"), col("ph"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            expr(s"shiftright(ph, ${15 * b}) & 32767").as("bv"))): _*))
+          .as("x"))
+      .select(col("img_id"), col("ph"), col("x.band"), col("x.bv"))
+    val dupLosers = banded.as("a").join(banded.as("b"), Seq("band", "bv"))
+      .where(col("a.img_id") < col("b.img_id") &&
+        expr("bit_count(a.ph ^ b.ph)") <= hammingMax)
+      .select(col("b.img_id").as("img_id")).distinct()
+    // 5: thumbnails of the kept winners
+    val kept = gated.join(dupLosers, Seq("img_id"), "left_anti")
+      .select(col("img_id"), col("st.width").as("width"),
+        col("st.height").as("height"), col("mean_luma_milli"),
+        Png.pngResize(col("payload"), lit(thumbW), lit(thumbH))
+          .as("thumb"))
+    Result(kept, dupLosers)
+  }
+}
