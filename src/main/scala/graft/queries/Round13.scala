@@ -294,14 +294,16 @@ object Round13 {
     // finally exercising the deployment read path end to end: build
     // the impact index from the shared TF, persist it word-bucket-
     // partitioned (writeBm25Index), then rank the SAME doc-as-query
-    // batch through the driver-coordinated max-score plan
-    // (bm25TopKPrunedFromIndex: partition-pruned posting reads,
-    // query-batch-bounded driver state) and score P@10/MRR/nDCG
-    // against the same pseudo-relevance truth. Oracle = q274's,
-    // VERBATIM: the green hash proves the persisted-index pruned read
-    // path produces metrics bit-identical to the ad-hoc shared-frame
-    // path. (The query batch collects driver-side — |docs|/20 rows,
-    // the documented driver-frame contract of the WAND coordinator.)
+    // batch through the partition-pruned indexed read
+    // (bm25TopKFromIndex — chosen over the WAND coordinator because
+    // ScaleWand's doc-as-query arm measured pruning LOSING on
+    // common-term-anchored batches; q302 carries the pruned twin for
+    // selective batches) and score P@10/MRR/nDCG against the same
+    // pseudo-relevance truth. Oracle = q274's, VERBATIM: the green
+    // hash proves the persisted-index read path produces metrics
+    // bit-identical to the ad-hoc shared-frame path. (The query batch
+    // collects driver-side — |docs|/20 rows, the documented
+    // driver-frame contract.)
     QueryDef("q321_retrieval_metrics_indexed",
       (s, dir) => {
         val dirKey = try new java.io.File(dir).getCanonicalPath
@@ -321,7 +323,14 @@ object Round13 {
         val batch = Round11f.docQueryBatch(s, dir)
           .collect().map(r => (r.getLong(0).toInt, r.getString(1)))
           .toSeq
-        val ranked = graft.operators.Retrieval.bm25TopKPrunedFromIndex(
+        // exhaustive indexed read, not the WAND coordinator: ScaleWand's
+        // doc-as-query arm measured the pruned path LOSING on batches
+        // anchored on common terms (documents open with frequent words,
+        // so every term is essential and the coordinator's extra
+        // metadata/seed/θ reads never amortize) — the partition-pruned
+        // one-pass read IS the right deployment plan for this workload;
+        // the pruned twin exists (q302) for selective query batches
+        val ranked = graft.operators.Retrieval.bm25TopKFromIndex(
           s, outDir.getAbsolutePath, batch, k = 10)
         graft.operators.Eval.retrievalMetrics(ranked,
             Round11f.docQueryTruth(s, dir), k = 10)
