@@ -695,5 +695,51 @@ object Round13 {
              |UNION ALL
              |SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL
              |FROM documents WHERE doc_id % 7 = 6
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- unigram tokenizer fertility per language (the q195 BPE
+    // twin, under the EM-trained q323 vocabulary): pieces per word
+    // occurrence in exact milli — the head-to-head number a pipeline
+    // reads beside q195 to pick its tokenizer, and the per-language
+    // under-service signal. Consumes the SHARED trained artifact;
+    // per-word piece counts come from one vocabulary-sized Viterbi
+    // pass, then one corpus word-row join (broadcast: the piece-count
+    // frame is vocabulary-sized at any corpus scale).
+    QueryDef("q329_unigram_fertility",
+      (s, dir) => {
+        val docs = t("documents")(s, dir)
+        val pieces = graft.operators.Unigram.segmentWords(
+            graft.operators.Bpe.wordFreq(docs, "text"),
+            sharedUnigramVocab(s, dir), maxPieceLen = 4)
+          .groupBy(col("word")).agg(count(lit(1)).as("n_pieces"))
+        val words = graft.operators.TextOps.wordRows(
+          docs.select(col("lang"), col("text")), "text",
+          keep = Seq("lang"))
+        words.join(broadcast(pieces), "word")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_word_occurrences"),
+            sum(col("n_pieces")).as("n_piece_occurrences"))
+          .withColumn("fertility_milli",
+            expr("(n_piece_occurrences * 1000) div n_word_occurrences"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH RECURSIVE
+              |${unigramCtes(4, 60)},
+              |${unigramEmBlock(3, "em2")},
+              |pc AS (SELECT piece AS _p, word,
+              |    CAST(COUNT(*) OVER (PARTITION BY word) AS BIGINT)
+              |      AS n_pieces, i FROM seg3),
+              |pw AS (SELECT word, MAX(n_pieces) AS n_pieces
+              |  FROM pc GROUP BY 1),
+              |tokw AS (SELECT lang, unnest(list_filter(
+              |    string_split_regex(lower(text), '\\s+'),
+              |    x -> len(x) > 0)) AS word FROM documents)
+              |SELECT lang,
+              |  CAST(COUNT(*) AS BIGINT) AS n_word_occurrences,
+              |  CAST(SUM(pw.n_pieces) AS BIGINT)
+              |    AS n_piece_occurrences,
+              |  (CAST(SUM(pw.n_pieces) AS BIGINT) * 1000)
+              |    // CAST(COUNT(*) AS BIGINT) AS fertility_milli
+              |FROM tokw JOIN pw USING (word)
+              |GROUP BY lang ORDER BY lang""".stripMargin)))
 }
