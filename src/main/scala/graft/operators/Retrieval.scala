@@ -312,6 +312,112 @@ object Retrieval {
     (contribs, ubByWord)
   }
 
+  /** Persist an INCREMENTAL-friendly TF inverted index: `(word,
+    * doc_id, tf)` postings partitioned by word bucket plus a
+    * `path/docs` length table `(doc_id, dl)` and a one-row
+    * `path/meta` carrying the bucket count. Unlike [[writeBm25Index]]
+    * nothing global is baked into the rows — TF and document length
+    * are per-document FACTS that never change when the corpus grows,
+    * which is what makes [[appendTfIndex]] a pure parquet append. The
+    * trade: queries recompute idf/avgdl at read time
+    * ([[bm25TopKFromTfIndex]]) instead of summing precomputed
+    * contribs. At 100 TB with daily ingest this is the index you
+    * actually run — a full impact-index rebuild per increment is the
+    * cost this artifact exists to avoid.
+    */
+  def writeTfIndex(docs: DataFrame, path: String,
+      wordBuckets: Int = 512, idCol: String = "doc_id",
+      textCol: String = "text",
+      tf: Option[DataFrame] = None): Unit = {
+    require(wordBuckets >= 1)
+    val tfF = tf.getOrElse(termFrequencies(
+      docs.select(col(idCol), col(textCol)), idCol, textCol))
+    tfF.withColumn("wbucket",
+        pmod(xxhash64(col("word")), lit(wordBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("wbucket")
+      .parquet(s"$path/postings")
+    tfF.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .write.mode("overwrite").parquet(s"$path/docs")
+    docs.sparkSession.range(1)
+      .select(lit(wordBuckets).as("n_buckets"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** APPEND a document increment to a [[writeTfIndex]] artifact — the
+    * operation the impact index cannot support (its stored contribs
+    * embed idf/avgdl, which every new document shifts; appending to
+    * them silently corrupts every stored weight). New doc ids must be
+    * distinct from the indexed corpus (ingest, not upsert). Pure
+    * parquet appends into the same bucket layout. */
+  def appendTfIndex(path: String, newDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      tf: Option[DataFrame] = None): Unit = {
+    val spark = newDocs.sparkSession
+    val nBuckets = spark.read.parquet(s"$path/meta")
+      .select(col("n_buckets")).collect()(0).getInt(0)
+    val tfF = tf.getOrElse(termFrequencies(
+      newDocs.select(col(idCol), col(textCol)), idCol, textCol))
+    tfF.withColumn("wbucket",
+        pmod(xxhash64(col("word")), lit(nBuckets.toLong)))
+      .write.mode("append").partitionBy("wbucket")
+      .parquet(s"$path/postings")
+    tfF.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .write.mode("append").parquet(s"$path/docs")
+  }
+
+  /** Exhaustive BM25 top-k against a [[writeTfIndex]] artifact:
+    * corpus statistics (n_docs, avgdl — one tiny aggregation of the
+    * dl table) and per-word document frequencies are computed AT
+    * QUERY TIME over the index's CURRENT state, so after any number
+    * of [[appendTfIndex]] increments the ranking is BIT-IDENTICAL to
+    * [[bm25TopK]] over the full corpus (q330's green hash is that
+    * proof). The postings read is partition-pruned exactly like
+    * [[bm25TopKFromIndex]]: query-word bucket ids become literal
+    * `wbucket IN` filters plus a pushed `word IN` row filter.
+    */
+  def bm25TopKFromTfIndex(spark: SparkSession, path: String,
+      queries: Seq[(Int, String)], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val nBuckets = spark.read.parquet(s"$path/meta")
+      .select(col("n_buckets")).collect()(0).getInt(0)
+    val qt = queryTerms(spark, queries)
+    val words = queries.flatMap(_._2.toLowerCase.split("\\s+"))
+      .filter(_.nonEmpty).distinct
+    // bucket ids via the SAME xxhash64 expression the writers used —
+    // a query-batch-bounded collect (the documented driver contract)
+    val buckets = qt
+      .select(pmod(xxhash64(col("word")), lit(nBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val postings =
+      if (words.isEmpty)
+        spark.read.parquet(s"$path/postings").where(lit(false))
+      else spark.read.parquet(s"$path/postings")
+        .where(col("wbucket").isin(buckets: _*) &&
+          col("word").isin(words: _*))
+    val dl = spark.read.parquet(s"$path/docs")
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val dfreq = postings.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val contribs = postings
+      .join(dfreq, Seq("word"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qt), "word")
+      .select(col("query_id"), col("doc_id"),
+        round(
+          log(lit(1.0) +
+            (col("n_docs").cast("double") - col("df") + lit(0.5))
+              / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))),
+          6).cast("decimal(20,6)").as("contrib"))
+    rankTopK(
+      contribs.groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("contrib")).cast("double").as("score")),
+      k, excludeSelf = false)
+  }
+
   /** Exhaustive top-k against a [[writeBm25Index]] artifact — the
     * partition-pruned read, then the plain sum + rank. */
   def bm25TopKFromIndex(spark: SparkSession, path: String,

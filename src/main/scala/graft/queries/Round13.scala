@@ -136,6 +136,15 @@ object Round13 {
        |  FROM em2, (SELECT SUM(cnt) AS tot FROM em2) tf2)"""
       .stripMargin
 
+  /** q330's query batch (the q301 mixed-selectivity discipline). */
+  private[queries] val incrementalQueries: Seq[(Int, String)] = Seq(
+    1 -> "hash join planner",
+    2 -> "window merge batch stream vector",
+    3 -> "scan filter zzzabsent",
+    4 -> "partition shuffle")
+  private val incrementalValues: String = incrementalQueries
+    .map { case (qid, txt) => s"($qid, '$txt')" }.mkString(", ")
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- PNG pixel round-trip, hash-gated parse∘construct (the q306
@@ -741,5 +750,47 @@ object Round13 {
               |  (CAST(SUM(pw.n_pieces) AS BIGINT) * 1000)
               |    // CAST(COUNT(*) AS BIGINT) AS fertility_milli
               |FROM tokw JOIN pw USING (word)
-              |GROUP BY lang ORDER BY lang""".stripMargin)))
+              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- INCREMENTAL retrieval index end to end (the daily-ingest
+    // deployment reality the impact index can't serve: appending
+    // documents shifts idf/avgdl, so q302's precomputed contribs
+    // would need a full rebuild per increment): build the TF index on
+    // doc_id%3≠2, APPEND the %3=2 increment as pure parquet appends,
+    // then answer the q301 query batch with statistics recomputed at
+    // read time over the index's current state. The oracle is
+    // exhaustive BM25 over the FULL corpus — the green hash proves
+    // build∘append∘query ≡ full rebuild, bit-identically, tiebreaks
+    // included.
+    QueryDef("q330_bm25_incremental",
+      (s, dir) => {
+        val dirKey = try new java.io.File(dir).getCanonicalPath
+          catch { case _: Throwable => dir }
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(dirKey.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16) + "_" +
+          java.lang.ProcessHandle.current().pid()
+        val outDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_q330_tfidx_$tag")
+        Round5.registerScratchCleanup(outDir)
+        val docs = t("documents")(s, dir)
+        graft.operators.Retrieval.writeTfIndex(
+          docs.where(col("doc_id") % 3 =!= 2),
+          outDir.getAbsolutePath, wordBuckets = 16)
+        graft.operators.Retrieval.appendTfIndex(
+          outDir.getAbsolutePath, docs.where(col("doc_id") % 3 === 2))
+        graft.operators.Retrieval.bm25TopKFromTfIndex(
+          s, outDir.getAbsolutePath, Round13.incrementalQueries, k = 10)
+      },
+      Some(s"""WITH ${graft.operators.Retrieval.bm25OracleCtes(
+                incrementalValues, 1.2, 0.75)},
+              |r AS (SELECT query_id, doc_id, score,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY score DESC, doc_id) AS rnk
+              |  FROM sc)
+              |SELECT query_id, doc_id, score,
+              |  CAST(rnk AS BIGINT) AS rank
+              |FROM r WHERE rnk <= 10
+              |ORDER BY query_id, rank""".stripMargin)))
+
 }

@@ -119,6 +119,44 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("TF index: build on a subset, APPEND the rest, query ≡ bm25TopK " +
+      "over the full corpus bit-identically (idf/avgdl recomputed at " +
+      "read time — the freshness contract the impact index can't give)") {
+    val docs = (0L until 40L).map { i =>
+      val filler = Seq.fill((i % 4).toInt + 1)("common words here")
+        .mkString(" ")
+      val rare = if (i < 4) " needle" else ""
+      (i, s"$filler$rare")
+    }.toDF("doc_id", "text")
+    val queries = Seq(1 -> "needle common", 2 -> "words here needle",
+      3 -> "zzzabsent common")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tfidx").toString
+    try {
+      Retrieval.writeTfIndex(
+        docs.where(col("doc_id") % 3 =!= 2), dir, wordBuckets = 8)
+      Retrieval.appendTfIndex(dir,
+        docs.where(col("doc_id") % 3 === 2))
+      for (k <- Seq(1, 5, 10)) {
+        val full = canonTopK(
+          Retrieval.bm25TopK(docs, "doc_id", "text", queries, k))
+        val indexed = canonTopK(
+          Retrieval.bm25TopKFromTfIndex(spark, dir, queries, k))
+        assert(indexed == full, s"k=$k: $indexed vs $full")
+      }
+      // a second increment keeps the equivalence (stats shift again)
+      val more = Seq((100L, "needle needle brand new common"))
+        .toDF("doc_id", "text")
+      Retrieval.appendTfIndex(dir, more)
+      val full2 = canonTopK(Retrieval.bm25TopK(
+        docs.unionAll(more), "doc_id", "text", queries, 5))
+      val idx2 = canonTopK(
+        Retrieval.bm25TopKFromTfIndex(spark, dir, queries, 5))
+      assert(idx2 == full2, s"post-2nd-append: $idx2 vs $full2")
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
   test("bm25TopKPruned ≡ bm25TopK on an ALL-TIES corpus (identical " +
       "docs — doc_id tiebreak must survive pruning bit-identically)") {
     val docs = (0L until 20L).map(i => (i, "same words every doc"))
