@@ -216,11 +216,15 @@ object PngDecodeKernel {
         var bits = 0L
         var gy = 0
         while (gy < 6) {
-          val r = gy * d.height / 6
+          // Long sampling arithmetic: the 1 GiB raw-size guard admits
+          // degenerate shapes (1-wide gray, height ~4·10⁸) where
+          // gy·height overflows Int and the negative index would crash
+          // the task — breaking the never-throw garbage-rows contract
+          val r = (gy.toLong * d.height / 6).toInt
           var gx = 0
           while (gx < 10) {
-            val c0 = gx * d.width / 11
-            val c1 = (gx + 1) * d.width / 11
+            val c0 = (gx.toLong * d.width / 11).toInt
+            val c1 = ((gx + 1).toLong * d.width / 11).toInt
             if (lumaMilli(d, r, c1) > lumaMilli(d, r, c0))
               bits |= 1L << (gy * 10 + gx)
             gx += 1
@@ -330,10 +334,12 @@ object PngResizeKernel {
         val out = new Array[Byte](outW * outH * ch)
         var r = 0
         while (r < outH) {
-          val ri = r * d.height / outH
+          // Long arithmetic for the same overflow reason as dhash60's
+          // sample grid (1-wide/1-tall inputs inside the bomb guard)
+          val ri = (r.toLong * d.height / outH).toInt
           var c = 0
           while (c < outW) {
-            val ci = c * d.width / outW
+            val ci = (c.toLong * d.width / outW).toInt
             var k = 0
             while (k < ch) {
               out((r * outW + c) * ch + k) =

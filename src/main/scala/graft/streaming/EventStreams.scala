@@ -135,8 +135,10 @@ object EventStreams {
     * the coverage guarantee is merge-order-independent, so any key
     * with share > 1/(capacity+1) of a (window, group)'s rows is in
     * the final set no matter how arrivals were batched). Update mode:
-    * each trigger re-emits the groups it touched; read the LAST row
-    * per (window, group). The exact-count verification join is a
+    * each trigger re-emits the groups it touched; `n_seen` (rows
+    * merged so far) is MONOTONE per (window, group), so the final
+    * state is `max_by(candidates, n_seen)` — sink row order is not
+    * part of the contract. The exact-count verification join is a
     * batch pass over the emitted candidates (the lambda shape:
     * sketch online, verify offline — EventStreamsSpec pins
     * stream-final candidates ≡ the batch operator's on the same
@@ -148,9 +150,10 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDur), col(groupCol))
       .agg(graft.functions.SketchAggs.misraGries(
-        col(keyCol).cast("long"), capacity).as("candidates"))
+          col(keyCol).cast("long"), capacity).as("candidates"),
+        count(lit(1)).as("n_seen"))
       .select(col("window.start").as("bucket_start"), col(groupCol),
-        col("candidates"))
+        col("candidates"), col("n_seen"))
 
   /** Declarative gap-based sessions via `session_window` — Spark merges
     * overlapping per-event windows into sessions natively; state per key

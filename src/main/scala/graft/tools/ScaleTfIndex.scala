@@ -65,15 +65,24 @@ object ScaleTfIndex {
       Retrieval.writeBm25Index(
         Retrieval.bm25Index(corpus, "doc_id", "text"), impDir,
         wordBuckets = 64)
+      // each timed rep appends a DISTINCT-id increment (rep-offset
+      // ids): appendTfIndex's contract is ingest-not-upsert, so
+      // re-appending the same ids would triplicate them and the
+      // subsequent query timing would measure a corrupted index
+      var appendRep = 0
       time(s"x$m ($n docs) TF-index APPEND of $nBase-doc increment") {
-        Retrieval.appendTfIndex(tfDir, increment)
+        appendRep += 1
+        Retrieval.appendTfIndex(tfDir, increment
+          .select((col("doc_id") + appendRep * 10000000L).as("doc_id"),
+            col("text")))
       }
       time(s"x$m impact-index FULL REBUILD (corpus + increment)") {
         Retrieval.writeBm25Index(
           Retrieval.bm25Index(corpus.unionAll(increment),
             "doc_id", "text"), impDir, wordBuckets = 64)
       }
-      time(s"x$m query through the appended TF index") {
+      time(s"x$m query through the appended TF index " +
+          s"(corpus + $appendRep distinct increments)") {
         Retrieval.bm25TopKFromTfIndex(spark, tfDir, queries, 10)
           .write.format("noop").mode("overwrite").save()
       }

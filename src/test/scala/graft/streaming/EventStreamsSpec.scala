@@ -72,10 +72,12 @@ class EventStreamsSpec extends SparkSpec {
       all.grouped(6).foreach { batch =>
         in.addData(batch: _*); q.processAllAvailable()
       }
-      // last update per (bucket, group) is the final state
+      // final state per (bucket, group) = the row with the largest
+      // n_seen (monotone batch marker) — last() over the memory sink
+      // is order-dependent and can flake under multi-partition reads
       val fin = spark.table("hh")
         .groupBy("bucket_start", "event_type")
-        .agg(last(col("candidates")).as("candidates"))
+        .agg(expr("max_by(candidates, n_seen)").as("candidates"))
         .collect()
         .map(r => r.getString(1) -> r.getSeq[Long](2)).toMap
       assert(fin("click").size <= 3 && fin("view").size <= 3)
