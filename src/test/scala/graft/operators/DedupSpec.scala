@@ -575,4 +575,74 @@ class DedupSpec extends SparkSpec {
       .collect()
     assert((r.getString(2), r.getDouble(3)) == ("a", 9.0))
   }
+
+  private def shingleIndexCorpus = {
+    import spark.implicits._
+    // 1/2/4 mutually near-dup; 5 a near-dup of 2 arriving in the
+    // increment; 3 and 6 match nothing
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different words entirely here now"),
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "a quick brown fox jumps over the lazy cat"),
+      (6L, "nothing shared with anything else at all then")
+    ).toDF("doc_id", "text")
+  }
+
+  test("shingle index: build∘append∘query ≡ full-corpus pairs " +
+      "restricted to increment-touching, across bucket counts") {
+    val all = shingleIndexCorpus
+    val corpus = all.where(col("doc_id") <= 4)
+    val inc = all.where(col("doc_id") >= 5)
+    // full-rebuild truth, restricted to pairs touching the increment
+    val truth = Dedup.jaccardPairsPrefix(all, "doc_id", "text",
+        n = 3, threshold = 0.5, cache = false)
+      .where(col("da") >= 5 || col("db") >= 5)
+      .orderBy("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(truth.nonEmpty) // live branch: 2–5 share most shingles
+    for (buckets <- Seq(1, 4, 16)) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("shidx").toString
+      Dedup.writeShingleIndex(corpus, dir, n = 3,
+        shingleBuckets = buckets)
+      Dedup.appendShingleIndex(dir, inc)
+      val got = Dedup.jaccardPairsAgainstIndex(spark, dir, 0.5,
+          inc.select(col("doc_id")))
+        .orderBy("da", "db").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(got == truth, s"buckets=$buckets")
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("shingle index: two successive appends ≡ one; corpus-internal " +
+      "pairs never re-emitted") {
+    val all = shingleIndexCorpus
+    val dir = java.nio.file.Files.createTempDirectory("shidx2").toString
+    Dedup.writeShingleIndex(all.where(col("doc_id") <= 2), dir, n = 3,
+      shingleBuckets = 4)
+    Dedup.appendShingleIndex(dir, all.where(col("doc_id").isin(3L, 4L)))
+    Dedup.appendShingleIndex(dir, all.where(col("doc_id") >= 5))
+    // querying with the SECOND increment only: (1,4)/(2,4)/(1,2) are
+    // corpus-or-earlier-increment-internal — absent by contract
+    val got = Dedup.jaccardPairsAgainstIndex(spark, dir, 0.5,
+        all.where(col("doc_id") >= 5).select(col("doc_id")))
+      .orderBy("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.forall { case (a, b) => a >= 5 || b >= 5 })
+    // and the increment-touching set matches the full-rebuild truth
+    val truth = Dedup.jaccardPairsPrefix(all, "doc_id", "text",
+        n = 3, threshold = 0.5, cache = false)
+      .where(col("da") >= 5 || col("db") >= 5)
+      .orderBy("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == truth)
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
 }
