@@ -332,8 +332,12 @@ object Retrieval {
     require(wordBuckets >= 1)
     val tfF = tf.getOrElse(termFrequencies(
       docs.select(col(idCol), col(textCol)), idCol, textCol))
+    // repartition ON the bucket column: one file per bucket per write
+    // instead of (#tasks × #buckets) tiny files (the ScaleShingleIndex
+    // listing-cost lesson — same fix as writeShingleIndex)
     tfF.withColumn("wbucket",
         pmod(xxhash64(col("word")), lit(wordBuckets.toLong)))
+      .repartition(col("wbucket"))
       .write.mode("overwrite").partitionBy("wbucket")
       .parquet(s"$path/postings")
     tfF.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
@@ -359,10 +363,93 @@ object Retrieval {
       newDocs.select(col(idCol), col(textCol)), idCol, textCol))
     tfF.withColumn("wbucket",
         pmod(xxhash64(col("word")), lit(nBuckets.toLong)))
+      .repartition(col("wbucket")) // one file per bucket per append
       .write.mode("append").partitionBy("wbucket")
       .parquet(s"$path/postings")
     tfF.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       .write.mode("append").parquet(s"$path/docs")
+  }
+
+  /** DELETE documents from a [[writeTfIndex]] artifact — the
+    * takedown/GDPR operation ingest-only appends can't express.
+    * LOGICAL deletion: the ids are appended to a `path/tombstones`
+    * parquet (per-doc facts again — nothing else in the layout
+    * changes), and every [[bm25TopKFromTfIndex]] read anti-joins them
+    * out of BOTH postings and dl, so idf/avgdl/df — all computed at
+    * read time — recompute correctly for free (the read-time-stats
+    * design paying off: a purge on the impact index would shift every
+    * stored contrib). Physical removal is a separate, schedulable
+    * concern: [[purgeTfIndexTombstones]].
+    */
+  def deleteFromTfIndex(path: String, docIds: DataFrame): Unit =
+    docIds.select(col(docIds.columns.head).cast("long").as("doc_id"))
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** Physically drop tombstoned rows from a [[writeTfIndex]] artifact:
+    * rewrite each postings bucket leaf and the docs table WITHOUT the
+    * tombstoned ids (staging + two-rename swap per directory — the
+    * [[graft.sink.Compact]] crash discipline), then drop the
+    * tombstones. Queries are bit-identical before and after (the
+    * logical anti-join and the physical rewrite remove the same rows);
+    * what the purge buys is scan width — a years-old deletion set no
+    * longer taxes every read. No-op if nothing is tombstoned.
+    */
+  def purgeTfIndexTombstones(spark: SparkSession, path: String): Unit = {
+    if (!dirExists(spark, s"$path/tombstones")) return
+    val tomb = spark.read.parquet(s"$path/tombstones")
+      .select(col("doc_id")).distinct().localCheckpoint()
+    val hconf = spark.sessionState.newHadoopConf()
+    def swapRewrite(dir: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(hconf)
+      if (!fs.exists(p)) return
+      val staging = new org.apache.hadoop.fs.Path(dir + "._purging")
+      val backup = new org.apache.hadoop.fs.Path(dir + "._prepurge")
+      if (fs.exists(staging)) fs.delete(staging, true)
+      spark.read.parquet(dir)
+        .join(tomb, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(staging.toString)
+      fs.rename(p, backup)
+      fs.rename(staging, p)
+      fs.delete(backup, true)
+    }
+    // per-leaf rewrite keeps the wbucket partition layout intact
+    val postings = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = postings.getFileSystem(hconf)
+    fs.listStatus(postings).filter(_.isDirectory)
+      .map(_.getPath.toString)
+      .filter(_.contains("wbucket="))
+      .foreach(swapRewrite)
+    swapRewrite(s"$path/docs")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+  }
+
+  /** Compact a [[writeTfIndex]] artifact's accumulated append files:
+    * N daily [[appendTfIndex]] calls leave one file per bucket per day
+    * — the classic 100 TB ingest failure mode — so each postings
+    * bucket leaf and the docs table are rewritten by
+    * [[graft.sink.Compact.compact]] (staging + two-rename swap,
+    * crash-safe). Row values are untouched: queries hash-identically
+    * before and after (q333 gates exactly that). Returns
+    * (filesBefore, filesAfter) summed over the rewritten directories.
+    */
+  def compactTfIndex(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val postings = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = postings.getFileSystem(hconf)
+    val leaves = fs.listStatus(postings).filter(_.isDirectory)
+      .map(_.getPath.toUri.getPath)
+      .filter(_.contains("wbucket=")).toSeq :+ s"$path/docs"
+    leaves.map(graft.sink.Compact.compact(spark, _, targetBytes))
+      .foldLeft((0, 0)) { case ((b0, a0), (b1, a1)) =>
+        (b0 + b1, a0 + a1)
+      }
+  }
+
+  private def dirExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
   /** Exhaustive BM25 top-k against a [[writeTfIndex]] artifact:
@@ -371,7 +458,10 @@ object Retrieval {
     * QUERY TIME over the index's CURRENT state, so after any number
     * of [[appendTfIndex]] increments the ranking is BIT-IDENTICAL to
     * [[bm25TopK]] over the full corpus (q330's green hash is that
-    * proof). The postings read is partition-pruned exactly like
+    * proof). Tombstoned documents ([[deleteFromTfIndex]]) are
+    * anti-joined out of postings AND dl before anything aggregates,
+    * so stats recompute as if the docs never existed (q332's proof).
+    * The postings read is partition-pruned exactly like
     * [[bm25TopKFromIndex]]: query-word bucket ids become literal
     * `wbucket IN` filters plus a pushed `word IN` row filter.
     */
@@ -388,13 +478,22 @@ object Retrieval {
     val buckets = qt
       .select(pmod(xxhash64(col("word")), lit(nBuckets.toLong)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val postings =
+    // tombstones: no broadcast hint — a GDPR purge list can be any
+    // size, so AQE picks the join strategy from its actual stats
+    val tomb =
+      if (dirExists(spark, s"$path/tombstones"))
+        Some(spark.read.parquet(s"$path/tombstones")
+          .select(col("doc_id")).distinct())
+      else None
+    def minusTomb(df: DataFrame): DataFrame =
+      tomb.map(df.join(_, Seq("doc_id"), "left_anti")).getOrElse(df)
+    val postings = minusTomb(
       if (words.isEmpty)
         spark.read.parquet(s"$path/postings").where(lit(false))
       else spark.read.parquet(s"$path/postings")
         .where(col("wbucket").isin(buckets: _*) &&
-          col("word").isin(words: _*))
-    val dl = spark.read.parquet(s"$path/docs")
+          col("word").isin(words: _*)))
+    val dl = minusTomb(spark.read.parquet(s"$path/docs"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val dfreq = postings.groupBy(col("word")).agg(count(lit(1)).as("df"))
@@ -793,18 +892,24 @@ object Retrieval {
     * query and any consumer so Spark and DuckDB arithmetic cannot
     * drift. `queriesValues` is a SQL VALUES list of (query_id, qtext).
     */
-  def bm25OracleCtes(queriesValues: String, k1: Double, b: Double): String =
+  def bm25OracleCtes(queriesValues: String, k1: Double, b: Double,
+      docsWhere: String = ""): String =
     bm25OracleCtesQr(
-      s"qr(query_id, qtext) AS (VALUES $queriesValues)", k1, b)
+      s"qr(query_id, qtext) AS (VALUES $queriesValues)", k1, b,
+      docsWhere)
 
   /** Same chain with an arbitrary SQL definition for the query CTE
     * `qr(query_id, qtext)` — for doc-as-query retrieval (q144's
     * hybrid arms derive queries from the corpus itself).
+    * `docsWhere` restricts the corpus (q332's rebuild-without-deleted
+    * oracle).
     */
-  def bm25OracleCtesQr(qrCte: String, k1: Double, b: Double): String =
+  def bm25OracleCtesQr(qrCte: String, k1: Double, b: Double,
+      docsWhere: String = ""): String =
     s"""w AS (SELECT doc_id, list_filter(
        |    string_split_regex(lower(text), '\\s+'),
-       |    x -> len(x) > 0) AS ws FROM documents),
+       |    x -> len(x) > 0) AS ws FROM documents${
+         if (docsWhere.isEmpty) "" else s" WHERE $docsWhere"}),
        |tf AS (SELECT doc_id, unnest(ws) AS word FROM w),
        |tfc AS (SELECT doc_id, word, COUNT(*) AS tf FROM tf
        |  GROUP BY 1, 2),

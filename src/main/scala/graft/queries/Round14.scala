@@ -69,5 +69,79 @@ object Round14 {
               |FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
               |WHERE inter / (x.n + y.n - inter) >= 0.5
               |  AND (da % 4 = 3 OR db % 4 = 3)
-              |ORDER BY da, db""".stripMargin)))
+              |ORDER BY da, db""".stripMargin)),
+
+    // ---- TF-index tombstone DELETION (the takedown/GDPR operation
+    // the r13 verdict ranked #2 — ingest-only appends can't forget):
+    // build the TF index on the FULL corpus, tombstone doc_id%3=2
+    // (logical delete: one parquet append of ids), query. The read
+    // anti-joins tombstones from postings AND dl before anything
+    // aggregates, so idf/avgdl/df recompute as if the docs never
+    // existed — the oracle is exhaustive BM25 over a corpus REBUILT
+    // WITHOUT those docs, and the green hash proves delete ≡ rebuild
+    // bit-identically (RetrievalSpec adds purge ≡ logical and
+    // delete∘append commutation).
+    QueryDef("q332_bm25_delete",
+      (s, dir) => {
+        val outDir = scratchDir(dir, "q332_tfidx")
+        val docs = t("documents")(s, dir)
+        graft.operators.Retrieval.writeTfIndex(
+          docs, outDir.getAbsolutePath, wordBuckets = 16)
+        graft.operators.Retrieval.deleteFromTfIndex(
+          outDir.getAbsolutePath,
+          docs.where(col("doc_id") % 3 === 2).select(col("doc_id")))
+        graft.operators.Retrieval.bm25TopKFromTfIndex(
+          s, outDir.getAbsolutePath, Round13.incrementalQueries, k = 10)
+      },
+      Some(s"""WITH ${graft.operators.Retrieval.bm25OracleCtes(
+                Round13.incrementalQueries
+                  .map { case (q, x) => s"($q, '$x')" }.mkString(", "),
+                1.2, 0.75, docsWhere = "doc_id % 3 <> 2")},
+              |r AS (SELECT query_id, doc_id, score,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY score DESC, doc_id) AS rnk
+              |  FROM sc)
+              |SELECT query_id, doc_id, score,
+              |  CAST(rnk AS BIGINT) AS rank
+              |FROM r WHERE rnk <= 10
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- small-file COMPACTION through the append path (the classic
+    // 100 TB ingest failure mode: N daily appends leave one file per
+    // bucket per day): build on doc_id%3=0, append %3=1, append %3=2
+    // — three files per touched bucket — then compactTfIndex rewrites
+    // every bucket leaf + the docs table through sink/Compact's
+    // staging-swap, and the query runs against the COMPACTED index.
+    // Oracle = exhaustive full-corpus BM25: the green hash proves
+    // bit-identity through compaction (RetrievalSpec asserts the file
+    // counts actually shrank — a no-op "compaction" would hash green
+    // too).
+    QueryDef("q333_bm25_compaction",
+      (s, dir) => {
+        val outDir = scratchDir(dir, "q333_tfidx")
+        val docs = t("documents")(s, dir)
+        graft.operators.Retrieval.writeTfIndex(
+          docs.where(col("doc_id") % 3 === 0),
+          outDir.getAbsolutePath, wordBuckets = 16)
+        graft.operators.Retrieval.appendTfIndex(
+          outDir.getAbsolutePath, docs.where(col("doc_id") % 3 === 1))
+        graft.operators.Retrieval.appendTfIndex(
+          outDir.getAbsolutePath, docs.where(col("doc_id") % 3 === 2))
+        graft.operators.Retrieval.compactTfIndex(
+          s, outDir.getAbsolutePath)
+        graft.operators.Retrieval.bm25TopKFromTfIndex(
+          s, outDir.getAbsolutePath, Round13.incrementalQueries, k = 10)
+      },
+      Some(s"""WITH ${graft.operators.Retrieval.bm25OracleCtes(
+                Round13.incrementalQueries
+                  .map { case (q, x) => s"($q, '$x')" }.mkString(", "),
+                1.2, 0.75)},
+              |r AS (SELECT query_id, doc_id, score,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY score DESC, doc_id) AS rnk
+              |  FROM sc)
+              |SELECT query_id, doc_id, score,
+              |  CAST(rnk AS BIGINT) AS rank
+              |FROM r WHERE rnk <= 10
+              |ORDER BY query_id, rank""".stripMargin)))
 }

@@ -157,6 +157,101 @@ class RetrievalSpec extends SparkSpec {
       .deleteQuietly(new java.io.File(dir))
   }
 
+  private def tfIdxDocs = (0L until 40L).map { i =>
+    val filler = Seq.fill((i % 4).toInt + 1)("common words here")
+      .mkString(" ")
+    val rare = if (i < 4) " needle" else ""
+    (i, s"$filler$rare")
+  }.toDF("doc_id", "text")
+
+  test("TF index DELETE: query-after-tombstone ≡ rebuild without the " +
+      "deleted docs; purge ≡ logical; delete∘append commutes") {
+    val docs = tfIdxDocs
+    val queries = Seq(1 -> "needle common", 2 -> "words here needle")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tfdel").toString
+    try {
+      Retrieval.writeTfIndex(docs, dir, wordBuckets = 8)
+      Retrieval.deleteFromTfIndex(dir,
+        docs.where(col("doc_id") % 4 === 1).select(col("doc_id")))
+      val truth = canonTopK(Retrieval.bm25TopK(
+        docs.where(col("doc_id") % 4 =!= 1), "doc_id", "text",
+        queries, 10))
+      assert(canonTopK(
+        Retrieval.bm25TopKFromTfIndex(spark, dir, queries, 10)) == truth)
+      // append AFTER delete: both mutations visible, stats correct
+      val more = Seq((100L, "needle common brand new"))
+        .toDF("doc_id", "text")
+      Retrieval.appendTfIndex(dir, more)
+      val truth2 = canonTopK(Retrieval.bm25TopK(
+        docs.where(col("doc_id") % 4 =!= 1).unionAll(more),
+        "doc_id", "text", queries, 10))
+      assert(canonTopK(
+        Retrieval.bm25TopKFromTfIndex(spark, dir, queries, 10)) == truth2)
+      // the commuted order (append then delete) on a fresh index
+      // reaches the same state
+      val dir2 = java.nio.file.Files
+        .createTempDirectory("graft_tfdel2").toString
+      try {
+        Retrieval.writeTfIndex(docs, dir2, wordBuckets = 8)
+        Retrieval.appendTfIndex(dir2, more)
+        Retrieval.deleteFromTfIndex(dir2,
+          docs.where(col("doc_id") % 4 === 1).select(col("doc_id")))
+        assert(canonTopK(Retrieval.bm25TopKFromTfIndex(
+          spark, dir2, queries, 10)) == truth2)
+      } finally org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(dir2))
+      // physical purge: same answers, tombstones gone, postings thinner
+      val beforeRows = spark.read.parquet(s"$dir/postings").count()
+      Retrieval.purgeTfIndexTombstones(spark, dir)
+      assert(!new java.io.File(s"$dir/tombstones").exists())
+      assert(spark.read.parquet(s"$dir/postings").count() < beforeRows)
+      assert(canonTopK(
+        Retrieval.bm25TopKFromTfIndex(spark, dir, queries, 10)) == truth2)
+      // deleting an APPENDED doc works too (takedown of fresh ingest)
+      Retrieval.deleteFromTfIndex(dir,
+        Seq(100L).toDF("doc_id"))
+      assert(canonTopK(
+        Retrieval.bm25TopKFromTfIndex(spark, dir, queries, 10)) == truth)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
+  test("TF index COMPACTION: file count shrinks after two appends, " +
+      "query results bit-identical through the rewrite") {
+    val docs = tfIdxDocs
+    val queries = Seq(1 -> "needle common", 2 -> "words here")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tfcompact").toString
+    def parquetFiles(): Int = {
+      def walk(f: java.io.File): Int = {
+        val kids = Option(f.listFiles()).getOrElse(Array.empty)
+        kids.count(k => k.isFile &&
+          k.getName.endsWith(".parquet")) + kids.filter(_.isDirectory)
+          .map(walk).sum
+      }
+      walk(new java.io.File(dir))
+    }
+    try {
+      Retrieval.writeTfIndex(
+        docs.where(col("doc_id") % 3 === 0), dir, wordBuckets = 8)
+      Retrieval.appendTfIndex(dir, docs.where(col("doc_id") % 3 === 1))
+      Retrieval.appendTfIndex(dir, docs.where(col("doc_id") % 3 === 2))
+      val truth = canonTopK(
+        Retrieval.bm25TopKFromTfIndex(spark, dir, queries, 10))
+      val filesBefore = parquetFiles()
+      val (b, a) = Retrieval.compactTfIndex(spark, dir)
+      assert(b > a, s"compaction did not shrink: $b -> $a")
+      assert(parquetFiles() < filesBefore)
+      assert(canonTopK(
+        Retrieval.bm25TopKFromTfIndex(spark, dir, queries, 10)) == truth)
+      // and ≡ the never-appended full build (bit-identity end to end)
+      assert(truth == canonTopK(
+        Retrieval.bm25TopK(docs, "doc_id", "text", queries, 10)))
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
   test("bm25TopKPruned ≡ bm25TopK on an ALL-TIES corpus (identical " +
       "docs — doc_id tiebreak must survive pruning bit-identically)") {
     val docs = (0L until 20L).map(i => (i, "same words every doc"))
