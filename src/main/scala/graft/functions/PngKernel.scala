@@ -17,8 +17,10 @@ import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StructFiel
   * pure byte arithmetic), and the matching encoder
   * (`java.util.zip.Deflater` + real CRC32 chunks) so pipelines can
   * round-trip REAL compressed images end to end with zero external
-  * libraries. Only entropy-coded codec formats (JPEG's DCT/Huffman
-  * stack) genuinely need libraries this environment lacks.
+  * libraries. Baseline sequential JPEG is likewise JDK-only
+  * ([[JpegDecodeKernel]]/[[JpegEncodeKernel]]); only
+  * progressive/arithmetic-coded JPEG variants and the video/audio
+  * codec families remain out of scope.
   *
   * Supported: bit depth 8, color types 0 (gray, 1 channel),
   * 2 (RGB, 3) and 6 (RGBA, 4), interlace 0. Anything else — and any

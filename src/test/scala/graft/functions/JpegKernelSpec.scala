@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Baseline-JPEG kernel semantics (pure JVM, no Spark session):
+  * round-trip shape, the pinned lossy arithmetic, marker/garbage
+  * handling, and the error envelope on smooth content. The ANY-input
+  * properties (DC closed form, never-throws fuzz) live in
+  * [[KernelPropertiesSpec]].
+  */
+class JpegKernelSpec extends AnyFunSuite {
+
+  private def gray(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] =
+    Array.tabulate(w * h)(i => f(i % w, i / w).toByte)
+
+  test("encode emits a well-formed baseline stream: SOI/DQT/SOF0/DHT/" +
+      "SOS markers present, EOI last") {
+    val jpg = JpegEncodeKernel.encode(8, 8, 1, gray(8, 8)((x, y) => x * y))
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8)
+    assert((jpg(jpg.length - 2) & 0xff) == 0xff &&
+      (jpg(jpg.length - 1) & 0xff) == 0xd9)
+    def hasMarker(m: Int): Boolean = jpg.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == m)
+    assert(hasMarker(0xdb) && hasMarker(0xc0) && hasMarker(0xc4) &&
+      hasMarker(0xda))
+  }
+
+  test("round trip preserves dims and channels across shapes, " +
+      "including non-multiple-of-8 and 1×1") {
+    for ((w, h, ch) <- Seq((8, 8, 1), (16, 8, 3), (13, 9, 1),
+        (11, 7, 3), (1, 1, 1), (1, 1, 3), (40, 24, 3))) {
+      val px = Array.tabulate(w * h * ch)(i => ((i * 7 + 13) % 256).toByte)
+      val dec = JpegDecodeKernel.decode(
+        JpegEncodeKernel.encode(w, h, ch, px))
+      assert(dec.isDefined, s"$w x $h x $ch")
+      val d = dec.get
+      assert(d.width == w && d.height == h && d.channels == ch)
+      assert(d.pixels.length == w * h * ch)
+    }
+  }
+
+  test("lossy error envelope: smooth gradients survive within ±16, " +
+      "constant images exactly (DC path)") {
+    val w = 32; val h = 32
+    val ramp = gray(w, h)((x, y) => x * 4 + y)
+    val d = JpegDecodeKernel.decode(
+      JpegEncodeKernel.encode(w, h, 1, ramp)).get
+    val errs = ramp.zip(d.pixels).map { case (a, b) =>
+      math.abs((a & 0xff) - (b & 0xff)) }
+    assert(errs.max <= 16, s"ramp max err ${errs.max}")
+    // constant 8×8 at v=128: s=0 → all coefs 0 → exact round trip
+    val flat = Array.fill(64)(128.toByte)
+    val df = JpegDecodeKernel.decode(
+      JpegEncodeKernel.encode(8, 8, 1, flat)).get
+    assert(df.pixels.forall(p => (p & 0xff) == 128))
+  }
+
+  test("byte stuffing survives: an image whose entropy stream " +
+      "contains 0xFF bytes round-trips") {
+    // full-range noise maximizes entropy-stream byte diversity; value
+    // bits crossing byte boundaries form 0xFF across these seeds
+    var sawStuffed = false
+    for (seed <- 0 until 64) {
+      val rnd = new scala.util.Random(seed)
+      val px = Array.fill(24 * 24)(rnd.nextInt(256).toByte)
+      val jpg = JpegEncodeKernel.encode(24, 24, 1, px)
+      val entropyStart = {
+        val i = jpg.sliding(2).indexWhere(p =>
+          (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xda)
+        i + 2 + (((jpg(i + 2) & 0xff) << 8) | (jpg(i + 3) & 0xff))
+      }
+      sawStuffed ||= jpg.drop(entropyStart).sliding(2).exists(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0x00)
+      assert(JpegDecodeKernel.decode(jpg).isDefined, s"seed $seed")
+    }
+    assert(sawStuffed, "no test image exercised byte stuffing")
+  }
+
+  test("garbage contract: null/empty/non-JPEG/truncated/progressive " +
+      "payloads decode to None, never throw") {
+    assert(JpegDecodeKernel.decode(null).isEmpty)
+    assert(JpegDecodeKernel.decode(Array.emptyByteArray).isEmpty)
+    assert(JpegDecodeKernel.decode("plain text".getBytes).isEmpty)
+    val ok = JpegEncodeKernel.encode(8, 8, 1, gray(8, 8)((x, y) => x + y))
+    val sosEnd = {
+      val i = ok.sliding(2).indexWhere(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xda)
+      i + 2 + (((ok(i + 2) & 0xff) << 8) | (ok(i + 3) & 0xff))
+    }
+    // cuts into the headers or the first entropy byte must fail …
+    for (cut <- Seq(2, 10, sosEnd - 3, sosEnd + 1))
+      assert(JpegDecodeKernel.decode(ok.take(cut)).isEmpty, s"cut $cut")
+    // … but a missing EOI after a COMPLETE entropy stream still
+    // decodes — deliberate bit-rot leniency, the same trade as the
+    // PNG kernel's skipped chunk CRCs
+    assert(JpegDecodeKernel.decode(ok.take(ok.length - 2)).isDefined)
+    // flip SOF0 (0xC0) to SOF2 progressive (0xC2): out of scope → None
+    val prog = ok.clone()
+    val sofAt = prog.sliding(2).indexWhere(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc0)
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(JpegDecodeKernel.decode(prog).isEmpty)
+  }
+
+  test("encoder argument contract: bad channels/dims/length → null") {
+    assert(JpegEncodeKernel.encode(8, 8, 2, new Array[Byte](128)) == null)
+    assert(JpegEncodeKernel.encode(0, 8, 1, new Array[Byte](0)) == null)
+    assert(JpegEncodeKernel.encode(8, 8, 1, new Array[Byte](63)) == null)
+    assert(JpegEncodeKernel.encode(8, 8, 1, null) == null)
+    assert(JpegEncodeKernel.encode(70000, 1, 1,
+      new Array[Byte](70000)) == null) // SOF dims are 16-bit
+  }
+
+  test("decoder is DHT-table-driven: a foreign-style stream with " +
+      "REORDERED Huffman values still decodes (tables travel with " +
+      "the file)") {
+    // proof the decoder consumes DHT rather than assuming built-ins:
+    // rotate EVERY DC HUFFVAL by one (category c now decodes as
+    // (c+1) mod 12) — any stream that uses at least one DC code must
+    // decode differently or desync entirely
+    val px = gray(16, 16)((x, y) => x * 16 + y)
+    val jpg = JpegEncodeKernel.encode(16, 16, 1, px)
+    val base = JpegDecodeKernel.decode(jpg)
+    assert(base.isDefined)
+    val iDht = jpg.sliding(2).indexWhere(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc4)
+    // DC HUFFVALs start after marker(2) + len(2) + TcTh(1) + BITS(16)
+    val v0 = iDht + 21
+    val tweaked = jpg.clone()
+    for (i <- 0 until 12)
+      tweaked(v0 + i) = (((tweaked(v0 + i) & 0xff) + 1) % 12).toByte
+    val got = JpegDecodeKernel.decode(tweaked)
+    assert(got.isEmpty ||
+      !got.get.pixels.sameElements(base.get.pixels))
+  }
+}

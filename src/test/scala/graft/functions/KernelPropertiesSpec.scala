@@ -56,6 +56,75 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: JPEG decode∘encode on block-constant images is the " +
+      "exact pinned DC closed form for any value, dims and channels") {
+    import JpegMath._
+    // closed-form replay of the staged pipeline for a constant block
+    def dcPipe(v: Int, q: Int): Int = {
+      val s = (v - 128).toLong
+      val r1 = divR(s * 65536 * 5793, 13)
+      val f = divR(r1 * 65536 * 5793, 41)
+      val dq = quantR(f, q) * q
+      val r2 = divR(dq * 5793 * 5793 * 8192, 26)
+      clamp255(divR(r2 * 8192, 28) + 128)
+    }
+    val gen = for {
+      bw <- Gen.choose(1, 3)
+      bh <- Gen.choose(1, 3)
+      ch <- Gen.oneOf(1, 3)
+      vs <- Gen.listOfN(bw * bh * ch, Gen.choose(0, 255))
+    } yield (bw, bh, ch, vs)
+    for ((bw, bh, ch, vs) <- samples(gen, 40)) {
+      val w = bw * 8; val h = bh * 8
+      val px = new Array[Byte](w * h * ch)
+      for (y <- 0 until h; x <- 0 until w; k <- 0 until ch)
+        px((y * w + x) * ch + k) =
+          vs(((y / 8) * bw + x / 8) * ch + k).toByte
+      val dec = JpegDecodeKernel.decode(
+        JpegEncodeKernel.encode(w, h, ch, px))
+      assert(dec.isDefined, s"$w x $h x $ch")
+      val d = dec.get
+      for (by <- 0 until bh; bx <- 0 until bw) {
+        val bi = (by * bw + bx) * ch
+        val expect: Seq[Int] =
+          if (ch == 1) Seq(dcPipe(vs(bi), QLuma(0)))
+          else {
+            val (r, g, b) = (vs(bi), vs(bi + 1), vs(bi + 2))
+            val y0 = dcPipe(rgbToY(r, g, b), QLuma(0))
+            val cb = dcPipe(rgbToCb(r, g, b), QChroma(0))
+            val cr = dcPipe(rgbToCr(r, g, b), QChroma(0))
+            Seq(ycc2r(y0, cr), ycc2g(y0, cb, cr), ycc2b(y0, cb))
+          }
+        for (y <- by * 8 until by * 8 + 8; x <- bx * 8 until bx * 8 + 8;
+            k <- 0 until ch) {
+          val got = d.pixels((y * w + x) * ch + k) & 0xff
+          assert(got == expect(k),
+            s"($w x $h x $ch) block ($bx,$by) ch $k: $got != ${expect(k)}")
+        }
+      }
+    }
+  }
+
+  test("property: JPEG decode never throws on arbitrary mutations of " +
+      "a valid file (garbage-rows contract under fuzz)") {
+    val base = JpegEncodeKernel.encode(16, 16, 3,
+      Array.tabulate(16 * 16 * 3)(i => (i * 37 % 256).toByte))
+    val gen = for {
+      nMut <- Gen.choose(1, 8)
+      muts <- Gen.listOfN(nMut,
+        Gen.zip(Gen.choose(0, base.length - 1), Gen.choose(-128, 127)))
+      chop <- Gen.choose(0, base.length)
+    } yield (muts, chop)
+    for ((muts, chop) <- samples(gen, 150)) {
+      val b = base.clone()
+      muts.foreach { case (i, v) => b(i) = v.toByte }
+      val mutated = b.take(chop.max(1))
+      // must return SOMETHING (pixels or null) without throwing
+      JpegDecodeKernel.decodePixels(mutated)
+      JpegDecodeKernel.jpegStats(mutated)
+    }
+  }
+
   test("property: Viterbi kernel ≡ brute-force best-path enumeration " +
       "(score AND tiebreak) on random lattices") {
     val gen = for {
