@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Round-14 queries (q331+): the index-lifecycle round — incremental
@@ -26,6 +27,66 @@ object Round14 {
     Round5.registerScratchCleanup(f)
     f
   }
+
+  // ---- q334/q335 oracle helpers: SQL replay of the PINNED JPEG
+  // arithmetic (graft.functions.JpegMath — divR is `(x + half) >> n`,
+  // an arithmetic shift in both engines; quantR is sign-biased
+  // TRUNCATING division, `//` in DuckDB and Java `/` in the kernel).
+  private def oDivR(x: String, n: Int): String =
+    s"((($x) + ${1L << (n - 1)}) >> $n)"
+  private def oQuantR(x: String, q: Int): String =
+    s"((($x) + CASE WHEN ($x) >= 0 THEN ${q / 2} " +
+      s"ELSE ${-(q / 2)} END) // $q)"
+  private def oClamp(x: String): String =
+    s"GREATEST(0, LEAST(255, $x))"
+  /** Closed-form DC pipeline for a constant block value `v`
+    * (quantization step `q`): fdct → quant → dequant → idct → +128,
+    * every stage the kernel's pinned arithmetic. */
+  private def oDcPipe(v: String, q: Int): String = {
+    val s = s"(($v) - 128)"
+    val r1 = oDivR(s"$s * 65536 * 5793", 13)
+    val f = oDivR(s"$r1 * 65536 * 5793", 41)
+    val dq = s"(${oQuantR(f, q)} * $q)"
+    val r2 = oDivR(s"$dq * 5793 * 5793 * 8192", 26)
+    oClamp(s"${oDivR(s"$r2 * 8192", 28)} + 128")
+  }
+  private def oRgbY(r: String, g: String, b: String): String =
+    oClamp(s"(299 * ($r) + 587 * ($g) + 114 * ($b) + 500) // 1000")
+  private def oRgbCb(r: String, g: String, b: String): String =
+    oClamp(s"128 + ${oQuantR(
+      s"-169 * ($r) - 331 * ($g) + 500 * ($b)", 1000)}")
+  private def oRgbCr(r: String, g: String, b: String): String =
+    oClamp(s"128 + ${oQuantR(
+      s"500 * ($r) - 419 * ($g) - 81 * ($b)", 1000)}")
+  private def oYcc2R(y: String, cr: String): String =
+    oClamp(s"($y) + ${oQuantR(s"1402 * (($cr) - 128)", 1000)}")
+  private def oYcc2G(y: String, cb: String, cr: String): String =
+    oClamp(s"($y) - ${oQuantR(
+      s"344 * (($cb) - 128) + 714 * (($cr) - 128)", 1000)}")
+  private def oYcc2B(y: String, cb: String): String =
+    oClamp(s"($y) + ${oQuantR(s"1772 * (($cb) - 128)", 1000)}")
+
+  /** JPEG block-constant pixel byte formula, shared by the Spark
+    * construction and the oracle:
+    * v(doc, bx, by, k) = (doc_id·7 + (by·bw + bx)·37 + k·11) % 256. */
+  private def jpegBlockVal(bx: Column, by: Column, bw: Column,
+      k: Column): Column =
+    (col("doc_id") * 7 + (by * bw + bx) * 37 + k * 11) % 256
+
+  /** Integer division on small nonnegative longs (Column `/` is
+    * double division; doubles are exact far past these magnitudes). */
+  private def idiv(a: Column, b: Column): Column =
+    floor(a / b).cast("long")
+
+  private def jpegConstPixels(w: Column, h: Column, ch: Column): Column =
+    unhex(array_join(
+      transform(sequence(lit(0L), w * h * ch - 1), i => {
+        val p = idiv(i, ch)
+        val x = p % w
+        val y = idiv(p, w)
+        lpad(hex(jpegBlockVal(idiv(x, lit(8)), idiv(y, lit(8)),
+          idiv(w, lit(8)), i % ch)), 2, "0")
+      }), ""))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -143,5 +204,174 @@ object Round14 {
               |SELECT query_id, doc_id, score,
               |  CAST(rnk AS BIGINT) AS rank
               |FROM r WHERE rnk <= 10
-              |ORDER BY query_id, rank""".stripMargin)))
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- baseline JPEG round-trip, DC-only multi-block (the q319
+    // parse∘construct discipline on the codec the r13 verdict asked
+    // for): Spark BUILDS real baseline JFIF JPEGs — block-constant
+    // pixels (every 8×8 block one formula value per channel, so the
+    // pinned staged DCT provably yields DC-only blocks: the 2^13
+    // cosine table's u≥1 row sums are exactly 0), grayscale for even
+    // docs and YCbCr 4:4:4 color for odd — then decodes them back
+    // with the native Huffman+IDCT kernel and reports exact channel
+    // sums. The whole ENTROPY layer is exercised for real (DC delta
+    // prediction across blocks, EOB runs, byte stuffing, DHT-driven
+    // canonical tables); the oracle replays the closed-form DC
+    // pipeline per block — a green hash proves decode∘encode on real
+    // JPEG streams matches the pinned arithmetic for every (size,
+    // channels, value) combination in the corpus. doc_id%7=6 rows
+    // carry raw text bytes and must yield all nulls.
+    QueryDef("q334_jpeg_roundtrip",
+      (s, dir) => {
+        val w = (col("doc_id") % 2 + 1) * 8
+        val h = (col("doc_id") % 3 + 1) * 8
+        val ch = when(col("doc_id") % 2 === 0, 1L).otherwise(3L)
+        val jpg = graft.functions.Jpeg.jpegEncode(w, h, ch,
+          jpegConstPixels(w, h, ch))
+        val payload = when(col("doc_id") % 7 === 6,
+            graft.operators.Multimodal.syntheticPayload(col("text")))
+          .otherwise(jpg)
+        t("documents")(s, dir)
+          .select(col("doc_id"), col("text"))
+          .withColumn("st", graft.functions.Jpeg.jpegStats(payload))
+          .select(col("doc_id"), col("st.width"), col("st.height"),
+            col("st.channels"), col("st.n_pixels"), col("st.sum_c0"),
+            col("st.sum_c1"), col("st.sum_c2"),
+            col("st.sum_luma_milli"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        def v(k: Int) =
+          s"(doc_id * 7 + (by * (w // 8) + bx) * 37 + $k * 11) % 256"
+        val gOut = oDcPipe(v(0), 16)
+        val (yc, cb, cr) = (oRgbY(v(0), v(1), v(2)),
+          oRgbCb(v(0), v(1), v(2)), oRgbCr(v(0), v(1), v(2)))
+        s"""WITH d AS (SELECT doc_id, (doc_id % 2 + 1) * 8 AS w,
+           |    (doc_id % 3 + 1) * 8 AS h,
+           |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+           |  FROM documents WHERE doc_id % 7 <> 6),
+           |bx0 AS (SELECT doc_id, w, h, ch,
+           |    unnest(generate_series(0, w // 8 - 1)) AS bx FROM d),
+           |blk AS (SELECT doc_id, w, h, ch, bx,
+           |    unnest(generate_series(0, h // 8 - 1)) AS by FROM bx0),
+           |dcy AS (SELECT doc_id, w, h, ch, bx, by,
+           |    ${oDcPipe(yc, 16)} AS yq,
+           |    ${oDcPipe(cb, 17)} AS cbq,
+           |    ${oDcPipe(cr, 17)} AS crq,
+           |    $gOut AS gq
+           |  FROM blk),
+           |outs AS (SELECT doc_id, ch,
+           |    CASE WHEN ch = 1 THEN gq
+           |      ELSE ${oYcc2R("yq", "crq")} END AS o0,
+           |    CASE WHEN ch = 1 THEN NULL
+           |      ELSE ${oYcc2G("yq", "cbq", "crq")} END AS o1,
+           |    CASE WHEN ch = 1 THEN NULL
+           |      ELSE ${oYcc2B("yq", "cbq")} END AS o2
+           |  FROM dcy),
+           |a AS (SELECT doc_id, MAX(ch) AS ch,
+           |    64 * SUM(o0) AS s0, 64 * SUM(o1) AS s1,
+           |    64 * SUM(o2) AS s2, COUNT(*) AS nblk
+           |  FROM outs GROUP BY 1)
+           |SELECT a.doc_id, CAST(d.w AS BIGINT) AS width,
+           |  CAST(d.h AS BIGINT) AS height,
+           |  CAST(a.ch AS BIGINT) AS channels,
+           |  CAST(d.w * d.h AS BIGINT) AS n_pixels,
+           |  CAST(s0 AS BIGINT) AS sum_c0,
+           |  CAST(s1 AS BIGINT) AS sum_c1,
+           |  CAST(s2 AS BIGINT) AS sum_c2,
+           |  CAST(CASE WHEN a.ch = 1 THEN 1000 * s0
+           |    ELSE 299 * s0 + 587 * s1 + 114 * s2 END AS BIGINT)
+           |    AS sum_luma_milli
+           |FROM a JOIN d USING (doc_id)
+           |UNION ALL
+           |SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           |  NULL
+           |FROM documents WHERE doc_id % 7 = 6
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- baseline JPEG with FULL AC content — the staged-integer
+    // DCT proven coefficient by coefficient: one 8×8 grayscale block
+    // per doc from the q319 pixel formula (doc-dependent slope →
+    // every frequency populated), encoded and decoded by the kernel;
+    // the oracle replays the ENTIRE pinned pipeline in SQL — both
+    // 2D DCT stages against the inlined 2^13 cosine table, Annex-K
+    // quantization with the sign-biased truncating div, dequant, both
+    // IDCT stages, clamp — so the green hash pins all 64 paths
+    // through fdctQuant/dequantIdct plus the AC Huffman run-length
+    // layer (ZRL, EOB, magnitude categories) that carries them.
+    QueryDef("q335_jpeg_dct_exact",
+      (s, dir) => {
+        val n = lit(64L)
+        val px = unhex(array_join(
+          transform(sequence(lit(0L), n - 1), i =>
+            lpad(hex((col("doc_id") * 7 +
+              i * (lit(13) + col("doc_id") % 97)) % 256), 2, "0")), ""))
+        val jpg = graft.functions.Jpeg.jpegEncode(lit(8), lit(8),
+          lit(1), px)
+        val payload = when(col("doc_id") % 7 === 6,
+            graft.operators.Multimodal.syntheticPayload(col("text")))
+          .otherwise(jpg)
+        t("documents")(s, dir)
+          .select(col("doc_id"), col("text"))
+          .withColumn("st", graft.functions.Jpeg.jpegStats(payload))
+          .select(col("doc_id"), col("st.width"), col("st.height"),
+            col("st.n_pixels"), col("st.sum_c0"),
+            col("st.sum_luma_milli"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val cosValues = (for (u <- 0 until 8; x <- 0 until 8)
+          yield s"($u, $x, ${graft.functions.JpegMath.Cos(u)(x)})")
+          .mkString(", ")
+        val qtValues = (for (v <- 0 until 8; u <- 0 until 8)
+          yield s"($u, $v, ${graft.functions.JpegMath.QLuma(v * 8 + u)})")
+          .mkString(", ")
+        s"""WITH ct(u, x, c) AS (VALUES $cosValues),
+           |qt(u, v, q) AS (VALUES $qtValues),
+           |px AS (SELECT doc_id, i % 8 AS x, i // 8 AS y,
+           |    (doc_id * 7 + i * (13 + doc_id % 97)) % 256 - 128 AS s
+           |  FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS i
+           |    FROM documents WHERE doc_id % 7 <> 6)),
+           |st1 AS (SELECT doc_id, ct.u, px.y,
+           |    ${oDivR(
+              "SUM(px.s * ct.c) * (CASE WHEN ct.u = 0 THEN 5793 " +
+                "ELSE 8192 END)", 13)} AS r1
+           |  FROM px JOIN ct ON ct.x = px.x
+           |  GROUP BY 1, 2, 3),
+           |st2 AS (SELECT doc_id, st1.u, ct.u AS v,
+           |    ${oDivR(
+              "SUM(st1.r1 * ct.c) * (CASE WHEN ct.u = 0 THEN 5793 " +
+                "ELSE 8192 END)", 41)} AS f
+           |  FROM st1 JOIN ct ON ct.x = st1.y
+           |  GROUP BY 1, 2, 3),
+           |qc AS (SELECT doc_id, u, v,
+           |    (f + CASE WHEN f >= 0 THEN q // 2
+           |      ELSE -(q // 2) END) // q * q AS dq
+           |  FROM st2 JOIN qt USING (u, v)),
+           |m1 AS (SELECT doc_id, u, v,
+           |    dq * (CASE WHEN u = 0 THEN 5793 ELSE 8192 END)
+           |       * (CASE WHEN v = 0 THEN 5793 ELSE 8192 END) AS m
+           |  FROM qc),
+           |it1 AS (SELECT doc_id, ct.x, m1.v,
+           |    ${oDivR("SUM(m1.m * ct.c)", 26)} AS r2
+           |  FROM m1 JOIN ct ON ct.u = m1.u
+           |  GROUP BY 1, 2, 3),
+           |it2 AS (SELECT doc_id, it1.x, ct.x AS y,
+           |    ${oClamp(oDivR("SUM(it1.r2 * ct.c)", 28) + " + 128")}
+           |      AS o
+           |  FROM it1 JOIN ct ON ct.u = it1.v
+           |  GROUP BY 1, 2, 3),
+           |a AS (SELECT doc_id, SUM(o) AS s0 FROM it2 GROUP BY 1)
+           |SELECT doc_id, CAST(8 AS BIGINT) AS width,
+           |  CAST(8 AS BIGINT) AS height,
+           |  CAST(64 AS BIGINT) AS n_pixels,
+           |  CAST(s0 AS BIGINT) AS sum_c0,
+           |  CAST(1000 * s0 AS BIGINT) AS sum_luma_milli
+           |FROM a
+           |UNION ALL
+           |SELECT doc_id, NULL, NULL, NULL, NULL, NULL
+           |FROM documents WHERE doc_id % 7 = 6
+           |ORDER BY doc_id""".stripMargin
+      }))
 }
