@@ -206,6 +206,85 @@ object Round14 {
               |FROM r WHERE rnk <= 10
               |ORDER BY query_id, rank""".stripMargin)),
 
+    // ---- streaming windowed quantiles, batch twin (the q272/q322
+    // discipline applied to the q326 KLL family): the SAME pipeline
+    // shape [[EventStreams.windowedQuantileSketch]] runs incrementally
+    // — event-time tumbling day windows, per-window KLL(k=128) over
+    // the cent values merged through the state store — computed in
+    // batch and gated by the q326 envelope: Σweight = n EXACTLY, O(k)
+    // retained items, p50's true rank error within 3%. The concrete
+    // estimate is merge-order-dependent (the honest KLL lesson), so
+    // the row gates the deterministic surface; EventStreamsSpec pins
+    // the micro-batch state-store merge to the same envelope on the
+    // same rows.
+    QueryDef("q336_stream_kll_twin",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 128
+        val ev = t("events")(s, dir)
+          .select(window(col("ts"), "1 day")("start").cast("date")
+            .as("day"),
+            (col("value").cast("decimal(12,2)") * 100)
+              .cast("long").as("v"))
+        val sk = ev.groupBy(col("day"))
+          .agg(graft.functions.KllAgg.kll(col("v"), k).as("s"))
+          .select(col("day"), size(col("s")).as("n_items"),
+            explode(col("s")).as("x"))
+          .select(col("day"), col("n_items"), col("x.item"),
+            col("x.weight"))
+        val wC = Window.partitionBy(col("day")).orderBy(col("item"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val est = sk.withColumn("cum", sum(col("weight")).over(wC))
+          .withColumn("wsum",
+            sum(col("weight")).over(Window.partitionBy(col("day"))))
+          .where(col("cum") >= expr("(wsum + 1) div 2"))
+          .groupBy(col("day"))
+          .agg(min(col("item")).as("est_p50"),
+            max(col("wsum")).as("w_total"),
+            max(col("n_items")).as("n_items"))
+        val ng = ev.groupBy(col("day")).agg(count(lit(1)).as("n"))
+        val dv = ev.groupBy(col("day"), col("v"))
+          .agg(count(lit(1)).as("c"))
+        val cum = dv.withColumn("cum", sum(col("c")).over(
+            Window.partitionBy(col("day")).orderBy(col("v"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .join(broadcast(ng), Seq("day"))
+        val exact = cum.where(col("cum") >= expr("(n + 1) div 2"))
+          .groupBy(col("day"))
+          .agg(min(col("v")).as("exact_p50"), max(col("n")).as("n"))
+        val rankEst = cum.join(est, Seq("day"))
+          .where(col("v") <= col("est_p50"))
+          .groupBy(col("day"))
+          .agg(max(col("cum")).as("rank_est"))
+        est.join(exact, Seq("day")).join(rankEst, Seq("day"))
+          .select(col("day"), col("n"), col("exact_p50"),
+            (col("w_total") === col("n")).as("weight_conserved"),
+            (col("n_items") <= lit(3 * k + 64)).as("space_bounded"),
+            (expr("(abs(rank_est * 2 - n) * 1000000) div (2 * n)")
+              <= 30000L).as("kll_within_bound"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH ev AS (SELECT CAST(date_trunc('day', ts) AS DATE)
+             |    AS day,
+             |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+             |      AS v FROM events),
+             |ng AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n FROM ev
+             |  GROUP BY 1),
+             |dv AS (SELECT day, v, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+             |cum AS (SELECT day, v,
+             |    SUM(c) OVER (PARTITION BY day ORDER BY v
+             |      ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM dv),
+             |ex AS (SELECT cum.day, MIN(v) AS exact_p50
+             |  FROM cum JOIN ng USING (day)
+             |  WHERE cum >= (n + 1) // 2 GROUP BY 1)
+             |SELECT ng.day, ng.n, ex.exact_p50,
+             |  TRUE AS weight_conserved,
+             |  TRUE AS space_bounded,
+             |  TRUE AS kll_within_bound
+             |FROM ng JOIN ex USING (day)
+             |ORDER BY ng.day""".stripMargin)),
+
     // ---- baseline JPEG round-trip, DC-only multi-block (the q319
     // parse∘construct discipline on the codec the r13 verdict asked
     // for): Spark BUILDS real baseline JFIF JPEGs — block-constant

@@ -155,6 +155,28 @@ object EventStreams {
       .select(col("window.start").as("bucket_start"), col(groupCol),
         col("candidates"), col("n_seen"))
 
+  /** Streaming per-window QUANTILE sketch — the incremental arm of
+    * the q326 KLL family: per watermark-bounded event-time window, the
+    * [[graft.functions.KllAgg]] compactor buffer lives in the state
+    * store and each micro-batch MERGES into it. KLL merge is
+    * associative with the rank-error guarantee preserved under ANY
+    * merge order (Karnin-Lang-Liberty 2016, §2.3), but the concrete
+    * ESTIMATE is merge-order-dependent — so what the stream and its
+    * batch twin share deterministically is the ENVELOPE (Σweight = n
+    * exactly, O(k) retained items, rank error inside the bound), the
+    * q326 gating discipline. Update mode; `n_seen` is the monotone
+    * final-state marker ([[heavyHitterCandidates]] contract).
+    */
+  def windowedQuantileSketch(events: DataFrame, windowDur: String,
+      watermark: String, valueCol: String, k: Int): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(graft.functions.KllAgg.kll(col(valueCol).cast("long"), k)
+          .as("sketch"),
+        count(lit(1)).as("n_seen"))
+      .select(col("window.start").as("bucket_start"), col("sketch"),
+        col("n_seen"))
+
   /** Declarative gap-based sessions via `session_window` — Spark merges
     * overlapping per-event windows into sessions natively; state per key
     * is bounded by the watermark.

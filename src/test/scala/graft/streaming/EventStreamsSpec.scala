@@ -95,6 +95,57 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedQuantileSketch: KLL buffers merge through the state " +
+      "store across micro-batches; final state holds the q326 " +
+      "envelope on the same rows as the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val k = 64
+    val agg = EventStreams.windowedQuantileSketch(in.toDF(),
+      "1 hour", "10 minutes", "value", k)
+    val q = agg.writeStream.format("memory").queryName("kllwin")
+      .outputMode(OutputMode.Update).start()
+    // 500 values in one window, arriving across many micro-batches so
+    // the envelope must survive repeated state-store merges
+    val n = 500
+    val events = (1 to n).map(i =>
+      ev(i, (i % 50).toLong, user = i.toLong,
+        value = ((i * 7919) % n + 1).toDouble))
+    try {
+      events.grouped(60).foreach { batch =>
+        in.addData(batch: _*); q.processAllAvailable()
+      }
+      val fin = spark.table("kllwin")
+        .groupBy("bucket_start")
+        .agg(expr("max_by(sketch, n_seen)").as("sketch"),
+          max(col("n_seen")).as("n_seen"))
+        .select(explode(col("sketch")).as("x"), col("n_seen"))
+        .select(col("x.item"), col("x.weight"), col("n_seen"))
+        .orderBy("item").collect()
+      assert(fin.head.getLong(2) == n.toLong)
+      // Σweight = n exactly (lossless weight conservation through the
+      // state store)
+      assert(fin.map(_.getLong(1)).sum == n.toLong)
+      // O(k) space after all merges
+      assert(fin.length <= 3 * k + 64, s"${fin.length} items")
+      // p50 rank error within the q326 envelope; values are a
+      // permutation of 1..n scaled by the double→long cast (×100
+      // cents in the batch twin, raw here) so true rank(x) = x
+      var cum = 0L
+      var est = fin.last.getLong(0)
+      var found = false
+      fin.foreach { r =>
+        if (!found) {
+          cum += r.getLong(1)
+          if (cum >= (n + 1) / 2) { est = r.getLong(0); found = true }
+        }
+      }
+      val errPpm = math.abs(est - (n + 1) / 2) * 1000000L / n
+      assert(errPpm <= 30000L, s"est=$est errPpm=$errPpm")
+    } finally q.stop()
+  }
+
   test("sessionizeStateful closes sessions on gap and on watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
