@@ -161,6 +161,79 @@ object Unigram {
     pieceLogProbs(pieces)
   }
 
+  /** Train with the GRADUAL Kudo shrink (the reference algorithm
+    * prunes a fraction per round rather than once): per ladder target
+    * `emItersPerRound` EM steps then a prune to that target, then one
+    * final EM — `trainLadder(wf, 4, Seq(60), 1)` is exactly
+    * [[train]](wf, 4, 60, 2) (spec-pinned), while a descending ladder
+    * (e.g. `Seq(100, 60)`) lets mid-frequency pieces survive the first
+    * cut and re-compete, Kudo's stated reason for shrinking gradually.
+    * The ladder is CALLER-EXPLICIT (not derived from the data) so runs
+    * are deterministic and oracle-replayable; [[geometricLadder]]
+    * derives a production ladder from a seed estimate. Every round is
+    * vocabulary-bounded and localCheckpoint'd (flat lineage), so a
+    * deep ladder costs rounds × the flat per-iteration price
+    * (ScaleUnigram measured it flat across 16× corpus growth).
+    */
+  def trainLadder(wf0: DataFrame, maxPieceLen: Int,
+      vocabLadder: Seq[Int], emItersPerRound: Int = 1): DataFrame = {
+    require(vocabLadder.nonEmpty && emItersPerRound >= 1)
+    require(vocabLadder.zip(vocabLadder.tail).forall(t => t._1 > t._2),
+      "vocabLadder must be strictly descending")
+    val wf = wf0.localCheckpoint()
+    var pieces = seedPieces(wf, maxPieceLen).localCheckpoint()
+    vocabLadder.foreach { target =>
+      var it = 0
+      while (it < emItersPerRound) {
+        pieces = emStep(wf, pieceLogProbs(pieces), maxPieceLen)
+          .localCheckpoint()
+        it += 1
+      }
+      pieces = prunePieces(pieces, target).localCheckpoint()
+    }
+    pieces = emStep(wf, pieceLogProbs(pieces), maxPieceLen)
+      .localCheckpoint()
+    pieceLogProbs(pieces)
+  }
+
+  /** Geometric shrink schedule from an estimated seed size down to
+    * `target`, keeping `keepFrac` of the multi-char vocabulary per
+    * round — the production way to pick [[trainLadder]]'s targets
+    * (run it on the seed COUNT, not the seed frame, so the ladder
+    * stays a plan-time constant). */
+  def geometricLadder(seedSize: Long, target: Int,
+      keepFrac: Double = 0.75): Seq[Int] = {
+    require(keepFrac > 0 && keepFrac < 1 && target >= 1)
+    val steps = Iterator.iterate(seedSize.toDouble)(_ * keepFrac)
+      .drop(1).takeWhile(_ > target).map(_.toInt).toSeq
+    (steps :+ target).distinct
+  }
+
+  /** SERVING over a raw text column — the tokenizer applied to
+    * documents, not just the distinct vocabulary: tokenize
+    * ([[TextOps.wordRows]] semantics), segment each DISTINCT word once
+    * under the trained model (one vocabulary-bounded Viterbi pass),
+    * then join the per-word pieces back onto the token stream. Output:
+    * `(keep…, word, seq, piece)` — one row per piece occurrence, in
+    * path order within each word occurrence. `broadcastVocab` hints
+    * the (corpus-vocabulary × pieces)-sized segmentation frame for
+    * broadcast — right while the corpus vocabulary is model-like in
+    * size; at 100 TB-scale vocabularies drop the hint and let AQE
+    * shuffle-join on `word`.
+    */
+  def segmentText(docs: DataFrame, textCol: String,
+      piecesLp: DataFrame, maxPieceLen: Int,
+      keep: Seq[String] = Seq.empty,
+      broadcastVocab: Boolean = true): DataFrame = {
+    val words = TextOps.wordRows(docs, textCol, keep)
+    val vocab = words.select(col("word")).distinct()
+      .withColumn("freq", lit(1L))
+    val seg0 = segmentWords(vocab, piecesLp, maxPieceLen)
+      .select(col("word"), col("seq"), col("piece"))
+    val seg = if (broadcastVocab) broadcast(seg0) else seg0
+    words.join(seg, "word")
+  }
+
   /** Corpus Viterbi log-likelihood under a trained model, in micro
     * units — the EM-monotonicity witness the spec pins. */
   def corpusLogLikelihood(wf: DataFrame, piecesLp: DataFrame,

@@ -27,7 +27,7 @@ object Round13 {
   private def buildUnigramVocab(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     unigramReg.rebuild(s, dir)(unigramVocab0(s, dir))
-  private def sharedUnigramVocab(s: org.apache.spark.sql.SparkSession,
+  private[queries] def sharedUnigramVocab(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     unigramReg.getOrBuild(s, dir)(unigramVocab0(s, dir))
 
@@ -61,7 +61,7 @@ object Round13 {
     * recursive backtrack, and the re-estimated counts with the
     * character-coverage fallback.
     */
-  private def unigramEmBlock(n: Int, src: String): String =
+  private[queries] def unigramEmBlock(n: Int, src: String): String =
     s"""lp$n AS MATERIALIZED (SELECT piece, cnt,
        |    CAST(CAST(round(ln(cnt / tot), 6) AS DECIMAL(20,6))
        |      * 1000000 AS BIGINT) AS lp
@@ -106,7 +106,7 @@ object Round13 {
     * iteration 2, and the final log-prob table lpF — the verbatim
     * replay of [[graft.operators.Unigram.train]](maxLen=4,
     * vocabSize=60, emIters=2). */
-  private def unigramCtes(maxLen: Int, vocabSize: Int): String =
+  private[queries] def unigramCtes(maxLen: Int, vocabSize: Int): String =
     s"""wf AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(list_filter(string_split_regex(lower(text),
        |      '\\s+'), x -> len(x) > 0)) AS word FROM documents)
@@ -710,24 +710,23 @@ object Round13 {
     // twin, under the EM-trained q323 vocabulary): pieces per word
     // occurrence in exact milli — the head-to-head number a pipeline
     // reads beside q195 to pick its tokenizer, and the per-language
-    // under-service signal. Consumes the SHARED trained artifact;
-    // per-word piece counts come from one vocabulary-sized Viterbi
-    // pass, then one corpus word-row join (broadcast: the piece-count
-    // frame is vocabulary-sized at any corpus scale).
+    // under-service signal. Consumes the SHARED trained artifact and
+    // reads the corpus through the SERVING path
+    // ([[graft.operators.Unigram.segmentText]]: one vocabulary-sized
+    // Viterbi pass, pieces joined back onto the token stream — the
+    // r14 raw-text rung), so the fertility the row reports is exactly
+    // what the deployed tokenizer produces on documents.
     QueryDef("q329_unigram_fertility",
       (s, dir) => {
         val docs = t("documents")(s, dir)
-        val pieces = graft.operators.Unigram.segmentWords(
-            graft.operators.Bpe.wordFreq(docs, "text"),
-            sharedUnigramVocab(s, dir), maxPieceLen = 4)
-          .groupBy(col("word")).agg(count(lit(1)).as("n_pieces"))
-        val words = graft.operators.TextOps.wordRows(
-          docs.select(col("lang"), col("text")), "text",
-          keep = Seq("lang"))
-        words.join(broadcast(pieces), "word")
+        graft.operators.Unigram.segmentText(
+            docs.select(col("lang"), col("text")), "text",
+            sharedUnigramVocab(s, dir), maxPieceLen = 4,
+            keep = Seq("lang"))
           .groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_word_occurrences"),
-            sum(col("n_pieces")).as("n_piece_occurrences"))
+          .agg(sum(when(col("seq") === 1, 1L).otherwise(0L))
+              .as("n_word_occurrences"),
+            count(lit(1)).as("n_piece_occurrences"))
           .withColumn("fertility_milli",
             expr("(n_piece_occurrences * 1000) div n_word_occurrences"))
           .orderBy(col("lang"))

@@ -452,5 +452,102 @@ object Round14 {
            |SELECT doc_id, NULL, NULL, NULL, NULL, NULL
            |FROM documents WHERE doc_id % 7 = 6
            |ORDER BY doc_id""".stripMargin
-      }))
+      }),
+
+    // ---- unigram training with the GRADUAL Kudo shrink (closing the
+    // r13 parity note that `train` prunes once while Kudo's algorithm
+    // shrinks a fraction per round): ladder 100 → 60, one EM step per
+    // rung plus the final EM — mid-frequency pieces survive the first
+    // cut and re-compete for the 60 slots, which is the stated reason
+    // SentencePiece shrinks gradually. The oracle replays the ENTIRE
+    // three-EM two-prune loop in recursive CTEs (the q323 discipline,
+    // one more rung), so the green hash pins every EM decision of the
+    // deeper loop, not just the final vocabulary.
+    QueryDef("q337_unigram_ladder",
+      (s, dir) => graft.operators.Unigram.trainLadder(
+          graft.operators.Bpe.wordFreq(t("documents")(s, dir), "text"),
+          maxPieceLen = 4, vocabLadder = Seq(100, 60))
+        .orderBy(col("piece")),
+      Some {
+        def prune(n: Int, src: String, target: Int): String =
+          s"""pr$n AS MATERIALIZED (SELECT piece, cnt FROM $src
+             |  WHERE len(piece) = 1
+             |  UNION ALL
+             |  SELECT piece, cnt FROM (
+             |    SELECT piece, cnt,
+             |      ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rn,
+             |      (SELECT COUNT(*) FROM $src WHERE len(piece) = 1)
+             |        AS ns
+             |    FROM $src WHERE len(piece) > 1)
+             |  WHERE rn <= $target - ns)""".stripMargin
+        s"""WITH RECURSIVE
+           |wf AS MATERIALIZED (SELECT word,
+           |    CAST(COUNT(*) AS BIGINT) AS freq FROM (
+           |    SELECT unnest(list_filter(string_split_regex(
+           |      lower(text), '\\s+'), x -> len(x) > 0)) AS word
+           |    FROM documents)
+           |  GROUP BY 1),
+           |posl AS MATERIALIZED (SELECT word, freq, i,
+           |    unnest(generate_series(1, LEAST(4,
+           |      CAST(len(word) AS BIGINT) - i + 1))) AS l
+           |  FROM (SELECT word, freq, unnest(generate_series(1,
+           |      CAST(len(word) AS BIGINT))) AS i FROM wf)),
+           |alpha AS MATERIALIZED (SELECT DISTINCT
+           |    substr(word, CAST(i AS INT), 1) AS piece FROM posl),
+           |p0 AS MATERIALIZED (SELECT substr(word, CAST(i AS INT),
+           |      CAST(l AS INT)) AS piece,
+           |    CAST(SUM(freq) AS BIGINT) AS cnt
+           |  FROM posl GROUP BY 1),
+           |${Round13.unigramEmBlock(1, "p0")},
+           |${prune(1, "em1", 100)},
+           |${Round13.unigramEmBlock(2, "pr1")},
+           |${prune(2, "em2", 60)},
+           |${Round13.unigramEmBlock(3, "pr2")},
+           |lpF AS MATERIALIZED (SELECT piece, cnt,
+           |    CAST(CAST(round(ln(cnt / tot), 6) AS DECIMAL(20,6))
+           |      * 1000000 AS BIGINT) AS lp_micro
+           |  FROM em3, (SELECT SUM(cnt) AS tot FROM em3) tf3)
+           |SELECT piece, cnt, lp_micro FROM lpF
+           |ORDER BY piece""".stripMargin
+      }),
+
+    // ---- unigram SERVING over raw documents (the r13 parity note's
+    // other half: the tokenizer must serve documents, not just the
+    // distinct vocabulary): [[Unigram.segmentText]] tokenizes the text
+    // column, Viterbi-segments each DISTINCT word once under the
+    // shared q323-trained model, and joins the pieces back onto the
+    // token stream — per-doc piece/word occurrence counts and exact
+    // milli fertility out. The oracle replays the third-EM Viterbi
+    // (q324's seg3) and aggregates the same token stream per doc.
+    QueryDef("q338_segment_text_serving",
+      (s, dir) => {
+        val docs = t("documents")(s, dir)
+        graft.operators.Unigram.segmentText(
+            docs.select(col("doc_id"), col("text")), "text",
+            Round13.sharedUnigramVocab(s, dir), maxPieceLen = 4,
+            keep = Seq("doc_id"))
+          .groupBy(col("doc_id"))
+          .agg(sum(when(col("seq") === 1, 1L).otherwise(0L))
+              .as("n_word_occurrences"),
+            count(lit(1)).as("n_piece_occurrences"))
+          .withColumn("fertility_milli",
+            expr("(n_piece_occurrences * 1000) div n_word_occurrences"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE
+              |${Round13.unigramCtes(4, 60)},
+              |${Round13.unigramEmBlock(3, "em2")},
+              |pw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_pieces
+              |  FROM seg3 GROUP BY 1),
+              |tokw AS (SELECT doc_id, unnest(list_filter(
+              |    string_split_regex(lower(text), '\\s+'),
+              |    x -> len(x) > 0)) AS word FROM documents)
+              |SELECT doc_id,
+              |  CAST(COUNT(*) AS BIGINT) AS n_word_occurrences,
+              |  CAST(SUM(pw.n_pieces) AS BIGINT)
+              |    AS n_piece_occurrences,
+              |  (CAST(SUM(pw.n_pieces) AS BIGINT) * 1000)
+              |    // CAST(COUNT(*) AS BIGINT) AS fertility_milli
+              |FROM tokw JOIN pw USING (word)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
 }

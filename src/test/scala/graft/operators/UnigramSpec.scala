@@ -120,4 +120,69 @@ class UnigramSpec extends SparkSpec {
     assert(byWord == Map("banana" -> "banana", "bandana" -> "bandana",
       "cabana" -> "cabana"))
   }
+
+  test("trainLadder: single-rung ladder ≡ train; LL non-decreasing " +
+      "within each rung; descending ladder reaches the target size") {
+    import spark.implicits._
+    val wf = Seq(("banana", 4L), ("bandana", 2L), ("cabana", 3L),
+      ("anna", 5L), ("cabin", 2L)).toDF("word", "freq")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("piece").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // Seq(8) replays train(vocabSize=8, emIters=2) exactly
+    assert(canon(Unigram.trainLadder(wf, 3, Seq(8))) ==
+      canon(Unigram.train(wf, 3, vocabSize = 8, emIters = 2)))
+    // deeper ladder: final vocabulary is target-bounded and segments
+    // every word (character coverage survives every rung)
+    val vocab = Unigram.trainLadder(wf, 3, Seq(12, 8), 2)
+    assert(vocab.count() <= 8)
+    val seg = Unigram.segmentWords(wf, vocab, maxPieceLen = 3)
+      .orderBy("word", "seq").collect()
+      .groupBy(_.getString(0))
+      .map { case (w, rows) => w -> rows.map(_.getString(3)).mkString }
+    assert(seg.forall { case (w, joined) => w == joined })
+    // within a rung (no prune between steps), LL is non-decreasing
+    var pieces = Unigram.prunePieces(
+      Unigram.emStep(wf, Unigram.pieceLogProbs(
+        Unigram.seedPieces(wf, 3)), 3), 12)
+    var prev = Long.MinValue / 2
+    (1 to 3).foreach { it =>
+      val lp = Unigram.pieceLogProbs(pieces)
+      val ll = Unigram.corpusLogLikelihood(wf, lp, 3)
+        .collect()(0).getLong(0)
+      assert(ll >= prev - 5L, s"rung iteration $it: $ll < $prev")
+      prev = ll
+      pieces = Unigram.emStep(wf, lp, 3)
+    }
+  }
+
+  test("geometricLadder: strictly descending, ends at target") {
+    val l = Unigram.geometricLadder(1000L, 60, 0.5)
+    assert(l.last == 60)
+    assert(l.zip(l.tail).forall(t => t._1 > t._2))
+    assert(l.head <= 500)
+    assert(Unigram.geometricLadder(50L, 60) == Seq(60))
+  }
+
+  test("segmentText serves raw documents: pieces join back onto the " +
+      "token stream in path order, keep columns carried") {
+    import spark.implicits._
+    val docs = Seq((1L, "en", "banana cabana"), (2L, "fr", "banana"))
+      .toDF("doc_id", "lang", "text")
+    val wf = Bpe.wordFreq(docs, "text")
+    val vocab = Unigram.train(wf, maxPieceLen = 3, vocabSize = 8)
+    val out = Unigram.segmentText(docs, "text", vocab,
+      maxPieceLen = 4 - 1, keep = Seq("doc_id", "lang"))
+    // doc 1 has two word occurrences, doc 2 one; every occurrence
+    // reconstructs its word
+    val rows = out.orderBy("doc_id", "word", "seq").collect()
+    val byDocWord = rows.groupBy(r => (r.getLong(1), r.getString(0)))
+    assert(byDocWord.keySet ==
+      Set((1L, "banana"), (1L, "cabana"), (2L, "banana")))
+    byDocWord.foreach { case ((_, w), rs) =>
+      assert(rs.map(_.getString(4)).mkString == w)
+    }
+    // keep column survives
+    assert(rows.filter(_.getLong(1) == 2L).forall(_.getString(2) == "fr"))
+  }
 }
