@@ -11,12 +11,13 @@ import org.apache.spark.unsafe.types.UTF8String
 /** REAL media-container metadata probe — the non-stub rung of the
   * multimodal ladder ([[graft.operators.Multimodal]]): parses actual
   * PNG / JPEG / BMP / WAV headers from raw bytes, no codec library
-  * needed (container headers are pure byte arithmetic). Full PNG
-  * pixel decode is implemented natively too ([[PngDecodeKernel]]:
-  * JDK Inflater + the five RFC-2083 unfilters); only entropy-coded
-  * codec formats (JPEG's DCT/Huffman stack) stay behind the
-  * documented stubs — those genuinely need libraries this
-  * environment lacks. Typed metadata extraction —
+  * needed (container headers are pure byte arithmetic). Full pixel
+  * decode is implemented natively too: PNG ([[PngDecodeKernel]]: JDK
+  * Inflater + the five RFC-2083 unfilters) and baseline sequential
+  * JPEG ([[JpegDecodeKernel]]: DHT-driven Huffman + the pinned staged
+  * integer IDCT); only progressive/arithmetic JPEG variants and the
+  * video/audio codec families stay behind the documented stubs.
+  * Typed metadata extraction —
   * dimensions, sample rate, channel count — is the first thing a real
   * ingest pipeline wants from a blob column and works here end-to-end
   * on genuine files.

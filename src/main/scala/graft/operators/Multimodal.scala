@@ -193,11 +193,13 @@ object Multimodal {
   }
 
   /** STUB resize: byte-truncate/cycle-pad the payload to exactly
-    * `targetBytes` and restamp metadata — stands in for a CODEC-format
-    * (JPEG-class) resize while exercising the binary-in/binary-out
-    * contract. For PNG payloads the resize is REAL:
-    * [[graft.functions.Png.pngResize]] decodes, nearest-neighbor
-    * resamples, and re-encodes natively (q328 gates it pixel-exactly).
+    * `targetBytes` and restamp metadata — stands in for a resize of
+    * formats whose codecs remain stubbed (progressive JPEG, video)
+    * while exercising the binary-in/binary-out contract. For PNG
+    * payloads the resize is REAL: [[graft.functions.Png.pngResize]]
+    * decodes, nearest-neighbor resamples, and re-encodes natively
+    * (q328 gates it pixel-exactly); baseline JPEG decodes natively
+    * too ([[graft.functions.Jpeg]], q334/q335).
     */
   def resizeStub(df: DataFrame, idCol: String, payloadCol: String,
       targetBytes: Int): DataFrame = {

@@ -6,9 +6,11 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Round-13 queries (q319+): native PNG pixel decode on REAL deflated
-  * images (round-trip stats + pixel dHash near-dup), closing the
-  * multimodal ladder's last honest stub (only JPEG-class entropy
-  * codecs remain stubbed — those genuinely need external libraries).
+  * images (round-trip stats + pixel dHash near-dup). Round 14 extended
+  * the codec ladder to baseline sequential JPEG
+  * ([[graft.functions.JpegDecodeKernel]], q334/q335); only
+  * progressive/arithmetic JPEG and the video/audio codec families
+  * remain stubbed.
   */
 object Round13 {
   private def t(name: String): QueryFn =

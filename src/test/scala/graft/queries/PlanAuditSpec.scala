@@ -498,4 +498,56 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.bcast >= 1, s) // the ng one-row-per-group broadcast
     assert(!full("q326_kll_quantiles").contains("CartesianProduct"))
   }
+
+  test("q331: incremental dedup — prefix equi-joins only (never a " +
+      "cartesian); the increment side is a broadcast semi-join " +
+      "filter of the ranked frame") {
+    val plan = full("q331_jaccard_incremental")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+    assert(plan.contains("LeftSemi"), "increment semi-join missing")
+  }
+
+  test("q332: tombstoned read — postings scan keeps its wbucket " +
+      "partition filters AND anti-joins the tombstones") {
+    val plan = full("q332_bm25_delete")
+    assert(plan.contains("LeftAnti"), "tombstone anti-join missing")
+    assert(plan.contains("wbucket"), "bucket partition filter missing")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q333: compacted index read keeps the partition-pruned shape " +
+      "(compaction rewrites files, never the layout)") {
+    val plan = full("q333_bm25_compaction")
+    assert(plan.contains("wbucket"), "bucket partition filter missing")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q334/q335: JPEG encode→decode→stats is ONE map-side scan — " +
+      "zero exchanges, zero joins (pixels never leave the task)") {
+    Seq("q334_jpeg_roundtrip", "q335_jpeg_dct_exact").foreach { q =>
+      val s = shape(q)
+      assert(s.hash == 0 && s.bcast == 0, s"$q: $s")
+      assert(!full(q).contains("Join"), q)
+    }
+  }
+
+  test("q336: windowed KLL twin — sketch pass is day-keyed; the only " +
+      "broadcast is the one-row-per-day ng frame; no cartesian") {
+    val plan = full("q336_stream_kll_twin")
+    assert(!plan.contains("CartesianProduct"), plan.take(300))
+  }
+
+  test("q337: unigram ladder — every rung stays vocabulary-keyed " +
+      "(no cartesian; the only nested-loop is the one-row total " +
+      "broadcast under pieceLogProbs)") {
+    assert(!full("q337_unigram_ladder").contains("CartesianProduct"))
+  }
+
+  test("q338: raw-text serving — the per-word piece frame joins " +
+      "BROADCAST onto the token stream; no cartesian") {
+    val plan = full("q338_segment_text_serving")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
