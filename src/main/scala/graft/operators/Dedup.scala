@@ -572,6 +572,39 @@ object Dedup {
       .write.mode("append").parquet(s"$path/docs")
   }
 
+  /** DELETE documents from a [[writeShingleIndex]] artifact — the
+    * takedown/GDPR twin of [[Retrieval.deleteFromTfIndex]], same
+    * layout answer: ids append to `path/tombstones`,
+    * [[jaccardPairsAgainstIndex]] anti-joins them out of the postings
+    * BEFORE ranking, so prefix ranks, sizes and pairs recompute as if
+    * the docs never existed. Physical removal:
+    * [[purgeShingleIndexTombstones]].
+    */
+  def deleteFromShingleIndex(path: String, docIds: DataFrame): Unit =
+    docIds.select(col(docIds.columns.head).cast("long").as("doc_id"))
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** Physically drop tombstoned rows (per-bucket staging-swap rewrite
+    * — [[graft.sink.Compact.rewriteWithout]]); queries are
+    * bit-identical before and after. No-op without tombstones. */
+  def purgeShingleIndexTombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tombPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(tombPath)) return
+    val tomb = spark.read.parquet(s"$path/tombstones")
+      .select(col("doc_id")).distinct().localCheckpoint()
+    val postings = new org.apache.hadoop.fs.Path(s"$path/postings")
+    fs.listStatus(postings).filter(_.isDirectory)
+      .map(_.getPath.toString)
+      .filter(_.contains("sbucket="))
+      .foreach(graft.sink.Compact.rewriteWithout(spark, _, tomb,
+        "doc_id"))
+    graft.sink.Compact.rewriteWithout(spark, s"$path/docs", tomb,
+      "doc_id")
+    fs.delete(tombPath, true)
+  }
+
   /** PPJoin-pruned exact Jaccard of a fresh INCREMENT against a
     * [[writeShingleIndex]] artifact (which already contains the
     * increment — call [[appendShingleIndex]] first): all pairs with
@@ -602,8 +635,18 @@ object Dedup {
     val eps = lit(1e-9)
     val inc = incrementIds.select(col(incrementIds.columns.head)
       .cast("long").as("doc_id"))
-    val sh = spark.read.parquet(s"$path/postings")
+    // tombstones out BEFORE ranking (no broadcast hint — a purge list
+    // can be any size; AQE picks the strategy from actual stats)
+    val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val hasTomb = tombPath
+      .getFileSystem(spark.sessionState.newHadoopConf()).exists(tombPath)
+    val sh0 = spark.read.parquet(s"$path/postings")
       .select(col("doc_id"), col("s"))
+    val sh =
+      if (hasTomb)
+        sh0.join(spark.read.parquet(s"$path/tombstones")
+          .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      else sh0
     // global rarest-first ranks over the index's CURRENT state
     // (corpus + increments) — same values a full rebuild would rank
     val ranked = rankedRows(sh, None, native = true).localCheckpoint()

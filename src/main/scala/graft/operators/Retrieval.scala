@@ -398,29 +398,16 @@ object Retrieval {
     if (!dirExists(spark, s"$path/tombstones")) return
     val tomb = spark.read.parquet(s"$path/tombstones")
       .select(col("doc_id")).distinct().localCheckpoint()
-    val hconf = spark.sessionState.newHadoopConf()
-    def swapRewrite(dir: String): Unit = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(hconf)
-      if (!fs.exists(p)) return
-      val staging = new org.apache.hadoop.fs.Path(dir + "._purging")
-      val backup = new org.apache.hadoop.fs.Path(dir + "._prepurge")
-      if (fs.exists(staging)) fs.delete(staging, true)
-      spark.read.parquet(dir)
-        .join(tomb, Seq("doc_id"), "left_anti")
-        .write.mode("overwrite").parquet(staging.toString)
-      fs.rename(p, backup)
-      fs.rename(staging, p)
-      fs.delete(backup, true)
-    }
     // per-leaf rewrite keeps the wbucket partition layout intact
     val postings = new org.apache.hadoop.fs.Path(s"$path/postings")
-    val fs = postings.getFileSystem(hconf)
+    val fs = postings.getFileSystem(spark.sessionState.newHadoopConf())
     fs.listStatus(postings).filter(_.isDirectory)
       .map(_.getPath.toString)
       .filter(_.contains("wbucket="))
-      .foreach(swapRewrite)
-    swapRewrite(s"$path/docs")
+      .foreach(graft.sink.Compact.rewriteWithout(spark, _, tomb,
+        "doc_id"))
+    graft.sink.Compact.rewriteWithout(spark, s"$path/docs", tomb,
+      "doc_id")
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
   }
 

@@ -132,6 +132,57 @@ object Round14 {
               |  AND (da % 4 = 3 OR db % 4 = 3)
               |ORDER BY da, db""".stripMargin)),
 
+    // ---- dedup-index DELETION (the takedown/GDPR twin of q332 on
+    // the shingle index — a takedown must also stop the removed docs
+    // from ever matching future ingest): build on doc_id%4≠3, append
+    // the %4=3 increment, tombstone doc_id%5=4 (ids on BOTH sides of
+    // the split — deletes must hit corpus and fresh ingest alike),
+    // then emit increment-touching pairs. The read anti-joins
+    // tombstones BEFORE ranking, so prefix ranks and pair sets
+    // recompute as if the docs never existed; the oracle is the
+    // exhaustive pair set over a corpus REBUILT without them.
+    QueryDef("q339_jaccard_delete",
+      (s, dir) => {
+        val outDir = scratchDir(dir, "q339_shidx")
+        val docs = t("documents")(s, dir)
+        graft.operators.Dedup.writeShingleIndex(
+          docs.where(col("doc_id") % 4 =!= 3),
+          outDir.getAbsolutePath, n = 3, shingleBuckets = 16)
+        val inc = docs.where(col("doc_id") % 4 === 3)
+        graft.operators.Dedup.appendShingleIndex(
+          outDir.getAbsolutePath, inc)
+        graft.operators.Dedup.deleteFromShingleIndex(
+          outDir.getAbsolutePath,
+          docs.where(col("doc_id") % 5 === 4).select(col("doc_id")))
+        graft.operators.Dedup.jaccardPairsAgainstIndex(
+            s, outDir.getAbsolutePath, threshold = 0.5,
+            inc.select(col("doc_id")))
+          .orderBy(col("da"), col("db"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id,
+              |    list_filter(string_split_regex(lower(text), '\\s+'),
+              |      x -> len(x) > 0) AS ws
+              |  FROM documents WHERE doc_id % 5 <> 4),
+              |idx AS (SELECT doc_id, ws,
+              |    unnest(generate_series(1, len(ws) - 2)) AS i
+              |  FROM w WHERE len(ws) >= 3),
+              |sh AS (SELECT DISTINCT doc_id,
+              |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+              |  FROM idx),
+              |hs AS (SELECT doc_id, ${CorpusOps.oH60("s")} AS h
+              |  FROM sh),
+              |sz AS (SELECT doc_id, COUNT(*) AS n FROM hs
+              |  GROUP BY doc_id),
+              |p AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) AS inter
+              |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT da, db, inter,
+              |  inter / (x.n + y.n - inter) AS jaccard
+              |FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+              |WHERE inter / (x.n + y.n - inter) >= 0.5
+              |  AND (da % 4 = 3 OR db % 4 = 3)
+              |ORDER BY da, db""".stripMargin)),
+
     // ---- TF-index tombstone DELETION (the takedown/GDPR operation
     // the r13 verdict ranked #2 — ingest-only appends can't forget):
     // build the TF index on the FULL corpus, tombstone doc_id%3=2

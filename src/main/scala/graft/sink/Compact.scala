@@ -28,6 +28,29 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   */
 object Compact {
 
+  /** Rewrite a parquet leaf directory WITHOUT the rows whose `keyCol`
+    * appears in `dropKeys` — the physical half of a tombstone purge
+    * (the logical half is the read-time anti-join; see
+    * [[graft.operators.Retrieval.deleteFromTfIndex]]). Same crash
+    * discipline as [[compact]]: staging write, two renames, stale
+    * backups removed best-effort. No-op if the directory is absent.
+    */
+  def rewriteWithout(spark: SparkSession, dir: String,
+      dropKeys: org.apache.spark.sql.DataFrame, keyCol: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return
+    val staging = new org.apache.hadoop.fs.Path(dir + "._purging")
+    val backup = new org.apache.hadoop.fs.Path(dir + "._prepurge")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    spark.read.parquet(dir)
+      .join(dropKeys, Seq(keyCol), "left_anti")
+      .write.mode("overwrite").parquet(staging.toString)
+    fs.rename(p, backup)
+    fs.rename(staging, p)
+    fs.delete(backup, true)
+  }
+
   /** @return (filesBefore, filesAfter) */
   def compact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {

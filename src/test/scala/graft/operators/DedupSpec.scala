@@ -645,4 +645,39 @@ class DedupSpec extends SparkSpec {
     org.apache.commons.io.FileUtils
       .deleteQuietly(new java.io.File(dir))
   }
+
+  test("shingle index DELETE: tombstoned docs vanish from pair sets " +
+      "(ranks recomputed as if they never existed); purge ≡ logical") {
+    val all = shingleIndexCorpus
+    val dir = java.nio.file.Files.createTempDirectory("shidx3").toString
+    Dedup.writeShingleIndex(all.where(col("doc_id") <= 4), dir, n = 3,
+      shingleBuckets = 4)
+    Dedup.appendShingleIndex(dir, all.where(col("doc_id") >= 5))
+    // delete doc 2 (a member of the 1/2/4/5 near-dup family)
+    Dedup.deleteFromShingleIndex(dir,
+      all.where(col("doc_id") === 2).select(col("doc_id")))
+    val truth = Dedup.jaccardPairsPrefix(
+        all.where(col("doc_id") =!= 2), "doc_id", "text",
+        n = 3, threshold = 0.5, cache = false)
+      .where(col("da") >= 5 || col("db") >= 5)
+      .orderBy("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    def run() = Dedup.jaccardPairsAgainstIndex(spark, dir, 0.5,
+        all.where(col("doc_id") >= 5).select(col("doc_id")))
+      .orderBy("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val logical = run()
+    assert(logical == truth)
+    assert(logical.forall { case (a, b, _, _) => a != 2L && b != 2L })
+    // physical purge: tombstones gone, postings thinner, same answers
+    val before = spark.read.parquet(s"$dir/postings").count()
+    Dedup.purgeShingleIndexTombstones(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(spark.read.parquet(s"$dir/postings").count() < before)
+    assert(run() == truth)
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
 }
