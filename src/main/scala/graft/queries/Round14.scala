@@ -88,6 +88,14 @@ object Round14 {
           idiv(w, lit(8)), i % ch)), 2, "0")
       }), ""))
 
+  /** q319's pixel formula `(doc_id·7 + i·(13 + doc_id%97)) % 256` as
+    * bytes — shared by the q335/q340 constructions. */
+  private def formulaPixels(n: Column): Column =
+    unhex(array_join(
+      transform(sequence(lit(0L), n - 1), i =>
+        lpad(hex((col("doc_id") * 7 +
+          i * (lit(13) + col("doc_id") % 97)) % 256), 2, "0")), ""))
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- INCREMENTAL near-dup dedup end to end (the q330 append
@@ -502,6 +510,99 @@ object Round14 {
            |UNION ALL
            |SELECT doc_id, NULL, NULL, NULL, NULL, NULL
            |FROM documents WHERE doc_id % 7 = 6
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- mixed-format corpus QA — the 100 TB blob-column reality: a
+    // corpus where a third of the payloads are real deflated RGB
+    // PNGs, a third real baseline grayscale JPEGs, and a third
+    // garbage, run through ONE pipeline: container probe
+    // (MediaProbeKernel) → per-format decode DISPATCH (pngStats /
+    // jpegStats / nulls) → unified QA frame. Every branch is a
+    // previously-gated kernel; what this row gates is the
+    // COMPOSITION — the probe's format decides which decoder runs,
+    // and the decoded dims/sums must match each format's pinned
+    // arithmetic. Still one map-side scan: the dispatch is a CASE
+    // over kernel expressions, no join, no shuffle.
+    QueryDef("q340_mixed_media_qa",
+      (s, dir) => {
+        val pw = col("doc_id") % 10 + 6
+        val ph = col("doc_id") % 7 + 5
+        val jh = (col("doc_id") % 2 + 1) * 8
+        val payload = when(col("doc_id") % 3 === 0,
+            graft.functions.Png.pngEncode(pw, ph, lit(3),
+              formulaPixels(pw * ph * 3)))
+          .when(col("doc_id") % 3 === 1,
+            graft.functions.Jpeg.jpegEncode(lit(8), jh, lit(1),
+              jpegConstPixels(lit(8L), jh, lit(1L))))
+          .otherwise(
+            graft.operators.Multimodal.syntheticPayload(col("text")))
+        val probed = t("documents")(s, dir)
+          .select(col("doc_id"), col("text"))
+          .withColumn("p", payload)
+          .withColumn("meta", graft.functions.MediaProbe.probeMeta(col("p")))
+        probed
+          .withColumn("st",
+            when(col("meta.format") === "png",
+              graft.functions.Png.pngStats(col("p")))
+            .when(col("meta.format") === "jpeg",
+              graft.functions.Jpeg.jpegStats(col("p"))))
+          .select(col("doc_id"), col("meta.format").as("format"),
+            col("st.width"), col("st.height"), col("st.channels"),
+            col("st.n_pixels"), col("st.sum_c0"), col("st.sum_c1"),
+            col("st.sum_c2"), col("st.sum_luma_milli"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val jv = "(doc_id * 7 + by * 37) % 256"
+        s"""WITH png AS (SELECT doc_id, doc_id % 10 + 6 AS w,
+           |    doc_id % 7 + 5 AS h
+           |  FROM documents WHERE doc_id % 3 = 0),
+           |ppx AS (SELECT doc_id, w, h,
+           |    unnest(generate_series(0,
+           |      CAST(w * h * 3 - 1 AS BIGINT))) AS i FROM png),
+           |pv AS (SELECT doc_id, w, h, i % 3 AS k,
+           |    (doc_id * 7 + i * (13 + doc_id % 97)) % 256 AS v
+           |  FROM ppx),
+           |pa AS (SELECT doc_id, MAX(w) AS w, MAX(h) AS h,
+           |    SUM(CASE WHEN k = 0 THEN v ELSE 0 END) AS s0,
+           |    SUM(CASE WHEN k = 1 THEN v ELSE 0 END) AS s1,
+           |    SUM(CASE WHEN k = 2 THEN v ELSE 0 END) AS s2
+           |  FROM pv GROUP BY doc_id),
+           |prow AS (SELECT doc_id, 'png' AS format,
+           |    CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           |    CAST(3 AS BIGINT) AS channels,
+           |    CAST(w * h AS BIGINT) AS n_pixels,
+           |    CAST(s0 AS BIGINT) AS sum_c0,
+           |    CAST(s1 AS BIGINT) AS sum_c1,
+           |    CAST(s2 AS BIGINT) AS sum_c2,
+           |    CAST(299 * s0 + 587 * s1 + 114 * s2 AS BIGINT)
+           |      AS sum_luma_milli
+           |  FROM pa),
+           |jpg AS (SELECT doc_id, (doc_id % 2 + 1) AS nblk
+           |  FROM documents WHERE doc_id % 3 = 1),
+           |jb AS (SELECT doc_id, nblk,
+           |    unnest(generate_series(0, nblk - 1)) AS by FROM jpg),
+           |jo AS (SELECT doc_id, nblk, ${oDcPipe(jv, 16)} AS o
+           |  FROM jb),
+           |ja AS (SELECT doc_id, MAX(nblk) AS nblk,
+           |    64 * SUM(o) AS s0 FROM jo GROUP BY doc_id),
+           |jrow AS (SELECT doc_id, 'jpeg' AS format,
+           |    CAST(8 AS BIGINT) AS width,
+           |    CAST(8 * nblk AS BIGINT) AS height,
+           |    CAST(1 AS BIGINT) AS channels,
+           |    CAST(64 * nblk AS BIGINT) AS n_pixels,
+           |    CAST(s0 AS BIGINT) AS sum_c0,
+           |    CAST(NULL AS BIGINT) AS sum_c1,
+           |    CAST(NULL AS BIGINT) AS sum_c2,
+           |    CAST(1000 * s0 AS BIGINT) AS sum_luma_milli
+           |  FROM ja)
+           |SELECT * FROM prow
+           |UNION ALL SELECT * FROM jrow
+           |UNION ALL
+           |SELECT doc_id, 'unknown', NULL, NULL, NULL, NULL, NULL,
+           |  NULL, NULL, NULL
+           |FROM documents WHERE doc_id % 3 = 2
            |ORDER BY doc_id""".stripMargin
       }),
 

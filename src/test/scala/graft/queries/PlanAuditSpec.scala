@@ -523,13 +523,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
-  test("q334/q335: JPEG encode→decode→stats is ONE map-side scan — " +
-      "zero exchanges, zero joins (pixels never leave the task)") {
-    Seq("q334_jpeg_roundtrip", "q335_jpeg_dct_exact").foreach { q =>
+  test("q334/q335/q340: JPEG and mixed-media QA are ONE map-side " +
+      "scan — zero exchanges, zero joins (pixels never leave the " +
+      "task; the q340 decode dispatch is a CASE, not a join)") {
+    Seq("q334_jpeg_roundtrip", "q335_jpeg_dct_exact",
+        "q340_mixed_media_qa").foreach { q =>
       val s = shape(q)
       assert(s.hash == 0 && s.bcast == 0, s"$q: $s")
       assert(!full(q).contains("Join"), q)
     }
+  }
+
+  test("q339: dedup delete — the tombstone anti-join lands BEFORE " +
+      "ranking; still no cartesian") {
+    val plan = full("q339_jaccard_delete")
+    assert(plan.contains("LeftAnti"), "tombstone anti-join missing")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
   }
 
   test("q336: windowed KLL twin — sketch pass is day-keyed; the only " +
