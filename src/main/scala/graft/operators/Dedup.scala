@@ -605,6 +605,27 @@ object Dedup {
     fs.delete(tombPath, true)
   }
 
+  /** Compact a [[writeShingleIndex]] artifact's accumulated append
+    * files — each sbucket leaf plus the docs table through
+    * [[graft.sink.Compact.compact]] (the
+    * [[Retrieval.compactTfIndex]] twin; N daily appends leave one
+    * file per bucket per day). Row values untouched: pair queries are
+    * bit-identical before and after (DedupSpec). Returns
+    * (filesBefore, filesAfter). */
+  def compactShingleIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val postings = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = postings.getFileSystem(spark.sessionState.newHadoopConf())
+    val leaves = fs.listStatus(postings).filter(_.isDirectory)
+      .map(_.getPath.toUri.getPath)
+      .filter(_.contains("sbucket=")).toSeq :+ s"$path/docs"
+    leaves.map(graft.sink.Compact.compact(spark, _, targetBytes))
+      .foldLeft((0, 0)) { case ((b0, a0), (b1, a1)) =>
+        (b0 + b1, a0 + a1)
+      }
+  }
+
   /** PPJoin-pruned exact Jaccard of a fresh INCREMENT against a
     * [[writeShingleIndex]] artifact (which already contains the
     * increment — call [[appendShingleIndex]] first): all pairs with

@@ -1356,12 +1356,52 @@ object Similarity {
   }
 
   object IvfPqIndex {
+    /** Tombstones ([[deleteFromIvfPqIndex]]) are anti-joined out of
+      * the code stream at read time, so a takedown is visible to every
+      * subsequent search without touching cells/codebook (frozen, the
+      * `append` contract — a deleted vector simply stops being a
+      * candidate; quantizer training data is not "un-trained", the
+      * same semantics FAISS `remove_ids` gives). */
     def read(spark: org.apache.spark.sql.SparkSession,
-        dir: String): IvfPqIndex =
+        dir: String): IvfPqIndex = {
+      val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+      val fs = tombPath
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val codes0 = spark.read.parquet(s"$dir/codes")
+      val codes =
+        if (fs.exists(tombPath))
+          codes0.join(spark.read.parquet(s"$dir/tombstones")
+            .select(col("id")).distinct(), Seq("id"), "left_anti")
+        else codes0
       IvfPqIndex(
         spark.read.parquet(s"$dir/cells"),
         spark.read.parquet(s"$dir/codebook"),
-        spark.read.parquet(s"$dir/codes"))
+        codes)
+    }
+  }
+
+  /** DELETE vectors from a persisted [[IvfPqIndex]] — the
+    * takedown/GDPR operation of the ANN family ([[Retrieval
+    * .deleteFromTfIndex]]'s pattern): ids append to
+    * `path/tombstones`; [[IvfPqIndex.read]] anti-joins them out of
+    * the code stream. Cells and codebook stay frozen (the `append`
+    * contract). Physical removal: [[purgeIvfPqTombstones]]. */
+  def deleteFromIvfPqIndex(path: String, ids: DataFrame): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("id"))
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** Physically drop tombstoned code rows (staging-swap rewrite —
+    * [[graft.sink.Compact.rewriteWithout]]); searches are
+    * bit-identical before and after. No-op without tombstones. */
+  def purgeIvfPqTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tombPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(tombPath)) return
+    val tomb = spark.read.parquet(s"$path/tombstones")
+      .select(col("id")).distinct().localCheckpoint()
+    graft.sink.Compact.rewriteWithout(spark, s"$path/codes", tomb, "id")
+    fs.delete(tombPath, true)
   }
 
   /** Index-build half of [[ivfPqTopK]]: coarse cells (seeded or

@@ -606,6 +606,43 @@ object Round14 {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // ---- ANN-index DELETION — the takedown lifecycle completed on
+    // the THIRD persisted index family (TF q332, shingle q339, now
+    // IVF-PQ): build the q95 index on the full corpus, write it,
+    // tombstone vec_id%4=1, read + search. Cells and codebook stay
+    // FROZEN (the append contract — FAISS remove_ids semantics: a
+    // deleted vector stops being a candidate; the quantizer is not
+    // "un-trained"), so the oracle is q87's VERBATIM with one change:
+    // deleted ids are excluded from the candidate sums. Queries still
+    // include deleted ids — a removed document may still be a QUERY
+    // (more-like-this on a takedown target), it just can't be
+    // returned.
+    QueryDef("q341_ann_delete",
+      (s, dir) => {
+        val emb = t("embeddings")(s, dir)
+        val outDir = scratchDir(dir, "q341_annidx")
+        graft.operators.Similarity.ivfPqIndex(emb, nCells = 8,
+            dims = 64, m = 8, nCentroids = 16)
+          .write(outDir.getAbsolutePath)
+        graft.operators.Similarity.deleteFromIvfPqIndex(
+          outDir.getAbsolutePath,
+          emb.where(col("vec_id") % 4 === 1).select(col("vec_id")))
+        val index = graft.operators.Similarity.IvfPqIndex.read(
+          s, outDir.getAbsolutePath)
+        graft.operators.Similarity.ivfPqSearch(
+            emb.filter(col("vec_id") < 12), index,
+            k = 5, nprobe = 2, dims = 64, m = 8)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some {
+        val base = Round5.defs.find(_.name == "q87_ivfpq_topk")
+          .get.oracle.get
+        val anchor = "WHERE p.query_id != c.id"
+        require(base.contains(anchor),
+          "q87 oracle anchor moved — update q341's exclusion")
+        base.replace(anchor, anchor + " AND c.id % 4 != 1")
+      }),
+
     // ---- unigram training with the GRADUAL Kudo shrink (closing the
     // r13 parity note that `train` prunes once while Kudo's algorithm
     // shrinks a fraction per round): ladder 100 → 60, one EM step per

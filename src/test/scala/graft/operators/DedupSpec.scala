@@ -680,4 +680,37 @@ class DedupSpec extends SparkSpec {
     org.apache.commons.io.FileUtils
       .deleteQuietly(new java.io.File(dir))
   }
+
+  test("shingle index COMPACTION: file count shrinks after two " +
+      "appends, pair results bit-identical through the rewrite") {
+    val all = shingleIndexCorpus
+    val dir = java.nio.file.Files.createTempDirectory("shidx4").toString
+    def parquetFiles(): Int = {
+      def walk(f: java.io.File): Int = {
+        val kids = Option(f.listFiles()).getOrElse(Array.empty)
+        kids.count(k => k.isFile && k.getName.endsWith(".parquet")) +
+          kids.filter(_.isDirectory).map(walk).sum
+      }
+      walk(new java.io.File(dir))
+    }
+    try {
+      Dedup.writeShingleIndex(all.where(col("doc_id") <= 2), dir,
+        n = 3, shingleBuckets = 4)
+      Dedup.appendShingleIndex(dir, all.where(col("doc_id").isin(3L, 4L)))
+      Dedup.appendShingleIndex(dir, all.where(col("doc_id") >= 5))
+      def run() = Dedup.jaccardPairsAgainstIndex(spark, dir, 0.5,
+          all.where(col("doc_id") >= 5).select(col("doc_id")))
+        .orderBy("da", "db").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      val truth = run()
+      assert(truth.nonEmpty)
+      val filesBefore = parquetFiles()
+      val (b, a) = Dedup.compactShingleIndex(spark, dir)
+      assert(b > a, s"compaction did not shrink: $b -> $a")
+      assert(parquetFiles() < filesBefore)
+      assert(run() == truth)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
 }

@@ -582,4 +582,41 @@ class SimilaritySpec extends SparkSpec {
       (1L, 3L, (1000000L + 0L + sil4) / 3L, 0L),
       (2L, 1L, 1000000L, 1000000L)))
   }
+
+  test("IvfPqIndex delete: tombstoned vectors never return as " +
+      "neighbors; cells/codebook frozen; purge ≡ logical; deleted " +
+      "ids may still QUERY") {
+    import spark.implicits._
+    val emb = (0L until 24L).map { i =>
+      (i, Array.tabulate(8)(d =>
+        (math.sin(i * 3.0 + d) * 0.5 + 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+    try {
+      Similarity.ivfPqIndex(emb, nCells = 4, dims = 8, m = 2,
+        nCentroids = 4).write(dir)
+      Similarity.deleteFromIvfPqIndex(dir,
+        emb.where(col("vec_id") % 3 === 1).select(col("vec_id")))
+      def search() = Similarity.ivfPqSearch(
+          emb.filter(col("vec_id") < 6), Similarity.IvfPqIndex.read(
+            spark, dir), k = 4, nprobe = 2, dims = 8, m = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).sortBy(t => (t._1, t._4)).toSeq
+      val logical = search()
+      assert(logical.nonEmpty)
+      assert(logical.forall(_._2 % 3 != 1), "deleted id returned")
+      // deleted ids still appear as queries (vec_id 1 and 4 < 6)
+      assert(logical.exists(_._1 % 3 == 1), "deleted ids must query")
+      // frozen halves untouched on disk
+      assert(spark.read.parquet(s"$dir/cells").count() == 4)
+      // purge: tombstones gone, codes thinner, same answers
+      val before = spark.read.parquet(s"$dir/codes").count()
+      Similarity.purgeIvfPqTombstones(spark, dir)
+      assert(!new java.io.File(s"$dir/tombstones").exists())
+      assert(spark.read.parquet(s"$dir/codes").count() < before)
+      assert(search() == logical)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
 }

@@ -542,6 +542,13 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
   }
 
+  test("q341: ANN delete — the code stream anti-joins tombstones; " +
+      "probes/distance tables still broadcast; no shuffled cartesian") {
+    val plan = full("q341_ann_delete")
+    assert(plan.contains("LeftAnti"), "tombstone anti-join missing")
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+  }
+
   test("q336: windowed KLL twin — sketch pass is day-keyed; the only " +
       "broadcast is the one-row-per-day ng frame; no cartesian") {
     val plan = full("q336_stream_kll_twin")
