@@ -643,6 +643,138 @@ object Round14 {
         base.replace(anchor, anchor + " AND c.id % 4 != 1")
       }),
 
+    // ---- ANN index AGING measured in-catalog (the q325 calibration
+    // discipline applied to the append contract's documented caveat:
+    // "quantization error drifts as the distribution moves —
+    // re-train on your cadence"): build the IVF-PQ index on the EVEN
+    // half, parquet-append the odd half against the FROZEN
+    // cells/codebook, and measure exact-top-1 recall@5 side by side
+    // with an index RE-TRAINED on the full corpus. The row reports
+    // the number a retraining-cadence decision actually needs —
+    // recall lost to serving appended data through yesterday's
+    // quantizer — and the oracle replays BOTH index geometries plus
+    // the brute-force truth, so the measurement itself is hash-gated.
+    QueryDef("q342_ann_aging",
+      (s, dir) => {
+        val emb = t("embeddings")(s, dir)
+        val frozen = graft.operators.Similarity.ivfPqIndex(
+            emb.where(col("vec_id") % 2 === 0), nCells = 8, dims = 64,
+            m = 8, nCentroids = 16)
+          .append(emb.where(col("vec_id") % 2 === 1), dims = 64, m = 8)
+        val rebuilt = graft.operators.Similarity.ivfPqIndex(
+          emb, nCells = 8, dims = 64, m = 8, nCentroids = 16)
+        val queries = emb.filter(col("vec_id") < 12)
+        val truth = graft.operators.Similarity.bruteForceTopK(
+            queries, emb, k = 1)
+          .select(col("query_id"), col("neighbor_id").as("true_id"))
+        def arm(name: String,
+            idx: graft.operators.Similarity.IvfPqIndex) =
+          graft.operators.Similarity.ivfPqSearch(queries, idx, k = 5,
+              nprobe = 2, dims = 64, m = 8)
+            .select(col("query_id").as("qid"), col("neighbor_id"))
+            .join(broadcast(truth),
+              col("qid") === col("query_id") &&
+                col("neighbor_id") === col("true_id"), "left_semi")
+            .select(col("qid")).distinct()
+            .agg(count(lit(1)).as("n_caught"))
+            .crossJoin(broadcast(
+              queries.agg(count(lit(1)).as("n_queries"))))
+            .select(lit(name).as("arm"), col("n_queries"),
+              col("n_caught"),
+              expr("(n_caught * 1000000) div n_queries")
+                .as("recall_ppm"))
+        arm("frozen_append", frozen)
+          .unionAll(arm("retrained_full", rebuilt))
+          .orderBy(col("arm"))
+      },
+      Some {
+        // parameterized q87 replay: cells/codebook seeded from
+        // `build`, codes + assignments over the FULL corpus — exactly
+        // what build-then-append produces (append assigns/encodes new
+        // vectors with the same frozen-geometry expressions)
+        def chain(p: String, build: String): String =
+          s"""${p}ccen AS MATERIALIZED (SELECT vec_id AS cel_id, d AS cele
+             |  FROM e WHERE $build ORDER BY vec_id LIMIT 8),
+             |${p}ca0 AS (SELECT e.vec_id AS id, cel_id,
+             |    round(list_dot_product(e.d, cele) /
+             |      (sqrt(list_dot_product(e.d, e.d)) *
+             |       sqrt(list_dot_product(cele, cele))), 6) AS csim
+             |  FROM e, ${p}ccen),
+             |${p}ca1 AS (SELECT *, row_number() OVER (PARTITION BY id
+             |    ORDER BY csim DESC, cel_id) AS r FROM ${p}ca0),
+             |${p}cellof AS MATERIALIZED (SELECT id, cel_id AS cell
+             |  FROM ${p}ca1 WHERE r = 1),
+             |${p}qp1 AS (SELECT *, row_number() OVER (PARTITION BY id
+             |    ORDER BY csim DESC, cel_id) AS r FROM ${p}ca0
+             |  WHERE id < 12),
+             |${p}probes AS (SELECT id AS query_id, cel_id AS cell
+             |  FROM ${p}qp1 WHERE r <= 2),
+             |${p}pcen AS MATERIALIZED (SELECT j, s.vec_id AS cen_id,
+             |    sv AS cv FROM s
+             |  WHERE s.vec_id IN (SELECT vec_id FROM e WHERE $build
+             |    ORDER BY vec_id LIMIT 16)),
+             |${p}pa0 AS (SELECT s.vec_id AS id, s.j, cen_id,
+             |    round(list_dot_product(sv, sv)
+             |      - 2 * list_dot_product(sv, cv)
+             |      + list_dot_product(cv, cv), 6) AS dist2
+             |  FROM s JOIN ${p}pcen ON s.j = ${p}pcen.j),
+             |${p}pa1 AS (SELECT *, row_number() OVER (PARTITION BY id, j
+             |    ORDER BY dist2, cen_id) AS r FROM ${p}pa0),
+             |${p}codes AS MATERIALIZED (SELECT id, j, cen_id AS code
+             |  FROM ${p}pa1 WHERE r = 1),
+             |${p}tbl AS (SELECT query_id, qs.j, cen_id AS code,
+             |    CAST(round(list_dot_product(qv, qv)
+             |      - 2 * list_dot_product(qv, cv)
+             |      + list_dot_product(cv, cv), 6)
+             |      AS DECIMAL(20,6)) AS d2
+             |  FROM qs JOIN ${p}pcen ON qs.j = ${p}pcen.j),
+             |${p}sums AS (SELECT pr.query_id, c.id AS neighbor_id,
+             |    CAST(SUM(d2) AS DOUBLE) AS adist
+             |  FROM ${p}codes c
+             |  JOIN ${p}cellof co ON c.id = co.id
+             |  JOIN ${p}probes pr ON pr.cell = co.cell
+             |  JOIN ${p}tbl t ON t.query_id = pr.query_id
+             |    AND t.j = c.j AND t.code = c.code
+             |  WHERE pr.query_id != c.id
+             |  GROUP BY pr.query_id, c.id),
+             |${p}r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY adist, neighbor_id) AS rank FROM ${p}sums),
+             |${p}top AS MATERIALIZED (SELECT query_id, neighbor_id
+             |  FROM ${p}r WHERE rank <= 5),
+             |${p}rec AS (SELECT
+             |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e
+             |      WHERE vec_id < 12) AS n_queries,
+             |    (SELECT CAST(COUNT(*) AS BIGINT) FROM tr
+             |      WHERE EXISTS (SELECT 1 FROM ${p}top t
+             |        WHERE t.query_id = tr.query_id
+             |          AND t.neighbor_id = tr.true_id)) AS n_caught)"""
+            .stripMargin
+        s"""WITH e AS MATERIALIZED (SELECT vec_id,
+           |    CAST(embedding AS DOUBLE[]) AS d FROM embeddings),
+           |s AS MATERIALIZED (SELECT vec_id, t.j,
+           |    d[t.j*8+1 : t.j*8+8] AS sv FROM e, range(0, 8) t(j)),
+           |qs AS (SELECT vec_id AS query_id, j, sv AS qv FROM s
+           |  WHERE vec_id < 12),
+           |tr AS MATERIALIZED (SELECT query_id, true_id FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS true_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |        ORDER BY round(list_dot_product(q.d, c.d) /
+           |          (sqrt(list_dot_product(q.d, q.d)) *
+           |           sqrt(list_dot_product(c.d, c.d))), 6) DESC,
+           |          c.vec_id) AS rk
+           |    FROM e q JOIN e c ON q.vec_id < 12
+           |      AND c.vec_id != q.vec_id) WHERE rk = 1),
+           |${chain("f", "vec_id % 2 = 0")},
+           |${chain("g", "TRUE")}
+           |SELECT 'frozen_append' AS arm, n_queries, n_caught,
+           |  (n_caught * 1000000) // n_queries AS recall_ppm
+           |FROM frec
+           |UNION ALL
+           |SELECT 'retrained_full', n_queries, n_caught,
+           |  (n_caught * 1000000) // n_queries FROM grec
+           |ORDER BY arm""".stripMargin
+      }),
+
     // ---- unigram training with the GRADUAL Kudo shrink (closing the
     // r13 parity note that `train` prunes once while Kudo's algorithm
     // shrinks a fraction per round): ladder 100 → 60, one EM step per
