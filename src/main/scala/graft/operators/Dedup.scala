@@ -932,6 +932,100 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** Persist a winnowed-FINGERPRINT inverted index — the SUBSTRING
+    * granularity of the incremental-dedup story ([[writeShingleIndex]]
+    * covers document n-gram Jaccard; this covers [[substringCandidates]]'
+    * shared-substring detection). Fingerprints are per-document FACTS
+    * (Schleimer 2003 winnowing reads only the document's own text), so
+    * ingest is a pure parquet append and the expensive per-character
+    * md5 winnow kernel runs over the INCREMENT only. Layout mirrors
+    * the shingle index: `path/postings` `(doc_id, h)` partitioned by
+    * `fbucket = pmod(h, fpBuckets)`, `path/meta` one row of
+    * `(n_buckets, k, w)`.
+    */
+  def writeFingerprintIndex(docs: DataFrame, path: String,
+      k: Int = 25, w: Int = 10, fpBuckets: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    require(fpBuckets >= 1)
+    val fp = winnowedFingerprints(docs.select(col(idCol), col(textCol)),
+      idCol, textCol, k, w).localCheckpoint()
+    fp.withColumn("fbucket", pmod(col("h"), lit(fpBuckets.toLong)))
+      .repartition(col("fbucket")) // one file per bucket per write
+      .write.mode("overwrite").partitionBy("fbucket")
+      .parquet(s"$path/postings")
+    docs.sparkSession.range(1)
+      .select(lit(fpBuckets).as("n_buckets"), lit(k).as("k"),
+        lit(w).as("w"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** APPEND a document increment to a [[writeFingerprintIndex]]
+    * artifact — winnow ONLY the new documents (ingest, not upsert:
+    * new ids must be distinct). */
+  def appendFingerprintIndex(path: String, newDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = newDocs.sparkSession
+    val meta = spark.read.parquet(s"$path/meta")
+      .select(col("n_buckets"), col("k"), col("w")).collect()(0)
+    winnowedFingerprints(newDocs.select(col(idCol), col(textCol)),
+        idCol, textCol, meta.getInt(1), meta.getInt(2))
+      .withColumn("fbucket", pmod(col("h"), lit(meta.getInt(0).toLong)))
+      .repartition(col("fbucket"))
+      .write.mode("append").partitionBy("fbucket")
+      .parquet(s"$path/postings")
+  }
+
+  /** Substring-overlap candidates of a fresh INCREMENT against a
+    * [[writeFingerprintIndex]] artifact (which already contains the
+    * increment): `(da, db, shared)` pairs sharing ≥ `minShared`
+    * fingerprints and TOUCHING the increment — the
+    * [[substringCandidates]] semantics without re-winnowing
+    * yesterday's corpus. The increment side is a broadcast semi-join
+    * filter of the posting stream; increment-internal pairs (joined in
+    * both orders) collapse through the normalized distinct before
+    * counting. `maxFpDf` drops boilerplate fingerprints by document
+    * frequency over the index's CURRENT state (same lower-bound
+    * semantics as the in-memory operator). Tombstones
+    * ([[deleteFromShingleIndex]]'s layout — `path/tombstones`) are
+    * anti-joined out first.
+    */
+  def substringCandidatesAgainstIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      minShared: Int, incrementIds: DataFrame,
+      maxFpDf: Option[Int] = None): DataFrame = {
+    val inc = incrementIds.select(col(incrementIds.columns.head)
+      .cast("long").as("doc_id"))
+    val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val hasTomb = tombPath
+      .getFileSystem(spark.sessionState.newHadoopConf()).exists(tombPath)
+    val fp0 = spark.read.parquet(s"$path/postings")
+      .select(col("doc_id"), col("h"))
+    val fp1 =
+      if (hasTomb)
+        fp0.join(spark.read.parquet(s"$path/tombstones")
+          .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      else fp0
+    val fp = maxFpDf match {
+      case Some(cap) =>
+        val hot = fp1.groupBy(col("h"))
+          .agg(count(lit(1)).as("df")).filter(col("df") > cap)
+          .select(col("h"))
+        fp1.join(broadcast(hot), Seq("h"), "left_anti")
+      case None => fp1
+    }
+    val fpInc = fp.join(broadcast(inc), Seq("doc_id"), "left_semi")
+    fpInc.as("a").join(fp.as("b"),
+        col("a.h") === col("b.h") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("da"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("db"),
+        col("a.h").as("h"))
+      .distinct() // both-in-increment pairs arrive in both orders
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** 32-bit SimHash per document over the shingle set: bit b is the sign
     * of Σ_shingles (±1 by hash bit b). One integer per document.
     */

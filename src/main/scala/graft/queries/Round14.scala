@@ -606,6 +606,53 @@ object Round14 {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // ---- incremental SUBSTRING dedup (the q331 append discipline on
+    // the OTHER dedup granularity — q86's winnowed fingerprints):
+    // build the fingerprint index on doc_id%4≠3, append the %4=3
+    // increment (the per-character md5 winnow kernel — the most
+    // expensive kernel in Dedup — runs over the increment ONLY), then
+    // emit shared-substring candidate pairs touching the increment.
+    // Oracle = q86's exhaustive pair set restricted to
+    // increment-touching pairs: build∘append∘query ≡ full re-winnow.
+    QueryDef("q343_substring_incremental",
+      (s, dir) => {
+        val outDir = scratchDir(dir, "q343_fpidx")
+        val docs = t("documents")(s, dir)
+        graft.operators.Dedup.writeFingerprintIndex(
+          docs.where(col("doc_id") % 4 =!= 3),
+          outDir.getAbsolutePath, k = 25, w = 10, fpBuckets = 16)
+        val inc = docs.where(col("doc_id") % 4 === 3)
+        graft.operators.Dedup.appendFingerprintIndex(
+          outDir.getAbsolutePath, inc)
+        graft.operators.Dedup.substringCandidatesAgainstIndex(
+            s, outDir.getAbsolutePath, minShared = 2,
+            inc.select(col("doc_id")))
+          .orderBy(col("da"), col("db"))
+      },
+      Some("""WITH nrm AS (SELECT doc_id, array_to_string(list_filter(
+             |    string_split_regex(lower(text), '\s+'),
+             |    x -> len(x) > 0), ' ') AS t FROM documents),
+             |g AS (SELECT doc_id, t FROM nrm WHERE len(t) >= 25),
+             |p0 AS (SELECT doc_id, t,
+             |    unnest(generate_series(1, len(t) - 24)) AS i FROM g),
+             |p AS (SELECT doc_id, i,
+             |    CAST(concat('0x', substr(md5(substr(t, i, 25)), 1, 15))
+             |      AS BIGINT) AS h
+             |  FROM p0),
+             |m AS (SELECT doc_id, i, MIN(h) OVER (PARTITION BY doc_id
+             |    ORDER BY i ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)
+             |      AS mh,
+             |    COUNT(*) OVER (PARTITION BY doc_id) AS np FROM p),
+             |f AS (SELECT DISTINCT doc_id, mh AS h FROM m
+             |  WHERE i <= greatest(np - 9, 1)),
+             |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+             |    COUNT(*) AS shared
+             |  FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT da, db, CAST(shared AS BIGINT) AS shared FROM pairs
+             |WHERE shared >= 2 AND (da % 4 = 3 OR db % 4 = 3)
+             |ORDER BY da, db""".stripMargin)),
+
     // ---- ANN-index DELETION — the takedown lifecycle completed on
     // the THIRD persisted index family (TF q332, shingle q339, now
     // IVF-PQ): build the q95 index on the full corpus, write it,

@@ -681,6 +681,39 @@ class DedupSpec extends SparkSpec {
       .deleteQuietly(new java.io.File(dir))
   }
 
+  test("fingerprint index: build∘append∘query ≡ substringCandidates " +
+      "restricted to increment-touching pairs; tombstones respected") {
+    val all = shingleIndexCorpus
+    val dir = java.nio.file.Files.createTempDirectory("fpidx").toString
+    try {
+      Dedup.writeFingerprintIndex(all.where(col("doc_id") <= 4), dir,
+        k = 25, w = 10, fpBuckets = 4)
+      Dedup.appendFingerprintIndex(dir, all.where(col("doc_id") >= 5))
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("da", "db").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val truth = canon(Dedup.substringCandidates(all, "doc_id",
+          "text", k = 25, w = 10, minShared = 1, cache = false)
+        .where(col("da") >= 5 || col("db") >= 5))
+      assert(truth.nonEmpty) // 2 and 5 share a long substring
+      val got = canon(Dedup.substringCandidatesAgainstIndex(spark, dir,
+        minShared = 1, all.where(col("doc_id") >= 5)
+          .select(col("doc_id"))))
+      assert(got == truth)
+      // tombstoning doc 2 removes its pairs, ≡ a rebuild without it
+      Dedup.deleteFromShingleIndex(dir, // same tombstones layout
+        all.where(col("doc_id") === 2).select(col("doc_id")))
+      val truth2 = canon(Dedup.substringCandidates(
+          all.where(col("doc_id") =!= 2), "doc_id", "text",
+          k = 25, w = 10, minShared = 1, cache = false)
+        .where(col("da") >= 5 || col("db") >= 5))
+      assert(canon(Dedup.substringCandidatesAgainstIndex(spark, dir,
+        minShared = 1, all.where(col("doc_id") >= 5)
+          .select(col("doc_id")))) == truth2)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
   test("shingle index COMPACTION: file count shrinks after two " +
       "appends, pair results bit-identical through the rewrite") {
     val all = shingleIndexCorpus

@@ -549,6 +549,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(400))
   }
 
+  test("q343: incremental substring dedup — fingerprint equi-joins " +
+      "only, increment side a broadcast semi-join; no cartesian") {
+    val plan = full("q343_substring_incremental")
+    assert(plan.contains("LeftSemi"), "increment semi-join missing")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+  }
+
   test("q336: windowed KLL twin — sketch pass is day-keyed; the only " +
       "broadcast is the one-row-per-day ng frame; no cartesian") {
     val plan = full("q336_stream_kll_twin")
