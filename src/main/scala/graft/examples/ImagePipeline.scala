@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
   *   5. thumbnail — REAL nearest-neighbor resize of the kept winners
   *                 ([[Png.pngResize]])
   *
+  * Mixed corpora are handled by a NORMALIZE stage between probe and
+  * decode QA: baseline-JPEG payloads are TRANSCODED to PNG natively
+  * (decode with [[graft.functions.Jpeg.jpegPixels]], re-encode with
+  * [[Png.pngEncode]] — zero external libraries), so every downstream
+  * rung runs format-uniform and a JPEG re-save of a PNG image lands in
+  * the SAME dHash bands as its original (the cross-format near-dup a
+  * real ingest must catch; ImagePipelineSpec pins it).
+  *
   * Every stage is map-side except the band equi-join (candidate-
   * bounded) and the keep-one-per-pair argmin. Output: one row per
   * KEPT image `(id, width, height, mean_luma_milli, thumb)` plus the
@@ -40,13 +48,21 @@ object ImagePipeline {
       lumaMinMilli: Long = 10000, lumaMaxMilli: Long = 245000,
       hammingMax: Int = 6,
       thumbW: Int = 8, thumbH: Int = 8): Result = {
-    // 1+2: probe + decode stats + hash in ONE scan of the blob column
+    // 1: probe, then NORMALIZE — JPEG payloads transcode to PNG via
+    // the native codecs (undecodable JPEGs transcode to null and fall
+    // out at the decode gate like any other garbage)
+    val meta = graft.functions.MediaProbe.probeMeta(col(payloadCol))
+    val jst = graft.functions.Jpeg.jpegStats(col(payloadCol))
+    val normalized = when(meta("format") === "jpeg",
+        Png.pngEncode(jst("width"), jst("height"), jst("channels"),
+          graft.functions.Jpeg.jpegPixels(col(payloadCol))))
+      .otherwise(col(payloadCol))
+    // 2: decode stats + hash in ONE scan of the blob column
     val scored = images.select(col(idCol).as("img_id"),
-        col(payloadCol).as("payload"),
-        graft.functions.MediaProbe.probeMeta(col(payloadCol))
-          .as("meta"),
-        Png.pngStats(col(payloadCol)).as("st"),
-        Png.pngDhash60(col(payloadCol)).as("ph"))
+        normalized.as("payload"),
+        meta.as("meta"),
+        Png.pngStats(normalized).as("st"),
+        Png.pngDhash60(normalized).as("ph"))
       .localCheckpoint() // feeds the gate, the band join, the output
     // 3: quality gates (mean luma = sum_luma_milli / n_pixels)
     val gated = scored

@@ -588,20 +588,35 @@ object Dedup {
     * — [[graft.sink.Compact.rewriteWithout]]); queries are
     * bit-identical before and after. No-op without tombstones. */
   def purgeShingleIndexTombstones(
-      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    purgeBucketedTombstones(spark, path, "sbucket=")
+
+  /** [[purgeShingleIndexTombstones]] for the fingerprint layout
+    * (`fbucket=` leaves, no docs table). */
+  def purgeFingerprintIndexTombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    purgeBucketedTombstones(spark, path, "fbucket=")
+
+  private def purgeBucketedTombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      bucketPrefix: String): Unit = {
     val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     val fs = tombPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(tombPath)) return
     val tomb = spark.read.parquet(s"$path/tombstones")
       .select(col("doc_id")).distinct().localCheckpoint()
     val postings = new org.apache.hadoop.fs.Path(s"$path/postings")
-    fs.listStatus(postings).filter(_.isDirectory)
+    val leaves = fs.listStatus(postings).filter(_.isDirectory)
       .map(_.getPath.toString)
-      .filter(_.contains("sbucket="))
-      .foreach(graft.sink.Compact.rewriteWithout(spark, _, tomb,
-        "doc_id"))
-    graft.sink.Compact.rewriteWithout(spark, s"$path/docs", tomb,
-      "doc_id")
+      .filter(_.contains(bucketPrefix))
+    require(leaves.nonEmpty,
+      s"$path/postings has no $bucketPrefix leaves — wrong index " +
+        "layout for this purge")
+    leaves.foreach(graft.sink.Compact.rewriteWithout(spark, _, tomb,
+      "doc_id"))
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/docs")))
+      graft.sink.Compact.rewriteWithout(spark, s"$path/docs", tomb,
+        "doc_id")
     fs.delete(tombPath, true)
   }
 

@@ -41,4 +41,28 @@ class ImagePipelineSpec extends SparkSpec {
       .select(col("st.width"), col("st.height")).collect()
     assert(thumbs.forall(t => t.getLong(0) == 8L && t.getLong(1) == 8L))
   }
+
+  test("curate: a baseline-JPEG re-save of a PNG image transcodes " +
+      "natively and dedups against its PNG original cross-format") {
+    import spark.implicits._
+    // smooth gradient: JPEG loss stays local, so the dHash gradient
+    // signs survive the re-save (the real-world cross-format near-dup)
+    val w = 16; val h = 16
+    val smooth = Array.tabulate(w * h * 3) { i =>
+      val p = i / 3; ((p % w) * 10 + (p / w) * 3 + 40).toByte
+    }
+    val pngOrig = PngEncodeKernel.encode(w, h, 3, smooth)
+    val jpegResave = graft.functions.JpegEncodeKernel
+      .encode(w, h, 3, smooth)
+    val distinct = PngEncodeKernel.encode(w, h, 3, px(w, h, 99))
+    val images = Seq(
+      (1L, pngOrig), (2L, jpegResave), (3L, distinct)
+    ).toDF("img_id", "payload")
+    val r = ImagePipeline.curate(images, minW = 4, minH = 4)
+    val keptIds = r.kept.select("img_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(keptIds == Set(1L, 3L), s"kept $keptIds")
+    assert(r.removed.collect().map(_.getLong(0)).toSet == Set(2L),
+      "the JPEG re-save must dedup against its PNG original")
+  }
 }

@@ -710,6 +710,15 @@ class DedupSpec extends SparkSpec {
       assert(canon(Dedup.substringCandidatesAgainstIndex(spark, dir,
         minShared = 1, all.where(col("doc_id") >= 5)
           .select(col("doc_id")))) == truth2)
+      // physical purge of the fbucket layout: tombstones gone,
+      // postings thinner, same answers
+      val before = spark.read.parquet(s"$dir/postings").count()
+      Dedup.purgeFingerprintIndexTombstones(spark, dir)
+      assert(!new java.io.File(s"$dir/tombstones").exists())
+      assert(spark.read.parquet(s"$dir/postings").count() < before)
+      assert(canon(Dedup.substringCandidatesAgainstIndex(spark, dir,
+        minShared = 1, all.where(col("doc_id") >= 5)
+          .select(col("doc_id")))) == truth2)
     } finally org.apache.commons.io.FileUtils
       .deleteQuietly(new java.io.File(dir))
   }
