@@ -612,8 +612,12 @@ object Dedup {
     require(leaves.nonEmpty,
       s"$path/postings has no $bucketPrefix leaves — wrong index " +
         "layout for this purge")
-    leaves.foreach(graft.sink.Compact.rewriteWithout(spark, _, tomb,
-      "doc_id"))
+    // ONE partitioned rewrite job + whole-tree swap — never one job
+    // per bucket leaf (2^14 sequential jobs at production bucket
+    // counts; see Compact.rewritePartitionedWithout)
+    graft.sink.Compact.rewritePartitionedWithout(spark,
+      s"$path/postings", tomb, "doc_id",
+      bucketPrefix.stripSuffix("="))
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/docs")))
       graft.sink.Compact.rewriteWithout(spark, s"$path/docs", tomb,
         "doc_id")

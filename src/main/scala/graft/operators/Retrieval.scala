@@ -398,16 +398,15 @@ object Retrieval {
     if (!dirExists(spark, s"$path/tombstones")) return
     val tomb = spark.read.parquet(s"$path/tombstones")
       .select(col("doc_id")).distinct().localCheckpoint()
-    // per-leaf rewrite keeps the wbucket partition layout intact
-    val postings = new org.apache.hadoop.fs.Path(s"$path/postings")
-    val fs = postings.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.listStatus(postings).filter(_.isDirectory)
-      .map(_.getPath.toString)
-      .filter(_.contains("wbucket="))
-      .foreach(graft.sink.Compact.rewriteWithout(spark, _, tomb,
-        "doc_id"))
+    // ONE partitioned rewrite job + whole-tree swap, keeping the
+    // wbucket layout — never one job per bucket leaf (see
+    // Compact.rewritePartitionedWithout)
+    graft.sink.Compact.rewritePartitionedWithout(spark,
+      s"$path/postings", tomb, "doc_id", "wbucket")
     graft.sink.Compact.rewriteWithout(spark, s"$path/docs", tomb,
       "doc_id")
+    val fs = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+      .getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
   }
 

@@ -51,6 +51,37 @@ object Compact {
     fs.delete(backup, true)
   }
 
+  /** [[rewriteWithout]] for a Hive-PARTITIONED directory, as ONE
+    * Spark job: read the whole tree (partition column inferred from
+    * the directory names), anti-join, write partitionBy to staging
+    * with `repartition(partitionCol)` (one file per partition), swap
+    * the whole tree with two renames. The per-leaf alternative costs
+    * one sequential job per partition — 2^14 jobs at a production
+    * bucket count; this is the purge shape that survives scale
+    * (ScaleFpIndex measured 14 s → ~2 s at 64 buckets, toy data).
+    * Partitions whose rows are all dropped simply have no directory
+    * in the result — absent partition ≡ zero rows to every reader.
+    */
+  def rewritePartitionedWithout(spark: SparkSession, dir: String,
+      dropKeys: org.apache.spark.sql.DataFrame, keyCol: String,
+      partitionCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return
+    val staging = new org.apache.hadoop.fs.Path(dir + "._purging")
+    val backup = new org.apache.hadoop.fs.Path(dir + "._prepurge")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    spark.read.parquet(dir)
+      .join(dropKeys, Seq(keyCol), "left_anti")
+      .repartition(col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol)
+      .parquet(staging.toString)
+    fs.rename(p, backup)
+    fs.rename(staging, p)
+    fs.delete(backup, true)
+  }
+
   /** @return (filesBefore, filesAfter) */
   def compact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
