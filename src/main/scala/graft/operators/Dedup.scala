@@ -625,24 +625,21 @@ object Dedup {
   }
 
   /** Compact a [[writeShingleIndex]] artifact's accumulated append
-    * files — each sbucket leaf plus the docs table through
-    * [[graft.sink.Compact.compact]] (the
+    * files — the postings tree as ONE partitioned job
+    * ([[graft.sink.Compact.compactPartitioned]], the
     * [[Retrieval.compactTfIndex]] twin; N daily appends leave one
-    * file per bucket per day). Row values untouched: pair queries are
-    * bit-identical before and after (DedupSpec). Returns
+    * file per bucket per day), the flat docs table through
+    * [[graft.sink.Compact.compact]]. Row values untouched: pair
+    * queries are bit-identical before and after (DedupSpec). Returns
     * (filesBefore, filesAfter). */
   def compactShingleIndex(spark: org.apache.spark.sql.SparkSession,
       path: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val postings = new org.apache.hadoop.fs.Path(s"$path/postings")
-    val fs = postings.getFileSystem(spark.sessionState.newHadoopConf())
-    val leaves = fs.listStatus(postings).filter(_.isDirectory)
-      .map(_.getPath.toUri.getPath)
-      .filter(_.contains("sbucket=")).toSeq :+ s"$path/docs"
-    leaves.map(graft.sink.Compact.compact(spark, _, targetBytes))
-      .foldLeft((0, 0)) { case ((b0, a0), (b1, a1)) =>
-        (b0 + b1, a0 + a1)
-      }
+    val (pb, pa) = graft.sink.Compact.compactPartitioned(spark,
+      s"$path/postings", "sbucket")
+    val (db, da) = graft.sink.Compact.compact(spark, s"$path/docs",
+      targetBytes)
+    (pb + db, pa + da)
   }
 
   /** PPJoin-pruned exact Jaccard of a fresh INCREMENT against a

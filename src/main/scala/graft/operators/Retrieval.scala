@@ -412,25 +412,23 @@ object Retrieval {
 
   /** Compact a [[writeTfIndex]] artifact's accumulated append files:
     * N daily [[appendTfIndex]] calls leave one file per bucket per day
-    * — the classic 100 TB ingest failure mode — so each postings
-    * bucket leaf and the docs table are rewritten by
-    * [[graft.sink.Compact.compact]] (staging + two-rename swap,
-    * crash-safe). Row values are untouched: queries hash-identically
-    * before and after (q333 gates exactly that). Returns
-    * (filesBefore, filesAfter) summed over the rewritten directories.
+    * — the classic 100 TB ingest failure mode. The postings tree is
+    * rewritten as ONE partitioned job
+    * ([[graft.sink.Compact.compactPartitioned]]: one file per bucket,
+    * staging + two-rename swap — never one sequential job per bucket
+    * leaf); the flat docs table goes through
+    * [[graft.sink.Compact.compact]] with `targetBytes`. Row values
+    * are untouched: queries hash-identically before and after (q333
+    * gates exactly that). Returns (filesBefore, filesAfter) summed
+    * over the rewritten directories.
     */
   def compactTfIndex(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val hconf = spark.sessionState.newHadoopConf()
-    val postings = new org.apache.hadoop.fs.Path(s"$path/postings")
-    val fs = postings.getFileSystem(hconf)
-    val leaves = fs.listStatus(postings).filter(_.isDirectory)
-      .map(_.getPath.toUri.getPath)
-      .filter(_.contains("wbucket=")).toSeq :+ s"$path/docs"
-    leaves.map(graft.sink.Compact.compact(spark, _, targetBytes))
-      .foldLeft((0, 0)) { case ((b0, a0), (b1, a1)) =>
-        (b0 + b1, a0 + a1)
-      }
+    val (pb, pa) = graft.sink.Compact.compactPartitioned(spark,
+      s"$path/postings", "wbucket")
+    val (db, da) = graft.sink.Compact.compact(spark, s"$path/docs",
+      targetBytes)
+    (pb + db, pa + da)
   }
 
   private def dirExists(spark: SparkSession, dir: String): Boolean = {

@@ -82,6 +82,43 @@ object Compact {
     fs.delete(backup, true)
   }
 
+  /** Compact a Hive-PARTITIONED tree as ONE Spark job: read the whole
+    * tree, `repartition(partitionCol)` (one file per partition — the
+    * append-accumulated small files collapse), write partitionBy to
+    * staging, swap with two renames. The per-leaf [[compact]] loop
+    * costs one sequential job per partition — 2^14 jobs at a
+    * production bucket count. Trade documented: a single oversized
+    * partition becomes a single oversized file (per-leaf compact with
+    * `targetBytes` splits it); size the bucket count so buckets stay
+    * file-sized, which the index layouts here do by construction.
+    * @return (filesBefore, filesAfter) counted over the tree. */
+  def compactPartitioned(spark: SparkSession, dir: String,
+      partitionCol: String): (Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"$dir does not exist")
+    def countParquet(path: org.apache.hadoop.fs.Path): Int = {
+      val it = fs.listFiles(path, true)
+      var n = 0
+      while (it.hasNext)
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    val before = countParquet(p)
+    val staging = new org.apache.hadoop.fs.Path(dir + "._compacting")
+    val backup = new org.apache.hadoop.fs.Path(dir + "._precompact")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    spark.read.parquet(dir)
+      .repartition(col(partitionCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+      .parquet(staging.toString)
+    fs.rename(p, backup)
+    fs.rename(staging, p)
+    fs.delete(backup, true)
+    (before, countParquet(p))
+  }
+
   /** @return (filesBefore, filesAfter) */
   def compact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
