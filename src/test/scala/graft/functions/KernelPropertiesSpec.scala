@@ -105,6 +105,30 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: JPEG round-trip error on smooth gradients stays " +
+      "inside a fixed envelope for any slope/offset/dims") {
+    // linear luma ramps concentrate energy in the low DCT bins where
+    // the Annex-K table quantizes finely — the codec's design-center
+    // content; ±16 is ~2× the worst case observed over wide sampling
+    val gen = for {
+      w <- Gen.choose(8, 32)
+      h <- Gen.choose(8, 32)
+      sx <- Gen.choose(0, 6)
+      sy <- Gen.choose(0, 6)
+      off <- Gen.choose(0, 60)
+    } yield (w, h, sx, sy, off)
+    for ((w, h, sx, sy, off) <- samples(gen, 40)) {
+      val px = Array.tabulate(w * h)(i =>
+        ((i % w) * sx + (i / w) * sy + off).min(255).toByte)
+      val d = JpegDecodeKernel.decode(
+        JpegEncodeKernel.encode(w, h, 1, px))
+      assert(d.isDefined, s"$w x $h")
+      val maxErr = px.zip(d.get.pixels).map { case (a, b) =>
+        math.abs((a & 0xff) - (b & 0xff)) }.max
+      assert(maxErr <= 16, s"$w x $h slope ($sx,$sy)+$off: err $maxErr")
+    }
+  }
+
   test("property: JPEG decode never throws on arbitrary mutations of " +
       "a valid file (garbage-rows contract under fuzz)") {
     val base = JpegEncodeKernel.encode(16, 16, 3,
