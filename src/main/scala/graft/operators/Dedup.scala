@@ -536,11 +536,13 @@ object Dedup {
     // tiny files — the listing cost of the latter dominates every
     // subsequent read (measured 9.2 s → sub-second query overhead at
     // sf0.01 ×32)
-    sh.withColumn("sbucket", pmod(col("s"), lit(shingleBuckets.toLong)))
+    sh.withColumn("gen", lit(0L))
+      .withColumn("sbucket", pmod(col("s"), lit(shingleBuckets.toLong)))
       .repartition(col("sbucket"))
       .write.mode("overwrite").partitionBy("sbucket")
       .parquet(s"$path/postings")
     sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .withColumn("gen", lit(0L))
       .write.mode("overwrite").parquet(s"$path/docs")
     docs.sparkSession.range(1)
       .select(lit(shingleBuckets).as("n_buckets"),
@@ -557,6 +559,33 @@ object Dedup {
   def appendShingleIndex(path: String, newDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val spark = newDocs.sparkSession
+    val g = graft.sink.IndexLayout.currentGen(spark, path) + 1
+    appendShingleFacts(path, newDocs, idCol, textCol, g)
+    graft.sink.IndexLayout.bumpGen(spark, path, g)
+  }
+
+  /** UPSERT a re-crawled increment into a [[writeShingleIndex]]
+    * artifact — the [[Retrieval.upsertTfIndex]] semantics on the
+    * dedup family: tombstone the incoming ids at `below_gen = g`,
+    * append their fresh shingle facts at `gen = g` (the
+    * [[graft.sink.IndexLayout]] generation discipline). A doc whose
+    * text changed is re-shingled from its NEW text only; its stale
+    * facts die at read time, ids new to the index are a plain append,
+    * upsert-twice ≡ once, and an upsert after a delete resurrects the
+    * doc. O(increment) — yesterday's corpus text is never touched. */
+  def upsertShingleIndex(path: String, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    val g = graft.sink.IndexLayout.currentGen(spark, path) + 1
+    graft.sink.IndexLayout.appendTombstones(
+      docs.select(col(idCol)), path, "doc_id", g)
+    appendShingleFacts(path, docs, idCol, textCol, g)
+    graft.sink.IndexLayout.bumpGen(spark, path, g)
+  }
+
+  private def appendShingleFacts(path: String, newDocs: DataFrame,
+      idCol: String, textCol: String, gen: Long): Unit = {
+    val spark = newDocs.sparkSession
     val meta = spark.read.parquet(s"$path/meta")
       .select(col("n_buckets"), col("shingle_n")).collect()(0)
     val (nBuckets, n) = (meta.getInt(0), meta.getInt(1))
@@ -564,29 +593,38 @@ object Dedup {
         idCol, textCol, n, cache = false)
       .withColumnRenamed("h", "s")
       .localCheckpoint()
-    sh.withColumn("sbucket", pmod(col("s"), lit(nBuckets.toLong)))
+    sh.withColumn("gen", lit(gen))
+      .withColumn("sbucket", pmod(col("s"), lit(nBuckets.toLong)))
       .repartition(col("sbucket")) // one file per bucket per append
       .write.mode("append").partitionBy("sbucket")
       .parquet(s"$path/postings")
     sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .withColumn("gen", lit(gen))
       .write.mode("append").parquet(s"$path/docs")
   }
 
   /** DELETE documents from a [[writeShingleIndex]] artifact — the
     * takedown/GDPR twin of [[Retrieval.deleteFromTfIndex]], same
-    * layout answer: ids append to `path/tombstones`,
-    * [[jaccardPairsAgainstIndex]] anti-joins them out of the postings
+    * layout answer: `(doc_id, below_gen)` tombstones append to
+    * `path/tombstones` ([[graft.sink.IndexLayout]] — kill every
+    * CURRENT generation, never the future, so a later
+    * [[upsertShingleIndex]] resurrects), and
+    * [[jaccardPairsAgainstIndex]] filters them out of the postings
     * BEFORE ranking, so prefix ranks, sizes and pairs recompute as if
     * the docs never existed. Physical removal:
     * [[purgeShingleIndexTombstones]].
     */
-  def deleteFromShingleIndex(path: String, docIds: DataFrame): Unit =
-    docIds.select(col(docIds.columns.head).cast("long").as("doc_id"))
-      .write.mode("append").parquet(s"$path/tombstones")
+  def deleteFromShingleIndex(path: String, docIds: DataFrame): Unit = {
+    val spark = docIds.sparkSession
+    val g = graft.sink.IndexLayout.currentGen(spark, path) + 1
+    graft.sink.IndexLayout.appendTombstones(docIds, path, "doc_id", g)
+    graft.sink.IndexLayout.bumpGen(spark, path, g)
+  }
 
-  /** Physically drop tombstoned rows (per-bucket staging-swap rewrite
-    * — [[graft.sink.Compact.rewriteWithout]]); queries are
-    * bit-identical before and after. No-op without tombstones. */
+  /** Physically drop tombstone-killed generations (whole-tree
+    * staging-swap rewrite — [[graft.sink.IndexLayout
+    * .purgeTombstones]]); queries are bit-identical before and after.
+    * No-op without tombstones. */
   def purgeShingleIndexTombstones(
       spark: org.apache.spark.sql.SparkSession, path: String): Unit =
     purgeBucketedTombstones(spark, path, "sbucket=")
@@ -603,8 +641,6 @@ object Dedup {
     val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     val fs = tombPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(tombPath)) return
-    val tomb = spark.read.parquet(s"$path/tombstones")
-      .select(col("doc_id")).distinct().localCheckpoint()
     val postings = new org.apache.hadoop.fs.Path(s"$path/postings")
     val leaves = fs.listStatus(postings).filter(_.isDirectory)
       .map(_.getPath.toString)
@@ -614,14 +650,10 @@ object Dedup {
         "layout for this purge")
     // ONE partitioned rewrite job + whole-tree swap — never one job
     // per bucket leaf (2^14 sequential jobs at production bucket
-    // counts; see Compact.rewritePartitionedWithout)
-    graft.sink.Compact.rewritePartitionedWithout(spark,
-      s"$path/postings", tomb, "doc_id",
-      bucketPrefix.stripSuffix("="))
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/docs")))
-      graft.sink.Compact.rewriteWithout(spark, s"$path/docs", tomb,
-        "doc_id")
-    fs.delete(tombPath, true)
+    // counts); drops exactly the generations the read-time filter
+    // drops, upsert-killed facts included
+    graft.sink.IndexLayout.purgeTombstones(spark, path, "doc_id",
+      bucketPrefix.stripSuffix("="), Seq(s"$path/docs"))
   }
 
   /** Compact a [[writeShingleIndex]] artifact's accumulated append
@@ -672,18 +704,16 @@ object Dedup {
     val eps = lit(1e-9)
     val inc = incrementIds.select(col(incrementIds.columns.head)
       .cast("long").as("doc_id"))
-    // tombstones out BEFORE ranking (no broadcast hint — a purge list
-    // can be any size; AQE picks the strategy from actual stats)
-    val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val hasTomb = tombPath
-      .getFileSystem(spark.sessionState.newHadoopConf()).exists(tombPath)
-    val sh0 = spark.read.parquet(s"$path/postings")
+    // tombstone-killed generations out BEFORE ranking (no broadcast
+    // hint — a purge list can be any size; AQE picks the strategy
+    // from actual stats). gen >= below_gen keeps upsert-refreshed
+    // facts and drops their stale generations.
+    val sh = graft.sink.IndexLayout.applyTombstones(
+        spark.read.parquet(s"$path/postings")
+          .select(col("doc_id"), col("s"), col("gen")),
+        graft.sink.IndexLayout.tombstoneFloor(spark, path, "doc_id"),
+        "doc_id")
       .select(col("doc_id"), col("s"))
-    val sh =
-      if (hasTomb)
-        sh0.join(spark.read.parquet(s"$path/tombstones")
-          .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-      else sh0
     // global rarest-first ranks over the index's CURRENT state
     // (corpus + increments) — same values a full rebuild would rank
     val ranked = rankedRows(sh, None, native = true).localCheckpoint()
@@ -965,7 +995,8 @@ object Dedup {
     require(fpBuckets >= 1)
     val fp = winnowedFingerprints(docs.select(col(idCol), col(textCol)),
       idCol, textCol, k, w).localCheckpoint()
-    fp.withColumn("fbucket", pmod(col("h"), lit(fpBuckets.toLong)))
+    fp.withColumn("gen", lit(0L))
+      .withColumn("fbucket", pmod(col("h"), lit(fpBuckets.toLong)))
       .repartition(col("fbucket")) // one file per bucket per write
       .write.mode("overwrite").partitionBy("fbucket")
       .parquet(s"$path/postings")
@@ -977,14 +1008,38 @@ object Dedup {
 
   /** APPEND a document increment to a [[writeFingerprintIndex]]
     * artifact — winnow ONLY the new documents (ingest, not upsert:
-    * new ids must be distinct). */
+    * new ids must be distinct; use [[upsertFingerprintIndex]] for
+    * re-crawls). */
   def appendFingerprintIndex(path: String, newDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = newDocs.sparkSession
+    val g = graft.sink.IndexLayout.currentGen(spark, path) + 1
+    appendFingerprintFacts(path, newDocs, idCol, textCol, g)
+    graft.sink.IndexLayout.bumpGen(spark, path, g)
+  }
+
+  /** UPSERT a re-crawled increment into a [[writeFingerprintIndex]]
+    * artifact — [[upsertShingleIndex]]'s semantics at substring
+    * granularity: tombstone the incoming ids, re-winnow their NEW
+    * text only, append at the same generation. */
+  def upsertFingerprintIndex(path: String, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    val g = graft.sink.IndexLayout.currentGen(spark, path) + 1
+    graft.sink.IndexLayout.appendTombstones(
+      docs.select(col(idCol)), path, "doc_id", g)
+    appendFingerprintFacts(path, docs, idCol, textCol, g)
+    graft.sink.IndexLayout.bumpGen(spark, path, g)
+  }
+
+  private def appendFingerprintFacts(path: String, newDocs: DataFrame,
+      idCol: String, textCol: String, gen: Long): Unit = {
     val spark = newDocs.sparkSession
     val meta = spark.read.parquet(s"$path/meta")
       .select(col("n_buckets"), col("k"), col("w")).collect()(0)
     winnowedFingerprints(newDocs.select(col(idCol), col(textCol)),
         idCol, textCol, meta.getInt(1), meta.getInt(2))
+      .withColumn("gen", lit(gen))
       .withColumn("fbucket", pmod(col("h"), lit(meta.getInt(0).toLong)))
       .repartition(col("fbucket"))
       .write.mode("append").partitionBy("fbucket")
@@ -1011,16 +1066,12 @@ object Dedup {
       maxFpDf: Option[Int] = None): DataFrame = {
     val inc = incrementIds.select(col(incrementIds.columns.head)
       .cast("long").as("doc_id"))
-    val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val hasTomb = tombPath
-      .getFileSystem(spark.sessionState.newHadoopConf()).exists(tombPath)
-    val fp0 = spark.read.parquet(s"$path/postings")
+    val fp1 = graft.sink.IndexLayout.applyTombstones(
+        spark.read.parquet(s"$path/postings")
+          .select(col("doc_id"), col("h"), col("gen")),
+        graft.sink.IndexLayout.tombstoneFloor(spark, path, "doc_id"),
+        "doc_id")
       .select(col("doc_id"), col("h"))
-    val fp1 =
-      if (hasTomb)
-        fp0.join(spark.read.parquet(s"$path/tombstones")
-          .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-      else fp0
     val fp = maxFpDf match {
       case Some(cap) =>
         val hot = fp1.groupBy(col("h"))

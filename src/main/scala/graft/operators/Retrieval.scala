@@ -335,12 +335,14 @@ object Retrieval {
     // repartition ON the bucket column: one file per bucket per write
     // instead of (#tasks × #buckets) tiny files (the ScaleShingleIndex
     // listing-cost lesson — same fix as writeShingleIndex)
-    tfF.withColumn("wbucket",
+    tfF.withColumn("gen", lit(0L))
+      .withColumn("wbucket",
         pmod(xxhash64(col("word")), lit(wordBuckets.toLong)))
       .repartition(col("wbucket"))
       .write.mode("overwrite").partitionBy("wbucket")
       .parquet(s"$path/postings")
     tfF.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .withColumn("gen", lit(0L))
       .write.mode("overwrite").parquet(s"$path/docs")
     docs.sparkSession.range(1)
       .select(lit(wordBuckets).as("n_buckets"))
@@ -357,58 +359,88 @@ object Retrieval {
       idCol: String = "doc_id", textCol: String = "text",
       tf: Option[DataFrame] = None): Unit = {
     val spark = newDocs.sparkSession
+    val g = graft.sink.IndexLayout.currentGen(spark, path) + 1
+    appendTfFacts(path, newDocs, idCol, textCol, tf, g)
+    graft.sink.IndexLayout.bumpGen(spark, path, g)
+  }
+
+  /** UPSERT a re-crawled increment into a [[writeTfIndex]] artifact —
+    * the second-most-common ingest event after new docs: a doc_id
+    * whose text CHANGED gets its stale facts replaced in one call.
+    * Generation discipline ([[graft.sink.IndexLayout]]): tombstone the
+    * incoming ids at `below_gen = g`, append their fresh TF facts at
+    * `gen = g` — the fresh facts survive their own tombstone, every
+    * earlier generation of those ids dies at read time, and ids new to
+    * the index are a plain append (no earlier generation to kill).
+    * Upsert-twice ≡ once; upsert after a delete resurrects the doc.
+    * Cost is O(increment) — the corpus is never re-read. Physical
+    * removal of the dead generations: [[purgeTfIndexTombstones]].
+    */
+  def upsertTfIndex(path: String, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      tf: Option[DataFrame] = None): Unit = {
+    val spark = docs.sparkSession
+    val g = graft.sink.IndexLayout.currentGen(spark, path) + 1
+    graft.sink.IndexLayout.appendTombstones(
+      docs.select(col(idCol)), path, "doc_id", g)
+    appendTfFacts(path, docs, idCol, textCol, tf, g)
+    graft.sink.IndexLayout.bumpGen(spark, path, g)
+  }
+
+  private def appendTfFacts(path: String, newDocs: DataFrame,
+      idCol: String, textCol: String, tf: Option[DataFrame],
+      gen: Long): Unit = {
+    val spark = newDocs.sparkSession
     val nBuckets = spark.read.parquet(s"$path/meta")
       .select(col("n_buckets")).collect()(0).getInt(0)
     val tfF = tf.getOrElse(termFrequencies(
       newDocs.select(col(idCol), col(textCol)), idCol, textCol))
-    tfF.withColumn("wbucket",
+    tfF.withColumn("gen", lit(gen))
+      .withColumn("wbucket",
         pmod(xxhash64(col("word")), lit(nBuckets.toLong)))
       .repartition(col("wbucket")) // one file per bucket per append
       .write.mode("append").partitionBy("wbucket")
       .parquet(s"$path/postings")
     tfF.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .withColumn("gen", lit(gen))
       .write.mode("append").parquet(s"$path/docs")
   }
 
   /** DELETE documents from a [[writeTfIndex]] artifact — the
     * takedown/GDPR operation ingest-only appends can't express.
-    * LOGICAL deletion: the ids are appended to a `path/tombstones`
-    * parquet (per-doc facts again — nothing else in the layout
-    * changes), and every [[bm25TopKFromTfIndex]] read anti-joins them
-    * out of BOTH postings and dl, so idf/avgdl/df — all computed at
-    * read time — recompute correctly for free (the read-time-stats
-    * design paying off: a purge on the impact index would shift every
-    * stored contrib). Physical removal is a separate, schedulable
-    * concern: [[purgeTfIndexTombstones]].
+    * LOGICAL deletion: `(doc_id, below_gen)` tombstones are appended
+    * to `path/tombstones` ([[graft.sink.IndexLayout]]'s generation
+    * discipline — kill every CURRENT generation, never the future,
+    * so a later [[upsertTfIndex]] of the same id resurrects it), and
+    * every [[bm25TopKFromTfIndex]] read filters them out of BOTH
+    * postings and dl, so idf/avgdl/df — all computed at read time —
+    * recompute correctly for free (the read-time-stats design paying
+    * off: a purge on the impact index would shift every stored
+    * contrib). Physical removal is a separate, schedulable concern:
+    * [[purgeTfIndexTombstones]].
     */
-  def deleteFromTfIndex(path: String, docIds: DataFrame): Unit =
-    docIds.select(col(docIds.columns.head).cast("long").as("doc_id"))
-      .write.mode("append").parquet(s"$path/tombstones")
-
-  /** Physically drop tombstoned rows from a [[writeTfIndex]] artifact:
-    * rewrite each postings bucket leaf and the docs table WITHOUT the
-    * tombstoned ids (staging + two-rename swap per directory — the
-    * [[graft.sink.Compact]] crash discipline), then drop the
-    * tombstones. Queries are bit-identical before and after (the
-    * logical anti-join and the physical rewrite remove the same rows);
-    * what the purge buys is scan width — a years-old deletion set no
-    * longer taxes every read. No-op if nothing is tombstoned.
-    */
-  def purgeTfIndexTombstones(spark: SparkSession, path: String): Unit = {
-    if (!dirExists(spark, s"$path/tombstones")) return
-    val tomb = spark.read.parquet(s"$path/tombstones")
-      .select(col("doc_id")).distinct().localCheckpoint()
-    // ONE partitioned rewrite job + whole-tree swap, keeping the
-    // wbucket layout — never one job per bucket leaf (see
-    // Compact.rewritePartitionedWithout)
-    graft.sink.Compact.rewritePartitionedWithout(spark,
-      s"$path/postings", tomb, "doc_id", "wbucket")
-    graft.sink.Compact.rewriteWithout(spark, s"$path/docs", tomb,
-      "doc_id")
-    val fs = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+  def deleteFromTfIndex(path: String, docIds: DataFrame): Unit = {
+    val spark = docIds.sparkSession
+    val g = graft.sink.IndexLayout.currentGen(spark, path) + 1
+    graft.sink.IndexLayout.appendTombstones(docIds, path, "doc_id", g)
+    graft.sink.IndexLayout.bumpGen(spark, path, g)
   }
+
+  /** Physically drop tombstone-killed generations from a
+    * [[writeTfIndex]] artifact: rewrite the postings tree and the docs
+    * table keeping exactly what the read-time filter keeps (staging +
+    * two-rename swap — the [[graft.sink.Compact]] crash discipline),
+    * then drop the tombstones. Queries are bit-identical before and
+    * after; what the purge buys is scan width — a years-old deletion
+    * set no longer taxes every read. No-op if nothing is tombstoned.
+    */
+  def purgeTfIndexTombstones(spark: SparkSession, path: String): Unit =
+    // ONE partitioned rewrite job + whole-tree swap, keeping the
+    // wbucket layout — never one job per bucket leaf; drops exactly
+    // the generations the read-time filter drops (upsert-killed facts
+    // included), then the tombstones (IndexLayout.purgeTombstones)
+    graft.sink.IndexLayout.purgeTombstones(spark, path, "doc_id",
+      "wbucket", Seq(s"$path/docs"))
 
   /** Compact a [[writeTfIndex]] artifact's accumulated append files:
     * N daily [[appendTfIndex]] calls leave one file per bucket per day
@@ -442,9 +474,10 @@ object Retrieval {
     * QUERY TIME over the index's CURRENT state, so after any number
     * of [[appendTfIndex]] increments the ranking is BIT-IDENTICAL to
     * [[bm25TopK]] over the full corpus (q330's green hash is that
-    * proof). Tombstoned documents ([[deleteFromTfIndex]]) are
-    * anti-joined out of postings AND dl before anything aggregates,
-    * so stats recompute as if the docs never existed (q332's proof).
+    * proof). Tombstone-killed generations ([[deleteFromTfIndex]],
+    * [[upsertTfIndex]]) are filtered out of postings AND dl before
+    * anything aggregates, so stats recompute as if the dead facts
+    * never existed (q332's proof; the upsert row's for re-crawls).
     * The postings read is partition-pruned exactly like
     * [[bm25TopKFromIndex]]: query-word bucket ids become literal
     * `wbucket IN` filters plus a pushed `word IN` row filter.
@@ -462,15 +495,15 @@ object Retrieval {
     val buckets = qt
       .select(pmod(xxhash64(col("word")), lit(nBuckets.toLong)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    // tombstones: no broadcast hint — a GDPR purge list can be any
-    // size, so AQE picks the join strategy from its actual stats
-    val tomb =
-      if (dirExists(spark, s"$path/tombstones"))
-        Some(spark.read.parquet(s"$path/tombstones")
-          .select(col("doc_id")).distinct())
-      else None
+    // tombstones: the generation kill floor (gen >= below_gen keeps
+    // upsert-refreshed facts, drops their stale generations; a plain
+    // delete kills every current generation). No broadcast hint — a
+    // GDPR purge list can be any size, AQE picks the join strategy.
+    val floor = graft.sink.IndexLayout.tombstoneFloor(
+      spark, path, "doc_id")
     def minusTomb(df: DataFrame): DataFrame =
-      tomb.map(df.join(_, Seq("doc_id"), "left_anti")).getOrElse(df)
+      graft.sink.IndexLayout.applyTombstones(df, floor, "doc_id")
+        .drop("gen")
     val postings = minusTomb(
       if (words.isEmpty)
         spark.read.parquet(s"$path/postings").where(lit(false))
@@ -877,22 +910,23 @@ object Retrieval {
     * drift. `queriesValues` is a SQL VALUES list of (query_id, qtext).
     */
   def bm25OracleCtes(queriesValues: String, k1: Double, b: Double,
-      docsWhere: String = ""): String =
+      docsWhere: String = "", docsFrom: String = "documents"): String =
     bm25OracleCtesQr(
       s"qr(query_id, qtext) AS (VALUES $queriesValues)", k1, b,
-      docsWhere)
+      docsWhere, docsFrom)
 
   /** Same chain with an arbitrary SQL definition for the query CTE
     * `qr(query_id, qtext)` — for doc-as-query retrieval (q144's
     * hybrid arms derive queries from the corpus itself).
     * `docsWhere` restricts the corpus (q332's rebuild-without-deleted
-    * oracle).
+    * oracle); `docsFrom` substitutes a derived corpus source (the
+    * upsert row's rebuild-with-mutated-text oracle).
     */
   def bm25OracleCtesQr(qrCte: String, k1: Double, b: Double,
-      docsWhere: String = ""): String =
+      docsWhere: String = "", docsFrom: String = "documents"): String =
     s"""w AS (SELECT doc_id, list_filter(
        |    string_split_regex(lower(text), '\\s+'),
-       |    x -> len(x) > 0) AS ws FROM documents${
+       |    x -> len(x) > 0) AS ws FROM $docsFrom${
          if (docsWhere.isEmpty) "" else s" WHERE $docsWhere"}),
        |tf AS (SELECT doc_id, unnest(ws) AS word FROM w),
        |tfc AS (SELECT doc_id, word, COUNT(*) AS tf FROM tf

@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-15 queries (q344+): the re-crawl round — UPSERT on the
+  * persisted text indexes (generation-aware tombstones:
+  * [[graft.sink.IndexLayout]]), plus this round's lifecycle and
+  * multimodal extensions.
+  */
+object Round15 {
+  private def t(name: String): QueryFn =
+    (s, dir) => Tables.load(s, dir, name)
+
+  /** The q344/q345 re-crawl mutation, shared by the Spark side and the
+    * oracle: doc_id%5=0 docs get this suffix appended — a changed page
+    * body whose stale index facts must die. */
+  private val recrawlSuffix = " recrawl revision fresh tokens"
+  private val oMutatedDocs: String =
+    "(SELECT doc_id, CASE WHEN doc_id % 5 = 0 " +
+      s"THEN text || '$recrawlSuffix' ELSE text END AS text " +
+      "FROM documents)"
+
+  /** q344's query batch: query 2/3 carry the mutation's tokens, so
+    * the hash only matches if the re-crawled text actually serves. */
+  private[queries] val upsertQueries: Seq[(Int, String)] = Seq(
+    1 -> "hash join planner",
+    2 -> "recrawl revision fresh",
+    3 -> "partition shuffle revision",
+    4 -> "scan filter zzzabsent")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- TF-index UPSERT (the r14 verdict's #2 — the second-most-
+    // common ingest event after new docs): build the TF index on the
+    // FULL corpus, then deliver doc_id%5=0 as a RE-CRAWL whose text
+    // changed, in ONE call. Generation discipline: the upsert
+    // tombstones the incoming ids at below_gen=g and appends their
+    // fresh TF facts at gen=g — fresh facts survive their own
+    // tombstone, every stale generation dies at read time, and
+    // idf/avgdl/df recompute over the post-re-crawl corpus for free
+    // (read-time stats). Query 2 contains the mutation's tokens, so a
+    // green hash proves the NEW text serves and the OLD text is gone —
+    // the oracle is exhaustive BM25 over a corpus REBUILT with the
+    // mutated text (RetrievalSpec adds upsert-twice ≡ once, new-id
+    // upsert ≡ append, upsert-after-delete resurrects, purge ≡
+    // logical).
+    QueryDef("q344_bm25_upsert",
+      (s, dir) => {
+        val outDir = Round14.scratchDir(dir, "q344_tfidx")
+        val docs = t("documents")(s, dir)
+        graft.operators.Retrieval.writeTfIndex(
+          docs, outDir.getAbsolutePath, wordBuckets = 16)
+        val recrawl = docs.where(col("doc_id") % 5 === 0)
+          .withColumn("text", concat(col("text"), lit(recrawlSuffix)))
+        graft.operators.Retrieval.upsertTfIndex(
+          outDir.getAbsolutePath, recrawl)
+        graft.operators.Retrieval.bm25TopKFromTfIndex(
+          s, outDir.getAbsolutePath, upsertQueries, k = 10)
+      },
+      Some(s"""WITH ${graft.operators.Retrieval.bm25OracleCtes(
+                upsertQueries
+                  .map { case (q, x) => s"($q, '$x')" }.mkString(", "),
+                1.2, 0.75, docsFrom = oMutatedDocs)},
+              |r AS (SELECT query_id, doc_id, score,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY score DESC, doc_id) AS rnk
+              |  FROM sc)
+              |SELECT query_id, doc_id, score,
+              |  CAST(rnk AS BIGINT) AS rank
+              |FROM r WHERE rnk <= 10
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- shingle-index UPSERT (the dedup twin of q344): build the
+    // shingle index on the FULL corpus, upsert the doc_id%5=0 re-crawl
+    // (re-shingling its NEW text only — yesterday's corpus text is
+    // never touched), then emit every exact-Jaccard pair ≥ 0.5
+    // TOUCHING the re-crawled ids from the index's current state.
+    // Prefix ranks recompute over the post-upsert postings; the
+    // oracle is the exhaustive pair set over a corpus REBUILT with
+    // the mutated text, restricted to upsert-touching pairs — a green
+    // hash proves the stale shingles are dead and the new ones pair.
+    QueryDef("q345_jaccard_upsert",
+      (s, dir) => {
+        val outDir = Round14.scratchDir(dir, "q345_shidx")
+        val docs = t("documents")(s, dir)
+        graft.operators.Dedup.writeShingleIndex(
+          docs, outDir.getAbsolutePath, n = 3, shingleBuckets = 16)
+        val recrawl = docs.where(col("doc_id") % 5 === 0)
+          .withColumn("text", concat(col("text"), lit(recrawlSuffix)))
+        graft.operators.Dedup.upsertShingleIndex(
+          outDir.getAbsolutePath, recrawl)
+        graft.operators.Dedup.jaccardPairsAgainstIndex(
+            s, outDir.getAbsolutePath, threshold = 0.5,
+            recrawl.select(col("doc_id")))
+          .orderBy(col("da"), col("db"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id,
+              |    list_filter(string_split_regex(lower(text), '\\s+'),
+              |      x -> len(x) > 0) AS ws
+              |  FROM $oMutatedDocs d),
+              |idx AS (SELECT doc_id, ws,
+              |    unnest(generate_series(1, len(ws) - 2)) AS i
+              |  FROM w WHERE len(ws) >= 3),
+              |sh AS (SELECT DISTINCT doc_id,
+              |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+              |  FROM idx),
+              |hs AS (SELECT doc_id, ${CorpusOps.oH60("s")} AS h
+              |  FROM sh),
+              |sz AS (SELECT doc_id, COUNT(*) AS n FROM hs
+              |  GROUP BY doc_id),
+              |p AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) AS inter
+              |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT da, db, inter,
+              |  inter / (x.n + y.n - inter) AS jaccard
+              |FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+              |WHERE inter / (x.n + y.n - inter) >= 0.5
+              |  AND (da % 5 = 0 OR db % 5 = 0)
+              |ORDER BY da, db""".stripMargin))
+  )
+}

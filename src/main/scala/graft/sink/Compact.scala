@@ -114,15 +114,24 @@ object Compact {
     * schema-less husk.
     */
   def rewriteWithout(spark: SparkSession, dir: String,
-      dropKeys: DataFrame, keyCol: String): Unit = {
+      dropKeys: DataFrame, keyCol: String): Unit =
+    rewriteFiltered(spark, dir,
+      _.join(dropKeys, Seq(keyCol), "left_anti"))
+
+  /** Generalization of [[rewriteWithout]]: rewrite a flat parquet leaf
+    * directory through an arbitrary row-preserving-or-dropping
+    * transform `keep` (e.g. the generation-aware tombstone filter —
+    * [[IndexLayout.applyTombstones]]). `keep` must not change the
+    * schema. Crash discipline as documented on the object. */
+  def rewriteFiltered(spark: SparkSession, dir: String,
+      keep: DataFrame => DataFrame): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val staging = new org.apache.hadoop.fs.Path(dir + "._purging")
     val backup = new org.apache.hadoop.fs.Path(dir + "._prepurge")
     if (!healOrGuard(fs, p, backup)) return
     if (fs.exists(staging)) fs.delete(staging, true)
-    val remaining = spark.read.parquet(dir)
-      .join(dropKeys, Seq(keyCol), "left_anti")
+    val remaining = keep(spark.read.parquet(dir))
     remaining.write.mode("overwrite").parquet(staging.toString)
     ensureReadable(spark, fs, staging, remaining.schema)
     checkedSwap(fs, p, staging, backup)
@@ -143,7 +152,15 @@ object Compact {
     */
   def rewritePartitionedWithout(spark: SparkSession, dir: String,
       dropKeys: DataFrame, keyCol: String,
-      partitionCol: String): Unit = {
+      partitionCol: String): Unit =
+    rewritePartitionedFiltered(spark, dir,
+      _.join(dropKeys, Seq(keyCol), "left_anti"), partitionCol)
+
+  /** [[rewriteFiltered]] for a Hive-PARTITIONED directory (the
+    * [[rewritePartitionedWithout]] generalization — one job, whole-tree
+    * swap). `keep` must not change the schema. */
+  def rewritePartitionedFiltered(spark: SparkSession, dir: String,
+      keep: DataFrame => DataFrame, partitionCol: String): Unit = {
     import org.apache.spark.sql.functions.col
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -151,8 +168,7 @@ object Compact {
     val backup = new org.apache.hadoop.fs.Path(dir + "._prepurge")
     if (!healOrGuard(fs, p, backup)) return
     if (fs.exists(staging)) fs.delete(staging, true)
-    val remaining = spark.read.parquet(dir)
-      .join(dropKeys, Seq(keyCol), "left_anti")
+    val remaining = keep(spark.read.parquet(dir))
     remaining
       .repartition(col(partitionCol))
       .write.mode("overwrite").partitionBy(partitionCol)

@@ -681,6 +681,74 @@ class DedupSpec extends SparkSpec {
       .deleteQuietly(new java.io.File(dir))
   }
 
+  test("shingle index UPSERT: a re-crawled doc's stale shingles die, " +
+      "its new text pairs — ≡ rebuild with mutated corpus; " +
+      "upsert-twice ≡ once; purge ≡ logical") {
+    import spark.implicits._
+    val all = shingleIndexCorpus
+    val dir = java.nio.file.Files.createTempDirectory("shidxup").toString
+    try {
+      Dedup.writeShingleIndex(all, dir, n = 3, shingleBuckets = 4)
+      // doc 3 (matched nothing) is re-crawled INTO the dup family
+      val recrawl = Seq(
+        (3L, "the quick brown fox jumps over the lazy dog")
+      ).toDF("doc_id", "text")
+      Dedup.upsertShingleIndex(dir, recrawl)
+      val mutated = all.where(col("doc_id") =!= 3).unionAll(recrawl)
+      val truth = Dedup.jaccardPairsPrefix(mutated, "doc_id", "text",
+          n = 3, threshold = 0.5, cache = false)
+        .where(col("da") === 3 || col("db") === 3)
+        .orderBy("da", "db").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(truth.nonEmpty) // the re-crawl joined the 1/2/4 family
+      def run() = Dedup.jaccardPairsAgainstIndex(spark, dir, 0.5,
+          Seq(3L).toDF("doc_id"))
+        .orderBy("da", "db").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(run() == truth)
+      // idempotence
+      Dedup.upsertShingleIndex(dir, recrawl)
+      assert(run() == truth)
+      // physical purge of the dead generations: answers unchanged
+      val before = spark.read.parquet(s"$dir/postings").count()
+      Dedup.purgeShingleIndexTombstones(spark, dir)
+      assert(!new java.io.File(s"$dir/tombstones").exists())
+      assert(spark.read.parquet(s"$dir/postings").count() < before)
+      assert(run() == truth)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
+  test("fingerprint index UPSERT: re-crawled text re-winnowed, stale " +
+      "fingerprints dead — ≡ rebuild with mutated corpus") {
+    import spark.implicits._
+    val all = shingleIndexCorpus
+    val dir = java.nio.file.Files.createTempDirectory("fpidxup").toString
+    try {
+      Dedup.writeFingerprintIndex(all, dir, k = 25, w = 10,
+        fpBuckets = 4)
+      // doc 6 re-crawled to contain doc 1's text verbatim (long
+      // shared substring ⇒ winnowing guarantees a shared fingerprint)
+      val recrawl = Seq(
+        (6L, "prefix text the quick brown fox jumps over the lazy dog")
+      ).toDF("doc_id", "text")
+      Dedup.upsertFingerprintIndex(dir, recrawl)
+      val mutated = all.where(col("doc_id") =!= 6).unionAll(recrawl)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("da", "db").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val truth = canon(Dedup.substringCandidates(mutated, "doc_id",
+          "text", k = 25, w = 10, minShared = 1, cache = false)
+        .where(col("da") === 6 || col("db") === 6))
+      assert(truth.nonEmpty)
+      assert(canon(Dedup.substringCandidatesAgainstIndex(spark, dir,
+        minShared = 1, Seq(6L).toDF("doc_id"))) == truth)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
   test("fingerprint index: build∘append∘query ≡ substringCandidates " +
       "restricted to increment-touching pairs; tombstones respected") {
     val all = shingleIndexCorpus

@@ -217,6 +217,54 @@ class RetrievalSpec extends SparkSpec {
       .deleteQuietly(new java.io.File(dir))
   }
 
+  test("TF index UPSERT: re-crawled docs replace their stale facts in " +
+      "one call — ≡ rebuild with mutated text; upsert-twice ≡ once; " +
+      "new-id upsert ≡ append; upsert after delete resurrects; " +
+      "purge ≡ logical") {
+    val docs = tfIdxDocs
+    val queries = Seq(1 -> "needle common", 2 -> "words here updated")
+    val mutated = docs.withColumn("text",
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" updated revision")))
+        .otherwise(col("text")))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tfup").toString
+    try {
+      Retrieval.writeTfIndex(docs, dir, wordBuckets = 8)
+      val crawl = mutated.where(col("doc_id") % 5 === 0)
+      Retrieval.upsertTfIndex(dir, crawl)
+      val truth = canonTopK(Retrieval.bm25TopK(
+        mutated, "doc_id", "text", queries, 10))
+      assert(canonTopK(
+        Retrieval.bm25TopKFromTfIndex(spark, dir, queries, 10)) == truth)
+      // idempotence: the same crawl delivered twice changes nothing
+      Retrieval.upsertTfIndex(dir, crawl)
+      assert(canonTopK(
+        Retrieval.bm25TopKFromTfIndex(spark, dir, queries, 10)) == truth)
+      // an upsert of ids NEW to the index is a plain append
+      val fresh = Seq((200L, "needle updated brand new"))
+        .toDF("doc_id", "text")
+      Retrieval.upsertTfIndex(dir, fresh)
+      val truth2 = canonTopK(Retrieval.bm25TopK(
+        mutated.unionAll(fresh), "doc_id", "text", queries, 10))
+      assert(canonTopK(
+        Retrieval.bm25TopKFromTfIndex(spark, dir, queries, 10)) == truth2)
+      // upsert AFTER a delete resurrects the doc with its new text
+      Retrieval.deleteFromTfIndex(dir, Seq(200L).toDF("doc_id"))
+      Retrieval.upsertTfIndex(dir, fresh)
+      assert(canonTopK(
+        Retrieval.bm25TopKFromTfIndex(spark, dir, queries, 10)) == truth2)
+      // physical purge drops the dead generations, answers unchanged
+      val beforeRows = spark.read.parquet(s"$dir/postings").count()
+      Retrieval.purgeTfIndexTombstones(spark, dir)
+      assert(!new java.io.File(s"$dir/tombstones").exists())
+      assert(spark.read.parquet(s"$dir/postings").count() < beforeRows)
+      assert(canonTopK(
+        Retrieval.bm25TopKFromTfIndex(spark, dir, queries, 10)) == truth2)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
   test("TF index COMPACTION: file count shrinks after two appends, " +
       "query results bit-identical through the rewrite") {
     val docs = tfIdxDocs

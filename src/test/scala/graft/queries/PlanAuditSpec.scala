@@ -509,9 +509,10 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q332: tombstoned read — postings scan keeps its wbucket " +
-      "partition filters AND anti-joins the tombstones") {
+      "partition filters AND applies the generation kill floor") {
     val plan = full("q332_bm25_delete")
-    assert(plan.contains("LeftAnti"), "tombstone anti-join missing")
+    assert(plan.contains("below_gen"),
+      "generation tombstone filter missing")
     assert(plan.contains("wbucket"), "bucket partition filter missing")
     assert(!plan.contains("CartesianProduct"))
   }
@@ -534,12 +535,27 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("q339: dedup delete — the tombstone anti-join lands BEFORE " +
+  test("q339: dedup delete — the generation kill floor lands BEFORE " +
       "ranking; still no cartesian") {
     val plan = full("q339_jaccard_delete")
-    assert(plan.contains("LeftAnti"), "tombstone anti-join missing")
+    assert(plan.contains("below_gen"),
+      "generation tombstone filter missing")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+  }
+
+  test("q344/q345: upsert reads keep wbucket pruning (q344) and the " +
+      "generation kill floor; no cartesian") {
+    val p344 = full("q344_bm25_upsert")
+    assert(p344.contains("below_gen"),
+      "q344 generation tombstone filter missing")
+    assert(p344.contains("wbucket"), "q344 bucket pruning missing")
+    assert(!p344.contains("CartesianProduct"))
+    val p345 = full("q345_jaccard_upsert")
+    assert(p345.contains("below_gen"),
+      "q345 generation tombstone filter missing")
+    assert(!p345.contains("CartesianProduct") &&
+      !p345.contains("BroadcastNestedLoopJoin"), p345.take(400))
   }
 
   test("q341: ANN delete — the code stream anti-joins tombstones; " +
