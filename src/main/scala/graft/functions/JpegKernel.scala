@@ -17,10 +17,17 @@ import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StructFiel
   * hierarchical and 12-bit precision).
   *
   * Supported: baseline DCT (SOF0), 8-bit precision, 1 component
-  * (grayscale) or 3 components (YCbCr 4:4:4, no subsampling), no
-  * restart intervals. Anything else — and any truncated/garbage
-  * payload — decodes to null, never throws (the PNG-kernel
-  * garbage-rows contract; KernelPropertiesSpec fuzzes it).
+  * (grayscale) or 3 components (YCbCr 4:4:4 AND 4:2:0 — the 2×2-Y MCU
+  * interleave with pinned nearest-neighbor chroma upsample that the
+  * overwhelming majority of real-world baseline JPEGs use), restart
+  * intervals (DRI + RSTm resync with DC reset), 0xFF fill bytes
+  * before markers, and arbitrary SOF component ids (SOS maps scan
+  * components through the declared ids). Anything else (4:2:2/4:1:1,
+  * progressive/arithmetic/hierarchical, 12-bit) — and any
+  * truncated/garbage payload — decodes to null, never throws (the
+  * PNG-kernel garbage-rows contract; KernelPropertiesSpec fuzzes it).
+  * Decode planes are BYTE planes and the pixel bomb guard is 2^29
+  * samples, so worst-case decode memory tracks the output bound.
   *
   * JPEG is LOSSY, so the parse∘construct oracle discipline needs every
   * rounding PINNED (T.81 leaves DCT/IDCT rounding implementation-
@@ -318,12 +325,37 @@ object JpegEncodeKernel {
     * rows/cols (decoder crops them back).
     */
   def encode(width: Int, height: Int, channels: Int,
-      pixels: Array[Byte]): Array[Byte] = {
+      pixels: Array[Byte]): Array[Byte] =
+    encodeImpl(width, height, channels, pixels, sub420 = false,
+      restartInterval = 0)
+
+  /** [[encode]] in 4:2:0 (2×2-Y MCU interleave, chroma subsampled by
+    * PINNED top-left co-sited pick — the exact inverse of the
+    * decoder's nearest-neighbor upsample) with an optional DRI restart
+    * interval (`restartInterval` MCUs between RSTm markers; 0 = none)
+    * — the stream shape the overwhelming majority of real-world
+    * baseline JPEGs use. 3-channel only (grayscale has no chroma to
+    * subsample; use [[encodeDri]] for gray + restarts). */
+  def encode420(width: Int, height: Int, pixels: Array[Byte],
+      restartInterval: Int): Array[Byte] =
+    encodeImpl(width, height, 3, pixels, sub420 = true, restartInterval)
+
+  /** [[encode]] (4:4:4 / grayscale) with a DRI restart interval. */
+  def encodeDri(width: Int, height: Int, channels: Int,
+      pixels: Array[Byte], restartInterval: Int): Array[Byte] =
+    encodeImpl(width, height, channels, pixels, sub420 = false,
+      restartInterval)
+
+  private def encodeImpl(width: Int, height: Int, channels: Int,
+      pixels: Array[Byte], sub420: Boolean,
+      restartInterval: Int): Array[Byte] = {
     if ((channels != 1 && channels != 3) || width <= 0 || height <= 0 ||
         width > 65535 || height > 65535 || // SOF0 dims are 16-bit
+        (sub420 && channels != 3) ||
+        restartInterval < 0 || restartInterval > 65535 ||
         pixels == null ||
         pixels.length.toLong != width.toLong * height * channels ||
-        width.toLong * height * channels > (1L << 30)) return null
+        width.toLong * height * channels > (1L << 29)) return null
     val out = new ByteArrayOutputStream(1024)
     marker(out, 0xD8) // SOI
     // APP0 JFIF
@@ -339,12 +371,16 @@ object JpegEncodeKernel {
     }
     writeDqt(0, QLuma)
     if (channels == 3) writeDqt(1, QChroma)
+    if (restartInterval > 0) { // DRI
+      marker(out, 0xDD); u16(out, 4); u16(out, restartInterval)
+    }
     // SOF0
     marker(out, 0xC0); u16(out, 8 + 3 * channels)
     out.write(8); u16(out, height); u16(out, width); out.write(channels)
     var ci = 0
     while (ci < channels) {
-      out.write(ci + 1); out.write(0x11)
+      out.write(ci + 1)
+      out.write(if (sub420 && ci == 0) 0x22 else 0x11)
       out.write(if (ci == 0) 0 else 1)
       ci += 1
     }
@@ -365,57 +401,116 @@ object JpegEncodeKernel {
       ci += 1
     }
     out.write(0); out.write(63); out.write(0)
-    // color transform once, per plane
-    val planes = Array.ofDim[Array[Int]](channels)
+    // color transform once, per plane (byte planes: every value is
+    // 0..255, so memory tracks the input size, not 4× it)
+    val py = new Array[Byte](width * height)
+    var pcb: Array[Byte] = null
+    var pcr: Array[Byte] = null
     if (channels == 1) {
-      val p = new Array[Int](width * height)
-      var i = 0
-      while (i < p.length) { p(i) = pixels(i) & 0xff; i += 1 }
-      planes(0) = p
+      System.arraycopy(pixels, 0, py, 0, width * height)
     } else {
-      val py = new Array[Int](width * height)
-      val pcb = new Array[Int](width * height)
-      val pcr = new Array[Int](width * height)
+      // chroma at full resolution for 4:4:4, subsampled (top-left
+      // co-sited pick, PINNED) for 4:2:0
+      val cw = if (sub420) (width + 1) / 2 else width
+      val chh = if (sub420) (height + 1) / 2 else height
+      pcb = new Array[Byte](cw * chh)
+      pcr = new Array[Byte](cw * chh)
       var i = 0
       while (i < width * height) {
         val r = pixels(3 * i) & 0xff
         val g = pixels(3 * i + 1) & 0xff
         val b = pixels(3 * i + 2) & 0xff
-        py(i) = rgbToY(r, g, b)
-        pcb(i) = rgbToCb(r, g, b)
-        pcr(i) = rgbToCr(r, g, b)
+        py(i) = rgbToY(r, g, b).toByte
         i += 1
       }
-      planes(0) = py; planes(1) = pcb; planes(2) = pcr
+      var cy = 0
+      while (cy < chh) {
+        var cx = 0
+        val sy = if (sub420) cy * 2 else cy
+        while (cx < cw) {
+          val sx = if (sub420) cx * 2 else cx
+          val p = sy * width + sx
+          val r = pixels(3 * p) & 0xff
+          val g = pixels(3 * p + 1) & 0xff
+          val b = pixels(3 * p + 2) & 0xff
+          pcb(cy * cw + cx) = rgbToCb(r, g, b).toByte
+          pcr(cy * cw + cx) = rgbToCr(r, g, b).toByte
+          cx += 1
+        }
+        cy += 1
+      }
     }
     val bw = new BitWriter(out)
-    val mcuX = (width + 7) / 8
-    val mcuY = (height + 7) / 8
+    val mcuPx = if (sub420) 16 else 8
+    val mcuX = (width + mcuPx - 1) / mcuPx
+    val mcuY = (height + mcuPx - 1) / mcuPx
+    val cw = if (channels == 3) {
+      if (sub420) (width + 1) / 2 else width
+    } else 0
+    val chh = if (channels == 3) {
+      if (sub420) (height + 1) / 2 else height
+    } else 0
     val prevDc = new Array[Int](channels)
     val block = new Array[Int](64)
+    // edge-replicated 8×8 block extraction from a byte plane
+    def loadBlock(plane: Array[Byte], pw: Int, ph: Int,
+        bx: Int, by: Int): Unit = {
+      var yy = 0
+      while (yy < 8) {
+        val sy = math.min(by * 8 + yy, ph - 1)
+        var xx = 0
+        while (xx < 8) {
+          val sx = math.min(bx * 8 + xx, pw - 1)
+          block(yy * 8 + xx) = (plane(sy * pw + sx) & 0xff) - 128
+          xx += 1
+        }
+        yy += 1
+      }
+    }
+    var mcusDone = 0
+    var rstCount = 0
     var my = 0
     while (my < mcuY) {
       var mx = 0
       while (mx < mcuX) {
-        ci = 0
-        while (ci < channels) {
-          val plane = planes(ci)
-          var yy = 0
-          while (yy < 8) {
-            val sy = math.min(my * 8 + yy, height - 1)
-            var xx = 0
-            while (xx < 8) {
-              val sx = math.min(mx * 8 + xx, width - 1)
-              block(yy * 8 + xx) = plane(sy * width + sx) - 128
-              xx += 1
-            }
-            yy += 1
-          }
-          val coefs = fdctQuant(block,
-            if (ci == 0) QLuma else QChroma)
-          prevDc(ci) = encodeBlock(bw, coefs, prevDc(ci))
-          ci += 1
+        if (restartInterval > 0 && mcusDone > 0 &&
+            mcusDone % restartInterval == 0) {
+          bw.flush() // pad to byte boundary (1-bits, T.81 F.1.2.3)
+          marker(out, 0xD0 + (rstCount & 7)) // RSTm, m cycling 0..7
+          rstCount += 1
+          java.util.Arrays.fill(prevDc, 0) // DC predictors reset
         }
+        if (sub420) {
+          // MCU = 4 Y blocks (2×2) then 1 Cb + 1 Cr
+          var vy = 0
+          while (vy < 2) {
+            var hx = 0
+            while (hx < 2) {
+              loadBlock(py, width, height, mx * 2 + hx, my * 2 + vy)
+              prevDc(0) = encodeBlock(bw, fdctQuant(block, QLuma),
+                prevDc(0))
+              hx += 1
+            }
+            vy += 1
+          }
+          loadBlock(pcb, cw, chh, mx, my)
+          prevDc(1) = encodeBlock(bw, fdctQuant(block, QChroma),
+            prevDc(1))
+          loadBlock(pcr, cw, chh, mx, my)
+          prevDc(2) = encodeBlock(bw, fdctQuant(block, QChroma),
+            prevDc(2))
+        } else {
+          ci = 0
+          while (ci < channels) {
+            val plane = if (ci == 0) py else if (ci == 1) pcb else pcr
+            loadBlock(plane, width, height, mx, my)
+            prevDc(ci) = encodeBlock(bw,
+              fdctQuant(block, if (ci == 0) QLuma else QChroma),
+              prevDc(ci))
+            ci += 1
+          }
+        }
+        mcusDone += 1
         mx += 1
       }
       my += 1
@@ -454,13 +549,30 @@ object JpegDecodeKernel {
   }
 
   /** Entropy-segment bit reader with 0xFF00 unstuffing; any marker or
-    * exhaustion mid-read aborts the decode (returns -1). */
+    * exhaustion mid-read aborts the decode (returns -1). RSTm markers
+    * are consumed explicitly via [[resync]] (restart intervals). */
   private final class BitReader(b: Array[Byte], var pos: Int) {
     private var acc = 0
     private var nbits = 0
     private var bad = false
     private var ended = false // hit a marker or ran out of bytes
     def fail: Boolean = bad
+    /** Byte-align (discard the segment's 1-bit padding), consume the
+      * expected RSTm marker, resume reading after it. False = the
+      * stream isn't at that marker (corrupt → decode returns None).
+      * fill() never consumes past a marker, so after the last symbol
+      * of a restart segment `pos` sits exactly on its 0xFF. */
+    def resync(m: Int): Boolean = {
+      acc = 0; nbits = 0 // drop byte-align padding bits
+      if (bad || pos + 1 >= b.length) { bad = true; return false }
+      if ((b(pos) & 0xff) != 0xff ||
+          (b(pos + 1) & 0xff) != (0xd0 + (m & 7))) {
+        bad = true; return false
+      }
+      pos += 2
+      ended = false
+      true
+    }
     private def fill(): Unit = {
       // prefetch is NOT an error: the buffer legitimately runs into
       // the trailing EOI marker while buffered bits still complete the
@@ -525,13 +637,21 @@ object JpegDecodeKernel {
     val qTables = new Array[Array[Int]](4)
     val dcTables = new Array[HuffTable](4)
     val acTables = new Array[HuffTable](4)
-    // per component: (qTableId); SOS maps component → (dc, ac)
+    // per component (SOF order): q-table id, declared id, sampling
     var compQ: Array[Int] = null
+    var compId: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
+    var restartInterval = 0
     var sawSof = false
 
     var i = 2
     while (i + 4 <= b.length) {
       if (u8(i) != 0xff) return None
+      // T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+      // marker id — skip them (they are NOT a zero-length segment)
+      while (i + 4 <= b.length && u8(i + 1) == 0xff) i += 1
+      if (i + 4 > b.length) return None
       val m = u8(i + 1)
       if (m == 0xd9) return None // EOI before SOS: no image
       if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { i += 2 }
@@ -575,44 +695,70 @@ object JpegDecodeKernel {
             h = u16(d + 1); w = u16(d + 3); nComp = u8(d + 5)
             if (w <= 0 || h <= 0 ||
               (nComp != 1 && nComp != 3)) return None
-            if (w.toLong * h * nComp > (1L << 30)) return None // bomb
+            if (w.toLong * h * nComp > (1L << 29)) return None // bomb
             if (dLen != 6 + 3 * nComp) return None
             compQ = new Array[Int](nComp)
+            compId = new Array[Int](nComp)
+            compH = new Array[Int](nComp)
+            compV = new Array[Int](nComp)
             var c = 0
             while (c < nComp) {
-              if (u8(d + 6 + 3 * c + 1) != 0x11) return None // 4:4:4
+              compId(c) = u8(d + 6 + 3 * c)
+              compH(c) = u8(d + 6 + 3 * c + 1) >> 4
+              compV(c) = u8(d + 6 + 3 * c + 1) & 0x0f
               compQ(c) = u8(d + 6 + 3 * c + 2)
               if (compQ(c) > 3) return None
               c += 1
             }
+            // supported samplings: 4:4:4 (all 1×1) and 4:2:0
+            // (Y 2×2, chroma 1×1); 4:2:2/4:1:1/etc remain out of scope
+            val is444 = (0 until nComp)
+              .forall(c => compH(c) == 1 && compV(c) == 1)
+            val is420 = nComp == 3 &&
+              compH(0) == 2 && compV(0) == 2 &&
+              compH(1) == 1 && compV(1) == 1 &&
+              compH(2) == 1 && compV(2) == 1
+            if (!is444 && !is420) return None
+            // distinct component ids (the SOS mapping relies on it)
+            if (compId.distinct.length != nComp) return None
             sawSof = true
           case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
               0xcb | 0xcd | 0xce | 0xcf =>
             return None // non-baseline SOF variants: out of scope
-          case 0xdd => return None // restart intervals: out of scope
+          case 0xdd => // DRI: restart interval in MCUs (0 disables)
+            if (dLen != 2) return None
+            restartInterval = u16(d)
           case 0xda => // SOS → entropy decode
             if (!sawSof || dLen < 1 + 2 * nComp + 3) return None
             if (u8(d) != nComp) return None
+            // scan components map through the SOF-DECLARED ids (not
+            // required to be 1-based); scan order = interleave order
+            val scanComp = new Array[Int](nComp) // SOF index per slot
             val compDc = new Array[Int](nComp)
             val compAc = new Array[Int](nComp)
             var c = 0
             while (c < nComp) {
               val id = u8(d + 1 + 2 * c)
-              if (id != c + 1) return None // canonical component ids
+              val idx = compId.indexOf(id)
+              if (idx < 0) return None
+              scanComp(c) = idx
               compDc(c) = u8(d + 1 + 2 * c + 1) >> 4
               compAc(c) = u8(d + 1 + 2 * c + 1) & 0x0f
               c += 1
             }
+            if (scanComp.distinct.length != nComp) return None
             c = 0
             while (c < nComp) {
-              if (qTables(compQ(c)) == null ||
+              if (qTables(compQ(scanComp(c))) == null ||
                 dcTables(compDc(c)) == null ||
                 acTables(compAc(c)) == null) return None
               c += 1
             }
             return entropyDecode(b, i + 2 + len, w, h, nComp,
-              compQ.map(qTables), compDc.map(dcTables),
-              compAc.map(acTables))
+              scanComp, compH, compV,
+              scanComp.map(compQ).map(qTables),
+              compDc.map(dcTables), compAc.map(acTables),
+              restartInterval)
           case _ => () // APPn/COM/etc: skip
         }
         i += 2 + len
@@ -621,96 +767,141 @@ object JpegDecodeKernel {
     None
   }
 
+  /** Interleaved-scan entropy decode: general over the supported
+    * sampling geometries (4:4:4 and 4:2:0 — `compH`/`compV` per SOF
+    * component, blocks per MCU in SCAN order via `scanComp`), with
+    * DRI restart resync (byte-align, consume RSTm with m cycling 0..7,
+    * reset every DC predictor). Planes are BYTE planes (IDCT output is
+    * clamped 0..255), so worst-case decode memory tracks the output
+    * size, not 4× it. Chroma upsample is PINNED nearest-neighbor
+    * (top-left co-sited — the exact inverse of the encoder's pick). */
   private def entropyDecode(b: Array[Byte], start: Int, w: Int, h: Int,
-      nComp: Int, qt: Array[Array[Int]], dct: Array[HuffTable],
-      act: Array[HuffTable]): Option[Decoded] = {
+      nComp: Int, scanComp: Array[Int], compH: Array[Int],
+      compV: Array[Int], qt: Array[Array[Int]], dct: Array[HuffTable],
+      act: Array[HuffTable], restartInterval: Int): Option[Decoded] = {
     val br = new BitReader(b, start)
-    val mcuX = (w + 7) / 8
-    val mcuY = (h + 7) / 8
-    val planes = Array.fill(nComp)(new Array[Int](mcuX * 8 * mcuY * 8))
-    val stride = mcuX * 8
-    val prevDc = new Array[Int](nComp)
+    var hMax = 1; var vMax = 1
+    var c0 = 0
+    while (c0 < nComp) {
+      if (compH(c0) > hMax) hMax = compH(c0)
+      if (compV(c0) > vMax) vMax = compV(c0)
+      c0 += 1
+    }
+    val mcuX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcuY = (h + 8 * vMax - 1) / (8 * vMax)
+    // byte planes indexed by SOF component order
+    val planeW = (0 until nComp).map(c => mcuX * 8 * compH(c)).toArray
+    val planes = (0 until nComp)
+      .map(c => new Array[Byte](planeW(c) * mcuY * 8 * compV(c)))
+      .toArray
+    val prevDc = new Array[Int](nComp) // per scan slot
     val coefs = new Array[Int](64)
+    var mcusDone = 0
+    var rstCount = 0
     var my = 0
     while (my < mcuY) {
       var mx = 0
       while (mx < mcuX) {
-        var c = 0
-        while (c < nComp) {
-          java.util.Arrays.fill(coefs, 0)
-          // DC
-          val s = br.decodeSymbol(dct(c))
-          if (s < 0 || s > 11) return None
-          val dv = if (s == 0) 0 else {
-            val raw = br.bitsVal(s); if (raw < 0) return None
-            extend(raw, s)
-          }
-          prevDc(c) += dv
-          // a malicious delta chain can push DC far past any value an
-          // 8-bit baseline image can legitimately produce (|DC| ≤
-          // ~2048 even at q=1) — bound it so dequantIdct's staged
-          // Longs can't overflow
-          if (math.abs(prevDc(c)) > 4096) return None
-          coefs(0) = prevDc(c)
-          // AC
-          var k = 1
-          var done = false
-          while (!done && k < 64) {
-            val rs = br.decodeSymbol(act(c))
-            if (rs < 0) return None
-            val run = rs >> 4; val sz = rs & 0x0f
-            if (sz == 0) {
-              if (rs == 0x00) done = true       // EOB
-              else if (rs == 0xF0) k += 16      // ZRL
-              else return None
-            } else {
-              if (sz > 10) return None // T.81: AC size ≤ 10 at 8-bit
-              k += run
-              if (k > 63) return None
-              val raw = br.bitsVal(sz); if (raw < 0) return None
-              coefs(Zigzag(k)) = extend(raw, sz)
-              k += 1
-            }
-          }
-          if (br.fail) return None
-          val px = dequantIdct(coefs, qt(c))
-          val plane = planes(c)
-          var yy = 0
-          while (yy < 8) {
-            var xx = 0
-            while (xx < 8) {
-              plane((my * 8 + yy) * stride + mx * 8 + xx) =
-                px(yy * 8 + xx)
-              xx += 1
-            }
-            yy += 1
-          }
-          c += 1
+        if (restartInterval > 0 && mcusDone > 0 &&
+            mcusDone % restartInterval == 0) {
+          if (!br.resync(rstCount & 7)) return None
+          rstCount += 1
+          java.util.Arrays.fill(prevDc, 0)
         }
+        var j = 0
+        while (j < nComp) {
+          val c = scanComp(j)
+          var vv = 0
+          while (vv < compV(c)) {
+            var hh = 0
+            while (hh < compH(c)) {
+              java.util.Arrays.fill(coefs, 0)
+              // DC
+              val s = br.decodeSymbol(dct(j))
+              if (s < 0 || s > 11) return None
+              val dv = if (s == 0) 0 else {
+                val raw = br.bitsVal(s); if (raw < 0) return None
+                extend(raw, s)
+              }
+              prevDc(j) += dv
+              // a malicious delta chain can push DC far past any value
+              // an 8-bit baseline image can legitimately produce (|DC|
+              // ≤ ~2048 even at q=1) — bound it so dequantIdct's
+              // staged Longs can't overflow
+              if (math.abs(prevDc(j)) > 4096) return None
+              coefs(0) = prevDc(j)
+              // AC
+              var k = 1
+              var done = false
+              while (!done && k < 64) {
+                val rs = br.decodeSymbol(act(j))
+                if (rs < 0) return None
+                val run = rs >> 4; val sz = rs & 0x0f
+                if (sz == 0) {
+                  if (rs == 0x00) done = true       // EOB
+                  else if (rs == 0xF0) k += 16      // ZRL
+                  else return None
+                } else {
+                  if (sz > 10) return None // T.81: AC size ≤ 10, 8-bit
+                  k += run
+                  if (k > 63) return None
+                  val raw = br.bitsVal(sz); if (raw < 0) return None
+                  coefs(Zigzag(k)) = extend(raw, sz)
+                  k += 1
+                }
+              }
+              if (br.fail) return None
+              val px = dequantIdct(coefs, qt(j))
+              val plane = planes(c)
+              val pw = planeW(c)
+              val bx = (mx * compH(c) + hh) * 8
+              val by = (my * compV(c) + vv) * 8
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                while (xx < 8) {
+                  plane((by + yy) * pw + bx + xx) =
+                    px(yy * 8 + xx).toByte
+                  xx += 1
+                }
+                yy += 1
+              }
+              hh += 1
+            }
+            vv += 1
+          }
+          j += 1
+        }
+        mcusDone += 1
         mx += 1
       }
       my += 1
     }
-    // crop padding; interleave; inverse color transform
+    // crop padding; upsample (nearest, top-left co-sited); interleave;
+    // inverse color transform
     val out = new Array[Byte](w * h * nComp)
     if (nComp == 1) {
+      val pw = planeW(0)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          out(y * w + x) = planes(0)(y * stride + x).toByte
+          out(y * w + x) = planes(0)(y * pw + x)
           x += 1
         }
         y += 1
       }
     } else {
+      val pw0 = planeW(0); val pw1 = planeW(1); val pw2 = planeW(2)
       var y = 0
       while (y < h) {
+        val y1 = y * compV(1) / vMax
+        val y2 = y * compV(2) / vMax
         var x = 0
         while (x < w) {
-          val yv = planes(0)(y * stride + x)
-          val cb = planes(1)(y * stride + x)
-          val cr = planes(2)(y * stride + x)
+          val yv = planes(0)(y * pw0 + x) & 0xff
+          val cb = planes(1)(y1 * pw1 + x * compH(1) / hMax) & 0xff
+          val cr = planes(2)(y2 * pw2 + x * compH(2) / hMax) & 0xff
           val o = (y * w + x) * 3
           out(o) = ycc2r(yv, cr).toByte
           out(o + 1) = ycc2g(yv, cb, cr).toByte
@@ -805,5 +996,19 @@ object Jpeg {
         ColumnBridge.expression(channels.cast("int")),
         ColumnBridge.expression(pixels)),
       inputTypes = Seq(IntegerType, IntegerType, IntegerType, BinaryType),
+      propagateNull = true, returnNullable = true))
+
+  /** 4:2:0 baseline JFIF JPEG with a DRI restart interval (0 = none)
+    * from raw 3-channel RGB pixels (see
+    * [[JpegEncodeKernel.encode420]]). */
+  def jpegEncode420(width: Column, height: Column, pixels: Column,
+      restartInterval: Column): Column =
+    ColumnBridge.column(StaticInvoke(
+      JpegEncodeKernel.getClass, BinaryType, "encode420",
+      Seq(ColumnBridge.expression(width.cast("int")),
+        ColumnBridge.expression(height.cast("int")),
+        ColumnBridge.expression(pixels),
+        ColumnBridge.expression(restartInterval.cast("int"))),
+      inputTypes = Seq(IntegerType, IntegerType, BinaryType, IntegerType),
       propagateNull = true, returnNullable = true))
 }

@@ -32,17 +32,17 @@ object Round14 {
   // arithmetic (graft.functions.JpegMath — divR is `(x + half) >> n`,
   // an arithmetic shift in both engines; quantR is sign-biased
   // TRUNCATING division, `//` in DuckDB and Java `/` in the kernel).
-  private def oDivR(x: String, n: Int): String =
+  private[queries] def oDivR(x: String, n: Int): String =
     s"((($x) + ${1L << (n - 1)}) >> $n)"
-  private def oQuantR(x: String, q: Int): String =
+  private[queries] def oQuantR(x: String, q: Int): String =
     s"((($x) + CASE WHEN ($x) >= 0 THEN ${q / 2} " +
       s"ELSE ${-(q / 2)} END) // $q)"
-  private def oClamp(x: String): String =
+  private[queries] def oClamp(x: String): String =
     s"GREATEST(0, LEAST(255, $x))"
   /** Closed-form DC pipeline for a constant block value `v`
     * (quantization step `q`): fdct → quant → dequant → idct → +128,
     * every stage the kernel's pinned arithmetic. */
-  private def oDcPipe(v: String, q: Int): String = {
+  private[queries] def oDcPipe(v: String, q: Int): String = {
     val s = s"(($v) - 128)"
     val r1 = oDivR(s"$s * 65536 * 5793", 13)
     val f = oDivR(s"$r1 * 65536 * 5793", 41)
@@ -50,20 +50,20 @@ object Round14 {
     val r2 = oDivR(s"$dq * 5793 * 5793 * 8192", 26)
     oClamp(s"${oDivR(s"$r2 * 8192", 28)} + 128")
   }
-  private def oRgbY(r: String, g: String, b: String): String =
+  private[queries] def oRgbY(r: String, g: String, b: String): String =
     oClamp(s"(299 * ($r) + 587 * ($g) + 114 * ($b) + 500) // 1000")
-  private def oRgbCb(r: String, g: String, b: String): String =
+  private[queries] def oRgbCb(r: String, g: String, b: String): String =
     oClamp(s"128 + ${oQuantR(
       s"-169 * ($r) - 331 * ($g) + 500 * ($b)", 1000)}")
-  private def oRgbCr(r: String, g: String, b: String): String =
+  private[queries] def oRgbCr(r: String, g: String, b: String): String =
     oClamp(s"128 + ${oQuantR(
       s"500 * ($r) - 419 * ($g) - 81 * ($b)", 1000)}")
-  private def oYcc2R(y: String, cr: String): String =
+  private[queries] def oYcc2R(y: String, cr: String): String =
     oClamp(s"($y) + ${oQuantR(s"1402 * (($cr) - 128)", 1000)}")
-  private def oYcc2G(y: String, cb: String, cr: String): String =
+  private[queries] def oYcc2G(y: String, cb: String, cr: String): String =
     oClamp(s"($y) - ${oQuantR(
       s"344 * (($cb) - 128) + 714 * (($cr) - 128)", 1000)}")
-  private def oYcc2B(y: String, cb: String): String =
+  private[queries] def oYcc2B(y: String, cb: String): String =
     oClamp(s"($y) + ${oQuantR(s"1772 * (($cb) - 128)", 1000)}")
 
   /** JPEG block-constant pixel byte formula, shared by the Spark
@@ -75,7 +75,7 @@ object Round14 {
 
   /** Integer division on small nonnegative longs (Column `/` is
     * double division; doubles are exact far past these magnitudes). */
-  private def idiv(a: Column, b: Column): Column =
+  private[queries] def idiv(a: Column, b: Column): Column =
     floor(a / b).cast("long")
 
   private def jpegConstPixels(w: Column, h: Column, ch: Column): Column =

@@ -133,4 +133,130 @@ class JpegKernelSpec extends AnyFunSuite {
     assert(got.isEmpty ||
       !got.get.pixels.sameElements(base.get.pixels))
   }
+
+  private def rgb(w: Int, h: Int)(
+      f: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = f(x, y)
+      px((y * w + x) * 3) = r.toByte
+      px((y * w + x) * 3 + 1) = g.toByte
+      px((y * w + x) * 3 + 2) = b.toByte
+    }
+    px
+  }
+
+  test("4:2:0 stream shape: SOF declares 2x2 Y sampling, DRI segment " +
+      "present, RSTm markers fire every interval with m cycling 0..7") {
+    val w = 96; val h = 32 // 6x2 = 12 MCUs of 16x16
+    val px = rgb(w, h)((x, y) => (x * 2, y * 7, (x + y) % 256))
+    val jpg = JpegEncodeKernel.encode420(w, h, px, 2)
+    assert(jpg != null)
+    def find(m: Int): Int = jpg.sliding(2).indexWhere(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == m)
+    val sof = find(0xc0)
+    assert((jpg(sof + 11) & 0xff) == 0x22, "Y sampling must be 2x2")
+    assert((jpg(sof + 14) & 0xff) == 0x11, "Cb sampling must be 1x1")
+    assert(find(0xdd) >= 0, "DRI segment missing")
+    // 12 MCUs at interval 2 = 5 restarts, m = 0,1,2,3,4
+    val rsts = jpg.sliding(2).count(p => (p(0) & 0xff) == 0xff &&
+      (p(1) & 0xff) >= 0xd0 && (p(1) & 0xff) <= 0xd7)
+    assert(rsts == 5, s"expected 5 RST markers, found $rsts")
+    val d = JpegDecodeKernel.decode(jpg)
+    assert(d.isDefined && d.get.width == w && d.get.height == h &&
+      d.get.channels == 3)
+  }
+
+  test("4:2:0 round trip preserves dims across shapes incl. " +
+      "non-multiple-of-16; constant image decodes EXACTLY like the " +
+      "4:4:4 DC path (subsample∘upsample exact on constants)") {
+    for ((w, h) <- Seq((16, 16), (48, 32), (17, 23), (5, 3), (1, 1),
+        (31, 16))) {
+      val px = rgb(w, h)((x, y) => ((x * 5) % 256, (y * 9) % 256,
+        (x + 2 * y) % 256))
+      val d = JpegDecodeKernel.decode(
+        JpegEncodeKernel.encode420(w, h, px, 0))
+      assert(d.isDefined, s"$w x $h")
+      assert(d.get.width == w && d.get.height == h &&
+        d.get.pixels.length == w * h * 3)
+    }
+    val const = rgb(32, 32)((_, _) => (200, 30, 90))
+    val d420 = JpegDecodeKernel.decode(
+      JpegEncodeKernel.encode420(32, 32, const, 0)).get
+    val d444 = JpegDecodeKernel.decode(
+      JpegEncodeKernel.encode(32, 32, 3, const)).get
+    assert(d420.pixels.sameElements(d444.pixels))
+  }
+
+  test("restart intervals change framing only: decode(encode(ri)) ≡ " +
+      "decode(encode(no ri)) pixel-exactly, incl. m wraparound past 8") {
+    // 4:4:4 gray 40x40 = 25 MCUs; ri=2 -> 12 RSTs (m wraps 0..7,0..3)
+    val g = gray(40, 40)((x, y) => (x * 3 + y * 5) % 256)
+    val base = JpegDecodeKernel.decode(
+      JpegEncodeKernel.encode(40, 40, 1, g)).get
+    for (ri <- Seq(1, 2, 3, 7)) {
+      val d = JpegDecodeKernel.decode(
+        JpegEncodeKernel.encodeDri(40, 40, 1, g, ri))
+      assert(d.isDefined, s"ri=$ri")
+      assert(d.get.pixels.sameElements(base.pixels), s"ri=$ri")
+    }
+    // and on the 4:2:0 path
+    val c = rgb(64, 48)((x, y) => (x * 4 % 256, y * 5 % 256,
+      (x * y) % 256))
+    val b420 = JpegDecodeKernel.decode(
+      JpegEncodeKernel.encode420(64, 48, c, 0)).get
+    for (ri <- Seq(1, 2, 5)) {
+      val d = JpegDecodeKernel.decode(
+        JpegEncodeKernel.encode420(64, 48, c, ri))
+      assert(d.isDefined && d.get.pixels.sameElements(b420.pixels),
+        s"420 ri=$ri")
+    }
+  }
+
+  test("a corrupted RST marker id desyncs to None, never throws") {
+    val g = gray(40, 8)((x, y) => (x * 7 + y) % 256)
+    val jpg = JpegEncodeKernel.encodeDri(40, 8, 1, g, 1)
+    val iRst = jpg.sliding(2).indexWhere(p => (p(0) & 0xff) == 0xff &&
+      (p(1) & 0xff) >= 0xd0 && (p(1) & 0xff) <= 0xd7)
+    assert(iRst >= 0)
+    val bad = jpg.clone()
+    bad(iRst + 1) = 0xd5.toByte // expected RST0 -> RST5
+    assert(JpegDecodeKernel.decode(bad).isEmpty)
+  }
+
+  test("T.81 leniencies: 0xFF fill bytes before a marker are skipped; " +
+      "non-1-based SOF/SOS component ids decode identically") {
+    val px = rgb(16, 16)((x, y) => (x * 16, y * 16, 128))
+    val jpg = JpegEncodeKernel.encode(16, 16, 3, px)
+    val base = JpegDecodeKernel.decode(jpg).get
+    // inject two fill bytes before the SOF marker
+    val sof = jpg.sliding(2).indexWhere(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc0)
+    val filled = jpg.take(sof) ++ Array(0xff.toByte, 0xff.toByte) ++
+      jpg.drop(sof)
+    val df = JpegDecodeKernel.decode(filled)
+    assert(df.isDefined && df.get.pixels.sameElements(base.pixels))
+    // remap component ids 1,2,3 -> 0,5,9 in SOF and SOS
+    val remap = Map(1 -> 0, 2 -> 5, 3 -> 9)
+    val rid = jpg.clone()
+    for (c <- 0 until 3) // SOF comp specs at sof+10, 3 bytes each
+      rid(sof + 10 + 3 * c) = remap(rid(sof + 10 + 3 * c) & 0xff).toByte
+    val sos = jpg.sliding(2).indexWhere(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xda)
+    for (c <- 0 until 3) // SOS comp specs at sos+5, 2 bytes each
+      rid(sos + 5 + 2 * c) = remap(rid(sos + 5 + 2 * c) & 0xff).toByte
+    val dr = JpegDecodeKernel.decode(rid)
+    assert(dr.isDefined && dr.get.pixels.sameElements(base.pixels))
+  }
+
+  test("4:2:0 lossy envelope: smooth color gradients survive " +
+      "subsample∘upsample within a fixed bound") {
+    val w = 48; val h = 48
+    val px = rgb(w, h)((x, y) => (50 + x * 2, 40 + y * 2, 60 + x + y))
+    val d = JpegDecodeKernel.decode(
+      JpegEncodeKernel.encode420(w, h, px, 2)).get
+    val maxErr = px.zip(d.pixels)
+      .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+    assert(maxErr <= 24, s"max err $maxErr") // ±16 DCT + chroma NN step
+  }
 }

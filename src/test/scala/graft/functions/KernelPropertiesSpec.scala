@@ -129,6 +129,73 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: JPEG 4:2:0 decode∘encode on MCU-constant images is " +
+      "the exact pinned DC closed form for any value, dims and " +
+      "restart interval") {
+    import JpegMath._
+    def dcPipe(v: Int, q: Int): Int = {
+      val s = (v - 128).toLong
+      val r1 = divR(s * 65536 * 5793, 13)
+      val f = divR(r1 * 65536 * 5793, 41)
+      val dq = quantR(f, q) * q
+      val r2 = divR(dq * 5793 * 5793 * 8192, 26)
+      clamp255(divR(r2 * 8192, 28) + 128)
+    }
+    val gen = for {
+      mw <- Gen.choose(1, 3) // MCUs across
+      mh <- Gen.choose(1, 3)
+      ri <- Gen.oneOf(0, 1, 2)
+      vs <- Gen.listOfN(mw * mh * 3, Gen.choose(0, 255))
+    } yield (mw, mh, ri, vs)
+    for ((mw, mh, ri, vs) <- samples(gen, 40)) {
+      val w = mw * 16; val h = mh * 16 // constant per 16x16 MCU
+      val px = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w; k <- 0 until 3)
+        px((y * w + x) * 3 + k) =
+          vs(((y / 16) * mw + x / 16) * 3 + k).toByte
+      val dec = JpegDecodeKernel.decode(
+        JpegEncodeKernel.encode420(w, h, px, ri))
+      assert(dec.isDefined, s"$w x $h ri=$ri")
+      val d = dec.get
+      for (my <- 0 until mh; mx <- 0 until mw) {
+        val bi = (my * mw + mx) * 3
+        val (r, g, b) = (vs(bi), vs(bi + 1), vs(bi + 2))
+        // constant MCU: all 4 Y blocks AND both subsampled chroma
+        // blocks are constant -> DC-only per component
+        val y0 = dcPipe(rgbToY(r, g, b), QLuma(0))
+        val cb = dcPipe(rgbToCb(r, g, b), QChroma(0))
+        val cr = dcPipe(rgbToCr(r, g, b), QChroma(0))
+        val expect = Seq(ycc2r(y0, cr), ycc2g(y0, cb, cr),
+          ycc2b(y0, cb))
+        for (y <- my * 16 until my * 16 + 16;
+            x <- mx * 16 until mx * 16 + 16; k <- 0 until 3) {
+          val got = d.pixels((y * w + x) * 3 + k) & 0xff
+          assert(got == expect(k),
+            s"($w x $h ri=$ri) MCU ($mx,$my) ch $k: $got != ${expect(k)}")
+        }
+      }
+    }
+  }
+
+  test("property: JPEG decode never throws on arbitrary mutations of " +
+      "a valid 4:2:0 + restart-interval file") {
+    val base = JpegEncodeKernel.encode420(32, 32,
+      Array.tabulate(32 * 32 * 3)(i => (i * 53 % 256).toByte), 1)
+    val gen = for {
+      nMut <- Gen.choose(1, 8)
+      muts <- Gen.listOfN(nMut,
+        Gen.zip(Gen.choose(0, base.length - 1), Gen.choose(-128, 127)))
+      chop <- Gen.choose(0, base.length)
+    } yield (muts, chop)
+    for ((muts, chop) <- samples(gen, 150)) {
+      val b = base.clone()
+      muts.foreach { case (i, v) => b(i) = v.toByte }
+      val mutated = b.take(chop.max(1))
+      JpegDecodeKernel.decodePixels(mutated)
+      JpegDecodeKernel.jpegStats(mutated)
+    }
+  }
+
   test("property: JPEG decode never throws on arbitrary mutations of " +
       "a valid file (garbage-rows contract under fuzz)") {
     val base = JpegEncodeKernel.encode(16, 16, 3,

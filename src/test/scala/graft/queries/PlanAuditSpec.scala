@@ -524,11 +524,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
-  test("q334/q335/q340: JPEG and mixed-media QA are ONE map-side " +
-      "scan — zero exchanges, zero joins (pixels never leave the " +
-      "task; the q340 decode dispatch is a CASE, not a join)") {
+  test("q334/q335/q340/q346: JPEG (incl. 4:2:0+DRI) and mixed-media " +
+      "QA are ONE map-side scan — zero exchanges, zero joins (pixels " +
+      "never leave the task; the q340 decode dispatch is a CASE, not " +
+      "a join)") {
     Seq("q334_jpeg_roundtrip", "q335_jpeg_dct_exact",
-        "q340_mixed_media_qa").foreach { q =>
+        "q340_mixed_media_qa", "q346_jpeg_420_roundtrip").foreach { q =>
       val s = shape(q)
       assert(s.hash == 0 && s.bcast == 0, s"$q: $s")
       assert(!full(q).contains("Join"), q)
