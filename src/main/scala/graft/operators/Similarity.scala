@@ -1404,6 +1404,88 @@ object Similarity {
     fs.delete(tombPath, true)
   }
 
+  /** Per-batch PQ residual distortion under a FROZEN codebook — the
+    * quantity a retrain decision needs WITHOUT brute-force truth: for
+    * each vector, Σ over subspaces of the squared distance to its
+    * nearest codebook centroid (exactly the error ADC serving eats).
+    * One pass over `vecs` only (subvector explode + broadcast codebook
+    * join — the [[IvfPqIndex.append]] cost shape). Returns one row
+    * `(n_vecs, sum_distortion_micro, mean_distortion_micro)` in exact
+    * integer micro-units (dist2 is rounded to 6 decimals, so ×10⁶ is
+    * exact — replayable bit-for-bit by the SQL oracle). */
+  def pqDistortionStats(vecs: DataFrame, codebook: DataFrame,
+      dims: Int, m: Int, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val s = graft.Tables.rebalance(
+      pqSubvectors(vecs, dims, m, idCol, embCol, "id", "sv"))
+    val minD = s.join(broadcast(codebook), Seq("j"))
+      .select(col("id"), col("j"),
+        round(dot(col("sv"), col("sv")) - dot(col("sv"), col("cv")) * 2
+          + dot(col("cv"), col("cv")), 6)
+          .cast("decimal(20,6)").as("dist2"))
+      .groupBy(col("id"), col("j"))
+      .agg(min(col("dist2")).as("d2"))
+    minD.agg(
+        countDistinct(col("id")).as("n_vecs"),
+        (sum(col("d2")) * 1000000).cast("bigint")
+          .as("sum_distortion_micro"))
+      .select(col("n_vecs"), col("sum_distortion_micro"),
+        expr("sum_distortion_micro div n_vecs")
+          .as("mean_distortion_micro"))
+  }
+
+  /** Persist the TRAIN-TIME distortion baseline next to a written
+    * [[IvfPqIndex]] (`path/drift_meta`, one row): the build corpus's
+    * [[pqDistortionStats]] under the index's own codebook. Written
+    * once at build; [[ivfPqDriftStats]] compares every append batch
+    * against it. */
+  def writeIvfPqDriftBaseline(spark: org.apache.spark.sql.SparkSession,
+      path: String, trainVecs: DataFrame, dims: Int, m: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit =
+    pqDistortionStats(trainVecs, spark.read.parquet(s"$path/codebook"),
+        dims, m, idCol, embCol)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/drift_meta")
+
+  /** RETRAIN TRIGGER for frozen-geometry appends — turns q342's
+    * measured recall gap into an operator that needs NO brute-force
+    * truth: one pass over the APPENDED batch computes its PQ residual
+    * distortion under the frozen codebook and compares it to the
+    * train-time baseline stored in `path/drift_meta`. Returns one row
+    * `(n_train, base_mean_micro, n_appended, appended_mean_micro,
+    * distortion_ratio_ppm)` — ratio in exact integer ppm.
+    *
+    * Threshold rule (calibrated against q342's hash-gated recall
+    * measurement on the SAME even/odd split — the q325
+    * calibrate-then-gate discipline; PLANS.md round-15 table): at
+    * sf0.01 the odd-half append that costs 2.5× recall@5 (417k →
+    * 167k ppm, q342) measures distortion_ratio_ppm = 1,084,384
+    * (q347, hash-gated) — appended vectors quantize ~8.4% worse than
+    * the train corpus. Operational rule: alert at ratio ≥ 1.04M,
+    * retrain at ≥ 1.08M (the measured 2.5×-recall-loss point); both
+    * thresholds are distribution-relative, so they transfer across
+    * corpora the way an absolute distortion cannot. The stat is cheap
+    * enough to run on EVERY append (increment-sized), which is the
+    * point: the expensive alternative — q342's dual-index recall
+    * measurement — is the calibration run, not the nightly check. */
+  def ivfPqDriftStats(spark: org.apache.spark.sql.SparkSession,
+      path: String, appended: DataFrame, dims: Int, m: Int,
+      idCol: String = "vec_id", embCol: String = "embedding")
+      : DataFrame = {
+    val base = spark.read.parquet(s"$path/drift_meta")
+      .select(col("n_vecs").as("n_train"),
+        col("mean_distortion_micro").as("base_mean_micro"))
+    pqDistortionStats(appended,
+        spark.read.parquet(s"$path/codebook"), dims, m, idCol, embCol)
+      .select(col("n_vecs").as("n_appended"),
+        col("mean_distortion_micro").as("appended_mean_micro"))
+      .crossJoin(broadcast(base))
+      .select(col("n_train"), col("base_mean_micro"),
+        col("n_appended"), col("appended_mean_micro"),
+        expr("(appended_mean_micro * 1000000) div base_mean_micro")
+          .as("distortion_ratio_ppm"))
+  }
+
   /** Index-build half of [[ivfPqTopK]]: coarse cells (seeded or
     * trained), per-subspace PQ codebook, and the per-vector code stream
     * carrying its cell assignment.

@@ -207,6 +207,62 @@ object Round15 {
            |  NULL
            |FROM documents WHERE doc_id % 7 = 6
            |ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // ---- ANN RETRAIN TRIGGER (the r14 verdict's #4 — turn q342's
+    // measured 2.5× recall gap into an operator): build the IVF-PQ
+    // index on the EVEN half, persist it with its train-time
+    // distortion baseline, then measure the ODD half's (the append's)
+    // PQ residual distortion under the FROZEN codebook — one pass
+    // over the increment, NO brute-force truth. The row reports the
+    // exact-integer distortion ratio a retrain decision keys on;
+    // PLANS.md's round-15 table ties this ratio to q342's hash-gated
+    // recall numbers on the SAME split (the q325 calibrate-then-gate
+    // discipline), so the documented threshold is a number, not a
+    // guess. The oracle replays the full stat: subvector split, the
+    // frozen 16-lowest-even-id codebook, per-(vector, subspace) min
+    // rounded distance², micro-integer sums and the ppm ratio.
+    QueryDef("q347_ann_drift_trigger",
+      (s, dir) => {
+        val emb = t("embeddings")(s, dir)
+        val outDir = Round14.scratchDir(dir, "q347_annidx")
+        graft.operators.Similarity.ivfPqIndex(
+            emb.where(col("vec_id") % 2 === 0), nCells = 8, dims = 64,
+            m = 8, nCentroids = 16)
+          .write(outDir.getAbsolutePath)
+        graft.operators.Similarity.writeIvfPqDriftBaseline(
+          s, outDir.getAbsolutePath,
+          emb.where(col("vec_id") % 2 === 0), dims = 64, m = 8)
+        graft.operators.Similarity.ivfPqDriftStats(
+          s, outDir.getAbsolutePath,
+          emb.where(col("vec_id") % 2 === 1), dims = 64, m = 8)
+      },
+      Some(
+        s"""WITH e AS MATERIALIZED (SELECT vec_id,
+           |    CAST(embedding AS DOUBLE[]) AS d FROM embeddings),
+           |s AS MATERIALIZED (SELECT vec_id, t.j,
+           |    d[t.j*8+1 : t.j*8+8] AS sv FROM e, range(0, 8) t(j)),
+           |pcen AS MATERIALIZED (SELECT j, s.vec_id AS cen_id,
+           |    sv AS cv FROM s
+           |  WHERE s.vec_id IN (SELECT vec_id FROM e
+           |    WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 16)),
+           |d0 AS (SELECT s.vec_id AS id, s.j,
+           |    MIN(CAST(round(list_dot_product(sv, sv)
+           |      - 2 * list_dot_product(sv, cv)
+           |      + list_dot_product(cv, cv), 6) AS DECIMAL(20,6)))
+           |      AS d2
+           |  FROM s JOIN pcen ON s.j = pcen.j
+           |  GROUP BY 1, 2),
+           |agg AS (SELECT (id % 2) AS side, COUNT(DISTINCT id) AS n,
+           |    CAST(SUM(d2) * 1000000 AS BIGINT) AS sum_micro
+           |  FROM d0 GROUP BY 1)
+           |SELECT CAST(b.n AS BIGINT) AS n_train,
+           |  b.sum_micro // b.n AS base_mean_micro,
+           |  CAST(a.n AS BIGINT) AS n_appended,
+           |  a.sum_micro // a.n AS appended_mean_micro,
+           |  ((a.sum_micro // a.n) * 1000000) // (b.sum_micro // b.n)
+           |    AS distortion_ratio_ppm
+           |FROM (SELECT * FROM agg WHERE side = 0) b,
+           |  (SELECT * FROM agg WHERE side = 1) a""".stripMargin))
   )
 }

@@ -619,4 +619,42 @@ class SimilaritySpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils
       .deleteQuietly(new java.io.File(dir))
   }
+
+  test("ivfPqDriftStats: same-distribution append reads ~1.0M ppm, a " +
+      "shifted append reads well above it; baseline survives parquet") {
+    import spark.implicits._
+    def vecs(ids: Seq[Int], shift: Double) = ids.map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (math.sin(i * 3.0 + d) * 0.5 + 0.5 + shift).toFloat))
+    }.toDF("vec_id", "embedding")
+    // even/odd split of one generator: identical marginals, and large
+    // enough that the zero-distortion codebook seeds (8 lowest train
+    // ids) don't bias the train-side mean visibly
+    val train = vecs(0 until 512 by 2, 0.0)
+    val dir = java.nio.file.Files.createTempDirectory("anndrift")
+      .toString
+    try {
+      Similarity.ivfPqIndex(train, nCells = 4, dims = 8, m = 2,
+        nCentroids = 8).write(dir)
+      Similarity.writeIvfPqDriftBaseline(spark, dir, train,
+        dims = 8, m = 2)
+      // an append drawn from the SAME distribution barely drifts
+      val same = Similarity.ivfPqDriftStats(spark, dir,
+        vecs(1 until 512 by 2, 0.0), dims = 8, m = 2).collect()(0)
+      val rSame = same.getLong(4)
+      assert(rSame > 800000L && rSame < 1300000L,
+        s"same-distribution ratio $rSame")
+      // a distribution SHIFT quantizes much worse under frozen codes
+      val shifted = Similarity.ivfPqDriftStats(spark, dir,
+        vecs(1 until 512 by 2, 3.0), dims = 8, m = 2).collect()(0)
+      val rShift = shifted.getLong(4)
+      assert(rShift > 2 * rSame,
+        s"shifted ratio $rShift vs same $rSame")
+      // sanity: the baseline itself reads back exactly ratio = 1M
+      val self = Similarity.ivfPqDriftStats(spark, dir, train,
+        dims = 8, m = 2).collect()(0)
+      assert(self.getLong(4) == 1000000L)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
 }
