@@ -674,6 +674,15 @@ object Dedup {
     (pb + db, pa + da)
   }
 
+  /** [[compactShingleIndex]] for the fingerprint layout (`fbucket=`
+    * tree, no docs table) — closes the compaction matrix: every
+    * persisted index family now has build/append/delete/purge AND
+    * compaction. Returns (filesBefore, filesAfter). */
+  def compactFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int) =
+    graft.sink.Compact.compactPartitioned(spark,
+      s"$path/postings", "fbucket")
+
   /** PPJoin-pruned exact Jaccard of a fresh INCREMENT against a
     * [[writeShingleIndex]] artifact (which already contains the
     * increment — call [[appendShingleIndex]] first): all pairs with

@@ -1390,6 +1390,38 @@ object Similarity {
     ids.select(col(ids.columns.head).cast("long").as("id"))
       .write.mode("append").parquet(s"$path/tombstones")
 
+  /** Parquet-APPEND a new-vector increment's codes to a PERSISTED
+    * [[IvfPqIndex]] — [[IvfPqIndex.append]]'s FAISS-`add()` semantics
+    * without rewriting the corpus-sized code stream: cells and
+    * codebook are read back frozen, ONLY the increment is assigned
+    * and encoded, and only its code rows are appended. This is the
+    * nightly-ingest shape at 100 TB (delta work, delta I/O); the
+    * in-memory `append` + whole-index `write` rewrites every stored
+    * code per ingest. N appends leave N files —
+    * [[compactIvfPqIndex]] collapses them on a schedule. */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newVecs: DataFrame, dims: Int, m: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val cells = spark.read.parquet(s"$path/cells")
+    val codebook = spark.read.parquet(s"$path/codebook")
+    val newCells = assignCells(newVecs, cells, idCol, embCol)
+      .select(col("id"), col("cell"))
+    pqAssignWith(codebook, newVecs, dims, m, idCol, embCol)
+      .join(newCells, Seq("id"))
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** Compact a persisted [[IvfPqIndex]]'s accumulated code-append
+    * files ([[graft.sink.Compact.compact]] on the flat codes table —
+    * the [[graft.operators.Retrieval.compactTfIndex]] discipline on
+    * the ANN family; cells/codebook are model-sized and never
+    * accrete). Row values untouched: searches are bit-identical
+    * before and after. Returns (filesBefore, filesAfter). */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    graft.sink.Compact.compact(spark, s"$path/codes", targetBytes)
+
   /** Physically drop tombstoned code rows (staging-swap rewrite —
     * [[graft.sink.Compact.rewriteWithout]]); searches are
     * bit-identical before and after. No-op without tombstones. */

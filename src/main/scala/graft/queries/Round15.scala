@@ -263,6 +263,51 @@ object Round15 {
            |  ((a.sum_micro // a.n) * 1000000) // (b.sum_micro // b.n)
            |    AS distortion_ratio_ppm
            |FROM (SELECT * FROM agg WHERE side = 0) b,
-           |  (SELECT * FROM agg WHERE side = 1) a""".stripMargin))
+           |  (SELECT * FROM agg WHERE side = 1) a""".stripMargin)),
+
+    // ---- STREAMING ingest into the TF index (the r14 verdict's #6 —
+    // the first operator where the streaming and index lifecycles
+    // meet): the index is built on doc_id%3=0, then the %3=1 and %3=2
+    // thirds arrive as foreachBatch micro-batches through
+    // [[EventStreams.ingestTfIndexBatch]] — the REAL sink body,
+    // including its exactly-once guard — and batch 0 is REDELIVERED
+    // (an at-least-once transport's failure replay, the q272
+    // discipline). The guard skips it via the committed-epoch marker
+    // in `path/ingest_meta`; a double-ingest would shift tf/df/dl and
+    // hash-fail, so the green row gates the guard, not just the
+    // append. Oracle = exhaustive BM25 over the full corpus
+    // (EventStreamsSpec pins the same parity through a genuine
+    // MemoryStream + checkpoint restart).
+    QueryDef("q348_tf_stream_ingest",
+      (s, dir) => {
+        val outDir = Round14.scratchDir(dir, "q348_tfidx")
+        val docs = t("documents")(s, dir)
+        graft.operators.Retrieval.writeTfIndex(
+          docs.where(col("doc_id") % 3 === 0),
+          outDir.getAbsolutePath, wordBuckets = 16)
+        val b0 = docs.where(col("doc_id") % 3 === 1)
+        val b1 = docs.where(col("doc_id") % 3 === 2)
+        val p = outDir.getAbsolutePath
+        graft.streaming.EventStreams.ingestTfIndexBatch(b0, 0L, p)
+        graft.streaming.EventStreams.ingestTfIndexBatch(b1, 1L, p)
+        // the transport replays batch 0 — the guard must skip it
+        val replayed =
+          graft.streaming.EventStreams.ingestTfIndexBatch(b0, 0L, p)
+        require(!replayed, "replay guard failed to skip epoch 0")
+        graft.operators.Retrieval.bm25TopKFromTfIndex(
+          s, p, Round13.incrementalQueries, k = 10)
+      },
+      Some(s"""WITH ${graft.operators.Retrieval.bm25OracleCtes(
+                Round13.incrementalQueries
+                  .map { case (q, x) => s"($q, '$x')" }.mkString(", "),
+                1.2, 0.75)},
+              |r AS (SELECT query_id, doc_id, score,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY score DESC, doc_id) AS rnk
+              |  FROM sc)
+              |SELECT query_id, doc_id, score,
+              |  CAST(rnk AS BIGINT) AS rank
+              |FROM r WHERE rnk <= 10
+              |ORDER BY query_id, rank""".stripMargin))
   )
 }

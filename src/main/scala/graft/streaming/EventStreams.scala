@@ -382,6 +382,64 @@ object EventStreams {
       .start()
   }
 
+  /** The TF index's max committed streaming epoch (−1 when nothing has
+    * been ingested): max over the append-only `path/ingest_meta` log —
+    * the [[graft.sink.IndexLayout]] gen-log pattern applied to the
+    * streaming guard. */
+  def committedTfIndexEpoch(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/ingest_meta")
+    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+      -1L
+    else spark.read.parquet(s"$path/ingest_meta")
+      .agg(max(col("epoch"))).collect()(0).getLong(0)
+  }
+
+  /** Ingest ONE micro-batch into a [[graft.operators.Retrieval
+    * .writeTfIndex]] artifact with the replay guard: a batch whose
+    * `epochId` is ≤ the max committed epoch is SKIPPED (foreachBatch
+    * re-delivers committed batches after a restart — without the
+    * guard every replay double-counts its documents' facts in df/tf/
+    * dl and silently shifts every BM25 score). Commit marker written
+    * AFTER the append; the residual crash window between the two
+    * writes carries the same job-atomic, no-concurrent-writers
+    * contract as the rest of the index layout.
+    * @return true if the batch was ingested, false if skipped. */
+  def ingestTfIndexBatch(batch: DataFrame, epochId: Long, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): Boolean = {
+    val spark = batch.sparkSession
+    if (epochId <= committedTfIndexEpoch(spark, path)) false
+    else {
+      graft.operators.Retrieval.appendTfIndex(path, batch, idCol,
+        textCol)
+      spark.range(1).select(lit(epochId).as("epoch"))
+        .coalesce(1).write.mode("append")
+        .parquet(s"$path/ingest_meta")
+      true
+    }
+  }
+
+  /** Stream document micro-batches INTO a TF inverted index — the
+    * operator where the streaming and index lifecycles meet: each
+    * micro-batch parquet-appends its TF facts ([[graft.operators
+    * .Retrieval.appendTfIndex]] — O(increment), read-time stats stay
+    * exact), guarded exactly-once per epoch by
+    * [[ingestTfIndexBatch]]. Queries against the index
+    * ([[graft.operators.Retrieval.bm25TopKFromTfIndex]]) see every
+    * committed batch immediately — the freshness contract an impact
+    * index cannot give a stream. */
+  def startTfIndexSink(docs: DataFrame, path: String,
+      checkpoint: String, idCol: String = "doc_id",
+      textCol: String = "text"): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        ingestTfIndexBatch(batch, epochId, path, idCol, textCol)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Start an idempotent append to partitioned parquet: exactly-once via
     * the checkpoint's file-sink log, partitioned so downstream reads
     * prune by event date.

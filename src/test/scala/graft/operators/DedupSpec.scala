@@ -791,6 +791,40 @@ class DedupSpec extends SparkSpec {
       .deleteQuietly(new java.io.File(dir))
   }
 
+  test("fingerprint index COMPACTION: file count shrinks after two " +
+      "appends, candidate pairs bit-identical through the rewrite") {
+    val all = shingleIndexCorpus
+    val dir = java.nio.file.Files.createTempDirectory("fpidxc").toString
+    def parquetFiles(): Int = {
+      def walk(f: java.io.File): Int = {
+        val kids = Option(f.listFiles()).getOrElse(Array.empty)
+        kids.count(k => k.isFile && k.getName.endsWith(".parquet")) +
+          kids.filter(_.isDirectory).map(walk).sum
+      }
+      walk(new java.io.File(dir + "/postings"))
+    }
+    try {
+      Dedup.writeFingerprintIndex(all.where(col("doc_id") <= 2), dir,
+        k = 25, w = 10, fpBuckets = 4)
+      Dedup.appendFingerprintIndex(dir,
+        all.where(col("doc_id").isin(3L, 4L)))
+      Dedup.appendFingerprintIndex(dir, all.where(col("doc_id") >= 5))
+      def run() = Dedup.substringCandidatesAgainstIndex(spark, dir,
+          minShared = 1, all.where(col("doc_id") >= 5)
+            .select(col("doc_id")))
+        .orderBy("da", "db").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val before = run()
+      assert(before.nonEmpty)
+      val nBefore = parquetFiles()
+      val (fb, fa) = Dedup.compactFingerprintIndex(spark, dir)
+      assert(fb == nBefore && fa < fb, s"$fb -> $fa")
+      assert(parquetFiles() == fa)
+      assert(run() == before)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
   test("shingle index COMPACTION: file count shrinks after two " +
       "appends, pair results bit-identical through the rewrite") {
     val all = shingleIndexCorpus

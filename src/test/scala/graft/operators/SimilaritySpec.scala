@@ -620,6 +620,50 @@ class SimilaritySpec extends SparkSpec {
       .deleteQuietly(new java.io.File(dir))
   }
 
+  test("persisted IVF-PQ append + compaction: appendToIvfPqIndex ≡ " +
+      "in-memory append (delta codes only); file count shrinks " +
+      "through compactIvfPqIndex with searches bit-identical") {
+    import spark.implicits._
+    def vecs(ids: Range) = ids.map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (math.sin(i * 3.0 + d) * 0.5 + 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("annapp").toString
+    try {
+      Similarity.ivfPqIndex(vecs(0 until 16), nCells = 4, dims = 8,
+        m = 2, nCentroids = 4).write(dir)
+      Similarity.appendToIvfPqIndex(spark, dir, vecs(16 until 24),
+        dims = 8, m = 2)
+      Similarity.appendToIvfPqIndex(spark, dir, vecs(24 until 32),
+        dims = 8, m = 2)
+      def search() = Similarity.ivfPqSearch(
+          vecs(0 until 4), Similarity.IvfPqIndex.read(spark, dir),
+          k = 4, nprobe = 2, dims = 8, m = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).sortBy(t => (t._1, t._4)).toSeq
+      val onDisk = search()
+      // ≡ the in-memory append chain over the same increments
+      val inMem = Similarity.ivfPqSearch(
+          vecs(0 until 4),
+          Similarity.ivfPqIndex(vecs(0 until 16), nCells = 4,
+              dims = 8, m = 2, nCentroids = 4)
+            .append(vecs(16 until 24), dims = 8, m = 2)
+            .append(vecs(24 until 32), dims = 8, m = 2),
+          k = 4, nprobe = 2, dims = 8, m = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).sortBy(t => (t._1, t._4)).toSeq
+      assert(onDisk == inMem)
+      assert(onDisk.exists(_._2 >= 16), "appended ids must serve")
+      // compaction: genuinely fewer files, bit-identical searches
+      val (before, after) = Similarity.compactIvfPqIndex(spark, dir)
+      assert(after < before, s"$before -> $after")
+      assert(search() == onDisk)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
   test("ivfPqDriftStats: same-distribution append reads ~1.0M ppm, a " +
       "shifted append reads well above it; baseline survives parquet") {
     import spark.implicits._

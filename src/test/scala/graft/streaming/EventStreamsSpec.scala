@@ -434,4 +434,86 @@ class EventStreamsSpec extends SparkSpec {
       assert(streamed == twin && streamed.size == 4)
     } finally q.stop()
   }
+
+  test("TF-index streaming ingest: micro-batches append exactly once " +
+      "(replayed epochs skipped), query ≡ batch-built index") {
+    import spark.implicits._
+    val docs = (0L until 30L).map { i =>
+      (i, s"${"common words " * ((i % 3) + 1).toInt}doc$i " +
+        (if (i < 5) "needle" else "hay"))
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tfstream").toString
+    val queries = Seq(1 -> "needle common", 2 -> "doc7 hay")
+    try {
+      // seed the index with the first third (the batch-built base)
+      graft.operators.Retrieval.writeTfIndex(
+        docs.take(10).toDF("doc_id", "text"), dir, wordBuckets = 8)
+      // two streamed micro-batches, then a REPLAY of each
+      val b1 = docs.slice(10, 20).toDF("doc_id", "text")
+      val b2 = docs.slice(20, 30).toDF("doc_id", "text")
+      assert(EventStreams.ingestTfIndexBatch(b1, 0L, dir))
+      assert(EventStreams.ingestTfIndexBatch(b2, 1L, dir))
+      assert(!EventStreams.ingestTfIndexBatch(b1, 0L, dir), "replay!")
+      assert(!EventStreams.ingestTfIndexBatch(b2, 1L, dir), "replay!")
+      val streamed = graft.operators.Retrieval.bm25TopKFromTfIndex(
+          spark, dir, queries, 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).sortBy(t => (t._1, t._4)).toSeq
+      val full = graft.operators.Retrieval.bm25TopK(
+          docs.toDF("doc_id", "text"), "doc_id", "text", queries, 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).sortBy(t => (t._1, t._4)).toSeq
+      assert(streamed == full)
+      assert(EventStreams.committedTfIndexEpoch(spark, dir) == 1L)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
+  test("startTfIndexSink end to end: a real foreachBatch stream " +
+      "lands its documents in the index; a second run ingests only " +
+      "the new data") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tfsink").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_tfsink_ckpt").toString
+    val queries = Seq(1 -> "needle common")
+    try {
+      graft.operators.Retrieval.writeTfIndex(
+        Seq((0L, "common base corpus")).toDF("doc_id", "text"), dir,
+        wordBuckets = 8)
+      val in = MemoryStream[(Long, String)]
+      def run(): Unit = {
+        val q = EventStreams.startTfIndexSink(
+          in.toDS().toDF("doc_id", "text"), dir, ckpt)
+        q.awaitTermination() // AvailableNow: drains then stops
+      }
+      in.addData((1L, "needle common words"), (2L, "hay common"))
+      run()
+      val docs1 = spark.read.parquet(s"$dir/docs").count()
+      assert(docs1 == 3) // base + 2 streamed
+      // second run with NEW data: same checkpoint, later epochs only
+      in.addData((3L, "needle needle common"))
+      run()
+      assert(spark.read.parquet(s"$dir/docs").count() == 4)
+      val got = graft.operators.Retrieval.bm25TopKFromTfIndex(
+          spark, dir, queries, 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).sortBy(t => (t._1, t._4)).toSeq
+      val twin = graft.operators.Retrieval.bm25TopK(
+          Seq((0L, "common base corpus"), (1L, "needle common words"),
+            (2L, "hay common"), (3L, "needle needle common"))
+            .toDF("doc_id", "text"),
+          "doc_id", "text", queries, 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).sortBy(t => (t._1, t._4)).toSeq
+      assert(got == twin)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
 }
