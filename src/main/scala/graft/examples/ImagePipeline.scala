@@ -25,12 +25,15 @@ import org.apache.spark.sql.functions._
   *                 ([[Png.pngResize]])
   *
   * Mixed corpora are handled by a NORMALIZE stage between probe and
-  * decode QA: baseline-JPEG payloads are TRANSCODED to PNG natively
-  * (decode with [[graft.functions.Jpeg.jpegPixels]], re-encode with
-  * [[Png.pngEncode]] — zero external libraries), so every downstream
-  * rung runs format-uniform and a JPEG re-save of a PNG image lands in
-  * the SAME dHash bands as its original (the cross-format near-dup a
-  * real ingest must catch; ImagePipelineSpec pins it).
+  * decode QA: baseline-JPEG payloads are TRANSCODED to PNG natively in
+  * ONE codec pass ([[graft.functions.Jpeg.jpegToPng]] — decode once,
+  * dims and pixels go straight to the PNG encoder; zero external
+  * libraries), so every downstream rung runs format-uniform and a JPEG
+  * re-save of a PNG image lands in the SAME dHash bands as its
+  * original (the cross-format near-dup a real ingest must catch;
+  * ImagePipelineSpec pins it). The transcoded blob is materialized by
+  * the localCheckpoint, so the QA stage's stats and dHash are two PNG
+  * decodes of the STORED blob — never a re-transcode.
   *
   * Every stage is map-side except the band equi-join (candidate-
   * bounded) and the keep-one-per-pair argmin. Output: one row per
@@ -48,21 +51,23 @@ object ImagePipeline {
       lumaMinMilli: Long = 10000, lumaMaxMilli: Long = 245000,
       hammingMax: Int = 6,
       thumbW: Int = 8, thumbH: Int = 8): Result = {
-    // 1: probe, then NORMALIZE — JPEG payloads transcode to PNG via
-    // the native codecs (undecodable JPEGs transcode to null and fall
-    // out at the decode gate like any other garbage)
+    // 1: probe, then NORMALIZE — JPEG payloads transcode to PNG in ONE
+    // codec pass (Jpeg.jpegToPng; undecodable JPEGs transcode to null
+    // and fall out at the decode gate like any other garbage). The
+    // normalized blob MATERIALIZES here so stage 2 reads the stored
+    // bytes instead of re-running the transcode per consumer.
     val meta = graft.functions.MediaProbe.probeMeta(col(payloadCol))
-    val jst = graft.functions.Jpeg.jpegStats(col(payloadCol))
-    val normalized = when(meta("format") === "jpeg",
-        Png.pngEncode(jst("width"), jst("height"), jst("channels"),
-          graft.functions.Jpeg.jpegPixels(col(payloadCol))))
-      .otherwise(col(payloadCol))
-    // 2: decode stats + hash in ONE scan of the blob column
-    val scored = images.select(col(idCol).as("img_id"),
-        normalized.as("payload"),
+    val normalized = images.select(col(idCol).as("img_id"),
         meta.as("meta"),
-        Png.pngStats(normalized).as("st"),
-        Png.pngDhash60(normalized).as("ph"))
+        when(meta("format") === "jpeg",
+            graft.functions.Jpeg.jpegToPng(col(payloadCol)))
+          .otherwise(col(payloadCol)).as("payload"))
+      .localCheckpoint()
+    // 2: decode stats + hash — two PNG decodes of the stored blob
+    val scored = normalized.select(col("img_id"), col("payload"),
+        col("meta"),
+        Png.pngStats(col("payload")).as("st"),
+        Png.pngDhash60(col("payload")).as("ph"))
       .localCheckpoint() // feeds the gate, the band join, the output
     // 3: quality gates (mean luma = sum_luma_milli / n_pixels)
     val gated = scored

@@ -918,6 +918,16 @@ object JpegDecodeKernel {
   def decodePixels(payload: Array[Byte]): Array[Byte] =
     decode(payload).map(_.pixels).orNull
 
+  /** ONE-PASS JPEG→PNG transcode: decode once, hand the dims AND
+    * pixels straight to the PNG encoder — the normalize rung of a
+    * mixed-format ingest ([[graft.examples.ImagePipeline]]) without
+    * the separate stats-for-dims decode. Null for anything the
+    * decoder rejects. */
+  def transcodeToPng(payload: Array[Byte]): Array[Byte] =
+    decode(payload).map(d =>
+      PngEncodeKernel.encode(d.width, d.height, d.channels, d.pixels))
+      .orNull
+
   private def nullStats =
     new GenericInternalRow(
       Array[Any](null, null, null, null, null, null, null, null))
@@ -997,6 +1007,15 @@ object Jpeg {
         ColumnBridge.expression(pixels)),
       inputTypes = Seq(IntegerType, IntegerType, IntegerType, BinaryType),
       propagateNull = true, returnNullable = true))
+
+  /** One-pass JPEG→PNG transcode (see
+    * [[JpegDecodeKernel.transcodeToPng]]). */
+  def jpegToPng(payload: Column): Column =
+    ColumnBridge.column(StaticInvoke(
+      JpegDecodeKernel.getClass, BinaryType, "transcodeToPng",
+      Seq(ColumnBridge.expression(payload)),
+      inputTypes = Seq(BinaryType),
+      propagateNull = false, returnNullable = true))
 
   /** 4:2:0 baseline JFIF JPEG with a DRI restart interval (0 = none)
     * from raw 3-channel RGB pixels (see

@@ -1329,7 +1329,11 @@ object Similarity {
     def write(dir: String): Unit = {
       cells.write.mode("overwrite").parquet(s"$dir/cells")
       codebook.write.mode("overwrite").parquet(s"$dir/codebook")
-      codes.write.mode("overwrite").parquet(s"$dir/codes")
+      // persisted codes carry the IndexLayout generation (0 at build;
+      // appends/upserts stamp later generations) — in-memory search
+      // never reads it, `read` strips it after the kill floor
+      codes.withColumn("gen", lit(0L))
+        .write.mode("overwrite").parquet(s"$dir/codes")
     }
 
     /** Add new vectors WITHOUT rebuilding — FAISS `add()` semantics,
@@ -1356,23 +1360,20 @@ object Similarity {
   }
 
   object IvfPqIndex {
-    /** Tombstones ([[deleteFromIvfPqIndex]]) are anti-joined out of
-      * the code stream at read time, so a takedown is visible to every
+    /** Tombstone-killed generations ([[deleteFromIvfPqIndex]],
+      * [[upsertIvfPqIndex]]) are filtered out of the code stream at
+      * read time, so a takedown or re-embed is visible to every
       * subsequent search without touching cells/codebook (frozen, the
       * `append` contract — a deleted vector simply stops being a
       * candidate; quantizer training data is not "un-trained", the
       * same semantics FAISS `remove_ids` gives). */
     def read(spark: org.apache.spark.sql.SparkSession,
         dir: String): IvfPqIndex = {
-      val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-      val fs = tombPath
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      val codes0 = spark.read.parquet(s"$dir/codes")
-      val codes =
-        if (fs.exists(tombPath))
-          codes0.join(spark.read.parquet(s"$dir/tombstones")
-            .select(col("id")).distinct(), Seq("id"), "left_anti")
-        else codes0
+      val codes = graft.sink.IndexLayout.applyTombstones(
+          spark.read.parquet(s"$dir/codes"),
+          graft.sink.IndexLayout.tombstoneFloor(spark, dir, "id"),
+          "id")
+        .drop("gen")
       IvfPqIndex(
         spark.read.parquet(s"$dir/cells"),
         spark.read.parquet(s"$dir/codebook"),
@@ -1382,13 +1383,38 @@ object Similarity {
 
   /** DELETE vectors from a persisted [[IvfPqIndex]] — the
     * takedown/GDPR operation of the ANN family ([[Retrieval
-    * .deleteFromTfIndex]]'s pattern): ids append to
-    * `path/tombstones`; [[IvfPqIndex.read]] anti-joins them out of
-    * the code stream. Cells and codebook stay frozen (the `append`
-    * contract). Physical removal: [[purgeIvfPqTombstones]]. */
-  def deleteFromIvfPqIndex(path: String, ids: DataFrame): Unit =
-    ids.select(col(ids.columns.head).cast("long").as("id"))
-      .write.mode("append").parquet(s"$path/tombstones")
+    * .deleteFromTfIndex]]'s pattern): `(id, below_gen)` tombstones
+    * append to `path/tombstones` ([[graft.sink.IndexLayout]] — kill
+    * every CURRENT generation, never the future, so a later
+    * [[upsertIvfPqIndex]] resurrects); [[IvfPqIndex.read]] filters
+    * them out of the code stream. Cells and codebook stay frozen (the
+    * `append` contract). Physical removal: [[purgeIvfPqTombstones]]. */
+  def deleteFromIvfPqIndex(path: String, ids: DataFrame): Unit = {
+    val spark = ids.sparkSession
+    val g = graft.sink.IndexLayout.currentGen(spark, path) + 1
+    graft.sink.IndexLayout.appendTombstones(ids, path, "id", g)
+    graft.sink.IndexLayout.bumpGen(spark, path, g)
+  }
+
+  /** UPSERT re-embedded vectors into a persisted [[IvfPqIndex]] — the
+    * re-crawl event of the ANN family (a document whose text changed
+    * gets a NEW embedding under the same id): tombstone the incoming
+    * ids at `below_gen = g`, encode the fresh vectors against the
+    * FROZEN cells/codebook, append their codes at `gen = g` — one
+    * call, O(increment), the [[Retrieval.upsertTfIndex]] semantics.
+    * The distribution-drift caveat applies doubly here (the new
+    * embeddings quantize under yesterday's geometry) — run
+    * [[ivfPqDriftStats]] on the upsert batch and retrain past the
+    * calibrated threshold. */
+  def upsertIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, vecs: DataFrame, dims: Int, m: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val g = graft.sink.IndexLayout.currentGen(spark, path) + 1
+    graft.sink.IndexLayout.appendTombstones(
+      vecs.select(col(idCol)), path, "id", g)
+    appendIvfPqCodes(spark, path, vecs, dims, m, idCol, embCol, g)
+    graft.sink.IndexLayout.bumpGen(spark, path, g)
+  }
 
   /** Parquet-APPEND a new-vector increment's codes to a PERSISTED
     * [[IvfPqIndex]] — [[IvfPqIndex.append]]'s FAISS-`add()` semantics
@@ -1402,12 +1428,21 @@ object Similarity {
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, newVecs: DataFrame, dims: Int, m: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val g = graft.sink.IndexLayout.currentGen(spark, path) + 1
+    appendIvfPqCodes(spark, path, newVecs, dims, m, idCol, embCol, g)
+    graft.sink.IndexLayout.bumpGen(spark, path, g)
+  }
+
+  private def appendIvfPqCodes(spark: org.apache.spark.sql.SparkSession,
+      path: String, newVecs: DataFrame, dims: Int, m: Int,
+      idCol: String, embCol: String, gen: Long): Unit = {
     val cells = spark.read.parquet(s"$path/cells")
     val codebook = spark.read.parquet(s"$path/codebook")
     val newCells = assignCells(newVecs, cells, idCol, embCol)
       .select(col("id"), col("cell"))
     pqAssignWith(codebook, newVecs, dims, m, idCol, embCol)
       .join(newCells, Seq("id"))
+      .withColumn("gen", lit(gen))
       .write.mode("append").parquet(s"$path/codes")
   }
 
@@ -1422,18 +1457,22 @@ object Similarity {
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
     graft.sink.Compact.compact(spark, s"$path/codes", targetBytes)
 
-  /** Physically drop tombstoned code rows (staging-swap rewrite —
-    * [[graft.sink.Compact.rewriteWithout]]); searches are
+  /** Physically drop tombstone-killed code generations (staging-swap
+    * rewrite keeping exactly what [[IvfPqIndex.read]] keeps —
+    * [[graft.sink.Compact.rewriteFiltered]]); searches are
     * bit-identical before and after. No-op without tombstones. */
   def purgeIvfPqTombstones(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
-    val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val fs = tombPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(tombPath)) return
-    val tomb = spark.read.parquet(s"$path/tombstones")
-      .select(col("id")).distinct().localCheckpoint()
-    graft.sink.Compact.rewriteWithout(spark, s"$path/codes", tomb, "id")
-    fs.delete(tombPath, true)
+    graft.sink.IndexLayout.tombstoneFloor(spark, path, "id")
+      .foreach { floor0 =>
+        val floor = floor0.localCheckpoint()
+        graft.sink.Compact.rewriteFiltered(spark, s"$path/codes",
+          graft.sink.IndexLayout.applyTombstones(_, Some(floor), "id"))
+        val tombPath =
+          new org.apache.hadoop.fs.Path(s"$path/tombstones")
+        tombPath.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(tombPath, true)
+      }
   }
 
   /** Per-batch PQ residual distortion under a FROZEN codebook — the

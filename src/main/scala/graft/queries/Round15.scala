@@ -143,14 +143,21 @@ object Round15 {
         val ri = col("doc_id") % 4 // restart interval in MCUs; 0=none
         def mcuVal(mx: Column, my: Column, mw: Column, k: Column) =
           (col("doc_id") * 7 + (my * mw + mx) * 37 + k * 11) % 256
+        // pixels are MCU-constant, so build each ROW as (w/16)
+        // 16-fold repeats of a 6-hex-char RGB triple — h·(w/16)
+        // hex computations per doc instead of w·h·3 (an 18 s → ~2 s
+        // construction win at sf0.1; the decode under test is
+        // unchanged)
+        def hx(c: Column) = lpad(hex(c), 2, "0")
+        val mw = Round14.idiv(w, lit(16))
         val px = unhex(array_join(
-          transform(sequence(lit(0L), w * h * 3 - 1), i => {
-            val p = Round14.idiv(i, lit(3))
-            val x = p % w
-            val y = Round14.idiv(p, w)
-            lpad(hex(mcuVal(Round14.idiv(x, lit(16)),
-              Round14.idiv(y, lit(16)), Round14.idiv(w, lit(16)),
-              i % 3)), 2, "0")
+          transform(sequence(lit(0L), h - 1), y => {
+            val my = Round14.idiv(y, lit(16))
+            array_join(
+              transform(sequence(lit(0L), mw - 1), mx =>
+                repeat(concat(hx(mcuVal(mx, my, mw, lit(0))),
+                  hx(mcuVal(mx, my, mw, lit(1))),
+                  hx(mcuVal(mx, my, mw, lit(2)))), 16)), "")
           }), ""))
         val jpg = graft.functions.Jpeg.jpegEncode420(w, h, px, ri)
         val payload = when(col("doc_id") % 7 === 6,
@@ -308,6 +315,102 @@ object Round15 {
               |SELECT query_id, doc_id, score,
               |  CAST(rnk AS BIGINT) AS rank
               |FROM r WHERE rnk <= 10
-              |ORDER BY query_id, rank""".stripMargin))
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- ANN-index UPSERT (the fourth family — the upsert matrix
+    // closes: TF q344, shingle q345, fingerprint spec, now IVF-PQ): a
+    // re-crawled document gets a NEW embedding under the SAME id.
+    // Build the q95 index on the full corpus, write it, deliver
+    // vec_id%5=0 re-embedded (negated — exact in any float width, and
+    // guaranteed to change cells), ONE upsert call: tombstone at
+    // below_gen=g, encode against the FROZEN cells/codebook, append
+    // codes at gen=g. Search ≡ a frozen-geometry index over the
+    // post-re-embed corpus: the oracle replays the q87 chain with
+    // cells/codebook seeded from the ORIGINAL vectors and every
+    // assignment/code/query over the MUTATED corpus.
+    QueryDef("q349_ann_upsert",
+      (s, dir) => {
+        val emb = t("embeddings")(s, dir)
+        val outDir = Round14.scratchDir(dir, "q349_annidx")
+        graft.operators.Similarity.ivfPqIndex(emb, nCells = 8,
+            dims = 64, m = 8, nCentroids = 16)
+          .write(outDir.getAbsolutePath)
+        val mutated = emb.withColumn("embedding",
+          when(col("vec_id") % 5 === 0,
+            transform(col("embedding"), x => -x))
+            .otherwise(col("embedding")))
+        graft.operators.Similarity.upsertIvfPqIndex(
+          s, outDir.getAbsolutePath,
+          mutated.where(col("vec_id") % 5 === 0), dims = 64, m = 8)
+        graft.operators.Similarity.ivfPqSearch(
+            mutated.filter(col("vec_id") < 12),
+            graft.operators.Similarity.IvfPqIndex.read(
+              s, outDir.getAbsolutePath),
+            k = 5, nprobe = 2, dims = 64, m = 8)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(
+        s"""WITH e AS MATERIALIZED (SELECT vec_id,
+           |    CAST(embedding AS DOUBLE[]) AS d FROM embeddings),
+           |em AS MATERIALIZED (SELECT vec_id, CASE
+           |    WHEN vec_id % 5 = 0
+           |    THEN list_transform(d, x -> -x) ELSE d END AS d
+           |  FROM e),
+           |s0 AS MATERIALIZED (SELECT vec_id, t.j,
+           |    d[t.j*8+1 : t.j*8+8] AS sv FROM e, range(0, 8) t(j)),
+           |s AS MATERIALIZED (SELECT vec_id, t.j,
+           |    d[t.j*8+1 : t.j*8+8] AS sv FROM em, range(0, 8) t(j)),
+           |qs AS (SELECT vec_id AS query_id, j, sv AS qv FROM s
+           |  WHERE vec_id < 12),
+           |ccen AS MATERIALIZED (SELECT vec_id AS cel_id, d AS cele
+           |  FROM e ORDER BY vec_id LIMIT 8),
+           |ca0 AS (SELECT em.vec_id AS id, cel_id,
+           |    round(list_dot_product(em.d, cele) /
+           |      (sqrt(list_dot_product(em.d, em.d)) *
+           |       sqrt(list_dot_product(cele, cele))), 6) AS csim
+           |  FROM em, ccen),
+           |ca1 AS (SELECT *, row_number() OVER (PARTITION BY id
+           |    ORDER BY csim DESC, cel_id) AS r FROM ca0),
+           |cellof AS MATERIALIZED (SELECT id, cel_id AS cell
+           |  FROM ca1 WHERE r = 1),
+           |qp1 AS (SELECT *, row_number() OVER (PARTITION BY id
+           |    ORDER BY csim DESC, cel_id) AS r FROM ca0
+           |  WHERE id < 12),
+           |probes AS (SELECT id AS query_id, cel_id AS cell
+           |  FROM qp1 WHERE r <= 2),
+           |pcen AS MATERIALIZED (SELECT j, s0.vec_id AS cen_id,
+           |    sv AS cv FROM s0
+           |  WHERE s0.vec_id IN (SELECT vec_id FROM e
+           |    ORDER BY vec_id LIMIT 16)),
+           |pa0 AS (SELECT s.vec_id AS id, s.j, cen_id,
+           |    round(list_dot_product(sv, sv)
+           |      - 2 * list_dot_product(sv, cv)
+           |      + list_dot_product(cv, cv), 6) AS dist2
+           |  FROM s JOIN pcen ON s.j = pcen.j),
+           |pa1 AS (SELECT *, row_number() OVER (PARTITION BY id, j
+           |    ORDER BY dist2, cen_id) AS r FROM pa0),
+           |codes AS MATERIALIZED (SELECT id, j, cen_id AS code
+           |  FROM pa1 WHERE r = 1),
+           |tbl AS (SELECT query_id, qs.j, cen_id AS code,
+           |    CAST(round(list_dot_product(qv, qv)
+           |      - 2 * list_dot_product(qv, cv)
+           |      + list_dot_product(cv, cv), 6)
+           |      AS DECIMAL(20,6)) AS d2
+           |  FROM qs JOIN pcen ON qs.j = pcen.j),
+           |sums AS (SELECT pr.query_id, c.id AS neighbor_id,
+           |    CAST(SUM(d2) AS DOUBLE) AS adist
+           |  FROM codes c
+           |  JOIN cellof co ON c.id = co.id
+           |  JOIN probes pr ON pr.cell = co.cell
+           |  JOIN tbl t ON t.query_id = pr.query_id
+           |    AND t.j = c.j AND t.code = c.code
+           |  WHERE pr.query_id != c.id
+           |  GROUP BY pr.query_id, c.id),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY adist, neighbor_id) AS rank FROM sums)
+           |SELECT query_id, neighbor_id, adist,
+           |  CAST(rank AS BIGINT) AS rank
+           |FROM r WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin))
   )
 }

@@ -620,6 +620,66 @@ class SimilaritySpec extends SparkSpec {
       .deleteQuietly(new java.io.File(dir))
   }
 
+  test("IvfPqIndex UPSERT: re-embedded ids serve their NEW vectors, " +
+      "stale codes die; upsert-twice ≡ once; upsert after delete " +
+      "resurrects; purge ≡ logical") {
+    import spark.implicits._
+    def vec(i: Long, flip: Boolean) = Array.tabulate(8)(d =>
+      ((if (flip) -1 else 1) *
+        (math.sin(i * 3.0 + d) * 0.5 + 0.5)).toFloat)
+    val orig = (0L until 24L).map(i => (i, vec(i, flip = false)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("annup").toString
+    try {
+      Similarity.ivfPqIndex(orig, nCells = 4, dims = 8, m = 2,
+        nCentroids = 4).write(dir)
+      // re-embed ids %5=0 (negated vectors — different cells)
+      val recrawl = (0L until 24L by 5).map(i => (i, vec(i, flip = true)))
+        .toDF("vec_id", "embedding")
+      Similarity.upsertIvfPqIndex(spark, dir, recrawl, dims = 8, m = 2)
+      val mutated = orig.where(col("vec_id") % 5 =!= 0)
+        .unionAll(recrawl)
+      def search() = Similarity.ivfPqSearch(
+          mutated.filter(col("vec_id") < 6),
+          Similarity.IvfPqIndex.read(spark, dir),
+          k = 4, nprobe = 2, dims = 8, m = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).sortBy(t => (t._1, t._4)).toSeq
+      // truth: frozen geometry (cells/codebook from the ORIGINAL
+      // corpus), codes over the mutated corpus — in-memory twin
+      val frozen = Similarity.ivfPqIndex(orig, nCells = 4, dims = 8,
+        m = 2, nCentroids = 4)
+      val twinIdx = Similarity.IvfPqIndex(frozen.cells, frozen.codebook,
+        Similarity.IvfPqIndex(frozen.cells, frozen.codebook,
+          frozen.codes.limit(0))
+          .append(mutated, dims = 8, m = 2).codes)
+      def twin() = Similarity.ivfPqSearch(
+          mutated.filter(col("vec_id") < 6), twinIdx,
+          k = 4, nprobe = 2, dims = 8, m = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).sortBy(t => (t._1, t._4)).toSeq
+      val expected = twin()
+      assert(search() == expected)
+      // idempotence
+      Similarity.upsertIvfPqIndex(spark, dir, recrawl, dims = 8, m = 2)
+      assert(search() == expected)
+      // delete then upsert resurrects with the new embedding
+      Similarity.deleteFromIvfPqIndex(dir, Seq(5L).toDF("vec_id"))
+      Similarity.upsertIvfPqIndex(spark, dir,
+        recrawl.where(col("vec_id") === 5), dims = 8, m = 2)
+      assert(search() == expected)
+      // physical purge: thinner codes, identical searches
+      val before = spark.read.parquet(s"$dir/codes").count()
+      Similarity.purgeIvfPqTombstones(spark, dir)
+      assert(!new java.io.File(s"$dir/tombstones").exists())
+      assert(spark.read.parquet(s"$dir/codes").count() < before)
+      assert(search() == expected)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
   test("persisted IVF-PQ append + compaction: appendToIvfPqIndex ≡ " +
       "in-memory append (delta codes only); file count shrinks " +
       "through compactIvfPqIndex with searches bit-identical") {

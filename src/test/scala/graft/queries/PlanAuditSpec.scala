@@ -559,11 +559,29 @@ class PlanAuditSpec extends SparkSpec {
       !p345.contains("BroadcastNestedLoopJoin"), p345.take(400))
   }
 
-  test("q341: ANN delete — the code stream anti-joins tombstones; " +
-      "probes/distance tables still broadcast; no shuffled cartesian") {
-    val plan = full("q341_ann_delete")
-    assert(plan.contains("LeftAnti"), "tombstone anti-join missing")
-    assert(!plan.contains("CartesianProduct"), plan.take(400))
+  test("q347/q348: the drift stat broadcasts the codebook (never a " +
+      "shuffled join of the increment against it); the streamed index " +
+      "read keeps wbucket pruning; no cartesian") {
+    val p347 = full("q347_ann_drift_trigger")
+    assert(p347.contains("BroadcastHashJoin"),
+      "codebook join must broadcast")
+    // the only nested-loop join allowed is the one-row baseline ×
+    // one-row appended-stats cross combine
+    assert(!p347.contains("CartesianProduct"), p347.take(400))
+    val p348 = full("q348_tf_stream_ingest")
+    assert(p348.contains("wbucket"), "q348 bucket pruning missing")
+    assert(!p348.contains("CartesianProduct"))
+  }
+
+  test("q341/q349: ANN delete/upsert — the code stream applies the " +
+      "generation kill floor; probes/distance tables still " +
+      "broadcast; no shuffled cartesian") {
+    Seq("q341_ann_delete", "q349_ann_upsert").foreach { q =>
+      val plan = full(q)
+      assert(plan.contains("below_gen"),
+        s"$q generation tombstone filter missing")
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(400)}")
+    }
   }
 
   test("q343: incremental substring dedup — fingerprint equi-joins " +
