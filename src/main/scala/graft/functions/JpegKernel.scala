@@ -17,17 +17,19 @@ import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StructFiel
   * hierarchical and 12-bit precision).
   *
   * Supported: baseline DCT (SOF0), 8-bit precision, 1 component
-  * (grayscale) or 3 components (YCbCr 4:4:4 AND 4:2:0 — the 2×2-Y MCU
-  * interleave with pinned nearest-neighbor chroma upsample that the
+  * (grayscale) or 3 components (YCbCr at every Y sampling in
+  * {1,2}×{1,2} with 1×1 chroma — 4:4:4, 4:2:0, 4:2:2, 4:4:0; pinned
+  * nearest-neighbor chroma upsample; 4:2:0 with restarts is what the
   * overwhelming majority of real-world baseline JPEGs use), restart
   * intervals (DRI + RSTm resync with DC reset), 0xFF fill bytes
   * before markers, and arbitrary SOF component ids (SOS maps scan
-  * components through the declared ids). Anything else (4:2:2/4:1:1,
-  * progressive/arithmetic/hierarchical, 12-bit) — and any
-  * truncated/garbage payload — decodes to null, never throws (the
-  * PNG-kernel garbage-rows contract; KernelPropertiesSpec fuzzes it).
-  * Decode planes are BYTE planes and the pixel bomb guard is 2^29
-  * samples, so worst-case decode memory tracks the output bound.
+  * components through the declared ids). Anything else (4:1:1,
+  * chroma-oversampled layouts, progressive/arithmetic/hierarchical,
+  * 12-bit) — and any truncated/garbage payload — decodes to null,
+  * never throws (the PNG-kernel garbage-rows contract;
+  * KernelPropertiesSpec fuzzes it). Decode planes are BYTE planes and
+  * the pixel bomb guard is 2^29 samples, so worst-case decode memory
+  * tracks the output bound.
   *
   * JPEG is LOSSY, so the parse∘construct oracle discipline needs every
   * rounding PINNED (T.81 leaves DCT/IDCT rounding implementation-
@@ -326,8 +328,7 @@ object JpegEncodeKernel {
     */
   def encode(width: Int, height: Int, channels: Int,
       pixels: Array[Byte]): Array[Byte] =
-    encodeImpl(width, height, channels, pixels, sub420 = false,
-      restartInterval = 0)
+    encodeImpl(width, height, channels, pixels, 1, 1, 0)
 
   /** [[encode]] in 4:2:0 (2×2-Y MCU interleave, chroma subsampled by
     * PINNED top-left co-sited pick — the exact inverse of the
@@ -338,20 +339,31 @@ object JpegEncodeKernel {
     * subsample; use [[encodeDri]] for gray + restarts). */
   def encode420(width: Int, height: Int, pixels: Array[Byte],
       restartInterval: Int): Array[Byte] =
-    encodeImpl(width, height, 3, pixels, sub420 = true, restartInterval)
+    encodeImpl(width, height, 3, pixels, 2, 2, restartInterval)
+
+  /** [[encode]] in 4:2:2 (2×1-Y MCUs, chroma subsampled horizontally
+    * only — the second-most-common real-world sampling) with an
+    * optional DRI restart interval. 3-channel only. */
+  def encode422(width: Int, height: Int, pixels: Array[Byte],
+      restartInterval: Int): Array[Byte] =
+    encodeImpl(width, height, 3, pixels, 2, 1, restartInterval)
 
   /** [[encode]] (4:4:4 / grayscale) with a DRI restart interval. */
   def encodeDri(width: Int, height: Int, channels: Int,
       pixels: Array[Byte], restartInterval: Int): Array[Byte] =
-    encodeImpl(width, height, channels, pixels, sub420 = false,
-      restartInterval)
+    encodeImpl(width, height, channels, pixels, 1, 1, restartInterval)
 
+  /** General writer over the supported sampling grid: Y at (hs, vs) ∈
+    * {1,2}×{1,2}, chroma at 1×1 — 4:4:4, 4:2:0, 4:2:2, 4:4:0. Chroma
+    * planes are subsampled by the PINNED top-left co-sited pick in
+    * whichever dimensions are subsampled. */
   private def encodeImpl(width: Int, height: Int, channels: Int,
-      pixels: Array[Byte], sub420: Boolean,
+      pixels: Array[Byte], hs: Int, vs: Int,
       restartInterval: Int): Array[Byte] = {
     if ((channels != 1 && channels != 3) || width <= 0 || height <= 0 ||
         width > 65535 || height > 65535 || // SOF0 dims are 16-bit
-        (sub420 && channels != 3) ||
+        hs < 1 || hs > 2 || vs < 1 || vs > 2 ||
+        ((hs != 1 || vs != 1) && channels != 3) ||
         restartInterval < 0 || restartInterval > 65535 ||
         pixels == null ||
         pixels.length.toLong != width.toLong * height * channels ||
@@ -380,7 +392,7 @@ object JpegEncodeKernel {
     var ci = 0
     while (ci < channels) {
       out.write(ci + 1)
-      out.write(if (sub420 && ci == 0) 0x22 else 0x11)
+      out.write(if (ci == 0) (hs << 4) | vs else 0x11)
       out.write(if (ci == 0) 0 else 1)
       ci += 1
     }
@@ -410,9 +422,9 @@ object JpegEncodeKernel {
       System.arraycopy(pixels, 0, py, 0, width * height)
     } else {
       // chroma at full resolution for 4:4:4, subsampled (top-left
-      // co-sited pick, PINNED) for 4:2:0
-      val cw = if (sub420) (width + 1) / 2 else width
-      val chh = if (sub420) (height + 1) / 2 else height
+      // co-sited pick, PINNED) in each subsampled dimension
+      val cw = (width + hs - 1) / hs
+      val chh = (height + vs - 1) / vs
       pcb = new Array[Byte](cw * chh)
       pcr = new Array[Byte](cw * chh)
       var i = 0
@@ -426,9 +438,9 @@ object JpegEncodeKernel {
       var cy = 0
       while (cy < chh) {
         var cx = 0
-        val sy = if (sub420) cy * 2 else cy
+        val sy = cy * vs
         while (cx < cw) {
-          val sx = if (sub420) cx * 2 else cx
+          val sx = cx * hs
           val p = sy * width + sx
           val r = pixels(3 * p) & 0xff
           val g = pixels(3 * p + 1) & 0xff
@@ -441,15 +453,10 @@ object JpegEncodeKernel {
       }
     }
     val bw = new BitWriter(out)
-    val mcuPx = if (sub420) 16 else 8
-    val mcuX = (width + mcuPx - 1) / mcuPx
-    val mcuY = (height + mcuPx - 1) / mcuPx
-    val cw = if (channels == 3) {
-      if (sub420) (width + 1) / 2 else width
-    } else 0
-    val chh = if (channels == 3) {
-      if (sub420) (height + 1) / 2 else height
-    } else 0
+    val mcuX = (width + 8 * hs - 1) / (8 * hs)
+    val mcuY = (height + 8 * vs - 1) / (8 * vs)
+    val cw = if (channels == 3) (width + hs - 1) / hs else 0
+    val chh = if (channels == 3) (height + vs - 1) / vs else 0
     val prevDc = new Array[Int](channels)
     val block = new Array[Int](64)
     // edge-replicated 8×8 block extraction from a byte plane
@@ -480,13 +487,17 @@ object JpegEncodeKernel {
           rstCount += 1
           java.util.Arrays.fill(prevDc, 0) // DC predictors reset
         }
-        if (sub420) {
-          // MCU = 4 Y blocks (2×2) then 1 Cb + 1 Cr
+        if (channels == 1) {
+          loadBlock(py, width, height, mx, my)
+          prevDc(0) = encodeBlock(bw, fdctQuant(block, QLuma),
+            prevDc(0))
+        } else {
+          // MCU = hs·vs Y blocks (row-major) then 1 Cb + 1 Cr
           var vy = 0
-          while (vy < 2) {
+          while (vy < vs) {
             var hx = 0
-            while (hx < 2) {
-              loadBlock(py, width, height, mx * 2 + hx, my * 2 + vy)
+            while (hx < hs) {
+              loadBlock(py, width, height, mx * hs + hx, my * vs + vy)
               prevDc(0) = encodeBlock(bw, fdctQuant(block, QLuma),
                 prevDc(0))
               hx += 1
@@ -499,16 +510,6 @@ object JpegEncodeKernel {
           loadBlock(pcr, cw, chh, mx, my)
           prevDc(2) = encodeBlock(bw, fdctQuant(block, QChroma),
             prevDc(2))
-        } else {
-          ci = 0
-          while (ci < channels) {
-            val plane = if (ci == 0) py else if (ci == 1) pcb else pcr
-            loadBlock(plane, width, height, mx, my)
-            prevDc(ci) = encodeBlock(bw,
-              fdctQuant(block, if (ci == 0) QLuma else QChroma),
-              prevDc(ci))
-            ci += 1
-          }
         }
         mcusDone += 1
         mx += 1
@@ -710,15 +711,18 @@ object JpegDecodeKernel {
               if (compQ(c) > 3) return None
               c += 1
             }
-            // supported samplings: 4:4:4 (all 1×1) and 4:2:0
-            // (Y 2×2, chroma 1×1); 4:2:2/4:1:1/etc remain out of scope
-            val is444 = (0 until nComp)
-              .forall(c => compH(c) == 1 && compV(c) == 1)
-            val is420 = nComp == 3 &&
-              compH(0) == 2 && compV(0) == 2 &&
+            // supported samplings: grayscale 1×1, or 3-component with
+            // Y at (H,V) ∈ {1,2}×{1,2} and chroma 1×1 — 4:4:4, 4:2:0,
+            // 4:2:2, 4:4:0 (Y is then always the max in each
+            // dimension, which the upsample mapping relies on);
+            // 4:1:1 and chroma-oversampled layouts remain out of scope
+            val okGray = nComp == 1 && compH(0) == 1 && compV(0) == 1
+            val okColor = nComp == 3 &&
+              compH(0) >= 1 && compH(0) <= 2 &&
+              compV(0) >= 1 && compV(0) <= 2 &&
               compH(1) == 1 && compV(1) == 1 &&
               compH(2) == 1 && compV(2) == 1
-            if (!is444 && !is420) return None
+            if (!okGray && !okColor) return None
             // distinct component ids (the SOS mapping relies on it)
             if (compId.distinct.length != nComp) return None
             sawSof = true
@@ -1024,6 +1028,19 @@ object Jpeg {
       restartInterval: Column): Column =
     ColumnBridge.column(StaticInvoke(
       JpegEncodeKernel.getClass, BinaryType, "encode420",
+      Seq(ColumnBridge.expression(width.cast("int")),
+        ColumnBridge.expression(height.cast("int")),
+        ColumnBridge.expression(pixels),
+        ColumnBridge.expression(restartInterval.cast("int"))),
+      inputTypes = Seq(IntegerType, IntegerType, BinaryType, IntegerType),
+      propagateNull = true, returnNullable = true))
+
+  /** 4:2:2 variant of [[jpegEncode420]] (see
+    * [[JpegEncodeKernel.encode422]]). */
+  def jpegEncode422(width: Column, height: Column, pixels: Column,
+      restartInterval: Column): Column =
+    ColumnBridge.column(StaticInvoke(
+      JpegEncodeKernel.getClass, BinaryType, "encode422",
       Seq(ColumnBridge.expression(width.cast("int")),
         ColumnBridge.expression(height.cast("int")),
         ColumnBridge.expression(pixels),

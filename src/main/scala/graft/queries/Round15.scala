@@ -317,6 +317,90 @@ object Round15 {
               |FROM r WHERE rnk <= 10
               |ORDER BY query_id, rank""".stripMargin)),
 
+    // ---- JPEG 4:2:2 (the second-most-common real-world sampling —
+    // q346's discipline on the 2×1-Y MCU grid): per doc an
+    // MCU-CONSTANT image on the 16×8 grid, encoded 4:2:2 with a
+    // doc-varying DRI, decoded by the same sampling-general entropy
+    // loop. Constant MCUs are DC-only in all three components
+    // (horizontal-only chroma subsampling of a constant is the
+    // constant), so the oracle is q346's closed form on the 16×8
+    // block geometry.
+    QueryDef("q350_jpeg_422_roundtrip",
+      (s, dir) => {
+        import org.apache.spark.sql.Column
+        val w = (col("doc_id") % 2 + 1) * 16
+        val h = (col("doc_id") % 3 + 1) * 8
+        val ri = col("doc_id") % 3 // restart interval in MCUs; 0=none
+        def mcuVal(mx: Column, my: Column, mw: Column, k: Column) =
+          (col("doc_id") * 7 + (my * mw + mx) * 37 + k * 11) % 256
+        def hx(c: Column) = lpad(hex(c), 2, "0")
+        val mw = Round14.idiv(w, lit(16))
+        val px = unhex(array_join(
+          transform(sequence(lit(0L), h - 1), y => {
+            val my = Round14.idiv(y, lit(8))
+            array_join(
+              transform(sequence(lit(0L), mw - 1), mx =>
+                repeat(concat(hx(mcuVal(mx, my, mw, lit(0))),
+                  hx(mcuVal(mx, my, mw, lit(1))),
+                  hx(mcuVal(mx, my, mw, lit(2)))), 16)), "")
+          }), ""))
+        val jpg = graft.functions.Jpeg.jpegEncode422(w, h, px, ri)
+        val payload = when(col("doc_id") % 7 === 6,
+            graft.operators.Multimodal.syntheticPayload(col("text")))
+          .otherwise(jpg)
+        t("documents")(s, dir)
+          .select(col("doc_id"), col("text"))
+          .withColumn("st", graft.functions.Jpeg.jpegStats(payload))
+          .select(col("doc_id"), col("st.width"), col("st.height"),
+            col("st.channels"), col("st.n_pixels"), col("st.sum_c0"),
+            col("st.sum_c1"), col("st.sum_c2"),
+            col("st.sum_luma_milli"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        import Round14.{oDcPipe, oRgbY, oRgbCb, oRgbCr, oYcc2R,
+          oYcc2G, oYcc2B}
+        def v(k: Int) =
+          s"(doc_id * 7 + (my * (w // 16) + mx) * 37 + $k * 11) % 256"
+        val (yc, cb, cr) = (oRgbY(v(0), v(1), v(2)),
+          oRgbCb(v(0), v(1), v(2)), oRgbCr(v(0), v(1), v(2)))
+        s"""WITH d AS (SELECT doc_id, (doc_id % 2 + 1) * 16 AS w,
+           |    (doc_id % 3 + 1) * 8 AS h
+           |  FROM documents WHERE doc_id % 7 <> 6),
+           |mx0 AS (SELECT doc_id, w, h,
+           |    unnest(generate_series(0, w // 16 - 1)) AS mx FROM d),
+           |mcu AS (SELECT doc_id, w, h, mx,
+           |    unnest(generate_series(0, h // 8 - 1)) AS my FROM mx0),
+           |dcy AS (SELECT doc_id, w, h, mx, my,
+           |    ${oDcPipe(yc, 16)} AS yq,
+           |    ${oDcPipe(cb, 17)} AS cbq,
+           |    ${oDcPipe(cr, 17)} AS crq
+           |  FROM mcu),
+           |outs AS (SELECT doc_id,
+           |    ${oYcc2R("yq", "crq")} AS o0,
+           |    ${oYcc2G("yq", "cbq", "crq")} AS o1,
+           |    ${oYcc2B("yq", "cbq")} AS o2
+           |  FROM dcy),
+           |a AS (SELECT doc_id, 128 * SUM(o0) AS s0,
+           |    128 * SUM(o1) AS s1, 128 * SUM(o2) AS s2
+           |  FROM outs GROUP BY 1)
+           |SELECT a.doc_id, CAST(d.w AS BIGINT) AS width,
+           |  CAST(d.h AS BIGINT) AS height,
+           |  CAST(3 AS BIGINT) AS channels,
+           |  CAST(d.w * d.h AS BIGINT) AS n_pixels,
+           |  CAST(s0 AS BIGINT) AS sum_c0,
+           |  CAST(s1 AS BIGINT) AS sum_c1,
+           |  CAST(s2 AS BIGINT) AS sum_c2,
+           |  CAST(299 * s0 + 587 * s1 + 114 * s2 AS BIGINT)
+           |    AS sum_luma_milli
+           |FROM a JOIN d USING (doc_id)
+           |UNION ALL
+           |SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           |  NULL
+           |FROM documents WHERE doc_id % 7 = 6
+           |ORDER BY doc_id""".stripMargin
+      }),
+
     // ---- ANN-index UPSERT (the fourth family — the upsert matrix
     // closes: TF q344, shingle q345, fingerprint spec, now IVF-PQ): a
     // re-crawled document gets a NEW embedding under the SAME id.

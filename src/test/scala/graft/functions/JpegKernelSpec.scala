@@ -249,6 +249,40 @@ class JpegKernelSpec extends AnyFunSuite {
     assert(dr.isDefined && dr.get.pixels.sameElements(base.pixels))
   }
 
+  test("4:2:2: SOF declares 2x1 Y sampling; round trip across shapes; " +
+      "constant image ≡ the 4:4:4 DC path; restarts framing-only") {
+    val px = rgb(48, 24)((x, y) => ((x * 3) % 256, (y * 11) % 256,
+      (x + y) % 256))
+    val jpg = JpegEncodeKernel.encode422(48, 24, px, 2)
+    val sof = jpg.sliding(2).indexWhere(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc0)
+    assert((jpg(sof + 11) & 0xff) == 0x21, "Y sampling must be 2x1")
+    val d = JpegDecodeKernel.decode(jpg)
+    assert(d.isDefined && d.get.width == 48 && d.get.height == 24)
+    for ((w, h) <- Seq((16, 8), (17, 9), (3, 5), (1, 1))) {
+      val p = rgb(w, h)((x, y) => (x * 9 % 256, y * 5 % 256, 77))
+      val dd = JpegDecodeKernel.decode(
+        JpegEncodeKernel.encode422(w, h, p, 0))
+      assert(dd.isDefined && dd.get.width == w && dd.get.height == h,
+        s"$w x $h")
+    }
+    val const = rgb(32, 16)((_, _) => (10, 250, 123))
+    val d422 = JpegDecodeKernel.decode(
+      JpegEncodeKernel.encode422(32, 16, const, 0)).get
+    val d444 = JpegDecodeKernel.decode(
+      JpegEncodeKernel.encode(32, 16, 3, const)).get
+    assert(d422.pixels.sameElements(d444.pixels))
+    // restarts are framing only on this sampling too
+    val b = JpegDecodeKernel.decode(
+      JpegEncodeKernel.encode422(48, 24, px, 0)).get
+    for (ri <- Seq(1, 3)) {
+      val r = JpegDecodeKernel.decode(
+        JpegEncodeKernel.encode422(48, 24, px, ri))
+      assert(r.isDefined && r.get.pixels.sameElements(b.pixels),
+        s"ri=$ri")
+    }
+  }
+
   test("4:2:0 lossy envelope: smooth color gradients survive " +
       "subsample∘upsample within a fixed bound") {
     val w = 48; val h = 48
