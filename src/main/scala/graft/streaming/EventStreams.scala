@@ -405,12 +405,17 @@ object EventStreams {
     * contract as the rest of the index layout.
     * @return true if the batch was ingested, false if skipped. */
   def ingestTfIndexBatch(batch: DataFrame, epochId: Long, path: String,
-      idCol: String = "doc_id", textCol: String = "text"): Boolean = {
+      idCol: String = "doc_id", textCol: String = "text",
+      upsert: Boolean = false): Boolean = {
     val spark = batch.sparkSession
     if (epochId <= committedTfIndexEpoch(spark, path)) false
     else {
-      graft.operators.Retrieval.appendTfIndex(path, batch, idCol,
-        textCol)
+      if (upsert)
+        graft.operators.Retrieval.upsertTfIndex(path, batch, idCol,
+          textCol)
+      else
+        graft.operators.Retrieval.appendTfIndex(path, batch, idCol,
+          textCol)
       spark.range(1).select(lit(epochId).as("epoch"))
         .coalesce(1).write.mode("append")
         .parquet(s"$path/ingest_meta")
@@ -426,15 +431,25 @@ object EventStreams {
     * [[ingestTfIndexBatch]]. Queries against the index
     * ([[graft.operators.Retrieval.bm25TopKFromTfIndex]]) see every
     * committed batch immediately — the freshness contract an impact
-    * index cannot give a stream. */
+    * index cannot give a stream.
+    *
+    * `upsert = true` is the CRAWLER shape: a stream mixing new docs
+    * and RE-CRAWLS of known ids goes through
+    * [[graft.operators.Retrieval.upsertTfIndex]] per batch (new-id
+    * upsert ≡ append, so a pure-new stream costs one extra tombstone
+    * write per batch). Replays remain guarded; and a batch whose
+    * upsert half-committed before a crash self-heals on the replay —
+    * the re-run's tombstone generation kills the partial facts. */
   def startTfIndexSink(docs: DataFrame, path: String,
       checkpoint: String, idCol: String = "doc_id",
-      textCol: String = "text"): StreamingQuery =
+      textCol: String = "text",
+      upsert: Boolean = false): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        ingestTfIndexBatch(batch, epochId, path, idCol, textCol)
+        ingestTfIndexBatch(batch, epochId, path, idCol, textCol,
+          upsert)
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -471,6 +471,44 @@ class EventStreamsSpec extends SparkSpec {
       .deleteQuietly(new java.io.File(dir))
   }
 
+  test("TF-index streaming UPSERT (the crawler shape): a stream " +
+      "mixing new docs and re-crawls of known ids lands the LATEST " +
+      "text; replays still skipped") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tfupstream").toString
+    val queries = Seq(1 -> "needle common", 2 -> "revised fresh")
+    try {
+      graft.operators.Retrieval.writeTfIndex(
+        Seq((0L, "common base corpus"), (1L, "needle stale text"))
+          .toDF("doc_id", "text"), dir, wordBuckets = 8)
+      // batch 0: one NEW doc + one RE-CRAWL of doc 1 with changed text
+      val b0 = Seq((2L, "hay common brand new"),
+        (1L, "needle revised fresh text")).toDF("doc_id", "text")
+      assert(graft.streaming.EventStreams.ingestTfIndexBatch(
+        b0, 0L, dir, upsert = true))
+      // replay skipped
+      assert(!graft.streaming.EventStreams.ingestTfIndexBatch(
+        b0, 0L, dir, upsert = true))
+      val got = graft.operators.Retrieval.bm25TopKFromTfIndex(
+          spark, dir, queries, 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).sortBy(t => (t._1, t._4)).toSeq
+      val twin = graft.operators.Retrieval.bm25TopK(
+          Seq((0L, "common base corpus"),
+            (1L, "needle revised fresh text"),
+            (2L, "hay common brand new")).toDF("doc_id", "text"),
+          "doc_id", "text", queries, 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).sortBy(t => (t._1, t._4)).toSeq
+      assert(got == twin)
+      // the stale text must be GONE, not just outranked
+      assert(!got.exists { case (_, doc, _, _) => doc == 1L &&
+        twin.forall(_._2 != 1L) })
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
   test("startTfIndexSink end to end: a real foreachBatch stream " +
       "lands its documents in the index; a second run ingests only " +
       "the new data") {
