@@ -574,6 +574,22 @@ object JpegDecodeKernel {
       ended = false
       true
     }
+    /** Salvage-mode recovery: scan the RAW bytes forward for the
+      * expected RSTm marker, position after it, clear all reader
+      * state. False = no such marker remains. */
+    def seekMarker(m: Int): Boolean = {
+      val want = 0xd0 + (m & 7)
+      var i = pos
+      while (i + 1 < b.length) {
+        if ((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == want) {
+          pos = i + 2
+          acc = 0; nbits = 0; bad = false; ended = false
+          return true
+        }
+        i += 1
+      }
+      false
+    }
     private def fill(): Unit = {
       // prefetch is NOT an error: the buffer legitimately runs into
       // the trailing EOI marker while buffered bits still complete the
@@ -627,8 +643,21 @@ object JpegDecodeKernel {
     else if (v < (1 << (s - 1))) v - (1 << s) + 1
     else v
 
-  /** Full decode, or None for anything unsupported/garbage. */
-  private[graft] def decode(payload: Array[Byte]): Option[Decoded] = {
+  /** Full STRICT decode, or None for anything unsupported/garbage. */
+  private[graft] def decode(payload: Array[Byte]): Option[Decoded] =
+    decodeFull(payload, salvage = false).map(_._1)
+
+  /** SALVAGE decode: entropy damage inside a restart segment renders
+    * that segment mid-gray and decoding resumes at the next RSTm —
+    * the media-QA read for a crawled corpus where one flipped byte
+    * should not null a whole image. Returns (pixels, corrupt MCUs).
+    * Header damage and unsupported variants still return None. */
+  private[graft] def decodeSalvage(
+      payload: Array[Byte]): Option[(Decoded, Int)] =
+    decodeFull(payload, salvage = true)
+
+  private def decodeFull(payload: Array[Byte],
+      salvage: Boolean): Option[(Decoded, Int)] = {
     val b = if (payload == null) Array.emptyByteArray else payload
     def u8(i: Int): Int = b(i) & 0xff
     def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
@@ -762,7 +791,7 @@ object JpegDecodeKernel {
               scanComp, compH, compV,
               scanComp.map(compQ).map(qTables),
               compDc.map(dcTables), compAc.map(acTables),
-              restartInterval)
+              restartInterval, salvage)
           case _ => () // APPn/COM/etc: skip
         }
         i += 2 + len
@@ -772,17 +801,29 @@ object JpegDecodeKernel {
   }
 
   /** Interleaved-scan entropy decode: general over the supported
-    * sampling geometries (4:4:4 and 4:2:0 — `compH`/`compV` per SOF
-    * component, blocks per MCU in SCAN order via `scanComp`), with
-    * DRI restart resync (byte-align, consume RSTm with m cycling 0..7,
-    * reset every DC predictor). Planes are BYTE planes (IDCT output is
-    * clamped 0..255), so worst-case decode memory tracks the output
-    * size, not 4× it. Chroma upsample is PINNED nearest-neighbor
-    * (top-left co-sited — the exact inverse of the encoder's pick). */
+    * sampling geometries (`compH`/`compV` per SOF component, blocks
+    * per MCU in SCAN order via `scanComp`), with DRI restart resync
+    * (byte-align, consume RSTm with m cycling 0..7, reset every DC
+    * predictor). Planes are BYTE planes (IDCT output is clamped
+    * 0..255), so worst-case decode memory tracks the output size, not
+    * 4× it. Chroma upsample is PINNED nearest-neighbor (top-left
+    * co-sited — the exact inverse of the encoder's pick).
+    *
+    * `salvage = false` (strict): any entropy error fails the whole
+    * decode (None) — the garbage contract. `salvage = true`: restart
+    * markers bound the damage exactly as T.81 intends — a failed
+    * restart SEGMENT renders as mid-gray (128 in every component
+    * plane, so gray RGB after the inverse transform), the reader
+    * seeks the next segment's RSTm in the raw bytes and decoding
+    * resumes there with DC predictors reset. Returns the pixels plus
+    * the corrupt-MCU count. Without restart points (no DRI) there is
+    * nothing to salvage past the first error — the tail of the image
+    * renders gray. Header damage still fails outright. */
   private def entropyDecode(b: Array[Byte], start: Int, w: Int, h: Int,
       nComp: Int, scanComp: Array[Int], compH: Array[Int],
       compV: Array[Int], qt: Array[Array[Int]], dct: Array[HuffTable],
-      act: Array[HuffTable], restartInterval: Int): Option[Decoded] = {
+      act: Array[HuffTable], restartInterval: Int,
+      salvage: Boolean): Option[(Decoded, Int)] = {
     val br = new BitReader(b, start)
     var hMax = 1; var vMax = 1
     var c0 = 0
@@ -800,86 +841,138 @@ object JpegDecodeKernel {
       .toArray
     val prevDc = new Array[Int](nComp) // per scan slot
     val coefs = new Array[Int](64)
-    var mcusDone = 0
-    var rstCount = 0
-    var my = 0
-    while (my < mcuY) {
-      var mx = 0
-      while (mx < mcuX) {
-        if (restartInterval > 0 && mcusDone > 0 &&
-            mcusDone % restartInterval == 0) {
-          if (!br.resync(rstCount & 7)) return None
-          rstCount += 1
-          java.util.Arrays.fill(prevDc, 0)
-        }
-        var j = 0
-        while (j < nComp) {
-          val c = scanComp(j)
-          var vv = 0
-          while (vv < compV(c)) {
-            var hh = 0
-            while (hh < compH(c)) {
-              java.util.Arrays.fill(coefs, 0)
-              // DC
-              val s = br.decodeSymbol(dct(j))
-              if (s < 0 || s > 11) return None
-              val dv = if (s == 0) 0 else {
-                val raw = br.bitsVal(s); if (raw < 0) return None
-                extend(raw, s)
-              }
-              prevDc(j) += dv
-              // a malicious delta chain can push DC far past any value
-              // an 8-bit baseline image can legitimately produce (|DC|
-              // ≤ ~2048 even at q=1) — bound it so dequantIdct's
-              // staged Longs can't overflow
-              if (math.abs(prevDc(j)) > 4096) return None
-              coefs(0) = prevDc(j)
-              // AC
-              var k = 1
-              var done = false
-              while (!done && k < 64) {
-                val rs = br.decodeSymbol(act(j))
-                if (rs < 0) return None
-                val run = rs >> 4; val sz = rs & 0x0f
-                if (sz == 0) {
-                  if (rs == 0x00) done = true       // EOB
-                  else if (rs == 0xF0) k += 16      // ZRL
-                  else return None
-                } else {
-                  if (sz > 10) return None // T.81: AC size ≤ 10, 8-bit
-                  k += run
-                  if (k > 63) return None
-                  val raw = br.bitsVal(sz); if (raw < 0) return None
-                  coefs(Zigzag(k)) = extend(raw, sz)
-                  k += 1
-                }
-              }
-              if (br.fail) return None
-              val px = dequantIdct(coefs, qt(j))
-              val plane = planes(c)
-              val pw = planeW(c)
-              val bx = (mx * compH(c) + hh) * 8
-              val by = (my * compV(c) + vv) * 8
-              var yy = 0
-              while (yy < 8) {
-                var xx = 0
-                while (xx < 8) {
-                  plane((by + yy) * pw + bx + xx) =
-                    px(yy * 8 + xx).toByte
-                  xx += 1
-                }
-                yy += 1
-              }
-              hh += 1
+
+    // one MCU at (mx, my); false = entropy error (strict aborts,
+    // salvage grays the segment and reseeks)
+    def decodeMcu(mx: Int, my: Int): Boolean = {
+      var j = 0
+      while (j < nComp) {
+        val c = scanComp(j)
+        var vv = 0
+        while (vv < compV(c)) {
+          var hh = 0
+          while (hh < compH(c)) {
+            java.util.Arrays.fill(coefs, 0)
+            // DC
+            val s = br.decodeSymbol(dct(j))
+            if (s < 0 || s > 11) return false
+            val dv = if (s == 0) 0 else {
+              val raw = br.bitsVal(s); if (raw < 0) return false
+              extend(raw, s)
             }
-            vv += 1
+            prevDc(j) += dv
+            // a malicious delta chain can push DC far past any value
+            // an 8-bit baseline image can legitimately produce (|DC|
+            // ≤ ~2048 even at q=1) — bound it so dequantIdct's
+            // staged Longs can't overflow
+            if (math.abs(prevDc(j)) > 4096) return false
+            coefs(0) = prevDc(j)
+            // AC
+            var k = 1
+            var done = false
+            while (!done && k < 64) {
+              val rs = br.decodeSymbol(act(j))
+              if (rs < 0) return false
+              val run = rs >> 4; val sz = rs & 0x0f
+              if (sz == 0) {
+                if (rs == 0x00) done = true       // EOB
+                else if (rs == 0xF0) k += 16      // ZRL
+                else return false
+              } else {
+                if (sz > 10) return false // T.81: AC size ≤ 10, 8-bit
+                k += run
+                if (k > 63) return false
+                val raw = br.bitsVal(sz); if (raw < 0) return false
+                coefs(Zigzag(k)) = extend(raw, sz)
+                k += 1
+              }
+            }
+            if (br.fail) return false
+            val px = dequantIdct(coefs, qt(j))
+            val plane = planes(c)
+            val pw = planeW(c)
+            val bx = (mx * compH(c) + hh) * 8
+            val by = (my * compV(c) + vv) * 8
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                plane((by + yy) * pw + bx + xx) =
+                  px(yy * 8 + xx).toByte
+                xx += 1
+              }
+              yy += 1
+            }
+            hh += 1
           }
-          j += 1
+          vv += 1
         }
-        mcusDone += 1
-        mx += 1
+        j += 1
       }
-      my += 1
+      true
+    }
+
+    // mid-gray fill of the MCUs in [from, until) — covers partial
+    // writes of a failed segment; unreached MCUs are already gray
+    // from the salvage pre-fill
+    def fillGray(from: Int, until: Int): Unit = {
+      var i = from
+      while (i < until) {
+        val mx = i % mcuX; val my = i / mcuX
+        var c = 0
+        while (c < nComp) {
+          val pw = planeW(c)
+          val x0 = mx * 8 * compH(c); val y0 = my * 8 * compV(c)
+          var yy = 0
+          while (yy < 8 * compV(c)) {
+            java.util.Arrays.fill(planes(c), (y0 + yy) * pw + x0,
+              (y0 + yy) * pw + x0 + 8 * compH(c), 128.toByte)
+            yy += 1
+          }
+          c += 1
+        }
+        i += 1
+      }
+    }
+
+    if (salvage) planes.foreach(java.util.Arrays.fill(_, 128.toByte))
+    val total = mcuX * mcuY
+    val segLen = if (restartInterval > 0) restartInterval else total
+    var corrupt = 0
+    var segStart = 0
+    var segIdx = 0
+    var aborted = false
+    // seekMarker CONSUMES the next segment's RSTm, so that segment
+    // must not resync again
+    var skipResync = false
+    while (segStart < total && !aborted) {
+      val segEnd = math.min(segStart + segLen, total)
+      var ok = true
+      if (segIdx > 0) {
+        if (skipResync) skipResync = false
+        else ok = br.resync((segIdx - 1) & 7)
+        java.util.Arrays.fill(prevDc, 0)
+      }
+      var idx = segStart
+      while (ok && idx < segEnd) {
+        ok = decodeMcu(idx % mcuX, idx / mcuX)
+        idx += 1
+      }
+      if (!ok) {
+        if (!salvage) return None
+        corrupt += segEnd - segStart
+        fillGray(segStart, segEnd)
+        if (segEnd < total) {
+          if (br.seekMarker(segIdx & 7)) skipResync = true
+          else {
+            // no recovery point left: the remainder stays gray
+            corrupt += total - segEnd
+            aborted = true
+          }
+        }
+      }
+      segStart = segEnd
+      segIdx += 1
     }
     // crop padding; upsample (nearest, top-left co-sited); interleave;
     // inverse color transform
@@ -915,12 +1008,49 @@ object JpegDecodeKernel {
         y += 1
       }
     }
-    Some(Decoded(w, h, nComp, out))
+    Some((Decoded(w, h, nComp, out), corrupt))
   }
 
   /** Raw decoded pixels (row-major, channel-interleaved), or null. */
   def decodePixels(payload: Array[Byte]): Array[Byte] =
     decode(payload).map(_.pixels).orNull
+
+  private def nullSalvageStats =
+    new GenericInternalRow(
+      Array[Any](null, null, null, null, null, null, null, null, null))
+
+  /** [[jpegStats]] through the SALVAGE decode ([[decodeSalvage]]):
+    * same eight statistics over the salvaged pixels (failed restart
+    * segments contribute mid-gray) plus `corrupt_mcus`. All-null only
+    * for header damage / unsupported variants — a stream with a
+    * single flipped entropy byte reports its surviving content
+    * instead of nulling out. */
+  def jpegStatsSalvage(payload: Array[Byte]): InternalRow =
+    decodeSalvage(payload) match {
+      case None => nullSalvageStats
+      case Some((d, corrupt)) =>
+        var s0 = 0L; var s1 = 0L; var s2 = 0L; var luma = 0L
+        val n = d.width * d.height
+        var p = 0
+        while (p < n) {
+          val base = p * d.channels
+          val v0 = d.pixels(base) & 0xff
+          s0 += v0
+          if (d.channels >= 3) {
+            val v1 = d.pixels(base + 1) & 0xff
+            val v2 = d.pixels(base + 2) & 0xff
+            s1 += v1; s2 += v2
+            luma += 299L * v0 + 587L * v1 + 114L * v2
+          } else luma += 1000L * v0
+          p += 1
+        }
+        new GenericInternalRow(Array[Any](
+          d.width.toLong, d.height.toLong, d.channels.toLong, n.toLong,
+          s0,
+          if (d.channels >= 3) s1 else null,
+          if (d.channels >= 3) s2 else null,
+          luma, corrupt.toLong))
+    }
 
   /** ONE-PASS JPEG→PNG transcode: decode once, hand the dims AND
     * pixels straight to the PNG encoder — the normalize rung of a
@@ -1011,6 +1141,27 @@ object Jpeg {
         ColumnBridge.expression(pixels)),
       inputTypes = Seq(IntegerType, IntegerType, IntegerType, BinaryType),
       propagateNull = true, returnNullable = true))
+
+  private val salvageStatsType = StructType(Seq(
+    StructField("width", LongType, nullable = true),
+    StructField("height", LongType, nullable = true),
+    StructField("channels", LongType, nullable = true),
+    StructField("n_pixels", LongType, nullable = true),
+    StructField("sum_c0", LongType, nullable = true),
+    StructField("sum_c1", LongType, nullable = true),
+    StructField("sum_c2", LongType, nullable = true),
+    StructField("sum_luma_milli", LongType, nullable = true),
+    StructField("corrupt_mcus", LongType, nullable = true)))
+
+  /** [[jpegStats]] + `corrupt_mcus` through the salvage decode (see
+    * [[JpegDecodeKernel.jpegStatsSalvage]] — failed restart segments
+    * render gray instead of nulling the row). */
+  def jpegStatsSalvage(payload: Column): Column =
+    ColumnBridge.column(StaticInvoke(
+      JpegDecodeKernel.getClass, salvageStatsType, "jpegStatsSalvage",
+      Seq(ColumnBridge.expression(payload)),
+      inputTypes = Seq(BinaryType),
+      propagateNull = false, returnNullable = false))
 
   /** One-pass JPEG→PNG transcode (see
     * [[JpegDecodeKernel.transcodeToPng]]). */

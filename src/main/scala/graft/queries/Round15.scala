@@ -401,6 +401,105 @@ object Round15 {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // ---- SALVAGE decode of damaged JPEGs (why restart intervals
+    // exist): at 100 TB of crawled media, bit rot and truncated
+    // transfers are routine — a QA pass that nulls a whole image for
+    // one flipped byte throws away everything its RST markers
+    // protected. Spark CONSTRUCTS q346's 4:2:0 streams with ri=1,
+    // then CORRUPTS each in-query (the two bytes before EOI become an
+    // invalid marker — always inside the LAST restart segment's
+    // entropy bytes), and reads them back through jpegStatsSalvage:
+    // the strict decoder returns all-null for every such row; the
+    // salvage decoder renders exactly the last MCU mid-gray, resumes
+    // nothing (it was the last segment), and reports corrupt_mcus=1.
+    // The oracle is q346's closed form with the last MCU replaced by
+    // gray — so the green hash pins WHERE the damage landed, not just
+    // that something decoded.
+    QueryDef("q351_jpeg_salvage",
+      (s, dir) => {
+        import org.apache.spark.sql.Column
+        val w = (col("doc_id") % 2 + 1) * 16
+        val h = (col("doc_id") % 3 + 1) * 16
+        def mcuVal(mx: Column, my: Column, mw: Column, k: Column) =
+          (col("doc_id") * 7 + (my * mw + mx) * 37 + k * 11) % 256
+        def hx(c: Column) = lpad(hex(c), 2, "0")
+        val mw = Round14.idiv(w, lit(16))
+        val px = unhex(array_join(
+          transform(sequence(lit(0L), h - 1), y => {
+            val my = Round14.idiv(y, lit(16))
+            array_join(
+              transform(sequence(lit(0L), mw - 1), mx =>
+                repeat(concat(hx(mcuVal(mx, my, mw, lit(0))),
+                  hx(mcuVal(mx, my, mw, lit(1))),
+                  hx(mcuVal(mx, my, mw, lit(2)))), 16)), "")
+          }), ""))
+        val jpg = graft.functions.Jpeg.jpegEncode420(w, h, px, lit(1))
+        // bit rot: the two bytes before EOI become an invalid marker
+        // (always inside the last restart segment's entropy data)
+        val damaged = concat(
+          substring(jpg, lit(1), length(jpg) - 4),
+          lit(Array(0xFF.toByte, 0xC0.toByte)),
+          substring(jpg, length(jpg) - 1, lit(2)))
+        val payload = when(col("doc_id") % 7 === 6,
+            graft.operators.Multimodal.syntheticPayload(col("text")))
+          .otherwise(damaged)
+        t("documents")(s, dir)
+          .select(col("doc_id"), col("text"))
+          .withColumn("st",
+            graft.functions.Jpeg.jpegStatsSalvage(payload))
+          .select(col("doc_id"), col("st.width"), col("st.height"),
+            col("st.n_pixels"), col("st.sum_c0"), col("st.sum_c1"),
+            col("st.sum_c2"), col("st.sum_luma_milli"),
+            col("st.corrupt_mcus"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        import Round14.{oDcPipe, oRgbY, oRgbCb, oRgbCr, oYcc2R,
+          oYcc2G, oYcc2B}
+        def v(k: Int) =
+          s"(doc_id * 7 + (my * (w // 16) + mx) * 37 + $k * 11) % 256"
+        val (yc, cb, cr) = (oRgbY(v(0), v(1), v(2)),
+          oRgbCb(v(0), v(1), v(2)), oRgbCr(v(0), v(1), v(2)))
+        s"""WITH d AS (SELECT doc_id, (doc_id % 2 + 1) * 16 AS w,
+           |    (doc_id % 3 + 1) * 16 AS h
+           |  FROM documents WHERE doc_id % 7 <> 6),
+           |mx0 AS (SELECT doc_id, w, h,
+           |    unnest(generate_series(0, w // 16 - 1)) AS mx FROM d),
+           |mcu AS (SELECT doc_id, w, h, mx,
+           |    unnest(generate_series(0, h // 16 - 1)) AS my FROM mx0),
+           |dcy AS (SELECT doc_id, w, h, mx, my,
+           |    ${oDcPipe(yc, 16)} AS yq,
+           |    ${oDcPipe(cb, 17)} AS cbq,
+           |    ${oDcPipe(cr, 17)} AS crq
+           |  FROM mcu),
+           |outs AS (SELECT doc_id, w, h,
+           |    CASE WHEN mx = w // 16 - 1 AND my = h // 16 - 1
+           |      THEN 128 ELSE ${oYcc2R("yq", "crq")} END AS o0,
+           |    CASE WHEN mx = w // 16 - 1 AND my = h // 16 - 1
+           |      THEN 128 ELSE ${oYcc2G("yq", "cbq", "crq")} END AS o1,
+           |    CASE WHEN mx = w // 16 - 1 AND my = h // 16 - 1
+           |      THEN 128 ELSE ${oYcc2B("yq", "cbq")} END AS o2
+           |  FROM dcy),
+           |a AS (SELECT doc_id, 256 * SUM(o0) AS s0,
+           |    256 * SUM(o1) AS s1, 256 * SUM(o2) AS s2
+           |  FROM outs GROUP BY 1)
+           |SELECT a.doc_id, CAST(d.w AS BIGINT) AS width,
+           |  CAST(d.h AS BIGINT) AS height,
+           |  CAST(d.w * d.h AS BIGINT) AS n_pixels,
+           |  CAST(s0 AS BIGINT) AS sum_c0,
+           |  CAST(s1 AS BIGINT) AS sum_c1,
+           |  CAST(s2 AS BIGINT) AS sum_c2,
+           |  CAST(299 * s0 + 587 * s1 + 114 * s2 AS BIGINT)
+           |    AS sum_luma_milli,
+           |  CAST(1 AS BIGINT) AS corrupt_mcus
+           |FROM a JOIN d USING (doc_id)
+           |UNION ALL
+           |SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           |  NULL
+           |FROM documents WHERE doc_id % 7 = 6
+           |ORDER BY doc_id""".stripMargin
+      }),
+
     // ---- ANN-index UPSERT (the fourth family — the upsert matrix
     // closes: TF q344, shingle q345, fingerprint spec, now IVF-PQ): a
     // re-crawled document gets a NEW embedding under the SAME id.

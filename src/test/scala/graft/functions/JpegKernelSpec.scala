@@ -283,6 +283,72 @@ class JpegKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("salvage decode: a corrupted restart segment renders gray, " +
+      "every other segment is bit-identical; strict still returns " +
+      "None; clean streams salvage with corrupt_mcus = 0") {
+    val g = gray(40, 8)((x, y) => (x * 7 + y * 3) % 256)
+    val jpg = JpegEncodeKernel.encodeDri(40, 8, 1, g, 1) // 5 MCUs
+    val clean = JpegDecodeKernel.decode(jpg).get
+    // clean stream: salvage ≡ strict, nothing corrupt
+    val (sClean, cClean) = JpegDecodeKernel.decodeSalvage(jpg).get
+    assert(cClean == 0 && sClean.pixels.sameElements(clean.pixels))
+    // corrupt segment 1: inject an invalid marker right after RST0
+    val iRst = jpg.sliding(2).indexWhere(p => (p(0) & 0xff) == 0xff &&
+      (p(1) & 0xff) == 0xd0)
+    assert(iRst >= 0)
+    val bad = jpg.clone()
+    bad(iRst + 2) = 0xff.toByte
+    bad(iRst + 3) = 0xc0.toByte
+    assert(JpegDecodeKernel.decode(bad).isEmpty, "strict must fail")
+    val (sv, corrupt) = JpegDecodeKernel.decodeSalvage(bad).get
+    assert(corrupt == 1, s"corrupt=$corrupt") // exactly MCU 1 (ri=1)
+    for (y <- 0 until 8; x <- 0 until 40) {
+      val got = sv.pixels(y * 40 + x) & 0xff
+      if (x >= 8 && x < 16) assert(got == 128, s"($x,$y) not gray")
+      else assert(got == (clean.pixels(y * 40 + x) & 0xff),
+        s"($x,$y) drifted")
+    }
+    // salvage stats carry the corrupt count
+    val st = JpegDecodeKernel.jpegStatsSalvage(bad)
+    assert(st.getLong(8) == 1L && st.getLong(0) == 40L)
+    // no restart points: damage grays the whole image, never throws
+    val noDri = JpegEncodeKernel.encode(40, 8, 1, g)
+    val sosEnd = {
+      val i = noDri.sliding(2).indexWhere(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xda)
+      i + 2 + (((noDri(i + 2) & 0xff) << 8) | (noDri(i + 3) & 0xff))
+    }
+    val bad2 = noDri.clone()
+    bad2(sosEnd) = 0xff.toByte
+    bad2(sosEnd + 1) = 0xc0.toByte
+    val (sv2, corrupt2) = JpegDecodeKernel.decodeSalvage(bad2).get
+    assert(corrupt2 == 5 && sv2.pixels.forall(p => (p & 0xff) == 128))
+    // header damage still fails outright even in salvage mode
+    assert(JpegDecodeKernel.decodeSalvage("nope".getBytes).isEmpty)
+  }
+
+  test("salvage decode on 4:2:0: a mid-stream corrupted segment " +
+      "grays one 16x16 MCU; surviving MCUs identical") {
+    val px = rgb(64, 16)((x, y) => (x * 4 % 256, y * 9 % 256,
+      (x + y) % 256))
+    val jpg = JpegEncodeKernel.encode420(64, 16, px, 1) // 4 MCUs
+    val clean = JpegDecodeKernel.decode(jpg).get
+    val iRst1 = jpg.sliding(2).indexWhere(p => (p(0) & 0xff) == 0xff &&
+      (p(1) & 0xff) == 0xd1) // before segment 2 (MCU 2)
+    assert(iRst1 >= 0)
+    val bad = jpg.clone()
+    bad(iRst1 + 2) = 0xff.toByte
+    bad(iRst1 + 3) = 0xc0.toByte
+    val (sv, corrupt) = JpegDecodeKernel.decodeSalvage(bad).get
+    assert(corrupt == 1)
+    for (y <- 0 until 16; x <- 0 until 64; k <- 0 until 3) {
+      val got = sv.pixels((y * 64 + x) * 3 + k) & 0xff
+      if (x >= 32 && x < 48) assert(got == 128, s"($x,$y,$k) not gray")
+      else assert(got == (clean.pixels((y * 64 + x) * 3 + k) & 0xff),
+        s"($x,$y,$k) drifted")
+    }
+  }
+
   test("4:2:0 lossy envelope: smooth color gradients survive " +
       "subsample∘upsample within a fixed bound") {
     val w = 48; val h = 48

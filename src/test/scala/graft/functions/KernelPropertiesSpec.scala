@@ -177,6 +177,35 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: JPEG SALVAGE decode never throws on arbitrary " +
+      "mutations, bounds corrupt_mcus, and always fills the full " +
+      "pixel buffer") {
+    val base = JpegEncodeKernel.encode420(32, 32,
+      Array.tabulate(32 * 32 * 3)(i => (i * 53 % 256).toByte), 1)
+    val gen = for {
+      nMut <- Gen.choose(1, 8)
+      muts <- Gen.listOfN(nMut,
+        Gen.zip(Gen.choose(0, base.length - 1), Gen.choose(-128, 127)))
+      chop <- Gen.choose(0, base.length)
+    } yield (muts, chop)
+    for ((muts, chop) <- samples(gen, 150)) {
+      val b = base.clone()
+      muts.foreach { case (i, v) => b(i) = v.toByte }
+      val mutated = b.take(chop.max(1))
+      JpegDecodeKernel.decodeSalvage(mutated) match {
+        case None => () // header damage: fails outright, fine
+        case Some((d, corrupt)) =>
+          // a mutation may rewrite the SOF dims, so bound by the
+          // DECODED geometry (8×8 MCUs is the worst case)
+          val maxMcus = ((d.width + 7) / 8) * ((d.height + 7) / 8)
+          assert(corrupt >= 0 && corrupt <= maxMcus,
+            s"corrupt=$corrupt dims=${d.width}x${d.height}")
+          assert(d.pixels.length == d.width * d.height * d.channels)
+      }
+      JpegDecodeKernel.jpegStatsSalvage(mutated) // never throws
+    }
+  }
+
   test("property: JPEG decode never throws on arbitrary mutations of " +
       "a valid 4:2:0 + restart-interval file") {
     val base = JpegEncodeKernel.encode420(32, 32,
