@@ -671,6 +671,7 @@ object Dedup {
       s"$path/postings", "sbucket")
     val (db, da) = graft.sink.Compact.compact(spark, s"$path/docs",
       targetBytes)
+    graft.sink.IndexLayout.compactGenLog(spark, path)
     (pb + db, pa + da)
   }
 
@@ -679,9 +680,12 @@ object Dedup {
     * persisted index family now has build/append/delete/purge AND
     * compaction. Returns (filesBefore, filesAfter). */
   def compactFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): (Int, Int) =
-    graft.sink.Compact.compactPartitioned(spark,
+      path: String): (Int, Int) = {
+    val r = graft.sink.Compact.compactPartitioned(spark,
       s"$path/postings", "fbucket")
+    graft.sink.IndexLayout.compactGenLog(spark, path)
+    r
+  }
 
   /** PPJoin-pruned exact Jaccard of a fresh INCREMENT against a
     * [[writeShingleIndex]] artifact (which already contains the

@@ -460,6 +460,11 @@ object Retrieval {
       s"$path/postings", "wbucket")
     val (db, da) = graft.sink.Compact.compact(spark, s"$path/docs",
       targetBytes)
+    // the per-mutation metadata logs accrete one tiny file each —
+    // collapse them to their single max row while we're here
+    graft.sink.IndexLayout.compactGenLog(spark, path)
+    graft.sink.IndexLayout.compactMaxLog(spark, s"$path/ingest_meta",
+      "epoch")
     (pb + db, pa + da)
   }
 

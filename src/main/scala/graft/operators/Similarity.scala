@@ -1454,8 +1454,12 @@ object Similarity {
     * before and after. Returns (filesBefore, filesAfter). */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String,
-      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
-    graft.sink.Compact.compact(spark, s"$path/codes", targetBytes)
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val r = graft.sink.Compact.compact(spark, s"$path/codes",
+      targetBytes)
+    graft.sink.IndexLayout.compactGenLog(spark, path)
+    r
+  }
 
   /** Physically drop tombstone-killed code generations (staging-swap
     * rewrite keeping exactly what [[IvfPqIndex.read]] keeps —

@@ -60,13 +60,19 @@ object IndexLayout {
 
   /** Append `(keyName, below_gen)` tombstones: kill these keys' facts
     * with `gen < belowGen`. `Long.MaxValue` is deliberately NOT used
-    * anywhere — a delete kills what exists now, never the future. */
+    * anywhere — a delete kills what exists now, never the future.
+    * An EMPTY id frame is a no-op: a zero-row dynamic write would
+    * leave a parquet directory with no files, and every subsequent
+    * schema-inferring tombstone read would throw. */
   def appendTombstones(ids: DataFrame, path: String, keyName: String,
-      belowGen: Long): Unit =
-    ids.select(col(ids.columns.head).cast("long").as(keyName))
+      belowGen: Long): Unit = {
+    val t = ids.select(col(ids.columns.head).cast("long").as(keyName))
       .distinct()
       .withColumn("below_gen", lit(belowGen))
-      .write.mode("append").parquet(s"$path/tombstones")
+      .localCheckpoint() // one materialization: emptiness check + write
+    if (!t.isEmpty)
+      t.write.mode("append").parquet(s"$path/tombstones")
+  }
 
   /** Per-key kill floor `(keyName, below_gen)` — None when nothing is
     * tombstoned. */
@@ -76,6 +82,25 @@ object IndexLayout {
     else Some(spark.read.parquet(s"$path/tombstones")
       .groupBy(col(keyName))
       .agg(max(col("below_gen")).as("below_gen")))
+
+  /** Compact the append-only generation log to its single max row —
+    * one tiny file. Every mutation appends one file to `path/gen`, so
+    * a year of daily ingest leaves ~365 files whose LISTING cost rides
+    * every currentGen read; the index compaction entry points call
+    * this alongside the postings rewrite. Only the max matters
+    * (generations are monotone), so the rewrite keeps exactly that —
+    * through [[Compact.rewriteFiltered]]'s crash discipline. No-op if
+    * no log exists. */
+  def compactGenLog(spark: SparkSession, path: String): Unit =
+    compactMaxLog(spark, s"$path/gen", "gen")
+
+  /** [[compactGenLog]] for any append-only monotone one-column log
+    * (the streaming sink's `ingest_meta` epoch log shares the shape). */
+  def compactMaxLog(spark: SparkSession, dir: String,
+      colName: String): Unit =
+    if (dirExists(spark, dir))
+      Compact.rewriteFiltered(spark, dir,
+        _.agg(max(col(colName)).as(colName)).coalesce(1))
 
   /** Keep the facts that survive the kill floor: no tombstone for the
     * key, or `gen >= below_gen`. No broadcast hint — a purge list can
