@@ -780,6 +780,12 @@ object JpegDecodeKernel {
               c += 1
             }
             if (scanComp.distinct.length != nComp) return None
+            // baseline scan header: Ss=0, Se=63, AhAl=0 (T.81 B.2.3) —
+            // anything else is a progressive-style scan that would
+            // silently misdecode rather than fail
+            val specOff = d + 1 + 2 * nComp
+            if (u8(specOff) != 0 || u8(specOff + 1) != 63 ||
+              u8(specOff + 2) != 0) return None
             c = 0
             while (c < nComp) {
               if (qTables(compQ(scanComp(c))) == null ||
