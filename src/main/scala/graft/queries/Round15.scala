@@ -433,18 +433,25 @@ object Round15 {
                   hx(mcuVal(mx, my, mw, lit(1))),
                   hx(mcuVal(mx, my, mw, lit(2)))), 16)), "")
           }), ""))
-        val jpg = graft.functions.Jpeg.jpegEncode420(w, h, px, lit(1))
+        // bind the encode to its OWN projection: the corruption
+        // surgery references the blob four times (2 substrings + 2
+        // lengths), and without the binding each reference re-runs
+        // the encoder (the q89/q346 expression-binding lesson —
+        // measured 5.9 → ~2 s)
+        val withJpg = t("documents")(s, dir)
+          .select(col("doc_id"), col("text"),
+            graft.functions.Jpeg.jpegEncode420(w, h, px, lit(1))
+              .as("jpg"))
         // bit rot: the two bytes before EOI become an invalid marker
         // (always inside the last restart segment's entropy data)
         val damaged = concat(
-          substring(jpg, lit(1), length(jpg) - 4),
+          substring(col("jpg"), lit(1), length(col("jpg")) - 4),
           lit(Array(0xFF.toByte, 0xC0.toByte)),
-          substring(jpg, length(jpg) - 1, lit(2)))
+          substring(col("jpg"), length(col("jpg")) - 1, lit(2)))
         val payload = when(col("doc_id") % 7 === 6,
             graft.operators.Multimodal.syntheticPayload(col("text")))
           .otherwise(damaged)
-        t("documents")(s, dir)
-          .select(col("doc_id"), col("text"))
+        withJpg
           .withColumn("st",
             graft.functions.Jpeg.jpegStatsSalvage(payload))
           .select(col("doc_id"), col("st.width"), col("st.height"),
