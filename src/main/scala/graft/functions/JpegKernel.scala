@@ -27,9 +27,12 @@ import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StructFiel
   * chroma-oversampled layouts, progressive/arithmetic/hierarchical,
   * 12-bit) — and any truncated/garbage payload — decodes to null,
   * never throws (the PNG-kernel garbage-rows contract;
-  * KernelPropertiesSpec fuzzes it). Decode planes are BYTE planes and
-  * the pixel bomb guard is 2^29 samples, so worst-case decode memory
-  * tracks the output bound.
+  * KernelPropertiesSpec fuzzes it). The SALVAGE entry points
+  * ([[JpegDecodeKernel.decodeSalvage]], `jpegStatsSalvage`) instead
+  * recover per restart segment: damaged segments render mid-gray with
+  * a corrupt-MCU count, headers failing as before. Decode planes are
+  * BYTE planes and the pixel bomb guard is 2^29 samples, so
+  * worst-case decode memory tracks the output bound.
   *
   * JPEG is LOSSY, so the parse∘construct oracle discipline needs every
   * rounding PINNED (T.81 leaves DCT/IDCT rounding implementation-
