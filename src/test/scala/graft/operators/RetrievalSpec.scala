@@ -265,6 +265,38 @@ class RetrievalSpec extends SparkSpec {
       .deleteQuietly(new java.io.File(dir))
   }
 
+  test("TF index: COMPACTION with LIVE tombstones preserves the kill " +
+      "floor (dead generations survive the rewrite untouched; the " +
+      "later purge still removes exactly them)") {
+    val docs = tfIdxDocs
+    val queries = Seq(1 -> "needle common", 2 -> "words here updated")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tfupcomp").toString
+    try {
+      Retrieval.writeTfIndex(docs, dir, wordBuckets = 8)
+      val crawl = docs.where(col("doc_id") % 5 === 0)
+        .withColumn("text",
+          concat(col("text"), lit(" updated revision")))
+      Retrieval.upsertTfIndex(dir, crawl)
+      def run() = canonTopK(
+        Retrieval.bm25TopKFromTfIndex(spark, dir, queries, 10))
+      val expected = run()
+      // compact while the upsert's tombstones are still live:
+      // compaction rewrites FILES, never rows — the dead generations
+      // stay physically present and logically dead
+      val (before, after) = Retrieval.compactTfIndex(spark, dir)
+      assert(after < before)
+      assert(new java.io.File(s"$dir/tombstones").exists())
+      assert(run() == expected)
+      // the purge afterwards still drops exactly the dead generations
+      val rows = spark.read.parquet(s"$dir/postings").count()
+      Retrieval.purgeTfIndexTombstones(spark, dir)
+      assert(spark.read.parquet(s"$dir/postings").count() < rows)
+      assert(run() == expected)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
   test("TF index COMPACTION: file count shrinks after two appends, " +
       "query results bit-identical through the rewrite") {
     val docs = tfIdxDocs
