@@ -527,23 +527,23 @@ object Dedup {
       shingleBuckets: Int = 64, idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
     require(shingleBuckets >= 1)
+    graft.sink.IndexLayout.freshLayout(docs.sparkSession, path)
     val sh = hashedShingleSet(docs.select(col(idCol), col(textCol)),
         idCol, textCol, n, cache = false)
       .withColumnRenamed("h", "s")
       .localCheckpoint() // postings + docs derive from ONE shingle pass
-    // repartition ON the bucket column before the partitioned write:
-    // one file per bucket per write instead of (#tasks × #buckets)
-    // tiny files — the listing cost of the latter dominates every
-    // subsequent read (measured 9.2 s → sub-second query overhead at
-    // sf0.01 ×32)
-    sh.withColumn("gen", lit(0L))
-      .withColumn("sbucket", pmod(col("s"), lit(shingleBuckets.toLong)))
-      .repartition(col("sbucket"))
-      .write.mode("overwrite").partitionBy("sbucket")
-      .parquet(s"$path/postings")
-    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      .withColumn("gen", lit(0L))
-      .write.mode("overwrite").parquet(s"$path/docs")
+    // writeFacts repartitions ON the bucket column before the
+    // partitioned write: one file per bucket per write instead of
+    // (#tasks × #buckets) tiny files — the listing cost of the latter
+    // dominates every subsequent read (measured 9.2 s → sub-second
+    // query overhead at sf0.01 ×32)
+    graft.sink.IndexLayout.writeFacts(
+      sh.withColumn("sbucket",
+        pmod(col("s"), lit(shingleBuckets.toLong))),
+      path, "postings", "sbucket")
+    graft.sink.IndexLayout.writeFlatFacts(
+      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")),
+      path, "docs")
     docs.sparkSession.range(1)
       .select(lit(shingleBuckets).as("n_buckets"),
         lit(n).as("shingle_n"))
@@ -559,9 +559,8 @@ object Dedup {
   def appendShingleIndex(path: String, newDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val spark = newDocs.sparkSession
-    val g = graft.sink.IndexLayout.currentGen(spark, path) + 1
+    val g = graft.sink.IndexLayout.reserveGen(spark, path)
     appendShingleFacts(path, newDocs, idCol, textCol, g)
-    graft.sink.IndexLayout.bumpGen(spark, path, g)
   }
 
   /** UPSERT a re-crawled increment into a [[writeShingleIndex]]
@@ -576,15 +575,18 @@ object Dedup {
   def upsertShingleIndex(path: String, docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val spark = docs.sparkSession
-    val g = graft.sink.IndexLayout.currentGen(spark, path) + 1
+    // generation reserved BEFORE the tombstone/fact writes — a replay
+    // of a crashed upsert self-heals ([[graft.sink.IndexLayout
+    // .reserveGen]])
+    val g = graft.sink.IndexLayout.reserveGen(spark, path)
     graft.sink.IndexLayout.appendTombstones(
       docs.select(col(idCol)), path, "doc_id", g)
     appendShingleFacts(path, docs, idCol, textCol, g)
-    graft.sink.IndexLayout.bumpGen(spark, path, g)
   }
 
-  private def appendShingleFacts(path: String, newDocs: DataFrame,
-      idCol: String, textCol: String, gen: Long): Unit = {
+  private[graft] def appendShingleFacts(path: String,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      gen: Long): Unit = {
     val spark = newDocs.sparkSession
     val meta = spark.read.parquet(s"$path/meta")
       .select(col("n_buckets"), col("shingle_n")).collect()(0)
@@ -593,14 +595,12 @@ object Dedup {
         idCol, textCol, n, cache = false)
       .withColumnRenamed("h", "s")
       .localCheckpoint()
-    sh.withColumn("gen", lit(gen))
-      .withColumn("sbucket", pmod(col("s"), lit(nBuckets.toLong)))
-      .repartition(col("sbucket")) // one file per bucket per append
-      .write.mode("append").partitionBy("sbucket")
-      .parquet(s"$path/postings")
-    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      .withColumn("gen", lit(gen))
-      .write.mode("append").parquet(s"$path/docs")
+    graft.sink.IndexLayout.appendFacts(
+      sh.withColumn("sbucket", pmod(col("s"), lit(nBuckets.toLong))),
+      path, "postings", "sbucket", gen)
+    graft.sink.IndexLayout.appendFlatFacts(
+      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")),
+      path, "docs", gen)
   }
 
   /** DELETE documents from a [[writeShingleIndex]] artifact — the
@@ -616,9 +616,8 @@ object Dedup {
     */
   def deleteFromShingleIndex(path: String, docIds: DataFrame): Unit = {
     val spark = docIds.sparkSession
-    val g = graft.sink.IndexLayout.currentGen(spark, path) + 1
+    val g = graft.sink.IndexLayout.reserveGen(spark, path)
     graft.sink.IndexLayout.appendTombstones(docIds, path, "doc_id", g)
-    graft.sink.IndexLayout.bumpGen(spark, path, g)
   }
 
   /** Physically drop tombstone-killed generations (whole-tree
@@ -638,22 +637,25 @@ object Dedup {
   private def purgeBucketedTombstones(
       spark: org.apache.spark.sql.SparkSession, path: String,
       bucketPrefix: String): Unit = {
-    val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val fs = tombPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(tombPath)) return
-    val postings = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val man = graft.sink.IndexManifest.read(spark, path)
+    if (!graft.sink.IndexLayout.dirExists(spark,
+        graft.sink.IndexLayout.dir(path, man, "tombstones"))) return
+    val postings = new org.apache.hadoop.fs.Path(
+      graft.sink.IndexLayout.dir(path, man, "postings"))
+    val fs = postings.getFileSystem(spark.sessionState.newHadoopConf())
     val leaves = fs.listStatus(postings).filter(_.isDirectory)
       .map(_.getPath.toString)
       .filter(_.contains(bucketPrefix))
     require(leaves.nonEmpty,
-      s"$path/postings has no $bucketPrefix leaves — wrong index " +
+      s"$postings has no $bucketPrefix leaves — wrong index " +
         "layout for this purge")
-    // ONE partitioned rewrite job + whole-tree swap — never one job
-    // per bucket leaf (2^14 sequential jobs at production bucket
-    // counts); drops exactly the generations the read-time filter
+    // ONE partitioned rewrite job into a NEW tree version, committed
+    // by pointer — never one job per bucket leaf (2^14 sequential jobs
+    // at production bucket counts), never a window where readers see a
+    // missing tree; drops exactly the generations the read-time filter
     // drops, upsert-killed facts included
     graft.sink.IndexLayout.purgeTombstones(spark, path, "doc_id",
-      bucketPrefix.stripSuffix("="), Seq(s"$path/docs"))
+      bucketPrefix.stripSuffix("="), Seq("docs"))
   }
 
   /** Compact a [[writeShingleIndex]] artifact's accumulated append
@@ -667,11 +669,11 @@ object Dedup {
   def compactShingleIndex(spark: org.apache.spark.sql.SparkSession,
       path: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val (pb, pa) = graft.sink.Compact.compactPartitioned(spark,
-      s"$path/postings", "sbucket")
-    val (db, da) = graft.sink.Compact.compact(spark, s"$path/docs",
-      targetBytes)
-    graft.sink.IndexLayout.compactGenLog(spark, path)
+    val (pb, pa) = graft.sink.IndexLayout.compactVersioned(spark, path,
+      "postings", Some("sbucket"))
+    val (db, da) = graft.sink.IndexLayout.compactVersioned(spark, path,
+      "docs", None, targetBytes)
+    graft.sink.IndexLayout.compactMetadata(spark, path)
     (pb + db, pa + da)
   }
 
@@ -681,9 +683,9 @@ object Dedup {
     * compaction. Returns (filesBefore, filesAfter). */
   def compactFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): (Int, Int) = {
-    val r = graft.sink.Compact.compactPartitioned(spark,
-      s"$path/postings", "fbucket")
-    graft.sink.IndexLayout.compactGenLog(spark, path)
+    val r = graft.sink.IndexLayout.compactVersioned(spark, path,
+      "postings", Some("fbucket"))
+    graft.sink.IndexLayout.compactMetadata(spark, path)
     r
   }
 
@@ -720,11 +722,16 @@ object Dedup {
     // tombstone-killed generations out BEFORE ranking (no broadcast
     // hint — a purge list can be any size; AQE picks the strategy
     // from actual stats). gen >= below_gen keeps upsert-refreshed
-    // facts and drops their stale generations.
+    // facts and drops their stale generations. One manifest snapshot
+    // resolves postings + tombstones together; withGen keeps
+    // pre-generation-era artifacts readable (gen defaults to 0).
+    val man = graft.sink.IndexManifest.read(spark, path)
     val sh = graft.sink.IndexLayout.applyTombstones(
-        spark.read.parquet(s"$path/postings")
+        graft.sink.IndexLayout.withGen(spark.read.parquet(
+            graft.sink.IndexLayout.dir(path, man, "postings")))
           .select(col("doc_id"), col("s"), col("gen")),
-        graft.sink.IndexLayout.tombstoneFloor(spark, path, "doc_id"),
+        graft.sink.IndexLayout.tombstoneFloor(spark, path, "doc_id",
+          man),
         "doc_id")
       .select(col("doc_id"), col("s"))
     // global rarest-first ranks over the index's CURRENT state
@@ -1006,13 +1013,12 @@ object Dedup {
       k: Int = 25, w: Int = 10, fpBuckets: Int = 64,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     require(fpBuckets >= 1)
+    graft.sink.IndexLayout.freshLayout(docs.sparkSession, path)
     val fp = winnowedFingerprints(docs.select(col(idCol), col(textCol)),
       idCol, textCol, k, w).localCheckpoint()
-    fp.withColumn("gen", lit(0L))
-      .withColumn("fbucket", pmod(col("h"), lit(fpBuckets.toLong)))
-      .repartition(col("fbucket")) // one file per bucket per write
-      .write.mode("overwrite").partitionBy("fbucket")
-      .parquet(s"$path/postings")
+    graft.sink.IndexLayout.writeFacts(
+      fp.withColumn("fbucket", pmod(col("h"), lit(fpBuckets.toLong))),
+      path, "postings", "fbucket")
     docs.sparkSession.range(1)
       .select(lit(fpBuckets).as("n_buckets"), lit(k).as("k"),
         lit(w).as("w"))
@@ -1026,9 +1032,8 @@ object Dedup {
   def appendFingerprintIndex(path: String, newDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val spark = newDocs.sparkSession
-    val g = graft.sink.IndexLayout.currentGen(spark, path) + 1
+    val g = graft.sink.IndexLayout.reserveGen(spark, path)
     appendFingerprintFacts(path, newDocs, idCol, textCol, g)
-    graft.sink.IndexLayout.bumpGen(spark, path, g)
   }
 
   /** UPSERT a re-crawled increment into a [[writeFingerprintIndex]]
@@ -1038,11 +1043,10 @@ object Dedup {
   def upsertFingerprintIndex(path: String, docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val spark = docs.sparkSession
-    val g = graft.sink.IndexLayout.currentGen(spark, path) + 1
+    val g = graft.sink.IndexLayout.reserveGen(spark, path)
     graft.sink.IndexLayout.appendTombstones(
       docs.select(col(idCol)), path, "doc_id", g)
     appendFingerprintFacts(path, docs, idCol, textCol, g)
-    graft.sink.IndexLayout.bumpGen(spark, path, g)
   }
 
   private def appendFingerprintFacts(path: String, newDocs: DataFrame,
@@ -1050,13 +1054,12 @@ object Dedup {
     val spark = newDocs.sparkSession
     val meta = spark.read.parquet(s"$path/meta")
       .select(col("n_buckets"), col("k"), col("w")).collect()(0)
-    winnowedFingerprints(newDocs.select(col(idCol), col(textCol)),
-        idCol, textCol, meta.getInt(1), meta.getInt(2))
-      .withColumn("gen", lit(gen))
-      .withColumn("fbucket", pmod(col("h"), lit(meta.getInt(0).toLong)))
-      .repartition(col("fbucket"))
-      .write.mode("append").partitionBy("fbucket")
-      .parquet(s"$path/postings")
+    graft.sink.IndexLayout.appendFacts(
+      winnowedFingerprints(newDocs.select(col(idCol), col(textCol)),
+          idCol, textCol, meta.getInt(1), meta.getInt(2))
+        .withColumn("fbucket",
+          pmod(col("h"), lit(meta.getInt(0).toLong))),
+      path, "postings", "fbucket", gen)
   }
 
   /** Substring-overlap candidates of a fresh INCREMENT against a
@@ -1079,10 +1082,13 @@ object Dedup {
       maxFpDf: Option[Int] = None): DataFrame = {
     val inc = incrementIds.select(col(incrementIds.columns.head)
       .cast("long").as("doc_id"))
+    val man = graft.sink.IndexManifest.read(spark, path)
     val fp1 = graft.sink.IndexLayout.applyTombstones(
-        spark.read.parquet(s"$path/postings")
+        graft.sink.IndexLayout.withGen(spark.read.parquet(
+            graft.sink.IndexLayout.dir(path, man, "postings")))
           .select(col("doc_id"), col("h"), col("gen")),
-        graft.sink.IndexLayout.tombstoneFloor(spark, path, "doc_id"),
+        graft.sink.IndexLayout.tombstoneFloor(spark, path, "doc_id",
+          man),
         "doc_id")
       .select(col("doc_id"), col("h"))
     val fp = maxFpDf match {

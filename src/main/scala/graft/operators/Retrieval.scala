@@ -330,20 +330,18 @@ object Retrieval {
       textCol: String = "text",
       tf: Option[DataFrame] = None): Unit = {
     require(wordBuckets >= 1)
+    // a rebuild must not inherit a previous incarnation's tombstones,
+    // counters, or versioned-dir pointers
+    graft.sink.IndexLayout.freshLayout(docs.sparkSession, path)
     val tfF = tf.getOrElse(termFrequencies(
       docs.select(col(idCol), col(textCol)), idCol, textCol))
-    // repartition ON the bucket column: one file per bucket per write
-    // instead of (#tasks × #buckets) tiny files (the ScaleShingleIndex
-    // listing-cost lesson — same fix as writeShingleIndex)
-    tfF.withColumn("gen", lit(0L))
-      .withColumn("wbucket",
-        pmod(xxhash64(col("word")), lit(wordBuckets.toLong)))
-      .repartition(col("wbucket"))
-      .write.mode("overwrite").partitionBy("wbucket")
-      .parquet(s"$path/postings")
-    tfF.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      .withColumn("gen", lit(0L))
-      .write.mode("overwrite").parquet(s"$path/docs")
+    graft.sink.IndexLayout.writeFacts(
+      tfF.withColumn("wbucket",
+        pmod(xxhash64(col("word")), lit(wordBuckets.toLong))),
+      path, "postings", "wbucket")
+    graft.sink.IndexLayout.writeFlatFacts(
+      tfF.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")),
+      path, "docs")
     docs.sparkSession.range(1)
       .select(lit(wordBuckets).as("n_buckets"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -359,9 +357,11 @@ object Retrieval {
       idCol: String = "doc_id", textCol: String = "text",
       tf: Option[DataFrame] = None): Unit = {
     val spark = newDocs.sparkSession
-    val g = graft.sink.IndexLayout.currentGen(spark, path) + 1
+    // generation RESERVED (manifest commit, driver-side — no Spark
+    // job) before any fact lands: a crashed append's replay reserves a
+    // higher gen, so tombstoning that gen can self-heal it
+    val g = graft.sink.IndexLayout.reserveGen(spark, path)
     appendTfFacts(path, newDocs, idCol, textCol, tf, g)
-    graft.sink.IndexLayout.bumpGen(spark, path, g)
   }
 
   /** UPSERT a re-crawled increment into a [[writeTfIndex]] artifact —
@@ -380,14 +380,20 @@ object Retrieval {
       idCol: String = "doc_id", textCol: String = "text",
       tf: Option[DataFrame] = None): Unit = {
     val spark = docs.sparkSession
-    val g = graft.sink.IndexLayout.currentGen(spark, path) + 1
+    // reserve-first ordering: if a previous attempt crashed after
+    // writing facts at gen g, this replay reserves g+1 and its
+    // below_gen = g+1 tombstones kill the partial facts — the
+    // half-committed window self-heals instead of double-counting
+    val g = graft.sink.IndexLayout.reserveGen(spark, path)
     graft.sink.IndexLayout.appendTombstones(
       docs.select(col(idCol)), path, "doc_id", g)
     appendTfFacts(path, docs, idCol, textCol, tf, g)
-    graft.sink.IndexLayout.bumpGen(spark, path, g)
   }
 
-  private def appendTfFacts(path: String, newDocs: DataFrame,
+  /** The facts-append half of append/upsert (package-visible so the
+    * crash-window specs can simulate a mutation that died between its
+    * fact write and its commit). */
+  private[graft] def appendTfFacts(path: String, newDocs: DataFrame,
       idCol: String, textCol: String, tf: Option[DataFrame],
       gen: Long): Unit = {
     val spark = newDocs.sparkSession
@@ -395,15 +401,13 @@ object Retrieval {
       .select(col("n_buckets")).collect()(0).getInt(0)
     val tfF = tf.getOrElse(termFrequencies(
       newDocs.select(col(idCol), col(textCol)), idCol, textCol))
-    tfF.withColumn("gen", lit(gen))
-      .withColumn("wbucket",
-        pmod(xxhash64(col("word")), lit(nBuckets.toLong)))
-      .repartition(col("wbucket")) // one file per bucket per append
-      .write.mode("append").partitionBy("wbucket")
-      .parquet(s"$path/postings")
-    tfF.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      .withColumn("gen", lit(gen))
-      .write.mode("append").parquet(s"$path/docs")
+    graft.sink.IndexLayout.appendFacts(
+      tfF.withColumn("wbucket",
+        pmod(xxhash64(col("word")), lit(nBuckets.toLong))),
+      path, "postings", "wbucket", gen)
+    graft.sink.IndexLayout.appendFlatFacts(
+      tfF.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")),
+      path, "docs", gen)
   }
 
   /** DELETE documents from a [[writeTfIndex]] artifact — the
@@ -421,50 +425,45 @@ object Retrieval {
     */
   def deleteFromTfIndex(path: String, docIds: DataFrame): Unit = {
     val spark = docIds.sparkSession
-    val g = graft.sink.IndexLayout.currentGen(spark, path) + 1
+    val g = graft.sink.IndexLayout.reserveGen(spark, path)
     graft.sink.IndexLayout.appendTombstones(docIds, path, "doc_id", g)
-    graft.sink.IndexLayout.bumpGen(spark, path, g)
   }
 
   /** Physically drop tombstone-killed generations from a
-    * [[writeTfIndex]] artifact: rewrite the postings tree and the docs
-    * table keeping exactly what the read-time filter keeps (staging +
-    * two-rename swap — the [[graft.sink.Compact]] crash discipline),
-    * then drop the tombstones. Queries are bit-identical before and
-    * after; what the purge buys is scan width — a years-old deletion
-    * set no longer taxes every read. No-op if nothing is tombstoned.
+    * [[writeTfIndex]] artifact: rewrite the postings tree (ONE job)
+    * and the docs table into NEW physical versions and commit every
+    * pointer — including a fresh empty tombstones name — in one
+    * atomic manifest write ([[graft.sink.IndexLayout
+    * .purgeTombstones]]); concurrent readers see exactly the pre- or
+    * post-purge snapshot, never a missing tree. Queries are
+    * bit-identical before and after; what the purge buys is scan
+    * width — a years-old deletion set no longer taxes every read.
+    * No-op if nothing is tombstoned.
     */
   def purgeTfIndexTombstones(spark: SparkSession, path: String): Unit =
-    // ONE partitioned rewrite job + whole-tree swap, keeping the
-    // wbucket layout — never one job per bucket leaf; drops exactly
-    // the generations the read-time filter drops (upsert-killed facts
-    // included), then the tombstones (IndexLayout.purgeTombstones)
     graft.sink.IndexLayout.purgeTombstones(spark, path, "doc_id",
-      "wbucket", Seq(s"$path/docs"))
+      "wbucket", Seq("docs"))
 
   /** Compact a [[writeTfIndex]] artifact's accumulated append files:
     * N daily [[appendTfIndex]] calls leave one file per bucket per day
-    * — the classic 100 TB ingest failure mode. The postings tree is
-    * rewritten as ONE partitioned job
-    * ([[graft.sink.Compact.compactPartitioned]]: one file per bucket,
-    * staging + two-rename swap — never one sequential job per bucket
-    * leaf); the flat docs table goes through
-    * [[graft.sink.Compact.compact]] with `targetBytes`. Row values
-    * are untouched: queries hash-identically before and after (q333
-    * gates exactly that). Returns (filesBefore, filesAfter) summed
-    * over the rewritten directories.
+    * — the classic 100 TB ingest failure mode. Each tree is rewritten
+    * into a NEW physical version and committed by pointer
+    * ([[graft.sink.IndexLayout.compactVersioned]] — one partitioned
+    * job collapsing the postings to one file per bucket, never one
+    * sequential job per bucket leaf; the flat docs table to
+    * ⌈bytes/targetBytes⌉ files). Row values are untouched: queries
+    * hash-identically before and after (q333 gates exactly that).
+    * Returns (filesBefore, filesAfter) summed over the rewritten
+    * directories.
     */
   def compactTfIndex(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val (pb, pa) = graft.sink.Compact.compactPartitioned(spark,
-      s"$path/postings", "wbucket")
-    val (db, da) = graft.sink.Compact.compact(spark, s"$path/docs",
-      targetBytes)
-    // the per-mutation metadata logs accrete one tiny file each —
-    // collapse them to their single max row while we're here
-    graft.sink.IndexLayout.compactGenLog(spark, path)
-    graft.sink.IndexLayout.compactMaxLog(spark, s"$path/ingest_meta",
-      "epoch")
+    val (pb, pa) = graft.sink.IndexLayout.compactVersioned(spark, path,
+      "postings", Some("wbucket"))
+    val (db, da) = graft.sink.IndexLayout.compactVersioned(spark, path,
+      "docs", None, targetBytes)
+    // manifest history pruned + any legacy metadata logs dropped
+    graft.sink.IndexLayout.compactMetadata(spark, path)
     (pb + db, pa + da)
   }
 
@@ -490,6 +489,11 @@ object Retrieval {
   def bm25TopKFromTfIndex(spark: SparkSession, path: String,
       queries: Seq[(Int, String)], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // ONE manifest read, every subtree resolved from the same snapshot
+    // — a concurrent purge/compaction commit can never hand this query
+    // a mixed pre/post view ([[graft.sink.IndexManifest]])
+    val man = graft.sink.IndexManifest.read(spark, path)
+    def sub(l: String) = graft.sink.IndexLayout.dir(path, man, l)
     val nBuckets = spark.read.parquet(s"$path/meta")
       .select(col("n_buckets")).collect()(0).getInt(0)
     val qt = queryTerms(spark, queries)
@@ -505,17 +509,18 @@ object Retrieval {
     // delete kills every current generation). No broadcast hint — a
     // GDPR purge list can be any size, AQE picks the join strategy.
     val floor = graft.sink.IndexLayout.tombstoneFloor(
-      spark, path, "doc_id")
+      spark, path, "doc_id", man)
     def minusTomb(df: DataFrame): DataFrame =
-      graft.sink.IndexLayout.applyTombstones(df, floor, "doc_id")
+      graft.sink.IndexLayout.applyTombstones(
+        graft.sink.IndexLayout.withGen(df), floor, "doc_id")
         .drop("gen")
     val postings = minusTomb(
       if (words.isEmpty)
-        spark.read.parquet(s"$path/postings").where(lit(false))
-      else spark.read.parquet(s"$path/postings")
+        spark.read.parquet(sub("postings")).where(lit(false))
+      else spark.read.parquet(sub("postings"))
         .where(col("wbucket").isin(buckets: _*) &&
           col("word").isin(words: _*)))
-    val dl = minusTomb(spark.read.parquet(s"$path/docs"))
+    val dl = minusTomb(spark.read.parquet(sub("docs")))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val dfreq = postings.groupBy(col("word")).agg(count(lit(1)).as("df"))

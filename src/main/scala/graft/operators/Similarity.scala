@@ -1327,13 +1327,15 @@ object Similarity {
   final case class IvfPqIndex(cells: DataFrame, codebook: DataFrame,
       codes: DataFrame) {
     def write(dir: String): Unit = {
+      // a rebuild must not inherit a previous incarnation's
+      // tombstones, counters, or versioned-dir pointers
+      graft.sink.IndexLayout.freshLayout(cells.sparkSession, dir)
       cells.write.mode("overwrite").parquet(s"$dir/cells")
       codebook.write.mode("overwrite").parquet(s"$dir/codebook")
       // persisted codes carry the IndexLayout generation (0 at build;
       // appends/upserts stamp later generations) — in-memory search
       // never reads it, `read` strips it after the kill floor
-      codes.withColumn("gen", lit(0L))
-        .write.mode("overwrite").parquet(s"$dir/codes")
+      graft.sink.IndexLayout.writeFlatFacts(codes, dir, "codes")
     }
 
     /** Add new vectors WITHOUT rebuilding — FAISS `add()` semantics,
@@ -1369,14 +1371,21 @@ object Similarity {
       * same semantics FAISS `remove_ids` gives). */
     def read(spark: org.apache.spark.sql.SparkSession,
         dir: String): IvfPqIndex = {
+      // one manifest snapshot resolves every artifact — a concurrent
+      // purge/compaction/retrain commit can never hand this reader a
+      // mixed pre/post view; withGen keeps pre-generation-era code
+      // streams readable
+      val man = graft.sink.IndexManifest.read(spark, dir)
+      def sub(l: String) = graft.sink.IndexLayout.dir(dir, man, l)
       val codes = graft.sink.IndexLayout.applyTombstones(
-          spark.read.parquet(s"$dir/codes"),
-          graft.sink.IndexLayout.tombstoneFloor(spark, dir, "id"),
+          graft.sink.IndexLayout.withGen(
+            spark.read.parquet(sub("codes"))),
+          graft.sink.IndexLayout.tombstoneFloor(spark, dir, "id", man),
           "id")
         .drop("gen")
       IvfPqIndex(
-        spark.read.parquet(s"$dir/cells"),
-        spark.read.parquet(s"$dir/codebook"),
+        spark.read.parquet(sub("cells")),
+        spark.read.parquet(sub("codebook")),
         codes)
     }
   }
@@ -1391,9 +1400,8 @@ object Similarity {
     * `append` contract). Physical removal: [[purgeIvfPqTombstones]]. */
   def deleteFromIvfPqIndex(path: String, ids: DataFrame): Unit = {
     val spark = ids.sparkSession
-    val g = graft.sink.IndexLayout.currentGen(spark, path) + 1
+    val g = graft.sink.IndexLayout.reserveGen(spark, path)
     graft.sink.IndexLayout.appendTombstones(ids, path, "id", g)
-    graft.sink.IndexLayout.bumpGen(spark, path, g)
   }
 
   /** UPSERT re-embedded vectors into a persisted [[IvfPqIndex]] — the
@@ -1409,11 +1417,13 @@ object Similarity {
   def upsertIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, vecs: DataFrame, dims: Int, m: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
-    val g = graft.sink.IndexLayout.currentGen(spark, path) + 1
+    // generation reserved BEFORE the tombstone/code writes — a replay
+    // of a crashed upsert self-heals ([[graft.sink.IndexLayout
+    // .reserveGen]])
+    val g = graft.sink.IndexLayout.reserveGen(spark, path)
     graft.sink.IndexLayout.appendTombstones(
       vecs.select(col(idCol)), path, "id", g)
     appendIvfPqCodes(spark, path, vecs, dims, m, idCol, embCol, g)
-    graft.sink.IndexLayout.bumpGen(spark, path, g)
   }
 
   /** Parquet-APPEND a new-vector increment's codes to a PERSISTED
@@ -1428,22 +1438,23 @@ object Similarity {
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, newVecs: DataFrame, dims: Int, m: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
-    val g = graft.sink.IndexLayout.currentGen(spark, path) + 1
+    val g = graft.sink.IndexLayout.reserveGen(spark, path)
     appendIvfPqCodes(spark, path, newVecs, dims, m, idCol, embCol, g)
-    graft.sink.IndexLayout.bumpGen(spark, path, g)
   }
 
   private def appendIvfPqCodes(spark: org.apache.spark.sql.SparkSession,
       path: String, newVecs: DataFrame, dims: Int, m: Int,
       idCol: String, embCol: String, gen: Long): Unit = {
-    val cells = spark.read.parquet(s"$path/cells")
-    val codebook = spark.read.parquet(s"$path/codebook")
+    val man = graft.sink.IndexManifest.read(spark, path)
+    def sub(l: String) = graft.sink.IndexLayout.dir(path, man, l)
+    val cells = spark.read.parquet(sub("cells"))
+    val codebook = spark.read.parquet(sub("codebook"))
     val newCells = assignCells(newVecs, cells, idCol, embCol)
       .select(col("id"), col("cell"))
-    pqAssignWith(codebook, newVecs, dims, m, idCol, embCol)
-      .join(newCells, Seq("id"))
-      .withColumn("gen", lit(gen))
-      .write.mode("append").parquet(s"$path/codes")
+    graft.sink.IndexLayout.appendFlatFacts(
+      pqAssignWith(codebook, newVecs, dims, m, idCol, embCol)
+        .join(newCells, Seq("id")),
+      path, "codes", gen)
   }
 
   /** Compact a persisted [[IvfPqIndex]]'s accumulated code-append
@@ -1455,29 +1466,22 @@ object Similarity {
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val r = graft.sink.Compact.compact(spark, s"$path/codes",
-      targetBytes)
-    graft.sink.IndexLayout.compactGenLog(spark, path)
+    val r = graft.sink.IndexLayout.compactVersioned(spark, path,
+      "codes", None, targetBytes)
+    graft.sink.IndexLayout.compactMetadata(spark, path)
     r
   }
 
-  /** Physically drop tombstone-killed code generations (staging-swap
-    * rewrite keeping exactly what [[IvfPqIndex.read]] keeps —
-    * [[graft.sink.Compact.rewriteFiltered]]); searches are
+  /** Physically drop tombstone-killed code generations: the filtered
+    * code stream is written as a NEW version and committed together
+    * with a fresh empty tombstones pointer in one atomic manifest
+    * write ([[graft.sink.IndexLayout.purgeFlatTombstones]] — readers
+    * see exactly the pre- or post-purge snapshot); searches are
     * bit-identical before and after. No-op without tombstones. */
   def purgeIvfPqTombstones(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
-    graft.sink.IndexLayout.tombstoneFloor(spark, path, "id")
-      .foreach { floor0 =>
-        val floor = floor0.localCheckpoint()
-        graft.sink.Compact.rewriteFiltered(spark, s"$path/codes",
-          graft.sink.IndexLayout.applyTombstones(_, Some(floor), "id"))
-        val tombPath =
-          new org.apache.hadoop.fs.Path(s"$path/tombstones")
-        tombPath.getFileSystem(spark.sessionState.newHadoopConf())
-          .delete(tombPath, true)
-      }
-  }
+      path: String): Unit =
+    graft.sink.IndexLayout.purgeFlatTombstones(spark, path, "id",
+      Seq("codes"))
 
   /** Per-batch PQ residual distortion under a FROZEN codebook — the
     * quantity a retrain decision needs WITHOUT brute-force truth: for
@@ -1517,10 +1521,13 @@ object Similarity {
   def writeIvfPqDriftBaseline(spark: org.apache.spark.sql.SparkSession,
       path: String, trainVecs: DataFrame, dims: Int, m: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): Unit =
-    pqDistortionStats(trainVecs, spark.read.parquet(s"$path/codebook"),
+    pqDistortionStats(trainVecs,
+        spark.read.parquet(
+          graft.sink.IndexLayout.resolve(spark, path, "codebook")),
         dims, m, idCol, embCol)
       .coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/drift_meta")
+      .parquet(graft.sink.IndexLayout.resolve(spark, path,
+        "drift_meta"))
 
   /** RETRAIN TRIGGER for frozen-geometry appends — turns q342's
     * measured recall gap into an operator that needs NO brute-force
@@ -1547,11 +1554,13 @@ object Similarity {
       path: String, appended: DataFrame, dims: Int, m: Int,
       idCol: String = "vec_id", embCol: String = "embedding")
       : DataFrame = {
-    val base = spark.read.parquet(s"$path/drift_meta")
+    val man = graft.sink.IndexManifest.read(spark, path)
+    def sub(l: String) = graft.sink.IndexLayout.dir(path, man, l)
+    val base = spark.read.parquet(sub("drift_meta"))
       .select(col("n_vecs").as("n_train"),
         col("mean_distortion_micro").as("base_mean_micro"))
     pqDistortionStats(appended,
-        spark.read.parquet(s"$path/codebook"), dims, m, idCol, embCol)
+        spark.read.parquet(sub("codebook")), dims, m, idCol, embCol)
       .select(col("n_vecs").as("n_appended"),
         col("mean_distortion_micro").as("appended_mean_micro"))
       .crossJoin(broadcast(base))
@@ -1559,6 +1568,51 @@ object Similarity {
         col("n_appended"), col("appended_mean_micro"),
         expr("(appended_mean_micro * 1000000) div base_mean_micro")
           .as("distortion_ratio_ppm"))
+  }
+
+  /** RETRAIN a persisted [[IvfPqIndex]] — the ACTION half of the
+    * trigger→action loop whose decision half is [[ivfPqDriftStats]]
+    * (alert/retrain thresholds calibrated in PLANS.md round 15): when
+    * frozen-geometry appends have drifted past the threshold, rebuild
+    * cells and codebook from the CURRENT live corpus, re-encode every
+    * vector, refresh the train-time drift baseline, and swap ALL of it
+    * — cells, codebook, codes, drift_meta, plus a fresh empty
+    * tombstones pointer — in ONE atomic manifest commit
+    * ([[graft.sink.IndexLayout.commitVersions]]). Readers see either
+    * yesterday's geometry whole or today's whole, never a mix (a
+    * half-swapped cells/codes pair would silently mis-rank every
+    * query). Generations stay coherent: the re-encoded corpus is
+    * stamped with the NEXT generation and the kill floor resets with
+    * it (the retrain encodes exactly the rows the caller passes —
+    * takedowns are applied by handing in the live corpus, e.g.
+    * `IvfPqIndex.read(...)`-filtered source vectors).
+    *
+    * `corpusVecs` must be the live corpus (the index stores CODES, not
+    * vectors — quantization is lossy, so a retrain needs the source
+    * embeddings, same as FAISS `train()`); deterministic seeding makes
+    * the result bit-identical to a fresh [[ivfPqIndex]] build over the
+    * same rows (SimilaritySpec pins that). */
+  def retrainIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, corpusVecs: DataFrame, nCells: Int, dims: Int,
+      m: Int, nCentroids: Int, idCol: String = "vec_id",
+      embCol: String = "embedding", trainIters: Int = 0): Unit = {
+    val idx = ivfPqIndex(corpusVecs, nCells, dims, m, nCentroids,
+      idCol, embCol, trainIters)
+    val g = graft.sink.IndexManifest.readOrInit(spark, path).gen + 1
+    val drift = pqDistortionStats(corpusVecs, idx.codebook, dims, m,
+      idCol, embCol)
+    graft.sink.IndexLayout.commitVersions(spark, path, Seq(
+        "cells" -> ((st: String) =>
+          idx.cells.write.mode("overwrite").parquet(st)),
+        "codebook" -> ((st: String) =>
+          idx.codebook.write.mode("overwrite").parquet(st)),
+        "codes" -> ((st: String) =>
+          idx.codes.withColumn("gen", lit(g))
+            .write.mode("overwrite").parquet(st)),
+        "drift_meta" -> ((st: String) =>
+          drift.coalesce(1).write.mode("overwrite").parquet(st))),
+      mm => mm.copy(gen = g)
+        .withDir("tombstones", s"tombstones-v${mm.seq + 1}"))
   }
 
   /** Index-build half of [[ivfPqTopK]]: coarse cells (seeded or

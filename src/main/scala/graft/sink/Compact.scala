@@ -80,11 +80,19 @@ object Compact {
     * synthetic partition value must parse to the partition column's
     * type; the integer-bucketed index layouts here satisfy that by
     * construction. */
+  private[sink] def ensureReadable(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partitionSubdir: Option[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    ensureReadable(spark, p.getFileSystem(
+      spark.sessionState.newHadoopConf()), p, schema, partitionSubdir)
+  }
+
   private def ensureReadable(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
       staging: org.apache.hadoop.fs.Path,
       schema: org.apache.spark.sql.types.StructType,
-      partitionSubdir: Option[String] = None): Unit = {
+      partitionSubdir: Option[String]): Unit = {
     val hasParquet = fs.exists(staging) && {
       val it = fs.listFiles(staging, true)
       var found = false
@@ -133,7 +141,7 @@ object Compact {
     if (fs.exists(staging)) fs.delete(staging, true)
     val remaining = keep(spark.read.parquet(dir))
     remaining.write.mode("overwrite").parquet(staging.toString)
-    ensureReadable(spark, fs, staging, remaining.schema)
+    ensureReadable(spark, fs, staging, remaining.schema, None)
     checkedSwap(fs, p, staging, backup)
   }
 

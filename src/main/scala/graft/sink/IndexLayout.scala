@@ -1,12 +1,14 @@
 package graft.sink
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Shared GENERATION plumbing for the persisted inverted-index layouts
-  * (TF — [[graft.operators.Retrieval.writeTfIndex]], shingle and
-  * fingerprint — [[graft.operators.Dedup.writeShingleIndex]] /
-  * `writeFingerprintIndex`).
+/** Shared GENERATION + LAYOUT plumbing for the persisted inverted-index
+  * families (TF — [[graft.operators.Retrieval.writeTfIndex]], shingle
+  * and fingerprint — [[graft.operators.Dedup.writeShingleIndex]] /
+  * `writeFingerprintIndex`, IVF-PQ codes —
+  * [[graft.operators.Similarity.IvfPqIndex]]).
   *
   * The ingest-only appends those layouts started with cannot express a
   * RE-CRAWL: a doc_id whose text changed needs its old facts replaced,
@@ -28,35 +30,82 @@ import org.apache.spark.sql.functions._
   * generation dies. DELETE is a tombstone at `below_gen = g` with no
   * append — and an upsert AFTER a delete resurrects the doc (its new
   * facts carry a later generation), which is what a re-crawl of a
-  * previously-taken-down page should do. The generation counter is an
-  * append-only one-row-per-mutation parquet log at `path/gen`
-  * (`currentGen` = max — a tiny metadata read, never a corpus scan).
+  * previously-taken-down page should do.
   *
-  * Crash note: each mutation is tombstone-write → fact-append →
-  * gen-bump. Parquet writes are job-atomic under the output committer,
-  * so a crash leaves either nothing or a completed write; a lost bump
-  * merely reuses a generation for the NEXT mutation, which the
-  * `max(below_gen)` read tolerates for disjoint keys (the same
-  * no-concurrent-writers contract as [[Compact]]).
+  * The generation counter, the streaming ingest epoch, and the
+  * logical→physical directory pointers all live in ONE tiny atomic
+  * commit marker, [[IndexManifest]] — driver-side FS reads/writes, no
+  * Spark jobs. Two disciplines ride it:
+  *
+  *  - ''Reserve-before-write'': [[reserveGen]] commits the new
+  *    generation BEFORE any tombstone or fact lands, so a mutation that
+  *    crashes half-done is self-healing under replay — the replay
+  *    reserves a HIGHER generation and its `below_gen` tombstones kill
+  *    the crashed attempt's partial facts (an upsert replayed after a
+  *    crash between its fact append and anything else is therefore
+  *    exactly correct, not double-counted).
+  *  - ''Versioned rewrites'': a purge/compaction builds
+  *    `postings-v{n+1}` beside the live tree and commits by one pointer
+  *    write ([[purgeTombstones]], [[compactVersioned]]); concurrent
+  *    readers resolve the pointer first and always see exactly the pre-
+  *    or post-rewrite snapshot — never a missing or half-swapped tree
+  *    (the in-place two-rename swap of [[Compact]] remains for plain
+  *    non-index directories). Old versions are deleted by
+  *    [[gcUnreferenced]] — called inline by the batch entry points; a
+  *    serving deployment schedules it after a grace period instead so
+  *    in-flight readers drain first.
+  *
+  * Format note: fact trees written before the generation era carry no
+  * `gen` column; [[withGen]] defaults it to 0 so those artifacts stay
+  * READABLE (they hold only generation-0 facts by definition). Mutating
+  * them is fine too: the first mutation starts at generation 1.
   */
 object IndexLayout {
 
   def dirExists(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
+    val p = new Path(dir)
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
-  /** Current generation: max over the `path/gen` log; 0 for a freshly
-    * built index (builders stamp facts `gen = 0` and write no log). */
-  def currentGen(spark: SparkSession, path: String): Long =
-    if (!dirExists(spark, s"$path/gen")) 0L
-    else spark.read.parquet(s"$path/gen")
-      .agg(max(col("gen"))).collect()(0).getLong(0)
+  /** Resolve a logical subtree against an already-read manifest
+    * snapshot (readers read the manifest ONCE and resolve everything
+    * from it — piecemeal resolution could mix two snapshots across a
+    * concurrent commit). */
+  def dir(path: String, m: Option[IndexManifest],
+      logical: String): String =
+    s"$path/${m.map(_.dirFor(logical)).getOrElse(logical)}"
 
-  /** Advance the generation log (append-only). */
-  def bumpGen(spark: SparkSession, path: String, g: Long): Unit =
-    spark.range(1).select(lit(g).as("gen"))
-      .coalesce(1).write.mode("append").parquet(s"$path/gen")
+  /** One-off resolve (fresh manifest read) — for writers and tests. */
+  def resolve(spark: SparkSession, path: String,
+      logical: String): String =
+    dir(path, IndexManifest.read(spark, path), logical)
+
+  /** Current generation — manifest field (driver-side read, no job);
+    * legacy parquet-log fallback for pre-manifest layouts; 0 for a
+    * freshly built index. */
+  def currentGen(spark: SparkSession, path: String): Long =
+    IndexManifest.read(spark, path).map(_.gen)
+      .getOrElse(IndexManifest.legacyGen(spark, path))
+
+  /** RESERVE the next generation: commit `gen = current + 1` to the
+    * manifest BEFORE the caller writes any tombstone or fact. A
+    * mutation that crashes after this point left a consumed generation
+    * and (at most) partial facts at it; the replay reserves a higher
+    * one, so its `below_gen` tombstones kill the partial facts — the
+    * at-least-once self-heal the old write-facts-then-bump ordering
+    * could not give. */
+  def reserveGen(spark: SparkSession, path: String): Long = {
+    val m = IndexManifest.readOrInit(spark, path)
+    val g = m.gen + 1
+    IndexManifest.commit(spark, path, m.copy(gen = g))
+    g
+  }
+
+  /** Default a missing `gen` column to 0 — keeps pre-generation-era
+    * fact trees readable (everything they hold IS generation 0). */
+  def withGen(df: DataFrame): DataFrame =
+    if (df.columns.contains("gen")) df
+    else df.withColumn("gen", lit(0L))
 
   /** Append `(keyName, below_gen)` tombstones: kill these keys' facts
     * with `gen < belowGen`. `Long.MaxValue` is deliberately NOT used
@@ -71,36 +120,27 @@ object IndexLayout {
       .withColumn("below_gen", lit(belowGen))
       .localCheckpoint() // one materialization: emptiness check + write
     if (!t.isEmpty)
-      t.write.mode("append").parquet(s"$path/tombstones")
+      t.write.mode("append")
+        .parquet(resolve(ids.sparkSession, path, "tombstones"))
   }
 
   /** Per-key kill floor `(keyName, below_gen)` — None when nothing is
     * tombstoned. */
   def tombstoneFloor(spark: SparkSession, path: String,
       keyName: String): Option[DataFrame] =
-    if (!dirExists(spark, s"$path/tombstones")) None
-    else Some(spark.read.parquet(s"$path/tombstones")
+    tombstoneFloor(spark, path, keyName,
+      IndexManifest.read(spark, path))
+
+  /** [[tombstoneFloor]] resolved against a caller-held manifest
+    * snapshot. */
+  def tombstoneFloor(spark: SparkSession, path: String,
+      keyName: String, m: Option[IndexManifest]): Option[DataFrame] = {
+    val d = dir(path, m, "tombstones")
+    if (!dirExists(spark, d)) None
+    else Some(spark.read.parquet(d)
       .groupBy(col(keyName))
       .agg(max(col("below_gen")).as("below_gen")))
-
-  /** Compact the append-only generation log to its single max row —
-    * one tiny file. Every mutation appends one file to `path/gen`, so
-    * a year of daily ingest leaves ~365 files whose LISTING cost rides
-    * every currentGen read; the index compaction entry points call
-    * this alongside the postings rewrite. Only the max matters
-    * (generations are monotone), so the rewrite keeps exactly that —
-    * through [[Compact.rewriteFiltered]]'s crash discipline. No-op if
-    * no log exists. */
-  def compactGenLog(spark: SparkSession, path: String): Unit =
-    compactMaxLog(spark, s"$path/gen", "gen")
-
-  /** [[compactGenLog]] for any append-only monotone one-column log
-    * (the streaming sink's `ingest_meta` epoch log shares the shape). */
-  def compactMaxLog(spark: SparkSession, dir: String,
-      colName: String): Unit =
-    if (dirExists(spark, dir))
-      Compact.rewriteFiltered(spark, dir,
-        _.agg(max(col(colName)).as(colName)).coalesce(1))
+  }
 
   /** Keep the facts that survive the kill floor: no tombstone for the
     * key, or `gen >= below_gen`. No broadcast hint — a purge list can
@@ -113,30 +153,301 @@ object IndexLayout {
         .drop("below_gen")
     }.getOrElse(df)
 
+  // ------------------------------------------------------------------
+  // Shared facts plumbing — the one bucket-stamp → repartition →
+  // partitionBy append all four index families were hand-rolling.
+  // ------------------------------------------------------------------
+
+  /** Initial build of a bucketed fact tree: facts at generation 0,
+    * repartitioned ON the bucket column (one file per bucket per write
+    * instead of #tasks × #buckets tiny files — the ScaleShingleIndex
+    * listing-cost lesson), overwrite into the resolved physical dir.
+    * Callers compute the bucket column (each family hashes its own
+    * key). */
+  def writeFacts(facts: DataFrame, path: String, logical: String,
+      bucketCol: String): Unit =
+    facts.withColumn("gen", lit(0L))
+      .repartition(col(bucketCol))
+      .write.mode("overwrite").partitionBy(bucketCol)
+      .parquet(resolve(facts.sparkSession, path, logical))
+
+  /** Append one mutation's facts at `gen` into the resolved bucketed
+    * tree — same one-file-per-bucket shape as [[writeFacts]]. */
+  def appendFacts(facts: DataFrame, path: String, logical: String,
+      bucketCol: String, gen: Long): Unit =
+    facts.withColumn("gen", lit(gen))
+      .repartition(col(bucketCol))
+      .write.mode("append").partitionBy(bucketCol)
+      .parquet(resolve(facts.sparkSession, path, logical))
+
+  /** [[writeFacts]] for a flat (unbucketed) side table. */
+  def writeFlatFacts(facts: DataFrame, path: String,
+      logical: String): Unit =
+    facts.withColumn("gen", lit(0L))
+      .write.mode("overwrite")
+      .parquet(resolve(facts.sparkSession, path, logical))
+
+  /** [[appendFacts]] for a flat (unbucketed) side table. */
+  def appendFlatFacts(facts: DataFrame, path: String, logical: String,
+      gen: Long): Unit =
+    facts.withColumn("gen", lit(gen))
+      .write.mode("append")
+      .parquet(resolve(facts.sparkSession, path, logical))
+
+  /** Reset `path` for a FRESH BUILD: delete the manifest (pointers
+    * revert to plain names), every physical dir it referenced, any
+    * plain tombstones, and the legacy gen/epoch parquet logs — a
+    * rebuild must not inherit a previous incarnation's kill floor or
+    * counters. */
+  def freshLayout(spark: SparkSession, path: String): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    IndexManifest.read(spark, path).foreach { m =>
+      m.dirs.valuesIterator.foreach { phys =>
+        val p = new Path(root, phys)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+    }
+    Seq("tombstones", "gen", "ingest_meta").foreach { n =>
+      val p = new Path(root, n)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    IndexManifest.reset(spark, path)
+  }
+
+  // ------------------------------------------------------------------
+  // Versioned rewrites — build beside, commit by pointer, GC after.
+  // ------------------------------------------------------------------
+
+  private def countParquet(spark: SparkSession, d: String): Int = {
+    val p = new Path(d)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext)
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+  }
+
+  private def parquetBytes(spark: SparkSession, d: String): Long = {
+    val p = new Path(d)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(p, true)
+    var b = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) b += st.getLen
+    }
+    b
+  }
+
+  /** Build the next physical version of `logical` by running `build`
+    * against its staging path; returns the new physical NAME (not yet
+    * committed — the caller folds it into one manifest commit). A
+    * leftover dir from a crashed previous attempt (same name — the
+    * sequence number didn't advance) is deleted first. */
+  private def buildVersion(spark: SparkSession, path: String,
+      m: IndexManifest, logical: String,
+      build: String => Unit): String = {
+    val next = s"$logical-v${m.seq + 1}"
+    val staging = new Path(s"$path/$next")
+    val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(staging)) fs.delete(staging, true)
+    build(staging.toString)
+    next
+  }
+
+  /** Delete physical dirs the committed manifest no longer references
+    * — the GC step of a versioned rewrite. Batch entry points call it
+    * inline (single-process: no reader can hold the old snapshot); a
+    * serving deployment with concurrent readers schedules it after a
+    * grace period instead. Only names derived from a pointed logical
+    * (`logical` itself or `logical-v<k>`) are candidates — `meta`,
+    * `_manifest`, and anything else untracked is never touched. */
+  def gcUnreferenced(spark: SparkSession, path: String,
+      m: IndexManifest): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    val children = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName).toSet
+    m.dirs.foreach { case (logical, physical) =>
+      val versioned = s"^${java.util.regex.Pattern.quote(logical)}-v\\d+$$".r
+      children.foreach { n =>
+        val stale = n != physical &&
+          (n == logical || versioned.findFirstIn(n).isDefined)
+        if (stale) fs.delete(new Path(root, n), true)
+      }
+    }
+  }
+
   /** Physically drop the tombstone-killed generations: rewrite the
-    * partitioned postings tree as ONE job
-    * ([[Compact.rewritePartitionedFiltered]] — staging + two-rename
-    * swap, crash self-heal) and each flat side table
-    * ([[Compact.rewriteFiltered]]), keeping exactly the facts the
-    * read-time filter keeps, then drop the tombstones. Queries are
-    * bit-identical before and after; the purge buys back the
-    * tombstone join's read tax. The generation log is untouched —
-    * purging is physical, the counter keeps counting. No-op without
-    * tombstones. */
+    * bucketed postings tree (ONE job, `repartition(partitionCol)`) and
+    * each existing flat side table into NEW physical versions, keeping
+    * exactly the facts the read-time filter keeps, then commit every
+    * pointer — postings, flats, and a FRESH (empty) tombstones name —
+    * in one atomic manifest write. Readers never observe a missing
+    * tree, a half-rewritten tree, or a purged tree with its old
+    * tombstones: the snapshot either has all of the old or all of the
+    * new. Queries are bit-identical before and after; the purge buys
+    * back the tombstone join's read tax. The generation counter is
+    * untouched — purging is physical, the counter keeps counting.
+    * No-op without tombstones.
+    *
+    * `hook` is a test seam: called with `"built"` after the new
+    * versions exist (pointer not yet moved), `"committed"` after the
+    * pointer moved (old trees still on disk), `"gc"` after old
+    * versions are deleted — the spec interleaves reads and simulated
+    * crashes at each. */
   def purgeTombstones(spark: SparkSession, path: String,
       keyName: String, partitionCol: String,
-      flatDirs: Seq[String]): Unit = {
-    tombstoneFloor(spark, path, keyName).foreach { floor0 =>
+      flatLogicals: Seq[String],
+      hook: String => Unit = _ => ()): Unit = {
+    val m0 = IndexManifest.readOrInit(spark, path)
+    val mOpt = Some(m0)
+    tombstoneFloor(spark, path, keyName, mOpt).foreach { floor0 =>
       val floor = floor0.localCheckpoint()
       val keep = (df: DataFrame) =>
-        applyTombstones(df, Some(floor), keyName)
-      Compact.rewritePartitionedFiltered(spark, s"$path/postings",
-        keep, partitionCol)
-      flatDirs.filter(dirExists(spark, _))
-        .foreach(Compact.rewriteFiltered(spark, _, keep))
-      val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-      tombPath.getFileSystem(spark.sessionState.newHadoopConf())
-        .delete(tombPath, true)
+        applyTombstones(withGen(df), Some(floor), keyName)
+      var m = m0
+      val newPostings = buildVersion(spark, path, m0, "postings", { st =>
+        val remaining = keep(
+          spark.read.parquet(dir(path, mOpt, "postings")))
+        remaining.repartition(col(partitionCol))
+          .write.mode("overwrite").partitionBy(partitionCol)
+          .parquet(st)
+        Compact.ensureReadable(spark, st,
+          org.apache.spark.sql.types.StructType(
+            remaining.schema.filterNot(_.name == partitionCol)),
+          Some(s"$partitionCol=0"))
+      })
+      m = m.withDir("postings", newPostings)
+      flatLogicals
+        .filter(l => dirExists(spark, dir(path, mOpt, l)))
+        .foreach { l =>
+          val nn = buildVersion(spark, path, m0, l, { st =>
+            val remaining = keep(spark.read.parquet(dir(path, mOpt, l)))
+            remaining.write.mode("overwrite").parquet(st)
+            Compact.ensureReadable(spark, st, remaining.schema, None)
+          })
+          m = m.withDir(l, nn)
+        }
+      // fresh tombstones = a not-yet-existing name: absent dir ≡ no
+      // kill floor to every reader, and the old tombstones stay paired
+      // with the old trees until the commit flips the whole snapshot
+      m = m.withDir("tombstones", s"tombstones-v${m0.seq + 1}")
+      hook("built")
+      val committed = IndexManifest.commit(spark, path, m)
+      hook("committed")
+      gcUnreferenced(spark, path, committed)
+      hook("gc")
     }
+  }
+
+  /** Build new versions of several logical subtrees (each `build` is
+    * handed its staging path) and commit every pointer — plus any
+    * extra manifest change from `mutate` — in ONE atomic write, then
+    * GC the replaced versions. The multi-artifact swap primitive:
+    * an IVF-PQ retrain replaces cells + codebook + codes + drift_meta
+    * + tombstones as one snapshot flip. */
+  def commitVersions(spark: SparkSession, path: String,
+      builds: Seq[(String, String => Unit)],
+      mutate: IndexManifest => IndexManifest = identity)
+      : IndexManifest = {
+    val m0 = IndexManifest.readOrInit(spark, path)
+    var m = m0
+    builds.foreach { case (logical, build) =>
+      m = m.withDir(logical,
+        buildVersion(spark, path, m0, logical, build))
+    }
+    val committed = IndexManifest.commit(spark, path, mutate(m))
+    gcUnreferenced(spark, path, committed)
+    committed
+  }
+
+  /** [[purgeTombstones]] for a layout whose fact tables are all FLAT
+    * (no bucketed postings tree — the IVF-PQ code stream). Same
+    * snapshot discipline: every rewritten table and the fresh empty
+    * tombstones name commit in one atomic manifest write. */
+  def purgeFlatTombstones(spark: SparkSession, path: String,
+      keyName: String, flatLogicals: Seq[String],
+      hook: String => Unit = _ => ()): Unit = {
+    val m0 = IndexManifest.readOrInit(spark, path)
+    val mOpt = Some(m0)
+    tombstoneFloor(spark, path, keyName, mOpt).foreach { floor0 =>
+      val floor = floor0.localCheckpoint()
+      var m = m0
+      flatLogicals
+        .filter(l => dirExists(spark, dir(path, mOpt, l)))
+        .foreach { l =>
+          val nn = buildVersion(spark, path, m0, l, { st =>
+            val remaining = applyTombstones(
+              withGen(spark.read.parquet(dir(path, mOpt, l))),
+              Some(floor), keyName)
+            remaining.write.mode("overwrite").parquet(st)
+            Compact.ensureReadable(spark, st, remaining.schema, None)
+          })
+          m = m.withDir(l, nn)
+        }
+      m = m.withDir("tombstones", s"tombstones-v${m0.seq + 1}")
+      hook("built")
+      val committed = IndexManifest.commit(spark, path, m)
+      hook("committed")
+      gcUnreferenced(spark, path, committed)
+      hook("gc")
+    }
+  }
+
+  /** Compact a logical subtree's accumulated append files into a NEW
+    * physical version and commit the pointer — the versioned
+    * replacement for the in-place [[Compact]] swap on index layouts
+    * (readers never observe the tree mid-rewrite). Bucketed trees
+    * (`partitionCol` set) collapse to one file per bucket; flat tables
+    * to ⌈bytes / targetBytes⌉ files. Row values untouched: reads are
+    * bit-identical before and after.
+    * @return (filesBefore, filesAfter). */
+  def compactVersioned(spark: SparkSession, path: String,
+      logical: String, partitionCol: Option[String],
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val m = IndexManifest.readOrInit(spark, path)
+    val cur = dir(path, Some(m), logical)
+    require(dirExists(spark, cur), s"$cur does not exist")
+    val before = countParquet(spark, cur)
+    val newName = buildVersion(spark, path, m, logical, { st =>
+      val df = spark.read.parquet(cur)
+      partitionCol match {
+        case Some(pc) =>
+          df.repartition(col(pc))
+            .write.mode("overwrite").partitionBy(pc).parquet(st)
+        case None =>
+          val nFiles = math.max(1L,
+            (parquetBytes(spark, cur) + targetBytes - 1) / targetBytes)
+          df.repartition(nFiles.toInt)
+            .write.mode("overwrite").parquet(st)
+      }
+    })
+    val committed = IndexManifest.commit(spark, path,
+      m.withDir(logical, newName))
+    gcUnreferenced(spark, path, committed)
+    (before, countParquet(spark, s"$path/$newName"))
+  }
+
+  /** Metadata housekeeping for the compaction entry points: prune the
+    * manifest history to its tail and drop the legacy gen/epoch parquet
+    * logs once a manifest carries their values (they were folded in on
+    * the first post-upgrade mutation). */
+  def compactMetadata(spark: SparkSession, path: String): Unit = {
+    if (IndexManifest.read(spark, path).isDefined) {
+      val root = new Path(path)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      Seq("gen", "ingest_meta").foreach { n =>
+        val p = new Path(root, n)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+    }
+    IndexManifest.pruneHistory(spark, path)
   }
 }

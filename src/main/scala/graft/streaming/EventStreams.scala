@@ -383,42 +383,57 @@ object EventStreams {
   }
 
   /** The TF index's max committed streaming epoch (−1 when nothing has
-    * been ingested): max over the append-only `path/ingest_meta` log —
-    * the [[graft.sink.IndexLayout]] gen-log pattern applied to the
-    * streaming guard. */
-  def committedTfIndexEpoch(spark: SparkSession, path: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/ingest_meta")
-    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
-      -1L
-    else spark.read.parquet(s"$path/ingest_meta")
-      .agg(max(col("epoch"))).collect()(0).getLong(0)
-  }
+    * been ingested): a [[graft.sink.IndexManifest]] field — driver-side
+    * FS read, no Spark job (legacy `path/ingest_meta` parquet-log
+    * fallback for pre-manifest artifacts). */
+  def committedTfIndexEpoch(spark: SparkSession, path: String): Long =
+    graft.sink.IndexManifest.read(spark, path).map(_.epoch)
+      .getOrElse(graft.sink.IndexManifest.legacyEpoch(spark, path))
 
   /** Ingest ONE micro-batch into a [[graft.operators.Retrieval
-    * .writeTfIndex]] artifact with the replay guard: a batch whose
-    * `epochId` is ≤ the max committed epoch is SKIPPED (foreachBatch
-    * re-delivers committed batches after a restart — without the
-    * guard every replay double-counts its documents' facts in df/tf/
-    * dl and silently shifts every BM25 score). Commit marker written
-    * AFTER the append; the residual crash window between the two
-    * writes carries the same job-atomic, no-concurrent-writers
-    * contract as the rest of the index layout.
+    * .writeTfIndex]] artifact, exactly-once per epoch WITH crash
+    * self-healing (three manifest commits, all driver-side FS ops —
+    * zero metadata Spark jobs):
+    *
+    *  1. a batch whose `epochId` is ≤ the committed epoch is SKIPPED
+    *     (foreachBatch re-delivers committed batches after a restart —
+    *     without the guard every replay double-counts its documents'
+    *     facts in df/tf/dl and silently shifts every BM25 score);
+    *  2. `pending_epoch = epochId` commits BEFORE the fact write, so a
+    *     replay can detect the half-committed case: if the incoming
+    *     epoch equals the recorded pending epoch, a previous attempt
+    *     may have died AFTER appending facts but BEFORE committing —
+    *     the replay routes through the UPSERT path, whose fresh-
+    *     generation tombstones kill the crashed attempt's partial
+    *     facts (generations are reserved before facts are written —
+    *     [[graft.sink.IndexLayout.reserveGen]] — so the replay's
+    *     generation is strictly higher). Append mode therefore
+    *     self-heals too, not just `upsert = true`;
+    *  3. `epoch = epochId` commits AFTER the append — the batch is
+    *     now exactly-once durable.
+    *
     * @return true if the batch was ingested, false if skipped. */
   def ingestTfIndexBatch(batch: DataFrame, epochId: Long, path: String,
       idCol: String = "doc_id", textCol: String = "text",
       upsert: Boolean = false): Boolean = {
     val spark = batch.sparkSession
-    if (epochId <= committedTfIndexEpoch(spark, path)) false
+    val m0 = graft.sink.IndexManifest.readOrInit(spark, path)
+    if (epochId <= m0.epoch) false
     else {
-      if (upsert)
+      val suspectReplay = m0.pendingEpoch == epochId
+      graft.sink.IndexManifest.commit(spark, path,
+        m0.copy(pendingEpoch = epochId))
+      if (upsert || suspectReplay)
         graft.operators.Retrieval.upsertTfIndex(path, batch, idCol,
           textCol)
       else
         graft.operators.Retrieval.appendTfIndex(path, batch, idCol,
           textCol)
-      spark.range(1).select(lit(epochId).as("epoch"))
-        .coalesce(1).write.mode("append")
-        .parquet(s"$path/ingest_meta")
+      // the mutation itself committed a generation reservation —
+      // re-read so the epoch commit carries it forward
+      val m1 = graft.sink.IndexManifest.readOrInit(spark, path)
+      graft.sink.IndexManifest.commit(spark, path,
+        m1.copy(epoch = epochId, pendingEpoch = -1L))
       true
     }
   }
@@ -437,9 +452,11 @@ object EventStreams {
     * and RE-CRAWLS of known ids goes through
     * [[graft.operators.Retrieval.upsertTfIndex]] per batch (new-id
     * upsert ≡ append, so a pure-new stream costs one extra tombstone
-    * write per batch). Replays remain guarded; and a batch whose
-    * upsert half-committed before a crash self-heals on the replay —
-    * the re-run's tombstone generation kills the partial facts. */
+    * write per batch). Replays are guarded in BOTH modes, and a batch
+    * that half-committed before a crash self-heals in both too: the
+    * pending-epoch marker routes the replay through the upsert path,
+    * whose fresh-generation tombstones kill the partial facts
+    * ([[ingestTfIndexBatch]]). */
   def startTfIndexSink(docs: DataFrame, path: String,
       checkpoint: String, idCol: String = "doc_id",
       textCol: String = "text",

@@ -17,4 +17,17 @@ trait SparkSpec extends AnyFunSuite {
 
   def fixture(name: String): String =
     getClass.getResource(s"/fixtures/$name").getPath
+
+  /** Read a persisted-index logical subtree through its manifest
+    * pointer (rewrites move the physical dir — [[graft.sink
+    * .IndexManifest]]). */
+  def idxDf(path: String, logical: String)
+      : org.apache.spark.sql.DataFrame =
+    spark.read.parquet(
+      graft.sink.IndexLayout.resolve(spark, path, logical))
+
+  /** Does a logical subtree physically exist right now? */
+  def idxDirExists(path: String, logical: String): Boolean =
+    graft.sink.IndexLayout.dirExists(spark,
+      graft.sink.IndexLayout.resolve(spark, path, logical))
 }

@@ -672,10 +672,10 @@ class DedupSpec extends SparkSpec {
     assert(logical == truth)
     assert(logical.forall { case (a, b, _, _) => a != 2L && b != 2L })
     // physical purge: tombstones gone, postings thinner, same answers
-    val before = spark.read.parquet(s"$dir/postings").count()
+    val before = idxDf(dir, "postings").count()
     Dedup.purgeShingleIndexTombstones(spark, dir)
-    assert(!new java.io.File(s"$dir/tombstones").exists())
-    assert(spark.read.parquet(s"$dir/postings").count() < before)
+    assert(!idxDirExists(dir, "tombstones"))
+    assert(idxDf(dir, "postings").count() < before)
     assert(run() == truth)
     org.apache.commons.io.FileUtils
       .deleteQuietly(new java.io.File(dir))
@@ -712,10 +712,10 @@ class DedupSpec extends SparkSpec {
       Dedup.upsertShingleIndex(dir, recrawl)
       assert(run() == truth)
       // physical purge of the dead generations: answers unchanged
-      val before = spark.read.parquet(s"$dir/postings").count()
+      val before = idxDf(dir, "postings").count()
       Dedup.purgeShingleIndexTombstones(spark, dir)
-      assert(!new java.io.File(s"$dir/tombstones").exists())
-      assert(spark.read.parquet(s"$dir/postings").count() < before)
+      assert(!idxDirExists(dir, "tombstones"))
+      assert(idxDf(dir, "postings").count() < before)
       assert(run() == truth)
     } finally org.apache.commons.io.FileUtils
       .deleteQuietly(new java.io.File(dir))
@@ -780,10 +780,10 @@ class DedupSpec extends SparkSpec {
           .select(col("doc_id")))) == truth2)
       // physical purge of the fbucket layout: tombstones gone,
       // postings thinner, same answers
-      val before = spark.read.parquet(s"$dir/postings").count()
+      val before = idxDf(dir, "postings").count()
       Dedup.purgeFingerprintIndexTombstones(spark, dir)
-      assert(!new java.io.File(s"$dir/tombstones").exists())
-      assert(spark.read.parquet(s"$dir/postings").count() < before)
+      assert(!idxDirExists(dir, "tombstones"))
+      assert(idxDf(dir, "postings").count() < before)
       assert(canon(Dedup.substringCandidatesAgainstIndex(spark, dir,
         minShared = 1, all.where(col("doc_id") >= 5)
           .select(col("doc_id")))) == truth2)
@@ -801,7 +801,8 @@ class DedupSpec extends SparkSpec {
         kids.count(k => k.isFile && k.getName.endsWith(".parquet")) +
           kids.filter(_.isDirectory).map(walk).sum
       }
-      walk(new java.io.File(dir + "/postings"))
+      walk(new java.io.File(
+        graft.sink.IndexLayout.resolve(spark, dir, "postings")))
     }
     try {
       Dedup.writeFingerprintIndex(all.where(col("doc_id") <= 2), dir,

@@ -202,10 +202,10 @@ class RetrievalSpec extends SparkSpec {
       } finally org.apache.commons.io.FileUtils
         .deleteQuietly(new java.io.File(dir2))
       // physical purge: same answers, tombstones gone, postings thinner
-      val beforeRows = spark.read.parquet(s"$dir/postings").count()
+      val beforeRows = idxDf(dir, "postings").count()
       Retrieval.purgeTfIndexTombstones(spark, dir)
-      assert(!new java.io.File(s"$dir/tombstones").exists())
-      assert(spark.read.parquet(s"$dir/postings").count() < beforeRows)
+      assert(!idxDirExists(dir, "tombstones"))
+      assert(idxDf(dir, "postings").count() < beforeRows)
       assert(canonTopK(
         Retrieval.bm25TopKFromTfIndex(spark, dir, queries, 10)) == truth2)
       // deleting an APPENDED doc works too (takedown of fresh ingest)
@@ -255,10 +255,10 @@ class RetrievalSpec extends SparkSpec {
       assert(canonTopK(
         Retrieval.bm25TopKFromTfIndex(spark, dir, queries, 10)) == truth2)
       // physical purge drops the dead generations, answers unchanged
-      val beforeRows = spark.read.parquet(s"$dir/postings").count()
+      val beforeRows = idxDf(dir, "postings").count()
       Retrieval.purgeTfIndexTombstones(spark, dir)
-      assert(!new java.io.File(s"$dir/tombstones").exists())
-      assert(spark.read.parquet(s"$dir/postings").count() < beforeRows)
+      assert(!idxDirExists(dir, "tombstones"))
+      assert(idxDf(dir, "postings").count() < beforeRows)
       assert(canonTopK(
         Retrieval.bm25TopKFromTfIndex(spark, dir, queries, 10)) == truth2)
     } finally org.apache.commons.io.FileUtils
@@ -286,12 +286,12 @@ class RetrievalSpec extends SparkSpec {
       // stay physically present and logically dead
       val (before, after) = Retrieval.compactTfIndex(spark, dir)
       assert(after < before)
-      assert(new java.io.File(s"$dir/tombstones").exists())
+      assert(idxDirExists(dir, "tombstones"))
       assert(run() == expected)
       // the purge afterwards still drops exactly the dead generations
-      val rows = spark.read.parquet(s"$dir/postings").count()
+      val rows = idxDf(dir, "postings").count()
       Retrieval.purgeTfIndexTombstones(spark, dir)
-      assert(spark.read.parquet(s"$dir/postings").count() < rows)
+      assert(idxDf(dir, "postings").count() < rows)
       assert(run() == expected)
     } finally org.apache.commons.io.FileUtils
       .deleteQuietly(new java.io.File(dir))

@@ -609,12 +609,12 @@ class SimilaritySpec extends SparkSpec {
       // deleted ids still appear as queries (vec_id 1 and 4 < 6)
       assert(logical.exists(_._1 % 3 == 1), "deleted ids must query")
       // frozen halves untouched on disk
-      assert(spark.read.parquet(s"$dir/cells").count() == 4)
+      assert(idxDf(dir, "cells").count() == 4)
       // purge: tombstones gone, codes thinner, same answers
-      val before = spark.read.parquet(s"$dir/codes").count()
+      val before = idxDf(dir, "codes").count()
       Similarity.purgeIvfPqTombstones(spark, dir)
-      assert(!new java.io.File(s"$dir/tombstones").exists())
-      assert(spark.read.parquet(s"$dir/codes").count() < before)
+      assert(!idxDirExists(dir, "tombstones"))
+      assert(idxDf(dir, "codes").count() < before)
       assert(search() == logical)
     } finally org.apache.commons.io.FileUtils
       .deleteQuietly(new java.io.File(dir))
@@ -671,10 +671,10 @@ class SimilaritySpec extends SparkSpec {
         recrawl.where(col("vec_id") === 5), dims = 8, m = 2)
       assert(search() == expected)
       // physical purge: thinner codes, identical searches
-      val before = spark.read.parquet(s"$dir/codes").count()
+      val before = idxDf(dir, "codes").count()
       Similarity.purgeIvfPqTombstones(spark, dir)
-      assert(!new java.io.File(s"$dir/tombstones").exists())
-      assert(spark.read.parquet(s"$dir/codes").count() < before)
+      assert(!idxDirExists(dir, "tombstones"))
+      assert(idxDf(dir, "codes").count() < before)
       assert(search() == expected)
     } finally org.apache.commons.io.FileUtils
       .deleteQuietly(new java.io.File(dir))
@@ -758,6 +758,67 @@ class SimilaritySpec extends SparkSpec {
       val self = Similarity.ivfPqDriftStats(spark, dir, train,
         dims = 8, m = 2).collect()(0)
       assert(self.getLong(4) == 1000000L)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
+  test("retrainIvfPqIndex closes the trigger→action loop: retrain " +
+      "over the live corpus ≡ a fresh build bit-identically, swap is " +
+      "one atomic snapshot (tombstones cleared WITH the new geometry), " +
+      "generations stay monotone, drift baseline resets to 1.0M ppm") {
+    import spark.implicits._
+    def vecs(ids: Seq[Int], shift: Double) = ids.map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (math.sin(i * 3.0 + d) * 0.5 + 0.5 + shift).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("annretrain")
+      .toString
+    try {
+      // yesterday's geometry: trained on the old slice, then a
+      // shifted batch appended frozen (the drift q347 alerts on) and
+      // a takedown tombstoned
+      val old = vecs(0 until 16, 0.0)
+      val drifted = vecs(16 until 24, 2.0)
+      Similarity.ivfPqIndex(old, nCells = 4, dims = 8, m = 2,
+        nCentroids = 4).write(dir)
+      Similarity.writeIvfPqDriftBaseline(spark, dir, old, dims = 8,
+        m = 2)
+      Similarity.appendToIvfPqIndex(spark, dir, drifted, dims = 8,
+        m = 2)
+      Similarity.deleteFromIvfPqIndex(dir, Seq(3L).toDF("vec_id"))
+      val genBefore = graft.sink.IndexLayout.currentGen(spark, dir)
+      // the LIVE corpus: everything except the takedown
+      val live = old.unionAll(drifted).where(col("vec_id") =!= 3)
+      Similarity.retrainIvfPqIndex(spark, dir, live, nCells = 4,
+        dims = 8, m = 2, nCentroids = 4)
+      def search(idx: Similarity.IvfPqIndex) = Similarity.ivfPqSearch(
+          vecs(0 until 6, 0.0), idx, k = 4, nprobe = 2, dims = 8,
+          m = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).sortBy(t => (t._1, t._4)).toSeq
+      // retrain ≡ fresh build over the live rows (deterministic
+      // seeding), served from the swapped artifacts
+      val got = search(Similarity.IvfPqIndex.read(spark, dir))
+      val freshTwin = search(Similarity.ivfPqIndex(live, nCells = 4,
+        dims = 8, m = 2, nCentroids = 4))
+      assert(got == freshTwin, "retrain diverged from a fresh build")
+      assert(got.forall(_._2 != 3L), "takedown resurrected by retrain")
+      // tombstones reset WITH the geometry (same atomic snapshot)
+      assert(!idxDirExists(dir, "tombstones"))
+      // generations stay monotone: the re-encoded corpus took the
+      // next gen, and a post-retrain takedown works as usual
+      assert(graft.sink.IndexLayout.currentGen(spark, dir) ==
+        genBefore + 1)
+      Similarity.deleteFromIvfPqIndex(dir, Seq(5L).toDF("vec_id"))
+      assert(search(Similarity.IvfPqIndex.read(spark, dir))
+        .forall(_._2 != 5L))
+      // the drift baseline was rewritten from the retrain corpus:
+      // the live rows under the NEW codebook read exactly 1.0M ppm
+      val self = Similarity.ivfPqDriftStats(spark, dir, live,
+        dims = 8, m = 2).collect()(0)
+      assert(self.getLong(4) == 1000000L,
+        s"baseline not reset: ${self.getLong(4)} ppm")
     } finally org.apache.commons.io.FileUtils
       .deleteQuietly(new java.io.File(dir))
   }

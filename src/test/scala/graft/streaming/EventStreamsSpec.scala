@@ -502,9 +502,62 @@ class EventStreamsSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
           r.getLong(3))).sortBy(t => (t._1, t._4)).toSeq
       assert(got == twin)
-      // the stale text must be GONE, not just outranked
-      assert(!got.exists { case (_, doc, _, _) => doc == 1L &&
-        twin.forall(_._2 != 1L) })
+      // the stale text must be GONE, not just outranked: 'stale'
+      // appears ONLY in doc 1's pre-crawl text, so after the re-crawl
+      // it must match nothing at all
+      assert(graft.operators.Retrieval.bm25TopKFromTfIndex(
+        spark, dir, Seq(1 -> "stale"), 10).count() == 0)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
+  test("crash self-heal: a batch that died AFTER appending its facts " +
+      "but BEFORE its epoch commit replays WITHOUT double-counting — " +
+      "in APPEND mode too (the pending-epoch marker routes the " +
+      "replay through the upsert path, whose fresh-generation " +
+      "tombstones kill the partial facts)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tfcrash").toString
+    val queries = Seq(1 -> "needle common", 2 -> "doc17 hay")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).sortBy(t => (t._1, t._4)).toSeq
+    try {
+      val base = (0L until 10L).map(i => (i,
+        s"common words doc$i " + (if (i < 3) "needle" else "hay")))
+      val b0 = (10L until 15L).map(i => (i, s"hay common doc$i"))
+      val b1 = (15L until 20L).map(i => (i, s"needle hay doc$i"))
+      graft.operators.Retrieval.writeTfIndex(
+        base.toDF("doc_id", "text"), dir, wordBuckets = 8)
+      assert(EventStreams.ingestTfIndexBatch(
+        b0.toDF("doc_id", "text"), 0L, dir))
+      // simulate epoch 1 dying between its fact append and its epoch
+      // commit — exactly ingestTfIndexBatch's prefix, in append mode:
+      // pending marker, generation reservation, fact append... crash.
+      val m0 = graft.sink.IndexManifest.readOrInit(spark, dir)
+      graft.sink.IndexManifest.commit(spark, dir,
+        m0.copy(pendingEpoch = 1L))
+      val g = graft.sink.IndexLayout.reserveGen(spark, dir)
+      graft.operators.Retrieval.appendTfFacts(
+        dir, b1.toDF("doc_id", "text"), "doc_id", "text", None, g)
+      // the facts are fully on disk, the epoch is NOT committed
+      assert(EventStreams.committedTfIndexEpoch(spark, dir) == 0L)
+      // the at-least-once replay of the SAME batch at the SAME epoch:
+      // without the self-heal this would double every tf/df/dl of
+      // docs 15-19 and shift every BM25 score below
+      assert(EventStreams.ingestTfIndexBatch(
+        b1.toDF("doc_id", "text"), 1L, dir))
+      val got = canon(graft.operators.Retrieval.bm25TopKFromTfIndex(
+        spark, dir, queries, 10))
+      val twin = canon(graft.operators.Retrieval.bm25TopK(
+        (base ++ b0 ++ b1).toDF("doc_id", "text"),
+        "doc_id", "text", queries, 10))
+      assert(got == twin, "replayed crash double-counted facts")
+      // a further replay of the now-committed epoch is skipped outright
+      assert(!EventStreams.ingestTfIndexBatch(
+        b1.toDF("doc_id", "text"), 1L, dir))
+      assert(EventStreams.committedTfIndexEpoch(spark, dir) == 1L)
     } finally org.apache.commons.io.FileUtils
       .deleteQuietly(new java.io.File(dir))
   }
@@ -531,12 +584,12 @@ class EventStreamsSpec extends SparkSpec {
       }
       in.addData((1L, "needle common words"), (2L, "hay common"))
       run()
-      val docs1 = spark.read.parquet(s"$dir/docs").count()
+      val docs1 = idxDf(dir, "docs").count()
       assert(docs1 == 3) // base + 2 streamed
       // second run with NEW data: same checkpoint, later epochs only
       in.addData((3L, "needle needle common"))
       run()
-      assert(spark.read.parquet(s"$dir/docs").count() == 4)
+      assert(idxDf(dir, "docs").count() == 4)
       val got = graft.operators.Retrieval.bm25TopKFromTfIndex(
           spark, dir, queries, 10).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
