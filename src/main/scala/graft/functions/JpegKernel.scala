@@ -9,22 +9,27 @@ import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StructField, StructType}
 
-/** Native BASELINE SEQUENTIAL JPEG codec (ITU T.81) — the rung the
-  * r13 verdict asked for: Huffman entropy coding + an 8×8 integer DCT
-  * are pure public-spec byte/integer arithmetic, JDK-only, so the
-  * "JPEG genuinely needs libraries" claim was only true for the
-  * progressive/arithmetic variants (which remain out of scope, with
+/** Native BASELINE + PROGRESSIVE JPEG codec (ITU T.81) — the rungs
+  * the r13/r15 verdicts asked for: Huffman entropy coding + an 8×8
+  * integer DCT are pure public-spec byte/integer arithmetic, JDK-only,
+  * so the "JPEG genuinely needs libraries" claim was only true for
+  * the arithmetic-coded variants (which remain out of scope, with
   * hierarchical and 12-bit precision).
   *
-  * Supported: baseline DCT (SOF0), 8-bit precision, 1 component
+  * Supported: baseline DCT (SOF0) and Huffman PROGRESSIVE (SOF2 —
+  * spectral selection + successive approximation: DC first/refine, AC
+  * first with EOB runs, AC refine with correction bits; coefficients
+  * accumulate across scans and reconstruct through the SAME pinned
+  * IDCT, so a full-precision progressive stream decodes to pixels
+  * bit-identical to its baseline twin), 8-bit precision, 1 component
   * (grayscale) or 3 components (YCbCr at every Y sampling in
   * {1,2}×{1,2} with 1×1 chroma — 4:4:4, 4:2:0, 4:2:2, 4:4:0; pinned
   * nearest-neighbor chroma upsample; 4:2:0 with restarts is what the
   * overwhelming majority of real-world baseline JPEGs use), restart
-  * intervals (DRI + RSTm resync with DC reset), 0xFF fill bytes
-  * before markers, and arbitrary SOF component ids (SOS maps scan
-  * components through the declared ids). Anything else (4:1:1,
-  * chroma-oversampled layouts, progressive/arithmetic/hierarchical,
+  * intervals (DRI + RSTm resync with DC reset, in progressive scans
+  * too), 0xFF fill bytes before markers, and arbitrary SOF component
+  * ids (SOS maps scan components through the declared ids). Anything
+  * else (4:1:1, chroma-oversampled layouts, arithmetic/hierarchical,
   * 12-bit) — and any truncated/garbage payload — decodes to null,
   * never throws (the PNG-kernel garbage-rows contract;
   * KernelPropertiesSpec fuzzes it). The SALVAGE entry points
@@ -523,6 +528,288 @@ object JpegEncodeKernel {
     marker(out, 0xD9) // EOI
     out.toByteArray
   }
+
+  /** PROGRESSIVE (SOF2) encode with the PINNED minimal scan script —
+    * DC first (full precision), then one full-precision AC 1–63 scan
+    * per component. The entropy bits per block are identical to the
+    * baseline coding of the same coefficients (EOB is emitted as EOB0,
+    * run length 1), so progressive ≡ baseline pixels bit-for-bit under
+    * the pinned decoder — which is exactly what lets the q334/q346
+    * closed-form oracles gate progressive streams unchanged. 4:4:4 /
+    * grayscale only (the script exercises the scan machinery, not the
+    * sampling grid — baseline covers that). */
+  def encodeProgressive(width: Int, height: Int, channels: Int,
+      pixels: Array[Byte], restartInterval: Int = 0): Array[Byte] =
+    encodeProgressiveImpl(width, height, channels, pixels,
+      restartInterval, sa = false)
+
+  /** [[encodeProgressive]] with SUCCESSIVE APPROXIMATION (the web's
+    * actual progressive shape): DC at Al=1 then its refinement scan,
+    * AC 1–63 at Al=1 then its Ah=1→Al=0 refinement per component.
+    * The two-stage coding is exact — first scan codes sign·(|v|≫1),
+    * refinement restores the low bit — so pixels remain bit-identical
+    * to baseline; what it buys the DECODER is coverage of the
+    * refinement state machine (correction bits, EOB runs over
+    * nonzero-history coefficients) that real crawled files exercise. */
+  def encodeProgressiveSa(width: Int, height: Int, channels: Int,
+      pixels: Array[Byte], restartInterval: Int = 0): Array[Byte] =
+    encodeProgressiveImpl(width, height, channels, pixels,
+      restartInterval, sa = true)
+
+  private def encodeProgressiveImpl(width: Int, height: Int,
+      channels: Int, pixels: Array[Byte], restartInterval: Int,
+      sa: Boolean): Array[Byte] = {
+    if ((channels != 1 && channels != 3) || width <= 0 || height <= 0 ||
+        width > 65535 || height > 65535 ||
+        restartInterval < 0 || restartInterval > 65535 ||
+        pixels == null ||
+        pixels.length.toLong != width.toLong * height * channels ||
+        width.toLong * height * channels > (1L << 29)) return null
+    val out = new ByteArrayOutputStream(1024)
+    marker(out, 0xD8) // SOI
+    marker(out, 0xE0); u16(out, 16) // APP0 JFIF
+    out.write(Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1,
+      0, 0), 0, 14)
+    def writeDqt(id: Int, q: Array[Int]): Unit = {
+      marker(out, 0xDB); u16(out, 2 + 1 + 64)
+      out.write(id)
+      var k = 0
+      while (k < 64) { out.write(q(Zigzag(k))); k += 1 }
+    }
+    writeDqt(0, QLuma)
+    if (channels == 3) writeDqt(1, QChroma)
+    if (restartInterval > 0) { // DRI applies to every scan
+      marker(out, 0xDD); u16(out, 4); u16(out, restartInterval)
+    }
+    // SOF2 — same payload layout as SOF0, progressive marker
+    marker(out, 0xC2); u16(out, 8 + 3 * channels)
+    out.write(8); u16(out, height); u16(out, width); out.write(channels)
+    var ci = 0
+    while (ci < channels) {
+      out.write(ci + 1); out.write(0x11); out.write(if (ci == 0) 0 else 1)
+      ci += 1
+    }
+    writeDht(out, 0x00, DcBits, DcVals)
+    writeDht(out, 0x10, AcBits, AcVals)
+    if (channels == 3) {
+      writeDht(out, 0x01, DcBits, DcVals)
+      writeDht(out, 0x11, AcBits, AcVals)
+    }
+    // color transform (4:4:4: full-resolution planes)
+    val n = width * height
+    val planes = new Array[Array[Byte]](channels)
+    if (channels == 1) {
+      planes(0) = pixels
+    } else {
+      planes(0) = new Array[Byte](n)
+      planes(1) = new Array[Byte](n)
+      planes(2) = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        val r = pixels(3 * i) & 0xff
+        val g = pixels(3 * i + 1) & 0xff
+        val b = pixels(3 * i + 2) & 0xff
+        planes(0)(i) = rgbToY(r, g, b).toByte
+        planes(1)(i) = rgbToCb(r, g, b).toByte
+        planes(2)(i) = rgbToCr(r, g, b).toByte
+        i += 1
+      }
+    }
+    // quantized coefficient blocks, once per component (natural order)
+    val bX = (width + 7) / 8
+    val bY = (height + 7) / 8
+    val block = new Array[Int](64)
+    val coefs = Array.ofDim[Array[Int]](channels, bX * bY)
+    ci = 0
+    while (ci < channels) {
+      val qt = if (ci == 0) QLuma else QChroma
+      var by = 0
+      while (by < bY) {
+        var bx = 0
+        while (bx < bX) {
+          var yy = 0
+          while (yy < 8) {
+            val sy = math.min(by * 8 + yy, height - 1)
+            var xx = 0
+            while (xx < 8) {
+              val sx = math.min(bx * 8 + xx, width - 1)
+              block(yy * 8 + xx) = (planes(ci)(sy * width + sx) & 0xff) - 128
+              xx += 1
+            }
+            yy += 1
+          }
+          coefs(ci)(by * bX + bx) = fdctQuant(block, qt)
+          bx += 1
+        }
+        by += 1
+      }
+      ci += 1
+    }
+    def writeSos(comps: Seq[Int], ss: Int, se: Int, ah: Int,
+        al: Int): Unit = {
+      marker(out, 0xDA); u16(out, 6 + 2 * comps.length)
+      out.write(comps.length)
+      comps.foreach { c =>
+        out.write(c + 1)
+        out.write(if (c == 0) 0x00 else 0x11)
+      }
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+    }
+    // RSTm between restart intervals — every scan restarts
+    // independently, marker index cycling from 0 per scan (T.81)
+    def restartAt(bw: BitWriter, b: Int): Boolean =
+      if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+        bw.flush()
+        marker(out, 0xD0 + ((b / restartInterval - 1) & 7))
+        true
+      } else false
+    // ---- DC first scan (all components interleaved; 1×1 sampling →
+    // MCU = one block per component, raster order)
+    def dcFirst(al: Int): Unit = {
+      writeSos(0 until channels, 0, 0, 0, al)
+      val bw = new BitWriter(out)
+      val prev = new Array[Int](channels)
+      var b = 0
+      while (b < bX * bY) {
+        if (restartAt(bw, b)) java.util.Arrays.fill(prev, 0)
+        var c = 0
+        while (c < channels) {
+          val dc = coefs(c)(b)(0) >> al // arithmetic shift: exact with
+          val diff = dc - prev(c)       // the OR-refinement on decode
+          prev(c) = dc
+          val s = category(diff)
+          val (hc, hl) = dcTable(s)
+          bw.put(hc, hl); putMagnitude(bw, diff, s)
+          c += 1
+        }
+        b += 1
+      }
+      bw.flush()
+    }
+    // ---- DC refinement: one bit per block (the Al bit of DC)
+    def dcRefine(al: Int): Unit = {
+      writeSos(0 until channels, 0, 0, al + 1, al)
+      val bw = new BitWriter(out)
+      var b = 0
+      while (b < bX * bY) {
+        restartAt(bw, b)
+        var c = 0
+        while (c < channels) {
+          bw.put((coefs(c)(b)(0) >> al) & 1, 1)
+          c += 1
+        }
+        b += 1
+      }
+      bw.flush()
+    }
+    // ---- AC first scan (single component, Ss=1..Se=63): baseline
+    // run-size coding of sign·(|v|≫Al); EOB emitted per block (EOB0)
+    def acFirst(c: Int, al: Int): Unit = {
+      writeSos(Seq(c), 1, 63, 0, al)
+      val bw = new BitWriter(out)
+      var b = 0
+      while (b < bX * bY) {
+        restartAt(bw, b) // per-block EOB0: no entropy state to reset
+        val co = coefs(c)(b)
+        var run = 0
+        var k = 1
+        while (k < 64) {
+          val raw = co(Zigzag(k))
+          val mag = math.abs(raw) >> al
+          if (mag == 0) run += 1
+          else {
+            while (run >= 16) {
+              val (zc, zl) = acTable(0xF0); bw.put(zc, zl); run -= 16
+            }
+            val v = if (raw >= 0) mag else -mag
+            val sz = category(v)
+            val (ac, al2) = acTable((run << 4) | sz)
+            bw.put(ac, al2); putMagnitude(bw, v, sz)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (ec, el) = acTable(0x00); bw.put(ec, el) }
+        b += 1
+      }
+      bw.flush()
+    }
+    // ---- AC refinement (T.81 G.1.2.3, per-block EOB0 — the encoder
+    // twin of the decoder's correction-bit walk): newly-significant
+    // coefficients emit (run, 1) + sign; history-nonzero coefficients
+    // contribute buffered correction bits, flushed after each emitted
+    // symbol in coefficient order
+    def acRefine(c: Int, al: Int): Unit = {
+      writeSos(Seq(c), 1, 63, al + 1, al)
+      val bw = new BitWriter(out)
+      val pending = new java.util.ArrayList[Integer]
+      def flushPending(): Unit = {
+        var i = 0
+        while (i < pending.size()) { bw.put(pending.get(i), 1); i += 1 }
+        pending.clear()
+      }
+      var b = 0
+      while (b < bX * bY) {
+        restartAt(bw, b) // pending bits always flushed at block ends
+        val co = coefs(c)(b)
+        // last newly-significant position: ZRLs are never needed past
+        // it (the tail folds into EOB, whose decoder walk consumes the
+        // remaining correction bits to Se)
+        var eobPos = 0
+        var j = 1
+        while (j < 64) {
+          if (math.abs(co(Zigzag(j))) >> al == 1) eobPos = j
+          j += 1
+        }
+        var run = 0
+        var k = 1
+        while (k < 64) {
+          val raw = co(Zigzag(k))
+          val mag = math.abs(raw) >> al
+          if (mag == 0) run += 1
+          else {
+            // required ZRLs emit at the position of ANY nonzero
+            // coefficient (correction bits included) — the decoder's
+            // ZRL walk consumes correction bits of the positions it
+            // passes, so flushing later would desynchronize the
+            // bit order
+            while (run > 15 && k <= eobPos) {
+              val (zc, zl) = acTable(0xF0); bw.put(zc, zl); run -= 16
+              flushPending()
+            }
+            if (mag > 1) pending.add(mag & 1) // correction bit
+            else {
+              val (ac, al2) = acTable((run << 4) | 1)
+              bw.put(ac, al2)
+              bw.put(if (raw >= 0) 1 else 0, 1) // sign of the new ±1
+              flushPending()
+              run = 0
+            }
+          }
+          k += 1
+        }
+        if (run > 0 || !pending.isEmpty) {
+          val (ec, el) = acTable(0x00); bw.put(ec, el)
+          flushPending()
+        }
+        b += 1
+      }
+      bw.flush()
+    }
+    if (!sa) {
+      dcFirst(0)
+      ci = 0
+      while (ci < channels) { acFirst(ci, 0); ci += 1 }
+    } else {
+      dcFirst(1); dcRefine(0)
+      ci = 0
+      while (ci < channels) { acFirst(ci, 1); ci += 1 }
+      ci = 0
+      while (ci < channels) { acRefine(ci, 0); ci += 1 }
+    }
+    marker(out, 0xD9) // EOI
+    out.toByteArray
+  }
 }
 
 /** JPEG reader — table-driven baseline decoder; see [[JpegMath]]. */
@@ -677,17 +964,35 @@ object JpegDecodeKernel {
     var compV: Array[Int] = null
     var restartInterval = 0
     var sawSof = false
+    // progressive (SOF2) state: coefficients accumulate across scans
+    // into per-component MCU-padded buffers; reconstruction happens at
+    // EOI (salvage mode has no restart-bounded recovery story for a
+    // multi-scan stream — progressive decodes strictly, corrupt → None)
+    var progressive = false
+    var pCoefs: Array[Array[Int]] = null
+    var pDcDone: Array[Boolean] = null
+    var anyScan = false
+    var hMax = 1; var vMax = 1; var mcuX = 0; var mcuY = 0
+    var sosNext = -1 // a progressive SOS advances i to the next marker
 
     var i = 2
-    while (i + 4 <= b.length) {
+    while (i + 2 <= b.length) {
       if (u8(i) != 0xff) return None
       // T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
       // marker id — skip them (they are NOT a zero-length segment)
-      while (i + 4 <= b.length && u8(i + 1) == 0xff) i += 1
-      if (i + 4 > b.length) return None
+      while (i + 2 <= b.length && u8(i + 1) == 0xff) i += 1
+      if (i + 2 > b.length) return None
       val m = u8(i + 1)
-      if (m == 0xd9) return None // EOI before SOS: no image
+      if (m == 0xd9) { // EOI: reconstruct a completed progressive image
+        if (progressive && anyScan && pDcDone.forall(identity) &&
+            (0 until nComp).forall(c => qTables(compQ(c)) != null))
+          return reconstructProgressive(w, h, nComp, compH, compV,
+            hMax, vMax, mcuX, mcuY, pCoefs,
+            (0 until nComp).map(c => qTables(compQ(c))).toArray)
+        return None // EOI before SOS: no image
+      }
       if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { i += 2 }
+      else if (i + 4 > b.length) return None
       else {
         val len = u16(i + 2)
         if (len < 2 || i + 2 + len > b.length) return None
@@ -722,13 +1027,18 @@ object JpegDecodeKernel {
               if (tc == 0) dcTables(th) = t else acTables(th) = t
               p += 17 + nv
             }
-          case 0xc0 => // SOF0 baseline
+          case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
             if (sawSof || dLen < 6) return None
+            progressive = m == 0xc2
             if (u8(d) != 8) return None // precision
             h = u16(d + 1); w = u16(d + 3); nComp = u8(d + 5)
             if (w <= 0 || h <= 0 ||
               (nComp != 1 && nComp != 3)) return None
             if (w.toLong * h * nComp > (1L << 29)) return None // bomb
+            // progressive buffers coefficients as ints (4 bytes per
+            // sample vs the byte planes) — tighter allocation guard
+            if (progressive &&
+              w.toLong * h * nComp > (1L << 27)) return None
             if (dLen != 6 + 3 * nComp) return None
             compQ = new Array[Int](nComp)
             compId = new Array[Int](nComp)
@@ -758,52 +1068,103 @@ object JpegDecodeKernel {
             // distinct component ids (the SOS mapping relies on it)
             if (compId.distinct.length != nComp) return None
             sawSof = true
-          case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+            if (progressive) { // per-component coefficient buffers
+              hMax = 1; vMax = 1
+              var c2 = 0
+              while (c2 < nComp) {
+                if (compH(c2) > hMax) hMax = compH(c2)
+                if (compV(c2) > vMax) vMax = compV(c2)
+                c2 += 1
+              }
+              mcuX = (w + 8 * hMax - 1) / (8 * hMax)
+              mcuY = (h + 8 * vMax - 1) / (8 * vMax)
+              pCoefs = (0 until nComp).map(c => new Array[Int](
+                mcuX * compH(c) * mcuY * compV(c) * 64)).toArray
+              pDcDone = new Array[Boolean](nComp)
+            }
+          case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
               0xcb | 0xcd | 0xce | 0xcf =>
-            return None // non-baseline SOF variants: out of scope
+            return None // non-baseline/-progressive SOFs: out of scope
           case 0xdd => // DRI: restart interval in MCUs (0 disables)
             if (dLen != 2) return None
             restartInterval = u16(d)
           case 0xda => // SOS → entropy decode
-            if (!sawSof || dLen < 1 + 2 * nComp + 3) return None
-            if (u8(d) != nComp) return None
+            if (!sawSof || dLen < 1 + 2 + 3) return None
+            val ns = u8(d)
+            if (ns < 1 || ns > nComp || dLen != 1 + 2 * ns + 3)
+              return None
+            if (!progressive && ns != nComp) return None
             // scan components map through the SOF-DECLARED ids (not
             // required to be 1-based); scan order = interleave order
-            val scanComp = new Array[Int](nComp) // SOF index per slot
-            val compDc = new Array[Int](nComp)
-            val compAc = new Array[Int](nComp)
+            val scanComp = new Array[Int](ns) // SOF index per slot
+            val compDc = new Array[Int](ns)
+            val compAc = new Array[Int](ns)
             var c = 0
-            while (c < nComp) {
+            while (c < ns) {
               val id = u8(d + 1 + 2 * c)
               val idx = compId.indexOf(id)
               if (idx < 0) return None
               scanComp(c) = idx
               compDc(c) = u8(d + 1 + 2 * c + 1) >> 4
               compAc(c) = u8(d + 1 + 2 * c + 1) & 0x0f
+              // table ids index 4-slot arrays; a corrupt byte can
+              // carry up to 15
+              if (compDc(c) > 3 || compAc(c) > 3) return None
               c += 1
             }
-            if (scanComp.distinct.length != nComp) return None
-            // baseline scan header: Ss=0, Se=63, AhAl=0 (T.81 B.2.3) —
-            // anything else is a progressive-style scan that would
-            // silently misdecode rather than fail
-            val specOff = d + 1 + 2 * nComp
-            if (u8(specOff) != 0 || u8(specOff + 1) != 63 ||
-              u8(specOff + 2) != 0) return None
+            if (scanComp.distinct.length != ns) return None
+            val specOff = d + 1 + 2 * ns
+            val ssV = u8(specOff); val seV = u8(specOff + 1)
+            val ahV = u8(specOff + 2) >> 4
+            val alV = u8(specOff + 2) & 0x0f
+            if (!progressive) {
+              // baseline scan header: Ss=0, Se=63, AhAl=0 (T.81
+              // B.2.3) — anything else is a progressive-style scan
+              // that would silently misdecode rather than fail
+              if (ssV != 0 || seV != 63 || ahV != 0 || alV != 0)
+                return None
+              c = 0
+              while (c < ns) {
+                if (qTables(compQ(scanComp(c))) == null ||
+                  dcTables(compDc(c)) == null ||
+                  acTables(compAc(c)) == null) return None
+                c += 1
+              }
+              return entropyDecode(b, i + 2 + len, w, h, nComp,
+                scanComp, compH, compV,
+                scanComp.map(compQ).map(qTables),
+                compDc.map(dcTables), compAc.map(acTables),
+                restartInterval, salvage)
+            }
+            // progressive scan constraints (T.81 B.2.3 + Annex G):
+            // DC band is Ss=0/Se=0 (interleave allowed); an AC band is
+            // single-component; refinement steps Al one bit at a time
+            val dcScan = ssV == 0
+            if (dcScan && seV != 0) return None
+            if (!dcScan && (ns != 1 || seV < ssV || seV > 63))
+              return None
+            if (alV > 13 || (ahV != 0 && ahV != alV + 1)) return None
+            if (!dcScan && !pDcDone(scanComp(0))) return None
             c = 0
-            while (c < nComp) {
-              if (qTables(compQ(scanComp(c))) == null ||
-                dcTables(compDc(c)) == null ||
-                acTables(compAc(c)) == null) return None
+            while (c < ns) {
+              if (qTables(compQ(scanComp(c))) == null) return None
+              if (dcScan && ahV == 0 &&
+                dcTables(compDc(c)) == null) return None
+              if (!dcScan && acTables(compAc(c)) == null) return None
               c += 1
             }
-            return entropyDecode(b, i + 2 + len, w, h, nComp,
-              scanComp, compH, compV,
-              scanComp.map(compQ).map(qTables),
+            val nxt = progressiveScan(b, i + 2 + len, w, h,
+              scanComp, compH, compV, hMax, vMax, mcuX, mcuY,
               compDc.map(dcTables), compAc.map(acTables),
-              restartInterval, salvage)
+              ssV, seV, ahV, alV, restartInterval, pCoefs)
+            if (nxt < 0) return None
+            if (dcScan && ahV == 0) scanComp.foreach(pDcDone(_) = true)
+            anyScan = true
+            sosNext = nxt
           case _ => () // APPn/COM/etc: skip
         }
-        i += 2 + len
+        i = if (sosNext >= 0) sosNext else i + 2 + len
+        sosNext = -1
       }
     }
     None
@@ -983,8 +1344,17 @@ object JpegDecodeKernel {
       segStart = segEnd
       segIdx += 1
     }
-    // crop padding; upsample (nearest, top-left co-sited); interleave;
-    // inverse color transform
+    Some((Decoded(w, h, nComp,
+      planesToPixels(w, h, nComp, compH, compV, hMax, vMax, planeW,
+        planes)), corrupt))
+  }
+
+  /** Shared reconstruction tail (baseline + progressive): crop
+    * padding; upsample (nearest, top-left co-sited); interleave;
+    * inverse color transform. */
+  private def planesToPixels(w: Int, h: Int, nComp: Int,
+      compH: Array[Int], compV: Array[Int], hMax: Int, vMax: Int,
+      planeW: Array[Int], planes: Array[Array[Byte]]): Array[Byte] = {
     val out = new Array[Byte](w * h * nComp)
     if (nComp == 1) {
       val pw = planeW(0)
@@ -1017,7 +1387,261 @@ object JpegDecodeKernel {
         y += 1
       }
     }
-    Some((Decoded(w, h, nComp, out), corrupt))
+    out
+  }
+
+  /** ONE progressive scan's entropy decode into the per-component
+    * coefficient buffers — the scan-loop state machine of T.81 Annex G
+    * over the same pinned arithmetic: DC first/refine (diff coding /
+    * one Al-bit per block), AC first (spectral selection with EOB
+    * runs), AC refine (correction-bit walk, newly-significant ±2^Al).
+    * Interleaved scans step MCUs; a single-component scan steps the
+    * component's OWN block grid (not the MCU-padded one). Restart
+    * markers resync exactly as baseline, additionally resetting the
+    * EOB run. Returns the position of the next marker, or −1 for any
+    * entropy/structure error (strict — the garbage contract).
+    */
+  private def progressiveScan(b: Array[Byte], start: Int, w: Int,
+      h: Int, scanComp: Array[Int], compH: Array[Int],
+      compV: Array[Int], hMax: Int, vMax: Int, mcuX: Int, mcuY: Int,
+      dct: Array[HuffTable], act: Array[HuffTable], ss: Int, se: Int,
+      ah: Int, al: Int, restartInterval: Int,
+      pCoefs: Array[Array[Int]]): Int = {
+    val br = new BitReader(b, start)
+    val ns = scanComp.length
+    val prevDc = new Array[Int](ns)
+    var eobrun = 0
+    val p1 = 1 << al
+    val m1 = -p1
+    val interleaved = ns > 1
+    val c0 = scanComp(0)
+    // single-component scans cover ceil(compSamples/8) blocks per
+    // axis — fewer than the MCU-padded grid for a subsampled plane
+    val compBw =
+      if (interleaved) 0
+      else ((w * compH(c0) + hMax - 1) / hMax + 7) / 8
+    val compBh =
+      if (interleaved) 0
+      else ((h * compV(c0) + vMax - 1) / vMax + 7) / 8
+    val totalUnits =
+      if (interleaved) mcuX * mcuY else compBw * compBh
+
+    def dcBlock(slot: Int, c: Int, bx: Int, by: Int): Boolean = {
+      val off = (by * mcuX * compH(c) + bx) * 64
+      val coef = pCoefs(c)
+      if (ah == 0) {
+        val s = br.decodeSymbol(dct(slot))
+        if (s < 0 || s > 11) return false
+        val dv = if (s == 0) 0 else {
+          val raw = br.bitsVal(s); if (raw < 0) return false
+          extend(raw, s)
+        }
+        prevDc(slot) += dv
+        val v = prevDc(slot) << al
+        if (math.abs(v) > 4096) return false // dequantIdct Long bound
+        coef(off) = v
+      } else {
+        val bit = br.bit(); if (bit < 0) return false
+        // two's-complement OR restores negatives exactly:
+        // (v >> 1) << 1 | (v & 1) == v
+        if (bit == 1) coef(off) |= p1
+      }
+      true
+    }
+
+    def acFirstBlock(off: Int, coef: Array[Int]): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      var k = ss
+      while (k <= se) {
+        val rs = br.decodeSymbol(act(0))
+        if (rs < 0) return false
+        val r = rs >> 4; val s = rs & 15
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else { // EOBn: this block ends; 2^r − 1 (+ extension) more
+            eobrun = (1 << r) - 1
+            if (r > 0) {
+              val x = br.bitsVal(r); if (x < 0) return false
+              eobrun += x
+            }
+            return true
+          }
+        } else {
+          if (s > 10) return false
+          k += r
+          if (k > se) return false
+          val raw = br.bitsVal(s); if (raw < 0) return false
+          val v = extend(raw, s) << al
+          if (math.abs(v) > 4096) return false
+          coef(off + Zigzag(k)) = v
+          k += 1
+        }
+      }
+      true
+    }
+
+    def acRefineBlock(off: Int, coef: Array[Int]): Boolean = {
+      var k = ss
+      if (eobrun == 0) {
+        var atEob = false
+        while (!atEob && k <= se) {
+          val rs = br.decodeSymbol(act(0))
+          if (rs < 0) return false
+          var r = rs >> 4; val s = rs & 15
+          var newVal = 0
+          if (s == 0) {
+            if (r != 15) { // EOBn — tail handled in the eobrun phase
+              eobrun = 1 << r
+              if (r > 0) {
+                val x = br.bitsVal(r); if (x < 0) return false
+                eobrun += x
+              }
+              atEob = true
+            }
+            // r == 15: ZRL — skip 16 zero-HISTORY coefficients below
+          } else {
+            if (s != 1) return false
+            val sgn = br.bit(); if (sgn < 0) return false
+            newVal = if (sgn == 1) p1 else m1
+          }
+          if (!atEob) {
+            // advance: correction bits for nonzero-history positions
+            // passed over; r counts the zero-history skips
+            var stopped = false
+            while (!stopped && k <= se) {
+              val ci = off + Zigzag(k)
+              if (coef(ci) != 0) {
+                val cb = br.bit(); if (cb < 0) return false
+                if (cb == 1 && (coef(ci) & p1) == 0) {
+                  if (math.abs(coef(ci)) > 4096) return false
+                  coef(ci) += (if (coef(ci) >= 0) p1 else m1)
+                }
+              } else {
+                r -= 1
+                if (r < 0) stopped = true
+              }
+              if (!stopped) k += 1
+            }
+            if (newVal != 0) {
+              if (k > se) return false // run off the band: corrupt
+              coef(off + Zigzag(k)) = newVal
+            }
+            k += 1 // the outer loop's step past the placed/16th slot
+          }
+        }
+      }
+      if (eobrun > 0) { // correction bits continue through EOB runs
+        while (k <= se) {
+          val ci = off + Zigzag(k)
+          if (coef(ci) != 0) {
+            val cb = br.bit(); if (cb < 0) return false
+            if (cb == 1 && (coef(ci) & p1) == 0) {
+              if (math.abs(coef(ci)) > 4096) return false
+              coef(ci) += (if (coef(ci) >= 0) p1 else m1)
+            }
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+
+    var unit = 0
+    while (unit < totalUnits) {
+      if (restartInterval > 0 && unit > 0 &&
+          unit % restartInterval == 0) {
+        if (!br.resync((unit / restartInterval - 1) & 7)) return -1
+        java.util.Arrays.fill(prevDc, 0)
+        eobrun = 0
+      }
+      if (interleaved) {
+        val mx = unit % mcuX; val my = unit / mcuX
+        var slot = 0
+        while (slot < ns) {
+          val c = scanComp(slot)
+          var vv = 0
+          while (vv < compV(c)) {
+            var hh = 0
+            while (hh < compH(c)) {
+              if (!dcBlock(slot, c, mx * compH(c) + hh,
+                my * compV(c) + vv)) return -1
+              hh += 1
+            }
+            vv += 1
+          }
+          slot += 1
+        }
+      } else {
+        val bx = unit % compBw; val by = unit / compBw
+        if (ss == 0) {
+          if (!dcBlock(0, c0, bx, by)) return -1
+        } else {
+          val off = (by * mcuX * compH(c0) + bx) * 64
+          val ok = if (ah == 0) acFirstBlock(off, pCoefs(c0))
+            else acRefineBlock(off, pCoefs(c0))
+          if (!ok) return -1
+        }
+      }
+      unit += 1
+    }
+    if (br.fail) return -1
+    // next marker: entropy data contains only stuffed 0xFF00 and RSTm,
+    // so the first 0xFF followed by anything else IS the next marker
+    var p = br.pos
+    while (p + 1 < b.length && !((b(p) & 0xff) == 0xff && {
+      val nx = b(p + 1) & 0xff
+      nx != 0x00 && !(nx >= 0xd0 && nx <= 0xd7)
+    })) p += 1
+    if (p + 1 >= b.length) -1 else p
+  }
+
+  /** Progressive reconstruction at EOI: dequantize + IDCT every block
+    * of the accumulated coefficient buffers, then the shared
+    * crop/upsample/color tail — identical output math to baseline, so
+    * a full-precision progressive stream decodes to bit-identical
+    * pixels. */
+  private def reconstructProgressive(w: Int, h: Int, nComp: Int,
+      compH: Array[Int], compV: Array[Int], hMax: Int, vMax: Int,
+      mcuX: Int, mcuY: Int, pCoefs: Array[Array[Int]],
+      qtPerComp: Array[Array[Int]]): Option[(Decoded, Int)] = {
+    val planeW = (0 until nComp).map(c => mcuX * 8 * compH(c)).toArray
+    val planes = (0 until nComp)
+      .map(c => new Array[Byte](planeW(c) * mcuY * 8 * compV(c)))
+      .toArray
+    val blk = new Array[Int](64)
+    var c = 0
+    while (c < nComp) {
+      val wb = mcuX * compH(c)
+      val hb = mcuY * compV(c)
+      val coef = pCoefs(c)
+      val plane = planes(c)
+      val pw = planeW(c)
+      var by = 0
+      while (by < hb) {
+        var bx = 0
+        while (bx < wb) {
+          System.arraycopy(coef, (by * wb + bx) * 64, blk, 0, 64)
+          val px = dequantIdct(blk, qtPerComp(c))
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              plane((by * 8 + yy) * pw + bx * 8 + xx) =
+                px(yy * 8 + xx).toByte
+              xx += 1
+            }
+            yy += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      c += 1
+    }
+    Some((Decoded(w, h, nComp,
+      planesToPixels(w, h, nComp, compH, compV, hMax, vMax, planeW,
+        planes)), 0))
   }
 
   /** Raw decoded pixels (row-major, channel-interleaved), or null. */
@@ -1206,5 +1830,37 @@ object Jpeg {
         ColumnBridge.expression(pixels),
         ColumnBridge.expression(restartInterval.cast("int"))),
       inputTypes = Seq(IntegerType, IntegerType, BinaryType, IntegerType),
+      propagateNull = true, returnNullable = true))
+
+  /** PROGRESSIVE (SOF2) JFIF JPEG — pinned two-scan script, optional
+    * DRI restart interval (see [[JpegEncodeKernel.encodeProgressive]]). */
+  def jpegEncodeProgressive(width: Column, height: Column,
+      channels: Column, pixels: Column,
+      restartInterval: Column): Column =
+    ColumnBridge.column(StaticInvoke(
+      JpegEncodeKernel.getClass, BinaryType, "encodeProgressive",
+      Seq(ColumnBridge.expression(width.cast("int")),
+        ColumnBridge.expression(height.cast("int")),
+        ColumnBridge.expression(channels.cast("int")),
+        ColumnBridge.expression(pixels),
+        ColumnBridge.expression(restartInterval.cast("int"))),
+      inputTypes = Seq(IntegerType, IntegerType, IntegerType,
+        BinaryType, IntegerType),
+      propagateNull = true, returnNullable = true))
+
+  /** Progressive with SUCCESSIVE APPROXIMATION (see
+    * [[JpegEncodeKernel.encodeProgressiveSa]]). */
+  def jpegEncodeProgressiveSa(width: Column, height: Column,
+      channels: Column, pixels: Column,
+      restartInterval: Column): Column =
+    ColumnBridge.column(StaticInvoke(
+      JpegEncodeKernel.getClass, BinaryType, "encodeProgressiveSa",
+      Seq(ColumnBridge.expression(width.cast("int")),
+        ColumnBridge.expression(height.cast("int")),
+        ColumnBridge.expression(channels.cast("int")),
+        ColumnBridge.expression(pixels),
+        ColumnBridge.expression(restartInterval.cast("int"))),
+      inputTypes = Seq(IntegerType, IntegerType, IntegerType,
+        BinaryType, IntegerType),
       propagateNull = true, returnNullable = true))
 }

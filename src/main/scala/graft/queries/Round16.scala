@@ -1,0 +1,195 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Round-16 queries (q352+): progressive JPEG (SOF2) and the
+  * streaming-upsert crawler lifecycle over the manifest-snapshot index
+  * layer ([[graft.sink.IndexManifest]]).
+  */
+object Round16 {
+  private def t(name: String): QueryFn =
+    (s, dir) => Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- PROGRESSIVE JPEG (SOF2) — the last double-digit slice of
+    // real crawled JPEGs the decoder nulled (r15 verdict #5). Spark
+    // CONSTRUCTS progressive streams with the pinned scripts — the
+    // minimal two-scan shape (DC first, then one full-precision AC
+    // 1–63 scan per component) for doc%4>=2, and the web's actual
+    // SUCCESSIVE-APPROXIMATION shape (DC at Al=1 + refinement, AC at
+    // Al=1 + Ah=1 refinement) for doc%4<2 — and decodes them through
+    // the new multi-scan state machine (EOB runs, correction bits,
+    // coefficient accumulation across scans). Full-precision
+    // progressive carries EXACTLY the baseline coefficients and SA's
+    // two-stage coding is exact (first scan codes sign·(|v|≫1), the
+    // refinement restores the low bit), so pixels are bit-identical
+    // to baseline — the oracle is q334's closed form (block-constant
+    // pixels quantize to DC-only) on this row's formula, with NO
+    // JPEG-library anywhere. doc%7=6 carries a non-JPEG payload:
+    // stats must be all-null, never a throw.
+    QueryDef("q352_jpeg_progressive",
+      (s, dir) => {
+        val w = (col("doc_id") % 3 + 1) * 8
+        val h = (col("doc_id") % 2 + 1) * 8
+        val ch = when(col("doc_id") % 2 === 0, 1L).otherwise(3L)
+        def hx(c: Column) = lpad(hex(c), 2, "0")
+        def bv(bx: Column, by: Column, bw: Column, k: Int) =
+          (col("doc_id") * 11 + (by * bw + bx) * 29 + lit(k) * 13) % 256
+        val bw = Round14.idiv(w, lit(8))
+        // block-constant pixels built as 8-fold repeats per block row
+        // (the q346 hoisted-construction lesson)
+        val px = unhex(array_join(
+          transform(sequence(lit(0L), h - 1), y => {
+            val by = Round14.idiv(y, lit(8))
+            array_join(
+              transform(sequence(lit(0L), bw - 1), bx =>
+                when(ch === 1, repeat(hx(bv(bx, by, bw, 0)), 8))
+                  .otherwise(repeat(concat(hx(bv(bx, by, bw, 0)),
+                    hx(bv(bx, by, bw, 1)),
+                    hx(bv(bx, by, bw, 2))), 8))), "")
+          }), ""))
+        val ri = col("doc_id") % 4 // per-scan restart interval; 0=none
+        val jpg = when(col("doc_id") % 4 < 2,
+            graft.functions.Jpeg.jpegEncodeProgressiveSa(w, h, ch, px,
+              ri))
+          .otherwise(
+            graft.functions.Jpeg.jpegEncodeProgressive(w, h, ch, px,
+              ri))
+        val payload = when(col("doc_id") % 7 === 6,
+            graft.operators.Multimodal.syntheticPayload(col("text")))
+          .otherwise(jpg)
+        t("documents")(s, dir)
+          .select(col("doc_id"), col("text"))
+          .withColumn("st", graft.functions.Jpeg.jpegStats(payload))
+          .select(col("doc_id"), col("st.width"), col("st.height"),
+            col("st.channels"), col("st.n_pixels"), col("st.sum_c0"),
+            col("st.sum_c1"), col("st.sum_c2"),
+            col("st.sum_luma_milli"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        import Round14.{oDcPipe, oRgbY, oRgbCb, oRgbCr, oYcc2R,
+          oYcc2G, oYcc2B}
+        def v(k: Int) =
+          s"(doc_id * 11 + (by * (w // 8) + bx) * 29 + $k * 13) % 256"
+        val gOut = oDcPipe(v(0), 16)
+        val (yc, cb, cr) = (oRgbY(v(0), v(1), v(2)),
+          oRgbCb(v(0), v(1), v(2)), oRgbCr(v(0), v(1), v(2)))
+        s"""WITH d AS (SELECT doc_id, (doc_id % 3 + 1) * 8 AS w,
+           |    (doc_id % 2 + 1) * 8 AS h,
+           |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+           |  FROM documents WHERE doc_id % 7 <> 6),
+           |bx0 AS (SELECT doc_id, w, h, ch,
+           |    unnest(generate_series(0, w // 8 - 1)) AS bx FROM d),
+           |blk AS (SELECT doc_id, w, h, ch, bx,
+           |    unnest(generate_series(0, h // 8 - 1)) AS by FROM bx0),
+           |dcy AS (SELECT doc_id, w, h, ch, bx, by,
+           |    ${oDcPipe(yc, 16)} AS yq,
+           |    ${oDcPipe(cb, 17)} AS cbq,
+           |    ${oDcPipe(cr, 17)} AS crq,
+           |    $gOut AS gq
+           |  FROM blk),
+           |outs AS (SELECT doc_id, ch,
+           |    CASE WHEN ch = 1 THEN gq
+           |      ELSE ${oYcc2R("yq", "crq")} END AS o0,
+           |    CASE WHEN ch = 1 THEN NULL
+           |      ELSE ${oYcc2G("yq", "cbq", "crq")} END AS o1,
+           |    CASE WHEN ch = 1 THEN NULL
+           |      ELSE ${oYcc2B("yq", "cbq")} END AS o2
+           |  FROM dcy),
+           |a AS (SELECT doc_id, MAX(ch) AS ch,
+           |    64 * SUM(o0) AS s0, 64 * SUM(o1) AS s1,
+           |    64 * SUM(o2) AS s2
+           |  FROM outs GROUP BY 1)
+           |SELECT a.doc_id, CAST(d.w AS BIGINT) AS width,
+           |  CAST(d.h AS BIGINT) AS height,
+           |  CAST(a.ch AS BIGINT) AS channels,
+           |  CAST(d.w * d.h AS BIGINT) AS n_pixels,
+           |  CAST(s0 AS BIGINT) AS sum_c0,
+           |  CAST(s1 AS BIGINT) AS sum_c1,
+           |  CAST(s2 AS BIGINT) AS sum_c2,
+           |  CAST(CASE WHEN a.ch = 1 THEN 1000 * s0
+           |    ELSE 299 * s0 + 587 * s1 + 114 * s2 END AS BIGINT)
+           |    AS sum_luma_milli
+           |FROM a JOIN d USING (doc_id)
+           |UNION ALL
+           |SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           |  NULL
+           |FROM documents WHERE doc_id % 7 = 6
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- STREAMING UPSERT — the crawler lifecycle end to end (r15
+    // verdict #7: q348's epoch discipline composed with q344's
+    // re-crawl semantics), WITH the crash window inside the row: the
+    // seed corpus is doc%3=0 at its ORIGINAL text; epoch 0 upserts a
+    // micro-batch MIXING new docs (%3=1) and re-crawls (%15=0, text
+    // changed); epoch 1's first delivery is simulated to die AFTER
+    // its facts landed but BEFORE its commit (pending marker +
+    // reserved generation + raw fact append — exactly
+    // ingestTfIndexBatch's prefix), then REPLAYED in plain APPEND
+    // mode: the pending-epoch marker must route the replay through
+    // the upsert path so the crashed attempt's facts die under the
+    // replay's tombstones. A missed self-heal double-counts docs
+    // %3=2 in tf/df/dl and shifts every BM25 score below; stale
+    // re-crawl text serving fails the recrawl-token queries — both
+    // hash-gated. The oracle is exhaustive BM25 over the final
+    // mutated corpus (all docs, %5=0 re-crawled), which is also the
+    // proof that stream-built ≡ batch-rebuilt.
+    QueryDef("q353_tf_stream_upsert",
+      (s, dir) => {
+        val outDir = Round14.scratchDir(dir, "q353_tfidx")
+        val p = outDir.getAbsolutePath
+        val docs = t("documents")(s, dir)
+        val suffix = " recrawl revision fresh tokens"
+        val mutated = docs.withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(suffix))).otherwise(col("text")))
+        graft.operators.Retrieval.writeTfIndex(
+          docs.where(col("doc_id") % 3 === 0), p, wordBuckets = 16)
+        // epoch 0: new docs + re-crawls of seed docs, one batch
+        val b0 = mutated.where(col("doc_id") % 3 === 1 ||
+          (col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0))
+        val ok0 = graft.streaming.EventStreams.ingestTfIndexBatch(
+          b0, 0L, p, upsert = true)
+        require(ok0, "epoch 0 must ingest")
+        // epoch 1 first delivery CRASHES after its facts append —
+        // simulate by running ingestTfIndexBatch's exact prefix
+        val b1 = mutated.where(col("doc_id") % 3 === 2)
+        val m0 = graft.sink.IndexManifest.readOrInit(s, p)
+        graft.sink.IndexManifest.commit(s, p,
+          m0.copy(pendingEpoch = 1L))
+        val g = graft.sink.IndexLayout.reserveGen(s, p)
+        graft.operators.Retrieval.appendTfFacts(p, b1, "doc_id",
+          "text", None, g)
+        // the at-least-once replay (append mode!) must self-heal
+        val healed = graft.streaming.EventStreams.ingestTfIndexBatch(
+          b1, 1L, p, upsert = false)
+        require(healed, "crashed epoch 1 must replay")
+        // and a replay of the committed epoch 0 must be skipped
+        val replayed = graft.streaming.EventStreams.ingestTfIndexBatch(
+          b0, 0L, p, upsert = true)
+        require(!replayed, "replay guard failed to skip epoch 0")
+        graft.operators.Retrieval.bm25TopKFromTfIndex(
+          s, p, Round15.upsertQueries, k = 10)
+      },
+      Some(s"""WITH ${graft.operators.Retrieval.bm25OracleCtes(
+                Round15.upsertQueries
+                  .map { case (q, x) => s"($q, '$x')" }.mkString(", "),
+                1.2, 0.75,
+                docsFrom = "(SELECT doc_id, CASE WHEN doc_id % 5 = 0" +
+                  " THEN text || ' recrawl revision fresh tokens'" +
+                  " ELSE text END AS text FROM documents)")},
+              |r AS (SELECT query_id, doc_id, score,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY score DESC, doc_id) AS rnk
+              |  FROM sc)
+              |SELECT query_id, doc_id, score,
+              |  CAST(rnk AS BIGINT) AS rank
+              |FROM r WHERE rnk <= 10
+              |ORDER BY query_id, rank""".stripMargin))
+  )
+}

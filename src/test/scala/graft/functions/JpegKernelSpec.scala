@@ -94,7 +94,9 @@ class JpegKernelSpec extends AnyFunSuite {
     // decodes — deliberate bit-rot leniency, the same trade as the
     // PNG kernel's skipped chunk CRCs
     assert(JpegDecodeKernel.decode(ok.take(ok.length - 2)).isDefined)
-    // flip SOF0 (0xC0) to SOF2 progressive (0xC2): out of scope → None
+    // flip SOF0 (0xC0) to SOF2 progressive (0xC2): still None — a
+    // full-band Ss=0..Se=63 scan is invalid under the progressive
+    // scan rules (DC band must be Se=0), so the lie is detected
     val prog = ok.clone()
     val sofAt = prog.sliding(2).indexWhere(p =>
       (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc0)
@@ -358,5 +360,109 @@ class JpegKernelSpec extends AnyFunSuite {
     val maxErr = px.zip(d.pixels)
       .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
     assert(maxErr <= 24, s"max err $maxErr") // ±16 DCT + chroma NN step
+  }
+
+  // ---- progressive (SOF2) -------------------------------------------
+
+  test("progressive stream shape: SOF2 + one DC scan then one AC scan " +
+      "per component (simple script); SA script doubles each") {
+    def countSos(jpg: Array[Byte]): Int = jpg.sliding(2).count(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xda)
+    def hasSof2(jpg: Array[Byte]): Boolean = jpg.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2)
+    val g = gray(16, 16)((x, y) => x * 16 + y)
+    val jg = JpegEncodeKernel.encodeProgressive(16, 16, 1, g)
+    assert(hasSof2(jg) && countSos(jg) == 2) // DC + AC
+    val c = rgb(16, 16)((x, y) => (x * 16, y * 16, x + y))
+    val jc = JpegEncodeKernel.encodeProgressive(16, 16, 3, c)
+    assert(hasSof2(jc) && countSos(jc) == 4) // DC + 3×AC
+    val js = JpegEncodeKernel.encodeProgressiveSa(16, 16, 3, c)
+    assert(hasSof2(js) && countSos(js) == 8) // 2×DC + 3×2×AC
+  }
+
+  test("progressive ≡ baseline pixels BIT-IDENTICALLY — both scripts, " +
+      "gray + color, odd dims, with and without restart intervals " +
+      "(full-precision scans carry exactly the baseline coefficients; " +
+      "SA's two-stage coding is exact)") {
+    for {
+      (w, h) <- Seq((8, 8), (24, 16), (19, 13), (40, 9))
+      ch <- Seq(1, 3)
+      ri <- Seq(0, 1, 3)
+    } {
+      val px =
+        if (ch == 1) gray(w, h)((x, y) => (x * 31 + y * 17) % 256)
+        else rgb(w, h)((x, y) =>
+          ((x * 31) % 256, (y * 53) % 256, (x * x + y) % 256))
+      val base = JpegDecodeKernel.decode(
+        JpegEncodeKernel.encode(w, h, ch, px))
+      assert(base.isDefined)
+      for (sa <- Seq(false, true)) {
+        val jpg =
+          if (sa) JpegEncodeKernel.encodeProgressiveSa(w, h, ch, px, ri)
+          else JpegEncodeKernel.encodeProgressive(w, h, ch, px, ri)
+        val got = JpegDecodeKernel.decode(jpg)
+        assert(got.isDefined, s"w=$w h=$h ch=$ch ri=$ri sa=$sa")
+        assert(got.get.width == w && got.get.height == h &&
+          got.get.channels == ch)
+        assert(got.get.pixels.sameElements(base.get.pixels),
+          s"progressive≠baseline at w=$w h=$h ch=$ch ri=$ri sa=$sa")
+      }
+    }
+  }
+
+  test("progressive garbage contract: truncations anywhere decode to " +
+      "None, never throw; entropy corruption never throws") {
+    val px = rgb(24, 24)((x, y) => ((x * 7) % 256, (y * 11) % 256,
+      (x + y) % 256))
+    for (sa <- Seq(false, true)) {
+      val jpg =
+        if (sa) JpegEncodeKernel.encodeProgressiveSa(24, 24, 3, px, 2)
+        else JpegEncodeKernel.encodeProgressive(24, 24, 3, px, 2)
+      assert(JpegDecodeKernel.decode(jpg).isDefined)
+      // cut in every region: headers, each scan, between scans
+      for (cut <- 2 until jpg.length by 7)
+        JpegDecodeKernel.decode(jpg.take(cut)) // must not throw
+      // a truncated final scan has no EOI → None (progressive needs
+      // the full scan set to reconstruct)
+      assert(JpegDecodeKernel.decode(jpg.take(jpg.length - 8)).isEmpty)
+      // single-byte corruption sweeps: None or a decode, never a throw
+      var i = 2
+      while (i < jpg.length) {
+        val mut = jpg.clone()
+        mut(i) = (mut(i) ^ 0x5a).toByte
+        JpegDecodeKernel.decode(mut)
+        i += 29
+      }
+    }
+  }
+
+  test("progressive encoder argument contract mirrors baseline") {
+    assert(JpegEncodeKernel.encodeProgressive(8, 8, 2,
+      new Array[Byte](128)) == null)
+    assert(JpegEncodeKernel.encodeProgressive(0, 8, 1,
+      new Array[Byte](0)) == null)
+    assert(JpegEncodeKernel.encodeProgressive(8, 8, 1,
+      new Array[Byte](63)) == null)
+    assert(JpegEncodeKernel.encodeProgressive(8, 8, 1, null) == null)
+    assert(JpegEncodeKernel.encodeProgressive(8, 8, 1,
+      new Array[Byte](64), restartInterval = -1) == null)
+  }
+
+  test("an AC scan before its component's DC scan is rejected (T.81 " +
+      "scan-order rule), and a progressive stream without EOI is None") {
+    val px = gray(16, 16)((x, y) => x + y)
+    val jpg = JpegEncodeKernel.encodeProgressive(16, 16, 1, px)
+    // locate the two SOS offsets
+    val sosOffsets = jpg.sliding(2).zipWithIndex.collect {
+      case (p, i) if (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xda => i
+    }.toSeq
+    assert(sosOffsets.length == 2)
+    // swap the scans: headers..[AC scan][DC scan]EOI
+    val head = jpg.take(sosOffsets(0))
+    val dcScan = jpg.slice(sosOffsets(0), sosOffsets(1))
+    val acScanAndEoi = jpg.drop(sosOffsets(1))
+    val swapped = head ++ acScanAndEoi.dropRight(2) ++ dcScan ++
+      jpg.takeRight(2)
+    assert(JpegDecodeKernel.decode(swapped).isEmpty)
   }
 }

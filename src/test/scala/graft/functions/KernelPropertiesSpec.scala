@@ -245,6 +245,50 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: PROGRESSIVE JPEG ≡ baseline pixels bit-identically " +
+      "for any image, dims, channels, script and restart interval") {
+    val gen = for {
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(1, 40)
+      ch <- Gen.oneOf(1, 3)
+      sa <- Gen.oneOf(false, true)
+      ri <- Gen.choose(0, 4)
+      seed <- Gen.choose(0, 1000000)
+    } yield (w, h, ch, sa, ri, seed)
+    for ((w, h, ch, sa, ri, seed) <- samples(gen, 60)) {
+      val rnd = new scala.util.Random(seed)
+      val px = Array.fill(w * h * ch)(rnd.nextInt(256).toByte)
+      val base = JpegDecodeKernel.decode(
+        JpegEncodeKernel.encode(w, h, ch, px))
+      val prog = JpegDecodeKernel.decode(
+        if (sa) JpegEncodeKernel.encodeProgressiveSa(w, h, ch, px, ri)
+        else JpegEncodeKernel.encodeProgressive(w, h, ch, px, ri))
+      assert(base.isDefined && prog.isDefined, s"$w x $h x $ch sa=$sa")
+      assert(prog.get.pixels.sameElements(base.get.pixels),
+        s"progressive≠baseline: $w x $h x $ch sa=$sa ri=$ri seed=$seed")
+    }
+  }
+
+  test("property: JPEG decode never throws on arbitrary mutations of " +
+      "a valid PROGRESSIVE (SA + restarts) file") {
+    val base = JpegEncodeKernel.encodeProgressiveSa(24, 24, 3,
+      Array.tabulate(24 * 24 * 3)(i => (i * 41 % 256).toByte), 2)
+    val gen = for {
+      nMut <- Gen.choose(1, 8)
+      muts <- Gen.listOfN(nMut,
+        Gen.zip(Gen.choose(0, base.length - 1), Gen.choose(-128, 127)))
+      chop <- Gen.choose(0, base.length)
+    } yield (muts, chop)
+    for ((muts, chop) <- samples(gen, 150)) {
+      val b = base.clone()
+      muts.foreach { case (i, v) => b(i) = v.toByte }
+      val mutated = b.take(chop.max(1))
+      JpegDecodeKernel.decodePixels(mutated)
+      JpegDecodeKernel.jpegStats(mutated)
+      JpegDecodeKernel.jpegStatsSalvage(mutated)
+    }
+  }
+
   test("property: Viterbi kernel ≡ brute-force best-path enumeration " +
       "(score AND tiebreak) on random lattices") {
     val gen = for {

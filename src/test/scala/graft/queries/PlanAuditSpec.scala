@@ -530,11 +530,22 @@ class PlanAuditSpec extends SparkSpec {
       "a join)") {
     Seq("q334_jpeg_roundtrip", "q335_jpeg_dct_exact",
         "q340_mixed_media_qa", "q346_jpeg_420_roundtrip",
-        "q350_jpeg_422_roundtrip", "q351_jpeg_salvage").foreach { q =>
+        "q350_jpeg_422_roundtrip", "q351_jpeg_salvage",
+        "q352_jpeg_progressive").foreach { q =>
       val s = shape(q)
       assert(s.hash == 0 && s.bcast == 0, s"$q: $s")
       assert(!full(q).contains("Join"), q)
     }
+  }
+
+  test("q353: streaming upsert read keeps wbucket pruning AND the " +
+      "generation kill floor (the crash-healed index is served " +
+      "through the same partition-pruned plan)") {
+    val p = full("q353_tf_stream_upsert")
+    assert(p.contains("below_gen"),
+      "q353 generation tombstone filter missing")
+    assert(p.contains("wbucket"), "q353 bucket pruning missing")
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("q339: dedup delete — the generation kill floor lands BEFORE " +
