@@ -506,8 +506,10 @@ object Retrieval {
       .distinct().collect().map(_.getLong(0)).toSeq
     // tombstones: the generation kill floor (gen >= below_gen keeps
     // upsert-refreshed facts, drops their stale generations; a plain
-    // delete kills every current generation). No broadcast hint — a
-    // GDPR purge list can be any size, AQE picks the join strategy.
+    // delete kills every current generation). No broadcast hint —
+    // Catalyst already broadcasts small aggregated floors
+    // (plan-verified, IndexLayout.tombstoneFloor); a GDPR purge list
+    // can be any size, AQE picks the join strategy.
     val floor = graft.sink.IndexLayout.tombstoneFloor(
       spark, path, "doc_id", man)
     def minusTomb(df: DataFrame): DataFrame =

@@ -132,7 +132,12 @@ object IndexLayout {
       IndexManifest.read(spark, path))
 
   /** [[tombstoneFloor]] resolved against a caller-held manifest
-    * snapshot. */
+    * snapshot. Deliberately NO broadcast hint: measured (round 16,
+    * tools/TmpFloorAb-style A/B at 256k docs) Catalyst's size
+    * estimate on the max-aggregated floor already selects
+    * BroadcastHashJoin with or without the hint — plans identical,
+    * timing deltas inside box noise — and past broadcastable sizes a
+    * GDPR-scale purge list needs AQE's stats-based choice anyway. */
   def tombstoneFloor(spark: SparkSession, path: String,
       keyName: String, m: Option[IndexManifest]): Option[DataFrame] = {
     val d = dir(path, m, "tombstones")
@@ -143,8 +148,10 @@ object IndexLayout {
   }
 
   /** Keep the facts that survive the kill floor: no tombstone for the
-    * key, or `gen >= below_gen`. No broadcast hint — a purge list can
-    * be any size; AQE picks the join strategy from actual stats. */
+    * key, or `gen >= below_gen`. No broadcast hint — Catalyst already
+    * broadcasts the aggregated floor when it is small (plan-verified,
+    * see [[tombstoneFloor]]); a purge list can be any size and AQE
+    * picks the join strategy from actual stats past that. */
   def applyTombstones(df: DataFrame, floor: Option[DataFrame],
       keyName: String): DataFrame =
     floor.map { f =>
