@@ -34,10 +34,13 @@ import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StructFiel
   * never throws (the PNG-kernel garbage-rows contract;
   * KernelPropertiesSpec fuzzes it). The SALVAGE entry points
   * ([[JpegDecodeKernel.decodeSalvage]], `jpegStatsSalvage`) instead
-  * recover per restart segment: damaged segments render mid-gray with
-  * a corrupt-MCU count, headers failing as before. Decode planes are
-  * BYTE planes and the pixel bomb guard is 2^29 samples, so
-  * worst-case decode memory tracks the output bound.
+  * recover per restart segment — baseline damage renders mid-gray,
+  * progressive damage ROLLS BACK to the previous scans' approximation
+  * (and a lost scan drops while later scans still apply) — with a
+  * corrupt-unit count, headers failing as before. Decode planes are
+  * BYTE planes and the pixel bomb guard is 2^29 samples (2^27 for
+  * progressive's int coefficient buffers), so worst-case decode
+  * memory tracks the output bound.
   *
   * JPEG is LOSSY, so the parse∘construct oracle discipline needs every
   * rounding PINNED (T.81 leaves DCT/IDCT rounding implementation-
@@ -937,17 +940,44 @@ object JpegDecodeKernel {
   private[graft] def decode(payload: Array[Byte]): Option[Decoded] =
     decodeFull(payload, salvage = false).map(_._1)
 
-  /** SALVAGE decode: entropy damage inside a restart segment renders
-    * that segment mid-gray and decoding resumes at the next RSTm —
-    * the media-QA read for a crawled corpus where one flipped byte
-    * should not null a whole image. Returns (pixels, corrupt MCUs).
+  /** SALVAGE decode — the media-QA read for a crawled corpus where
+    * one flipped byte should not null a whole image. Baseline: entropy
+    * damage inside a restart segment renders that segment mid-gray and
+    * decoding resumes at the next RSTm. Progressive: a damaged restart
+    * segment contributes nothing from ITS scan (the blocks keep the
+    * previous scans' approximation — rolled back, never partial
+    * garbage); without a recovery point the rest of the scan drops and
+    * LATER scans still apply (every SOS is a re-sync point), and a
+    * stream that dies after the DC band still renders whatever
+    * accumulated — the browser behavior for a truncated progressive
+    * download. Returns (pixels, corrupt units): graying/rolled-back
+    * (unit, scan) contributions for baseline/progressive respectively.
     * Header damage and unsupported variants still return None. */
   private[graft] def decodeSalvage(
       payload: Array[Byte]): Option[(Decoded, Int)] =
     decodeFull(payload, salvage = true)
 
+  /** Late-bound progressive reconstruction: [[decodeRun]] installs a
+    * closure over its accumulated coefficient state as soon as a SOF2
+    * parses, so the salvage wrapper can render whatever survived when
+    * the marker stream dies after the first scan (truncation, a
+    * corrupted between-scan header, a lost final scan) — exactly how
+    * a browser paints a partially-downloaded progressive JPEG. */
+  private final class ProgressiveHandle {
+    var reconstruct: () => Option[(Decoded, Int)] = () => None
+  }
+
   private def decodeFull(payload: Array[Byte],
       salvage: Boolean): Option[(Decoded, Int)] = {
+    val st = new ProgressiveHandle
+    val strict = decodeRun(payload, salvage, st)
+    if (strict.isDefined) strict
+    else if (salvage) st.reconstruct()
+    else None
+  }
+
+  private def decodeRun(payload: Array[Byte], salvage: Boolean,
+      st: ProgressiveHandle): Option[(Decoded, Int)] = {
     val b = if (payload == null) Array.emptyByteArray else payload
     def u8(i: Int): Int = b(i) & 0xff
     def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
@@ -966,12 +996,13 @@ object JpegDecodeKernel {
     var sawSof = false
     // progressive (SOF2) state: coefficients accumulate across scans
     // into per-component MCU-padded buffers; reconstruction happens at
-    // EOI (salvage mode has no restart-bounded recovery story for a
-    // multi-scan stream — progressive decodes strictly, corrupt → None)
+    // EOI — or, in salvage mode, from whatever accumulated when the
+    // stream dies (the ProgressiveHandle fallback)
     var progressive = false
     var pCoefs: Array[Array[Int]] = null
     var pDcDone: Array[Boolean] = null
     var anyScan = false
+    var corruptTotal = 0
     var hMax = 1; var vMax = 1; var mcuX = 0; var mcuY = 0
     var sosNext = -1 // a progressive SOS advances i to the next marker
 
@@ -983,14 +1014,8 @@ object JpegDecodeKernel {
       while (i + 2 <= b.length && u8(i + 1) == 0xff) i += 1
       if (i + 2 > b.length) return None
       val m = u8(i + 1)
-      if (m == 0xd9) { // EOI: reconstruct a completed progressive image
-        if (progressive && anyScan && pDcDone.forall(identity) &&
-            (0 until nComp).forall(c => qTables(compQ(c)) != null))
-          return reconstructProgressive(w, h, nComp, compH, compV,
-            hMax, vMax, mcuX, mcuY, pCoefs,
-            (0 until nComp).map(c => qTables(compQ(c))).toArray)
-        return None // EOI before SOS: no image
-      }
+      if (m == 0xd9) // EOI: reconstruct a completed progressive image
+        return st.reconstruct()
       if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { i += 2 }
       else if (i + 4 > b.length) return None
       else {
@@ -1081,6 +1106,18 @@ object JpegDecodeKernel {
               pCoefs = (0 until nComp).map(c => new Array[Int](
                 mcuX * compH(c) * mcuY * compV(c) * 64)).toArray
               pDcDone = new Array[Boolean](nComp)
+              // ready as soon as every component's DC band landed:
+              // the salvage wrapper renders whatever accumulated if
+              // the marker stream dies past this point
+              st.reconstruct = () =>
+                if (anyScan && pDcDone.forall(identity) &&
+                    (0 until nComp).forall(c =>
+                      qTables(compQ(c)) != null))
+                  reconstructProgressive(w, h, nComp, compH, compV,
+                    hMax, vMax, mcuX, mcuY, pCoefs,
+                    (0 until nComp).map(c => qTables(compQ(c)))
+                      .toArray, corruptTotal)
+                else None
             }
           case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
               0xcb | 0xcd | 0xce | 0xcf =>
@@ -1153,11 +1190,12 @@ object JpegDecodeKernel {
               if (!dcScan && acTables(compAc(c)) == null) return None
               c += 1
             }
-            val nxt = progressiveScan(b, i + 2 + len, w, h,
+            val (nxt, cor) = progressiveScan(b, i + 2 + len, w, h,
               scanComp, compH, compV, hMax, vMax, mcuX, mcuY,
               compDc.map(dcTables), compAc.map(acTables),
-              ssV, seV, ahV, alV, restartInterval, pCoefs)
+              ssV, seV, ahV, alV, restartInterval, pCoefs, salvage)
             if (nxt < 0) return None
+            corruptTotal += cor
             if (dcScan && ahV == 0) scanComp.foreach(pDcDone(_) = true)
             anyScan = true
             sosNext = nxt
@@ -1398,15 +1436,28 @@ object JpegDecodeKernel {
     * Interleaved scans step MCUs; a single-component scan steps the
     * component's OWN block grid (not the MCU-padded one). Restart
     * markers resync exactly as baseline, additionally resetting the
-    * EOB run. Returns the position of the next marker, or −1 for any
-    * entropy/structure error (strict — the garbage contract).
+    * EOB run.
+    *
+    * Returns `(nextMarkerPos, corruptUnits)`. Strict (`salvage =
+    * false`): any entropy/structure error returns `(-1, 0)` — the
+    * garbage contract. Salvage: a failed restart SEGMENT contributes
+    * NOTHING from this scan — its coefficient writes are rolled back
+    * to the pre-segment state (so damaged blocks keep their previous
+    * scans' approximation instead of garbage), the reader seeks the
+    * next RSTm and resumes with DC/EOB state reset; without a
+    * recovery point the rest of the SCAN is dropped the same way and
+    * later scans still apply (progressive streams re-synchronize at
+    * every SOS — exactly why a truncated progressive file still
+    * renders in a browser). `nextMarkerPos = b.length` means the
+    * byte stream is exhausted (the caller reconstructs from what
+    * accumulated).
     */
   private def progressiveScan(b: Array[Byte], start: Int, w: Int,
       h: Int, scanComp: Array[Int], compH: Array[Int],
       compV: Array[Int], hMax: Int, vMax: Int, mcuX: Int, mcuY: Int,
       dct: Array[HuffTable], act: Array[HuffTable], ss: Int, se: Int,
       ah: Int, al: Int, restartInterval: Int,
-      pCoefs: Array[Array[Int]]): Int = {
+      pCoefs: Array[Array[Int]], salvage: Boolean): (Int, Int) = {
     val br = new BitReader(b, start)
     val ns = scanComp.length
     val prevDc = new Array[Int](ns)
@@ -1547,13 +1598,48 @@ object JpegDecodeKernel {
       true
     }
 
-    var unit = 0
-    while (unit < totalUnits) {
-      if (restartInterval > 0 && unit > 0 &&
-          unit % restartInterval == 0) {
-        if (!br.resync((unit / restartInterval - 1) & 7)) return -1
-        java.util.Arrays.fill(prevDc, 0)
-        eobrun = 0
+    def decodeUnit(unit: Int): Boolean =
+      if (interleaved) {
+        val mx = unit % mcuX; val my = unit / mcuX
+        var slot = 0
+        var ok = true
+        while (ok && slot < ns) {
+          val c = scanComp(slot)
+          var vv = 0
+          while (ok && vv < compV(c)) {
+            var hh = 0
+            while (ok && hh < compH(c)) {
+              ok = dcBlock(slot, c, mx * compH(c) + hh,
+                my * compV(c) + vv)
+              hh += 1
+            }
+            vv += 1
+          }
+          slot += 1
+        }
+        ok
+      } else {
+        val bx = unit % compBw; val by = unit / compBw
+        if (ss == 0) dcBlock(0, c0, bx, by)
+        else {
+          val off = (by * mcuX * compH(c0) + bx) * 64
+          if (ah == 0) acFirstBlock(off, pCoefs(c0))
+          else acRefineBlock(off, pCoefs(c0))
+        }
+      }
+
+    // salvage rollback buffer: the coefficient blocks a segment's
+    // units are ABOUT to touch, saved copy-on-write so a failed
+    // segment restores to exactly the pre-segment state (damaged
+    // blocks keep their previous scans' approximation — never the
+    // failed unit's partial garbage)
+    val saved = if (salvage)
+      new java.util.ArrayList[(Int, Int, Array[Int])] else null
+    def snapshotUnit(unit: Int): Unit = {
+      def save(c: Int, off: Int): Unit = {
+        val cp = new Array[Int](64)
+        System.arraycopy(pCoefs(c), off, cp, 0, 64)
+        saved.add((c, off, cp))
       }
       if (interleaved) {
         val mx = unit % mcuX; val my = unit / mcuX
@@ -1564,8 +1650,9 @@ object JpegDecodeKernel {
           while (vv < compV(c)) {
             var hh = 0
             while (hh < compH(c)) {
-              if (!dcBlock(slot, c, mx * compH(c) + hh,
-                my * compV(c) + vv)) return -1
+              val wb = mcuX * compH(c)
+              save(c, ((my * compV(c) + vv) * wb +
+                mx * compH(c) + hh) * 64)
               hh += 1
             }
             vv += 1
@@ -1574,18 +1661,57 @@ object JpegDecodeKernel {
         }
       } else {
         val bx = unit % compBw; val by = unit / compBw
-        if (ss == 0) {
-          if (!dcBlock(0, c0, bx, by)) return -1
-        } else {
-          val off = (by * mcuX * compH(c0) + bx) * 64
-          val ok = if (ah == 0) acFirstBlock(off, pCoefs(c0))
-            else acRefineBlock(off, pCoefs(c0))
-          if (!ok) return -1
+        save(c0, (by * mcuX * compH(c0) + bx) * 64)
+      }
+    }
+    def rollback(): Unit = {
+      var i = 0
+      while (i < saved.size()) {
+        val (c, off, cp) = saved.get(i)
+        System.arraycopy(cp, 0, pCoefs(c), off, 64)
+        i += 1
+      }
+    }
+
+    val segLen = if (restartInterval > 0) restartInterval
+      else totalUnits
+    var corrupt = 0
+    var segStart = 0
+    var segIdx = 0
+    var skipResync = false
+    var done = false // rest of the SCAN unreachable (salvage)
+    while (segStart < totalUnits && !done) {
+      val segEnd = math.min(segStart + segLen, totalUnits)
+      var ok = true
+      if (segIdx > 0) {
+        if (skipResync) skipResync = false
+        else ok = br.resync((segIdx - 1) & 7)
+        java.util.Arrays.fill(prevDc, 0)
+        eobrun = 0
+      }
+      if (salvage) saved.clear()
+      var u = segStart
+      while (ok && u < segEnd) {
+        if (salvage) snapshotUnit(u)
+        ok = decodeUnit(u)
+        u += 1
+      }
+      if (!ok) {
+        if (!salvage) return (-1, 0)
+        rollback() // this scan contributes nothing to the segment
+        corrupt += segEnd - segStart
+        if (segEnd < totalUnits) {
+          if (br.seekMarker(segIdx & 7)) skipResync = true
+          else { // no recovery point: drop the rest of the SCAN
+            corrupt += totalUnits - segEnd
+            done = true
+          }
         }
       }
-      unit += 1
+      segStart = segEnd
+      segIdx += 1
     }
-    if (br.fail) return -1
+    if (br.fail && !salvage) return (-1, 0)
     // next marker: entropy data contains only stuffed 0xFF00 and RSTm,
     // so the first 0xFF followed by anything else IS the next marker
     var p = br.pos
@@ -1593,7 +1719,10 @@ object JpegDecodeKernel {
       val nx = b(p + 1) & 0xff
       nx != 0x00 && !(nx >= 0xd0 && nx <= 0xd7)
     })) p += 1
-    if (p + 1 >= b.length) -1 else p
+    if (p + 1 >= b.length) {
+      if (salvage) (b.length, corrupt) // exhausted: reconstruct as-is
+      else (-1, 0)
+    } else (p, corrupt)
   }
 
   /** Progressive reconstruction at EOI: dequantize + IDCT every block
@@ -1604,7 +1733,8 @@ object JpegDecodeKernel {
   private def reconstructProgressive(w: Int, h: Int, nComp: Int,
       compH: Array[Int], compV: Array[Int], hMax: Int, vMax: Int,
       mcuX: Int, mcuY: Int, pCoefs: Array[Array[Int]],
-      qtPerComp: Array[Array[Int]]): Option[(Decoded, Int)] = {
+      qtPerComp: Array[Array[Int]], corrupt: Int)
+      : Option[(Decoded, Int)] = {
     val planeW = (0 until nComp).map(c => mcuX * 8 * compH(c)).toArray
     val planes = (0 until nComp)
       .map(c => new Array[Byte](planeW(c) * mcuY * 8 * compV(c)))
@@ -1641,7 +1771,7 @@ object JpegDecodeKernel {
     }
     Some((Decoded(w, h, nComp,
       planesToPixels(w, h, nComp, compH, compV, hMax, vMax, planeW,
-        planes)), 0))
+        planes)), corrupt))
   }
 
   /** Raw decoded pixels (row-major, channel-interleaved), or null. */

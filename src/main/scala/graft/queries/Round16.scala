@@ -122,6 +122,120 @@ object Round16 {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // ---- PROGRESSIVE SALVAGE — the bit-rot story (q351) extended to
+    // SOF2 streams: with per-scan restart intervals a flipped byte
+    // costs ONE restart segment of ONE scan (the damaged segment's
+    // coefficient writes roll back, so its blocks keep the previous
+    // scans' approximation — never garbage), and without a recovery
+    // point the rest of the SCAN drops while later scans still apply.
+    // Spark constructs progressive streams (both scripts, ri=1) over
+    // block-constant pixels and rots the two bytes before EOI into an
+    // invalid marker — always the last restart marker + final unit of
+    // the LAST scan (EOB-only units are exactly one byte each on
+    // constant blocks). The lost contribution is that block's
+    // all-zero AC band, so the salvaged pixels equal the CLEAN closed
+    // form bit-for-bit and corrupt_mcus pins the damage to exactly
+    // one (unit, scan) — the oracle proves both WHERE the damage
+    // landed and that salvage destroyed nothing else. doc%7=6 carries
+    // a non-JPEG payload: all-null, never a throw.
+    QueryDef("q354_jpeg_progressive_salvage",
+      (s, dir) => {
+        val w = (col("doc_id") % 3 + 1) * 8
+        val h = (col("doc_id") % 2 + 2) * 8 // ≥ 2 blocks always
+        val ch = when(col("doc_id") % 2 === 0, 1L).otherwise(3L)
+        def hx(c: Column) = lpad(hex(c), 2, "0")
+        def bv(bx: Column, by: Column, bw: Column, k: Int) =
+          (col("doc_id") * 5 + (by * bw + bx) * 43 + lit(k) * 17) % 256
+        val bw = Round14.idiv(w, lit(8))
+        val px = unhex(array_join(
+          transform(sequence(lit(0L), h - 1), y => {
+            val by = Round14.idiv(y, lit(8))
+            array_join(
+              transform(sequence(lit(0L), bw - 1), bx =>
+                when(ch === 1, repeat(hx(bv(bx, by, bw, 0)), 8))
+                  .otherwise(repeat(concat(hx(bv(bx, by, bw, 0)),
+                    hx(bv(bx, by, bw, 1)),
+                    hx(bv(bx, by, bw, 2))), 8))), "")
+          }), ""))
+        val jpgExpr = when(col("doc_id") % 4 < 2,
+            graft.functions.Jpeg.jpegEncodeProgressiveSa(w, h, ch, px,
+              lit(1)))
+          .otherwise(
+            graft.functions.Jpeg.jpegEncodeProgressive(w, h, ch, px,
+              lit(1)))
+        // bind the encode to its OWN projection — the surgery
+        // references the blob four times (the q89/q346/q351 lesson)
+        val withJpg = t("documents")(s, dir)
+          .select(col("doc_id"), col("text"), jpgExpr.as("jpg"))
+        val damaged = concat(
+          substring(col("jpg"), lit(1), length(col("jpg")) - 4),
+          lit(Array(0xFF.toByte, 0xC0.toByte)),
+          substring(col("jpg"), length(col("jpg")) - 1, lit(2)))
+        val payload = when(col("doc_id") % 7 === 6,
+            graft.operators.Multimodal.syntheticPayload(col("text")))
+          .otherwise(damaged)
+        withJpg
+          .withColumn("st",
+            graft.functions.Jpeg.jpegStatsSalvage(payload))
+          .select(col("doc_id"), col("st.width"), col("st.height"),
+            col("st.channels"), col("st.n_pixels"), col("st.sum_c0"),
+            col("st.sum_c1"), col("st.sum_c2"),
+            col("st.sum_luma_milli"), col("st.corrupt_mcus"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        import Round14.{oDcPipe, oRgbY, oRgbCb, oRgbCr, oYcc2R,
+          oYcc2G, oYcc2B}
+        def v(k: Int) =
+          s"(doc_id * 5 + (by * (w // 8) + bx) * 43 + $k * 17) % 256"
+        val gOut = oDcPipe(v(0), 16)
+        val (yc, cb, cr) = (oRgbY(v(0), v(1), v(2)),
+          oRgbCb(v(0), v(1), v(2)), oRgbCr(v(0), v(1), v(2)))
+        s"""WITH d AS (SELECT doc_id, (doc_id % 3 + 1) * 8 AS w,
+           |    (doc_id % 2 + 2) * 8 AS h,
+           |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+           |  FROM documents WHERE doc_id % 7 <> 6),
+           |bx0 AS (SELECT doc_id, w, h, ch,
+           |    unnest(generate_series(0, w // 8 - 1)) AS bx FROM d),
+           |blk AS (SELECT doc_id, w, h, ch, bx,
+           |    unnest(generate_series(0, h // 8 - 1)) AS by FROM bx0),
+           |dcy AS (SELECT doc_id, w, h, ch, bx, by,
+           |    ${oDcPipe(yc, 16)} AS yq,
+           |    ${oDcPipe(cb, 17)} AS cbq,
+           |    ${oDcPipe(cr, 17)} AS crq,
+           |    $gOut AS gq
+           |  FROM blk),
+           |outs AS (SELECT doc_id, ch,
+           |    CASE WHEN ch = 1 THEN gq
+           |      ELSE ${oYcc2R("yq", "crq")} END AS o0,
+           |    CASE WHEN ch = 1 THEN NULL
+           |      ELSE ${oYcc2G("yq", "cbq", "crq")} END AS o1,
+           |    CASE WHEN ch = 1 THEN NULL
+           |      ELSE ${oYcc2B("yq", "cbq")} END AS o2
+           |  FROM dcy),
+           |a AS (SELECT doc_id, MAX(ch) AS ch,
+           |    64 * SUM(o0) AS s0, 64 * SUM(o1) AS s1,
+           |    64 * SUM(o2) AS s2
+           |  FROM outs GROUP BY 1)
+           |SELECT a.doc_id, CAST(d.w AS BIGINT) AS width,
+           |  CAST(d.h AS BIGINT) AS height,
+           |  CAST(a.ch AS BIGINT) AS channels,
+           |  CAST(d.w * d.h AS BIGINT) AS n_pixels,
+           |  CAST(s0 AS BIGINT) AS sum_c0,
+           |  CAST(s1 AS BIGINT) AS sum_c1,
+           |  CAST(s2 AS BIGINT) AS sum_c2,
+           |  CAST(CASE WHEN a.ch = 1 THEN 1000 * s0
+           |    ELSE 299 * s0 + 587 * s1 + 114 * s2 END AS BIGINT)
+           |    AS sum_luma_milli,
+           |  CAST(1 AS BIGINT) AS corrupt_mcus
+           |FROM a JOIN d USING (doc_id)
+           |UNION ALL
+           |SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           |  NULL, NULL
+           |FROM documents WHERE doc_id % 7 = 6
+           |ORDER BY doc_id""".stripMargin
+      }),
+
     // ---- STREAMING UPSERT — the crawler lifecycle end to end (r15
     // verdict #7: q348's epoch discipline composed with q344's
     // re-crawl semantics), WITH the crash window inside the row: the

@@ -50,10 +50,13 @@ import org.apache.spark.sql.functions._
   *    readers resolve the pointer first and always see exactly the pre-
   *    or post-rewrite snapshot — never a missing or half-swapped tree
   *    (the in-place two-rename swap of [[Compact]] remains for plain
-  *    non-index directories). Old versions are deleted by
-  *    [[gcUnreferenced]] — called inline by the batch entry points; a
-  *    serving deployment schedules it after a grace period instead so
-  *    in-flight readers drain first.
+  *    non-index directories). GC keeps a HISTORY grace window: each
+  *    rewrite's [[gcWithGrace]] call retains every tree the newest
+  *    [[IndexManifest.HistoryKeep]] snapshots reference (a reader
+  *    holding a snapshot up to that many commits stale still finds
+  *    its trees) and collects only older versions; a full sweep
+  *    ([[gcUnreferenced]] with an empty keep set) reclaims the rest
+  *    once in-flight readers have drained.
   *
   * Format note: fact trees written before the generation era carry no
   * `gen` column; [[withGen]] defaults it to 0 so those artifacts stay
@@ -268,14 +271,18 @@ object IndexLayout {
   }
 
   /** Delete physical dirs the committed manifest no longer references
-    * — the GC step of a versioned rewrite. Batch entry points call it
-    * inline (single-process: no reader can hold the old snapshot); a
-    * serving deployment with concurrent readers schedules it after a
-    * grace period instead. Only names derived from a pointed logical
-    * (`logical` itself or `logical-v<k>`) are candidates — `meta`,
-    * `_manifest`, and anything else untracked is never touched. */
+    * — the GC step of a versioned rewrite. `keep` is the GRACE set:
+    * the rewrite entry points pass the PREVIOUS snapshot's physical
+    * names, so a reader who resolved the manifest just before the
+    * commit still finds its tree — only dirs at least TWO rewrites
+    * old are deleted (the next rewrite collects this one's
+    * predecessors). Call with an empty `keep` for a full sweep once
+    * in-flight readers have drained. Only names derived from a
+    * pointed logical (`logical` itself or `logical-v<k>`) are
+    * candidates — `meta`, `_manifest`, and anything else untracked is
+    * never touched. */
   def gcUnreferenced(spark: SparkSession, path: String,
-      m: IndexManifest): Unit = {
+      m: IndexManifest, keep: Set[String] = Set.empty): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return
@@ -284,10 +291,29 @@ object IndexLayout {
     m.dirs.foreach { case (logical, physical) =>
       val versioned = s"^${java.util.regex.Pattern.quote(logical)}-v\\d+$$".r
       children.foreach { n =>
-        val stale = n != physical &&
+        val stale = n != physical && !keep.contains(n) &&
           (n == logical || versioned.findFirstIn(n).isDefined)
         if (stale) fs.delete(new Path(root, n), true)
       }
+    }
+  }
+
+  /** GC with the HISTORY grace window: keep every physical name any
+    * RETAINED manifest snapshot (the newest [[IndexManifest
+    * .HistoryKeep]] commits) still references — a reader holding a
+    * snapshot up to that many commits stale still finds its trees.
+    * The rewrite entry points call this after their commit; versions
+    * older than the retained history are collected. */
+  def gcWithGrace(spark: SparkSession, path: String): Unit = {
+    val history = IndexManifest.readHistory(spark, path)
+    history.headOption.foreach { latest =>
+      val logicals = history.iterator.flatMap(_.dirs.keysIterator)
+        .toSet
+      val keep = for {
+        l <- logicals
+        m <- history.iterator
+      } yield m.dirFor(l)
+      gcUnreferenced(spark, path, latest, keep)
     }
   }
 
@@ -347,9 +373,11 @@ object IndexLayout {
       // with the old trees until the commit flips the whole snapshot
       m = m.withDir("tombstones", s"tombstones-v${m0.seq + 1}")
       hook("built")
-      val committed = IndexManifest.commit(spark, path, m)
+      IndexManifest.commit(spark, path, m)
       hook("committed")
-      gcUnreferenced(spark, path, committed)
+      // grace GC: anything the retained manifest history references
+      // survives, so a stale reader finishes cleanly
+      gcWithGrace(spark, path)
       hook("gc")
     }
   }
@@ -371,7 +399,7 @@ object IndexLayout {
         buildVersion(spark, path, m0, logical, build))
     }
     val committed = IndexManifest.commit(spark, path, mutate(m))
-    gcUnreferenced(spark, path, committed)
+    gcWithGrace(spark, path)
     committed
   }
 
@@ -401,9 +429,9 @@ object IndexLayout {
         }
       m = m.withDir("tombstones", s"tombstones-v${m0.seq + 1}")
       hook("built")
-      val committed = IndexManifest.commit(spark, path, m)
+      IndexManifest.commit(spark, path, m)
       hook("committed")
-      gcUnreferenced(spark, path, committed)
+      gcWithGrace(spark, path)
       hook("gc")
     }
   }
@@ -436,9 +464,8 @@ object IndexLayout {
             .write.mode("overwrite").parquet(st)
       }
     })
-    val committed = IndexManifest.commit(spark, path,
-      m.withDir(logical, newName))
-    gcUnreferenced(spark, path, committed)
+    IndexManifest.commit(spark, path, m.withDir(logical, newName))
+    gcWithGrace(spark, path)
     (before, countParquet(spark, s"$path/$newName"))
   }
 

@@ -106,6 +106,28 @@ object IndexManifest {
     }
   }
 
+  /** Every RETAINED manifest snapshot, newest first — the GC grace
+    * window reads these: a physical dir referenced by ANY retained
+    * snapshot survives, so a reader holding a snapshot up to
+    * [[HistoryKeep]] commits stale still finds its tree
+    * ([[IndexLayout.gcWithGrace]]). */
+  def readHistory(spark: SparkSession,
+      path: String): Seq[IndexManifest] = {
+    val (fs, root) = fsOf(spark, path)
+    val mdir = new Path(root, MDIR)
+    if (!fs.exists(mdir)) Seq.empty
+    else fs.listStatus(mdir).map(_.getPath.getName)
+      .collect { case n @ NamePat(_) => n }
+      .sorted.reverse.toSeq
+      .flatMap { n =>
+        val in = fs.open(new Path(mdir, n))
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        Some(parse(n.stripPrefix("m-").toLong, text))
+      }
+  }
+
   /** [[read]], falling back to the pre-manifest on-disk state for a
     * legacy layout: gen from the old `path/gen` parquet log, epoch
     * from the old `path/ingest_meta` log (each a one-time, one-row

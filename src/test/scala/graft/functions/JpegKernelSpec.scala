@@ -448,6 +448,96 @@ class JpegKernelSpec extends AnyFunSuite {
       new Array[Byte](64), restartInterval = -1) == null)
   }
 
+  test("progressive salvage: a corrupted restart segment of the " +
+      "DC-refinement scan keeps the DC-FIRST approximation for " +
+      "exactly that segment's block (rolled back, not garbage); " +
+      "strict still returns None") {
+    import JpegMath._
+    // 16×16 gray, block-constant: 4 blocks, values chosen so block 3
+    // quantizes to an ODD DC (the refinement bit matters: 90 → −19)
+    val vals = Array(40, 140, 203, 90)
+    val px = new Array[Byte](16 * 16)
+    for (y <- 0 until 16; x <- 0 until 16)
+      px(y * 16 + x) = vals((y / 8) * 2 + x / 8).toByte
+    val jpg = JpegEncodeKernel.encodeProgressiveSa(16, 16, 1, px, 1)
+    val clean = JpegDecodeKernel.decode(jpg).get
+    // DC-refine = the SECOND SOS; with ri=1 its entropy is
+    // [7F][RST0][7F][RST1][7F][RST2][FF 00] — blocks 0-2 refine with
+    // bit 0 (one flush-padded byte each), block 3 with bit 1, whose
+    // 0xFF byte is STUFFED. Corrupting the stuffing 0x00 turns it
+    // into a real marker: the bit read FAILS exactly in segment 4.
+    val sos = jpg.sliding(2).zipWithIndex.collect {
+      case (p, i) if (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xda => i
+    }.toSeq
+    val dcRefine = sos(1)
+    val hdrLen = ((jpg(dcRefine + 2) & 0xff) << 8) |
+      (jpg(dcRefine + 3) & 0xff)
+    val dataStart = dcRefine + 2 + hdrLen
+    assert((jpg(dataStart + 9) & 0xff) == 0xff &&
+      (jpg(dataStart + 10) & 0xff) == 0x00, "layout drifted")
+    val mutated = jpg.clone()
+    mutated(dataStart + 10) = 0xc0.toByte // stuffing 00 → marker
+    assert(JpegDecodeKernel.decode(mutated).isEmpty, "strict must fail")
+    val (got, corrupt) = JpegDecodeKernel.decodeSalvage(mutated).get
+    assert(corrupt == 1, s"corrupt=$corrupt")
+    def dcPipe(v: Int, q: Int, truncate: Boolean): Int = {
+      val s = (v - 128).toLong
+      val r1 = divR(s * 65536 * 5793, 13)
+      val f = divR(r1 * 65536 * 5793, 41)
+      val qv0 = quantR(f, q)
+      val qv = if (truncate) (qv0 >> 1) << 1 else qv0
+      val dq = qv * q
+      val r2 = divR(dq * 5793 * 5793 * 8192, 26)
+      clamp255(divR(r2 * 8192, 28) + 128)
+    }
+    for (b <- 0 until 4) {
+      val expect = dcPipe(vals(b), QLuma(0), truncate = b == 3)
+      val y0 = (b / 2) * 8; val x0 = (b % 2) * 8
+      for (y <- y0 until y0 + 8; x <- x0 until x0 + 8)
+        assert((got.pixels(y * 16 + x) & 0xff) == expect,
+          s"block $b at ($x,$y)")
+    }
+    // and the refinement genuinely mattered for block 3
+    assert((clean.pixels(15 * 16 + 15) & 0xff) !=
+      (got.pixels(15 * 16 + 15) & 0xff))
+  }
+
+  test("progressive salvage: SCAN-level recovery — a destroyed final " +
+      "AC scan drops cleanly (every SOS is a re-sync point), " +
+      "block-constant pixels unchanged, corrupt counts the scan's " +
+      "units; truncation after the DC band still renders") {
+    val w = 24; val h = 16 // 6 blocks
+    val vals = Array.tabulate(6 * 3)(i => (i * 37 + 11) % 256)
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w; k <- 0 until 3)
+      px((y * w + x) * 3 + k) = vals(((y / 8) * 3 + x / 8) * 3 + k).toByte
+    val jpg = JpegEncodeKernel.encodeProgressive(w, h, 3, px, 0)
+    val clean = JpegDecodeKernel.decode(jpg).get
+    // q351's surgery: the two bytes before EOI become an invalid
+    // marker — inside the LAST scan (Cr AC; EOB-only on constant
+    // blocks, so losing it changes no pixel)
+    val mutated = jpg.clone()
+    mutated(jpg.length - 4) = 0xff.toByte
+    mutated(jpg.length - 3) = 0xc0.toByte
+    assert(JpegDecodeKernel.decode(mutated).isEmpty, "strict must fail")
+    val (got, corrupt) = JpegDecodeKernel.decodeSalvage(mutated).get
+    assert(got.pixels.sameElements(clean.pixels),
+      "constant-block pixels must survive a lost zero-AC scan")
+    assert(corrupt == 6, s"corrupt=$corrupt") // the whole 6-block scan
+    // truncating right after the second scan (Y AC done, chroma AC
+    // missing): salvage renders — chroma serves its DC approximation
+    val sos = jpg.sliding(2).zipWithIndex.collect {
+      case (p, i) if (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xda => i
+    }.toSeq
+    assert(sos.length == 4)
+    val cut = jpg.take(sos(2))
+    assert(JpegDecodeKernel.decode(cut).isEmpty, "strict: prefix = None")
+    val (partial, c2) = JpegDecodeKernel.decodeSalvage(cut).get
+    assert(partial.width == w && partial.height == h && c2 == 0)
+    // constant blocks: chroma AC is zero anyway → ≡ the full decode
+    assert(partial.pixels.sameElements(clean.pixels))
+  }
+
   test("an AC scan before its component's DC scan is rejected (T.81 " +
       "scan-order rule), and a progressive stream without EOI is None") {
     val px = gray(16, 16)((x, y) => x + y)

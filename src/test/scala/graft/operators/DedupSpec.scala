@@ -853,6 +853,10 @@ class DedupSpec extends SparkSpec {
       val filesBefore = parquetFiles()
       val (b, a) = Dedup.compactShingleIndex(spark, dir)
       assert(b > a, s"compaction did not shrink: $b -> $a")
+      // grace GC keeps the pre-compaction trees for stale readers;
+      // the DISK claim holds after the post-grace full sweep
+      graft.sink.IndexLayout.gcUnreferenced(spark, dir,
+        graft.sink.IndexManifest.read(spark, dir).get)
       assert(parquetFiles() < filesBefore)
       assert(run() == truth)
     } finally org.apache.commons.io.FileUtils

@@ -322,6 +322,10 @@ class RetrievalSpec extends SparkSpec {
       val filesBefore = parquetFiles()
       val (b, a) = Retrieval.compactTfIndex(spark, dir)
       assert(b > a, s"compaction did not shrink: $b -> $a")
+      // grace GC keeps the pre-compaction trees for stale readers;
+      // the DISK claim holds after the post-grace full sweep
+      graft.sink.IndexLayout.gcUnreferenced(spark, dir,
+        graft.sink.IndexManifest.read(spark, dir).get)
       assert(parquetFiles() < filesBefore)
       assert(canonTopK(
         Retrieval.bm25TopKFromTfIndex(spark, dir, queries, 10)) == truth)

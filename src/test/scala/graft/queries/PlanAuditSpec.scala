@@ -531,7 +531,8 @@ class PlanAuditSpec extends SparkSpec {
     Seq("q334_jpeg_roundtrip", "q335_jpeg_dct_exact",
         "q340_mixed_media_qa", "q346_jpeg_420_roundtrip",
         "q350_jpeg_422_roundtrip", "q351_jpeg_salvage",
-        "q352_jpeg_progressive").foreach { q =>
+        "q352_jpeg_progressive",
+        "q354_jpeg_progressive_salvage").foreach { q =>
       val s = shape(q)
       assert(s.hash == 0 && s.bcast == 0, s"$q: $s")
       assert(!full(q).contains("Join"), q)

@@ -122,6 +122,87 @@ class ManifestSpec extends SparkSpec {
       .deleteQuietly(new java.io.File(dir))
   }
 
+  test("GRACE window: a reader thread racing live REWRITES (purge + " +
+      "compactions) never fails and always sees the one true answer " +
+      "(rewrites keep the previous snapshot's trees; only " +
+      "two-generations-old versions are collected). Rewrites are the " +
+      "atomic surface — mutations stay at-least-once/self-healing, " +
+      "not reader-atomic, like any parquet append") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mrace").toString
+    val queries = Seq(1 -> "needle common", 2 -> "revised fresh")
+    try {
+      val docs = tfDocs(spark)
+      Retrieval.writeTfIndex(docs, dir, wordBuckets = 8)
+      val crawl = Seq((1L, "needle revised fresh text"))
+        .toDF("doc_id", "text").localCheckpoint()
+      // mutate BEFORE the race (mutations are not reader-atomic —
+      // a reader between the tombstone and fact writes of an upsert
+      // legitimately sees the intermediate state); what the manifest
+      // guarantees is that every REWRITE below is invisible: purge
+      // and compaction are logical-identity, so the answer is a
+      // fixpoint throughout
+      Retrieval.upsertTfIndex(dir, crawl)
+      val expected = canon(
+        Retrieval.bm25TopKFromTfIndex(spark, dir, queries, 10))
+      @volatile var writerDone = false
+      @volatile var reads = 0L
+      val failure =
+        new java.util.concurrent.atomic.AtomicReference[Throwable]
+      val reader = new Thread(() => {
+        try {
+          while (!writerDone) {
+            val got = canon(
+              Retrieval.bm25TopKFromTfIndex(spark, dir, queries, 10))
+            reads += 1
+            if (got != expected)
+              throw new AssertionError(s"inconsistent read: $got")
+          }
+        } catch { case t: Throwable => failure.set(t) }
+      })
+      reader.start()
+      // the grace window is ONE rewrite deep (each rewrite keeps its
+      // predecessor's trees) — so between rewrites, wait until a read
+      // that STARTED after the commit completed: every reader
+      // operation then overlaps at most one rewrite, the contract the
+      // one-generation grace covers (a serving deployment sizes its
+      // grace period to reader latency the same way)
+      def awaitReads(n: Long): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (reads < n && failure.get() == null &&
+            System.nanoTime() < deadline) Thread.sleep(10)
+      }
+      try {
+        Seq[() => Unit](
+          () => { Retrieval.compactTfIndex(spark, dir); () },
+          () => Retrieval.purgeTfIndexTombstones(spark, dir),
+          () => { Retrieval.compactTfIndex(spark, dir); () },
+          () => { Retrieval.compactTfIndex(spark, dir); () }
+        ).foreach { rewrite =>
+          rewrite()
+          awaitReads(reads + 2) // ≥1 full read born after the commit
+        }
+      } finally {
+        writerDone = true
+        reader.join(120000)
+      }
+      assert(failure.get() == null, s"racing reader died: " +
+        s"${failure.get()}")
+      assert(reads > 0, "reader never completed a read")
+      // the grace window leaves exactly the PREVIOUS snapshot's trees
+      // on disk; a full sweep (empty keep) collects them
+      val man = IndexManifest.read(spark, dir).get
+      IndexLayout.gcUnreferenced(spark, dir, man)
+      val left = new java.io.File(dir).listFiles()
+        .filter(_.isDirectory).map(_.getName)
+        .filter(n => n == "postings" || n.startsWith("postings-v"))
+      assert(left.toSeq == Seq(man.dirFor("postings")), left.toSeq)
+      assert(canon(Retrieval.bm25TopKFromTfIndex(
+        spark, dir, queries, 10)) == expected)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
   test("commit mechanics: sequence strictly increases, torn temp " +
       "files are invisible, a stale-sequence double-commit is refused " +
       "(single-writer violation), history pruning keeps the tail") {
