@@ -112,9 +112,10 @@ object Compact {
   }
 
   /** Rewrite a parquet leaf directory WITHOUT the rows whose `keyCol`
-    * appears in `dropKeys` — the physical half of a tombstone purge
-    * (the logical half is the read-time anti-join; see
-    * [[graft.operators.Retrieval.deleteFromTfIndex]]). Crash
+    * appears in `dropKeys` — the generic in-place purge for PLAIN
+    * (non-index) directories; the persisted index layouts instead
+    * rewrite through [[IndexLayout]]'s versioned manifest commits,
+    * which concurrent readers never observe. Crash
     * discipline as documented on the object: self-heal on entry,
     * checked renames, refuse ambiguous backups. No-op only if the
     * directory is genuinely absent (no backup either). A purge that

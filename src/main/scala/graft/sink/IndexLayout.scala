@@ -136,7 +136,7 @@ object IndexLayout {
 
   /** [[tombstoneFloor]] resolved against a caller-held manifest
     * snapshot. Deliberately NO broadcast hint: measured (round 16,
-    * tools/TmpFloorAb-style A/B at 256k docs) Catalyst's size
+    * isolated same-JVM alternating A/B at 256k docs) Catalyst's size
     * estimate on the max-aggregated floor already selects
     * BroadcastHashJoin with or without the hint — plans identical,
     * timing deltas inside box noise — and past broadcastable sizes a
