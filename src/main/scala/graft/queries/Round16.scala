@@ -12,7 +12,92 @@ object Round16 {
   private def t(name: String): QueryFn =
     (s, dir) => Tables.load(s, dir, name)
 
+  /** The q344/q345/q353 re-crawl mutation, restated for this round's
+    * rows: doc_id%5=0 docs get this suffix appended. */
+  private val recrawlSuffix = " recrawl revision fresh tokens"
+  private val oMutatedDocs: String =
+    "(SELECT doc_id, CASE WHEN doc_id % 5 = 0 " +
+      s"THEN text || '$recrawlSuffix' ELSE text END AS text " +
+      "FROM documents)"
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- STREAMING SHINGLE INGEST — the crawler's DEDUP index gets
+    // the q353 discipline: the near-dup artifact streams as fresh as
+    // the retrieval one. Seed corpus = doc%3=0 original text; epoch 0
+    // upserts a batch mixing NEW docs (%3=1) and RE-CRAWLS (%15=0,
+    // text changed); epoch 1's first delivery dies AFTER its shingle
+    // facts landed and is REPLAYED in plain append mode (the
+    // pending-epoch marker must route it through the upsert path —
+    // a missed self-heal duplicates every (doc, shingle) row of %3=2
+    // docs, corrupting intersection counts); a replay of committed
+    // epoch 0 is skipped. The query emits every exact-Jaccard pair
+    // ≥ 0.5 touching the streamed ids from the index's final state;
+    // the oracle is the exhaustive pair set over a corpus REBUILT
+    // with the mutated text, restricted to streamed-touching pairs —
+    // stream-built ≡ batch rebuild, hash-gated.
+    QueryDef("q355_shingle_stream_ingest",
+      (s, dir) => {
+        val outDir = Round14.scratchDir(dir, "q355_shidx")
+        val p = outDir.getAbsolutePath
+        val docs = t("documents")(s, dir)
+        val mutated = docs.withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(recrawlSuffix)))
+            .otherwise(col("text")))
+        graft.operators.Dedup.writeShingleIndex(
+          docs.where(col("doc_id") % 3 === 0), p, n = 3,
+          shingleBuckets = 16)
+        val b0 = mutated.where(col("doc_id") % 3 === 1 ||
+          (col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0))
+        val ok0 = graft.streaming.EventStreams
+          .ingestShingleIndexBatch(b0, 0L, p, upsert = true)
+        require(ok0, "epoch 0 must ingest")
+        // epoch 1 first delivery crashes after its facts append
+        val b1 = mutated.where(col("doc_id") % 3 === 2)
+        val m0 = graft.sink.IndexManifest.readOrInit(s, p)
+        graft.sink.IndexManifest.commit(s, p,
+          m0.copy(pendingEpoch = 1L))
+        val g = graft.sink.IndexLayout.reserveGen(s, p)
+        graft.operators.Dedup.appendShingleFacts(p, b1, "doc_id",
+          "text", g)
+        // the at-least-once replay (append mode) must self-heal
+        val healed = graft.streaming.EventStreams
+          .ingestShingleIndexBatch(b1, 1L, p, upsert = false)
+        require(healed, "crashed epoch 1 must replay")
+        val replayed = graft.streaming.EventStreams
+          .ingestShingleIndexBatch(b0, 0L, p, upsert = true)
+        require(!replayed, "replay guard failed to skip epoch 0")
+        graft.operators.Dedup.jaccardPairsAgainstIndex(
+            s, p, threshold = 0.5,
+            mutated.where(col("doc_id") % 3 =!= 0 ||
+              col("doc_id") % 5 === 0).select(col("doc_id")))
+          .orderBy(col("da"), col("db"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id,
+              |    list_filter(string_split_regex(lower(text), '\\s+'),
+              |      x -> len(x) > 0) AS ws
+              |  FROM $oMutatedDocs d),
+              |idx AS (SELECT doc_id, ws,
+              |    unnest(generate_series(1, len(ws) - 2)) AS i
+              |  FROM w WHERE len(ws) >= 3),
+              |sh AS (SELECT DISTINCT doc_id,
+              |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+              |  FROM idx),
+              |hs AS (SELECT doc_id, ${CorpusOps.oH60("s")} AS h
+              |  FROM sh),
+              |sz AS (SELECT doc_id, COUNT(*) AS n FROM hs
+              |  GROUP BY doc_id),
+              |p AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) AS inter
+              |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT da, db, inter,
+              |  inter / (x.n + y.n - inter) AS jaccard
+              |FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+              |WHERE inter / (x.n + y.n - inter) >= 0.5
+              |  AND (da % 3 <> 0 OR da % 5 = 0
+              |    OR db % 3 <> 0 OR db % 5 = 0)
+              |ORDER BY da, db""".stripMargin)),
 
     // ---- PROGRESSIVE JPEG (SOF2) — the last double-digit slice of
     // real crawled JPEGs the decoder nulled (r15 verdict #5). Spark

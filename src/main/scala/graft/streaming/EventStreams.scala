@@ -415,20 +415,49 @@ object EventStreams {
     * @return true if the batch was ingested, false if skipped. */
   def ingestTfIndexBatch(batch: DataFrame, epochId: Long, path: String,
       idCol: String = "doc_id", textCol: String = "text",
-      upsert: Boolean = false): Boolean = {
-    val spark = batch.sparkSession
+      upsert: Boolean = false): Boolean =
+    ingestIndexBatch(batch.sparkSession, path, epochId) { healAsUpsert =>
+      if (upsert || healAsUpsert)
+        graft.operators.Retrieval.upsertTfIndex(path, batch, idCol,
+          textCol)
+      else
+        graft.operators.Retrieval.appendTfIndex(path, batch, idCol,
+          textCol)
+    }
+
+  /** [[ingestTfIndexBatch]] for the SHINGLE (near-dup) index — the
+    * same exactly-once epoch guard and crash self-heal around
+    * [[graft.operators.Dedup.appendShingleIndex]] /
+    * `upsertShingleIndex`: the crawler's dedup index stays as fresh
+    * as its retrieval index. */
+  def ingestShingleIndexBatch(batch: DataFrame, epochId: Long,
+      path: String, idCol: String = "doc_id",
+      textCol: String = "text", upsert: Boolean = false): Boolean =
+    ingestIndexBatch(batch.sparkSession, path, epochId) { healAsUpsert =>
+      if (upsert || healAsUpsert)
+        graft.operators.Dedup.upsertShingleIndex(path, batch, idCol,
+          textCol)
+      else
+        graft.operators.Dedup.appendShingleIndex(path, batch, idCol,
+          textCol)
+    }
+
+  /** The shared exactly-once-per-epoch protocol (see
+    * [[ingestTfIndexBatch]]'s contract): skip committed epochs,
+    * commit `pending_epoch` BEFORE the mutation, hand the mutation a
+    * `healAsUpsert` flag (true when this epoch's previous attempt may
+    * have died mid-write — the mutation must then route through its
+    * upsert path so fresh-generation tombstones kill the partial
+    * facts), commit `epoch` after. */
+  private def ingestIndexBatch(spark: SparkSession, path: String,
+      epochId: Long)(mutate: Boolean => Unit): Boolean = {
     val m0 = graft.sink.IndexManifest.readOrInit(spark, path)
     if (epochId <= m0.epoch) false
     else {
       val suspectReplay = m0.pendingEpoch == epochId
       graft.sink.IndexManifest.commit(spark, path,
         m0.copy(pendingEpoch = epochId))
-      if (upsert || suspectReplay)
-        graft.operators.Retrieval.upsertTfIndex(path, batch, idCol,
-          textCol)
-      else
-        graft.operators.Retrieval.appendTfIndex(path, batch, idCol,
-          textCol)
+      mutate(suspectReplay)
       // the mutation itself committed a generation reservation —
       // re-read so the epoch commit carries it forward
       val m1 = graft.sink.IndexManifest.readOrInit(spark, path)
@@ -466,6 +495,25 @@ object EventStreams {
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         ingestTfIndexBatch(batch, epochId, path, idCol, textCol,
+          upsert)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** [[startTfIndexSink]] for the shingle index: stream document
+    * micro-batches INTO the near-dup artifact — same exactly-once
+    * epoch guard, same crash self-heal, same crawler `upsert` mode
+    * (see [[ingestShingleIndexBatch]]). */
+  def startShingleIndexSink(docs: DataFrame, path: String,
+      checkpoint: String, idCol: String = "doc_id",
+      textCol: String = "text",
+      upsert: Boolean = false): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        ingestShingleIndexBatch(batch, epochId, path, idCol, textCol,
           upsert)
         ()
       }

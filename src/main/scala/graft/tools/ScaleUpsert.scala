@@ -106,6 +106,37 @@ object ScaleUpsert {
       org.apache.commons.io.FileUtils
         .deleteQuietly(new java.io.File(shDir))
     }
+
+    // MUTATION STORM: many sequential small mutations — per-mutation
+    // cost must stay FLAT (each mutation is one manifest commit + one
+    // increment-sized write; the manifest history listing is bounded,
+    // pruned to its tail at compaction)
+    {
+      val dir = java.nio.file.Files
+        .createTempDirectory("scaleupsert_storm").toString
+      Retrieval.writeTfIndex(docs, dir, wordBuckets = 64)
+      val one = docs.limit(1)
+        .withColumn("text", concat(col("text"), lit(" storm")))
+        .localCheckpoint()
+      val ts = (1 to 24).map { _ =>
+        val t0 = System.nanoTime()
+        Retrieval.upsertTfIndex(dir, one)
+        (System.nanoTime() - t0) / 1e9
+      }
+      def manifests(): Int =
+        Option(new java.io.File(s"$dir/_manifest").listFiles())
+          .getOrElse(Array.empty).count(_.getName.startsWith("m-"))
+      val nBefore = manifests()
+      println(f"[scaleupsert] storm: 24 sequential 1-doc upserts — " +
+        f"first-4 avg ${ts.take(4).sum / 4}%.2f s, " +
+        f"last-4 avg ${ts.takeRight(4).sum / 4}%.2f s, " +
+        f"manifest files $nBefore")
+      Retrieval.compactTfIndex(spark, dir)
+      println(s"[scaleupsert] storm: manifest history after " +
+        s"compaction = ${manifests()} files (pruned to the tail)")
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(dir))
+    }
     spark.stop()
   }
 }

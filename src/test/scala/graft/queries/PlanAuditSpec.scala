@@ -549,6 +549,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q355: streaming shingle ingest — the kill floor lands before " +
+      "ranking; prefix equi-joins only (never a cartesian)") {
+    val p = full("q355_shingle_stream_ingest")
+    assert(p.contains("below_gen"),
+      "q355 generation tombstone filter missing")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(400))
+  }
+
   test("q339: dedup delete — the generation kill floor lands BEFORE " +
       "ranking; still no cartesian") {
     val plan = full("q339_jaccard_delete")

@@ -607,4 +607,59 @@ class EventStreamsSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     }
   }
+
+  test("startShingleIndexSink end to end: a real foreachBatch stream " +
+      "lands its documents in the near-dup index; a second run " +
+      "ingests only the new data; pairs ≡ a batch-built index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shsink").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_shsink_ckpt").toString
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon eta"),
+      (2L, "totally different words entirely here now"),
+      (3L, "alpha beta gamma delta epsilon zeta"))
+    try {
+      graft.operators.Dedup.writeShingleIndex(
+        corpus.take(1).toDF("doc_id", "text"), dir, n = 3,
+        shingleBuckets = 4)
+      val in = MemoryStream[(Long, String)]
+      def run(): Unit = {
+        val q = EventStreams.startShingleIndexSink(
+          in.toDS().toDF("doc_id", "text"), dir, ckpt)
+        q.awaitTermination() // AvailableNow: drains then stops
+      }
+      in.addData(corpus(1), corpus(2))
+      run()
+      def pairs(ids: Seq[Long]) = graft.operators.Dedup
+        .jaccardPairsAgainstIndex(spark, dir, 0.5,
+          ids.toDF("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs(Seq(1L, 2L)) == Set((0L, 1L))) // near-dup found
+      // second run: only the NEW doc ingests (earlier epochs skipped)
+      in.addData(corpus(3))
+      run()
+      val got = pairs(Seq(1L, 2L, 3L))
+      // twin: batch-built index over the same corpus, same increment
+      val twinDir = java.nio.file.Files
+        .createTempDirectory("graft_shsink_twin").toString
+      try {
+        graft.operators.Dedup.writeShingleIndex(
+          corpus.toDF("doc_id", "text"), twinDir, n = 3,
+          shingleBuckets = 4)
+        val twin = graft.operators.Dedup
+          .jaccardPairsAgainstIndex(spark, twinDir, 0.5,
+            Seq(1L, 2L, 3L).toDF("doc_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == twin && got.contains((0L, 3L)))
+      } finally org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(twinDir))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
 }
