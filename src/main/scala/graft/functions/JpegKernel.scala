@@ -559,11 +559,45 @@ object JpegEncodeKernel {
     encodeProgressiveImpl(width, height, channels, pixels,
       restartInterval, sa = true)
 
+  /** Progressive at 4:2:0 (2×2-Y sampling — what real web progressive
+    * JPEGs overwhelmingly are): interleaved DC scans step the MCU
+    * grid, each single-component AC scan steps the COMPONENT's own
+    * block grid. `sa = true` uses the successive-approximation script. */
+  def encodeProgressive420(width: Int, height: Int,
+      pixels: Array[Byte], restartInterval: Int,
+      sa: Boolean): Array[Byte] =
+    encodeProgressiveImpl(width, height, 3, pixels, 2, 2,
+      restartInterval, sa)
+
+  /** [[encodeProgressive420]] at 4:2:2 (2×1-Y sampling). */
+  def encodeProgressive422(width: Int, height: Int,
+      pixels: Array[Byte], restartInterval: Int,
+      sa: Boolean): Array[Byte] =
+    encodeProgressiveImpl(width, height, 3, pixels, 2, 1,
+      restartInterval, sa)
+
   private def encodeProgressiveImpl(width: Int, height: Int,
       channels: Int, pixels: Array[Byte], restartInterval: Int,
-      sa: Boolean): Array[Byte] = {
+      sa: Boolean): Array[Byte] =
+    encodeProgressiveImpl(width, height, channels, pixels, 1, 1,
+      restartInterval, sa)
+
+  /** General progressive writer over the supported sampling grid
+    * (Y at (hs, vs) ∈ {1,2}×{1,2}, chroma 1×1 — the baseline
+    * [[encodeImpl]] geometry with SOF2 + a multi-scan script):
+    * coefficients are computed once per component on the MCU-PADDED
+    * block grid (the interleaved DC scans cover padding blocks, as
+    * T.81 requires), AC scans traverse the component's OWN
+    * ceil(samples/8) grid (padding columns/rows are DC-only — they
+    * crop away). Scripts as on [[encodeProgressive]] /
+    * [[encodeProgressiveSa]]. */
+  private def encodeProgressiveImpl(width: Int, height: Int,
+      channels: Int, pixels: Array[Byte], hs: Int, vs: Int,
+      restartInterval: Int, sa: Boolean): Array[Byte] = {
     if ((channels != 1 && channels != 3) || width <= 0 || height <= 0 ||
         width > 65535 || height > 65535 ||
+        hs < 1 || hs > 2 || vs < 1 || vs > 2 ||
+        ((hs != 1 || vs != 1) && channels != 3) ||
         restartInterval < 0 || restartInterval > 65535 ||
         pixels == null ||
         pixels.length.toLong != width.toLong * height * channels ||
@@ -589,7 +623,9 @@ object JpegEncodeKernel {
     out.write(8); u16(out, height); u16(out, width); out.write(channels)
     var ci = 0
     while (ci < channels) {
-      out.write(ci + 1); out.write(0x11); out.write(if (ci == 0) 0 else 1)
+      out.write(ci + 1)
+      out.write(if (ci == 0) (hs << 4) | vs else 0x11)
+      out.write(if (ci == 0) 0 else 1)
       ci += 1
     }
     writeDht(out, 0x00, DcBits, DcVals)
@@ -598,56 +634,83 @@ object JpegEncodeKernel {
       writeDht(out, 0x01, DcBits, DcVals)
       writeDht(out, 0x11, AcBits, AcVals)
     }
-    // color transform (4:4:4: full-resolution planes)
-    val n = width * height
-    val planes = new Array[Array[Byte]](channels)
+    // color transform + pinned top-left co-sited chroma subsample —
+    // the exact planes [[encodeImpl]] builds
+    val cw = if (channels == 3) (width + hs - 1) / hs else 0
+    val chh = if (channels == 3) (height + vs - 1) / vs else 0
+    val py = new Array[Byte](width * height)
+    var pcb: Array[Byte] = null
+    var pcr: Array[Byte] = null
     if (channels == 1) {
-      planes(0) = pixels
+      System.arraycopy(pixels, 0, py, 0, width * height)
     } else {
-      planes(0) = new Array[Byte](n)
-      planes(1) = new Array[Byte](n)
-      planes(2) = new Array[Byte](n)
+      pcb = new Array[Byte](cw * chh)
+      pcr = new Array[Byte](cw * chh)
       var i = 0
-      while (i < n) {
+      while (i < width * height) {
         val r = pixels(3 * i) & 0xff
         val g = pixels(3 * i + 1) & 0xff
         val b = pixels(3 * i + 2) & 0xff
-        planes(0)(i) = rgbToY(r, g, b).toByte
-        planes(1)(i) = rgbToCb(r, g, b).toByte
-        planes(2)(i) = rgbToCr(r, g, b).toByte
+        py(i) = rgbToY(r, g, b).toByte
         i += 1
       }
+      var cy = 0
+      while (cy < chh) {
+        var cx = 0
+        val sy = cy * vs
+        while (cx < cw) {
+          val sx = cx * hs
+          val pp = sy * width + sx
+          val r = pixels(3 * pp) & 0xff
+          val g = pixels(3 * pp + 1) & 0xff
+          val b = pixels(3 * pp + 2) & 0xff
+          pcb(cy * cw + cx) = rgbToCb(r, g, b).toByte
+          pcr(cy * cw + cx) = rgbToCr(r, g, b).toByte
+          cx += 1
+        }
+        cy += 1
+      }
     }
-    // quantized coefficient blocks, once per component (natural order)
-    val bX = (width + 7) / 8
-    val bY = (height + 7) / 8
+    val mcuX = (width + 8 * hs - 1) / (8 * hs)
+    val mcuY = (height + 8 * vs - 1) / (8 * vs)
+    val compHs = if (channels == 1) Array(1) else Array(hs, 1, 1)
+    val compVs = if (channels == 1) Array(1) else Array(vs, 1, 1)
+    val planes = if (channels == 1) Array(py) else Array(py, pcb, pcr)
+    val planeWs = if (channels == 1) Array(width)
+      else Array(width, cw, cw)
+    val planeHs = if (channels == 1) Array(height)
+      else Array(height, chh, chh)
+    // quantized coefficient blocks per component on the MCU-PADDED
+    // grid (edge-replicated like the baseline writer)
     val block = new Array[Int](64)
-    val coefs = Array.ofDim[Array[Int]](channels, bX * bY)
-    ci = 0
-    while (ci < channels) {
-      val qt = if (ci == 0) QLuma else QChroma
+    val coefs = (0 until channels).map { c =>
+      val wb = mcuX * compHs(c)
+      val hb = mcuY * compVs(c)
+      val qt = if (c == 0) QLuma else QChroma
+      val plane = planes(c); val pw = planeWs(c); val ph = planeHs(c)
+      val arr = new Array[Array[Int]](wb * hb)
       var by = 0
-      while (by < bY) {
+      while (by < hb) {
         var bx = 0
-        while (bx < bX) {
+        while (bx < wb) {
           var yy = 0
           while (yy < 8) {
-            val sy = math.min(by * 8 + yy, height - 1)
+            val sy = math.min(by * 8 + yy, ph - 1)
             var xx = 0
             while (xx < 8) {
-              val sx = math.min(bx * 8 + xx, width - 1)
-              block(yy * 8 + xx) = (planes(ci)(sy * width + sx) & 0xff) - 128
+              val sx = math.min(bx * 8 + xx, pw - 1)
+              block(yy * 8 + xx) = (plane(sy * pw + sx) & 0xff) - 128
               xx += 1
             }
             yy += 1
           }
-          coefs(ci)(by * bX + bx) = fdctQuant(block, qt)
+          arr(by * wb + bx) = fdctQuant(block, qt)
           bx += 1
         }
         by += 1
       }
-      ci += 1
-    }
+      arr
+    }.toArray
     def writeSos(comps: Seq[Int], ss: Int, se: Int, ah: Int,
         al: Int): Unit = {
       marker(out, 0xDA); u16(out, 6 + 2 * comps.length)
@@ -660,60 +723,71 @@ object JpegEncodeKernel {
     }
     // RSTm between restart intervals — every scan restarts
     // independently, marker index cycling from 0 per scan (T.81)
-    def restartAt(bw: BitWriter, b: Int): Boolean =
-      if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+    def restartAt(bw: BitWriter, unit: Int): Boolean =
+      if (restartInterval > 0 && unit > 0 &&
+          unit % restartInterval == 0) {
         bw.flush()
-        marker(out, 0xD0 + ((b / restartInterval - 1) & 7))
+        marker(out, 0xD0 + ((unit / restartInterval - 1) & 7))
         true
       } else false
-    // ---- DC first scan (all components interleaved; 1×1 sampling →
-    // MCU = one block per component, raster order)
-    def dcFirst(al: Int): Unit = {
-      writeSos(0 until channels, 0, 0, 0, al)
+    // ---- DC scans: all components interleaved, MCU raster order,
+    // compH×compV blocks per component per MCU (= the decoder's walk)
+    def dcScan(al: Int, refine: Boolean): Unit = {
+      writeSos(0 until channels, 0, 0, if (refine) al + 1 else 0, al)
       val bw = new BitWriter(out)
       val prev = new Array[Int](channels)
-      var b = 0
-      while (b < bX * bY) {
-        if (restartAt(bw, b)) java.util.Arrays.fill(prev, 0)
+      var mcu = 0
+      val total = mcuX * mcuY
+      while (mcu < total) {
+        if (restartAt(bw, mcu)) java.util.Arrays.fill(prev, 0)
+        val mx = mcu % mcuX; val my = mcu / mcuX
         var c = 0
         while (c < channels) {
-          val dc = coefs(c)(b)(0) >> al // arithmetic shift: exact with
-          val diff = dc - prev(c)       // the OR-refinement on decode
-          prev(c) = dc
-          val s = category(diff)
-          val (hc, hl) = dcTable(s)
-          bw.put(hc, hl); putMagnitude(bw, diff, s)
+          val wb = mcuX * compHs(c)
+          var vy = 0
+          while (vy < compVs(c)) {
+            var hx = 0
+            while (hx < compHs(c)) {
+              val co = coefs(c)((my * compVs(c) + vy) * wb +
+                mx * compHs(c) + hx)
+              if (refine) bw.put((co(0) >> al) & 1, 1)
+              else {
+                // arithmetic shift: exact with OR-refinement on decode
+                val dc = co(0) >> al
+                val diff = dc - prev(c)
+                prev(c) = dc
+                val s = category(diff)
+                val (hc, hl) = dcTable(s)
+                bw.put(hc, hl); putMagnitude(bw, diff, s)
+              }
+              hx += 1
+            }
+            vy += 1
+          }
           c += 1
         }
-        b += 1
+        mcu += 1
       }
       bw.flush()
     }
-    // ---- DC refinement: one bit per block (the Al bit of DC)
-    def dcRefine(al: Int): Unit = {
-      writeSos(0 until channels, 0, 0, al + 1, al)
-      val bw = new BitWriter(out)
-      var b = 0
-      while (b < bX * bY) {
-        restartAt(bw, b)
-        var c = 0
-        while (c < channels) {
-          bw.put((coefs(c)(b)(0) >> al) & 1, 1)
-          c += 1
-        }
-        b += 1
-      }
-      bw.flush()
+    // AC scans step the COMPONENT grid (ceil(compSamples/8) per axis
+    // — the decoder's non-interleaved geometry), offsets mapped into
+    // the padded coefficient arrays
+    def acGrid(c: Int): (Int, Int, Int) = {
+      val bwC = (planeWs(c) + 7) / 8
+      val bhC = (planeHs(c) + 7) / 8
+      (bwC, bhC, mcuX * compHs(c))
     }
     // ---- AC first scan (single component, Ss=1..Se=63): baseline
     // run-size coding of sign·(|v|≫Al); EOB emitted per block (EOB0)
     def acFirst(c: Int, al: Int): Unit = {
       writeSos(Seq(c), 1, 63, 0, al)
       val bw = new BitWriter(out)
-      var b = 0
-      while (b < bX * bY) {
-        restartAt(bw, b) // per-block EOB0: no entropy state to reset
-        val co = coefs(c)(b)
+      val (bwC, bhC, wb) = acGrid(c)
+      var u = 0
+      while (u < bwC * bhC) {
+        restartAt(bw, u) // per-block EOB0: no entropy state to reset
+        val co = coefs(c)((u / bwC) * wb + u % bwC)
         var run = 0
         var k = 1
         while (k < 64) {
@@ -733,7 +807,7 @@ object JpegEncodeKernel {
           k += 1
         }
         if (run > 0) { val (ec, el) = acTable(0x00); bw.put(ec, el) }
-        b += 1
+        u += 1
       }
       bw.flush()
     }
@@ -751,10 +825,11 @@ object JpegEncodeKernel {
         while (i < pending.size()) { bw.put(pending.get(i), 1); i += 1 }
         pending.clear()
       }
-      var b = 0
-      while (b < bX * bY) {
-        restartAt(bw, b) // pending bits always flushed at block ends
-        val co = coefs(c)(b)
+      val (bwC, bhC, wb) = acGrid(c)
+      var u = 0
+      while (u < bwC * bhC) {
+        restartAt(bw, u) // pending bits always flushed at block ends
+        val co = coefs(c)((u / bwC) * wb + u % bwC)
         // last newly-significant position: ZRLs are never needed past
         // it (the tail folds into EOB, whose decoder walk consumes the
         // remaining correction bits to Se)
@@ -795,16 +870,16 @@ object JpegEncodeKernel {
           val (ec, el) = acTable(0x00); bw.put(ec, el)
           flushPending()
         }
-        b += 1
+        u += 1
       }
       bw.flush()
     }
     if (!sa) {
-      dcFirst(0)
+      dcScan(0, refine = false)
       ci = 0
       while (ci < channels) { acFirst(ci, 0); ci += 1 }
     } else {
-      dcFirst(1); dcRefine(0)
+      dcScan(1, refine = false); dcScan(0, refine = true)
       ci = 0
       while (ci < channels) { acFirst(ci, 1); ci += 1 }
       ci = 0
@@ -1992,5 +2067,21 @@ object Jpeg {
         ColumnBridge.expression(restartInterval.cast("int"))),
       inputTypes = Seq(IntegerType, IntegerType, IntegerType,
         BinaryType, IntegerType),
+      propagateNull = true, returnNullable = true))
+
+  /** Progressive at 4:2:0 — the sampling real web progressive JPEGs
+    * use; `sa` selects the successive-approximation script (see
+    * [[JpegEncodeKernel.encodeProgressive420]]). */
+  def jpegEncodeProgressive420(width: Column, height: Column,
+      pixels: Column, restartInterval: Column, sa: Column): Column =
+    ColumnBridge.column(StaticInvoke(
+      JpegEncodeKernel.getClass, BinaryType, "encodeProgressive420",
+      Seq(ColumnBridge.expression(width.cast("int")),
+        ColumnBridge.expression(height.cast("int")),
+        ColumnBridge.expression(pixels),
+        ColumnBridge.expression(restartInterval.cast("int")),
+        ColumnBridge.expression(sa.cast("boolean"))),
+      inputTypes = Seq(IntegerType, IntegerType, BinaryType,
+        IntegerType, org.apache.spark.sql.types.BooleanType),
       propagateNull = true, returnNullable = true))
 }

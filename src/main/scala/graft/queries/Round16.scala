@@ -207,6 +207,92 @@ object Round16 {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // ---- PROGRESSIVE 4:2:0 — the sampling real web progressive
+    // JPEGs actually have (q352 pinned the scan machinery at 4:4:4;
+    // this pins it COMPOSED with the subsampled geometry: interleaved
+    // DC scans walk 2×2-Y MCUs, each AC scan walks its component's
+    // OWN block grid, with per-scan restarts and both scripts).
+    // MCU-constant pixels quantize to DC-only in all three components
+    // (subsampling a constant is the constant), and full-precision /
+    // SA progressive carries exactly the baseline 4:2:0 coefficients,
+    // so the oracle is q346's closed form on this row's formula.
+    QueryDef("q356_jpeg_progressive_420",
+      (s, dir) => {
+        val w = (col("doc_id") % 3 + 1) * 16
+        val h = (col("doc_id") % 2 + 1) * 16
+        val ri = col("doc_id") % 3 // per-scan restart interval; 0=none
+        val sa = col("doc_id") % 2 === 0 // script per doc
+        def mcuVal(mx: Column, my: Column, mw: Column, k: Column) =
+          (col("doc_id") * 13 + (my * mw + mx) * 31 + k * 7) % 256
+        def hx(c: Column) = lpad(hex(c), 2, "0")
+        val mw = Round14.idiv(w, lit(16))
+        val px = unhex(array_join(
+          transform(sequence(lit(0L), h - 1), y => {
+            val my = Round14.idiv(y, lit(16))
+            array_join(
+              transform(sequence(lit(0L), mw - 1), mx =>
+                repeat(concat(hx(mcuVal(mx, my, mw, lit(0))),
+                  hx(mcuVal(mx, my, mw, lit(1))),
+                  hx(mcuVal(mx, my, mw, lit(2)))), 16)), "")
+          }), ""))
+        val jpg = graft.functions.Jpeg.jpegEncodeProgressive420(
+          w, h, px, ri, sa)
+        val payload = when(col("doc_id") % 7 === 6,
+            graft.operators.Multimodal.syntheticPayload(col("text")))
+          .otherwise(jpg)
+        t("documents")(s, dir)
+          .select(col("doc_id"), col("text"))
+          .withColumn("st", graft.functions.Jpeg.jpegStats(payload))
+          .select(col("doc_id"), col("st.width"), col("st.height"),
+            col("st.channels"), col("st.n_pixels"), col("st.sum_c0"),
+            col("st.sum_c1"), col("st.sum_c2"),
+            col("st.sum_luma_milli"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        import Round14.{oDcPipe, oRgbY, oRgbCb, oRgbCr, oYcc2R,
+          oYcc2G, oYcc2B}
+        def v(k: Int) =
+          s"(doc_id * 13 + (my * (w // 16) + mx) * 31 + $k * 7) % 256"
+        val (yc, cb, cr) = (oRgbY(v(0), v(1), v(2)),
+          oRgbCb(v(0), v(1), v(2)), oRgbCr(v(0), v(1), v(2)))
+        s"""WITH d AS (SELECT doc_id, (doc_id % 3 + 1) * 16 AS w,
+           |    (doc_id % 2 + 1) * 16 AS h
+           |  FROM documents WHERE doc_id % 7 <> 6),
+           |mx0 AS (SELECT doc_id, w, h,
+           |    unnest(generate_series(0, w // 16 - 1)) AS mx FROM d),
+           |mcu AS (SELECT doc_id, w, h, mx,
+           |    unnest(generate_series(0, h // 16 - 1)) AS my FROM mx0),
+           |dcy AS (SELECT doc_id, w, h, mx, my,
+           |    ${oDcPipe(yc, 16)} AS yq,
+           |    ${oDcPipe(cb, 17)} AS cbq,
+           |    ${oDcPipe(cr, 17)} AS crq
+           |  FROM mcu),
+           |outs AS (SELECT doc_id,
+           |    ${oYcc2R("yq", "crq")} AS o0,
+           |    ${oYcc2G("yq", "cbq", "crq")} AS o1,
+           |    ${oYcc2B("yq", "cbq")} AS o2
+           |  FROM dcy),
+           |a AS (SELECT doc_id, 256 * SUM(o0) AS s0,
+           |    256 * SUM(o1) AS s1, 256 * SUM(o2) AS s2
+           |  FROM outs GROUP BY 1)
+           |SELECT a.doc_id, CAST(d.w AS BIGINT) AS width,
+           |  CAST(d.h AS BIGINT) AS height,
+           |  CAST(3 AS BIGINT) AS channels,
+           |  CAST(d.w * d.h AS BIGINT) AS n_pixels,
+           |  CAST(s0 AS BIGINT) AS sum_c0,
+           |  CAST(s1 AS BIGINT) AS sum_c1,
+           |  CAST(s2 AS BIGINT) AS sum_c2,
+           |  CAST(299 * s0 + 587 * s1 + 114 * s2 AS BIGINT)
+           |    AS sum_luma_milli
+           |FROM a JOIN d USING (doc_id)
+           |UNION ALL
+           |SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           |  NULL
+           |FROM documents WHERE doc_id % 7 = 6
+           |ORDER BY doc_id""".stripMargin
+      }),
+
     // ---- PROGRESSIVE SALVAGE — the bit-rot story (q351) extended to
     // SOF2 streams: with per-scan restart intervals a flipped byte
     // costs ONE restart segment of ONE scan (the damaged segment's

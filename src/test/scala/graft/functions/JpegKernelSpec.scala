@@ -410,6 +410,33 @@ class JpegKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("progressive 4:2:0 / 4:2:2 ≡ their BASELINE sampling twins " +
+      "pixel-exactly (same pinned planes and coefficients, scripts " +
+      "and restarts included) — the shape real web progressive " +
+      "JPEGs have") {
+    for {
+      (w, h) <- Seq((16, 16), (24, 40), (19, 13), (33, 17))
+      ri <- Seq(0, 2)
+      sa <- Seq(false, true)
+    } {
+      val px = rgb(w, h)((x, y) =>
+        ((x * 29) % 256, (y * 47) % 256, (x * 3 + y * 5) % 256))
+      val b420 = JpegDecodeKernel.decode(
+        JpegEncodeKernel.encode420(w, h, px, 0))
+      val p420 = JpegDecodeKernel.decode(
+        JpegEncodeKernel.encodeProgressive420(w, h, px, ri, sa))
+      assert(b420.isDefined && p420.isDefined, s"$w x $h ri=$ri sa=$sa")
+      assert(p420.get.pixels.sameElements(b420.get.pixels),
+        s"prog420≠base420 at $w x $h ri=$ri sa=$sa")
+      val b422 = JpegDecodeKernel.decode(
+        JpegEncodeKernel.encode422(w, h, px, 0))
+      val p422 = JpegDecodeKernel.decode(
+        JpegEncodeKernel.encodeProgressive422(w, h, px, ri, sa))
+      assert(p422.get.pixels.sameElements(b422.get.pixels),
+        s"prog422≠base422 at $w x $h ri=$ri sa=$sa")
+    }
+  }
+
   test("progressive garbage contract: truncations anywhere decode to " +
       "None, never throw; entropy corruption never throws") {
     val px = rgb(24, 24)((x, y) => ((x * 7) % 256, (y * 11) % 256,

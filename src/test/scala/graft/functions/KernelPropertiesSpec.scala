@@ -269,6 +269,34 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: PROGRESSIVE 4:2:0/4:2:2 ≡ their baseline sampling " +
+      "twins bit-identically for any image, dims, script and restart " +
+      "interval") {
+    val gen = for {
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(1, 40)
+      horiz2 <- Gen.oneOf(false, true) // 4:2:0 vs 4:2:2
+      sa <- Gen.oneOf(false, true)
+      ri <- Gen.choose(0, 3)
+      seed <- Gen.choose(0, 1000000)
+    } yield (w, h, horiz2, sa, ri, seed)
+    for ((w, h, is420, sa, ri, seed) <- samples(gen, 50)) {
+      val rnd = new scala.util.Random(seed)
+      val px = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val base = JpegDecodeKernel.decode(
+        if (is420) JpegEncodeKernel.encode420(w, h, px, 0)
+        else JpegEncodeKernel.encode422(w, h, px, 0))
+      val prog = JpegDecodeKernel.decode(
+        if (is420) JpegEncodeKernel.encodeProgressive420(w, h, px, ri,
+          sa)
+        else JpegEncodeKernel.encodeProgressive422(w, h, px, ri, sa))
+      assert(base.isDefined && prog.isDefined,
+        s"$w x $h 420=$is420 sa=$sa")
+      assert(prog.get.pixels.sameElements(base.get.pixels),
+        s"prog≠base: $w x $h 420=$is420 sa=$sa ri=$ri seed=$seed")
+    }
+  }
+
   test("property: JPEG decode never throws on arbitrary mutations of " +
       "a valid PROGRESSIVE (SA + restarts) file") {
     val base = JpegEncodeKernel.encodeProgressiveSa(24, 24, 3,

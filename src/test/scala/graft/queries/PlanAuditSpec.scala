@@ -532,7 +532,8 @@ class PlanAuditSpec extends SparkSpec {
         "q340_mixed_media_qa", "q346_jpeg_420_roundtrip",
         "q350_jpeg_422_roundtrip", "q351_jpeg_salvage",
         "q352_jpeg_progressive",
-        "q354_jpeg_progressive_salvage").foreach { q =>
+        "q354_jpeg_progressive_salvage",
+        "q356_jpeg_progressive_420").foreach { q =>
       val s = shape(q)
       assert(s.hash == 0 && s.bcast == 0, s"$q: $s")
       assert(!full(q).contains("Join"), q)
