@@ -407,6 +407,59 @@ object Round16 {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // ---- ANN RETRAIN, trigger → action → serve, hash-gated (closes
+    // the loop q347 opened, on the acceptance shape the r15 verdict
+    // sketched: reuse the existing geometry oracle with NO extra
+    // replay). The row lives the full operational story: build the
+    // index FROZEN on the even half with its drift baseline, append
+    // the odd half under yesterday's geometry (the drift q347 alerts
+    // on — its ratio is computed in-row), take down a doc, then
+    // RETRAIN over the live full corpus: one atomic manifest commit
+    // swaps cells+codebook+codes+drift_meta+tombstones. Three things
+    // are gated: the refreshed baseline must read EXACTLY 1.0M ppm
+    // (require — a wrong drift_meta rewrite fails the row), the
+    // takedown must be resurrected by the retrain (the caller passed
+    // the full corpus; a lingering kill floor would exclude vec 3 and
+    // hash-fail), and the served search must be BIT-IDENTICAL to a
+    // fresh build over the same rows — which is exactly q87's
+    // pipeline, so the oracle IS q87's (the q95 discipline), one
+    // geometry replay, zero new SQL.
+    QueryDef("q357_ann_retrain",
+      (s, dir) => {
+        import graft.operators.Similarity
+        val outDir = Round14.scratchDir(dir, "q357_annrt")
+        val p = outDir.getAbsolutePath
+        val emb = t("embeddings")(s, dir)
+        val even = emb.where(col("vec_id") % 2 === 0)
+        val odd = emb.where(col("vec_id") % 2 === 1)
+        Similarity.ivfPqIndex(even, nCells = 8, dims = 64, m = 8,
+          nCentroids = 16).write(p)
+        Similarity.writeIvfPqDriftBaseline(s, p, even, dims = 64,
+          m = 8)
+        Similarity.appendToIvfPqIndex(s, p, odd, dims = 64, m = 8)
+        Similarity.deleteFromIvfPqIndex(p,
+          odd.where(col("vec_id") === 3).select(col("vec_id")))
+        // the trigger: the appended half's distortion under yesterday's
+        // codebook (q347 measured 1.084M ppm on this exact split —
+        // past the calibrated 1.04M alert threshold)
+        Similarity.ivfPqDriftStats(s, p, odd, dims = 64, m = 8)
+          .collect()
+        // the action: retrain over the LIVE corpus, atomic swap
+        Similarity.retrainIvfPqIndex(s, p, emb, nCells = 8, dims = 64,
+          m = 8, nCentroids = 16)
+        // the refreshed baseline must be exact
+        val after = Similarity.ivfPqDriftStats(s, p, emb, dims = 64,
+          m = 8).collect()(0).getLong(4)
+        require(after == 1000000L,
+          s"retrain did not reset the drift baseline: $after ppm")
+        // serve from the swapped artifacts: ≡ a fresh q87 build
+        Similarity.ivfPqSearch(emb.filter(col("vec_id") < 12),
+            Similarity.IvfPqIndex.read(s, p), k = 5, nprobe = 2,
+            dims = 64, m = 8)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Round5.defs.find(_.name == "q87_ivfpq_topk").get.oracle),
+
     // ---- STREAMING UPSERT — the crawler lifecycle end to end (r15
     // verdict #7: q348's epoch discipline composed with q344's
     // re-crawl semantics), WITH the crash window inside the row: the

@@ -550,6 +550,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q357: retrain-then-serve — model-sized sides broadcast " +
+      "(cells, codebook, probes, distance table), never a cartesian " +
+      "or a vector-side shuffle join") {
+    val st = shape("q357_ann_retrain")
+    assert(st.bcast >= 2 && !full("q357_ann_retrain")
+      .contains("CartesianProduct"), st)
+  }
+
   test("q355: streaming shingle ingest — the kill floor lands before " +
       "ranking; prefix equi-joins only (never a cartesian)") {
     val p = full("q355_shingle_stream_ingest")
