@@ -565,6 +565,82 @@ class JpegKernelSpec extends AnyFunSuite {
     assert(partial.pixels.sameElements(clean.pixels))
   }
 
+  test("FOREIGN progressive stream with EOBn>0 runs decodes: a " +
+      "hand-assembled SOF2 file whose AC scans cover all four blocks " +
+      "with a single EOB4 (our encoder only ever emits EOB0 — this " +
+      "is the path real progressive encoders hit)") {
+    import JpegMath._
+    val v = 183 // constant 16×16 gray: 4 blocks, AC all zero
+    // expected pixels: identical to our own baseline round trip
+    val expect = JpegDecodeKernel.decode(JpegEncodeKernel.encode(
+      16, 16, 1, Array.fill(16 * 16)(v.toByte))).get.pixels
+    val out = new java.io.ByteArrayOutputStream()
+    def m(x: Int): Unit = { out.write(0xff); out.write(x) }
+    def u16(x: Int): Unit = { out.write(x >> 8); out.write(x & 0xff) }
+    m(0xD8) // SOI
+    m(0xDB); u16(2 + 1 + 64); out.write(0) // DQT 0
+    for (k <- 0 until 64) out.write(QLuma(Zigzag(k)))
+    m(0xC2); u16(8 + 3) // SOF2, 1 component 1×1
+    out.write(8); u16(16); u16(16); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    // DC table: the flat canonical one; AC table: ONE 1-bit code for
+    // symbol 0x20 = EOBn with r=2 (canonical Huffman, tables travel
+    // with the file)
+    m(0xC4); u16(2 + 1 + 16 + 12); out.write(0x00)
+    DcBits.foreach(out.write); DcVals.foreach(out.write)
+    m(0xC4); u16(2 + 1 + 16 + 1); out.write(0x10)
+    val acBits = Array(1) ++ Array.fill(15)(0)
+    acBits.foreach(out.write); out.write(0x20)
+    // bit writer with stuffing + 1-pad flush (the encoder's rules)
+    var acc = 0L; var n = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); n += len
+      while (n >= 8) {
+        val b = ((acc >> (n - 8)) & 0xff).toInt
+        out.write(b); if (b == 0xff) out.write(0)
+        n -= 8
+      }
+    }
+    def flush(): Unit = if (n > 0) { val p = 8 - n; put((1 << p) - 1, p) }
+    val dcTab = buildEncodeTable(DcBits, DcVals)
+    def sos(ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      m(0xDA); u16(6 + 2); out.write(1); out.write(1); out.write(0x00)
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+    }
+    // scan 1: DC first at Al=1 — diffs [q>>1, 0, 0, 0]
+    val s0 = (v - 128).toLong
+    val f = divR(divR(s0 * 65536 * 5793, 13) * 65536 * 5793, 41)
+    val q = quantR(f, QLuma(0)).toInt
+    sos(0, 0, 0, 1)
+    for (diff <- Seq((q >> 1), 0, 0, 0)) {
+      val s = category(diff)
+      val (c, l) = dcTab(s); put(c, l)
+      if (s > 0) put(if (diff >= 0) diff else diff - 1, s)
+    }
+    flush()
+    // scan 2: DC refine at Al=0 — one bit per block (the low bit of q)
+    sos(0, 0, 1, 0)
+    for (_ <- 0 until 4) put(q & 1, 1)
+    flush()
+    // scan 3: AC first at Al=1 — ONE symbol: EOBn r=2 (canonical
+    // 1-bit code "0") + 2 extra bits 00 → run = 4 blocks, AC all zero
+    sos(1, 63, 0, 1)
+    put(0, 1); put(0, 2)
+    flush()
+    // scan 4: AC refine Ah=1→Al=0 — same EOB4, no correction bits
+    // (no nonzero-history AC anywhere): exercises the eobrun>1
+    // refinement tail walk
+    sos(1, 63, 1, 0)
+    put(0, 1); put(0, 2)
+    flush()
+    m(0xD9) // EOI
+    val got = JpegDecodeKernel.decode(out.toByteArray)
+    assert(got.isDefined, "foreign EOBn stream must decode")
+    assert(got.get.width == 16 && got.get.channels == 1)
+    assert(got.get.pixels.sameElements(expect),
+      "EOBn-coded constant image must equal the baseline round trip")
+  }
+
   test("an AC scan before its component's DC scan is rejected (T.81 " +
       "scan-order rule), and a progressive stream without EOI is None") {
     val px = gray(16, 16)((x, y) => x + y)
