@@ -601,7 +601,10 @@ object JpegEncodeKernel {
         restartInterval < 0 || restartInterval > 65535 ||
         pixels == null ||
         pixels.length.toLong != width.toLong * height * channels ||
-        width.toLong * height * channels > (1L << 29)) return null
+        // the PROGRESSIVE decoder caps at 2^27 samples (multi-scan
+        // coefficient planes, vs baseline streaming rows) — mirror it
+        // here so encode never produces a stream its own decoder nulls
+        width.toLong * height * channels > (1L << 27)) return null
     val out = new ByteArrayOutputStream(1024)
     marker(out, 0xD8) // SOI
     marker(out, 0xE0); u16(out, 16) // APP0 JFIF

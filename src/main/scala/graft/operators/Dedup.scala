@@ -561,6 +561,7 @@ object Dedup {
     val spark = newDocs.sparkSession
     val g = graft.sink.IndexLayout.reserveGen(spark, path)
     appendShingleFacts(path, newDocs, idCol, textCol, g)
+    graft.sink.IndexLayout.publishGen(spark, path, g)
   }
 
   /** UPSERT a re-crawled increment into a [[writeShingleIndex]]
@@ -577,11 +578,14 @@ object Dedup {
     val spark = docs.sparkSession
     // generation reserved BEFORE the tombstone/fact writes — a replay
     // of a crashed upsert self-heals ([[graft.sink.IndexLayout
-    // .reserveGen]])
+    // .reserveGen]]); PUBLISHED after both writes, so readers see the
+    // upsert whole or not at all ([[graft.sink.IndexLayout
+    // .publishGen]])
     val g = graft.sink.IndexLayout.reserveGen(spark, path)
     graft.sink.IndexLayout.appendTombstones(
       docs.select(col(idCol)), path, "doc_id", g)
     appendShingleFacts(path, docs, idCol, textCol, g)
+    graft.sink.IndexLayout.publishGen(spark, path, g)
   }
 
   private[graft] def appendShingleFacts(path: String,
@@ -618,6 +622,7 @@ object Dedup {
     val spark = docIds.sparkSession
     val g = graft.sink.IndexLayout.reserveGen(spark, path)
     graft.sink.IndexLayout.appendTombstones(docIds, path, "doc_id", g)
+    graft.sink.IndexLayout.publishGen(spark, path, g)
   }
 
   /** Physically drop tombstone-killed generations (whole-tree
@@ -712,7 +717,8 @@ object Dedup {
     */
   def jaccardPairsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, threshold: Double,
-      incrementIds: DataFrame): DataFrame = {
+      incrementIds: DataFrame,
+      pinned: Option[graft.sink.IndexManifest] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       "threshold must be in (0, 1]")
     val t = lit(threshold)
@@ -723,12 +729,14 @@ object Dedup {
     // hint — a purge list can be any size; AQE picks the strategy
     // from actual stats). gen >= below_gen keeps upsert-refreshed
     // facts and drops their stale generations. One manifest snapshot
-    // resolves postings + tombstones together; withGen keeps
-    // pre-generation-era artifacts readable (gen defaults to 0).
-    val man = graft.sink.IndexManifest.read(spark, path)
+    // (caller-pinned or latest) resolves postings + tombstones +
+    // visibility watermark together; visibleFacts keeps only
+    // PUBLISHED generations (reader-atomic mutations) and defaults
+    // gen to 0 on pre-generation-era artifacts.
+    val man = pinned.orElse(graft.sink.IndexManifest.read(spark, path))
     val sh = graft.sink.IndexLayout.applyTombstones(
-        graft.sink.IndexLayout.withGen(spark.read.parquet(
-            graft.sink.IndexLayout.dir(path, man, "postings")))
+        graft.sink.IndexLayout.visibleFacts(spark.read.parquet(
+            graft.sink.IndexLayout.dir(path, man, "postings")), man)
           .select(col("doc_id"), col("s"), col("gen")),
         graft.sink.IndexLayout.tombstoneFloor(spark, path, "doc_id",
           man),
@@ -1034,6 +1042,7 @@ object Dedup {
     val spark = newDocs.sparkSession
     val g = graft.sink.IndexLayout.reserveGen(spark, path)
     appendFingerprintFacts(path, newDocs, idCol, textCol, g)
+    graft.sink.IndexLayout.publishGen(spark, path, g)
   }
 
   /** UPSERT a re-crawled increment into a [[writeFingerprintIndex]]
@@ -1047,6 +1056,7 @@ object Dedup {
     graft.sink.IndexLayout.appendTombstones(
       docs.select(col(idCol)), path, "doc_id", g)
     appendFingerprintFacts(path, docs, idCol, textCol, g)
+    graft.sink.IndexLayout.publishGen(spark, path, g)
   }
 
   private def appendFingerprintFacts(path: String, newDocs: DataFrame,
@@ -1084,8 +1094,8 @@ object Dedup {
       .cast("long").as("doc_id"))
     val man = graft.sink.IndexManifest.read(spark, path)
     val fp1 = graft.sink.IndexLayout.applyTombstones(
-        graft.sink.IndexLayout.withGen(spark.read.parquet(
-            graft.sink.IndexLayout.dir(path, man, "postings")))
+        graft.sink.IndexLayout.visibleFacts(spark.read.parquet(
+            graft.sink.IndexLayout.dir(path, man, "postings")), man)
           .select(col("doc_id"), col("h"), col("gen")),
         graft.sink.IndexLayout.tombstoneFloor(spark, path, "doc_id",
           man),

@@ -359,9 +359,11 @@ object Retrieval {
     val spark = newDocs.sparkSession
     // generation RESERVED (manifest commit, driver-side — no Spark
     // job) before any fact lands: a crashed append's replay reserves a
-    // higher gen, so tombstoning that gen can self-heal it
+    // higher gen, so tombstoning that gen can self-heal it; PUBLISHED
+    // after, so readers never see a partial append
     val g = graft.sink.IndexLayout.reserveGen(spark, path)
     appendTfFacts(path, newDocs, idCol, textCol, tf, g)
+    graft.sink.IndexLayout.publishGen(spark, path, g)
   }
 
   /** UPSERT a re-crawled increment into a [[writeTfIndex]] artifact —
@@ -383,11 +385,14 @@ object Retrieval {
     // reserve-first ordering: if a previous attempt crashed after
     // writing facts at gen g, this replay reserves g+1 and its
     // below_gen = g+1 tombstones kill the partial facts — the
-    // half-committed window self-heals instead of double-counting
+    // half-committed window self-heals instead of double-counting.
+    // publish-last makes the whole upsert READER-ATOMIC: tombstones
+    // and facts stay invisible until one watermark commit flips both
     val g = graft.sink.IndexLayout.reserveGen(spark, path)
     graft.sink.IndexLayout.appendTombstones(
       docs.select(col(idCol)), path, "doc_id", g)
     appendTfFacts(path, docs, idCol, textCol, tf, g)
+    graft.sink.IndexLayout.publishGen(spark, path, g)
   }
 
   /** The facts-append half of append/upsert (package-visible so the
@@ -427,6 +432,7 @@ object Retrieval {
     val spark = docIds.sparkSession
     val g = graft.sink.IndexLayout.reserveGen(spark, path)
     graft.sink.IndexLayout.appendTombstones(docIds, path, "doc_id", g)
+    graft.sink.IndexLayout.publishGen(spark, path, g)
   }
 
   /** Physically drop tombstone-killed generations from a
@@ -485,14 +491,22 @@ object Retrieval {
     * The postings read is partition-pruned exactly like
     * [[bm25TopKFromIndex]]: query-word bucket ids become literal
     * `wbucket IN` filters plus a pushed `word IN` row filter.
+    *
+    * `pinned`: resolve EVERYTHING — subtrees and the visibility
+    * watermark — from this caller-held snapshot instead of the
+    * latest ([[graft.sink.IndexManifest.readAt]]): time travel over
+    * the retained history, making a multi-query report bit-stable
+    * while the crawler keeps mutating, until the snapshot ages out
+    * of the [[graft.sink.IndexManifest.HistoryKeep]] window.
     */
   def bm25TopKFromTfIndex(spark: SparkSession, path: String,
       queries: Seq[(Int, String)], k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      pinned: Option[graft.sink.IndexManifest] = None): DataFrame = {
     // ONE manifest read, every subtree resolved from the same snapshot
     // — a concurrent purge/compaction commit can never hand this query
     // a mixed pre/post view ([[graft.sink.IndexManifest]])
-    val man = graft.sink.IndexManifest.read(spark, path)
+    val man = pinned.orElse(graft.sink.IndexManifest.read(spark, path))
     def sub(l: String) = graft.sink.IndexLayout.dir(path, man, l)
     val nBuckets = spark.read.parquet(s"$path/meta")
       .select(col("n_buckets")).collect()(0).getInt(0)
@@ -512,9 +526,13 @@ object Retrieval {
     // can be any size, AQE picks the join strategy.
     val floor = graft.sink.IndexLayout.tombstoneFloor(
       spark, path, "doc_id", man)
+    // visibleFacts first: only PUBLISHED generations serve (the
+    // reader-atomic mutation contract — an in-flight upsert's rows,
+    // tombstones and facts alike, stay invisible until its one
+    // publish commit; a pinned snapshot freezes the watermark too)
     def minusTomb(df: DataFrame): DataFrame =
       graft.sink.IndexLayout.applyTombstones(
-        graft.sink.IndexLayout.withGen(df), floor, "doc_id")
+        graft.sink.IndexLayout.visibleFacts(df, man), floor, "doc_id")
         .drop("gen")
     val postings = minusTomb(
       if (words.isEmpty)

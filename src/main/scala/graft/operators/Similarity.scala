@@ -1328,8 +1328,12 @@ object Similarity {
       codes: DataFrame) {
     def write(dir: String): Unit = {
       // a rebuild must not inherit a previous incarnation's
-      // tombstones, counters, or versioned-dir pointers
-      graft.sink.IndexLayout.freshLayout(cells.sparkSession, dir)
+      // tombstones, counters, versioned-dir pointers — or its drift
+      // baseline (a side table this write does not itself produce:
+      // serving yesterday's baseline against today's codebook would
+      // silently mis-calibrate the retrain trigger)
+      graft.sink.IndexLayout.freshLayout(cells.sparkSession, dir,
+        sideLogicals = Seq("drift_meta"))
       cells.write.mode("overwrite").parquet(s"$dir/cells")
       codebook.write.mode("overwrite").parquet(s"$dir/codebook")
       // persisted codes carry the IndexLayout generation (0 at build;
@@ -1370,16 +1374,18 @@ object Similarity {
       * candidate; quantizer training data is not "un-trained", the
       * same semantics FAISS `remove_ids` gives). */
     def read(spark: org.apache.spark.sql.SparkSession,
-        dir: String): IvfPqIndex = {
-      // one manifest snapshot resolves every artifact — a concurrent
-      // purge/compaction/retrain commit can never hand this reader a
-      // mixed pre/post view; withGen keeps pre-generation-era code
-      // streams readable
-      val man = graft.sink.IndexManifest.read(spark, dir)
+        dir: String, pinned: Option[graft.sink.IndexManifest] = None)
+        : IvfPqIndex = {
+      // one manifest snapshot (caller-pinned or latest) resolves
+      // every artifact — a concurrent purge/compaction/retrain commit
+      // can never hand this reader a mixed pre/post view; visibleFacts
+      // keeps only PUBLISHED code generations (reader-atomic
+      // mutations) and defaults gen to 0 on pre-generation-era streams
+      val man = pinned.orElse(graft.sink.IndexManifest.read(spark, dir))
       def sub(l: String) = graft.sink.IndexLayout.dir(dir, man, l)
       val codes = graft.sink.IndexLayout.applyTombstones(
-          graft.sink.IndexLayout.withGen(
-            spark.read.parquet(sub("codes"))),
+          graft.sink.IndexLayout.visibleFacts(
+            spark.read.parquet(sub("codes")), man),
           graft.sink.IndexLayout.tombstoneFloor(spark, dir, "id", man),
           "id")
         .drop("gen")
@@ -1402,6 +1408,7 @@ object Similarity {
     val spark = ids.sparkSession
     val g = graft.sink.IndexLayout.reserveGen(spark, path)
     graft.sink.IndexLayout.appendTombstones(ids, path, "id", g)
+    graft.sink.IndexLayout.publishGen(spark, path, g)
   }
 
   /** UPSERT re-embedded vectors into a persisted [[IvfPqIndex]] — the
@@ -1419,11 +1426,14 @@ object Similarity {
       idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
     // generation reserved BEFORE the tombstone/code writes — a replay
     // of a crashed upsert self-heals ([[graft.sink.IndexLayout
-    // .reserveGen]])
+    // .reserveGen]]); PUBLISHED after both writes — readers see the
+    // re-embed whole or not at all ([[graft.sink.IndexLayout
+    // .publishGen]])
     val g = graft.sink.IndexLayout.reserveGen(spark, path)
     graft.sink.IndexLayout.appendTombstones(
       vecs.select(col(idCol)), path, "id", g)
     appendIvfPqCodes(spark, path, vecs, dims, m, idCol, embCol, g)
+    graft.sink.IndexLayout.publishGen(spark, path, g)
   }
 
   /** Parquet-APPEND a new-vector increment's codes to a PERSISTED
@@ -1440,6 +1450,7 @@ object Similarity {
       idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
     val g = graft.sink.IndexLayout.reserveGen(spark, path)
     appendIvfPqCodes(spark, path, newVecs, dims, m, idCol, embCol, g)
+    graft.sink.IndexLayout.publishGen(spark, path, g)
   }
 
   private def appendIvfPqCodes(spark: org.apache.spark.sql.SparkSession,
@@ -1520,14 +1531,21 @@ object Similarity {
     * against it. */
   def writeIvfPqDriftBaseline(spark: org.apache.spark.sql.SparkSession,
       path: String, trainVecs: DataFrame, dims: Int, m: Int,
-      idCol: String = "vec_id", embCol: String = "embedding"): Unit =
-    pqDistortionStats(trainVecs,
-        spark.read.parquet(
-          graft.sink.IndexLayout.resolve(spark, path, "codebook")),
-        dims, m, idCol, embCol)
-      .coalesce(1).write.mode("overwrite")
-      .parquet(graft.sink.IndexLayout.resolve(spark, path,
-        "drift_meta"))
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val stats = pqDistortionStats(trainVecs,
+      spark.read.parquet(
+        graft.sink.IndexLayout.resolve(spark, path, "codebook")),
+      dims, m, idCol, embCol)
+    // versioned rewrite like every other subtree (build beside, commit
+    // by pointer): an in-place overwrite would hand a concurrent
+    // ivfPqDriftStats reader a missing/partial dir, and after a
+    // retrain would clobber a versioned dir still referenced by
+    // retained history snapshots
+    graft.sink.IndexLayout.commitVersions(spark, path, Seq(
+      "drift_meta" -> ((st: String) =>
+        stats.coalesce(1).write.mode("overwrite").parquet(st))))
+    ()
+  }
 
   /** RETRAIN TRIGGER for frozen-geometry appends — turns q342's
     * measured recall gap into an operator that needs NO brute-force
@@ -1611,7 +1629,11 @@ object Similarity {
             .write.mode("overwrite").parquet(st)),
         "drift_meta" -> ((st: String) =>
           drift.coalesce(1).write.mode("overwrite").parquet(st))),
-      mm => mm.copy(gen = g)
+      // the re-encoded corpus is stamped gen = g: reserve AND publish
+      // it in the same pointer commit, so the new geometry serves the
+      // instant the snapshot flips — never a window where the codes
+      // exist but the watermark hides them
+      mm => mm.copy(gen = g, visibleGen = math.max(mm.visibleGen, g))
         .withDir("tombstones", s"tombstones-v${mm.seq + 1}"))
   }
 

@@ -32,10 +32,10 @@ import org.apache.spark.sql.functions._
   * facts carry a later generation), which is what a re-crawl of a
   * previously-taken-down page should do.
   *
-  * The generation counter, the streaming ingest epoch, and the
-  * logical→physical directory pointers all live in ONE tiny atomic
-  * commit marker, [[IndexManifest]] — driver-side FS reads/writes, no
-  * Spark jobs. Two disciplines ride it:
+  * The generation counter, the visibility watermark, the streaming
+  * ingest epoch, and the logical→physical directory pointers all live
+  * in ONE tiny atomic commit marker, [[IndexManifest]] — driver-side
+  * FS reads/writes, no Spark jobs. Three disciplines ride it:
   *
   *  - ''Reserve-before-write'': [[reserveGen]] commits the new
   *    generation BEFORE any tombstone or fact lands, so a mutation that
@@ -44,6 +44,19 @@ import org.apache.spark.sql.functions._
   *    the crashed attempt's partial facts (an upsert replayed after a
   *    crash between its fact append and anything else is therefore
   *    exactly correct, not double-counted).
+  *  - ''Publish-after-write'': parquet appends are not atomic (a
+  *    multi-file job commit is a sequence of renames, and an upsert is
+  *    TWO appends — tombstones, then facts), so readers never trust
+  *    raw presence. Facts are visible only at `gen <= visibleGen`
+  *    ([[visibleFacts]]) and tombstones only at `below_gen <=
+  *    visibleGen` ([[tombstoneFloor]]); a mutation bumps the watermark
+  *    in one [[publishGen]] commit AFTER all its rows landed. Every
+  *    reader therefore sees exactly a pre- or post-mutation snapshot —
+  *    mutations are READER-ATOMIC, not merely self-healing. Both
+  *    predicates ride the existing kill-floor join, and the `gen`
+  *    filter is an ordinary pushed parquet predicate over a
+  *    per-file-constant RLE column: at 100 TB the unpublished tail is
+  *    skipped from row-group stats, not scanned.
   *  - ''Versioned rewrites'': a purge/compaction builds
   *    `postings-v{n+1}` beside the live tree and commits by one pointer
   *    write ([[purgeTombstones]], [[compactVersioned]]); concurrent
@@ -97,11 +110,27 @@ object IndexLayout {
     * one, so its `below_gen` tombstones kill the partial facts — the
     * at-least-once self-heal the old write-facts-then-bump ordering
     * could not give. */
-  def reserveGen(spark: SparkSession, path: String): Long = {
-    val m = IndexManifest.readOrInit(spark, path)
-    val g = m.gen + 1
-    IndexManifest.commit(spark, path, m.copy(gen = g))
-    g
+  def reserveGen(spark: SparkSession, path: String): Long =
+    // commutable commit: two racing reservers both succeed with
+    // DISTINCT generations (the loser re-derives against the winner's
+    // snapshot — [[IndexManifest.commitWith]])
+    IndexManifest.commitWith(spark, path, m => m.copy(gen = m.gen + 1))
+      .gen
+
+  /** PUBLISH generation `g`: bump the reader-visibility watermark in
+    * one commit AFTER the mutation's tombstone and fact rows all
+    * landed — the second half of the reserve → write → publish
+    * protocol that makes mutations reader-atomic. A crash before this
+    * commit leaves the partial rows INVISIBLE (strictly better than
+    * the pre-watermark behavior); the replay reserves a higher
+    * generation, and publishing that makes the crashed rows visible
+    * exactly when the tombstones that kill them become visible too —
+    * same commit, same snapshot. Commutable (max-merge), so a lost
+    * race retries. */
+  def publishGen(spark: SparkSession, path: String, g: Long): Unit = {
+    IndexManifest.commitWith(spark, path,
+      m => m.copy(visibleGen = math.max(m.visibleGen, g)))
+    ()
   }
 
   /** Default a missing `gen` column to 0 — keeps pre-generation-era
@@ -109,6 +138,18 @@ object IndexLayout {
   def withGen(df: DataFrame): DataFrame =
     if (df.columns.contains("gen")) df
     else df.withColumn("gen", lit(0L))
+
+  /** The PUBLISHED slice of a fact table under a caller-held snapshot:
+    * rows at `gen <= visibleGen` (a plain pushed parquet predicate —
+    * `gen` is per-file-constant RLE, so unpublished files are skipped
+    * from row-group stats). No manifest (pre-manifest layout) ⇒
+    * everything is published by definition. */
+  def visibleFacts(df: DataFrame,
+      m: Option[IndexManifest]): DataFrame = {
+    val g = withGen(df)
+    m.map(mm => g.filter(col("gen") <= lit(mm.visibleGen)))
+      .getOrElse(g)
+  }
 
   /** Append `(keyName, below_gen)` tombstones: kill these keys' facts
     * with `gen < belowGen`. `Long.MaxValue` is deliberately NOT used
@@ -145,9 +186,19 @@ object IndexLayout {
       keyName: String, m: Option[IndexManifest]): Option[DataFrame] = {
     val d = dir(path, m, "tombstones")
     if (!dirExists(spark, d)) None
-    else Some(spark.read.parquet(d)
-      .groupBy(col(keyName))
-      .agg(max(col("below_gen")).as("below_gen")))
+    else {
+      // only PUBLISHED tombstones count (below_gen <= visibleGen) —
+      // an in-flight upsert's tombstones must not delete the doc for
+      // readers before its facts publish (reader-atomicity's other
+      // half; pre-manifest layouts have no watermark and skip the
+      // filter)
+      val raw = spark.read.parquet(d)
+      val pub = m.map(mm =>
+        raw.filter(col("below_gen") <= lit(mm.visibleGen)))
+        .getOrElse(raw)
+      Some(pub.groupBy(col(keyName))
+        .agg(max(col("below_gen")).as("below_gen")))
+    }
   }
 
   /** Keep the facts that survive the kill floor: no tombstone for the
@@ -206,21 +257,31 @@ object IndexLayout {
 
   /** Reset `path` for a FRESH BUILD: delete the manifest (pointers
     * revert to plain names), every physical dir it referenced, any
-    * plain tombstones, and the legacy gen/epoch parquet logs — a
-    * rebuild must not inherit a previous incarnation's kill floor or
-    * counters. */
-  def freshLayout(spark: SparkSession, path: String): Unit = {
+    * plain tombstones, the legacy gen/epoch parquet logs, and — via
+    * `sideLogicals` — the family's side tables the build itself does
+    * not rewrite (e.g. the IVF-PQ drift baseline: a rebuilt index must
+    * not serve the previous incarnation's baseline against a new
+    * codebook). A rebuild must not inherit a previous incarnation's
+    * kill floor, counters, or stale side state. Deletion is by logical
+    * NAME: the plain dir and every versioned `<name>-v*` variant, so
+    * pre-manifest leftovers and orphaned staging trees go too. */
+  def freshLayout(spark: SparkSession, path: String,
+      sideLogicals: Seq[String] = Nil): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    IndexManifest.read(spark, path).foreach { m =>
-      m.dirs.valuesIterator.foreach { phys =>
-        val p = new Path(root, phys)
-        if (fs.exists(p)) fs.delete(p, true)
+    if (fs.exists(root)) {
+      val logicals = IndexManifest.readHistory(spark, path)
+        .flatMap(_.dirs.keysIterator).toSet ++
+        sideLogicals ++ Seq("tombstones", "gen", "ingest_meta")
+      val versioned = logicals.map { l =>
+        l -> s"^${java.util.regex.Pattern.quote(l)}-v\\d+(-[0-9a-f]+)?$$".r
+      }.toMap
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        val stale = logicals.contains(n) ||
+          versioned.exists(_._2.findFirstIn(n).isDefined)
+        if (stale) fs.delete(st.getPath, true)
       }
-    }
-    Seq("tombstones", "gen", "ingest_meta").foreach { n =>
-      val p = new Path(root, n)
-      if (fs.exists(p)) fs.delete(p, true)
     }
     IndexManifest.reset(spark, path)
   }
@@ -256,18 +317,44 @@ object IndexLayout {
 
   /** Build the next physical version of `logical` by running `build`
     * against its staging path; returns the new physical NAME (not yet
-    * committed — the caller folds it into one manifest commit). A
-    * leftover dir from a crashed previous attempt (same name — the
-    * sequence number didn't advance) is deleted first. */
+    * committed — the caller folds it into one manifest commit). The
+    * name carries a per-attempt token so two racing rewriters can
+    * never stage into (or a committed winner point at) each other's
+    * half-built tree; a crashed or race-losing attempt's staging is an
+    * ordinary unreferenced version that the next [[gcWithGrace]]
+    * sweeps (and the loser deletes its own eagerly —
+    * [[commitVersions]]). */
   private def buildVersion(spark: SparkSession, path: String,
       m: IndexManifest, logical: String,
       build: String => Unit): String = {
-    val next = s"$logical-v${m.seq + 1}"
+    val token = java.util.UUID.randomUUID.toString
+      .replace("-", "").substring(0, 8)
+    val next = s"$logical-v${m.seq + 1}-$token"
     val staging = new Path(s"$path/$next")
     val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(staging)) fs.delete(staging, true)
     build(staging.toString)
     next
+  }
+
+  /** Clean abort of a dir-pointer commit that lost a race: the
+    * pointer never moved, so this attempt's staged trees are pure
+    * garbage — delete them eagerly (they'd also fall to the next
+    * [[gcWithGrace]]) and rethrow with the recovery contract spelled
+    * out. */
+  private def abortStaged(spark: SparkSession, path: String,
+      staged: Seq[String],
+      e: ManifestCommitRaceException): Nothing = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    staged.foreach { n =>
+      val p = new Path(root, n)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    throw new ManifestCommitRaceException(
+      "rewrite lost a commit race and aborted CLEANLY: the tree is " +
+        "unchanged for readers, this attempt's staged versions are " +
+        s"deleted, and the operation is safe to rerun — ${e.getMessage}")
   }
 
   /** Delete physical dirs the committed manifest no longer references
@@ -278,9 +365,14 @@ object IndexLayout {
     * old are deleted (the next rewrite collects this one's
     * predecessors). Call with an empty `keep` for a full sweep once
     * in-flight readers have drained. Only names derived from a
-    * pointed logical (`logical` itself or `logical-v<k>`) are
+    * pointed logical (`logical` itself or `logical-v<k>[-tok]`) are
     * candidates — `meta`, `_manifest`, and anything else untracked is
-    * never touched. */
+    * never touched. Versions AT or ABOVE the committed sequence are
+    * also never touched: an unreferenced `-v{m.seq}` tree is a racing
+    * (or just-crashed) rewriter's staging for THIS commit slot — the
+    * loser deletes its own on abort, and anything orphaned falls to
+    * the NEXT rewrite's sweep, whose sequence is higher (the same
+    * deferred-collection philosophy as the reader grace window). */
   def gcUnreferenced(spark: SparkSession, path: String,
       m: IndexManifest, keep: Set[String] = Set.empty): Unit = {
     val root = new Path(path)
@@ -289,10 +381,12 @@ object IndexLayout {
     val children = fs.listStatus(root).filter(_.isDirectory)
       .map(_.getPath.getName).toSet
     m.dirs.foreach { case (logical, physical) =>
-      val versioned = s"^${java.util.regex.Pattern.quote(logical)}-v\\d+$$".r
+      val versioned =
+        s"^${java.util.regex.Pattern.quote(logical)}-v(\\d+)(-[0-9a-f]+)?$$".r
       children.foreach { n =>
+        val version = versioned.findFirstMatchIn(n).map(_.group(1).toLong)
         val stale = n != physical && !keep.contains(n) &&
-          (n == logical || versioned.findFirstIn(n).isDefined)
+          (n == logical || version.exists(_ < m.seq))
         if (stale) fs.delete(new Path(root, n), true)
       }
     }
@@ -343,8 +437,12 @@ object IndexLayout {
     val mOpt = Some(m0)
     tombstoneFloor(spark, path, keyName, mOpt).foreach { floor0 =>
       val floor = floor0.localCheckpoint()
+      // keep exactly the PUBLISHED facts a reader keeps — a crashed
+      // unpublished mutation's partial rows are dropped here too (its
+      // replay reserves a fresh generation and rewrites them whole)
       val keep = (df: DataFrame) =>
-        applyTombstones(withGen(df), Some(floor), keyName)
+        applyTombstones(visibleFacts(df, mOpt), Some(floor), keyName)
+      val staged = scala.collection.mutable.ListBuffer.empty[String]
       var m = m0
       val newPostings = buildVersion(spark, path, m0, "postings", { st =>
         val remaining = keep(
@@ -357,6 +455,7 @@ object IndexLayout {
             remaining.schema.filterNot(_.name == partitionCol)),
           Some(s"$partitionCol=0"))
       })
+      staged += newPostings
       m = m.withDir("postings", newPostings)
       flatLogicals
         .filter(l => dirExists(spark, dir(path, mOpt, l)))
@@ -366,6 +465,7 @@ object IndexLayout {
             remaining.write.mode("overwrite").parquet(st)
             Compact.ensureReadable(spark, st, remaining.schema, None)
           })
+          staged += nn
           m = m.withDir(l, nn)
         }
       // fresh tombstones = a not-yet-existing name: absent dir ≡ no
@@ -373,7 +473,9 @@ object IndexLayout {
       // with the old trees until the commit flips the whole snapshot
       m = m.withDir("tombstones", s"tombstones-v${m0.seq + 1}")
       hook("built")
-      IndexManifest.commit(spark, path, m)
+      try IndexManifest.commit(spark, path, m)
+      catch { case e: ManifestCommitRaceException =>
+        abortStaged(spark, path, staged.toSeq, e) }
       hook("committed")
       // grace GC: anything the retained manifest history references
       // survives, so a stale reader finishes cleanly
@@ -393,12 +495,17 @@ object IndexLayout {
       mutate: IndexManifest => IndexManifest = identity)
       : IndexManifest = {
     val m0 = IndexManifest.readOrInit(spark, path)
+    val staged = scala.collection.mutable.ListBuffer.empty[String]
     var m = m0
     builds.foreach { case (logical, build) =>
-      m = m.withDir(logical,
-        buildVersion(spark, path, m0, logical, build))
+      val nn = buildVersion(spark, path, m0, logical, build)
+      staged += nn
+      m = m.withDir(logical, nn)
     }
-    val committed = IndexManifest.commit(spark, path, mutate(m))
+    val committed =
+      try IndexManifest.commit(spark, path, mutate(m))
+      catch { case e: ManifestCommitRaceException =>
+        abortStaged(spark, path, staged.toSeq, e) }
     gcWithGrace(spark, path)
     committed
   }
@@ -414,22 +521,27 @@ object IndexLayout {
     val mOpt = Some(m0)
     tombstoneFloor(spark, path, keyName, mOpt).foreach { floor0 =>
       val floor = floor0.localCheckpoint()
+      val staged = scala.collection.mutable.ListBuffer.empty[String]
       var m = m0
       flatLogicals
         .filter(l => dirExists(spark, dir(path, mOpt, l)))
         .foreach { l =>
           val nn = buildVersion(spark, path, m0, l, { st =>
             val remaining = applyTombstones(
-              withGen(spark.read.parquet(dir(path, mOpt, l))),
+              visibleFacts(spark.read.parquet(dir(path, mOpt, l)),
+                mOpt),
               Some(floor), keyName)
             remaining.write.mode("overwrite").parquet(st)
             Compact.ensureReadable(spark, st, remaining.schema, None)
           })
+          staged += nn
           m = m.withDir(l, nn)
         }
       m = m.withDir("tombstones", s"tombstones-v${m0.seq + 1}")
       hook("built")
-      IndexManifest.commit(spark, path, m)
+      try IndexManifest.commit(spark, path, m)
+      catch { case e: ManifestCommitRaceException =>
+        abortStaged(spark, path, staged.toSeq, e) }
       hook("committed")
       gcWithGrace(spark, path)
       hook("gc")
@@ -464,7 +576,9 @@ object IndexLayout {
             .write.mode("overwrite").parquet(st)
       }
     })
-    IndexManifest.commit(spark, path, m.withDir(logical, newName))
+    try IndexManifest.commit(spark, path, m.withDir(logical, newName))
+    catch { case e: ManifestCommitRaceException =>
+      abortStaged(spark, path, Seq(newName), e) }
     gcWithGrace(spark, path)
     (before, countParquet(spark, s"$path/$newName"))
   }

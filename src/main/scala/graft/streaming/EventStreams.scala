@@ -455,14 +455,17 @@ object EventStreams {
     if (epochId <= m0.epoch) false
     else {
       val suspectReplay = m0.pendingEpoch == epochId
-      graft.sink.IndexManifest.commit(spark, path,
-        m0.copy(pendingEpoch = epochId))
+      // commutable commits ride the retrying CAS (commitWith): a lost
+      // race re-derives against the winner's snapshot — the epoch
+      // fields are this batch's own, so the merge is trivial
+      graft.sink.IndexManifest.commitWith(spark, path,
+        _.copy(pendingEpoch = epochId))
       mutate(suspectReplay)
-      // the mutation itself committed a generation reservation —
-      // re-read so the epoch commit carries it forward
-      val m1 = graft.sink.IndexManifest.readOrInit(spark, path)
-      graft.sink.IndexManifest.commit(spark, path,
-        m1.copy(epoch = epochId, pendingEpoch = -1L))
+      // the mutation committed its own generation reservation and
+      // publish — commitWith re-reads, so the epoch commit carries
+      // them forward
+      graft.sink.IndexManifest.commitWith(spark, path,
+        _.copy(epoch = epochId, pendingEpoch = -1L))
       true
     }
   }

@@ -125,9 +125,7 @@ class ManifestSpec extends SparkSpec {
   test("GRACE window: a reader thread racing live REWRITES (purge + " +
       "compactions) never fails and always sees the one true answer " +
       "(rewrites keep the previous snapshot's trees; only " +
-      "two-generations-old versions are collected). Rewrites are the " +
-      "atomic surface — mutations stay at-least-once/self-healing, " +
-      "not reader-atomic, like any parquet append") {
+      "two-generations-old versions are collected)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mrace").toString
     val queries = Seq(1 -> "needle common", 2 -> "revised fresh")
@@ -136,12 +134,10 @@ class ManifestSpec extends SparkSpec {
       Retrieval.writeTfIndex(docs, dir, wordBuckets = 8)
       val crawl = Seq((1L, "needle revised fresh text"))
         .toDF("doc_id", "text").localCheckpoint()
-      // mutate BEFORE the race (mutations are not reader-atomic —
-      // a reader between the tombstone and fact writes of an upsert
-      // legitimately sees the intermediate state); what the manifest
-      // guarantees is that every REWRITE below is invisible: purge
-      // and compaction are logical-identity, so the answer is a
-      // fixpoint throughout
+      // mutate BEFORE the race so the answer is a fixpoint: purge and
+      // compaction are logical-identity, so every read below must
+      // return exactly this (the mutation-vs-reader race has its own
+      // test — the visibility watermark makes those reader-atomic too)
       Retrieval.upsertTfIndex(dir, crawl)
       val expected = canon(
         Retrieval.bm25TopKFromTfIndex(spark, dir, queries, 10))
@@ -232,6 +228,250 @@ class ManifestSpec extends SparkSpec {
         IndexManifest.HistoryKeep)
       assert(!left.exists(_.getName.startsWith(".tmp-")))
       assert(IndexManifest.read(spark, dir).get.gen == 20L)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
+  test("READER-ATOMIC mutations: a reader thread racing live UPSERTS " +
+      "and DELETES always sees exactly a pre- or post-mutation " +
+      "snapshot — never a torn one (the visibility watermark: an " +
+      "upsert's tombstone and fact appends flip visible in ONE " +
+      "publish commit)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mmut").toString
+    try {
+      // twin docs 101/102 always carry IDENTICAL text of constant
+      // length, alternating tf("pair") between revisions (2 vs 1), so
+      // in EVERY committed snapshot the query "pair" returns exactly
+      // both twins with EQUAL scores (same tf, same dl, same corpus
+      // stats) — or, mid-delete-cycle, neither. A torn read can't
+      // satisfy that: between an upsert's tombstones and facts the
+      // twins vanish mid-upsert; between its postings and dl appends
+      // the stats skew; between the two fact FILES of one append only
+      // one twin updates, and mixed revisions give tf 2 vs 1 at the
+      // same dl — unequal scores
+      def twins(k: Int) = Seq(
+        (101L, if (k % 2 == 0) "pair pair padx" else "pair solo padx"),
+        (102L, if (k % 2 == 0) "pair pair padx" else "pair solo padx"))
+        .toDF("doc_id", "text")
+      val filler = (0L until 10L)
+        .map(i => (i, s"base filler doc$i")).toDF("doc_id", "text")
+      Retrieval.writeTfIndex(filler.union(twins(0)), dir,
+        wordBuckets = 8)
+      @volatile var writerDone = false
+      @volatile var reads = 0L
+      val failure =
+        new java.util.concurrent.atomic.AtomicReference[Throwable]
+      val reader = new Thread(() => {
+        try {
+          while (!writerDone && failure.get() == null) {
+            val rows = Retrieval.bm25TopKFromTfIndex(spark, dir,
+              Seq(1 -> "pair"), 10).collect()
+            reads += 1
+            if (rows.length != 0 && rows.length != 2)
+              throw new AssertionError(
+                s"torn read: ${rows.length} twins visible")
+            if (rows.length == 2 &&
+                rows(0).getDouble(2) != rows(1).getDouble(2))
+              throw new AssertionError("torn read: twin scores " +
+                s"diverge (${rows(0)} vs ${rows(1)}) — mixed revisions")
+          }
+        } catch { case t: Throwable => failure.set(t) }
+      })
+      reader.start()
+      try {
+        (1 to 4).foreach { k =>
+          Retrieval.upsertTfIndex(dir, twins(k).localCheckpoint())
+        }
+        // a delete + resurrecting upsert: valid snapshots are 0 or 2
+        // twins, never 1
+        Retrieval.deleteFromTfIndex(dir,
+          Seq(101L, 102L).toDF("doc_id"))
+        Retrieval.upsertTfIndex(dir, twins(5).localCheckpoint())
+      } finally {
+        writerDone = true
+        reader.join(120000)
+      }
+      assert(failure.get() == null,
+        s"racing reader died: ${failure.get()}")
+      assert(reads > 0, "reader never completed a read")
+      // final state: the k=5 revision serves, published and whole
+      val fin = Retrieval.bm25TopKFromTfIndex(spark, dir,
+        Seq(1 -> "solo"), 10).collect()
+      assert(fin.map(_.getLong(1)).toSet == Set(101L, 102L))
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
+  test("publish-after-write: rows at a reserved-but-unpublished " +
+      "generation are INVISIBLE — tombstones and facts alike — and " +
+      "the publish commit flips the whole mutation visible at once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mpub").toString
+    val queries = Seq(1 -> "needle stale", 2 -> "revised fresh")
+    try {
+      val docs = Seq((0L, "common base corpus"),
+        (1L, "needle stale text")).toDF("doc_id", "text")
+      Retrieval.writeTfIndex(docs, dir, wordBuckets = 8)
+      val before = canon(Retrieval.bm25TopKFromTfIndex(
+        spark, dir, queries, 10))
+      // an upsert's writes, without its publish (the crash window)
+      val crawl = Seq((1L, "needle revised fresh text"))
+        .toDF("doc_id", "text")
+      val g = IndexLayout.reserveGen(spark, dir)
+      IndexLayout.appendTombstones(crawl.select(col("doc_id")), dir,
+        "doc_id", g)
+      Retrieval.appendTfFacts(dir, crawl, "doc_id", "text", None, g)
+      // readers still see EXACTLY the pre-mutation snapshot: the
+      // unpublished tombstones don't delete doc 1, the unpublished
+      // facts don't serve
+      assert(canon(Retrieval.bm25TopKFromTfIndex(
+        spark, dir, queries, 10)) == before,
+        "unpublished mutation leaked into a read")
+      assert(Retrieval.bm25TopKFromTfIndex(spark, dir,
+        Seq(1 -> "revised"), 10).count() == 0)
+      // one publish commit flips tombstones AND facts together
+      IndexLayout.publishGen(spark, dir, g)
+      assert(Retrieval.bm25TopKFromTfIndex(spark, dir,
+        Seq(1 -> "revised"), 10).count() == 1)
+      assert(Retrieval.bm25TopKFromTfIndex(spark, dir,
+        Seq(1 -> "stale"), 10).count() == 0)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
+  test("commit races: concurrent commutable committers all land with " +
+      "DISTINCT generations (commitWith re-derives and retries); a " +
+      "stale direct commit loses LOUDLY even on the local filesystem " +
+      "(atomic create-if-absent claim, not rename-clobber)") {
+    val dir = java.nio.file.Files.createTempDirectory("mcas").toString
+    try {
+      val threads = 4
+      val perThread = 5
+      val gens = java.util.Collections.newSetFromMap(
+        new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Boolean])
+      val barrier = new java.util.concurrent.CyclicBarrier(threads)
+      val failure =
+        new java.util.concurrent.atomic.AtomicReference[Throwable]
+      val ts = (1 to threads).map { _ =>
+        new Thread(() => {
+          try {
+            barrier.await()
+            (1 to perThread).foreach { _ =>
+              val g = IndexLayout.reserveGen(spark, dir)
+              if (!gens.add(g))
+                throw new AssertionError(s"generation $g issued twice")
+            }
+          } catch { case t: Throwable => failure.set(t) }
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join(120000))
+      assert(failure.get() == null, s"racer died: ${failure.get()}")
+      assert(gens.size == threads * perThread)
+      val m = IndexManifest.read(spark, dir).get
+      assert(m.gen == threads * perThread)
+      // direct (non-retrying) commit from a stale snapshot: the claim
+      // finds the sequence taken and fails loudly — the typed race
+      // exception, on RawLocalFileSystem where rename would clobber
+      val stale = m.copy(seq = m.seq - 1)
+      intercept[ManifestCommitRaceException](
+        IndexManifest.commit(spark, dir, stale.copy(gen = 999L)))
+      assert(IndexManifest.read(spark, dir).get.gen ==
+        threads * perThread)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
+  test("dir-pointer commit race: two rewriters racing the same index " +
+      "— exactly one wins; the loser aborts CLEANLY (pointer " +
+      "unmoved for it, its staged trees deleted) and a rerun " +
+      "succeeds against the winner's snapshot") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mdirrace").toString
+    try {
+      Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "n")
+        .write.parquet(s"$dir/docs")
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val results = new java.util.concurrent.ConcurrentHashMap[
+        Int, Either[Throwable, IndexManifest]]
+      def rewriter(i: Int) = new Thread(() => {
+        val r = try Right(IndexLayout.commitVersions(spark, dir, Seq(
+          "docs" -> ((st: String) => {
+            // both attempts have read the SAME base snapshot and
+            // staged their trees before either commits
+            barrier.await(60, java.util.concurrent.TimeUnit.SECONDS)
+            Seq((1L, 10L), (2L, 20L), (i.toLong + 100L, 1L))
+              .toDF("doc_id", "n").write.parquet(st)
+          }))))
+        catch { case t: Throwable => Left(t) }
+        results.put(i, r)
+      })
+      val ts = Seq(rewriter(1), rewriter(2))
+      ts.foreach(_.start()); ts.foreach(_.join(120000))
+      val (wins, losses) = (1 to 2).map(results.get)
+        .partition(_.isRight)
+      assert(wins.size == 1 && losses.size == 1,
+        s"expected exactly one winner: $results")
+      val raceErr = losses.head.swap.toOption.get
+      assert(raceErr.isInstanceOf[ManifestCommitRaceException],
+        s"loser threw the wrong type: $raceErr")
+      assert(raceErr.getMessage.contains("aborted CLEANLY"))
+      // the committed pointer resolves to the WINNER's tree, whole
+      val m = IndexManifest.read(spark, dir).get
+      val served = spark.read.parquet(s"$dir/${m.dirFor("docs")}")
+      assert(served.count() == 3)
+      // loser's staging is gone: only the winner's version + the
+      // original plain dir (grace) remain
+      val vdirs = new java.io.File(dir).listFiles()
+        .filter(_.isDirectory).map(_.getName)
+        .filter(_.startsWith("docs-v"))
+      assert(vdirs.toSeq == Seq(m.dirFor("docs")), vdirs.toSeq)
+      // a rerun of the losing rewrite succeeds against the new state
+      val m2 = IndexLayout.commitVersions(spark, dir, Seq(
+        "docs" -> ((st: String) =>
+          spark.read.parquet(s"$dir/${m.dirFor("docs")}")
+            .write.parquet(st))))
+      assert(m2.seq == m.seq + 1)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
+  test("torn-claim recovery: a crashed committer's unsealed claim " +
+      "older than the grace is moved aside and its sequence reclaimed; " +
+      "a YOUNG unsealed claim (in-flight writer) makes a racer lose, " +
+      "not recover; pruneHistory sweeps the recovered torn files") {
+    val dir = java.nio.file.Files.createTempDirectory("mtorn").toString
+    try {
+      val m1 = IndexManifest.commit(spark, dir,
+        IndexManifest.readOrInit(spark, dir).copy(gen = 1L))
+      // a crashed committer claimed m-2 but died mid-write (len seal
+      // does not match the body) — stale mtime says it's abandoned
+      val torn = new java.io.File(
+        s"$dir/_manifest/m-${"%020d".format(2)}")
+      java.nio.file.Files.write(torn.toPath, "len=999\ngen=7\n".getBytes)
+      assert(torn.setLastModified(
+        System.currentTimeMillis() - 10 * 60 * 1000))
+      // readers skip the torn file
+      assert(IndexManifest.read(spark, dir).get.gen == 1L)
+      // the next commit reclaims sequence 2
+      val m2 = IndexManifest.commit(spark, dir, m1.copy(gen = 2L))
+      assert(m2.seq == 2L)
+      assert(IndexManifest.read(spark, dir).get.gen == 2L)
+      // a YOUNG unsealed claim is an in-flight writer: lose loudly
+      val young = new java.io.File(
+        s"$dir/_manifest/m-${"%020d".format(3)}")
+      java.nio.file.Files.write(young.toPath, "len=999\ngen=8\n".getBytes)
+      intercept[ManifestCommitRaceException](
+        IndexManifest.commit(spark, dir, m2.copy(gen = 3L)))
+      assert(young.delete())
+      // the recovered torn file was moved aside; pruneHistory sweeps it
+      val aside = new java.io.File(s"$dir/_manifest").listFiles()
+        .filter(_.getName.startsWith(".torn-"))
+      assert(aside.length == 1)
+      IndexManifest.pruneHistory(spark, dir)
+      assert(!new java.io.File(s"$dir/_manifest").listFiles()
+        .exists(_.getName.startsWith(".torn-")))
+      assert(IndexManifest.read(spark, dir).get.gen == 2L)
     } finally org.apache.commons.io.FileUtils
       .deleteQuietly(new java.io.File(dir))
   }
