@@ -1089,10 +1089,11 @@ object Dedup {
   def substringCandidatesAgainstIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       minShared: Int, incrementIds: DataFrame,
-      maxFpDf: Option[Int] = None): DataFrame = {
+      maxFpDf: Option[Int] = None,
+      pinned: Option[graft.sink.IndexManifest] = None): DataFrame = {
     val inc = incrementIds.select(col(incrementIds.columns.head)
       .cast("long").as("doc_id"))
-    val man = graft.sink.IndexManifest.read(spark, path)
+    val man = pinned.orElse(graft.sink.IndexManifest.read(spark, path))
     val fp1 = graft.sink.IndexLayout.applyTombstones(
         graft.sink.IndexLayout.visibleFacts(spark.read.parquet(
             graft.sink.IndexLayout.dir(path, man, "postings")), man)

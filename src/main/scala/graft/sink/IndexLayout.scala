@@ -134,21 +134,32 @@ object IndexLayout {
   }
 
   /** Default a missing `gen` column to 0 — keeps pre-generation-era
-    * fact trees readable (everything they hold IS generation 0). */
+    * fact trees readable (everything they hold IS generation 0). A
+    * MIXED tree (a legacy artifact that later mutations appended
+    * gen-stamped files into) surfaces the legacy rows as NULL gen, so
+    * present columns are null-coalesced to 0 too — otherwise the
+    * visibility watermark would silently drop every pre-migration
+    * fact. */
   def withGen(df: DataFrame): DataFrame =
-    if (df.columns.contains("gen")) df
+    if (df.columns.contains("gen"))
+      df.withColumn("gen", coalesce(col("gen"), lit(0L)))
     else df.withColumn("gen", lit(0L))
 
   /** The PUBLISHED slice of a fact table under a caller-held snapshot:
-    * rows at `gen <= visibleGen` (a plain pushed parquet predicate —
-    * `gen` is per-file-constant RLE, so unpublished files are skipped
-    * from row-group stats). No manifest (pre-manifest layout) ⇒
-    * everything is published by definition. */
+    * rows at `gen <= visibleGen`. The filter goes on the RAW column —
+    * `IsNull OR <=` is a pushable parquet predicate over a
+    * per-file-constant RLE column, so unpublished files are skipped
+    * from row-group stats (a coalesce-wrapped filter would scan them);
+    * NULL gen = a legacy row in a mixed tree = generation 0, always
+    * published. [[withGen]] then normalizes the value for the
+    * kill-floor join. No manifest (pre-manifest layout) ⇒ everything
+    * is published by definition. */
   def visibleFacts(df: DataFrame,
-      m: Option[IndexManifest]): DataFrame = {
-    val g = withGen(df)
-    m.map(mm => g.filter(col("gen") <= lit(mm.visibleGen)))
-      .getOrElse(g)
+      m: Option[IndexManifest]): DataFrame = m match {
+    case Some(mm) if df.columns.contains("gen") =>
+      withGen(df.filter(col("gen").isNull ||
+        col("gen") <= lit(mm.visibleGen)))
+    case _ => withGen(df)
   }
 
   /** Append `(keyName, below_gen)` tombstones: kill these keys' facts

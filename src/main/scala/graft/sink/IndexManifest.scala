@@ -383,7 +383,7 @@ object IndexManifest {
     * ([[IndexLayout.commitVersions]]). */
   def commitWith(spark: SparkSession, path: String,
       update: IndexManifest => IndexManifest,
-      maxAttempts: Int = 8): IndexManifest = {
+      maxAttempts: Int = 64): IndexManifest = {
     var attempt = 1
     while (true) {
       try return commit(spark, path, update(readOrInit(spark, path)))
@@ -393,6 +393,11 @@ object IndexManifest {
               ManifestCommitRaceException(
             s"commitWith gave up after $maxAttempts lost races on " +
               s"$path: ${e.getMessage}")
+          // jittered linear backoff: N committers racing the same
+          // sequence otherwise re-collide in lockstep and a straggler
+          // can starve through an arbitrary run of losses
+          Thread.sleep(java.util.concurrent.ThreadLocalRandom
+            .current().nextLong(1L + math.min(20L, attempt.toLong)))
           attempt += 1
       }
     }

@@ -567,6 +567,16 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(400))
   }
 
+  test("q358: pinned read serves through the SAME partition-pruned " +
+      "shape as a live read — bucket pruning, the visibility " +
+      "watermark as a pushed gen filter, no cartesian (time travel " +
+      "costs a manifest file read, not a plan change)") {
+    val p = full("q358_bm25_pinned_read")
+    assert(p.contains("wbucket"), "q358 bucket pruning missing")
+    assert(p.contains("gen"), "q358 visibility watermark filter missing")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q339: dedup delete — the generation kill floor lands BEFORE " +
       "ranking; still no cartesian") {
     val plan = full("q339_jaccard_delete")

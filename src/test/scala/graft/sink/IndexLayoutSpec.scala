@@ -51,7 +51,9 @@ class IndexLayoutSpec extends SparkSpec {
         graft.operators.Retrieval.appendTfIndex(dir,
           Seq((i, s"doc $i common")).toDF("doc_id", "text"))
       assert(IndexLayout.currentGen(spark, dir) == 15L)
-      assert(manifestFiles() == 15) // one commit per mutation
+      // two commits per mutation: the generation RESERVE before the
+      // facts and the visibility PUBLISH after them (reader-atomicity)
+      assert(manifestFiles() == 30)
       graft.operators.Retrieval.compactTfIndex(spark, dir)
       // compaction prunes the manifest history to its tail...
       assert(manifestFiles() <= IndexManifest.HistoryKeep)
