@@ -73,8 +73,15 @@ final class ManifestCommitRaceException(msg: String)
   * claim finds the name taken, or the read-back finds someone
   * recovered over an in-flight write. Single WRITER remains the
   * recommended contract; concurrent READERS are first-class, and a
-  * racing second writer now loses cleanly instead of corrupting
-  * (commutable commits retry via [[commitWith]]).
+  * racing second writer now loses cleanly instead of corrupting:
+  * commutable commits retry via [[commitWith]], dir-pointer rewrites
+  * abort with their staging deleted. The one write surface the
+  * manifest cannot arbitrate is two mutations FACT-APPENDING into the
+  * same parquet directory concurrently (Spark append jobs share the
+  * directory's `_temporary` staging, so one job's cleanup can eat the
+  * other's pending task files — a Spark-layer hazard, not a commit
+  * race): run one mutator per index at a time; the streaming sinks
+  * serialize this per micro-batch by construction.
   *
   * Fields: `gen` is the highest RESERVED generation — reserved BEFORE
   * any tombstone/fact write, so a replayed mutation always computes a
@@ -146,11 +153,23 @@ object IndexManifest {
     * old rename protocol); None for a torn in-flight/crashed write. */
   private def readSealed(fs: FileSystem, p: Path): Option[String] = {
     val in = fs.open(p)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    val bytes =
+      try org.apache.commons.io.IOUtils.toByteArray(
+        in.asInstanceOf[java.io.InputStream])
       finally in.close()
-    if (!text.startsWith("len=")) Some(text) // legacy, rename-committed
-    else {
+    // String(bytes) replaces malformed UTF-8 instead of throwing — a
+    // torn claim can be cut mid-multibyte (or be plain binary junk)
+    // and must read as "unsealed", never as an exception
+    val text = new String(bytes, "UTF-8")
+    if (!text.startsWith("len=")) {
+      // legacy (pre-seal) files were rename-committed whole, and their
+      // render always carried these keys and a trailing newline — a
+      // torn claim cut shorter than its own header must not
+      // masquerade as one
+      if (text.endsWith("\n") && text.contains("gen=") &&
+          text.contains("epoch=")) Some(text)
+      else None
+    } else {
       val nl = text.indexOf('\n')
       if (nl < 0) None
       else {

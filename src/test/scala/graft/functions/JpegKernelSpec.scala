@@ -658,4 +658,22 @@ class JpegKernelSpec extends AnyFunSuite {
       jpg.takeRight(2)
     assert(JpegDecodeKernel.decode(swapped).isEmpty)
   }
+
+  test("progressive encoders mirror their decoder's 2^27-sample " +
+      "bound: encode returns null above it instead of emitting a " +
+      "stream its own decoder refuses (the parse∘construct round " +
+      "trip never silently breaks)") {
+    // 16384 × 8193 × 1 = 2^27 + 16384 samples — just over the
+    // progressive DECODER's coefficient-plane bound; the guard must
+    // reject before any work (the pixel buffer is the only allocation)
+    val w = 16384; val h = 8193
+    val px = new Array[Byte](w * h)
+    assert(JpegEncodeKernel.encodeProgressive(w, h, 1, px) == null)
+    assert(JpegEncodeKernel.encodeProgressiveSa(w, h, 1, px) == null)
+    val px3 = new Array[Byte](8192 * 5462 * 3) // 134,254,592 > 2^27
+    assert(JpegEncodeKernel.encodeProgressive420(8192, 5462, px3,
+      restartInterval = 0, sa = false) == null)
+    assert(JpegEncodeKernel.encodeProgressive422(8192, 5462, px3,
+      restartInterval = 0, sa = true) == null)
+  }
 }

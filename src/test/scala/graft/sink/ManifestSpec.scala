@@ -476,6 +476,66 @@ class ManifestSpec extends SparkSpec {
       .deleteQuietly(new java.io.File(dir))
   }
 
+  test("manifest parse fuzz: arbitrary torn/garbage bytes in m-files " +
+      "never throw and never serve — readers fall back to the newest " +
+      "SEALED snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("mfuzz").toString
+    try {
+      val m1 = IndexManifest.commit(spark, dir,
+        IndexManifest.readOrInit(spark, dir)
+          .copy(gen = 5L, visibleGen = 5L))
+      val good = IndexManifest.read(spark, dir).get
+      assert(good.gen == 5L && good.visibleGen == 5L)
+      val rnd = new scala.util.Random(42)
+      val payloads: Seq[Array[Byte]] = Seq(
+        Array.empty[Byte],
+        "len=".getBytes,
+        "len=\n".getBytes,
+        "len=999\n".getBytes,
+        "len=3\ngen=99\n".getBytes, // seal shorter than body
+        "len=7\ngen=9".getBytes, // seal longer than body
+        "len=abc\ngen=9\n".getBytes,
+        "len=-1\ngen=9\n".getBytes,
+        " ".getBytes("ISO-8859-1"),
+        ("len=" + Long.MaxValue + "\ngen=9\n").getBytes
+      ) ++ (1 to 20).map { _ =>
+        val b = new Array[Byte](rnd.nextInt(64))
+        rnd.nextBytes(b); b
+      }
+      payloads.zipWithIndex.foreach { case (bytes, i) =>
+        val f = new java.io.File(
+          s"$dir/_manifest/m-${"%020d".format(100 + i)}")
+        java.nio.file.Files.write(f.toPath, bytes)
+        // read never throws; a torn higher-sequence file never serves
+        // — neither a bad seal nor a short prefix masquerading as a
+        // headerless legacy file (legacy acceptance requires the
+        // complete-render shape: gen= + epoch= keys, trailing newline)
+        val got = IndexManifest.read(spark, dir).get
+        assert(got.gen == 5L && got.seq == m1.seq,
+          s"torn payload $i served: $got")
+        assert(f.delete())
+      }
+      // a COMPLETE legacy render (the r16 on-disk format) still serves
+      val legacy = new java.io.File(
+        s"$dir/_manifest/m-${"%020d".format(150)}")
+      java.nio.file.Files.write(legacy.toPath,
+        "gen=9\nepoch=3\npending_epoch=-1\n".getBytes)
+      val viaLegacy = IndexManifest.read(spark, dir).get
+      assert(viaLegacy.gen == 9L && viaLegacy.epoch == 3L &&
+        viaLegacy.visibleGen == 9L) // pre-watermark: visible = gen
+      assert(legacy.delete())
+      // history and readAt survive garbage too
+      val junk = new java.io.File(
+        s"$dir/_manifest/m-${"%020d".format(200)}")
+      java.nio.file.Files.write(junk.toPath, "len=999\nx=1\n".getBytes)
+      assert(IndexManifest.readHistory(spark, dir).map(_.seq)
+        == Seq(m1.seq))
+      intercept[IllegalStateException](
+        IndexManifest.readAt(spark, dir, 200L))
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
   test("reserve-before-write: a mutation that crashed after writing " +
       "facts at its reserved generation is KILLED by the replay's " +
       "tombstones — upsert replay ≡ upsert once") {
