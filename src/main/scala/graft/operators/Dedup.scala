@@ -1059,7 +1059,7 @@ object Dedup {
     graft.sink.IndexLayout.publishGen(spark, path, g)
   }
 
-  private def appendFingerprintFacts(path: String, newDocs: DataFrame,
+  private[graft] def appendFingerprintFacts(path: String, newDocs: DataFrame,
       idCol: String, textCol: String, gen: Long): Unit = {
     val spark = newDocs.sparkSession
     val meta = spark.read.parquet(s"$path/meta")

@@ -1453,7 +1453,10 @@ object Similarity {
     graft.sink.IndexLayout.publishGen(spark, path, g)
   }
 
-  private def appendIvfPqCodes(spark: org.apache.spark.sql.SparkSession,
+  /** The codes-append half of append/upsert (package-visible so the
+    * crash-window rows/specs can simulate a mutation that died between
+    * its code write and its publish). */
+  private[graft] def appendIvfPqCodes(spark: org.apache.spark.sql.SparkSession,
       path: String, newVecs: DataFrame, dims: Int, m: Int,
       idCol: String, embCol: String, gen: Long): Unit = {
     val man = graft.sink.IndexManifest.read(spark, path)

@@ -61,6 +61,102 @@ object Round17 {
               |SELECT query_id, doc_id, score,
               |  CAST(rnk AS BIGINT) AS rank
               |FROM r WHERE rnk <= 10
-              |ORDER BY query_id, rank""".stripMargin))
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- STREAMING ANN RE-EMBED — the fourth persisted family gets
+    // the q353 streaming discipline (TF q353, shingle q355,
+    // fingerprint q360, now IVF-PQ): build the q95 index on the full
+    // corpus (frozen geometry), then the re-embed stream delivers the
+    // vec_id%5=0 re-crawls in TWO micro-batches. Epoch 0 (%10=0)
+    // upserts; epoch 1's (%10=5) first delivery dies AFTER its codes
+    // landed but BEFORE tombstones/publish — the worst window: a
+    // missed self-heal leaves BOTH the stale build-time codes and the
+    // crashed fresh codes serving, corrupting every ADC sum — and is
+    // REPLAYED in plain append mode (the pending-epoch marker must
+    // route it through the upsert path); a replay of committed epoch
+    // 0 is skipped. Final search ≡ q349's single-call upsert (same
+    // ids re-encoded under the same frozen geometry; generations
+    // differ, values don't), so the oracle IS q349's verbatim — one
+    // geometry replay, zero new SQL.
+    QueryDef("q359_ann_stream_upsert",
+      (s, dir) => {
+        val emb = t("embeddings")(s, dir)
+        val outDir = Round14.scratchDir(dir, "q359_annidx")
+        val p = outDir.getAbsolutePath
+        graft.operators.Similarity.ivfPqIndex(emb, nCells = 8,
+            dims = 64, m = 8, nCentroids = 16)
+          .write(p)
+        val mutated = emb.withColumn("embedding",
+          when(col("vec_id") % 5 === 0,
+            transform(col("embedding"), x => -x))
+            .otherwise(col("embedding")))
+        val b0 = mutated.where(col("vec_id") % 10 === 0)
+        val ok0 = graft.streaming.EventStreams.ingestIvfPqBatch(
+          b0, 0L, p, dims = 64, m = 8, upsert = true)
+        require(ok0, "epoch 0 must ingest")
+        // epoch 1 first delivery crashes after its code append (no
+        // tombstones, no publish — the double-serve window)
+        val b1 = mutated.where(col("vec_id") % 10 === 5)
+        val m0 = graft.sink.IndexManifest.readOrInit(s, p)
+        graft.sink.IndexManifest.commit(s, p,
+          m0.copy(pendingEpoch = 1L))
+        val g = graft.sink.IndexLayout.reserveGen(s, p)
+        graft.operators.Similarity.appendIvfPqCodes(s, p, b1,
+          dims = 64, m = 8, "vec_id", "embedding", g)
+        val healed = graft.streaming.EventStreams.ingestIvfPqBatch(
+          b1, 1L, p, dims = 64, m = 8, upsert = false)
+        require(healed, "crashed epoch 1 must replay")
+        val replayed = graft.streaming.EventStreams.ingestIvfPqBatch(
+          b0, 0L, p, dims = 64, m = 8, upsert = true)
+        require(!replayed, "replay guard failed to skip epoch 0")
+        graft.operators.Similarity.ivfPqSearch(
+            mutated.filter(col("vec_id") < 12),
+            graft.operators.Similarity.IvfPqIndex.read(s, p),
+            k = 5, nprobe = 2, dims = 64, m = 8)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Round15.defs.find(_.name == "q349_ann_upsert").get.oracle),
+
+    // ---- STREAMING FINGERPRINT INGEST — the substring-dedup index
+    // streams too: seed on doc%4≠3, the crawler delivers the %4=3
+    // increment in two micro-batches (%8=3, then %8=7), epoch 1's
+    // first delivery dies after its winnowed facts landed and is
+    // replayed in append mode (self-heal: the upsert path's
+    // tombstones kill the crashed duplicate fingerprints — a missed
+    // heal doubles every shared-count of the %8=7 docs); epoch 0's
+    // replay is skipped. Candidate pairs touching the increment ≡
+    // q343's batch-appended index — the oracle is q343's verbatim.
+    QueryDef("q360_fingerprint_stream_ingest",
+      (s, dir) => {
+        val outDir = Round14.scratchDir(dir, "q360_fpidx")
+        val p = outDir.getAbsolutePath
+        val docs = t("documents")(s, dir)
+        graft.operators.Dedup.writeFingerprintIndex(
+          docs.where(col("doc_id") % 4 =!= 3), p,
+          k = 25, w = 10, fpBuckets = 16)
+        val b0 = docs.where(col("doc_id") % 8 === 3)
+        val ok0 = graft.streaming.EventStreams
+          .ingestFingerprintIndexBatch(b0, 0L, p)
+        require(ok0, "epoch 0 must ingest")
+        val b1 = docs.where(col("doc_id") % 8 === 7)
+        val m0 = graft.sink.IndexManifest.readOrInit(s, p)
+        graft.sink.IndexManifest.commit(s, p,
+          m0.copy(pendingEpoch = 1L))
+        val g = graft.sink.IndexLayout.reserveGen(s, p)
+        graft.operators.Dedup.appendFingerprintFacts(p, b1, "doc_id",
+          "text", g)
+        val healed = graft.streaming.EventStreams
+          .ingestFingerprintIndexBatch(b1, 1L, p)
+        require(healed, "crashed epoch 1 must replay")
+        val replayed = graft.streaming.EventStreams
+          .ingestFingerprintIndexBatch(b0, 0L, p)
+        require(!replayed, "replay guard failed to skip epoch 0")
+        graft.operators.Dedup.substringCandidatesAgainstIndex(
+            s, p, minShared = 2,
+            docs.where(col("doc_id") % 4 === 3).select(col("doc_id")))
+          .orderBy(col("da"), col("db"))
+      },
+      Round14.defs.find(_.name == "q343_substring_incremental")
+        .get.oracle)
   )
 }

@@ -442,6 +442,86 @@ object EventStreams {
           textCol)
     }
 
+  /** [[ingestTfIndexBatch]] for the FINGERPRINT (substring-dedup)
+    * index — the same exactly-once epoch guard and crash self-heal
+    * around [[graft.operators.Dedup.appendFingerprintIndex]] /
+    * `upsertFingerprintIndex`; the per-character winnow kernel runs
+    * over the micro-batch only. */
+  def ingestFingerprintIndexBatch(batch: DataFrame, epochId: Long,
+      path: String, idCol: String = "doc_id",
+      textCol: String = "text", upsert: Boolean = false): Boolean =
+    ingestIndexBatch(batch.sparkSession, path, epochId) { healAsUpsert =>
+      if (upsert || healAsUpsert)
+        graft.operators.Dedup.upsertFingerprintIndex(path, batch,
+          idCol, textCol)
+      else
+        graft.operators.Dedup.appendFingerprintIndex(path, batch,
+          idCol, textCol)
+    }
+
+  /** [[ingestTfIndexBatch]] for the IVF-PQ (ANN) index — the fourth
+    * and last persisted family gets the streaming discipline: each
+    * micro-batch of `(id, embedding)` rows is assigned and encoded
+    * against the FROZEN cells/codebook ([[graft.operators.Similarity
+    * .appendToIvfPqIndex]] / `upsertIvfPqIndex` — delta-sized work,
+    * the corpus code stream is never rewritten), exactly-once per
+    * epoch, crash replays routed through the upsert path whose
+    * fresh-generation tombstones kill a crashed attempt's partial
+    * codes. `upsert = true` is the RE-EMBED stream (a re-crawled
+    * document's new embedding under the same id — q349's semantics
+    * per micro-batch); run [[graft.operators.Similarity
+    * .ivfPqDriftStats]] on the batches and retrain past the
+    * calibrated threshold, as with batch appends. */
+  def ingestIvfPqBatch(batch: DataFrame, epochId: Long, path: String,
+      dims: Int, m: Int, idCol: String = "vec_id",
+      embCol: String = "embedding",
+      upsert: Boolean = false): Boolean = {
+    val spark = batch.sparkSession
+    ingestIndexBatch(spark, path, epochId) { healAsUpsert =>
+      if (upsert || healAsUpsert)
+        graft.operators.Similarity.upsertIvfPqIndex(spark, path,
+          batch, dims, m, idCol, embCol)
+      else
+        graft.operators.Similarity.appendToIvfPqIndex(spark, path,
+          batch, dims, m, idCol, embCol)
+    }
+  }
+
+  /** [[startTfIndexSink]] for the fingerprint index. */
+  def startFingerprintIndexSink(docs: DataFrame, path: String,
+      checkpoint: String, idCol: String = "doc_id",
+      textCol: String = "text",
+      upsert: Boolean = false): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        ingestFingerprintIndexBatch(batch, epochId, path, idCol,
+          textCol, upsert)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** [[startTfIndexSink]] for the IVF-PQ index: stream embedding
+    * micro-batches INTO the persisted ANN artifact — the crawler's
+    * similarity index stays as fresh as its retrieval and dedup
+    * indexes (all four families now share the one epoch protocol). */
+  def startIvfPqIndexSink(vecs: DataFrame, path: String,
+      checkpoint: String, dims: Int, m: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      upsert: Boolean = false): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        ingestIvfPqBatch(batch, epochId, path, dims, m, idCol,
+          embCol, upsert)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** The shared exactly-once-per-epoch protocol (see
     * [[ingestTfIndexBatch]]'s contract): skip committed epochs,
     * commit `pending_epoch` BEFORE the mutation, hand the mutation a

@@ -577,6 +577,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q359: streamed ANN re-embed serves like q349 — model-sized " +
+      "sides broadcast, kill floor applied, never a cartesian or a " +
+      "code-stream shuffle join") {
+    val p = full("q359_ann_stream_upsert")
+    assert(p.contains("below_gen"),
+      "q359 generation tombstone filter missing")
+    val st = shape("q359_ann_stream_upsert")
+    assert(st.bcast >= 2 && !p.contains("CartesianProduct"), st)
+  }
+
+  test("q360: streamed fingerprint ingest — kill floor before " +
+      "pairing; fbucket-partitioned scan; no cartesian") {
+    val p = full("q360_fingerprint_stream_ingest")
+    assert(p.contains("below_gen"),
+      "q360 generation tombstone filter missing")
+    assert(p.contains("fbucket"), "q360 bucket layout missing")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q339: dedup delete — the generation kill floor lands BEFORE " +
       "ranking; still no cartesian") {
     val plan = full("q339_jaccard_delete")

@@ -662,4 +662,115 @@ class EventStreamsSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     }
   }
+
+  test("startIvfPqIndexSink end to end: a real foreachBatch re-embed " +
+      "stream upserts into the frozen-geometry ANN index across two " +
+      "runs (earlier epochs skipped on restart); searches ≡ one " +
+      "batch upsert of everything") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_annsink").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_annsink_ckpt").toString
+    val dims = 8; val m = 2
+    def vec(seed: Long, flip: Boolean) = Array.tabulate(dims)(d =>
+      (if (flip) -1 else 1) * ((seed * 13 + d * 7) % 17).toFloat)
+    val corpus = (0L until 16L).map(i => (i, vec(i, flip = false)))
+    try {
+      graft.operators.Similarity.ivfPqIndex(
+          corpus.toDF("vec_id", "embedding"), nCells = 2, dims, m,
+          nCentroids = 4)
+        .write(dir)
+      val in = MemoryStream[(Long, Array[Float])]
+      def run(): Unit = {
+        val q = EventStreams.startIvfPqIndexSink(
+          in.toDS().toDF("vec_id", "embedding"), dir, ckpt, dims, m,
+          upsert = true)
+        q.awaitTermination()
+      }
+      // two runs, two re-embed batches (ids 1,2 then 3)
+      in.addData((1L, vec(1, flip = true)), (2L, vec(2, flip = true)))
+      run()
+      in.addData((3L, vec(3, flip = true)))
+      run()
+      def search(d: String) = graft.operators.Similarity.ivfPqSearch(
+          corpus.take(6).toDF("vec_id", "embedding"),
+          graft.operators.Similarity.IvfPqIndex.read(spark, d),
+          k = 3, nprobe = 2, dims = dims, m = m)
+        .collect().map(_.toSeq).toSeq
+      // twin: the same three re-embeds as ONE batch upsert
+      val twinDir = java.nio.file.Files
+        .createTempDirectory("graft_annsink_twin").toString
+      try {
+        graft.operators.Similarity.ivfPqIndex(
+            corpus.toDF("vec_id", "embedding"), nCells = 2, dims, m,
+            nCentroids = 4)
+          .write(twinDir)
+        graft.operators.Similarity.upsertIvfPqIndex(spark, twinDir,
+          Seq((1L, vec(1, true)), (2L, vec(2, true)),
+            (3L, vec(3, true))).toDF("vec_id", "embedding"), dims, m)
+        assert(search(dir) == search(twinDir))
+      } finally org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(twinDir))
+      // the code stream holds exactly one live code row per (id, j)
+      val codes = graft.operators.Similarity.IvfPqIndex.read(spark, dir)
+        .codes.groupBy(col("id"), col("j")).count()
+        .filter(col("count") > 1).count()
+      assert(codes == 0, "duplicate live codes after streamed upserts")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
+  test("ingestFingerprintIndexBatch: exactly-once per epoch, and a " +
+      "crashed-after-facts delivery self-heals on an append-mode " +
+      "replay (candidates ≡ a cleanly appended index)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fpsink").toString
+    val clean = java.nio.file.Files
+      .createTempDirectory("graft_fpsink_clean").toString
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog repeatedly"),
+      (1L, "the quick brown fox jumps over the lazy dog sometimes"),
+      (2L, "completely unrelated text with no shared substrings xyz"))
+    val inc0 = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog repeatedly"))
+    val inc1 = Seq(
+      (4L, "the quick brown fox jumps over the lazy dog occasionally"))
+    try {
+      def cands(d: String) = graft.operators.Dedup
+        .substringCandidatesAgainstIndex(spark, d, minShared = 1,
+          Seq(3L, 4L).toDF("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      graft.operators.Dedup.writeFingerprintIndex(
+        corpus.toDF("doc_id", "text"), dir, k = 10, w = 4,
+        fpBuckets = 4)
+      // epoch 0 ingests once; its replay is skipped
+      val b0 = inc0.toDF("doc_id", "text")
+      assert(EventStreams.ingestFingerprintIndexBatch(b0, 0L, dir))
+      assert(!EventStreams.ingestFingerprintIndexBatch(b0, 0L, dir))
+      // epoch 1 crashes after its facts; the append-mode replay heals
+      // (without the heal, doc 4's fingerprints double and every
+      // shared count inflates)
+      val b1 = inc1.toDF("doc_id", "text")
+      val m0 = graft.sink.IndexManifest.readOrInit(spark, dir)
+      graft.sink.IndexManifest.commit(spark, dir,
+        m0.copy(pendingEpoch = 1L))
+      val g = graft.sink.IndexLayout.reserveGen(spark, dir)
+      graft.operators.Dedup.appendFingerprintFacts(dir, b1, "doc_id",
+        "text", g)
+      assert(EventStreams.ingestFingerprintIndexBatch(b1, 1L, dir))
+      graft.operators.Dedup.writeFingerprintIndex(
+        (corpus ++ inc0 ++ inc1).toDF("doc_id", "text"), clean,
+        k = 10, w = 4, fpBuckets = 4)
+      assert(cands(dir) == cands(clean))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(clean))
+    }
+  }
 }
