@@ -152,7 +152,12 @@ object IndexManifest {
     * byte count that follows) or legacy (no header — complete by the
     * old rename protocol); None for a torn in-flight/crashed write. */
   private def readSealed(fs: FileSystem, p: Path): Option[String] = {
-    val in = fs.open(p)
+    // a file listed a beat ago may have been pruned (history tail) or
+    // recovered aside (torn claim) by the time we open it — absent ≡
+    // unsealed, the caller falls back to the next older snapshot
+    val in =
+      try fs.open(p)
+      catch { case _: java.io.FileNotFoundException => return None }
     val bytes =
       try org.apache.commons.io.IOUtils.toByteArray(
         in.asInstanceOf[java.io.InputStream])
