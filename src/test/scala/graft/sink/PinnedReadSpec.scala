@@ -104,6 +104,35 @@ class PinnedReadSpec extends SparkSpec {
       assert(canon(Dedup.jaccardPairsAgainstIndex(spark, sdir, 0.3,
         ids).orderBy(col("da"), col("db"))) != before)
 
+      // fingerprint family: pinned substring candidates survive a
+      // later upsert that rewrites the shared substring away
+      val fdir = java.nio.file.Files
+        .createTempDirectory("pinfp").toString
+      try {
+        val fdocs = Seq(
+          (1L, "the quick brown fox jumps over the lazy dog today"),
+          (2L, "the quick brown fox jumps over the lazy dog tonight"))
+          .toDF("doc_id", "text")
+        Dedup.writeFingerprintIndex(fdocs, fdir, k = 10, w = 4,
+          fpBuckets = 4)
+        val fsnap = IndexManifest.pin(spark, fdir)
+        val fIds = Seq(1L, 2L).toDF("doc_id")
+        val fBefore = canon(Dedup.substringCandidatesAgainstIndex(
+          spark, fdir, 1, fIds).orderBy(col("da"), col("db")))
+        assert(fBefore.nonEmpty)
+        Dedup.upsertFingerprintIndex(fdir,
+          Seq((2L, "zz completely different body with nothing shared"))
+            .toDF("doc_id", "text"))
+        assert(canon(Dedup.substringCandidatesAgainstIndex(spark,
+          fdir, 1, fIds,
+          pinned = Some(IndexManifest.readAt(spark, fdir, fsnap.seq)))
+          .orderBy(col("da"), col("db"))) == fBefore,
+          "pinned fingerprint candidates drifted")
+        assert(canon(Dedup.substringCandidatesAgainstIndex(spark,
+          fdir, 1, fIds).orderBy(col("da"), col("db"))) != fBefore)
+      } finally org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(fdir))
+
       // ANN family: a pinned read serves the pre-takedown code stream
       val vecs = (0L until 16L).map(i => (i,
         Array.tabulate(4)(d => (i * 7 + d * 3 % 11).toFloat)))
