@@ -404,9 +404,10 @@ object IndexLayout {
   }
 
   /** GC with the HISTORY grace window: keep every physical name any
-    * RETAINED manifest snapshot (the newest [[IndexManifest
-    * .HistoryKeep]] commits) still references — a reader holding a
-    * snapshot up to that many commits stale still finds its trees.
+    * RETAINED manifest snapshot still references — a reader (or pin)
+    * holding any snapshot inside the index's retention window
+    * ([[IndexManifest.setRetention]]; default the newest
+    * [[IndexManifest.HistoryKeep]] commits) still finds its trees.
     * The rewrite entry points call this after their commit; versions
     * older than the retained history are collected. */
   def gcWithGrace(spark: SparkSession, path: String): Unit = {

@@ -100,15 +100,24 @@ final class ManifestCommitRaceException(msg: String)
   * which is also how pre-manifest (round-15 and older) layouts stay
   * readable unchanged.
   *
-  * Snapshot pinning: any retained manifest (the newest [[HistoryKeep]]
-  * commits — [[readAt]]) can be handed to the query entry points
-  * (`bm25TopKFromTfIndex`, `jaccardPairsAgainstIndex`,
-  * `IvfPqIndex.read`) to resolve EVERY subtree, generation watermark
-  * included, from one frozen snapshot — time travel over exactly the
-  * history the GC grace window already preserves. Reads against a
-  * pinned snapshot are bit-stable across later mutations, purges and
-  * compactions until the snapshot ages out of the window, at which
-  * point [[readAt]] refuses loudly rather than answering wrong.
+  * Snapshot pinning: any retained manifest ([[readAt]]) can be handed
+  * to the query entry points (`bm25TopKFromTfIndex`,
+  * `jaccardPairsAgainstIndex`, `IvfPqIndex.read`) to resolve EVERY
+  * subtree, generation watermark included, from one frozen snapshot —
+  * time travel over exactly the history the GC grace window already
+  * preserves. Reads against a pinned snapshot are bit-stable across
+  * later mutations, purges and compactions until the snapshot ages out
+  * of the RETENTION window, at which point [[readAt]] refuses loudly
+  * rather than answering wrong. Retention is a per-index setting
+  * stored IN the manifest (`retainCommits` snapshots and/or
+  * `retainMs` of age — [[IndexManifest.setRetention]]): a mutation
+  * costs 2 commits (reserve + publish) and a streaming micro-batch 4,
+  * so a report that must stay reproducible across M interleaved
+  * mutations sets `retainCommits >= 2M + 1` (or an age bound covering
+  * the report's runtime) BEFORE pinning. Both [[pruneHistory]] and the
+  * GC grace window derive from the same retained listing, so raising
+  * retention lengthens pin lifetime and physical-tree grace together;
+  * the manifest listing stays O(retainCommits).
   */
 final case class IndexManifest(
     seq: Long,
@@ -116,7 +125,9 @@ final case class IndexManifest(
     visibleGen: Long,
     epoch: Long,
     pendingEpoch: Long,
-    dirs: Map[String, String]) {
+    dirs: Map[String, String],
+    retainCommits: Int = IndexManifest.HistoryKeep,
+    retainMs: Long = 0L) {
   def dirFor(logical: String): String = dirs.getOrElse(logical, logical)
   def withDir(logical: String, physical: String): IndexManifest =
     copy(dirs = dirs + (logical -> physical))
@@ -127,9 +138,13 @@ object IndexManifest {
   private val MDIR = "_manifest"
   private val NamePat = "m-(\\d{20})".r
 
-  /** Manifest files kept by [[pruneHistory]] — enough that a reader
-    * resolving "the latest" a beat behind the writer never finds its
-    * file deleted, and the depth of the [[readAt]] pinning window. */
+  /** DEFAULT retention: manifest files kept by [[pruneHistory]] when
+    * no per-index retention was set ([[setRetention]]) — enough that a
+    * reader resolving "the latest" a beat behind the writer never
+    * finds its file deleted, and the default depth of the [[readAt]]
+    * pinning window. Kept small by default because every retained
+    * snapshot also pins its physical trees against the GC grace sweep;
+    * long-lived pins should raise retention explicitly. */
   val HistoryKeep = 8
 
   /** An UNSEALED `m-` file younger than this is presumed to be a live
@@ -244,8 +259,10 @@ object IndexManifest {
           retained.reduceOption((a, b) => math.max(a, b))
             .map(hi => s" (retained: ${retained.min}..$hi)")
             .getOrElse(" (no snapshots exist)") +
-          s" — it aged out of the $HistoryKeep-commit history window" +
-          " or never sealed; re-pin from the current manifest")
+          " — it aged out of the retention window or never sealed;" +
+          " re-pin from the current manifest (and raise the window" +
+          " with setRetention BEFORE pinning if the pin must outlive" +
+          " more mutations)")
     }
   }
 
@@ -256,10 +273,14 @@ object IndexManifest {
     * is a RETAINED history entry and the GC grace window keeps its
     * trees alive through the next [[HistoryKeep]] rewrites. An
     * in-memory manifest value would pin nothing: GC only honors
-    * snapshots it can list. */
+    * snapshots it can list. The bootstrap commit is COMMUTABLE (any
+    * committed manifest satisfies pin's contract), so it rides the
+    * retrying [[commitWith]] — a pin racing a concurrent first commit
+    * (another pinner, a mutation's reserveGen) returns the winner's
+    * snapshot instead of throwing. */
   def pin(spark: SparkSession, path: String): IndexManifest =
     read(spark, path)
-      .getOrElse(commit(spark, path, readOrInit(spark, path)))
+      .getOrElse(commitWith(spark, path, identity))
 
   /** [[read]], falling back to the pre-manifest on-disk state for a
     * legacy layout: gen from the old `path/gen` parquet log, epoch
@@ -310,33 +331,97 @@ object IndexManifest {
       kv.getOrElse("pending_epoch", "-1").toLong,
       kv.collect { case (k, v) if k.startsWith("dir.") =>
         (k.stripPrefix("dir."), v)
-      })
+      },
+      kv.get("retain_commits").map(_.toInt).getOrElse(HistoryKeep),
+      kv.get("retain_ms").map(_.toLong).getOrElse(0L))
   }
 
   private def render(m: IndexManifest): String =
     (Seq(s"gen=${m.gen}", s"visible_gen=${m.visibleGen}",
       s"epoch=${m.epoch}", s"pending_epoch=${m.pendingEpoch}") ++
+      (if (m.retainCommits != HistoryKeep)
+        Seq(s"retain_commits=${m.retainCommits}") else Nil) ++
+      (if (m.retainMs != 0L) Seq(s"retain_ms=${m.retainMs}") else Nil) ++
       m.dirs.toSeq.sorted.map { case (k, v) => s"dir.$k=$v" })
       .mkString("", "\n", "\n")
 
+  /** Set this index's PIN/GC retention, carried in the manifest
+    * itself: [[pruneHistory]] keeps the newest `commits` snapshots
+    * plus (when `ms > 0`) every snapshot younger than `ms` — measured
+    * by the FILESYSTEM's clock, the one that stamped the files — and
+    * the GC grace window ([[IndexLayout.gcWithGrace]]) keeps every
+    * physical tree a retained snapshot references, so both the pin
+    * lifetime and the stale-reader grace lengthen together. Sizing: a
+    * mutation costs 2 commits (reserve + publish), a streaming
+    * micro-batch 4 — a pin that must survive M interleaved mutations
+    * needs `commits >= 2M + 1`; a report of bounded runtime can set an
+    * age bound instead and leave `commits` small. Commutable
+    * (last-set-wins), so it rides the retrying [[commitWith]]. */
+  def setRetention(spark: SparkSession, path: String,
+      commits: Int = HistoryKeep, ms: Long = 0L): IndexManifest = {
+    require(commits >= 1, "retention must keep at least one commit")
+    commitWith(spark, path,
+      _.copy(retainCommits = commits, retainMs = ms))
+  }
+
+  /** "Now" by the FILESYSTEM's own clock: the mtime of a just-created
+    * probe file. Torn-claim age (and age-based retention) must be
+    * measured against the clock that stamped the claim's mtime — on a
+    * shared filesystem (NFS mount, HDFS namenode) the driver's
+    * `System.currentTimeMillis()` can be skewed against the server
+    * clock, which would eat into or invert the [[TornGraceMs]] window
+    * (a live in-flight claim adjudged crashed, or a dead one blocking
+    * commits). Only paid on the rare unsealed-claim / age-retention
+    * paths, never per commit. */
+  private def fsNow(fs: FileSystem, mdir: Path): Long = {
+    val probe = new Path(mdir, s".clock-${java.util.UUID.randomUUID}")
+    try {
+      fs.create(probe, true).close()
+      fs.getFileStatus(probe).getModificationTime
+    } finally {
+      try { fs.delete(probe, false); () }
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
   /** Atomically claim `target` with create-if-absent and write
     * `content` into it. False = the name was already taken (a race).
-    * Local filesystems go through `File.createNewFile` — the one
-    * primitive POSIX makes atomic for this (both Hadoop local `create`
-    * and `rename` silently clobber an existing target); everything
-    * else uses the filesystem's own atomic `create(overwrite=false)`
-    * (HDFS: atomic at the namenode). */
+    * Local filesystems go through `FileChannel.open(CREATE_NEW,
+    * WRITE)` — the one POSIX primitive that makes the claim atomic
+    * (both Hadoop local `create` and `rename` silently clobber an
+    * existing target) AND hands back the handle the bytes go through.
+    * One handle matters: a claim-then-reopen-by-path pair
+    * (`createNewFile` + `new FileOutputStream(path)`) has a stall
+    * hole — a committer paused past [[TornGraceMs]] between the two
+    * calls would re-create/truncate BY PATH, so if a racer had
+    * adjudged the empty claim torn, renamed it aside and sealed its
+    * own commit at the name, the stalled writer silently destroyed
+    * the racer's acknowledged commit (and its read-back passed on its
+    * own bytes). With one handle the stalled writer's bytes follow
+    * the renamed-aside inode, and the path-based read-back then sees
+    * the racer's content and fails loudly — the contract HDFS gives
+    * naturally (its open stream follows the renamed inode too).
+    * Everything non-local uses the filesystem's own atomic
+    * `create(overwrite=false)` (HDFS: atomic at the namenode), which
+    * is already a single claim+write handle. */
   private def claimAndWrite(fs: FileSystem, target: Path,
       content: String): Boolean = {
     val bytes = content.getBytes("UTF-8")
     if (fs.getScheme == "file") {
-      val f = new java.io.File(target.toUri.getPath)
-      if (!f.createNewFile()) false
-      else {
-        val out = new java.io.FileOutputStream(f)
-        try out.write(bytes) finally out.close()
-        true
-      }
+      val ch =
+        try java.nio.channels.FileChannel.open(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            return false
+        }
+      try {
+        val buf = java.nio.ByteBuffer.wrap(bytes)
+        while (buf.hasRemaining) ch.write(buf)
+      } finally ch.close()
+      true
     } else {
       val out =
         try fs.create(target, false)
@@ -372,20 +457,34 @@ object IndexManifest {
       s"manifest commit of m-$next on $path lost a race ($why) — the " +
         "pointer did not move for this writer; re-read and retry " +
         "(commitWith) or rerun the operation against the new snapshot")
-    if (fs.exists(target)) {
-      val st = fs.getFileStatus(target)
-      if (readSealed(fs, target).isDefined) race("sequence taken")
-      else if (System.currentTimeMillis() - st.getModificationTime
-          <= TornGraceMs)
-        race("sequence claimed by an in-flight committer")
-      else {
-        // crashed predecessor's torn claim: move it aside (atomic
-        // rename) and reclaim the sequence number
-        val aside = new Path(mdir,
-          s".torn-${java.util.UUID.randomUUID}")
-        if (!fs.rename(target, aside)) race("torn-claim recovery lost")
+    // the probe below is check-then-act: a racer's torn-claim recovery
+    // (or pruneHistory) can remove `target` between any two of these
+    // calls. That is an ORDINARY lost race, not an error — fall
+    // through to the create-if-absent claim, which is the real
+    // arbiter (race() throws ManifestCommitRaceException, which is
+    // NOT a FileNotFoundException, so losses stay loud).
+    try {
+      if (fs.exists(target)) {
+        if (readSealed(fs, target).isDefined) race("sequence taken")
+        else {
+          val st = fs.getFileStatus(target)
+          // age by the FILESYSTEM's clock (fsNow) — the clock that
+          // stamped the claim's mtime; the driver's wall clock can be
+          // skewed against a shared filesystem's by more than the
+          // whole grace window
+          if (fsNow(fs, mdir) - st.getModificationTime <= TornGraceMs)
+            race("sequence claimed by an in-flight committer")
+          else {
+            // crashed predecessor's torn claim: move it aside (atomic
+            // rename) and reclaim the sequence number
+            val aside = new Path(mdir,
+              s".torn-${java.util.UUID.randomUUID}")
+            if (!fs.rename(target, aside))
+              race("torn-claim recovery lost")
+          }
+        }
       }
-    }
+    } catch { case _: java.io.FileNotFoundException => () }
     val sealedContent = s"len=${body.getBytes("UTF-8").length}\n$body"
     if (!claimAndWrite(fs, target, sealedContent))
       race("sequence taken")
@@ -428,23 +527,38 @@ object IndexManifest {
     sys.error("unreachable")
   }
 
-  /** Drop all but the newest [[HistoryKeep]] manifest files (plus any
-    * orphaned commit temps and recovered torn claims) — the bound that
-    * keeps a year of mutations from turning `read`'s directory listing
-    * into a scan. Called from the index compaction entry points. */
+  /** Drop manifest files outside the index's RETENTION (plus any
+    * orphaned commit temps, recovered torn claims and clock probes) —
+    * the bound that keeps a year of mutations from turning `read`'s
+    * directory listing into a scan. Retention comes from the LATEST
+    * manifest itself ([[setRetention]]; default [[HistoryKeep]]
+    * commits): the newest `retainCommits` files always survive, and
+    * with `retainMs > 0` so does every committed file younger than
+    * that by the filesystem's clock. Called from the index compaction
+    * entry points. */
   def pruneHistory(spark: SparkSession, path: String): Unit = {
     val (fs, root) = fsOf(spark, path)
     val mdir = new Path(root, MDIR)
     if (!fs.exists(mdir)) return
+    val (retainCommits, retainMs) = read(spark, path)
+      .map(m => (m.retainCommits, m.retainMs))
+      .getOrElse((HistoryKeep, 0L))
     val statuses = fs.listStatus(mdir)
     val committed = statuses.map(_.getPath.getName)
       .collect { case n @ NamePat(_) => n }.sorted
-    val drop = committed.dropRight(HistoryKeep).toSet
+    val tail = committed.takeRight(math.max(1, retainCommits)).toSet
+    val now = if (retainMs > 0L) fsNow(fs, mdir) else 0L
     statuses.foreach { st =>
       val n = st.getPath.getName
-      if (drop.contains(n) || n.startsWith(".tmp-") ||
-          n.startsWith(".torn-"))
-        fs.delete(st.getPath, false)
+      val isCommit = NamePat.pattern.matcher(n).matches()
+      val drop =
+        if (isCommit)
+          !tail.contains(n) &&
+            !(retainMs > 0L &&
+              now - st.getModificationTime <= retainMs)
+        else n.startsWith(".tmp-") || n.startsWith(".torn-") ||
+          n.startsWith(".clock-")
+      if (drop) fs.delete(st.getPath, false)
     }
   }
 

@@ -574,4 +574,70 @@ class ManifestSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils
       .deleteQuietly(new java.io.File(dir))
   }
+
+  test("configurable retention: pruneHistory honors the manifest's " +
+      "retain_commits and retain_ms (age by the filesystem's clock), " +
+      "the listing stays O(retention), and the fields round-trip " +
+      "through unrelated commits") {
+    val dir = java.nio.file.Files.createTempDirectory("mret").toString
+    def mFiles() = new java.io.File(s"$dir/_manifest").listFiles()
+      .count(_.getName.matches("m-\\d{20}"))
+    try {
+      IndexManifest.setRetention(spark, dir, commits = 2,
+        ms = 10 * 60 * 1000L)
+      (1 to 12).foreach(_ => IndexLayout.reserveGen(spark, dir))
+      // age retention: every commit is younger than 10 minutes, so
+      // ALL of them survive a prune even though commits = 2
+      IndexManifest.pruneHistory(spark, dir)
+      assert(mFiles() == 13, s"age-retained files pruned: ${mFiles()}")
+      // unrelated commutable commits must carry the fields forward
+      val m = IndexManifest.read(spark, dir).get
+      assert(m.retainCommits == 2 && m.retainMs == 10 * 60 * 1000L)
+      // drop the age bound: only the newest 2 commits survive
+      IndexManifest.setRetention(spark, dir, commits = 2)
+      IndexManifest.pruneHistory(spark, dir)
+      assert(mFiles() == 2, s"count-retention kept ${mFiles()}")
+      assert(IndexManifest.read(spark, dir).get.gen == 12L)
+      // default retention (no setRetention) remains HistoryKeep
+      val dir2 = java.nio.file.Files.createTempDirectory("mret2")
+        .toString
+      try {
+        (1 to IndexManifest.HistoryKeep + 5).foreach(_ =>
+          IndexLayout.reserveGen(spark, dir2))
+        IndexManifest.pruneHistory(spark, dir2)
+        assert(new java.io.File(s"$dir2/_manifest").listFiles()
+          .count(_.getName.matches("m-\\d{20}")) ==
+          IndexManifest.HistoryKeep)
+      } finally org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(dir2))
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
+  test("pin bootstrap is race-tolerant: pins racing first commits on " +
+      "a fresh layout all return a committed snapshot instead of " +
+      "throwing (commutable commits ride commitWith)") {
+    val dir = java.nio.file.Files.createTempDirectory("mpinrace")
+      .toString
+    try {
+      val errors = new java.util.concurrent
+        .ConcurrentLinkedQueue[Throwable]
+      val barrier = new java.util.concurrent.CyclicBarrier(4)
+      val threads = (1 to 4).map { i =>
+        new Thread(() => {
+          try {
+            barrier.await()
+            if (i % 2 == 0) { IndexManifest.pin(spark, dir); () }
+            else { IndexLayout.reserveGen(spark, dir); () }
+          } catch { case t: Throwable => errors.add(t); () }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errors.isEmpty, s"pin/reserve race threw: ${errors}")
+      // and a pin on the settled layout is a retained snapshot
+      val snap = IndexManifest.pin(spark, dir)
+      assert(IndexManifest.readAt(spark, dir, snap.seq) == snap)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
 }

@@ -74,6 +74,55 @@ class PinnedReadSpec extends SparkSpec {
       .deleteQuietly(new java.io.File(dir))
   }
 
+  test("raised retention lengthens pin lifetime: with retention N " +
+      "commits a pin survives every interleaved mutation sequence " +
+      "totalling < N commits — here 8 upserts + a delete + a purge + " +
+      "a compaction — the listing stays O(N), and lowering retention " +
+      "ages the pin out loudly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pinret").toString
+    val queries = Seq(1 -> "needle common")
+    def mFiles() = new java.io.File(s"$dir/_manifest").listFiles()
+      .count(_.getName.matches("m-\\d{20}"))
+    try {
+      val docs = (0L until 20L).map(i => (i,
+        s"common words doc$i " + (if (i % 4 == 1) "needle" else "hay")))
+        .toDF("doc_id", "text")
+      Retrieval.writeTfIndex(docs, dir, wordBuckets = 8)
+      // the multi-query-report shape: raise retention BEFORE pinning
+      // (a mutation costs 2 commits, so 8 upserts + delete + purge +
+      // compaction + housekeeping ≈ 21 commits — inside 24, far
+      // outside the default 8)
+      IndexManifest.setRetention(spark, dir, commits = 24)
+      val snap = IndexManifest.pin(spark, dir)
+      val expected = canon(Retrieval.bm25TopKFromTfIndex(
+        spark, dir, queries, 10))
+      (0 until 8).foreach { i =>
+        Retrieval.upsertTfIndex(dir,
+          Seq((i.toLong, s"recrawled body number $i fresh"))
+            .toDF("doc_id", "text"))
+      }
+      Retrieval.deleteFromTfIndex(dir, Seq(13L).toDF("doc_id"))
+      Retrieval.purgeTfIndexTombstones(spark, dir)
+      Retrieval.compactTfIndex(spark, dir) // runs pruneHistory too
+      assert(canon(Retrieval.bm25TopKFromTfIndex(spark, dir, queries,
+        10, pinned = Some(IndexManifest.readAt(spark, dir, snap.seq))))
+        == expected, "pin died inside its raised retention window")
+      assert(mFiles() <= 24, s"listing grew past retention: ${mFiles()}")
+      // the storm really did outrun the DEFAULT window
+      assert(IndexManifest.read(spark, dir).get.seq - snap.seq >
+        IndexManifest.HistoryKeep)
+      // lowering retention ages the pin out — loudly, not wrongly
+      IndexManifest.setRetention(spark, dir,
+        commits = IndexManifest.HistoryKeep)
+      IndexManifest.pruneHistory(spark, dir)
+      val e = intercept[IllegalStateException](
+        IndexManifest.readAt(spark, dir, snap.seq))
+      assert(e.getMessage.contains("not retained"))
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
   test("pinned shingle-index pair queries and pinned IVF-PQ reads " +
       "resolve every subtree from the caller-held snapshot") {
     import spark.implicits._
