@@ -62,7 +62,8 @@ object SparkEntry {
       graft.queries.Round11h.defs ++ graft.queries.Round12.defs ++
       graft.queries.Round12b.defs ++ graft.queries.Round13.defs ++
       graft.queries.Round14.defs ++ graft.queries.Round15.defs ++
-      graft.queries.Round16.defs ++ graft.queries.Round17.defs)
+      graft.queries.Round16.defs ++ graft.queries.Round17.defs ++
+      graft.queries.Round18.defs)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -25,6 +25,54 @@ case class Session(
 case class OpenSession(
     start: Timestamp, end: Timestamp, n: Long, total: Double)
 
+/** One index family's slot in a composed multi-family sink
+  * ([[EventStreams.startDocFamiliesSink]]): the family's target path
+  * plus its exactly-once ingest entry point. Build instances with the
+  * companion's constructors — each closes over the family's
+  * `ingest*Batch` protocol, so a [[FamilySink]] carries the SAME
+  * epoch guard and crash self-heal the family's standalone sink has.
+  */
+final case class FamilySink(name: String, path: String,
+    ingest: (DataFrame, Long) => Boolean)
+
+object FamilySink {
+
+  /** TF (BM25 retrieval) index slot —
+    * [[EventStreams.ingestTfIndexBatch]]. */
+  def tf(path: String, idCol: String = "doc_id",
+      textCol: String = "text", upsert: Boolean = false): FamilySink =
+    FamilySink("tf", path, (b, e) =>
+      EventStreams.ingestTfIndexBatch(b, e, path, idCol, textCol,
+        upsert))
+
+  /** Shingle (near-dup) index slot —
+    * [[EventStreams.ingestShingleIndexBatch]]. */
+  def shingle(path: String, idCol: String = "doc_id",
+      textCol: String = "text", upsert: Boolean = false): FamilySink =
+    FamilySink("shingle", path, (b, e) =>
+      EventStreams.ingestShingleIndexBatch(b, e, path, idCol, textCol,
+        upsert))
+
+  /** Fingerprint (substring-dedup) index slot —
+    * [[EventStreams.ingestFingerprintIndexBatch]]. */
+  def fingerprint(path: String, idCol: String = "doc_id",
+      textCol: String = "text", upsert: Boolean = false): FamilySink =
+    FamilySink("fingerprint", path, (b, e) =>
+      EventStreams.ingestFingerprintIndexBatch(b, e, path, idCol,
+        textCol, upsert))
+
+  /** IVF-PQ (ANN) index slot — [[EventStreams.ingestIvfPqBatch]];
+    * give it the embedding column of the same fanned-out batch (a
+    * crawler row carrying both text and its embedding feeds all four
+    * families from one stream). */
+  def ivfPq(path: String, dims: Int, m: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      upsert: Boolean = false): FamilySink =
+    FamilySink("ivfpq", path, (b, e) =>
+      EventStreams.ingestIvfPqBatch(b, e, path, dims, m, idCol,
+        embCol, upsert))
+}
+
 /** Structured Streaming operators over the `events` schema — the
   * streaming twins of `graft.queries.EventOps` (q35–q37): identical
   * epoch-aligned `window()` buckets and 30-minute-gap session semantics,
@@ -517,6 +565,75 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         ingestIvfPqBatch(batch, epochId, path, dims, m, idCol,
           embCol, upsert)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Fan ONE micro-batch into SEVERAL index families — the composed
+    * half of the crawler shape: a real crawler does not run one
+    * stream per index, it lands each micro-batch of documents in its
+    * retrieval (TF), near-dup (shingle), substring (fingerprint) and
+    * ANN (IVF-PQ) indexes together. Composition contract:
+    *
+    *  - each family keeps its OWN exactly-once epoch protocol
+    *    ([[ingestIndexBatch]]) against its own manifest — there is
+    *    deliberately no cross-family transaction (the families live
+    *    at different paths, possibly different filesystems; a
+    *    distributed transaction here would buy nothing a replay does
+    *    not already give);
+    *  - a crash BETWEEN family ingests of one micro-batch therefore
+    *    leaves the families at DIFFERENT committed epochs — the
+    *    window the per-family protocols cannot see individually. The
+    *    streaming replay closes it: the restarted query re-delivers
+    *    the micro-batch at the SAME epochId (the offset log is
+    *    written before execution), families already at that epoch
+    *    skip (`epochId <= committed`), the rest ingest — all families
+    *    CONVERGE to the same epoch with each index ≡ its batch-built
+    *    twin. A crash INSIDE one family's ingest is the case the
+    *    per-family pending-epoch self-heal already covers; composed,
+    *    both kinds of crash land on the same replay path;
+    *  - the micro-batch is materialized ONCE (`localCheckpoint`)
+    *    before the fan-out: each family runs several Spark actions
+    *    over it, and without pinning, N families × M actions would
+    *    re-derive the micro-batch source N×M times.
+    *
+    * `hook(name)` runs after each family's ingest — the crash-
+    * injection seam (the spec kills between two families of one
+    * micro-batch), same pattern as [[graft.sink.IndexLayout
+    * .purgeTombstones]]'s phase hook.
+    * @return per-family (name, ingested?) in ingest order. */
+  def ingestFamiliesBatch(batch: DataFrame, epochId: Long,
+      families: Seq[FamilySink],
+      hook: String => Unit = _ => ()): Seq[(String, Boolean)] = {
+    val pinned = batch.localCheckpoint()
+    try families.map { f =>
+      val r = f.ingest(pinned, epochId)
+      hook(f.name)
+      f.name -> r
+    } finally {
+      pinned.unpersist()
+      ()
+    }
+  }
+
+  /** Stream document micro-batches into SEVERAL index families at
+    * once — [[ingestFamiliesBatch]] under one streaming query and one
+    * checkpoint. Families ingest sequentially within a micro-batch
+    * (concurrent mutators on ONE index are out of contract, and the
+    * families' Spark jobs each use the whole cluster anyway); across
+    * micro-batches the usual exactly-once epoch protocol applies
+    * per family, so a crash anywhere — inside a family's ingest or
+    * between two families — heals on restart with every family
+    * converging to the same committed epoch. */
+  def startDocFamiliesSink(docs: DataFrame, checkpoint: String,
+      families: Seq[FamilySink],
+      hook: String => Unit = _ => ()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        ingestFamiliesBatch(batch, epochId, families, hook)
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -596,6 +596,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q361: composed multi-family recovery serves through the " +
+      "SAME plan as a single-family ingest — pushed visibility " +
+      "watermark, fbucket-partitioned scan, no cartesian (the " +
+      "composition changes epochs, not plans; no below_gen because " +
+      "a kill BETWEEN families heals by clean append — the replay " +
+      "skips the committed family, so no tombstone is ever written)") {
+    val p = full("q361_composed_stream_recovery")
+    assert(p.contains("LessThanOrEqual(gen,"),
+      "q361 pushed visibility watermark missing")
+    assert(p.contains("fbucket"), "q361 bucket layout missing")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q339: dedup delete — the generation kill floor lands BEFORE " +
       "ranking; still no cartesian") {
     val plan = full("q339_jaccard_delete")

@@ -724,6 +724,146 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("COMPOSED multi-family crash recovery: ONE crawler stream " +
+      "fans each micro-batch into TF + shingle + fingerprint + " +
+      "IVF-PQ sinks; a kill BETWEEN family ingests of one " +
+      "micro-batch leaves the families at DIFFERENT committed " +
+      "epochs; the restart converges all four to the same epoch and " +
+      "every index ≡ its batch-built twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dims = 8; val m = 2
+    def vec(seed: Long) =
+      Array.tabulate(dims)(d => ((seed * 13 + d * 7) % 17).toFloat)
+    // one crawler row carries text AND its embedding — all four
+    // families feed from the same stream
+    def doc(i: Long, text: String) = (i, text, vec(i))
+    val seed = Seq(
+      doc(0L, "alpha beta gamma delta epsilon zeta common needle"),
+      doc(1L, "alpha beta gamma delta epsilon eta common hay"),
+      doc(2L, "the quick brown fox jumps over the lazy dog today"),
+      doc(3L, "totally unrelated filler words occupy this document"))
+    val b0 = Seq(
+      doc(4L, "alpha beta gamma delta epsilon zeta common fresh"),
+      doc(5L, "the quick brown fox jumps over the lazy dog tonight"))
+    val b1 = Seq(
+      doc(6L, "alpha beta gamma delta epsilon theta common needle"),
+      doc(7L, "the quick brown fox jumps over the lazy dog sometimes"))
+    val all = seed ++ b0 ++ b1
+    val mk = (p: String) => java.nio.file.Files
+      .createTempDirectory(p).toString
+    val (tfDir, shDir, fpDir, vqDir, ckpt) =
+      (mk("cmp_tf"), mk("cmp_sh"), mk("cmp_fp"), mk("cmp_vq"),
+        mk("cmp_ckpt"))
+    val twins = scala.collection.mutable.ListBuffer.empty[String]
+    try {
+      // seed all four families (the batch-built base)
+      val seedDf = seed.toDF("doc_id", "text", "embedding")
+      graft.operators.Retrieval.writeTfIndex(
+        seedDf.select($"doc_id", $"text"), tfDir, wordBuckets = 8)
+      graft.operators.Dedup.writeShingleIndex(
+        seedDf.select($"doc_id", $"text"), shDir, n = 3,
+        shingleBuckets = 4)
+      graft.operators.Dedup.writeFingerprintIndex(
+        seedDf.select($"doc_id", $"text"), fpDir, k = 10, w = 4,
+        fpBuckets = 4)
+      graft.operators.Similarity.ivfPqIndex(
+          seedDf.select($"doc_id".as("vec_id"), $"embedding"),
+          nCells = 2, dims, m, nCentroids = 4)
+        .write(vqDir)
+      val families = Seq(
+        FamilySink.tf(tfDir),
+        FamilySink.shingle(shDir),
+        FamilySink.fingerprint(fpDir),
+        FamilySink.ivfPq(vqDir, dims, m, idCol = "doc_id"))
+      def epochs() = Seq(tfDir, shDir, fpDir, vqDir)
+        .map(EventStreams.committedTfIndexEpoch(spark, _))
+      val in = MemoryStream[(Long, String, Array[Float])]
+      def run(hook: String => Unit = _ => ()): Option[Throwable] = {
+        val q = EventStreams.startDocFamiliesSink(
+          in.toDS().toDF("doc_id", "text", "embedding"), ckpt,
+          families, hook)
+        try { q.awaitTermination(); None }
+        catch { case t: org.apache.spark.sql.streaming
+          .StreamingQueryException => Some(t) }
+        finally q.stop()
+      }
+      // micro-batch 0 lands cleanly in all four families
+      in.addData(b0: _*)
+      assert(run().isEmpty)
+      assert(epochs() == Seq(0L, 0L, 0L, 0L))
+      // micro-batch 1: KILL between the shingle and fingerprint
+      // ingests — TF and shingle committed epoch 1, fingerprint and
+      // IVF-PQ never saw it
+      in.addData(b1: _*)
+      val killed = run(name =>
+        if (name == "shingle")
+          throw new RuntimeException("kill between family ingests"))
+      assert(killed.isDefined, "the injected kill must fail the query")
+      assert(epochs() == Seq(1L, 1L, 0L, 0L),
+        s"expected diverged epochs, got ${epochs()}")
+      // restart with the same checkpoint: the offset log re-delivers
+      // micro-batch 1 at the SAME epoch; TF and shingle skip it,
+      // fingerprint and IVF-PQ ingest it — all four converge
+      assert(run().isEmpty)
+      assert(epochs() == Seq(1L, 1L, 1L, 1L),
+        s"families did not converge: ${epochs()}")
+      // every family ≡ its batch-built twin (per-family checks)
+      def twin(p: String) = { val d = mk(p); twins += d; d }
+      val allDf = all.toDF("doc_id", "text", "embedding")
+      // TF: BM25 over the streamed index ≡ BM25 over the full corpus
+      val queries = Seq(1 -> "needle common", 2 -> "fox lazy")
+      def canonBm(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).sortBy(t => (t._1, t._4)).toSeq
+      assert(canonBm(graft.operators.Retrieval.bm25TopKFromTfIndex(
+        spark, tfDir, queries, 10)) ==
+        canonBm(graft.operators.Retrieval.bm25TopK(
+          allDf.select($"doc_id", $"text"), "doc_id", "text",
+          queries, 10)))
+      // shingle: pairs against the streamed index ≡ a fresh batch build
+      val shTwin = twin("cmp_sh_twin")
+      graft.operators.Dedup.writeShingleIndex(
+        allDf.select($"doc_id", $"text"), shTwin, n = 3,
+        shingleBuckets = 4)
+      val probeIds = (4L to 7L).toDF("doc_id")
+      def pairs(d: String) = graft.operators.Dedup
+        .jaccardPairsAgainstIndex(spark, d, 0.5, probeIds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs(shDir) == pairs(shTwin) && pairs(shDir).nonEmpty)
+      // fingerprint: substring candidates ≡ a fresh batch build
+      val fpTwin = twin("cmp_fp_twin")
+      graft.operators.Dedup.writeFingerprintIndex(
+        allDf.select($"doc_id", $"text"), fpTwin, k = 10, w = 4,
+        fpBuckets = 4)
+      def cands(d: String) = graft.operators.Dedup
+        .substringCandidatesAgainstIndex(spark, d, minShared = 1,
+          probeIds)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(cands(fpDir) == cands(fpTwin) && cands(fpDir).nonEmpty)
+      // IVF-PQ: searches against the streamed index ≡ the same
+      // increments applied as ONE batch append to a fresh twin
+      val vqTwin = twin("cmp_vq_twin")
+      graft.operators.Similarity.ivfPqIndex(
+          seed.toDF("doc_id", "text", "embedding")
+            .select($"doc_id".as("vec_id"), $"embedding"),
+          nCells = 2, dims, m, nCentroids = 4)
+        .write(vqTwin)
+      graft.operators.Similarity.appendToIvfPqIndex(spark, vqTwin,
+        (b0 ++ b1).toDF("doc_id", "text", "embedding"), dims, m,
+        idCol = "doc_id")
+      def search(d: String) = graft.operators.Similarity.ivfPqSearch(
+          seed.map(t => (t._1, t._3)).toDF("vec_id", "embedding"),
+          graft.operators.Similarity.IvfPqIndex.read(spark, d),
+          k = 3, nprobe = 2, dims = dims, m = m)
+        .collect().map(_.toSeq).toSeq
+      assert(search(vqDir) == search(vqTwin))
+    } finally (Seq(tfDir, shDir, fpDir, vqDir, ckpt) ++ twins)
+      .foreach(d => org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(d)))
+  }
+
   test("ingestFingerprintIndexBatch: exactly-once per epoch, and a " +
       "crashed-after-facts delivery self-heals on an append-mode " +
       "replay (candidates ≡ a cleanly appended index)") {
