@@ -576,6 +576,29 @@ object JpegEncodeKernel {
     encodeProgressiveImpl(width, height, 3, pixels, 2, 1,
       restartInterval, sa)
 
+  /** [[encodeProgressive]] with a MULTI-BAND spectral-selection
+    * script — the scan shape real progressive encoders emit (e.g.
+    * libjpeg's canonical script sends AC 1–5 of every component
+    * before any component's 6–63 band): each `(ss, se)` band becomes
+    * one AC scan per component, band-major. `bands` must partition
+    * 1..63 (contiguous, ascending) so the decoded pixels stay
+    * bit-identical to the single-band stream — the banding changes
+    * WHICH scan carries a coefficient, never its value. `sa = true`
+    * runs the successive-approximation script per band (first scans
+    * at Al=1 band-major, then refinements band-major). */
+  def encodeProgressiveBanded(width: Int, height: Int, channels: Int,
+      pixels: Array[Byte], bands: Seq[(Int, Int)],
+      restartInterval: Int = 0, sa: Boolean = false): Array[Byte] = {
+    require(bands.nonEmpty && bands.head._1 == 1 &&
+      bands.last._2 == 63 &&
+      bands.forall { case (ss, se) => ss <= se } &&
+      bands.zip(bands.drop(1)).forall { case ((_, a), (b, _)) =>
+        b == a + 1 },
+      s"bands must partition 1..63 contiguously: $bands")
+    encodeProgressiveImpl(width, height, channels, pixels, 1, 1,
+      restartInterval, sa, bands)
+  }
+
   private def encodeProgressiveImpl(width: Int, height: Int,
       channels: Int, pixels: Array[Byte], restartInterval: Int,
       sa: Boolean): Array[Byte] =
@@ -593,7 +616,8 @@ object JpegEncodeKernel {
     * [[encodeProgressiveSa]]. */
   private def encodeProgressiveImpl(width: Int, height: Int,
       channels: Int, pixels: Array[Byte], hs: Int, vs: Int,
-      restartInterval: Int, sa: Boolean): Array[Byte] = {
+      restartInterval: Int, sa: Boolean,
+      bands: Seq[(Int, Int)] = Seq((1, 63))): Array[Byte] = {
     if ((channels != 1 && channels != 3) || width <= 0 || height <= 0 ||
         width > 65535 || height > 65535 ||
         hs < 1 || hs > 2 || vs < 1 || vs > 2 ||
@@ -781,10 +805,11 @@ object JpegEncodeKernel {
       val bhC = (planeHs(c) + 7) / 8
       (bwC, bhC, mcuX * compHs(c))
     }
-    // ---- AC first scan (single component, Ss=1..Se=63): baseline
-    // run-size coding of sign·(|v|≫Al); EOB emitted per block (EOB0)
-    def acFirst(c: Int, al: Int): Unit = {
-      writeSos(Seq(c), 1, 63, 0, al)
+    // ---- AC first scan (single component, spectral band Ss..Se —
+    // the full 1..63 band by default): baseline run-size coding of
+    // sign·(|v|≫Al); EOB emitted per block (EOB0)
+    def acFirst(c: Int, al: Int, ss: Int = 1, se: Int = 63): Unit = {
+      writeSos(Seq(c), ss, se, 0, al)
       val bw = new BitWriter(out)
       val (bwC, bhC, wb) = acGrid(c)
       var u = 0
@@ -792,8 +817,8 @@ object JpegEncodeKernel {
         restartAt(bw, u) // per-block EOB0: no entropy state to reset
         val co = coefs(c)((u / bwC) * wb + u % bwC)
         var run = 0
-        var k = 1
-        while (k < 64) {
+        var k = ss
+        while (k <= se) {
           val raw = co(Zigzag(k))
           val mag = math.abs(raw) >> al
           if (mag == 0) run += 1
@@ -819,8 +844,8 @@ object JpegEncodeKernel {
     // coefficients emit (run, 1) + sign; history-nonzero coefficients
     // contribute buffered correction bits, flushed after each emitted
     // symbol in coefficient order
-    def acRefine(c: Int, al: Int): Unit = {
-      writeSos(Seq(c), 1, 63, al + 1, al)
+    def acRefine(c: Int, al: Int, ss: Int = 1, se: Int = 63): Unit = {
+      writeSos(Seq(c), ss, se, al + 1, al)
       val bw = new BitWriter(out)
       val pending = new java.util.ArrayList[Integer]
       def flushPending(): Unit = {
@@ -833,18 +858,18 @@ object JpegEncodeKernel {
       while (u < bwC * bhC) {
         restartAt(bw, u) // pending bits always flushed at block ends
         val co = coefs(c)((u / bwC) * wb + u % bwC)
-        // last newly-significant position: ZRLs are never needed past
-        // it (the tail folds into EOB, whose decoder walk consumes the
-        // remaining correction bits to Se)
+        // last newly-significant position IN THE BAND: ZRLs are never
+        // needed past it (the tail folds into EOB, whose decoder walk
+        // consumes the remaining correction bits to Se)
         var eobPos = 0
-        var j = 1
-        while (j < 64) {
+        var j = ss
+        while (j <= se) {
           if (math.abs(co(Zigzag(j))) >> al == 1) eobPos = j
           j += 1
         }
         var run = 0
-        var k = 1
-        while (k < 64) {
+        var k = ss
+        while (k <= se) {
           val raw = co(Zigzag(k))
           val mag = math.abs(raw) >> al
           if (mag == 0) run += 1
@@ -877,16 +902,27 @@ object JpegEncodeKernel {
       }
       bw.flush()
     }
+    // scan script: DC scans as before; each component's AC coverage
+    // is the band list (the default single (1,63) band reproduces the
+    // historical script bit-for-bit). Band-major order — the shape
+    // real progressive encoders emit (low frequencies of every
+    // component render before any component's high band arrives).
     if (!sa) {
       dcScan(0, refine = false)
-      ci = 0
-      while (ci < channels) { acFirst(ci, 0); ci += 1 }
+      bands.foreach { case (ss, se) =>
+        ci = 0
+        while (ci < channels) { acFirst(ci, 0, ss, se); ci += 1 }
+      }
     } else {
       dcScan(1, refine = false); dcScan(0, refine = true)
-      ci = 0
-      while (ci < channels) { acFirst(ci, 1); ci += 1 }
-      ci = 0
-      while (ci < channels) { acRefine(ci, 0); ci += 1 }
+      bands.foreach { case (ss, se) =>
+        ci = 0
+        while (ci < channels) { acFirst(ci, 1, ss, se); ci += 1 }
+      }
+      bands.foreach { case (ss, se) =>
+        ci = 0
+        while (ci < channels) { acRefine(ci, 0, ss, se); ci += 1 }
+      }
     }
     marker(out, 0xD9) // EOI
     out.toByteArray

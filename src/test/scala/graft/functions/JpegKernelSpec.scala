@@ -565,6 +565,79 @@ class JpegKernelSpec extends AnyFunSuite {
     assert(partial.pixels.sameElements(clean.pixels))
   }
 
+  test("MULTI-BAND spectral selection ≡ the single-band stream " +
+      "bit-identically — the scan script real progressive encoders " +
+      "emit (AC 1–5 of every component before any 6–63 band), over " +
+      "non-constant gray + color images, plain and SA scripts, with " +
+      "and without restarts; the decoder's band walk sees bands it " +
+      "never encodes by default") {
+    for {
+      (w, h) <- Seq((24, 16), (19, 13))
+      ch <- Seq(1, 3)
+      ri <- Seq(0, 2)
+      sa <- Seq(false, true)
+      bands <- Seq(Seq((1, 5), (6, 63)),
+        Seq((1, 1), (2, 9), (10, 35), (36, 63)))
+    } {
+      val px =
+        if (ch == 1) gray(w, h)((x, y) => (x * 31 + y * 17) % 256)
+        else rgb(w, h)((x, y) =>
+          ((x * 31) % 256, (y * 53) % 256, (x * x + y) % 256))
+      val single = JpegDecodeKernel.decode(
+        if (sa) JpegEncodeKernel.encodeProgressiveSa(w, h, ch, px, ri)
+        else JpegEncodeKernel.encodeProgressive(w, h, ch, px, ri))
+      val jpg = JpegEncodeKernel.encodeProgressiveBanded(
+        w, h, ch, px, bands, ri, sa)
+      // the stream really is multi-band: one AC SOS per band per
+      // component (+ DC scans)
+      val nSos = jpg.sliding(2).count(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xda)
+      val acScans = bands.length * ch * (if (sa) 2 else 1)
+      assert(nSos == acScans + (if (sa) 2 else 1),
+        s"sos=$nSos bands=$bands ch=$ch sa=$sa")
+      val got = JpegDecodeKernel.decode(jpg)
+      assert(got.isDefined, s"w=$w h=$h ch=$ch ri=$ri sa=$sa $bands")
+      assert(got.get.pixels.sameElements(single.get.pixels),
+        s"multi-band≠single-band at w=$w h=$h ch=$ch ri=$ri sa=$sa " +
+          s"$bands")
+      // and the progressive ≡ baseline contract carries through
+      val base = JpegDecodeKernel.decode(
+        JpegEncodeKernel.encode(w, h, ch, px)).get
+      assert(got.get.pixels.sameElements(base.pixels))
+    }
+  }
+
+  test("multi-band fuzz: RANDOM contiguous band splits of 1..63 " +
+      "(1..6 bands) over random images decode ≡ the single-band " +
+      "stream — the band walk holds at every split point") {
+    val rnd = new scala.util.Random(1861)
+    for (iter <- 0 until 24) {
+      val w = 1 + rnd.nextInt(28); val h = 1 + rnd.nextInt(22)
+      val ch = if (rnd.nextBoolean()) 3 else 1
+      val sa = rnd.nextBoolean()
+      val ri = if (rnd.nextBoolean()) 0 else 1 + rnd.nextInt(3)
+      val px = Array.tabulate(w * h * ch)(_ =>
+        (rnd.nextInt(256) - 128).toByte)
+      // random ascending split points of 1..63
+      val nBands = 1 + rnd.nextInt(5)
+      val cuts = Seq.fill(nBands - 1)(1 + rnd.nextInt(62))
+        .distinct.sorted
+      val bands = (Seq(0) ++ cuts ++ Seq(63)).sliding(2).map {
+        case Seq(a, b) => (a + 1, b)
+      }.toSeq
+      val single = JpegDecodeKernel.decode(
+        if (sa) JpegEncodeKernel.encodeProgressiveSa(w, h, ch, px, ri)
+        else JpegEncodeKernel.encodeProgressive(w, h, ch, px, ri))
+      val got = JpegDecodeKernel.decode(
+        JpegEncodeKernel.encodeProgressiveBanded(w, h, ch, px, bands,
+          ri, sa))
+      assert(got.isDefined,
+        s"iter=$iter w=$w h=$h ch=$ch sa=$sa ri=$ri $bands")
+      assert(got.get.pixels.sameElements(single.get.pixels),
+        s"iter=$iter w=$w h=$h ch=$ch sa=$sa ri=$ri $bands")
+    }
+  }
+
   test("FOREIGN progressive stream with EOBn>0 runs decodes: a " +
       "hand-assembled SOF2 file whose AC scans cover all four blocks " +
       "with a single EOB4 (our encoder only ever emits EOB0 — this " +
