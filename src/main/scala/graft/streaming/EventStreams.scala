@@ -645,7 +645,19 @@ object EventStreams {
     * `healAsUpsert` flag (true when this epoch's previous attempt may
     * have died mid-write — the mutation must then route through its
     * upsert path so fresh-generation tombstones kill the partial
-    * facts), commit `epoch` after. */
+    * facts), commit `epoch` after.
+    *
+    * A micro-batch thus costs 4 manifest commits (pending_epoch,
+    * reserve, publish, epoch). Folding the epoch moves into the
+    * reserve/publish commits (4 → 2) was measured and DECLINED
+    * (round 18, [[graft.tools.ManifestCadence]]): one commit costs
+    * 2.3–4.8 ms on a populated layout, so the fold saves ~10 ms =
+    * 0.83% of even the smallest possible (1-doc, 1.16 s) micro-batch
+    * — for the price of threading the epoch through every family's
+    * mutation entry point; and the fold's other motivation (pin
+    * aging: 4 commits per micro-batch burn the retention window 4×
+    * faster) is solved directly by per-index configurable retention
+    * ([[graft.sink.IndexManifest.setRetention]]). */
   private def ingestIndexBatch(spark: SparkSession, path: String,
       epochId: Long)(mutate: Boolean => Unit): Boolean = {
     val m0 = graft.sink.IndexManifest.readOrInit(spark, path)
