@@ -625,6 +625,32 @@ object Dedup {
     graft.sink.IndexLayout.publishGen(spark, path, g)
   }
 
+  /** CDC over a [[writeShingleIndex]] artifact: which doc_ids changed
+    * between two pinned snapshots — [[graft.sink.IndexLayout
+    * .changedKeysBetween]] on the flat per-doc `docs` side table (the
+    * [[graft.operators.Retrieval.tfIndexChangesBetween]] semantics;
+    * postings never scanned). The FINGERPRINT layout has no per-doc
+    * side table, so its variant diffs the bucketed postings
+    * ([[fingerprintIndexChangesBetween]]) — same answer, body-sized
+    * scan. */
+  def shingleIndexChangesBetween(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      a: graft.sink.IndexManifest,
+      b: graft.sink.IndexManifest): DataFrame =
+    graft.sink.IndexLayout.changedKeysBetween(spark, path, "doc_id",
+      "docs", a, b)
+
+  /** [[shingleIndexChangesBetween]] for the fingerprint layout —
+    * diffs the bucketed `postings` facts directly (no flat side table
+    * exists; the scan is fingerprint-body-sized, still never the
+    * text). */
+  def fingerprintIndexChangesBetween(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      a: graft.sink.IndexManifest,
+      b: graft.sink.IndexManifest): DataFrame =
+    graft.sink.IndexLayout.changedKeysBetween(spark, path, "doc_id",
+      "postings", a, b)
+
   /** Physically drop tombstone-killed generations (whole-tree
     * staging-swap rewrite — [[graft.sink.IndexLayout
     * .purgeTombstones]]); queries are bit-identical before and after.

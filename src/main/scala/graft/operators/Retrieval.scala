@@ -435,6 +435,19 @@ object Retrieval {
     graft.sink.IndexLayout.publishGen(spark, path, g)
   }
 
+  /** CDC over a [[writeTfIndex]] artifact: exactly which doc_ids
+    * changed between two PINNED snapshots — `(doc_id, change)` with
+    * change ∈ {'upsert', 'delete'} ([[graft.sink.IndexLayout
+    * .changedKeysBetween]] on the flat `docs` side table). The
+    * incremental training-data pull: a downstream job holds the pin
+    * from its last export and fetches only the delta instead of
+    * re-reading the corpus; the postings body is never touched. */
+  def tfIndexChangesBetween(spark: SparkSession, path: String,
+      a: graft.sink.IndexManifest,
+      b: graft.sink.IndexManifest): DataFrame =
+    graft.sink.IndexLayout.changedKeysBetween(spark, path, "doc_id",
+      "docs", a, b)
+
   /** Physically drop tombstone-killed generations from a
     * [[writeTfIndex]] artifact: rewrite the postings tree (ONE job)
     * and the docs table into NEW physical versions and commit every

@@ -1411,6 +1411,23 @@ object Similarity {
     graft.sink.IndexLayout.publishGen(spark, path, g)
   }
 
+  /** CDC over a persisted [[IvfPqIndex]]: which vector ids changed
+    * between two pinned snapshots — [[graft.sink.IndexLayout
+    * .changedKeysBetween]] on the flat `codes` stream (the
+    * [[graft.operators.Retrieval.tfIndexChangesBetween]] semantics:
+    * re-embeds and resurrections report `upsert`, takedowns
+    * `delete`, window churn collapses to net state, and a purge or
+    * compaction between the pins contributes nothing as long as both
+    * pins stay retained). A RETRAIN between the pins re-encodes the
+    * whole corpus at a fresh generation, so CDC reports every id as
+    * `upsert` — deliberately: the stored codes really did all change,
+    * and a downstream mirror of the index must re-pull them. */
+  def ivfPqChangesBetween(spark: org.apache.spark.sql.SparkSession,
+      path: String, a: graft.sink.IndexManifest,
+      b: graft.sink.IndexManifest): DataFrame =
+    graft.sink.IndexLayout.changedKeysBetween(spark, path, "id",
+      "codes", a, b)
+
   /** UPSERT re-embedded vectors into a persisted [[IvfPqIndex]] — the
     * re-crawl event of the ANN family (a document whose text changed
     * gets a NEW embedding under the same id): tombstone the incoming

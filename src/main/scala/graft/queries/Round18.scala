@@ -76,6 +76,44 @@ object Round18 {
           .orderBy(col("da"), col("db"))
       },
       Round14.defs.find(_.name == "q343_substring_incremental")
-        .get.oracle)
+        .get.oracle),
+
+    // ---- SNAPSHOT CDC — the incremental-pull primitive: a
+    // downstream training job pins the index on each export and asks
+    // for exactly the delta since its LAST pin instead of re-reading
+    // the corpus. The generation discipline makes this free: every
+    // mutation rewrites a doc's facts at a fresh gen, so diffing two
+    // pinned snapshots' live (doc_id, max gen) maps — each resolved
+    // entirely from its own pin (trees, tombstones, watermark) — is
+    // exact CDC with zero extra state, and the postings body is never
+    // touched (two scans of the flat doc catalog + one key shuffle).
+    // Window: re-crawl doc%5=0, then take down doc%7=3 — a doc in
+    // both classes is upserted THEN deleted, so its net change is
+    // 'delete' (window churn collapses to net state; the spec covers
+    // delete-then-resurrect, no-op tombstones, and purge/compaction
+    // between the pins — SnapshotCdcSpec).
+    QueryDef("q362_index_cdc",
+      (s, dir) => {
+        val p = Round14.scratchDir(dir, "q362_tfidx").getAbsolutePath
+        val docs = t("documents")(s, dir)
+        graft.operators.Retrieval.writeTfIndex(docs, p,
+          wordBuckets = 16)
+        val a = graft.sink.IndexManifest.pin(s, p)
+        graft.operators.Retrieval.upsertTfIndex(p,
+          docs.where(col("doc_id") % 5 === 0)
+            .withColumn("text",
+              concat(col("text"), lit(" recrawl revision"))))
+        graft.operators.Retrieval.deleteFromTfIndex(p,
+          docs.where(col("doc_id") % 7 === 3).select(col("doc_id")))
+        val b = graft.sink.IndexManifest.pin(s, p)
+        graft.operators.Retrieval.tfIndexChangesBetween(s, p, a, b)
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 7 = 3 THEN 'delete'
+             |       ELSE 'upsert' END AS change
+             |FROM documents
+             |WHERE doc_id % 7 = 3 OR doc_id % 5 = 0
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -298,6 +298,69 @@ object IndexLayout {
   }
 
   // ------------------------------------------------------------------
+  // Snapshot CDC — what changed between two retained snapshots.
+  // ------------------------------------------------------------------
+
+  /** The LIVE (key, gen) state of a flat fact table under snapshot
+    * `m`: per key, the max published generation that survives `m`'s
+    * kill floor. The generation IS the content version (every
+    * mutation rewrites a key's facts at a fresh gen), so two
+    * snapshots' live maps diff into exact CDC without any extra
+    * state. */
+  def liveKeyGens(spark: SparkSession, path: String, keyName: String,
+      factLogical: String, m: IndexManifest): DataFrame = {
+    val mOpt = Some(m)
+    val facts = visibleFacts(
+      spark.read.parquet(dir(path, mOpt, factLogical)), mOpt)
+    applyTombstones(facts, tombstoneFloor(spark, path, keyName, mOpt),
+      keyName)
+      .groupBy(col(keyName)).agg(max(col("gen")).as("gen"))
+  }
+
+  /** CDC between two RETAINED snapshots of one index — the
+    * incremental-pull primitive a 100 TB training pipeline needs:
+    * instead of re-exporting the corpus, a downstream job pins
+    * snapshot `a` on its last run, pins `b` now, and asks exactly
+    * which keys changed. Returns `(keyName, change)` with change ∈
+    * {'upsert', 'delete'}:
+    *
+    *  - a key live at `b` whose generation differs from its `a` state
+    *    (new key, re-crawl, or delete-then-resurrect inside the
+    *    window) → `upsert`;
+    *  - a key live at `a` but not at `b` (takedown, including
+    *    upsert-then-delete inside the window) → `delete`;
+    *  - unchanged keys, and no-op tombstones on keys that were never
+    *    live, produce NO row.
+    *
+    * Both states resolve from their own pinned snapshot (trees,
+    * tombstones, watermark), so the diff is exact across any
+    * interleaving of upserts, deletes, purges and compactions — a
+    * purge preserves every live (key, gen) pair by construction, so
+    * it contributes nothing. Cost: two scans of the flat per-key side
+    * table (one row per key per mutation — the doc CATALOG, never the
+    * postings body) + one shuffle on the key; both scans carry the
+    * pushed visibility filter, and `a`'s side of the aggregation
+    * reuses the same plan shape every read uses. Requires both
+    * snapshots retained ([[IndexManifest.setRetention]] sized to the
+    * pull interval — the same sizing rule as pinned reports). */
+  def changedKeysBetween(spark: SparkSession, path: String,
+      keyName: String, factLogical: String,
+      a: IndexManifest, b: IndexManifest): DataFrame = {
+    require(a.seq <= b.seq && a.visibleGen <= b.visibleGen,
+      s"snapshot a (m-${a.seq}) must precede b (m-${b.seq})")
+    val la = liveKeyGens(spark, path, keyName, factLogical, a)
+      .withColumnRenamed("gen", "gen_a")
+    val lb = liveKeyGens(spark, path, keyName, factLogical, b)
+      .withColumnRenamed("gen", "gen_b")
+    la.join(lb, Seq(keyName), "full_outer")
+      .filter(col("gen_a").isNull || col("gen_b").isNull ||
+        col("gen_a") =!= col("gen_b"))
+      .select(col(keyName),
+        when(col("gen_b").isNull, lit("delete"))
+          .otherwise(lit("upsert")).as("change"))
+  }
+
+  // ------------------------------------------------------------------
   // Versioned rewrites — build beside, commit by pointer, GC after.
   // ------------------------------------------------------------------
 

@@ -609,6 +609,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q362: snapshot CDC — both live-state scans carry the pushed " +
+      "visibility watermark and the kill floor; the diff is a keyed " +
+      "full-outer join, never a cartesian; the postings tree is " +
+      "never scanned (doc-catalog side table only)") {
+    val p = full("q362_index_cdc")
+    assert(p.contains("LessThanOrEqual(gen,"),
+      "q362 pushed visibility watermark missing")
+    assert(p.contains("below_gen"), "q362 kill floor missing")
+    assert(p.contains("FullOuter"), "q362 full-outer diff missing")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("postings"),
+      "q362 must not touch the postings body")
+  }
+
   test("q339: dedup delete — the generation kill floor lands BEFORE " +
       "ranking; still no cartesian") {
     val plan = full("q339_jaccard_delete")
