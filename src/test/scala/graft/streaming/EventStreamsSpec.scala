@@ -864,6 +864,70 @@ class EventStreamsSpec extends SparkSpec {
         .deleteQuietly(new java.io.File(d)))
   }
 
+  test("composed recovery with BOTH crash kinds on one micro-batch: " +
+      "family A committed the epoch (between-families kill), family " +
+      "B died INSIDE its ingest after its facts landed — the " +
+      "composed replay skips A and self-heals B as an upsert") {
+    import spark.implicits._
+    val tfDir = java.nio.file.Files
+      .createTempDirectory("cmp2_tf").toString
+    val fpDir = java.nio.file.Files
+      .createTempDirectory("cmp2_fp").toString
+    val clean = java.nio.file.Files
+      .createTempDirectory("cmp2_clean").toString
+    val seed = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog daily"),
+      (1L, "completely unrelated text with nothing shared zq"))
+    val b0 = Seq((2L, "the quick brown fox jumps over the lazy dog often"))
+    val b1 = Seq((3L, "the quick brown fox jumps over the lazy dog rarely"))
+    try {
+      graft.operators.Retrieval.writeTfIndex(
+        seed.toDF("doc_id", "text"), tfDir, wordBuckets = 8)
+      graft.operators.Dedup.writeFingerprintIndex(
+        seed.toDF("doc_id", "text"), fpDir, k = 10, w = 4,
+        fpBuckets = 4)
+      val families = Seq(FamilySink.tf(tfDir),
+        FamilySink.fingerprint(fpDir))
+      // micro-batch 0 lands cleanly in both
+      EventStreams.ingestFamiliesBatch(b0.toDF("doc_id", "text"), 0L,
+        families)
+      // micro-batch 1, first delivery: TF commits; the fingerprint
+      // ingest starts (pending marker + generation + facts) and DIES
+      // before its epoch commit; the driver crash also means the
+      // composed loop never reached any later family
+      val b1df = b1.toDF("doc_id", "text")
+      assert(EventStreams.ingestTfIndexBatch(b1df, 1L, tfDir))
+      val m0 = graft.sink.IndexManifest.readOrInit(spark, fpDir)
+      graft.sink.IndexManifest.commit(spark, fpDir,
+        m0.copy(pendingEpoch = 1L))
+      val g = graft.sink.IndexLayout.reserveGen(spark, fpDir)
+      graft.operators.Dedup.appendFingerprintFacts(fpDir, b1df,
+        "doc_id", "text", g)
+      assert(EventStreams.committedTfIndexEpoch(spark, tfDir) == 1L)
+      assert(EventStreams.committedTfIndexEpoch(spark, fpDir) == 0L)
+      // the composed replay of the SAME micro-batch: TF skips
+      // (committed), fingerprint detects its own pending marker and
+      // heals as an upsert (fresh-generation tombstones kill the
+      // crashed duplicate fingerprints)
+      val healed = EventStreams.ingestFamiliesBatch(b1df, 1L, families)
+      assert(healed == Seq("tf" -> false, "fingerprint" -> true))
+      assert(Seq(tfDir, fpDir).map(
+        EventStreams.committedTfIndexEpoch(spark, _)) == Seq(1L, 1L))
+      // fingerprint ≡ a cleanly built index (a missed heal would
+      // double doc 3's fingerprints and inflate every shared count)
+      graft.operators.Dedup.writeFingerprintIndex(
+        (seed ++ b0 ++ b1).toDF("doc_id", "text"), clean, k = 10,
+        w = 4, fpBuckets = 4)
+      def cands(d: String) = graft.operators.Dedup
+        .substringCandidatesAgainstIndex(spark, d, minShared = 1,
+          Seq(2L, 3L).toDF("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(cands(fpDir) == cands(clean) && cands(fpDir).nonEmpty)
+    } finally Seq(tfDir, fpDir, clean).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+  }
+
   test("ingestFingerprintIndexBatch: exactly-once per epoch, and a " +
       "crashed-after-facts delivery self-heals on an append-mode " +
       "replay (candidates ≡ a cleanly appended index)") {
