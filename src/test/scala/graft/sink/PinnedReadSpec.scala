@@ -123,6 +123,45 @@ class PinnedReadSpec extends SparkSpec {
       .deleteQuietly(new java.io.File(dir))
   }
 
+  test("retention sized to the STREAMING cadence: a micro-batch " +
+      "burns 4 commits, so a pin under retention 40 survives 6 " +
+      "streamed micro-batches + pruning where the default window " +
+      "would have aged it out") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pinstream")
+      .toString
+    val queries = Seq(1 -> "needle common")
+    try {
+      val docs = (0L until 12L).map(i => (i,
+        s"common words doc$i " + (if (i % 3 == 1) "needle" else "hay")))
+      Retrieval.writeTfIndex(docs.toDF("doc_id", "text"), dir,
+        wordBuckets = 8)
+      IndexManifest.setRetention(spark, dir, commits = 40)
+      val snap = IndexManifest.pin(spark, dir)
+      val expected = canon(Retrieval.bm25TopKFromTfIndex(
+        spark, dir, queries, 10))
+      (0 until 6).foreach { e =>
+        val b = Seq((100L + e, s"streamed doc number $e needle"))
+          .toDF("doc_id", "text")
+        assert(graft.streaming.EventStreams.ingestTfIndexBatch(
+          b, e.toLong, dir))
+      }
+      IndexManifest.pruneHistory(spark, dir)
+      // 6 micro-batches × 4 commits = 24 subsequent commits — past
+      // the default window, inside the raised one
+      val drift = IndexManifest.read(spark, dir).get.seq - snap.seq
+      assert(drift > IndexManifest.HistoryKeep && drift <= 39,
+        s"commit drift $drift outside the designed window")
+      assert(canon(Retrieval.bm25TopKFromTfIndex(spark, dir, queries,
+        10, pinned = Some(IndexManifest.readAt(spark, dir, snap.seq))))
+        == expected, "pin died under the streaming cadence")
+      // and the stream really landed for live readers
+      assert(canon(Retrieval.bm25TopKFromTfIndex(
+        spark, dir, queries, 10)) != expected)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
   test("pinned shingle-index pair queries and pinned IVF-PQ reads " +
       "resolve every subtree from the caller-held snapshot") {
     import spark.implicits._
