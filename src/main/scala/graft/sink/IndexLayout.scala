@@ -348,6 +348,11 @@ object IndexLayout {
       a: IndexManifest, b: IndexManifest): DataFrame = {
     require(a.seq <= b.seq && a.visibleGen <= b.visibleGen,
       s"snapshot a (m-${a.seq}) must precede b (m-${b.seq})")
+    // refuse LOUDLY if either pin aged out of retention (its trees
+    // may be GC'd — without this, the diff dies mid-job on a raw
+    // missing-file error instead of readAt's clear refusal)
+    IndexManifest.readAt(spark, path, a.seq)
+    IndexManifest.readAt(spark, path, b.seq)
     val la = liveKeyGens(spark, path, keyName, factLogical, a)
       .withColumnRenamed("gen", "gen_a")
     val lb = liveKeyGens(spark, path, keyName, factLogical, b)

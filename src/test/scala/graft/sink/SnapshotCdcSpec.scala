@@ -65,6 +65,15 @@ class SnapshotCdcSpec extends SparkSpec {
       assert(changes(dir, b, c).isEmpty)
       // misordered pins refuse loudly
       intercept[IllegalArgumentException](changes(dir, b, a))
+      // an AGED-OUT pin refuses with readAt's clear error, not a raw
+      // missing-file crash mid-job
+      IndexManifest.setRetention(spark, dir,
+        commits = IndexManifest.HistoryKeep)
+      (1 to IndexManifest.HistoryKeep + 2).foreach(_ =>
+        IndexLayout.reserveGen(spark, dir))
+      IndexManifest.pruneHistory(spark, dir)
+      val aged = intercept[IllegalStateException](changes(dir, a, c))
+      assert(aged.getMessage.contains("not retained"))
     } finally org.apache.commons.io.FileUtils
       .deleteQuietly(new java.io.File(dir))
   }
