@@ -355,7 +355,11 @@ object IndexManifest {
     * mutation costs 2 commits (reserve + publish), a streaming
     * micro-batch 4 — a pin that must survive M interleaved mutations
     * needs `commits >= 2M + 1`; a report of bounded runtime can set an
-    * age bound instead and leave `commits` small. Commutable
+    * age bound instead and leave `commits` small. Lowering retention
+    * BELOW the default narrows the stale-reader grace window too (a
+    * reader resolving "the latest" a beat behind the writer depends
+    * on the same retained listing) — keep `commits >= ` the default
+    * unless the age bound covers the gap. Commutable
     * (last-set-wins), so it rides the retrying [[commitWith]]. */
   def setRetention(spark: SparkSession, path: String,
       commits: Int = HistoryKeep, ms: Long = 0L): IndexManifest = {

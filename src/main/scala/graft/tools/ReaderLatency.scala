@@ -96,30 +96,38 @@ object ReaderLatency {
     }, "readerlat-query")
     reader.start()
 
-    // baseline window: enough samples of each mode for a stable p50
-    while (countIn("baseline") < 10 && readerErr.get == null)
-      Thread.sleep(100)
-    phase = "storm"
-    val one = docs.limit(1)
-      .withColumn("text", concat(col("text"), lit(" storm")))
-      .localCheckpoint()
-    val writeTs = (1 to 24).map { _ =>
-      val t0 = System.nanoTime()
-      Retrieval.upsertTfIndex(dir, one)
-      (System.nanoTime() - t0) / 1e9
+    // the storm runs under try/finally: if the writer side throws,
+    // the reader thread must still be stopped (a live non-daemon
+    // query thread would otherwise hang the harness on a shared box)
+    var writeTs: Seq[Double] = Nil
+    var purgeSec = Double.NaN
+    try {
+      // baseline window: enough samples of each mode for a stable p50
+      while (countIn("baseline") < 10 && readerErr.get == null)
+        Thread.sleep(100)
+      phase = "storm"
+      val one = docs.limit(1)
+        .withColumn("text", concat(col("text"), lit(" storm")))
+        .localCheckpoint()
+      writeTs = (1 to 24).map { _ =>
+        val t0 = System.nanoTime()
+        Retrieval.upsertTfIndex(dir, one)
+        (System.nanoTime() - t0) / 1e9
+      }
+      phase = "quiet"
+      while (countIn("quiet") < 12 && readerErr.get == null)
+        Thread.sleep(100)
+      phase = "purge"
+      val purgeT0 = System.nanoTime()
+      Retrieval.purgeTfIndexTombstones(spark, dir)
+      purgeSec = (System.nanoTime() - purgeT0) / 1e9
+      phase = "post-purge"
+      while (countIn("post-purge") < 10 && readerErr.get == null)
+        Thread.sleep(100)
+    } finally {
+      stop = true
+      reader.join()
     }
-    phase = "quiet"
-    while (countIn("quiet") < 12 && readerErr.get == null)
-      Thread.sleep(100)
-    phase = "purge"
-    val purgeT0 = System.nanoTime()
-    Retrieval.purgeTfIndexTombstones(spark, dir)
-    val purgeSec = (System.nanoTime() - purgeT0) / 1e9
-    phase = "post-purge"
-    while (countIn("post-purge") < 10 && readerErr.get == null)
-      Thread.sleep(100)
-    stop = true
-    reader.join()
     if (readerErr.get != null) throw readerErr.get
 
     println(f"[readerlat] storm writer: first-4 avg " +
