@@ -638,6 +638,26 @@ class JpegKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("encodeProgressiveBanded rejects band lists that do not " +
+      "partition 1..63 (gap, overlap, wrong ends, empty) — the " +
+      "≡-single-band guarantee only holds for partitions") {
+    val px = gray(8, 8)((x, y) => x * y)
+    for (bad <- Seq(
+        Seq.empty[(Int, Int)],
+        Seq((2, 63)),            // missing 1
+        Seq((1, 40)),            // missing tail
+        Seq((1, 10), (12, 63)),  // gap
+        Seq((1, 10), (10, 63)),  // overlap
+        Seq((1, 30), (31, 20)),  // ss > se
+        Seq((0, 63))))           // DC is not an AC band
+      intercept[IllegalArgumentException](
+        JpegEncodeKernel.encodeProgressiveBanded(8, 8, 1, px, bad))
+    // and the degenerate full partition is exactly the default script
+    assert(JpegEncodeKernel.encodeProgressiveBanded(8, 8, 1, px,
+        Seq((1, 63)))
+      .sameElements(JpegEncodeKernel.encodeProgressive(8, 8, 1, px)))
+  }
+
   test("FOREIGN progressive stream with EOBn>0 runs decodes: a " +
       "hand-assembled SOF2 file whose AC scans cover all four blocks " +
       "with a single EOB4 (our encoder only ever emits EOB0 — this " +
