@@ -148,23 +148,36 @@ object Retrieval {
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
 
-    // posting lists of the query terms only
-    val matched = tf.join(broadcast(qt), "word")
-    // document frequency per (query, term) over the matched subset
-    val dfreq = matched.groupBy(col("query_id"), col("word"))
-      .agg(count(lit(1)).as("df"))
+    // posting lists of the query terms only. The per-(query, term)
+    // document frequency over the matched subset is BY CONSTRUCTION
+    // the term's full-posting df (every query's match set for a word
+    // is the word's whole posting list), so df and the rounded
+    // contribution are computed ONCE per (word, doc) posting and only
+    // then expanded to query ids — the log/round expression and the
+    // df aggregation run |postings of query words| times instead of
+    // |queries × postings| times (guide §2.3 "aggregate before you
+    // shuffle" / §8 "decide on the proxy, expand last"; values are
+    // bit-identical — optimization round 19, q274 12.0 s → measured
+    // after). qt stays the join's small side, broadcast after the
+    // contribs exist.
+    val qw = qt.select(col("word")).distinct()
+    val tfq = tf.join(broadcast(qw), "word")
+    val dfreq = tfq.groupBy(col("word")).agg(count(lit(1)).as("df"))
 
-    matched
-      .join(broadcast(dfreq), Seq("query_id", "word"))
+    tfq
+      .join(broadcast(dfreq), Seq("word"))
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
-      .select(col("query_id"), col("word"), col("doc_id"),
+      .select(col("word"), col("doc_id"),
         round(
           log(lit(1.0) + (col("n_docs").cast("double") - col("df") + lit(0.5))
             / (col("df") + lit(0.5))) *
           (col("tf") * lit(k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))),
           6).cast("decimal(20,6)").as("contrib"))
+      .join(broadcast(qt), "word")
+      .select(col("query_id"), col("word"), col("doc_id"),
+        col("contrib"))
   }
 
   /** Shared scoring core: broadcastable distinct query-term frame
@@ -557,12 +570,16 @@ object Retrieval {
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val dfreq = postings.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    // contrib is query-independent: compute the rounded expression on
+    // the (word, doc) posting frame ONCE, expand to query ids after
+    // (same argument as [[bm25Contribs]] — values bit-identical,
+    // |postings| instead of |queries × postings| expression
+    // evaluations; optimization round 19)
     val contribs = postings
       .join(dfreq, Seq("word"))
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
-      .join(broadcast(qt), "word")
-      .select(col("query_id"), col("doc_id"),
+      .select(col("word"), col("doc_id"),
         round(
           log(lit(1.0) +
             (col("n_docs").cast("double") - col("df") + lit(0.5))
@@ -571,6 +588,8 @@ object Retrieval {
           (col("tf") + lit(k1) *
             (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))),
           6).cast("decimal(20,6)").as("contrib"))
+      .join(broadcast(qt), "word")
+      .select(col("query_id"), col("doc_id"), col("contrib"))
     rankTopK(
       contribs.groupBy(col("query_id"), col("doc_id"))
         .agg(sum(col("contrib")).cast("double").as("score")),

@@ -57,13 +57,36 @@ object TextOps {
 
   /** JVM-side twin of [[hash60]] for deriving hash-family constants that
     * get inlined as literals into both the Spark plan and the oracle SQL.
+    *
+    * Also the per-row kernel of [[graft.functions.BloomKernel.probe]],
+    * so it must be cheap: the first 15 hex chars of an md5 are exactly
+    * the top 60 bits of the digest, i.e. (first 8 bytes as a big-endian
+    * long) >>> 4 — computed directly from the digest bytes on a
+    * thread-local reused MessageDigest (the [[graft.functions
+    * .WinnowKernelImpl]] / ClassifierKernel discipline) instead of
+    * per-call `getInstance` + per-byte "%02x".format + parseLong, which
+    * profiled as the dominant cost of every Bloom probe (optimization
+    * round 19). Value is bit-identical to the hex/parseLong form.
     */
-  def hash60Const(s: String): Long =
-    java.lang.Long.parseLong(md5HexConst(s).substring(0, 15), 16)
+  private val md5Tl = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
 
-  def md5HexConst(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  def hash60Const(s: String): Long = {
+    val md = md5Tl.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var b = 0
+    while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+    v >>> 4
+  }
+
+  def md5HexConst(s: String): String = {
+    val md = md5Tl.get()
+    md.reset()
+    md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
 
   /** Count of tokens (with multiplicity) that appear in a marker set —
     * the building block of the n-gram/stopword language-ID heuristic.
