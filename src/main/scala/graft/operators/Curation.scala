@@ -157,8 +157,7 @@ object Curation {
       (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val rateDf = rates.toSeq.toDF(strataCol, "pct")
-    val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 15),
-      16, 10).cast("long") % 100
+    val bucket = TextOps.hash60(col(keyCol).cast("string")) % 100
     df.join(broadcast(rateDf), Seq(strataCol), "left")
       .withColumn("pct", coalesce(col("pct"), lit(defaultPct)))
       .withColumn("sample_keep", bucket < col("pct"))

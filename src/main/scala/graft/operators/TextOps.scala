@@ -51,9 +51,16 @@ object TextOps {
   /** Deterministic 60-bit hash: first 15 hex chars of md5, as BIGINT.
     * Oracle twin: CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT).
     * (60 bits so XOR-derived hash families stay positive in BIGINT.)
+    *
+    * Evaluated by the native [[graft.functions.Hash60Kernel]] (direct
+    * digest-bytes → BIGINT on a reused MessageDigest) instead of the
+    * declarative `conv(substring(md5(c),1,15),16,10)` chain, which
+    * paid a fresh getInstance + hex encode + substring + radix parse
+    * per row — bit-identical values (Hash60KernelSpec), optimization
+    * round 19.
     */
   def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.functions.Hash60Kernel.hash60Col(c)
 
   /** JVM-side twin of [[hash60]] for deriving hash-family constants that
     * get inlined as literals into both the Spark plan and the oracle SQL.

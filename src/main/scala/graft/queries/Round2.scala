@@ -195,8 +195,8 @@ object Round2 {
     QueryDef("q57_hash_sample",
       (s, dir) => {
         val docs = t("documents")(s, dir)
-        val bucket = conv(substring(md5(col("doc_id").cast("string")),
-          1, 15), 16, 10).cast("long") % 100
+        val bucket = graft.operators.TextOps.hash60(
+          col("doc_id").cast("string")) % 100
         docs.withColumn("b", bucket)
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_total"),
