@@ -256,7 +256,17 @@ object Eval {
     val topk = ranked.where(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("rank").cast("long")
         .as("rank"))
+    // materialize the deduped truth ONCE: it feeds two independent
+    // consumers (n_rel aggregation + the hit join), and without a
+    // checkpoint each evaluates the whole truth subtree from scratch —
+    // for the q274-family pseudo-relevance truth that subtree is a
+    // |queries × postings| expansion, measured as the two largest
+    // stages of q274/q321 (3-6 s each; optimization round 19, guide
+    // §5 "caching is worth it when a DataFrame is reused and
+    // recomputation is expensive"). Truth sets are (query, doc) pairs
+    // — bounded by hits, not the corpus.
     val tr = truth.select(col("query_id"), col("doc_id")).distinct()
+      .localCheckpoint()
     val nrel = tr.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_rel"))
     val perQ = topk.join(tr, Seq("query_id", "doc_id"))

@@ -88,6 +88,23 @@ object Retrieval {
         keep = Seq("doc_id"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
+      // pin cluster-wide parallelism BEFORE the checkpoint: AQE sizes
+      // the aggregation's output by BYTES (a few MB ⇒ 1-2 partitions)
+      // and localCheckpoint freezes that choice into the artifact —
+      // but the consumers EXPAND this frame (per-posting contrib
+      // expression × query fan-out), so a byte-sized partitioning
+      // serializes the expensive downstream stage onto one core
+      // (measured: q274's contrib stage = 5.5 s on ONE task of 32
+      // available; optimization round 19, guide §2.5 "repartition
+      // after the read" / §1.2 "choose a partitioning"). The floor is
+      // max(defaultParallelism, shuffle.partitions) — both are the
+      // deployment's own scale knobs, no constant baked in; at a size
+      // where this floor would SHRINK the natural width, the artifact
+      // belongs in the parquet-backed registry (ArtifactRegistry
+      // scaladoc), not an executor-memory checkpoint.
+      .repartition(math.max(
+        docs.sparkSession.sparkContext.defaultParallelism,
+        docs.sparkSession.sessionState.conf.numShufflePartitions))
       .localCheckpoint()
 
   /** BM25 with a DataFrame query set `(query_id, qtext)` — the
@@ -279,9 +296,19 @@ object Retrieval {
   def writeBm25Index(index: DataFrame, path: String,
       wordBuckets: Int = 512): Unit = {
     require(wordBuckets >= 1)
+    // materialize the index expression ONCE: both outputs (postings
+    // tree + ub metadata) consume the same contrib frame, and the
+    // frame is the expensive part (tf joins + per-posting log) — the
+    // previous shape re-derived it per write (two ~5 s evaluations in
+    // q321; optimization round 19). Repartition ON the bucket column
+    // before the partitioned write — one file per bucket instead of
+    // (#tasks × #buckets) tiny files (the IndexLayout.writeFacts
+    // discipline, guide §6 "small files hurt twice").
     val withB = index.withColumn("wbucket",
-      pmod(xxhash64(col("word")), lit(wordBuckets.toLong)))
-    withB.write.mode("overwrite").partitionBy("wbucket")
+        pmod(xxhash64(col("word")), lit(wordBuckets.toLong)))
+      .localCheckpoint()
+    withB.repartition(col("wbucket"))
+      .write.mode("overwrite").partitionBy("wbucket")
       .parquet(s"$path/postings")
     withB.groupBy(col("word"), col("wbucket"))
       .agg(max(col("contrib")).as("ub"))

@@ -55,7 +55,14 @@ object Round11f {
     val qw = docQueryBatch(s, dir).select(col("query_id"),
       explode(TextOps.words(col("qtext"))).as("word")).distinct()
     val dw = Round9b.sharedTf(s, dir).select(col("doc_id"), col("word"))
-    qw.join(dw, "word")
+    // dw is the BIG side (corpus postings, parallel artifact); qw is
+    // query-batch-sized. Broadcasting qw keeps the |q × postings|
+    // expansion + partial aggregation on dw's partitioning — the
+    // planner's own choice broadcast the 11 MB dw side into qw's
+    // one coalesced post-distinct partition, serializing a 4 s
+    // expansion onto one core (measured; optimization round 19,
+    // guide §3.1 "check the build side").
+    dw.join(broadcast(qw), "word")
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("ov"))
       .where(col("ov") >= 4)

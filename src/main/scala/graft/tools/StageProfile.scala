@@ -27,18 +27,23 @@ object StageProfile {
     spark.sparkContext.setLogLevel("WARN")
 
     val all = graft.SparkEntry.queries
-    val name = all.keys.find(_ == name0)
-      .orElse(all.keys.find(_.startsWith(name0))).getOrElse {
-        System.err.println(s"[stageprofile] no query matches '$name0'")
-        return
+    val names = name0.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .flatMap { n =>
+        val r = all.keys.find(_ == n).orElse(all.keys.find(_.startsWith(n)))
+        if (r.isEmpty)
+          System.err.println(s"[stageprofile] no query matches '$n'")
+        r
       }
-    val fn = all(name)
+    if (names.isEmpty) return
 
     // warm pass on the small dir (Bench methodology)
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       "/root/testdata/sf0.001")
-    try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    names.foreach { name =>
+      try all(name)(spark, warmDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     spark.catalog.clearCache()
 
     final case class St(id: Int, nm: String, ms: Long, tasks: Int,
@@ -60,28 +65,31 @@ object StageProfile {
       }
     }
 
-    (1 to reps).foreach { r =>
-      stages.clear()
-      spark.sparkContext.addSparkListener(listener)
-      spark.sparkContext.setJobDescription(s"$name rep$r")
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      // drain listener events before reading (the bus is async; the
-      // private waitUntilEmpty is not accessible — a short sleep after
-      // the job completes is enough for stage-completed events)
-      Thread.sleep(300)
-      spark.sparkContext.removeSparkListener(listener)
-      import scala.jdk.CollectionConverters._
-      val ss = stages.asScala.toSeq.sortBy(-_.ms)
-      val sumMs = ss.map(_.ms).sum
-      println(f"%n[stageprofile] $name rep$r wall=$dt%.3f s  " +
-        f"stage-sum=${sumMs / 1000.0}%.3f s  stages=${ss.size}")
-      ss.take(25).foreach { s =>
-        println(f"  stage ${s.id}%4d ${s.ms}%6d ms cpu=${s.cpuMs}%6d ms " +
-          f"tasks=${s.tasks}%3d in=${s.inMb}%8.2f MB sr=${s.srMb}%8.2f " +
-          f"sw=${s.swMb}%8.2f  ${s.nm.take(60)}")
+    names.foreach { name =>
+      val fn = all(name)
+      (1 to reps).foreach { r =>
+        stages.clear()
+        spark.sparkContext.addSparkListener(listener)
+        spark.sparkContext.setJobDescription(s"$name rep$r")
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        // drain listener events before reading (the bus is async; the
+        // private waitUntilEmpty is not accessible — a short sleep
+        // after the job completes is enough for stage-completed events)
+        Thread.sleep(300)
+        spark.sparkContext.removeSparkListener(listener)
+        import scala.jdk.CollectionConverters._
+        val ss = stages.asScala.toSeq.sortBy(-_.ms)
+        val sumMs = ss.map(_.ms).sum
+        println(f"%n[stageprofile] $name rep$r wall=$dt%.3f s  " +
+          f"stage-sum=${sumMs / 1000.0}%.3f s  stages=${ss.size}")
+        if (r == reps) ss.take(22).foreach { s =>
+          println(f"  stage ${s.id}%4d ${s.ms}%6d ms cpu=${s.cpuMs}%6d ms " +
+            f"tasks=${s.tasks}%3d in=${s.inMb}%8.2f MB sr=${s.srMb}%8.2f " +
+            f"sw=${s.swMb}%8.2f  ${s.nm.take(60)}")
+        }
       }
     }
     spark.stop()
