@@ -537,17 +537,20 @@ object Dedup {
     // (#tasks × #buckets) tiny files — the listing cost of the latter
     // dominates every subsequent read (measured 9.2 s → sub-second
     // query overhead at sf0.01 ×32)
-    graft.sink.IndexLayout.writeFacts(
-      sh.withColumn("sbucket",
-        pmod(col("s"), lit(shingleBuckets.toLong))),
-      path, "postings", "sbucket")
-    graft.sink.IndexLayout.writeFlatFacts(
-      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")),
-      path, "docs")
-    docs.sparkSession.range(1)
-      .select(lit(shingleBuckets).as("n_buckets"),
-        lit(n).as("shingle_n"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // three independent jobs off one checkpointed shingle frame —
+    // overlap them (guide §2.6; IndexLayout.inParallel)
+    graft.sink.IndexLayout.inParallel(
+      () => graft.sink.IndexLayout.writeFacts(
+        sh.withColumn("sbucket",
+          pmod(col("s"), lit(shingleBuckets.toLong))),
+        path, "postings", "sbucket"),
+      () => graft.sink.IndexLayout.writeFlatFacts(
+        sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")),
+        path, "docs"),
+      () => docs.sparkSession.range(1)
+        .select(lit(shingleBuckets).as("n_buckets"),
+          lit(n).as("shingle_n"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta"))
   }
 
   /** APPEND a document increment to a [[writeShingleIndex]] artifact:
@@ -582,9 +585,12 @@ object Dedup {
     // upsert whole or not at all ([[graft.sink.IndexLayout
     // .publishGen]])
     val g = graft.sink.IndexLayout.reserveGen(spark, path)
-    graft.sink.IndexLayout.appendTombstones(
-      docs.select(col(idCol)), path, "doc_id", g)
-    appendShingleFacts(path, docs, idCol, textCol, g)
+    // tombstone and fact writes are independent between the same
+    // reserve/publish pair — overlap them (guide §2.6)
+    graft.sink.IndexLayout.inParallel(
+      () => graft.sink.IndexLayout.appendTombstones(
+        docs.select(col(idCol)), path, "doc_id", g),
+      () => appendShingleFacts(path, docs, idCol, textCol, g))
     graft.sink.IndexLayout.publishGen(spark, path, g)
   }
 
@@ -592,19 +598,20 @@ object Dedup {
       newDocs: DataFrame, idCol: String, textCol: String,
       gen: Long): Unit = {
     val spark = newDocs.sparkSession
-    val meta = spark.read.parquet(s"$path/meta")
-      .select(col("n_buckets"), col("shingle_n")).collect()(0)
-    val (nBuckets, n) = (meta.getInt(0), meta.getInt(1))
+    val meta = graft.sink.IndexLayout.metaRow(spark, path)
+    val (nBuckets, n) =
+      (meta.getAs[Int]("n_buckets"), meta.getAs[Int]("shingle_n"))
     val sh = hashedShingleSet(newDocs.select(col(idCol), col(textCol)),
         idCol, textCol, n, cache = false)
       .withColumnRenamed("h", "s")
       .localCheckpoint()
-    graft.sink.IndexLayout.appendFacts(
-      sh.withColumn("sbucket", pmod(col("s"), lit(nBuckets.toLong))),
-      path, "postings", "sbucket", gen)
-    graft.sink.IndexLayout.appendFlatFacts(
-      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")),
-      path, "docs", gen)
+    graft.sink.IndexLayout.inParallel(
+      () => graft.sink.IndexLayout.appendFacts(
+        sh.withColumn("sbucket", pmod(col("s"), lit(nBuckets.toLong))),
+        path, "postings", "sbucket", gen),
+      () => graft.sink.IndexLayout.appendFlatFacts(
+        sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")),
+        path, "docs", gen))
   }
 
   /** DELETE documents from a [[writeShingleIndex]] artifact — the
@@ -1050,13 +1057,14 @@ object Dedup {
     graft.sink.IndexLayout.freshLayout(docs.sparkSession, path)
     val fp = winnowedFingerprints(docs.select(col(idCol), col(textCol)),
       idCol, textCol, k, w).localCheckpoint()
-    graft.sink.IndexLayout.writeFacts(
-      fp.withColumn("fbucket", pmod(col("h"), lit(fpBuckets.toLong))),
-      path, "postings", "fbucket")
-    docs.sparkSession.range(1)
-      .select(lit(fpBuckets).as("n_buckets"), lit(k).as("k"),
-        lit(w).as("w"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    graft.sink.IndexLayout.inParallel(
+      () => graft.sink.IndexLayout.writeFacts(
+        fp.withColumn("fbucket", pmod(col("h"), lit(fpBuckets.toLong))),
+        path, "postings", "fbucket"),
+      () => docs.sparkSession.range(1)
+        .select(lit(fpBuckets).as("n_buckets"), lit(k).as("k"),
+          lit(w).as("w"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta"))
   }
 
   /** APPEND a document increment to a [[writeFingerprintIndex]]
@@ -1079,22 +1087,22 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val spark = docs.sparkSession
     val g = graft.sink.IndexLayout.reserveGen(spark, path)
-    graft.sink.IndexLayout.appendTombstones(
-      docs.select(col(idCol)), path, "doc_id", g)
-    appendFingerprintFacts(path, docs, idCol, textCol, g)
+    graft.sink.IndexLayout.inParallel(
+      () => graft.sink.IndexLayout.appendTombstones(
+        docs.select(col(idCol)), path, "doc_id", g),
+      () => appendFingerprintFacts(path, docs, idCol, textCol, g))
     graft.sink.IndexLayout.publishGen(spark, path, g)
   }
 
   private[graft] def appendFingerprintFacts(path: String, newDocs: DataFrame,
       idCol: String, textCol: String, gen: Long): Unit = {
     val spark = newDocs.sparkSession
-    val meta = spark.read.parquet(s"$path/meta")
-      .select(col("n_buckets"), col("k"), col("w")).collect()(0)
+    val meta = graft.sink.IndexLayout.metaRow(spark, path)
     graft.sink.IndexLayout.appendFacts(
       winnowedFingerprints(newDocs.select(col(idCol), col(textCol)),
-          idCol, textCol, meta.getInt(1), meta.getInt(2))
+          idCol, textCol, meta.getAs[Int]("k"), meta.getAs[Int]("w"))
         .withColumn("fbucket",
-          pmod(col("h"), lit(meta.getInt(0).toLong))),
+          pmod(col("h"), lit(meta.getAs[Int]("n_buckets").toLong))),
       path, "postings", "fbucket", gen)
   }
 

@@ -82,30 +82,34 @@ object Retrieval {
     * sparse arm reuses it).
     */
   def termFrequencies(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    TextOps.wordRows(
+      textCol: String, wide: Boolean = false): DataFrame = {
+    val agg = TextOps.wordRows(
         docs.select(col(idCol).as("doc_id"), col(textCol)), textCol,
         keep = Seq("doc_id"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
-      // pin cluster-wide parallelism BEFORE the checkpoint: AQE sizes
-      // the aggregation's output by BYTES (a few MB ⇒ 1-2 partitions)
-      // and localCheckpoint freezes that choice into the artifact —
-      // but the consumers EXPAND this frame (per-posting contrib
-      // expression × query fan-out), so a byte-sized partitioning
-      // serializes the expensive downstream stage onto one core
-      // (measured: q274's contrib stage = 5.5 s on ONE task of 32
-      // available; optimization round 19, guide §2.5 "repartition
-      // after the read" / §1.2 "choose a partitioning"). The floor is
-      // max(defaultParallelism, shuffle.partitions) — both are the
-      // deployment's own scale knobs, no constant baked in; at a size
-      // where this floor would SHRINK the natural width, the artifact
-      // belongs in the parquet-backed registry (ArtifactRegistry
-      // scaladoc), not an executor-memory checkpoint.
-      .repartition(math.max(
+    // `wide` pins cluster-wide parallelism BEFORE the checkpoint: AQE
+    // sizes the aggregation's output by BYTES (a corpus tf is a few
+    // MB ⇒ 1-2 partitions) and localCheckpoint freezes that choice
+    // into the artifact — but the scoring consumers EXPAND this frame
+    // (per-posting contrib expression × query fan-out), so a
+    // byte-sized partitioning serializes the expensive downstream
+    // stage onto one core (measured: q274's contrib stage = 5.5 s on
+    // ONE task of 32 available; optimization round 19, guide §2.5 /
+    // §1.2 "choose a partitioning"). The floor is
+    // max(defaultParallelism, shuffle.partitions) — the deployment's
+    // own scale knobs, no constant baked in. Callers building
+    // MICRO-BATCH increments (appendTfFacts) keep the default narrow
+    // shape: blowing a few-row increment to cluster width costs more
+    // in task/file overhead than it buys (measured: q353's per-batch
+    // ingest 2× slower wide), and nothing expands an increment's tf.
+    val shaped =
+      if (wide) agg.repartition(math.max(
         docs.sparkSession.sparkContext.defaultParallelism,
         docs.sparkSession.sessionState.conf.numShufflePartitions))
-      .localCheckpoint()
+      else agg
+    shaped.localCheckpoint()
+  }
 
   /** BM25 with a DataFrame query set `(query_id, qtext)` — the
     * dynamic twin of [[bm25TopK]] for doc-as-query retrieval (hybrid
@@ -158,7 +162,7 @@ object Retrieval {
     // the caller's shared artifact (charged to its own build row)
     val tf = prebuiltTf.getOrElse(
       termFrequencies(docs.select(col(idCol), col(textCol)),
-        idCol, textCol))
+        idCol, textCol, wide = true))
 
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     // N + avgdl as a one-row broadcast (no driver collect)
@@ -228,7 +232,7 @@ object Retrieval {
       tf: Option[DataFrame] = None): DataFrame = {
     val tfF = tf.getOrElse(
       termFrequencies(docs.select(col(idCol), col(textCol)),
-        idCol, textCol))
+        idCol, textCol, wide = true))
     val dl = tfF.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
@@ -375,16 +379,19 @@ object Retrieval {
     graft.sink.IndexLayout.freshLayout(docs.sparkSession, path)
     val tfF = tf.getOrElse(termFrequencies(
       docs.select(col(idCol), col(textCol)), idCol, textCol))
-    graft.sink.IndexLayout.writeFacts(
-      tfF.withColumn("wbucket",
-        pmod(xxhash64(col("word")), lit(wordBuckets.toLong))),
-      path, "postings", "wbucket")
-    graft.sink.IndexLayout.writeFlatFacts(
-      tfF.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")),
-      path, "docs")
-    docs.sparkSession.range(1)
-      .select(lit(wordBuckets).as("n_buckets"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // the three outputs are independent jobs off one checkpointed tf
+    // frame — overlap them (guide §2.6; IndexLayout.inParallel)
+    graft.sink.IndexLayout.inParallel(
+      () => graft.sink.IndexLayout.writeFacts(
+        tfF.withColumn("wbucket",
+          pmod(xxhash64(col("word")), lit(wordBuckets.toLong))),
+        path, "postings", "wbucket"),
+      () => graft.sink.IndexLayout.writeFlatFacts(
+        tfF.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")),
+        path, "docs"),
+      () => docs.sparkSession.range(1)
+        .select(lit(wordBuckets).as("n_buckets"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta"))
   }
 
   /** APPEND a document increment to a [[writeTfIndex]] artifact — the
@@ -429,9 +436,12 @@ object Retrieval {
     // publish-last makes the whole upsert READER-ATOMIC: tombstones
     // and facts stay invisible until one watermark commit flips both
     val g = graft.sink.IndexLayout.reserveGen(spark, path)
-    graft.sink.IndexLayout.appendTombstones(
-      docs.select(col(idCol)), path, "doc_id", g)
-    appendTfFacts(path, docs, idCol, textCol, tf, g)
+    // tombstone and fact writes land in distinct dirs between the
+    // same reserve/publish pair — overlap them (guide §2.6)
+    graft.sink.IndexLayout.inParallel(
+      () => graft.sink.IndexLayout.appendTombstones(
+        docs.select(col(idCol)), path, "doc_id", g),
+      () => appendTfFacts(path, docs, idCol, textCol, tf, g))
     graft.sink.IndexLayout.publishGen(spark, path, g)
   }
 
@@ -442,17 +452,18 @@ object Retrieval {
       idCol: String, textCol: String, tf: Option[DataFrame],
       gen: Long): Unit = {
     val spark = newDocs.sparkSession
-    val nBuckets = spark.read.parquet(s"$path/meta")
-      .select(col("n_buckets")).collect()(0).getInt(0)
+    val nBuckets = graft.sink.IndexLayout.metaRow(spark, path)
+      .getAs[Int]("n_buckets")
     val tfF = tf.getOrElse(termFrequencies(
       newDocs.select(col(idCol), col(textCol)), idCol, textCol))
-    graft.sink.IndexLayout.appendFacts(
-      tfF.withColumn("wbucket",
-        pmod(xxhash64(col("word")), lit(nBuckets.toLong))),
-      path, "postings", "wbucket", gen)
-    graft.sink.IndexLayout.appendFlatFacts(
-      tfF.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")),
-      path, "docs", gen)
+    graft.sink.IndexLayout.inParallel(
+      () => graft.sink.IndexLayout.appendFacts(
+        tfF.withColumn("wbucket",
+          pmod(xxhash64(col("word")), lit(nBuckets.toLong))),
+        path, "postings", "wbucket", gen),
+      () => graft.sink.IndexLayout.appendFlatFacts(
+        tfF.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")),
+        path, "docs", gen))
   }
 
   /** DELETE documents from a [[writeTfIndex]] artifact — the
@@ -561,8 +572,8 @@ object Retrieval {
     // a mixed pre/post view ([[graft.sink.IndexManifest]])
     val man = pinned.orElse(graft.sink.IndexManifest.read(spark, path))
     def sub(l: String) = graft.sink.IndexLayout.dir(path, man, l)
-    val nBuckets = spark.read.parquet(s"$path/meta")
-      .select(col("n_buckets")).collect()(0).getInt(0)
+    val nBuckets = graft.sink.IndexLayout.metaRow(spark, path)
+      .getAs[Int]("n_buckets")
     val qt = queryTerms(spark, queries)
     val words = queries.flatMap(_._2.toLowerCase.split("\\s+"))
       .filter(_.nonEmpty).distinct

@@ -42,11 +42,11 @@ object Round9b {
   private def buildTf(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     tfReg.rebuild(s, dir)(Retrieval.termFrequencies(
-      t("documents")(s, dir), "doc_id", "text"))
+      t("documents")(s, dir), "doc_id", "text", wide = true))
   private[queries] def sharedTf(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     tfReg.getOrBuild(s, dir)(Retrieval.termFrequencies(
-      t("documents")(s, dir), "doc_id", "text"))
+      t("documents")(s, dir), "doc_id", "text", wide = true))
 
   /** HLL register→estimate oracle CTE chain over a source CTE
     * `src(k)`, prefixed so several sketches compose in one query

@@ -83,6 +83,63 @@ object IndexLayout {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
+  /** Run independent Spark write jobs CONCURRENTLY from driver
+    * threads (guide §2.6 "overlap independent jobs": actions are only
+    * sequential because driver code calls them sequentially — one
+    * job's task tail backfills executors freed by the other). Used by
+    * the index mutation paths whose postings/docs/tombstone writes
+    * land in DISTINCT directories off one materialized frame; the
+    * manifest commit ordering (reserve → writes → publish) is
+    * unchanged — this only overlaps the writes between those two
+    * commits. Rethrows the first failure after all jobs settle
+    * (a half-written mutation is exactly the crash window the
+    * generation protocol already self-heals). Unbounded daemon pool:
+    * callers nest (an upsert overlaps its tombstone write with a
+    * facts append that itself overlaps two appends), and a bounded
+    * pool would deadlock on the inner Await. */
+  private lazy val writePool =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-index-write")
+        t.setDaemon(true)
+        t
+      }))
+
+  def inParallel(jobs: (() => Unit)*): Unit = {
+    if (jobs.sizeIs <= 1) { jobs.foreach(_.apply()); return }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = writePool
+    val fs = jobs.map(j => Future(j()))
+    // settle ALL before rethrowing: a thrown-through sibling write
+    // racing the caller's cleanup would be a new failure mode
+    val settled = Future.sequence(fs.map(_.transform(t =>
+      scala.util.Success(t))))
+    val results = Await.result(settled, Duration.Inf)
+    results.foreach(_.get)
+  }
+
+  /** The one-row `path/meta` table of an index layout, cached
+    * driver-side by canonical path: meta is immutable for the life of
+    * a layout (written once by the family's write*Index right after
+    * [[freshLayout]], never by mutations), but every micro-batch
+    * append was re-reading it as a one-task Spark job — pure per-batch
+    * overhead at streaming cadence (optimization round 19).
+    * [[freshLayout]] invalidates, so a rebuild with different
+    * parameters is never served stale values. */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.Row]()
+
+  private def canonical(path: String): String =
+    try new java.io.File(path).getCanonicalPath
+    catch { case _: Throwable => path }
+
+  def metaRow(spark: SparkSession, path: String)
+      : org.apache.spark.sql.Row =
+    metaCache.computeIfAbsent(canonical(path),
+      _ => spark.read.parquet(s"$path/meta").collect()(0))
+
   /** Resolve a logical subtree against an already-read manifest
     * snapshot (readers read the manifest ONCE and resolve everything
     * from it — piecemeal resolution could mix two snapshots across a
@@ -278,6 +335,7 @@ object IndexLayout {
     * pre-manifest leftovers and orphaned staging trees go too. */
   def freshLayout(spark: SparkSession, path: String,
       sideLogicals: Seq[String] = Nil): Unit = {
+    metaCache.remove(canonical(path)) // rebuilds may change meta
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(root)) {
