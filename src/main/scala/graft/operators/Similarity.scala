@@ -309,10 +309,12 @@ object Similarity {
     // results (and the oracle) are unchanged while the per-pair work drops
     // to a single dot product.
     val q = queries.select(col(idCol).as("query_id"),
-      col(embCol).as("q_emb"), sqrt(norm2(col(embCol))).as("q_nrm"))
+      darr(col(embCol)).as("q_emb"),
+      sqrt(norm2(col(embCol))).as("q_nrm"))
     val c = graft.Tables.rebalance(
       candidates.select(col(idCol).as("neighbor_id"),
-        col(embCol).as("c_emb"), sqrt(norm2(col(embCol))).as("c_nrm")))
+        darr(col(embCol)).as("c_emb"),
+        sqrt(norm2(col(embCol))).as("c_nrm")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("q_emb"), col("c_emb")) /
@@ -406,16 +408,18 @@ object Similarity {
         trainedCentroids(df, nCentroids, trainIters, idCol, embCol)
       else seedCentroids(df, nCentroids, idCol, embCol)
     val assigned = assignCells(df, cen, idCol, embCol)
-      .select(col("id").as("neighbor_id"), col("e").as("c_emb"),
+      .select(col("id").as("neighbor_id"), darr(col("e")).as("c_emb"),
         col("nrm").as("c_nrm"), col("cell"))
     val q = df.select(col(idCol).as("query_id"),
-      col(embCol).as("q_emb"), sqrt(norm2(col(embCol))).as("q_nrm"))
+      darr(col(embCol)).as("q_emb"),
+      sqrt(norm2(col(embCol))).as("q_nrm"))
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("psim").desc, col("cen_id"))
-    val probes = q.join(broadcast(cen), lit(true))
+    val probes = q.join(broadcast(
+        cen.withColumn("_cend", darr(col("cen_e")))), lit(true))
       .select(col("query_id"), col("q_emb"), col("q_nrm"),
         col("cen_id"),
-        round(dot(col("q_emb"), col("cen_e")) /
+        round(dot(col("q_emb"), col("_cend")) /
           (col("q_nrm") * col("cen_nrm")), 6).as("psim"))
       .withColumn("r", row_number().over(wProbe))
       .filter(col("r") <= nprobe)
@@ -456,7 +460,7 @@ object Similarity {
       emb: DataFrame, idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val e = emb.select(col(idCol).cast("long").as("id"),
-      col(embCol).as("e"), sqrt(norm2(col(embCol))).as("nrm"))
+      darr(col(embCol)).as("e"), sqrt(norm2(col(embCol))).as("nrm"))
     // symmetrize once: per-side top-1 needs both directions of each
     // undirected candidate pair
     val undirected = pairs
@@ -495,10 +499,12 @@ object Similarity {
   private def crossScores(left: DataFrame, right: DataFrame,
       idCol: String, embCol: String): DataFrame = {
     val l = left.select(col(idCol).as("left_id"),
-      col(embCol).as("l_emb"), sqrt(norm2(col(embCol))).as("l_nrm"))
+      darr(col(embCol)).as("l_emb"),
+      sqrt(norm2(col(embCol))).as("l_nrm"))
     val r = graft.Tables.rebalance(
       right.select(col(idCol).as("right_id"),
-        col(embCol).as("r_emb"), sqrt(norm2(col(embCol))).as("r_nrm")))
+        darr(col(embCol)).as("r_emb"),
+        sqrt(norm2(col(embCol))).as("r_nrm")))
     r.join(broadcast(l), lit(true))
       .select(col("left_id"), col("right_id"),
         round(dot(col("l_emb"), col("r_emb")) /
@@ -647,9 +653,11 @@ object Similarity {
     require(k >= 1, "k must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val l = left.select(col(idCol).as("left_id"),
-      col(embCol).as("l_emb"), sqrt(norm2(col(embCol))).as("l_nrm"))
+      darr(col(embCol)).as("l_emb"),
+      sqrt(norm2(col(embCol))).as("l_nrm"))
     val r = right.select(col(idCol).as("right_id"),
-      col(embCol).as("r_emb"), sqrt(norm2(col(embCol))).as("r_nrm"))
+      darr(col(embCol)).as("r_emb"),
+      sqrt(norm2(col(embCol))).as("r_nrm"))
     val scored = pairs
       .select(col("left_id").cast("long").as("left_id"),
         col("right_id").cast("long").as("right_id"))
@@ -1119,12 +1127,21 @@ object Similarity {
     */
   def assignCells(candidates: DataFrame, cen: DataFrame,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    // shadow-cast both sides to array<double> ONCE PER ROW before the
+    // per-(vector, centroid) cross join: the dot kernel's internal
+    // float→double cast otherwise allocates two fresh arrays per PAIR
+    // (N·k allocations per assignment pass — the dominant CPU of the
+    // k-means iterations; optimization round 19, guide §4). The
+    // OUTPUT `e` keeps the caller's original element type — consumers
+    // persist and re-derive from it, so its schema must not drift.
     val c = graft.Tables.rebalance(
       candidates.select(col(idCol).as("id"),
         col(embCol).as("e"), sqrt(norm2(col(embCol))).as("nrm")))
-    c.join(broadcast(cen), lit(true))
+      .withColumn("_ed", darr(col("e")))
+    val cenD = cen.withColumn("_cend", darr(col("cen_e")))
+    c.join(broadcast(cenD), lit(true))
       .select(col("id"), col("e"), col("nrm"), col("cen_id"),
-        round(dot(col("e"), col("cen_e")) /
+        round(dot(col("_ed"), col("_cend")) /
           (col("nrm") * col("cen_nrm")), 6).as("csim"))
       .groupBy(col("id"))
       .agg(max_by(
@@ -1156,15 +1173,17 @@ object Similarity {
         trainedCentroids(candidates, nCentroids, trainIters, idCol, embCol)
       else seedCentroids(candidates, nCentroids, idCol, embCol)
     val assigned = assignCells(candidates, cen, idCol, embCol)
-      .select(col("id").as("neighbor_id"), col("e").as("c_emb"),
+      .select(col("id").as("neighbor_id"), darr(col("e")).as("c_emb"),
         col("nrm").as("c_nrm"), col("cell"))
     val q = queries.select(col(idCol).as("query_id"),
-      col(embCol).as("q_emb"), sqrt(norm2(col(embCol))).as("q_nrm"))
+      darr(col(embCol)).as("q_emb"),
+      sqrt(norm2(col(embCol))).as("q_nrm"))
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("psim").desc, col("cen_id"))
-    val probes = q.join(broadcast(cen), lit(true))
+    val probes = q.join(broadcast(
+        cen.withColumn("_cend", darr(col("cen_e")))), lit(true))
       .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cen_id"),
-        round(dot(col("q_emb"), col("cen_e")) /
+        round(dot(col("q_emb"), col("_cend")) /
           (col("q_nrm") * col("cen_nrm")), 6).as("psim"))
       .withColumn("r", row_number().over(wProbe))
       .filter(col("r") <= nprobe)
@@ -1242,9 +1261,13 @@ object Similarity {
     val ap = a.repartition(np, col("cell"))
     // "y has a lower-id near-identical neighbor x in its cell" ⇒ y is
     // the redundant copy; distinct because several x may witness it.
-    val dups = ap.as("x").join(ap.as("y"),
+    // cast to array<double> once per row per side, not per pair
+    // (the dot kernel's implicit cast allocates per evaluation)
+    val apd = ap.select(col("id"), col("cell"), col("nrm"),
+      darr(col("e")).as("_ed"))
+    val dups = apd.as("x").join(apd.as("y"),
         col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
-      .filter(round(dot(col("x.e"), col("y.e")) /
+      .filter(round(dot(col("x._ed"), col("y._ed")) /
         (col("x.nrm") * col("y.nrm")), 6) >= threshold)
       .select(col("y.id").as("id")).distinct()
       .withColumn("semdup", lit(true))
@@ -1688,12 +1711,14 @@ object Similarity {
       embCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(idCol).as("query_id"),
-      col(embCol).as("q_emb"), sqrt(norm2(col(embCol))).as("q_nrm"))
+      darr(col(embCol)).as("q_emb"),
+      sqrt(norm2(col(embCol))).as("q_nrm"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("psim").desc, col("cen_id"))
-    val probes = q.join(broadcast(index.cells), lit(true))
+    val probes = q.join(broadcast(
+        index.cells.withColumn("_cend", darr(col("cen_e")))), lit(true))
       .select(col("query_id"), col("cen_id"),
-        round(dot(col("q_emb"), col("cen_e")) /
+        round(dot(col("q_emb"), col("_cend")) /
           (col("q_nrm") * col("cen_nrm")), 6).as("psim"))
       .withColumn("_r", row_number().over(wProbe))
       .filter(col("_r") <= nprobe)
@@ -1801,12 +1826,14 @@ object Similarity {
       .agg(min_by(col("cen_id"),
         struct(col("dist2"), col("cen_id"))).as("code"))
     val q = queries.select(col(idCol).as("query_id"),
-      col(embCol).as("q_emb"), sqrt(norm2(col(embCol))).as("q_nrm"))
+      darr(col(embCol)).as("q_emb"),
+      sqrt(norm2(col(embCol))).as("q_nrm"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("psim").desc, col("cen_id"))
-    val probes = q.join(broadcast(cells), lit(true))
+    val probes = q.join(broadcast(
+        cells.withColumn("_cend", darr(col("cen_e")))), lit(true))
       .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cen_id"),
-        round(dot(col("q_emb"), col("cen_e")) /
+        round(dot(col("q_emb"), col("_cend")) /
           (col("q_nrm") * col("cen_nrm")), 6).as("psim"))
       .withColumn("_r", row_number().over(wProbe))
       .filter(col("_r") <= nprobe)
@@ -1938,10 +1965,11 @@ object Similarity {
       : DataFrame = {
     val c = graft.Tables.rebalance(
       candidates.select(col(idCol).as("id"),
-        col(embCol).as("e"), sqrt(norm2(col(embCol))).as("nrm")))
-    val sims = c.join(broadcast(cen), lit(true))
+        darr(col(embCol)).as("e"), sqrt(norm2(col(embCol))).as("nrm")))
+    val cenD = cen.withColumn("_cend", darr(col("cen_e")))
+    val sims = c.join(broadcast(cenD), lit(true))
       .select(col("id"), col("cen_id"),
-        (round(dot(col("e"), col("cen_e")) /
+        (round(dot(col("e"), col("_cend")) /
             (col("nrm") * col("cen_nrm")), 6).cast("decimal(10,6)")
           * 1000000).cast("bigint").as("sim_micro"))
     val top2 = sims.groupBy(col("id"))

@@ -49,14 +49,29 @@ object StageProfile {
     final case class St(id: Int, nm: String, ms: Long, tasks: Int,
         inMb: Double, srMb: Double, swMb: Double, cpuMs: Long)
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[St]()
+    // stage → the submitting JOB's callsite (the action frame inside
+    // the operator, e.g. "localCheckpoint at Similarity.scala:209") —
+    // SQL stages' own details only show the execution thread pool
+    val stageSite =
+      new java.util.concurrent.ConcurrentHashMap[Int, String]()
     val listener = new SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val site = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .getOrElse("")
+        e.stageIds.foreach(sid => stageSite.put(sid, site))
+      }
       override def onStageCompleted(
           e: SparkListenerStageCompleted): Unit = {
         val si = e.stageInfo
         val ms = (for {s <- si.submissionTime; c <- si.completionTime}
           yield c - s).getOrElse(-1L)
         val m = si.taskMetrics
-        stages.add(St(si.stageId, si.name.takeWhile(_ != '\n'), ms,
+        val where = Option(stageSite.get(si.stageId))
+          .filter(_.nonEmpty)
+          .getOrElse(si.name.takeWhile(_ != '\n'))
+        stages.add(St(si.stageId, where, ms,
           si.numTasks,
           m.inputMetrics.bytesRead / 1e6,
           m.shuffleReadMetrics.totalBytesRead / 1e6,
@@ -88,7 +103,7 @@ object StageProfile {
         if (r == reps) ss.take(22).foreach { s =>
           println(f"  stage ${s.id}%4d ${s.ms}%6d ms cpu=${s.cpuMs}%6d ms " +
             f"tasks=${s.tasks}%3d in=${s.inMb}%8.2f MB sr=${s.srMb}%8.2f " +
-            f"sw=${s.swMb}%8.2f  ${s.nm.take(60)}")
+            f"sw=${s.swMb}%8.2f  ${s.nm.take(90)}")
         }
       }
     }
