@@ -370,7 +370,8 @@ object Round12 {
             graft.operators.Multimodal.syntheticPayload(col("text")))
           .otherwise(wav)
         graft.operators.Multimodal.wavPcmStats(
-            t("documents")(s, dir).withColumn("payload", payload),
+            graft.Tables.rebalance(t("documents")(s, dir))
+              .withColumn("payload", payload),
             "doc_id", "payload")
           .orderBy(col("doc_id"))
       },
@@ -418,7 +419,8 @@ object Round12 {
           i => le16h(pmod(col("doc_id") * 7 + i * 13, lit(65536L)))),
           ""))
         graft.operators.Multimodal.audioFrameEnergy(
-            t("documents")(s, dir).withColumn("payload", pcm),
+            graft.Tables.rebalance(t("documents")(s, dir))
+              .withColumn("payload", pcm),
             "doc_id", "payload", frameBytes = 16, stride = 16)
           .orderBy(col("doc_id"), col("frame_no"))
       },
@@ -463,7 +465,8 @@ object Round12 {
           i => le16h(pmod(col("doc_id") * 7 + i * 13, lit(65536L)))),
           ""))
         graft.operators.Multimodal.activeSegments(
-            t("documents")(s, dir).withColumn("payload", pcm),
+            graft.Tables.rebalance(t("documents")(s, dir))
+              .withColumn("payload", pcm),
             "doc_id", "payload", frameBytes = 16, stride = 16)
           .orderBy(col("doc_id"), col("seg_start"))
       },

@@ -171,8 +171,8 @@ object Round13 {
         val payload = when(col("doc_id") % 7 === 6,
             graft.operators.Multimodal.syntheticPayload(col("text")))
           .otherwise(png)
-        t("documents")(s, dir)
-          .select(col("doc_id"), col("text"))
+        graft.Tables.rebalance(t("documents")(s, dir)
+            .select(col("doc_id"), col("text")))
           .withColumn("st", Png.pngStats(payload))
           .select(col("doc_id"), col("st.width"), col("st.height"),
             col("st.channels"), col("st.n_pixels"), col("st.sum_c0"),
@@ -231,7 +231,8 @@ object Round13 {
         val h = col("doc_id") % 6 + 6
         val n = w * h * 3
         val off = (col("doc_id") * 11) % n
-        val docs = t("documents")(s, dir).select(col("doc_id"))
+        val docs = graft.Tables.rebalance(
+          t("documents")(s, dir).select(col("doc_id")))
         val base = docs.select(col("doc_id"),
           Png.pngEncode(w, h, lit(3), pixelBytes(n, None)).as("png"))
         val twins = docs.where(col("doc_id") % 5 === 0)
@@ -667,8 +668,8 @@ object Round13 {
         val payload = when(col("doc_id") % 7 === 6,
             graft.operators.Multimodal.syntheticPayload(col("text")))
           .otherwise(png)
-        t("documents")(s, dir)
-          .select(col("doc_id"), col("text"))
+        graft.Tables.rebalance(t("documents")(s, dir)
+            .select(col("doc_id"), col("text")))
           .withColumn("st",
             Png.pngStats(Png.pngResize(payload, lit(8), lit(6))))
           .select(col("doc_id"), col("st.width"), col("st.height"),

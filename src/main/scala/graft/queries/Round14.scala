@@ -369,8 +369,8 @@ object Round14 {
         val payload = when(col("doc_id") % 7 === 6,
             graft.operators.Multimodal.syntheticPayload(col("text")))
           .otherwise(jpg)
-        t("documents")(s, dir)
-          .select(col("doc_id"), col("text"))
+        graft.Tables.rebalance(t("documents")(s, dir)
+            .select(col("doc_id"), col("text")))
           .withColumn("st", graft.functions.Jpeg.jpegStats(payload))
           .select(col("doc_id"), col("st.width"), col("st.height"),
             col("st.channels"), col("st.n_pixels"), col("st.sum_c0"),
@@ -450,8 +450,8 @@ object Round14 {
         val payload = when(col("doc_id") % 7 === 6,
             graft.operators.Multimodal.syntheticPayload(col("text")))
           .otherwise(jpg)
-        t("documents")(s, dir)
-          .select(col("doc_id"), col("text"))
+        graft.Tables.rebalance(t("documents")(s, dir)
+            .select(col("doc_id"), col("text")))
           .withColumn("st", graft.functions.Jpeg.jpegStats(payload))
           .select(col("doc_id"), col("st.width"), col("st.height"),
             col("st.n_pixels"), col("st.sum_c0"),
@@ -537,8 +537,8 @@ object Round14 {
               jpegConstPixels(lit(8L), jh, lit(1L))))
           .otherwise(
             graft.operators.Multimodal.syntheticPayload(col("text")))
-        val probed = t("documents")(s, dir)
-          .select(col("doc_id"), col("text"))
+        val probed = graft.Tables.rebalance(t("documents")(s, dir)
+            .select(col("doc_id"), col("text")))
           .withColumn("p", payload)
           .withColumn("meta", graft.functions.MediaProbe.probeMeta(col("p")))
         probed

@@ -163,8 +163,8 @@ object Round15 {
         val payload = when(col("doc_id") % 7 === 6,
             graft.operators.Multimodal.syntheticPayload(col("text")))
           .otherwise(jpg)
-        t("documents")(s, dir)
-          .select(col("doc_id"), col("text"))
+        graft.Tables.rebalance(t("documents")(s, dir)
+            .select(col("doc_id"), col("text")))
           .withColumn("st", graft.functions.Jpeg.jpegStats(payload))
           .select(col("doc_id"), col("st.width"), col("st.height"),
             col("st.channels"), col("st.n_pixels"), col("st.sum_c0"),
@@ -348,8 +348,8 @@ object Round15 {
         val payload = when(col("doc_id") % 7 === 6,
             graft.operators.Multimodal.syntheticPayload(col("text")))
           .otherwise(jpg)
-        t("documents")(s, dir)
-          .select(col("doc_id"), col("text"))
+        graft.Tables.rebalance(t("documents")(s, dir)
+            .select(col("doc_id"), col("text")))
           .withColumn("st", graft.functions.Jpeg.jpegStats(payload))
           .select(col("doc_id"), col("st.width"), col("st.height"),
             col("st.channels"), col("st.n_pixels"), col("st.sum_c0"),
@@ -438,7 +438,8 @@ object Round15 {
         // lengths), and without the binding each reference re-runs
         // the encoder (the q89/q346 expression-binding lesson —
         // measured 5.9 → ~2 s)
-        val withJpg = t("documents")(s, dir)
+        val withJpg = graft.Tables.rebalance(
+          t("documents")(s, dir).select(col("doc_id"), col("text")))
           .select(col("doc_id"), col("text"),
             graft.functions.Jpeg.jpegEncode420(w, h, px, lit(1))
               .as("jpg"))

@@ -146,8 +146,8 @@ object Round16 {
         val payload = when(col("doc_id") % 7 === 6,
             graft.operators.Multimodal.syntheticPayload(col("text")))
           .otherwise(jpg)
-        t("documents")(s, dir)
-          .select(col("doc_id"), col("text"))
+        graft.Tables.rebalance(t("documents")(s, dir)
+            .select(col("doc_id"), col("text")))
           .withColumn("st", graft.functions.Jpeg.jpegStats(payload))
           .select(col("doc_id"), col("st.width"), col("st.height"),
             col("st.channels"), col("st.n_pixels"), col("st.sum_c0"),
@@ -240,8 +240,8 @@ object Round16 {
         val payload = when(col("doc_id") % 7 === 6,
             graft.operators.Multimodal.syntheticPayload(col("text")))
           .otherwise(jpg)
-        t("documents")(s, dir)
-          .select(col("doc_id"), col("text"))
+        graft.Tables.rebalance(t("documents")(s, dir)
+            .select(col("doc_id"), col("text")))
           .withColumn("st", graft.functions.Jpeg.jpegStats(payload))
           .select(col("doc_id"), col("st.width"), col("st.height"),
             col("st.channels"), col("st.n_pixels"), col("st.sum_c0"),
@@ -336,7 +336,8 @@ object Round16 {
               lit(1)))
         // bind the encode to its OWN projection — the surgery
         // references the blob four times (the q89/q346/q351 lesson)
-        val withJpg = t("documents")(s, dir)
+        val withJpg = graft.Tables.rebalance(
+          t("documents")(s, dir).select(col("doc_id"), col("text")))
           .select(col("doc_id"), col("text"), jpgExpr.as("jpg"))
         val damaged = concat(
           substring(col("jpg"), lit(1), length(col("jpg")) - 4),

@@ -279,7 +279,8 @@ object Round7 {
           .otherwise(concat(unhex(lit("23")),
             Multimodal.syntheticPayload(col("text"))))
         Multimodal.mediaProbe(
-            t("documents")(s, dir).withColumn("payload", payload),
+            graft.Tables.rebalance(t("documents")(s, dir))
+              .withColumn("payload", payload),
             "doc_id", "payload")
           .orderBy(col("doc_id"))
       },

@@ -197,7 +197,8 @@ object Round8 {
           le32(w), le32(h32)))
         val payload = when(col("doc_id") % 2 === 0, jpeg).otherwise(bmp)
         Multimodal.mediaProbe(
-            t("documents")(s, dir).withColumn("payload", payload),
+            graft.Tables.rebalance(t("documents")(s, dir))
+              .withColumn("payload", payload),
             "doc_id", "payload")
           .orderBy(col("doc_id"))
       },
