@@ -536,7 +536,11 @@ object Round13 {
         val li = t("lineitem")(s, dir).select(col("l_returnflag"),
           (col("l_extendedprice").cast("decimal(12,2)") * 100)
             .cast("long").as("v"))
-        val sk = li.groupBy(col("l_returnflag"))
+        // the KLL update loop is the row's dominant CPU; the lineitem
+        // scan is 3 splits, so spread the partial aggregation across
+        // the cluster first (guide §2.5 input parallelism; the media-
+        // row rebalance discipline, optimization round 19)
+        val sk = graft.Tables.rebalance(li).groupBy(col("l_returnflag"))
           .agg(graft.functions.KllAgg.kll(col("v"), k).as("s"))
           .select(col("l_returnflag"), size(col("s")).as("n_items"),
             explode(col("s")).as("x"))
