@@ -767,13 +767,16 @@ object Dedup {
     // PUBLISHED generations (reader-atomic mutations) and defaults
     // gen to 0 on pre-generation-era artifacts.
     val man = pinned.orElse(graft.sink.IndexManifest.read(spark, path))
-    // materialized ONCE: the live posting set feeds THREE evaluations
-    // (the rarest-first df aggregation, its re-join, and the exact-
-    // verify array build) — without the checkpoint each re-read the
-    // full postings tree and re-applied the tombstone filter
-    // (measured: 3 × ~0.8 s scans per serve at sf0.1; optimization
-    // round 19, guide §5 "caching is worth it when a DataFrame is
-    // reused and recomputing is expensive")
+    // NOTE (optimization round 19): this live posting frame feeds
+    // three evaluations (rarest-first df aggregation, its re-join,
+    // the exact-verify array build) — a localCheckpoint here saves
+    // ~2 of the 3 ~0.8 s scans per serve at sf0.1, but it REPLACES
+    // the parquet scan with an ExistingRDD in every downstream plan,
+    // which blinds the PlanAuditSpec gates that prove the kill floor
+    // lands before ranking and wbucket pruning reaches the scan
+    // (q339/q344/q345/q355 gates failed under it). Measured and
+    // reverted: the auditable scan shape is worth more than the
+    // re-read.
     val sh = graft.sink.IndexLayout.applyTombstones(
         graft.sink.IndexLayout.visibleFacts(spark.read.parquet(
             graft.sink.IndexLayout.dir(path, man, "postings")), man)
@@ -782,7 +785,6 @@ object Dedup {
           man),
         "doc_id")
       .select(col("doc_id"), col("s"))
-      .localCheckpoint()
     // global rarest-first ranks over the index's CURRENT state
     // (corpus + increments) — same values a full rebuild would rank
     val ranked = rankedRows(sh, None, native = true).localCheckpoint()
