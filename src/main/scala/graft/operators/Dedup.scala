@@ -537,8 +537,14 @@ object Dedup {
     // (#tasks × #buckets) tiny files — the listing cost of the latter
     // dominates every subsequent read (measured 9.2 s → sub-second
     // query overhead at sf0.01 ×32)
-    // three independent jobs off one checkpointed shingle frame —
-    // overlap them (guide §2.6; IndexLayout.inParallel)
+    // the two fact trees are independent jobs off one checkpointed
+    // shingle frame — overlap them (guide §2.6; IndexLayout
+    // .inParallel). The one-row META write lands LAST and outside the
+    // group: the initial build has no reserve/publish protection, so
+    // meta doubles as the build-complete marker — written
+    // concurrently, a crash mid-build could leave a readable meta
+    // beside partial gen-0 facts (and metaRow would cache the orphan);
+    // serializing a one-row job costs nothing (round-20 hardening).
     graft.sink.IndexLayout.inParallel(
       () => graft.sink.IndexLayout.writeFacts(
         sh.withColumn("sbucket",
@@ -546,11 +552,11 @@ object Dedup {
         path, "postings", "sbucket"),
       () => graft.sink.IndexLayout.writeFlatFacts(
         sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")),
-        path, "docs"),
-      () => docs.sparkSession.range(1)
-        .select(lit(shingleBuckets).as("n_buckets"),
-          lit(n).as("shingle_n"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta"))
+        path, "docs"))
+    docs.sparkSession.range(1)
+      .select(lit(shingleBuckets).as("n_buckets"),
+        lit(n).as("shingle_n"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** APPEND a document increment to a [[writeShingleIndex]] artifact:
@@ -767,16 +773,20 @@ object Dedup {
     // PUBLISHED generations (reader-atomic mutations) and defaults
     // gen to 0 on pre-generation-era artifacts.
     val man = pinned.orElse(graft.sink.IndexManifest.read(spark, path))
-    // NOTE (optimization round 19): this live posting frame feeds
-    // three evaluations (rarest-first df aggregation, its re-join,
-    // the exact-verify array build) — a localCheckpoint here saves
-    // ~2 of the 3 ~0.8 s scans per serve at sf0.1, but it REPLACES
-    // the parquet scan with an ExistingRDD in every downstream plan,
-    // which blinds the PlanAuditSpec gates that prove the kill floor
-    // lands before ranking and wbucket pruning reaches the scan
-    // (q339/q344/q345/q355 gates failed under it). Measured and
-    // reverted: the auditable scan shape is worth more than the
-    // re-read.
+    // NOTE (optimization round 19/20): this live posting frame feeds
+    // THREE evaluations (rarest-first df aggregation, its re-join,
+    // the exact-verify array build). A blanket localCheckpoint was
+    // measured in round 19 and DECLINED: it replaced the parquet
+    // scan with an ExistingRDD in every downstream plan, blinding
+    // the PlanAuditSpec gates that prove the kill floor lands before
+    // ranking and bucket pruning reaches the scan. Round 20 lands
+    // the verdict's split instead: the RANKING derivation reads one
+    // checkpointed copy (one tombstone-filtered parquet pass instead
+    // of two — the checkpoint is built from exactly the kill-floored
+    // frame, so values are unchanged), while the exact-verify array
+    // build keeps the RAW parquet path — the full auditable shape
+    // (kill-floor join + pushed gen filter + bucket layout) stays in
+    // every served plan, and the gates keep real evidence.
     val sh = graft.sink.IndexLayout.applyTombstones(
         graft.sink.IndexLayout.visibleFacts(spark.read.parquet(
             graft.sink.IndexLayout.dir(path, man, "postings")), man)
@@ -787,7 +797,8 @@ object Dedup {
       .select(col("doc_id"), col("s"))
     // global rarest-first ranks over the index's CURRENT state
     // (corpus + increments) — same values a full rebuild would rank
-    val ranked = rankedRows(sh, None, native = true).localCheckpoint()
+    val ranked = rankedRows(sh.localCheckpoint(), None, native = true)
+      .localCheckpoint()
     val pfx = prefixOf(ranked, threshold)
     val pfxInc = pfx.join(broadcast(inc), Seq("doc_id"), "left_semi")
     val overlapUb =
@@ -1067,14 +1078,17 @@ object Dedup {
     graft.sink.IndexLayout.freshLayout(docs.sparkSession, path)
     val fp = winnowedFingerprints(docs.select(col(idCol), col(textCol)),
       idCol, textCol, k, w).localCheckpoint()
-    graft.sink.IndexLayout.inParallel(
-      () => graft.sink.IndexLayout.writeFacts(
-        fp.withColumn("fbucket", pmod(col("h"), lit(fpBuckets.toLong))),
-        path, "postings", "fbucket"),
-      () => docs.sparkSession.range(1)
-        .select(lit(fpBuckets).as("n_buckets"), lit(k).as("k"),
-          lit(w).as("w"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta"))
+    graft.sink.IndexLayout.writeFacts(
+      fp.withColumn("fbucket", pmod(col("h"), lit(fpBuckets.toLong))),
+      path, "postings", "fbucket")
+    // one-row META last — the build-complete marker (the initial
+    // build has no reserve/publish protection; a crash mid-build must
+    // not leave a readable meta beside partial gen-0 facts — round-20
+    // hardening; the former overlap saved nothing on a one-row job)
+    docs.sparkSession.range(1)
+      .select(lit(fpBuckets).as("n_buckets"), lit(k).as("k"),
+        lit(w).as("w"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** APPEND a document increment to a [[writeFingerprintIndex]]

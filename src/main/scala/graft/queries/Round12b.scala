@@ -474,7 +474,12 @@ object Round12b {
         val ranked = Round11.sharedRanked(s, dir)
         val lens = docs.select(col("doc_id").as("db"),
           col("n_chars").cast("long").as("n_chars"))
-        val arms = Seq(50, 70, 90).map { pct =>
+        // arms are independent given the shared ranked artifact; each
+        // arm's EAGER work (the pairs localCheckpoint + the iterative
+        // connected-components loop) overlaps from driver threads so
+        // the row's wall ≈ the slowest threshold, not the sum
+        // (guide §2.6; optimization round 20)
+        val arms = graft.core.Par.mapInParallel(Seq(50, 70, 90)) { pct =>
           val pairs = graft.operators.Dedup.jaccardPairsPrefix(
             docs, "doc_id", "text", n = 3,
             threshold = pct / 100.0, ranked = Some(ranked))

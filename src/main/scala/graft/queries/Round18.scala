@@ -37,10 +37,15 @@ object Round18 {
         val pfp = Round14.scratchDir(dir, "q361_fpidx").getAbsolutePath
         val docs = t("documents")(s, dir)
         val seedDocs = docs.where(col("doc_id") % 4 =!= 3)
-        graft.operators.Retrieval.writeTfIndex(seedDocs, ptf,
-          wordBuckets = 16)
-        graft.operators.Dedup.writeFingerprintIndex(seedDocs, pfp,
-          k = 25, w = 10, fpBuckets = 16)
+        // the two family seeds are independent artifacts at distinct
+        // paths — overlap their builds (guide §2.6; round 20: the
+        // sequential shape serialized two corpus passes + their write
+        // tails)
+        graft.core.Par.mapInParallel(Seq(
+          () => graft.operators.Retrieval.writeTfIndex(seedDocs, ptf,
+            wordBuckets = 16),
+          () => graft.operators.Dedup.writeFingerprintIndex(seedDocs,
+            pfp, k = 25, w = 10, fpBuckets = 16)))(_.apply())
         val families = Seq(
           graft.streaming.FamilySink.tf(ptf),
           graft.streaming.FamilySink.fingerprint(pfp))

@@ -278,9 +278,16 @@ object Round7 {
           .when(col("doc_id") % 3 === 1, wav)
           .otherwise(concat(unhex(lit("23")),
             Multimodal.syntheticPayload(col("text"))))
+        // NO Tables.rebalance here (round 20): this probe parses a
+        // ≤44-byte synthetic header per row — the round-robin
+        // exchange (plus its sort-before-repartition) costs more than
+        // the work it spreads (measured 0.27 → 0.55 s when the
+        // blanket media rebalance landed in round 19). Its 16 media
+        // siblings keep the rebalance: their codec kernels dominate
+        // the exchange. At production scale the scan has many splits
+        // and rebalance short-circuits to a no-op either way.
         Multimodal.mediaProbe(
-            graft.Tables.rebalance(t("documents")(s, dir))
-              .withColumn("payload", payload),
+            t("documents")(s, dir).withColumn("payload", payload),
             "doc_id", "payload")
           .orderBy(col("doc_id"))
       },

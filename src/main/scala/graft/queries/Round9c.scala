@@ -397,8 +397,17 @@ object Round9c {
     QueryDef("q142_bpe_packing",
       (s, dir) => {
         val docs = t("documents")(s, dir)
+        // localCheckpoint: packSequences deliberately scans its input
+        // twice (block subtotals + output — its own scaladoc), so
+        // without pinning, the EXPENSIVE docTokenCounts subtree
+        // (corpus tokenize-explode × broadcast-vocab join × per-doc
+        // aggregation) evaluated twice — StageProfile measured the
+        // two evaluations at 5.5 s + 3.8 s CPU, the whole cost of
+        // this row (guide §5 "cache when recomputing is more
+        // expensive"; round 20). The pinned frame is one row per doc
+        // — tiny; released when unreferenced.
         val counts = Bpe.docTokenCounts(docs, "text", "doc_id",
-          sharedBpe(s, dir))
+          sharedBpe(s, dir)).localCheckpoint()
         graft.operators.Curation.packSequences(
             docs.join(counts, Seq("doc_id")),
             "text", "doc_id", "lang", window = 1024L, blocks = 8,

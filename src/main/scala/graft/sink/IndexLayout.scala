@@ -93,30 +93,11 @@ object IndexLayout {
     * unchanged — this only overlaps the writes between those two
     * commits. Rethrows the first failure after all jobs settle
     * (a half-written mutation is exactly the crash window the
-    * generation protocol already self-heals). Unbounded daemon pool:
-    * callers nest (an upsert overlaps its tombstone write with a
-    * facts append that itself overlaps two appends), and a bounded
-    * pool would deadlock on the inner Await. */
-  private lazy val writePool =
-    scala.concurrent.ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newCachedThreadPool(r => {
-        val t = new Thread(r, "graft-index-write")
-        t.setDaemon(true)
-        t
-      }))
-
+    * generation protocol already self-heals). Pool semantics and the
+    * local-properties pinning live in [[graft.core.Par]]. */
   def inParallel(jobs: (() => Unit)*): Unit = {
-    if (jobs.sizeIs <= 1) { jobs.foreach(_.apply()); return }
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: scala.concurrent.ExecutionContext = writePool
-    val fs = jobs.map(j => Future(j()))
-    // settle ALL before rethrowing: a thrown-through sibling write
-    // racing the caller's cleanup would be a new failure mode
-    val settled = Future.sequence(fs.map(_.transform(t =>
-      scala.util.Success(t))))
-    val results = Await.result(settled, Duration.Inf)
-    results.foreach(_.get)
+    graft.core.Par.mapInParallel(jobs.toSeq)(j => j())
+    ()
   }
 
   /** The one-row `path/meta` table of an index layout, cached
@@ -125,20 +106,50 @@ object IndexLayout {
     * [[freshLayout]], never by mutations), but every micro-batch
     * append was re-reading it as a one-task Spark job — pure per-batch
     * overhead at streaming cadence (optimization round 19).
-    * [[freshLayout]] invalidates, so a rebuild with different
-    * parameters is never served stale values. */
+    * [[freshLayout]] invalidates this JVM's entry; a rebuild by
+    * ANOTHER driver/process (the manifest protocol tolerates racing
+    * mutators) is caught by the fingerprint check below: the cached
+    * row is served only while the meta directory's file listing
+    * (name, length, modTime) is unchanged — one driver-side
+    * listStatus, orders of magnitude cheaper than the Spark job it
+    * replaces, and a foreign rebuild (freshLayout deletes + rewrites
+    * meta) always changes it (round-20 hardening, ADVICE). */
   private val metaCache =
     new java.util.concurrent.ConcurrentHashMap[String,
-      org.apache.spark.sql.Row]()
+      (String, org.apache.spark.sql.Row)]()
 
-  private def canonical(path: String): String =
-    try new java.io.File(path).getCanonicalPath
-    catch { case _: Throwable => path }
+  /** Cache keys resolve through Hadoop (same resolution the reads and
+    * [[freshLayout]] use): java.io.File canonicalization mapped
+    * `file:/x` and `/x` (or any non-local URI) to DISTINCT keys, so a
+    * freshLayout given one form failed to invalidate a row cached
+    * under the other (round-20 hardening, ADVICE). */
+  private def canonical(spark: SparkSession, path: String): String =
+    try {
+      val p = new Path(path)
+      p.getFileSystem(spark.sessionState.newHadoopConf())
+        .makeQualified(p).toString
+    } catch { case _: Throwable => path }
+
+  /** Fingerprint of the meta dir's file listing — the layout
+    * incarnation marker the cached row is validated against. */
+  private def metaFingerprint(spark: SparkSession,
+      path: String): String =
+    try {
+      val p = new Path(s"$path/meta")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(p).map(st =>
+          s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted.mkString("|")
+    } catch { case _: Throwable => "" }
 
   def metaRow(spark: SparkSession, path: String)
-      : org.apache.spark.sql.Row =
-    metaCache.computeIfAbsent(canonical(path),
-      _ => spark.read.parquet(s"$path/meta").collect()(0))
+      : org.apache.spark.sql.Row = {
+    val key = canonical(spark, path)
+    val fp = metaFingerprint(spark, path)
+    metaCache.compute(key, (_, cached) =>
+      if (cached != null && cached._1 == fp) cached
+      else (fp, spark.read.parquet(s"$path/meta").collect()(0)))._2
+  }
 
   /** Resolve a logical subtree against an already-read manifest
     * snapshot (readers read the manifest ONCE and resolve everything
@@ -335,7 +346,7 @@ object IndexLayout {
     * pre-manifest leftovers and orphaned staging trees go too. */
   def freshLayout(spark: SparkSession, path: String,
       sideLogicals: Seq[String] = Nil): Unit = {
-    metaCache.remove(canonical(path)) // rebuilds may change meta
+    metaCache.remove(canonical(spark, path)) // rebuilds may change meta
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(root)) {

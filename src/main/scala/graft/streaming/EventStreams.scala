@@ -602,15 +602,31 @@ object EventStreams {
     * injection seam (the spec kills between two families of one
     * micro-batch), same pattern as [[graft.sink.IndexLayout
     * .purgeTombstones]]'s phase hook.
-    * @return per-family (name, ingested?) in ingest order. */
+    *
+    * Families live at DIFFERENT paths with independent manifests, so
+    * with the default (no-op) hook their ingests OVERLAP from driver
+    * threads (guide §2.6 — each family's micro-batch jobs are small
+    * and driver-bound; sequential ingest left the cluster idle
+    * between family tails; optimization round 20). A caller-supplied
+    * hook forces the sequential ingest order the crash-injection
+    * specs rely on — the concurrency is an execution detail, never a
+    * protocol change: each family keeps its own exactly-once epoch
+    * commit against its own manifest either way.
+    * @return per-family (name, ingested?) in `families` order. */
+  private val NoHook: String => Unit = _ => ()
+
   def ingestFamiliesBatch(batch: DataFrame, epochId: Long,
       families: Seq[FamilySink],
-      hook: String => Unit = _ => ()): Seq[(String, Boolean)] = {
+      hook: String => Unit = NoHook): Seq[(String, Boolean)] = {
     val pinned = batch.localCheckpoint()
-    try families.map { f =>
+    def one(f: FamilySink): (String, Boolean) = {
       val r = f.ingest(pinned, epochId)
       hook(f.name)
       f.name -> r
+    }
+    try {
+      if (hook eq NoHook) graft.core.Par.mapInParallel(families)(one)
+      else families.map(one)
     } finally {
       pinned.unpersist()
       ()

@@ -91,9 +91,20 @@ object StageProfile {
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         // drain listener events before reading (the bus is async; the
-        // private waitUntilEmpty is not accessible — a short sleep
-        // after the job completes is enough for stage-completed events)
-        Thread.sleep(300)
+        // private waitUntilEmpty is not accessible). A fixed sleep
+        // silently dropped late stage-completed events on loaded
+        // boxes, understating stage-sum vs wall — poll until the
+        // stage count stabilizes instead, with a generous bound
+        // (round-20 hardening, ADVICE).
+        var lastN = -1
+        var settledPolls = 0
+        var waitedMs = 0
+        while (settledPolls < 3 && waitedMs < 5000) {
+          Thread.sleep(100); waitedMs += 100
+          val n = stages.size()
+          if (n == lastN) settledPolls += 1
+          else { settledPolls = 0; lastN = n }
+        }
         spark.sparkContext.removeSparkListener(listener)
         import scala.jdk.CollectionConverters._
         val ss = stages.asScala.toSeq.sortBy(-_.ms)
