@@ -82,34 +82,37 @@ object Retrieval {
     * sparse arm reuses it).
     */
   def termFrequencies(docs: DataFrame, idCol: String,
-      textCol: String, wide: Boolean = false): DataFrame = {
-    val agg = TextOps.wordRows(
+      textCol: String): DataFrame = {
+    // The checkpointed artifact is NARROW (AQE sizes the aggregation
+    // output by bytes — a corpus tf is a few MB ⇒ 1-2 partitions):
+    // most consumers scan it repeatedly (the pruned path's 4 passes,
+    // the index builds' df/dl aggregations, micro-batch increments),
+    // and a cluster-wide repartition baked into the checkpoint taxed
+    // every one of those passes with 32-block scans (measured, round
+    // 19: q301 +1.4 s, q321 +1.0 s, q302 +0.5 s, q115/q144 +0.8 s).
+    // The consumers that EXPAND the frame (per-posting contrib ×
+    // query fan-out) widen their own matched subset AFTER the
+    // query-term filter instead — [[wideN]] in [[bm25Contribs]] /
+    // the q274 truth build — so the expensive stage still runs
+    // cluster-wide without freezing that width into the artifact
+    // (guide §2.5 "choose partitioning per consumer"; optimization
+    // round 20).
+    TextOps.wordRows(
         docs.select(col(idCol).as("doc_id"), col(textCol)), textCol,
         keep = Seq("doc_id"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
-    // `wide` pins cluster-wide parallelism BEFORE the checkpoint: AQE
-    // sizes the aggregation's output by BYTES (a corpus tf is a few
-    // MB ⇒ 1-2 partitions) and localCheckpoint freezes that choice
-    // into the artifact — but the scoring consumers EXPAND this frame
-    // (per-posting contrib expression × query fan-out), so a
-    // byte-sized partitioning serializes the expensive downstream
-    // stage onto one core (measured: q274's contrib stage = 5.5 s on
-    // ONE task of 32 available; optimization round 19, guide §2.5 /
-    // §1.2 "choose a partitioning"). The floor is
-    // max(defaultParallelism, shuffle.partitions) — the deployment's
-    // own scale knobs, no constant baked in. Callers building
-    // MICRO-BATCH increments (appendTfFacts) keep the default narrow
-    // shape: blowing a few-row increment to cluster width costs more
-    // in task/file overhead than it buys (measured: q353's per-batch
-    // ingest 2× slower wide), and nothing expands an increment's tf.
-    val shaped =
-      if (wide) agg.repartition(math.max(
-        docs.sparkSession.sparkContext.defaultParallelism,
-        docs.sparkSession.sessionState.conf.numShufflePartitions))
-      else agg
-    shaped.localCheckpoint()
+      .localCheckpoint()
   }
+
+  /** Cluster-wide parallelism floor for stages that EXPAND a small
+    * frame (posting × query fan-outs): AQE sizes shuffle output by
+    * BYTES and cannot see a downstream fan-out, so the expanding
+    * consumer pins width explicitly — from the deployment's own scale
+    * knobs, no constant baked in (guide §2.5). */
+  private[graft] def wideN(spark: SparkSession): Int = math.max(
+    spark.sparkContext.defaultParallelism,
+    spark.sessionState.conf.numShufflePartitions)
 
   /** BM25 with a DataFrame query set `(query_id, qtext)` — the
     * dynamic twin of [[bm25TopK]] for doc-as-query retrieval (hybrid
@@ -134,12 +137,13 @@ object Retrieval {
     */
   def bm25ScoresFrame(docs: DataFrame, idCol: String, textCol: String,
       queriesDf: DataFrame, k1: Double = 1.2, b: Double = 0.75,
-      tf: Option[DataFrame] = None): DataFrame = {
+      tf: Option[DataFrame] = None,
+      wide: Boolean = false): DataFrame = {
     val qt = queriesDf
       .select(col("query_id"),
         explode(TextOps.words(col("qtext"))).as("word"))
       .distinct()
-    bm25Score(docs, idCol, textCol, qt, k1, b, tf)
+    bm25Score(docs, idCol, textCol, qt, k1, b, tf, wide)
   }
 
   /** The RANKING half: top-k from a prebuilt scores frame, same tie
@@ -157,12 +161,13 @@ object Retrieval {
     */
   private[graft] def bm25Contribs(docs: DataFrame, idCol: String,
       textCol: String, qt: DataFrame, k1: Double, b: Double,
-      prebuiltTf: Option[DataFrame]): DataFrame = {
+      prebuiltTf: Option[DataFrame],
+      wide: Boolean = false): DataFrame = {
     // one corpus pass: (doc_id, word, tf) — built here or taken from
     // the caller's shared artifact (charged to its own build row)
     val tf = prebuiltTf.getOrElse(
       termFrequencies(docs.select(col(idCol), col(textCol)),
-        idCol, textCol, wide = true))
+        idCol, textCol))
 
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     // N + avgdl as a one-row broadcast (no driver collect)
@@ -180,9 +185,17 @@ object Retrieval {
     // shuffle" / §8 "decide on the proxy, expand last"; values are
     // bit-identical — optimization round 19, q274 12.0 s → measured
     // after). qt stays the join's small side, broadcast after the
-    // contribs exist.
+    // contribs exist. `wide` spreads the MATCHED subset cluster-wide
+    // before the expansion — for large query batches (q274's 25
+    // doc-queries × whole-corpus posting lists) whose contrib stage
+    // would otherwise inherit the narrow artifact's 1-2 partitions;
+    // small query batches keep the narrow shape (the repartition
+    // costs more than it buys — round 19's measured trade, now per
+    // consumer instead of frozen into the shared artifact).
     val qw = qt.select(col("word")).distinct()
-    val tfq = tf.join(broadcast(qw), "word")
+    val tfq0 = tf.join(broadcast(qw), "word")
+    val tfq = if (wide) tfq0.repartition(wideN(docs.sparkSession))
+    else tfq0
     val dfreq = tfq.groupBy(col("word")).agg(count(lit(1)).as("df"))
 
     tfq
@@ -206,8 +219,9 @@ object Retrieval {
     */
   private def bm25Score(docs: DataFrame, idCol: String, textCol: String,
       qt: DataFrame, k1: Double, b: Double,
-      prebuiltTf: Option[DataFrame]): DataFrame =
-    bm25Contribs(docs, idCol, textCol, qt, k1, b, prebuiltTf)
+      prebuiltTf: Option[DataFrame],
+      wide: Boolean = false): DataFrame =
+    bm25Contribs(docs, idCol, textCol, qt, k1, b, prebuiltTf, wide)
       .groupBy(col("query_id"), col("doc_id"))
       // exact decimal sum, presented as DOUBLE (the dsum convention)
       .agg(sum(col("contrib")).cast("double").as("score"))
@@ -232,7 +246,7 @@ object Retrieval {
       tf: Option[DataFrame] = None): DataFrame = {
     val tfF = tf.getOrElse(
       termFrequencies(docs.select(col(idCol), col(textCol)),
-        idCol, textCol, wide = true))
+        idCol, textCol))
     val dl = tfF.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
@@ -379,8 +393,13 @@ object Retrieval {
     graft.sink.IndexLayout.freshLayout(docs.sparkSession, path)
     val tfF = tf.getOrElse(termFrequencies(
       docs.select(col(idCol), col(textCol)), idCol, textCol))
-    // the three outputs are independent jobs off one checkpointed tf
-    // frame — overlap them (guide §2.6; IndexLayout.inParallel)
+    // the two fact trees are independent jobs off one checkpointed tf
+    // frame — overlap them (guide §2.6; IndexLayout.inParallel). The
+    // one-row META write lands LAST and outside the group: the
+    // initial build has no reserve/publish protection, so meta
+    // doubles as the build-complete marker — a crash mid-build must
+    // not leave a readable meta beside partial gen-0 facts
+    // (round-20 hardening; serializing a one-row job costs nothing).
     graft.sink.IndexLayout.inParallel(
       () => graft.sink.IndexLayout.writeFacts(
         tfF.withColumn("wbucket",
@@ -388,10 +407,10 @@ object Retrieval {
         path, "postings", "wbucket"),
       () => graft.sink.IndexLayout.writeFlatFacts(
         tfF.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")),
-        path, "docs"),
-      () => docs.sparkSession.range(1)
-        .select(lit(wordBuckets).as("n_buckets"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta"))
+        path, "docs"))
+    docs.sparkSession.range(1)
+      .select(lit(wordBuckets).as("n_buckets"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** APPEND a document increment to a [[writeTfIndex]] artifact — the

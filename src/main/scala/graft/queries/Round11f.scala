@@ -25,8 +25,13 @@ object Round11f {
   private val scoresReg = new graft.core.ArtifactRegistry()
   private def docQueryScores0(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
+    // wide = true: 25 doc-queries × whole-corpus posting lists — the
+    // one EXPANDING consumer of the narrow shared TF artifact; the
+    // contrib stage spreads cluster-wide after the query-term filter
+    // (round 19 measured 5.5 s on one task without it, guide §2.5)
     Retrieval.bm25ScoresFrame(t("documents")(s, dir), "doc_id", "text",
-      docQueryBatch(s, dir), tf = Some(Round9b.sharedTf(s, dir)))
+      docQueryBatch(s, dir), tf = Some(Round9b.sharedTf(s, dir)),
+      wide = true)
   }
   private[queries] def buildDocQueryScores(
       s: org.apache.spark.sql.SparkSession, dir: String)
@@ -54,14 +59,17 @@ object Round11f {
       dir: String): org.apache.spark.sql.DataFrame = {
     val qw = docQueryBatch(s, dir).select(col("query_id"),
       explode(TextOps.words(col("qtext"))).as("word")).distinct()
+    // dw is the BIG side (corpus postings); qw is query-batch-sized.
+    // Broadcasting qw keeps the |q × postings| expansion + partial
+    // aggregation on dw's partitioning — the planner's own choice
+    // broadcast the 11 MB dw side into qw's one coalesced
+    // post-distinct partition, serializing a 4 s expansion onto one
+    // core (measured; optimization round 19, guide §3.1 "check the
+    // build side"). The shared TF artifact is NARROW since round 20,
+    // so this expanding consumer widens its own copy first (the
+    // q274-scoring discipline, guide §2.5).
     val dw = Round9b.sharedTf(s, dir).select(col("doc_id"), col("word"))
-    // dw is the BIG side (corpus postings, parallel artifact); qw is
-    // query-batch-sized. Broadcasting qw keeps the |q × postings|
-    // expansion + partial aggregation on dw's partitioning — the
-    // planner's own choice broadcast the 11 MB dw side into qw's
-    // one coalesced post-distinct partition, serializing a 4 s
-    // expansion onto one core (measured; optimization round 19,
-    // guide §3.1 "check the build side").
+      .repartition(Retrieval.wideN(s))
     dw.join(broadcast(qw), "word")
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("ov"))

@@ -36,17 +36,21 @@ object Round9b {
     * Values are deterministic, so consumers' oracles are unaffected by
     * who built the artifact.
     */
-  // asIs persistence: termFrequencies localCheckpoints internally
+  // asIs persistence: termFrequencies localCheckpoints internally.
+  // The artifact is NARROW (round 20): its multi-pass consumers (the
+  // pruned path, index builds) scan it repeatedly, and the expanding
+  // consumers (q274's scoring/truth) widen their own matched subset
+  // instead — see Retrieval.termFrequencies.
   private val tfReg = new graft.core.ArtifactRegistry(
     graft.core.ArtifactRegistry.asIs)
   private def buildTf(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     tfReg.rebuild(s, dir)(Retrieval.termFrequencies(
-      t("documents")(s, dir), "doc_id", "text", wide = true))
+      t("documents")(s, dir), "doc_id", "text"))
   private[queries] def sharedTf(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     tfReg.getOrBuild(s, dir)(Retrieval.termFrequencies(
-      t("documents")(s, dir), "doc_id", "text", wide = true))
+      t("documents")(s, dir), "doc_id", "text"))
 
   /** HLL register→estimate oracle CTE chain over a source CTE
     * `src(k)`, prefixed so several sketches compose in one query

@@ -72,7 +72,7 @@ object ScaleWand {
           x => x.isNotNull), " ").as("text")).localCheckpoint()
       println(s"[scalewand] ---- corpus: ${docs.count()} docs, " +
         s"vocab $vocab ----")
-      val tf = Retrieval.termFrequencies(docs, "doc_id", "text", wide = true)
+      val tf = Retrieval.termFrequencies(docs, "doc_id", "text")
       // the deployment shape: build the impact index ONCE (charged
       // here, visibly), A/B the query paths on the shared artifact
       val t0 = System.nanoTime()
