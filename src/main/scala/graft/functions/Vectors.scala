@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
 
 /** Native dense-vector kernels.
   *
@@ -51,6 +51,114 @@ object VectorKernel {
     * CAST_OVERFLOW on the same input (verified): quantization must not
     * silently fabricate a code for garbage.
     */
+  /** Spark's `round(x, 6)` on DOUBLE, exactly (RoundBase: NaN/±Inf
+    * pass through unchanged; else BigDecimal.valueOf → setScale
+    * HALF_UP → doubleValue). The fused argmin/argmax kernels below
+    * must round per-pair scores identically to the declarative
+    * `round(.., 6)` they replace, or a score on a rounding boundary
+    * would flip an assignment. */
+  private def round6(v: Double): Double =
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) v
+    else java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Spark SQL's double ordering (SQLOrderingUtil.compareDoubles):
+    * `x == y` first (so ±0.0 compare equal), else Double.compare
+    * (NaN greatest) — the ordering `max_by`/`min_by` struct keys use. */
+  private def cmpD(x: Double, y: Double): Int =
+    if (x == y) 0 else java.lang.Double.compare(x, y)
+
+  /** Fused nearest-cell argmax: over parallel centroid arrays
+    * `(cenIds, cvs, cnrms)`, the cen_id maximizing
+    * `round(dot(e, cv) / (nrm * cnrm), 6)` with ties to the LOWEST
+    * cen_id — exactly `max_by(cen_id, struct(csim, -cen_id))` over
+    * the per-(vector, centroid) fan-out it replaces
+    * ([[graft.operators.Similarity.assignCells]]): the declarative
+    * shape inflated the corpus ×nCentroids rows and paid a max_by
+    * aggregation (buffers carrying the embedding) per vector; the
+    * kernel is one fused loop per row, no fan-out, no aggregation
+    * (guide §4; optimization round 20). Empty centroid tables fail
+    * loudly — callers filter them out (the declarative shape produced
+    * no row; the caller-side size() guard preserves that).
+    */
+  def bestCellCosine(e: ArrayData, nrm: Double, cenIds: ArrayData,
+      cvs: ArrayData, cnrms: ArrayData): Long = {
+    val k = cenIds.numElements()
+    if (k == 0)
+      throw new IllegalArgumentException(
+        "bestCellCosine: empty centroid table — callers must filter " +
+          "empty packed centroid rows")
+    var bestSim = 0.0
+    var bestId = 0L
+    var first = true
+    var i = 0
+    while (i < k) {
+      val cenId = cenIds.getLong(i)
+      val sim = round6(dot(e, cvs.getArray(i)) / (nrm * cnrms.getDouble(i)))
+      val c = if (first) 1 else cmpD(sim, bestSim)
+      if (c > 0 || (c == 0 && cenId < bestId)) {
+        bestSim = sim; bestId = cenId; first = false
+      }
+      i += 1
+    }
+    bestId
+  }
+
+  /** Fused nearest-code argmin: over parallel codebook arrays
+    * `(cenIds, cvs, cvvs)` (cvv = dot(cv, cv), precomputed once per
+    * centroid instead of once per pair), the cen_id minimizing
+    * `round(dot(sv, sv) − dot(sv, cv)·2 + cvv, 6)` with ties to the
+    * LOWEST cen_id — exactly `min_by(cen_id, struct(dist2, cen_id))`
+    * over the per-(subvector, centroid) fan-out it replaces (the PQ
+    * assignment sites in [[graft.operators.Similarity]]). Same
+    * fusion argument as [[bestCellCosine]].
+    */
+  def bestCodeL2(sv: ArrayData, cenIds: ArrayData, cvs: ArrayData,
+      cvvs: ArrayData): Long = {
+    val k = cenIds.numElements()
+    if (k == 0)
+      throw new IllegalArgumentException(
+        "bestCodeL2: empty codebook — callers must filter empty " +
+          "packed codebook rows")
+    val svv = dot(sv, sv)
+    var bestD = 0.0
+    var bestId = 0L
+    var first = true
+    var i = 0
+    while (i < k) {
+      val cenId = cenIds.getLong(i)
+      val d2 = round6(svv - dot(sv, cvs.getArray(i)) * 2 + cvvs.getDouble(i))
+      val c = if (first) -1 else cmpD(d2, bestD)
+      if (c < 0 || (c == 0 && cenId < bestId)) {
+        bestD = d2; bestId = cenId; first = false
+      }
+      i += 1
+    }
+    bestId
+  }
+
+  /** The MIN rounded squared distance of [[bestCodeL2]]'s loop (the
+    * distortion a PQ drift probe needs — value, not argmin; same
+    * per-pair arithmetic and double ordering). */
+  def minCodeDistL2(sv: ArrayData, cvs: ArrayData,
+      cvvs: ArrayData): Double = {
+    val k = cvs.numElements()
+    if (k == 0)
+      throw new IllegalArgumentException(
+        "minCodeDistL2: empty codebook — callers must filter empty " +
+          "packed codebook rows")
+    val svv = dot(sv, sv)
+    var bestD = 0.0
+    var first = true
+    var i = 0
+    while (i < k) {
+      val d2 = round6(svv - dot(sv, cvs.getArray(i)) * 2 + cvvs.getDouble(i))
+      if (first || cmpD(d2, bestD) < 0) { bestD = d2; first = false }
+      i += 1
+    }
+    bestD
+  }
+
   def int8Codes(a: ArrayData): ArrayData = {
     val n = a.numElements()
     val out = new Array[Int](n)
@@ -113,4 +221,46 @@ object Vectors {
   /** Native int8 quantization codes of an array<double> column. */
   def int8Codes(a: Column): Column =
     ColumnBridge.column(int8CodesExpr(ColumnBridge.expression(a)))
+
+  /** Fused nearest-cell argmax over a packed centroid table — see
+    * [[VectorKernel.bestCellCosine]]. */
+  def bestCellCosine(e: Column, nrm: Column, cenIds: Column,
+      cvs: Column, cnrms: Column): Column =
+    ColumnBridge.column(StaticInvoke(
+      VectorKernel.getClass,
+      LongType,
+      "bestCellCosine",
+      Seq(e, nrm, cenIds, cvs, cnrms).map(ColumnBridge.expression),
+      inputTypes = Seq(ArrayType(DoubleType), DoubleType,
+        ArrayType(LongType), ArrayType(ArrayType(DoubleType)),
+        ArrayType(DoubleType)),
+      propagateNull = true,
+      returnNullable = false))
+
+  /** Min rounded squared distance to a packed per-subspace codebook —
+    * see [[VectorKernel.minCodeDistL2]]. */
+  def minCodeDistL2(sv: Column, cvs: Column, cvvs: Column): Column =
+    ColumnBridge.column(StaticInvoke(
+      VectorKernel.getClass,
+      DoubleType,
+      "minCodeDistL2",
+      Seq(sv, cvs, cvvs).map(ColumnBridge.expression),
+      inputTypes = Seq(ArrayType(DoubleType),
+        ArrayType(ArrayType(DoubleType)), ArrayType(DoubleType)),
+      propagateNull = true,
+      returnNullable = false))
+
+  /** Fused nearest-code argmin over a packed per-subspace codebook —
+    * see [[VectorKernel.bestCodeL2]]. */
+  def bestCodeL2(sv: Column, cenIds: Column, cvs: Column,
+      cvvs: Column): Column =
+    ColumnBridge.column(StaticInvoke(
+      VectorKernel.getClass,
+      LongType,
+      "bestCodeL2",
+      Seq(sv, cenIds, cvs, cvvs).map(ColumnBridge.expression),
+      inputTypes = Seq(ArrayType(DoubleType), ArrayType(LongType),
+        ArrayType(ArrayType(DoubleType)), ArrayType(DoubleType)),
+      propagateNull = true,
+      returnNullable = false))
 }

@@ -150,17 +150,35 @@ object Similarity {
     pqSubvectors(df.orderBy(col(idCol)).limit(nCentroids),
       dims, m, idCol, embCol, "cen_id", "cv")
 
+  /** A per-subspace codebook `(j, cen_id, cv)` packed to ONE row per
+    * subspace of parallel arrays `(j, cen_ids, cvs, cvvs)` — the
+    * broadcast side of the fused argmin assignment
+    * ([[graft.functions.VectorKernel.bestCodeL2]]). `cvv = dot(cv,
+    * cv)` is precomputed once per CENTROID here instead of once per
+    * (subvector, centroid) pair in the fan-out it replaces. */
+  private def packCodebook(cen: DataFrame): DataFrame =
+    cen.select(col("j"), col("cen_id"), darr(col("cv")).as("cv"))
+      .withColumn("cvv", graft.functions.Vectors.dot(col("cv"), col("cv")))
+      .groupBy(col("j"))
+      .agg(collect_list(struct(col("cen_id"), col("cv"), col("cvv")))
+        .as("cs"))
+      .select(col("j"),
+        transform(col("cs"), x => x.getField("cen_id")).as("cen_ids"),
+        transform(col("cs"), x => x.getField("cv")).as("cvs"),
+        transform(col("cs"), x => x.getField("cvv")).as("cvvs"))
+
   private def pqAssignWith(cen: DataFrame, df: DataFrame,
       dims: Int, m: Int, idCol: String, embCol: String): DataFrame = {
     val s = graft.Tables.rebalance(
       pqSubvectors(df, dims, m, idCol, embCol, "id", "sv"))
-    s.join(broadcast(cen), Seq("j"))
-      .select(col("id"), col("j"), col("cen_id"),
-        round(dot(col("sv"), col("sv")) - dot(col("sv"), col("cv")) * 2
-          + dot(col("cv"), col("cv")), 6).as("dist2"))
-      .groupBy(col("id"), col("j"))
-      .agg(min_by(col("cen_id"),
-        struct(col("dist2"), col("cen_id"))).as("code"))
+    // fused argmin: one kernel call per (vector, subspace) row against
+    // the packed subspace codebook — replaces the ×nCentroids fan-out
+    // join + min_by aggregation (identical dist2 rounding and tie
+    // order — ArgKernelSpec; guide §4, optimization round 20)
+    s.join(broadcast(packCodebook(cen)), Seq("j"))
+      .select(col("id"), col("j"),
+        graft.functions.Vectors.bestCodeL2(col("sv"), col("cen_ids"),
+          col("cvs"), col("cvvs")).as("code"))
   }
 
   def pqAssign(
@@ -202,16 +220,15 @@ object Similarity {
       .localCheckpoint()
     var cen = pqCentroids(df, dims, m, nCentroids, idCol, embCol)
     for (_ <- 1 to iters) {
-      val assigned = sub.join(broadcast(cen), Seq("j"))
-        .select(col("id"), col("j"), col("sv"), col("cen_id"),
-          round(dot(col("sv"), col("sv"))
-            - dot(col("sv"), col("cv")) * 2
-            + dot(col("cv"), col("cv")), 6).as("dist2"))
-        .groupBy(col("id"), col("j"))
-        .agg(min_by(struct(col("sv"), col("cen_id")),
-          struct(col("dist2"), col("cen_id"))).as("best"))
-        .select(col("j"), col("best.cen_id").as("cen_id"),
-          col("best.sv").as("sv"))
+      // fused argmin per (vector, subspace) row — no ×nCentroids
+      // fan-out and no min_by whose buffers carried the subvector
+      // array through the aggregation (the iteration's former
+      // dominant cost; guide §4, optimization round 20)
+      val assigned = sub.join(broadcast(packCodebook(cen)), Seq("j"))
+        .select(col("j"),
+          graft.functions.Vectors.bestCodeL2(col("sv"), col("cen_ids"),
+            col("cvs"), col("cvvs")).as("cen_id"),
+          col("sv"))
       val means = assigned
         .select(col("j"), col("cen_id"),
           posexplode(col("sv")).as(Seq("p", "v")))
@@ -778,7 +795,14 @@ object Similarity {
     val sizes = sl.agg(count(lit(1)).as("n_left")).crossJoin(
       sr.agg(count(lit(1)).as("n_right"))).crossJoin(
       truth.agg(count(lit(1)).as("n_truth")))
-    val arms = configs.map { case (tables, planes) =>
+    // arms are independent given the shared sample/truth checkpoints;
+    // each arm's EAGER work (the lshCrossPairs localCheckpoint) runs
+    // overlapped from driver threads so the wall is ≈ the slowest arm
+    // rather than the sum (guide §2.6; optimization round 20 — the
+    // sequential shape serialized three candidate-pair jobs whose
+    // tails left the cluster idle)
+    val arms = graft.core.Par.mapInParallel(configs) {
+      case (tables, planes) =>
       def occ(df: DataFrame, as: String): DataFrame =
         df.select(posexplode(graft.functions.Lsh.buckets(
             darr(col(embCol)), tables, planes, dims)))
@@ -1127,28 +1151,41 @@ object Similarity {
     */
   def assignCells(candidates: DataFrame, cen: DataFrame,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    // shadow-cast both sides to array<double> ONCE PER ROW before the
-    // per-(vector, centroid) cross join: the dot kernel's internal
-    // float→double cast otherwise allocates two fresh arrays per PAIR
-    // (N·k allocations per assignment pass — the dominant CPU of the
-    // k-means iterations; optimization round 19, guide §4). The
-    // OUTPUT `e` keeps the caller's original element type — consumers
-    // persist and re-derive from it, so its schema must not drift.
+    // shadow-cast to array<double> ONCE PER ROW (the r19 cast-hoist:
+    // the dot kernel's internal float→double cast otherwise allocates
+    // fresh arrays per pair). The OUTPUT `e` keeps the caller's
+    // original element type — consumers persist and re-derive from
+    // it, so its schema must not drift.
     val c = graft.Tables.rebalance(
       candidates.select(col(idCol).as("id"),
         col(embCol).as("e"), sqrt(norm2(col(embCol))).as("nrm")))
       .withColumn("_ed", darr(col("e")))
-    val cenD = cen.withColumn("_cend", darr(col("cen_e")))
-    c.join(broadcast(cenD), lit(true))
-      .select(col("id"), col("e"), col("nrm"), col("cen_id"),
-        round(dot(col("_ed"), col("_cend")) /
-          (col("nrm") * col("cen_nrm")), 6).as("csim"))
-      .groupBy(col("id"))
-      .agg(max_by(
-        struct(col("e"), col("nrm"), col("cen_id")),
-        struct(col("csim"), (-col("cen_id")).as("nid"))).as("best"))
-      .select(col("id"), col("best.e").as("e"),
-        col("best.nrm").as("nrm"), col("best.cen_id").as("cell"))
+    // The centroid table (broadcast-sized by construction) packs into
+    // ONE row of parallel arrays and the fused argmax kernel scans it
+    // per candidate: the previous shape fanned the corpus out
+    // ×nCentroids rows through a BroadcastNestedLoopJoin and paid a
+    // max_by aggregation whose buffers carried the embedding — per
+    // Lloyd iteration, per assignment pass. One kernel call per row
+    // replaces fan-out + aggregation + their exchange; scores and tie
+    // order are bit-identical (VectorKernel.bestCellCosine mirrors
+    // round(..,6) and the struct ordering exactly; ArgKernelSpec
+    // pins kernel ≡ declarative). Guide §4; optimization round 20.
+    val packed = cen
+      .select(col("cen_id"), darr(col("cen_e")).as("cv"),
+        col("cen_nrm").as("cnrm"))
+      .agg(collect_list(struct(col("cen_id"), col("cv"), col("cnrm")))
+        .as("cs"))
+      .select(
+        transform(col("cs"), x => x.getField("cen_id")).as("cen_ids"),
+        transform(col("cs"), x => x.getField("cv")).as("cvs"),
+        transform(col("cs"), x => x.getField("cnrm")).as("cnrms"))
+    c.join(broadcast(packed), lit(true))
+      // empty centroid table ⇒ no assignment rows (the fan-out shape's
+      // inner-join semantics, preserved)
+      .where(size(col("cen_ids")) > 0)
+      .select(col("id"), col("e"), col("nrm"),
+        graft.functions.Vectors.bestCellCosine(col("_ed"), col("nrm"),
+          col("cen_ids"), col("cvs"), col("cnrms")).as("cell"))
   }
 
   /** IVF (inverted-file) ANN top-k — the classic coarse-quantizer scale
@@ -1551,13 +1588,15 @@ object Similarity {
       embCol: String = "embedding"): DataFrame = {
     val s = graft.Tables.rebalance(
       pqSubvectors(vecs, dims, m, idCol, embCol, "id", "sv"))
-    val minD = s.join(broadcast(codebook), Seq("j"))
+    // fused min-distance: one kernel call per (vector, subspace) row
+    // — replaces the ×nCentroids fan-out + min aggregation (the same
+    // rounding/ordering as the fan-out's min over DECIMAL(20,6):
+    // the cast is monotone at scale 6; guide §4, round 20)
+    val minD = s.join(broadcast(packCodebook(codebook)), Seq("j"))
       .select(col("id"), col("j"),
-        round(dot(col("sv"), col("sv")) - dot(col("sv"), col("cv")) * 2
-          + dot(col("cv"), col("cv")), 6)
-          .cast("decimal(20,6)").as("dist2"))
-      .groupBy(col("id"), col("j"))
-      .agg(min(col("dist2")).as("d2"))
+        graft.functions.Vectors.minCodeDistL2(col("sv"),
+          col("cvs"), col("cvvs"))
+          .cast("decimal(20,6)").as("d2"))
     minD.agg(
         countDistinct(col("id")).as("n_vecs"),
         (sum(col("d2")) * 1000000).cast("bigint")
@@ -1818,13 +1857,10 @@ object Similarity {
             slice(col("r"), j * sub + 1, lit(sub)).as("sv")))).as("x"))
       .select(col("id"), col("cell"), col("x.j").as("j"),
         col("x.sv").as("sv"))
-    val codes = rsub.join(broadcast(codebook), Seq("j"))
-      .select(col("id"), col("cell"), col("j"), col("cen_id"),
-        round(dot(col("sv"), col("sv")) - dot(col("sv"), col("cv")) * 2
-          + dot(col("cv"), col("cv")), 6).as("dist2"))
-      .groupBy(col("id"), col("cell"), col("j"))
-      .agg(min_by(col("cen_id"),
-        struct(col("dist2"), col("cen_id"))).as("code"))
+    val codes = rsub.join(broadcast(packCodebook(codebook)), Seq("j"))
+      .select(col("id"), col("cell"), col("j"),
+        graft.functions.Vectors.bestCodeL2(col("sv"), col("cen_ids"),
+          col("cvs"), col("cvvs")).as("code"))
     val q = queries.select(col(idCol).as("query_id"),
       darr(col(embCol)).as("q_emb"),
       sqrt(norm2(col(embCol))).as("q_nrm"))
