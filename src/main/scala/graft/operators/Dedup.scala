@@ -773,20 +773,21 @@ object Dedup {
     // PUBLISHED generations (reader-atomic mutations) and defaults
     // gen to 0 on pre-generation-era artifacts.
     val man = pinned.orElse(graft.sink.IndexManifest.read(spark, path))
-    // NOTE (optimization round 19/20): this live posting frame feeds
-    // THREE evaluations (rarest-first df aggregation, its re-join,
-    // the exact-verify array build). A blanket localCheckpoint was
-    // measured in round 19 and DECLINED: it replaced the parquet
-    // scan with an ExistingRDD in every downstream plan, blinding
-    // the PlanAuditSpec gates that prove the kill floor lands before
-    // ranking and bucket pruning reaches the scan. Round 20 lands
-    // the verdict's split instead: the RANKING derivation reads one
-    // checkpointed copy (one tombstone-filtered parquet pass instead
-    // of two — the checkpoint is built from exactly the kill-floored
-    // frame, so values are unchanged), while the exact-verify array
-    // build keeps the RAW parquet path — the full auditable shape
-    // (kill-floor join + pushed gen filter + bucket layout) stays in
-    // every served plan, and the gates keep real evidence.
+    // NOTE (optimization rounds 19/20): this live posting frame
+    // feeds THREE evaluations (rarest-first df aggregation, its
+    // re-join, the exact-verify array build). A blanket
+    // localCheckpoint was measured in round 19 and DECLINED: it
+    // replaced the parquet scan with an ExistingRDD in every
+    // downstream plan, blinding the PlanAuditSpec gates that prove
+    // the kill floor lands before ranking and bucket pruning reaches
+    // the scan. Round 20 measured the split variant too (checkpoint
+    // only the RANKING derivation's copy, keep the raw parquet path
+    // in the exact-verify build): q339 6.37 s → 6.43 s isolated —
+    // the checkpoint materialization pass costs what the saved
+    // re-scan saved — and the pinned blocks (never unpersisted on a
+    // serve path that returns a live frame) accumulated across a
+    // multi-query session until serve rows degraded 2-3×. DECLINED
+    // as well: both evaluations keep the parquet scan.
     val sh = graft.sink.IndexLayout.applyTombstones(
         graft.sink.IndexLayout.visibleFacts(spark.read.parquet(
             graft.sink.IndexLayout.dir(path, man, "postings")), man)
@@ -797,8 +798,7 @@ object Dedup {
       .select(col("doc_id"), col("s"))
     // global rarest-first ranks over the index's CURRENT state
     // (corpus + increments) — same values a full rebuild would rank
-    val ranked = rankedRows(sh.localCheckpoint(), None, native = true)
-      .localCheckpoint()
+    val ranked = rankedRows(sh, None, native = true).localCheckpoint()
     val pfx = prefixOf(ranked, threshold)
     val pfxInc = pfx.join(broadcast(inc), Seq("doc_id"), "left_semi")
     val overlapUb =
